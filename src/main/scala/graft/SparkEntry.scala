@@ -1,13 +1,615 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Extraction, TextAnalysis, Vectors}
+import graft.operators.{AsOf, Dedup, DocPipeline, Multimodal, Similarity}
+import graft.sources.FakePdfDecoder
+import graft.streaming.StreamingOps
+
+/** Driver contract (see SURVEY.md §7): one named query per implemented
+  * operator, each with DuckDB oracle SQL where ANSI-expressible.
+  *
+  * Oracle-parity conventions (why every aggregate looks the way it does):
+  *  - double sums go through `DECIMAL(18,4)` then cast back to double —
+  *    decimal addition is exact and order-independent, so Spark's
+  *    partial/final aggregation order cannot diverge from DuckDB's;
+  *  - per-row double arithmetic is IEEE-deterministic and identical in
+  *    both engines, so row-level doubles are emitted raw;
+  *  - `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads it as a ns
+  *    Long truncated to µs ([[Tables.events]]); every oracle query uses
+  *    `CAST(ts AS TIMESTAMP)` which truncates identically;
+  *  - counts/ranks are cast to BIGINT on the Spark side to match DuckDB's
+  *    BIGINT count/row_number; DuckDB integer SUMs are cast down from
+  *    HUGEINT;
+  *  - all rankings carry a unique tiebreak column so top-k sets are
+  *    deterministic in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // exact, order-independent sum of a double column (see scaladoc above)
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+  private val D = "DECIMAL(18,4)"
+
+  /** DuckDB CTE normalizing events.ts to µs — prepended to every
+    * events-based oracle query. */
+  private val evCte =
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** Flagship query on sf=0.001: the reference's end-to-end pipeline
+    * (decode → explode pages → extract → filter → key) over the documents
+    * table with the deterministic stand-in decoder. Driver smoke-checks
+    * rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val cfg = PipelineConfig(minWordsPerPage = 5, getLanguage = true,
+      saveFigures = true, maxPages = Some(8))
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .drop("text")
+    val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
+    val decoded = DocPipeline.decodePages(keyed, FakePdfDecoder(40), "payload")
+    val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+    DocPipeline.channels(tagged)._1
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------- scans / filters
+    "q01_pruned_scan" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+    }),
+
+    // ------------------------------------------------------- aggregations
+    "q02_agg_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    }),
+
+    "q03_join_broadcast" -> ((s, dir) => {
+      // dims broadcast explicitly — region/nation are tiny at any SF
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_acctbal"))
+    }),
+
+    "q04_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "q05_semi_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val big = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q06_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // ------------------------------------------------------------ windows
+    "q07_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+    }),
+
+    // ------------------------------------------------------------ set ops
+    "q09_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+
+    "q10_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "P").select(col("o_custkey")))
+    }),
+
+    // -------------------------------------------------- rollup/cube/top-k
+    "q11_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "q12_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q13_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "q14_theta_join" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir).select(
+        col("n_regionkey"), col("n_nationkey").as("k1"), col("n_name").as("nation_a"))
+      val n2 = Tables.nation(s, dir).select(
+        col("n_regionkey"), col("n_nationkey").as("k2"), col("n_name").as("nation_b"))
+      n1.join(n2, Seq("n_regionkey")).filter(col("k1") < col("k2"))
+        .select(col("n_regionkey"), col("nation_a"), col("nation_b"))
+    }),
+
+    // --------------------------------------------------------- as-of join
+    "q15_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side unique per (user_id, ts): deterministic tie policy
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"), max_by(col("value"), col("event_id")).as("purchase_value"))
+      AsOf.join(clicks, purchases, "user_id", "ts", Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("right_purchase_id").as("prev_purchase_id"),
+          col("right_purchase_value").as("prev_purchase_value"))
+    }),
+
+    // --------------------------------------------------- date/time + json
+    "q16_date_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    "q17_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
+    }),
+
+    "q18_window_10min" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+    }),
+
+    "q19_session_window" -> ((s, dir) => {
+      StreamingOps.sessionAgg(Tables.events(s, dir), "5 minutes")
+    }),
+
+    // --------------------------------------- reference extraction surface
+    "q20_strip_tags" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Extraction.stripTags(
+          concat(lit("<div><p>"), col("text"), lit("</p></div>"))).as("stripped"))
+    }),
+
+    "q21_word_count" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Extraction.wordCount(col("text")).cast("long").as("total_words"))
+    }),
+
+    "q22_remove_digits" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Extraction.removeDigits(concat(col("text"), lit(" pages 34-89 v34.67"))).as("no_digits"))
+    }),
+
+    "q23_hashes" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        Extraction.contentHash(col("text"), "md5").as("md5_hash"),
+        Extraction.contentHash(col("text"), "sha256").as("sha256_hash"))
+    }),
+
+    "q24_min_words_filter" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("total_words", Extraction.wordCount(col("text")).cast("long"))
+        .filter(col("total_words") >= 30)
+        .select(col("doc_id"), col("total_words"))
+    }),
+
+    "q25_page_explode" -> ((s, dir) => {
+      // the reference's per-page explode + min-words gate + key synthesis,
+      // SQL-expressible twin of the DocPipeline core (40-word pages)
+      val ws = split(col("text"), " ")
+      val np = ceil(size(ws) / lit(40.0)).cast("int")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"), np.as("np"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("np") - 1)).as("page_no"))
+        .select(col("doc_id"), col("page_no"),
+          array_join(slice(col("ws"), col("page_no") * 40 + 1, lit(40)), " ").as("page_text"))
+        .withColumn("page_words", size(split(col("page_text"), " ")).cast("long"))
+        .filter(col("page_words") >= 5)
+        .withColumn("page_key",
+          Extraction.pageKey(format_string("%06d", col("doc_id")), col("page_no")))
+    }),
+
+    // ------------------------------------------------------ text analysis
+    "q26_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    "q27_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+    }),
+
+    "q28_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    }),
+
+    "q29_langid" -> ((s, dir) => {
+      // heuristic langid is not SQL-expressible → rows-only check
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("detected_lang"))
+    }),
+
+    // -------------------------------------------------------------- dedup
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
+    "q31_dedup_norm_groups" -> ((s, dir) => {
+      Dedup.normalizedGroups(Tables.documents(s, dir), col("text"), col("doc_id"))
+    }),
+
+    "q32_minhash_dups" -> ((s, dir) => {
+      // minhash signature uses xxhash64 → not oracle-expressible; rows-only
+      Dedup.minhashCandidates(Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleK = 3, numHashes = 32, bands = 8, minJaccard = 0.3)
+    }),
+
+    "q33_simhash_dups" -> ((s, dir) => {
+      Dedup.simhashCandidates(Tables.documents(s, dir), col("text"), col("doc_id"),
+        shingleK = 3, maxHamming = 8)
+    }),
+
+    "q34_ngram_jaccard" -> ((s, dir) => {
+      // exact verification over blocked candidates; rows-only (list-algebra
+      // oracle SQL would re-implement the operator rather than check it)
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), col("text"), col("doc_id"),
+        k = 2, minJaccard = 0.08)
+    }),
+
+    "q35_embedding_dups" -> ((s, dir) => {
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+        minCosine = 0.4, bruteForce = true)
+    }),
+
+    // -------------------------------------------------- similarity search
+    "q36_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    "q37_knn_lsh" -> ((s, dir) => {
+      // approximate tier — recall measured in tests, rows-only here
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, planes = 6, probeBits = 1)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---------------------------------------------------------- multimodal
+    "q38_multimodal_meta" -> ((s, dir) => {
+      val withMedia = Multimodal.withBinaryPayload(Tables.documents(s, dir), "text")
+      Multimodal.decodeMetadata(withMedia).toDF()
+    }),
+
+    // ----------------------------------------------------------- streaming
+    "q39_stream_tumbling" -> ((s, dir) => {
+      // batch parquet replayed through a real streaming query (AvailableNow
+      // + memory sink); result must equal the batch/oracle twin q18
+      val staging = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val stream = StreamingOps.eventsStream(s, staging)
+      val agg = StreamingOps.windowedAgg(stream, "10 minutes")
+      StreamingOps.runToMemory(s, agg, "q39_stream_tumbling")
+    }),
+
+    // ------------------------------------------------------- doc pipeline
+    "q40_doc_pipeline_stats" -> ((s, dir) => {
+      // full pipeline status channel (decoder not SQL-expressible → rows-only)
+      val cfg = PipelineConfig(minWordsPerPage = 5, getLanguage = false,
+        saveFigures = true, maxPages = Some(8))
+      val docs = Tables.documents(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8")).drop("text")
+      val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
+      val decoded = DocPipeline.decodePages(keyed, FakePdfDecoder(40), "payload")
+      val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+      DocPipeline.channels(tagged)._2
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pruned_scan" ->
+      """SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin,
+
+    "q02_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS $D)) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(*) AS avg_qty
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_broadcast" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+         |  CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE) AS total_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_join_agg" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS $D)) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q07_window_topn" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+
+    "q08_window_running" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+         |  CAST(SUM(CAST(l_quantity AS $D)) OVER (
+         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+         |  lag(l_quantity, 1) OVER (
+         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+         |FROM lineitem""".stripMargin,
+
+    "q09_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q10_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q14_theta_join" ->
+      """SELECT n1.n_regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""".stripMargin,
+
+    "q15_asof_join" ->
+      s"""$evCte,
+         |clicks AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+         |purchases AS (
+         |  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         |         max_by(value, event_id) AS purchase_value
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         |SELECT l.event_id, l.user_id, l.ts,
+         |       r.purchase_id AS prev_purchase_id,
+         |       r.purchase_value AS prev_purchase_value
+         |FROM clicks l ASOF LEFT JOIN purchases r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q16_date_agg" ->
+      s"""$evCte
+         |SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q18_window_10min" ->
+      s"""$evCte
+         |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+         |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    "q19_session_window" ->
+      s"""$evCte,
+         |brk AS (
+         |  SELECT user_id, ts, value, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+         |         THEN 1 ELSE 0 END AS is_break
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM brk)
+         |SELECT MIN(ts) AS session_start,
+         |       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+         |       user_id, COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q20_strip_tags" ->
+      """SELECT doc_id,
+        |  regexp_replace('<div><p>' || text || '</p></div>', '(?s)<.*?>', chr(10), 'g') AS stripped
+        |FROM documents""".stripMargin,
+
+    "q21_word_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[^\]\[\s,<>]+')) AS total_words
+        |FROM documents""".stripMargin,
+
+    "q22_remove_digits" ->
+      """SELECT doc_id,
+        |  regexp_replace(text || ' pages 34-89 v34.67', '[.\d]+', '', 'g') AS no_digits
+        |FROM documents""".stripMargin,
+
+    "q23_hashes" ->
+      """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
+        |FROM documents""".stripMargin,
+
+    "q24_min_words_filter" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[^\]\[\s,<>]+')) AS total_words
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '[^\]\[\s,<>]+')) >= 30""".stripMargin,
+
+    "q25_page_explode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, CAST(ceil(len(ws)/40.0) AS INTEGER) AS np FROM t),
+        |x AS (
+        |  SELECT p.doc_id, CAST(g.i AS INTEGER) AS page_no,
+        |         array_to_string(ws[g.i*40+1 : least((g.i+1)*40, len(ws))], ' ') AS page_text
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, np-1)) AS i) g)
+        |SELECT doc_id, page_no, page_text,
+        |       len(string_split(page_text, ' ')) AS page_words,
+        |       printf('%06d', doc_id) || CAST(page_no AS VARCHAR) AS page_key
+        |FROM x WHERE len(string_split(page_text, ' ')) >= 5""".stripMargin,
+
+    "q26_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS stopword_ratio,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS mean_word_len,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |    * (CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |    * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0))
+        |    AS quality
+        |FROM documents""".stripMargin,
+
+    "q27_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents GROUP BY md5(text)) s
+        |  ON md5(d.text) = s.h AND d.doc_id = s.keep""".stripMargin,
+
+    "q31_dedup_norm_groups" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents)
+        |SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_key
+        |FROM n GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
+
+    "q35_embedding_dups" ->
+      """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4""".stripMargin,
+
+    "q36_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(q.e, c.e) AS cosine
+        |      FROM q, c WHERE neighbor_id != query_id),
+        |r AS (SELECT query_id, neighbor_id, cosine,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q38_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+        |  CAST(64 + (CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END) * 4 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q39_stream_tumbling" ->
+      s"""$evCte
+         |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+         |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+         |FROM ev GROUP BY 1, 2""".stripMargin,
+  )
 }

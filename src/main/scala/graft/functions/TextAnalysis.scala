@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All built from
+  * codegen'd Catalyst expressions (regex / higher-order functions); the
+  * only closure is the language-ID scorer, which is a deterministic
+  * pure function usable from both Column and test contexts.
+  *
+  * Generalizes the reference's word-count / cld2 language-detect surface
+  * (`/root/reference/doc2dataset/extractor.py:28-31,71-73`) without the
+  * native cld2 dependency (zero-egress container).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- langid
+
+  /** Stopword profiles for a character/stopword n-gram language heuristic.
+    * Public-knowledge function-word lists (the highest-frequency words of
+    * each language); script ranges handle zh/ru/ar/fa/he/ja/ko. */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "on", "are", "with", "as", "this", "at", "be", "have", "not"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "se", "del", "su", "al", "como", "no"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für", "auf", "des", "ein", "eine", "nicht", "dem", "sich", "auch", "zu", "als"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "du", "est", "en", "que", "qui", "dans", "pour", "pas", "au", "sur", "avec", "ne"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "del", "della", "con", "non", "sono", "gli", "le", "si", "da", "come", "nel", "più"),
+    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "não", "os", "as", "dos", "se", "na", "no", "por"),
+    "nl" -> Set("de", "het", "een", "van", "en", "in", "is", "dat", "op", "te", "met", "voor", "niet", "zijn", "aan", "er", "ook", "als", "bij", "maar"),
+  )
+
+  /** Score text against script ranges + stopword profiles; returns an ISO
+    * 639-1 code or "un" (unknown). Deterministic, allocation-light; used
+    * inside the langid UDF and directly testable. */
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "un"
+    var cjk = 0; var cyr = 0; var arab = 0; var hebrew = 0
+    var hira = 0; var hangul = 0; var latin = 0; var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeScript.of(c)
+        b match {
+          case Character.UnicodeScript.HAN => cjk += 1
+          case Character.UnicodeScript.CYRILLIC => cyr += 1
+          case Character.UnicodeScript.ARABIC => arab += 1
+          case Character.UnicodeScript.HEBREW => hebrew += 1
+          case Character.UnicodeScript.HIRAGANA | Character.UnicodeScript.KATAKANA => hira += 1
+          case Character.UnicodeScript.HANGUL => hangul += 1
+          case Character.UnicodeScript.LATIN => latin += 1
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    if (letters == 0) return "un"
+    val l = letters.toDouble
+    // Script-dominant languages first (cheap and unambiguous).
+    if (hira / l > 0.2) return "ja"
+    if (hangul / l > 0.5) return "ko"
+    if (cjk / l > 0.5) return "zh"
+    if (cyr / l > 0.5) return "ru"
+    if (hebrew / l > 0.5) return "he"
+    if (arab / l > 0.5) {
+      // fa vs ar: Farsi-specific letters گ چ پ ژ
+      val farsi = text.count(ch => ch == 'گ' || ch == 'چ' || ch == 'پ' || ch == 'ژ')
+      return if (farsi > 0) "fa" else "ar"
+    }
+    // Latin-script languages: stopword-profile vote.
+    val words = text.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
+    if (words.isEmpty) return "un"
+    var best = "un"; var bestHits = 0
+    stopwords.foreach { case (lang, sw) =>
+      val hits = words.count(sw.contains)
+      if (hits > bestHits) { best = lang; bestHits = hits }
+    }
+    if (bestHits > 0) best
+    else if (latin / l > 0.5) "en" // latin text with no profile hits
+    else "un"
+  }
+
+  /** Language-ID column (UDF — the scorer needs per-char script lookups
+    * that Catalyst expressions can't express). Deterministic + idempotent,
+    * safe under task retries. */
+  def langId(c: Column): Column =
+    udf((s: String) => detectLanguage(s)).apply(c)
+
+  // ------------------------------------------------------- token counting
+
+  /** Whitespace token count — codegen'd. */
+  def wsTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword token count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a portable approximation
+    * of GPT-style pre-tokenization, identical under Java and RE2 regex. */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPattern), lit(0)))
+
+  // ------------------------------------------------------ quality scoring
+
+  /** Ratio of alphabetic chars to total length (0 for empty). */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") / length(c))
+
+  /** Ratio of punctuation chars to total length. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^.,;:!?'\"()-]", "")).cast("double") / length(c))
+
+  /** Ratio of common-English-stopword tokens to all tokens — a standard
+    * "natural language vs boilerplate" signal. SQL-expressible so the
+    * DuckDB oracle can replicate it. */
+  val stopwordAltPattern = "\\b(the|and|of|to|a|in|is|that|it|for)\\b"
+  def stopwordRatio(c: Column): Column = {
+    val total = wsTokenCount(c)
+    when(total === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(lower(c), lit(stopwordAltPattern), lit(0))).cast("double") / total)
+  }
+
+  /** Mean whitespace-token length. */
+  def meanWordLen(c: Column): Column = {
+    val total = wsTokenCount(c)
+    when(total === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "\\s+", "")).cast("double") / total)
+  }
+
+  /** Composite quality score in [0,1]: length prior × alpha ratio ×
+    * (1 - punct excess). Mirrors the C4/Gopher-style cheap quality rules.
+    * Pure IEEE-double arithmetic (no rounding) so any engine computing the
+    * same formula produces bit-identical values. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val alpha = alphaRatio(c)
+    val punct = punctRatio(c)
+    lenScore * alpha * (lit(1.0) - least(punct * 5.0, lit(1.0)))
+  }
+
+  // -------------------------------------------------------- fingerprinting
+
+  /** 64-bit FNV-1a over the concatenated normalized tokens — a rolling
+    * document fingerprint. Implemented over Spark's xxhash64 on the
+    * normalized text (codegen'd); normalization = lowercase, collapse
+    * whitespace, strip punctuation. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(regexp_replace(c, "[^\\p{L}\\p{N}\\s]", "")), "\\s+", " "))
+
+  /** Content-defined fingerprint of normalized text (xxhash64). Used for
+    * exact near-normalization dedup; oracle uses md5 of the same
+    * normalization (hash fn differs, normalization semantics identical). */
+  def fingerprint(c: Column): Column = xxhash64(normalizeText(c))
+
+  /** md5 fingerprint of normalized text — SQL-portable twin of
+    * [[fingerprint]] (DuckDB md5 produces the same hex). */
+  def fingerprintMd5(c: Column): Column = md5(normalizeText(c))
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — SURVEY §2.4's flagged-hard operator.
+  *
+  * Semantics (DuckDB `ASOF JOIN` / kdb aj): for each left row, attach the
+  * right row with the greatest `rightTs <= leftTs` within the same key
+  * (left outer: unmatched left rows keep nulls).
+  *
+  * Implementation is the union-and-carry trick, not a cross/range join:
+  * tag both sides, union, sort within key by (ts, side) and carry the
+  * last-seen right payload forward with `last(_, ignoreNulls) over rows
+  * unbounded-preceding`. Cost = one shuffle on the key + one sort —
+  * identical shape to a sort-merge join, so it scales like one (no
+  * broadcast requirement, no O(n·m) pairing). Skewed keys are handled by
+  * AQE the same way a sort-merge join's are.
+  */
+object AsOf {
+
+  /** @param left     left side; must contain `keyCol` and `tsCol`
+    * @param right    right side; must contain `keyCol` and `tsCol`
+    * @param keyCol   equi-key column name present on both sides
+    * @param tsCol    event-time column name present on both sides
+    * @param payload  right-side columns to attach (renamed as-is)
+    */
+  def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           payload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // Right rows become carrier rows: payload present, left columns null.
+    val rTagged = right.select(
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
+        payload.map(c => col(c).as(s"__p_$c")) ++:
+        lCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        lCols.filterNot(c => c == keyCol).map(col)): _*)
+    val unioned = rTagged.unionByName(lTagged)
+    // Order right rows before left rows at equal ts => `<=` semantics.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((lCols.map(col) ++ payload.map(c => col(s"__p_$c").as(s"right_$c"))): _*)
+  }
+}

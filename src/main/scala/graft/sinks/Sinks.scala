@@ -1,0 +1,153 @@
+package graft.sinks
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output sinks — the reference's six `*SampleWriter` classes
+  * (`/root/reference/doc2dataset/writer.py`) re-expressed Spark-first.
+  * Buffering/rotation/row-groups are Spark's job (`writer.py:13-52`'s
+  * 100-row buffer is obsolete); only the genuinely custom layouts
+  * (per-sample files, webdataset tar) keep `foreachPartition` writers.
+  */
+object Sinks {
+
+  /** parquet sink (ref `writer.py:55-85`): payload column named by
+    * `encode_format`; sizing via maxRecordsPerFile, not hand buffering. */
+  def parquet(df: DataFrame, out: String, mode: SaveMode = SaveMode.Overwrite,
+              maxRecordsPerFile: Int = 0): Unit = {
+    val w = df.write.mode(mode)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toLong) else w)
+      .parquet(out)
+  }
+
+  /** jsonl.gz sink (ref `writer.py:129-163`). */
+  def jsonlGz(df: DataFrame, out: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("compression", "gzip").json(out)
+
+  /** dummy sink (ref `writer.py:313-323`): full compute, no output — the
+    * benchmark-mode writer, mapped to Spark's noop source. */
+  def dummy(df: DataFrame): Unit =
+    df.write.format("noop").mode(SaveMode.Overwrite).save()
+
+  /** files sink (ref `writer.py:270-310`): one `<key>.<ext>` payload file
+    * + one `<key>.json` metadata file per sample, grouped in per-shard
+    * subdirectories. Distributed: each partition writes its own rows —
+    * no driver collect. Local-fs layout (same contract as the reference's
+    * fsspec local case). */
+  def files(df: DataFrame, out: String, keyCol: String = "key",
+            payloadCol: String = "text", ext: String = "txt",
+            sampleDigits: Int = 4): Unit = {
+    val fields = df.schema.fieldNames.toSeq
+    val kIdx = fields.indexOf(keyCol)
+    val pIdx = fields.indexOf(payloadCol)
+    require(kIdx >= 0 && pIdx >= 0, s"files sink needs $keyCol and $payloadCol")
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { row =>
+        val key = row.getString(kIdx)
+        // shard subdir = key minus the intra-shard digits (ref
+        // `writer.py:283-287`: per-shard subdirectory named by shard id)
+        val shard = if (key.length > sampleDigits) key.dropRight(sampleDigits) else "0"
+        val shardDir = new File(out, shard)
+        shardDir.mkdirs()
+        val payload = row.get(pIdx) match {
+          case b: Array[Byte] => b
+          case s: String      => s.getBytes(StandardCharsets.UTF_8)
+          case other          => String.valueOf(other).getBytes(StandardCharsets.UTF_8)
+        }
+        val fp = new BufferedOutputStream(new FileOutputStream(new File(shardDir, s"$key.$ext")))
+        try fp.write(payload) finally fp.close()
+        val meta = fields.zipWithIndex.filterNot(_._2 == pIdx).map { case (f, i) =>
+          s""""$f": ${jsonVal(row.get(i))}"""
+        }.mkString("{", ", ", "}")
+        val mp = new BufferedOutputStream(new FileOutputStream(new File(shardDir, s"$key.json")))
+        try mp.write(meta.getBytes(StandardCharsets.UTF_8)) finally mp.close()
+      }
+    }
+  }
+
+  /** webdataset sink (ref `writer.py:88-126`): per-partition tar of
+    * (`<key>.<ext>` payload, `<key>.json` meta) pairs + a parquet sidecar
+    * of the metadata. Tar written with commons-compress (ships with
+    * Spark). */
+  def webdataset(df: DataFrame, out: String, keyCol: String = "key",
+                 payloadCol: String = "text", ext: String = "txt"): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val fields = df.schema.fieldNames.toSeq
+    val kIdx = fields.indexOf(keyCol)
+    val pIdx = fields.indexOf(payloadCol)
+    require(kIdx >= 0 && pIdx >= 0, s"webdataset sink needs $keyCol and $payloadCol")
+    new File(out).mkdirs()
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tarFile = new File(out, f"$pid%05d.tar")
+        val tar = new TarArchiveOutputStream(
+          new BufferedOutputStream(new FileOutputStream(tarFile)))
+        tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+        try {
+          rows.foreach { row =>
+            val key = row.getString(kIdx)
+            val payload = row.get(pIdx) match {
+              case b: Array[Byte] => b
+              case s: String      => s.getBytes(StandardCharsets.UTF_8)
+              case other          => String.valueOf(other).getBytes(StandardCharsets.UTF_8)
+            }
+            writeEntry(tar, s"$key.$ext", payload)
+            val meta = fields.zipWithIndex.filterNot(_._2 == pIdx).map { case (f, i) =>
+              s""""$f": ${jsonVal(row.get(i))}"""
+            }.mkString("{", ", ", "}")
+            writeEntry(tar, s"$key.json", meta.getBytes(StandardCharsets.UTF_8))
+          }
+        } finally tar.close()
+      }
+    }
+    // parquet sidecar of the metadata (ref writes one per shard).
+    df.drop(payloadCol).write.mode(SaveMode.Overwrite).parquet(s"$out/_metadata.parquet")
+  }
+
+  private def writeEntry(tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream,
+                         name: String, bytes: Array[Byte]): Unit = {
+    val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
+    e.setSize(bytes.length.toLong)
+    tar.putArchiveEntry(e)
+    tar.write(bytes)
+    tar.closeArchiveEntry()
+  }
+
+  /** stats sink (ref `logger.py:162-191`): one aggregated stats DataFrame
+    * (status histogram + counts) written as JSON — replaces the per-shard
+    * JSON + polling logger process. */
+  def stats(tagged: DataFrame, out: String): Unit =
+    tagged.groupBy("status", "error_message").agg(count(lit(1)).as("count"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(out)
+
+  /** Incremental resume (ref `main.py:140-151` done-shards scan): drop
+    * rows whose key already exists in previous output — the idiomatic
+    * anti-join replacement. */
+  def resumeAntiJoin(df: DataFrame, existingOut: String, keyCol: String = "key"): DataFrame = {
+    val spark = df.sparkSession
+    val done = try spark.read.parquet(existingOut).select(col(keyCol)).distinct()
+    catch { case _: Exception => return df }
+    df.join(done, Seq(keyCol), "left_anti")
+  }
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    case n: java.lang.Number => n.toString
+    case b: Boolean => b.toString
+    case t: java.sql.Timestamp => "\"" + t.toString + "\""
+    case other => "\"" + String.valueOf(other) + "\""
+  }
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.7 —
+  * [EXT]; the reference is pure batch). Transform builders are
+  * source-agnostic (same DataFrame code paths serve batch and stream,
+  * Spark's unified model), so every streaming transform is testable by
+  * running the batch twin through the DuckDB oracle and the stream twin
+  * through a memory sink.
+  */
+object StreamingOps {
+
+  /** events schema as read post-normalization (ts already µs). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a directory of parquet events (ts must already
+    * be TimestampType — stage with [[stageEventsForStreaming]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Write the batch events table (ns-normalized) to a staging dir so the
+    * file stream source can replay it. */
+  def stageEventsForStreaming(spark: SparkSession, sfDir: String, stagingDir: String): Unit =
+    graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(stagingDir)
+
+  /** Tumbling / sliding window aggregation (slide = None → tumbling). */
+  def windowedAgg(events: DataFrame, windowDur: String, slide: Option[String] = None,
+                  watermark: String = "10 minutes"): DataFrame = {
+    val withWm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val win = slide match {
+      case Some(s) => window(col("ts"), windowDur, s)
+      case None    => window(col("ts"), windowDur)
+    }
+    withWm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Session windows per user (gap-based; SURVEY §2.7). */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String = "10 minutes"): DataFrame = {
+    val withWm = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+  }
+
+  /** Stateful dedup on event_id within the watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (synchronous batch-replay harness for
+    * tests/Verify). */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+                  outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
