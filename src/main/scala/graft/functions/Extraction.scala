@@ -29,16 +29,24 @@ object Extraction {
   def wordCount(c: Column): Column =
     size(regexp_extract_all(c, lit(wordPattern), lit(0)))
 
+  /** Strip every markup tag EXCEPT `<img ...>` tags (ref
+    * `extractor.py:51-60` rewrites the DOM keeping canonical img tags; we
+    * keep the source img tag verbatim via negative lookahead — no DOM
+    * dependency, same keep-images semantics). */
+  def stripTagsExceptImg(c: Column): Column =
+    regexp_replace(c, "(?s)<(?!img\\b).*?>", "\n")
+
   /** All `<img ...>` tags in document order (DOTALL — data-URI images span
     * lines; ref `extractor.py:16,34-35`). */
   def imgTags(c: Column): Column =
     regexp_extract_all(c, lit("(?s)<img.*?>"), lit(0))
 
   /** Parse one dimension attribute (`width`/`height`) out of an img tag;
-    * missing → 0 (ref `extractor.py:38-44`). */
+    * missing → 0 (ref `extractor.py:38-44`). `regexp_extract` yields ""
+    * on no-match and ANSI cast would throw — nullif first. */
   def imgDim(img: Column, attr: String): Column =
     coalesce(
-      regexp_extract(img, attr + "=\"(\\d+)\"", 1).cast("int"),
+      nullif(regexp_extract(img, attr + "=\"(\\d+)\"", 1), lit("")).cast("int"),
       lit(0))
 
   /** Remove one img tag occurrence, treating the tag as a literal (the

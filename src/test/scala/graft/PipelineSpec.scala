@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DocPipeline, Multimodal}
+import graft.sources.FakePdfDecoder
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("config validation mirrors the reference's arguments_validator") {
+    PipelineConfig().validate()
+    intercept[IllegalArgumentException](PipelineConfig(verifyHashType = "crc32").validate())
+    intercept[IllegalArgumentException](
+      PipelineConfig(verifyHashCol = Some("h"), verifyHashType = "md5",
+        computeHash = Some("sha256")).validate())
+    intercept[IllegalArgumentException](
+      PipelineConfig(saveAdditionalColumns = Seq("status")).validate())
+    intercept[IllegalArgumentException](PipelineConfig(outputFormat = "xml").validate())
+  }
+
+  test("fake decoder: deterministic pages, reference-shaped xhtml") {
+    val d = FakePdfDecoder(4)
+    val Right(pages) = d.decode("a b c d e f g h i j".getBytes("UTF-8"))
+    assert(pages.length == 3)
+    assert(pages(0) == "<div><p>a b c d</p></div>")
+    assert(pages(2).contains("<img"))
+    assert(d.decode(null).isLeft && d.decode(Array.empty[Byte]).isLeft)
+    assert(d.decode("x".getBytes("UTF-8")) == d.decode("x".getBytes("UTF-8")))
+  }
+
+  test("pipeline end-to-end: explode, filters, status channels, keys") {
+    val cfg = PipelineConfig(minWordsPerPage = 3, maxPages = Some(2),
+      saveFigures = true, numSamplesPerShard = 100)
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"), // 3 pages of 4 -> capped at 2
+      (2L, "a b"),                                              // 1 page, 2 words -> below min
+    ).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8")).drop("text")
+    val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
+    val decoded = DocPipeline.decodePages(keyed, FakePdfDecoder(4), "payload")
+    val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+    val (payload, stats) = DocPipeline.channels(tagged)
+
+    val ok = payload.select("doc_id", "page_no", "total_words", "page_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ok.toSet == Set((1L, 0), (1L, 1)), "maxPages=2 keeps first two pages of doc 1 only")
+    val statuses = stats.collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(statuses("success") == 2L)
+    assert(statuses.getOrElse("failed_to_extract", 0L) == 1L, "doc 2 page below min words")
+
+    // doc key is %07d (oom_sample=2 for 100/shard + oom_shard=5), then
+    // page_no appended (ref downloader.py:212)
+    val keys = payload.select("page_key").as[String].collect().toSet
+    assert(keys == Set("00000000", "00000001"), s"zero-padded doc key + page_no: $keys")
+  }
+
+  test("entry flagship returns success pages with contract columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    val cols = df.columns.toSet
+    assert(Set("key", "status", "page_no", "text", "total_words", "language",
+      "images_per_page", "page_key").subsetOf(cols), s"missing contract columns: $cols")
+    assert(df.filter(col("status") =!= "success").count() == 0)
+  }
+
+  test("multimodal decode plumbing: schema + deterministic stub") {
+    val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = Multimodal.decodeMetadata(Multimodal.withBinaryPayload(docs, "text")).collect()
+    assert(out.length == 1)
+    val m = out(0)
+    assert(m.n_bytes == 11 && m.width == 64 + 11 && m.channels == 3 && m.format == "jpeg")
+    val resized = Multimodal.FakeImageCodec.resize(
+      Multimodal.MediaMeta(800, 400, 3, "png"), maxSide = 200)
+    assert(resized.width == 200 && resized.height == 100)
+    assert(Multimodal.FakeImageCodec.sampleFrames("abcdefgh".getBytes, 3) == Seq(0L, 3L, 6L))
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.io.File
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+import graft.sources.{HttpFetch, ManifestReader}
+
+class HttpFetchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withServer(f: Int => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def h(status: Int, body: String, headers: Map[String, String] = Map.empty) =
+      new HttpHandler {
+        def handle(ex: HttpExchange): Unit = {
+          headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(status, b.length.toLong)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      }
+    server.createContext("/ok", h(200, "hello payload"))
+    server.createContext("/missing", h(404, "nope"))
+    server.createContext("/noai", h(200, "secret", Map("X-Robots-Tag" -> "noai")))
+    server.start()
+    try f(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  test("fetch: success, 404, and X-Robots-Tag opt-out statuses") {
+    withServer { port =>
+      val urls = Seq(s"http://127.0.0.1:$port/ok", s"http://127.0.0.1:$port/missing",
+        s"http://127.0.0.1:$port/noai", "http://127.0.0.1:1/refused").toDF("url")
+      val got = HttpFetch.fetch(urls, threadsPerTask = 4, timeoutSec = 5,
+          disallowed = HttpFetch.defaultDisallowed)
+        .select("url", "status", "payload").collect()
+        .map(r => r.getString(0).split("/").last ->
+          (r.getString(1), Option(r.get(2)).map(b => new String(r.getAs[Array[Byte]](2), "UTF-8"))))
+        .toMap
+      assert(got("ok") == ("success", Some("hello payload")))
+      assert(got("missing")._1 == "failed_to_download")
+      assert(got("noai")._1 == "failed_to_download", "X-Robots-Tag noai must be dropped")
+      assert(got("refused")._1 == "failed_to_download")
+    }
+  }
+
+  test("isDisallowed directive parsing (downloader.py:20-34)") {
+    val dis = HttpFetch.defaultDisallowed
+    assert(HttpFetch.isDisallowed(Map("X-Robots-Tag" -> Seq("noai")), None, dis))
+    assert(HttpFetch.isDisallowed(Map("x-robots-tag" -> Seq("noindex, nofollow")), None, dis))
+    assert(!HttpFetch.isDisallowed(Map("X-Robots-Tag" -> Seq("all")), None, dis))
+    // agent-scoped directive applies only to that token
+    assert(HttpFetch.isDisallowed(Map("X-Robots-Tag" -> Seq("mybot: noai")), Some("mybot"), dis))
+    assert(!HttpFetch.isDisallowed(Map("X-Robots-Tag" -> Seq("otherbot: noai")), Some("mybot"), dis))
+    assert(!HttpFetch.isDisallowed(Map.empty, None, dis))
+  }
+
+  test("manifest normalize: rename + projection (reader.py:60-69,114-120)") {
+    import spark.implicits._
+    val df = Seq(("http://x", "abc", "extra", 1)).toDF("link", "checksum", "note", "junk")
+    val got = ManifestReader.normalize(df, urlCol = "link", verifyHashCol = Some("checksum"),
+      verifyHashType = "md5", additional = Seq("note"))
+    assert(got.columns.toSeq == Seq("note", "md5", "url"))
+  }
+}
+
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = new File(s"target/tmp/sinks_$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs(); d.getAbsolutePath
+  }
+
+  def sample = Seq(
+    ("0000", "payload zero", "en"),
+    ("0001", "payload one", "de"),
+  ).toDF("key", "text", "lang")
+
+  test("files sink: per-sample payload + json meta in shard dirs") {
+    val out = tmpDir("files")
+    Sinks.files(sample.repartition(1), out, sampleDigits = 3)
+    val f = new File(s"$out/0/0000.txt")
+    assert(f.exists(), s"payload file missing under $out")
+    assert(org.apache.commons.io.FileUtils.readFileToString(f, "UTF-8") == "payload zero")
+    val meta = org.apache.commons.io.FileUtils.readFileToString(new File(s"$out/0/0000.json"), "UTF-8")
+    assert(meta.contains("\"key\": \"0000\"") && meta.contains("\"lang\": \"en\""))
+  }
+
+  test("webdataset sink: tar of (payload, meta) + parquet sidecar") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val out = tmpDir("wds")
+    Sinks.webdataset(sample.repartition(1), out)
+    val tars = new File(out).listFiles().filter(_.getName.endsWith(".tar"))
+    assert(tars.length == 1)
+    val tin = new TarArchiveInputStream(new java.io.FileInputStream(tars(0)))
+    val names = Iterator.continually(tin.getNextEntry).takeWhile(_ != null).map(_.getName).toSet
+    tin.close()
+    assert(names == Set("0000.txt", "0000.json", "0001.txt", "0001.json"), s"tar entries: $names")
+    val sidecar = spark.read.parquet(s"$out/_metadata.parquet")
+    assert(sidecar.count() == 2 && !sidecar.columns.contains("text"))
+  }
+
+  test("resume anti-join drops already-written keys (main.py:140-151 analog)") {
+    val out = tmpDir("resume")
+    sample.filter(col("key") === "0000").write.mode("overwrite").parquet(out)
+    val remaining = Sinks.resumeAntiJoin(sample, out).select("key").as[String].collect().toSet
+    assert(remaining == Set("0001"))
+    // missing prior output -> everything flows
+    assert(Sinks.resumeAntiJoin(sample, s"$out/_nope").count() == 2)
+  }
+
+  test("stats sink writes status histogram json") {
+    val out = tmpDir("stats")
+    val tagged = Seq(("success", null: String), ("success", null: String),
+      ("failed_to_extract", "too few words")).toDF("status", "error_message")
+    Sinks.stats(tagged, out)
+    val back = spark.read.json(out)
+    val m = back.collect().map(r => r.getAs[String]("status") -> r.getAs[Long]("count")).toMap
+    assert(m == Map("success" -> 2L, "failed_to_extract" -> 1L))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.streaming.StreamingOps
+
+  test("streaming tumbling window equals batch twin") {
+    val staging = new File("target/tmp/stream_events").getAbsolutePath
+    StreamingOps.stageEventsForStreaming(spark, TestSpark.sf0001, staging)
+    val batch = StreamingOps.windowedAgg(Tables.events(spark, TestSpark.sf0001), "1 hour")
+      .collect().map(_.toSeq).toSet
+    val stream = StreamingOps.runToMemory(spark,
+        StreamingOps.windowedAgg(StreamingOps.eventsStream(spark, staging), "1 hour"),
+        "spec_stream_1h")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch, s"stream(${stream.size}) != batch(${batch.size})")
+  }
+
+  test("dedup within watermark drops replayed event_ids (batch twin)") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val doubled = ev.union(ev)
+    assert(StreamingOps.dedupWithinWatermark(doubled).count() == ev.count())
+  }
+}
