@@ -37,18 +37,33 @@ object DocPipeline {
       .drop("__dec")
   }
 
-  /** Deterministic document keys: shard = floor(global_rank / perShard),
-    * index = rank within shard, rendered zero-padded
-    * (ref `compute_key`, `downloader.py:69-75`; determinism per
-    * SURVEY §7.5.1 — stable sort + row_number, never partition ids). */
-  def withKeys(df: DataFrame, orderCol: Column, cfg: PipelineConfig): DataFrame = {
-    val oomSample = math.ceil(math.log10(math.max(10, cfg.numSamplesPerShard))).toInt
+  private def oomSample(cfg: PipelineConfig): Int =
+    math.ceil(math.log10(math.max(10, cfg.numSamplesPerShard))).toInt
+
+  /** Deterministic document keys from a DENSE numeric id (0..N-1):
+    * shard = id div perShard, index = id mod perShard — pure map-side
+    * expressions, no shuffle, no window. This is the scale path: key
+    * assignment at 100 TB must not serialize through a global sort.
+    * (ref `compute_key`, `downloader.py:69-75`). */
+  def withKeys(df: DataFrame, denseId: Column, cfg: PipelineConfig): DataFrame =
+    df.withColumn("key", Extraction.computeKey(
+      (denseId / cfg.numSamplesPerShard).cast("long"),
+      denseId % cfg.numSamplesPerShard,
+      oomSample(cfg), cfg.oomShardCount))
+
+  /** Deterministic keys for an ARBITRARY stable sort key: global
+    * row_number over `orderCol` (ref semantics when the manifest has no
+    * dense id; determinism per SURVEY §7.5.1 — stable sort, never
+    * partition-dependent ids). The global window funnels rows through a
+    * single partition: correct, but use [[withKeys]] whenever a dense id
+    * exists, or pre-assign dense ids once and reuse. */
+  def withKeysOrdered(df: DataFrame, orderCol: Column, cfg: PipelineConfig): DataFrame = {
     val rank = row_number().over(Window.orderBy(orderCol)) - 1
-    df.withColumn("__rank", rank)
+    df.withColumn("__rank", rank.cast("long"))
       .withColumn("key", Extraction.computeKey(
         (col("__rank") / cfg.numSamplesPerShard).cast("long"),
         col("__rank") % cfg.numSamplesPerShard,
-        oomSample, cfg.oomShardCount))
+        oomSample(cfg), cfg.oomShardCount))
       .drop("__rank")
   }
 

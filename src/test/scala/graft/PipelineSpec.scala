@@ -51,10 +51,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(statuses("success") == 2L)
     assert(statuses.getOrElse("failed_to_extract", 0L) == 1L, "doc 2 page below min words")
 
-    // doc key is %07d (oom_sample=2 for 100/shard + oom_shard=5), then
-    // page_no appended (ref downloader.py:212)
+    // dense-id keys: doc_id=1 -> shard 0, index 1 -> %07d "0000001"
+    // (oom_sample=2 for 100/shard + oom_shard=5), page_no appended
+    // (ref downloader.py:212)
     val keys = payload.select("page_key").as[String].collect().toSet
-    assert(keys == Set("00000000", "00000001"), s"zero-padded doc key + page_no: $keys")
+    assert(keys == Set("00000010", "00000011"), s"zero-padded doc key + page_no: $keys")
   }
 
   test("entry flagship returns success pages with contract columns") {
