@@ -22,6 +22,7 @@ final case class PipelineConfig(
     maxAspectRatio: Double = Double.MaxValue,
     getLanguage: Boolean = false,
     getDrawings: Boolean = false,
+    extractExif: Boolean = false,
     countWords: Boolean = true,
     removeDigits: Boolean = false,
     saveFigures: Boolean = false,

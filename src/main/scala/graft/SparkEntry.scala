@@ -46,12 +46,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
     val cfg = PipelineConfig(minWordsPerPage = 5, getLanguage = true,
-      saveFigures = true, maxPages = Some(8))
+      saveFigures = true, maxPages = Some(8), getDrawings = true,
+      extractExif = true, computeHash = Some("sha256"))
     val docs = Tables.documents(spark, sfDir)
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .drop("text")
     val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
-    val decoded = DocPipeline.decodePages(keyed, FakePdfDecoder(40), "payload")
+    val hashed = DocPipeline.withComputedHash(keyed, "payload", "sha256")
+    val decoded = DocPipeline.decodePages(hashed, FakePdfDecoder(40), "payload",
+      withDrawings = cfg.getDrawings)
     val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
     DocPipeline.channels(tagged)._1
   }
@@ -357,6 +360,39 @@ object SparkEntry {
       StreamingOps.runToMemory(s, agg, "q39_stream_tumbling")
     }),
 
+    // --------------------------------------------- approx / SQL surface
+    "q41_approx_distinct" -> ((s, dir) => {
+      // HLL++ sketch differs from DuckDB's HLL -> rows-only; accuracy
+      // asserted against exact counts in QueriesSpec
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }),
+
+    "q42_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    "q43_window_frames" -> ((s, dir) => {
+      // range frame (value-based) + lead/first over a unique total order
+      val wRange = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice")).rangeBetween(-1000L, 0L)
+      val wSeq = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(wRange)
+          .cast("double").as("range_sum"),
+        lead(col("o_orderkey"), 1).over(wSeq).as("next_key"),
+        first(col("o_orderkey")).over(wSeq).as("first_key"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -611,5 +647,21 @@ object SparkEntry {
          |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
          |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
          |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    "q42_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q43_window_frames" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) OVER (
+         |    PARTITION BY o_orderstatus ORDER BY o_totalprice
+         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
+         |  lead(o_orderkey, 1) OVER w AS next_key,
+         |  first_value(o_orderkey) OVER w AS first_key
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
   )
 }

@@ -25,17 +25,45 @@ import graft.sources.PageDecoder
 object DocPipeline {
 
   /** Decode payload bytes into a pages array + extract error; appends
-    * `pages array<string>`, `decode_error string`. */
-  def decodePages(df: DataFrame, decoder: PageDecoder, payloadCol: String): DataFrame = {
+    * `pages array<string>`, optional `drawings_arr array<string>` (SVG
+    * per page, ref `extractor.py:76-77`), `decode_error string`. One UDF
+    * call does decode + drawings — never two passes over the payload. */
+  def decodePages(df: DataFrame, decoder: PageDecoder, payloadCol: String,
+                  withDrawings: Boolean = false): DataFrame = {
     val dec = udf((payload: Array[Byte]) => decoder.decode(payload) match {
-      case Right(pages) => (pages, null: String)
-      case Left(err)    => (null: Seq[String], err)
+      case Right(pages) =>
+        val dr = if (withDrawings) pages.indices.map(i => decoder.drawings(payload, i))
+                 else null
+        (pages, dr: Seq[String], null: String)
+      case Left(err) => (null: Seq[String], null: Seq[String], err)
     })
-    df.withColumn("__dec", dec(col(payloadCol)))
+    val base = df.withColumn("__dec", dec(col(payloadCol)))
       .withColumn("pages", col("__dec._1"))
-      .withColumn("decode_error", col("__dec._2"))
+      .withColumn("decode_error", col("__dec._3"))
+    (if (withDrawings) base.withColumn("drawings_arr", col("__dec._2")) else base)
       .drop("__dec")
   }
+
+  /** Hash verify filter (ref `downloader.py:352-381`): recompute the
+    * payload hash and compare to the manifest's `hashType` column;
+    * mismatches become `failed_to_download` (errors are data). Rows
+    * without a manifest hash pass through; successful rows get the
+    * computed hash stored in the column. */
+  def verifyHash(df: DataFrame, payloadCol: String, hashType: String): DataFrame = {
+    val computed = Extraction.contentHash(col(payloadCol), hashType)
+    val mismatch = col("status") === "success" &&
+      col(hashType).isNotNull && computed =!= col(hashType)
+    df.withColumn("error_message",
+        when(mismatch, lit("hash mismatch")).otherwise(col("error_message")))
+      .withColumn("status",
+        when(mismatch, lit("failed_to_download")).otherwise(col("status")))
+      .withColumn(hashType, when(col("status") === "success", computed)
+        .otherwise(col(hashType)))
+  }
+
+  /** compute_hash without verification (ref `downloader.py:423-425`). */
+  def withComputedHash(df: DataFrame, payloadCol: String, algo: String): DataFrame =
+    df.withColumn(algo, Extraction.contentHash(col(payloadCol), algo))
 
   private def oomSample(cfg: PipelineConfig): Int =
     math.ceil(math.log10(math.max(10, cfg.numSamplesPerShard))).toInt
@@ -73,15 +101,27 @@ object DocPipeline {
     * `status` + `error_message`; callers split payload rows
     * (status=success) from the stats channel. */
   def explodePages(df: DataFrame, cfg: PipelineConfig): DataFrame = {
+    val hasDrawings = cfg.getDrawings && df.columns.contains("drawings_arr")
+    // zip pages (+ per-page drawings) so one explode carries both; then
     // max_pages truncation before the explode (ref `downloader.py:149-150`,
     // normalized to the documented keep-first-N semantics).
-    val limited = cfg.maxPages match {
-      case Some(n) => df.withColumn("pages", when(col("decode_error").isNull, slice(col("pages"), 1, n)))
-      case None    => df
-    }
-    val exploded = limited
-      .select(col("*"), posexplode_outer(col("pages")).as(Seq("page_no", "page_xhtml")))
+    val zipped = (if (hasDrawings)
+        df.withColumn("__pz", arrays_zip(col("pages"), col("drawings_arr")))
+          .drop("drawings_arr")
+      else df.withColumn("__pz", arrays_zip(col("pages"))))
       .drop("pages")
+    val limited = cfg.maxPages match {
+      case Some(n) => zipped.withColumn("__pz",
+        when(col("decode_error").isNull, slice(col("__pz"), 1, n)))
+      case None    => zipped
+    }
+    val explodedRaw = limited
+      .select(col("*"), posexplode_outer(col("__pz")).as(Seq("page_no", "__p")))
+      .withColumn("page_xhtml", col("__p.pages"))
+    val exploded = (if (hasDrawings)
+        explodedRaw.withColumn("drawings", col("__p.drawings_arr"))
+      else explodedRaw)
+      .drop("__pz", "__p")
 
     val stripped = Extraction.stripTags(col("page_xhtml"))
     val afterDigits = if (cfg.removeDigits) Extraction.removeDigits(stripped) else stripped
@@ -95,6 +135,9 @@ object DocPipeline {
     val withOpt = Seq(
       (cfg.getLanguage, (d: DataFrame) => d.withColumn("language", TextAnalysis.langId(col("text")))),
       (cfg.saveFigures, (d: DataFrame) => d.withColumn("images_per_page", size(col("imgs")))),
+      // exif: assembled but never populated in the reference
+      // (downloader.py:239-240,320-321) — kept for schema parity
+      (cfg.extractExif, (d: DataFrame) => d.withColumn("exif", lit(null).cast(StringType))),
     ).foldLeft(base) { case (d, (on, f)) => if (on) f(d) else d }
 
     // Status tagging — failure reasons mirror the reference's exception

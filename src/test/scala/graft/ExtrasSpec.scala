@@ -1,0 +1,124 @@
+package graft
+
+import java.io.File
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DocPipeline, Metrics}
+import graft.sinks.TfRecord
+import graft.sources.FakePdfDecoder
+
+class TfRecordSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfrecord sink: CRC-valid framing, parseable Example protos, sidecar") {
+    val out = new File("target/tmp/tfrec"); org.apache.commons.io.FileUtils.deleteQuietly(out)
+    val df = Seq(
+      ("k0", "hello", 42L, 1.5, Seq(1f, 2f)),
+      ("k1", "world", 7L, 2.5, Seq(3f, 4f)),
+    ).toDF("key", "text", "n", "score", "vec")
+    TfRecord.write(df.repartition(1), out.getAbsolutePath)
+    val files = out.listFiles().filter(_.getName.endsWith(".tfrecord"))
+    assert(files.length == 1)
+    val records = TfRecord.readRecords(files(0).getAbsolutePath) // validates both CRCs
+    assert(records.length == 2)
+    // each Example must embed the utf8 feature names
+    val blob = new String(records.head.map(b => if (b >= 32 && b < 127) b.toChar else '.'))
+    for (name <- Seq("key", "text", "n", "score", "vec")) assert(blob.contains(name), s"missing feature $name")
+    val sidecar = spark.read.parquet(s"${out.getAbsolutePath}/_metadata.parquet")
+    assert(sidecar.count() == 2 && !sidecar.columns.contains("text"))
+  }
+
+  test("proto encoders: known byte layouts") {
+    // int64_list [1]: feature{int64_list{value:[1]}} =
+    // field3 msg( field1 packed varint(1) )
+    assert(TfRecord.featureInts(Seq(1L)).toSeq == Seq(0x1a, 0x03, 0x0a, 0x01, 0x01).map(_.toByte))
+    assert(TfRecord.featureBytes(Seq("ab".getBytes)).toSeq ==
+      Seq(0x0a, 0x04, 0x0a, 0x02, 0x61, 0x62).map(_.toByte))
+  }
+}
+
+class MetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("observe-based counters ride the action (logger.py parity)") {
+    val tagged = Seq("success", "success", "failed_to_download", "failed_to_extract")
+      .toDF("status")
+    val (df, obs) = Metrics.observed(tagged)
+    df.write.format("noop").mode("overwrite").save()
+    val s = Metrics.summary(obs, wallSec = 2.0)
+    assert(s("count") == 4.0 && s("successes") == 2.0)
+    assert(s("failed_to_download") == 1.0 && s("failed_to_extract") == 1.0)
+    assert(s("docs_per_sec") == 2.0 && s("success_ratio") == 0.5)
+  }
+
+  test("capped status histogram top-k") {
+    val tagged = (Seq.fill(5)(("success", null: String)) ++
+      Seq.fill(3)(("failed_to_download", "timeout")) ++
+      Seq(("failed_to_extract", "empty page"))).toDF("status", "error_message")
+    val top2 = Metrics.statusHistogram(tagged, k = 2).collect()
+    assert(top2.length == 2)
+    assert(top2(0).getString(0) == "success" && top2(0).getLong(2) == 5L)
+  }
+}
+
+class HashVerifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hash verify: mismatch -> failed_to_download; match/missing pass (downloader.py:352-381)") {
+    val md5good = "900150983cd24fb0d6963f7d28e17f72" // md5("abc")
+    val rows = Seq(
+      ("good", "abc", md5good, "success", null: String),
+      ("bad", "abc", "deadbeef", "success", null: String),
+      ("nohash", "abc", null: String, "success", null: String),
+      ("alreadyfailed", null: String, md5good, "failed_to_download", "http 404"),
+    ).toDF("k", "body", "md5", "status", "error_message")
+      .withColumn("payload", encode(col("body"), "UTF-8"))
+    val got = DocPipeline.verifyHash(rows, "payload", "md5")
+      .select("k", "status", "error_message", "md5").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got("good") == (("success", null, md5good)))
+    assert(got("bad") == (("failed_to_download", "hash mismatch", "deadbeef")))
+    assert(got("nohash")._1 == "success" && got("nohash")._3 == md5good,
+      "no manifest hash: computed hash stored, row passes")
+    assert(got("alreadyfailed")._1 == "failed_to_download" && got("alreadyfailed")._2 == "http 404")
+  }
+}
+
+class DrawingsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("drawings + exif columns wired through explode (extractor.py:76-77)") {
+    val cfg = PipelineConfig(getDrawings = true, extractExif = true, minWordsPerPage = 1)
+    val docs = Seq((7L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
+    val decoded = DocPipeline.decodePages(keyed, FakePdfDecoder(4), "payload", withDrawings = true)
+    val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+    val rows = tagged.select("page_no", "drawings", "exif").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getString(1).startsWith("<svg")), "per-page SVG drawings")
+    assert(rows.forall(_.isNullAt(2)), "exif assembled but never populated (ref parity)")
+    // drawings are per-page distinct (page number embedded by the decoder)
+    assert(rows.map(_.getString(1)).distinct.length == 2)
+  }
+}
+
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct within 5% of exact on testdata") {
+    val rows = SparkEntry.queries("q41_approx_distinct")(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+    }
+  }
+}
