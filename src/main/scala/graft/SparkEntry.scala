@@ -393,6 +393,38 @@ object SparkEntry {
         first(col("o_orderkey")).over(wSeq).as("first_key"))
     }),
 
+    "q44_pivot" -> ((s, dir) => {
+      // pivot event counts by type per day; fixed value list keeps the
+      // plan a single pass (no values-discovery job)
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    "q45_correlated_subquery" -> ((s, dir) => {
+      // per-customer order stats via join-agg (the idiomatic decorrelated
+      // plan Catalyst produces for a correlated scalar subquery)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val agg = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+      c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("max_price"))
+    }),
+
+    "q46_wordcount_topk" -> ((s, dir) => {
+      // the canonical explode-aggregate: split -> explode -> count -> top-k
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word"))
+        .limit(20)
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -663,5 +695,27 @@ object SparkEntry {
          |  first_value(o_orderkey) OVER w AS first_key
          |FROM orders
          |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q44_pivot" ->
+      s"""$evCte
+         |SELECT date_trunc('day', ts) AS day,
+         |  COUNT(*) FILTER (event_type = 'click') AS click,
+         |  COUNT(*) FILTER (event_type = 'view') AS view,
+         |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+         |  COUNT(*) FILTER (event_type = 'error') AS error
+         |FROM ev GROUP BY 1""".stripMargin,
+
+    "q45_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(coalesce((SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey), 0) AS BIGINT) AS n_orders,
+        |  (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer""".stripMargin,
+
+    "q46_wordcount_topk" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
   )
 }

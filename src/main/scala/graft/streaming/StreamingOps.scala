@@ -61,6 +61,34 @@ object StreamingOps {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing (SURVEY §2.7's last row):
+    * per-user running totals via `flatMapGroupsWithState` — the pattern
+    * for state Spark's windowed aggs can't express. Works on batch too
+    * (one group pass, empty initial state), so the stream twin is
+    * verifiable against `groupBy` in tests. */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+        var n = prev.n_events
+        var tv = prev.total_value
+        rows.foreach { r => n += 1; tv += r.value }
+        val cur = UserAgg(uid, n, tv)
+        state.update(cur)
+        Iterator(cur)
+      }
+      .toDF()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-replay harness for
     * tests/Verify). */
