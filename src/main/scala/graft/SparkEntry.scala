@@ -353,7 +353,7 @@ object SparkEntry {
     "q39_stream_tumbling" -> ((s, dir) => {
       // batch parquet replayed through a real streaming query (AvailableNow
       // + memory sink); result must equal the batch/oracle twin q18
-      val staging = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+      val staging = StreamingOps.defaultStagingDir(dir)
       StreamingOps.stageEventsForStreaming(s, dir, staging)
       val stream = StreamingOps.eventsStream(s, staging)
       val agg = StreamingOps.windowedAgg(stream, "10 minutes")
@@ -382,7 +382,7 @@ object SparkEntry {
     "q43_window_frames" -> ((s, dir) => {
       // range frame (value-based) + lead/first over a unique total order
       val wRange = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_totalprice")).rangeBetween(-1000L, 0L)
+        .orderBy(col("o_totalprice")).rangeBetween(-100L, 0L)
       val wSeq = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, dir).select(
@@ -413,6 +413,14 @@ object SparkEntry {
       c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
         .select(col("c_custkey"), col("c_name"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"), col("max_price"))
+    }),
+
+    "q47_map_funcs" -> ((s, dir) => {
+      // props JSON -> map, explode keys, sum values (SURVEY §2.5 Map row)
+      Tables.events(s, dir)
+        .select(explode(from_json(col("props"), MapType(StringType, LongType))).as(Seq("k", "v")))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
     }),
 
     "q46_wordcount_topk" -> ((s, dir) => {
@@ -690,7 +698,7 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_orderstatus, o_totalprice,
          |  CAST(SUM(CAST(o_totalprice AS $D)) OVER (
          |    PARTITION BY o_orderstatus ORDER BY o_totalprice
-         |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
+         |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum,
          |  lead(o_orderkey, 1) OVER w AS next_key,
          |  first_value(o_orderkey) OVER w AS first_key
          |FROM orders
@@ -717,5 +725,13 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q47_map_funcs" ->
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS k,
+        |         CAST(json_extract_string(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY k""".stripMargin,
   )
 }

@@ -29,9 +29,19 @@ object StreamingOps {
     spark.readStream.schema(eventsSchema).parquet(dir)
 
   /** Write the batch events table (ns-normalized) to a staging dir so the
-    * file stream source can replay it. */
-  def stageEventsForStreaming(spark: SparkSession, sfDir: String, stagingDir: String): Unit =
-    graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(stagingDir)
+    * file stream source can replay it. Idempotent: a staging dir with a
+    * `_SUCCESS` marker is reused (repeat streaming runs in one session
+    * shouldn't re-pay the write). */
+  def stageEventsForStreaming(spark: SparkSession, sfDir: String, stagingDir: String): Unit = {
+    if (!new java.io.File(stagingDir, "_SUCCESS").exists())
+      graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(stagingDir)
+  }
+
+  /** Deterministic per-sfDir staging path (stable across calls so the
+    * `_SUCCESS` reuse in [[stageEventsForStreaming]] can kick in). */
+  def defaultStagingDir(sfDir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
 
   /** Tumbling / sliding window aggregation (slide = None → tumbling). */
   def windowedAgg(events: DataFrame, windowDur: String, slide: Option[String] = None,

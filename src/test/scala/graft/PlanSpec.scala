@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-quality regression gates: the physical plans that make these
+  * queries scale must not silently degrade (SURVEY §4 — pushdown,
+  * broadcast, partial agg, rank-limit pushdown are the 100 TB levers). */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf0001)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q01: filter + projection reach the parquet scan") {
+    val p = plan("q01_pruned_scan")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_shipdate"), p.take(800))
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+    // projection pruning: scan must not read the full 11-column schema
+    assert(p.contains("struct<l_orderkey:bigint,l_partkey:bigint,l_extendedprice:double,l_shipdate"))
+  }
+
+  test("q03: dimension joins broadcast") {
+    val p = plan("q03_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q02: aggregation is partial+final (map-side combine)") {
+    val p = plan("q02_agg_pricing")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p.take(800))
+  }
+
+  test("q05: semi join stays a join (no row explosion)") {
+    val p = plan("q05_semi_join")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("q36: top-k rank filter pushes a WindowGroupLimit below the shuffle") {
+    val p = plan("q36_knn_brute")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query side must broadcast; corpus must stay distributed")
+  }
+
+  test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+}
