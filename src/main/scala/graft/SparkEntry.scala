@@ -343,6 +343,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    "q48_knn_ivf" -> ((s, dir) => {
+      // IVF scale path: probe-pruned exact rerank; recall vs brute force
+      // asserted in SimilaritySpec (rows-only here)
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ---------------------------------------------------------- multimodal
     "q38_multimodal_meta" -> ((s, dir) => {
       val withMedia = Multimodal.withBinaryPayload(Tables.documents(s, dir), "text")

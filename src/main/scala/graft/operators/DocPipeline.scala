@@ -37,7 +37,11 @@ object DocPipeline {
         (pages, dr: Seq[String], null: String)
       case Left(err) => (null: Seq[String], null: Seq[String], err)
     })
-    val base = df.withColumn("__dec", dec(col(payloadCol)))
+    // rows already failed upstream (fetch / hash verify) are never decoded
+    // — the reference short-circuits the same way (downloader.py:326-350)
+    val shouldDecode =
+      if (df.columns.contains("status")) col("status") === "success" else lit(true)
+    val base = df.withColumn("__dec", when(shouldDecode, dec(col(payloadCol))))
       .withColumn("pages", col("__dec._1"))
       .withColumn("decode_error", col("__dec._3"))
     (if (withDrawings) base.withColumn("drawings_arr", col("__dec._2")) else base)
@@ -141,9 +145,16 @@ object DocPipeline {
     ).foldLeft(base) { case (d, (on, f)) => if (on) f(d) else d }
 
     // Status tagging — failure reasons mirror the reference's exception
-    // classes (`extractor.py:20-25`) but stay declarative.
+    // classes (`extractor.py:20-25`) but stay declarative. A row that
+    // arrived already failed (fetch / hash verify) keeps its status:
+    // page-level tagging must never resurrect an upstream failure.
+    val hasPrior = df.columns.contains("status")
+    val prior = if (hasPrior) col("status") else lit("success")
+    val priorErr =
+      if (hasPrior) col("error_message") else lit(null).cast(StringType)
     val status =
-      when(col("decode_error").isNotNull, lit("failed_to_extract"))
+      when(prior =!= "success", prior)
+        .when(col("decode_error").isNotNull, lit("failed_to_extract"))
         .when(!Extraction.nonEmptyPage(col("text")), lit("failed_to_extract"))
         .when(col("total_words") < cfg.minWordsPerPage, lit("failed_to_extract"))
         .when(lit(cfg.maxImagesPerPage.isDefined) &&
@@ -151,7 +162,8 @@ object DocPipeline {
           lit("failed_to_extract"))
         .otherwise(lit("success"))
     val errMsg =
-      when(col("decode_error").isNotNull, col("decode_error"))
+      when(prior =!= "success", priorErr)
+        .when(col("decode_error").isNotNull, col("decode_error"))
         .when(!Extraction.nonEmptyPage(col("text")), lit("empty page"))
         .when(col("total_words") < cfg.minWordsPerPage, lit("too few words"))
         .when(lit(cfg.maxImagesPerPage.isDefined) &&

@@ -60,6 +60,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF-style approximate top-k: corpus is partitioned into `nlist`
+    * inverted lists by nearest centroid; queries probe the `nprobe`
+    * nearest lists and rerank exactly within them.
+    *
+    * Centroids here are a deterministic corpus sample (smallest keys) —
+    * the IVF *plumbing* (assignment join shape, probe fan-out, pruned
+    * rerank) is what scales; production swaps the sample for k-means||
+    * centroids without touching the plan. Everything is broadcast
+    * (centroids are tiny) + equi-join on list id — the corpus is never
+    * cross-joined against the query set. */
+  def ivfTopK(corpus: DataFrame, corpusKey: Column, corpusVec: Column,
+              queries: DataFrame, queryKey: Column, queryVec: Column,
+              k: Int, nlist: Int = 16, nprobe: Int = 3): DataFrame = {
+    val cents = corpus.select(corpusKey.as("cid"), corpusVec.as("cv"))
+      .orderBy(col("cid")).limit(nlist)
+    // assign each corpus vector to its nearest centroid (1 list each)
+    val c = corpus.select(corpusKey.as("neighbor_id"), corpusVec.as("__cv"))
+    val wAssign = Window.partitionBy(col("neighbor_id")).orderBy(col("__sim").desc, col("cid").asc)
+    val assigned = c.join(broadcast(cents))
+      .withColumn("__sim", Vectors.cosine(col("__cv"), col("cv")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("neighbor_id"), col("__cv"), col("cid"))
+    // each query probes its nprobe nearest lists
+    val q = queries.select(queryKey.as("query_id"), queryVec.as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cid").asc)
+    val probes = q.join(broadcast(cents))
+      .withColumn("__sim", Vectors.cosine(col("__qv"), col("cv")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cid"))
+    // exact rerank within probed lists only
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Approximate top-k: LSH bucket equi-join (with single-bit-flip probe
     * expansion on the query side for recall), exact cosine rerank within
     * candidates. Falls back to fewer than k rows when a bucket is sparse —

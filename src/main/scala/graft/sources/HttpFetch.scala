@@ -103,7 +103,9 @@ object HttpFetch {
                 return (resp.body(), "success", null)
             }
           } catch {
-            case NonFatal(e) => last = (null, "failed_to_download", String.valueOf(e.getMessage))
+            case NonFatal(e) =>
+              val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+              last = (null, "failed_to_download", msg)
           }
           attempt += 1
         }

@@ -1,0 +1,104 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DocPipeline, Metrics, Similarity}
+import graft.sinks.Sinks
+import graft.sources.{FakePdfDecoder, HttpFetch}
+
+/** The reference's whole pipeline, end to end, against a live local
+  * server: manifest → fetch → hash verify → decode → explode → filter →
+  * channels → sink. This is the flow `download()` runs
+  * (`/root/reference/doc2dataset/main.py:66-237`), minus nothing. */
+class FetchPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docBody = (1 to 120).map(i => s"word$i").mkString(" ")
+  private val md5good = java.security.MessageDigest.getInstance("MD5")
+    .digest(docBody.getBytes(StandardCharsets.UTF_8))
+    .map("%02x".format(_)).mkString
+
+  test("manifest -> fetch -> verify -> decode -> explode -> channels -> parquet") {
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    def serve(body: String, headers: Map[String, String] = Map.empty) = new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length.toLong); ex.getResponseBody.write(b); ex.close()
+      }
+    }
+    server.createContext("/doc0", serve(docBody))
+    server.createContext("/doc1", serve(docBody))                       // hash mismatch below
+    server.createContext("/doc2", serve(docBody, Map("X-Robots-Tag" -> "noai")))
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val cfg = PipelineConfig(minWordsPerPage = 5, saveFigures = true,
+        verifyHashCol = Some("checksum"), verifyHashType = "md5",
+        computeHash = Some("md5"), numSamplesPerShard = 100)
+      cfg.validate()
+      // manifest with one good hash, one wrong hash, one robots-blocked,
+      // one dead url — the reference's full failure surface
+      val manifest = Seq(
+        (0L, s"http://127.0.0.1:$port/doc0", md5good),
+        (1L, s"http://127.0.0.1:$port/doc1", "00000000000000000000000000000000"),
+        (2L, s"http://127.0.0.1:$port/doc2", md5good),
+        (3L, "http://127.0.0.1:1/dead", md5good),
+      ).toDF("row_id", "link", "checksum")
+      val normalized = graft.sources.ManifestReader.normalize(
+        manifest, "link", cfg.verifyHashCol, cfg.verifyHashType, Seq("row_id"))
+      val keyed = DocPipeline.withKeys(normalized, col("row_id"), cfg)
+      val fetched = HttpFetch.fetch(keyed, threadsPerTask = 4, timeoutSec = 5,
+        disallowed = HttpFetch.defaultDisallowed)
+      val verified = DocPipeline.verifyHash(fetched, "payload", "md5")
+      val decoded = DocPipeline.decodePages(verified, FakePdfDecoder(40), "payload")
+      val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+      val (payload, stats) = DocPipeline.channels(tagged)
+
+      val byKey = tagged.groupBy("row_id").agg(
+          max(when(col("status") === "success", 1).otherwise(0)).as("any_ok"),
+          first(col("status")).as("st"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(byKey(0L) == 1, "good doc must yield success pages")
+      assert(byKey(1L) == 0, "hash mismatch must not yield success pages")
+      assert(byKey(2L) == 0, "X-Robots-Tag noai must not yield success pages")
+      assert(byKey(3L) == 0, "dead url must not yield success pages")
+
+      // good doc: 120 words / 40 per page = 3 pages
+      assert(payload.count() == 3)
+      val statHist = Metrics.statusHistogram(tagged).collect()
+        .map(r => r.getString(0)).toSet
+      assert(statHist.contains("success") && statHist.contains("failed_to_download"))
+
+      // sink roundtrip
+      val out = "target/tmp/e2e_out"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      Sinks.parquet(payload, out)
+      assert(spark.read.parquet(out).count() == 3)
+    } finally server.stop(0)
+  }
+}
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IVF top-k: high recall at nprobe=4/nlist=8, exact subset semantics") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+    assert(ivf.forall { case (a, b) => a != b })
+  }
+}
