@@ -343,6 +343,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    "q49_time_funcs" -> ((s, dir) => {
+      // date/time scalar surface: epoch seconds, interval shift, hour/dow
+      Tables.events(s, dir).select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        (col("ts") + expr("INTERVAL 90 minutes")).as("ts_plus"),
+        hour(col("ts")).cast("long").as("hr"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("ts_floor_s"))
+    }),
+
     "q48_knn_ivf" -> ((s, dir) => {
       // IVF scale path: probe-pruned exact rerank; recall vs brute force
       // asserted in SimilaritySpec (rows-only here)
@@ -736,6 +747,16 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q49_time_funcs" ->
+      s"""$evCte
+         |SELECT event_id,
+         |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+         |  ts + INTERVAL 90 MINUTE AS ts_plus,
+         |  CAST(hour(ts) AS BIGINT) AS hr,
+         |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         |  date_trunc('second', ts) AS ts_floor_s
+         |FROM ev""".stripMargin,
 
     "q47_map_funcs" ->
       """WITH kv AS (
