@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param left     left side; must contain `keyCol` and `tsCol`
-    * @param right    right side; must contain `keyCol` and `tsCol`
-    * @param keyCol   equi-key column name present on both sides
-    * @param tsCol    event-time column name present on both sides
-    * @param payload  right-side columns to attach (renamed as-is)
+  /** @param left      left side; must contain `keyCol` and `tsCol`
+    * @param right     right side; must contain `keyCol` and `tsCol`
+    * @param keyCol    equi-key column name present on both sides
+    * @param tsCol     event-time column name present on both sides
+    * @param payload   right-side columns to attach (renamed as-is)
+    * @param tolerance optional max lookback (kdb `aj` tolerance): a match
+    *                  older than `leftTs - tolerance` is nulled out
     */
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], tolerance: Option[String] = None): DataFrame = {
     val lCols = left.columns
     // Right rows become carrier rows: payload present, left columns null.
     val rTagged = right.select(
@@ -43,10 +45,20 @@ object AsOf {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
+    // carry the matched right-row timestamp alongside the payload so a
+    // tolerance bound can null out stale matches after the window pass
+    val withMatchTs = unioned.withColumn("__mts",
+      when(col("__side") === 0, col("__ts")))
+    val carried = (payload :+ "__mts_carry").foldLeft(
+      withMatchTs.withColumn("__p___mts_carry", col("__mts"))) { (df, c) =>
       df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
     }
+    val fresh: Column = tolerance match {
+      case Some(t) => col("__p___mts_carry") >= col("__ts") - expr(s"INTERVAL $t")
+      case None    => lit(true)
+    }
     carried.filter(col("__side") === 1)
-      .select((lCols.map(col) ++ payload.map(c => col(s"__p_$c").as(s"right_$c"))): _*)
+      .select((lCols.map(col) ++ payload.map(c =>
+        when(fresh, col(s"__p_$c")).as(s"right_$c"))): _*)
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+import graft.functions.Extraction
+import graft.operators.Dedup
+
+/** Property tests (SURVEY §5 item 4) over the pure cores. Raw ScalaCheck
+  * generators with a fixed seed (scalatestplus isn't in the offline
+  * cache); each property batches all sampled inputs into ONE Spark job.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val words = Gen.listOf(Gen.oneOf(
+    "alpha", "бета", "gamma", "دلتا", "x1", "<b>", "a,b"))
+  private val texts: Gen[String] = words.map(_.mkString(" "))
+
+  test("word count is non-negative and monotone under concatenation") {
+    val pairs = samples(Gen.zip(texts, texts), 60)
+    val rows = pairs.toDF("a", "b").select(
+      col("a"), col("b"),
+      Extraction.wordCount(col("a")).as("ca"),
+      Extraction.wordCount(col("b")).as("cb"),
+      Extraction.wordCount(concat(col("a"), lit(" "), col("b"))).as("cab"))
+      .collect()
+    rows.foreach { r =>
+      val (ca, cb, cab) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ca >= 0 && cb >= 0)
+      assert(cab >= math.max(ca, cb) && cab <= ca + cb,
+        s"'${r.getString(0)}' + '${r.getString(1)}': $ca + $cb vs $cab")
+    }
+  }
+
+  test("strip-tags and digit-removal are idempotent; digits all removed") {
+    val ts = samples(texts, 60).map(t => s"<div><p>$t 12.5</p></div>")
+    val once = ts.toDF("s").select(
+      Extraction.stripTags(col("s")).as("st"),
+      Extraction.removeDigits(col("s")).as("rd")).collect()
+    val twice = once.map(r => (r.getString(0), r.getString(1))).toSeq.toDF("st", "rd")
+      .select(Extraction.stripTags(col("st")).as("st2"),
+        Extraction.removeDigits(col("rd")).as("rd2")).collect()
+    once.zip(twice).foreach { case (o, t) =>
+      assert(o.getString(0) == t.getString(0), "stripTags idempotent")
+      assert(o.getString(1) == t.getString(1), "removeDigits idempotent")
+      assert(!o.getString(1).exists(_.isDigit), "no digits survive")
+    }
+  }
+
+  test("computeKey round-trips (shard, index) for in-range inputs") {
+    val pairs = samples(Gen.zip(Gen.chooseNum(0L, 9999L), Gen.chooseNum(0L, 9999L)), 80)
+    val keys = pairs.toDF("s", "i")
+      .select(col("s"), col("i"), Extraction.computeKey(col("s"), col("i"), 4, 5).as("k"))
+      .collect()
+    keys.foreach { r =>
+      val (shard, idx, key) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(key.length == 9, s"key $key")
+      assert(key.toLong / 10000 == shard && key.toLong % 10000 == idx, s"$key vs ($shard,$idx)")
+    }
+  }
+
+  test("shingle scalar twin equals the declarative column variant") {
+    val inputs = samples(Gen.zip(texts.suchThat(_.trim.nonEmpty), Gen.chooseNum(1, 4)), 40)
+    val viaCol = inputs.map { case (t, k) =>
+      (t, k, Dedup.shingleStrings(t, k))
+    }.toDF("t", "k", "scalar")
+    // evaluate each k group in one pass
+    inputs.map(_._2).distinct.foreach { k =>
+      val rows = viaCol.filter(col("k") === k)
+        .select(col("t"), col("scalar"), Dedup.shingles(col("t"), k).as("col"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"k=$k t='${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("simhash determinism + hamming symmetry on samples") {
+    samples(Gen.zip(texts, texts), 40).foreach { case (a, b) =>
+      val ha = Dedup.simhashOf(Dedup.shingleStrings(a, 2))
+      val hb = Dedup.simhashOf(Dedup.shingleStrings(b, 2))
+      assert(ha == Dedup.simhashOf(Dedup.shingleStrings(a, 2)))
+      assert(java.lang.Long.bitCount(ha ^ hb) == java.lang.Long.bitCount(hb ^ ha))
+      if (a == b) assert(ha == hb)
+    }
+  }
+}
