@@ -127,6 +127,139 @@ object TfRecord {
     df.drop(payloadCol).write.mode("overwrite").parquet(s"$out/_metadata.parquet")
   }
 
+  // ------------------------------------------------------- proto decode
+
+  /** Minimal protobuf wire reader for Example messages. */
+  private final class ProtoReader(buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0; var v = 0L; var b = 0
+      do { b = buf(pos) & 0xFF; pos += 1; v |= (b & 0x7FL) << shift; shift += 7 }
+      while ((b & 0x80) != 0)
+      v
+    }
+    def readTag(): (Int, Int) = { val t = readVarint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def sub(): ProtoReader = {
+      val len = readVarint().toInt; val r = new ProtoReader(buf, pos, pos + len); pos += len; r
+    }
+    def bytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(buf, pos, pos + len); pos += len; out
+    }
+    def fixed32(): Int = {
+      val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4; v
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint(); ()
+      case 1 => pos += 8
+      case 2 => val len = readVarint().toInt; pos += len
+      case 5 => pos += 4
+      case other => throw new IllegalArgumentException(s"wire type $other")
+    }
+  }
+
+  /** Decoded Feature value: exactly one list is non-null. */
+  case class FeatureValue(bytesList: Seq[Array[Byte]], floatList: Seq[Float], intList: Seq[Long])
+
+  /** Parse an Example proto into its feature map. */
+  def parseExample(data: Array[Byte]): Map[String, FeatureValue] = {
+    val out = scala.collection.mutable.Map.empty[String, FeatureValue]
+    val ex = new ProtoReader(data, 0, data.length)
+    while (ex.hasMore) {
+      val (f, w) = ex.readTag()
+      if (f == 1 && w == 2) { // features
+        val fs = ex.sub()
+        while (fs.hasMore) {
+          val (ff, fw) = fs.readTag()
+          if (ff == 1 && fw == 2) { // map entry
+            val entry = fs.sub()
+            var name: String = null
+            var value: FeatureValue = FeatureValue(Nil, Nil, Nil)
+            while (entry.hasMore) {
+              val (ef, ew) = entry.readTag()
+              if (ef == 1 && ew == 2) name = new String(entry.bytes(), StandardCharsets.UTF_8)
+              else if (ef == 2 && ew == 2) value = parseFeature(entry.sub())
+              else entry.skip(ew)
+            }
+            if (name != null) out(name) = value
+          } else fs.skip(fw)
+        }
+      } else ex.skip(w)
+    }
+    out.toMap
+  }
+
+  private def parseFeature(r: ProtoReader): FeatureValue = {
+    var fv = FeatureValue(Nil, Nil, Nil)
+    while (r.hasMore) {
+      val (f, w) = r.readTag()
+      (f, w) match {
+        case (1, 2) => // bytes_list
+          val bl = r.sub(); val vals = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          while (bl.hasMore) { val (bf, bw) = bl.readTag()
+            if (bf == 1 && bw == 2) vals += bl.bytes() else bl.skip(bw) }
+          fv = fv.copy(bytesList = vals.toSeq)
+        case (2, 2) => // float_list (packed)
+          val fl = r.sub(); val vals = scala.collection.mutable.ArrayBuffer.empty[Float]
+          while (fl.hasMore) { val (pf, pw) = fl.readTag()
+            if (pf == 1 && pw == 2) {
+              val packed = fl.bytes()
+              val bb = ByteBuffer.wrap(packed).order(ByteOrder.LITTLE_ENDIAN)
+              while (bb.remaining() >= 4) vals += bb.getFloat
+            } else if (pf == 1 && pw == 5) {
+              vals += java.lang.Float.intBitsToFloat(fl.fixed32())
+            } else fl.skip(pw) }
+          fv = fv.copy(floatList = vals.toSeq)
+        case (3, 2) => // int64_list (packed)
+          val il = r.sub(); val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (il.hasMore) { val (pf, pw) = il.readTag()
+            if (pf == 1 && pw == 2) {
+              val sub = il.sub()
+              while (sub.hasMore) vals += sub.readVarint()
+            } else if (pf == 1 && pw == 0) vals += il.readVarint()
+            else il.skip(pw) }
+          fv = fv.copy(intList = vals.toSeq)
+        case (_, ww) => r.skip(ww)
+      }
+    }
+    fv
+  }
+
+  /** Read .tfrecord files back into a DataFrame with the given schema —
+    * the source twin of [[write]] (schema-driven Example decode). */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+           schema: StructType): DataFrame = {
+    val rdd = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+      val tmp = java.io.File.createTempFile("tfrec", ".tmp")
+      try {
+        val out = new FileOutputStream(tmp)
+        try out.write(pds.toArray()) finally out.close()
+        readRecords(tmp.getAbsolutePath).iterator.map { data =>
+          val feats = parseExample(data)
+          Row.fromSeq(schema.fields.toSeq.map { f =>
+            feats.get(f.name) match {
+              case None => null
+              case Some(v) => f.dataType match {
+                case LongType => v.intList.headOption.orNull
+                case IntegerType => v.intList.headOption.map(_.toInt).orNull
+                case FloatType => v.floatList.headOption.orNull
+                case DoubleType => v.floatList.headOption.map(_.toDouble).orNull
+                case StringType => v.bytesList.headOption.map(new String(_, StandardCharsets.UTF_8)).orNull
+                case BinaryType => v.bytesList.headOption.orNull
+                case ArrayType(FloatType, _) => v.floatList
+                case ArrayType(LongType, _) => v.intList
+                case ArrayType(StringType, _) => v.bytesList.map(new String(_, StandardCharsets.UTF_8))
+                case other => throw new IllegalArgumentException(s"tfrecord read: unsupported $other")
+              }
+            }
+          })
+        }.toVector.iterator
+      } finally { tmp.delete(); () }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Read back the framing (length/CRC-validated), returning raw Example
     * payload bytes — used by tests to verify the writer byte-level. */
   def readRecords(path: String): Seq[Array[Byte]] = {

@@ -30,6 +30,34 @@ class TfRecordSpec extends AnyFunSuite {
     assert(sidecar.count() == 2 && !sidecar.columns.contains("text"))
   }
 
+  test("tfrecord read: write -> read round-trip preserves values") {
+    import org.apache.spark.sql.types._
+    val out = new File("target/tmp/tfrec_rt"); org.apache.commons.io.FileUtils.deleteQuietly(out)
+    val df = Seq(
+      ("k0", 42L, 1.5f, Seq(1f, 2f, 3f)),
+      ("k1", 7L, 2.5f, Seq(4f, 5f)),
+    ).toDF("key", "n", "score", "vec")
+    TfRecord.write(df.repartition(1), out.getAbsolutePath, payloadCol = "key")
+    val schema = StructType(Seq(
+      StructField("key", StringType), StructField("n", LongType),
+      StructField("score", FloatType), StructField("vec", ArrayType(FloatType))))
+    val back = TfRecord.read(spark, out.getAbsolutePath + "/*.tfrecord", schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getFloat(2), r.getSeq[Float](3)))
+      .sortBy(_._1)
+    assert(back.toSeq == Seq(
+      ("k0", 42L, 1.5f, Seq(1f, 2f, 3f)),
+      ("k1", 7L, 2.5f, Seq(4f, 5f))))
+  }
+
+  test("jsonl.gz sink roundtrip") {
+    val out = new File("target/tmp/jsonlgz"); org.apache.commons.io.FileUtils.deleteQuietly(out)
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("key", "n")
+    graft.sinks.Sinks.jsonlGz(df.repartition(1), out.getAbsolutePath)
+    assert(out.listFiles().exists(_.getName.endsWith(".json.gz")), "gzip json parts")
+    val back = spark.read.json(out.getAbsolutePath)
+    assert(back.count() == 2 && back.columns.toSet == Set("key", "n"))
+  }
+
   test("proto encoders: known byte layouts") {
     // int64_list [1]: feature{int64_list{value:[1]}} =
     // field3 msg( field1 packed varint(1) )
