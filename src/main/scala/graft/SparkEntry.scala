@@ -114,6 +114,31 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    "q50_right_outer" -> ((s, dir) => {
+      // every nation, with supplier counts (nulls -> 0 for dims without
+      // suppliers): aggregated fact RIGHT OUTER dim
+      val sup = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("cnt"))
+      val n = Tables.nation(s, dir)
+      sup.join(n, sup("s_nationkey") === n("n_nationkey"), "right_outer")
+        .select(col("n_nationkey"), col("n_name"),
+          coalesce(col("cnt"), lit(0L)).as("n_suppliers"))
+    }),
+
+    "q51_full_outer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_f"))
+        .select(col("o_custkey").as("ck_f"), col("n_f"))
+      val p = o.filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_p"))
+        .select(col("o_custkey").as("ck_p"), col("n_p"))
+      f.join(p, col("ck_f") === col("ck_p"), "full_outer")
+        .select(coalesce(col("ck_f"), col("ck_p")).as("custkey"),
+          coalesce(col("n_f"), lit(0L)).as("n_f"),
+          coalesce(col("n_p"), lit(0L)).as("n_p"))
+    }),
+
     // ------------------------------------------------------------ windows
     "q07_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -747,6 +772,21 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q50_right_outer" ->
+      """SELECT n_nationkey, n_name, CAST(coalesce(cnt, 0) AS BIGINT) AS n_suppliers
+        |FROM (SELECT s_nationkey, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey) sup
+        |RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    "q51_full_outer" ->
+      """WITH f AS (SELECT o_custkey AS ck_f, COUNT(*) AS n_f FROM orders
+        |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |p AS (SELECT o_custkey AS ck_p, COUNT(*) AS n_p FROM orders
+        |      WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        |SELECT coalesce(ck_f, ck_p) AS custkey,
+        |       CAST(coalesce(n_f, 0) AS BIGINT) AS n_f,
+        |       CAST(coalesce(n_p, 0) AS BIGINT) AS n_p
+        |FROM f FULL OUTER JOIN p ON ck_f = ck_p""".stripMargin,
 
     "q49_time_funcs" ->
       s"""$evCte

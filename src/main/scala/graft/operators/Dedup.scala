@@ -123,7 +123,10 @@ object Dedup {
                         shingleK: Int = 3, numHashes: Int = 32,
                         bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     val sigUdf = udf((t: String) => minhashSigBands(shingleStrings(t, shingleK), numHashes, bands))
-    val sig = df.select(key.as("k"), sigUdf(payload).as("mh"))
+    // persist: the self-join + verify re-join reference this frame 4×,
+    // and Spark's exchange reuse does not unify the branches (measured
+    // 4 full scans). ContextCleaner unpersists once unreferenced.
+    val sig = df.select(key.as("k"), sigUdf(payload).as("mh")).persist()
     // Candidate generation carries ONLY (band, bucket, key): the 256-byte
     // signatures must not flow through the bucket join + distinct (measured
     // 10×+ slower when they do). Pairs are deduped narrow, then signatures
@@ -187,7 +190,7 @@ object Dedup {
   def simhashCandidates(df: DataFrame, payload: Column, key: Column,
                         shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
     val shUdf = udf((t: String) => simhashOf(shingleStrings(t, shingleK)))
-    val sh = df.select(key.as("k"), shUdf(payload).as("sh"))
+    val sh = df.select(key.as("k"), shUdf(payload).as("sh")).persist()
     // narrow candidate pairs first, then one signature re-join (see
     // minhashCandidates for why signatures stay out of the bucket join)
     val blocked = sh.select(col("k"),
@@ -215,7 +218,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, payload: Column, key: Column,
                         k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val shUdf = udf((t: String) => shingleStrings(t, k).distinct)
-    val sh = df.select(key.as("kk"), shUdf(payload).as("sh"))
+    val sh = df.select(key.as("kk"), shUdf(payload).as("sh")).persist()
     // block on hashed shingles (8 bytes each, not full strings), dedupe
     // narrow pairs, then re-join the shingle sets once per pair
     val exploded = sh.select(col("kk"), explode(col("sh")).as("g"))
