@@ -30,6 +30,17 @@ class VectorsSpec extends AnyFunSuite {
     assert(bad(1).isNullAt(0), "zero norm -> null")
   }
 
+  test("SQL registration: cosine_sim/dot_product usable from spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       dot_product(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+        |                   array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 23.0)
+  }
+
   test("codegen and interpreted paths agree") {
     val df = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val a = df.filter(col("vec_id") === 0).select(col("embedding")).crossJoin(
