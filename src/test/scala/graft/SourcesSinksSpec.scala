@@ -149,4 +149,31 @@ class StreamingSpec extends AnyFunSuite {
     val doubled = ev.union(ev)
     assert(StreamingOps.dedupWithinWatermark(doubled).count() == ev.count())
   }
+
+  test("streaming session windows equal batch twin") {
+    val staging = new File("target/tmp/stream_events_sess").getAbsolutePath
+    StreamingOps.stageEventsForStreaming(spark, TestSpark.sf0001, staging)
+    val batch = StreamingOps.sessionAgg(Tables.events(spark, TestSpark.sf0001), "30 minutes")
+      .collect().map(_.toSeq).toSet
+    val stream = StreamingOps.runToMemory(spark,
+        StreamingOps.sessionAgg(StreamingOps.eventsStream(spark, staging), "30 minutes"),
+        "spec_stream_sess")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch, s"stream(${stream.size}) != batch(${batch.size})")
+  }
+
+  test("streaming dedupWithinWatermark suppresses duplicate event_ids") {
+    // stage the events twice -> the stream replays every event_id twice
+    val staging = new File("target/tmp/stream_events_dup").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(staging))
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    ev.write.mode("append").parquet(staging)
+    ev.write.mode("append").parquet(staging)
+    val stream = StreamingOps.dedupWithinWatermark(
+        StreamingOps.eventsStream(spark, staging))
+      .groupBy().count()
+    val got = StreamingOps.runToMemory(spark, stream, "spec_stream_dedup")
+      .collect()(0).getLong(0)
+    assert(got == ev.count(), s"expected ${ev.count()} unique events, got $got")
+  }
 }
