@@ -349,6 +349,18 @@ object SparkEntry {
         minCosine = 0.4, bruteForce = true)
     }),
 
+    "q52_dedup_groups" -> ((s, dir) => {
+      // transitive duplicate clusters over minhash candidates (iterative
+      // min-label connected components; rows-only — iterative driver loop
+      // is not single-statement SQL)
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir),
+        col("text"), col("doc_id"), shingleK = 3, numHashes = 32, bands = 8,
+        minJaccard = 0.3)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("group_size"), max(col("key")).as("max_key"))
+    }),
+
     // -------------------------------------------------- similarity search
     "q36_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

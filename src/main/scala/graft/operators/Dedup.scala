@@ -266,9 +266,59 @@ object Dedup {
   /** Deterministic keep-first dedup over any candidate-pair set: a row is
     * dropped if it appears as `key_b` (the larger key) of any surviving
     * pair — i.e. keep the smallest key of each connected component's
-    * star. (Full transitive closure needs iterative connected components;
-    * star-collapse is the standard single-pass policy.) */
+    * star. (Full transitive closure needs iterative connected components
+    * — [[connectedComponents]]; star-collapse is the cheap single-pass
+    * policy.) */
   def dropLosers(df: DataFrame, key: Column, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("key_b").as("__loser")).distinct(),
       key === col("__loser"), "left_anti")
+
+  /** Transitive duplicate groups: connected components over the candidate
+    * pair graph by iterative min-label propagation (the standard
+    * hash-to-min formulation: each round every node adopts the smallest
+    * label in its neighborhood; converges in O(graph diameter) rounds —
+    * duplicate clusters are small-diameter, so a handful of rounds).
+    *
+    * Per round: one shuffle (message groupBy) + one join. Labels persist
+    * per round and the previous round unpersists — the working set stays
+    * ~2×|nodes| regardless of rounds. Returns (key, component) where
+    * component = min key of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
+      .union(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    // labels MUST be lineage-truncated every round (localCheckpoint, not
+    // persist): each iteration references the previous labels frame
+    // several times, so without truncation the logical plan doubles per
+    // round — exponential analysis cost, OOM near ~15 iterations.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node receives its neighbors' labels, keeps the minimum
+      val msgs = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label").as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      val next = labels.join(msgs, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("key"), col("label").as("component"))
+  }
+
+  /** Keep exactly one row (smallest key) per transitive duplicate group. */
+  def dropTransitive(df: DataFrame, key: Column, pairs: DataFrame,
+                     maxIter: Int = 10): DataFrame = {
+    val losers = connectedComponents(pairs, maxIter)
+      .filter(col("key") =!= col("component"))
+      .select(col("key").as("__loser"))
+    df.join(losers, key === col("__loser"), "left_anti")
+  }
 }

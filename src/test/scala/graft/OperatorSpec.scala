@@ -130,6 +130,23 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("connected components: transitive chains collapse to one group") {
+    // chain 1-2-3, pair 10-11, singleton via edge 20-21; star-collapse
+    // would miss that 3 connects to 1 only through 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("key_a", "key_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L, s"chain: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.dropTransitive(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 10L), s"kept: $kept")
+  }
+
   test("fnv1a64 / simhashOf deterministic") {
     assert(Dedup.fnv1a64("abc") == Dedup.fnv1a64("abc"))
     assert(Dedup.fnv1a64("abc") != Dedup.fnv1a64("abd"))
