@@ -492,6 +492,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q53_hash_sample" -> ((s, dir) => {
+      // deterministic ~6% sample: md5-prefix threshold on the row key.
+      // (df.sample is engine-RNG — this is the reproducible flavor that
+      // survives re-runs, task retries, and engine swaps.)
+      Tables.lineitem(s, dir)
+        .filter(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 2) < "10")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    "q54_text_stats" -> ((s, dir) => {
+      // lexical-diversity stats: distinct-word ratio per doc
+      val ws = split(col("text"), " ")
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"),
+        (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -784,6 +802,18 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q53_hash_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '10'""".stripMargin,
+
+    "q54_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr
+        |FROM documents""".stripMargin,
 
     "q50_right_outer" ->
       """SELECT n_nationkey, n_name, CAST(coalesce(cnt, 0) AS BIGINT) AS n_suppliers
