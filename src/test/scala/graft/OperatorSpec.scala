@@ -130,6 +130,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("embedding near-dups LSH path finds planted near-identical vectors") {
+    // near-identical vectors share every hyperplane sign -> same bucket;
+    // orthogonal decoys mostly land elsewhere. LSH result must equal
+    // brute force for the planted pair.
+    val vecs = Seq(
+      (1L, Seq(1f, 0.02f, 0.01f, 0f)),
+      (2L, Seq(0.99f, 0.03f, 0.01f, 0f)),   // near dup of 1
+      (3L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDups(vecs, col("embedding"), col("vec_id"),
+        minCosine = 0.95, planes = 4, bruteForce = false)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)), s"LSH path: $lsh")
+  }
+
   test("connected components: transitive chains collapse to one group") {
     // chain 1-2-3, pair 10-11, singleton via edge 20-21; star-collapse
     // would miss that 3 connects to 1 only through 2
