@@ -492,6 +492,17 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "q55_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (percentile_approx is sketch-based
+      // and engine-specific; `percentile` is the oracle-able exact form)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.25)").as("q25"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -802,6 +813,13 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
+    "q55_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.25) AS q25
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q53_hash_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
