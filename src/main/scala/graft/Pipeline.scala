@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DocPipeline, Metrics}
+import graft.sinks.{Sinks, TfRecord}
+import graft.sources.{HttpFetch, ManifestReader, PageDecoder}
+
+/** The reference's top-level `download()` entry point
+  * (`/root/reference/doc2dataset/main.py:66-237`) as ONE library call:
+  * normalize manifest → deterministic keys → fetch → hash verify →
+  * decode → per-page explode/filter/tag → split channels → sink dispatch
+  * (+ stats sidecar, incremental resume). A user of the reference calls
+  * `download(url_list=..., output_format=...)`; a user of this engine
+  * calls `Pipeline.run(spark, manifest, cfg, decoder, out)`.
+  */
+object Pipeline {
+
+  /** payload = success pages; stats = status histogram; observation
+    * carries the run counters (docs/sec etc. via [[Metrics.summary]]). */
+  final case class Result(payload: DataFrame, stats: DataFrame,
+                          observation: org.apache.spark.sql.Observation)
+
+  /** @param manifest raw manifest frame (any source from
+    *                 [[ManifestReader]]); column names per cfg
+    * @param decoder  page decoder (real PDF impl or [[graft.sources.FakePdfDecoder]])
+    * @param output   output directory; None = build the lazy frames only
+    * @param fetcher  override for tests / non-HTTP payloads: df→df adding
+    *                 payload/status/error_message (defaults to [[HttpFetch.fetch]])
+    * @param resume   anti-join away keys already present in the output
+    *                 (ref incremental mode, `main.py:140-151`)
+    */
+  def run(spark: SparkSession, manifest: DataFrame, cfg: PipelineConfig,
+          decoder: PageDecoder, output: Option[String] = None,
+          fetcher: Option[DataFrame => DataFrame] = None,
+          resume: Boolean = false): Result = {
+    cfg.validate()
+    val normalized = ManifestReader.normalize(manifest, cfg.urlCol,
+      cfg.verifyHashCol, cfg.verifyHashType, cfg.saveAdditionalColumns)
+    // deterministic keys from a stable sort on url (SURVEY §7.5.1); a
+    // manifest with a dense id should pre-assign and call withKeys
+    val keyed = DocPipeline.withKeysOrdered(normalized, col("url"), cfg)
+    val resumed = (output, resume) match {
+      case (Some(out), true) => Sinks.resumeAntiJoin(keyed, s"$out/payload")
+      case _ => keyed
+    }
+    val fetched = fetcher.getOrElse((df: DataFrame) =>
+      HttpFetch.fetch(df, timeoutSec = cfg.timeoutSec, retries = cfg.retries,
+        userAgentToken = cfg.userAgentToken,
+        disallowed = cfg.disallowedHeaderDirectives)).apply(resumed)
+    val verified = (cfg.verifyHashCol, cfg.computeHash) match {
+      case (Some(_), _) => DocPipeline.verifyHash(fetched, "payload", cfg.verifyHashType)
+      case (None, Some(algo)) => DocPipeline.withComputedHash(fetched, "payload", algo)
+      case _ => fetched
+    }
+    val decoded = DocPipeline.decodePages(verified, decoder, "payload",
+      withDrawings = cfg.getDrawings)
+    val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+      .withColumnRenamed("text", cfg.encodeFormat)
+    val (payload0, stats) = DocPipeline.channels(tagged)
+    // counters ride the payload write; failure counts live in `stats`
+    val (payload, obs) = Metrics.observed(payload0,
+      s"graft_pipeline_${System.identityHashCode(manifest)}")
+
+    output.foreach { out =>
+      // resume = append new keys next to prior output (anti-join already
+      // removed the done ones); overwrite would erase the resumed-from run
+      val mode = if (resume) org.apache.spark.sql.SaveMode.Append
+                 else org.apache.spark.sql.SaveMode.Overwrite
+      cfg.outputFormat match {
+        case "parquet"    => Sinks.parquet(payload, s"$out/payload", mode)
+        case "jsonl"      => Sinks.jsonlGz(payload, s"$out/payload", mode)
+        case "files"      => Sinks.files(payload, s"$out/payload", payloadCol = cfg.encodeFormat)
+        case "webdataset" => Sinks.webdataset(payload, s"$out/payload", payloadCol = cfg.encodeFormat)
+        case "tfrecord"   => TfRecord.write(payload, s"$out/payload", payloadCol = cfg.encodeFormat)
+        case "dummy"      => Sinks.dummy(payload)
+      }
+      Sinks.stats(stats, s"$out/stats")
+    }
+    Result(payload, stats, obs)
+  }
+}

@@ -84,6 +84,44 @@ class FetchPipelineSpec extends AnyFunSuite {
   }
 }
 
+class PipelineRunSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("one-call download() parity: run -> parquet + stats + resume append") {
+    val cfg = PipelineConfig(minWordsPerPage = 2, computeHash = Some("md5"),
+      numSamplesPerShard = 100, saveAdditionalColumns = Seq("tag"))
+    val manifest = Seq(
+      ("u1", "alpha beta gamma delta epsilon zeta", "t1"),
+      ("u2", "one two three four five six seven", "t2"),
+    ).toDF("url", "body", "tag")
+    // fetcher override: payload from the manifest body (no network)
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(manifest.select(col("url"), col("body")), Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val out = new java.io.File("target/tmp/pipeline_run")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+
+    val r = Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch))
+    val written = spark.read.parquet(s"${out.getAbsolutePath}/payload")
+    assert(written.count() == 4, "2 docs x ~7 words / 4 per page -> 2 pages each")
+    assert(written.columns.contains("md5") && written.columns.contains("tag")
+      && written.columns.contains("text"), written.columns.mkString(","))
+    assert(Metrics.summary(r.observation, 1.0)("count") == 4.0)
+    val statsBack = spark.read.json(s"${out.getAbsolutePath}/stats")
+    assert(statsBack.count() >= 1)
+
+    // resume: re-running adds nothing (all keys done) and keeps old rows
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch), resume = true)
+    assert(spark.read.parquet(s"${out.getAbsolutePath}/payload").count() == 4,
+      "resume must not duplicate or erase prior output")
+  }
+}
+
 class IvfSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
