@@ -38,9 +38,10 @@ object Pipeline {
     cfg.validate()
     val normalized = ManifestReader.normalize(manifest, cfg.urlCol,
       cfg.verifyHashCol, cfg.verifyHashType, cfg.saveAdditionalColumns)
-    // deterministic keys from a stable sort on url (SURVEY §7.5.1); a
-    // manifest with a dense id should pre-assign and call withKeys
-    val keyed = DocPipeline.withKeysOrdered(normalized, col("url"), cfg)
+    // deterministic keys from a stable sort on url (SURVEY §7.5.1) via
+    // two-pass dense ids — no global window / single-partition funnel; a
+    // manifest that already has a dense id should call withKeys directly
+    val keyed = DocPipeline.withKeysDense(normalized, col("url"), cfg)
     val resumed = (output, resume) match {
       case (Some(out), true) => Sinks.resumeAntiJoin(keyed, s"$out/payload")
       case _ => keyed

@@ -24,10 +24,12 @@ object Extraction {
 
   /** Reference word-count: number of `[^][\s,<>]+` matches
     * (ref `extractor.py:15,28-31` — counts words across scripts, treating
-    * brackets/commas/angle-brackets as separators). */
+    * brackets/commas/angle-brackets as separators). `regexp_count`, not
+    * `size(regexp_extract_all(...))`: counting must never materialize an
+    * array of every matched word per row. */
   val wordPattern = "[^\\]\\[\\s,<>]+"
   def wordCount(c: Column): Column =
-    size(regexp_extract_all(c, lit(wordPattern), lit(0)))
+    regexp_count(c, lit(wordPattern))
 
   /** Strip every markup tag EXCEPT `<img ...>` tags (ref
     * `extractor.py:51-60` rewrites the DOM keeping canonical img tags; we

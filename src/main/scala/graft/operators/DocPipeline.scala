@@ -83,12 +83,49 @@ object DocPipeline {
       denseId % cfg.numSamplesPerShard,
       oomSample(cfg), cfg.oomShardCount))
 
+  /** Two-pass dense-id assignment — the scale path when the manifest has
+    * no dense id. Global order WITHOUT a global window:
+    * range-repartition + sort-within-partitions on `orderCol`, count rows
+    * per partition (one (pid, count) row per partition — the same tiny
+    * collect `RDD.zipWithIndex` does), broadcast the cumulative offsets
+    * back, and compute `offset + local_index` map-side. One range shuffle,
+    * every partition stays parallel; produces the same ids as
+    * `row_number() over (order by orderCol) - 1`. Like the reference's
+    * eager manifest read (`main.py:106-137`), this runs one small job at
+    * build time (the counts pass). */
+  def withDenseIds(df: DataFrame, orderCol: Column, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // explicit partition count => AQE never re-coalesces, so the counts
+    // job and the final job see identical partition layouts
+    val sorted = df.repartitionByRange(parts, orderCol.asc)
+      .sortWithinPartitions(orderCol.asc)
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val row = (pid, acc); acc += n; row }
+    val offsetsDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__offset")
+    sorted.withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(idCol, col("__offset") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__pid", "__offset", "__mid")
+  }
+
+  /** [[withDenseIds]] + [[withKeys]]: deterministic zero-padded keys from
+    * a stable sort on `orderCol`, no single-partition funnel anywhere —
+    * the default key path for [[graft.Pipeline.run]]. */
+  def withKeysDense(df: DataFrame, orderCol: Column, cfg: PipelineConfig): DataFrame =
+    withKeys(withDenseIds(df, orderCol, "__did"), col("__did"), cfg).drop("__did")
+
   /** Deterministic keys for an ARBITRARY stable sort key: global
     * row_number over `orderCol` (ref semantics when the manifest has no
     * dense id; determinism per SURVEY §7.5.1 — stable sort, never
     * partition-dependent ids). The global window funnels rows through a
-    * single partition: correct, but use [[withKeys]] whenever a dense id
-    * exists, or pre-assign dense ids once and reuse. */
+    * single partition: kept as the tiny-manifest/reference-semantics
+    * twin, but [[withKeysDense]] is the default — same keys, parallel. */
   def withKeysOrdered(df: DataFrame, orderCol: Column, cfg: PipelineConfig): DataFrame = {
     val rank = row_number().over(Window.orderBy(orderCol)) - 1
     df.withColumn("__rank", rank.cast("long"))

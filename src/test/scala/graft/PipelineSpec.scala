@@ -58,6 +58,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys == Set("00000010", "00000011"), s"zero-padded doc key + page_no: $keys")
   }
 
+  test("dense-id keys: identical to global-window keys on a multi-partition manifest") {
+    val cfg = PipelineConfig(numSamplesPerShard = 10)
+    val urls = spark.range(0, 137)
+      .select(concat(lit("http://host/doc"), format_string("%05d", col("id"))).as("url"))
+      .repartition(7) // multi-partition, non-sorted arrival order
+    val dense = DocPipeline.withKeysDense(urls, col("url"), cfg)
+      .select("url", "key").as[(String, String)].collect().toMap
+    val windowed = DocPipeline.withKeysOrdered(urls, col("url"), cfg)
+      .select("url", "key").as[(String, String)].collect().toMap
+    assert(dense.size == 137 && dense == windowed,
+      "two-pass dense ids must reproduce the row_number-over-stable-sort keys")
+    // and re-running yields the same keys (determinism across jobs)
+    val again = DocPipeline.withKeysDense(urls, col("url"), cfg)
+      .select("url", "key").as[(String, String)].collect().toMap
+    assert(again == dense)
+  }
+
   test("entry flagship returns success pages with contract columns") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

@@ -47,4 +47,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
+
+  test("Pipeline.run: no Window anywhere in the payload plan (key assignment is two-pass dense-id)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cfg = PipelineConfig(numSamplesPerShard = 100)
+    val manifest = Seq(("http://h/a", "alpha beta"), ("http://h/b", "gamma delta"))
+      .toDF("url", "body")
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(manifest.select(col("url"), col("body")), Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val r = Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      output = None, fetcher = Some(fakeFetch))
+    val p = r.payload.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"),
+      "key assignment regressed to a global window (single-partition funnel):\n" + p.take(1500))
+  }
 }
