@@ -337,8 +337,9 @@ object SparkEntry {
     }),
 
     "q34_ngram_jaccard" -> ((s, dir) => {
-      // exact verification over blocked candidates; rows-only (list-algebra
-      // oracle SQL would re-implement the operator rather than check it)
+      // exact verification over blocked candidates; oracle = pure list
+      // algebra in DuckDB (blocking is complete for jaccard > 0, so the
+      // oracle's cross-join + threshold yields the identical pair set)
       Dedup.ngramJaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 100), col("text"), col("doc_id"),
         k = 2, minJaccard = 0.08)
@@ -350,15 +351,25 @@ object SparkEntry {
     }),
 
     "q52_dedup_groups" -> ((s, dir) => {
-      // transitive duplicate clusters over minhash candidates (iterative
-      // min-label connected components; rows-only — iterative driver loop
-      // is not single-statement SQL)
-      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir),
-        col("text"), col("doc_id"), shingleK = 3, numHashes = 32, bands = 8,
-        minJaccard = 0.3)
+      // transitive duplicate clusters: iterative min-label connected
+      // components over the exact n-gram Jaccard pair graph — the same
+      // SQL-expressible pair set as q34, so DuckDB recomputes the pairs
+      // and verifies the closure with WITH RECURSIVE. (Components over
+      // minhash pairs stay covered by q32 + DedupSpec.)
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), col("text"), col("doc_id"),
+        k = 2, minJaccard = 0.08)
       Dedup.connectedComponents(pairs)
         .groupBy(col("component"))
         .agg(count(lit(1)).as("group_size"), max(col("key")).as("max_key"))
+    }),
+
+    "q56_embedding_dups_lsh" -> ((s, dir) => {
+      // the 100 TB tier of q35: random-hyperplane LSH bucketing instead of
+      // the O(n²) cross join; recall vs the exact pair set asserted in
+      // DedupSpec (approximate → rows-only here)
+      Dedup.embeddingNearDups(Tables.embeddings(s, dir), col("embedding"), col("vec_id"),
+        minCosine = 0.4, planes = 4, bruteForce = false)
     }),
 
     // -------------------------------------------------- similarity search
@@ -742,6 +753,53 @@ object SparkEntry {
         |FROM documents)
         |SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_key
         |FROM n GROUP BY fp HAVING COUNT(*) > 1""".stripMargin,
+
+    // shared CTE: the q34/q52 shingle normalization (lowercase, strip
+    // non-letter/digit, split on whitespace, k=2 word shingles, distinct)
+    // — the exact list-algebra twin of Dedup.shingleStrings
+    "q34_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(words[i:i+1], ' ')
+        |                        FOR i IN generate_series(1, greatest(len(words) - 1, 1))]) AS sh
+        |       FROM w WHERE len(words) > 0)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08""".stripMargin,
+
+    "q52_dedup_groups" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(words[i:i+1], ' ')
+        |                        FOR i IN generate_series(1, greatest(len(words) - 1, 1))]) AS sh
+        |       FROM w WHERE len(words) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08),
+        |edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+        |          UNION SELECT key_b, key_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node),
+        |comp AS (SELECT node AS k, MIN(r) AS component FROM reach GROUP BY node)
+        |SELECT component, COUNT(*) AS group_size, MAX(k) AS max_key
+        |FROM comp GROUP BY component""".stripMargin,
 
     "q35_embedding_dups" ->
       """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
