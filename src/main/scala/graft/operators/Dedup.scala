@@ -25,6 +25,28 @@ import graft.functions.{TextAnalysis, Vectors}
   */
 object Dedup {
 
+  /** Signature frames are persisted because each dedup operator references
+    * them from several join branches (exchange reuse does not unify them —
+    * measured 4× scans unpersisted). ContextCleaner GC alone lets cached
+    * frames accumulate in a long-lived session, so this registry keeps a
+    * deterministic bound: the oldest cached frame unpersists once more
+    * than `maxCached` newer ones exist (an evicted frame that is
+    * re-executed just recomputes — correctness unaffected). */
+  private val cachedSigs = new java.util.ArrayDeque[DataFrame]
+  private[operators] val maxCached = 4
+  private def cacheScoped(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    cachedSigs.addLast(p)
+    while (cachedSigs.size > maxCached) cachedSigs.removeFirst().unpersist(false)
+    p
+  }
+
+  /** Unpersist every signature frame this object still tracks — call at
+    * the end of a dedup batch in a long-lived session. */
+  def unpersistAll(): Unit = synchronized {
+    while (!cachedSigs.isEmpty) cachedSigs.removeFirst().unpersist(false)
+  }
+
   // -------------------------------------------------------------- exact
 
   /** Exact dedup on raw content: keep the row with the smallest key per
@@ -126,7 +148,7 @@ object Dedup {
     // persist: the self-join + verify re-join reference this frame 4×,
     // and Spark's exchange reuse does not unify the branches (measured
     // 4 full scans). ContextCleaner unpersists once unreferenced.
-    val sig = df.select(key.as("k"), sigUdf(payload).as("mh")).persist()
+    val sig = cacheScoped(df.select(key.as("k"), sigUdf(payload).as("mh")))
     // Candidate generation carries ONLY (band, bucket, key): the 256-byte
     // signatures must not flow through the bucket join + distinct (measured
     // 10×+ slower when they do). Pairs are deduped narrow, then signatures
@@ -190,7 +212,7 @@ object Dedup {
   def simhashCandidates(df: DataFrame, payload: Column, key: Column,
                         shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
     val shUdf = udf((t: String) => simhashOf(shingleStrings(t, shingleK)))
-    val sh = df.select(key.as("k"), shUdf(payload).as("sh")).persist()
+    val sh = cacheScoped(df.select(key.as("k"), shUdf(payload).as("sh")))
     // narrow candidate pairs first, then one signature re-join (see
     // minhashCandidates for why signatures stay out of the bucket join)
     val blocked = sh.select(col("k"),
@@ -218,7 +240,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, payload: Column, key: Column,
                         k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val shUdf = udf((t: String) => shingleStrings(t, k).distinct)
-    val sh = df.select(key.as("kk"), shUdf(payload).as("sh")).persist()
+    val sh = cacheScoped(df.select(key.as("kk"), shUdf(payload).as("sh")))
     // block on hashed shingles (8 bytes each, not full strings), dedupe
     // narrow pairs, then re-join the shingle sets once per pair
     val exploded = sh.select(col("kk"), explode(col("sh")).as("g"))

@@ -1,8 +1,10 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, ByteArrayOutputStream, File, FileOutputStream}
+import java.io.{BufferedOutputStream, ObjectInputStream, ObjectOutputStream, OutputStream}
 import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -11,8 +13,35 @@ import org.apache.spark.sql.functions._
   * Buffering/rotation/row-groups are Spark's job (`writer.py:13-52`'s
   * 100-row buffer is obsolete); only the genuinely custom layouts
   * (per-sample files, webdataset tar) keep `foreachPartition` writers.
+  *
+  * All custom writers go through the Hadoop [[FileSystem]] API, so the
+  * output path can be any registered scheme (file:, hdfs:, s3a:, ...) —
+  * the same uniform-filesystem contract the reference gets from fsspec
+  * (`main.py:110-117`). `java.io.File` would silently write to each
+  * executor's local disk on a real cluster.
   */
 object Sinks {
+
+  /** Hadoop Configuration is not Serializable — this minimal wrapper
+    * ships the driver's conf (with its s3a/hdfs settings) into the
+    * foreachPartition closures via Hadoop's own wire format. */
+  private[sinks] final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+    }
+  }
+
+  private def hadoopConf(df: DataFrame): SerializableHadoopConf =
+    new SerializableHadoopConf(df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def fsFor(out: String, conf: Configuration): (FileSystem, Path) = {
+    val p = new Path(out)
+    (p.getFileSystem(conf), p)
+  }
 
   /** parquet sink (ref `writer.py:55-85`): payload column named by
     * `encode_format`; sizing via maxRecordsPerFile, not hand buffering. */
@@ -35,8 +64,7 @@ object Sinks {
   /** files sink (ref `writer.py:270-310`): one `<key>.<ext>` payload file
     * + one `<key>.json` metadata file per sample, grouped in per-shard
     * subdirectories. Distributed: each partition writes its own rows —
-    * no driver collect. Local-fs layout (same contract as the reference's
-    * fsspec local case). */
+    * no driver collect; any Hadoop filesystem scheme. */
   def files(df: DataFrame, out: String, keyCol: String = "key",
             payloadCol: String = "text", ext: String = "txt",
             sampleDigits: Int = 4): Unit = {
@@ -44,48 +72,55 @@ object Sinks {
     val kIdx = fields.indexOf(keyCol)
     val pIdx = fields.indexOf(payloadCol)
     require(kIdx >= 0 && pIdx >= 0, s"files sink needs $keyCol and $payloadCol")
+    val conf = hadoopConf(df)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val (fs, base) = fsFor(out, conf.value)
+      val madeDirs = scala.collection.mutable.Set.empty[String]
       rows.foreach { row =>
         val key = row.getString(kIdx)
         // shard subdir = key minus the intra-shard digits (ref
         // `writer.py:283-287`: per-shard subdirectory named by shard id)
         val shard = if (key.length > sampleDigits) key.dropRight(sampleDigits) else "0"
-        val shardDir = new File(out, shard)
-        shardDir.mkdirs()
+        val shardDir = new Path(base, shard)
+        if (madeDirs.add(shard)) fs.mkdirs(shardDir)
         val payload = row.get(pIdx) match {
           case b: Array[Byte] => b
           case s: String      => s.getBytes(StandardCharsets.UTF_8)
           case other          => String.valueOf(other).getBytes(StandardCharsets.UTF_8)
         }
-        val fp = new BufferedOutputStream(new FileOutputStream(new File(shardDir, s"$key.$ext")))
-        try fp.write(payload) finally fp.close()
+        writeFully(fs, new Path(shardDir, s"$key.$ext"), payload)
         val meta = fields.zipWithIndex.filterNot(_._2 == pIdx).map { case (f, i) =>
           s""""$f": ${jsonVal(row.get(i))}"""
         }.mkString("{", ", ", "}")
-        val mp = new BufferedOutputStream(new FileOutputStream(new File(shardDir, s"$key.json")))
-        try mp.write(meta.getBytes(StandardCharsets.UTF_8)) finally mp.close()
+        writeFully(fs, new Path(shardDir, s"$key.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
     }
+  }
+
+  private def writeFully(fs: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+    val o: OutputStream = fs.create(path, true)
+    try o.write(bytes) finally o.close()
   }
 
   /** webdataset sink (ref `writer.py:88-126`): per-partition tar of
     * (`<key>.<ext>` payload, `<key>.json` meta) pairs + a parquet sidecar
     * of the metadata. Tar written with commons-compress (ships with
-    * Spark). */
+    * Spark) straight onto the Hadoop output stream. */
   def webdataset(df: DataFrame, out: String, keyCol: String = "key",
                  payloadCol: String = "text", ext: String = "txt"): Unit = {
-    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.archivers.tar.TarArchiveOutputStream
     val fields = df.schema.fieldNames.toSeq
     val kIdx = fields.indexOf(keyCol)
     val pIdx = fields.indexOf(payloadCol)
     require(kIdx >= 0 && pIdx >= 0, s"webdataset sink needs $keyCol and $payloadCol")
-    new File(out).mkdirs()
+    val conf = hadoopConf(df)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
+        val (fs, base) = fsFor(out, conf.value)
+        fs.mkdirs(base)
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val tarFile = new File(out, f"$pid%05d.tar")
         val tar = new TarArchiveOutputStream(
-          new BufferedOutputStream(new FileOutputStream(tarFile)))
+          new BufferedOutputStream(fs.create(new Path(base, f"$pid%05d.tar"), true)))
         tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
         try {
           rows.foreach { row =>

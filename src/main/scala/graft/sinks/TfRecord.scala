@@ -111,15 +111,21 @@ object TfRecord {
   }
 
   /** Write one .tfrecord file per partition + parquet metadata sidecar
-    * (ref writes parquet alongside, `writer.py:210-218`). */
+    * (ref writes parquet alongside, `writer.py:210-218`). Hadoop
+    * [[org.apache.hadoop.fs.FileSystem]] output — any scheme, not just
+    * executor-local disk. */
   def write(df: DataFrame, out: String, payloadCol: String = "text"): Unit = {
     val schema = df.schema
-    new File(out).mkdirs()
+    val conf = new Sinks.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
+        val base = new org.apache.hadoop.fs.Path(out)
+        val fs = base.getFileSystem(conf.value)
+        fs.mkdirs(base)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val o = new DataOutputStream(new BufferedOutputStream(
-          new FileOutputStream(new File(out, f"$pid%05d.tfrecord"))))
+          fs.create(new org.apache.hadoop.fs.Path(base, f"$pid%05d.tfrecord"), true)))
         try rows.foreach(r => writeRecord(o, rowToExample(r, schema)))
         finally o.close()
       }
