@@ -432,21 +432,22 @@ object SparkEntry {
 
     // --------------------------------------------- approx / SQL surface
     "q41_approx_distinct" -> ((s, dir) => {
-      // HLL++ sketch differs from DuckDB's HLL -> rows-only; accuracy
-      // asserted against exact counts in QueriesSpec
+      // HLL++ sketch differs from DuckDB's HLL -> rows-only; accuracy vs
+      // exact counts asserted in QueriesSpec (the exact countDistinct is
+      // NOT carried here — it would double the query's cost just to
+      // display a number the spec already checks)
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
     }),
 
     "q42_grouping_sets" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-          |FROM lineitem_v
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+      // Spark 4 groupingSets API — no temp view / SQL parse per call
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
     "q43_window_frames" -> ((s, dir) => {

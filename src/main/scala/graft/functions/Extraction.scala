@@ -63,9 +63,11 @@ object Extraction {
     regexp_replace(c, "[.\\d]+", "")
 
   /** True when the page still has visible content after whitespace removal
-    * (ref `downloader.py:194-195`). */
+    * (ref `downloader.py:194-195`). `rlike '\S'` — same predicate as
+    * `length(regexp_replace(c, "\s", "")) > 0` but stops at the first
+    * non-whitespace char instead of rebuilding the whole string. */
   def nonEmptyPage(c: Column): Column =
-    length(regexp_replace(c, "\\s", "")) > 0
+    c.rlike("\\S")
 
   /** Payload hash column for `compute_hash`/`verify_hash`
     * (ref `downloader.py:423-425`): md5 | sha256 | sha512. */

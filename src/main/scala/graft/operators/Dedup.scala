@@ -319,17 +319,18 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node receives its neighbors' labels, keeps the minimum
+      // each node receives its neighbors' labels, keeps the minimum;
+      // the changed flag rides the same pass so convergence costs one
+      // cheap scan of the checkpointed frame, not a second join+job
       val msgs = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label").as("cand"))
         .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      val newLabel = least(col("label"), coalesce(col("cand"), col("label")))
       val next = labels.join(msgs, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("cand"), col("label"))).as("label"))
+        .select(col("node"), newLabel.as("label"), (newLabel =!= col("label")).as("__chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("__chg")).limit(1).count() == 0
+      labels = next.drop("__chg")
       iter += 1
     }
     labels.select(col("node").as("key"), col("label").as("component"))

@@ -37,11 +37,14 @@ object StreamingOps {
       graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(stagingDir)
   }
 
-  /** Deterministic per-sfDir staging path (stable across calls so the
-    * `_SUCCESS` reuse in [[stageEventsForStreaming]] can kick in). */
-  def defaultStagingDir(sfDir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+  /** Deterministic per-(sfDir, source mtime) staging path — stable across
+    * calls AND JVMs so the `_SUCCESS` reuse in [[stageEventsForStreaming]]
+    * kicks in, yet never reuses staging from a regenerated source table. */
+  def defaultStagingDir(sfDir: String): String = {
+    val src = new java.io.File(sfDir, "events.parquet")
+    val tag = Integer.toHexString((sfDir + ":" + src.lastModified()).hashCode)
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_stream_" + tag).getAbsolutePath
+  }
 
   /** Tumbling / sliding window aggregation (slide = None → tumbling). */
   def windowedAgg(events: DataFrame, windowDur: String, slide: Option[String] = None,

@@ -141,12 +141,19 @@ class ApproxSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("approx_count_distinct within 5% of exact on testdata") {
-    val rows = SparkEntry.queries("q41_approx_distinct")(spark, TestSpark.sf0001).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+    import org.apache.spark.sql.functions._
+    val approxRows = SparkEntry.queries("q41_approx_distinct")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_parts")).toMap
+    // exact counts computed here, not inside q41 (the query demonstrates
+    // the sketch; dragging an exact countDistinct along doubles its cost)
+    val exactRows = Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approxRows.nonEmpty && approxRows.keySet == exactRows.keySet)
+    approxRows.foreach { case (flag, approx) =>
+      val exact = exactRows(flag).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"$flag: approx $approx vs exact $exact")
     }
   }
 }
