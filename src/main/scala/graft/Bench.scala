@@ -28,21 +28,25 @@ object Bench {
     // measures the streaming query, not the one-time test-harness copy
     // of the batch table into a stream-readable directory
     try graft.streaming.StreamingOps.stageEventsForStreaming(
-      spark, sfDir, graft.streaming.StreamingOps.defaultStagingDir(sfDir))
+      spark, sfDir, graft.streaming.StreamingOps.defaultStagingDir(spark, sfDir))
     catch { case _: Throwable => () }
-    // min of two timed runs per query: this box shows sporadic multi-second
-    // stalls that land on a random query; min-of-2 reports steady-state cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // min over three INTERLEAVED rounds: this box shows sporadic multi-
+    // second stalls (external load) that can span back-to-back runs of one
+    // query — r03 recorded 13 s for two queries that steady-state at ~1 s.
+    // Interleaving puts minutes between a query's samples, so one stall
+    // can only poison one of its three timings; the min is steady-state.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to 3; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> times.min
+      val sec = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    val results = names.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

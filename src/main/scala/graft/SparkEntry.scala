@@ -423,7 +423,7 @@ object SparkEntry {
     "q39_stream_tumbling" -> ((s, dir) => {
       // batch parquet replayed through a real streaming query (AvailableNow
       // + memory sink); result must equal the batch/oracle twin q18
-      val staging = StreamingOps.defaultStagingDir(dir)
+      val staging = StreamingOps.defaultStagingDir(s, dir)
       StreamingOps.stageEventsForStreaming(s, dir, staging)
       val stream = StreamingOps.eventsStream(s, staging)
       val agg = StreamingOps.windowedAgg(stream, "10 minutes")

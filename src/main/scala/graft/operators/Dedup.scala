@@ -306,7 +306,7 @@ object Dedup {
     * ~2×|nodes| regardless of rounds. Returns (key, component) where
     * component = min key of the cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
       .union(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
       .distinct().localCheckpoint(true)
@@ -333,12 +333,17 @@ object Dedup {
       labels = next.drop("__chg")
       iter += 1
     }
+    // unconverged labels are silently WRONG (a long chain would split one
+    // component into several) — fail loudly rather than return bad groups
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "the pair graph has a longer duplicate chain than expected — raise maxIter")
     labels.select(col("node").as("key"), col("label").as("component"))
   }
 
   /** Keep exactly one row (smallest key) per transitive duplicate group. */
   def dropTransitive(df: DataFrame, key: Column, pairs: DataFrame,
-                     maxIter: Int = 10): DataFrame = {
+                     maxIter: Int = 50): DataFrame = {
     val losers = connectedComponents(pairs, maxIter)
       .filter(col("key") =!= col("component"))
       .select(col("key").as("__loser"))

@@ -96,11 +96,17 @@ object DocPipeline {
   def withDenseIds(df: DataFrame, orderCol: Column, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    // explicit partition count => AQE never re-coalesces, so the counts
-    // job and the final job see identical partition layouts
+    // localCheckpoint(eager): the counts pass and the final pass are two
+    // separate jobs; without materialization each would re-plan the range
+    // exchange and RE-SAMPLE its bounds (seeded by a fresh rdd.id), so
+    // rows could land in different partitions between the two jobs and
+    // the broadcast offsets would mint duplicate/non-dense ids. Freezing
+    // the shuffled+sorted blocks once makes both jobs read the same
+    // layout — and halves the work (the sort runs once, not twice).
     val sorted = df.repartitionByRange(parts, orderCol.asc)
       .sortWithinPartitions(orderCol.asc)
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val counts = sorted
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))

@@ -73,6 +73,9 @@ object Sinks {
     val pIdx = fields.indexOf(payloadCol)
     require(kIdx >= 0 && pIdx >= 0, s"files sink needs $keyCol and $payloadCol")
     val conf = hadoopConf(df)
+    // base dir exists even for an empty DataFrame (downstream listers
+    // expect the sink root; executor-side mkdirs only fires per row)
+    locally { val (fs, base) = fsFor(out, conf.value); fs.mkdirs(base) }
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val (fs, base) = fsFor(out, conf.value)
       val madeDirs = scala.collection.mutable.Set.empty[String]
@@ -114,6 +117,8 @@ object Sinks {
     val pIdx = fields.indexOf(payloadCol)
     require(kIdx >= 0 && pIdx >= 0, s"webdataset sink needs $keyCol and $payloadCol")
     val conf = hadoopConf(df)
+    // base dir on the driver: an empty DataFrame still yields the sink root
+    locally { val (fs, base) = fsFor(out, conf.value); fs.mkdirs(base) }
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
         val (fs, base) = fsFor(out, conf.value)

@@ -118,6 +118,9 @@ object TfRecord {
     val schema = df.schema
     val conf = new Sinks.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // base dir on the driver: an empty DataFrame still yields the sink root
+    locally { val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(conf.value).mkdirs(p) }
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val base = new org.apache.hadoop.fs.Path(out)

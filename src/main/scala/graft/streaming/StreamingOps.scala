@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
@@ -33,17 +34,36 @@ object StreamingOps {
     * `_SUCCESS` marker is reused (repeat streaming runs in one session
     * shouldn't re-pay the write). */
   def stageEventsForStreaming(spark: SparkSession, sfDir: String, stagingDir: String): Unit = {
-    if (!new java.io.File(stagingDir, "_SUCCESS").exists())
+    val success = new Path(stagingDir, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(success))
       graft.Tables.events(spark, sfDir).write.mode("overwrite").parquet(stagingDir)
   }
 
   /** Deterministic per-(sfDir, source mtime) staging path — stable across
     * calls AND JVMs so the `_SUCCESS` reuse in [[stageEventsForStreaming]]
-    * kicks in, yet never reuses staging from a regenerated source table. */
-  def defaultStagingDir(sfDir: String): String = {
-    val src = new java.io.File(sfDir, "events.parquet")
-    val tag = Integer.toHexString((sfDir + ":" + src.lastModified()).hashCode)
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_stream_" + tag).getAbsolutePath
+    * kicks in, yet never reuses staging from a regenerated source table.
+    * mtime resolves through the Hadoop FileSystem of `sfDir`'s scheme
+    * (java.io.File reports 0 for non-local sources — which silently
+    * re-enabled the stale-reuse behavior this path exists to prevent);
+    * superseded staging dirs for the same source are deleted so a
+    * regenerated table doesn't leak one tmp dir per version. */
+  def defaultStagingDir(spark: SparkSession, sfDir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(sfDir, "events.parquet")
+    val mtime =
+      try src.getFileSystem(conf).getFileStatus(src).getModificationTime
+      catch { case _: java.io.IOException => 0L }
+    val dirTag = Integer.toHexString(sfDir.hashCode)
+    val base = new Path(new java.io.File(System.getProperty("java.io.tmpdir")).getAbsolutePath)
+    val target = new Path(base, s"graft_stream_${dirTag}_${java.lang.Long.toHexString(mtime)}")
+    val fs = target.getFileSystem(conf)
+    try fs.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"graft_stream_${dirTag}_") && n != target.getName)
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () }
+    target.toUri.getPath
   }
 
   /** Tumbling / sliding window aggregation (slide = None → tumbling). */

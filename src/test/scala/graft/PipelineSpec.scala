@@ -75,6 +75,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == dense)
   }
 
+  test("dense ids stay dense under forced partial range sampling") {
+    // RangePartitioner samples bounds per partition; with sampleSize << rows
+    // the bounds are estimates, and (pre-fix) the counts job and the final
+    // job would RE-SAMPLE independently — rows migrating between partitions
+    // across the two jobs minted duplicate / non-dense ids. The eager
+    // localCheckpoint freezes one layout for both jobs; this test forces
+    // aggressively-partial sampling and checks exact dense 0..n-1 ids.
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10")
+    try {
+      val n = 50000
+      val urls = spark.range(0, n)
+        // xxhash64-shuffled sort-key prefix (range sample really decides);
+        // "-id" suffix keeps every url unique so the order is total
+        .select(concat(lit("doc"), format_string("%08d", pmod(xxhash64(col("id")), lit(100000000L))),
+          lit("-"), format_string("%06d", col("id"))).as("url"))
+        .repartition(13)
+      val ids = DocPipeline.withDenseIds(urls, col("url"), "id")
+        .select("url", "id").as[(String, Long)].collect()
+      assert(ids.length == n)
+      assert(ids.map(_._2).sorted.toSeq == (0L until n.toLong), "ids must be exactly 0..n-1")
+      assert(ids.sortBy(_._1).map(_._2).toSeq == (0L until n.toLong),
+        "id order must equal the stable sort order on url")
+    } finally { prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) } }
+  }
+
   test("entry flagship returns success pages with contract columns") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
