@@ -25,7 +25,7 @@ object Sinks {
   /** Hadoop Configuration is not Serializable — this minimal wrapper
     * ships the driver's conf (with its s3a/hdfs settings) into the
     * foreachPartition closures via Hadoop's own wire format. */
-  private[sinks] final class SerializableHadoopConf(@transient var value: Configuration)
+  private[graft] final class SerializableHadoopConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)

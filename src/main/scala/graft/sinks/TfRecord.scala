@@ -269,24 +269,30 @@ object TfRecord {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Read back the framing (length/CRC-validated), returning raw Example
-    * payload bytes — used by tests to verify the writer byte-level. */
+  /** Read one framed record off a stream (length/CRC-validated), or None
+    * at clean EOF. Works on any InputStream — the DSv2 reader feeds it a
+    * Hadoop FSDataInputStream directly, no temp copies. */
+  def nextRecord(in: java.io.DataInputStream): Option[Array[Byte]] = {
+    val first = in.read()
+    if (first < 0) return None // clean end-of-file between records
+    val lenBytes = new Array[Byte](8)
+    lenBytes(0) = first.toByte
+    in.readFully(lenBytes, 1, 7)
+    val lenCrc = Integer.reverseBytes(in.readInt())
+    require(lenCrc == maskedCrc(lenBytes), "length crc mismatch")
+    val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    val data = new Array[Byte](len); in.readFully(data)
+    val dataCrc = Integer.reverseBytes(in.readInt())
+    require(dataCrc == maskedCrc(data), "data crc mismatch")
+    Some(data)
+  }
+
+  /** Read back the framing, returning raw Example payload bytes — used by
+    * tests to verify the writer byte-level. */
   def readRecords(path: String): Seq[Array[Byte]] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(path)))
-    val outBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    try {
-      while (in.available() > 0) {
-        val lenBytes = new Array[Byte](8); in.readFully(lenBytes)
-        val lenCrc = Integer.reverseBytes(in.readInt())
-        require(lenCrc == maskedCrc(lenBytes), "length crc mismatch")
-        val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
-        val data = new Array[Byte](len); in.readFully(data)
-        val dataCrc = Integer.reverseBytes(in.readInt())
-        require(dataCrc == maskedCrc(data), "data crc mismatch")
-        outBuf += data
-      }
-    } finally in.close()
-    outBuf.toSeq
+    try Iterator.continually(nextRecord(in)).takeWhile(_.isDefined).flatten.toVector
+    finally in.close()
   }
 }

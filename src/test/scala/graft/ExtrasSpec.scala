@@ -49,6 +49,41 @@ class TfRecordSpec extends AnyFunSuite {
       ("k1", 7L, 2.5f, Seq(4f, 5f))))
   }
 
+  test("tfrecord DSv2: spark.read.format with inferred sidecar schema + pruning") {
+    import org.apache.spark.sql.types._
+    val out = new File("target/tmp/tfrec_dsv2"); org.apache.commons.io.FileUtils.deleteQuietly(out)
+    val df = Seq(
+      ("k0", "hello", 42L, Seq(1f, 2f)),
+      ("k1", "world", 7L, Seq(3f, 4f)),
+      ("k2", "again", 9L, Seq(5f, 6f)),
+    ).toDF("key", "text", "n", "vec")
+    TfRecord.write(df.repartition(2), out.getAbsolutePath)
+    // schema inferred from the _metadata.parquet sidecar + payload column
+    val back = spark.read.format("tfrecord").load(out.getAbsolutePath)
+    assert(back.columns.toSet == Set("key", "text", "n", "vec"))
+    val rows = back.collect().map(r =>
+      (r.getAs[String]("key"), r.getAs[String]("text"), r.getAs[Long]("n"),
+        r.getAs[Seq[Float]]("vec"))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("k0", "hello", 42L, Seq(1f, 2f)),
+      ("k1", "world", 7L, Seq(3f, 4f)),
+      ("k2", "again", 9L, Seq(5f, 6f))))
+    // one InputPartition per .tfrecord file => read parallelism = file count
+    assert(back.rdd.getNumPartitions == 2)
+    // column pruning reaches the scan's readSchema
+    val pruned = back.select("key")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(!scanLine.contains("vec"), s"pruned scan must not read vec: $scanLine")
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq("k0", "k1", "k2"))
+    // explicit schema works without the sidecar
+    val explicit = spark.read.format("tfrecord")
+      .schema(StructType(Seq(StructField("key", StringType), StructField("n", LongType))))
+      .load(out.getAbsolutePath)
+    assert(explicit.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("k0", 42L), ("k1", 7L), ("k2", 9L)))
+  }
+
   test("jsonl.gz sink roundtrip") {
     val out = new File("target/tmp/jsonlgz"); org.apache.commons.io.FileUtils.deleteQuietly(out)
     val df = Seq(("a", 1L), ("b", 2L)).toDF("key", "n")
@@ -155,5 +190,45 @@ class ApproxSpec extends AnyFunSuite {
       val exact = exactRows(flag).toDouble
       assert(math.abs(approx - exact) / exact < 0.05, s"$flag: approx $approx vs exact $exact")
     }
+  }
+}
+
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CLI arg parsing: --k v and --k=v forms") {
+    val a = Main.parseArgs(Array("--url_list", "m.txt", "--min_words_per_page=100",
+      "--output_format", "tfrecord"))
+    assert(a == Map("url_list" -> "m.txt", "min_words_per_page" -> "100",
+      "output_format" -> "tfrecord"))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("url_list")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--url_list")))
+  }
+
+  test("CLI flags map onto PipelineConfig with reference defaults") {
+    val cfg = Main.buildConfig(Map(
+      "min_words_per_page" -> "100", "max_images_per_page" -> "5",
+      "compute_hash" -> "md5", "save_additional_columns" -> "a,b",
+      "max_pages" -> "3", "get_language" -> "true",
+      "disallowed_header_directives" -> "noai,noindex"))
+    cfg.validate()
+    assert(cfg.minWordsPerPage == 100 && cfg.maxImagesPerPage.contains(5))
+    assert(cfg.computeHash.contains("md5") && cfg.maxPages.contains(3))
+    assert(cfg.saveAdditionalColumns == Seq("a", "b") && cfg.getLanguage)
+    assert(cfg.disallowedHeaderDirectives == Seq("noai", "noindex"))
+    // compute_hash none => no hash column at all (ref Optional[str]=None)
+    assert(Main.buildConfig(Map("compute_hash" -> "none")).computeHash.isEmpty)
+    // defaults match the library defaults when flags are absent
+    assert(Main.buildConfig(Map.empty).numSamplesPerShard == 10000)
+  }
+
+  test("CLI manifest readers accept every reference input_format") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createDirectories(Paths.get("target/tmp/cli_manifest"))
+    val txt = dir.resolve("m.txt")
+    Files.write(txt, "http://a/1\nhttp://a/2\n".getBytes)
+    val df = Main.readManifest(spark, txt.toString, "txt")
+    assert(df.count() == 2 && df.columns.contains("url"))
+    intercept[IllegalArgumentException](Main.readManifest(spark, txt.toString, "xml"))
   }
 }
