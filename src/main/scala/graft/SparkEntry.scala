@@ -515,6 +515,60 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.25)").as("q25"))
     }),
 
+    "q57_percentile_approx" -> ((s, dir) => {
+      // the 100 TB tier of q55: bounded-memory KLL-style sketch instead of
+      // buffering every value per group. Sketch internals are engine-
+      // specific (≠ DuckDB) → rows-only; accuracy vs exact asserted in
+      // ApproxSpec (±1% of the value range at accuracy=10000)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("l_quantity"), lit(0.25), lit(10000)).as("q25"))
+    }),
+
+    "q58_window_dist" -> ((s, dir) => {
+      // distribution window functions over a unique total order
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("bucket"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
+    "q59_edit_distance" -> ((s, dir) => {
+      // near-dup verification by edit distance: block on a normalized
+      // 12-char prefix (equi-join — never all-pairs), then Levenshtein
+      // over an 80-char window on the surviving candidates only. The
+      // blocking scales like every other dedup operator here (shuffle on
+      // the block key); the O(len²) distance runs on candidates, not n².
+      val d = Tables.documents(s, dir).select(col("doc_id"), lower(col("text")).as("t"))
+      val a = d.select(col("doc_id").as("doc_a"),
+        substring(col("t"), 1, 80).as("ta"), substring(col("t"), 1, 12).as("blk"))
+      val b = d.select(col("doc_id").as("doc_b"),
+        substring(col("t"), 1, 80).as("tb"), substring(col("t"), 1, 12).as("blk"))
+      a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+    }),
+
+    "q60_stratified_sample" -> ((s, dir) => {
+      // per-stratum deterministic sampling (df.stat.sampleBy is engine-RNG;
+      // this is the reproducible md5-threshold flavor of q53, with a
+      // different rate per stratum — the shape used to rebalance a skewed
+      // training corpus)
+      val h = substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 2)
+      val keep = when(col("l_returnflag") === "A", h < "10")
+        .when(col("l_returnflag") === "N", h < "40")
+        .otherwise(h < "20")
+      Tables.lineitem(s, dir).filter(keep)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -924,5 +978,28 @@ object SparkEntry {
         |  FROM events)
         |SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
         |FROM kv GROUP BY k""".stripMargin,
+
+    "q58_window_dist" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS bucket,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q59_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON substr(a.t, 1, 12) = substr(b.t, 1, 12) AND a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 20""".stripMargin,
+
+    "q60_stratified_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE CASE
+        |  WHEN l_returnflag = 'A' THEN substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '10'
+        |  WHEN l_returnflag = 'N' THEN substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '40'
+        |  ELSE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '20'
+        |END""".stripMargin,
   )
 }

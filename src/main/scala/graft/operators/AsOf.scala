@@ -27,9 +27,33 @@ object AsOf {
     * @param payload   right-side columns to attach (renamed as-is)
     * @param tolerance optional max lookback (kdb `aj` tolerance): a match
     *                  older than `leftTs - tolerance` is nulled out
+    * @param carryThreshold left column count above which the wide-schema
+    *                  path kicks in (see [[join]] scaladoc): the window
+    *                  pass runs over distinct (key, ts) only and the full
+    *                  left re-joins after. At 100 TB a wide left would
+    *                  otherwise ship every column through the shuffle
+    *                  just to null half of them on carrier rows.
     */
   def join(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           payload: Seq[String], tolerance: Option[String] = None): DataFrame = {
+           payload: Seq[String], tolerance: Option[String] = None,
+           carryThreshold: Int = 8): DataFrame = {
+    if (left.columns.length <= carryThreshold)
+      joinCarry(left, right, keyCol, tsCol, payload, tolerance)
+    else {
+      // Projection pushdown: the as-of match for a left row depends only
+      // on (key, ts), so compute matches once per DISTINCT (key, ts) —
+      // slim shuffle through the window — and attach the wide payload
+      // with an ordinary equi join afterwards (SMJ/broadcast, Catalyst's
+      // pick). Deterministic by construction: no synthetic row ids.
+      val slim = left.select(col(keyCol), col(tsCol)).distinct()
+      val matched = joinCarry(slim, right, keyCol, tsCol, payload, tolerance)
+      left.join(matched, Seq(keyCol, tsCol), "left")
+    }
+  }
+
+  /** Union-and-carry core — every left column rides the shuffle+window. */
+  private def joinCarry(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+                        payload: Seq[String], tolerance: Option[String]): DataFrame = {
     val lCols = left.columns
     // Right rows become carrier rows: payload present, left columns null.
     val rTagged = right.select(

@@ -191,6 +191,24 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(approx - exact) / exact < 0.05, s"$flag: approx $approx vs exact $exact")
     }
   }
+
+  test("percentile_approx within 1% of exact interpolated percentiles") {
+    val approx = SparkEntry.queries("q57_percentile_approx")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = SparkEntry.queries("q55_percentiles")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((flag, (a50, a90, aq25)) <- approx) {
+      val (e50, e90, eq25) = exact(flag)
+      // the sketch returns an observed value, exact interpolates — compare
+      // relative to the metric's scale, not element-wise equality
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$flag p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$flag p90: $a90 vs $e90")
+      assert(math.abs(aq25 - eq25) / math.max(eq25, 1.0) < 0.05, s"$flag q25: $aq25 vs $eq25")
+    }
+  }
 }
 
 class MainSpec extends AnyFunSuite {

@@ -194,6 +194,34 @@ class AsOfSpec extends AnyFunSuite {
     assert(got(102L) == 901L, "latest right carried forward")
     assert(got(103L) == -1L, "key isolation: user 2 sees nothing")
   }
+
+  test("wide-schema pushdown path equals the carry path (dup (key,ts) rows too)") {
+    val left = Seq(
+      (100L, 1L, ts(10)), (101L, 1L, ts(20)), (102L, 1L, ts(30)),
+      (110L, 1L, ts(20)), // duplicate (key, ts): both rows must match 901
+      (103L, 2L, ts(25)),
+    ).toDF("event_id", "user_id", "ts")
+      .withColumn("w1", col("event_id") * 2).withColumn("w2", lit("pad"))
+    val right = Seq(
+      (900L, 1L, ts(15), 5.0), (901L, 1L, ts(20), 7.0),
+      (902L, 3L, ts(1), 9.0),
+    ).toDF("purchase_id", "user_id", "ts", "pval")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("event_id", "w1", "w2", "right_purchase_id", "right_pval")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val carry = AsOf.join(left, right, "user_id", "ts",
+      Seq("purchase_id", "pval"), carryThreshold = 100)
+    val slim = AsOf.join(left, right, "user_id", "ts",
+      Seq("purchase_id", "pval"), carryThreshold = 0)
+    assert(norm(carry) == norm(slim))
+    assert(norm(slim).count(r => r(3) != null) == 3, "101,110,102 match 901")
+    // tolerance flows through the pushdown path too
+    val slimTol = AsOf.join(left, right, "user_id", "ts",
+      Seq("purchase_id", "pval"), tolerance = Some("5 seconds"), carryThreshold = 0)
+    val carryTol = AsOf.join(left, right, "user_id", "ts",
+      Seq("purchase_id", "pval"), tolerance = Some("5 seconds"), carryThreshold = 100)
+    assert(norm(slimTol) == norm(carryTol))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
