@@ -569,6 +569,33 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
     }),
 
+    "q61_chunking" -> ((s, dir) => {
+      // context-window chunking: overlapping 200-char windows at stride
+      // 150 — one output row per chunk, pure codegen (sequence +
+      // posexplode + substr), no UDF. The training-data op that turns a
+      // document corpus into model-sized pieces.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), length(col("text")) - 1, lit(150)))
+            .as(Seq("chunk_no", "start")))
+        .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+          expr("substring(text, start + 1, 200)").as("chunk"))
+    }),
+
+    "q62_domain_cap" -> ((s, dir) => {
+      // per-domain document cap (C4/RefinedWeb-style: keep the best K per
+      // source so one domain can't dominate the corpus). rank<=K over a
+      // unique order compiles to WindowGroupLimit: partial top-K below
+      // the exchange, so each domain ships at most K rows per partition
+      // — the 100 TB-safe form of "group by domain, keep 10".
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -993,6 +1020,19 @@ object SparkEntry {
         |  CAST(levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) AS BIGINT) AS dist
         |FROM d a JOIN d b ON substr(a.t, 1, 12) = substr(b.t, 1, 12) AND a.doc_id < b.doc_id
         |WHERE levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) <= 20""".stripMargin,
+
+    "q61_chunking" ->
+      """SELECT doc_id,
+        |  CAST(s.i // 150 AS BIGINT) AS chunk_no,
+        |  substr(text, CAST(s.i AS INT) + 1, 200) AS chunk
+        |FROM documents, LATERAL unnest(generate_series(0, length(text) - 1, 150)) AS s(i)""".stripMargin,
+
+    "q62_domain_cap" ->
+      """SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin,
 
     "q60_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem

@@ -43,6 +43,11 @@ class PlanSpec extends AnyFunSuite {
       "query side must broadcast; corpus must stay distributed")
   }
 
+  test("q62: per-domain cap pushes a WindowGroupLimit (partial top-K per source)") {
+    val p = plan("q62_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
