@@ -596,6 +596,51 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk").cast("long").as("rk"))
     }),
 
+    "q63_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signal: fraction of all word-bigrams
+      // taken by the single most frequent bigram (boilerplate screams
+      // here). Bigrams via posexplode + lead over (doc, pos) — fully
+      // codegen'd; an interpreted HOF lambda would be ~10× slower.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bigrams = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"),
+          concat_ws(" ", col("word"), lead(col("word"), 1).over(w)).as("bigram"),
+          lead(col("word"), 1).over(w).isNotNull.as("ok"))
+        .filter(col("ok"))
+      bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          (max(col("c")).cast("double") / sum(col("c"))).as("top_bigram_ratio"))
+    }),
+
+    "q64_tfidf" -> ((s, dir) => {
+      // TF-IDF top-5 terms per document — the relevance/quality scorer a
+      // curation pipeline ranks corpora with. Three aggregations + one
+      // broadcast of the (word → df) side; top-5 via rank ≤ K
+      // (WindowGroupLimit again). N rides a broadcast scalar, never a
+      // driver collect.
+      val docs = Tables.documents(s, dir)
+      val tokens = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val df_ = tokens.select(col("doc_id"), col("word")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("score"), col("word"))
+      // round to 9 decimals: JVM Math.log and DuckDB's libm ln disagree
+      // in the last ulp; rank over the ROUNDED score so ties break alike
+      tf.join(df_, Seq("word"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")), 9))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("doc_id"), col("word"), col("score"), col("rk").cast("long").as("rk"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -1033,6 +1078,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10""".stripMargin,
+
+    "q63_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |c AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY doc_id, bigram)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_ratio
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q64_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tok AS (SELECT doc_id, word FROM tokens WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word,
+        |    round(CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df), 9) AS score
+        |  FROM tf JOIN df USING (word))
+        |SELECT doc_id, word, score, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM scored)
+        |WHERE rk <= 5""".stripMargin,
 
     "q60_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
