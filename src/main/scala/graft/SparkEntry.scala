@@ -420,6 +420,21 @@ object SparkEntry {
     }),
 
     // ----------------------------------------------------------- streaming
+    "q65_stream_join" -> ((s, dir) => {
+      // REAL stream-stream join (two file streams over the same staged
+      // events, watermarked both sides, time-bounded state) — the oracle
+      // is the batch self-join twin in DuckDB, same discipline as q39
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val clicks = StreamingOps.eventsStream(s, staging)
+        .filter(col("event_type") === "click")
+      val purchases = StreamingOps.eventsStream(s, staging)
+        .filter(col("event_type") === "purchase")
+      val joined = StreamingOps.clickPurchaseJoin(clicks, purchases)
+      StreamingOps.runToMemory(s, joined, "q65_stream_join",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+
     "q39_stream_tumbling" -> ((s, dir) => {
       // batch parquet replayed through a real streaming query (AvailableNow
       // + memory sink); result must equal the batch/oracle twin q18
@@ -1050,6 +1065,19 @@ object SparkEntry {
         |  FROM events)
         |SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v
         |FROM kv GROUP BY k""".stripMargin,
+
+    "q65_stream_join" ->
+      s"""$evCte,
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+         |             value AS purchase_value
+         |      FROM ev WHERE event_type = 'purchase')
+         |SELECT c.click_id, c.user_id, c.click_ts,
+         |       p.purchase_id, p.purchase_ts, p.purchase_value
+         |FROM c JOIN p ON c.user_id = p.user_id
+         | AND p.purchase_ts >= c.click_ts - INTERVAL 240 MINUTE
+         | AND p.purchase_ts <= c.click_ts""".stripMargin,
 
     "q58_window_dist" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -125,6 +125,30 @@ object StreamingOps {
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-replay harness for
     * tests/Verify). */
+  /** Stream-stream inner join with an event-time bound: each click pairs
+    * with the same user's purchases in the preceding `lookback`. Both
+    * sides watermarked, and the join condition carries the time range, so
+    * the state store retains only a `lookback`-wide window per side —
+    * bounded state at any corpus rate (SURVEY §2.7). Source-agnostic:
+    * feed batch frames and the same code is the batch twin the oracle
+    * checks. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        lookback: String = "240 minutes",
+                        watermark: String = "240 minutes"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    c.join(p, col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
+        col("purchase_ts") <= col("click_ts"), "inner")
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
                   outputMode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q: StreamingQuery = stream.writeStream

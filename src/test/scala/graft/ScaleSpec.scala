@@ -50,6 +50,67 @@ class SkewSpec extends AnyFunSuite {
   }
 }
 
+class StreamStreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stream-stream time-bounded join equals the batch twin") {
+    val staging = new java.io.File("target/tmp/ssjoin_events").getAbsolutePath
+    StreamingOps.stageEventsForStreaming(spark, TestSpark.sf0001, staging)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet // (click_id, purchase_id)
+    val clicks = StreamingOps.eventsStream(spark, staging)
+      .filter(col("event_type") === "click")
+    val purchases = StreamingOps.eventsStream(spark, staging)
+      .filter(col("event_type") === "purchase")
+    val streamed = rows(StreamingOps.runToMemory(spark,
+      StreamingOps.clickPurchaseJoin(clicks, purchases), "spec_ssjoin",
+      org.apache.spark.sql.streaming.OutputMode.Append()))
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val batch = rows(StreamingOps.clickPurchaseJoin(
+      ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase")))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+}
+
+class BucketedJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed fact-fact join: no exchange before the join (SCALE.md claim)") {
+    // SCALE.md: "bucketBy(l_orderkey) lineitem/orders removes both
+    // shuffles in q04-class queries" — prove it, don't just assert it.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      Tables.lineitem(spark, TestSpark.sf0001)
+        .select("l_orderkey", "l_quantity").write
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+      Tables.orders(spark, TestSpark.sf0001)
+        .select("o_orderkey", "o_orderstatus").write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      val j = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must read co-located buckets, not shuffle:\n${plan.take(1200)}")
+      // and the co-located plan computes the same result as the plain join
+      val want = Tables.lineitem(spark, TestSpark.sf0001)
+        .join(Tables.orders(spark, TestSpark.sf0001),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
+
 class StatefulStreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
