@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance}
 
 /** Session-extension registration (SparkSessionExtensions — SURVEY §7 /
   * prompt's custom-operator surface (d)): exposes graft's native
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.dotProduct)
+    e.injectFunction(GraftExtensions.l2Distance)
   }
 }
 
@@ -39,10 +40,12 @@ object GraftExtensions {
     binary("cosine_sim", CosineSimilarity.apply)
   val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     binary("dot_product", DotProduct.apply)
+  val l2Distance: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    binary("l2_distance", EuclideanDistance.apply)
 
   /** Register on an already-built session (tests / notebooks). */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, dotProduct).foreach { case (id, _, builder) =>
+    Seq(cosineSim, dotProduct, l2Distance).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }

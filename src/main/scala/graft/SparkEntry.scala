@@ -381,6 +381,17 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    "q66_l2_knn" -> ((s, dir) => {
+      // L2-metric twin of q36: same broadcast + WindowGroupLimit shape,
+      // scored by the codegen'd EuclideanDistance kernel
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 5, metric = "l2")
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     "q37_knn_lsh" -> ((s, dir) => {
       // approximate tier — recall measured in tests, rows-only here
       val emb = Tables.embeddings(s, dir)
@@ -960,6 +971,17 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""".stripMargin,
+
+    "q66_l2_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, list_distance(q.e, c.e) AS dist
+        |      FROM q, c WHERE neighbor_id != query_id),
+        |r AS (SELECT query_id, neighbor_id, dist,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, dist, rank FROM r WHERE rank <= 5""".stripMargin,
 
     "q38_multimodal_meta" ->
       """SELECT doc_id,

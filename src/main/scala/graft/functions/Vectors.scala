@@ -35,6 +35,12 @@ object Vectors {
   /** L2 norm of a float array. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Euclidean (L2) distance of two float arrays — the other standard ANN
+    * metric (IVF/LSH over L2 instead of cosine); null on length mismatch.
+    * Fused single pass, codegen like its siblings. */
+  def l2Distance(a: Column, b: Column): Column =
+    column(EuclideanDistance(expression(a.cast(floatArray)), expression(b.cast(floatArray))))
+
   /** Higher-order-function formulation of dot product — kept as the
     * "compose built-ins" baseline the custom expression is benchmarked
     * against (SURVEY §2.5 Vector row). */
@@ -73,6 +79,49 @@ case class DotProduct(left: Expression, right: Expression)
          |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
          |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(sum((a_i-b_i)^2)) over array<float> with codegen; null on length
+  * mismatch. Double accumulator in index order — bit-matches a plain loop
+  * (and DuckDB's list_distance) like the other kernels. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+        s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
          |}
        """.stripMargin
     })

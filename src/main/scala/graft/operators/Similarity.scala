@@ -47,17 +47,25 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, corpusKey: Column, corpusVec: Column,
                      queries: DataFrame, queryKey: Column, queryVec: Column,
-                     k: Int): DataFrame = {
+                     k: Int, metric: String = "cosine"): DataFrame = {
     val c = corpus.select(corpusKey.as("neighbor_id"), corpusVec.as("__cv"))
     val q = queries.select(queryKey.as("query_id"), queryVec.as("__qv"))
+    // cosine ranks best-first descending; L2 distance ascending — both
+    // through the same broadcast + WindowGroupLimit shape
+    val (scoreName, score, ord) = metric match {
+      case "cosine" => ("cosine", Vectors.cosine(col("__qv"), col("__cv")),
+        col("cosine").desc)
+      case "l2"     => ("dist", Vectors.l2Distance(col("__qv"), col("__cv")),
+        col("dist").asc)
+      case other    => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), score.as(scoreName))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(ord, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col(scoreName), col("rank"))
   }
 
   /** IVF-style approximate top-k: corpus is partitioned into `nlist`

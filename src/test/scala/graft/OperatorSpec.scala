@@ -41,6 +41,34 @@ class VectorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 23.0)
   }
 
+  test("l2_distance known values, null semantics, SQL registration") {
+    val df = Seq(
+      (Seq(0f, 0f), Seq(3f, 4f)),   // 3-4-5 triangle -> 5
+      (Seq(1f, 2f), Seq(1f, 2f)),   // identical -> 0
+    ).toDF("a", "b")
+    val got = df.select(Vectors.l2Distance(col("a"), col("b")).as("d")).collect()
+    assert(got(0).getDouble(0) == 5.0 && got(1).getDouble(0) == 0.0)
+    val bad = Seq((Seq(1f, 0f), Seq(1f, 0f, 3f))).toDF("a", "b")
+      .select(Vectors.l2Distance(col("a"), col("b")).as("d")).collect()
+    assert(bad(0).isNullAt(0), "length mismatch -> null")
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT l2_distance(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 5.0)
+    // codegen ≡ interpreted (HOF baseline)
+    val emb = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val pair = emb.filter(col("vec_id") === 0).select(col("embedding")).crossJoin(
+      emb.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+    val viaExpr = pair.select(Vectors.l2Distance(col("embedding"), col("e2"))).collect()(0).getDouble(0)
+    val viaHof = pair.select(sqrt(aggregate(
+      zip_with(col("embedding"), col("e2"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)).as("d")).collect()(0).getDouble(0)
+    assert(math.abs(viaExpr - viaHof) < 1e-12)
+  }
+
   test("codegen and interpreted paths agree") {
     val df = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val a = df.filter(col("vec_id") === 0).select(col("embedding")).crossJoin(
