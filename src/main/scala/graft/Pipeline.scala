@@ -42,8 +42,20 @@ object Pipeline {
     // two-pass dense ids — no global window / single-partition funnel; a
     // manifest that already has a dense id should call withKeys directly
     val keyed = DocPipeline.withKeysDense(normalized, col("url"), cfg)
+    // resume granularity matches the sink's unit of output: row-keyed
+    // formats anti-join on key; shard-file formats (webdataset/tfrecord)
+    // skip complete shards and redo interrupted ones whole — the
+    // reference's done-shards scan (`main.py:140-151`). `files` output is
+    // per-key and deterministic, so re-writing is idempotent.
+    val shardOfKey = DocPipeline.shardOfKey(col("key"), cfg)
     val resumed = (output, resume) match {
-      case (Some(out), true) => Sinks.resumeAntiJoin(keyed, s"$out/payload")
+      case (Some(out), true) => cfg.outputFormat match {
+        case "parquet" => Sinks.resumeAntiJoin(keyed, s"$out/payload")
+        case "jsonl"   => Sinks.resumeAntiJoin(keyed, s"$out/payload", format = "json")
+        case "webdataset" => Sinks.resumeShards(keyed, s"$out/payload", shardOfKey, "tar")
+        case "tfrecord"   => Sinks.resumeShards(keyed, s"$out/payload", shardOfKey, "tfrecord")
+        case _ => keyed
+      }
       case _ => keyed
     }
     val fetched = fetcher.getOrElse((df: DataFrame) =>
@@ -69,12 +81,21 @@ object Pipeline {
       // removed the done ones); overwrite would erase the resumed-from run
       val mode = if (resume) org.apache.spark.sql.SaveMode.Append
                  else org.apache.spark.sql.SaveMode.Overwrite
+      // one output row per PAGE (ref `downloader.py:212`): the per-sample
+      // sinks key on page_key and group files by the document's shard id
+      val sharded = payload.withColumn("__shard",
+        DocPipeline.shardOfKey(col("key"), cfg))
       cfg.outputFormat match {
         case "parquet"    => Sinks.parquet(payload, s"$out/payload", mode)
         case "jsonl"      => Sinks.jsonlGz(payload, s"$out/payload", mode)
-        case "files"      => Sinks.files(payload, s"$out/payload", payloadCol = cfg.encodeFormat)
-        case "webdataset" => Sinks.webdataset(payload, s"$out/payload", payloadCol = cfg.encodeFormat)
-        case "tfrecord"   => TfRecord.write(payload, s"$out/payload", payloadCol = cfg.encodeFormat)
+        case "files"      => Sinks.files(sharded, s"$out/payload",
+          keyCol = "page_key", payloadCol = cfg.encodeFormat, shardCol = Some("__shard"))
+        case "webdataset" => Sinks.webdataset(sharded, s"$out/payload",
+          keyCol = "page_key", payloadCol = cfg.encodeFormat,
+          shardCol = Some("__shard"), sidecarMode = mode)
+        case "tfrecord"   => TfRecord.write(sharded, s"$out/payload",
+          payloadCol = cfg.encodeFormat, shardCol = Some("__shard"),
+          sidecarMode = mode, keyCol = "page_key")
         case "dummy"      => Sinks.dummy(payload)
       }
       Sinks.stats(stats, s"$out/stats")

@@ -72,6 +72,12 @@ object DocPipeline {
   private def oomSample(cfg: PipelineConfig): Int =
     math.ceil(math.log10(math.max(10, cfg.numSamplesPerShard))).toInt
 
+  /** Shard-id prefix of a DOCUMENT key: everything before the intra-shard
+    * index digits. Length-relative (not fixed-width) so keys that outgrow
+    * the `oomShardCount` padding still split correctly. */
+  def shardOfKey(key: Column, cfg: PipelineConfig): Column =
+    key.substr(lit(1), length(key) - oomSample(cfg))
+
   /** Deterministic document keys from a DENSE numeric id (0..N-1):
     * shard = id div perShard, index = id mod perShard — pure map-side
     * expressions, no shuffle, no window. This is the scale path: key

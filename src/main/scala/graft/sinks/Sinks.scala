@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Output sinks — the reference's six `*SampleWriter` classes
@@ -67,11 +67,13 @@ object Sinks {
     * no driver collect; any Hadoop filesystem scheme. */
   def files(df: DataFrame, out: String, keyCol: String = "key",
             payloadCol: String = "text", ext: String = "txt",
-            sampleDigits: Int = 4): Unit = {
+            sampleDigits: Int = 4, shardCol: Option[String] = None): Unit = {
     val fields = df.schema.fieldNames.toSeq
     val kIdx = fields.indexOf(keyCol)
     val pIdx = fields.indexOf(payloadCol)
+    val sIdx = shardCol.map(fields.indexOf).getOrElse(-1)
     require(kIdx >= 0 && pIdx >= 0, s"files sink needs $keyCol and $payloadCol")
+    require(shardCol.isEmpty || sIdx >= 0, s"files sink: missing shard column $shardCol")
     val conf = hadoopConf(df)
     // base dir exists even for an empty DataFrame (downstream listers
     // expect the sink root; executor-side mkdirs only fires per row)
@@ -81,9 +83,13 @@ object Sinks {
       val madeDirs = scala.collection.mutable.Set.empty[String]
       rows.foreach { row =>
         val key = row.getString(kIdx)
-        // shard subdir = key minus the intra-shard digits (ref
+        // shard subdir: explicit shard column (page-keyed pipeline
+        // output) or key minus the intra-shard digits (ref
         // `writer.py:283-287`: per-shard subdirectory named by shard id)
-        val shard = if (key.length > sampleDigits) key.dropRight(sampleDigits) else "0"
+        val shard =
+          if (sIdx >= 0) row.getString(sIdx)
+          else if (key.length > sampleDigits) key.dropRight(sampleDigits)
+          else "0"
         val shardDir = new Path(base, shard)
         if (madeDirs.add(shard)) fs.mkdirs(shardDir)
         val payload = row.get(pIdx) match {
@@ -92,9 +98,9 @@ object Sinks {
           case other          => String.valueOf(other).getBytes(StandardCharsets.UTF_8)
         }
         writeFully(fs, new Path(shardDir, s"$key.$ext"), payload)
-        val meta = fields.zipWithIndex.filterNot(_._2 == pIdx).map { case (f, i) =>
-          s""""$f": ${jsonVal(row.get(i))}"""
-        }.mkString("{", ", ", "}")
+        val meta = fields.zipWithIndex.filterNot(i => i._2 == pIdx || i._2 == sIdx)
+          .map { case (f, i) => s""""$f": ${jsonVal(row.get(i))}""" }
+          .mkString("{", ", ", "}")
         writeFully(fs, new Path(shardDir, s"$key.json"), meta.getBytes(StandardCharsets.UTF_8))
       }
     }
@@ -105,30 +111,61 @@ object Sinks {
     try o.write(bytes) finally o.close()
   }
 
-  /** webdataset sink (ref `writer.py:88-126`): per-partition tar of
-    * (`<key>.<ext>` payload, `<key>.json` meta) pairs + a parquet sidecar
-    * of the metadata. Tar written with commons-compress (ships with
-    * Spark) straight onto the Hadoop output stream. */
+  /** webdataset sink (ref `writer.py:88-126`): tars of (`<key>.<ext>`
+    * payload, `<key>.json` meta) pairs + a parquet sidecar of the
+    * metadata. Tar written with commons-compress (ships with Spark)
+    * straight onto the Hadoop output stream.
+    *
+    * With `shardCol` set, output is ONE TAR PER SHARD named
+    * `<shard>.tar` — the reference's shard-numbered layout
+    * (`writer.py:40-52`), written atomically (`.tmp` + rename) so an
+    * existing tar always means a COMPLETE shard; that's what makes
+    * shard-level resume ([[resumeShards]]) sound. Without it, one tar
+    * per partition named by partition id (generic frames). */
   def webdataset(df: DataFrame, out: String, keyCol: String = "key",
-                 payloadCol: String = "text", ext: String = "txt"): Unit = {
+                 payloadCol: String = "text", ext: String = "txt",
+                 shardCol: Option[String] = None,
+                 sidecarMode: SaveMode = SaveMode.Overwrite): Unit = {
     import org.apache.commons.compress.archivers.tar.TarArchiveOutputStream
-    val fields = df.schema.fieldNames.toSeq
+    val arranged = shardCol match {
+      case Some(c) => df.repartition(col(c)).sortWithinPartitions(col(c), col(keyCol))
+      case None    => df
+    }
+    val fields = arranged.schema.fieldNames.toSeq
     val kIdx = fields.indexOf(keyCol)
     val pIdx = fields.indexOf(payloadCol)
+    val sIdx = shardCol.map(fields.indexOf).getOrElse(-1)
     require(kIdx >= 0 && pIdx >= 0, s"webdataset sink needs $keyCol and $payloadCol")
+    require(shardCol.isEmpty || sIdx >= 0, s"webdataset sink: missing shard column $shardCol")
     val conf = hadoopConf(df)
     // base dir on the driver: an empty DataFrame still yields the sink root
     locally { val (fs, base) = fsFor(out, conf.value); fs.mkdirs(base) }
-    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    arranged.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
         val (fs, base) = fsFor(out, conf.value)
-        fs.mkdirs(base)
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val tar = new TarArchiveOutputStream(
-          new BufferedOutputStream(fs.create(new Path(base, f"$pid%05d.tar"), true)))
-        tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+        var curShard: String = null
+        var tar: TarArchiveOutputStream = null
+        var tmpPath: Path = null
+        def closeCurrent(): Unit = if (tar != null) {
+          tar.close()
+          fs.rename(tmpPath, new Path(base, s"$curShard.tar"))
+          tar = null
+        }
+        def open(name: String, tmp: Boolean): TarArchiveOutputStream = {
+          tmpPath = new Path(base, if (tmp) s"$name.tar.tmp" else s"$name.tar")
+          val t = new TarArchiveOutputStream(
+            new BufferedOutputStream(fs.create(tmpPath, true)))
+          t.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+          t
+        }
+        if (sIdx < 0) { curShard = f"$pid%05d"; tar = open(curShard, tmp = false) }
         try {
           rows.foreach { row =>
+            if (sIdx >= 0) {
+              val shard = row.getString(sIdx)
+              if (shard != curShard) { closeCurrent(); curShard = shard; tar = open(shard, tmp = true) }
+            }
             val key = row.getString(kIdx)
             val payload = row.get(pIdx) match {
               case b: Array[Byte] => b
@@ -136,16 +173,23 @@ object Sinks {
               case other          => String.valueOf(other).getBytes(StandardCharsets.UTF_8)
             }
             writeEntry(tar, s"$key.$ext", payload)
-            val meta = fields.zipWithIndex.filterNot(_._2 == pIdx).map { case (f, i) =>
-              s""""$f": ${jsonVal(row.get(i))}"""
-            }.mkString("{", ", ", "}")
+            val meta = fields.zipWithIndex.filterNot(i => i._2 == pIdx || i._2 == sIdx)
+              .map { case (f, i) => s""""$f": ${jsonVal(row.get(i))}""" }
+              .mkString("{", ", ", "}")
             writeEntry(tar, s"$key.json", meta.getBytes(StandardCharsets.UTF_8))
           }
-        } finally tar.close()
+        } finally {
+          if (sIdx >= 0) closeCurrent() else if (tar != null) tar.close()
+        }
       }
     }
-    // parquet sidecar of the metadata (ref writes one per shard).
-    df.drop(payloadCol).write.mode(SaveMode.Overwrite).parquet(s"$out/_metadata.parquet")
+    // parquet sidecar of the metadata (ref writes one per shard); Append
+    // under resume so prior shards' metadata survives — anti-joined so a
+    // REDONE shard (interrupted tar) doesn't duplicate its rows.
+    val sidecar = df.drop((payloadCol +: shardCol.toSeq): _*)
+    val sidecarRows = if (sidecarMode == SaveMode.Append)
+      resumeAntiJoin(sidecar, s"$out/_metadata.parquet", keyCol) else sidecar
+    sidecarRows.write.mode(sidecarMode).parquet(s"$out/_metadata.parquet")
   }
 
   private def writeEntry(tar: org.apache.commons.compress.archivers.tar.TarArchiveOutputStream,
@@ -166,12 +210,40 @@ object Sinks {
 
   /** Incremental resume (ref `main.py:140-151` done-shards scan): drop
     * rows whose key already exists in previous output — the idiomatic
-    * anti-join replacement. */
-  def resumeAntiJoin(df: DataFrame, existingOut: String, keyCol: String = "key"): DataFrame = {
+    * anti-join replacement. `format` must match what was written
+    * ("parquet" | "json"): reading jsonl output as parquet silently
+    * no-oped the resume. */
+  def resumeAntiJoin(df: DataFrame, existingOut: String, keyCol: String = "key",
+                     format: String = "parquet"): DataFrame = {
     val spark = df.sparkSession
-    val done = try spark.read.parquet(existingOut).select(col(keyCol)).distinct()
-    catch { case _: Exception => return df }
+    val done = try {
+      val prior = format match {
+        case "json" => spark.read.json(existingOut)
+        case _      => spark.read.parquet(existingOut)
+      }
+      prior.select(col(keyCol)).distinct()
+    } catch { case _: Exception => return df }
     df.join(done, Seq(keyCol), "left_anti")
+  }
+
+  /** Shard-level resume for the shard-file sinks (webdataset/tfrecord):
+    * drop rows whose shard's output file already exists. Output files
+    * are renamed into place only when complete, so existence == done —
+    * the reference's done-shards scan (`main.py:140-151`), literally.
+    * An interrupted shard (only a `.tmp` file) is redone whole. */
+  def resumeShards(df: DataFrame, existingOut: String, shard: Column,
+                   ext: String): DataFrame = {
+    val spark = df.sparkSession
+    val doneNames = try {
+      val (fs, base) = fsFor(existingOut, new Configuration(
+        spark.sparkContext.hadoopConfiguration))
+      fs.listStatus(base).map(_.getPath.getName)
+        .filter(_.endsWith(s".$ext")).map(_.stripSuffix(s".$ext")).toSeq
+    } catch { case _: Exception => return df }
+    if (doneNames.isEmpty) return df
+    import spark.implicits._
+    val done = doneNames.toDF("__done_shard")
+    df.join(broadcast(done), shard === col("__done_shard"), "left_anti")
   }
 
   private def jsonVal(v: Any): String = v match {

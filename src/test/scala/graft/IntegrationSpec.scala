@@ -120,6 +120,58 @@ class PipelineRunSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"${out.getAbsolutePath}/payload").count() == 4,
       "resume must not duplicate or erase prior output")
   }
+
+  test("webdataset output: per-page tar entries, shard-named tars, shard-level resume") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    // numSamplesPerShard=10 -> 1 index digit; 12 docs -> shards 00000 (docs
+    // 0-9) and 00001 (docs 10-11); 8-word bodies / 4 per page -> 2 pages/doc
+    val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10,
+      outputFormat = "webdataset", computeHash = None)
+    val manifest = (0 until 12)
+      .map(i => (f"u$i%02d", "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("url", "body")
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(manifest.select(col("url"), col("body")), Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val out = new java.io.File("target/tmp/pipeline_wds")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch))
+    val payloadDir = new java.io.File(out, "payload")
+    def tarNames() = payloadDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".tar")).sorted.toSeq
+    assert(tarNames() == Seq("00000.tar", "00001.tar"),
+      s"one tar per shard, shard-named: ${tarNames()}")
+    def entries(name: String): Seq[String] = {
+      val in = new TarArchiveInputStream(
+        new java.io.FileInputStream(new java.io.File(payloadDir, name)))
+      try Iterator.continually(in.getNextEntry).takeWhile(_ != null).map(_.getName).toVector
+      finally in.close()
+    }
+    val e0 = entries("00000.tar")
+    // 10 docs x 2 pages x (payload + json) = 40 entries, PAGE-keyed:
+    // doc key 000000 pages -> 0000000.txt / 0000001.txt (no collisions)
+    assert(e0.length == 40, s"per-page entries: ${e0.length}")
+    assert(e0.contains("0000000.txt") && e0.contains("0000001.txt"), e0.take(6))
+    assert(e0.distinct.length == e0.length, "page entries must not collide")
+    assert(entries("00001.tar").length == 8)
+    val sidecar = spark.read.parquet(s"${payloadDir.getAbsolutePath}/_metadata.parquet")
+    assert(sidecar.count() == 24, "sidecar: one metadata row per page")
+
+    // shard-level resume: delete one tar -> only that shard is redone
+    val intact = new java.io.File(payloadDir, "00000.tar")
+    val mtimeBefore = intact.lastModified()
+    assert(new java.io.File(payloadDir, "00001.tar").delete())
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch), resume = true)
+    assert(tarNames() == Seq("00000.tar", "00001.tar"), "missing shard redone")
+    assert(intact.lastModified() == mtimeBefore, "complete shard left untouched")
+    assert(entries("00001.tar").length == 8, "redone shard is complete")
+    val sidecarAfter = spark.read.parquet(s"${payloadDir.getAbsolutePath}/_metadata.parquet")
+    assert(sidecarAfter.count() == 24, "sidecar append must not duplicate redone pages")
+  }
 }
 
 class IvfSpec extends AnyFunSuite {
