@@ -667,6 +667,19 @@ object SparkEntry {
         .select(col("doc_id"), col("word"), col("score"), col("rk").cast("long").as("rk"))
     }),
 
+    "q67_unpivot" -> ((s, dir) => {
+      // wide -> long reshape via stack (the inverse of q44's pivot):
+      // 4 measure columns melt to (name, value) rows, pure codegen
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(4,
+            'l_quantity', l_quantity,
+            'l_extendedprice', l_extendedprice,
+            'l_discount', l_discount,
+            'l_tax', l_tax) AS (name, value)"""))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -1128,6 +1141,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 10""".stripMargin,
+
+    "q67_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, name, CAST(value AS DOUBLE) AS value
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin,
 
     "q63_repetition" ->
       """WITH b AS (
