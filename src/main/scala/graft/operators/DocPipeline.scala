@@ -176,18 +176,41 @@ object DocPipeline {
       else explodedRaw)
       .drop("__pz", "__p")
 
-    val stripped = Extraction.stripTags(col("page_xhtml"))
-    val afterDigits = if (cfg.removeDigits) Extraction.removeDigits(stripped) else stripped
-    val imgs = Extraction.imgTags(col("page_xhtml"))
+    // Payload text follows the reference's save_figures split
+    // (`extractor.py:141-144`): with figures the page keeps its <img>
+    // tags (strip-except-img); without, plain text. Digit removal only
+    // applies on the figure-less path (`extractor.py:164-165`), and
+    // per-image size/ratio failures are removed FROM THE TEXT on the
+    // figure path (`extractor.py:157-162`).
+    val allImgs = Extraction.imgTags(col("page_xhtml"))
+    val keptRaw =
+      if (cfg.saveFigures) Extraction.stripTagsExceptImg(col("page_xhtml"))
+      else Extraction.stripTags(col("page_xhtml"))
+    val afterDigits =
+      if (cfg.removeDigits && !cfg.saveFigures) Extraction.removeDigits(keptRaw)
+      else keptRaw
 
-    val base = exploded
+    val base0 = exploded
+      .withColumn("imgs", Extraction.filterImgs(allImgs, cfg.minImageSize, cfg.maxAspectRatio))
       .withColumn("text", afterDigits)
-      .withColumn("imgs", Extraction.filterImgs(imgs, cfg.minImageSize, cfg.maxAspectRatio))
       .withColumn("total_words", Extraction.wordCount(Extraction.stripTags(col("page_xhtml"))))
+    val imageFiltering = cfg.minImageSize > 0 || cfg.maxAspectRatio < Double.MaxValue
+    val base = if (cfg.saveFigures && imageFiltering) {
+      // failing tags leave the text too; the aggregate only runs on rows
+      // that actually lost an image (the If branch skips it otherwise)
+      val removed = array_except(allImgs, col("imgs"))
+      base0.withColumn("text",
+        when(size(removed) > 0,
+          aggregate(removed, col("text"), (t, img) => Extraction.removeImgTag(t, img)))
+        .otherwise(col("text")))
+    } else base0
 
     val withOpt = Seq(
       (cfg.getLanguage, (d: DataFrame) => d.withColumn("language", TextAnalysis.langId(col("text")))),
-      (cfg.saveFigures, (d: DataFrame) => d.withColumn("images_per_page", size(col("imgs")))),
+      // images_per_page counts the page's images BEFORE size/ratio
+      // filtering (ref `extractor.py:151-152`)
+      (cfg.saveFigures, (d: DataFrame) => d.withColumn("images_per_page",
+        size(Extraction.imgTags(col("page_xhtml"))))),
       // exif: assembled but never populated in the reference
       // (downloader.py:239-240,320-321) — kept for schema parity
       (cfg.extractExif, (d: DataFrame) => d.withColumn("exif", lit(null).cast(StringType))),

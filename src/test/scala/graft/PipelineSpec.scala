@@ -58,6 +58,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(keys == Set("00000010", "00000011"), s"zero-padded doc key + page_no: $keys")
   }
 
+  test("save_figures text semantics: img tags kept, failing imgs removed from text, digits gated") {
+    // ref extractor.py:141-165 — with save_figures the payload keeps its
+    // <img> tags, per-image size failures are removed from the text, and
+    // remove_digits only applies on the figure-less path
+    val xhtml = """<div><p>alpha 1234 beta</p>""" +
+      """<img width="300" height="300" src="big"/>""" +
+      """<img width="5" height="5" src="tiny"/></div>"""
+    val docs = Seq((1L, Seq(xhtml), null: String)).toDF("doc_id", "pages", "decode_error")
+
+    val figCfg = PipelineConfig(saveFigures = true, removeDigits = true,
+      minImageSize = 10, minWordsPerPage = 1, numSamplesPerShard = 100)
+    val fig = DocPipeline.explodePages(
+      DocPipeline.withKeys(docs, col("doc_id"), figCfg), figCfg)
+      .select("text", "images_per_page", "status").collect()(0)
+    assert(fig.getString(0).contains("src=\"big\""), "passing img tag stays in the text")
+    assert(!fig.getString(0).contains("tiny"), "failing img tag removed from the text")
+    assert(fig.getString(0).contains("1234"), "remove_digits is a no-op when save_figures")
+    assert(fig.getInt(1) == 2, "images_per_page counts PRE-filter images")
+    assert(fig.getString(2) == "success")
+
+    val plainCfg = PipelineConfig(saveFigures = false, removeDigits = true,
+      minWordsPerPage = 1, numSamplesPerShard = 100)
+    val plain = DocPipeline.explodePages(
+      DocPipeline.withKeys(docs, col("doc_id"), plainCfg), plainCfg)
+      .select("text").collect()(0).getString(0)
+    assert(!plain.contains("<img") && !plain.contains("1234"),
+      s"figure-less path strips tags and digits: $plain")
+  }
+
   test("dense-id keys: identical to global-window keys on a multi-partition manifest") {
     val cfg = PipelineConfig(numSamplesPerShard = 10)
     val urls = spark.range(0, 137)
