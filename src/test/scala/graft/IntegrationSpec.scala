@@ -172,6 +172,32 @@ class PipelineRunSpec extends AnyFunSuite {
     val sidecarAfter = spark.read.parquet(s"${payloadDir.getAbsolutePath}/_metadata.parquet")
     assert(sidecarAfter.count() == 24, "sidecar append must not duplicate redone pages")
   }
+
+  test("tfrecord output: pipeline writes, DSv2 source reads it back") {
+    val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10,
+      outputFormat = "tfrecord", computeHash = None)
+    val manifest = (0 until 12)
+      .map(i => (f"u$i%02d", "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("url", "body")
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(manifest.select(col("url"), col("body")), Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val out = new java.io.File("target/tmp/pipeline_tfrec")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch))
+    val payloadDir = new java.io.File(out, "payload")
+    val files = payloadDir.listFiles().map(_.getName).filter(_.endsWith(".tfrecord")).sorted
+    assert(files.toSeq == Seq("00000.tfrecord", "00001.tfrecord"), files.mkString(","))
+    // the engine reads its own sink: sidecar-inferred schema, full rows
+    val back = spark.read.format("tfrecord").load(payloadDir.getAbsolutePath)
+    assert(back.count() == 24, "12 docs x 2 pages")
+    assert(back.columns.contains("page_key") && back.columns.contains("text"))
+    val texts = back.select("text").distinct().collect().map(_.getString(0))
+    assert(texts.exists(_.contains("w1 w2 w3 w4")) && texts.exists(_.contains("w5 w6 w7 w8")),
+      s"both pages' text survives the round-trip: ${texts.mkString(" | ")}")
+  }
 }
 
 class IvfSpec extends AnyFunSuite {
