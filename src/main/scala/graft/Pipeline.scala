@@ -62,15 +62,7 @@ object Pipeline {
       HttpFetch.fetch(df, timeoutSec = cfg.timeoutSec, retries = cfg.retries,
         userAgentToken = cfg.userAgentToken,
         disallowed = cfg.disallowedHeaderDirectives)).apply(resumed)
-    val verified = (cfg.verifyHashCol, cfg.computeHash) match {
-      case (Some(_), _) => DocPipeline.verifyHash(fetched, "payload", cfg.verifyHashType)
-      case (None, Some(algo)) => DocPipeline.withComputedHash(fetched, "payload", algo)
-      case _ => fetched
-    }
-    val decoded = DocPipeline.decodePages(verified, decoder, "payload",
-      withDrawings = cfg.getDrawings)
-    val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
-      .withColumnRenamed("text", cfg.encodeFormat)
+    val tagged = extract(fetched, cfg, decoder)
     val (payload0, stats) = DocPipeline.channels(tagged)
     // counters ride the payload write; failure counts live in `stats`
     val (payload, obs) = Metrics.observed(payload0,
@@ -101,5 +93,64 @@ object Pipeline {
       Sinks.stats(stats, s"$out/stats")
     }
     Result(payload, stats, obs)
+  }
+
+  /** hash verify / compute → decode → per-page explode+filter+tag — the
+    * shared mid-section of [[run]] and [[runStream]] (every transform in
+    * it is map-side, which is exactly why the same plan is stream-safe). */
+  private def extract(fetched: DataFrame, cfg: PipelineConfig,
+                      decoder: PageDecoder): DataFrame = {
+    val verified = (cfg.verifyHashCol, cfg.computeHash) match {
+      case (Some(_), _) => DocPipeline.verifyHash(fetched, "payload", cfg.verifyHashType)
+      case (None, Some(algo)) => DocPipeline.withComputedHash(fetched, "payload", algo)
+      case _ => fetched
+    }
+    val decoded = DocPipeline.decodePages(verified, decoder, "payload",
+      withDrawings = cfg.getDrawings)
+    DocPipeline.explodePages(decoded.drop("payload"), cfg)
+      .withColumnRenamed("text", cfg.encodeFormat)
+  }
+
+  /** Streaming twin of [[run]] — incremental ingestion: manifests arrive
+    * as a file stream, flow through the SAME fetch→verify→decode→explode
+    * transforms (all map-side, so the plan streams without state), and
+    * append to the parquet payload via foreachBatch; each micro-batch
+    * also writes its stats sidecar (`$output/stats/batch_<id>`).
+    *
+    * Keys are stable url hashes, not dense sequential ids — a stream is
+    * unbounded, so there is no global order to number; the checkpoint
+    * provides exactly-once per manifest file (the reference's
+    * incremental mode, continuously).
+    *
+    * @param manifestStream streaming DataFrame of manifests (e.g.
+    *        `spark.readStream.text(dir)` renamed to the url column)
+    * @param fetcher override for tests; defaults to the stream-capable
+    *        [[HttpFetch.fetchStreaming]] (the pooled batch fetch needs
+    *        `df.rdd`, which streaming plans forbid)
+    */
+  def runStream(spark: SparkSession, manifestStream: DataFrame,
+                cfg: PipelineConfig, decoder: PageDecoder,
+                output: String, checkpoint: String,
+                fetcher: Option[DataFrame => DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    cfg.validate()
+    val normalized = ManifestReader.normalize(manifestStream, cfg.urlCol,
+      cfg.verifyHashCol, cfg.verifyHashType, cfg.saveAdditionalColumns)
+    val keyed = normalized.withColumn("key",
+      format_string("%016x", xxhash64(col("url"))))
+    val fetched = fetcher.getOrElse((df: DataFrame) =>
+      HttpFetch.fetchStreaming(df, timeoutSec = cfg.timeoutSec,
+        retries = cfg.retries, userAgentToken = cfg.userAgentToken,
+        disallowed = cfg.disallowedHeaderDirectives)).apply(keyed)
+    val tagged = extract(fetched, cfg, decoder)
+    tagged.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val (payload, stats) = DocPipeline.channels(batch)
+        Sinks.parquet(payload, s"$output/payload", org.apache.spark.sql.SaveMode.Append)
+        Sinks.stats(stats, s"$output/stats/batch_$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
   }
 }

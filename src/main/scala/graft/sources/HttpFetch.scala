@@ -65,13 +65,73 @@ object HttpFetch {
     *                       spread across processes; per Spark task a
     *                       smaller pool multiplies across executors)
     */
+  private def userAgent(token: Option[String]): String =
+    "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) Gecko/20100101 Firefox/72.0" +
+      token.map(t => s" (compatible; $t;)").getOrElse("")
+
+  /** One URL → (payload, status, error) with retries and the X-Robots-Tag
+    * opt-out check — the shared core of both fetch flavors. */
+  private def fetchUrl(client: HttpClient, url: String, ua: String,
+                       timeoutSec: Int, retries: Int,
+                       userAgentToken: Option[String],
+                       disallowed: Seq[String]): (Array[Byte], String, String) = {
+    var attempt = 0
+    var last: (Array[Byte], String, String) = (null, "failed_to_download", "no attempt")
+    while (attempt <= retries) {
+      try {
+        val req = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofSeconds(timeoutSec.toLong))
+          .header("User-Agent", ua)
+          .GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() >= 400) {
+          last = (null, "failed_to_download", s"http ${resp.statusCode()}")
+        } else {
+          val headers = resp.headers().map().asScala.toMap
+            .map { case (k, v) => k -> v.asScala.toSeq }
+          if (isDisallowed(headers, userAgentToken, disallowed))
+            last = (null, "failed_to_download", "Use of image disallowed by X-Robots-Tag directive")
+          else
+            return (resp.body(), "success", null)
+        }
+      } catch {
+        case NonFatal(e) =>
+          val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+          last = (null, "failed_to_download", msg)
+      }
+      attempt += 1
+    }
+    last
+  }
+
+  /** One JVM-wide client for the streaming (UDF) fetch flavor — created
+    * lazily per executor; request-level timeouts, so sharing is safe. */
+  @transient private lazy val sharedClient: HttpClient =
+    HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL).build()
+
+  /** Stream-capable fetch: a scalar UDF over `url` (the pooled
+    * [[fetch]] goes through `df.rdd`, which a streaming plan can't).
+    * One request in flight per task — in a streaming job, concurrency
+    * comes from partitions/cores rather than an in-task pool. */
+  def fetchStreaming(df: DataFrame, timeoutSec: Int = 10, retries: Int = 0,
+                     userAgentToken: Option[String] = None,
+                     disallowed: Seq[String] = Nil): DataFrame = {
+    val ua = userAgent(userAgentToken)
+    val f = org.apache.spark.sql.functions.udf((url: String) =>
+      fetchUrl(sharedClient, url, ua, timeoutSec, retries, userAgentToken, disallowed))
+    df.withColumn("__f", f(org.apache.spark.sql.functions.col("url")))
+      .withColumn("payload", org.apache.spark.sql.functions.col("__f._1"))
+      .withColumn("status", org.apache.spark.sql.functions.col("__f._2"))
+      .withColumn("error_message", org.apache.spark.sql.functions.col("__f._3"))
+      .drop("__f")
+  }
+
   def fetch(df: DataFrame, threadsPerTask: Int = 16, timeoutSec: Int = 10,
             retries: Int = 0, userAgentToken: Option[String] = None,
             disallowed: Seq[String] = Nil): DataFrame = {
     val schema = resultSchema(df.schema)
     val urlIdx = df.schema.fieldIndex("url")
-    val ua = "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) Gecko/20100101 Firefox/72.0" +
-      userAgentToken.map(t => s" (compatible; $t;)").getOrElse("")
+    val ua = userAgent(userAgentToken)
     val rdd = df.rdd.mapPartitions { rows =>
       // One client + pool per partition (ref reuses one session per N
       // requests, `downloader.py:37-45`); closed when the iterator drains.
@@ -82,35 +142,8 @@ object HttpFetch {
         .executor(pool)
         .build()
 
-      def fetchOne(url: String): (Array[Byte], String, String) = {
-        var attempt = 0
-        var last: (Array[Byte], String, String) = (null, "failed_to_download", "no attempt")
-        while (attempt <= retries) {
-          try {
-            val req = HttpRequest.newBuilder(URI.create(url))
-              .timeout(Duration.ofSeconds(timeoutSec.toLong))
-              .header("User-Agent", ua)
-              .GET().build()
-            val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-            if (resp.statusCode() >= 400) {
-              last = (null, "failed_to_download", s"http ${resp.statusCode()}")
-            } else {
-              val headers = resp.headers().map().asScala.toMap
-                .map { case (k, v) => k -> v.asScala.toSeq }
-              if (isDisallowed(headers, userAgentToken, disallowed))
-                last = (null, "failed_to_download", "Use of image disallowed by X-Robots-Tag directive")
-              else
-                return (resp.body(), "success", null)
-            }
-          } catch {
-            case NonFatal(e) =>
-              val msg = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
-              last = (null, "failed_to_download", msg)
-          }
-          attempt += 1
-        }
-        last
-      }
+      def fetchOne(url: String): (Array[Byte], String, String) =
+        fetchUrl(client, url, ua, timeoutSec, retries, userAgentToken, disallowed)
 
       // Grouped async execution: at most `threadsPerTask` requests in
       // flight (the reference's semaphore, `downloader.py:274-283`),

@@ -173,6 +173,53 @@ class PipelineRunSpec extends AnyFunSuite {
     assert(sidecarAfter.count() == 24, "sidecar append must not duplicate redone pages")
   }
 
+  test("runStream: streaming pipeline output equals the batch run (per url+page)") {
+    val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10,
+      computeHash = Some("md5"))
+    val bodies = (0 until 8)
+      .map(i => (f"u$i%02d", s"a$i b$i c$i d$i e$i f$i g$i h$i")).toDF("url", "body")
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(bodies, Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+
+    // stage the manifest as files -> file-stream source
+    val mdir = new java.io.File("target/tmp/stream_manifest")
+    org.apache.commons.io.FileUtils.deleteQuietly(mdir); mdir.mkdirs()
+    val urls = (0 until 8).map(i => f"u$i%02d")
+    java.nio.file.Files.write(new java.io.File(mdir, "m1.txt").toPath,
+      urls.take(5).mkString("\n").getBytes)
+    java.nio.file.Files.write(new java.io.File(mdir, "m2.txt").toPath,
+      urls.drop(5).mkString("\n").getBytes)
+    val out = new java.io.File("target/tmp/stream_pipeline")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+
+    val manifestStream = spark.readStream.text(mdir.getAbsolutePath)
+      .withColumnRenamed("value", "url")
+    val q = Pipeline.runStream(spark, manifestStream, cfg,
+      graft.sources.FakePdfDecoder(4), out.getAbsolutePath,
+      s"${out.getAbsolutePath}/_checkpoint", fetcher = Some(fakeFetch))
+    q.awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("url", "page_no", "text", "md5")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val streamed = rows(spark.read.parquet(s"${out.getAbsolutePath}/payload"))
+    val batch = rows(Pipeline.run(spark,
+      bodies.select("url").toDF("url"), cfg,
+      graft.sources.FakePdfDecoder(4), fetcher = Some(fakeFetch)).payload
+      .withColumnRenamed(cfg.encodeFormat, "text"))
+    assert(streamed.nonEmpty && streamed == batch,
+      "streaming twin must produce the batch rows (keys aside)")
+    // re-running the stream adds nothing: checkpoint makes files exactly-once
+    val q2 = Pipeline.runStream(spark, manifestStream, cfg,
+      graft.sources.FakePdfDecoder(4), out.getAbsolutePath,
+      s"${out.getAbsolutePath}/_checkpoint", fetcher = Some(fakeFetch))
+    q2.awaitTermination()
+    assert(rows(spark.read.parquet(s"${out.getAbsolutePath}/payload")) == batch)
+  }
+
   test("tfrecord output: pipeline writes, DSv2 source reads it back") {
     val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10,
       outputFormat = "tfrecord", computeHash = None)
