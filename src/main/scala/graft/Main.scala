@@ -99,7 +99,10 @@ object Main {
     val decoder: PageDecoder = a.get("decoder_class") match {
       case Some(cls) => Class.forName(cls).getDeclaredConstructor()
         .newInstance().asInstanceOf[PageDecoder]
-      case None => FakePdfDecoder()
+      case None =>
+        System.err.println("[graft] no --decoder_class given; using the deterministic " +
+          "stand-in decoder (this build ships no PDF library — see sources/DocDecode.scala)")
+        FakePdfDecoder()
     }
     val resume = a.getOrElse("incremental_mode", "incremental") match {
       case "incremental" => true

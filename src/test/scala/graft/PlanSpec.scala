@@ -48,6 +48,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("q64: tf-idf plans WindowGroupLimit and broadcasts the doc-count side") {
+    val p = plan("q64_tfidf")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "n_docs scalar must broadcast, never shuffle the tf side for it")
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
