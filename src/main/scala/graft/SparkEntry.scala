@@ -456,12 +456,17 @@ object SparkEntry {
 
     "q39_stream_tumbling" -> ((s, dir) => {
       // batch parquet replayed through a real streaming query (AvailableNow
-      // + memory sink); result must equal the batch/oracle twin q18
+      // + memory sink); result must equal the batch/oracle twin q18.
+      // State partitions sized to the data (see q65's rationale).
       val staging = StreamingOps.defaultStagingDir(s, dir)
       StreamingOps.stageEventsForStreaming(s, dir, staging)
-      val stream = StreamingOps.eventsStream(s, staging)
-      val agg = StreamingOps.windowedAgg(stream, "10 minutes")
-      StreamingOps.runToMemory(s, agg, "q39_stream_tumbling")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+        val agg = StreamingOps.windowedAgg(stream, "10 minutes")
+        StreamingOps.runToMemory(s, agg, "q39_stream_tumbling")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // --------------------------------------------- approx / SQL surface
