@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, Dedup, DocPipeline, Multimodal, Similarity}
+import graft.operators.{AsOf, CumSum, Dedup, DocPipeline, Multimodal, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -693,6 +693,18 @@ object SparkEntry {
             'l_tax', l_tax) AS (name, value)"""))
     }),
 
+    "q68_token_budget" -> ((s, dir) => {
+      // budget selection: best documents (by length, stable order) until
+      // a 20k-token budget is spent. The running total is the two-pass
+      // CumSum — no partition-less Window anywhere (PlanSpec-gated).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      CumSum.budgetTake(d, Seq(col("n_chars").desc, col("doc_id")),
+          col("tok"), budget = 20000L, cumCol = "cum_tokens")
+        .select(col("doc_id"), col("n_chars"), col("tok"), col("cum_tokens"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -1160,6 +1172,12 @@ object SparkEntry {
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
         |      FROM lineitem WHERE l_orderkey < 100)
         |UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin,
+
+    "q68_token_budget" ->
+      """WITH d AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT doc_id, n_chars, CAST(tok AS BIGINT) AS tok,
+        |  CAST(SUM(tok) OVER (ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |FROM d QUALIFY cum_tokens <= 20000""".stripMargin,
 
     "q63_repetition" ->
       """WITH b AS (

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global running total over a total order WITHOUT a global window — the
+  * naive `sum(w) over (order by ...)` serializes the whole table through
+  * one partition, the same scale-killer as global `row_number` (SURVEY
+  * §7.5.1). Two-pass form, identical discipline to
+  * [[DocPipeline.withDenseIds]]:
+  *
+  *   1. range-repartition + sort on the order; freeze the layout with an
+  *      eager localCheckpoint (two jobs must see the same range bounds);
+  *   2. per-partition weight sums (one row per partition) → cumulative
+  *      offsets on the driver → broadcast back;
+  *   3. running sum WITHIN each partition (parallel window) + offset.
+  *
+  * Weights should be integral at the oracle boundary: long addition is
+  * exact in any grouping, while float prefix sums depend on association
+  * order. The training-data use is budget selection: rank a corpus by
+  * quality and keep documents until a token budget is spent.
+  */
+object CumSum {
+
+  def withRunningTotal(df: DataFrame, order: Seq[Column], weight: Column,
+                       outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = sorted.groupBy(col("__pid")).agg(sum(col("__w")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val row = (pid, acc); acc += s; row }
+    val offsetsDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(outCol, col("__offset") + sum(col("__w")).over(w))
+      .drop("__pid", "__offset", "__w")
+  }
+
+  /** Keep rows (in `order`) while the running `weight` total stays within
+    * `budget` — inclusive: a row is kept if the total UP TO AND INCLUDING
+    * it fits. */
+  def budgetTake(df: DataFrame, order: Seq[Column], weight: Column,
+                 budget: Long, cumCol: String = "cum_weight"): DataFrame =
+    withRunningTotal(df, order, weight, cumCol).filter(col(cumCol) <= budget)
+}

@@ -55,6 +55,17 @@ class PlanSpec extends AnyFunSuite {
       "n_docs scalar must broadcast, never shuffle the tf side for it")
   }
 
+  test("q68: running total plans no partition-less Window (two-pass cumsum)") {
+    val p = plan("q68_token_budget")
+    // a global `sum over (order by)` would plan a Window whose spec has
+    // no partition columns — the single-partition funnel CumSum avoids;
+    // every window spec here must partition by __pid
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, p.take(1200))
+    specs.foreach(i => assert(p.substring(i).startsWith("__pid"),
+      s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))

@@ -131,3 +131,39 @@ class StatefulStreamingSpec extends AnyFunSuite {
     }
   }
 }
+
+class CumSumSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.CumSum
+  import org.apache.spark.sql.expressions.{Window => W}
+
+  test("two-pass running total equals the global window, under partial range sampling") {
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10")
+    try {
+      val n = 20000
+      val df = spark.range(0, n).select(
+        concat(lit("k"), format_string("%07d", xxhash64(col("id")) % 10000000L),
+          format_string("%05d", col("id"))).as("k"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(100L)) + 1).as("w"))
+        .repartition(11)
+      val got = CumSum.withRunningTotal(df, Seq(col("k")), col("w"), "cum")
+        .select("k", "cum").as[(String, Long)].collect().toMap
+      val want = df.withColumn("cum",
+          sum(col("w")).over(W.orderBy(col("k"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select("k", "cum").as[(String, Long)].collect().toMap
+      assert(got.size == n && got == want,
+        "two-pass cumsum must reproduce sum() over (order by) exactly")
+    } finally { prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) } }
+  }
+
+  test("budgetTake keeps exactly the prefix that fits") {
+    val df = Seq(("a", 5L), ("b", 7L), ("c", 4L), ("d", 10L)).toDF("k", "w")
+    val kept = CumSum.budgetTake(df, Seq(col("k")), col("w"), budget = 16L)
+      .select("k").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a", "b", "c"), s"5+7+4=16 fits, +10 does not: $kept")
+  }
+}
