@@ -88,6 +88,10 @@ object Main {
       throw new IllegalArgumentException("--url_list is required"))
     val outputFolder = a.getOrElse("output_folder", "documents")
     val cfg = buildConfig(a)
+    // only stop the session if this CLI created it (embedding a Main call
+    // in a larger app/test must not tear down the host's session)
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .appName("graft")
       .config("spark.sql.shuffle.partitions",
@@ -115,6 +119,6 @@ object Main {
     val counts = result.stats.collect()
       .map(r => s"${r.get(0)}=${r.get(2)}").mkString(", ")
     println(s"[graft] done: $counts")
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

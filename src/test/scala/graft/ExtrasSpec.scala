@@ -250,3 +250,44 @@ class MainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Main.readManifest(spark, txt.toString, "xml"))
   }
 }
+
+class MainE2eSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("CLI end-to-end: manifest file -> Main.main -> parquet output") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import java.net.InetSocketAddress
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val body = "alpha beta gamma delta epsilon zeta eta theta"
+    server.createContext("/doc", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val b = body.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val dir = new File("target/tmp/cli_e2e"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      dir.mkdirs()
+      val manifest = new File(dir, "manifest.txt")
+      java.nio.file.Files.write(manifest.toPath,
+        (0 until 3).map(i => s"http://127.0.0.1:$port/doc?i=$i").mkString("\n").getBytes)
+      val out = new File(dir, "out")
+      spark.sparkContext.setLogLevel("WARN") // keep the shared session hot
+      Main.main(Array(
+        "--url_list", manifest.getAbsolutePath,
+        "--output_folder", out.getAbsolutePath,
+        "--input_format", "txt",
+        "--output_format", "parquet",
+        "--min_words_per_page", "2",
+        "--incremental_mode", "overwrite"))
+      assert(!spark.sparkContext.isStopped, "CLI must not stop a pre-existing session")
+      val payload = spark.read.parquet(s"${out.getAbsolutePath}/payload")
+      assert(payload.count() == 3, "3 docs x 1 page (default decoder: 40 words/page)")
+      assert(payload.columns.contains("sha256") && payload.columns.contains("page_key"))
+      assert(spark.read.json(s"${out.getAbsolutePath}/stats").count() >= 1)
+    } finally server.stop(0)
+  }
+}
