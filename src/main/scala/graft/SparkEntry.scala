@@ -430,6 +430,14 @@ object SparkEntry {
       Multimodal.decodeMetadata(withMedia).toDF()
     }),
 
+    "q69_frame_sample" -> ((s, dir) => {
+      // frame sampling over "video" payloads: typed mapPartitions explode
+      // (one codec per partition); the stub's arithmetic offsets make the
+      // whole operator oracle-able
+      val withMedia = Multimodal.withBinaryPayload(Tables.documents(s, dir), "text")
+      Multimodal.sampleFrameOffsets(withMedia, stride = 100).toDF()
+    }),
+
     // ----------------------------------------------------------- streaming
     "q65_stream_join" -> ((s, dir) => {
       // REAL stream-stream join (two file streams over the same staged
@@ -1029,6 +1037,10 @@ object SparkEntry {
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    "q69_frame_sample" ->
+      """SELECT doc_id, CAST(s.i // 100 AS BIGINT) AS frame_no, CAST(s.i AS BIGINT) AS offset
+        |FROM documents, LATERAL unnest(generate_series(0, octet_length(encode(text)) - 1, 100)) AS s(i)""".stripMargin,
 
     "q39_stream_tumbling" ->
       s"""$evCte

@@ -19,6 +19,7 @@ object Multimodal {
   case class MediaMeta(width: Int, height: Int, channels: Int, format: String)
   case class DecodedImage(doc_id: Long, width: Int, height: Int,
                           channels: Int, format: String, n_bytes: Long)
+  case class FrameOffset(doc_id: Long, frame_no: Long, offset: Long)
 
   /** STUB image codec: parses deterministic pseudo-metadata from the
     * payload bytes. A production build replaces `decodeMeta` with a real
@@ -52,6 +53,26 @@ object Multimodal {
     * the schema/partitioning contract is what's exercised). */
   def withBinaryPayload(df: DataFrame, from: String, as: String = "media"): DataFrame =
     df.withColumn(as, encode(col(from), "UTF-8"))
+
+  /** One row per sampled frame of each "video" payload — the typed
+    * explode shape of frame extraction (one codec per partition, rows
+    * streamed). The stub's offsets are arithmetic, which is what makes
+    * the whole operator DuckDB-oracle-able (q69). */
+  def sampleFrameOffsets(df: DataFrame, idCol: String = "doc_id",
+                         mediaCol: String = "media", stride: Int = 100): Dataset[FrameOffset] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = FakeImageCodec // per-partition init point
+        rows.flatMap { case (id, payload) =>
+          codec.sampleFrames(payload, stride).zipWithIndex.map {
+            case (off, i) => FrameOffset(id, i.toLong, off)
+          }
+        }
+      }
+  }
 
   /** Decode metadata for each media payload — one codec per partition,
     * rows streamed (never materialized per-partition). */
