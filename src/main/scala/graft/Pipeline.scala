@@ -17,10 +17,27 @@ import graft.sources.{HttpFetch, ManifestReader, PageDecoder}
   */
 object Pipeline {
 
+  /** The typed core of a payload row (SURVEY §1.4): the columns every
+    * run produces regardless of flags. Config-dependent columns (hash,
+    * language, drawings, ...) stay dynamic on the DataFrame. */
+  final case class PageRecord(key: String, url: String, status: String,
+                              page_no: Int, text: String, total_words: Int,
+                              page_key: String)
+
   /** payload = success pages; stats = status histogram; observation
     * carries the run counters (docs/sec etc. via [[Metrics.summary]]). */
   final case class Result(payload: DataFrame, stats: DataFrame,
-                          observation: org.apache.spark.sql.Observation)
+                          observation: org.apache.spark.sql.Observation) {
+    /** Typed view of the always-present payload columns — `Dataset[T]`
+      * where type safety helps, `DataFrame` where schema is dynamic. */
+    def typedPayload(encodeFormat: String = "text"): org.apache.spark.sql.Dataset[PageRecord] = {
+      val spark = payload.sparkSession
+      import spark.implicits._
+      payload.select(col("key"), col("url"), col("status"), col("page_no"),
+        col(encodeFormat).as("text"), col("total_words"), col("page_key"))
+        .as[PageRecord]
+    }
+  }
 
   /** @param manifest raw manifest frame (any source from
     *                 [[ManifestReader]]); column names per cfg

@@ -119,6 +119,11 @@ class PipelineRunSpec extends AnyFunSuite {
       Some(out.getAbsolutePath), fetcher = Some(fakeFetch), resume = true)
     assert(spark.read.parquet(s"${out.getAbsolutePath}/payload").count() == 4,
       "resume must not duplicate or erase prior output")
+
+    // typed facade: the always-present columns as Dataset[PageRecord]
+    val typed = r.typedPayload().collect()
+    assert(typed.length == 4 && typed.forall(_.status == "success"))
+    assert(typed.forall(p => p.page_key == p.key + p.page_no))
   }
 
   test("webdataset output: per-page tar entries, shard-named tars, shard-level resume") {
