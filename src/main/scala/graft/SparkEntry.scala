@@ -713,6 +713,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("tok"), col("cum_tokens"))
     }),
 
+    "q70_dedup_keep_best" -> ((s, dir) => {
+      // survivor POLICY variant of exact dedup: keep the highest-quality
+      // member of each content group (keep-first is q30). rank=1 over
+      // (group, quality desc) compiles to WindowGroupLimit — the policy
+      // changes, the scale shape doesn't.
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("h"), col("n_chars"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -1184,6 +1198,13 @@ object SparkEntry {
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
         |      FROM lineitem WHERE l_orderkey < 100)
         |UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin,
+
+    "q70_dedup_keep_best" ->
+      """SELECT doc_id, h, n_chars FROM (
+        |  SELECT doc_id, md5(text) AS h, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk = 1""".stripMargin,
 
     "q68_token_budget" ->
       """WITH d AS (SELECT doc_id, n_chars, len(string_split(text, ' ')) AS tok FROM documents)
