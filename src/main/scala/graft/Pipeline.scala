@@ -95,8 +95,12 @@ object Pipeline {
       val sharded = payload.withColumn("__shard",
         DocPipeline.shardOfKey(col("key"), cfg))
       cfg.outputFormat match {
-        case "parquet"    => Sinks.parquet(payload, s"$out/payload", mode)
-        case "jsonl"      => Sinks.jsonlGz(payload, s"$out/payload", mode)
+        // file sizing mirrors the reference's number_sample_per_shard
+        // (reader.py:139-146 shard files; here it caps rows per part file)
+        case "parquet"    => Sinks.parquet(payload, s"$out/payload", mode,
+          maxRecordsPerFile = cfg.numSamplesPerShard)
+        case "jsonl"      => Sinks.jsonlGz(payload, s"$out/payload", mode,
+          maxRecordsPerFile = cfg.numSamplesPerShard)
         case "files"      => Sinks.files(sharded, s"$out/payload",
           keyCol = "page_key", payloadCol = cfg.encodeFormat, shardCol = Some("__shard"))
         case "webdataset" => Sinks.webdataset(sharded, s"$out/payload",

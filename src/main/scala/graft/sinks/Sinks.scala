@@ -52,9 +52,14 @@ object Sinks {
       .parquet(out)
   }
 
-  /** jsonl.gz sink (ref `writer.py:129-163`). */
-  def jsonlGz(df: DataFrame, out: String, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).option("compression", "gzip").json(out)
+  /** jsonl.gz sink (ref `writer.py:129-163`); sizing via
+    * maxRecordsPerFile like the parquet twin. */
+  def jsonlGz(df: DataFrame, out: String, mode: SaveMode = SaveMode.Overwrite,
+              maxRecordsPerFile: Int = 0): Unit = {
+    val w = df.write.mode(mode).option("compression", "gzip")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toLong) else w)
+      .json(out)
+  }
 
   /** dummy sink (ref `writer.py:313-323`): full compute, no output — the
     * benchmark-mode writer, mapped to Spark's noop source. */

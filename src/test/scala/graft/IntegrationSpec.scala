@@ -126,6 +126,29 @@ class PipelineRunSpec extends AnyFunSuite {
     assert(typed.forall(p => p.page_key == p.key + p.page_no))
   }
 
+  test("parquet output respects numSamplesPerShard as rows-per-file") {
+    val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10)
+    val manifest = (0 until 30)
+      .map(i => (f"u$i%02d", "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("url", "body")
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(manifest.select(col("url"), col("body")), Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val out = new java.io.File("target/tmp/pipeline_sized")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch))
+    // 30 docs x 2 pages = 60 rows at <=10/file => every part file small
+    val parts = new java.io.File(out, "payload").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 10, s"${f.getName} has $n rows > numSamplesPerShard")
+    }
+  }
+
   test("webdataset output: per-page tar entries, shard-named tars, shard-level resume") {
     import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
     // numSamplesPerShard=10 -> 1 index digit; 12 docs -> shards 00000 (docs
