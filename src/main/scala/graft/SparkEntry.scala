@@ -727,6 +727,24 @@ object SparkEntry {
         .select(col("doc_id"), col("h"), col("n_chars"))
     }),
 
+    "q71_doc_reassembly" -> ((s, dir) => {
+      // ordered aggregation — the INVERSE of chunking/explode: collect a
+      // doc's non-overlapping chunks and concatenate in chunk order
+      // (collect_list is unordered; array_sort on the (chunk_no, chunk)
+      // struct restores determinism). Reassembled text must equal the
+      // original, so the oracle is exact.
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), length(col("text")) - 1, lit(200)))
+            .as(Seq("chunk_no", "start")))
+        .select(col("doc_id"), col("chunk_no"),
+          expr("substring(text, start + 1, 200)").as("chunk"))
+      chunks.groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("chunk_no"), col("chunk")))),
+            x => x.getField("chunk")), "").as("text"))
+    }),
+
     "q53_hash_sample" -> ((s, dir) => {
       // deterministic ~6% sample: md5-prefix threshold on the row key.
       // (df.sample is engine-RNG — this is the reproducible flavor that
@@ -1198,6 +1216,14 @@ object SparkEntry {
         |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
         |      FROM lineitem WHERE l_orderkey < 100)
         |UNPIVOT (value FOR name IN (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin,
+
+    "q71_doc_reassembly" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(s.i // 200 AS BIGINT) AS chunk_no,
+        |    substr(text, CAST(s.i AS INT) + 1, 200) AS chunk
+        |  FROM documents, LATERAL unnest(generate_series(0, length(text) - 1, 200)) AS s(i))
+        |SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_no) AS text
+        |FROM c GROUP BY doc_id""".stripMargin,
 
     "q70_dedup_keep_best" ->
       """SELECT doc_id, h, n_chars FROM (
