@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, CumSum, Dedup, DocPipeline, Multimodal, Similarity}
+import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Multimodal, RangeJoin, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -763,6 +763,106 @@ object SparkEntry {
         (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
     }),
 
+    "q72_line_dedup" -> ((s, dir) => {
+      // corpus-level line dedup (the C4/RefinedWeb discipline): segment
+      // into 5-word lines (the synthetic corpus has no newlines, so the
+      // segmentation mirrors q25's), keep each distinct line's FIRST
+      // occurrence — min(struct(key, line_no)) per line, partial-agg
+      // friendly, ONE shuffle on content — then reassemble survivors in
+      // line order. Docs that were entirely duplicate lines drop out.
+      val ws = split(col("text"), " ")
+      val np = ceil(size(ws) / lit(5.0)).cast("int")
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"), np.as("np"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("np") - 1)).as("line_no"))
+        .select(col("doc_id").as("key"), col("line_no").cast("long").as("line_no"),
+          array_join(slice(col("ws"), col("line_no") * 5 + 1, lit(5)), " ").as("line"))
+      Dedup.reassembleLines(Dedup.lineDedup(lines), " ")
+        .select(col("key").as("doc_id"), col("text"), col("n_lines_kept"))
+    }),
+
+    "q73_decontam" -> ((s, dir) => {
+      // benchmark decontamination: 3-word-shingle overlap of the corpus
+      // against a held-out "test set" (every 50th doc). Benchmark shingle
+      // set is broadcast (test sets are small by nature); the corpus side
+      // shuffles only for the per-doc overlap count.
+      val d = Tables.documents(s, dir)
+      val bench = d.filter(col("doc_id") % 50 === 0)
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      Dedup.decontaminate(corpus, col("text"), col("doc_id"),
+          bench, col("text"), k = 3, minRatio = 0.2)
+        .select(col("key").as("doc_id"), col("n_overlap"), col("n_shingles"),
+          col("overlap_ratio"))
+    }),
+
+    "q74_pii_redact" -> ((s, dir) => {
+      // PII scrub: deterministic planted email/IP/phone per doc, redacted
+      // with typed placeholders; patterns restricted to Java∩RE2 syntax so
+      // the oracle replays them byte-identically.
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call 555-"), format_string("%04d", col("doc_id") % 10000))
+      Tables.documents(s, dir)
+        .withColumn("full", planted)
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("full")).as("redacted"),
+          TextAnalysis.piiCount(col("full"), TextAnalysis.emailPattern).as("n_emails"),
+          TextAnalysis.piiCount(col("full"), TextAnalysis.ipv4Pattern).as("n_ips"),
+          TextAnalysis.piiCount(col("full"), TextAnalysis.phonePattern).as("n_phones"))
+    }),
+
+    "q75_gopher_filter" -> ((s, dir) => {
+      // Gopher-style rule-based quality gate: boolean flags per rule plus
+      // the conjunction — the filter form of q26's continuous scores.
+      val t = col("text")
+      val nWords = TextAnalysis.wsTokenCount(t).cast("long")
+      val mwl = TextAnalysis.meanWordLen(t)
+      val awr = TextAnalysis.alphaWordRatio(t)
+      val stops = size(regexp_extract_all(lower(t),
+        lit(TextAnalysis.stopwordAltPattern), lit(0))).cast("long")
+      val okWords = nWords.between(50L, 100000L)
+      val okLen = mwl >= 3.0 && mwl <= 10.0
+      val okAlpha = awr >= 0.8
+      val okStops = stops >= 2L
+      Tables.documents(s, dir).select(col("doc_id"),
+        nWords.as("n_words"), mwl.as("mean_word_len"),
+        awr.as("alpha_word_ratio"), stops.as("n_stopwords"),
+        okWords.as("ok_words"), okLen.as("ok_word_len"),
+        okAlpha.as("ok_alpha"), okStops.as("ok_stopwords"),
+        (okWords && okLen && okAlpha && okStops).as("pass"))
+    }),
+
+    "q76_range_join" -> ((s, dir) => {
+      // bucketized interval join: clicks matched to the 30-minute windows
+      // opened by a deterministic subset of purchases. NO equi key exists,
+      // yet the plan must not be a nested-loop join — RangeJoin buckets
+      // both sides (width = window length) and equi-joins on the bucket
+      // (CurationSpec gates the plan against BNLJ/CartesianProduct).
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val wins = ev.filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 30 minutes")).as("win_end"))
+      RangeJoin.pointInInterval(clicks, col("click_ts"),
+          wins, col("win_start"), col("win_end"), bucketWidthSec = 1800L)
+        .select(col("click_id"), col("win_id"), col("click_ts"))
+    }),
+
+    "q77_bloom_blocklist" -> ((s, dir) => {
+      // bloom-filter blocklist subtraction: the 100 TB shape of an
+      // anti-join — blocklist aggregated to a broadcast sketch, stream
+      // filtered map-side with NO shuffle. Approximate (fpp extra drops,
+      // zero false negatives) → rows-only; subset + drop-rate bounds vs
+      // the exact anti-join asserted in CurationSpec.
+      val block = Tables.part(s, dir).filter(col("p_size") > 40).select(col("p_partkey"))
+      Blocklist.filterNotIn(Tables.lineitem(s, dir), col("l_partkey"),
+          block, col("p_partkey"), expectedItems = 20000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1262,6 +1362,84 @@ object SparkEntry {
         |SELECT doc_id, word, score, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM scored)
         |WHERE rk <= 5""".stripMargin,
+
+    "q72_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, CAST(ceil(len(ws)/5.0) AS INTEGER) AS np FROM t),
+        |l AS (SELECT p.doc_id, CAST(g.i AS BIGINT) AS line_no,
+        |        array_to_string(ws[g.i*5+1 : least((g.i+1)*5, len(ws))], ' ') AS line
+        |      FROM p, LATERAL (SELECT unnest(generate_series(0, np-1)) AS i) g),
+        |k AS (SELECT doc_id, line_no, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rk
+        |      FROM l)
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text,
+        |       COUNT(*) AS n_lines_kept
+        |FROM k WHERE rk = 1 GROUP BY doc_id""".stripMargin,
+
+    "q73_decontam" ->
+      """WITH w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(words[i:i+2], ' ')
+        |                        FOR i IN generate_series(1, greatest(len(words) - 2, 1))]) AS sh
+        |       FROM w WHERE len(words) > 0),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        |doc AS (SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+        |        FROM sh WHERE doc_id % 50 != 0),
+        |ov AS (SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+        |       FROM doc JOIN bench USING (g) GROUP BY doc_id, n_shingles)
+        |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+        |       CAST(n_shingles AS BIGINT) AS n_shingles,
+        |       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio
+        |FROM ov WHERE CAST(n_overlap AS DOUBLE) / n_shingles >= 0.2""".stripMargin,
+
+    "q74_pii_redact" ->
+      """WITH f AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.7 call 555-' || printf('%04d', doc_id % 10000) AS ft
+        |FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(ft,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(ft, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(ft, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(ft, '\b\d{3}[- ]\d{4}\b')) AS n_phones
+        |FROM f""".stripMargin,
+
+    "q75_gopher_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_words,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS mean_word_len,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS alpha_word_ratio,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS n_stopwords
+        |FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, n_stopwords,
+        |  n_words BETWEEN 50 AND 100000 AS ok_words,
+        |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        |  alpha_word_ratio >= 0.8 AS ok_alpha,
+        |  n_stopwords >= 2 AS ok_stopwords,
+        |  (n_words BETWEEN 50 AND 100000) AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND alpha_word_ratio >= 0.8 AND n_stopwords >= 2 AS pass
+        |FROM m""".stripMargin,
+
+    "q76_range_join" ->
+      s"""$evCte,
+         |c AS (SELECT event_id AS click_id, ts AS click_ts
+         |      FROM ev WHERE event_type = 'click'),
+         |w AS (SELECT event_id AS win_id, ts AS win_start,
+         |             ts + INTERVAL 30 MINUTE AS win_end
+         |      FROM ev WHERE event_type = 'purchase' AND event_id % 97 = 0)
+         |SELECT click_id, win_id, click_ts
+         |FROM c JOIN w ON click_ts >= win_start AND click_ts <= win_end""".stripMargin,
 
     "q60_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem

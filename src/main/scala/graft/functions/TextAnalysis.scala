@@ -148,6 +148,43 @@ object TextAnalysis {
     lenScore * alpha * (lit(1.0) - least(punct * 5.0, lit(1.0)))
   }
 
+  /** Fraction of whitespace tokens containing at least one ASCII letter —
+    * the Gopher "80% of words must contain an alphabetic character" rule.
+    * The greedy `\S*[A-Za-z]\S*` pattern consumes a whole token per match,
+    * so each qualifying token counts exactly once; identical under Java
+    * and RE2 regex. */
+  val alphaWordPattern = "\\S*[A-Za-z]\\S*"
+  def alphaWordRatio(c: Column): Column = {
+    val total = wsTokenCount(c)
+    when(total === 0, lit(0.0))
+      .otherwise(size(regexp_extract_all(c, lit(alphaWordPattern), lit(0))).cast("double") / total)
+  }
+
+  // --------------------------------------------------------- PII redaction
+
+  /** PII patterns — deliberately restricted to syntax shared verbatim by
+    * Java regex and RE2 (no lookaround, no backrefs) so the DuckDB oracle
+    * replays them identically. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}[- ]\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses and phone-shaped numbers with typed
+    * placeholder tokens — the standard pre-training privacy scrub.
+    * Emails first (their local parts contain dots/digits that the later
+    * patterns must not see), then dotted quads, then phone shapes; all
+    * three replacements are codegen'd regexp_replace passes. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of matches of one PII pattern in the raw text. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   // -------------------------------------------------------- fingerprinting
 
   /** 64-bit FNV-1a over the concatenated normalized tokens — a rolling

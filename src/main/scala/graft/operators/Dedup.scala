@@ -285,6 +285,65 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  // ----------------------------------------------------------- line dedup
+
+  /** Corpus-level line deduplication (the C4/RefinedWeb discipline: a line
+    * that appears anywhere else in the corpus survives only at its first
+    * occurrence). Input is a lines frame `(key, line_no, line)`; the
+    * survivor of each distinct line is the lexicographically-smallest
+    * `(key, line_no)` — selected with `min(struct(...))`, which is
+    * partial-aggregation friendly (map-side combine before the one
+    * shuffle on the line content). A window over `partitionBy(line)`
+    * would sort every partition for a mostly-unique key space; the
+    * grouped min does not.
+    */
+  def lineDedup(lines: DataFrame): DataFrame =
+    lines.groupBy(col("line"))
+      .agg(min(struct(col("key"), col("line_no"))).as("__s"))
+      .select(col("__s.key").as("key"), col("__s.line_no").as("line_no"), col("line"))
+
+  /** Reassemble per-key text from surviving lines, in line order
+    * (collect_list is unordered — array_sort on the (line_no, line)
+    * struct restores determinism, same discipline as doc reassembly).
+    * Keys whose lines were all duplicates drop out (no rows to group). */
+  def reassembleLines(kept: DataFrame, sep: String = "\n"): DataFrame =
+    kept.groupBy(col("key"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), sep).as("text"),
+        count(lit(1)).cast("long").as("n_lines_kept"))
+
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: flag documents whose k-word shingles
+    * overlap a benchmark (test-set) corpus — the standard n-gram-overlap
+    * check run before training (e.g. GPT-3 §C / PaLM-style 13-gram scan;
+    * k is a parameter because the synthetic corpus is tiny).
+    *
+    * Scale shape: the benchmark side is small by nature (test sets are
+    * thousands of documents, not billions) → its distinct shingle set is
+    * broadcast; the corpus side is map-side shingled and never shuffled
+    * except the final per-document count on `key`. Overlap is counted on
+    * DISTINCT shingles per document, so `overlap_ratio` is exact set
+    * containment |doc ∩ bench| / |doc|.
+    */
+  def decontaminate(docs: DataFrame, payload: Column, key: Column,
+                    bench: DataFrame, benchPayload: Column,
+                    k: Int = 3, minRatio: Double = 0.0): DataFrame = {
+    val shUdf = udf((t: String) => shingleStrings(t, k).distinct)
+    val sh = cacheScoped(docs.select(key.as("k"), shUdf(payload).as("sh")))
+    val totals = sh.select(col("k"), size(col("sh")).cast("long").as("n_shingles"))
+    val docSh = sh.select(col("k"), explode(col("sh")).as("g"))
+    val benchSh = bench.select(explode(shUdf(benchPayload)).as("g")).distinct()
+    docSh.join(broadcast(benchSh), Seq("g"))
+      .groupBy(col("k")).agg(count(lit(1)).cast("long").as("n_overlap"))
+      .join(totals, Seq("k"))
+      .select(col("k").as("key"), col("n_overlap"), col("n_shingles"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_ratio"))
+      .filter(col("overlap_ratio") >= minRatio)
+  }
+
   /** Deterministic keep-first dedup over any candidate-pair set: a row is
     * dropped if it appears as `key_b` (the larger key) of any surviving
     * pair — i.e. keep the smallest key of each connected component's

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Blocklist, Dedup, RangeJoin}
+
+/** Round-5 curation operators: corpus line dedup, benchmark
+  * decontamination, PII redaction, Gopher rule gate, bucketized range
+  * join, bloom blocklist. Planted-input semantics + plan-shape gates. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ----------------------------------------------------------- line dedup
+
+  test("lineDedup keeps only the first occurrence of each line across the corpus") {
+    val lines = Seq(
+      // (key, line_no, line): "dup line" appears in docs 1, 2 and twice in 3
+      (1L, 0L, "dup line"), (1L, 1L, "only in one"),
+      (2L, 0L, "dup line"), (2L, 1L, "unique two"),
+      (3L, 0L, "dup line"), (3L, 1L, "dup line"), (3L, 2L, "unique three")
+    ).toDF("key", "line_no", "line")
+    val kept = Dedup.lineDedup(lines).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kept === Set(
+      (1L, 0L, "dup line"), (1L, 1L, "only in one"),
+      (2L, 1L, "unique two"), (3L, 2L, "unique three")))
+  }
+
+  test("reassembleLines restores line order and drops all-duplicate docs") {
+    val lines = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"),
+      (2L, 0L, "a") // doc 2 is entirely duplicates of doc 1's first line
+    ).toDF("key", "line_no", "line")
+    val out = Dedup.reassembleLines(Dedup.lineDedup(lines), " ")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((1L, "a b", 2L)))
+  }
+
+  // ------------------------------------------------------ decontamination
+
+  test("decontaminate flags docs sharing shingles with the benchmark, exact ratio") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // contains bench 3-grams
+      (11L, "completely different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "the quick brown fox runs")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, col("text"), col("doc_id"),
+      bench, col("text"), k = 3, minRatio = 0.0)
+    val byKey = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 10 shares "the quick brown" and "quick brown fox" with the bench
+    assert(byKey.contains(10L) && byKey(10L)._1 === 2L)
+    assert(byKey(10L)._2 === 7L) // 9 words -> 7 distinct 3-shingles
+    assert(!byKey.contains(11L))
+  }
+
+  // -------------------------------------------------------- PII redaction
+
+  test("redactPii scrubs emails, IPv4s and phone shapes; counts are exact") {
+    val df = Seq(
+      (1L, "mail alice.smith+x@sub.example.org now"),
+      (2L, "server at 192.168.0.17 responded"),
+      (3L, "call 555-0199 or 555 0200 today"),
+      (4L, "clean text with no identifiers")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TextAnalysis.redactPii(col("t")).as("r"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.emailPattern).as("e"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.ipv4Pattern).as("i"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.phonePattern).as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(out(2L) === (("server at <IP> responded", 0L, 1L, 0L)))
+    assert(out(3L) === (("call <PHONE> or <PHONE> today", 0L, 0L, 2L)))
+    assert(out(4L) === (("clean text with no identifiers", 0L, 0L, 0L)))
+  }
+
+  // ----------------------------------------------------------- range join
+
+  test("range join result equals the naive theta join") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val wins = ev.filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 30 minutes")).as("win_end"))
+    val bucketed = RangeJoin.pointInInterval(clicks, col("click_ts"),
+        wins, col("win_start"), col("win_end"), bucketWidthSec = 1800L)
+      .select(col("click_id"), col("win_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = clicks.join(wins,
+        col("click_ts") >= col("win_start") && col("click_ts") <= col("win_end"))
+      .select(col("click_id"), col("win_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive && bucketed.nonEmpty)
+  }
+
+  test("range join plans as an equi-join on the bucket, not a nested loop") {
+    val p = SparkEntry.queries("q76_range_join")(spark, TestSpark.sf0001)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+  }
+
+  test("range join emits each matching pair exactly once (interval spans many buckets)") {
+    val pts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:15:00")))
+      .toDF("pid", "pts")
+    val iv = Seq((7L,
+        java.sql.Timestamp.valueOf("2024-01-01 08:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 20:00:00")))
+      .toDF("iid", "ist", "ien") // 12 h interval over 30 min buckets = 25 bucket copies
+    val out = RangeJoin.pointInInterval(pts, col("pts"), iv, col("ist"), col("ien"), 1800L)
+    assert(out.count() === 1L)
+  }
+
+  // ------------------------------------------------------ bloom blocklist
+
+  test("bloom blocklist: subset of exact anti-join, no false negatives, bounded extra drops") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val block = Tables.part(spark, TestSpark.sf0001)
+      .filter(col("p_size") > 40).select(col("p_partkey"))
+    val approx = Blocklist.filterNotIn(li, col("l_partkey"), block, col("p_partkey"),
+      expectedItems = 20000L, fpp = 0.01)
+    val exact = li.join(block, li("l_partkey") === block("p_partkey"), "left_anti")
+    val approxKeys = approx.select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val exactKeys = exact.select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    // no false negatives: everything bloom kept is truly not blocklisted
+    assert(approxKeys.subsetOf(exactKeys))
+    // false-positive drops bounded: well under 5x the configured 1% fpp
+    val dropped = exactKeys.size - approxKeys.size
+    assert(dropped.toDouble / exactKeys.size < 0.05,
+      s"bloom dropped $dropped of ${exactKeys.size} non-blocklisted rows")
+  }
+}
