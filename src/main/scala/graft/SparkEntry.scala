@@ -39,6 +39,28 @@ object SparkEntry {
   private val evCte =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
+  /** Gap-session oracle (DuckDB has no session_window: break-flag +
+    * running-sum formulation) — shared by batch q19 and streaming q78,
+    * which must produce identical sessions. */
+  private lazy val sessionOracle: String =
+    s"""$evCte,
+       |brk AS (
+       |  SELECT user_id, ts, value, event_id,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+       |         THEN 1 ELSE 0 END AS is_break
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM brk)
+       |SELECT MIN(ts) AS session_start,
+       |       MAX(ts) + INTERVAL '5 minutes' AS session_end,
+       |       user_id, COUNT(*) AS n_events,
+       |       CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+
   /** Flagship query on sf=0.001: the reference's end-to-end pipeline
     * (decode → explode pages → extract → filter → key) over the documents
     * table with the deterministic stand-in decoder. Driver smoke-checks
@@ -863,6 +885,78 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
     }),
 
+    "q78_stream_session" -> ((s, dir) => {
+      // REAL streaming session windows (file stream + AvailableNow +
+      // memory sink), same oracle as the batch twin q19 — the gap-window
+      // state machine must produce identical sessions under micro-batch
+      // replay. State partitions sized to the data (see q65).
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+        val agg = StreamingOps.sessionAgg(stream, "5 minutes")
+        StreamingOps.runToMemory(s, agg, "q78_stream_session")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
+    "q79_mixture_sample" -> ((s, dir) => {
+      // mixture resampling toward target domain shares (the corpus-
+      // rebalancing step of a data recipe): two tiny aggregations compute
+      // per-domain keep rates (target share ∝ per-domain weight), rates
+      // broadcast back, rows kept by a deterministic arithmetic hash —
+      // the 100 TB side is scanned once, map-side, no shuffle.
+      // Weight/total sums are exact (small integers as doubles), so the
+      // rate arithmetic is IEEE-identical in any engine.
+      val d = Tables.documents(s, dir)
+      val counts = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val withW = counts.withColumn("w",
+        (regexp_replace(col("source"), "src", "").cast("long") % 3 + 1).cast("double"))
+      val g = withW.agg(sum(col("w")).as("sumw"), sum(col("cnt")).as("total"))
+      val rates = withW.crossJoin(broadcast(g))
+        .select(col("source"),
+          least(lit(1.0), (col("w") / col("sumw")) * (col("total").cast("double") / col("cnt"))).as("rate"))
+      val u = (((col("doc_id") * 2654435761L) % 4294967296L).cast("double") + 0.5) / 4294967296.0
+      d.join(broadcast(rates), Seq("source"))
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    "q80_weighted_sample" -> ((s, dir) => {
+      // weighted sampling without replacement (Efraimidis–Spirakis
+      // priorities): top-k by ln(u)/w where u is a deterministic
+      // arithmetic-hash uniform and w = n_chars — long docs win more
+      // often, reproducibly. ln differs from libm in the last ulp →
+      // round(9) both sides and break ties on the key (q64 discipline).
+      // orderBy.limit compiles to TakeOrderedAndProject: only k rows per
+      // partition cross the wire.
+      val h = (col("doc_id") * 2654435761L) % 4294967296L
+      val u = (h.cast("double") + 0.5) / 4294967296.0
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          round(log(u) / col("n_chars"), 9).as("priority"))
+        .orderBy(desc("priority"), col("doc_id"))
+        .limit(100)
+    }),
+
+    "q81_vocab_encode" -> ((s, dir) => {
+      // tokenizer vocabulary build + corpus encoding: frequency-ranked
+      // word ids WITHOUT a global window (dense-id discipline — range
+      // repartition + per-partition offsets; a row_number over the whole
+      // vocab would funnel every distinct word through one task), then
+      // every token re-encoded by a broadcast join on the vocab.
+      val tokens = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      val counts = tokens.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val vocab = DocPipeline.withDenseIds(counts,
+          struct((-col("cnt")).as("nc"), col("word")), "word_id")
+        .select(col("word"), col("word_id"))
+      tokens.join(broadcast(vocab), Seq("word"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word_id"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -991,24 +1085,9 @@ object SparkEntry {
          |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
          |FROM ev GROUP BY 1, 2""".stripMargin,
 
-    "q19_session_window" ->
-      s"""$evCte,
-         |brk AS (
-         |  SELECT user_id, ts, value, event_id,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
-         |         THEN 1 ELSE 0 END AS is_break
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |sess AS (
-         |  SELECT user_id, ts, value,
-         |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |  FROM brk)
-         |SELECT MIN(ts) AS session_start,
-         |       MAX(ts) + INTERVAL '5 minutes' AS session_end,
-         |       user_id, COUNT(*) AS n_events,
-         |       CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
-         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q19_session_window" -> sessionOracle,
+
+    "q78_stream_session" -> sessionOracle,
 
     "q20_strip_tags" ->
       """SELECT doc_id,
@@ -1440,6 +1519,34 @@ object SparkEntry {
          |      FROM ev WHERE event_type = 'purchase' AND event_id % 97 = 0)
          |SELECT click_id, win_id, click_ts
          |FROM c JOIN w ON click_ts >= win_start AND click_ts <= win_end""".stripMargin,
+
+    "q79_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |w AS (SELECT source, cnt,
+        |        CAST(CAST(regexp_replace(source, 'src', '') AS BIGINT) % 3 + 1 AS DOUBLE) AS w
+        |      FROM c),
+        |g AS (SELECT SUM(w) AS sumw, SUM(cnt) AS total FROM w),
+        |r AS (SELECT source,
+        |        least(CAST(1.0 AS DOUBLE), (w / sumw) * (CAST(total AS DOUBLE) / cnt)) AS rate
+        |      FROM w, g)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE (CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0 < r.rate""".stripMargin,
+
+    "q80_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0)
+        |        / n_chars, 9) AS priority
+        |FROM documents
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q81_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS word
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        |v AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) - 1 AS word_id FROM c)
+        |SELECT tok.doc_id, tok.pos, v.word_id FROM tok JOIN v USING (word)""".stripMargin,
 
     "q60_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem

@@ -235,20 +235,36 @@ object Sinks {
     * drop rows whose shard's output file already exists. Output files
     * are renamed into place only when complete, so existence == done —
     * the reference's done-shards scan (`main.py:140-151`), literally.
-    * An interrupted shard (only a `.tmp` file) is redone whole. */
+    * An interrupted shard (only a `.tmp` file) is redone whole.
+    *
+    * The listing streams through `listStatusIterator` (no full
+    * FileStatus array on the driver) and the done set rides a broadcast
+    * hash anti-join only while it is broadcast-sized; past
+    * `broadcastLimit` names it becomes a parallelized frame and the
+    * anti-join shuffles — millions of done shards must not pin the
+    * driver or every executor's memory. */
   def resumeShards(df: DataFrame, existingOut: String, shard: Column,
-                   ext: String): DataFrame = {
+                   ext: String, broadcastLimit: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     val doneNames = try {
       val (fs, base) = fsFor(existingOut, new Configuration(
         spark.sparkContext.hadoopConfiguration))
-      fs.listStatus(base).map(_.getPath.getName)
-        .filter(_.endsWith(s".$ext")).map(_.stripSuffix(s".$ext")).toSeq
+      val it = fs.listStatusIterator(base)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.endsWith(s".$ext")) buf += n.stripSuffix(s".$ext")
+      }
+      buf.toSeq
     } catch { case _: Exception => return df }
     if (doneNames.isEmpty) return df
     import spark.implicits._
-    val done = doneNames.toDF("__done_shard")
-    df.join(broadcast(done), shard === col("__done_shard"), "left_anti")
+    val done =
+      if (doneNames.size <= broadcastLimit) broadcast(doneNames.toDF("__done_shard"))
+      else spark.sparkContext
+        .parallelize(doneNames, math.max(1, doneNames.size / 500000))
+        .toDF("__done_shard")
+    df.join(done, shard === col("__done_shard"), "left_anti")
   }
 
   private def jsonVal(v: Any): String = v match {

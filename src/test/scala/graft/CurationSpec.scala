@@ -113,6 +113,65 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() === 1L)
   }
 
+  // --------------------------------------------- sampling / vocab / stream
+
+  test("streaming session windows equal the batch twin") {
+    import graft.streaming.StreamingOps
+    val staging = StreamingOps.defaultStagingDir(spark, TestSpark.sf0001)
+    StreamingOps.stageEventsForStreaming(spark, TestSpark.sf0001, staging)
+    val streamed = StreamingOps.runToMemory(spark,
+        StreamingOps.sessionAgg(StreamingOps.eventsStream(spark, staging), "5 minutes"),
+        "curation_stream_session")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingOps.sessionAgg(Tables.events(spark, TestSpark.sf0001), "5 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+
+  test("mixture sample rebalances domains toward the target weights") {
+    val out = SparkEntry.queries("q79_mixture_sample")(spark, TestSpark.sf0001)
+      .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w(src: String) = src.stripPrefix("src").toLong % 3 + 1
+    // weight-3 domains must keep more than weight-1 domains on average
+    val byW = out.groupBy { case (s, _) => w(s) }.view.mapValues(m => m.values.sum.toDouble / m.size)
+    assert(byW(3L) > byW(1L), byW.toMap.toString)
+  }
+
+  test("weighted sample equals the locally-computed Efraimidis-Spirakis top-k") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = docs.map { case (id, nc) =>
+      val u = (((id * 2654435761L) % 4294967296L).toDouble + 0.5) / 4294967296.0
+      val pr = BigDecimal(math.log(u) / nc).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, pr)
+    }.sortBy { case (id, pr) => (-pr, id) }.take(100).map(_._1).toSeq
+    val got = SparkEntry.queries("q80_weighted_sample")(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got === expected)
+  }
+
+  test("vocab ids are dense, 0-based and frequency-ranked; encoding round-trips") {
+    val enc = SparkEntry.queries("q81_vocab_encode")(spark, TestSpark.sf0001)
+    val ids = enc.select("word_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.head === 0L && ids.last === ids.length - 1L) // dense, 0-based
+    // id 0 is the most frequent token of the corpus
+    val topWord = Tables.documents(spark, TestSpark.sf0001)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").count().orderBy(desc("count"), col("word"))
+      .limit(1).collect()(0).getString(0)
+    val tokens = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val id0Words = enc.filter(col("word_id") === 0L)
+      .join(tokens, Seq("doc_id", "pos"))
+      .select("word").distinct().collect().map(_.getString(0))
+    assert(id0Words.toSeq === Seq(topWord))
+    // round-trip: every (doc, pos) token got exactly one id
+    assert(enc.count() === tokens.count())
+  }
+
   // ------------------------------------------------------ bloom blocklist
 
   test("bloom blocklist: subset of exact anti-join, no false negatives, bounded extra drops") {
