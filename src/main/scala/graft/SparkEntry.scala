@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Multimodal, RangeJoin, Similarity}
+import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Multimodal, Profile, RangeJoin, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -957,6 +957,40 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word_id"))
     }),
 
+    "q82_centroids" -> ((s, dir) => {
+      // per-label embedding centroids — the k-means update step as a
+      // vector AGGREGATION: explode to (label, dim, value), one
+      // partial+final agg per (label, dim) cell, decimal sums so the
+      // element-wise mean is order-independent (the dsum discipline
+      // applied to vectors; a float sum would diverge from the oracle
+      // under Spark's partial aggregation).
+      Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        // round(9): a float's terminating decimal expansion can tie at the
+        // 13th digit, and the engines' decimal-cast tie-breaking differs —
+        // observed 1e-14 drift on exact-decimal sums (q64 discipline)
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(27, 12)))
+          .cast("double") / count(lit(1)), 9).as("centroid"))
+    }),
+
+    "q83_histogram" -> ((s, dir) => {
+      // fixed-width numeric histogram: bin = floor(x / width) — a plain
+      // partial+final agg (bins are computed map-side; only bin counts
+      // shuffle). The profiling primitive behind distribution dashboards.
+      Tables.lineitem(s, dir)
+        .groupBy(floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    "q84_profile" -> ((s, dir) => {
+      // single-pass multi-column data profile (nulls / exact distinct /
+      // min / max per column, one table scan for all of them)
+      Profile.profile(Tables.orders(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1538,6 +1572,40 @@ object SparkEntry {
         |        / n_chars, 9) AS priority
         |FROM documents
         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q82_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding FROM embeddings),
+        |x AS (SELECT label, CAST(g.i - 1 AS BIGINT) AS dim,
+        |        CAST(embedding[g.i] AS DOUBLE) AS v
+        |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g)
+        |SELECT label, dim,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS centroid
+        |FROM x GROUP BY label, dim""".stripMargin,
+
+    "q83_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_price
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q84_profile" ->
+      """WITH a AS (SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nl1,
+        |  COUNT(DISTINCT o_orderstatus) AS nd1,
+        |  CAST(MIN(o_orderstatus) AS VARCHAR) AS mn1, CAST(MAX(o_orderstatus) AS VARCHAR) AS mx1,
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nl2,
+        |  COUNT(DISTINCT o_orderpriority) AS nd2,
+        |  CAST(MIN(o_orderpriority) AS VARCHAR) AS mn2, CAST(MAX(o_orderpriority) AS VARCHAR) AS mx2,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nl3,
+        |  COUNT(DISTINCT o_custkey) AS nd3,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS mn3, CAST(MAX(o_custkey) AS VARCHAR) AS mx3
+        |FROM orders)
+        |SELECT 'o_orderstatus' AS col_name, n_rows, CAST(nl1 AS BIGINT) AS n_null,
+        |       nd1 AS n_distinct, mn1 AS min_val, mx1 AS max_val FROM a
+        |UNION ALL
+        |SELECT 'o_orderpriority', n_rows, CAST(nl2 AS BIGINT), nd2, mn2, mx2 FROM a
+        |UNION ALL
+        |SELECT 'o_custkey', n_rows, CAST(nl3 AS BIGINT), nd3, mn3, mx3 FROM a""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -172,6 +172,35 @@ class CurationSpec extends AnyFunSuite {
     assert(enc.count() === tokens.count())
   }
 
+  // -------------------------------------------------- centroids / profile
+
+  test("embedding centroid aggregation computes exact element-wise means") {
+    import graft.operators.{Profile => _}
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)), // label 0: mean (2, 4)
+      (1, Array(10.0f, 0.0f))                          // label 1: mean (10, 0)
+    ).toDF("label", "embedding")
+    val out = df
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("v").cast("double")
+        .cast(org.apache.spark.sql.types.DecimalType(27, 12))).cast("double") / count(lit(1)), 9).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out === Map((0L, 0) -> 2.0, (0L, 1) -> 4.0, (1L, 0) -> 10.0, (1L, 1) -> 0.0))
+  }
+
+  test("Profile: one-pass profile reports nulls, exact distincts, min/max per column") {
+    import graft.operators.Profile
+    val df = Seq(
+      (Some("a"), 1L), (Some("b"), 2L), (None, 2L), (Some("a"), 3L)
+    ).toDF("s", "k")
+    val out = Profile.profile(df, Seq("s", "k")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("s") === ((4L, 1L, 2L, "a", "b")))
+    assert(out("k") === ((4L, 0L, 3L, "1", "3")))
+  }
+
   // ------------------------------------------------------ bloom blocklist
 
   test("bloom blocklist: subset of exact anti-join, no false negatives, bounded extra drops") {

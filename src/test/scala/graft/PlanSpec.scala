@@ -71,6 +71,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q80: weighted sampling plans TakeOrderedAndProject (k rows per partition)") {
+    val p = plan("q80_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q79: mixture rates broadcast back to the corpus (no corpus shuffle)") {
+    val p = plan("q79_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q73: benchmark shingle set broadcasts (corpus side stays put for the probe)") {
+    val p = plan("q73_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("q84: profiling N columns costs ONE table scan") {
+    val p = plan("q84_profile")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
+  test("q81: vocab ranking plans no partition-less Window (dense-id discipline)") {
+    val p = plan("q81_vocab_encode")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    specs.foreach(i => assert(p.substring(i).startsWith("__pid"),
+      s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
   test("Pipeline.run: no Window anywhere in the payload plan (key assignment is two-pass dense-id)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
