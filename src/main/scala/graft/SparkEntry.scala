@@ -991,6 +991,78 @@ object SparkEntry {
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
     }),
 
+    "q85_kmeans_iter" -> ((s, dir) => {
+      // one full Lloyd iteration: assign every vector to its nearest of 8
+      // seed centroids (seeds broadcast — the corpus never shuffles for
+      // assignment; distance is the codegen'd EuclideanDistance kernel,
+      // bit-exact vs DuckDB list_distance per q66), then recompute
+      // centroids with the q82 decimal-sum vector aggregation. rank=1
+      // over (dist, centroid_id) compiles to WindowGroupLimit.
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("centroid_id"))
+      val assigned = emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("dist", Vectors.l2Distance(col("embedding"), col("cvec")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("centroid_id"), col("embedding"))
+      assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("centroid_id"), col("dim").cast("long").as("dim"))
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(27, 12)))
+            .cast("double") / count(lit(1)), 9).as("new_val"),
+          count(lit(1)).as("n_members"))
+    }),
+
+    "q86_pmi" -> ((s, dir) => {
+      // collocation mining: pointwise mutual information over word
+      // bigrams — ln(c_ab·N / (c_a·c_b)) with all counts as exact
+      // integers (products stay in BIGINT), ln rounded to 9 (q64
+      // discipline), min-support filter, top-50. The association scorer
+      // behind phrase detection in corpus pipelines.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), col("word"), lead(col("word"), 1).over(w).as("next"))
+        .filter(col("next").isNotNull)
+      val cAB = bi.groupBy(col("word"), col("next")).agg(count(lit(1)).as("c_ab"))
+      val cA = bi.groupBy(col("word")).agg(count(lit(1)).as("c_a"))
+      val cB = bi.groupBy(col("next").as("nw")).agg(count(lit(1)).as("c_b"))
+      val n = bi.agg(count(lit(1)).as("n_bi"))
+      cAB.join(cA, Seq("word"))
+        .join(cB, cAB("next") === cB("nw")).drop("nw")
+        .crossJoin(broadcast(n))
+        .filter(col("c_ab") >= 5)
+        .withColumn("pmi",
+          round(log((col("c_ab") * col("n_bi")).cast("double") / (col("c_a") * col("c_b"))), 9))
+        .orderBy(desc("pmi"), col("word"), col("next"))
+        .limit(50)
+        .select(col("word"), col("next"), col("c_ab"), col("pmi"))
+    }),
+
+    "q87_zscore" -> ((s, dir) => {
+      // outlier flagging: per-type z-score from EXACT decimal sums of v
+      // and v² (mean/variance derived from order-independent sums, so the
+      // per-row z is IEEE-identical in any engine — no rounding needed),
+      // stats broadcast back, corpus scanned map-side.
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type")).agg(
+        sum(col("value").cast(DecimalType(27, 12))).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(27, 12))).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      val mean = col("s1") / col("n")
+      val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+      // ln/sqrt chains drift a final ulp between engines -> round(9) and
+      // gate on the ROUNDED value so boundary rows agree (q64 discipline)
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("value") - mean) / sqrt(variance), 9))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1606,6 +1678,53 @@ object SparkEntry {
         |SELECT 'o_orderpriority', n_rows, CAST(nl2 AS BIGINT), nd2, mn2, mx2 FROM a
         |UNION ALL
         |SELECT 'o_custkey', n_rows, CAST(nl3 AS BIGINT), nd3, mn3, mx3 FROM a""".stripMargin,
+
+    "q85_kmeans_iter" ->
+      """WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS cvec FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.centroid_id, list_distance(e.emb, c.cvec) AS dist FROM e, c),
+        |a AS (SELECT vec_id, centroid_id FROM (
+        |        SELECT vec_id, centroid_id,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rk
+        |        FROM d) WHERE rk = 1),
+        |x AS (SELECT CAST(a.centroid_id AS BIGINT) AS centroid_id,
+        |        CAST(g.i - 1 AS BIGINT) AS dim, CAST(e2.embedding[g.i] AS DOUBLE) AS v
+        |      FROM a JOIN embeddings e2 ON a.vec_id = e2.vec_id,
+        |      LATERAL (SELECT unnest(generate_series(1, len(e2.embedding))) AS i) g)
+        |SELECT centroid_id, dim,
+        |  round(CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS new_val,
+        |  COUNT(*) AS n_members
+        |FROM x GROUP BY centroid_id, dim""".stripMargin,
+
+    "q86_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS word
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |bi AS (SELECT doc_id, word,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |       FROM tok QUALIFY next IS NOT NULL),
+        |ab AS (SELECT word, next, COUNT(*) AS c_ab FROM bi GROUP BY word, next),
+        |a AS (SELECT word, COUNT(*) AS c_a FROM bi GROUP BY word),
+        |b AS (SELECT next AS nw, COUNT(*) AS c_b FROM bi GROUP BY next),
+        |n AS (SELECT COUNT(*) AS n_bi FROM bi)
+        |SELECT ab.word, ab.next, ab.c_ab,
+        |  round(ln(CAST(ab.c_ab * n.n_bi AS DOUBLE) / (a.c_a * b.c_b)), 9) AS pmi
+        |FROM ab JOIN a USING (word) JOIN b ON ab.next = b.nw, n
+        |WHERE ab.c_ab >= 5
+        |ORDER BY pmi DESC, ab.word, ab.next LIMIT 50""".stripMargin,
+
+    "q87_zscore" ->
+      s"""$evCte,
+         |st AS (SELECT event_type,
+         |         CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+         |         CAST(SUM(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE) AS s2,
+         |         COUNT(*) AS n
+         |       FROM ev GROUP BY event_type)
+         |SELECT event_id, ev.event_type, value,
+         |  round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS z
+         |FROM ev JOIN st ON ev.event_type = st.event_type
+         |WHERE abs(round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9)) > 2.5""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

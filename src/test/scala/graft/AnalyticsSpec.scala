@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-5 statistical operators: k-means iteration, PMI collocations,
+  * z-score outliers — planted-input semantics. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("k-means iteration: every vector lands on its nearest seed; Lloyd step reduces cost") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = emb.filter(_._1 < 8)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    // local ground truth: assignment cost with the seed centroids
+    val seedCost = emb.map { case (_, v) => cents.map(c => l2(v, c._2)).min }.sum
+    val out = SparkEntry.queries("q85_kmeans_iter")(spark, TestSpark.sf0001).collect()
+    assert(out.length === 8 * 64) // every seed kept members (it contains itself)
+    val newCents = out.groupBy(_.getLong(0)).map { case (cid, rows) =>
+      cid -> rows.sortBy(_.getLong(1)).map(r => r.getDouble(2).toFloat)
+    }
+    // Lloyd guarantee: assigning to old centroids, the NEW centroids do
+    // not increase the summed distance to each vector's assigned mean
+    val newCost = emb.map { case (_, v) =>
+      val assigned = cents.minBy(c => (l2(v, c._2), c._1))._1
+      l2(v, newCents(assigned))
+    }.sum
+    assert(newCost <= seedCost + 1e-6, s"Lloyd step increased cost: $newCost > $seedCost")
+  }
+
+  test("PMI ranks a rare exclusive pair above a pair of common words") {
+    val docs = (0 until 30).map { i =>
+      // "the cat" is frequent with very common components; "foo bar" is
+      // rare but its components appear ONLY together -> max association
+      val extra = if (i < 5) " foo bar" else ""
+      (i.toLong, s"the cat sat on the mat w$i$extra")
+    }.toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("word"), lead(col("word"), 1).over(w).as("next"))
+      .filter(col("next").isNotNull)
+    val cAB = bi.groupBy(col("word"), col("next")).agg(count(lit(1)).as("c_ab"))
+    val cA = bi.groupBy(col("word")).agg(count(lit(1)).as("c_a"))
+    val cB = bi.groupBy(col("next").as("nw")).agg(count(lit(1)).as("c_b"))
+    val n = bi.agg(count(lit(1)).as("n_bi"))
+    val pmi = cAB.join(cA, Seq("word")).join(cB, cAB("next") === cB("nw"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        round(log((col("c_ab") * col("n_bi")).cast("double") / (col("c_a") * col("c_b"))), 9))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(7)).toMap
+    // exclusive co-occurrence beats common-word adjacency
+    assert(pmi(("foo", "bar")) > pmi(("the", "cat")), pmi.toString)
+    assert(pmi(("foo", "bar")) > 0.0)
+  }
+
+  test("z-score flags a planted outlier and nothing near the mean") {
+    val vals = Seq.tabulate(200)(i => (i.toLong, "t", 10.0 + (i % 5))) :+ ((999L, "t", 500.0))
+    val df = vals.toDF("event_id", "event_type", "value")
+    val stats = df.groupBy(col("event_type")).agg(
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(27, 12))).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast(org.apache.spark.sql.types.DecimalType(27, 12))).cast("double").as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s1") / col("n")
+    val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+    val out = df.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - mean) / sqrt(variance), 9))
+      .filter(abs(col("z")) > 2.5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(999L))
+  }
+}
