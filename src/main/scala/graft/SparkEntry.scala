@@ -1063,6 +1063,81 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
     }),
 
+    "q88_salted_join" -> ((s, dir) => {
+      // the skew-mitigation join as an ORACLE-checked query: salting
+      // must redistribute rows without changing semantics, so the oracle
+      // is the PLAIN equi-join. Salt derives from the fact row identity
+      // (deterministic — task retries reproduce identical shuffles); the
+      // dim side replicates 8×.
+      val li = Tables.lineitem(s, dir)
+      val dim = Tables.part(s, dir).select(col("p_partkey").as("l_partkey"), col("p_size"))
+      graft.operators.Skew.saltedJoin(li, dim, "l_partkey",
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy(col("p_size").cast("long").as("p_size"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    "q89_resample_ffill" -> ((s, dir) => {
+      // time-series resampling: per-user hourly grid spanning each
+      // user's activity (sequence + explode — no driver loop), gaps
+      // forward-filled with last(ignoreNulls) over a per-user window.
+      // Grid size is bounded by per-user span, not the global range.
+      val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      val w1 = Window.partitionBy(col("user_id"), col("h"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val hourly = ev
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w1))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("h"), col("value").as("v"))
+      val span = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 hour"))).as("h"))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w2).as("v_ffill"),
+          col("v").isNull.as("gap"))
+    }),
+
+    "q90_impute" -> ((s, dir) => {
+      // null imputation with the per-group mean: nulls planted
+      // deterministically (event_id % 7), group means from exact decimal
+      // sums over the NON-null values (count(v) skips nulls in both
+      // engines), stats broadcast back, coalesce map-side.
+      val ev = Tables.events(s, dir)
+      val base = ev.select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+      val stats = base.groupBy(col("event_type"))
+        .agg((sum(col("v").cast(DecimalType(27, 12))).cast("double") / count(col("v"))).as("mean_v"))
+      base.join(broadcast(stats), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          coalesce(col("v"), col("mean_v")).as("value_imputed"),
+          col("v").isNull.as("was_imputed"))
+    }),
+
+    "q91_entropy" -> ((s, dir) => {
+      // lexical entropy per document: -Σ p·ln(p) over the word
+      // distribution. Each term is rounded to 9 BEFORE the sum (a double
+      // sum is order-dependent; rounded terms through an exact decimal
+      // sum are engine-independent — the q64 discipline applied to a
+      // reduction, not just a score).
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val wc = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n")
+      wc.join(tot, Seq("doc_id"))
+        .withColumn("term", round(p * log(p), 9))
+        .groupBy(col("doc_id"))
+        .agg((-sum(col("term").cast(DecimalType(27, 12)))).cast("double").as("entropy"),
+          count(lit(1)).as("n_distinct_words"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1725,6 +1800,57 @@ object SparkEntry {
          |  round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9) AS z
          |FROM ev JOIN st ON ev.event_type = st.event_type
          |WHERE abs(round((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 9)) > 2.5""".stripMargin,
+
+    "q88_salted_join" ->
+      s"""SELECT CAST(p_size AS BIGINT) AS p_size, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_size""".stripMargin,
+
+    "q89_resample_ffill" ->
+      s"""$evCte,
+         |p AS (SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+         |      FROM ev WHERE event_type = 'purchase'),
+         |hourly AS (SELECT user_id, h, value AS v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, h
+         |                                 ORDER BY ts DESC, event_id DESC) AS rk
+         |    FROM p) WHERE rk = 1),
+         |span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY user_id),
+         |grid AS (SELECT user_id, g.h AS h
+         |         FROM span, LATERAL (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h) g)
+         |SELECT grid.user_id, grid.h,
+         |  last_value(hourly.v IGNORE NULLS) OVER (
+         |    PARTITION BY grid.user_id ORDER BY grid.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+         |  hourly.v IS NULL AS gap
+         |FROM grid LEFT JOIN hourly ON grid.user_id = hourly.user_id AND grid.h = hourly.h""".stripMargin,
+
+    "q90_impute" ->
+      s"""$evCte,
+         |b AS (SELECT event_id, event_type,
+         |        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         |      FROM ev),
+         |st AS (SELECT event_type,
+         |         CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(v) AS mean_v
+         |       FROM b GROUP BY event_type)
+         |SELECT event_id, b.event_type,
+         |       coalesce(v, mean_v) AS value_imputed,
+         |       v IS NULL AS was_imputed
+         |FROM b JOIN st ON b.event_type = st.event_type""".stripMargin,
+
+    "q91_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tok AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+        |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY doc_id, word),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM wc GROUP BY doc_id),
+        |terms AS (SELECT wc.doc_id,
+        |            round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9) AS term
+        |          FROM wc JOIN tot ON wc.doc_id = tot.doc_id)
+        |SELECT doc_id,
+        |  CAST(-SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) AS entropy,
+        |  COUNT(*) AS n_distinct_words
+        |FROM terms GROUP BY doc_id""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

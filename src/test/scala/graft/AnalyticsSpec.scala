@@ -62,6 +62,56 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pmi(("foo", "bar")) > 0.0)
   }
 
+  test("resample + forward-fill bridges gaps and flags them") {
+    import org.apache.spark.sql.expressions.Window
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val hourly = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 03:00:00"), 40.0) // hours 1,2 are gaps
+    ).toDF("user_id", "h", "v")
+    val span = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 hour"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("h"), last(col("v"), ignoreNulls = true).over(w).as("f"),
+        col("v").isNull.as("gap"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1), r.getBoolean(2))).toSet
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", 10.0, false),
+      ("2024-01-01 01:00:00.0", 10.0, true),
+      ("2024-01-01 02:00:00.0", 10.0, true),
+      ("2024-01-01 03:00:00.0", 40.0, false)))
+  }
+
+  test("mean imputation fills exactly the planted nulls with the group mean") {
+    val out = SparkEntry.queries("q90_impute")(spark, TestSpark.sf0001)
+    val imputed = out.filter(col("was_imputed"))
+    // planted rule: exactly the event_id % 7 == 0 rows are imputed
+    assert(imputed.filter(col("event_id") % 7 =!= 0).count() === 0)
+    assert(out.filter(col("was_imputed") && col("value_imputed").isNull).count() === 0)
+    // imputed value is constant per type (the group mean)
+    val perType = imputed.groupBy("event_type")
+      .agg(countDistinct(col("value_imputed")).as("nd")).collect()
+    assert(perType.forall(_.getLong(1) === 1L))
+  }
+
+  test("entropy of a uniform word distribution is ln(k)") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val toks = df.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val wc = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val tot = wc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n")
+    val e = wc.join(tot, Seq("doc_id"))
+      .withColumn("term", round(p * log(p), 9))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("term").cast(org.apache.spark.sql.types.DecimalType(27, 12)))).cast("double").as("e"))
+      .collect()(0).getDouble(1)
+    assert(math.abs(e - math.log(4.0)) < 1e-8, s"$e vs ${math.log(4.0)}")
+  }
+
   test("z-score flags a planted outlier and nothing near the mean") {
     val vals = Seq.tabulate(200)(i => (i.toLong, "t", 10.0 + (i % 5))) :+ ((999L, "t", 500.0))
     val df = vals.toDF("event_id", "event_type", "value")
