@@ -1138,6 +1138,27 @@ object SparkEntry {
           count(lit(1)).as("n_distinct_words"))
     }),
 
+    "q92_funnel" -> ((s, dir) => {
+      // sequence/funnel analytics: per-user first click → purchase within
+      // 60 min, daily conversion rate. Two shuffles on user_id (first-
+      // touch agg + conversion agg) and one on day — every stage is a
+      // partial+final agg or an equi-join on the user key; no window over
+      // the whole event stream.
+      val ev = Tables.events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstClick, Seq("user_id"))
+        .filter(col("ts") >= col("first_click") &&
+          col("ts") <= col("first_click") + expr("INTERVAL 60 minutes"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
+      firstClick.join(conv, Seq("user_id"), "left")
+        .groupBy(date_trunc("day", col("first_click")).as("day"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("conv_ts")).as("n_converted"),
+          round(count(col("conv_ts")).cast("double") / count(lit(1)), 9).as("conv_rate"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1851,6 +1872,23 @@ object SparkEntry {
         |  CAST(-SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) AS entropy,
         |  COUNT(*) AS n_distinct_words
         |FROM terms GROUP BY doc_id""".stripMargin,
+
+    "q92_funnel" ->
+      s"""$evCte,
+         |fc AS (SELECT user_id, MIN(ts) AS first_click
+         |       FROM ev WHERE event_type = 'click' GROUP BY user_id),
+         |cv AS (SELECT p.user_id, MIN(p.ts) AS conv_ts
+         |       FROM ev p JOIN fc ON p.user_id = fc.user_id
+         |       WHERE p.event_type = 'purchase'
+         |         AND p.ts >= fc.first_click
+         |         AND p.ts <= fc.first_click + INTERVAL 60 MINUTE
+         |       GROUP BY p.user_id)
+         |SELECT date_trunc('day', first_click) AS day,
+         |  COUNT(*) AS n_users,
+         |  COUNT(conv_ts) AS n_converted,
+         |  round(CAST(COUNT(conv_ts) AS DOUBLE) / COUNT(*), 9) AS conv_rate
+         |FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id
+         |GROUP BY 1""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -61,6 +61,25 @@ object Sinks {
       .json(out)
   }
 
+  /** orc sink [EXT]: same contract as the parquet twin. ORC ships with
+    * Spark and is the other columnar interchange format a user migrating
+    * a warehouse pipeline expects to exist. */
+  def orc(df: DataFrame, out: String, mode: SaveMode = SaveMode.Overwrite,
+          maxRecordsPerFile: Int = 0): Unit = {
+    val w = df.write.mode(mode)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toLong) else w)
+      .orc(out)
+  }
+
+  /** Hive-style partitioned parquet [EXT]: one directory per value of
+    * `partitionCols` so downstream readers with a partition-column
+    * filter scan ONLY the matching directories (PartitionFilters, gated
+    * in SourcesSinksSpec). The layout lever that turns "scan 100 TB"
+    * into "scan one domain/day". */
+  def partitionedParquet(df: DataFrame, out: String, partitionCols: Seq[String],
+                         mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(out)
+
   /** dummy sink (ref `writer.py:313-323`): full compute, no output — the
     * benchmark-mode writer, mapped to Spark's noop source. */
   def dummy(df: DataFrame): Unit =

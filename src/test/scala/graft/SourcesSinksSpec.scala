@@ -126,6 +126,27 @@ class SinksSpec extends AnyFunSuite {
     val m = back.collect().map(r => r.getAs[String]("status") -> r.getAs[Long]("count")).toMap
     assert(m == Map("success" -> 2L, "failed_to_extract" -> 1L))
   }
+
+  test("orc sink round-trips through spark.read.orc") {
+    val out = tmpDir("orc")
+    Sinks.orc(sample, out)
+    val back = spark.read.orc(out).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back === sample.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
+  }
+
+  test("partitioned parquet: a partition-column filter prunes directories at plan time") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val out = tmpDir("part")
+    Sinks.partitionedParquet(sample, out, Seq("lang"))
+    assert(new File(s"$out/lang=en").isDirectory && new File(s"$out/lang=de").isDirectory)
+    val read = spark.read.parquet(out).filter(col("lang") === "en")
+    val p = read.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      "partition filter did not reach the scan:\n" + p.take(1200))
+    assert(read.collect().map(_.getAs[String]("key")).toSeq === Seq("0000"))
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
