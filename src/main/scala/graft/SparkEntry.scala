@@ -1159,6 +1159,42 @@ object SparkEntry {
           round(count(col("conv_ts")).cast("double") / count(lit(1)), 9).as("conv_rate"))
     }),
 
+    "q93_sql_text" -> ((s, dir) => {
+      // the SQL-TEXT surface end-to-end: temp view + the injected native
+      // codegen expression (cosine_sim via GraftExtensions) inside a SQL
+      // string — must plan the identical expression as the Scala DSL and
+      // bit-match DuckDB's list_cosine_similarity. Pairs blocked on the
+      // label equi-key (never all-pairs).
+      GraftExtensions.register(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("emb_sql")
+      s.sql("""
+        SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+               cosine_sim(a.embedding, b.embedding) AS cosine
+        FROM emb_sql a JOIN emb_sql b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE cosine_sim(a.embedding, b.embedding) >= 0.5""")
+    }),
+
+    "q94_stream_dedup" -> ((s, dir) => {
+      // streaming exactly-once dedup: the staged events replayed TWICE
+      // (union of two file streams) through dropDuplicatesWithinWatermark
+      // — every event must come out exactly once, so the oracle is simply
+      // the events table. State is bounded by the watermark; emission is
+      // on first arrival (append mode).
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val doubled = StreamingOps.eventsStream(s, staging)
+          .unionAll(StreamingOps.eventsStream(s, staging))
+        val deduped = StreamingOps.dedupWithinWatermark(doubled)
+          .select(col("event_id"), col("event_type"), col("value"))
+        StreamingOps.runToMemory(s, deduped, "q94_stream_dedup",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1889,6 +1925,17 @@ object SparkEntry {
          |  round(CAST(COUNT(conv_ts) AS DOUBLE) / COUNT(*), 9) AS conv_rate
          |FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id
          |GROUP BY 1""".stripMargin,
+
+    "q93_sql_text" ->
+      """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5""".stripMargin,
+
+    "q94_stream_dedup" ->
+      s"""$evCte
+         |SELECT event_id, event_type, value FROM ev""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
