@@ -1195,6 +1195,37 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    "q95_winsorize" -> ((s, dir) => {
+      // outlier capping (winsorization): clip each value into its
+      // group's [p05, p95]. Exact percentiles as the oracle anchor
+      // (q55); at 100 TB swap percentile_approx (q57) — the clip logic
+      // is unchanged. Bounds broadcast back; corpus clipped map-side.
+      val ev = Tables.events(s, dir)
+      val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          greatest(col("lo"), least(col("hi"), col("value"))).as("value_capped"),
+          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+    }),
+
+    "q96_minmax_scale" -> ((s, dir) => {
+      // per-dimension min-max feature scaling of the embedding corpus:
+      // one exploded agg for (dim → min, max), bounds broadcast, rescale
+      // map-side. Exact min/max + IEEE (v-min)/(max-min) → engine-
+      // independent without rounding. Output exploded (vec, dim, scaled)
+      // — reassembly to arrays is q71's ordered-collect pattern.
+      val x = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      val bounds = x.groupBy(col("dim")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      x.join(broadcast(bounds), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          ((col("v") - col("mn")) / (col("mx") - col("mn"))).as("scaled"))
+        .filter(col("dim") < 8) // keep the dump small; all dims same shape
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1936,6 +1967,27 @@ object SparkEntry {
     "q94_stream_dedup" ->
       s"""$evCte
          |SELECT event_id, event_type, value FROM ev""".stripMargin,
+
+    "q95_winsorize" ->
+      s"""$evCte,
+         |b AS (SELECT event_type,
+         |        quantile_cont(value, 0.05) AS lo,
+         |        quantile_cont(value, 0.95) AS hi
+         |      FROM ev GROUP BY event_type)
+         |SELECT event_id, ev.event_type,
+         |  greatest(lo, least(hi, value)) AS value_capped,
+         |  (value < lo OR value > hi) AS was_clipped
+         |FROM ev JOIN b ON ev.event_type = b.event_type""".stripMargin,
+
+    "q96_minmax_scale" ->
+      """WITH x AS (SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+        |             CAST(embedding[g.i] AS DOUBLE) AS v
+        |           FROM embeddings,
+        |           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |b AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM x GROUP BY dim)
+        |SELECT vec_id, x.dim, (v - mn) / (mx - mn) AS scaled
+        |FROM x JOIN b ON x.dim = b.dim
+        |WHERE x.dim < 8""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -91,4 +91,56 @@ class PropertySpec extends AnyFunSuite {
       if (a == b) assert(ha == hb)
     }
   }
+
+  test("lineDedup is idempotent (deduped corpus passes through unchanged)") {
+    val lineGen = Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L),
+      Gen.oneOf("l1", "l2", "l3", "l4", "l5", "l6"))
+    val lines = samples(lineGen, 80).distinct.toDF("key", "line_no", "line")
+    val once = Dedup.lineDedup(lines)
+    val twice = Dedup.lineDedup(once)
+    val a = once.collect().map(_.toSeq).toSet
+    val b = twice.collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("redactPii is idempotent and never grows PII counts") {
+    import graft.functions.TextAnalysis
+    val piiGen = Gen.oneOf(
+      "x@y.com", "10.0.0.1", "555-1234", "plain words", "a@b.io 1.2.3.4")
+    val rows = samples(Gen.listOfN(3, piiGen).map(_.mkString(" ")), 40).toDF("t")
+    val out = rows.select(
+      TextAnalysis.redactPii(col("t")).as("r1"),
+      TextAnalysis.redactPii(TextAnalysis.redactPii(col("t"))).as("r2"))
+      .collect()
+    out.foreach { r => assert(r.getString(0) === r.getString(1)) }
+  }
+
+  test("bucketized range join equals the naive theta join on random intervals") {
+    import graft.operators.RangeJoin
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    val ptGen = Gen.choose(0L, 100000L)
+    val ivGen = Gen.zip(Gen.choose(0L, 100000L), Gen.choose(1L, 20000L))
+    val pts = samples(ptGen, 120).zipWithIndex
+      .map { case (off, i) => (i.toLong, new java.sql.Timestamp(base + off * 1000)) }
+      .toDF("pid", "pts")
+    val ivs = samples(ivGen, 30).zipWithIndex
+      .map { case ((off, len), i) =>
+        (i.toLong, new java.sql.Timestamp(base + off * 1000),
+          new java.sql.Timestamp(base + (off + len) * 1000)) }
+      .toDF("iid", "ist", "ien")
+    val fast = RangeJoin.pointInInterval(pts, col("pts"), ivs, col("ist"), col("ien"), 900L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(ivs, col("pts") >= col("ist") && col("pts") <= col("ien"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast === naive && naive.nonEmpty)
+  }
+
+  test("decontaminate against itself flags every doc with full containment") {
+    val docs = Seq((1L, "one two three four five"), (2L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, col("text"), col("doc_id"),
+        docs, col("text"), k = 3, minRatio = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 1.0))
+  }
 }
