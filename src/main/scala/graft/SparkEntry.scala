@@ -1226,6 +1226,80 @@ object SparkEntry {
         .filter(col("dim") < 8) // keep the dump small; all dims same shape
     }),
 
+    "q97_trailing_window" -> ((s, dir) => {
+      // trailing 1-hour per-user aggregate: a time-RANGE frame over epoch
+      // seconds (value-bounded, so same-second ties land in the same
+      // frame deterministically in both engines). Partitioned window —
+      // one shuffle on user_id; frame width is the memory knob.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3599L, 0L)
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          unix_timestamp(col("ts")).as("es"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("trail_sum"),
+          count(lit(1)).over(w).cast("long").as("trail_n"))
+    }),
+
+    "q98_gaps" -> ((s, dir) => {
+      // islands-and-gaps WITHOUT a global row window: lead within coarse
+      // id-buckets (partitioned window), bucket boundaries stitched with
+      // the NEXT bucket's min — the summary frame is rows/100k, so its
+      // ordering window is tiny (recurse the bucketing for another 1e5×
+      // if the summary itself ever grows too large).
+      val ids = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("event_id"))
+        .withColumn("bkt", (col("event_id") / 100000L).cast("long"))
+      val w = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+      val withNext = ids.withColumn("next_id", lead(col("event_id"), 1).over(w))
+      val bmins = ids.groupBy(col("bkt")).agg(min(col("event_id")).as("bmin"))
+      val w2 = Window.orderBy(col("bkt")) // over bucket summaries only
+      val bnext = bmins.withColumn("next_bmin", lead(col("bmin"), 1).over(w2))
+        .select(col("bkt"), col("next_bmin"))
+      withNext.join(broadcast(bnext), Seq("bkt"))
+        .withColumn("succ", coalesce(col("next_id"), col("next_bmin")))
+        .filter(col("succ") - col("event_id") > 1)
+        .select(col("event_id").as("gap_start_after"),
+          (col("succ") - col("event_id") - 1).as("gap_len"))
+    }),
+
+    "q99_group_sample" -> ((s, dir) => {
+      // EXACTLY-k-per-stratum deterministic sample: rank by the portable
+      // arithmetic hash within each stratum, keep rk <= k. Completes the
+      // sampling triad — rate-based (q60), weight-based (q80), and
+      // fixed-size (here); rank<=k compiles to WindowGroupLimit so each
+      // partition forwards at most k rows per stratum.
+      val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("h", h)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("source"), col("rk"))
+    }),
+
+    "q100_chisq" -> ((s, dir) => {
+      // chi-square test of independence (event_type × hour-of-day):
+      // observed counts exact, expected = row·col/N in IEEE doubles,
+      // per-cell terms rounded to 9 then decimal-summed (the q91
+      // reduction discipline). Three tiny aggs + one broadcast join —
+      // the contingency table is small by construction.
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      val obs = ev.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("o"))
+      val rowT = ev.groupBy(col("event_type")).agg(count(lit(1)).as("rt"))
+      val colT = ev.groupBy(col("hr")).agg(count(lit(1)).as("ct"))
+      val n = ev.agg(count(lit(1)).as("n"))
+      val e = (col("rt") * col("ct")).cast("double") / col("n")
+      obs.join(broadcast(rowT), Seq("event_type"))
+        .join(broadcast(colT), Seq("hr"))
+        .crossJoin(broadcast(n))
+        .withColumn("term", round((col("o") - e) * (col("o") - e) / e, 9))
+        .agg(sum(col("term").cast(DecimalType(27, 12))).cast("double").as("chi2"),
+          count(lit(1)).as("n_cells"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1988,6 +2062,45 @@ object SparkEntry {
         |SELECT vec_id, x.dim, (v - mn) / (mx - mn) AS scaled
         |FROM x JOIN b ON x.dim = b.dim
         |WHERE x.dim < 8""".stripMargin,
+
+    "q97_trailing_window" ->
+      s"""$evCte
+         |SELECT event_id, user_id, ts,
+         |  CAST(SUM(CAST(value AS $D)) OVER w AS DOUBLE) AS trail_sum,
+         |  COUNT(*) OVER w AS trail_n
+         |FROM ev WHERE event_type = 'purchase'
+         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q98_gaps" ->
+      s"""$evCte,
+         |c AS (SELECT event_id FROM ev WHERE event_type = 'click'),
+         |n AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM c)
+         |SELECT event_id AS gap_start_after, nxt - event_id - 1 AS gap_len
+         |FROM n WHERE nxt - event_id > 1""".stripMargin,
+
+    "q99_group_sample" ->
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q100_chisq" ->
+      s"""$evCte,
+         |x AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr FROM ev),
+         |obs AS (SELECT event_type, hr, COUNT(*) AS o FROM x GROUP BY event_type, hr),
+         |rt AS (SELECT event_type, COUNT(*) AS rt FROM x GROUP BY event_type),
+         |ct AS (SELECT hr, COUNT(*) AS ct FROM x GROUP BY hr),
+         |n AS (SELECT COUNT(*) AS n FROM x),
+         |terms AS (
+         |  SELECT round((o - CAST(rt * ct AS DOUBLE) / n) * (o - CAST(rt * ct AS DOUBLE) / n)
+         |               / (CAST(rt * ct AS DOUBLE) / n), 9) AS term
+         |  FROM obs JOIN rt USING (event_type) JOIN ct USING (hr), n)
+         |SELECT CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE) AS chi2,
+         |       COUNT(*) AS n_cells
+         |FROM terms""".stripMargin,
 
     "q81_vocab_encode" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -71,6 +71,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q99: fixed-size per-stratum sample pushes a WindowGroupLimit") {
+    val p = plan("q99_group_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q80: weighted sampling plans TakeOrderedAndProject (k rows per partition)") {
     val p = plan("q80_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
