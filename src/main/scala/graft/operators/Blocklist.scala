@@ -34,6 +34,9 @@ object Blocklist {
   def filterNotIn(df: DataFrame, key: Column,
                   blocklist: DataFrame, blockKey: Column,
                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // an empty blocklist blocks nothing — and Spark's stat.bloomFilter
+    // NPEs on an empty frame (no sketch row comes back), so short-circuit
+    if (blocklist.isEmpty) return df
     val bf = bloomOf(blocklist, blockKey, expectedItems, fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bf)
     val keep = udf((k: java.lang.Long) => k != null && !bc.value.mightContainLong(k))

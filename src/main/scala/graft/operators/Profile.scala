@@ -18,7 +18,9 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      // coalesce: sum over ZERO rows is NULL, and a profile of an empty
+      // table must report 0 nulls, not a null count of null
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__null_$c"),
       countDistinct(col(c)).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")) }

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Blocklist, Dedup, Profile, RangeJoin}
+
+/** Edge-input robustness: every round-5 operator must degrade to an
+  * empty (or full) result on empty/degenerate inputs — never throw.
+  * At 100 TB some partition, shard, or day WILL be empty. */
+class EdgeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val noLines = Seq.empty[(Long, Long, String)].toDF("key", "line_no", "line")
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("lineDedup + reassembleLines on an empty corpus") {
+    assert(Dedup.reassembleLines(Dedup.lineDedup(noLines)).count() === 0L)
+  }
+
+  test("decontaminate with an empty benchmark flags nothing; empty corpus yields nothing") {
+    val docs = Seq((1L, "some words here")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(docs, col("text"), col("doc_id"),
+      noDocs, col("text"), k = 2).count() === 0L)
+    assert(Dedup.decontaminate(noDocs, col("text"), col("doc_id"),
+      docs, col("text"), k = 2).count() === 0L)
+  }
+
+  test("redactPii and gopher columns on null and empty text") {
+    val df = Seq((1L, null: String), (2L, "")).toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.redactPii(col("t")).as("r"),
+      TextAnalysis.alphaWordRatio(col("t")).as("awr"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.emailPattern).as("e"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(1) && out(1L).isNullAt(3)) // null propagates
+    assert(out(2L).getString(1) === "" && out(2L).getDouble(2) === 0.0 &&
+      out(2L).getLong(3) === 0L)
+  }
+
+  test("range join with an empty side returns empty, never throws") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val pts = Seq((1L, ts)).toDF("pid", "pts")
+    val noIv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("iid", "ist", "ien")
+    assert(RangeJoin.pointInInterval(pts, col("pts"), noIv,
+      col("ist"), col("ien"), 60L).count() === 0L)
+    val noPts = Seq.empty[(Long, java.sql.Timestamp)].toDF("pid", "pts")
+    val iv = Seq((1L, ts, ts)).toDF("iid", "ist", "ien")
+    assert(RangeJoin.pointInInterval(noPts, col("pts"), iv,
+      col("ist"), col("ien"), 60L).count() === 0L)
+  }
+
+  test("bloom blocklist with an empty blocklist keeps everything") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "k")
+    val noBlock = Seq.empty[Tuple1[Long]].toDF("bk")
+    val out = Blocklist.filterNotIn(df, col("k"), noBlock, col("bk"),
+      expectedItems = 10L, fpp = 0.01)
+    assert(out.count() === 2L)
+  }
+
+  test("profile of an empty frame reports zero rows per column") {
+    val out = Profile.profile(noDocs, Seq("doc_id", "text")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("doc_id") === ((0L, 0L, 0L)) && out("text") === ((0L, 0L, 0L)))
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
+    assert(Dedup.connectedComponents(noPairs).count() === 0L)
+  }
+}
