@@ -32,6 +32,16 @@ object SparkEntry {
 
   // exact, order-independent sum of a double column (see scaladoc above)
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Three chained Lehmer/MINSTD steps as a portable uniform hash: the
+    * modulus is taken BEFORE each multiply, so the product stays < 2^47 —
+    * no BIGINT overflow at any id (Spark ANSI and DuckDB both raise on
+    * overflow, and a wrapped product would silently diverge). One step is
+    * near-monotone for small ids (id·48271 ≪ p); three steps equi-
+    * distribute. Pure integer arithmetic → bit-identical in any engine. */
+  private val LP = 2147483647L
+  private def lehmer3(id: Column): Column =
+    id % LP * 48271L % LP * 48271L % LP * 48271L % LP
   private val D = "DECIMAL(18,4)"
 
   /** DuckDB CTE normalizing events.ts to µs — prepended to every
@@ -917,7 +927,11 @@ object SparkEntry {
       val rates = withW.crossJoin(broadcast(g))
         .select(col("source"),
           least(lit(1.0), (col("w") / col("sumw")) * (col("total").cast("double") / col("cnt"))).as("rate"))
-      val u = (((col("doc_id") * 2654435761L) % 4294967296L).cast("double") + 0.5) / 4294967296.0
+      // Lehmer/MINSTD step with the modulus taken FIRST: the product
+      // stays < 2^47, so no BIGINT overflow at any doc_id (Spark ANSI
+      // and DuckDB both raise on overflow — and a wrapped product would
+      // silently diverge anyway)
+      val u = (lehmer3(col("doc_id")).cast("double") + 0.5) / 2147483647.0
       d.join(broadcast(rates), Seq("source"))
         .filter(u < col("rate"))
         .select(col("doc_id"), col("source"))
@@ -931,8 +945,7 @@ object SparkEntry {
       // round(9) both sides and break ties on the key (q64 discipline).
       // orderBy.limit compiles to TakeOrderedAndProject: only k rows per
       // partition cross the wire.
-      val h = (col("doc_id") * 2654435761L) % 4294967296L
-      val u = (h.cast("double") + 0.5) / 4294967296.0
+      val u = (lehmer3(col("doc_id")).cast("double") + 0.5) / 2147483647.0
       Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"),
           round(log(u) / col("n_chars"), 9).as("priority"))
@@ -1028,10 +1041,15 @@ object SparkEntry {
         .filter(length(col("word")) > 0)
         .select(col("doc_id"), col("word"), lead(col("word"), 1).over(w).as("next"))
         .filter(col("next").isNotNull)
-      val cAB = bi.groupBy(col("word"), col("next")).agg(count(lit(1)).as("c_ab"))
-      val cA = bi.groupBy(col("word")).agg(count(lit(1)).as("c_a"))
-      val cB = bi.groupBy(col("next").as("nw")).agg(count(lit(1)).as("c_b"))
-      val n = bi.agg(count(lit(1)).as("n_bi"))
+      // ONE corpus pass: c_a, c_b and N are pure roll-ups of the bigram
+      // counts (c_a = Σ c_ab over next, etc.) — deriving them from cAB
+      // instead of re-aggregating `bi` saves three full tokenize+window
+      // passes; cAB is cached because four branches read it
+      val cAB = Dedup.cacheScoped(
+        bi.groupBy(col("word"), col("next")).agg(count(lit(1)).as("c_ab")))
+      val cA = cAB.groupBy(col("word")).agg(sum(col("c_ab")).as("c_a"))
+      val cB = cAB.groupBy(col("next").as("nw")).agg(sum(col("c_ab")).as("c_b"))
+      val n = cAB.agg(sum(col("c_ab")).as("n_bi"))
       cAB.join(cA, Seq("word"))
         .join(cB, cAB("next") === cB("nw")).drop("nw")
         .crossJoin(broadcast(n))
@@ -1270,7 +1288,7 @@ object SparkEntry {
       // sampling triad — rate-based (q60), weight-based (q80), and
       // fixed-size (here); rank<=k compiles to WindowGroupLimit so each
       // partition forwards at most k rows per stratum.
-      val h = pmod(col("doc_id") * 2654435761L, lit(4294967296L))
+      val h = lehmer3(col("doc_id"))
       val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       Tables.documents(s, dir)
         .withColumn("h", h)
@@ -1873,11 +1891,11 @@ object SparkEntry {
         |        least(CAST(1.0 AS DOUBLE), (w / sumw) * (CAST(total AS DOUBLE) / cnt)) AS rate
         |      FROM w, g)
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
-        |WHERE (CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0 < r.rate""".stripMargin,
+        |WHERE (CAST(((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 < r.rate""".stripMargin,
 
     "q80_weighted_sample" ->
       """SELECT doc_id, n_chars,
-        |  round(ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0)
+        |  round(ln((CAST(((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0)
         |        / n_chars, 9) AS priority
         |FROM documents
         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
@@ -2083,7 +2101,7 @@ object SparkEntry {
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT doc_id, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |      ORDER BY ((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 3""".stripMargin,
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter blocklist membership — the runtime-filter pattern for
@@ -13,6 +14,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * the big side is never shuffled at all. Bloom guarantees NO false
   * negatives — every blocklisted key is always dropped; `fpp` bounds the
   * rate of extra (false-positive) drops, asserted in CurationSpec.
+  *
+  * Anti-join parity rules (both asserted in specs):
+  *  - null keys are KEPT — a null matches nothing in an anti-join;
+  *  - the sketch is built and probed on the SAME representation: string
+  *    keys stay strings, every integral key is widened to long. A
+  *    type-mismatched probe would silently block nothing (bloom hashes
+  *    the raw bytes, so long 123 and string "123" never collide).
   *
   * This is the same mechanism Spark's own runtime bloom-filter join
   * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects for
@@ -30,16 +38,29 @@ object Blocklist {
 
   /** Keep only rows of `df` whose `key` is NOT (probably) in the
     * blocklist. Result is a subset of the exact anti-join: all true
-    * members are dropped, plus at most ~fpp of the non-members. */
+    * members are dropped, plus at most ~fpp of the non-members; null
+    * keys pass through like in the exact anti-join. */
   def filterNotIn(df: DataFrame, key: Column,
                   blocklist: DataFrame, blockKey: Column,
                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     // an empty blocklist blocks nothing — and Spark's stat.bloomFilter
     // NPEs on an empty frame (no sketch row comes back), so short-circuit
     if (blocklist.isEmpty) return df
-    val bf = bloomOf(blocklist, blockKey, expectedItems, fpp)
-    val bc = df.sparkSession.sparkContext.broadcast(bf)
-    val keep = udf((k: java.lang.Long) => k != null && !bc.value.mightContainLong(k))
-    df.filter(keep(key.cast("long")))
+    val keyed = blocklist.select(blockKey.as("__k"))
+    keyed.schema.head.dataType match {
+      case StringType =>
+        val bf = keyed.stat.bloomFilter("__k", expectedItems, fpp)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val keep = udf((k: String) => k == null || !bc.value.mightContainString(k))
+        df.filter(keep(key.cast("string")))
+      case ByteType | ShortType | IntegerType | LongType =>
+        val bf = keyed.select(col("__k").cast("long")).stat.bloomFilter("__k", expectedItems, fpp)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val keep = udf((k: java.lang.Long) => k == null || !bc.value.mightContainLong(k))
+        df.filter(keep(key.cast("long")))
+      case dt =>
+        throw new IllegalArgumentException(
+          s"bloom blocklist supports string and integral keys, got $dt")
+    }
   }
 }

@@ -34,7 +34,7 @@ object Dedup {
     * re-executed just recomputes — correctness unaffected). */
   private val cachedSigs = new java.util.ArrayDeque[DataFrame]
   private[operators] val maxCached = 4
-  private def cacheScoped(df: DataFrame): DataFrame = synchronized {
+  private[graft] def cacheScoped(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
     cachedSigs.addLast(p)
     while (cachedSigs.size > maxCached) cachedSigs.removeFirst().unpersist(false)

@@ -17,6 +17,11 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // the reshape below interpolates names into an expr() string — quote
+    // them as backticked identifiers and refuse the one char that can't
+    // be quoted (no SQL can ride in through a column name)
+    require(cols.forall(c => !c.contains("`") && !c.contains("'")),
+      "profile: column names must not contain backticks or quotes")
     val aggs = cols.flatMap { c => Seq(
       // coalesce: sum over ZERO rows is NULL, and a profile of an empty
       // table must report 0 nulls, not a null count of null
@@ -26,7 +31,7 @@ object Profile {
       max(col(c)).cast("string").as(s"__max_$c")) }
     val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', __null_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+      s"'$c', `__null_$c`, `__nd_$c`, `__min_$c`, `__max_$c`").mkString(", ")
     agged.select(col("__n").as("n_rows"),
         expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_val, max_val)"))
       .select(col("col_name"), col("n_rows"), col("n_null"),

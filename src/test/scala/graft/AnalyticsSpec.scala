@@ -19,8 +19,11 @@ class AnalyticsSpec extends AnyFunSuite {
       while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
       math.sqrt(s)
     }
-    // local ground truth: assignment cost with the seed centroids
-    val seedCost = emb.map { case (_, v) => cents.map(c => l2(v, c._2)).min }.sum
+    def l2sq(a: Array[Float], b: Array[Float]): Double = { val d = l2(a, b); d * d }
+    // local ground truth: SQUARED assignment cost with the seed centroids
+    // (the mean minimizes summed SQUARED distance — the unsquared sum is
+    // not guaranteed non-increasing and would be a false invariant)
+    val seedCost = emb.map { case (_, v) => cents.map(c => l2sq(v, c._2)).min }.sum
     val out = SparkEntry.queries("q85_kmeans_iter")(spark, TestSpark.sf0001).collect()
     assert(out.length === 8 * 64) // every seed kept members (it contains itself)
     val newCents = out.groupBy(_.getLong(0)).map { case (cid, rows) =>
@@ -30,7 +33,7 @@ class AnalyticsSpec extends AnyFunSuite {
     // not increase the summed distance to each vector's assigned mean
     val newCost = emb.map { case (_, v) =>
       val assigned = cents.minBy(c => (l2(v, c._2), c._1))._1
-      l2(v, newCents(assigned))
+      l2sq(v, newCents(assigned))
     }.sum
     assert(newCost <= seedCost + 1e-6, s"Lloyd step increased cost: $newCost > $seedCost")
   }

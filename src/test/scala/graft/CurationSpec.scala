@@ -142,7 +142,8 @@ class CurationSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
     val expected = docs.map { case (id, nc) =>
-      val u = (((id * 2654435761L) % 4294967296L).toDouble + 0.5) / 4294967296.0
+      val P = 2147483647L
+      val u = ((id % P * 48271L % P * 48271L % P * 48271L % P).toDouble + 0.5) / P
       val pr = BigDecimal(math.log(u) / nc).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       (id, pr)
     }.sortBy { case (id, pr) => (-pr, id) }.take(100).map(_._1).toSeq
