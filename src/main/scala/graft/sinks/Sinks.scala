@@ -256,12 +256,16 @@ object Sinks {
     * the reference's done-shards scan (`main.py:140-151`), literally.
     * An interrupted shard (only a `.tmp` file) is redone whole.
     *
-    * The listing streams through `listStatusIterator` (no full
-    * FileStatus array on the driver) and the done set rides a broadcast
-    * hash anti-join only while it is broadcast-sized; past
-    * `broadcastLimit` names it becomes a parallelized frame and the
-    * anti-join shuffles — millions of done shards must not pin the
-    * driver or every executor's memory. */
+    * The listing streams through `listStatusIterator` (FileStatus
+    * objects are not all materialized at once — only the names are
+    * kept) and the done set rides a broadcast hash anti-join only while
+    * it is broadcast-sized; past `broadcastLimit` names it becomes a
+    * parallelized frame and the anti-join shuffles, so executors no
+    * longer each hold the full set. The NAME list itself still passes
+    * through the driver heap (a filesystem listing has no distributed
+    * source); at ~50 bytes/name that bounds practical use to tens of
+    * millions of shards — beyond that, keep a parquet manifest of done
+    * shards next to the sink and anti-join against it directly. */
   def resumeShards(df: DataFrame, existingOut: String, shard: Column,
                    ext: String, broadcastLimit: Int = 100000): DataFrame = {
     val spark = df.sparkSession
