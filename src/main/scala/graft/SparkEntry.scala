@@ -1318,6 +1318,14 @@ object SparkEntry {
           count(lit(1)).as("n_cells"))
     }),
 
+    "q101_custom_session" -> ((s, dir) => {
+      // gap sessions via the ARBITRARY-state API (flatMapGroupsWithState)
+      // instead of the built-in session_window — same oracle as q19/q78,
+      // so the custom state machine must reproduce the engine's session
+      // semantics exactly (starts, gap-extended ends, decimal sums).
+      StreamingOps.customSessionize(Tables.events(s, dir), gapMinutes = 5)
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1449,6 +1457,8 @@ object SparkEntry {
     "q19_session_window" -> sessionOracle,
 
     "q78_stream_session" -> sessionOracle,
+
+    "q101_custom_session" -> sessionOracle,
 
     "q20_strip_tags" ->
       """SELECT doc_id,

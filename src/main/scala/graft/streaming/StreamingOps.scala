@@ -122,6 +122,64 @@ object StreamingOps {
       .toDF()
   }
 
+  case class SessionOut(session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp,
+                        user_id: Long, n_events: Long, total_value: Double)
+
+  /** Gap-sessionization as a CUSTOM state machine
+    * (`flatMapGroupsWithState` — SURVEY §2.8's arbitrary-state surface):
+    * the hand-rolled twin of [[sessionAgg]]'s built-in `session_window`,
+    * proving the custom-state path produces oracle-identical sessions.
+    *
+    * Batch execution (one group pass, empty initial state) finalizes
+    * every session at group end — that is what makes it oracle-exact;
+    * under a stream, Update-mode emission would interleave partial
+    * sessions (use [[sessionAgg]] there — q78). Each user's rows are
+    * sorted in memory: bounded by per-user activity, the same per-group
+    * buffering Spark's own sort-based session agg performs.
+    *
+    * Sum parity: each value is quantized to DECIMAL(18,4) HALF_UP before
+    * accumulating — the scalar twin of the engine-wide decimal-sum
+    * discipline (a raw double sum would be arrival-order dependent). */
+  def customSessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000 % 1000000L
+    def plusGap(t: java.sql.Timestamp): java.sql.Timestamp = {
+      val m = micros(t) + gapMicros
+      val out = new java.sql.Timestamp(m / 1000000L * 1000L)
+      out.setNanos((m % 1000000L).toInt * 1000)
+      out
+    }
+    events.select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (uid, rows, _) =>
+        val sorted = rows.toArray.sortBy(r => (micros(r.ts), r.event_id))
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var start: EventRow = null
+        var last: EventRow = null
+        var n = 0L
+        var tv = java.math.BigDecimal.ZERO
+        def quant(v: Double) = new java.math.BigDecimal(v)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+        def close(): Unit = if (start != null)
+          out += SessionOut(start.ts, plusGap(last.ts), uid, n, tv.doubleValue)
+        sorted.foreach { r =>
+          if (start == null || micros(r.ts) - micros(last.ts) >= gapMicros) {
+            close(); start = r; n = 0L; tv = java.math.BigDecimal.ZERO
+          }
+          last = r; n += 1; tv = tv.add(quant(r.value))
+        }
+        close()
+        out.iterator
+      }
+      .toDF()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (synchronous batch-replay harness for
     * tests/Verify). */

@@ -128,6 +128,16 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed === batch && streamed.nonEmpty)
   }
 
+  test("custom flatMapGroupsWithState sessionizer equals the built-in session_window") {
+    import graft.streaming.StreamingOps
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val custom = StreamingOps.customSessionize(ev, gapMinutes = 5)
+      .collect().map(_.toSeq).toSet
+    val builtin = StreamingOps.sessionAgg(ev, "5 minutes")
+      .collect().map(_.toSeq).toSet
+    assert(custom === builtin && custom.nonEmpty)
+  }
+
   test("mixture sample rebalances domains toward the target weights") {
     val out = SparkEntry.queries("q79_mixture_sample")(spark, TestSpark.sf0001)
       .groupBy(col("source")).agg(count(lit(1)).as("kept"))
