@@ -1326,6 +1326,27 @@ object SparkEntry {
       StreamingOps.customSessionize(Tables.events(s, dir), gapMinutes = 5)
     }),
 
+    "q102_mad" -> ((s, dir) => {
+      // robust outliers via median absolute deviation: two exact-
+      // percentile passes (median, then median of |x - median|), both
+      // broadcast back — immune to the very outliers a mean/stddev gate
+      // (q87) gets dragged by. Exact percentile anchors the oracle;
+      // percentile_approx is the documented 100 TB tier (q57).
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      // 0.6745 ≈ Φ⁻¹(0.75): scales MAD to σ under normality; round(9)
+      // and gate on the rounded score (the q87 discipline)
+      ev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("robust_z",
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 9))
+        .filter(abs(col("robust_z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1459,6 +1480,18 @@ object SparkEntry {
     "q78_stream_session" -> sessionOracle,
 
     "q101_custom_session" -> sessionOracle,
+
+    "q102_mad" ->
+      s"""$evCte,
+         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |      FROM ev GROUP BY event_type),
+         |d AS (SELECT ev.event_type, med, quantile_cont(abs(value - med), 0.5) AS mad
+         |      FROM ev JOIN m ON ev.event_type = m.event_type
+         |      GROUP BY ev.event_type, med)
+         |SELECT event_id, ev.event_type, value,
+         |  round(0.6745 * (value - med) / mad, 9) AS robust_z
+         |FROM ev JOIN d ON ev.event_type = d.event_type
+         |WHERE abs(round(0.6745 * (value - med) / mad, 9)) > 3.0""".stripMargin,
 
     "q20_strip_tags" ->
       """SELECT doc_id,
