@@ -1347,6 +1347,31 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))
     }),
 
+    "q103_linreg" -> ((s, dir) => {
+      // least-squares regression + Pearson r per group, entirely from
+      // exact decimal sums (Σx, Σy, Σxy, Σx², Σy²) — one partial+final
+      // agg, then pure IEEE arithmetic on the five exact numbers, so
+      // slope/intercept/r are engine-independent (rounded to 9 like
+      // every derived score). DECIMAL(30,8): y² sums need ~17 integer
+      // digits at sf10 — 22 available.
+      val D30 = DecimalType(30, 8)
+      def esum(c: Column) = sum(c.cast(D30)).cast("double")
+      val x = col("l_quantity"); val y = col("l_extendedprice")
+      val stats = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), esum(x).as("sx"), esum(y).as("sy"),
+          esum(x * y).as("sxy"), esum(x * x).as("sxx"), esum(y * y).as("syy"))
+      val nd = col("n").cast("double")
+      val cov = nd * col("sxy") - col("sx") * col("sy")
+      val vx = nd * col("sxx") - col("sx") * col("sx")
+      val vy = nd * col("syy") - col("sy") * col("sy")
+      val slope = cov / vx
+      stats.select(col("l_returnflag"), col("n"),
+        round(slope, 9).as("slope"),
+        round((col("sy") - slope * col("sx")) / nd, 9).as("intercept"),
+        round(cov / sqrt(vx * vy), 9).as("pearson_r"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1480,6 +1505,22 @@ object SparkEntry {
     "q78_stream_session" -> sessionOracle,
 
     "q101_custom_session" -> sessionOracle,
+
+    "q103_linreg" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS syy
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+        |  round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+        |        / CAST(n AS DOUBLE), 9) AS intercept,
+        |  round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+        |FROM s""".stripMargin,
 
     "q102_mad" ->
       s"""$evCte,
