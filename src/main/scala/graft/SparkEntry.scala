@@ -1340,7 +1340,11 @@ object SparkEntry {
         .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
       // 0.6745 ≈ Φ⁻¹(0.75): scales MAD to σ under normality; round(9)
       // and gate on the rounded score (the q87 discipline)
+      // mad = 0 (a group where >=50% of values equal the median) would
+      // make every division Infinity/NaN and flag the whole group —
+      // degenerate groups produce no robust verdict instead
       ev.join(broadcast(mad), Seq("event_type"))
+        .filter(col("mad") > 0)
         .withColumn("robust_z",
           round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 9))
         .filter(abs(col("robust_z")) > 3.0)
@@ -1532,7 +1536,7 @@ object SparkEntry {
          |SELECT event_id, ev.event_type, value,
          |  round(0.6745 * (value - med) / mad, 9) AS robust_z
          |FROM ev JOIN d ON ev.event_type = d.event_type
-         |WHERE abs(round(0.6745 * (value - med) / mad, 9)) > 3.0""".stripMargin,
+         |WHERE mad > 0 AND abs(round(0.6745 * (value - med) / mad, 9)) > 3.0""".stripMargin,
 
     "q20_strip_tags" ->
       """SELECT doc_id,

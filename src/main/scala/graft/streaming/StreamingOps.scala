@@ -142,18 +142,21 @@ object StreamingOps {
     * accumulating — the scalar twin of the engine-wide decimal-sum
     * discipline (a raw double sum would be arrival-order dependent). */
   def customSessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    // the scaladoc's batch-only constraint, enforced: under a stream each
+    // micro-batch would re-walk its groups stateless and emit partial /
+    // duplicate sessions with no error — fail loudly instead
+    require(!events.isStreaming,
+      "customSessionize is batch-only; use sessionAgg for streams (q78)")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     val gapMicros = gapMinutes.toLong * 60L * 1000000L
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000 % 1000000L
-    def plusGap(t: java.sql.Timestamp): java.sql.Timestamp = {
-      val m = micros(t) + gapMicros
-      val out = new java.sql.Timestamp(m / 1000000L * 1000L)
-      out.setNanos((m % 1000000L).toInt * 1000)
-      out
-    }
+    // Spark's own µs conversions — correct for pre-epoch timestamps,
+    // where getTime/1000-based math double-counts the sub-second part
+    def micros(t: java.sql.Timestamp): Long = DateTimeUtils.fromJavaTimestamp(t)
+    def plusGap(t: java.sql.Timestamp): java.sql.Timestamp =
+      DateTimeUtils.toJavaTimestamp(micros(t) + gapMicros)
     events.select("event_id", "ts", "user_id", "event_type", "value").as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserAgg, SessionOut](
@@ -164,7 +167,11 @@ object StreamingOps {
         var last: EventRow = null
         var n = 0L
         var tv = java.math.BigDecimal.ZERO
-        def quant(v: Double) = new java.math.BigDecimal(v)
+        // valueOf (shortest-decimal), NOT new BigDecimal(double) (exact
+        // binary expansion): Spark's double→decimal cast rounds the
+        // shortest representation, and 0.56645 would otherwise land on
+        // 0.5664 here vs the engine's 0.5665
+        def quant(v: Double) = java.math.BigDecimal.valueOf(v)
           .setScale(4, java.math.RoundingMode.HALF_UP)
         def close(): Unit = if (start != null)
           out += SessionOut(start.ts, plusGap(last.ts), uid, n, tv.doubleValue)
