@@ -1376,6 +1376,24 @@ object SparkEntry {
         round(cov / sqrt(vx * vy), 9).as("pearson_r"))
     }),
 
+    "q104_weighted_median" -> ((s, dir) => {
+      // exact weighted median (lower): first value whose cumulative
+      // weight crosses half the group total — per-group windows (never
+      // global), exact decimal cumulative weights so the crossing row is
+      // engine-identical. The statistic a reweighted corpus is
+      // summarized by (plain median ignores the weights q79/q80 assign).
+      val ord = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, dir)
+        .withColumn("cw", sum(col("l_quantity").cast(DecimalType(18, 4))).over(wCum))
+        .withColumn("tw", sum(col("l_quantity").cast(DecimalType(18, 4))).over(wAll))
+        .filter(col("cw") >= col("tw") * 0.5)
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as("weighted_median"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel (decoder not SQL-expressible → rows-only)
@@ -1509,6 +1527,18 @@ object SparkEntry {
     "q78_stream_session" -> sessionOracle,
 
     "q101_custom_session" -> sessionOracle,
+
+    "q104_weighted_median" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS cw,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_returnflag) AS tw
+        |FROM lineitem)
+        |SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median
+        |FROM t WHERE cw >= tw * 0.5 GROUP BY l_returnflag""".stripMargin,
 
     "q103_linreg" ->
       """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
