@@ -35,7 +35,11 @@ object Bench {
     // query — r03 recorded 13 s for two queries that steady-state at ~1 s.
     // Interleaving puts minutes between a query's samples, so one stall
     // can only poison one of its three timings; the min is steady-state.
+    // local-iteration hook: SPARK_GRAFT_ONLY=q52,q84 runs just matching
+    // queries (substring match). Driver never sets it -> full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to 3; (name, fn) <- names) {
       val t0 = System.nanoTime()

@@ -355,49 +355,142 @@ object Dedup {
       key === col("__loser"), "left_anti")
 
   /** Transitive duplicate groups: connected components over the candidate
-    * pair graph by iterative min-label propagation (the standard
-    * hash-to-min formulation: each round every node adopts the smallest
-    * label in its neighborhood; converges in O(graph diameter) rounds —
-    * duplicate clusters are small-diameter, so a handful of rounds).
+    * pair graph by min-label propagation with pointer-doubling shortcuts.
+    * Each round a node takes the minimum of (its label, its label's label,
+    * its neighbors' labels):
+    * the neighbor messages route the component minimum along graph edges;
+    * the shortcut `l(u) <- l(l(u))` halves every node's pointer distance to
+    * its current root, so a chain of diameter d converges in
+    * O(log d) rounds instead of O(d) (Stergiou-style shortcutted label
+    * propagation; same contraction idea as large-star/small-star).
     *
-    * Per round: one shuffle (message groupBy) + one join. Labels persist
-    * per round and the previous round unpersists — the working set stays
+    * Per round: one edges⋈labels join + one labels⋈labels self-join into a
+    * single message groupBy — all plain equi-joins on the label/node key.
+    * Labels are lineage-truncated every round so the working set stays
     * ~2×|nodes| regardless of rounds. Returns (key, component) where
     * component = min key of the cluster.
+    *
+    * Two tiers, picked by measured edge count:
+    *  - `<= localEdgeThreshold` edges (post-LSH pair graphs are a tiny
+    *    fraction of the corpus, so this is the common case even at 100 TB):
+    *    collect to the driver and run union-find with path halving —
+    *    exact, O(E·α(E)), zero shuffle rounds. An iterative DataFrame loop
+    *    on a broadcast-sized graph pays per-round job scheduling for
+    *    nothing.
+    *  - larger: the distributed pointer-doubling loop above, O(log d)
+    *    rounds each a fixed number of equi-join shuffles.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** Driver-side exact union-find over a collected edge list (the
+    * broadcast-sized tier of [[connectedComponents]]). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val keyType = edges.schema("src").dataType
+    val rows = edges.select(col("src"), col("dst")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    val nodes = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toArray.distinct
+    // component representative = MIN key of the cluster, matching the
+    // distributed tier's least()-semantics (Spark's natural ordering on
+    // the key type)
+    val ord: Ordering[Any] = keyType match {
+      case org.apache.spark.sql.types.LongType    => Ordering.by(_.asInstanceOf[Long])
+      case org.apache.spark.sql.types.IntegerType => Ordering.by(_.asInstanceOf[Int])
+      case org.apache.spark.sql.types.StringType  => Ordering.by(_.asInstanceOf[String])
+      case t => throw new IllegalArgumentException(s"unsupported key type for local CC: $t")
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOf(r) = minOf.get(r).fold(n)(m => ord.min(m, n))
+    }
+    val out = nodes.map(n => org.apache.spark.sql.Row(n, minOf(find(n))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", keyType),
+      org.apache.spark.sql.types.StructField("component", keyType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
+  /** [[connectedComponents]] plus the number of rounds it took (0 = solved
+    * on the driver by the union-find tier) — exposed so specs can assert
+    * the O(log d) convergence bound on planted chains by forcing
+    * `localEdgeThreshold = 0`. */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
+                                    localEdgeThreshold: Long = 1L << 20): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("key_a").as("src"), col("key_b").as("dst"))
       .union(pairs.select(col("key_b").as("src"), col("key_a").as("dst")))
       .distinct().localCheckpoint(true)
-    // labels MUST be lineage-truncated every round (localCheckpoint, not
-    // persist): each iteration references the previous labels frame
-    // several times, so without truncation the logical plan doubles per
-    // round — exponential analysis cost, OOM near ~15 iterations.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // each node receives its neighbors' labels, keeps the minimum;
-      // the changed flag rides the same pass so convergence costs one
-      // cheap scan of the checkpointed frame, not a second join+job
-      val msgs = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label").as("cand"))
-        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
-      val newLabel = least(col("label"), coalesce(col("cand"), col("label")))
-      val next = labels.join(msgs, Seq("node"), "left")
-        .select(col("node"), newLabel.as("label"), (newLabel =!= col("label")).as("__chg"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__chg")).limit(1).count() == 0
-      labels = next.drop("__chg")
-      iter += 1
+    val localOk = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
     }
-    // unconverged labels are silently WRONG (a long chain would split one
-    // component into several) — fail loudly rather than return bad groups
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds; " +
-        "the pair graph has a longer duplicate chain than expected — raise maxIter")
-    labels.select(col("node").as("key"), col("label").as("component"))
+    val edgeCount = edges.count() // cheap: edges is checkpointed
+    if (localOk && edgeCount <= localEdgeThreshold)
+      return (localComponents(edges), 0)
+    // iterative rounds pay per-task scheduling on EVERY shuffle: width the
+    // loop's shuffles to the live edge count (cap = session default, so a
+    // wide cluster config is respected at scale; tiny pair graphs drop to
+    // a few tasks instead of default×stages×rounds empty ones)
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1L, math.min(defaultParts.toLong, edgeCount / 100000L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      // round 1 fused into initialization: label = min(self, neighbors) is
+      // one groupBy over the checkpointed edges, no join needed
+      var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("node"), least(col("src"), col("nmin")).as("label"))
+        .localCheckpoint(true)
+      // labels MUST be lineage-truncated every round (localCheckpoint, not
+      // persist): each iteration references the previous labels frame
+      // several times, so without truncation the logical plan doubles per
+      // round — exponential analysis cost, OOM near ~15 iterations.
+      var converged = false
+      var iter = 1
+      while (!converged && iter < maxIter) {
+        // neighbor propagation: each node receives its neighbors' labels
+        val neighborMsgs = edges.join(labels, edges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label").as("cand"))
+        // pointer doubling: each node also receives its label's label —
+        // this is what turns O(diameter) rounds into O(log diameter)
+        val shortcutMsgs = labels.as("a")
+          .join(labels.as("b"), col("a.label") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.label").as("cand"))
+        val msgs = neighborMsgs.union(shortcutMsgs)
+          .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+        // the changed flag rides the same pass so convergence costs one
+        // cheap scan of the checkpointed frame, not a second join+job
+        val newLabel = least(col("label"), coalesce(col("cand"), col("label")))
+        val next = labels.join(msgs, Seq("node"), "left")
+          .select(col("node"), newLabel.as("label"), (newLabel =!= col("label")).as("__chg"))
+          .localCheckpoint(true)
+        converged = next.filter(col("__chg")).limit(1).count() == 0
+        labels = next.drop("__chg")
+        iter += 1
+      }
+      // unconverged labels are silently WRONG (a long chain would split one
+      // component into several) — fail loudly rather than return bad groups
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "the pair graph has a longer duplicate chain than expected — raise maxIter")
+      (labels.select(col("node").as("key"), col("label").as("component")), iter)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Keep exactly one row (smallest key) per transitive duplicate group. */

@@ -191,6 +191,28 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 10L), s"kept: $kept")
   }
 
+  test("connected components: 1000-link chain converges in O(log d) rounds") {
+    // a planted worst case for plain min-label propagation (diameter 1000):
+    // hash-to-min would need ~1000 rounds; pointer doubling must land in
+    // ~log2(1000) ≈ 10 (+small constant for the ramp-up rounds)
+    val n = 1000L
+    val pairs = spark.range(1, n + 1)
+      .select(col("id").as("key_a"), (col("id") + 1).as("key_b"))
+    // force the distributed pointer-doubling tier (threshold 0)
+    val (cc, rounds) = Dedup.connectedComponentsWithRounds(pairs, localEdgeThreshold = 0)
+    assert(rounds >= 1, "distributed tier must have run")
+    assert(rounds <= 14, s"expected <= ceil(log2(1000))+4 rounds, got $rounds")
+    val labels = cc.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("component") === 1L, 0L).otherwise(1L)).as("wrong")).head()
+    assert(labels.getLong(0) === n + 1)
+    assert(labels.getLong(1) === 0L, "every chain node must label to 1")
+    // the driver union-find tier must agree exactly with the distributed tier
+    val (ccLocal, r0) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(r0 === 0, "default threshold must pick the local tier here")
+    assert(ccLocal.exceptAll(cc).count() === 0L && cc.exceptAll(ccLocal).count() === 0L)
+  }
+
   test("fnv1a64 / simhashOf deterministic") {
     assert(Dedup.fnv1a64("abc") == Dedup.fnv1a64("abc"))
     assert(Dedup.fnv1a64("abc") != Dedup.fnv1a64("abd"))
