@@ -144,11 +144,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, payload: Column, key: Column,
                         shingleK: Int = 3, numHashes: Int = 32,
                         bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
-    val sigUdf = udf((t: String) => minhashSigBands(shingleStrings(t, shingleK), numHashes, bands))
     // persist: the self-join + verify re-join reference this frame 4×,
     // and Spark's exchange reuse does not unify the branches (measured
     // 4 full scans). ContextCleaner unpersists once unreferenced.
-    val sig = cacheScoped(df.select(key.as("k"), sigUdf(payload).as("mh")))
+    val sig = cacheScoped(df.select(key.as("k"),
+      graft.functions.Shingles.minhashSigBands(payload, shingleK, numHashes, bands).as("mh")))
     // Candidate generation carries ONLY (band, bucket, key): the 256-byte
     // signatures must not flow through the bucket join + distinct (measured
     // 10×+ slower when they do). Pairs are deduped narrow, then signatures
@@ -211,8 +211,8 @@ object Dedup {
     * pigeonhole), then verify the full distance. Equi-join, no cross join. */
   def simhashCandidates(df: DataFrame, payload: Column, key: Column,
                         shingleK: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val shUdf = udf((t: String) => simhashOf(shingleStrings(t, shingleK)))
-    val sh = cacheScoped(df.select(key.as("k"), shUdf(payload).as("sh")))
+    val sh = cacheScoped(df.select(key.as("k"),
+      graft.functions.Shingles.simhash(payload, shingleK).as("sh")))
     // narrow candidate pairs first, then one signature re-join (see
     // minhashCandidates for why signatures stay out of the bucket join)
     val blocked = sh.select(col("k"),
@@ -239,8 +239,8 @@ object Dedup {
     * expensive distinct (a doc pair must share >= minShared shingles). */
   def ngramJaccardPairs(df: DataFrame, payload: Column, key: Column,
                         k: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val shUdf = udf((t: String) => shingleStrings(t, k).distinct)
-    val sh = cacheScoped(df.select(key.as("kk"), shUdf(payload).as("sh")))
+    val sh = cacheScoped(df.select(key.as("kk"),
+      graft.functions.Shingles.shingles(payload, k, distinct = true).as("sh")))
     // block on hashed shingles (8 bytes each, not full strings), dedupe
     // narrow pairs, then re-join the shingle sets once per pair
     val exploded = sh.select(col("kk"), explode(col("sh")).as("g"))
@@ -331,11 +331,11 @@ object Dedup {
   def decontaminate(docs: DataFrame, payload: Column, key: Column,
                     bench: DataFrame, benchPayload: Column,
                     k: Int = 3, minRatio: Double = 0.0): DataFrame = {
-    val shUdf = udf((t: String) => shingleStrings(t, k).distinct)
-    val sh = cacheScoped(docs.select(key.as("k"), shUdf(payload).as("sh")))
+    val shCol = (c: Column) => graft.functions.Shingles.shingles(c, k, distinct = true)
+    val sh = cacheScoped(docs.select(key.as("k"), shCol(payload).as("sh")))
     val totals = sh.select(col("k"), size(col("sh")).cast("long").as("n_shingles"))
     val docSh = sh.select(col("k"), explode(col("sh")).as("g"))
-    val benchSh = bench.select(explode(shUdf(benchPayload)).as("g")).distinct()
+    val benchSh = bench.select(explode(shCol(benchPayload)).as("g")).distinct()
     docSh.join(broadcast(benchSh), Seq("g"))
       .groupBy(col("k")).agg(count(lit(1)).cast("long").as("n_overlap"))
       .join(totals, Seq("k"))

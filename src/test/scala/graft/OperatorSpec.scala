@@ -191,6 +191,44 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 10L), s"kept: $kept")
   }
 
+  test("shingle/minhash/simhash codegen kernels match the scalar twins") {
+    val samples = Seq[String](
+      null, "", "   ", "ABC def!", "Füße große 123 – naïve café",
+      "a b c d e f g h", "one", "Hello, WORLD!! hello world hello world",
+      "dup dup dup dup")
+    val df = samples.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "t")
+    def run() = df.select(col("id"),
+      graft.functions.Shingles.shingles(col("t"), 2, distinct = true).as("sh"),
+      graft.functions.Shingles.minhashSigBands(col("t"), 3, 32, 8).as("mh"),
+      graft.functions.Shingles.simhash(col("t"), 3).as("sim"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val got = run()
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val r = got(i)
+      assert(r.getSeq[String](1) == Dedup.shingleStrings(s, 2).distinct, s"shingles: '$s'")
+      val (expSig, expBands) = Dedup.minhashSigBands(Dedup.shingleStrings(s, 3), 32, 8)
+      val mh = r.getStruct(2)
+      assert(mh.getSeq[Long](0) == expSig.toSeq, s"minhash sig: '$s'")
+      assert(mh.getSeq[Long](1) == expBands.toSeq, s"band hashes: '$s'")
+      assert(r.getLong(3) == Dedup.simhashOf(Dedup.shingleStrings(s, 3)), s"simhash: '$s'")
+    }
+    // interpreted (eval) path must agree with the codegen path
+    val conf = spark.conf
+    val prev = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = run()
+      samples.indices.foreach { i =>
+        assert(interp(i).toString == got(i).toString, s"codegen vs interpreted row $i")
+      }
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prev._1)
+      conf.set("spark.sql.codegen.factoryMode", prev._2)
+    }
+  }
+
   test("connected components: 1000-link chain converges in O(log d) rounds") {
     // a planted worst case for plain min-label propagation (diameter 1000):
     // hash-to-min would need ~1000 rounds; pointer doubling must land in
