@@ -1004,6 +1004,15 @@ object SparkEntry {
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
     }),
 
+    "q105_profile_approx" -> ((s, dir) => {
+      // the 100 TB tier of q84: approx_count_distinct (HLL++) per column —
+      // no Expand row multiplication, mergeable sketches. HLL internals are
+      // engine-specific -> rows-only; 5%-accuracy vs the exact q84 asserted
+      // in CurationSpec (q41/q57 discipline).
+      Profile.profile(Tables.orders(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), approxDistinct = true)
+    }),
+
     "q85_kmeans_iter" -> ((s, dir) => {
       // one full Lloyd iteration: assign every vector to its nearest of 8
       // seed centroids (seeds broadcast — the corpus never shuffles for
@@ -1396,7 +1405,9 @@ object SparkEntry {
 
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
-      // full pipeline status channel (decoder not SQL-expressible → rows-only)
+      // full pipeline status channel; the deterministic stub decoder's
+      // arithmetic is SQL-expressible, so this is oracle-matched (see the
+      // q40 oracle for the page/word-count reconstruction)
       val cfg = PipelineConfig(minWordsPerPage = 5, getLanguage = false,
         saveFigures = true, maxPages = Some(8))
       val docs = Tables.documents(s, dir)
@@ -1737,6 +1748,44 @@ object SparkEntry {
          |SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
          |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
          |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    // the stub decoder's arithmetic is a pure function of the text column
+    // (W = \S+ runs, pages = 40-word groups capped at maxPages=8, per-page
+    // word count = the reference word regex over the page's word slice), so
+    // the full pipeline status channel is SQL-expressible — the same
+    // argument that oracle-ized q38/q69. Quirk parity: all-whitespace text
+    // decodes to ZERO pages, and the outer explode's null page row tags
+    // success/null (no branch of the status chain fires on null text).
+    "q40_doc_pipeline_stats" ->
+      """WITH meta AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ws,
+        |    len(regexp_extract_all(text, '\S+')) AS w,
+        |    CAST(ceil(len(regexp_extract_all(text, '\S+')) / 40.0) AS BIGINT) AS p
+        |  FROM documents
+        |), pages AS (
+        |  SELECT m.doc_id, i.g AS page_no,
+        |    len(regexp_extract_all(
+        |      array_to_string(m.ws[i.g*40+1 : least((i.g+1)*40, m.w)], ' '),
+        |      '[^\]\[\s,<>]+')) AS wc
+        |  FROM meta m, LATERAL unnest(generate_series(0, least(m.p, 8) - 1)) AS i(g)
+        |  WHERE m.text IS NOT NULL AND m.text <> '' AND m.w > 0
+        |), tagged AS (
+        |  SELECT 'failed_to_extract' AS status,
+        |         'cannot open document: null payload' AS error_message
+        |  FROM meta WHERE text IS NULL
+        |  UNION ALL
+        |  SELECT 'failed_to_extract', 'cannot open document: empty payload'
+        |  FROM meta WHERE text = ''
+        |  UNION ALL
+        |  SELECT 'success', NULL FROM meta
+        |  WHERE text IS NOT NULL AND text <> '' AND w = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN wc < 5 THEN 'failed_to_extract' ELSE 'success' END,
+        |         CASE WHEN wc < 5 THEN 'too few words' ELSE NULL END
+        |  FROM pages
+        |)
+        |SELECT status, error_message, COUNT(*) AS count
+        |FROM tagged GROUP BY 1, 2""".stripMargin,
 
     "q42_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
