@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   * (count-distinct columns each add an Expand branch, still one scan),
   * then `stack` reshapes the one wide row to long format. Profiling N
   * columns costs one table pass, not N.
+  *
+  * `approxDistinct = true` is the 100 TB tier: `approx_count_distinct`
+  * (HLL++, mergeable partial agg) instead of exact `countDistinct` —
+  * no Expand multiplication of the scan (N exact distincts expand rows
+  * ×(N+1)), bounded memory per column. Exact stays the default and the
+  * oracle anchor (q84); the approx tier is q105, rows-only with a
+  * 5%-accuracy spec — the q41/q57 discipline.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     // the reshape below interpolates names into an expr() string — quote
     // them as backticked identifiers and refuse the one char that can't
@@ -26,7 +34,8 @@ object Profile {
       // coalesce: sum over ZERO rows is NULL, and a profile of an empty
       // table must report 0 nulls, not a null count of null
       coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__null_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
+      (if (approxDistinct) approx_count_distinct(col(c))
+       else countDistinct(col(c))).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")) }
     val agged = df.agg(count(lit(1)).as("__n"), aggs: _*)

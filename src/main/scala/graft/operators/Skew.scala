@@ -32,6 +32,37 @@ object Skew {
     s.join(d, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Salt count derived from OBSERVED key frequencies instead of a fixed
+    * constant: estimate the hottest key's row count from a seeded sample
+    * (deterministic — retries and the counts job see the same estimate)
+    * and size salts so one key's rows split into ~`targetRowsPerSalt`
+    * chunks. A uniform table yields 1 — i.e. ZERO dim replication when
+    * there is no skew; a fixed `salts = 8` pays 8× dim traffic always.
+    * The estimate only tunes parallelism: an off-by-2× sample error
+    * changes task sizing, never join results. */
+  def adaptiveSalts(skewed: DataFrame, key: String,
+                    targetRowsPerSalt: Long = 1000000L,
+                    sampleFraction: Double = 0.01,
+                    maxSalts: Int = 64): Int = {
+    val top = skewed.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("__m")).head()
+    val estMax =
+      if (top.isNullAt(0)) 0L
+      else math.round(top.getLong(0) / sampleFraction)
+    math.max(1, math.min(maxSalts,
+      math.ceil(estMax.toDouble / targetRowsPerSalt).toInt))
+  }
+
+  /** [[saltedJoin]] with [[adaptiveSalts]]: one cheap sampled counts job
+    * picks the replication factor before the join is planned. */
+  def adaptiveSaltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+                         saltSrc: Column,
+                         targetRowsPerSalt: Long = 1000000L,
+                         maxSalts: Int = 64): DataFrame =
+    saltedJoin(skewed, dim, key, saltSrc,
+      adaptiveSalts(skewed, key, targetRowsPerSalt, maxSalts = maxSalts))
+
   /** Skew-safe count/sum aggregation: partial aggregate on (key, salt),
     * final on key. Decomposable aggregates only — the partial pass does
     * the heavy lifting in `salts`-way parallelism. */

@@ -212,6 +212,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out("k") === ((4L, 0L, 3L, "1", "3")))
   }
 
+  test("Profile approx tier: distincts within 5% of exact, everything else identical") {
+    import graft.operators.Profile
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    val exact = toMap(Profile.profile(orders, cols))
+    val approx = toMap(Profile.profile(orders, cols, approxDistinct = true))
+    assert(approx.keySet == exact.keySet)
+    cols.foreach { c =>
+      val (en, enull, end_, emin, emax) = exact(c)
+      val (an, anull, and_, amin, amax) = approx(c)
+      // only the distinct count is approximate
+      assert((an, anull, amin, amax) === ((en, enull, emin, emax)), c)
+      assert(math.abs(and_ - end_).toDouble / end_ < 0.05,
+        s"$c: approx $and_ vs exact $end_")
+    }
+  }
+
   // ------------------------------------------------------ bloom blocklist
 
   test("bloom blocklist: subset of exact anti-join, no false negatives, bounded extra drops") {

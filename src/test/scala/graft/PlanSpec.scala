@@ -96,6 +96,12 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1200))
   }
 
+  test("q105: approx profile is ONE scan with NO Expand (the q84 scan-multiplier)") {
+    val p = plan("q105_profile_approx")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1200))
+    assert(!p.contains("Expand"), p.take(1200))
+  }
+
   test("q81: vocab ranking plans no partition-less Window (dense-id discipline)") {
     val p = plan("q81_vocab_encode")
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq

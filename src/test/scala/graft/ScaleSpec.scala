@@ -41,6 +41,27 @@ class SkewSpec extends AnyFunSuite {
     assert(buckets > 4, s"hot key only spread over $buckets salt buckets")
   }
 
+  test("adaptive salts: planted skew widens, uniform data pays zero replication") {
+    // hot key ~9000 rows, tail keys ~20 rows; 1000 rows/salt target
+    val salts = Skew.adaptiveSalts(skewed, "key",
+      targetRowsPerSalt = 1000L, sampleFraction = 0.2, maxSalts = 64)
+    assert(salts > 1 && salts <= 64, s"planted skew must widen, got $salts")
+    // uniform: 50 keys × 200 rows — hottest key is under the target
+    val uniform = (0 until 10000).map(i => (i % 50L, i.toLong)).toDF("key", "row_id")
+    val one = Skew.adaptiveSalts(uniform, "key",
+      targetRowsPerSalt = 1000L, sampleFraction = 0.2, maxSalts = 64)
+    assert(one === 1, s"uniform data must not replicate the dim, got $one")
+    // and the adaptive join is still the plain join
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "cold")).toDF("key", "label")
+    val plain = skewed.join(dim, Seq("key")).groupBy("key", "label").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val adaptive = Skew.adaptiveSaltedJoin(skewed, dim, "key", col("row_id"),
+      targetRowsPerSalt = 1000L)
+      .groupBy("key", "label").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(adaptive == plain)
+  }
+
   test("salt is deterministic across evaluations (retry safety)") {
     val a = skewed.select(col("row_id"), Skew.saltColumn(col("row_id"), 8).as("s"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
