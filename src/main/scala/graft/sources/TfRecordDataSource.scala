@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Or, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -76,18 +76,95 @@ private[sources] class TfRecordTable(path: String, tableSchema: StructType)
 }
 
 /** Column pruning pushes into the Example decode: unrequested features
-  * are skipped, not materialized. */
-private[sources] class TfRecordScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  * are skipped, not materialized. Predicate pushdown evaluates supported
+  * filters against each decoded record INSIDE the reader, so non-matching
+  * rows never cross into Spark; every filter is also returned as a
+  * residual (tfrecord files carry no row-group stats, so the pushdown
+  * prunes rows, not byte ranges, and Spark's re-application keeps
+  * semantics exact no matter what the reader skipped). */
+private[graft] class TfRecordScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new TfRecordScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(TfRecordFilters.supports(full, _))
+    filters // everything is a residual: the scan prunes, Spark re-checks
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new TfRecordScan(path, required, pushed)
 }
 
-private[sources] class TfRecordScan(path: String, schema: StructType)
+/** Row-level evaluation of pushed-down source filters over decoded
+  * records. Supports the scalar comparison family on top-level
+  * long/int/float/double/string columns — anything else stays a
+  * residual-only filter. */
+private[sources] object TfRecordFilters {
+  private def scalarCol(schema: StructType, name: String): Boolean =
+    schema.fields.exists(f => f.name == name && (f.dataType match {
+      case LongType | IntegerType | FloatType | DoubleType | StringType => true
+      case _ => false
+    }))
+
+  def supports(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, _)            => scalarCol(schema, a)
+    case GreaterThan(a, _)        => scalarCol(schema, a)
+    case GreaterThanOrEqual(a, _) => scalarCol(schema, a)
+    case LessThan(a, _)           => scalarCol(schema, a)
+    case LessThanOrEqual(a, _)    => scalarCol(schema, a)
+    case IsNull(a)                => schema.fieldNames.contains(a)
+    case IsNotNull(a)             => schema.fieldNames.contains(a)
+    case In(a, _)                 => scalarCol(schema, a)
+    case StringStartsWith(a, _)   => scalarCol(schema, a)
+    case StringEndsWith(a, _)     => scalarCol(schema, a)
+    case StringContains(a, _)     => scalarCol(schema, a)
+    case And(l, r)                => supports(schema, l) && supports(schema, r)
+    case Or(l, r)                 => supports(schema, l) && supports(schema, r)
+    case _                        => false
+  }
+
+  /** three-valued compare: None = null/incomparable (filter -> false,
+    * matching SQL null semantics for these predicate shapes) */
+  private def cmp(v: Any, lit: Any): Option[Int] = (v, lit) match {
+    case (null, _) => None
+    case (a: java.lang.Long, b: Number)    => Some(java.lang.Long.compare(a, b.longValue))
+    case (a: java.lang.Integer, b: Number) => Some(java.lang.Long.compare(a.longValue, b.longValue))
+    case (a: java.lang.Float, b: Number)   => Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
+    case (a: java.lang.Double, b: Number)  => Some(java.lang.Double.compare(a, b.doubleValue))
+    case (a: UTF8String, b: String)        => Some(a.toString.compareTo(b))
+    case _ => None
+  }
+
+  private def str(v: Any): Option[String] = v match {
+    case s: UTF8String => Some(s.toString)
+    case _ => None
+  }
+
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(a, v)            => cmp(get(a), v).contains(0)
+    case GreaterThan(a, v)        => cmp(get(a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(get(a), v).exists(_ >= 0)
+    case LessThan(a, v)           => cmp(get(a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v)    => cmp(get(a), v).exists(_ <= 0)
+    case IsNull(a)                => get(a) == null
+    case IsNotNull(a)             => get(a) != null
+    case In(a, vs)                => vs.exists(v => cmp(get(a), v).contains(0))
+    case StringStartsWith(a, p)   => str(get(a)).exists(_.startsWith(p))
+    case StringEndsWith(a, p)     => str(get(a)).exists(_.endsWith(p))
+    case StringContains(a, p)     => str(get(a)).exists(_.contains(p))
+    case And(l, r)                => eval(l, get) && eval(r, get)
+    case Or(l, r)                 => eval(l, get) || eval(r, get)
+    case _                        => true
+  }
+}
+
+private[sources] class TfRecordScan(path: String, schema: StructType,
+                                    pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def description(): String =
+    s"tfrecord:$path PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -100,31 +177,56 @@ private[sources] class TfRecordScan(path: String, schema: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new Sinks.SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    TfRecordReaderFactory(schema, conf)
+    TfRecordReaderFactory(schema, conf, pushed)
   }
 }
 
 private[sources] case class TfRecordInputPartition(file: String) extends InputPartition
 
 private[sources] case class TfRecordReaderFactory(
-    schema: StructType, conf: Sinks.SerializableHadoopConf)
+    schema: StructType, conf: Sinks.SerializableHadoopConf,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TfRecordInputPartition].file
-    new TfRecordPartitionReader(file, schema, conf)
+    new TfRecordPartitionReader(file, schema, conf, filters)
   }
 }
 
-private[sources] class TfRecordPartitionReader(
-    file: String, schema: StructType, conf: Sinks.SerializableHadoopConf)
+private[graft] class TfRecordPartitionReader(
+    file: String, schema: StructType, conf: Sinks.SerializableHadoopConf,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
   private val in = new DataInputStream(p.getFileSystem(conf.value).open(p))
   private var current: InternalRow = _
+  private val fieldIdx: Map[String, Int] =
+    schema.fieldNames.zipWithIndex.toMap
+  // a filter whose column was pruned out of the read schema cannot be
+  // evaluated here — skipping it is always safe (Spark re-applies every
+  // filter as a residual); evaluating it as null would DROP valid rows
+  private val evaluable: Array[Filter] =
+    filters.filter(_.references.forall(fieldIdx.contains))
 
-  override def next(): Boolean = TfRecord.nextRecord(in) match {
-    case Some(data) => current = decode(data); true
-    case None       => false
+  private def passes(row: InternalRow): Boolean =
+    evaluable.isEmpty || {
+      val get = (name: String) => {
+        val i = fieldIdx(name)
+        if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType)
+      }
+      evaluable.forall(TfRecordFilters.eval(_, get))
+    }
+
+  override def next(): Boolean = {
+    var found = false
+    var more = true
+    while (!found && more) TfRecord.nextRecord(in) match {
+      case Some(data) =>
+        val row = decode(data)
+        if (passes(row)) { current = row; found = true }
+      case None => more = false
+    }
+    found
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()

@@ -84,6 +84,46 @@ class TfRecordSpec extends AnyFunSuite {
       Seq(("k0", 42L), ("k1", 7L), ("k2", 9L)))
   }
 
+  test("tfrecord DSv2: predicates push into the scan and results stay exact") {
+    import org.apache.spark.sql.types._
+    val out = new File("target/tmp/tfrec_push"); org.apache.commons.io.FileUtils.deleteQuietly(out)
+    val df = (0 until 100).map(i => (f"k$i%03d", i.toLong, s"body $i"))
+      .toDF("key", "n", "text")
+    TfRecord.write(df.repartition(2), out.getAbsolutePath)
+    val back = spark.read.format("tfrecord").load(out.getAbsolutePath)
+
+    val filtered = back.filter(col("n") >= 90L && col("key").startsWith("k09"))
+    // the supported predicates must reach the scan (reader-side row skip)
+    val scanLine = filtered.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("PushedFilters") &&
+      scanLine.contains("GreaterThanOrEqual(n,90)") &&
+      scanLine.contains("StringStartsWith(key,k09)"), scanLine)
+    assert(filtered.collect().map(_.getAs[Long]("n")).sorted.toSeq ==
+      (90L until 100L).toSeq)
+
+    // reader-level: pushed filters prune rows before Spark sees them
+    val files = out.listFiles().filter(_.getName.endsWith(".tfrecord")).sortBy(_.getName)
+    val conf = new graft.sinks.Sinks.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val schema = StructType(Seq(StructField("key", StringType), StructField("n", LongType)))
+    val rdr = new graft.sources.TfRecordPartitionReader(
+      files(0).getAbsolutePath, schema, conf,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("n", 95L)))
+    var got = 0
+    while (rdr.next()) { assert(rdr.get().getLong(1) >= 95L); got += 1 }
+    rdr.close()
+    assert(got > 0 && got <= 10, s"reader must emit only matching rows, got $got")
+
+    // an unsupported filter shape (array column) must not be claimed
+    val sb = new graft.sources.TfRecordScanBuilder(out.getAbsolutePath,
+      StructType(Seq(StructField("key", StringType),
+        StructField("vec", ArrayType(FloatType)))))
+    assert(sb.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("vec", Seq(1f)))).length == 1)
+    assert(sb.pushedFilters().isEmpty)
+  }
+
   test("jsonl.gz sink roundtrip") {
     val out = new File("target/tmp/jsonlgz"); org.apache.commons.io.FileUtils.deleteQuietly(out)
     val df = Seq(("a", 1L), ("b", 2L)).toDF("key", "n")
