@@ -1403,6 +1403,85 @@ object SparkEntry {
         .agg(min(col("l_extendedprice")).as("weighted_median"))
     }),
 
+    "q106_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-dedup): assign every embedding to its
+      // nearest of 8 seed centroids (broadcast; codegen L2 kernel), then
+      // exact-cosine pairs WITHIN clusters only — the all-pairs scan
+      // becomes per-cluster equi-joins (n²/k). Same bit-exact cosine as
+      // q35, so the whole composition is oracle-matched.
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+      Dedup.semanticDedup(emb, col("embedding"), col("vec_id"),
+          cents, col("embedding"), col("vec_id"), minCosine = 0.4)
+        .select(col("cluster"), col("key_a"), col("key_b"), col("cosine"))
+    }),
+
+    "q107_boilerplate_lines" -> ((s, dir) => {
+      // cross-document boilerplate removal: 5-word lines (q72's
+      // segmentation) occurring in ≥ 3 DISTINCT docs are dropped from
+      // EVERY doc (q72 keeps a first occurrence; this keeps none), then
+      // docs reassemble in line order. The boilerplate set is tiny →
+      // broadcast anti-join; the corpus filters map-side.
+      val ws = split(col("text"), " ")
+      val np = ceil(size(ws) / lit(5.0)).cast("int")
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"), np.as("np"))
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0), col("np") - 1)).as("line_no"))
+        .select(col("doc_id").as("key"), col("line_no").cast("long").as("line_no"),
+          array_join(slice(col("ws"), col("line_no") * 5 + 1, lit(5)), " ").as("line"))
+      Dedup.reassembleLines(Dedup.dropCommonLines(lines, minDocs = 3), " ")
+        .select(col("key").as("doc_id"), col("text"), col("n_lines_kept"))
+    }),
+
+    "q108_quality_classifier" -> ((s, dir) => {
+      // model-based quality filter: logistic head over the codegen'd
+      // text signals (fasttext-filter plumbing with a deterministic
+      // linear model). One map-side pass; the decision gates on the
+      // ROUNDED score so exp() ulp drift can't flip boundary docs.
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), score.as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+    }),
+
+    "q109_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test split (80/10/10): the portable
+      // Lehmer hash → uniform u, thresholds assign the split. Map-side
+      // only — no RNG state, so assignment is reproducible across
+      // engines, retries and re-runs (the property `df.randomSplit`
+      // does NOT give you), and a doc never migrates between splits as
+      // the corpus grows.
+      val u = (lehmer3(col("doc_id")).cast("double") + 0.5) / 2147483647.0
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+    }),
+
+    "q110_nucleus_select" -> ((s, dir) => {
+      // per-source nucleus (top-p) selection: rank docs by quality
+      // within each source, keep the smallest prefix holding p=50% of
+      // the source's quality mass (top-p sampling applied to data
+      // mixing: spend a per-domain quality budget, drop the tail).
+      // Windows are per-source — never global — and cumulative mass
+      // uses exact decimal sums so the crossing row is engine-identical
+      // (q104 discipline).
+      val qDec = TextAnalysis.qualityScore(col("text")).cast(DecimalType(27, 12))
+      val ord = Seq(col("q").desc, col("doc_id"))
+      val wCum = Window.partitionBy(col("source")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source"))
+      Tables.documents(s, dir)
+        .withColumn("q", qDec)
+        .withColumn("cq", sum(col("q")).over(wCum))
+        .withColumn("tq", sum(col("q")).over(wAll))
+        // keep while the mass STRICTLY BEFORE this row is under p·total:
+        // the crossing row is included (top-p semantics)
+        .filter(col("cq") - col("q") < col("tq") * lit(new java.math.BigDecimal("0.5")))
+        .select(col("doc_id"), col("source"), col("q").cast("double").as("quality"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel; the deterministic stub decoder's
@@ -1538,6 +1617,75 @@ object SparkEntry {
     "q78_stream_session" -> sessionOracle,
 
     "q101_custom_session" -> sessionOracle,
+
+    "q106_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS cluster, emb AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cluster, list_distance(e.emb, c.cv) AS dist FROM e, c),
+        |a AS (SELECT vec_id, cluster FROM (
+        |        SELECT vec_id, cluster,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+        |        FROM d) WHERE rk = 1),
+        |p AS (SELECT x.cluster, x.vec_id AS key_a, y.vec_id AS key_b
+        |      FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+        |SELECT CAST(p.cluster AS BIGINT) AS cluster, key_a, key_b,
+        |  list_cosine_similarity(ea.emb, eb.emb) AS cosine
+        |FROM p JOIN e ea ON p.key_a = ea.vec_id JOIN e eb ON p.key_b = eb.vec_id
+        |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4""".stripMargin,
+
+    "q107_boilerplate_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws, CAST(ceil(len(ws)/5.0) AS INTEGER) AS np FROM t),
+        |l AS (SELECT p.doc_id, CAST(g.i AS BIGINT) AS line_no,
+        |        array_to_string(ws[g.i*5+1 : least((g.i+1)*5, len(ws))], ' ') AS line
+        |      FROM p, LATERAL (SELECT unnest(generate_series(0, np-1)) AS i) g),
+        |common AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+        |k AS (SELECT doc_id, line_no, line FROM l
+        |      WHERE line NOT IN (SELECT line FROM common))
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text,
+        |       COUNT(*) AS n_lines_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    "q108_quality_classifier" ->
+      """WITH f AS (SELECT doc_id,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT doc_id,
+        |        f_tok * 1.2 + f_stop * 2.0 + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0) AS z
+        |      FROM f)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 9) AS score,
+        |  round(1.0 / (1.0 + exp(-z)), 9) >= 0.5 AS keep
+        |FROM z""".stripMargin,
+
+    "q109_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN (CAST(((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 < 0.8 THEN 'train'
+        |       WHEN (CAST(((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q110_nucleus_select" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |    * (CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |    * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0))
+        |   AS DECIMAL(27,12)) AS q
+        |FROM documents),
+        |w AS (SELECT doc_id, source, q,
+        |  SUM(q) OVER (PARTITION BY source ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cq,
+        |  SUM(q) OVER (PARTITION BY source) AS tq
+        |FROM d)
+        |SELECT doc_id, source, CAST(q AS DOUBLE) AS quality
+        |FROM w WHERE cq - q < tq * 0.5""".stripMargin,
 
     "q104_weighted_median" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice,

@@ -160,6 +160,23 @@ object TextAnalysis {
       .otherwise(size(regexp_extract_all(c, lit(alphaWordPattern), lit(0))).cast("double") / total)
   }
 
+  /** Logistic quality classifier head: sigmoid(w · features + b) over the
+    * cheap codegen'd text signals — the scoring plumbing of a
+    * fasttext-style quality model (the GPT-3 "looks-like-reference-corpus"
+    * filter) with the model reduced to a deterministic linear head so an
+    * oracle can replay it. A real model's coefficient vector rides the
+    * plan exactly like these literals (broadcast with the closure); the
+    * feature extraction stays one whole-stage-codegen map pass either
+    * way. Rounded to 9 so exp() last-ulp drift cannot flip boundary docs
+    * (q87 discipline); gate decisions on the ROUNDED score. */
+  def classifierScore(c: Column, wTokens: Double, wStop: Double,
+                      wAlpha: Double, wPunct: Double, bias: Double): Column = {
+    val z = least(wsTokenCount(c).cast("double") / 100.0, lit(1.0)) * wTokens +
+      stopwordRatio(c) * wStop + alphaRatio(c) * wAlpha +
+      punctRatio(c) * wPunct + bias
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+  }
+
   // --------------------------------------------------------- PII redaction
 
   /** PII patterns — deliberately restricted to syntax shared verbatim by

@@ -285,6 +285,44 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings first and comparing only
+    * within clusters. Every vector is assigned to its nearest centroid
+    * (centroids broadcast — the corpus never shuffles for assignment;
+    * distance is the codegen'd [[Vectors.l2Distance]] kernel and rank=1
+    * compiles to WindowGroupLimit), then cosine pairs above `minCosine`
+    * are emitted per cluster.
+    *
+    * Scale shape: the all-pairs O(n²) cosine scan becomes
+    * Σ O(|cluster|²) — n²/k for k even clusters — and the pair
+    * generation is a self-equi-join on cluster id, so AQE splits hot
+    * clusters like any skewed shuffle join. The centroid set is small by
+    * construction (k ≪ n); at 100 TB the only wide shuffle is the
+    * within-cluster join, sized by the clustering granularity knob k.
+    * The exact-cosine verify is the same bit-exact kernel as
+    * [[embeddingNearDups]] (q35), so scores agree with the oracle. */
+  def semanticDedup(df: DataFrame, vec: Column, key: Column,
+                    centroids: DataFrame, cvec: Column, ckey: Column,
+                    minCosine: Double): DataFrame = {
+    val base  = df.select(key.as("k"), vec.as("v"))
+    val cents = centroids.select(ckey.as("cluster"), cvec.as("cv"))
+    val w = Window.partitionBy(col("k")).orderBy(col("dist"), col("cluster"))
+    // cached because BOTH sides of the pair join read it — without it the
+    // whole assignment pipeline (scan + broadcast NLJ + top-1) runs twice
+    // (the signature-frame discipline used by every dedup operator here)
+    val assigned = cacheScoped(base.crossJoin(broadcast(cents))
+      .withColumn("dist", Vectors.l2Distance(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("k"), col("v")))
+    val a = assigned.select(col("cluster"), col("k").as("key_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("k").as("key_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster")).filter(col("key_a") < col("key_b"))
+      .select(col("cluster"), col("key_a"), col("key_b"),
+        Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   // ----------------------------------------------------------- line dedup
 
   /** Corpus-level line deduplication (the C4/RefinedWeb discipline: a line
@@ -313,6 +351,27 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
             x => x.getField("line")), sep).as("text"),
         count(lit(1)).cast("long").as("n_lines_kept"))
+
+  /** Cross-document boilerplate removal (the RefinedWeb/C4 companion to
+    * [[lineDedup]]): a line occurring in at least `minDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is dropped from EVERY document — where lineDedup keeps
+    * a first occurrence, this keeps none.
+    *
+    * Scale shape: the distinct-doc count is a two-level agg on line
+    * content (map-side partial distinct), same one-content-shuffle floor
+    * as lineDedup; the surviving boilerplate set is tiny by nature
+    * (high-frequency lines are few) → broadcast LEFT ANTI, so the
+    * corpus-sized lines frame is filtered map-side and never reshuffles
+    * for the subtraction. */
+  def dropCommonLines(lines: DataFrame, minDocs: Int): DataFrame = {
+    val common = lines.groupBy(col("line"))
+      .agg(countDistinct(col("key")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    lines.join(broadcast(common), Seq("line"), "left_anti")
+      .select(col("key"), col("line_no"), col("line"))
+  }
 
   // ------------------------------------------------------ decontamination
 

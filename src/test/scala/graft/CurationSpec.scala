@@ -39,6 +39,46 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Set((1L, "a b", 2L)))
   }
 
+  test("dropCommonLines drops ≥minDocs-doc boilerplate from EVERY doc, keeps rare lines") {
+    val lines = Seq(
+      // "cookie banner" is in 3 distinct docs (boilerplate at minDocs=3);
+      // "dup line" is in only 2 docs (survives); doc 3 repeats the banner
+      // twice — repeats within ONE doc don't make a line common
+      (1L, 0L, "cookie banner"), (1L, 1L, "dup line"), (1L, 2L, "unique one"),
+      (2L, 0L, "cookie banner"), (2L, 1L, "dup line"),
+      (3L, 0L, "cookie banner"), (3L, 1L, "cookie banner"), (3L, 2L, "unique three"),
+      (4L, 0L, "twice here"), (4L, 1L, "twice here")
+    ).toDF("key", "line_no", "line")
+    val kept = Dedup.dropCommonLines(lines, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kept === Set(
+      (1L, 1L, "dup line"), (1L, 2L, "unique one"),
+      (2L, 1L, "dup line"),
+      (3L, 2L, "unique three"),
+      (4L, 0L, "twice here"), (4L, 1L, "twice here")))
+  }
+
+  // ----------------------------------------------------------- sem-dedup
+
+  test("semanticDedup emits only within-cluster cosine pairs, bit-equal to the in-cluster brute force") {
+    // two well-separated clusters on orthogonal axes; near-dups planted
+    // inside each cluster, plus a cross-cluster pair that brute-force
+    // cosine WOULD match but clustering must never compare
+    val vecs = Seq(
+      (0L, Array(10f, 0f, 0f)),   // centroid seed, cluster A
+      (1L, Array(0f, 10f, 0f)),   // centroid seed, cluster B
+      (2L, Array(9f, 0.5f, 0f)),  // A member, near-dup of 4
+      (3L, Array(0.5f, 9f, 0f)),  // B member
+      (4L, Array(9.1f, 0.4f, 0f)) // A member, near-dup of 2
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id") < 2)
+    val out = Dedup.semanticDedup(vecs, col("embedding"), col("vec_id"),
+        cents, col("embedding"), col("vec_id"), minCosine = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // within cluster A: (0,2),(0,4),(2,4); within B: (1,3); never (2,3)
+    assert(out === Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L)))
+  }
+
   // ------------------------------------------------------ decontamination
 
   test("decontaminate flags docs sharing shingles with the benchmark, exact ratio") {

@@ -102,6 +102,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p.take(1200))
   }
 
+  test("q106: sem-dedup pairs via equi-join on cluster id, never a corpus cross join") {
+    val p = plan("q106_semdedup")
+    // the ONLY nested-loop join allowed is the broadcast of the tiny
+    // centroid set for assignment; pair generation must be an equi-join
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "within-cluster pair join must key on cluster id:\n" + p.take(1500))
+    // rank=1 assignment compiles to a WindowGroupLimit (partial top-1)
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    // the assignment pipeline (the only nested-loop, vs the broadcast
+    // centroid set) is computed ONCE and cached; both pair-join sides
+    // must read the cache, not re-run the broadcast join
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+  }
+
   test("q81: vocab ranking plans no partition-less Window (dense-id discipline)") {
     val p = plan("q81_vocab_encode")
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
