@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Multimodal, Profile, RangeJoin, Similarity}
+import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Graph, Multimodal, Profile, RangeJoin, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -1482,6 +1482,79 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("q").cast("double").as("quality"))
     }),
 
+    "q111_markov" -> ((s, dir) => {
+      // first-order Markov transition matrix over per-user event
+      // sequences: lead within (user, ts, event_id) order — partitioned
+      // windows only — then transition counts and row-normalized
+      // probabilities (round 9: c/total division drift). The sequence-
+      // model statistic behind session simulation and anomaly scoring.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val totals = trans.groupBy(col("src")).agg(sum(col("c")).as("total"))
+      trans.join(totals, Seq("src"))
+        .select(col("src"), col("dst"), col("c"),
+          round(col("c").cast("double") / col("total"), 9).as("p"))
+    }),
+
+    "q112_pagerank" -> ((s, dir) => {
+      // weighted PageRank (3 damped rounds) over the page-transition
+      // graph: nodes = props.k pages, edges = consecutive visits per
+      // user with multi-edge counts as weights. Each round is one
+      // ranks⋈edges shuffle + one exact-decimal contribution agg,
+      // lineage-truncated (the CC discipline) — rounds are a fixed
+      // constant, never O(diameter).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pages = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val edges = pages
+        .select(col("user_id"), col("page").as("src"),
+          lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      Graph.pageRank(edges, iters = 3, damping = 0.85)
+    }),
+
+    "q113_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by first-seen week, distinct
+      // active users per (cohort, week offset). Two aggs + one join —
+      // the cohort frame is per-user (small relative to events) and
+      // rides the join keyed on user_id; no window at all.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("d"))).cast("date").as("cohort_week"))
+      ev.join(cohorts, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          floor(datediff(col("d"), col("cohort_week")) / 7).as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "q114_stream_enrich" -> ((s, dir) => {
+      // stream-static enrichment: the events STREAM joins a broadcast
+      // static dimension (customer→nation) inside a real streaming
+      // query — the canonical "enrich facts with dims" pattern; the dim
+      // side is batch, rebroadcast per micro-batch, no stream state
+      // beyond the running agg. Oracle = the batch twin.
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+        val dims = Tables.customer(s, dir)
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("user_id"), col("n_name"))
+        val agg = StreamingOps.enrichedTotals(stream, dims)
+        StreamingOps.runToMemory(s, agg, "q114_stream_enrich")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel; the deterministic stub decoder's
@@ -1686,6 +1759,69 @@ object SparkEntry {
         |FROM d)
         |SELECT doc_id, source, CAST(q AS DOUBLE) AS quality
         |FROM w WHERE cq - q < tq * 0.5""".stripMargin,
+
+    "q111_markov" ->
+      s"""$evCte,
+         |t AS (SELECT user_id, event_type AS src,
+         |        lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |      FROM ev),
+         |c AS (SELECT src, dst, COUNT(*) AS c FROM t WHERE dst IS NOT NULL GROUP BY src, dst),
+         |tot AS (SELECT src, SUM(c) AS total FROM c GROUP BY src)
+         |SELECT c.src, c.dst, c.c, round(CAST(c.c AS DOUBLE) / tot.total, 9) AS p
+         |FROM c JOIN tot USING (src)""".stripMargin,
+
+    "q112_pagerank" ->
+      s"""$evCte,
+         |pg AS (SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page FROM ev),
+         |tr AS (SELECT user_id, page AS src,
+         |         lead(page, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM pg),
+         |e AS (SELECT src, dst, COUNT(*) AS w FROM tr WHERE dst IS NOT NULL GROUP BY src, dst),
+         |wo AS (SELECT src, SUM(w) AS wout FROM e GROUP BY src),
+         |f AS (SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(wo.wout AS DOUBLE) AS frac
+         |      FROM e JOIN wo USING (src)),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |r0 AS (SELECT node, n_nodes, round(CAST(1.0 AS DOUBLE) / n_nodes, 9) AS rank
+         |       FROM nodes, nn),
+         |c1 AS (SELECT f.dst, SUM(CAST(r.rank * f.frac AS DECIMAL(27,12))) AS s
+         |       FROM r0 r JOIN f ON r.node = f.src GROUP BY f.dst),
+         |r1 AS (SELECT r.node, r.n_nodes,
+         |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / r.n_nodes
+         |               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c1.s AS DOUBLE), 0.0), 9) AS rank
+         |       FROM r0 r LEFT JOIN c1 ON r.node = c1.dst),
+         |c2 AS (SELECT f.dst, SUM(CAST(r.rank * f.frac AS DECIMAL(27,12))) AS s
+         |       FROM r1 r JOIN f ON r.node = f.src GROUP BY f.dst),
+         |r2 AS (SELECT r.node, r.n_nodes,
+         |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / r.n_nodes
+         |               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.s AS DOUBLE), 0.0), 9) AS rank
+         |       FROM r1 r LEFT JOIN c2 ON r.node = c2.dst),
+         |c3 AS (SELECT f.dst, SUM(CAST(r.rank * f.frac AS DECIMAL(27,12))) AS s
+         |       FROM r2 r JOIN f ON r.node = f.src GROUP BY f.dst),
+         |r3 AS (SELECT r.node, r.n_nodes,
+         |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / r.n_nodes
+         |               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c3.s AS DOUBLE), 0.0), 9) AS rank
+         |       FROM r2 r LEFT JOIN c3 ON r.node = c3.dst)
+         |SELECT node, rank FROM r3""".stripMargin,
+
+    "q113_retention" ->
+      s"""$evCte,
+         |d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM ev),
+         |c AS (SELECT user_id, CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+         |      FROM d GROUP BY user_id)
+         |SELECT cohort_week, CAST((d.d - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+         |  COUNT(DISTINCT d.user_id) AS n_users
+         |FROM d JOIN c USING (user_id)
+         |GROUP BY cohort_week, week_offset""".stripMargin,
+
+    "q114_stream_enrich" ->
+      s"""$evCte
+         |SELECT n_name, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+         |FROM ev JOIN customer ON ev.user_id = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
 
     "q104_weighted_median" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice,

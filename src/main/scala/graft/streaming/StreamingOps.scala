@@ -88,6 +88,18 @@ object StreamingOps {
         col("user_id"), col("n_events"), col("total_value"))
   }
 
+  /** Stream-static enrichment: join the event stream onto a broadcast
+    * batch dimension keyed by user_id, then per-dimension running
+    * totals. The dim is re-planned (and re-broadcast) each micro-batch —
+    * Spark's contract for batch sides of stream-batch joins — so a slowly
+    * refreshed dim table is picked up without restarting the query. Inner
+    * join: facts without a dim row drop, as the batch twin does. */
+  def enrichedTotals(events: DataFrame, dims: DataFrame): DataFrame =
+    events.join(broadcast(dims), Seq("user_id"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+
   /** Stateful dedup on event_id within the watermark. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     if (events.isStreaming)

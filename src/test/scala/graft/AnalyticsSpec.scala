@@ -115,6 +115,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(e - math.log(4.0)) < 1e-8, s"$e vs ${math.log(4.0)}")
   }
 
+  test("pageRank: hub node dominates, ring graph stays uniform, mass is bounded") {
+    import graft.operators.Graph
+    // star: every node links to the hub (node 0); hub links to node 1
+    val star = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L), (4L, 0L, 1L), (0L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRank(star, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L), s"hub must dominate: $r")
+    assert(r(2L) === r(3L) && r(3L) === r(4L), "symmetric leaves must tie")
+    assert(r.values.sum <= 1.0 + 1e-6, "no mass creation")
+    // 4-ring: perfect symmetry -> uniform ranks unchanged from 1/N
+    val ring = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val rr = Graph.pageRank(ring, iters = 3).collect().map(_.getDouble(1)).toSet
+    assert(rr === Set(0.25), s"ring must stay uniform: $rr")
+  }
+
   test("z-score flags a planted outlier and nothing near the mean") {
     val vals = Seq.tabulate(200)(i => (i.toLong, "t", 10.0 + (i % 5))) :+ ((999L, "t", 500.0))
     val df = vals.toDF("event_id", "event_type", "value")
