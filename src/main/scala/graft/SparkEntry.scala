@@ -1555,6 +1555,74 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    "q115_cms_heavy_hitters" -> ((s, dir) => {
+      // approximate heavy hitters — q46's 100 TB tier: term frequencies
+      // from ONE fixed-size (32 KB) mergeable count-min sketch instead
+      // of a corpus-sized word→count shuffle. The sketch is a custom
+      // typed Aggregator (SURVEY §2.8); estimates are deterministic
+      // despite approximation (exact integer counters, commutative
+      // merge — partitioning-invariant), est ≥ true always. Probes are
+      // the exact top-20 (the q46 oracle anchor); rows-only + the
+      // SketchSpec accuracy/invariance bounds (q41/q57 discipline).
+      val words = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val sketch = words.agg(graft.functions.Sketch.cms(col("word")).as("sk"))
+      val top = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("word")).limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select(col("word"), col("n_exact"),
+          graft.functions.Sketch.estimateCol(col("sk"), col("word")).as("n_est"))
+    }),
+
+    "q116_embed_quantize" -> ((s, dir) => {
+      // int8 embedding quantization (asymmetric, per-vector min/max):
+      // code = round((v - min) / scale) in 0..255, the storage-reduction
+      // step before ANN at 100 TB (4 bytes → 1 per dim). Pure map-side
+      // HOF arithmetic (no UDF); emitted as scalars (code sum + bounds +
+      // max reconstruction error, round 9) so the oracle hashes stably.
+      val v = col("embedding")
+      val mn = array_min(v).cast("double")
+      val mx = array_max(v).cast("double")
+      val scale = (col("mx") - col("mn")) / 255.0
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), v.as("v"), mn.as("mn"), mx.as("mx"))
+        .filter(col("mx") > col("mn")) // constant vectors have no scale
+        .select(col("vec_id"), col("mn"), col("mx"),
+          round(scale, 9).as("scale"),
+          aggregate(
+            transform(col("v"), x => round((x.cast("double") - col("mn")) / scale, 0)),
+            lit(0L), (acc, x) => acc + x.cast("long")).as("code_sum"),
+          round(aggregate(
+            transform(col("v"), x =>
+              abs(round((x.cast("double") - col("mn")) / scale, 0) * scale + col("mn")
+                - x.cast("double"))),
+            lit(0.0), (acc, x) => greatest(acc, x)), 9).as("max_err"))
+    }),
+
+    "q117_url_dedup" -> ((s, dir) => {
+      // URL canonicalization + dedup — the reference's own dedup surface
+      // (get_pdf_links_from_cc.py dropDuplicates on url) done right:
+      // lowercase scheme/host, strip www., default port, query string,
+      // fragment and trailing slash, then group. Synthetic URLs derive
+      // from doc_id (q74's planted-input pattern) so the oracle replays
+      // the construction; the canonicalizer is a codegen regexp chain.
+      val raw = concat(lit("HTTPS://WWW.Site"), col("doc_id") % 7,
+        lit(".COM:443/Path/"), col("doc_id") % 40,
+        lit("/?utm_source=feed&id="), col("doc_id"), lit("#frag"))
+      val canon =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(raw), "[?#].*$", ""),   // query + fragment
+            "://www\\.", "://"),                          // www prefix
+          ":443/", "/")                                   // default port
+      val c2 = regexp_replace(canon, "/$", "")            // trailing slash
+      Tables.documents(s, dir)
+        .select(col("doc_id"), c2.as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_dups"))
+    }),
+
     // ------------------------------------------------------- doc pipeline
     "q40_doc_pipeline_stats" -> ((s, dir) => {
       // full pipeline status channel; the deterministic stub decoder's
@@ -1822,6 +1890,35 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q116_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx
+        |FROM embeddings),
+        |s AS (SELECT vec_id, v, mn, mx, (mx - mn) / 255.0 AS sc FROM e WHERE mx > mn)
+        |SELECT vec_id, mn, mx, round(sc, 9) AS scale,
+        |  CAST(list_sum(list_transform(v, x -> CAST(round((x - mn) / sc, 0) AS BIGINT))) AS BIGINT) AS code_sum,
+        |  round(list_max(list_transform(v, x -> abs(round((x - mn) / sc, 0) * sc + mn - x))), 9) AS max_err
+        |FROM s""".stripMargin,
+
+    "q117_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/Path/'
+        |    || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&id='
+        |    || CAST(doc_id AS VARCHAR) || '#frag' AS raw
+        |FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(lower(raw), '[?#].*$', '', 'g'),
+        |        '://www\.', '://', 'g'),
+        |      ':443/', '/', 'g'),
+        |    '/$', '', 'g') AS canonical_url
+        |FROM u)
+        |SELECT canonical_url, MIN(doc_id) AS keep_doc, COUNT(*) AS n_dups
+        |FROM c GROUP BY canonical_url""".stripMargin,
 
     "q104_weighted_median" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice,

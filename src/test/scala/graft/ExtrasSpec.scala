@@ -331,3 +331,34 @@ class MainE2eSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 }
+
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.Sketch
+
+  test("count-min: est ≥ exact always, within εN, and invariant to partitioning") {
+    // skewed multiset: "hot" 500×, "warm" 50×, 200 singletons
+    val words = (Seq.fill(500)("hot") ++ Seq.fill(50)("warm") ++
+      (0 until 200).map(i => s"rare$i"))
+    val n = words.size.toLong
+    val eps = math.E / Sketch.Width
+    for (parts <- Seq(1, 7)) {
+      val df = words.toDF("word").repartition(parts)
+      val sk = df.agg(Sketch.cms(col("word"))).collect()(0).getSeq[Long](0).toIndexedSeq
+      val exact = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      for ((w, c) <- exact) {
+        val est = Sketch.estimate(sk, w)
+        assert(est >= c, s"CMS must never undercount: $w est=$est exact=$c")
+        assert(est <= c + (eps * n).ceil.toLong,
+          s"εN bound blown: $w est=$est exact=$c n=$n")
+      }
+    }
+    // partitioning-invariance: the merged counters are identical arrays
+    val sk1 = words.toDF("word").repartition(1)
+      .agg(Sketch.cms(col("word"))).collect()(0).getSeq[Long](0)
+    val sk7 = words.toDF("word").repartition(7)
+      .agg(Sketch.cms(col("word"))).collect()(0).getSeq[Long](0)
+    assert(sk1 == sk7, "merge must be partitioning-invariant")
+  }
+}
