@@ -1555,6 +1555,53 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    "q118_dup_ngram_fraction" -> ((s, dir) => {
+      // Gopher's in-document repetition metric: fraction of 3-gram
+      // positions whose shingle occurs more than once in the SAME doc
+      // (q63's top-bigram ratio catches one dominant phrase; this
+      // catches diffuse copy-paste). Shingling is the codegen kernel
+      // (non-distinct -> every position counts); two map-combinable
+      // aggs on (doc, shingle), fraction gated on the rounded value.
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.Shingles.shingles(col("text"), 3)).as("g"))
+      val perShingle = sh.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      perShingle.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_pos"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_pos"))
+        .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
+          round(col("n_dup_pos").cast("double") / col("n_pos"), 9).as("dup_frac"))
+    }),
+
+    "q119_curation_funnel" -> ((s, dir) => {
+      // curation-gate funnel: survivors of each successive filter stage
+      // (length → quality → PII-free → Gopher alpha rule) per source, in
+      // ONE scan with conditional aggs — the observability query a 100 TB
+      // curation run reports after every stage without re-scanning.
+      // PII planted on every 10th doc (q74's pattern — the synthetic
+      // corpus has none) so the PII gate visibly drops rows
+      val ft = when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(col("text"))
+      val wc = TextAnalysis.wsTokenCount(col("ft"))
+      val q = TextAnalysis.qualityScore(col("ft"))
+      val pii = TextAnalysis.piiCount(col("ft"), TextAnalysis.emailPattern) +
+        TextAnalysis.piiCount(col("ft"), TextAnalysis.ipv4Pattern)
+      val alpha = TextAnalysis.alphaWordRatio(col("ft"))
+      val s1 = wc >= lit(10)
+      val s2 = s1 && q >= lit(0.05)
+      val s3 = s2 && pii === lit(0)
+      val s4 = s3 && alpha >= lit(0.8)
+      Tables.documents(s, dir)
+        .withColumn("ft", ft)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(s1.cast("long")).as("n_len"),
+          sum(s2.cast("long")).as("n_quality"),
+          sum(s3.cast("long")).as("n_pii_free"),
+          sum(s4.cast("long")).as("n_final"))
+    }),
+
     "q115_cms_heavy_hitters" -> ((s, dir) => {
       // approximate heavy hitters — q46's 100 TB tier: term frequencies
       // from ONE fixed-size (32 KB) mergeable count-min sketch instead
@@ -1890,6 +1937,49 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q118_dup_ngram_fraction" ->
+      """WITH w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM documents),
+        |sh AS (SELECT doc_id,
+        |         [array_to_string(words[i:i+2], ' ')
+        |          FOR i IN generate_series(1, greatest(len(words) - 2, 1))] AS sh
+        |       FROM w WHERE len(words) > 0),
+        |pos AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |pc AS (SELECT doc_id, g, COUNT(*) AS c FROM pos GROUP BY doc_id, g)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_pos,
+        |  round(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 9) AS dup_frac
+        |FROM pc GROUP BY doc_id""".stripMargin,
+
+    "q119_curation_funnel" ->
+      """WITH f AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 10 = 0
+        |       THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |       ELSE text END AS ft
+        |FROM documents),
+        |g AS (SELECT source,
+        |  len(regexp_extract_all(ft, '\S+')) AS wc,
+        |  least(CAST(length(ft) AS DOUBLE) / 500.0, 1.0)
+        |    * (CASE WHEN length(ft) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(ft, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(ft) END)
+        |    * (1.0 - least((CASE WHEN length(ft) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(ft, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(ft) END) * 5.0, 1.0)) AS q,
+        |  len(regexp_extract_all(ft, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(ft, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii,
+        |  CASE WHEN len(regexp_extract_all(ft, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(ft, '\S*[A-Za-z]\S*')) AS DOUBLE)
+        |            / len(regexp_extract_all(ft, '\S+')) END AS alpha
+        |FROM f)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN wc >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+        |  CAST(SUM(CASE WHEN wc >= 10 AND q >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN wc >= 10 AND q >= 0.05 AND pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free,
+        |  CAST(SUM(CASE WHEN wc >= 10 AND q >= 0.05 AND pii = 0 AND alpha >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM g GROUP BY source""".stripMargin,
 
     "q116_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
