@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Graph, Multimodal, Profile, RangeJoin, Similarity}
+import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Graph, Layout, Multimodal, Profile, RangeJoin, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -1602,6 +1602,24 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q120_zorder_layout" -> ((s, dir) => {
+      // Z-order layout audit: Morton-interleave (user_id, props.k) into
+      // one clustering key, bucket by its high bits, and report each
+      // bucket's per-dimension bounding box — the zone-map ranges a scan
+      // would prune against. Z-order buckets box BOTH dimensions tightly
+      // (8×8 grid cells here); a single-column range layout would bound
+      // one and leave the other full-range (ScaleSpec quantifies it).
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.withColumn("z", Layout.zValue(col("user_id"), col("k"), bits = 8))
+        .withColumn("bucket", shiftrightunsigned(col("z"), 10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+    }),
+
     "q115_cms_heavy_hitters" -> ((s, dir) => {
       // approximate heavy hitters — q46's 100 TB tier: term frequencies
       // from ONE fixed-size (32 KB) mergeable count-min sketch instead
@@ -1937,6 +1955,21 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q120_zorder_layout" -> {
+      // the Morton interleave, generated term-by-term (bit ops are
+      // identical integer arithmetic in any engine)
+      val z = (0 until 8).map(i =>
+        s"(((user_id >> $i) & 1) << ${2 * i}) + (((k >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""$evCte,
+         |t AS (SELECT user_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM ev),
+         |zz AS (SELECT user_id, k, $z AS z FROM t)
+         |SELECT CAST(z >> 10 AS BIGINT) AS bucket, COUNT(*) AS n,
+         |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+         |  MIN(k) AS k_min, MAX(k) AS k_max
+         |FROM zz GROUP BY bucket""".stripMargin
+    },
 
     "q118_dup_ngram_fraction" ->
       """WITH w AS (SELECT doc_id,

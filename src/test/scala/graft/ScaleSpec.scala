@@ -188,3 +188,37 @@ class CumSumSpec extends AnyFunSuite {
     assert(kept == Seq("a", "b", "c"), s"5+7+4=16 fits, +10 does not: $kept")
   }
 }
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Layout
+
+  test("zValue is a bijective interleave on the declared bit range") {
+    val df = spark.range(0, 256).select(
+      (col("id") / 16).cast("long").as("x"), (col("id") % 16).cast("long").as("y"))
+    val z = df.select(Layout.zValue(col("x"), col("y"), bits = 4).as("z"))
+      .as[Long].collect()
+    assert(z.toSet.size === 256, "16x16 grid must map to 256 distinct z-values")
+    assert(z.min === 0L && z.max === 255L, "4+4 bits must fill 0..255")
+  }
+
+  test("z-order buckets box BOTH dimensions; single-column range layout does not") {
+    // uniform 128x128 grid; 64 buckets each way
+    val df = spark.range(0, 128 * 128).select(
+      (col("id") / 128).cast("long").as("x"), (col("id") % 128).cast("long").as("y"))
+    val zb = df.withColumn("b",
+        shiftrightunsigned(Layout.zValue(col("x"), col("y"), bits = 7), 8))
+      .groupBy("b").agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .agg(avg("xr"), avg("yr")).as[(Double, Double)].collect()(0)
+    // x-range layout with the same bucket count: x boxed, y full-range
+    val xb = df.withColumn("b", (col("x") / 2).cast("long"))
+      .groupBy("b").agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .agg(avg("xr"), avg("yr")).as[(Double, Double)].collect()(0)
+    assert(zb._1 <= 16 && zb._2 <= 16,
+      s"z-order must bound both dims (got x=${zb._1}, y=${zb._2})")
+    assert(xb._2 >= 120, "single-column layout leaves y unbounded")
+    assert(zb._2 < xb._2 / 4, "z-order must beat single-column on the second dim by 4x+")
+  }
+}
