@@ -117,6 +117,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"), p.take(1500))
   }
 
+  test("q107: the boilerplate set broadcasts for the anti-join (corpus never reshuffles)") {
+    val p = plan("q107_boilerplate_lines")
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")),
+      "common-line subtraction must be a broadcast anti-join:\n" + p.take(1500))
+  }
+
+  test("q110: nucleus selection windows are all per-source (never global)") {
+    val p = plan("q110_nucleus_select")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, p.take(1200))
+    specs.foreach(i => assert(p.substring(i).startsWith("source"),
+      s"window not partitioned by source: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
+  test("q119: the funnel's five stage counts cost ONE table scan") {
+    val p = plan("q119_curation_funnel")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
   test("q81: vocab ranking plans no partition-less Window (dense-id discipline)") {
     val p = plan("q81_vocab_encode")
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
