@@ -1602,6 +1602,61 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q121_incremental_dedup" -> ((s, dir) => {
+      // incremental near-dup dedup: a synthetic "daily increment" (every
+      // 25th doc, one word appended — a near-dup of its original) lands
+      // against the FULL corpus signature index. Only new×index bands
+      // join — index-vs-index pairs were resolved at index build and are
+      // never recomputed. MinHash internals are engine-specific → rows-
+      // only; CurationSpec pins the planted-recall semantics.
+      val d = Tables.documents(s, dir)
+      val increment = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tail token")).as("text"))
+      val idx = Dedup.signatures(d, col("text"), col("doc_id"))
+      Dedup.incrementalMinhashDups(increment, col("text"), col("doc_id"), idx)
+        .select(col("new_key"), col("index_key"), col("est_jaccard"))
+    }),
+
+    "q122_sequence_pack" -> ((s, dir) => {
+      // training-sequence packing: documents in stable (doc_id) order
+      // fill 512-token bins by global prefix sum — bin = (cum - tok) div
+      // 512, so a doc starts the bin its first token lands in. The
+      // running total is the two-pass CumSum (NO global window, the q68
+      // discipline); the report is per-bin fill — the packer feeding a
+      // fixed-context trainer, minus the within-bin concat that the
+      // webdataset sink already does.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      CumSum.withRunningTotal(d, Seq(col("doc_id")), col("tok"), "cum")
+        .withColumn("bin", ((col("cum") - col("tok")) / 512).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
+
+    "q123_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: for each query vector, the
+      // top-3 nearest neighbors whose label DIFFERS — the pairs that
+      // teach an embedding model the most. Same broadcast-queries /
+      // WindowGroupLimit shape as q36 with the label-mismatch predicate
+      // inside the join (pairs never materialize beyond candidates).
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("label").as("n_label"))
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
+      c.join(broadcast(q), col("q_label") =!= col("n_label"))
+        .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("q_label"),
+          col("n_label"), col("cosine"), col("rank"))
+    }),
+
     "q120_zorder_layout" -> ((s, dir) => {
       // Z-order layout audit: Morton-interleave (user_id, props.k) into
       // one clustering key, bucket by its high bits, and report each
@@ -1955,6 +2010,28 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q122_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |        SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT CAST((cum - tok) // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY bin""".stripMargin,
+
+    "q123_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qv, label AS q_label FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, q.q_label, e.label AS n_label,
+        |        list_cosine_similarity(q.qv, e.emb) AS cosine
+        |      FROM q, e WHERE q.q_label != e.label),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, neighbor_id, q_label, n_label, cosine, rank
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q120_zorder_layout" -> {
       // the Morton interleave, generated term-by-term (bit ops are

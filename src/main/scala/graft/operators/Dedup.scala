@@ -170,6 +170,49 @@ object Dedup {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** Incremental near-dup dedup: flag NEW documents that near-duplicate
+    * an already-indexed corpus — the production shape of MinHash dedup
+    * (a daily crawl lands against a historical signature index; the
+    * index-vs-index pairs were already resolved when the index was
+    * built, so recomputing them would be O(corpus) wasted work per
+    * increment).
+    *
+    * Scale shape: the index side arrives as a PRECOMPUTED signature
+    * frame `(k, mh)` (written once by [[signatures]] at index-build
+    * time and read back from its store); only the increment is shingled.
+    * The band join is new×index only — its size tracks the increment,
+    * not the corpus — and the verify re-join fetches index signatures
+    * for surviving candidates alone. Returns (new_key, index_key,
+    * est_jaccard). */
+  def incrementalMinhashDups(newDocs: DataFrame, payload: Column, key: Column,
+                             indexSigs: DataFrame,
+                             shingleK: Int = 3, numHashes: Int = 32,
+                             bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    val newSig = cacheScoped(newDocs.select(key.as("k"),
+      graft.functions.Shingles.minhashSigBands(payload, shingleK, numHashes, bands).as("mh")))
+    val idxSig = cacheScoped(indexSigs.select(col("k"), col("mh")))
+    def banded(sig: DataFrame) = sig.select(col("k"), posexplode(col("mh._2")))
+      .select(col("k"), col("pos").as("band"), col("col").as("bucket"))
+    val pairs = banded(newSig).select(col("band"), col("bucket"), col("k").as("new_key"))
+      .join(banded(idxSig).select(col("band"), col("bucket"), col("k").as("index_key")),
+        Seq("band", "bucket"))
+      .select(col("new_key"), col("index_key")).distinct()
+    pairs
+      .join(newSig.select(col("k").as("new_key"), col("mh._1").as("sig_a")), Seq("new_key"))
+      .join(idxSig.select(col("k").as("index_key"), col("mh._1").as("sig_b")), Seq("index_key"))
+      .select(col("new_key"), col("index_key"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** The signature frame an incremental index stores: `(k, mh)` with
+    * `mh._1` = minhash signature, `mh._2` = band-bucket hashes. */
+  def signatures(docs: DataFrame, payload: Column, key: Column,
+                 shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    docs.select(key.as("k"),
+      graft.functions.Shingles.minhashSigBands(payload, shingleK, numHashes, bands).as("mh"))
+
   // -------------------------------------------------------------- simhash
 
   /** Deterministic 64-bit FNV-1a string hash — the per-shingle hash under

@@ -1,29 +1,35 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import java.math.RoundingMode
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
 
 /** Graph centrality over edge frames — the link-analysis primitive of
   * corpus pipelines (page authority as a quality prior, à la the original
   * Common-Crawl PageRank filters). [EXT] — the reference has no graph
   * surface; this extends the dedup family's iterative-join discipline
-  * ([[Dedup.connectedComponents]]) to value propagation.
+  * ([[Dedup.connectedComponents]]) to value propagation, including its
+  * two-tier shape: broadcast-sized graphs iterate on the driver (an
+  * iterative DataFrame loop there pays per-round job scheduling for
+  * nothing), larger graphs run the distributed join loop.
   *
   * Scale shape (100 TB): ranks and edges are both corpus-sized frames —
-  * each iteration is one shuffle-join of ranks onto edges keyed by `src`
-  * plus one partial+final agg keyed by `dst`. Edge weight fractions are
-  * precomputed ONCE and cached (the per-iteration join rides that same
-  * partitioning), ranks are lineage-truncated per round (localCheckpoint,
-  * the CC discipline), and the iteration count is a fixed small constant —
-  * there is no O(diameter) dependence.
+  * each distributed iteration is one shuffle-join of ranks onto edges
+  * keyed by `src` plus one partial+final agg keyed by `dst`. Edge weight
+  * fractions are precomputed ONCE and cached (the per-iteration join
+  * rides that same partitioning), ranks are lineage-truncated per round
+  * (localCheckpoint, the CC discipline), and the iteration count is a
+  * fixed small constant — there is no O(diameter) dependence.
   *
   * Engine-parity discipline: the per-node contribution sum is a float
   * reduction whose order Spark's partial aggregation does not fix — each
   * contribution is cast to DECIMAL(27,12) (deterministic per-value
   * rounding) and summed EXACTLY, then the damped update is rounded to 9
   * (q82/q91 discipline), so every iteration's ranks are bit-identical in
-  * any engine computing the same formula.
+  * any engine computing the same formula — including the driver tier,
+  * which replicates the exact cast/round semantics with BigDecimal.
   */
 object Graph {
 
@@ -32,18 +38,25 @@ object Graph {
     * `w`. Dangling mass is not redistributed (documented simplification —
     * ranks then sum to < 1; the standard fix is one extra agg per round).
     * Returns `(node, rank)` after `iters` damped rounds from a uniform
-    * start. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
+    * start. Graphs of ≤ `localEdgeThreshold` edges (with long keys) solve
+    * on the driver with identical arithmetic. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    val e = Dedup.cacheScoped(edges.select(col("src"), col("dst"), col("w")))
+    val localOk = e.schema("src").dataType == LongType &&
+      e.schema("dst").dataType == LongType
+    if (localOk && e.count() <= localEdgeThreshold)
+      return localPageRank(e, iters, damping)
+
     // out-weight per src, joined once: frac = w/wout rides every iteration
-    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val frac = Dedup.cacheScoped(
-      edges.join(wout, Seq("src"))
+      e.join(wout, Seq("src"))
         .select(col("src"), col("dst"),
           (col("w").cast("double") / col("wout").cast("double")).as("frac")))
     val nodes = Dedup.cacheScoped(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct())
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     // N as a broadcast scalar (q64 discipline — never a driver collect)
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
@@ -59,5 +72,40 @@ object Graph {
         .localCheckpoint(true) // truncate lineage: plan depth stays O(1) per round
     }
     ranks.select(col("node"), col("rank"))
+  }
+
+  /** Spark `round(x, 9)` on doubles = BigDecimal.valueOf + HALF_UP. */
+  private def round9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver tier: same damped update with the EXACT cast/round semantics
+    * of the distributed plan (valueOf→setScale(12) mirrors the
+    * double→DECIMAL(27,12) cast; exact BigDecimal sums; round9 mirrors
+    * `round(_, 9)`), so both tiers hash-match the same oracle. */
+  private def localPageRank(e: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wout = rows.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val n = nodes.length
+    var rank: collection.Map[Long, Double] =
+      nodes.map(_ -> round9(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val sums = collection.mutable.HashMap.empty[Long, java.math.BigDecimal]
+      rows.foreach { case (s, d, w) =>
+        val frac = w.toDouble / wout(s).toDouble
+        val c = java.math.BigDecimal.valueOf(rank(s) * frac)
+          .setScale(12, RoundingMode.HALF_UP)
+        sums(d) = sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c)
+      }
+      rank = nodes.map { nd =>
+        val s = sums.get(nd).map(_.doubleValue()).getOrElse(0.0)
+        nd -> round9((1.0 - damping) / n + damping * s)
+      }.toMap
+    }
+    val out = nodes.map(nd => Row(nd, rank(nd)))
+    val schema = StructType(Seq(
+      StructField("node", LongType), StructField("rank", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 }

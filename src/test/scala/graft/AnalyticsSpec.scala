@@ -132,6 +132,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rr === Set(0.25), s"ring must stay uniform: $rr")
   }
 
+  test("pageRank tiers: driver union of casts ≡ distributed decimal plan, bit-exact") {
+    import graft.operators.Graph
+    // irregular weighted graph so every arithmetic path (fractional
+    // weights, no-inbound nodes, multi-inbound sums) is exercised
+    val g = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 2L, 2L), (2L, 0L, 1L),
+      (3L, 0L, 5L), (3L, 2L, 2L), (4L, 3L, 1L)).toDF("src", "dst", "w")
+    val local = Graph.pageRank(g, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.pageRank(g, iters = 3, localEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local === dist, s"tier drift:\nlocal=$local\ndist =$dist")
+  }
+
   test("z-score flags a planted outlier and nothing near the mean") {
     val vals = Seq.tabulate(200)(i => (i.toLong, "t", 10.0 + (i % 5))) :+ ((999L, "t", 500.0))
     val df = vals.toDF("event_id", "event_type", "value")

@@ -79,6 +79,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Set((0L, 2L), (0L, 4L), (2L, 4L), (1L, 3L)))
   }
 
+  test("incrementalMinhashDups: planted near-copies find their originals, only new×index pairs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val increment = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000L).as("doc_id"),
+        concat(col("text"), lit(" extra word")).as("text"))
+    val idx = Dedup.signatures(docs, col("text"), col("doc_id"))
+    val out = Dedup.incrementalMinhashDups(increment, col("text"), col("doc_id"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = increment.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted near-copy must rediscover its original (key - 5000)
+    planted.foreach { nk =>
+      assert(out.contains((nk, nk - 5000L)),
+        s"near-copy $nk must match its original ${nk - 5000L}; got ${out.take(10)}")
+    }
+    // and the join never emits index-vs-index pairs
+    assert(out.forall { case (nk, ik) => planted.contains(nk) && !planted.contains(ik) })
+  }
+
   // ------------------------------------------------------ decontamination
 
   test("decontaminate flags docs sharing shingles with the benchmark, exact ratio") {
