@@ -1602,6 +1602,54 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q124_temperature_mix" -> ((s, dir) => {
+      // temperature-flattened language mixing (the LLaMA/PaLM data
+      // recipe): target share ∝ p^α (α=0.5 lifts low-resource langs),
+      // keep rate = min(1, target·K/cnt), membership by the portable
+      // Lehmer hash. The α-powered terms are rounded then decimal-
+      // summed so the normalizer Z is engine-exact; rates gate on the
+      // ROUNDED value (q79's shape + the q87 rounding discipline).
+      val d = Tables.documents(s, dir)
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum(col("cnt")).as("total"))
+      val sh = counts.crossJoin(broadcast(tot))
+        .withColumn("s9", round(pow(col("cnt").cast("double") / col("total"), 0.5), 9))
+      val z = sh.agg(sum(col("s9").cast(DecimalType(18, 9))).cast("double").as("z"))
+      val rates = sh.crossJoin(broadcast(z))
+        .withColumn("rate", round(least(lit(1.0),
+          col("s9") / col("z") * lit(0.6) * col("total") / col("cnt")), 9))
+        .select(col("lang"), col("rate"))
+      val u = (lehmer3(col("doc_id")).cast("double") + 0.5) / 2147483647.0
+      d.join(broadcast(rates), Seq("lang"))
+        .filter(u < col("rate"))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "q125_rare_suppress" -> ((s, dir) => {
+      // k-anonymity-style suppression: rows whose (source, lang) combo
+      // occurs < 5 times drop entirely (rare combos identify their
+      // members — the privacy-curation gate). Combo counts are tiny →
+      // broadcast; the corpus filters map-side, one agg total.
+      val d = Tables.documents(s, dir)
+      val combos = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_combo"))
+        .filter(col("n_combo") >= 5)
+      d.join(broadcast(combos), Seq("source", "lang"))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_combo"))
+    }),
+
+    "q126_trending" -> ((s, dir) => {
+      // weekly trending pages: top-3 props.k per week by visit count —
+      // rank ≤ 3 over (week) compiles to WindowGroupLimit, so each
+      // partition forwards at most 3 rows per week into the exchange.
+      val t = Tables.events(s, dir)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+        .groupBy(col("week"), col("page")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("week")).orderBy(desc("n"), col("page"))
+      t.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+    }),
+
     "q121_incremental_dedup" -> ((s, dir) => {
       // incremental near-dup dedup: a synthetic "daily increment" (every
       // 25th doc, one word appended — a near-dup of its original) lands
@@ -2010,6 +2058,36 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q124_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(cnt) AS total FROM c),
+        |s AS (SELECT lang, cnt, total,
+        |        round(pow(CAST(cnt AS DOUBLE) / total, 0.5), 9) AS s9
+        |      FROM c, t),
+        |z AS (SELECT CAST(SUM(CAST(s9 AS DECIMAL(18,9))) AS DOUBLE) AS z FROM s),
+        |r AS (SELECT lang,
+        |        round(least(1.0, s9 / z.z * 0.6 * total / cnt), 9) AS rate
+        |      FROM s, z)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE (CAST(((d.doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 < r.rate""".stripMargin,
+
+    "q125_rare_suppress" ->
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n_combo FROM documents
+        |           GROUP BY source, lang HAVING COUNT(*) >= 5)
+        |SELECT doc_id, d.source, d.lang, n_combo
+        |FROM documents d JOIN c ON d.source = c.source AND d.lang = c.lang""".stripMargin,
+
+    "q126_trending" ->
+      s"""$evCte,
+         |t AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |      FROM ev),
+         |g AS (SELECT week, page, COUNT(*) AS n FROM t GROUP BY week, page),
+         |r AS (SELECT week, page, n,
+         |        row_number() OVER (PARTITION BY week ORDER BY n DESC, page) AS rank
+         |      FROM g)
+         |SELECT week, page, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q122_sequence_pack" ->
       """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok

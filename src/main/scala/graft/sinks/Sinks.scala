@@ -52,6 +52,42 @@ object Sinks {
       .parquet(out)
   }
 
+  /** Small-file compaction [EXT] — the maintenance pass every
+    * long-running ingestion needs: incremental appends (resume, per-batch
+    * streaming writes) accrete files far below the scan-efficient size,
+    * and at 100 TB footer/open overhead dominates reads long before data
+    * does. Rewrites a parquet directory into ≈`targetFileBytes` files
+    * (count derived from the measured input size) and swaps it in
+    * atomically: write to a sibling tmp dir, rename old→trash→tmp→live,
+    * so a concurrent reader sees either the old or the new layout, never
+    * a partial one. Returns (filesBefore, filesAfter). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, path) = fsFor(dir, conf)
+    def dataFiles(p: Path) = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = dataFiles(path)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path.getParent, path.getName + ".compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val trash = new Path(path.getParent, path.getName + ".compact_old")
+    fs.delete(trash, true)
+    if (!fs.rename(path, trash))
+      throw new java.io.IOException(s"compact: cannot retire $path")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(trash, path) // roll back: the live dir must never vanish
+      throw new java.io.IOException(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(trash, true)
+    (before.length, dataFiles(path).length)
+  }
+
   /** jsonl.gz sink (ref `writer.py:129-163`); sizing via
     * maxRecordsPerFile like the parquet twin. */
   def jsonlGz(df: DataFrame, out: String, mode: SaveMode = SaveMode.Overwrite,

@@ -117,6 +117,22 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.resumeAntiJoin(sample, s"$out/_nope").count() == 2)
   }
 
+  test("compactParquet merges small files atomically and preserves every row") {
+    val out = tmpDir("compact")
+    val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.mode("overwrite").parquet(out)
+    val filesBefore = new File(out).listFiles.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(filesBefore >= 30, s"setup must fragment: $filesBefore files")
+    val (b, a) = Sinks.compactParquet(spark, out, targetFileBytes = 10L * 1024 * 1024)
+    assert(b === filesBefore && a === 1, s"expected 40→1, got $b→$a")
+    val back = spark.read.parquet(out)
+    assert(back.count() === 10000L)
+    assert(back.agg(sum("v")).as[Long].collect()(0) === (0L until 10000L).map(_ * 2).sum)
+    assert(!new File(out + ".compact_tmp").exists && !new File(out + ".compact_old").exists,
+      "no tmp/trash residue")
+  }
+
   test("stats sink writes status histogram json") {
     val out = tmpDir("stats")
     val tagged = Seq(("success", null: String), ("success", null: String),
