@@ -1602,6 +1602,52 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q127_semantic_search" -> ((s, dir) => {
+      // retrieval end-to-end: ANN top-5 per query over the embedding
+      // store (broadcast queries, WindowGroupLimit — the q36 shape) then
+      // hydrate hits from the document store (vec_id ≡ doc_id), returning
+      // text metadata + quality. The two-tier pattern every RAG corpus
+      // serves: search the small vector index, join the big doc store by
+      // key — the doc store never participates in the distance scan.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("doc_id"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("doc_id"))
+      val hits = c.join(broadcast(q), col("doc_id") =!= col("query_id"))
+        .withColumn("cosine", Vectors.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"))
+      hits.join(Tables.documents(s, dir), Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"),
+          col("source"), col("lang"), col("n_chars"),
+          round(TextAnalysis.qualityScore(col("text")), 9).as("quality"))
+    }),
+
+    "q128_curation_e2e" -> ((s, dir) => {
+      // the curation pipeline END-TO-END as one declarative plan: gates
+      // (length → quality) → normalized exact dedup (keep-min survivor)
+      // → per-source report. Every stage is an operator whose parity is
+      // individually proven (q21/q26/q31/q30); composing them stays one
+      // plan — gates fuse into the scan, dedup is the one content
+      // shuffle, the report is the one agg. What a user actually runs.
+      val surv = Tables.documents(s, dir)
+        .withColumn("wc", TextAnalysis.wsTokenCount(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("wc") >= 20 && col("quality") >= 0.05)
+        .withColumn("fp", md5(TextAnalysis.normalizeText(col("text"))))
+      // survivor selection is min(struct) — ONE scan + one content
+      // shuffle (the Dedup.exact shape), never a join back to the corpus
+      surv.groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("source"), col("wc"), col("quality"))).as("__s"))
+        .select(col("__s.source").as("source"), col("__s.wc").as("wc"),
+          col("__s.quality").as("quality"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_tokens"),
+          round(sum(col("quality").cast(DecimalType(18, 9))).cast("double"), 9).as("quality_mass"))
+    }),
+
     "q124_temperature_mix" -> ((s, dir) => {
       // temperature-flattened language mixing (the LLaMA/PaLM data
       // recipe): target share ∝ p^α (α=0.5 lifts low-resource langs),
@@ -2058,6 +2104,42 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q127_semantic_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, e.vec_id AS doc_id,
+        |        list_cosine_similarity(q.qv, e.emb) AS cosine
+        |      FROM q, e WHERE e.vec_id != q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, doc_id) AS rank FROM s)
+        |SELECT query_id, r.doc_id, cosine, CAST(rank AS BIGINT) AS rank,
+        |  d.source, d.lang, d.n_chars,
+        |  round(least(CAST(length(d.text) AS DOUBLE) / 500.0, 1.0)
+        |    * (CASE WHEN length(d.text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(d.text) END)
+        |    * (1.0 - least((CASE WHEN length(d.text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(d.text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(d.text) END) * 5.0, 1.0)), 9) AS quality
+        |FROM r JOIN documents d ON r.doc_id = d.doc_id
+        |WHERE rank <= 5""".stripMargin,
+
+    "q128_curation_e2e" ->
+      """WITH f AS (SELECT doc_id, source, text,
+        |    len(regexp_extract_all(text, '\S+')) AS wc,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      * (CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)) AS quality
+        |  FROM documents),
+        |g AS (SELECT * FROM f WHERE wc >= 20 AND quality >= 0.05),
+        |n AS (SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp FROM g),
+        |k AS (SELECT fp, MIN(doc_id) AS doc_id FROM n GROUP BY fp)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE), 9) AS quality_mass
+        |FROM n JOIN k USING (fp, doc_id)
+        |GROUP BY source""".stripMargin,
 
     "q124_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),

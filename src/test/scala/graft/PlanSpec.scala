@@ -137,6 +137,12 @@ class PlanSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1200))
   }
 
+  test("q128: the e2e curation pipeline is ONE scan + one content shuffle (no join-back)") {
+    val p = plan("q128_curation_e2e")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1500))
+    assert(!p.contains("Join"), "survivor selection must be min(struct), not a join:\n" + p.take(1500))
+  }
+
   test("q81: vocab ranking plans no partition-less Window (dense-id discipline)") {
     val p = plan("q81_vocab_encode")
     val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
