@@ -70,6 +70,12 @@ object Sinks {
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
     val before = dataFiles(path)
+    // a Hive-partitioned layout has no top-level data files; compacting
+    // through spark.read would silently FLATTEN the partition columns
+    // into the rewritten files — refuse rather than corrupt the layout
+    require(before.nonEmpty,
+      s"compactParquet expects a flat parquet directory; $dir has no top-level data files " +
+        "(partitioned layouts need per-partition compaction)")
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val tmp = new Path(path.getParent, path.getName + ".compact_tmp")

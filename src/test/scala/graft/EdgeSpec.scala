@@ -71,4 +71,23 @@ class EdgeSpec extends AnyFunSuite {
     val noPairs = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
     assert(Dedup.connectedComponents(noPairs).count() === 0L)
   }
+
+  test("pageRank of an empty edge set is empty (both tiers)") {
+    import graft.operators.Graph
+    val noEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(Graph.pageRank(noEdges, iters = 3).count() === 0L)
+    assert(Graph.pageRank(noEdges, iters = 3, localEdgeThreshold = -1L).count() === 0L)
+  }
+
+  test("semanticDedup with empty centroids emits nothing (and does not throw)") {
+    val vecs = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val noCents = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(vecs, col("embedding"), col("vec_id"),
+      noCents, col("embedding"), col("vec_id"), 0.5).count() === 0L)
+  }
+
+  test("dropCommonLines on an empty lines frame is empty") {
+    val noLines = Seq.empty[(Long, Long, String)].toDF("key", "line_no", "line")
+    assert(Dedup.dropCommonLines(noLines, 3).count() === 0L)
+  }
 }
