@@ -1602,6 +1602,53 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q129_profile_drift" -> ((s, dir) => {
+      // snapshot drift detection: profile today's corpus vs yesterday's
+      // (first half by key — the synthetic stand-in for two snapshots)
+      // and report per-column deltas of null rate and distinct count —
+      // the data-quality diff run before every training refresh. Two
+      // one-scan profiles (q84 machinery) joined on column name.
+      val today = Tables.documents(s, dir)
+      val yesterday = today.filter(col("doc_id") < 250)
+      val cols = Seq("source", "lang", "n_chars")
+      val pT = Profile.profile(today, cols)
+        .select(col("col_name"), col("n_null").as("nulls_t"),
+          col("n_distinct").as("distinct_t"), col("n_rows").as("rows_t"))
+      val pY = Profile.profile(yesterday, cols)
+        .select(col("col_name"), col("n_null").as("nulls_y"),
+          col("n_distinct").as("distinct_y"), col("n_rows").as("rows_y"))
+      pT.join(pY, Seq("col_name"))
+        .select(col("col_name"),
+          col("distinct_t"), col("distinct_y"),
+          (col("distinct_t") - col("distinct_y")).as("distinct_delta"),
+          round(col("nulls_t").cast("double") / col("rows_t")
+            - col("nulls_y").cast("double") / col("rows_y"), 9).as("null_rate_delta"))
+    }),
+
+    "q130_data_contracts" -> ((s, dir) => {
+      // data-contract checks (dbt-test / expectation-suite shape): each
+      // rule is a conditional agg over ONE scan of its table; the FK
+      // rule is a broadcast-key anti-join probe. Returns violation
+      // counts per rule — the report a 100 TB ingest gates on.
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val rowRules = li.agg(
+        sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("long")).as("qty_range"),
+        sum((col("l_extendedprice") <= 0).cast("long")).as("price_positive"),
+        sum((col("l_shipdate").isNull).cast("long")).as("shipdate_null"))
+      val fkViolations = li.join(ord.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphans"))
+      rowRules.crossJoin(fkViolations)
+        .select(
+          struct(lit("lineitem_qty_1_50").as("rule"), col("qty_range").as("violations")).as("r1"),
+          struct(lit("lineitem_price_gt0").as("rule"), col("price_positive").as("violations")).as("r2"),
+          struct(lit("lineitem_shipdate_not_null").as("rule"), col("shipdate_null").as("violations")).as("r3"),
+          struct(lit("lineitem_orderkey_fk").as("rule"), col("fk_orphans").as("violations")).as("r4"))
+        .select(explode(array(col("r1"), col("r2"), col("r3"), col("r4"))).as("x"))
+        .select(col("x.rule").as("rule"), col("x.violations").as("violations"))
+    }),
+
     "q127_semantic_search" -> ((s, dir) => {
       // retrieval end-to-end: ANN top-5 per query over the embedding
       // store (broadcast queries, WindowGroupLimit — the q36 shape) then
@@ -2104,6 +2151,45 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q129_profile_drift" ->
+      """WITH t AS (SELECT COUNT(*) AS rows_t,
+        |  SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nl1, COUNT(DISTINCT source) AS nd1,
+        |  SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl2, COUNT(DISTINCT lang) AS nd2,
+        |  SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nl3, COUNT(DISTINCT n_chars) AS nd3
+        |FROM documents),
+        |y AS (SELECT COUNT(*) AS rows_y,
+        |  SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nl1, COUNT(DISTINCT source) AS nd1,
+        |  SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nl2, COUNT(DISTINCT lang) AS nd2,
+        |  SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nl3, COUNT(DISTINCT n_chars) AS nd3
+        |FROM documents WHERE doc_id < 250),
+        |u AS (
+        |  SELECT 'source' AS col_name, t.nd1 AS distinct_t, y.nd1 AS distinct_y,
+        |    CAST(t.nl1 AS BIGINT) AS nt, CAST(y.nl1 AS BIGINT) AS ny, rows_t, rows_y FROM t, y
+        |  UNION ALL
+        |  SELECT 'lang', t.nd2, y.nd2, CAST(t.nl2 AS BIGINT), CAST(y.nl2 AS BIGINT), rows_t, rows_y FROM t, y
+        |  UNION ALL
+        |  SELECT 'n_chars', t.nd3, y.nd3, CAST(t.nl3 AS BIGINT), CAST(y.nl3 AS BIGINT), rows_t, rows_y FROM t, y)
+        |SELECT col_name, distinct_t, distinct_y,
+        |  distinct_t - distinct_y AS distinct_delta,
+        |  round(CAST(nt AS DOUBLE) / rows_t - CAST(ny AS DOUBLE) / rows_y, 9) AS null_rate_delta
+        |FROM u""".stripMargin,
+
+    "q130_data_contracts" ->
+      """WITH r AS (SELECT
+        |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_range,
+        |  SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_positive,
+        |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS shipdate_null
+        |FROM lineitem),
+        |fk AS (SELECT COUNT(*) AS fk_orphans FROM lineitem l
+        |       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |SELECT 'lineitem_qty_1_50' AS rule, CAST(qty_range AS BIGINT) AS violations FROM r
+        |UNION ALL
+        |SELECT 'lineitem_price_gt0', CAST(price_positive AS BIGINT) FROM r
+        |UNION ALL
+        |SELECT 'lineitem_shipdate_not_null', CAST(shipdate_null AS BIGINT) FROM r
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_fk', CAST(fk_orphans AS BIGINT) FROM fk""".stripMargin,
 
     "q127_semantic_search" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
