@@ -1602,6 +1602,37 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q131_stream_outer_join" -> ((s, dir) => {
+      // stream-stream LEFT OUTER join: clicks with no purchase in the
+      // lookback emit null-padded AFTER the watermark closes their
+      // window (state eviction is what produces the null row — the
+      // subtle semantics this query pins). The comparison restricts
+      // BOTH engines to the CLOSED region — clicks old enough that the
+      // final watermark (max_ts - wm) has provably passed click_ts +
+      // lookback — because the open tail's null rows are unemittable by
+      // definition, in any streaming engine.
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val clicks = StreamingOps.eventsStream(s, staging)
+          .filter(col("event_type") === "click")
+        val purchases = StreamingOps.eventsStream(s, staging)
+          .filter(col("event_type") === "purchase")
+        val joined = StreamingOps.clickPurchaseJoin(clicks, purchases,
+          joinType = "left_outer")
+        val res = StreamingOps.runToMemory(s, joined, "q131_stream_outer_join",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        val closed = Tables.events(s, dir)
+          .agg((max(col("ts")) - expr("INTERVAL 480 minutes")).as("closed_ts"))
+        res.crossJoin(broadcast(closed))
+          .filter(col("click_ts") < col("closed_ts"))
+          .select(col("click_id"), col("user_id"), col("click_ts"),
+            col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     "q129_profile_drift" -> ((s, dir) => {
       // snapshot drift detection: profile today's corpus vs yesterday's
       // (first half by key — the synthetic stand-in for two snapshots)
@@ -2151,6 +2182,20 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q131_stream_outer_join" ->
+      s"""$evCte,
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM ev
+         |      WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts,
+         |        value AS purchase_value FROM ev WHERE event_type = 'purchase'),
+         |m AS (SELECT MAX(ts) - INTERVAL 480 MINUTE AS closed_ts FROM ev)
+         |SELECT click_id, c.user_id, click_ts, purchase_id, purchase_ts, purchase_value
+         |FROM c LEFT JOIN p
+         |  ON c.user_id = p.p_user
+         |  AND p.purchase_ts >= c.click_ts - INTERVAL 240 MINUTE
+         |  AND p.purchase_ts <= c.click_ts, m
+         |WHERE click_ts < m.closed_ts""".stripMargin,
 
     "q129_profile_drift" ->
       """WITH t AS (SELECT COUNT(*) AS rows_t,

@@ -211,7 +211,8 @@ object StreamingOps {
     * checks. */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         lookback: String = "240 minutes",
-                        watermark: String = "240 minutes"): DataFrame = {
+                        watermark: String = "240 minutes",
+                        joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame) =
       if (df.isStreaming) df.withWatermark("ts", watermark) else df
     val c = wm(clicks).select(col("event_id").as("click_id"),
@@ -221,7 +222,7 @@ object StreamingOps {
       col("value").as("purchase_value"))
     c.join(p, col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $lookback") &&
-        col("purchase_ts") <= col("click_ts"), "inner")
+        col("purchase_ts") <= col("click_ts"), joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
