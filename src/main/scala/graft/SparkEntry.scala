@@ -1602,6 +1602,70 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q132_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: |shingles(a) ∩ shingles(b)| /
+      // |shingles(a)| for every source pair — q73's decontamination
+      // generalized to all-pairs provenance diagnostics. Distinct
+      // (source, shingle) first (the blocking key is the shingle, so
+      // hot boilerplate shingles are AQE skew territory, same as LSH
+      // buckets); per-source totals broadcast back.
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.Shingles.shingles(col("text"), 3, distinct = true)).as("g"))
+        .distinct()
+      val totals = sh.groupBy(col("source")).agg(count(lit(1)).as("n_a"))
+      val a = sh.select(col("source").as("src_a"), col("g"))
+      val b = sh.select(col("source").as("src_b"), col("g"))
+      a.join(b, Seq("g")).filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(totals.select(col("source").as("src_a"), col("n_a"))), Seq("src_a"))
+        .filter(col("n_shared") >= 10)
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          round(col("n_shared").cast("double") / col("n_a"), 9).as("overlap_ratio"))
+    }),
+
+    "q133_kwic" -> ((s, dir) => {
+      // keyword-in-context: every occurrence of a term with ±3 words of
+      // context — the corpus-inspection query behind "show me how this
+      // token is used". Tokenize once (posexplode), match, slice the
+      // window from the token array; all codegen, no UDF.
+      val term = "data"
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      d.select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .filter(col("w") === term)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          array_join(slice(col("ws"), greatest(col("pos") - 2, lit(1)),
+            least(col("pos") + 4, size(col("ws"))) - greatest(col("pos") - 2, lit(1)) + 1),
+            " ").as("context"))
+    }),
+
+    "q134_compression_ratio" -> ((s, dir) => {
+      // compression-ratio quality signal (the low-information-content
+      // proxy: highly compressible ≈ repetitive/boilerplate): deflate
+      // level 6, ratio = compressed/raw. Deterministic for a given
+      // input (zlib is), but NOT SQL-expressible → rows-only; the
+      // CurationSpec planted test pins the semantics (repeated text
+      // compresses far better than word-soup). One of the two justified
+      // UDFs (no codegen zlib) — still a map-side single pass.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.compressionRatio(col("text")).as("ratio"),
+          length(col("text")).cast("long").as("n_chars_raw"))
+        .filter(col("n_chars_raw") > 0)
+    }),
+
+    "q135_ttr" -> ((s, dir) => {
+      // per-source type-token ratio (lexical diversity): distinct words
+      // / total words. countDistinct is the exact anchor; at 100 TB the
+      // q105 swap (approx_count_distinct) applies unchanged.
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("w")).as("n_types"), count(lit(1)).as("n_tokens"))
+        .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 9))
+    }),
+
     "q131_stream_outer_join" -> ((s, dir) => {
       // stream-stream LEFT OUTER join: clicks with no purchase in the
       // lookback emit null-padded AFTER the watermark closes their
@@ -2182,6 +2246,43 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q132_source_overlap" ->
+      """WITH w AS (SELECT source,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM documents),
+        |sh AS (SELECT source,
+        |         [array_to_string(words[i:i+2], ' ')
+        |          FOR i IN generate_series(1, greatest(len(words) - 2, 1))] AS sh
+        |       FROM w WHERE len(words) > 0),
+        |sg AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+        |tot AS (SELECT source, COUNT(*) AS n_a FROM sg GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |      GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  CAST(n_a AS BIGINT) AS n_a,
+        |  round(CAST(n_shared AS DOUBLE) / n_a, 9) AS overlap_ratio
+        |FROM p JOIN tot ON tot.source = p.src_a
+        |WHERE n_shared >= 10""".stripMargin,
+
+    "q133_kwic" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |x AS (SELECT doc_id, ws, CAST(g.i - 1 AS BIGINT) AS pos
+        |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |      WHERE ws[g.i] = 'data')
+        |SELECT doc_id, pos,
+        |  array_to_string(ws[greatest(pos - 2, 1) : least(pos + 4, len(ws))], ' ') AS context
+        |FROM x""".stripMargin,
+
+    "q135_ttr" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT source, w FROM w WHERE length(w) > 0)
+        |SELECT source, COUNT(DISTINCT w) AS n_types, COUNT(*) AS n_tokens,
+        |  round(CAST(COUNT(DISTINCT w) AS DOUBLE) / COUNT(*), 9) AS ttr
+        |FROM f GROUP BY source""".stripMargin,
 
     "q131_stream_outer_join" ->
       s"""$evCte,

@@ -177,6 +177,27 @@ object TextAnalysis {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
   }
 
+  /** Deflate-compression ratio (compressed/raw bytes, level 6) — the
+    * low-information-content quality proxy: repetitive boilerplate
+    * compresses far below natural text. Deterministic per input (zlib
+    * is), but not SQL-expressible → one of the justified UDFs (no
+    * codegen deflate exists); still a single map-side pass. Rounded to
+    * 9 like every emitted ratio. */
+  def compressionRatio(c: Column): Column =
+    udf((s: String) => {
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(bytes); d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        math.round(total.toDouble / bytes.length * 1e9) / 1e9
+      }
+    }).apply(c)
+
   // --------------------------------------------------------- PII redaction
 
   /** PII patterns — deliberately restricted to syntax shared verbatim by

@@ -114,6 +114,20 @@ class CurationSpec extends AnyFunSuite {
     assert(!byKey.contains(11L))
   }
 
+  test("compressionRatio: boilerplate compresses far below diverse text; empty is 1.0") {
+    val df = Seq(
+      (1L, Seq.fill(200)("cookie banner accept all").mkString(" ")),
+      (2L, (0 until 200).map(i => s"w${i * 7919 % 9973}x${i}").mkString(" ")),
+      (3L, "")
+    ).toDF("id", "text")
+    val r = df.select(col("id"), TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.1, s"repeated boilerplate must crush: ${r(1L)}")
+    assert(r(2L) > 0.3, s"diverse text must not: ${r(2L)}")
+    assert(r(1L) < r(2L) / 3, "the signal must separate the classes")
+    assert(r(3L) === 1.0, "empty text is defined as ratio 1.0")
+  }
+
   // -------------------------------------------------------- PII redaction
 
   test("redactPii scrubs emails, IPv4s and phone shapes; counts are exact") {
