@@ -117,6 +117,25 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.resumeAntiJoin(sample, s"$out/_nope").count() == 2)
   }
 
+  test("webdataset round trip: sink → WebDataset.read returns every (key, payload, meta)") {
+    val out = tmpDir("wds_rt")
+    val df = Seq(
+      ("s0_0000", "alpha text", "en", "s0"),
+      ("s0_0001", "beta text", "de", "s0"),
+      ("s1_0000", "gamma text", "fr", "s1"),
+    ).toDF("key", "text", "lang", "shard")
+    Sinks.webdataset(df, out, shardCol = Some("shard"))
+    val back = graft.sources.WebDataset.read(spark, out)
+    val rows = back.collect().map(r => (r.getString(0),
+      new String(r.getAs[Array[Byte]](1), "UTF-8"), r.getString(2), r.getString(3))).toSet
+    assert(rows.map(_._1) === Set("s0_0000", "s0_0001", "s1_0000"))
+    assert(rows.find(_._1 == "s0_0001").get._2 === "beta text")
+    assert(rows.find(_._1 == "s1_0000").get._3.contains("\"lang\": \"fr\""))
+    assert(rows.map(_._4) === Set("s0", "s1"))
+    // read parallelism = shard count
+    assert(back.rdd.getNumPartitions === 2)
+  }
+
   test("compactParquet merges small files atomically and preserves every row") {
     val out = tmpDir("compact")
     val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
