@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance, ShingleArray, SimHash64}
 
 /** Session-extension registration (SparkSessionExtensions — SURVEY §7 /
   * prompt's custom-operator surface (d)): exposes graft's native
@@ -21,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.cosineSim)
     e.injectFunction(GraftExtensions.dotProduct)
     e.injectFunction(GraftExtensions.l2Distance)
+    e.injectFunction(GraftExtensions.shinglesFn)
+    e.injectFunction(GraftExtensions.distinctShinglesFn)
+    e.injectFunction(GraftExtensions.simhashFn)
   }
 }
 
@@ -43,9 +49,38 @@ object GraftExtensions {
   val l2Distance: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     binary("l2_distance", EuclideanDistance.apply)
 
+  /** The shingle-kernel family needs a literal k — extract it or fail
+    * with the function name (a non-literal k cannot ride codegen'd
+    * kernel construction). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal INT k, got $other")
+  }
+
+  val shinglesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("shingles"), info("shingles", "shingles(text, k) — k-word shingles of normalized text"),
+      exprs => {
+        require(exprs.length == 2, s"shingles expects 2 arguments, got ${exprs.length}")
+        ShingleArray(exprs(0), litInt("shingles", exprs(1)), distinct = false)
+      })
+  val distinctShinglesFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("distinct_shingles"), info("distinct_shingles", "distinct_shingles(text, k)"),
+      exprs => {
+        require(exprs.length == 2, s"distinct_shingles expects 2 arguments, got ${exprs.length}")
+        ShingleArray(exprs(0), litInt("distinct_shingles", exprs(1)), distinct = true)
+      })
+  val simhashFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash64"), info("simhash64", "simhash64(text, k) — 64-bit SimHash of the k-shingle multiset"),
+      exprs => {
+        require(exprs.length == 2, s"simhash64 expects 2 arguments, got ${exprs.length}")
+        SimHash64(exprs(0), litInt("simhash64", exprs(1)))
+      })
+
   /** Register on an already-built session (tests / notebooks). */
   def register(spark: SparkSession): Unit =
-    Seq(cosineSim, dotProduct, l2Distance).foreach { case (id, _, builder) =>
+    Seq(cosineSim, dotProduct, l2Distance,
+        shinglesFn, distinctShinglesFn, simhashFn).foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }

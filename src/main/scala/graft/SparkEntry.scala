@@ -1602,6 +1602,19 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q136_sql_shingles" -> ((s, dir) => {
+      // the shingle KERNEL from SQL text: distinct_shingles() is the
+      // same codegen'd Catalyst expression the Scala DSL plans (q93's
+      // argument extended to the text kernels) — a SQL-first user runs
+      // the dedup preprocessing without touching the DSL.
+      GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_q136")
+      s.sql("""SELECT doc_id,
+        |  size(distinct_shingles(text, 3)) AS n_shingles,
+        |  size(shingles(text, 3)) AS n_positions
+        |FROM documents_q136""".stripMargin)
+    }),
+
     "q132_source_overlap" -> ((s, dir) => {
       // cross-source contamination matrix: |shingles(a) ∩ shingles(b)| /
       // |shingles(a)| for every source pair — q73's decontamination
@@ -2246,6 +2259,21 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q136_sql_shingles" ->
+      """WITH w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(words) = 0 THEN []
+        |             ELSE [array_to_string(words[i:i+2], ' ')
+        |                   FOR i IN generate_series(1, greatest(len(words) - 2, 1))] END AS sh
+        |      FROM w)
+        |SELECT doc_id, CAST(len(list_distinct(sh)) AS INTEGER) AS n_shingles,
+        |  CAST(len(sh) AS INTEGER) AS n_positions
+        |FROM s""".stripMargin,
 
     "q132_source_overlap" ->
       """WITH w AS (SELECT source,

@@ -41,6 +41,28 @@ class VectorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 23.0)
   }
 
+  test("SQL registration: shingle kernels plan the SAME expression as the DSL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "The quick, BROWN fox jumps over the lazy dog"),
+      (2L, "")).toDF("id", "text")
+    df.createOrReplaceTempView("sql_shingle_t")
+    val sql = spark.sql(
+      """SELECT id, shingles(text, 3) AS sh, distinct_shingles(text, 3) AS dsh,
+        |       simhash64(text, 3) AS h FROM sql_shingle_t""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2), r.getLong(3)))
+    val dsl = df.select(col("id"),
+        graft.functions.Shingles.shingles(col("text"), 3).as("sh"),
+        graft.functions.Shingles.shingles(col("text"), 3, distinct = true).as("dsh"),
+        graft.functions.Shingles.simhash(col("text"), 3).as("h"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2), r.getLong(3)))
+    assert(sql.toSeq === dsl.toSeq)
+    // non-literal k must be refused, not silently mis-planned
+    val e = intercept[Exception](spark.sql(
+      "SELECT shingles(text, CAST(id AS INT)) FROM sql_shingle_t").collect())
+    assert(e.getMessage.contains("literal INT"), e.getMessage)
+  }
+
   test("l2_distance known values, null semantics, SQL registration") {
     val df = Seq(
       (Seq(0f, 0f), Seq(3f, 4f)),   // 3-4-5 triangle -> 5
