@@ -1602,6 +1602,16 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q137_neardup_corpus" -> ((s, dir) => {
+      // the one-call near-dup dedup composition: LSH candidates →
+      // transitive groups → keep-best survivor (per-stage parity is
+      // q32/q52/q70; MinHash internals make the composition rows-only,
+      // with the planted-chain CurationSpec pinning semantics).
+      Dedup.nearDupCorpus(Tables.documents(s, dir), col("text"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    }),
+
     "q136_sql_shingles" -> ((s, dir) => {
       // the shingle KERNEL from SQL text: distinct_shingles() is the
       // same codegen'd Catalyst expression the Scala DSL plans (q93's

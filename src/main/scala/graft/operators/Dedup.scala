@@ -446,6 +446,34 @@ object Dedup {
       .filter(col("overlap_ratio") >= minRatio)
   }
 
+  /** One-call near-duplicate corpus dedup — the composition a user
+    * actually runs: MinHash-LSH candidates → transitive groups
+    * (two-tier connected components) → keep the BEST row per group
+    * (highest `quality`, smallest key on ties; the q70 survivor
+    * policy). Rows in no near-dup group pass through untouched.
+    *
+    * Scale shape is the sum of its parts, each independently plan-
+    * gated: map-side codegen signatures + banded equi-join (never a
+    * cross join), O(log d) component rounds (or driver union-find for
+    * post-LSH-sized graphs), rank=1 → WindowGroupLimit for the
+    * survivor. One corpus re-join (on the component label) at the end. */
+  def nearDupCorpus(docs: DataFrame, payload: Column, key: Column,
+                    quality: Column,
+                    shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                    minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidates(docs, payload, key, shingleK, numHashes, bands, minJaccard)
+    val comps = connectedComponents(pairs)
+      .select(col("key").as("__k"), col("component").as("__comp"))
+    val keyed = docs.withColumn("__k", key).withColumn("__q", quality)
+    val labeled = keyed.join(comps, Seq("__k"), "left")
+      .withColumn("__comp", coalesce(col("__comp"), col("__k")))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col("__q").desc, col("__k"))
+    labeled.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__k", "__q", "__comp", "__rk")
+  }
+
   /** Deterministic keep-first dedup over any candidate-pair set: a row is
     * dropped if it appears as `key_b` (the larger key) of any surviving
     * pair — i.e. keep the smallest key of each connected component's

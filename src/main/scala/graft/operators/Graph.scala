@@ -35,18 +35,21 @@ object Graph {
 
   /** Weighted PageRank: `edges` is `(src, dst, w)` with multi-edge counts
     * as weights; a node's mass splits across out-edges in proportion to
-    * `w`. Dangling mass is not redistributed (documented simplification —
-    * ranks then sum to < 1; the standard fix is one extra agg per round).
-    * Returns `(node, rank)` after `iters` damped rounds from a uniform
-    * start. Graphs of ≤ `localEdgeThreshold` edges (with long keys) solve
-    * on the driver with identical arithmetic. */
+    * `w`. With `redistributeDangling` the mass of out-edge-less nodes
+    * spreads uniformly each round (one extra tiny agg — ranks then sum
+    * to 1, the textbook formulation); off by default to match the q112
+    * oracle's simpler unrolling (ranks sum < 1 when dangling nodes
+    * exist). Returns `(node, rank)` after `iters` damped rounds from a
+    * uniform start. Graphs of ≤ `localEdgeThreshold` edges (with long
+    * keys) solve on the driver with identical arithmetic. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               localEdgeThreshold: Long = 1L << 20): DataFrame = {
+               localEdgeThreshold: Long = 1L << 20,
+               redistributeDangling: Boolean = false): DataFrame = {
     val e = Dedup.cacheScoped(edges.select(col("src"), col("dst"), col("w")))
     val localOk = e.schema("src").dataType == LongType &&
       e.schema("dst").dataType == LongType
     if (localOk && e.count() <= localEdgeThreshold)
-      return localPageRank(e, iters, damping)
+      return localPageRank(e, iters, damping, redistributeDangling)
 
     // out-weight per src, joined once: frac = w/wout rides every iteration
     val wout = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
@@ -61,13 +64,28 @@ object Graph {
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), col("n_nodes"), round(lit(1.0) / col("n_nodes"), 9).as("rank"))
+    // dangling node set computed once (nodes with no out-edge)
+    lazy val dangling = Dedup.cacheScoped(
+      nodes.join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
     for (_ <- 1 to iters) {
       val contrib = ranks.join(frac, ranks("node") === frac("src"))
         .select(col("dst"), (col("rank") * col("frac")).cast(DecimalType(27, 12)).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val base =
+        if (!redistributeDangling) (lit(1.0) - lit(damping)) / col("n_nodes")
+        else {
+          // dangling mass this round, exact-decimal summed then spread
+          // uniformly: one tiny agg + broadcast scalar per round
+          val dm = ranks.join(dangling, Seq("node"))
+            .agg(coalesce(sum(col("rank").cast(DecimalType(27, 12))), lit(0).cast(DecimalType(27, 12)))
+              .cast("double").as("dmass"))
+          ranks = ranks.crossJoin(broadcast(dm))
+          (lit(1.0) - lit(damping)) / col("n_nodes") +
+            lit(damping) * col("dmass") / col("n_nodes")
+        }
       ranks = ranks.join(contrib, ranks("node") === contrib("dst"), "left")
         .select(col("node"), col("n_nodes"),
-          round((lit(1.0) - lit(damping)) / col("n_nodes") +
+          round(base +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9).as("rank"))
         .localCheckpoint(true) // truncate lineage: plan depth stays O(1) per round
     }
@@ -82,11 +100,13 @@ object Graph {
     * of the distributed plan (valueOf→setScale(12) mirrors the
     * double→DECIMAL(27,12) cast; exact BigDecimal sums; round9 mirrors
     * `round(_, 9)`), so both tiers hash-match the same oracle. */
-  private def localPageRank(e: DataFrame, iters: Int, damping: Double): DataFrame = {
+  private def localPageRank(e: DataFrame, iters: Int, damping: Double,
+                            redistributeDangling: Boolean): DataFrame = {
     val spark = e.sparkSession
     val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val wout = rows.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
     val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val danglingNodes = nodes.filterNot(wout.contains)
     val n = nodes.length
     var rank: collection.Map[Long, Double] =
       nodes.map(_ -> round9(1.0 / n)).toMap
@@ -98,9 +118,18 @@ object Graph {
           .setScale(12, RoundingMode.HALF_UP)
         sums(d) = sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c)
       }
+      val base =
+        if (!redistributeDangling) (1.0 - damping) / n
+        else {
+          val dmass = danglingNodes
+            .foldLeft(java.math.BigDecimal.ZERO) { (acc, nd) =>
+              acc.add(java.math.BigDecimal.valueOf(rank(nd)).setScale(12, RoundingMode.HALF_UP)) }
+            .doubleValue()
+          (1.0 - damping) / n + damping * dmass / n
+        }
       rank = nodes.map { nd =>
         val s = sums.get(nd).map(_.doubleValue()).getOrElse(0.0)
-        nd -> round9((1.0 - damping) / n + damping * s)
+        nd -> round9(base + damping * s)
       }.toMap
     }
     val out = nodes.map(nd => Row(nd, rank(nd)))

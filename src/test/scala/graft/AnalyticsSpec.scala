@@ -145,6 +145,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(local === dist, s"tier drift:\nlocal=$local\ndist =$dist")
   }
 
+  test("pageRank dangling redistribution conserves mass, both tiers bit-equal") {
+    import graft.operators.Graph
+    // node 9 is dangling (only inbound); without redistribution its mass leaks
+    val g = Seq((0L, 1L, 1L), (1L, 9L, 1L), (2L, 9L, 2L), (9L, 9L, 0L))
+      .filter(_._3 > 0).map(t => (t._1, t._2, t._3))
+      .toDF("src", "dst", "w")
+    val local = Graph.pageRank(g, iters = 5, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.pageRank(g, iters = 5, localEdgeThreshold = 0L,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local === dist, s"tier drift:\nlocal=$local\ndist =$dist")
+    assert(math.abs(local.values.sum - 1.0) < 1e-7,
+      s"redistributed ranks must sum to 1: ${local.values.sum}")
+    val leaky = Graph.pageRank(g, iters = 5).collect().map(_.getDouble(1)).sum
+    assert(leaky < 0.95, s"without redistribution the dangling node leaks mass: $leaky")
+  }
+
   test("z-score flags a planted outlier and nothing near the mean") {
     val vals = Seq.tabulate(200)(i => (i.toLong, "t", 10.0 + (i % 5))) :+ ((999L, "t", 500.0))
     val df = vals.toDF("event_id", "event_type", "value")

@@ -97,6 +97,21 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall { case (nk, ik) => planted.contains(nk) && !planted.contains(ik) })
   }
 
+  test("nearDupCorpus: a planted dup chain collapses to its best row; uniques pass through") {
+    // docs 1,2,3 are a near-dup chain (successive one-word edits chain
+    // 1~2 and 2~3 even if 1~3 miss); 4 is unique. Doc 2 has best quality.
+    val base = Seq.fill(30)("the quick brown fox jumps over the lazy dog again").mkString(" ")
+    val docs = Seq(
+      (1L, base + " tail one", 0.5),
+      (2L, base + " tail two", 0.9),
+      (3L, base + " tail tri", 0.7),
+      (4L, (0 until 120).map(i => s"u${i * 31 % 97}q$i").mkString(" "), 0.1)
+    ).toDF("doc_id", "text", "quality")
+    val out = Dedup.nearDupCorpus(docs, col("text"), col("doc_id"), col("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L, 4L), s"best-of-chain + unique expected, got $out")
+  }
+
   // ------------------------------------------------------ decontamination
 
   test("decontaminate flags docs sharing shingles with the benchmark, exact ratio") {
