@@ -1602,6 +1602,15 @@ object SparkEntry {
           sum(s4.cast("long")).as("n_final"))
     }),
 
+    "q138_audio_windows" -> ((s, dir) => {
+      // audio-window framing over opaque binary payloads (PCM16 mono
+      // stand-in): window 400 / hop 160 samples, trailing partials
+      // dropped — the STFT front-end plumbing, arithmetic like q69 so
+      // the typed mapPartitions explode is oracle-able.
+      val media = Multimodal.withBinaryPayload(Tables.documents(s, dir), "text")
+      Multimodal.sampleAudioWindows(media).toDF()
+    }),
+
     "q137_neardup_corpus" -> ((s, dir) => {
       // the one-call near-dup dedup composition: LSH candidates →
       // transitive groups → keep-best survivor (per-stage parity is
@@ -2269,6 +2278,14 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q138_audio_windows" ->
+      """SELECT doc_id, CAST(g.i AS BIGINT) AS window_no,
+        |  CAST(g.i * 160 AS BIGINT) AS start_sample,
+        |  CAST(g.i * 160 + 400 AS BIGINT) AS end_sample
+        |FROM documents,
+        |  LATERAL unnest(generate_series(0, (octet_length(encode(text)) // 2 - 400) // 160)) AS g(i)
+        |WHERE octet_length(encode(text)) // 2 >= 400""".stripMargin,
 
     "q136_sql_shingles" ->
       """WITH w AS (SELECT doc_id,

@@ -74,6 +74,33 @@ object Multimodal {
       }
   }
 
+  case class AudioWindow(doc_id: Long, window_no: Long,
+                         start_sample: Long, end_sample: Long)
+
+  /** One row per analysis window of each "audio" payload — the
+    * spectrogram-framing plumbing (window/hop in samples over PCM16
+    * mono: n_samples = n_bytes/2), same typed-explode shape as
+    * [[sampleFrameOffsets]] and equally arithmetic → oracle-able
+    * (q138). Trailing partial windows are dropped (STFT convention). */
+  def sampleAudioWindows(df: DataFrame, idCol: String = "doc_id",
+                         mediaCol: String = "media",
+                         windowSamples: Long = 400, hopSamples: Long = 160): Dataset[AudioWindow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val nSamples = if (payload == null) 0L else payload.length.toLong / 2
+          val lastStart = nSamples - windowSamples
+          if (lastStart < 0) Iterator.empty
+          else (0L to lastStart by hopSamples).iterator.zipWithIndex.map {
+            case (st, i) => AudioWindow(id, i.toLong, st, st + windowSamples)
+          }
+        }
+      }
+  }
+
   /** Decode metadata for each media payload — one codec per partition,
     * rows streamed (never materialized per-partition). */
   def decodeMetadata(df: DataFrame, idCol: String = "doc_id",
