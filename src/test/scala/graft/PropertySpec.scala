@@ -143,4 +143,35 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(out === Map(1L -> 1.0, 2L -> 1.0))
   }
+
+  test("classifierScore stays in (0,1); single-feature head bounded by its sigmoid range") {
+    import graft.functions.TextAnalysis
+    val base = samples(texts, 40).filter(_.trim.nonEmpty)
+    val rows = base.toDF("t").select(col("t"),
+      TextAnalysis.classifierScore(col("t"), 1.2, 2.0, 1.5, -3.0, -1.0).as("s"),
+      // appending stopwords raises the (positively-weighted) stopword
+      // ratio features' contribution for fixed other features only when
+      // the text is already stopword-free is NOT guaranteed — so assert
+      // the robust property: scores are probabilities
+      TextAnalysis.classifierScore(col("t"), 0.0, 2.0, 0.0, 0.0, 0.0).as("stopOnly"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 1.0, s"score out of (0,1): $r")
+      // with only the stopword feature active, sigmoid(2*ratio) ∈ [0.5, sigmoid(2)]
+      assert(r.getDouble(2) >= 0.5 - 1e-9 && r.getDouble(2) <= 0.880797078 + 1e-9, s"$r")
+    }
+  }
+
+  test("split assignment is deterministic and lands near 80/10/10 at scale") {
+    val splits = SparkEntry.queries("q109_split_assign")(spark, TestSpark.sf0001)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = splits.values.sum.toDouble
+    assert(math.abs(splits("train") / total - 0.8) < 0.06, splits.toString)
+    assert(math.abs(splits.getOrElse("val", 0L) / total - 0.1) < 0.05, splits.toString)
+    assert(math.abs(splits.getOrElse("test", 0L) / total - 0.1) < 0.05, splits.toString)
+    // determinism: a second evaluation is identical
+    val again = SparkEntry.queries("q109_split_assign")(spark, TestSpark.sf0001)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === splits)
+  }
 }
