@@ -64,4 +64,92 @@ object WebDataset {
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Surgical key deletion (right-to-be-forgotten maintenance): rewrite
+    * ONLY the tars that contain a deleted key, atomically (tmp+rename,
+    * the sink's own swap discipline), leaving every other shard's bytes
+    * untouched; the parquet metadata sidecar is rewritten without the
+    * keys. Returns (tarsRewritten, tarsTotal).
+    *
+    * Scale shape: the deletion set broadcasts (deletion lists are tiny
+    * by nature); a first distributed pass streams entry HEADERS to find
+    * affected tars (no payload read), a second rewrites only those —
+    * cost tracks |affected shards|, not the corpus. */
+  def deleteKeys(spark: SparkSession, dir: String, keys: Set[String],
+                 ext: String = "txt", keyCol: String = "key"): (Int, Int) = {
+    require(keys.nonEmpty, "deleteKeys: empty deletion set")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf.value)
+    val tars = fs.listStatus(base)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tar"))
+      .map(_.getPath.toString).sorted
+    val bKeys = spark.sparkContext.broadcast(keys)
+    val doomed = (n: String) => {
+      val stem = n.substring(0, n.lastIndexOf('.'))
+      n.contains('.') && bKeys.value.contains(stem)
+    }
+    // pass 1: headers only — which tars hold a doomed entry
+    val affected = spark.sparkContext
+      .parallelize(tars.toIndexedSeq, math.max(1, tars.length))
+      .filter { tarPath =>
+        val p = new Path(tarPath)
+        val in = new TarArchiveInputStream(
+          new BufferedInputStream(p.getFileSystem(conf.value).open(p)))
+        try {
+          Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+            .exists(e => !e.isDirectory && e.getName.contains('.') && doomed(e.getName))
+        } finally in.close()
+      }.collect()
+    // pass 2: rewrite only those, excluding doomed entries
+    spark.sparkContext
+      .parallelize(affected.toIndexedSeq, math.max(1, affected.length))
+      .foreach { tarPath =>
+        import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+        val p = new Path(tarPath)
+        val pfs = p.getFileSystem(conf.value)
+        val tmp = new Path(p.getParent, p.getName + ".del_tmp")
+        val in = new TarArchiveInputStream(new BufferedInputStream(pfs.open(p)))
+        val out = new TarArchiveOutputStream(
+          new java.io.BufferedOutputStream(pfs.create(tmp, true)))
+        out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+        try {
+          var e = in.getNextEntry
+          while (e != null) {
+            if (!e.isDirectory && !doomed(e.getName)) {
+              val bytes = in.readAllBytes()
+              val ne = new TarArchiveEntry(e.getName)
+              ne.setSize(bytes.length.toLong)
+              out.putArchiveEntry(ne); out.write(bytes); out.closeArchiveEntry()
+            }
+            e = in.getNextEntry
+          }
+        } finally { in.close(); out.close() }
+        // Hadoop rename refuses an existing destination: retire the live
+        // tar first, swap the rewrite in, then drop the retired copy
+        // (roll back if the swap fails — the shard must never vanish)
+        val old = new Path(p.getParent, p.getName + ".del_old")
+        pfs.delete(old, true)
+        if (!pfs.rename(p, old))
+          throw new java.io.IOException(s"deleteKeys: cannot retire $p")
+        if (!pfs.rename(tmp, p)) {
+          pfs.rename(old, p)
+          throw new java.io.IOException(s"deleteKeys: cannot swap $tmp over $p")
+        }
+        pfs.delete(old, true)
+      }
+    // sidecar rewrite without the keys (tmp dir + swap, never in place)
+    val sidecar = new Path(base, "_metadata.parquet")
+    if (fs.exists(sidecar)) {
+      val tmpSide = new Path(base, "_metadata.parquet.del_tmp")
+      spark.read.parquet(sidecar.toString)
+        .filter(!org.apache.spark.sql.functions.col(keyCol).isin(keys.toSeq: _*))
+        .write.mode("overwrite").parquet(tmpSide.toString)
+      fs.delete(sidecar, true)
+      if (!fs.rename(tmpSide, sidecar))
+        throw new java.io.IOException(s"deleteKeys: cannot swap sidecar")
+    }
+    (affected.length, tars.length)
+  }
 }

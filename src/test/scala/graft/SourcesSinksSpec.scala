@@ -136,6 +136,30 @@ class SinksSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions === 2)
   }
 
+  test("deleteKeys rewrites ONLY affected shards; data and sidecar rows vanish") {
+    val out = tmpDir("wds_del")
+    val df = Seq(
+      ("s0_0000", "keep zero", "en", "s0"),
+      ("s0_0001", "delete me", "de", "s0"),
+      ("s1_0000", "keep one", "fr", "s1"),
+    ).toDF("key", "text", "lang", "shard")
+    Sinks.webdataset(df, out, shardCol = Some("shard"))
+    val untouched = new File(s"$out/s1.tar")
+    val bytesBefore = java.nio.file.Files.readAllBytes(untouched.toPath)
+    val (rewritten, total) = graft.sources.WebDataset.deleteKeys(
+      spark, out, Set("s0_0001"))
+    assert(rewritten === 1 && total === 2)
+    // untouched shard is byte-identical (not rewritten)
+    assert(java.util.Arrays.equals(bytesBefore,
+      java.nio.file.Files.readAllBytes(untouched.toPath)))
+    val back = graft.sources.WebDataset.read(spark, out)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(back === Set("s0_0000", "s1_0000"))
+    val side = spark.read.parquet(s"$out/_metadata.parquet")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(side === Set("s0_0000", "s1_0000"))
+  }
+
   test("compactParquet merges small files atomically and preserves every row") {
     val out = tmpDir("compact")
     val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
