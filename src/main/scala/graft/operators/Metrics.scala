@@ -23,6 +23,19 @@ object Metrics {
     (out, obs)
   }
 
+  /** Streaming twin of [[observed]]: the SAME counters attached to a
+    * streaming frame. `Observation` is batch-only — on a stream the
+    * metrics arrive per micro-batch in
+    * `StreamingQueryProgress.observedMetrics(name)`, so a monitor sums
+    * them across progress events (each row is observed in exactly one
+    * micro-batch; the totals are exact, not sampled). */
+  def observeStream(df: DataFrame, name: String = "graft_stats"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("count"),
+      sum(when(col("status") === "success", 1L).otherwise(0L)).as("successes"),
+      sum(when(col("status") === "failed_to_download", 1L).otherwise(0L)).as("failed_to_download"),
+      sum(when(col("status") === "failed_to_extract", 1L).otherwise(0L)).as("failed_to_extract"))
+
   /** ref `logger.py:162-184` stats dict: counts, ratios, duration, rate. */
   def summary(obs: Observation, wallSec: Double): Map[String, Double] = {
     val row = obs.get

@@ -242,6 +242,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream == batch, s"stream(${stream.size}) != batch(${batch.size})")
   }
 
+  test("observeStream: per-micro-batch observed metrics sum to exact totals") {
+    import org.apache.spark.sql.streaming.Trigger
+    val staging = new File("target/tmp/stream_observe").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(staging))
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    ev.write.mode("overwrite").parquet(staging)
+    val tagged = StreamingOps.eventsStream(spark, staging)
+      .withColumn("status",
+        when(col("value") >= 0.5, "success").otherwise("failed_to_download"))
+    val q = graft.operators.Metrics.observeStream(tagged)
+      .writeStream.format("memory").queryName("spec_observe")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val totals = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_stats")))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = ev.count()
+    val expectedSucc = ev.filter(col("value") >= 0.5).count()
+    assert(totals.map(_._1).sum === expected,
+      s"observed counts must sum to $expected: $totals")
+    assert(totals.map(_._2).sum === expectedSucc)
+    assert(spark.table("spec_observe").count() === expected)
+  }
+
   test("streaming dedupWithinWatermark suppresses duplicate event_ids") {
     // stage the events twice -> the stream replays every event_id twice
     val staging = new File("target/tmp/stream_events_dup").getAbsolutePath
