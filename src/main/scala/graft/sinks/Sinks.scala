@@ -282,14 +282,34 @@ object Sinks {
   def resumeAntiJoin(df: DataFrame, existingOut: String, keyCol: String = "key",
                      format: String = "parquet"): DataFrame = {
     val spark = df.sparkSession
+    val pending = minusTombstones(df, existingOut, keyCol)
     val done = try {
       val prior = format match {
         case "json" => spark.read.json(existingOut)
         case _      => spark.read.parquet(existingOut)
       }
       prior.select(col(keyCol)).distinct()
-    } catch { case _: Exception => return df }
-    df.join(done, Seq(keyCol), "left_anti")
+    } catch { case _: Exception => return pending }
+    pending.join(done, Seq(keyCol), "left_anti")
+  }
+
+  /** Exclude keys tombstoned by `WebDataset.deleteKeys` under `out`:
+    * a right-to-be-forgotten delete must stay deleted — without this,
+    * the next incremental run's anti-join (which consults only sink
+    * CONTENTS) would happily re-fetch the forgotten keys. Tombstone
+    * logs are tiny (deletion lists) → broadcast anti-join. */
+  private def minusTombstones(df: DataFrame, out: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    // `out` may be the sink root (tombstones inside) or a file/sidecar
+    // path under it (tombstones alongside) — honor either location
+    val candidates = Seq(s"$out/_tombstones.parquet",
+      new Path(out).getParent.toString + "/_tombstones.parquet").distinct
+    candidates.foldLeft(df) { (acc, p) =>
+      try {
+        val ts = spark.read.parquet(p).select(col(keyCol)).distinct()
+        acc.join(broadcast(ts), Seq(keyCol), "left_anti")
+      } catch { case _: Exception => acc }
+    }
   }
 
   /** Shard-level resume for the shard-file sinks (webdataset/tfrecord):
@@ -309,8 +329,11 @@ object Sinks {
     * millions of shards — beyond that, keep a parquet manifest of done
     * shards next to the sink and anti-join against it directly. */
   def resumeShards(df: DataFrame, existingOut: String, shard: Column,
-                   ext: String, broadcastLimit: Int = 100000): DataFrame = {
+                   ext: String, broadcastLimit: Int = 100000,
+                   keyCol: String = "key"): DataFrame = {
     val spark = df.sparkSession
+    val df0 = if (df.columns.contains(keyCol))
+      minusTombstones(df, existingOut, keyCol) else df
     val doneNames = try {
       val (fs, base) = fsFor(existingOut, new Configuration(
         spark.sparkContext.hadoopConfiguration))
@@ -321,15 +344,15 @@ object Sinks {
         if (n.endsWith(s".$ext")) buf += n.stripSuffix(s".$ext")
       }
       buf.toSeq
-    } catch { case _: Exception => return df }
-    if (doneNames.isEmpty) return df
+    } catch { case _: Exception => return df0 }
+    if (doneNames.isEmpty) return df0
     import spark.implicits._
     val done =
       if (doneNames.size <= broadcastLimit) broadcast(doneNames.toDF("__done_shard"))
       else spark.sparkContext
         .parallelize(doneNames, math.max(1, doneNames.size / 500000))
         .toDF("__done_shard")
-    df.join(done, shard === col("__done_shard"), "left_anti")
+    df0.join(done, shard === col("__done_shard"), "left_anti")
   }
 
   private def jsonVal(v: Any): String = v match {

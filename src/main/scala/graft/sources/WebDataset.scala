@@ -150,6 +150,13 @@ object WebDataset {
       if (!fs.rename(tmpSide, sidecar))
         throw new java.io.IOException(s"deleteKeys: cannot swap sidecar")
     }
+    // tombstones: a deleted key must STAY deleted — resume's anti-join
+    // consults the sink contents, and a bare delete would make the next
+    // incremental run re-fetch the forgotten key. Append-only log;
+    // graft.Pipeline resume reads it via Sinks.tombstonedKeys.
+    import spark.implicits._
+    keys.toSeq.toDF(keyCol).write.mode("append")
+      .parquet(new Path(base, "_tombstones.parquet").toString)
     (affected.length, tars.length)
   }
 }

@@ -158,6 +158,15 @@ class SinksSpec extends AnyFunSuite {
     val side = spark.read.parquet(s"$out/_metadata.parquet")
       .select("key").collect().map(_.getString(0)).toSet
     assert(side === Set("s0_0000", "s1_0000"))
+    // forgotten stays forgotten: resume must NOT re-process the deleted
+    // key (the tombstone log outranks "not present in sink contents")
+    val manifest = df.drop("text")
+    val viaShards = Sinks.resumeShards(manifest, out, col("shard"), "tar")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(!viaShards.contains("s0_0001"), s"tombstoned key re-surfaced: $viaShards")
+    val viaKeys = Sinks.resumeAntiJoin(manifest, s"$out/_metadata.parquet")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(!viaKeys.contains("s0_0001"), s"tombstoned key re-surfaced: $viaKeys")
   }
 
   test("compactParquet merges small files atomically and preserves every row") {
