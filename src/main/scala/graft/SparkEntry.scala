@@ -1611,6 +1611,56 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q139_bigram_ppl" -> ((s, dir) => {
+      // in-corpus bigram-LM scoring (the CCNet/KenLM perplexity filter
+      // with the LM trained on the corpus itself): p(b|a) add-half
+      // smoothed from exact bigram/unigram counts, per-doc mean log-prob
+      // with the rounded-term + exact-decimal-mean discipline (q91).
+      // Docs scoring far below the corpus mean read as gibberish; far
+      // above as boilerplate. One tokenize pass builds both the model
+      // and the per-doc stream (cached); scoring is a join on the
+      // bigram key.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), col("word"), lead(col("word"), 1).over(w).as("next"))
+        .filter(col("next").isNotNull))
+      val cAB = bi.groupBy(col("word"), col("next")).agg(count(lit(1)).as("c_ab"))
+      val cA = cAB.groupBy(col("word")).agg(sum(col("c_ab")).as("c_a"))
+      val v = cAB.agg(countDistinct(col("next")).as("vocab"))
+      val model = cAB.join(cA, Seq("word")).crossJoin(broadcast(v))
+        .select(col("word"), col("next"),
+          round(log((col("c_ab") + 0.5) /
+            (col("c_a").cast("double") + lit(0.5) * col("vocab"))), 9).as("lp"))
+      bi.join(model, Seq("word", "next"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp").cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 9)
+            .as("mean_logprob"))
+    }),
+
+    "q140_readability" -> ((s, dir) => {
+      // Flesch reading ease from regex-countable proxies: sentences =
+      // [.!?]+ runs (min 1), syllables = vowel groups per word (the
+      // standard approximation). Pure codegen regexp_count arithmetic;
+      // score rounded to 9. The readability gate of classic text
+      // curation stacks.
+      val words = TextAnalysis.wsTokenCount(col("text")).cast("double")
+      val sentences = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+        lit(1)).cast("double")
+      val syllables = greatest(size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))), lit(1)).cast("double")
+      Tables.documents(s, dir)
+        .filter(TextAnalysis.wsTokenCount(col("text")) > 0)
+        .select(col("doc_id"),
+          words.cast("long").as("n_words"),
+          sentences.cast("long").as("n_sentences"),
+          syllables.cast("long").as("n_syllables"),
+          round(lit(206.835) - lit(1.015) * (words / sentences)
+            - lit(84.6) * (syllables / words), 9).as("flesch"))
+    }),
+
     "q137_neardup_corpus" -> ((s, dir) => {
       // the one-call near-dup dedup composition: LSH candidates →
       // transitive groups → keep-best survivor (per-stage parity is
@@ -2278,6 +2328,38 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q139_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS word
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |bi AS (SELECT doc_id, word,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |       FROM tok QUALIFY next IS NOT NULL),
+        |ab AS (SELECT word, next, COUNT(*) AS c_ab FROM bi GROUP BY word, next),
+        |a AS (SELECT word, SUM(c_ab) AS c_a FROM ab GROUP BY word),
+        |v AS (SELECT COUNT(DISTINCT next) AS vocab FROM ab),
+        |m AS (SELECT ab.word, ab.next,
+        |        round(ln((ab.c_ab + 0.5) / (CAST(a.c_a AS DOUBLE) + 0.5 * v.vocab)), 9) AS lp
+        |      FROM ab JOIN a USING (word), v)
+        |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS mean_logprob
+        |FROM bi JOIN m ON bi.word = m.word AND bi.next = m.next
+        |GROUP BY bi.doc_id""".stripMargin,
+
+    "q140_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |  CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |    - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+        |              / len(regexp_extract_all(text, '\S+'))), 9) AS flesch
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\S+')) > 0""".stripMargin,
 
     "q138_audio_windows" ->
       """SELECT doc_id, CAST(g.i AS BIGINT) AS window_no,
