@@ -1611,6 +1611,49 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q141_lexicon_rate" -> ((s, dir) => {
+      // lexicon-driven flagged-term rate (the C4 blocklist-filter shape
+      // with a neutral placeholder lexicon): rate = flagged tokens /
+      // total tokens, gate at 20%. The lexicon broadcasts (word lists
+      // are tiny); the corpus tokenizes once map-side and shuffles only
+      // per-doc counts.
+      import s.implicits._
+      val lexicon = Seq("the", "of", "and", "data").toDF("w")
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val totals = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      val flagged = tok.join(broadcast(lexicon), Seq("w"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+      totals.join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          round(coalesce(col("n_flagged"), lit(0L)).cast("double") / col("n_tokens"), 9)
+            .as("flag_rate"))
+        .withColumn("keep", col("flag_rate") < 0.2)
+    }),
+
+    "q142_snapshot_diff" -> ((s, dir) => {
+      // corpus snapshot diff: added / removed / changed / unchanged
+      // between two versions (yesterday = first 400 docs with every
+      // (doc_id % 100 == 50) doc edited — synthesized deterministically,
+      // the q74 planted-input pattern). Full-outer join on the key,
+      // change detection on content hash; the report every dataset
+      // release pipeline prints.
+      val today = Tables.documents(s, dir).select(col("doc_id"), md5(col("text")).as("h_t"))
+      val yesterday = Tables.documents(s, dir)
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 100 === 50, concat(col("text"), lit(" edited")))
+            .otherwise(col("text"))).as("h_y"))
+      today.join(yesterday, Seq("doc_id"), "full_outer")
+        .select(when(col("h_y").isNull, "added")
+          .when(col("h_t").isNull, "removed")
+          .when(col("h_t") =!= col("h_y"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
     "q139_bigram_ppl" -> ((s, dir) => {
       // in-corpus bigram-LM scoring (the CCNet/KenLM perplexity filter
       // with the LM trained on the corpus itself): p(b|a) add-half
@@ -2328,6 +2371,31 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q141_lexicon_rate" ->
+      """WITH tok AS (SELECT doc_id, w FROM (
+        |        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |      WHERE length(w) > 0),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+        |fl AS (SELECT doc_id, COUNT(*) AS n_flagged FROM tok
+        |       WHERE w IN ('the', 'of', 'and', 'data') GROUP BY doc_id)
+        |SELECT tot.doc_id, n_tokens,
+        |  CAST(coalesce(n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  round(CAST(coalesce(n_flagged, 0) AS DOUBLE) / n_tokens, 9) AS flag_rate,
+        |  round(CAST(coalesce(n_flagged, 0) AS DOUBLE) / n_tokens, 9) < 0.2 AS keep
+        |FROM tot LEFT JOIN fl ON tot.doc_id = fl.doc_id""".stripMargin,
+
+    "q142_snapshot_diff" ->
+      """WITH t AS (SELECT doc_id, md5(text) AS h_t FROM documents),
+        |y AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 100 = 50 THEN text || ' edited' ELSE text END) AS h_y
+        |      FROM documents WHERE doc_id < 400)
+        |SELECT CASE WHEN h_y IS NULL THEN 'added'
+        |            WHEN h_t IS NULL THEN 'removed'
+        |            WHEN h_t != h_y THEN 'changed'
+        |            ELSE 'unchanged' END AS status, COUNT(*) AS n
+        |FROM t FULL OUTER JOIN y USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     "q139_bigram_ppl" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
