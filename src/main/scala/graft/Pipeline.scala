@@ -91,15 +91,18 @@ object Pipeline {
       val mode = if (resume) org.apache.spark.sql.SaveMode.Append
                  else org.apache.spark.sql.SaveMode.Overwrite
       // one output row per PAGE (ref `downloader.py:212`): the per-sample
-      // sinks key on page_key and group files by the document's shard id
-      val sharded = payload.withColumn("__shard",
+      // sinks key on page_key and group files by the document's shard id.
+      // Page-key tombstones (WebDataset.deleteKeys) are honored here: a
+      // shard redone by resume must not resurrect a forgotten page.
+      val payloadT = Sinks.dropTombstoned(payload, s"$out/payload", "page_key")
+      val sharded = payloadT.withColumn("__shard",
         DocPipeline.shardOfKey(col("key"), cfg))
       cfg.outputFormat match {
         // file sizing mirrors the reference's number_sample_per_shard
         // (reader.py:139-146 shard files; here it caps rows per part file)
-        case "parquet"    => Sinks.parquet(payload, s"$out/payload", mode,
+        case "parquet"    => Sinks.parquet(payloadT, s"$out/payload", mode,
           maxRecordsPerFile = cfg.numSamplesPerShard)
-        case "jsonl"      => Sinks.jsonlGz(payload, s"$out/payload", mode,
+        case "jsonl"      => Sinks.jsonlGz(payloadT, s"$out/payload", mode,
           maxRecordsPerFile = cfg.numSamplesPerShard)
         case "files"      => Sinks.files(sharded, s"$out/payload",
           keyCol = "page_key", payloadCol = cfg.encodeFormat, shardCol = Some("__shard"))

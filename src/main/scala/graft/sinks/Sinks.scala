@@ -298,6 +298,11 @@ object Sinks {
     * the next incremental run's anti-join (which consults only sink
     * CONTENTS) would happily re-fetch the forgotten keys. Tombstone
     * logs are tiny (deletion lists) → broadcast anti-join. */
+  /** Pipeline-visible form of the tombstone filter: drop rows whose
+    * `keyCol` was deleted-on-request under `out` (no-op without a log). */
+  private[graft] def dropTombstoned(df: DataFrame, out: String, keyCol: String): DataFrame =
+    minusTombstones(df, out, keyCol)
+
   private def minusTombstones(df: DataFrame, out: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     // `out` may be the sink root (tombstones inside) or a file/sidecar
@@ -306,8 +311,13 @@ object Sinks {
       new Path(out).getParent.toString + "/_tombstones.parquet").distinct
     candidates.foldLeft(df) { (acc, p) =>
       try {
-        val ts = spark.read.parquet(p).select(col(keyCol)).distinct()
-        acc.join(broadcast(ts), Seq(keyCol), "left_anti")
+        // the log's column is whatever deleteKeys was given (usually
+        // "key"); the PROBING column may differ (e.g. page_key at the
+        // pipeline sink boundary) — match by the log's own column
+        val log = spark.read.parquet(p)
+        val logCol = if (log.columns.contains(keyCol)) keyCol else log.columns.head
+        val ts = log.select(col(logCol).as("__ts_key")).distinct()
+        acc.join(broadcast(ts), acc(keyCol) === col("__ts_key"), "left_anti")
       } catch { case _: Exception => acc }
     }
   }

@@ -201,6 +201,49 @@ class PipelineRunSpec extends AnyFunSuite {
     assert(sidecarAfter.count() == 24, "sidecar append must not duplicate redone pages")
   }
 
+  test("lifecycle: run -> deleteKeys -> shard redo keeps the forgotten page forgotten") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10,
+      outputFormat = "webdataset", computeHash = None)
+    val manifest = (0 until 12)
+      .map(i => (f"u$i%02d", "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("url", "body")
+    val fakeFetch = (df: org.apache.spark.sql.DataFrame) => df
+      .join(manifest.select(col("url"), col("body")), Seq("url"))
+      .withColumn("payload", encode(col("body"), "UTF-8")).drop("body")
+      .withColumn("status", lit("success"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val out = new java.io.File("target/tmp/pipeline_lifecycle")
+    org.apache.commons.io.FileUtils.deleteQuietly(out)
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch))
+    val payloadDir = new java.io.File(out, "payload")
+    def entries(name: String): Seq[String] = {
+      val in = new TarArchiveInputStream(
+        new java.io.FileInputStream(new java.io.File(payloadDir, name)))
+      try Iterator.continually(in.getNextEntry).takeWhile(_ != null).map(_.getName).toVector
+      finally in.close()
+    }
+    assert(entries("00000.tar").contains("0000001.txt"))
+    // right-to-be-forgotten: page 0000001 goes away, only shard 00000 rewrites
+    // pipeline sidecars key pages by page_key — the deletion must name it
+    val (rew, tot) = graft.sources.WebDataset.deleteKeys(
+      spark, payloadDir.getAbsolutePath, Set("0000001"), keyCol = "page_key")
+    assert(rew === 1 && tot === 2)
+    assert(!entries("00000.tar").contains("0000001.txt"))
+    // interrupted-shard simulation: the affected shard's tar vanishes and
+    // resume redoes it — the tombstoned page must NOT be resurrected
+    assert(new java.io.File(payloadDir, "00000.tar").delete())
+    Pipeline.run(spark, manifest, cfg, graft.sources.FakePdfDecoder(4),
+      Some(out.getAbsolutePath), fetcher = Some(fakeFetch), resume = true)
+    val redone = entries("00000.tar")
+    assert(redone.nonEmpty && !redone.contains("0000001.txt"),
+      s"tombstoned page resurrected: ${redone.filter(_.endsWith(".txt")).take(6)}")
+    assert(redone.contains("0000000.txt"), "sibling pages of the doc must come back")
+    val side = spark.read.parquet(s"${payloadDir.getAbsolutePath}/_metadata.parquet")
+      .select("page_key").collect().map(_.getString(0)).toSet
+    assert(!side.contains("0000001"), "sidecar must not regain the forgotten page")
+  }
+
   test("runStream: streaming pipeline output equals the batch run (per url+page)") {
     val cfg = PipelineConfig(minWordsPerPage = 1, numSamplesPerShard = 10,
       computeHash = Some("md5"))
