@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Graph, Layout, Multimodal, Profile, RangeJoin, Similarity}
+import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Graph, Layout, Multimodal, Optim, Profile, RangeJoin, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -1611,6 +1611,24 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q143_linreg_gd" -> ((s, dir) => {
+      // model TRAINING as an iterative corpus loop: 3 full-batch
+      // gradient-descent steps of linear least squares (predict quality
+      // from cheap text features). One scan per step; parameters ride
+      // the plan as literals and the only driver traffic is the
+      // k+1-double gradient row per step. Squared-loss gradients are
+      // pure arithmetic (no transcendentals) + exact-decimal reduction
+      // → the whole trajectory is engine-exact and the oracle unrolls
+      // it (the q112 discipline applied to optimization).
+      val wc = TextAnalysis.wsTokenCount(col("text"))
+      Optim.linregGD(
+        Tables.documents(s, dir),
+        features = Seq(least(wc.cast("double") / 100.0, lit(1.0)),
+          TextAnalysis.alphaRatio(col("text"))),
+        y = TextAnalysis.qualityScore(col("text")),
+        iters = 3, lr = 0.5)
+    }),
+
     "q141_lexicon_rate" -> ((s, dir) => {
       // lexicon-driven flagged-term rate (the C4 blocklist-filter shape
       // with a neutral placeholder lexicon): rate = flagged tokens /
@@ -2376,6 +2394,50 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q143_linreg_gd" ->
+      """WITH f AS (SELECT
+        |    least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS x0,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS x1,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      * (CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)) AS y
+        |  FROM documents),
+        |p0 AS (SELECT CAST(0.0 AS DOUBLE) AS cw0, CAST(0.0 AS DOUBLE) AS cw1, CAST(0.0 AS DOUBLE) AS cb),
+        |g1 AS (SELECT
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * x0 AS DECIMAL(27,12))) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * x1 AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) AS DECIMAL(27,12))) AS DOUBLE) AS sb,
+        |    COUNT(*) AS n
+        |  FROM f, p0),
+        |p1 AS (SELECT round(cw0 - 0.5 * (s0 / n), 9) AS cw0,
+        |              round(cw1 - 0.5 * (s1 / n), 9) AS cw1,
+        |              round(cb - 0.5 * (sb / n), 9) AS cb FROM g1, p0),
+        |g2 AS (SELECT
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * x0 AS DECIMAL(27,12))) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * x1 AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) AS DECIMAL(27,12))) AS DOUBLE) AS sb,
+        |    COUNT(*) AS n
+        |  FROM f, p1),
+        |p2 AS (SELECT round(p1.cw0 - 0.5 * (s0 / n), 9) AS cw0,
+        |              round(p1.cw1 - 0.5 * (s1 / n), 9) AS cw1,
+        |              round(p1.cb - 0.5 * (sb / n), 9) AS cb FROM g2, p1),
+        |g3 AS (SELECT
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * x0 AS DECIMAL(27,12))) AS DOUBLE) AS s0,
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * x1 AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) AS DECIMAL(27,12))) AS DOUBLE) AS sb,
+        |    COUNT(*) AS n
+        |  FROM f, p2),
+        |p3 AS (SELECT round(p2.cw0 - 0.5 * (s0 / n), 9) AS cw0,
+        |              round(p2.cw1 - 0.5 * (s1 / n), 9) AS cw1,
+        |              round(p2.cb - 0.5 * (sb / n), 9) AS cb FROM g3, p2)
+        |SELECT COUNT(*) AS n, cw0 AS w0, cw1 AS w1, cb AS b,
+        |  round(CAST(SUM(CAST((cb + x0 * cw0 + x1 * cw1 - y) * (cb + x0 * cw0 + x1 * cw1 - y)
+        |    AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS mse
+        |FROM f, p3 GROUP BY cw0, cw1, cb""".stripMargin,
 
     "q141_lexicon_rate" ->
       """WITH tok AS (SELECT doc_id, w FROM (

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative optimization over corpus-sized frames — the model-TRAINING
+  * loop (k-means q85 is the centroid instance; this is the gradient
+  * instance). [EXT]
+  *
+  * Scale shape: one pass per GD step — parameters ride the plan as
+  * literals (broadcast with the closure, exactly like a real model's
+  * coefficients), per-row gradient contributions are computed map-side
+  * and reduced with the exact-decimal discipline, and the one collected
+  * row per step is the gradient vector itself (k+1 doubles — the
+  * textbook driver loop; at any corpus size the driver traffic is
+  * O(iters × features)).
+  *
+  * Determinism: squared-loss gradients are pure +/× arithmetic over the
+  * input columns (no transcendentals), so per-row contributions are
+  * IEEE-identical in any engine; DECIMAL(27,12) casts + exact sums make
+  * the reduction order-independent, and parameters round to 9 per step
+  * (the q82/q112 discipline) — the whole trajectory is engine-exact.
+  */
+object Optim {
+
+  /** `iters` full-batch gradient-descent steps of linear least squares
+    * `y ≈ w · x + b` from zero initialization. Returns one row:
+    * (w..., b, mse) with mse of the FINAL parameters (round 6 — wide
+    * decimal sums, the q139 conversion-ulp argument). */
+  def linregGD(df: DataFrame, features: Seq[Column], y: Column,
+               iters: Int, lr: Double): DataFrame = {
+    val spark = df.sparkSession
+    val k = features.size
+    val base = df.select((features :+ y).zipWithIndex.map {
+      case (c, i) => c.cast("double").as(if (i == k) "__y" else s"__x$i")
+    }: _*).localCheckpoint(true) // one materialization; every step rescans it
+    def round9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    var w = Array.fill(k)(0.0)
+    var b = 0.0
+    for (_ <- 1 to iters) {
+      val pred = (0 until k).map(i => col(s"__x$i") * lit(w(i))).foldLeft(lit(b): Column)(_ + _)
+      val err = pred - col("__y")
+      val gradCols = (0 until k).map(i =>
+        sum((err * col(s"__x$i")).cast(DecimalType(27, 12))).cast("double").as(s"__g$i")) ++
+        Seq(sum(err.cast(DecimalType(27, 12))).cast("double").as("__gb"),
+          count(lit(1)).as("__n"))
+      val row: Row = base.agg(gradCols.head, gradCols.tail: _*).head()
+      val n = row.getLong(k + 1).toDouble
+      w = Array.tabulate(k)(i => round9(w(i) - lr * (row.getDouble(i) / n)))
+      b = round9(b - lr * (row.getDouble(k) / n))
+    }
+    val predF = (0 until k).map(i => col(s"__x$i") * lit(w(i))).foldLeft(lit(b): Column)(_ + _)
+    val errF = predF - col("__y")
+    val outCols: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        (0 until k).map(i => lit(w(i)).as(s"w$i")) ++
+        Seq(lit(b).as("b"),
+          round(sum((errF * errF).cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 6)
+            .as("mse"))
+    base.agg(outCols.head, outCols.tail: _*)
+  }
+}

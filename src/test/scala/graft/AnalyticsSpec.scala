@@ -163,6 +163,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(leaky < 0.95, s"without redistribution the dangling node leaks mass: $leaky")
   }
 
+  test("linregGD recovers a planted linear relationship and cuts the zero-model loss") {
+    import graft.operators.Optim
+    // y = 2*x + 1 exactly; GD from zero must march toward it and the
+    // final mse must be far below the zero-model's mean(y²)
+    val df = (0 until 200).map(i => (i / 200.0, 2.0 * (i / 200.0) + 1.0)).toDF("x", "y")
+    val r = Optim.linregGD(df, Seq(col("x")), col("y"), iters = 25, lr = 1.0).collect()(0)
+    val (w0, b, mse) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val zeroModel = df.agg(avg(col("y") * col("y"))).collect()(0).getDouble(0)
+    assert(mse < zeroModel / 10, s"GD must cut the zero-model loss 10x: mse=$mse vs $zeroModel")
+    assert(w0 > 0.5 && b > 0.5, s"parameters must move toward (2, 1): w=$w0 b=$b")
+  }
+
   test("z-score flags a planted outlier and nothing near the mean") {
     val vals = Seq.tabulate(200)(i => (i.toLong, "t", 10.0 + (i % 5))) :+ ((999L, "t", 500.0))
     val df = vals.toDF("event_id", "event_type", "value")
