@@ -1611,6 +1611,59 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q144_domain_coherence" -> ((s, dir) => {
+      // domain-coherence outliers: each doc's embedding vs its SOURCE's
+      // mean embedding (q82 centroid machinery per source, exact
+      // decimal means rounded to 9), flag docs whose cosine to their
+      // own domain centroid is lowest — the "does this doc belong to
+      // its domain" signal behind SemDeDup-adjacent curation. Centroids
+      // are per-source (tiny) → broadcast back; cosine is the bit-exact
+      // q35 kernel over the rounded centroid vector.
+      val emb = Tables.embeddings(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id"))
+      val cents = emb
+        .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("source"), col("dim"))
+        .agg(round(sum(col("v").cast("double").cast(DecimalType(27, 12)))
+          .cast("double") / count(lit(1)), 9).as("cv"))
+        .groupBy(col("source"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+        .select(col("source"),
+          transform(col("pairs"), p => p.getField("cv").cast("float")).as("centroid"))
+      val w = Window.partitionBy(col("source")).orderBy(col("cos"), col("vec_id"))
+      emb.join(broadcast(cents), Seq("source"))
+        .withColumn("cos", Vectors.cosine(col("embedding"), col("centroid")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("vec_id"), col("cos"), col("rank"))
+    }),
+
+    "q145_dataset_card" -> ((s, dir) => {
+      // the dataset card: corpus-level release stats in ONE scan of
+      // conditional/exact aggregates — docs, tokens, chars, language
+      // shares, quality quantiles, exact-dup rate. What ships in the
+      // README of a published corpus; every component reuses an
+      // oracle-proven formula (q21/q26/q30/q55 parity).
+      val wc = TextAnalysis.wsTokenCount(col("text"))
+      val q = TextAnalysis.qualityScore(col("text"))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"), wc.as("wc"), q.as("q"),
+          md5(col("text")).as("h"))
+      val dups = d.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("n_exact_dups"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("wc").cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum((col("lang") === "en").cast("long")).as("n_en"),
+        round(percentile(col("q"), lit(0.5)), 9).as("q_median"),
+        round(min(col("q")), 9).as("q_min"),
+        round(max(col("q")), 9).as("q_max"))
+        .crossJoin(dups)
+    }),
+
     "q143_linreg_gd" -> ((s, dir) => {
       // model TRAINING as an iterative corpus loop: 3 full-batch
       // gradient-descent steps of linear least squares (predict quality
@@ -2394,6 +2447,48 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q144_domain_coherence" ->
+      """WITH e AS (SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS emb, d.source
+        |           FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+        |x AS (SELECT source, vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+        |        emb[g.i] AS v, len(emb) AS nd
+        |      FROM e, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i) g),
+        |c AS (SELECT source, dim,
+        |        round(CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 9) AS cv
+        |      FROM x GROUP BY source, dim),
+        |cent AS (SELECT source,
+        |           list(CAST(cv AS REAL) ORDER BY dim) AS centroid
+        |         FROM c GROUP BY source),
+        |s AS (SELECT e.source, e.vec_id,
+        |        list_cosine_similarity(e.emb, CAST(cent.centroid AS DOUBLE[])) AS cos
+        |      FROM e JOIN cent USING (source)),
+        |r AS (SELECT source, vec_id, cos,
+        |        row_number() OVER (PARTITION BY source ORDER BY cos, vec_id) AS rank
+        |      FROM s)
+        |SELECT source, vec_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "q145_dataset_card" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    len(regexp_extract_all(text, '\S+')) AS wc,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      * (CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)) AS q,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dup AS (SELECT CAST(SUM(c - 1) AS BIGINT) AS n_exact_dups
+        |        FROM (SELECT COUNT(*) AS c FROM d GROUP BY h)),
+        |agg AS (SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(wc) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |    round(quantile_cont(q, 0.5), 9) AS q_median,
+        |    round(MIN(q), 9) AS q_min, round(MAX(q), 9) AS q_max
+        |  FROM d)
+        |SELECT * FROM agg, dup""".stripMargin,
 
     "q143_linreg_gd" ->
       """WITH f AS (SELECT
