@@ -1611,6 +1611,70 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q146_skipgram_pmi" -> ((s, dir) => {
+      // word2vec-style windowed co-occurrence PMI (window 3, directed):
+      // q86's adjacent-bigram statistic widened via THREE lead columns
+      // unioned — still no self-join, one tokenize pass. The
+      // co-occurrence matrix embeddings factorize.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      val led = tok.select(col("doc_id"), col("word"),
+        lead(col("word"), 1).over(w).as("n1"),
+        lead(col("word"), 2).over(w).as("n2"),
+        lead(col("word"), 3).over(w).as("n3"))
+      val pairs = (1 to 3).map(i =>
+          led.filter(col(s"n$i").isNotNull)
+            .select(col("word"), col(s"n$i").as("ctx")))
+        .reduce(_ unionAll _)
+      val cAB = Dedup.cacheScoped(
+        pairs.groupBy(col("word"), col("ctx")).agg(count(lit(1)).as("c_ab")))
+      val cA = cAB.groupBy(col("word")).agg(sum(col("c_ab")).as("c_a"))
+      val cB = cAB.groupBy(col("ctx").as("cw")).agg(sum(col("c_ab")).as("c_b"))
+      val n = cAB.agg(sum(col("c_ab")).as("n_pairs"))
+      cAB.join(cA, Seq("word"))
+        .join(cB, cAB("ctx") === cB("cw")).drop("cw")
+        .crossJoin(broadcast(n))
+        .filter(col("c_ab") >= 8)
+        .withColumn("pmi",
+          round(log((col("c_ab") * col("n_pairs")).cast("double") / (col("c_a") * col("c_b"))), 9))
+        .orderBy(desc("pmi"), col("word"), col("ctx"))
+        .limit(50)
+        .select(col("word"), col("ctx"), col("c_ab"), col("pmi"))
+    }),
+
+    "q147_tfidf_pairs" -> ((s, dir) => {
+      // pairwise document similarity over SPARSE tf-idf vectors — the
+      // classic IR shape: vectors live as (doc, term, weight) rows, the
+      // dot product is a JOIN on the shared term (a pair with no common
+      // term never materializes — the sparse analog of LSH blocking),
+      // norms broadcast back, exact-decimal dot reduction. Top-20 pairs.
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val tf = Dedup.cacheScoped(tok.groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf")))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
+      val tfidf = Dedup.cacheScoped(tf.join(dfq, Seq("w")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("w"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("wt")))
+      val norms = tfidf.groupBy(col("doc_id"))
+        .agg(sqrt(sum((col("wt") * col("wt")).cast(DecimalType(27, 12))).cast("double")).as("norm"))
+      val a = tfidf.select(col("w"), col("doc_id").as("doc_a"), col("wt").as("wt_a"))
+      val b = tfidf.select(col("w"), col("doc_id").as("doc_b"), col("wt").as("wt_b"))
+      val dots = a.join(b, Seq("w")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum((col("wt_a") * col("wt_b")).cast(DecimalType(27, 12))).cast("double").as("dot"))
+      dots.join(broadcast(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"))), Seq("doc_a"))
+        .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"))), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("dot") / (col("norm_a") * col("norm_b")), 9).as("cosine"))
+        .orderBy(desc("cosine"), col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     "q144_domain_coherence" -> ((s, dir) => {
       // domain-coherence outliers: each doc's embedding vs its SOURCE's
       // mean embedding (q82 centroid machinery per source, exact
@@ -2447,6 +2511,53 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q146_skipgram_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS word
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |led AS (SELECT doc_id, word,
+        |          lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+        |          lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2,
+        |          lead(word, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS n3
+        |        FROM tok),
+        |pairs AS (SELECT word, n1 AS ctx FROM led WHERE n1 IS NOT NULL
+        |          UNION ALL SELECT word, n2 FROM led WHERE n2 IS NOT NULL
+        |          UNION ALL SELECT word, n3 FROM led WHERE n3 IS NOT NULL),
+        |ab AS (SELECT word, ctx, COUNT(*) AS c_ab FROM pairs GROUP BY word, ctx),
+        |a AS (SELECT word, SUM(c_ab) AS c_a FROM ab GROUP BY word),
+        |b AS (SELECT ctx AS cw, SUM(c_ab) AS c_b FROM ab GROUP BY ctx),
+        |n AS (SELECT SUM(c_ab) AS n_pairs FROM ab)
+        |SELECT ab.word, ab.ctx, ab.c_ab,
+        |  round(ln(CAST(ab.c_ab * n.n_pairs AS DOUBLE) / (a.c_a * b.c_b)), 9) AS pmi
+        |FROM ab JOIN a USING (word) JOIN b ON ab.ctx = b.cw, n
+        |WHERE ab.c_ab >= 8
+        |ORDER BY pmi DESC, ab.word, ab.ctx
+        |LIMIT 50""".stripMargin,
+
+    "q147_tfidf_pairs" ->
+      """WITH tok AS (SELECT doc_id, w FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |      WHERE length(w) > 0),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |ti AS (SELECT doc_id, tf.w,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df.df), 9) AS wt
+        |       FROM tf JOIN df ON tf.w = df.w, nd),
+        |nm AS (SELECT doc_id,
+        |         sqrt(CAST(SUM(CAST(wt * wt AS DECIMAL(27,12))) AS DOUBLE)) AS norm
+        |       FROM ti GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(27,12))) AS DOUBLE) AS dot
+        |         FROM ti a JOIN ti b ON a.w = b.w AND a.doc_id < b.doc_id
+        |         GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  round(dot / (na.norm * nb.norm), 9) AS cosine
+        |FROM dots JOIN nm na ON doc_a = na.doc_id JOIN nm nb ON doc_b = nb.doc_id
+        |ORDER BY cosine DESC, doc_a, doc_b
+        |LIMIT 20""".stripMargin,
 
     "q144_domain_coherence" ->
       """WITH e AS (SELECT em.vec_id, CAST(em.embedding AS DOUBLE[]) AS emb, d.source
