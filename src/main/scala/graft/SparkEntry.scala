@@ -1611,6 +1611,67 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q148_covisitation" -> ((s, dir) => {
+      // session co-visitation matrix (the "users who viewed k also
+      // viewed k'" statistic): gap-sessionize (30 min, the q19/q98
+      // bucketed discipline applied per user), DISTINCT pages per
+      // session, pairs within session via self-join on the session key
+      // — blocking on session bounds the pair blow-up to
+      // Σ |session|², never |corpus|². Top-30 pairs.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+        .withColumn("gap", (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))) >= 1800)
+        .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
+        .withColumn("sid", sum(col("brk")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("sid"), col("page")).distinct()
+      val a = sess.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = sess.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      a.join(b, Seq("user_id", "sid")).filter(col("page_a") < col("page_b"))
+        .groupBy(col("page_a"), col("page_b")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("page_a"), col("page_b"))
+        .limit(30)
+    }),
+
+    "q149_time_decay" -> ((s, dir) => {
+      // time-decayed user activity (freshness-aware scoring): weight =
+      // exp(-age_days/30) from the corpus max ts; per-event weights
+      // rounded to 9 then exact-decimal summed (q91 discipline) so the
+      // order-free reduction is engine-exact. The recency prior of
+      // freshness-aware corpus/feed selection.
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("wgt", round(
+          exp((unix_timestamp(col("ts")) - col("mx")).cast("double") / (30.0 * 86400.0)), 9))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("wgt").cast(DecimalType(18, 9))).cast("double"), 9).as("decayed_score"))
+    }),
+
+    "q150_calibration" -> ((s, dir) => {
+      // classifier calibration report: decile-bucket the q108 scores,
+      // per-bucket mean score vs observed positive rate (lang = 'en' as
+      // the stand-in label) — the model-evaluation query behind every
+      // quality-filter deployment. Floor-bucketing is deterministic
+      // (no ntile ties); one scan + one tiny agg.
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), score.as("score"),
+          (col("lang") === "en").cast("long").as("y"))
+        .withColumn("bucket", least(floor(col("score") * 10), lit(9L)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("score").cast(DecimalType(18, 9))).cast("double") / count(lit(1)), 9)
+            .as("mean_score"),
+          round(sum(col("y")).cast("double") / count(lit(1)), 9).as("pos_rate"))
+    }),
+
     "q146_skipgram_pmi" -> ((s, dir) => {
       // word2vec-style windowed co-occurrence PMI (window 3, directed):
       // q86's adjacent-bigram statistic widened via THREE lead columns
@@ -2511,6 +2572,57 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q148_covisitation" ->
+      s"""$evCte,
+         |pg AS (SELECT user_id, ts, event_id,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page,
+         |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM ev),
+         |l AS (SELECT user_id, ts, event_id, page,
+         |        CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM pg),
+         |sx AS (SELECT user_id, page,
+         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |       FROM l),
+         |d AS (SELECT DISTINCT user_id, sid, page FROM sx),
+         |p AS (SELECT a.page AS page_a, b.page AS page_b, COUNT(*) AS n_sessions
+         |      FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |      GROUP BY a.page, b.page)
+         |SELECT page_a, page_b, CAST(n_sessions AS BIGINT) AS n_sessions FROM p
+         |ORDER BY n_sessions DESC, page_a, page_b LIMIT 30""".stripMargin,
+
+    "q149_time_decay" ->
+      s"""$evCte,
+         |e2 AS (SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM ev),
+         |mx AS (SELECT MAX(sec) AS mx FROM e2)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  round(CAST(SUM(CAST(round(exp(CAST(sec - mx AS DOUBLE) / (30.0 * 86400.0)), 9)
+         |    AS DECIMAL(18,9))) AS DOUBLE), 9) AS decayed_score
+         |FROM e2, mx GROUP BY user_id""".stripMargin,
+
+    "q150_calibration" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |        round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0 + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) AS score
+        |      FROM f),
+        |b AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket, score,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |      FROM z)
+        |SELECT bucket, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(score AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9) AS mean_score,
+        |  round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS pos_rate
+        |FROM b GROUP BY bucket""".stripMargin,
 
     "q146_skipgram_pmi" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
