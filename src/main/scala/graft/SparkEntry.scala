@@ -1611,6 +1611,45 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q151_stream_topk" -> ((s, dir) => {
+      // streaming leaderboard: running page-visit counts under real
+      // micro-batch replay, top-10 in Complete mode (sort+limit is
+      // legal there — the continuously-updated "trending now" surface).
+      // Oracle = the batch count twin.
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val counts = StreamingOps.eventsStream(s, staging)
+          .select(get_json_object(col("props"), "$.k").cast("long").as("page"))
+          .groupBy(col("page")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("page")).limit(10)
+        StreamingOps.runToMemory(s, counts, "q151_stream_topk")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
+    "q152_rate_spikes" -> ((s, dir) => {
+      // operational anomaly detection: per-hour event counts, z-score
+      // against the global hourly mean/variance from exact decimal
+      // sums (q87's discipline applied to the rate series), flag
+      // |z| > 2.5 hours — the pipeline-health query that catches
+      // ingestion spikes and stalls.
+      val hours = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hours.agg(
+        sum(col("n").cast(DecimalType(27, 12))).cast("double").as("s1"),
+        sum((col("n") * col("n")).cast(DecimalType(27, 12))).cast("double").as("s2"),
+        count(lit(1)).as("k"))
+      val mean = col("s1") / col("k")
+      val variance = (col("s2") - col("s1") * col("s1") / col("k")) / (col("k") - 1)
+      hours.crossJoin(broadcast(stats))
+        .withColumn("z", round((col("n") - mean) / sqrt(variance), 9))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("hour"), col("n"), col("z"))
+    }),
+
     "q148_covisitation" -> ((s, dir) => {
       // session co-visitation matrix (the "users who viewed k also
       // viewed k'" statistic): gap-sessionize (30 min, the q19/q98
@@ -2572,6 +2611,23 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q151_stream_topk" ->
+      s"""$evCte,
+         |c AS (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page,
+         |        COUNT(*) AS n
+         |      FROM ev GROUP BY 1)
+         |SELECT page, n FROM c ORDER BY n DESC, page LIMIT 10""".stripMargin,
+
+    "q152_rate_spikes" ->
+      s"""$evCte,
+         |h AS (SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n FROM ev GROUP BY 1),
+         |st AS (SELECT CAST(SUM(CAST(n AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+         |         CAST(SUM(CAST(n * n AS DECIMAL(27,12))) AS DOUBLE) AS s2,
+         |         COUNT(*) AS k FROM h)
+         |SELECT hour, n, round((n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)), 9) AS z
+         |FROM h, st
+         |WHERE abs(round((n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)), 9)) > 2.5""".stripMargin,
 
     "q148_covisitation" ->
       s"""$evCte,
