@@ -1750,14 +1750,25 @@ object SparkEntry {
       // dot product is a JOIN on the shared term (a pair with no common
       // term never materializes — the sparse analog of LSH blocking),
       // norms broadcast back, exact-decimal dot reduction. Top-20 pairs.
+      //
+      // TERMS ARE 3-WORD SHINGLES with a df ≤ N/20 prune, and both
+      // choices are the 100 TB discipline, not a convenience: a
+      // high-df term joins df² candidate pairs, so word terms on this
+      // tiny-vocabulary corpus (31 words, every one in ~every doc)
+      // explode quadratically — measured 160 s at sf0.1 vs 1.5 s with
+      // shingle terms (vocab 27k, max df 25). The prune is the
+      // standard stop-term cut; near-ubiquitous terms carry ~zero idf
+      // weight anyway.
+      val maxDfFrac = 0.05
       val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
+        .select(col("doc_id"),
+          explode(graft.functions.Shingles.shingles(col("text"), 3)).as("w"))
       val tf = Dedup.cacheScoped(tok.groupBy(col("doc_id"), col("w"))
         .agg(count(lit(1)).as("tf")))
       val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
       val tfidf = Dedup.cacheScoped(tf.join(dfq, Seq("w")).crossJoin(broadcast(nDocs))
+        .filter(col("df") <= col("n_docs") * maxDfFrac)
         .select(col("doc_id"), col("w"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("wt")))
       val norms = tfidf.groupBy(col("doc_id"))
@@ -2705,10 +2716,20 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
 
     "q147_tfidf_pairs" ->
-      """WITH tok AS (SELECT doc_id, w FROM (
-        |        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-        |      WHERE length(w) > 0),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+      """WITH wd AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM documents),
+        |tok AS (SELECT doc_id, unnest(
+        |          [array_to_string(words[i:i+2], ' ')
+        |           FOR i IN generate_series(1, greatest(len(words) - 2, 1))]) AS w
+        |        FROM wd WHERE len(words) > 0),
+        |tf0 AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dfp AS (SELECT w, COUNT(*) AS dfc FROM tf0 GROUP BY w),
+        |ndp AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, tf0.w, tf FROM tf0 JOIN dfp ON tf0.w = dfp.w, ndp
+        |       WHERE dfc <= n_docs * 0.05),
         |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         |ti AS (SELECT doc_id, tf.w,
