@@ -1611,6 +1611,25 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q153_skew_report" -> ((s, dir) => {
+      // join-skew diagnostics: per-key frequency stats of the join
+      // column (top-10 hottest keys + their share and the max/avg skew
+      // factor) — the report that decides between plain join, AQE
+      // skewJoin and Skew.adaptiveSalts BEFORE a 100 TB shuffle is
+      // paid. Two tiny aggs over one keyed count.
+      val counts = Dedup.cacheScoped(Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c")))
+      val tot = counts.agg(sum(col("c")).as("total"), count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_c"))
+      counts.crossJoin(broadcast(tot))
+        .orderBy(desc("c"), col("l_partkey"))
+        .limit(10)
+        .select(col("l_partkey"), col("c"),
+          round(col("c").cast("double") / col("total"), 9).as("share"),
+          round(col("max_c") * col("n_keys") / col("total").cast("double"), 9)
+            .as("skew_factor"))
+    }),
+
     "q151_stream_topk" -> ((s, dir) => {
       // streaming leaderboard: running page-visit counts under real
       // micro-batch replay, top-10 in Complete mode (sort+limit is
@@ -2622,6 +2641,14 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q153_skew_report" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT SUM(c) AS total, COUNT(*) AS n_keys, MAX(c) AS max_c FROM c)
+        |SELECT l_partkey, CAST(c AS BIGINT) AS c,
+        |  round(CAST(c AS DOUBLE) / total, 9) AS share,
+        |  round(max_c * n_keys / CAST(total AS DOUBLE), 9) AS skew_factor
+        |FROM c, t ORDER BY c DESC, l_partkey LIMIT 10""".stripMargin,
 
     "q151_stream_topk" ->
       s"""$evCte,
