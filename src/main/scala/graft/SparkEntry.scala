@@ -1611,6 +1611,33 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q154_dedup_provenance" -> ((s, dir) => {
+      // dedup audit trail: for every DROPPED doc, which survivor
+      // absorbed it — (absorbed, survivor) from the q52 component
+      // labels (survivor = component min). The provenance record a
+      // compliant dedup pipeline keeps (why is my page gone → absorbed
+      // by which canonical doc).
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 100), col("text"), col("doc_id"),
+        k = 2, minJaccard = 0.08)
+      Dedup.connectedComponents(pairs)
+        .filter(col("key") =!= col("component"))
+        .select(col("key").as("absorbed"), col("component").as("survivor"))
+    }),
+
+    "q155_quantile_bands" -> ((s, dir) => {
+      // weekly latency-band monitoring: exact p50/p95 of value per
+      // (week, event_type) — q55's exact-percentile anchor applied per
+      // time bucket, the SLO trend surface; q57's sketch is the
+      // unbounded-cardinality tier as ever.
+      Tables.events(s, dir)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("value"), lit(0.5)), 9).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 9).as("p95"))
+    }),
+
     "q153_skew_report" -> ((s, dir) => {
       // join-skew diagnostics: per-key frequency stats of the join
       // column (top-10 hottest keys + their share and the max/avg skew
@@ -2641,6 +2668,39 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q154_dedup_provenance" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(words[i:i+1], ' ')
+        |                        FOR i IN generate_series(1, greatest(len(words) - 1, 1))]) AS sh
+        |       FROM w WHERE len(words) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08),
+        |edges AS (SELECT key_a AS src, key_b AS dst FROM pairs
+        |          UNION SELECT key_b, key_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node),
+        |comp AS (SELECT node AS k, MIN(r) AS component FROM reach GROUP BY node)
+        |SELECT k AS absorbed, component AS survivor FROM comp WHERE k != component""".stripMargin,
+
+    "q155_quantile_bands" ->
+      s"""$evCte
+         |SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+         |  COUNT(*) AS n,
+         |  round(quantile_cont(value, 0.5), 9) AS p50,
+         |  round(quantile_cont(value, 0.95), 9) AS p95
+         |FROM ev GROUP BY 1, 2""".stripMargin,
 
     "q153_skew_report" ->
       """WITH c AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY l_partkey),
