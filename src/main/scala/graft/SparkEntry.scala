@@ -1611,6 +1611,24 @@ object SparkEntry {
       Multimodal.sampleAudioWindows(media).toDF()
     }),
 
+    "q156_pareto_frontier" -> ((s, dir) => {
+      // Pareto frontier (skyline): docs not strictly dominated on
+      // (quality, word count) — multi-objective corpus selection
+      // without a scalarized score. Sweep-line, not an O(n²)
+      // self-join: per-quality-level max wc, EXCLUSIVE prefix max over
+      // levels (two-pass CumSum discipline — no global window), then
+      // one equi-join back; dominated iff some strictly-better-quality
+      // level reached a strictly higher wc.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("wc"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+      val levels = d.groupBy(col("q")).agg(max(col("wc")).as("lvl_max"))
+      val lv = CumSum.withPrefixMax(levels, Seq(col("q").desc), col("lvl_max"), "prior_max")
+      d.join(lv.select(col("q"), col("prior_max")), Seq("q"))
+        .filter(col("prior_max").isNull || col("prior_max") <= col("wc"))
+        .select(col("doc_id"), round(col("q"), 9).as("quality"), col("wc"))
+    }),
+
     "q154_dedup_provenance" -> ((s, dir) => {
       // dedup audit trail: for every DROPPED doc, which survivor
       // absorbed it — (absorbed, survivor) from the q52 component
@@ -2668,6 +2686,19 @@ object SparkEntry {
          |FROM ev JOIN customer ON ev.user_id = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q156_pareto_frontier" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS wc,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |      * (CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |      * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0)) AS q
+        |  FROM documents)
+        |SELECT a.doc_id, round(a.q, 9) AS quality, CAST(a.wc AS INTEGER) AS wc
+        |FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b WHERE b.q > a.q AND b.wc > a.wc)""".stripMargin,
 
     "q154_dedup_provenance" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),

@@ -44,6 +44,44 @@ object CumSum {
       .drop("__pid", "__offset", "__w")
   }
 
+  /** Exclusive prefix MAXIMUM over a total order — the same two-pass
+    * discipline generalized from sums to max (max is associative and
+    * commutative, so per-partition maxima + a driver prefix over the
+    * partition maxima compose exactly). `outCol` holds the max of
+    * `value` over all rows STRICTLY BEFORE the row in `order` (null for
+    * the global first row) — the primitive behind sweep-line operators
+    * like the Pareto frontier, where a row must compare against
+    * everything ranked above it without a global window. */
+  def withPrefixMax(df: DataFrame, order: Seq[Column], value: Column,
+                    outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__v", value.cast("double"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val maxes = sorted.groupBy(col("__pid")).agg(max(col("__v")).as("__m"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+      .sortBy(_._1)
+    // prefix max of PRECEDING partitions (null before the first)
+    var acc = Double.NaN
+    val offsets = maxes.map { case (pid, m) =>
+      val row = (pid, acc)
+      if (acc.isNaN || (!m.isNaN && m > acc)) acc = if (m.isNaN) acc else m
+      row
+    }
+    val offsetsDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__prior")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted.join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__local", max(col("__v")).over(w))
+      .withColumn(outCol, greatest(
+        when(isnan(col("__prior")), lit(null).cast("double")).otherwise(col("__prior")),
+        col("__local")))
+      .drop("__pid", "__prior", "__local", "__v")
+  }
+
   /** Keep rows (in `order`) while the running `weight` total stays within
     * `budget` — inclusive: a row is kept if the total UP TO AND INCLUDING
     * it fits. */

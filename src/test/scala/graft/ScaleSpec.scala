@@ -181,6 +181,30 @@ class CumSumSpec extends AnyFunSuite {
     } finally { prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) } }
   }
 
+  test("two-pass exclusive prefix max equals the global window, under partial range sampling") {
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10")
+    try {
+      val n = 20000
+      val df = spark.range(0, n).select(
+        concat(lit("k"), format_string("%07d", xxhash64(col("id")) % 10000000L),
+          format_string("%05d", col("id"))).as("k"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(1000L)).cast("double") / 7.0).as("v"))
+        .repartition(11)
+      val got = CumSum.withPrefixMax(df, Seq(col("k")), col("v"), "pm")
+        .select("k", "pm").collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      val want = df.withColumn("pm",
+          max(col("v")).over(W.orderBy(col("k"))
+            .rowsBetween(W.unboundedPreceding, -1)))
+        .select("k", "pm").collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+      assert(got.size == n && got == want,
+        "two-pass prefix max must reproduce max() over (order by rows to -1) exactly")
+    } finally { prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) } }
+  }
+
   test("budgetTake keeps exactly the prefix that fits") {
     val df = Seq(("a", 5L), ("b", 7L), ("c", 4L), ("d", 10L)).toDF("k", "w")
     val kept = CumSum.budgetTake(df, Seq(col("k")), col("w"), budget = 16L)
