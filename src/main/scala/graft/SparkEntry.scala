@@ -1671,7 +1671,11 @@ object SparkEntry {
         .limit(10)
         .select(col("l_partkey"), col("c"),
           round(col("c").cast("double") / col("total"), 9).as("share"),
-          round(col("max_c") * col("n_keys") / col("total").cast("double"), 9)
+          // cast BEFORE multiplying: max_c * n_keys in long arithmetic
+          // overflows at production cardinalities (Spark wraps silently,
+          // DuckDB raises — both wrong); double * double does not
+          round(col("max_c").cast("double") * col("n_keys").cast("double")
+              / col("total").cast("double"), 9)
             .as("skew_factor"))
     }),
 
@@ -1729,8 +1733,7 @@ object SparkEntry {
           unix_timestamp(lag(col("ts"), 1).over(w))) >= 1800)
         .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
         .withColumn("sid", sum(col("brk")).over(
-          Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("sid"), col("page")).distinct()
       val a = sess.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = sess.select(col("user_id"), col("sid"), col("page").as("page_b"))
@@ -1819,10 +1822,10 @@ object SparkEntry {
       // choices are the 100 TB discipline, not a convenience: a
       // high-df term joins df² candidate pairs, so word terms on this
       // tiny-vocabulary corpus (31 words, every one in ~every doc)
-      // explode quadratically — measured 160 s at sf0.1 vs 1.5 s with
-      // shingle terms (vocab 27k, max df 25). The prune is the
-      // standard stop-term cut; near-ubiquitous terms carry ~zero idf
-      // weight anyway.
+      // explode quadratically — measured 160 s at sf0.1 vs 2.5 s with
+      // shingle terms (vocab 27k, max df 25; SCALE.md "q147"). The
+      // prune is the standard stop-term cut; near-ubiquitous terms
+      // carry ~zero idf weight anyway.
       val maxDfFrac = 0.05
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -2352,23 +2355,32 @@ object SparkEntry {
     }),
 
     "q115_cms_heavy_hitters" -> ((s, dir) => {
-      // approximate heavy hitters — q46's 100 TB tier: term frequencies
-      // from ONE fixed-size (32 KB) mergeable count-min sketch instead
-      // of a corpus-sized word→count shuffle. The sketch is a custom
-      // typed Aggregator (SURVEY §2.8); estimates are deterministic
-      // despite approximation (exact integer counters, commutative
-      // merge — partitioning-invariant), est ≥ true always. Probes are
-      // the exact top-20 (the q46 oracle anchor); rows-only + the
-      // SketchSpec accuracy/invariance bounds (q41/q57 discipline).
-      val words = Tables.documents(s, dir)
+      // EXACT heavy hitters through a count-min prefilter — q46's
+      // 100 TB tier, and (since round 7) a full oracle row via the
+      // sketch's ONE-SIDED error bound: CMS never undercounts
+      // (est ≥ true always — exact integer counters, commutative
+      // merge), so "CMS estimate ≥ T" is a guaranteed superset of the
+      // true ≥T set. Pass 1 reduces the corpus into one fixed-size
+      // (32 KB) mergeable sketch; pass 2 probes the broadcast sketch
+      // per row MAP-SIDE and drops every row of a non-candidate word
+      // BEFORE the shuffle — the exact count then aggregates only
+      // candidate-word rows (a sliver of the corpus), and the final
+      // HAVING n ≥ T removes the sketch's false positives. Output is
+      // bit-identical to the one-shuffle exact plan the oracle runs;
+      // the sketch machinery itself keeps its SketchSpec bounds.
+      val words = Dedup.cacheScoped(Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-      val sketch = words.agg(graft.functions.Sketch.cms(col("word")).as("sk"))
-      val top = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
-        .orderBy(desc("n_exact"), col("word")).limit(20)
-      top.crossJoin(broadcast(sketch))
-        .select(col("word"), col("n_exact"),
-          graft.functions.Sketch.estimateCol(col("sk"), col("word")).as("n_est"))
+        .filter(length(col("word")) > 0))
+      val sketch = words.agg(
+        graft.functions.Sketch.cms(col("word")).as("sk"),
+        count(lit(1)).as("total"))
+      words.crossJoin(broadcast(sketch))
+        .withColumn("thresh", (col("total").cast("double") * 0.002).cast("long"))
+        .filter(graft.functions.Sketch.estimateCol(col("sk"), col("word")) >= col("thresh"))
+        .groupBy(col("word"), col("thresh")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= col("thresh"))
+        .select(col("word"), col("n"))
+        .orderBy(desc("n"), col("word"))
     }),
 
     "q116_embed_quantize" -> ((s, dir) => {
@@ -2738,7 +2750,7 @@ object SparkEntry {
         |t AS (SELECT SUM(c) AS total, COUNT(*) AS n_keys, MAX(c) AS max_c FROM c)
         |SELECT l_partkey, CAST(c AS BIGINT) AS c,
         |  round(CAST(c AS DOUBLE) / total, 9) AS share,
-        |  round(max_c * n_keys / CAST(total AS DOUBLE), 9) AS skew_factor
+        |  round(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE), 9) AS skew_factor
         |FROM c, t ORDER BY c DESC, l_partkey LIMIT 10""".stripMargin,
 
     "q151_stream_topk" ->
@@ -3267,6 +3279,18 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN wc >= 10 AND q >= 0.05 AND pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_free,
         |  CAST(SUM(CASE WHEN wc >= 10 AND q >= 0.05 AND pii = 0 AND alpha >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
         |FROM g GROUP BY source""".stripMargin,
+
+    // exact heavy hitters (the CMS prefilter is transparent to results:
+    // est ≥ true means no true hitter is dropped, the HAVING removes
+    // false candidates). FLOOR mirrors Spark's double→long truncation.
+    "q115_cms_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |w2 AS (SELECT word FROM w WHERE length(word) > 0),
+        |t AS (SELECT CAST(FLOOR(COUNT(*) * 0.002) AS BIGINT) AS thresh FROM w2)
+        |SELECT word, COUNT(*) AS n FROM w2, t
+        |GROUP BY word, thresh HAVING COUNT(*) >= thresh
+        |ORDER BY n DESC, word""".stripMargin,
 
     "q116_embed_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

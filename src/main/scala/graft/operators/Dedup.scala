@@ -51,17 +51,21 @@ object Dedup {
 
   /** Exact dedup on raw content: keep the row with the smallest key per
     * identical payload. Equivalent plan to `dropDuplicates` but with a
-    * deterministic survivor, which `dropDuplicates` does not guarantee. */
+    * deterministic survivor, which `dropDuplicates` does not guarantee.
+    *
+    * One content shuffle (the [[lineDedup]] shape): the whole row rides
+    * a `min(struct(key, row))` aggregate keyed on the payload hash —
+    * struct comparison is lexicographic, so leading with `key` selects
+    * the smallest-key row and partial aggregation combines duplicate
+    * groups map-side before the shuffle. The former
+    * groupBy + semi-join-back formulation shuffled the corpus twice. */
   def exact(df: DataFrame, payload: Column, key: Column): DataFrame = {
-    val hashed = df.withColumn("__h", md5(payload))
-    // survivors must re-alias __h: joining a DataFrame with its own
-    // aggregation otherwise resolves both join sides to the same
-    // attribute (trivially-true predicate).
-    val survivors = hashed.groupBy(col("__h")).agg(min(key).as("__keep"))
-      .withColumnRenamed("__h", "__h2")
-    hashed.join(survivors,
-        col("__h") === col("__h2") && key === col("__keep"), "left_semi")
-      .drop("__h")
+    val fields = df.columns
+    val packed = struct(
+      key.as("__k") +: fields.map(c => col(c).as(s"__f_$c")): _*)
+    df.groupBy(md5(payload).as("__h"))
+      .agg(min(packed).as("__s"))
+      .select(fields.map(c => col(s"__s.__f_$c").as(c)): _*)
   }
 
   /** Groups of exact duplicates (size > 1) — the audit view. */

@@ -39,7 +39,13 @@ object Skew {
     * chunks. A uniform table yields 1 — i.e. ZERO dim replication when
     * there is no skew; a fixed `salts = 8` pays 8× dim traffic always.
     * The estimate only tunes parallelism: an off-by-2× sample error
-    * changes task sizing, never join results. */
+    * changes task sizing, never join results.
+    *
+    * Caveat (and why [[saltsFromCounts]] exists): a rare-but-hot key —
+    * say 0.5% of all rows — can draw zero sample rows at a 1% fraction
+    * and yield 1 salt; AQE skew-join backstops the miss at runtime.
+    * When an exact per-key counts frame already exists (the q153 skew
+    * report computes one), derive salts from it instead of re-sampling. */
   def adaptiveSalts(skewed: DataFrame, key: String,
                     targetRowsPerSalt: Long = 1000000L,
                     sampleFraction: Double = 0.01,
@@ -52,6 +58,20 @@ object Skew {
       else math.round(top.getLong(0) / sampleFraction)
     math.max(1, math.min(maxSalts,
       math.ceil(estMax.toDouble / targetRowsPerSalt).toInt))
+  }
+
+  /** Exact tier of [[adaptiveSalts]]: size salts from an ALREADY-COMPUTED
+    * per-key counts frame (e.g. the skew-report output, or the partial
+    * aggregate a surrounding pipeline materialized anyway) — no sampling
+    * error, no extra scan of the fact table. The counts frame is
+    * key-cardinality-sized, and only its max is reduced to the driver. */
+  def saltsFromCounts(keyCounts: DataFrame, countCol: String,
+                      targetRowsPerSalt: Long = 1000000L,
+                      maxSalts: Int = 64): Int = {
+    val top = keyCounts.agg(max(col(countCol).cast("long")).as("__m")).head()
+    val exactMax = if (top.isNullAt(0)) 0L else top.getLong(0)
+    math.max(1, math.min(maxSalts,
+      math.ceil(exactMax.toDouble / targetRowsPerSalt).toInt))
   }
 
   /** [[saltedJoin]] with [[adaptiveSalts]]: one cheap sampled counts job

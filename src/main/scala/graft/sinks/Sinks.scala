@@ -57,10 +57,15 @@ object Sinks {
     * streaming writes) accrete files far below the scan-efficient size,
     * and at 100 TB footer/open overhead dominates reads long before data
     * does. Rewrites a parquet directory into ≈`targetFileBytes` files
-    * (count derived from the measured input size) and swaps it in
-    * atomically: write to a sibling tmp dir, rename old→trash→tmp→live,
-    * so a concurrent reader sees either the old or the new layout, never
-    * a partial one. Returns (filesBefore, filesAfter). */
+    * (count derived from the measured input size) and swaps it in via
+    * write-to-sibling-tmp + rename old→trash→tmp→live. The swap is
+    * atomic against PARTIAL layouts (a reader never sees a half-written
+    * mix of old and new files) but NOT against concurrent reads: between
+    * the two renames the live path briefly does not exist, and rename
+    * itself is copy-based on object stores — run compaction in a
+    * maintenance window (single writer, no concurrent readers), or point
+    * readers at a manifest/versioned directory that flips after the
+    * swap. Returns (filesBefore, filesAfter). */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val conf = spark.sessionState.newHadoopConf()
@@ -309,8 +314,15 @@ object Sinks {
     // path under it (tombstones alongside) — honor either location
     val candidates = Seq(s"$out/_tombstones.parquet",
       new Path(out).getParent.toString + "/_tombstones.parquet").distinct
+    // "no tombstone log" is the ONLY condition that may skip the filter:
+    // probe existence explicitly instead of catching read errors — a
+    // transient FS fault or corrupt log must FAIL the run, not silently
+    // fail-open and let resume re-fetch forgotten keys.
+    val hConf = spark.sessionState.newHadoopConf()
     candidates.foldLeft(df) { (acc, p) =>
-      try {
+      val path = new Path(p)
+      if (!path.getFileSystem(hConf).exists(path)) acc
+      else {
         // the log's column is whatever deleteKeys was given (usually
         // "key"); the PROBING column may differ (e.g. page_key at the
         // pipeline sink boundary) — match by the log's own column
@@ -318,7 +330,7 @@ object Sinks {
         val logCol = if (log.columns.contains(keyCol)) keyCol else log.columns.head
         val ts = log.select(col(logCol).as("__ts_key")).distinct()
         acc.join(broadcast(ts), acc(keyCol) === col("__ts_key"), "left_anti")
-      } catch { case _: Exception => acc }
+      }
     }
   }
 

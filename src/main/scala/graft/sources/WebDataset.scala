@@ -15,10 +15,11 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: one task per tar (read parallelism = shard count = write
   * parallelism, the tfrecord DSv2 argument), each streamed through
-  * commons-compress — a shard is read start-to-finish with O(entry)
-  * memory, never materialized whole. Entry pairs are written
-  * consecutively by the sink, but the reader tolerates any order within
-  * a tar by keying on the entry stem. */
+  * commons-compress — rows are emitted as each (payload, meta) pair
+  * completes, so buffering is O(unmatched stems): one entry for
+  * sink-written tars (pairs are consecutive), bounded by the genuinely
+  * unpaired stems for foreign tars — never the whole shard. The reader
+  * tolerates any entry order within a tar by keying on the stem. */
 object WebDataset {
 
   val schema: StructType = StructType(Seq(
@@ -42,24 +43,60 @@ object WebDataset {
         val shard = p.getName.stripSuffix(".tar")
         val in = new TarArchiveInputStream(
           new BufferedInputStream(p.getFileSystem(conf.value).open(p)))
-        val payloads = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
-        val metas = collection.mutable.HashMap.empty[String, String]
-        try {
-          var e = in.getNextEntry
-          while (e != null) {
-            if (!e.isDirectory) {
-              val n = e.getName
-              val bytes = in.readAllBytes()
-              if (n.endsWith(".json"))
-                metas(n.stripSuffix(".json")) = new String(bytes, StandardCharsets.UTF_8)
-              else if (n.endsWith(s".$ext"))
-                payloads(n.stripSuffix(s".$ext")) = bytes
+        // the iterator below may not be drained on task failure — tie the
+        // stream's lifetime to the task, not the iterator
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        // emit a row the moment an entry's (payload, meta) pair is
+        // complete — the sink writes pairs consecutively, so steady-state
+        // buffering is ONE unmatched stem, not the whole shard. Only
+        // genuinely unpaired stems stay buffered; payloads still
+        // unmatched at EOF emit with null meta (orphan metas drop).
+        new Iterator[Row] {
+          private val orphanPayloads = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
+          private val orphanMetas = collection.mutable.HashMap.empty[String, String]
+          private var drain: Iterator[Row] = null
+          private var queued: Row = fetch()
+
+          private def fetch(): Row = {
+            var out: Row = null
+            var done = false
+            while (!done) {
+              if (drain != null) {
+                if (drain.hasNext) out = drain.next()
+                done = true
+              } else {
+                val e = in.getNextEntry
+                if (e == null) {
+                  in.close()
+                  drain = orphanPayloads.iterator.map { case (k, b) => Row(k, b, null, shard) }
+                } else if (!e.isDirectory) {
+                  val n = e.getName
+                  if (n.endsWith(".json")) {
+                    val k = n.stripSuffix(".json")
+                    val m = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                    orphanPayloads.remove(k) match {
+                      case Some(b) => out = Row(k, b, m, shard); done = true
+                      case None    => orphanMetas(k) = m
+                    }
+                  } else if (n.endsWith(s".$ext")) {
+                    val k = n.stripSuffix(s".$ext")
+                    val b = in.readAllBytes()
+                    orphanMetas.remove(k) match {
+                      case Some(m) => out = Row(k, b, m, shard); done = true
+                      case None    => orphanPayloads(k) = b
+                    }
+                  }
+                }
+              }
             }
-            e = in.getNextEntry
+            out
           }
-        } finally in.close()
-        payloads.iterator.map { case (k, bytes) =>
-          Row(k, bytes, metas.getOrElse(k, null), shard)
+
+          override def hasNext: Boolean = queued != null
+          override def next(): Row = {
+            val r = queued; queued = fetch(); r
+          }
         }
       }
     spark.createDataFrame(rdd, schema)
@@ -86,9 +123,11 @@ object WebDataset {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".tar"))
       .map(_.getPath.toString).sorted
     val bKeys = spark.sparkContext.broadcast(keys)
+    // self-guarding: a dotless entry name (foreign tar member) has no
+    // stem and is never doomed — both passes call this unguarded
     val doomed = (n: String) => {
-      val stem = n.substring(0, n.lastIndexOf('.'))
-      n.contains('.') && bKeys.value.contains(stem)
+      val dot = n.lastIndexOf('.')
+      dot >= 0 && bKeys.value.contains(n.substring(0, dot))
     }
     // pass 1: headers only — which tars hold a doomed entry
     val affected = spark.sparkContext

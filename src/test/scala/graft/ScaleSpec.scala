@@ -62,6 +62,19 @@ class SkewSpec extends AnyFunSuite {
     assert(adaptive == plain)
   }
 
+  test("saltsFromCounts: exact counts catch the rare-hot key a sample can miss") {
+    // exact tier from an already-computed counts frame (the skew-report
+    // shape): hottest key 9000 rows / 1000-row target → 9 salts, no
+    // sampling error possible
+    val counts = skewed.groupBy("key").agg(count(lit(1)).as("n"))
+    val salts = Skew.saltsFromCounts(counts, "n", targetRowsPerSalt = 1000L)
+    assert(salts === 9, s"exact max 9000 / 1000 target must give 9, got $salts")
+    // empty counts frame degrades to 1 (no replication), not a crash
+    val none = Skew.saltsFromCounts(counts.filter(col("n") < 0), "n",
+      targetRowsPerSalt = 1000L)
+    assert(none === 1)
+  }
+
   test("salt is deterministic across evaluations (retry safety)") {
     val a = skewed.select(col("row_id"), Skew.saltColumn(col("row_id"), 8).as("s"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

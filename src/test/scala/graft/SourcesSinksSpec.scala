@@ -169,6 +169,55 @@ class SinksSpec extends AnyFunSuite {
     assert(!viaKeys.contains("s0_0001"), s"tombstoned key re-surfaced: $viaKeys")
   }
 
+  test("deleteKeys tolerates dotless foreign tar members (no stem, never doomed)") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = tmpDir("wds_dotless")
+    new File(out).mkdirs()
+    val tar = new File(out, "s0.tar")
+    val os = new TarArchiveOutputStream(new java.io.FileOutputStream(tar))
+    def put(name: String, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      val e = new TarArchiveEntry(name); e.setSize(b.length.toLong)
+      os.putArchiveEntry(e); os.write(b); os.closeArchiveEntry()
+    }
+    // a dotless member (e.g. a MANIFEST a foreign tool added) rides along
+    put("MANIFEST", "foreign member")
+    put("k0.txt", "delete me"); put("k0.json", "{}")
+    put("k1.txt", "keep"); put("k1.json", "{}")
+    os.close()
+    val (rewritten, total) = graft.sources.WebDataset.deleteKeys(spark, out, Set("k0"))
+    assert(rewritten === 1 && total === 1)
+    val back = graft.sources.WebDataset.read(spark, out)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(back === Set("k1"))
+    // the dotless member survived the rewrite
+    val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.io.FileInputStream(tar))
+    val names = Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+      .map(_.getName).toSet
+    in.close()
+    assert(names === Set("MANIFEST", "k1.txt", "k1.json"))
+  }
+
+  test("tombstone filter fails closed: a corrupt log errors, never fail-open") {
+    val out = tmpDir("tombstone_corrupt")
+    new File(out).mkdirs()
+    // resume consults the tombstone log; garbage bytes must ERROR the
+    // run (fail-open would re-fetch forgotten keys — a compliance leak)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_tombstones.parquet"),
+      "not a parquet file".getBytes(StandardCharsets.UTF_8))
+    val df = Seq(("k1", "v")).toDF("key", "text")
+    val ex = intercept[Exception] {
+      Sinks.dropTombstoned(df, out, "key").collect()
+    }
+    assert(!ex.isInstanceOf[java.io.FileNotFoundException])
+    // and an absent log is still a clean no-op
+    val clean = tmpDir("tombstone_none")
+    new File(clean).mkdirs()
+    assert(Sinks.dropTombstoned(df, clean, "key").count() === 1L)
+  }
+
   test("compactParquet merges small files atomically and preserves every row") {
     val out = tmpDir("compact")
     val df = spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
