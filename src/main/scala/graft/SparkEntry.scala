@@ -49,6 +49,39 @@ object SparkEntry {
   private val evCte =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
+  /** Distinct (user_id, sid, page) visited-page sessions (30-min gap
+    * break) — the blocking frame shared by co-visitation (q148) and
+    * triangle counting (q162). Per-user windows only, never global. */
+  private def sessionPages(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"))
+      .withColumn("gap", (unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(w))) >= 1800)
+      .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("page")).distinct()
+  }
+
+  /** DuckDB twin of [[sessionPages]] — ends with CTE `d` (distinct
+    * (user_id, sid, page)); shared by the q148 and q162 oracles. */
+  private lazy val sessionPagesCte: String =
+    s"""$evCte,
+       |pg AS (SELECT user_id, ts, event_id,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page,
+       |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM ev),
+       |l AS (SELECT user_id, ts, event_id, page,
+       |        CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+       |             THEN 1 ELSE 0 END AS brk
+       |      FROM pg),
+       |sx AS (SELECT user_id, page,
+       |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |       FROM l),
+       |d AS (SELECT DISTINCT user_id, sid, page FROM sx)""".stripMargin
+
   /** Gap-session oracle (DuckDB has no session_window: break-flag +
     * running-sum formulation) — shared by batch q19 and streaming q78,
     * which must produce identical sessions. */
@@ -1725,16 +1758,7 @@ object SparkEntry {
       // session, pairs within session via self-join on the session key
       // — blocking on session bounds the pair blow-up to
       // Σ |session|², never |corpus|². Top-30 pairs.
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val sess = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("page"))
-        .withColumn("gap", (unix_timestamp(col("ts")) -
-          unix_timestamp(lag(col("ts"), 1).over(w))) >= 1800)
-        .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
-        .withColumn("sid", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("user_id"), col("sid"), col("page")).distinct()
+      val sess = sessionPages(s, dir)
       val a = sess.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = sess.select(col("user_id"), col("sid"), col("page").as("page_b"))
       a.join(b, Seq("user_id", "sid")).filter(col("page_a") < col("page_b"))
@@ -2445,6 +2469,201 @@ object SparkEntry {
       val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
       DocPipeline.channels(tagged)._2
     }),
+
+    // ----------------------------------------------- round 7: new surface
+    "q157_substr_fingerprints" -> ((s, dir) => {
+      // exact substring duplication across docs (the Lee et al.
+      // exact-substr dedup discipline in fingerprint form): every char
+      // 40-gram, MOD-p selected by the gram's OWN md5 (content-defined,
+      // so alignment-invariant — a positional stride would miss spans at
+      // shifted offsets), distinct per doc, df-pruned, equi-joined on
+      // the gram. Same shape as MinHash banding: candidate pairs only
+      // materialize through a bucket equi-join, never an all-pairs scan;
+      // df ≤ 20 is q147's stop-term cut applied to boilerplate grams.
+      // explode positions FIRST, then gram + md5 + select as flat
+      // codegen expressions: a transform/filter HOF pipeline evaluates
+      // interpreted and allocates a ~|text| string array per row
+      // (measured 4.4 s vs 1.7 s at sf0.1). The distinct shuffles only
+      // the MOD-p survivors, and those rows shuffle again right after
+      // for the df-prune anyway.
+      val k = 40
+      val gram = expr(s"substring(text, pos, $k)")
+      val grams = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))))
+            .as("pos"))
+        .select(col("doc_id"), gram.as("gram"))
+        .filter(length(col("gram")) === k &&
+          substring(md5(col("gram")), 1, 1).isin("0", "1", "2", "3"))
+        .distinct())
+      val keep = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("gram"))
+      val pruned = grams.join(keep, Seq("gram"), "left_semi")
+      val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
+      val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(desc("n_shared"), col("doc_a"), col("doc_b")).limit(20)
+    }),
+
+    "q158_record_linkage" -> ((s, dir) => {
+      // entity resolution, Fellegi–Sunter-lite: BLOCK on (brand, head
+      // noun) so candidates are per-block O(block²) — never corpus²;
+      // SCORE with codegen levenshtein; SELECT the best match per
+      // record via a per-key window (WindowGroupLimit) and a final
+      // top-100 (TakeOrderedAndProject). The blocking key is the
+      // recall/cost lever a real MDM pipeline tunes.
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), element_at(split(col("p_name"), " "), -1).as("blk"))
+      val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+        col("p_brand").as("brand"), col("blk"))
+      val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        col("p_brand").as("brand"), col("blk"))
+      val w = Window.partitionBy(col("key_a")).orderBy(col("dist"), col("key_b"))
+      a.join(b, Seq("brand", "blk")).filter(col("key_a") =!= col("key_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("key_a"), col("name_a"), col("key_b").as("best_match"), col("dist"))
+        .orderBy(col("key_a")).limit(100)
+    }),
+
+    "q159_retention_cohorts" -> ((s, dir) => {
+      // cohort retention: users bucketed by first-activity week, count
+      // retained per week offset — the growth-analytics staple. The
+      // (user, week) frame is pre-distincted so the join carries
+      // user-weeks, not raw events; the first-week agg shares the
+      // user_id partitioning with the join (exchange reuse), so the
+      // event scan shuffles once.
+      val e = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct())
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      e.join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
+    "q160_attribution" -> ((s, dir) => {
+      // last-touch revenue attribution: each purchase credits the
+      // latest click of the same user within 7 days — the as-of join
+      // (q15's one-shuffle union-and-carry, no range join) reused as a
+      // marketing operator. Clicks pre-aggregate to one per (user, ts)
+      // so the carry is deterministic; unattributed purchases keep a
+      // null page and stay in the report.
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(get_json_object(col("props"), "$.k").cast("long"),
+          col("event_id")).as("page"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          col("value"))
+      AsOf.join(purchases, clicks, "user_id", "ts", Seq("page"),
+          tolerance = Some("7 DAY"))
+        .groupBy(col("right_page").as("page"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+    }),
+
+    "q161_kmv_distinct" -> ((s, dir) => {
+      // K-minimum-values distinct-count sketch, made ORACLE-EXACT by
+      // hashing with md5 (bit-identical in DuckDB): est = (k-1)/u_k,
+      // u_k the k-th smallest normalized hash over distinct keys. The
+      // third deterministic-approximation row (q105/q115 discipline) —
+      // unlike HLL (q41) the estimator itself hash-matches. Scale
+      // shape: map-side partial distinct, then bottom-k rides
+      // TakeOrderedAndProject (per-partition top-k, k rows merged).
+      val k = 256
+      val keys = Dedup.cacheScoped(
+        Tables.lineitem(s, dir).select(col("l_partkey").as("key")).distinct())
+      val bottom = keys
+        .select(col("key"),
+          conv(substring(md5(col("key").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("h"))
+        .orderBy(col("h"), col("key")).limit(k)
+      val t = bottom.agg(max(col("h")).as("kth"), count(lit(1)).as("k_actual"))
+      val x = keys.agg(count(lit(1)).as("n_exact"))
+      t.crossJoin(broadcast(x))
+        .select(col("n_exact"), col("k_actual"),
+          round(lit((k - 1).toDouble)
+            / (col("kth").cast("double") / 4294967296.0), 3).as("kmv_est"))
+    }),
+
+    "q162_triangles" -> ((s, dir) => {
+      // triangle participation on the co-visitation graph (q148's
+      // edges) — the density signal behind community detection and
+      // related-content surfaces. Edges are session-blocked pairs
+      // (bounded by Σ|session|², q148's argument) and ORIENTED
+      // (u < v everywhere), so each triangle materializes exactly once
+      // through two equi-joins + a semi-join closure check. At web
+      // scale the standard refinement is degree-ordered orientation
+      // (hubs never fan out); id-orientation suffices here because the
+      // page space is small and edges are session-thresholded.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val edges = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .groupBy(col("page_a"), col("page_b")).agg(count(lit(1)).as("ns"))
+        .select(col("page_a").as("u"), col("page_b").as("v")))
+      val tri = edges.select(col("u").as("x"), col("v").as("y"))
+        .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+        .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
+          "left_semi")
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("page"))
+        .groupBy(col("page")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(desc("n_triangles"), col("page")).limit(10)
+    }),
+
+    "q163_logodds_terms" -> ((s, dir) => {
+      // distinctive vocabulary between two corpus slices (Monroe et
+      // al. "Fightin' Words": log-odds with a +0.5 prior, z-scored by
+      // the delta's variance) — the corpus-comparison surface behind
+      // "what characterizes slice A". One tokenize pass, one
+      // groupBy(word) with conditional partial-agg counts (no
+      // per-group subqueries), scalar totals broadcast back.
+      val words = Tables.documents(s, dir)
+        .select(when(substring(col("source"), 4, 10).cast("int") < 10,
+          lit("a")).otherwise(lit("b")).as("grp"),
+          explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val c = words.groupBy(col("word")).agg(
+        sum(when(col("grp") === "a", 1L).otherwise(0L)).as("a"),
+        sum(when(col("grp") === "b", 1L).otherwise(0L)).as("b"))
+      val t = c.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      c.crossJoin(broadcast(t))
+        .select(col("word"), col("a").as("n_a"), col("b").as("n_b"),
+          round((log((col("a") + 0.5) / (col("ta") - col("a") + 0.5))
+              - log((col("b") + 0.5) / (col("tb") - col("b") + 0.5)))
+            / sqrt(lit(1.0) / (col("a") + 0.5) + lit(1.0) / (col("b") + 0.5)),
+            9).as("z"))
+        .orderBy(desc("z"), col("word")).limit(20)
+    }),
+
+    "q164_containment" -> ((s, dir) => {
+      // shingle-containment dedup (|A∩B|/|A| ≥ 0.6): catches SUBSET
+      // duplication — a doc quoted whole inside a larger one — which
+      // symmetric Jaccard (q34) under-scores. Directed: both (a,b) and
+      // (b,a) report when their containment holds. Same bucketed shape
+      // as every dedup op: distinct shingles equi-join, per-doc sizes
+      // broadcast back; q34's doc_id < 200 oracle-tier bound.
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val sh = Dedup.cacheScoped(docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.Shingles.shingles(col("text"), 3))).as("sh")))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val shared = sh.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(sh.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      shared.join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz"))),
+          Seq("doc_a"))
+        .filter(col("n_shared").cast("double") / col("sz") >= 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_shared").cast("double") / col("sz"), 9).as("containment"))
+        .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2771,19 +2990,7 @@ object SparkEntry {
          |WHERE abs(round((n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)), 9)) > 2.5""".stripMargin,
 
     "q148_covisitation" ->
-      s"""$evCte,
-         |pg AS (SELECT user_id, ts, event_id,
-         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page,
-         |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM ev),
-         |l AS (SELECT user_id, ts, event_id, page,
-         |        CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
-         |             THEN 1 ELSE 0 END AS brk
-         |      FROM pg),
-         |sx AS (SELECT user_id, page,
-         |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-         |       FROM l),
-         |d AS (SELECT DISTINCT user_id, sid, page FROM sx),
+      s"""$sessionPagesCte,
          |p AS (SELECT a.page AS page_a, b.page AS page_b, COUNT(*) AS n_sessions
          |      FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
          |      GROUP BY a.page, b.page)
@@ -4085,5 +4292,112 @@ object SparkEntry {
         |  WHEN l_returnflag = 'N' THEN substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '40'
         |  ELSE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '20'
         |END""".stripMargin,
+
+    // --------------------------------------------------- round 7 oracles
+    "q157_substr_fingerprints" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, substr(text, i, 40) AS gram
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 39, 1))) AS i) t
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM g0
+        |  WHERE length(gram) = 40 AND substr(md5(gram), 1, 1) IN ('0','1','2','3')
+        |), keep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= 20),
+        |g2 AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM g2 a JOIN g2 b USING (gram) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "q158_record_linkage" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_brand,
+        |             string_split(p_name, ' ')[-1] AS blk FROM part),
+        |cand AS (
+        |  SELECT a.p_partkey AS key_a, a.p_name AS name_a, b.p_partkey AS key_b,
+        |         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.p_partkey <> b.p_partkey)
+        |SELECT key_a, name_a, key_b AS best_match, dist
+        |FROM cand QUALIFY row_number() OVER (PARTITION BY key_a ORDER BY dist, key_b) = 1
+        |ORDER BY key_a LIMIT 100""".stripMargin,
+
+    "q159_retention_cohorts" ->
+      s"""$evCte,
+         |e AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM ev),
+         |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id)
+         |SELECT cohort, CAST((wk - cohort) / 7 AS BIGINT) AS week_offset,
+         |  COUNT(*) AS n_users
+         |FROM e JOIN f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q160_attribution" ->
+      s"""$evCte,
+         |c AS (SELECT user_id, ts,
+         |        max_by(CAST(json_extract_string(props, '$$.k') AS BIGINT), event_id) AS page
+         |      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts),
+         |p AS (SELECT user_id, ts, event_id AS purchase_id, value
+         |      FROM ev WHERE event_type = 'purchase'),
+         |j AS (SELECT p.purchase_id, p.value,
+         |        CASE WHEN c.ts >= p.ts - INTERVAL 7 DAY THEN c.page END AS page
+         |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+         |SELECT page, COUNT(*) AS n_purchases,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS revenue
+         |FROM j GROUP BY page""".stripMargin,
+
+    "q161_kmv_distinct" ->
+      """WITH w AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+        |h AS (SELECT key,
+        |        CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS UINT64) AS h
+        |      FROM w),
+        |b AS (SELECT h FROM h ORDER BY h, key LIMIT 256),
+        |t AS (SELECT MAX(h) AS kth, COUNT(*) AS k_actual FROM b),
+        |x AS (SELECT COUNT(*) AS n_exact FROM w)
+        |SELECT n_exact, k_actual,
+        |  round(255.0 / (CAST(kth AS DOUBLE) / 4294967296.0), 3) AS kmv_est
+        |FROM t, x""".stripMargin,
+
+    "q162_triangles" ->
+      s"""$sessionPagesCte,
+         |e AS (SELECT a.page AS u, b.page AS v
+         |      FROM d a JOIN d b
+         |        ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |      GROUP BY 1, 2)
+         |SELECT page, COUNT(*) AS n_triangles FROM (
+         |  SELECT unnest([e1.u, e1.v, e2.v]) AS page
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+         |GROUP BY page ORDER BY n_triangles DESC, page LIMIT 10""".stripMargin,
+
+    "q163_logodds_terms" ->
+      """WITH w AS (
+        |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
+        |         unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |w2 AS (SELECT grp, word FROM w WHERE length(word) > 0),
+        |c AS (SELECT word, COUNT(*) FILTER (grp = 'a') AS a,
+        |             COUNT(*) FILTER (grp = 'b') AS b FROM w2 GROUP BY word),
+        |t AS (SELECT SUM(a) AS ta, SUM(b) AS tb FROM c)
+        |SELECT word, CAST(a AS BIGINT) AS n_a, CAST(b AS BIGINT) AS n_b,
+        |  round((ln((a + 0.5) / (ta - a + 0.5)) - ln((b + 0.5) / (tb - b + 0.5)))
+        |    / sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)), 9) AS z
+        |FROM c, t ORDER BY z DESC, word LIMIT 20""".stripMargin,
+
+    "q164_containment" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(
+        |        regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |        x -> len(x) > 0) AS words FROM docs),
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(words) = 0 THEN []
+        |              ELSE [array_to_string(words[i:i+2], ' ')
+        |                    FOR i IN generate_series(1, greatest(len(words) - 2, 1))] END)) AS sh
+        |        FROM w),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh0 GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |  FROM sh0 a JOIN sh0 b USING (sh) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(CAST(n_shared AS DOUBLE) / sz.sz, 9) AS containment
+        |FROM shared JOIN sz ON sz.doc_id = doc_a
+        |WHERE CAST(n_shared AS DOUBLE) / sz.sz >= 0.6
+        |ORDER BY containment DESC, doc_a, doc_b""".stripMargin,
   )
 }

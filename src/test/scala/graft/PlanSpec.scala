@@ -150,6 +150,54 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
   }
 
+  test("q157: fingerprint pairs via equi-join on the gram, never a cross join") {
+    val p = plan("q157_substr_fingerprints")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // gram computation is computed once and cached; both join branches
+    // and the df-prune must read the cache
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q158: blocked linkage plans per-key WindowGroupLimit + global TakeOrdered") {
+    val p = plan("q158_record_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the blocking equi-join:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q160: as-of attribution is the union-and-carry plan (no range/nested-loop join)") {
+    val p = plan("q160_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the carry window partitions by user, never globally
+    assert(p.contains("Window"), p.take(1500))
+  }
+
+  test("q161: KMV bottom-k rides TakeOrderedAndProject over a partial distinct") {
+    val p = plan("q161_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k must be per-partition top-k, not a global sort:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("q162: triangle closure is equi-joins on oriented edges, never a cross join") {
+    val p = plan("q162_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the edge set is computed once and cached for all three join roles
+    assert(p.contains("InMemoryTableScan"), p.take(1500))
+  }
+
+  test("q164: containment sizes broadcast back (corpus shuffles only on the shingle)") {
+    val p = plan("q164_containment")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-doc sizes are tiny and must broadcast:\n" + p.take(1500))
+  }
+
   test("Pipeline.run: no Window anywhere in the payload plan (key assignment is two-pass dense-id)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
