@@ -2664,6 +2664,80 @@ object SparkEntry {
           round(col("n_shared").cast("double") / col("sz"), 9).as("containment"))
         .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
     }),
+
+    "q165_median_refine" -> ((s, dir) => {
+      // EXACT grouped median WITHOUT the per-group buffer — q55's
+      // scale ceiling solved while staying exact: histogram refinement
+      // (Selection.exactGroupedMedian) bins map-side against broadcast
+      // bounds, walks the bounded groups×bins histogram on the driver,
+      // and re-scans only the target bins (~n/bins of the data).
+      // Exactness is oracle-proven: bit-equal to quantile_cont because
+      // the selection is true order statistics, not an approximation.
+      graft.operators.Selection.exactGroupedMedian(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .select(col("l_returnflag"), round(col("median"), 9).as("median"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q166_psi_drift" -> ((s, dir) => {
+      // population stability index between a reference and current
+      // window of the value distribution, per event_type — the
+      // industry-standard drift gate (PSI > 0.2 = investigate) behind
+      // q129's column-level drift report. Equal-width bins over the
+      // global per-type [min, max] (bounds broadcast back, binning
+      // map-side); +0.5 Laplace smoothing keeps empty bins finite.
+      // One scan for bounds, one for the binned counts.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          when(col("ts") < split, lit("ref")).otherwise(lit("cur")).as("win"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val binned = ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("b", when(col("hi") <= col("lo"), lit(0)).otherwise(
+          least(lit(9), floor((col("value") - col("lo"))
+            / (col("hi") - col("lo")) * 10).cast("int"))))
+      val cells = binned.groupBy(col("event_type"), col("b")).agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("cc"))
+      val tot = cells.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+      cells.join(broadcast(tot), Seq("event_type"))
+        .withColumn("pr", (col("cr") + 0.5) / (col("nr") + 5.0))
+        .withColumn("pc", (col("cc") + 0.5) / (col("nc") + 5.0))
+        .withColumn("term", (col("pr") - col("pc")) * log(col("pr") / col("pc")))
+        .groupBy(col("event_type"), col("nr"), col("nc"))
+        // q91 discipline: round each term, reduce in exact decimal —
+        // a raw double sum would be partial-agg-order-dependent
+        .agg(round(sum(round(col("term"), 12).cast(DecimalType(27, 14)))
+          .cast("double"), 9).as("psi"))
+        .select(col("event_type"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+          col("psi"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q167_split_leakage" -> ((s, dir) => {
+      // train/test contamination audit: near-dup pairs (q154's
+      // Jaccard-verified tier) that CROSS the q109 split boundary — a
+      // doc and its near-copy landing in different splits silently
+      // inflates eval. Pairs come from the shingle-blocked jaccard
+      // join; the deterministic Lehmer split assignment (q109) is
+      // recomputed map-side on both ends (cheaper than a join against
+      // the assignment frame — it is a pure hash of the key).
+      def splitOf(c: Column) = {
+        val u = (lehmer3(c).cast("double") + 0.5) / 2147483647.0
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+      }
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 100),
+        col("text"), col("doc_id"), k = 2, minJaccard = 0.08)
+      pairs
+        .select(col("key_a"), col("key_b"),
+          splitOf(col("key_a")).as("split_a"), splitOf(col("key_b")).as("split_b"),
+          round(col("jaccard"), 9).as("jaccard"))
+        .filter(col("split_a") =!= col("split_b"))
+        .orderBy(col("key_a"), col("key_b"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4399,5 +4473,66 @@ object SparkEntry {
         |FROM shared JOIN sz ON sz.doc_id = doc_a
         |WHERE CAST(n_shared AS DOUBLE) / sz.sz >= 0.6
         |ORDER BY containment DESC, doc_a, doc_b""".stripMargin,
+
+    // exact selection — the refinement operator must reproduce the
+    // single-buffer quantile bit-for-bit (same interpolation form)
+    "q165_median_refine" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 9) AS median
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q166_psi_drift" ->
+      s"""$evCte,
+         |e2 AS (SELECT event_type, value,
+         |         CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'ref' ELSE 'cur' END AS win
+         |       FROM ev),
+         |bounds AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+         |           FROM e2 GROUP BY event_type),
+         |binned AS (SELECT e2.event_type, win,
+         |             CASE WHEN hi <= lo THEN 0
+         |                  ELSE least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS INT)) END AS b
+         |           FROM e2 JOIN bounds USING (event_type)),
+         |cells AS (SELECT event_type, b,
+         |            COUNT(*) FILTER (win = 'ref') AS cr,
+         |            COUNT(*) FILTER (win = 'cur') AS cc
+         |          FROM binned GROUP BY event_type, b),
+         |tot AS (SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc
+         |        FROM cells GROUP BY event_type)
+         |SELECT event_type, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+         |  round(CAST(SUM(CAST(round(
+         |    (((cr + 0.5) / (nr + 5.0)) - ((cc + 0.5) / (nc + 5.0)))
+         |      * ln(((cr + 0.5) / (nr + 5.0)) / ((cc + 0.5) / (nc + 5.0))), 12)
+         |    AS DECIMAL(27,14))) AS DOUBLE), 9) AS psi
+         |FROM cells JOIN tot USING (event_type)
+         |GROUP BY event_type, nr, nc ORDER BY event_type""".stripMargin,
+
+    "q167_split_leakage" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(words[i:i+1], ' ')
+        |                        FOR i IN generate_series(1, greatest(len(words) - 1, 1))]) AS sh
+        |       FROM w WHERE len(words) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.08),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN (CAST(((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 < 0.8 THEN 'train'
+        |       WHEN (CAST(((doc_id % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0 < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents),
+        |j AS (SELECT key_a, key_b, sa.split AS split_a, sb.split AS split_b,
+        |        round(jaccard, 9) AS jaccard
+        |      FROM pairs JOIN sp sa ON sa.doc_id = key_a
+        |                 JOIN sp sb ON sb.doc_id = key_b)
+        |SELECT key_a, key_b, split_a, split_b, jaccard FROM j
+        |WHERE split_a <> split_b ORDER BY key_a, key_b""".stripMargin,
   )
 }

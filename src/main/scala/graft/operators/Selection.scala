@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Distributed order statistics by histogram refinement — the 100 TB
+  * answer to "exact percentile without buffering the group".
+  *
+  * Spark's exact `percentile` (q55) materializes every value of a group
+  * in one aggregation buffer: correct, and the declared oracle anchor,
+  * but O(group) memory in ONE task — the known ceiling the q57 sketch
+  * tier works around by giving up exactness. This operator keeps
+  * exactness and drops the buffer: a classic distributed selection
+  * (multi-round quickselect over histogram bins — the "bucket then
+  * recurse" discipline).
+  *
+  *  - pass 0: per-group (min, max, count) — tiny partial agg;
+  *  - pass 1: per-group fixed-width bin counts; binning is a pure
+  *    codegen expression against the BROADCAST bounds frame (no UDF),
+  *    the shuffle carries at most `bins` rows per group;
+  *  - driver: walk each group's cumulative histogram to find the bin
+  *    holding each target rank — driver traffic is groups × bins rows,
+  *    bounded by construction, never by data size;
+  *  - pass 2: re-scan filtered to target bins only (map-side broadcast
+  *    semi-join, ~n/bins of the data survives); the per-group in-bin
+  *    slice sorts inside one agg buffer and yields the exact order
+  *    statistics.
+  *
+  * One refinement level suffices while n/bins fits a task (1e9 rows /
+  * 4096 bins ≈ 250k values); beyond that, recurse the same routine on
+  * the in-bin slice — each level divides the candidate set by `bins`,
+  * so depth is log_bins(n) (2 levels cover 10^13 rows per group).
+  *
+  * Interpolated median semantics (`quantile_cont` / `percentile` at
+  * 0.5): mean of the 0-indexed ranks floor((n-1)/2) and n/2.
+  */
+object Selection {
+
+  /** Exact per-group median of `valueCol` over `groupCol`, histogram
+    * refinement, never a full-group buffer. Output: (groupCol, median).
+    *
+    * @param bins histogram resolution; the tail pass carries ~n/bins
+    *             rows per group, the driver ≤ groups×bins histogram rows.
+    */
+  def exactGroupedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                         bins: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull).select(col(groupCol).as("g"), v.as("v"))
+
+    // pass 0: bounds + counts (kept as a frame for the broadcast join,
+    // collected for the driver walk — same tiny result, computed once)
+    val boundsDf = base.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
+      .persist()
+    val bounds = boundsDf.collect()
+      .map(r => (r.get(0), (r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+
+    // codegen binning: degenerate (single-valued) groups collapse to bin 0
+    val binExpr = when(col("hi") <= col("lo"), lit(0)).otherwise(
+      least(lit(bins - 1),
+        floor((col("v") - col("lo")) / (col("hi") - col("lo")) * bins).cast("int")))
+    val binned = base.join(broadcast(boundsDf), Seq("g"))
+      .select(col("g"), col("v"), binExpr.as("b"))
+
+    // pass 1: the histogram — at most `bins` rows per group shuffle
+    val hist = binned.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+
+    // driver: cumulative walk → (group, bin, local rank) targets.
+    // Median ranks (0-indexed): r1 = (n-1)/2, r2 = n/2.
+    val targets: Map[Any, Seq[(Int, Long)]] = hist.groupBy(_._1).map {
+      case (g, rows) =>
+        val n = bounds(g)._3
+        val ranks = Seq((n - 1) / 2, n / 2).distinct
+        var cum = 0L
+        val located = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        for ((_, b, c) <- rows.sortBy(_._2)) {
+          for (r <- ranks if r >= cum && r < cum + c) located += ((b, r - cum))
+          cum += c
+        }
+        g -> located.toSeq
+    }
+
+    // pass 2: map-side filter to target bins via a broadcast semi-join,
+    // sort the surviving ~n/bins slice per (group, bin)
+    val gType = base.schema("g").dataType
+    val targetRows = targets.toSeq.flatMap { case (g, ts) =>
+      ts.map { case (b, _) => Row(g, b) } }
+    val targetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(targetRows, 1),
+      StructType(Seq(StructField("g", gType),
+        StructField("b", org.apache.spark.sql.types.IntegerType))))
+    val slices = binned.join(broadcast(targetDf), Seq("g", "b"), "left_semi")
+      .groupBy(col("g"), col("b")).agg(sort_array(collect_list(col("v"))).as("vs"))
+      .collect().map(r => ((r.get(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    boundsDf.unpersist(false)
+
+    val medians = targets.toSeq.map { case (g, ts) =>
+      val stats = ts.map { case (b, lr) => slices((g, b))(lr.toInt) }
+      // lower + delta*frac, NOT (a+b)/2: the interpolation form
+      // quantile_cont/percentile compute, so results are bit-identical
+      // to the single-buffer exact tier (they can differ by 1 ulp)
+      Row(g, if (stats.size == 1) stats.head
+             else stats.head + (stats.last - stats.head) * 0.5)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(medians, 1),
+      StructType(Seq(StructField(groupCol, gType),
+        StructField("median", DoubleType))))
+  }
+}

@@ -9,6 +9,28 @@ class AnalyticsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("histogram-refinement median == single-buffer percentile on every group shape") {
+    import org.apache.spark.sql.functions._
+    // group shapes that stress the selection: even count (interpolated),
+    // odd count, single element, constant values (degenerate bins),
+    // two elements, skewed magnitudes
+    val rows =
+      (1 to 1000).map(i => ("even", i.toDouble * 1.3)) ++
+      (1 to 999).map(i => ("odd", 5000.0 - i * 2.7)) ++
+      Seq(("one", 42.5)) ++
+      (1 to 100).map(_ => ("const", 7.0)) ++
+      Seq(("two", 1.0), ("two", 2.0)) ++
+      (1 to 500).map(i => ("skew", if (i < 490) i.toDouble else i * 1e9))
+    val df = rows.toDF("g", "v").repartition(13) // exercise partial aggs
+    val got = graft.operators.Selection.exactGroupedMedian(df, "g", "v", bins = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = df.groupBy("g").agg(percentile(col("v"), lit(0.5)).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, w) <- want)
+      assert(got(g) == w, s"group $g: refinement ${got(g)} != percentile $w")
+  }
+
   test("k-means iteration: every vector lands on its nearest seed; Lloyd step reduces cost") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "embedding").collect()
