@@ -25,26 +25,32 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *  - pass 2: re-scan filtered to target bins only (map-side broadcast
   *    semi-join, ~n/bins of the data survives); the per-group in-bin
   *    slice sorts inside one agg buffer and yields the exact order
-  *    statistics.
+  *    statistics. Every requested quantile shares the same three scans.
   *
   * One refinement level suffices while n/bins fits a task (1e9 rows /
   * 4096 bins ≈ 250k values); beyond that, recurse the same routine on
   * the in-bin slice — each level divides the candidate set by `bins`,
   * so depth is log_bins(n) (2 levels cover 10^13 rows per group).
   *
-  * Interpolated median semantics (`quantile_cont` / `percentile` at
-  * 0.5): mean of the 0-indexed ranks floor((n-1)/2) and n/2.
+  * Interpolation matches `quantile_cont`/`percentile` exactly:
+  * h = (n-1)·q, result = (1-frac)·x_floor(h) + frac·x_ceil(h) — the
+  * weighted-mean form both engines compute (NOT lower + delta·frac,
+  * which differs by 1 ulp), so results are bit-identical to the
+  * single-buffer tier.
   */
 object Selection {
 
-  /** Exact per-group median of `valueCol` over `groupCol`, histogram
-    * refinement, never a full-group buffer. Output: (groupCol, median).
+  /** Exact per-group quantiles of `valueCol` over `groupCol`, histogram
+    * refinement, never a full-group buffer. Long output:
+    * (groupCol, q, value) — one row per (group, requested quantile).
     *
     * @param bins histogram resolution; the tail pass carries ~n/bins
     *             rows per group, the driver ≤ groups×bins histogram rows.
     */
-  def exactGroupedMedian(df: DataFrame, groupCol: String, valueCol: String,
-                         bins: Int = 1024): DataFrame = {
+  def exactGroupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[Double], bins: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles must be in [0, 1]: $qs")
     val spark = df.sparkSession
     val v = col(valueCol).cast("double")
     val base = df.filter(v.isNotNull).select(col(groupCol).as("g"), v.as("v"))
@@ -68,26 +74,34 @@ object Selection {
     val hist = binned.groupBy(col("g"), col("b")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
 
-    // driver: cumulative walk → (group, bin, local rank) targets.
-    // Median ranks (0-indexed): r1 = (n-1)/2, r2 = n/2.
-    val targets: Map[Any, Seq[(Int, Long)]] = hist.groupBy(_._1).map {
+    // driver: the 0-indexed ranks each quantile needs (floor(h) and,
+    // when h is fractional, ceil(h)), then a cumulative walk locating
+    // each rank's (bin, local rank)
+    def ranksFor(n: Long, q: Double): (Long, Long, Double) = {
+      val h = (n - 1) * q
+      val lo = math.floor(h).toLong
+      val frac = h - lo
+      (lo, if (frac > 0) lo + 1 else lo, frac)
+    }
+    val located: Map[Any, Map[Long, (Int, Long)]] = hist.groupBy(_._1).map {
       case (g, rows) =>
         val n = bounds(g)._3
-        val ranks = Seq((n - 1) / 2, n / 2).distinct
+        val wanted = qs.flatMap { q =>
+          val (r1, r2, _) = ranksFor(n, q); Seq(r1, r2) }.distinct.sorted
         var cum = 0L
-        val located = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        val out = scala.collection.mutable.Map.empty[Long, (Int, Long)]
         for ((_, b, c) <- rows.sortBy(_._2)) {
-          for (r <- ranks if r >= cum && r < cum + c) located += ((b, r - cum))
+          for (r <- wanted if r >= cum && r < cum + c) out(r) = (b, r - cum)
           cum += c
         }
-        g -> located.toSeq
+        g -> out.toMap
     }
 
     // pass 2: map-side filter to target bins via a broadcast semi-join,
     // sort the surviving ~n/bins slice per (group, bin)
     val gType = base.schema("g").dataType
-    val targetRows = targets.toSeq.flatMap { case (g, ts) =>
-      ts.map { case (b, _) => Row(g, b) } }
+    val targetRows = located.toSeq.flatMap { case (g, m) =>
+      m.values.map(_._1).toSeq.distinct.map(b => Row(g, b)) }
     val targetDf = spark.createDataFrame(
       spark.sparkContext.parallelize(targetRows, 1),
       StructType(Seq(StructField("g", gType),
@@ -97,17 +111,27 @@ object Selection {
       .collect().map(r => ((r.get(0), r.getInt(1)), r.getSeq[Double](2))).toMap
     boundsDf.unpersist(false)
 
-    val medians = targets.toSeq.map { case (g, ts) =>
-      val stats = ts.map { case (b, lr) => slices((g, b))(lr.toInt) }
-      // lower + delta*frac, NOT (a+b)/2: the interpolation form
-      // quantile_cont/percentile compute, so results are bit-identical
-      // to the single-buffer exact tier (they can differ by 1 ulp)
-      Row(g, if (stats.size == 1) stats.head
-             else stats.head + (stats.last - stats.head) * 0.5)
+    val out = located.toSeq.flatMap { case (g, m) =>
+      val n = bounds(g)._3
+      qs.map { q =>
+        val (r1, r2, frac) = ranksFor(n, q)
+        def at(r: Long): Double = { val (b, lr) = m(r); slices((g, b))(lr.toInt) }
+        val x1 = at(r1)
+        // the exact weighted-mean expression percentile/quantile_cont
+        // evaluate (lower + delta*frac differs by 1 ulp)
+        Row(g, q, if (r2 == r1) x1 else (1 - frac) * x1 + frac * at(r2))
+      }
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(medians, 1),
+      spark.sparkContext.parallelize(out, 1),
       StructType(Seq(StructField(groupCol, gType),
-        StructField("median", DoubleType))))
+        StructField("q", DoubleType), StructField("value", DoubleType))))
   }
+
+  /** Exact per-group median — [[exactGroupedQuantiles]] at q = 0.5.
+    * Output: (groupCol, median). */
+  def exactGroupedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                         bins: Int = 1024): DataFrame =
+    exactGroupedQuantiles(df, groupCol, valueCol, Seq(0.5), bins)
+      .select(col(groupCol), col("value").as("median"))
 }

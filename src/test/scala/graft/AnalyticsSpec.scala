@@ -29,6 +29,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.keySet == want.keySet)
     for ((g, w) <- want)
       assert(got(g) == w, s"group $g: refinement ${got(g)} != percentile $w")
+    // the general quantile band, same groups: bit-equal at p05/p50/p95/p99
+    val qs = Seq(0.05, 0.5, 0.95, 0.99)
+    val gotQ = graft.operators.Selection.exactGroupedQuantiles(df, "g", "v", qs, bins = 32)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (q <- qs) {
+      val wantQ = df.groupBy("g").agg(percentile(col("v"), lit(q)).as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for ((g, w) <- wantQ)
+        assert(gotQ((g, q)) == w, s"group $g q=$q: ${gotQ((g, q))} != $w")
+    }
   }
 
   test("k-means iteration: every vector lands on its nearest seed; Lloyd step reduces cost") {

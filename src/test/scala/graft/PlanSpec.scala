@@ -160,11 +160,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
-  test("q158: blocked linkage plans per-key WindowGroupLimit + global TakeOrdered") {
+  test("q158: blocked linkage plans partial-agg best-match + global TakeOrdered") {
     val p = plan("q158_record_linkage")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must come from the blocking equi-join:\n" + p.take(1500))
-    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    // best-match is min(struct) with map-side combine, NOT a window sort
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_min") || p.contains("Partial"), p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
