@@ -2482,33 +2482,45 @@ object SparkEntry {
       // exact substring duplication across docs (the Lee et al.
       // exact-substr dedup discipline in fingerprint form): every char
       // 40-gram, MOD-p selected by the gram's OWN md5 (content-defined,
-      // so alignment-invariant — a positional stride would miss spans at
-      // shifted offsets), distinct per doc, df-pruned, equi-joined on
-      // the gram. Same shape as MinHash banding: candidate pairs only
-      // materialize through a bucket equi-join, never an all-pairs scan;
-      // df ≤ 20 is q147's stop-term cut applied to boilerplate grams.
-      // explode positions FIRST, then gram + md5 + select as flat
-      // codegen expressions: a transform/filter HOF pipeline evaluates
-      // interpreted and allocates a ~|text| string array per row
-      // (measured 4.4 s vs 1.7 s at sf0.1). The distinct shuffles only
-      // the MOD-p survivors, and those rows shuffle again right after
-      // for the df-prune anyway.
+      // so alignment-invariant — a positional stride would miss spans
+      // at shifted offsets). Positions explode FIRST so gram + md5 +
+      // select stay flat codegen expressions (a transform/filter HOF
+      // pipeline evaluates interpreted: measured 4.4 s vs this shape).
+      // ONE content shuffle: collect_set(doc) per gram dedups the
+      // (doc, gram) occurrences map-side AND subsumes the former
+      // distinct + df-prune + self-join pipeline (three branches over a
+      // cached frame — 6.1 s cold at sf0.1 vs 3.0 s here); the doc set
+      // is capped at 20 (q147's stop-term cut for boilerplate grams),
+      // so pair generation is a bounded in-row nested transform
+      // (≤ 190 pairs per gram), never a join.
+      // two-level explode: text → overlapping 103-char chunks (stride
+      // 64, overlap k-1 so every absolute position appears exactly
+      // once) → positions within the chunk. A single position explode
+      // would copy the FULL text into each of ~|text| generated rows
+      // (GenerateExec copies the child row per element — 4.5 GB of row
+      // traffic at sf0.1, measured 4.3 s); chunking first bounds each
+      // copy at 103 chars (3.0 s).
       val k = 40
-      val gram = expr(s"substring(text, pos, $k)")
-      val grams = Dedup.cacheScoped(Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))))
-            .as("pos"))
+      val stride = 64
+      val gram = expr(s"substring(chunk, pos, $k)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")), lit(stride))).as("cstart"),
+          col("text"))
+        .select(col("doc_id"),
+          expr(s"substring(text, cstart, ${stride + k - 1})").as("chunk"))
+        .select(col("doc_id"), col("chunk"),
+          explode(sequence(lit(1),
+            greatest(length(col("chunk")) - (k - 1), lit(1)))).as("pos"))
         .select(col("doc_id"), gram.as("gram"))
         .filter(length(col("gram")) === k &&
           substring(md5(col("gram")), 1, 1).isin("0", "1", "2", "3"))
-        .distinct())
-      val keep = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select(col("gram"))
-      val pruned = grams.join(keep, Seq("gram"), "left_semi")
-      val a = pruned.select(col("gram"), col("doc_id").as("doc_a"))
-      val b = pruned.select(col("gram"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("gram")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 20))
+        .select(explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
         .orderBy(desc("n_shared"), col("doc_a"), col("doc_b")).limit(20)
     }),

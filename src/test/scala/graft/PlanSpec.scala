@@ -150,13 +150,12 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
   }
 
-  test("q157: fingerprint pairs via equi-join on the gram, never a cross join") {
+  test("q157: fingerprint pairs are generated IN-ROW — the plan has no join at all") {
     val p = plan("q157_substr_fingerprints")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      p.take(1500))
-    // gram computation is computed once and cached; both join branches
-    // and the df-prune must read the cache
-    assert(p.contains("InMemoryTableScan"), p.take(1500))
+    // one content shuffle (gram → collect_set) + the pair agg; pair
+    // generation is a bounded nested transform over the ≤20-doc set,
+    // so no join operator of any kind may appear
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
