@@ -2765,6 +2765,75 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q170_quantized_ann" -> ((s, dir) => {
+      // int8-coarse ANN + exact rerank — the memory-bound discipline at
+      // 100 TB: the coarse scan touches 1-byte codes (4× less IO than
+      // float32; q116's quantizer), integer distances are EXACT ints
+      // (engine-portable, no float drift), and recall is restored by
+      // reranking the top-100 candidates with the codegen cosine kernel
+      // (q36's oracle-proven parity with list_cosine_similarity).
+      // Queries broadcast; the corpus never shuffles; both rank cuts
+      // are per-query WindowGroupLimits.
+      val scale = (col("mx") - col("mn")) / 255.0
+      val coded = Dedup.cacheScoped(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        .filter(col("mx") > col("mn"))
+        .select(col("vec_id"), col("embedding"),
+          transform(col("embedding"), x =>
+            round((x.cast("double") - col("mn")) / scale, 0).cast("long"))
+            .as("code")))
+      val q = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+          col("embedding").as("qe"))
+      val cand = coded.select(col("vec_id").as("neighbor_id"),
+        col("code").as("ccode"), col("embedding").as("ce"))
+      val coarse = cand.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("qdist", aggregate(
+          zip_with(col("qcode"), col("ccode"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      val wc = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("neighbor_id"))
+      val wr = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))
+      coarse.withColumn("crank", row_number().over(wc)).filter(col("crank") <= 100)
+        .withColumn("cosine", Vectors.cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }),
+
+    "q169_bm25" -> ((s, dir) => {
+      // BM25 keyword retrieval (k1=1.2, b=0.75, Lucene's always-positive
+      // idf) — the lexical-search scorer a doc store pairs with the ANN
+      // path (q127) for hybrid retrieval. One tokenize pass feeds doc
+      // lengths AND term frequencies; the query's posting lists (tf) are
+      // the only rows that reach the scoring join — corpus-sized frames
+      // never shuffle for a 3-term query. Corpus stats ride a scalar
+      // broadcast; per-term scores round then reduce in exact decimal
+      // (q91 discipline).
+      val terms = Seq("spark", "join", "scan")
+      val words = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val tf = words.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs")
+      tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
+        .crossJoin(broadcast(st))
+        .withColumn("s", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9)
+          .as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    }),
+
     "q167_split_leakage" -> ((s, dir) => {
       // train/test contamination audit: near-dup pairs (q154's
       // Jaccard-verified tier) that CROSS the q109 split boundary — a
@@ -4535,6 +4604,45 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 9) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q170_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx
+        |FROM embeddings),
+        |s2 AS (SELECT vec_id, v, mn, mx, (mx - mn) / 255.0 AS sc FROM e WHERE mx > mn),
+        |coded AS (SELECT vec_id, v,
+        |  list_transform(v, x -> CAST(round((x - mn) / sc, 0) AS BIGINT)) AS code
+        |FROM s2),
+        |q AS (SELECT vec_id AS query_id, code AS qcode, v AS qe FROM coded WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, code AS ccode, v AS ce FROM coded),
+        |coarse AS (SELECT query_id, neighbor_id, qe, ce,
+        |    CAST(list_sum([(qcode[i] - ccode[i]) * (qcode[i] - ccode[i])
+        |                   FOR i IN generate_series(1, len(qcode))]) AS BIGINT) AS qdist
+        |  FROM q, c WHERE neighbor_id <> query_id),
+        |top100 AS (SELECT * FROM coarse
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdist, neighbor_id) <= 100),
+        |rer AS (SELECT query_id, neighbor_id,
+        |          list_cosine_similarity(qe, ce) AS cosine FROM top100)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM rer) WHERE rank <= 10""".stripMargin,
+
+    "q169_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w2
+        |       WHERE w IN ('spark','join','scan') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))), 12) AS s
+        |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w), st)
+        |SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "q166_psi_drift" ->
       s"""$evCte,
