@@ -2803,6 +2803,46 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }),
 
+    "q171_upsert_latest" -> ((s, dir) => {
+      // corpus upsert (MERGE-INTO's keep-latest core): a refresh batch
+      // overlays the snapshot, latest version wins per key — one
+      // shuffle via max(struct(version, row)) on the key (the q30/q158
+      // selection discipline: partial-agg map-side, never a window or
+      // a join-back). The refresh batch here is a deterministic
+      // re-crawl of every 5th doc with one char appended.
+      val old = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), lit(1L).as("version"))
+      val fresh = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1).as("n_chars"), lit(2L).as("version"))
+      old.unionByName(fresh)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("version"), col("n_chars"))).as("__s"))
+        .select(col("doc_id"), col("__s.version").as("version"),
+          col("__s.n_chars").as("n_chars"))
+    }),
+
+    "q172_interval_overlap" -> ((s, dir) => {
+      // interval×interval overlap join — q76's generalization where BOTH
+      // sides are ranges (ad-windows × session-windows, the scheduling/
+      // co-occurrence primitive). Bucketized equi-join, exact predicate
+      // inside, and the max-start-bucket guard emits each overlapping
+      // pair exactly once — no nested loop, no distinct pass
+      // (plan-gated against BNLJ/CartesianProduct).
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("win_a"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 30 minutes")).as("a_end"))
+      val b = ev.filter(col("event_type") === "click" && col("event_id") % 53 === 0)
+        .select(col("event_id").as("win_b"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 10 minutes")).as("b_end"))
+      RangeJoin.intervalOverlap(a, col("a_start"), col("a_end"),
+          b, col("b_start"), col("b_end"), bucketWidthSec = 1800L)
+        .select(col("win_a"), col("win_b"),
+          (unix_timestamp(least(col("a_end"), col("b_end")))
+            - unix_timestamp(greatest(col("a_start"), col("b_start"))))
+            .as("overlap_sec"))
+    }),
+
     "q169_bm25" -> ((s, dir) => {
       // BM25 keyword retrieval (k1=1.2, b=0.75, Lucene's always-positive
       // idf) — the lexical-search scorer a doc store pairs with the ANN
@@ -4604,6 +4644,26 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 9) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q171_upsert_latest" ->
+      """WITH old AS (SELECT doc_id, n_chars, 1 AS version FROM documents),
+        |fresh AS (SELECT doc_id, n_chars + 1 AS n_chars, 2 AS version
+        |          FROM documents WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM old UNION ALL SELECT * FROM fresh)
+        |SELECT doc_id, CAST(MAX(version) AS BIGINT) AS version,
+        |  CAST(max_by(n_chars, version) AS BIGINT) AS n_chars
+        |FROM u GROUP BY doc_id""".stripMargin,
+
+    "q172_interval_overlap" ->
+      s"""$evCte,
+         |a AS (SELECT event_id AS win_a, ts AS a_start, ts + INTERVAL 30 MINUTE AS a_end
+         |      FROM ev WHERE event_type = 'purchase' AND event_id % 97 = 0),
+         |b AS (SELECT event_id AS win_b, ts AS b_start, ts + INTERVAL 10 MINUTE AS b_end
+         |      FROM ev WHERE event_type = 'click' AND event_id % 53 = 0)
+         |SELECT win_a, win_b,
+         |  CAST(epoch_us(least(a_end, b_end)) // 1000000
+         |    - epoch_us(greatest(a_start, b_start)) // 1000000 AS BIGINT) AS overlap_sec
+         |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end""".stripMargin,
 
     "q170_quantized_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

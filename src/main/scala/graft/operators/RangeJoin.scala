@@ -45,4 +45,31 @@ object RangeJoin {
       .filter(ptCol >= startCol && ptCol <= endCol)
       .drop("__bucket")
   }
+
+  /** Interval×interval OVERLAP join (inclusive bounds): both sides
+    * explode to their buckets, pairs meet on the bucket equi-join, and
+    * the exact predicate filters inside. A pair sharing several buckets
+    * would match once per shared bucket — the max-start-bucket guard
+    * (emit only in the bucket containing `greatest(startA, startB)`,
+    * the first bucket where BOTH intervals are live) restores
+    * exactly-once without a distinct pass. Column names must be
+    * disjoint across the two frames. */
+  def intervalOverlap(a: DataFrame, aStart: Column, aEnd: Column,
+                      b: DataFrame, bStart: Column, bEnd: Column,
+                      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    val ab = a.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_timestamp(aStart) / bucketWidthSec),
+        floor(unix_timestamp(aEnd) / bucketWidthSec))))
+    val bb = b.withColumn("__bucket",
+      explode(sequence(
+        floor(unix_timestamp(bStart) / bucketWidthSec),
+        floor(unix_timestamp(bEnd) / bucketWidthSec))))
+    ab.join(bb, Seq("__bucket"))
+      .filter(aStart <= bEnd && bStart <= aEnd)
+      .filter(col("__bucket") ===
+        floor(greatest(unix_timestamp(aStart), unix_timestamp(bStart)) / bucketWidthSec))
+      .drop("__bucket")
+  }
 }

@@ -39,6 +39,16 @@ class AnalyticsSpec extends AnyFunSuite {
       for ((g, w) <- wantQ)
         assert(gotQ((g, q)) == w, s"group $g q=$q: ${gotQ((g, q))} != $w")
     }
+    // edges: q=0/q=1 are exact min/max; nulls are excluded like
+    // percentile; an all-null/empty input yields an empty frame
+    val ex = graft.operators.Selection.exactGroupedQuantiles(
+        Seq(("a", Some(3.0)), ("a", Some(1.0)), ("a", None)).toDF("g", "v"),
+        "g", "v", Seq(0.0, 1.0), bins = 8)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(ex == Map(0.0 -> 1.0, 1.0 -> 3.0))
+    assert(graft.operators.Selection.exactGroupedQuantiles(
+      Seq(("a", Option.empty[Double])).toDF("g", "v"), "g", "v", Seq(0.5))
+      .count() == 0L)
   }
 
   test("k-means iteration: every vector lands on its nearest seed; Lloyd step reduces cost") {

@@ -200,6 +200,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() === 1L)
   }
 
+  test("interval-overlap join == naive theta join, exactly once across shared buckets") {
+    // two long intervals overlap across MANY shared 30-min buckets: the
+    // max-start-bucket guard must emit the pair once; plus a same-bucket
+    // pair, a touching pair (inclusive bounds), and a disjoint pair
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq(
+      (1L, t("2024-01-01 08:00:00"), t("2024-01-01 20:00:00")), // 12h
+      (2L, t("2024-01-02 10:00:00"), t("2024-01-02 10:10:00")),
+      (3L, t("2024-01-03 10:00:00"), t("2024-01-03 11:00:00")),
+      (4L, t("2024-01-04 10:00:00"), t("2024-01-04 11:00:00"))
+    ).toDF("aid", "ast", "aen")
+    val b = Seq(
+      (10L, t("2024-01-01 09:00:00"), t("2024-01-01 19:00:00")), // inside aid=1
+      (20L, t("2024-01-02 10:05:00"), t("2024-01-02 10:07:00")),
+      (30L, t("2024-01-03 11:00:00"), t("2024-01-03 12:00:00")), // touches aid=3
+      (40L, t("2024-01-04 12:00:00"), t("2024-01-04 13:00:00"))  // disjoint
+    ).toDF("bid", "bst", "ben")
+    val got = RangeJoin.intervalOverlap(a, col("ast"), col("aen"),
+        b, col("bst"), col("ben"), bucketWidthSec = 1800L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = a.join(b, col("ast") <= col("ben") && col("bst") <= col("aen"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == naive.toSeq && got.length == 3,
+      s"got ${got.toSeq} vs naive ${naive.toSeq}")
+  }
+
   // --------------------------------------------- sampling / vocab / stream
 
   test("streaming session windows equal the batch twin") {

@@ -199,6 +199,12 @@ class PlanSpec extends AnyFunSuite {
       "per-doc sizes are tiny and must broadcast:\n" + p.take(1500))
   }
 
+  test("q172: interval-overlap join is a bucket equi-join, never a nested loop") {
+    val p = plan("q172_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no equi key exists, but the bucketization must synthesize one:\n" + p.take(1500))
+  }
+
   test("Pipeline.run: no Window anywhere in the payload plan (key assignment is two-pass dense-id)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
