@@ -2803,6 +2803,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }),
 
+    "q173_bloom_anti_join" -> ((s, dir) => {
+      // EXACT anti-join at bloom cost — q77's approximate tier promoted
+      // to an oracle row by the one-sided bound (the q115 discipline):
+      // no false negatives means bloom-cleared rows are DEFINITE
+      // non-members (kept map-side, zero shuffle); only the ~1% sliver
+      // of possible members pays the exact anti-join that strips the
+      // false positives. Output ≡ the plain anti-join the oracle runs.
+      val block = Tables.part(s, dir).filter(col("p_size") > 40).select(col("p_partkey"))
+      Blocklist.exactAntiJoin(Tables.lineitem(s, dir), col("l_partkey"),
+          block, col("p_partkey"), expectedItems = 20000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
     "q171_upsert_latest" -> ((s, dir) => {
       // corpus upsert (MERGE-INTO's keep-latest core): a refresh batch
       // overlays the snapshot, latest version wins per key — one
@@ -4644,6 +4657,10 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 9) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q173_bloom_anti_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin,
 
     "q171_upsert_latest" ->
       """WITH old AS (SELECT doc_id, n_chars, 1 AS version FROM documents),

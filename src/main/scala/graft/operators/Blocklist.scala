@@ -63,4 +63,44 @@ object Blocklist {
           s"bloom blocklist supports string and integral keys, got $dt")
     }
   }
+
+  /** EXACT anti-join at bloom cost — the no-false-negative guarantee as
+    * a correctness lever (the q115 one-sided-bound discipline): rows the
+    * sketch clears are DEFINITE non-members and keep map-side with no
+    * shuffle; only the ~fpp sliver of possible members pays the exact
+    * anti-join that removes false positives. Result is bit-identical to
+    * the plain anti-join (oracle-checked in q173).
+    *
+    * At 100 TB this is the shape for a blocklist too big to broadcast:
+    * the stream side of the residual join shrinks from n to ~fpp·n +
+    * true members, so even a shuffle anti-join on the sliver is cheap;
+    * here the sliver side uses a broadcast anti-join. Null keys pass
+    * through, matching anti-join semantics. */
+  def exactAntiJoin(df: DataFrame, key: Column,
+                    blocklist: DataFrame, blockKey: Column,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    if (blocklist.isEmpty) return df
+    val keyed = blocklist.select(blockKey.as("__k"))
+    val mightContain: Column = keyed.schema.head.dataType match {
+      case StringType =>
+        val bf = keyed.stat.bloomFilter("__k", expectedItems, fpp)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val m = udf((k: String) => k != null && bc.value.mightContainString(k))
+        m(key.cast("string"))
+      case ByteType | ShortType | IntegerType | LongType =>
+        val bf = keyed.select(col("__k").cast("long"))
+          .stat.bloomFilter("__k", expectedItems, fpp)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val m = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        m(key.cast("long"))
+      case dt =>
+        throw new IllegalArgumentException(
+          s"bloom blocklist supports string and integral keys, got $dt")
+    }
+    val flagged = df.withColumn("__might", mightContain)
+    val sure = flagged.filter(!col("__might")).drop("__might")
+    val sliver = flagged.filter(col("__might")).drop("__might")
+      .join(broadcast(keyed.distinct()), key === col("__k"), "left_anti")
+    sure.unionByName(sliver)
+  }
 }

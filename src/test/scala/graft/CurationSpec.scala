@@ -366,4 +366,26 @@ class CurationSpec extends AnyFunSuite {
     assert(dropped.toDouble / exactKeys.size < 0.05,
       s"bloom dropped $dropped of ${exactKeys.size} non-blocklisted rows")
   }
+
+  test("bloom exactAntiJoin == plain anti-join, null keys kept") {
+    val df = Seq(
+      (1L, java.lang.Long.valueOf(10L)), (2L, java.lang.Long.valueOf(20L)),
+      (3L, java.lang.Long.valueOf(30L)), (4L, null.asInstanceOf[java.lang.Long])
+    ).toDF("id", "k")
+    val block = Seq(20L, 40L).toDF("bk")
+    val got = Blocklist.exactAntiJoin(df, col("k"), block, col("bk"),
+        expectedItems = 10L, fpp = 0.3) // high fpp to force a real sliver
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 4L), s"got $got")
+    // and on real data: bit-identical row set to the plain anti-join
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val bl = Tables.part(spark, TestSpark.sf0001)
+      .filter(col("p_size") > 40).select(col("p_partkey"))
+    val a = Blocklist.exactAntiJoin(li, col("l_partkey"), bl, col("p_partkey"), 20000L)
+      .collect().map(_.toSeq).toSet
+    val b = li.join(bl, li("l_partkey") === bl("p_partkey"), "left_anti")
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
 }
