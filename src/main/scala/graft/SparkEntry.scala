@@ -2803,6 +2803,55 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }),
 
+    "q174_cuped" -> ((s, dir) => {
+      // CUPED variance-reduced A/B readout (Deng et al., the
+      // experimentation-platform staple): per-user pre-period covariate
+      // x and post-period metric y, pooled theta = cov(x,y)/var(x),
+      // adjusted y* = y - theta·(x - mean x); report per-arm means and
+      // the variance ratio. Three aggs (user rollup, pooled moments,
+      // arm readout) with scalar broadcasts between — the corpus-sized
+      // frame shuffles once on user_id. Every double product is
+      // rounded then decimal-reduced (q91 discipline), so the pooled
+      // moments are partial-agg-order-free. On this synthetic corpus
+      // pre/post are uncorrelated (no user persistence), so the
+      // variance ratio honestly reads ≈ 1 — the formula, not the win,
+      // is what the oracle verifies.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val D6 = DecimalType(27, 6)
+      val u = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))
+            .cast(DecimalType(18, 4))).cast("double").as("x"),
+          sum(when(col("ts") >= split, col("value")).otherwise(lit(0.0))
+            .cast(DecimalType(18, 4))).cast("double").as("y"))
+        .select((col("user_id") % 2).as("t"), col("x"), col("y"))
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D6)).cast("double").as("sx"),
+        sum(col("y").cast(D6)).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(D6)).cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(D6)).cast("double").as("sxx"))
+      val th = m.select(col("n"), (col("sx") / col("n")).as("mx"),
+        ((col("sxy") - col("sx") * col("sy") / col("n"))
+          / (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"))
+      val adj = u.crossJoin(broadcast(th))
+        .select(col("t"), col("y"),
+          round(col("y") - col("theta") * (col("x") - col("mx")), 6).as("ya"))
+      val arm = adj.groupBy(col("t")).agg(
+        count(lit(1)).as("n_users"),
+        (sum(col("y").cast(D6)).cast("double") / count(lit(1))).as("my"),
+        (sum(col("ya").cast(D6)).cast("double") / count(lit(1))).as("mya"),
+        (sum(round(col("ya") * col("ya"), 6).cast(DecimalType(33, 6)))
+          .cast("double") / count(lit(1))).as("myy2"),
+        (sum(round(col("y") * col("y"), 6).cast(DecimalType(33, 6)))
+          .cast("double") / count(lit(1))).as("my2"))
+      arm.select(col("t"), col("n_users"),
+          round(col("my"), 6).as("mean_y"),
+          round(col("mya"), 6).as("mean_adj"),
+          round((col("myy2") - col("mya") * col("mya"))
+            / (col("my2") - col("my") * col("my")), 6).as("var_ratio"))
+        .orderBy(col("t"))
+    }),
+
     "q173_bloom_anti_join" -> ((s, dir) => {
       // EXACT anti-join at bloom cost — q77's approximate tier promoted
       // to an oracle row by the one-sided bound (the q115 discipline):
@@ -4657,6 +4706,34 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 9) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q174_cuped" ->
+      s"""$evCte,
+         |u AS (
+         |  SELECT user_id % 2 AS t,
+         |    CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+         |      THEN value ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS x,
+         |    CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |      THEN value ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS y
+         |  FROM ev GROUP BY user_id),
+         |m AS (SELECT COUNT(*) AS n,
+         |  CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+         |  CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+         |  FROM u),
+         |th AS (SELECT n, sx / n AS mx,
+         |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta FROM m),
+         |adj AS (SELECT t, y, round(y - theta * (x - mx), 6) AS ya FROM u, th),
+         |arm AS (SELECT t, COUNT(*) AS n_users,
+         |  CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS my,
+         |  CAST(SUM(CAST(ya AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mya,
+         |  CAST(SUM(CAST(round(ya * ya, 6) AS DECIMAL(33,6))) AS DOUBLE) / COUNT(*) AS myy2,
+         |  CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(33,6))) AS DOUBLE) / COUNT(*) AS my2
+         |  FROM adj GROUP BY t)
+         |SELECT t, n_users, round(my, 6) AS mean_y, round(mya, 6) AS mean_adj,
+         |  round((myy2 - mya * mya) / (my2 - my * my), 6) AS var_ratio
+         |FROM arm ORDER BY t""".stripMargin,
 
     "q173_bloom_anti_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
