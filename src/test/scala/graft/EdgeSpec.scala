@@ -90,4 +90,42 @@ class EdgeSpec extends AnyFunSuite {
     val noLines = Seq.empty[(Long, Long, String)].toDF("key", "line_no", "line")
     assert(Dedup.dropCommonLines(noLines, 3).count() === 0L)
   }
+
+  // ------------------------------------------------------- round-7 edges
+
+  test("intervalOverlap with an empty side returns empty, never throws") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val a = Seq((1L, ts, ts)).toDF("aid", "ast", "aen")
+    val noB = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("bid", "bst", "ben")
+    assert(RangeJoin.intervalOverlap(a, col("ast"), col("aen"),
+      noB, col("bst"), col("ben"), 60L).count() === 0L)
+    assert(RangeJoin.intervalOverlap(noB.toDF("aid", "ast", "aen"),
+      col("ast"), col("aen"),
+      a.toDF("bid", "bst", "ben"), col("bst"), col("ben"), 60L).count() === 0L)
+  }
+
+  test("bloom exactAntiJoin with an empty blocklist keeps everything") {
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("id", "k")
+    val noBlock = Seq.empty[Tuple1[Long]].toDF("bk")
+    assert(Blocklist.exactAntiJoin(df, col("k"), noBlock, col("bk"),
+      expectedItems = 10L).count() === 2L)
+  }
+
+  test("exactGroupedQuantiles on an empty frame is empty, never throws") {
+    val none = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(graft.operators.Selection
+      .exactGroupedQuantiles(none, "g", "v", Seq(0.5)).count() === 0L)
+  }
+
+  test("shingle containment / substring grams on empty and sub-k text yield no rows") {
+    val docs = Seq((1L, ""), (2L, "short")).toDF("doc_id", "text")
+    // 40-char grams over <40-char docs: the q157 shape produces nothing
+    val grams = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 39, lit(1)))).as("pos"))
+      .select(col("doc_id"), expr("substring(text, pos, 40)").as("gram"))
+      .filter(length(col("gram")) === 40)
+    assert(grams.count() === 0L)
+  }
 }
