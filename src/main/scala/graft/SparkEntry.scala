@@ -2803,6 +2803,47 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }),
 
+    "q175_kmv_grouped" -> ((s, dir) => {
+      // per-GROUP distinct-count sketches — q161's KMV with a group key:
+      // bottom-k md5 hashes per group ride a WindowGroupLimit (each
+      // partition forwards ≤ k rows per group), est = (k-1)/u_k. The
+      // per-group sketch shape is what a 100 TB profiler emits per
+      // column/day; md5 keeps the ESTIMATOR oracle-exact (q161's
+      // argument), and small groups (≤ k distinct) fall back to their
+      // exact count by construction.
+      val k = 64
+      val keys = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"), col("l_partkey").as("key")).distinct()
+      val h = conv(substring(md5(col("key").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(col("g")).orderBy(col("h"), col("key"))
+      val bottom = keys.select(col("g"), col("key"), h.as("h"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      bottom.groupBy(col("g"))
+        .agg(max(col("h")).as("kth"), count(lit(1)).as("k_actual"))
+        .join(keys.groupBy(col("g")).agg(count(lit(1)).as("n_exact")), Seq("g"))
+        .select(col("g"), col("n_exact"), col("k_actual"),
+          when(col("k_actual") < k, col("k_actual").cast("double"))
+            .otherwise(round(lit((k - 1).toDouble)
+              / (col("kth").cast("double") / 4294967296.0), 3)).as("kmv_est"))
+        .orderBy(col("g"))
+    }),
+
+    "q176_equidepth_hist" -> ((s, dir) => {
+      // equi-depth histogram (the optimizer-statistics shape: equal ROW
+      // counts per bucket, data-adaptive edges) from the histogram-
+      // refinement selector — deciles of l_extendedprice per returnflag,
+      // all nine edges from the same three scans, no per-group buffer.
+      // The q83 equal-width histogram is the fixed-grid twin.
+      graft.operators.Selection.exactGroupedQuantiles(
+          Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+          (1 to 9).map(_ / 10.0))
+        .select(col("l_returnflag"),
+          round(col("q") * 10, 0).cast("long").as("decile"),
+          round(col("value"), 9).as("edge"))
+        .orderBy(col("l_returnflag"), col("decile"))
+    }),
+
     "q174_cuped" -> ((s, dir) => {
       // CUPED variance-reduced A/B readout (Deng et al., the
       // experimentation-platform staple): per-user pre-period covariate
@@ -4706,6 +4747,29 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.95), 9) AS p95,
         |  round(quantile_cont(l_extendedprice, 0.99), 9) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q175_kmv_grouped" ->
+      """WITH keys AS (SELECT DISTINCT l_returnflag AS g, l_partkey AS key FROM lineitem),
+        |h AS (SELECT g, key,
+        |        CAST(concat('0x', substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS UINT64) AS h
+        |      FROM keys),
+        |b AS (SELECT g, h FROM h
+        |      QUALIFY row_number() OVER (PARTITION BY g ORDER BY h, key) <= 64),
+        |t AS (SELECT g, MAX(h) AS kth, COUNT(*) AS k_actual FROM b GROUP BY g),
+        |x AS (SELECT g, COUNT(*) AS n_exact FROM keys GROUP BY g)
+        |SELECT t.g, n_exact, k_actual,
+        |  CASE WHEN k_actual < 64 THEN CAST(k_actual AS DOUBLE)
+        |       ELSE round(63.0 / (CAST(kth AS DOUBLE) / 4294967296.0), 3) END AS kmv_est
+        |FROM t JOIN x USING (g) ORDER BY g""".stripMargin,
+
+    "q176_equidepth_hist" ->
+      """WITH qs AS (SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(i AS BIGINT) AS decile, round(q[i], 9) AS edge
+        |FROM qs, LATERAL (SELECT unnest(generate_series(1, 9)) AS i) t
+        |ORDER BY l_returnflag, decile""".stripMargin,
 
     "q174_cuped" ->
       s"""$evCte,
