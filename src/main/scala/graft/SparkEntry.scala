@@ -2505,7 +2505,12 @@ object SparkEntry {
       val gram = expr(s"substring(chunk, pos, $k)")
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")), lit(stride))).as("cstart"),
+          // greatest(len, 1): sequence(1, 0, 64) on empty text is an
+          // ERROR in Spark (start > stop with positive step), not an
+          // empty array — the degenerate chunk explodes once and its
+          // sub-k gram is length-filtered
+          explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+            lit(stride))).as("cstart"),
           col("text"))
         .select(col("doc_id"),
           expr(s"substring(text, cstart, ${stride + k - 1})").as("chunk"))
@@ -2618,8 +2623,12 @@ object SparkEntry {
       val x = keys.agg(count(lit(1)).as("n_exact"))
       t.crossJoin(broadcast(x))
         .select(col("n_exact"), col("k_actual"),
-          round(lit((k - 1).toDouble)
-            / (col("kth").cast("double") / 4294967296.0), 3).as("kmv_est"))
+          // < k distinct keys means the "sketch" holds the whole
+          // population — the estimator formula is meaningless there and
+          // the exact count is free (q175's fallback, mirrored)
+          when(col("k_actual") < k, col("k_actual").cast("double"))
+            .otherwise(round(lit((k - 1).toDouble)
+              / (col("kth").cast("double") / 4294967296.0), 3)).as("kmv_est"))
     }),
 
     "q162_triangles" -> ((s, dir) => {
@@ -2631,14 +2640,14 @@ object SparkEntry {
       // through two equi-joins + a semi-join closure check. At web
       // scale the standard refinement is degree-ordered orientation
       // (hubs never fan out); id-orientation suffices here because the
-      // page space is small and edges are session-thresholded.
+      // page space is small.
       val d = sessionPages(s, dir)
       val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
       val edges = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
         .filter(col("page_a") < col("page_b"))
-        .groupBy(col("page_a"), col("page_b")).agg(count(lit(1)).as("ns"))
-        .select(col("page_a").as("u"), col("page_b").as("v")))
+        .select(col("page_a").as("u"), col("page_b").as("v"))
+        .distinct())
       val tri = edges.select(col("u").as("x"), col("v").as("y"))
         .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
         .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
@@ -2729,9 +2738,17 @@ object SparkEntry {
         .withColumn("b", when(col("hi") <= col("lo"), lit(0)).otherwise(
           least(lit(9), floor((col("value") - col("lo"))
             / (col("hi") - col("lo")) * 10).cast("int"))))
-      val cells = binned.groupBy(col("event_type"), col("b")).agg(
+      val cells0 = binned.groupBy(col("event_type"), col("b")).agg(
         sum(when(col("win") === "ref", 1L).otherwise(0L)).as("cr"),
         sum(when(col("win") === "cur", 1L).otherwise(0L)).as("cc"))
+      // the +0.5/10-bin smoothing assumes ALL 10 bins contribute a
+      // term: a bin empty in BOTH windows still carries a nonzero
+      // (0.5/(nr+5) - 0.5/(nc+5))·ln(...) when nr ≠ nc — materialize
+      // the full grid so those terms aren't silently dropped
+      val cells = bounds.select(col("event_type"))
+        .withColumn("b", explode(sequence(lit(0), lit(9))))
+        .join(cells0, Seq("event_type", "b"), "left")
+        .na.fill(0L, Seq("cr", "cc"))
       val tot = cells.groupBy(col("event_type"))
         .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
       cells.join(broadcast(tot), Seq("event_type"))
@@ -2812,8 +2829,8 @@ object SparkEntry {
       // argument), and small groups (≤ k distinct) fall back to their
       // exact count by construction.
       val k = 64
-      val keys = Tables.lineitem(s, dir)
-        .select(col("l_returnflag").as("g"), col("l_partkey").as("key")).distinct()
+      val keys = Dedup.cacheScoped(Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("g"), col("l_partkey").as("key")).distinct())
       val h = conv(substring(md5(col("key").cast("string")), 1, 8), 16, 10)
         .cast("long")
       val w = Window.partitionBy(col("g")).orderBy(col("h"), col("key"))
@@ -4687,7 +4704,8 @@ object SparkEntry {
         |t AS (SELECT MAX(h) AS kth, COUNT(*) AS k_actual FROM b),
         |x AS (SELECT COUNT(*) AS n_exact FROM w)
         |SELECT n_exact, k_actual,
-        |  round(255.0 / (CAST(kth AS DOUBLE) / 4294967296.0), 3) AS kmv_est
+        |  CASE WHEN k_actual < 256 THEN CAST(k_actual AS DOUBLE)
+        |       ELSE round(255.0 / (CAST(kth AS DOUBLE) / 4294967296.0), 3) END AS kmv_est
         |FROM t, x""".stripMargin,
 
     "q162_triangles" ->
@@ -4873,10 +4891,14 @@ object SparkEntry {
          |             CASE WHEN hi <= lo THEN 0
          |                  ELSE least(9, CAST(floor((value - lo) / (hi - lo) * 10) AS INT)) END AS b
          |           FROM e2 JOIN bounds USING (event_type)),
-         |cells AS (SELECT event_type, b,
+         |cells0 AS (SELECT event_type, b,
          |            COUNT(*) FILTER (win = 'ref') AS cr,
          |            COUNT(*) FILTER (win = 'cur') AS cc
          |          FROM binned GROUP BY event_type, b),
+         |grid AS (SELECT event_type, unnest(generate_series(0, 9)) AS b FROM bounds),
+         |cells AS (SELECT g.event_type, g.b,
+         |            COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+         |          FROM grid g LEFT JOIN cells0 USING (event_type, b)),
          |tot AS (SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc
          |        FROM cells GROUP BY event_type)
          |SELECT event_type, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,

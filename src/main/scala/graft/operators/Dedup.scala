@@ -58,7 +58,14 @@ object Dedup {
     * struct comparison is lexicographic, so leading with `key` selects
     * the smallest-key row and partial aggregation combines duplicate
     * groups map-side before the shuffle. The former
-    * groupBy + semi-join-back formulation shuffled the corpus twice. */
+    * groupBy + semi-join-back formulation shuffled the corpus twice.
+    *
+    * Semantics pinned by DedupSpec: NULL payloads form one dup group
+    * (md5(null) = null groups together) and keep their smallest-key row
+    * — the old semi-join formulation silently DROPPED every null-payload
+    * row, which was the bug, not the spec. Requirement: every column of
+    * `df` must be orderable (no MapType) since the full row rides the
+    * min(struct); project maps away before deduping. */
   def exact(df: DataFrame, payload: Column, key: Column): DataFrame = {
     val fields = df.columns
     val packed = struct(

@@ -83,8 +83,13 @@ object Selection {
       val frac = h - lo
       (lo, if (frac > 0) lo + 1 else lo, frac)
     }
-    val located: Map[Any, Map[Long, (Int, Long)]] = hist.groupBy(_._1).map {
-      case (g, rows) =>
+    // degenerate (single-valued) groups are fully answered by pass 0 —
+    // every order statistic IS lo. Routing them through pass 2 would
+    // collect the ENTIRE group into one agg buffer (all rows share bin
+    // 0), the exact memory cliff this operator exists to avoid.
+    val degenerate = bounds.filter { case (_, (lo, hi, _)) => hi <= lo }
+    val located: Map[Any, Map[Long, (Int, Long)]] = hist.groupBy(_._1).collect {
+      case (g, rows) if !degenerate.contains(g) =>
         val n = bounds(g)._3
         val wanted = qs.flatMap { q =>
           val (r1, r2, _) = ranksFor(n, q); Seq(r1, r2) }.distinct.sorted
@@ -121,6 +126,8 @@ object Selection {
         // evaluate (lower + delta*frac differs by 1 ulp)
         Row(g, q, if (r2 == r1) x1 else (1 - frac) * x1 + frac * at(r2))
       }
+    } ++ degenerate.toSeq.flatMap { case (g, (lo, _, _)) =>
+      qs.map(q => Row(g, q, lo))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),

@@ -52,9 +52,15 @@ object WebDataset {
         // buffering is ONE unmatched stem, not the whole shard. Only
         // genuinely unpaired stems stay buffered; payloads still
         // unmatched at EOF emit with null meta (orphan metas drop).
+        // Duplicate stems (a foreign tar appended to with --append; the
+        // sink never writes one): the FIRST complete pair wins and later
+        // occurrences are skipped via a stems-seen guard — O(#stems)
+        // strings, payloads never re-buffered. (The pre-streaming reader
+        // was last-wins at the cost of buffering the whole shard.)
         new Iterator[Row] {
           private val orphanPayloads = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
           private val orphanMetas = collection.mutable.HashMap.empty[String, String]
+          private val seen = collection.mutable.HashSet.empty[String]
           private var drain: Iterator[Row] = null
           private var queued: Row = fetch()
 
@@ -74,17 +80,21 @@ object WebDataset {
                   val n = e.getName
                   if (n.endsWith(".json")) {
                     val k = n.stripSuffix(".json")
-                    val m = new String(in.readAllBytes(), StandardCharsets.UTF_8)
-                    orphanPayloads.remove(k) match {
-                      case Some(b) => out = Row(k, b, m, shard); done = true
-                      case None    => orphanMetas(k) = m
+                    if (!seen.contains(k)) {
+                      val m = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                      orphanPayloads.remove(k) match {
+                        case Some(b) => seen += k; out = Row(k, b, m, shard); done = true
+                        case None    => orphanMetas(k) = m
+                      }
                     }
                   } else if (n.endsWith(s".$ext")) {
                     val k = n.stripSuffix(s".$ext")
-                    val b = in.readAllBytes()
-                    orphanMetas.remove(k) match {
-                      case Some(m) => out = Row(k, b, m, shard); done = true
-                      case None    => orphanPayloads(k) = b
+                    if (!seen.contains(k)) {
+                      val b = in.readAllBytes()
+                      orphanMetas.remove(k) match {
+                        case Some(m) => seen += k; out = Row(k, b, m, shard); done = true
+                        case None    => orphanPayloads(k) = b
+                      }
                     }
                   }
                 }

@@ -126,6 +126,14 @@ class DedupSpec extends AnyFunSuite {
       && groups(0).getAs[Long]("first_key") == 1L)
   }
 
+  test("exact dedup: null payloads form one group and keep their smallest key") {
+    val withNulls = Seq((1L, "same"), (2L, "same"),
+      (3L, null: String), (4L, null: String)).toDF("doc_id", "text")
+    val kept = Dedup.exact(withNulls, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"null payloads must dedup, not vanish: $kept")
+  }
+
   test("normalized dedup catches case/punct variants") {
     val g = Dedup.normalizedGroups(docs, col("text"), col("doc_id")).collect()
     assert(g.length == 1 && g(0).getAs[Long]("n_dups") == 3) // 1, 2, 5

@@ -199,6 +199,29 @@ class SinksSpec extends AnyFunSuite {
     assert(names === Set("MANIFEST", "k1.txt", "k1.json"))
   }
 
+  test("WebDataset.read: duplicate stems in a foreign tar emit ONE row (first pair wins)") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val out = tmpDir("wds_dupstem")
+    new File(out).mkdirs()
+    val os = new TarArchiveOutputStream(new java.io.FileOutputStream(new File(out, "s0.tar")))
+    def put(name: String, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      val e = new TarArchiveEntry(name); e.setSize(b.length.toLong)
+      os.putArchiveEntry(e); os.write(b); os.closeArchiveEntry()
+    }
+    // tar --append style: k appears twice; first complete pair wins
+    put("k.txt", "first"); put("k.json", "{\"v\":1}")
+    put("k.txt", "second"); put("k.json", "{\"v\":2}")
+    put("other.txt", "solo") // unpaired payload: emitted with null meta
+    os.close()
+    val rows = graft.sources.WebDataset.read(spark, out)
+      .collect().map(r => r.getString(0) ->
+        (new String(r.getAs[Array[Byte]](1), StandardCharsets.UTF_8), r.getString(2))).toMap
+    assert(rows.size === 2)
+    assert(rows("k") === (("first", "{\"v\":1}")))
+    assert(rows("other") === (("solo", null)))
+  }
+
   test("tombstone filter fails closed: a corrupt log errors, never fail-open") {
     val out = tmpDir("tombstone_corrupt")
     new File(out).mkdirs()
