@@ -215,8 +215,15 @@ object SparkEntry {
     }),
 
     "q08_window_running" -> ((s, dir) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (118k dup pairs at sf0.1, one with differing quantities on the
+      // same suppkey+shipdate) — lag over a non-total order is
+      // nondeterministic ACROSS ENGINES (DuckDB flips run-to-run).
+      // quantity+extendedprice complete the order; rows tying on all
+      // six keys are interchangeable for every output column.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
       Tables.lineitem(s, dir).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(col("l_quantity").cast(DecimalType(18, 4)))
@@ -3066,10 +3073,10 @@ object SparkEntry {
     "q08_window_running" ->
       s"""SELECT l_suppkey, l_orderkey, l_linenumber,
          |  CAST(SUM(CAST(l_quantity AS $D)) OVER (
-         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
          |  lag(l_quantity, 1) OVER (
-         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty
          |FROM lineitem""".stripMargin,
 
     "q09_except" ->
