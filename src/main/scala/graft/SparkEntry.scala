@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Extraction, TextAnalysis, Vectors}
-import graft.operators.{AsOf, Blocklist, CumSum, Dedup, DocPipeline, Graph, Layout, Multimodal, Optim, Profile, RangeJoin, Similarity}
+import graft.operators.{AsOf, Blocklist, Cluster, CumSum, Dedup, DocPipeline, Graph, Layout, Multimodal, Optim, Profile, RangeJoin, Similarity}
 import graft.sources.FakePdfDecoder
 import graft.streaming.StreamingOps
 
@@ -43,6 +43,34 @@ object SparkEntry {
   private def lehmer3(id: Column): Column =
     id % LP * 48271L % LP * 48271L % LP * 48271L % LP
   private val D = "DECIMAL(18,4)"
+
+  /** One DuckDB Lloyd step (assign under cent{i-1} → per-dim decimal
+    * means m{i} → round-9 → REAL centroids cent{i}, empty clusters
+    * carrying the previous centroid) — the oracle twin of
+    * [[graft.operators.Cluster.lloyd]]'s iteration, unrolled per step
+    * by q177/q178. Expects CTEs `e` (vec_id, embedding, emb DOUBLE[])
+    * and `cent{i-1}` (cid, cvec DOUBLE[]). */
+  private def kmeansIterCte(i: Int): String = {
+    val p = i - 1
+    s"""a$i AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+       |    FROM e, cent$p c) WHERE rk = 1),
+       |m$i AS (SELECT CAST(a.cid AS BIGINT) AS cid, CAST(g.i - 1 AS BIGINT) AS dim,
+       |        floor(CAST(SUM(CAST(CAST(e2.embedding[g.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS cv,
+       |        COUNT(*) AS n_members
+       |      FROM a$i a JOIN embeddings e2 ON a.vec_id = e2.vec_id,
+       |      LATERAL (SELECT unnest(generate_series(1, len(e2.embedding))) AS i) g
+       |      GROUP BY 1, 2),
+       |cent$i AS (SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+       |      FROM cent$p p LEFT JOIN (SELECT cid, CAST(list(CAST(cv AS REAL) ORDER BY dim) AS DOUBLE[]) AS cvec
+       |                               FROM m$i GROUP BY cid) n USING (cid))""".stripMargin
+  }
+
+  /** DuckDB CTEs loading embeddings with a DOUBLE[] copy and the 8
+    * lowest-id seed centroids — the q177/q178 preamble. */
+  private val kmeansBaseCte =
+    """WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cent0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, emb AS cvec FROM e WHERE vec_id < 8)""".stripMargin
 
   /** DuckDB CTE normalizing events.ts to µs — prepended to every
     * events-based oracle query. */
@@ -3023,6 +3051,278 @@ object SparkEntry {
         .filter(col("split_a") =!= col("split_b"))
         .orderBy(col("key_a"), col("key_b"))
     }),
+
+    // ------------------------------------------- round 8: cluster + curate
+    "q177_kmeans_lloyd" -> ((s, dir) => {
+      // converged Lloyd k-means (3 steps) from the 8 lowest-id seeds —
+      // the driver-loop training discipline (q143's parameters-as-
+      // literals) applied to q85's single centroid step: assignment is
+      // map-side against k×d float LITERALS (the corpus never shuffles
+      // to be assigned), per-dim means partial-aggregate in exact
+      // decimal, and each step's round-9 → float narrowing keeps the
+      // trajectory engine-exact (q144's centroid argument). Driver
+      // traffic per step: k×d doubles — corpus-size-independent.
+      val (_, means) = Cluster.lloyd(Tables.embeddings(s, dir),
+        col("vec_id"), col("embedding"), k = 8, iters = 3)
+      means.select(col("cluster").cast("long").as("centroid_id"), col("dim"),
+        col("cv").as("new_val"), col("n_members"))
+    }),
+
+    "q178_semdedup" -> ((s, dir) => {
+      // the full SemDeDup verdict (Abbas et al. 2023) on REFINED
+      // clusters: q106 emits candidate pairs under the raw seed
+      // assignment (window argmin = a per-vector shuffle); this runs a
+      // real Lloyd step first (q177's engine-exact trajectory), assigns
+      // map-side against centroid LITERALS (zero shuffle for
+      // assignment), and emits the per-vector keep/drop decision — the
+      // dedup output a pipeline consumes. Pair blow-up stays bounded
+      // by Σ|cluster|²; deterministic keep-lowest-key exemplar
+      // (q30/q32 discipline).
+      Cluster.semDedup(Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+          k = 8, iters = 1, minCosine = 0.4)
+        .select(col("key").as("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("removed"))
+    }),
+
+    "q179_gopher_repetition" -> ((s, dir) => {
+      // Gopher repetition gates in their CHARACTER-mass form (Rae et
+      // al. 2021 §A1.1 as reproduced in RedPajama/Dolma — q63/q118 are
+      // the position-mass cousins): per-doc fraction of characters in
+      // the most frequent word 2-gram and in duplicated word 3-grams
+      // (count·len(gram)/len(text), the standard over-counting
+      // convention, clipped at 1), plus the duplicate-word fraction
+      // and the paper's combined pass/fail flag. ONE tokenize pass:
+      // both gram families come from lead() columns over the same
+      // per-doc window; counts stay exact integers until the final
+      // division.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("nc"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("nc"), col("w"),
+          lead(col("w"), 1).over(w).as("l1"), lead(col("w"), 2).over(w).as("l2")))
+      val top2 = tok.filter(col("l1").isNotNull)
+        .select(col("doc_id"), col("nc"), concat_ws(" ", col("w"), col("l1")).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(max(col("nc")).as("nc"), count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c") * length(col("g"))).as("tc"), max(col("nc")).as("nc"))
+      val dup3 = tok.filter(col("l2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("l1"), col("l2")).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(lit(0L))).as("dc"))
+      val dw = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nw"), countDistinct(col("w")).as("ndw"))
+      top2.join(dup3, Seq("doc_id")).join(dw, Seq("doc_id"))
+        .select(col("doc_id"),
+          round(col("tc").cast("double") / col("nc"), 9).as("top2_frac"),
+          round(least(col("dc").cast("double") / col("nc"), lit(1.0)), 9).as("dup3_frac"),
+          round(lit(1.0) - col("ndw").cast("double") / col("nw"), 9).as("dup_word_frac"),
+          (col("tc").cast("double") / col("nc") > 0.15
+            || col("dc").cast("double") / col("nc") > 0.10).as("flagged"))
+    }),
+
+    "q180_dsir" -> ((s, dir) => {
+      // DSIR-style importance weights (Xie et al. 2023): score every
+      // doc by how target-like its unigram distribution is — Σ over
+      // tokens of ln(p_target/p_raw) with +0.5 / +0.5·V smoothing,
+      // target = the 'en' slice. One tokenize pass feeds per-doc
+      // counts AND both vocabulary distributions (the raw and target
+      // counts are one conditional roll-up of the same frame); the
+      // per-word log-ratio is a broadcast scalar table; per-term
+      // products round then decimal-reduce (q91). Top-20 non-target
+      // docs = what DSIR would pull INTO a target-domain mix.
+      val tok = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val dc = tok.groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val wc = dc.groupBy(col("w")).agg(
+        sum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
+      val tot = wc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"), count(lit(1)).as("v"))
+      val lr = wc.crossJoin(broadcast(tot))
+        .select(col("w"), round(
+          log(((col("ct") + 0.5) / (col("nt") + col("v") * 0.5))
+            / ((col("cr") + 0.5) / (col("nr") + col("v") * 0.5))), 12).as("lr"))
+      dc.filter(col("lang") =!= "en")
+        .join(broadcast(lr), Seq("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(sum(round(col("c") * col("lr"), 9).cast(DecimalType(27, 9)))
+          .cast("double"), 6).as("dsir_weight"))
+        .orderBy(desc("dsir_weight"), col("doc_id")).limit(20)
+    }),
+
+    "q181_decontamination" -> ((s, dir) => {
+      // eval-contamination ATTRIBUTION: q73 reports each corpus doc's
+      // pooled overlap ratio against the whole benchmark; this
+      // attributes shared n-grams to the SPECIFIC benchmark item —
+      // the (corpus doc, eval item, n shared grams) provenance rows an
+      // eval card ships (word 3-grams stand in for the usual 13-grams
+      // on this tiny-vocab corpus). Distinct doc×gram pairs equi-join
+      // the BROADCAST benchmark gram set — the corpus side never
+      // shuffles for the probe.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("w"),
+          lead(col("w"), 1).over(w).as("l1"), lead(col("w"), 2).over(w).as("l2"))
+        .filter(col("l2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("l1"), col("l2")).as("gram"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("gram"))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    "q182_funnel_3stage" -> ((s, dir) => {
+      // strictly-ordered 3-stage funnel view → click → purchase (q92
+      // is the 2-stage windowed conversion-rate twin): each stage's
+      // timestamp is the MIN event strictly AFTER the previous stage,
+      // so every stage frame stays one row per user and the three
+      // joins share the user_id shuffle key (exchange reuse).
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec")))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+        .filter(col("sec") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t2"), max(col("t1")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+        .filter(col("sec") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t3"), max(col("t1")).as("t1"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase"),
+          round(sum(col("t3") - col("t1")).cast("double") / count(lit(1)) / 3600.0, 9)
+            .as("avg_hours_to_convert")))
+    }),
+
+    "q183_assoc_rules" -> ((s, dir) => {
+      // association rules over session co-visitation (market-basket
+      // analysis, the "viewers also viewed" scorer): support /
+      // confidence / lift from the q148 session-blocked pair counts —
+      // N, per-page session counts and pair counts are ONE distinct-
+      // session frame plus two roll-ups; both rule directions reuse
+      // the same undirected pair count (unioned, never recomputed).
+      // Counts stay exact integers; ratios divide at the end.
+      val sess = Dedup.cacheScoped(sessionPages(s, dir)
+        .select(col("user_id"), col("sid"), col("page")))
+      val n = sess.agg(countDistinct(col("user_id"), col("sid")).as("n_sess"))
+      val pageN = sess.groupBy(col("page")).agg(count(lit(1)).as("np"))
+      val a = sess.select(col("user_id"), col("sid"), col("page").as("pa"))
+      val b = sess.select(col("user_id"), col("sid"), col("page").as("pb"))
+      val pairs = a.join(b, Seq("user_id", "sid")).filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      val both = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
+        .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("n_ab")))
+      both
+        .join(broadcast(pageN.select(col("page").as("ante"), col("np").as("na"))), Seq("ante"))
+        .join(broadcast(pageN.select(col("page").as("cons"), col("np").as("nb"))), Seq("cons"))
+        .crossJoin(broadcast(n))
+        .filter(col("n_ab") >= 10)
+        .select(col("ante"), col("cons"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n_sess"), 9).as("support"),
+          round(col("n_ab").cast("double") / col("na"), 9).as("confidence"),
+          round((col("n_ab") * col("n_sess")).cast("double") / (col("na") * col("nb")), 9)
+            .as("lift"))
+        .orderBy(desc("lift"), col("ante"), col("cons")).limit(30)
+    }),
+
+    "q184_winsorized_mean" -> ((s, dir) => {
+      // winsorized robust statistics: clamp to the exact per-group
+      // [p05, p95] band from the histogram-refinement selector (q165 —
+      // no per-group sort buffer, unlike q95's percentile() clip tier),
+      // then exact-decimal means of the clamped values next to the raw
+      // mean — the outlier-robust readout on the exact-quantile path.
+      val qs = graft.operators.Selection.exactGroupedQuantiles(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
+      val band = qs.groupBy(col("l_returnflag")).agg(
+        round(max(when(col("q") === 0.05, col("value"))), 9).as("lo"),
+        round(max(when(col("q") === 0.95, col("value"))), 9).as("hi"))
+      Tables.lineitem(s, dir).join(broadcast(band), Seq("l_returnflag"))
+        .withColumn("wv", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
+            / count(lit(1)), 9).as("raw_mean"),
+          round(sum(round(col("wv"), 9).cast(DecimalType(27, 9))).cast("double")
+            / count(lit(1)), 9).as("wins_mean"),
+          max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q185_stratified_sample" -> ((s, dir) => {
+      // proportional stratified sampling, deterministic: within each
+      // lang stratum take the first ⌈n/10⌉ docs in md5(doc_id) order —
+      // a reproducible 10% audit sample (what a corpus release ships
+      // for human eval). Strata sizes ride a broadcast join; md5 order
+      // is engine-portable (q161's hash argument).
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+      val sizes = d.groupBy(col("lang")).agg(count(lit(1)).as("stratum_n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .join(broadcast(sizes), Seq("lang"))
+        .filter(col("rn") <= ceil(col("stratum_n") / lit(10.0)))
+        .select(col("lang"), col("stratum_n"), col("doc_id"), col("rn").cast("long").as("rn"))
+    }),
+
+    "q186_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-budget planning: frequency-ranked vocabulary
+      // coverage — the smallest vocab prefix covering 50/90/99% of
+      // token mass, with the coverage attained there. The corpus rolls
+      // up to a VOCAB-sized frame before the only window (global order
+      // over ~|V| rows — the q156 tiny-frame exception, never the
+      // corpus); the threshold test stays exact-integer
+      // (cum·100 ≥ pct·N, no double compare at the boundary).
+      val wc = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = wc.agg(sum(col("c")).as("n_tok"))
+      val ord = Window.orderBy(desc("c"), col("w"))
+      val ranked = wc
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum(col("c")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+      val taus = s.range(1).select(explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+      ranked.crossJoin(broadcast(taus))
+        .filter(col("cum") * 100 >= col("pct") * col("n_tok"))
+        .groupBy(col("pct"))
+        .agg(min(struct(col("rank"), col("cum"))).as("s"), max(col("n_tok")).as("n_tok"))
+        .select(col("pct"), col("s.rank").cast("long").as("vocab_size"),
+          round(col("s.cum").cast("double") / col("n_tok"), 9).as("coverage"))
+        .orderBy(col("pct"))
+    }),
+
+    "q187_sequence_packing" -> ((s, dir) => {
+      // pretraining sequence packing: concatenate the corpus in doc_id
+      // order and chunk into fixed 256-token context windows — per-doc
+      // chunk spans come from the EXCLUSIVE running token offset via
+      // the two-pass distributed prefix sum (CumSum — no global
+      // window), and the readout is the packing plan's shape: chunks,
+      // boundary-crossing docs, worst span. What the data loader
+      // materializes ahead of every training run.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("wc"))
+        .filter(col("wc") > 0)
+      CumSum.withRunningTotal(d, Seq(col("doc_id")), col("wc"), "cum")
+        .withColumn("fc", expr("(cum - wc) div 256"))
+        .withColumn("lc", expr("(cum - 1) div 256"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("total_tokens"),
+          (max(col("lc")) + 1).as("n_chunks"),
+          sum((col("lc") > col("fc")).cast("long")).as("n_boundary_docs"),
+          max(col("lc") - col("fc") + 1).as("max_span"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4945,5 +5245,149 @@ object SparkEntry {
         |                 JOIN sp sb ON sb.doc_id = key_b)
         |SELECT key_a, key_b, split_a, split_b, jaccard FROM j
         |WHERE split_a <> split_b ORDER BY key_a, key_b""".stripMargin,
+
+    "q177_kmeans_lloyd" ->
+      s"""$kmeansBaseCte,
+         |${kmeansIterCte(1)},
+         |${kmeansIterCte(2)},
+         |${kmeansIterCte(3)}
+         |SELECT cid AS centroid_id, dim, cv AS new_val, n_members FROM m3""".stripMargin,
+
+    "q178_semdedup" ->
+      s"""$kmeansBaseCte,
+         |${kmeansIterCte(1)},
+         |a2 AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+         |    FROM e, cent1 c) WHERE rk = 1),
+         |r AS (SELECT DISTINCT a.vec_id FROM a2 a JOIN a2 b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |      JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+         |      WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.4)
+         |SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster, COALESCE(rr.removed, FALSE) AS removed
+         |FROM a2 LEFT JOIN (SELECT vec_id, TRUE AS removed FROM r) rr USING (vec_id)""".stripMargin,
+
+    "q179_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, nc, CAST(g.i AS BIGINT) AS pos, ws[g.i] AS w
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |l AS (SELECT doc_id, nc, w,
+        |        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2 FROM tok),
+        |c2 AS (SELECT doc_id, MAX(nc) AS nc, w || ' ' || l1 AS g, COUNT(*) AS c
+        |       FROM l WHERE l1 IS NOT NULL GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, MAX(c * length(g)) AS tc, MAX(nc) AS nc FROM c2 GROUP BY doc_id),
+        |c3 AS (SELECT doc_id, w || ' ' || l1 || ' ' || l2 AS g, COUNT(*) AS c
+        |       FROM l WHERE l2 IS NOT NULL GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dc FROM c3 GROUP BY doc_id),
+        |dw AS (SELECT doc_id, COUNT(*) AS nw, COUNT(DISTINCT w) AS ndw FROM l GROUP BY doc_id)
+        |SELECT t2.doc_id,
+        |  round(CAST(tc AS DOUBLE) / t2.nc, 9) AS top2_frac,
+        |  round(least(CAST(dc AS DOUBLE) / t2.nc, 1.0), 9) AS dup3_frac,
+        |  round(1.0 - CAST(ndw AS DOUBLE) / nw, 9) AS dup_word_frac,
+        |  (CAST(tc AS DOUBLE) / t2.nc > 0.15 OR CAST(dc AS DOUBLE) / t2.nc > 0.10) AS flagged
+        |FROM t2 JOIN t3 USING (doc_id) JOIN dw USING (doc_id)""".stripMargin,
+
+    "q180_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tok2 AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0),
+        |dc AS (SELECT doc_id, lang, w, COUNT(*) AS c FROM tok2 GROUP BY 1, 2, 3),
+        |wc AS (SELECT w, SUM(c) AS cr, SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+        |       FROM dc GROUP BY w),
+        |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM wc),
+        |lr AS (SELECT w, round(ln(((ct + 0.5) / (nt + 0.5 * v))
+        |                        / ((cr + 0.5) / (nr + 0.5 * v))), 12) AS lr FROM wc, tot)
+        |SELECT doc_id, lang,
+        |  round(CAST(SUM(CAST(round(c * lr, 9) AS DECIMAL(27,9))) AS DOUBLE), 6) AS dsir_weight
+        |FROM dc JOIN lr USING (w) WHERE lang <> 'en'
+        |GROUP BY doc_id, lang ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q181_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, ws[g.i] AS w
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |l AS (SELECT doc_id, w,
+        |        lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+        |        lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2 FROM tok),
+        |g AS (SELECT DISTINCT doc_id, w || ' ' || l1 || ' ' || l2 AS gram FROM l WHERE l2 IS NOT NULL),
+        |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+        |p AS (SELECT doc_id, bench_id, COUNT(*) AS n_shared FROM corp JOIN bench USING (gram) GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, CAST(n_shared AS BIGINT) AS n_shared FROM p
+        |WHERE n_shared >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+
+    "q182_funnel_3stage" ->
+      s"""$evCte,
+         |e2 AS (SELECT user_id, event_type, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM ev),
+         |v AS (SELECT user_id, MIN(sec) AS t1 FROM e2 WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e2.user_id, MIN(sec) AS t2, MAX(t1) AS t1 FROM e2 JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND sec > t1 GROUP BY e2.user_id),
+         |p AS (SELECT e2.user_id, MIN(sec) AS t3, MAX(c.t1) AS t1 FROM e2 JOIN c USING (user_id)
+         |      WHERE event_type = 'purchase' AND sec > t2 GROUP BY e2.user_id)
+         |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+         |       (SELECT COUNT(*) FROM c) AS n_click,
+         |       (SELECT COUNT(*) FROM p) AS n_purchase,
+         |       (SELECT round(CAST(SUM(t3 - t1) AS DOUBLE) / COUNT(*) / 3600.0, 9) FROM p) AS avg_hours_to_convert""".stripMargin,
+
+    "q183_assoc_rules" ->
+      s"""$sessionPagesCte,
+         |n AS (SELECT COUNT(*) AS n_sess FROM (SELECT DISTINCT user_id, sid FROM d)),
+         |pn AS (SELECT page, COUNT(*) AS np FROM d GROUP BY page),
+         |pr AS (SELECT a.page AS pa, b.page AS pb, COUNT(*) AS nab
+         |       FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |       GROUP BY 1, 2),
+         |bo AS (SELECT pa AS ante, pb AS cons, nab FROM pr
+         |       UNION ALL SELECT pb, pa, nab FROM pr),
+         |j AS (SELECT ante, cons, nab, na.np AS na, nb.np AS nb, n_sess
+         |      FROM bo JOIN pn na ON na.page = ante JOIN pn nb ON nb.page = cons, n
+         |      WHERE nab >= 10)
+         |SELECT ante, cons, CAST(nab AS BIGINT) AS n_ab,
+         |  round(CAST(nab AS DOUBLE) / n_sess, 9) AS support,
+         |  round(CAST(nab AS DOUBLE) / na, 9) AS confidence,
+         |  round(CAST(nab * n_sess AS DOUBLE) / (na * nb), 9) AS lift
+         |FROM j ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
+
+    "q184_winsorized_mean" ->
+      """WITH b AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.05), 9) AS lo,
+        |                  round(quantile_cont(l_extendedprice, 0.95), 9) AS hi
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 9) AS raw_mean,
+        |  round(CAST(SUM(CAST(round(least(greatest(l_extendedprice, lo), hi), 9) AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 9) AS wins_mean,
+        |  MAX(lo) AS lo, MAX(hi) AS hi
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q185_stratified_sample" ->
+      """SELECT lang, stratum_n, doc_id, rn FROM (
+        |  SELECT lang, doc_id, COUNT(*) OVER (PARTITION BY lang) AS stratum_n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= ceil(stratum_n / 10.0)""".stripMargin,
+
+    "q186_vocab_coverage" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS c FROM w0 WHERE length(w) > 0 GROUP BY w),
+        |tot AS (SELECT SUM(c) AS n_tok FROM wc),
+        |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank,
+        |        SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum FROM wc),
+        |x AS (SELECT pct, rank, cum, n_tok
+        |      FROM r, tot, (SELECT unnest([50, 90, 99]) AS pct) taus
+        |      WHERE cum * 100 >= pct * n_tok),
+        |m AS (SELECT pct, MIN(rank) AS vocab_size FROM x GROUP BY pct)
+        |SELECT CAST(m.pct AS BIGINT) AS pct, CAST(m.vocab_size AS BIGINT) AS vocab_size,
+        |  round(CAST(x.cum AS DOUBLE) / x.n_tok, 9) AS coverage
+        |FROM m JOIN x ON m.pct = x.pct AND x.rank = m.vocab_size ORDER BY pct""".stripMargin,
+
+    "q187_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS wc
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, wc FROM d WHERE wc > 0),
+        |t AS (SELECT doc_id, wc, SUM(wc) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d2),
+        |x AS (SELECT doc_id, wc, cum, (cum - wc) // 256 AS fc, (cum - 1) // 256 AS lc FROM t)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS total_tokens,
+        |  CAST(MAX(lc) + 1 AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN lc > fc THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+        |  CAST(MAX(lc - fc + 1) AS BIGINT) AS max_span
+        |FROM x""".stripMargin,
   )
 }

@@ -128,4 +128,30 @@ class EdgeSpec extends AnyFunSuite {
       .filter(length(col("gram")) === 40)
     assert(grams.count() === 0L)
   }
+
+  // ------------------------------------------------------- round-8 edges
+
+  test("lloyd refuses to seed from fewer vectors than k with a clear error") {
+    val two = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("key", "vec")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Cluster.lloyd(two, col("key"), col("vec"), k = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("fewer than 3"))
+  }
+
+  test("running-total packing shape on an empty corpus aggregates to a single summary row") {
+    val none = Seq.empty[(Long, Long)].toDF("doc_id", "wc")
+    val t = graft.operators.CumSum.withRunningTotal(none, Seq(col("doc_id")), col("wc"), "cum")
+    val row = t.agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("total_tokens")).head()
+    assert(row.getLong(0) === 0L && row.isNullAt(1))
+  }
+
+  test("semDedup on a corpus with no near-duplicates removes nothing") {
+    val df = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0f, 0f, 1f)), (3L, Seq(-1f, 0f, 0f))).toDF("key", "vec")
+    val out = graft.operators.Cluster.semDedup(df, col("key"), col("vec"),
+      k = 2, iters = 1, minCosine = 0.99)
+    assert(out.filter(col("removed")).count() === 0L)
+    assert(out.count() === 4L)
+  }
 }
