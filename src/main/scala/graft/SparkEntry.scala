@@ -3323,6 +3323,115 @@ object SparkEntry {
           sum((col("lc") > col("fc")).cast("long")).as("n_boundary_docs"),
           max(col("lc") - col("fc") + 1).as("max_span"))
     }),
+
+    "q188_ivf_trained" -> ((s, dir) => {
+      // IVF ANN over a TRAINED codebook — q48's scale path upgraded
+      // twice: the coarse quantizer is a Lloyd-refined codebook (q177's
+      // engine-exact trajectory), and corpus assignment AND query
+      // probes are literal-centroid map-side expressions (q48 windows
+      // per vector — a corpus shuffle this deletes). Determinism makes
+      // the WHOLE approximate search an oracle row: recall vs brute
+      // force becomes a measured property (SimilaritySpec), not
+      // nondeterminism — q48 stays the rows-only raw-seed tier.
+      val emb = Tables.embeddings(s, dir)
+      val (state, _) = Cluster.lloyd(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      Cluster.ivfTopK(emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        state, k = 5, nprobe = 3)
+    }),
+
+    "q189_mixture_weights" -> ((s, dir) => {
+      // training-mix design (the Pile/DoReMi-style temperature
+      // sampler): per-source token mass → share^α (α = 0.7, written
+      // exp(α·ln p) so both engines compose the SAME transcendentals
+      // q86/q149 already proved) → renormalized sampling weight →
+      // expected tokens at a 100k budget. The whole readout is two
+      // tiny aggs over one corpus scan; every derived double rounds
+      // then decimal-reduces (q91).
+      val B = 100000.0
+      val src = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_tokens"))
+      val tot = src.agg(sum(col("n_tokens")).as("n_total"))
+      val t = src.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_tokens").cast("double") / col("n_total"))
+        .withColumn("t", round(exp(log(col("share")) * 0.7), 12))
+      val tt = t.agg(sum(col("t").cast(DecimalType(27, 12))).cast("double").as("t_sum"))
+      t.crossJoin(broadcast(tt))
+        .select(col("source"), col("n_tokens"), round(col("share"), 9).as("share"),
+          round(col("t") / col("t_sum"), 9).as("weight"),
+          round(col("t") / col("t_sum") * B, 3).as("expected_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    "q190_hard_negatives" -> ((s, dir) => {
+      // hard-negative mining for contrastive embedding training: for
+      // each query vector, the top-3 most-cosine-similar vectors with
+      // a DIFFERENT label — the negatives that actually move a
+      // contrastive loss. The q36 brute shape with the label-inequality
+      // predicate; queries broadcast, rank≤3 compiles to
+      // WindowGroupLimit so each partition forwards 3 rows per query.
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("label").as("ql"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("label").as("nl"))
+        .join(broadcast(q), col("nl") =!= col("ql"))
+        .select(col("query_id"), col("neighbor_id"),
+          Vectors.cosine(col("qv"), col("nv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+    }),
+
+    "q191_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the
+      // BM25 lexical ranker (q169's scorer) and the embedding cosine
+      // ranker (q36's kernel; doc_id ≡ vec_id) — the standard
+      // score-free fusion a RAG stack runs. Each ranker contributes
+      // its top-50; ranks come from a window over those 50-row frames
+      // (tiny-frame exception); 1/(60+rank) sums are two-term IEEE,
+      // exact in any engine.
+      val terms = Seq("spark", "join", "scan")
+      val words = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val tf = words.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs")
+      val bm25 = tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
+        .crossJoin(broadcast(st))
+        .withColumn("s", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .withColumn("rb", row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cos = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), Vectors.cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(desc("cos"), col("doc_id")).limit(50)
+        .withColumn("rc", row_number().over(Window.orderBy(desc("cos"), col("doc_id"))))
+      bm25.select(col("doc_id"), col("rb"))
+        .join(cos.select(col("doc_id"), col("rc")), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          col("rb").cast("long").as("bm25_rank"),
+          col("rc").cast("long").as("cos_rank"),
+          round(
+            coalesce(lit(1.0) / (col("rb") + 60), lit(0.0))
+              + coalesce(lit(1.0) / (col("rc") + 60), lit(0.0)), 12).as("rrf"))
+        .orderBy(desc("rrf"), col("doc_id")).limit(20)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5389,5 +5498,73 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN lc > fc THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
         |  CAST(MAX(lc - fc + 1) AS BIGINT) AS max_span
         |FROM x""".stripMargin,
+
+    "q188_ivf_trained" ->
+      s"""$kmeansBaseCte,
+         |${kmeansIterCte(1)},
+         |ac AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+         |    FROM e, cent1 c) WHERE rk = 1),
+         |pq AS (SELECT vec_id AS query_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+         |    FROM e, cent1 c WHERE e.vec_id < 10) WHERE rk <= 3),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |           list_cosine_similarity(eq.emb, ea.emb) AS cosine
+         |         FROM pq p JOIN ac a USING (cid)
+         |         JOIN e eq ON eq.vec_id = p.query_id
+         |         JOIN e ea ON ea.vec_id = a.vec_id
+         |         WHERE a.vec_id <> p.query_id)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q189_mixture_weights" ->
+      """WITH src AS (SELECT source, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS n_total FROM src),
+        |t AS (SELECT source, n_tokens, CAST(n_tokens AS DOUBLE) / n_total AS share,
+        |        round(exp(ln(CAST(n_tokens AS DOUBLE) / n_total) * 0.7), 12) AS t
+        |      FROM src, tot),
+        |tt AS (SELECT CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS t_sum FROM t)
+        |SELECT source, n_tokens, round(share, 9) AS share,
+        |  round(t / t_sum, 9) AS weight,
+        |  round(t / t_sum * 100000.0, 3) AS expected_tokens
+        |FROM t, tt ORDER BY source""".stripMargin,
+
+    "q190_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qv, label AS ql FROM e WHERE vec_id < 10),
+        |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.qv, e.emb) AS cosine
+        |      FROM q JOIN e ON e.label <> q.ql)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM c)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q191_rrf_fusion" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w2
+        |       WHERE w IN ('spark','join','scan') GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        |sc AS (SELECT tf.doc_id,
+        |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))), 12) AS s
+        |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w), st),
+        |bm AS (SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25
+        |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb FROM bm),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |qv AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+        |co AS (SELECT vec_id AS doc_id, list_cosine_similarity(emb, qv) AS cos
+        |       FROM e, qv WHERE vec_id <> 0 ORDER BY cos DESC, doc_id LIMIT 50),
+        |cor AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rc FROM co),
+        |f AS (SELECT COALESCE(bmr.doc_id, cor.doc_id) AS doc_id, rb, rc
+        |      FROM bmr FULL OUTER JOIN cor ON bmr.doc_id = cor.doc_id)
+        |SELECT doc_id, CAST(rb AS BIGINT) AS bm25_rank, CAST(rc AS BIGINT) AS cos_rank,
+        |  round(COALESCE(1.0 / (rb + 60), 0.0) + COALESCE(1.0 / (rc + 60), 0.0), 12) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

@@ -112,6 +112,48 @@ object Cluster {
     KMeansState(cents, sizes)
   }
 
+  /** The `nprobe` nearest centroid ids for `vec`, as an exploded
+    * column of cids — the literal-centroid twin of [[assignCol]]:
+    * sort the (distance, cid) structs in-row and take the prefix.
+    * Map-side, zero shuffle, ties to the lower cid. */
+  def probeCol(vec: Column, centroids: Seq[Array[Float]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.l2Distance(vec, typedlit(c.toSeq)).as("d"), lit(i).as("cid"))
+    }
+    explode(transform(slice(array_sort(array(scored: _*)), 1, nprobe),
+      s => s.getField("cid")))
+  }
+
+  /** IVF top-k over TRAINED centroids — [[Similarity.ivfTopK]] with two
+    * upgrades: the coarse quantizer is a real Lloyd-refined codebook
+    * (not raw seed vectors), and BOTH the corpus assignment and the
+    * query probes are literal-centroid map-side expressions (the
+    * existing tier plans a per-vector window rank — a corpus shuffle
+    * this formulation deletes). The only shuffle left is the candidate
+    * equi-join on the cell id, and the query side broadcasts. Fully
+    * deterministic (engine-exact centroids + bit-exact cosine), so the
+    * WHOLE approximate search is oracle-matchable — recall loss vs
+    * brute force is a measured property, not nondeterminism. */
+  def ivfTopK(corpus: DataFrame, corpusKey: Column, corpusVec: Column,
+              queries: DataFrame, queryKey: Column, queryVec: Column,
+              state: KMeansState, k: Int, nprobe: Int): DataFrame = {
+    val cents = state.centroids.toSeq
+    val assigned = corpus.select(corpusKey.as("neighbor_id"), corpusVec.as("__cv"),
+      assignCol(corpusVec, cents).as("cid"))
+    val probes = queries.select(queryKey.as("query_id"), queryVec.as("__qv"),
+      probeCol(queryVec, cents, nprobe).as("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication = k-means the embeddings, then drop any vector with
     * a sufficiently-cosine-similar LOWER-KEYED neighbor in the SAME

@@ -205,6 +205,38 @@ class PlanSpec extends AnyFunSuite {
       "no equi key exists, but the bucketization must synthesize one:\n" + p.take(1500))
   }
 
+  test("q177: k-means assignment is map-side — one shuffle total (the means agg), no join, no window") {
+    val p = plan("q177_kmeans_lloyd")
+    // centroids ride the plan as literals: any Exchange beyond the
+    // partial→final agg, or any join/window, means the corpus is being
+    // shuffled to be assigned — the thing the literal design forbids
+    assert("\\+- Exchange".r.findAllIn(p).size === 1, p.take(1500))
+    assert(!p.contains("BroadcastExchange") && !p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("partial_sum") || p.contains("Partial"), "means must map-side combine")
+  }
+
+  test("q178: SemDeDup pairs join on the cluster key — no cross join, no assignment window") {
+    val p = plan("q178_semdedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("Window"), "assignment must be the literal argmin, not a window rank")
+    assert(p.contains("LeftSemi"), "removal set must be a semi join")
+  }
+
+  test("q183: association rules broadcast the page-count sides; pairs join stays equi") {
+    val p = plan("q183_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q187: packing prefix sum plans no partition-less Window (two-pass cumsum)") {
+    val p = plan("q187_sequence_packing")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, p.take(1200))
+    specs.foreach(i => assert(p.substring(i).startsWith("__pid"),
+      s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
   test("Pipeline.run: no Window anywhere in the payload plan (key assignment is two-pass dense-id)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
