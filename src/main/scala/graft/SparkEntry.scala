@@ -3260,11 +3260,12 @@ object SparkEntry {
     }),
 
     "q185_stratified_sample" -> ((s, dir) => {
-      // proportional stratified sampling, deterministic: within each
-      // lang stratum take the first ⌈n/10⌉ docs in md5(doc_id) order —
-      // a reproducible 10% audit sample (what a corpus release ships
-      // for human eval). Strata sizes ride a broadcast join; md5 order
-      // is engine-portable (q161's hash argument).
+      // PROPORTIONAL stratified sampling — the 4th member of the
+      // sampling family (q60 fixed-rate, q80 weighted, q99 fixed-k):
+      // within each lang stratum take the first ⌈n/10⌉ docs in
+      // md5(doc_id) order, the allocation that tracks stratum size —
+      // a reproducible 10% audit sample. Strata sizes ride a broadcast
+      // join; md5 order is engine-portable (q161's hash argument).
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
       val sizes = d.groupBy(col("lang")).agg(count(lit(1)).as("stratum_n"))
@@ -3305,13 +3306,15 @@ object SparkEntry {
     }),
 
     "q187_sequence_packing" -> ((s, dir) => {
-      // pretraining sequence packing: concatenate the corpus in doc_id
-      // order and chunk into fixed 256-token context windows — per-doc
-      // chunk spans come from the EXCLUSIVE running token offset via
-      // the two-pass distributed prefix sum (CumSum — no global
-      // window), and the readout is the packing plan's shape: chunks,
-      // boundary-crossing docs, worst span. What the data loader
-      // materializes ahead of every training run.
+      // concat-and-chunk sequence packing: the corpus concatenated in
+      // doc_id order and cut into fixed 256-token context windows, so
+      // a doc can SPAN chunk boundaries (q122's bin packer assigns each
+      // doc to the single bin its first token lands in — no spans);
+      // per-doc [first, last] chunk spans come from the EXCLUSIVE
+      // running offset via the two-pass prefix sum (CumSum — no global
+      // window). The readout is the packing plan's shape: chunks,
+      // boundary-crossing docs (= attention-mask complexity), worst
+      // span.
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("wc"))
         .filter(col("wc") > 0)
@@ -3341,13 +3344,14 @@ object SparkEntry {
     }),
 
     "q189_mixture_weights" -> ((s, dir) => {
-      // training-mix design (the Pile/DoReMi-style temperature
-      // sampler): per-source token mass → share^α (α = 0.7, written
-      // exp(α·ln p) so both engines compose the SAME transcendentals
-      // q86/q149 already proved) → renormalized sampling weight →
-      // expected tokens at a 100k budget. The whole readout is two
-      // tiny aggs over one corpus scan; every derived double rounds
-      // then decimal-reduces (q91).
+      // training-mix DESIGN readout (the Pile/DoReMi recipe): per-
+      // source TOKEN mass → share^α (α = 0.7, written exp(α·ln p) so
+      // both engines compose the same transcendentals q86/q149 proved)
+      // → renormalized weight → expected tokens at a 100k budget.
+      // q124 is the APPLY side (doc-level keep-rate sampler over
+      // langs); this emits the per-source budget table a mix designer
+      // reviews before that sampler runs. Two tiny aggs over one
+      // corpus scan; derived doubles round then decimal-reduce (q91).
       val B = 100000.0
       val src = Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -3364,29 +3368,8 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
-    "q190_hard_negatives" -> ((s, dir) => {
-      // hard-negative mining for contrastive embedding training: for
-      // each query vector, the top-3 most-cosine-similar vectors with
-      // a DIFFERENT label — the negatives that actually move a
-      // contrastive loss. The q36 brute shape with the label-inequality
-      // predicate; queries broadcast, rank≤3 compiles to
-      // WindowGroupLimit so each partition forwards 3 rows per query.
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("label").as("ql"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("label").as("nl"))
-        .join(broadcast(q), col("nl") =!= col("ql"))
-        .select(col("query_id"), col("neighbor_id"),
-          Vectors.cosine(col("qv"), col("nv")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("cosine"),
-          col("rank").cast("long").as("rank"))
-    }),
 
-    "q191_rrf_fusion" -> ((s, dir) => {
+    "q190_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: reciprocal-rank fusion (RRF, k=60) of the
       // BM25 lexical ranker (q169's scorer) and the embedding cosine
       // ranker (q36's kernel; doc_id ≡ vec_id) — the standard
@@ -5531,17 +5514,8 @@ object SparkEntry {
         |  round(t / t_sum * 100000.0, 3) AS expected_tokens
         |FROM t, tt ORDER BY source""".stripMargin,
 
-    "q190_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, emb AS qv, label AS ql FROM e WHERE vec_id < 10),
-        |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-        |        list_cosine_similarity(q.qv, e.emb) AS cosine
-        |      FROM q JOIN e ON e.label <> q.ql)
-        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM c)
-        |WHERE rank <= 3""".stripMargin,
 
-    "q191_rrf_fusion" ->
+    "q190_rrf_fusion" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),

@@ -34,14 +34,19 @@ import graft.functions.Vectors
   */
 object Cluster {
 
-  /** Centroids after a refinement step, plus member counts (clusters
-    * that lost every member keep their previous centroid and report
-    * size 0 — the standard Lloyd empty-cluster carry). */
+  /** Centroids after a refinement step, plus the member counts UNDER
+    * THE ASSIGNMENT THAT PRODUCED THEM — each centroid is the mean of
+    * exactly `sizes(cid)` vectors (clusters that lost every member
+    * keep their previous centroid and report size 0 — the standard
+    * Lloyd empty-cluster carry). */
   final case class KMeansState(centroids: Array[Array[Float]], sizes: Map[Int, Long])
 
   /** Map-side nearest-centroid id for `vec` against literal centroids:
     * `least` over (distance, cid) structs — equal distances resolve to
-    * the lower cid by struct ordering. Zero shuffle, zero join. */
+    * the lower cid by struct ordering. Zero shuffle, zero join.
+    * Precondition: `vec` is non-null and matches the centroid
+    * dimension (a mismatch nulls the distance, which struct ordering
+    * would silently sort first). */
   def assignCol(vec: Column, centroids: Seq[Array[Float]]): Column = {
     require(centroids.size >= 2, "need at least 2 centroids")
     val scored = centroids.zipWithIndex.map { case (c, i) =>
