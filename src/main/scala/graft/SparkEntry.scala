@@ -3207,7 +3207,8 @@ object SparkEntry {
 
     "q183_assoc_rules" -> ((s, dir) => {
       // association rules over session co-visitation (market-basket
-      // analysis, the "viewers also viewed" scorer): support /
+      // analysis, the "viewers also viewed" scorer; q86's PMI is the
+      // log-scaled collocation cousin over word bigrams): support /
       // confidence / lift from the q148 session-blocked pair counts —
       // N, per-page session counts and pair counts are ONE distinct-
       // session frame plus two roll-ups; both rule directions reuse
@@ -3279,7 +3280,8 @@ object SparkEntry {
     "q186_vocab_coverage" -> ((s, dir) => {
       // tokenizer-budget planning: frequency-ranked vocabulary
       // coverage — the smallest vocab prefix covering 50/90/99% of
-      // token mass, with the coverage attained there. The corpus rolls
+      // token mass, with the coverage attained there (q81 builds the
+      // ranked vocab itself; this answers "how big must it be"). The corpus rolls
       // up to a VOCAB-sized frame before the only window (global order
       // over ~|V| rows — the q156 tiny-frame exception, never the
       // corpus); the threshold test stays exact-integer

@@ -174,4 +174,73 @@ class PropertySpec extends AnyFunSuite {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === splits)
   }
+
+  // ------------------------------------------------- round-8 invariants
+
+  test("sequence packing summary matches a naive sequential packer on random corpora") {
+    val wcs = samples(Gen.chooseNum(1L, 600L), 200)
+    val df = wcs.zipWithIndex.map { case (wc, i) => (i.toLong, wc) }.toDF("doc_id", "wc")
+    val row = graft.operators.CumSum
+      .withRunningTotal(df, Seq(col("doc_id")), col("wc"), "cum")
+      .withColumn("fc", expr("(cum - wc) div 256"))
+      .withColumn("lc", expr("(cum - 1) div 256"))
+      .agg(count(lit(1)), sum(col("wc")), max(col("lc")) + 1,
+        sum((col("lc") > col("fc")).cast("long")),
+        max(col("lc") - col("fc") + 1)).head()
+    // naive driver-side packer over the same order
+    var off = 0L; var boundary = 0L; var maxSpan = 0L
+    wcs.foreach { wc =>
+      val fc = off / 256; val lc = (off + wc - 1) / 256
+      if (lc > fc) boundary += 1
+      maxSpan = math.max(maxSpan, lc - fc + 1)
+      off += wc
+    }
+    assert(row.getLong(0) === wcs.length.toLong)
+    assert(row.getLong(1) === wcs.sum)
+    assert(row.getLong(2) === (wcs.sum - 1) / 256 + 1)
+    assert(row.getLong(3) === boundary)
+    assert(row.getLong(4) === maxSpan)
+  }
+
+  test("funnel stages are monotone: view ⊇ click-after ⊇ purchase-after") {
+    val r = SparkEntry.queries("q182_funnel_3stage")(spark, TestSpark.sf0001).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v / $c / $p")
+    assert(p == 0 || !r.isNullAt(3))
+  }
+
+  test("association-rule lift is symmetric across the two rule directions") {
+    val rules = SparkEntry.queries("q183_assoc_rules")(spark, TestSpark.sf0001)
+      .select("ante", "cons", "lift").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    rules.foreach { case ((a, b), l) =>
+      rules.get((b, a)).foreach(l2 => assert(l === l2, s"lift($a->$b)=$l vs $l2"))
+    }
+  }
+
+  test("vocab coverage: size monotone in target, attained coverage meets the target") {
+    val rows = SparkEntry.queries("q186_vocab_coverage")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(50L, 90L, 99L))
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(s => s.head <= s.last))
+    rows.foreach { case (pct, _, cov) => assert(cov >= pct / 100.0 - 1e-9, s"$pct: $cov") }
+  }
+
+  test("mixture weights renormalize to 1 and expected tokens to the budget") {
+    val rows = SparkEntry.queries("q189_mixture_weights")(spark, TestSpark.sf0001)
+      .select("weight", "expected_tokens").collect()
+    val wSum = rows.map(_.getDouble(0)).sum
+    val tSum = rows.map(_.getDouble(1)).sum
+    assert(math.abs(wSum - 1.0) < 1e-6, s"weights sum $wSum")
+    assert(math.abs(tSum - 100000.0) < 1.0, s"expected tokens sum $tSum")
+  }
+
+  test("proportional stratified sample takes exactly ceil(n/10) per stratum") {
+    val got = SparkEntry.queries("q185_stratified_sample")(spark, TestSpark.sf0001)
+      .groupBy("lang").agg(max("stratum_n").as("n"), count(lit(1)).as("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (lang, n, k) =>
+      assert(k === (n + 9) / 10, s"$lang: n=$n k=$k") }
+  }
 }
