@@ -3417,6 +3417,25 @@ object SparkEntry {
               + coalesce(lit(1.0) / (col("rc") + 60), lit(0.0)), 12).as("rrf"))
         .orderBy(desc("rrf"), col("doc_id")).limit(20)
     }),
+
+    "q191_scd2_history" -> ((s, dir) => {
+      // slowly-changing-dimension type 2 build (the warehouse staple
+      // q142's snapshot diff and q171's keep-latest upsert both stop
+      // short of): each user's event_type CHANGES open a validity
+      // interval — consecutive repeats collapse first (run-length
+      // encode via lag), each interval closes at the next change
+      // (lead), the latest stays open (null valid_to). Two window
+      // passes on the SAME user_id key — one shuffle, exchange reused;
+      // never a self-join against the history.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5542,5 +5561,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(rb AS BIGINT) AS bm25_rank, CAST(rc AS BIGINT) AS cos_rank,
         |  round(COALESCE(1.0 / (rb + 60), 0.0) + COALESCE(1.0 / (rc + 60), 0.0), 12) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q191_scd2_history" ->
+      s"""$evCte,
+         |c AS (SELECT user_id, ts, event_id, event_type,
+         |        lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM ev),
+         |r AS (SELECT user_id, ts, event_id, event_type FROM c
+         |      WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, event_type, ts AS valid_from,
+         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         |  (lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+         |FROM r""".stripMargin,
   )
 }
