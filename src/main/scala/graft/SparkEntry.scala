@@ -3436,6 +3436,68 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
           col("valid_to"), col("valid_to").isNull.as("is_current"))
     }),
+
+    "q192_cluster_labels" -> ((s, dir) => {
+      // cluster labeling — the corpus-cartography readout ("what IS
+      // each embedding cluster?") that makes q177/q178/q188's codebook
+      // human-legible: q177's map-side assignment joined to one
+      // tokenize pass, then q163's prior-smoothed log-odds scored per
+      // CLUSTER against the rest of the corpus; top-3 distinctive
+      // terms per cluster ride a WindowGroupLimit. Word and cluster
+      // totals are roll-ups of the same (cluster, word) counts —
+      // one tokenize, one content shuffle.
+      val emb = Tables.embeddings(s, dir)
+      val (state, _) = Cluster.lloyd(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      val assign = emb.select(col("vec_id").as("doc_id"),
+        Cluster.assignCol(col("embedding"), state.centroids.toSeq).as("cluster"))
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(assign, Seq("doc_id"))
+      val cw = Dedup.cacheScoped(
+        words.groupBy(col("cluster"), col("word")).agg(count(lit(1)).as("cw")))
+      val wtot = cw.groupBy(col("word")).agg(sum(col("cw")).as("w_all"))
+      val ctot = cw.groupBy(col("cluster")).agg(sum(col("cw")).as("n_c"))
+      val n = ctot.agg(sum(col("n_c")).as("n_all"))
+      val z = cw.join(broadcast(wtot), Seq("word")).join(broadcast(ctot), Seq("cluster"))
+        .crossJoin(broadcast(n))
+        .withColumn("rest", col("w_all") - col("cw"))
+        .withColumn("n_rest", col("n_all") - col("n_c"))
+        .withColumn("z", round(
+          (log((col("cw") + 0.5) / (col("n_c") - col("cw") + 0.5))
+            - log((col("rest") + 0.5) / (col("n_rest") - col("rest") + 0.5)))
+          / sqrt(lit(1.0) / (col("cw") + 0.5) + lit(1.0) / (col("rest") + 0.5)), 9))
+      val w = Window.partitionBy(col("cluster")).orderBy(desc("z"), col("word"))
+      z.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("cluster").cast("long").as("cluster"), col("word"), col("cw"),
+          col("z"), col("rank").cast("long").as("rank"))
+    }),
+
+    "q193_cohens_kappa" -> ((s, dir) => {
+      // inter-rater agreement (Cohen's kappa) between the q108 linear
+      // quality classifier (round-9 score ≥ 0.5) and the lang='en'
+      // label — the "do my two labelers agree beyond chance" statistic
+      // behind weak-supervision pipelines (q150 calibrates one rater;
+      // this compares two). One scan of conditional exact counts;
+      // kappa in closed form from the 2×2 table, every product taken
+      // in double BEFORE multiplying (the q153 overflow lesson —
+      // na·nb at corpus scale exceeds long).
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      val d = Tables.documents(s, dir)
+        .select((score >= 0.5).cast("long").as("a"),
+          (col("lang") === "en").cast("long").as("b"))
+      val nD = col("n").cast("double")
+      val pe = (col("na").cast("double") * col("nb")
+        + (nD - col("na")) * (col("n") - col("nb"))) / (nD * col("n"))
+      d.agg(count(lit(1)).as("n"),
+          sum(col("a") * col("b")).as("n11"),
+          sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"),
+          sum(col("a")).as("na"), sum(col("b")).as("nb"))
+        .select(col("n"), col("n11"), col("n00"), col("na"), col("nb"),
+          round(((col("n11") + col("n00")).cast("double") / nD - pe)
+            / (lit(1.0) - pe), 9).as("kappa"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5573,5 +5635,51 @@ object SparkEntry {
          |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
          |  (lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
          |FROM r""".stripMargin,
+
+    "q192_cluster_labels" ->
+      s"""$kmeansBaseCte,
+         |${kmeansIterCte(1)},
+         |a2 AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+         |    FROM e, cent1 c) WHERE rk = 1),
+         |w0 AS (SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS word FROM documents d),
+         |w1 AS (SELECT a.cid AS cluster, word FROM w0 JOIN a2 a ON a.vec_id = w0.doc_id
+         |       WHERE length(word) > 0),
+         |cw AS (SELECT cluster, word, COUNT(*) AS cw FROM w1 GROUP BY cluster, word),
+         |wt AS (SELECT word, SUM(cw) AS w_all FROM cw GROUP BY word),
+         |ct AS (SELECT cluster, SUM(cw) AS n_c FROM cw GROUP BY cluster),
+         |n AS (SELECT SUM(n_c) AS n_all FROM ct),
+         |z AS (SELECT cw.cluster, cw.word, cw.cw,
+         |        round((ln((cw.cw + 0.5) / (ct.n_c - cw.cw + 0.5))
+         |             - ln(((wt.w_all - cw.cw) + 0.5) / ((n.n_all - ct.n_c) - (wt.w_all - cw.cw) + 0.5)))
+         |          / sqrt(1.0 / (cw.cw + 0.5) + 1.0 / ((wt.w_all - cw.cw) + 0.5)), 9) AS z
+         |      FROM cw JOIN wt USING (word) JOIN ct USING (cluster), n)
+         |SELECT CAST(cluster AS BIGINT) AS cluster, word, cw, z, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY z DESC, word) AS rank FROM z)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q193_cohens_kappa" ->
+      """WITH f AS (SELECT lang,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |d AS (SELECT
+        |  CASE WHEN round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0 + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) >= 0.5
+        |       THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b FROM f),
+        |t AS (SELECT COUNT(*) AS n, SUM(a * b) AS n11, SUM((1 - a) * (1 - b)) AS n00,
+        |             SUM(a) AS na, SUM(b) AS nb FROM d)
+        |SELECT n, CAST(n11 AS BIGINT) AS n11, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  round((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        |       - (CAST(na AS DOUBLE) * nb + (CAST(n AS DOUBLE) - na) * (n - nb)) / (CAST(n AS DOUBLE) * n))
+        |      / (1.0 - (CAST(na AS DOUBLE) * nb + (CAST(n AS DOUBLE) - na) * (n - nb)) / (CAST(n AS DOUBLE) * n)), 9) AS kappa
+        |FROM t""".stripMargin,
   )
 }
