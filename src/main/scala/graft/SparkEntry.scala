@@ -3498,6 +3498,34 @@ object SparkEntry {
           round(((col("n11") + col("n00")).cast("double") / nD - pe)
             / (lit(1.0) - pe), 9).as("kappa"))
     }),
+
+    "q194_wasserstein_drift" -> ((s, dir) => {
+      // distribution drift as earth-mover distance (Wasserstein-1) —
+      // the metric PSI (q166) bin-approximates: W1 between the
+      // ref/cur windows per event_type on the decile grid, and BOTH
+      // windows' deciles come from ONE exact-quantile selector call
+      // on the (type, window) composite group (q165's three shared
+      // scans, no per-group buffer). W1 = mean |q_ref(u) − q_cur(u)|
+      // over the nine deciles; per-term rounding + decimal reduction
+      // (q91) keeps the mean engine-exact.
+      val cutover = to_timestamp(lit("2024-01-15 00:00:00"))
+      val ev = Tables.events(s, dir)
+        .select(concat(col("event_type"), lit("|"),
+          when(col("ts") < cutover, "ref").otherwise("cur")).as("g"), col("value"))
+      val qs = graft.operators.Selection.exactGroupedQuantiles(
+        ev, "g", "value", (1 to 9).map(_ / 10.0))
+      val parts = qs.select(split(col("g"), "\\|").getItem(0).as("event_type"),
+        split(col("g"), "\\|").getItem(1).as("win"), col("q"), col("value"))
+      val a = parts.filter(col("win") === "ref")
+        .select(col("event_type"), col("q"), col("value").as("qr"))
+      val b = parts.filter(col("win") === "cur")
+        .select(col("event_type"), col("q"), col("value").as("qc"))
+      a.join(b, Seq("event_type", "q"))
+        .groupBy(col("event_type"))
+        .agg(round(sum(round(abs(col("qr") - col("qc")), 9).cast(DecimalType(27, 9)))
+          .cast("double") / 9.0, 9).as("w1"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5681,5 +5709,21 @@ object SparkEntry {
         |       - (CAST(na AS DOUBLE) * nb + (CAST(n AS DOUBLE) - na) * (n - nb)) / (CAST(n AS DOUBLE) * n))
         |      / (1.0 - (CAST(na AS DOUBLE) * nb + (CAST(n AS DOUBLE) - na) * (n - nb)) / (CAST(n AS DOUBLE) * n)), 9) AS kappa
         |FROM t""".stripMargin,
+
+    "q194_wasserstein_drift" ->
+      s"""$evCte,
+         |e2 AS (SELECT event_type,
+         |         CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'ref' ELSE 'cur' END AS win,
+         |         value FROM ev),
+         |qs AS (SELECT event_type, win,
+         |         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qv
+         |       FROM e2 GROUP BY event_type, win),
+         |x AS (SELECT event_type, win, g.i AS qi, qv[g.i] AS v
+         |      FROM qs, LATERAL (SELECT unnest(generate_series(1, 9)) AS i) g),
+         |a AS (SELECT event_type, qi, v AS qr FROM x WHERE win = 'ref'),
+         |b AS (SELECT event_type, qi, v AS qc FROM x WHERE win = 'cur')
+         |SELECT event_type,
+         |  round(CAST(SUM(CAST(round(abs(qr - qc), 9) AS DECIMAL(27,9))) AS DOUBLE) / 9.0, 9) AS w1
+         |FROM a JOIN b USING (event_type, qi) GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
