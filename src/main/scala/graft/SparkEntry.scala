@@ -3526,6 +3526,28 @@ object SparkEntry {
           .cast("double") / 9.0, 9).as("w1"))
         .orderBy(col("event_type"))
     }),
+
+    "q195_ecdf_transform" -> ((s, dir) => {
+      // corpus-WIDE ECDF / rank transform with NO global window (q58's
+      // cume_dist is per-group; global cume_dist would single-partition
+      // the corpus — the WindowExec trap): roll up to distinct-value
+      // counts first (the frame is bounded by |distinct values|, not
+      // rows; for continuous values CumSum's two-pass is the same move),
+      // cumulate over that value-ordered frame, broadcast the ECDF
+      // table back — the corpus never shuffles for its own ranking.
+      // The quantile-normalization step behind rank-based scaling.
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val vc = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = vc.agg(sum(col("c")).as("n"))
+      val ecdf = vc.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("n_chars"), round(col("cum").cast("double") / col("n"), 9).as("ecdf"))
+      d.filter(col("doc_id") < 100)
+        .join(broadcast(ecdf), Seq("n_chars"))
+        .select(col("doc_id"), col("n_chars"), col("ecdf"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5725,5 +5747,10 @@ object SparkEntry {
          |SELECT event_type,
          |  round(CAST(SUM(CAST(round(abs(qr - qc), 9) AS DECIMAL(27,9))) AS DOUBLE) / 9.0, 9) AS w1
          |FROM a JOIN b USING (event_type, qi) GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q195_ecdf_transform" ->
+      """WITH e AS (SELECT doc_id, n_chars, cume_dist() OVER (ORDER BY n_chars) AS cd
+        |           FROM documents)
+        |SELECT doc_id, n_chars, round(cd, 9) AS ecdf FROM e WHERE doc_id < 100""".stripMargin,
   )
 }
