@@ -235,6 +235,28 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(tSum - 100000.0) < 1.0, s"expected tokens sum $tSum")
   }
 
+  test("ECDF transform is bounded in (0,1] and monotone in the value") {
+    val rows = SparkEntry.queries("q195_ecdf_transform")(spark, TestSpark.sf0001)
+      .select("n_chars", "ecdf").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, e) => assert(e > 0.0 && e <= 1.0, s"ecdf out of range: $e") }
+    rows.sliding(2).foreach {
+      case Array((v1, e1), (v2, e2)) =>
+        if (v1 < v2) assert(e1 < e2, s"ECDF not strictly monotone: $v1->$e1, $v2->$e2")
+        else assert(e1 === e2)
+      case _ => ()
+    }
+  }
+
+  test("Wasserstein drift is non-negative and finite for every event type") {
+    val rows = SparkEntry.queries("q194_wasserstein_drift")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.length === 5)
+    rows.foreach { case (t, w) =>
+      assert(w >= 0.0 && !w.isNaN && !w.isInfinite, s"$t: $w") }
+  }
+
   test("proportional stratified sample takes exactly ceil(n/10) per stratum") {
     val got = SparkEntry.queries("q185_stratified_sample")(spark, TestSpark.sf0001)
       .groupBy("lang").agg(max("stratum_n").as("n"), count(lit(1)).as("k"))
