@@ -3548,6 +3548,23 @@ object SparkEntry {
         .join(broadcast(ecdf), Seq("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("ecdf"))
     }),
+
+    "q196_unicode_nfc" -> ((s, dir) => {
+      // Unicode NFC canonicalization — the step every multilingual
+      // pipeline runs BEFORE hashing/dedup (decomposed e+U+0301 and
+      // precomposed é must share a dedup bucket; q30's md5 over raw
+      // text silently splits them). Native codegen expression over the
+      // JDK normalizer, map-side only. The ASCII synthetic corpus
+      // would make NFC a no-op, so the query PLANTS a decomposed
+      // accent per doc and verifies composition: codepoint length
+      // shrinks by exactly one and byte equality flips.
+      val aug = concat(col("text"), lit("e\u0301"))
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          length(aug).cast("long").as("len_raw"),
+          length(Extraction.nfc(aug)).cast("long").as("len_nfc"),
+          (Extraction.nfc(aug) === aug).as("unchanged"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5752,5 +5769,12 @@ object SparkEntry {
       """WITH e AS (SELECT doc_id, n_chars, cume_dist() OVER (ORDER BY n_chars) AS cd
         |           FROM documents)
         |SELECT doc_id, n_chars, round(cd, 9) AS ecdf FROM e WHERE doc_id < 100""".stripMargin,
+
+    "q196_unicode_nfc" ->
+      """SELECT doc_id,
+        |  CAST(length(text || 'e' || chr(769)) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS len_nfc,
+        |  (nfc_normalize(text || 'e' || chr(769)) = (text || 'e' || chr(769))) AS unchanged
+        |FROM documents WHERE doc_id < 100""".stripMargin,
   )
 }

@@ -1,7 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The reference's page-extraction semantics re-expressed as pure
   * `Column => Column` functions (whole-stage-codegen'd Catalyst
@@ -108,4 +114,37 @@ object Extraction {
     * higher-order `filter`, no UDF. */
   def filterImgs(imgs: Column, minSize: Int, maxRatio: Double): Column =
     filter(imgs, img => imgKeep(img, minSize, maxRatio))
+
+  /** Unicode NFC canonicalization — the normalization step every
+    * multilingual pipeline runs BEFORE hashing/dedup (a decomposed
+    * e+U+0301 and a precomposed é must land in the same dedup bucket;
+    * raw md5 over un-normalized text silently splits them). Native
+    * codegen [[NfcNormalize]] over the JDK normalizer (standard Unicode
+    * NFC — bit-compatible with DuckDB's utf8proc `nfc_normalize`),
+    * never a UDF. [EXT] */
+  def nfc(c: Column): Column = column(NfcNormalize(expression(c)))
+}
+
+/** Shared static kernel for [[NfcNormalize]] — interpreted eval and
+  * generated code call the same method (the Shingles.scala discipline). */
+object NfcKernel {
+  def nfc(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+}
+
+/** NFC normalization with codegen; null in, null out. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    NfcKernel.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcKernel.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

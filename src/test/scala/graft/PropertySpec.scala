@@ -257,6 +257,30 @@ class PropertySpec extends AnyFunSuite {
       assert(w >= 0.0 && !w.isNaN && !w.isInfinite, s"$t: $w") }
   }
 
+  test("NFC normalization: idempotent, composes the planted accent, codegen ≡ interpreted") {
+    val inputs = Seq("plain ascii", "café", "café", "", "é́x",
+      "é already composed", "mix café and café")
+    def run(): Array[(String, String)] = inputs.toDF("t")
+      .select(col("t"), Extraction.nfc(col("t")).as("n"),
+        Extraction.nfc(Extraction.nfc(col("t"))).as("nn"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val got = run()
+    // idempotence: nfc(nfc(x)) == nfc(x)
+    got.foreach { case (n, nn) => assert(n === nn) }
+    // the decomposed and precomposed spellings converge
+    assert(got(1)._1 === got(2)._1)
+    val conf = spark.conf
+    val prev = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().toSeq === got.toSeq, "codegen vs interpreted NFC")
+    finally {
+      conf.set("spark.sql.codegen.wholeStage", prev._1)
+      conf.set("spark.sql.codegen.factoryMode", prev._2)
+    }
+  }
+
   test("proportional stratified sample takes exactly ceil(n/10) per stratum") {
     val got = SparkEntry.queries("q185_stratified_sample")(spark, TestSpark.sf0001)
       .groupBy("lang").agg(max("stratum_n").as("n"), count(lit(1)).as("k"))
