@@ -3565,6 +3565,26 @@ object SparkEntry {
           length(Extraction.nfc(aug)).cast("long").as("len_nfc"),
           (Extraction.nfc(aug) === aug).as("unchanged"))
     }),
+
+    "q197_nfc_dedup" -> ((s, dir) => {
+      // q196 composed into q30's exact dedup — the integration the NFC
+      // expression exists for: every 10th doc appears twice, once with
+      // a DECOMPOSED accent (e+U+0301) and once PRECOMPOSED (é); dedup
+      // on md5(NFC(text)) collapses each pair (raw md5(text) would
+      // miss all of them), survivor = min key per content hash (q30's
+      // single-shuffle min-struct discipline, hash keys can't skew).
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = d.filter(col("doc_id") % 10 === 0)
+      val a = planted.select(col("doc_id"),
+        concat(col("text"), lit("e\u0301")).as("text"))
+      val b = planted.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit("\u00e9")).as("text"))
+      d.filter(col("doc_id") % 10 =!= 0).unionByName(a).unionByName(b)
+        .groupBy(md5(Extraction.nfc(col("text"))).as("h"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .select(col("survivor"), col("n_copies"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5776,5 +5796,17 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS len_nfc,
         |  (nfc_normalize(text || 'e' || chr(769)) = (text || 'e' || chr(769))) AS unchanged
         |FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "q197_nfc_dedup" ->
+      """WITH planted AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT doc_id, text || 'e' || chr(769) FROM planted
+        |  UNION ALL SELECT doc_id + 1000000, text || chr(233) FROM planted),
+        |g AS (SELECT md5(nfc_normalize(text)) AS h, MIN(doc_id) AS survivor,
+        |             COUNT(*) AS n_copies
+        |      FROM corpus GROUP BY h)
+        |SELECT survivor, CAST(n_copies AS BIGINT) AS n_copies FROM g
+        |WHERE n_copies >= 2""".stripMargin,
   )
 }
