@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR,
-  * one JSON line on stdout. Each query is forced through a noop sink —
+/** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  * Emits one JSON line per query (numeric-id order), then a summary JSON
+  * line whose LAST key is the total — the driver's capture keeps only the
+  * tail of stdout, so the total and as many per-query entries as fit must
+  * sit at the end. The full summary line is also written untruncated to
+  * BENCH_full.json. Each query is forced through a noop sink —
   * `count()` would let Catalyst prune projections (a regex-heavy query
   * would "finish" without evaluating the regex), under-measuring real
   * work. noop executes the full physical plan minus sink IO.
@@ -51,10 +55,25 @@ object Bench {
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
     val results = names.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver's stdout capture keeps only the TAIL of the output, so
+    // anything that must survive goes last: per-query lines (numeric-id
+    // order) first, then the summary JSON line with the total as its
+    // final key. A full untruncated copy also lands in BENCH_full.json.
+    def fmt(d: Double): String = f"$d%.3f"
+    def qid(n: String): Int =
+      n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case s => s.toInt }
+    val byId = results.sortBy { case (n, _) => (qid(n), n) }
+    for ((n, v) <- byId) println(s"""{"query":"$n","sec":${fmt(v)}}""")
+    val qs = byId.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"sf":"$sfDir","unit":"sec","queries":$qs,"metric":"total","value":${fmt(total)}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

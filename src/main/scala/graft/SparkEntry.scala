@@ -3530,22 +3530,19 @@ object SparkEntry {
     "q195_ecdf_transform" -> ((s, dir) => {
       // corpus-WIDE ECDF / rank transform with NO global window (q58's
       // cume_dist is per-group; global cume_dist would single-partition
-      // the corpus — the WindowExec trap): roll up to distinct-value
-      // counts first (the frame is bounded by |distinct values|, not
-      // rows; for continuous values CumSum's two-pass is the same move),
-      // cumulate over that value-ordered frame, broadcast the ECDF
-      // table back — the corpus never shuffles for its own ranking.
+      // the corpus — the WindowExec trap): CumSum.ecdfTable rolls up to
+      // per-value counts, then runs the two-pass running total over the
+      // value-ordered count frame — valid even when the value column is
+      // continuous and the count frame is corpus-sized (the former
+      // bounded-distinct Window tier is gone; the two-pass IS the
+      // general tier). The probe join back is broadcast-eligible
+      // because the probe side is tiny, not because the table is.
       // The quantile-normalization step behind rank-based scaling.
       val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-      val vc = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = vc.agg(sum(col("c")).as("n"))
-      val ecdf = vc.withColumn("cum", sum(col("c")).over(w))
-        .crossJoin(broadcast(tot))
-        .select(col("n_chars"), round(col("cum").cast("double") / col("n"), 9).as("ecdf"))
+      val ecdf = graft.operators.CumSum.ecdfTable(d, col("n_chars"), "n_chars")
+        .select(col("n_chars"), round(col("ecdf"), 9).as("ecdf"))
       d.filter(col("doc_id") < 100)
-        .join(broadcast(ecdf), Seq("n_chars"))
+        .join(ecdf, Seq("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("ecdf"))
     }),
 

@@ -5,11 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [querySubstring] — the optional third arg
-    // restricts the dump to matching query names (local iteration only;
-    // the driver always passes two)
+    // args: <sfDir> <outDir> [querySubstrings] — the optional third arg
+    // (comma-separated substrings) restricts the dump to matching query
+    // names (local iteration only; the driver always passes two)
     val sfDir = args(0); val outDir = args(1)
-    val only = if (args.length > 2) Some(args(2)) else None
+    val only = if (args.length > 2)
+      Some(args(2).split(",").filter(_.nonEmpty).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +21,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

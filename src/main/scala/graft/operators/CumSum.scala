@@ -82,6 +82,25 @@ object CumSum {
       .drop("__pid", "__prior", "__local", "__v")
   }
 
+  /** Corpus-wide ECDF lookup table with NO global window, valid when the
+    * value column is CONTINUOUS (|distinct| unbounded — the regime where
+    * q195's bounded-distinct rollup + tiny-frame Window stops being
+    * tiny): per-value counts (one partial-agg shuffle), then
+    * [[withRunningTotal]] over the value-ordered count frame — the frame
+    * may be corpus-sized and still never single-partitions. Output:
+    * (`valueName`, `outCol`) with outCol = P(X <= v); the cumulative
+    * count stays exact long arithmetic until the final divide. Join the
+    * result back to the corpus on the value column (sort-merge at scale;
+    * AQE broadcasts it when the probe side is small). */
+  def ecdfTable(df: DataFrame, value: Column, valueName: String,
+                outCol: String = "ecdf"): DataFrame = {
+    val vc = df.groupBy(value.as(valueName)).agg(count(lit(1)).as("__c"))
+    val cum = withRunningTotal(vc, Seq(col(valueName)), col("__c"), "__cum")
+    val tot = cum.agg(sum(col("__c")).cast("double").as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col(valueName), (col("__cum").cast("double") / col("__n")).as(outCol))
+  }
+
   /** Keep rows (in `order`) while the running `weight` total stays within
     * `budget` — inclusive: a row is kept if the total UP TO AND INCLUDING
     * it fits. */

@@ -51,6 +51,57 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("quantile selector recurses past the slice cap and stays bit-equal to percentile") {
+    // bins=4 over 100k spread values with cap=1000 forces multi-level
+    // refinement: 100k/4 = 25k per top bin, /4 per level → depth ≥ 3
+    // before any slice fits. Values are a deterministic hash spread
+    // (duplicates included via the modulus) so bins stay non-degenerate.
+    val df = (1 to 100000)
+      .map(i => ("g", ((i * 2654435761L) % 9973).toDouble + (i % 7) * 0.25))
+      .toDF("g", "v").repartition(13)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = graft.operators.Selection
+      .exactGroupedQuantiles(df, "g", "v", qs, bins = 4, sliceCap = 1000)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(graft.operators.Selection.lastDepth.get() >= 3,
+      s"cap=1000 over 100k values must recurse, reached depth ${
+        graft.operators.Selection.lastDepth.get()}")
+    for (q <- qs) {
+      val w = df.agg(percentile(col("v"), lit(q))).head.getDouble(0)
+      assert(got(q) == w, s"q=$q: recursed ${got(q)} != percentile $w")
+    }
+    // a value-degenerate hot bin (60k duplicates of one value) must
+    // terminate via the single-valued fast path, not recurse forever
+    val dup = ((1 to 60000).map(_ => ("g", 5.0)) ++
+      (1 to 1000).map(i => ("g", i.toDouble))).toDF("g", "v")
+    val med = graft.operators.Selection
+      .exactGroupedQuantiles(dup, "g", "v", Seq(0.5), bins = 4, sliceCap = 100)
+      .head.getDouble(2)
+    assert(med == 5.0)
+  }
+
+  test("ecdfTable on a continuous all-distinct column matches cume_dist semantics") {
+    import graft.operators.CumSum
+    // high-cardinality continuous column: 50k distinct doubles — the
+    // regime where the bounded-distinct Window tier would single-
+    // partition a corpus-sized frame; the two-pass must not
+    val vals = (1 to 50000).map(i => ((i * 2654435761L) % 999983).toDouble + i * 1e-7)
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(11)
+    val got = CumSum.ecdfTable(df, col("v"), "v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got.size == vals.distinct.size)
+    val sorted = vals.sorted
+    val n = sorted.size.toDouble
+    sorted.zipWithIndex.foreach { case (v, i) =>
+      assert(got(v) == (i + 1) / n, s"ecdf($v): ${got(v)} != ${(i + 1) / n}")
+    }
+    // ties share one row at P(X <= v) counting ALL duplicates
+    val tied = Seq(1.0, 2.0, 2.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val gotTied = CumSum.ecdfTable(tied, col("v"), "v")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(gotTied == Map(1.0 -> 0.2, 2.0 -> 0.8, 3.0 -> 1.0))
+  }
+
   test("k-means iteration: every vector lands on its nearest seed; Lloyd step reduces cost") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "embedding").collect()

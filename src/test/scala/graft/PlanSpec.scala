@@ -66,6 +66,17 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
   }
 
+  test("q195: continuous-tier ECDF plans no partition-less Window (two-pass cumsum)") {
+    val p = plan("q195_ecdf_transform")
+    // the former bounded-distinct tier cumulated via a global
+    // `sum over (order by n_chars)` — a Window whose spec has no
+    // partition columns; the CumSum two-pass must partition by __pid
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, p.take(1200))
+    specs.foreach(i => assert(p.substring(i).startsWith("__pid"),
+      s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
