@@ -2671,18 +2671,19 @@ object SparkEntry {
       // edges) — the density signal behind community detection and
       // related-content surfaces. Edges are session-blocked pairs
       // (bounded by Σ|session|², q148's argument) and ORIENTED
-      // (u < v everywhere), so each triangle materializes exactly once
-      // through two equi-joins + a semi-join closure check. At web
-      // scale the standard refinement is degree-ordered orientation
-      // (hubs never fan out); id-orientation suffices here because the
-      // page space is small.
+      // (DEGREE-ordered via Graph.orientByDegree — hubs never fan out,
+      // so the wedge join's Σ indeg·outdeg candidate count stays
+      // near-linear where an id order lets one mid-id hub pay
+      // O(deg²)), so each triangle materializes exactly once through
+      // two equi-joins + a semi-join closure check. Per-page counts
+      // are orientation-invariant, so the oracle is unchanged.
       val d = sessionPages(s, dir)
       val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val edges = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
-        .select(col("page_a").as("u"), col("page_b").as("v"))
-        .distinct())
+      val edges = Dedup.cacheScoped(graft.operators.Graph.orientByDegree(
+        a.join(b, Seq("user_id", "sid"))
+          .filter(col("page_a") < col("page_b"))
+          .select(col("page_a").as("a"), col("page_b").as("b"))))
       val tri = edges.select(col("u").as("x"), col("v").as("y"))
         .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
         .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),

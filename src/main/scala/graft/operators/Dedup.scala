@@ -566,6 +566,14 @@ object Dedup {
     spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
+  /** Changed-label count per distributed CC round of the most recent
+    * [[connectedComponentsWithRounds]] call (empty for the union-find
+    * tier). The same series is emitted live through `observe` under
+    * metric names `cc_round_<i>` / column `changed` — at 100 TB a slow
+    * convergence surfaces in the listener stream round by round instead
+    * of only as the final maxIter throw. */
+  @volatile private[graft] var lastConvergenceSeries: Seq[Long] = Nil
+
   /** [[connectedComponents]] plus the number of rounds it took (0 = solved
     * on the driver by the union-find tier) — exposed so specs can assert
     * the O(log d) convergence bound on planted chains by forcing
@@ -604,6 +612,8 @@ object Dedup {
       // round — exponential analysis cost, OOM near ~15 iterations.
       var converged = false
       var iter = 1
+      val series = scala.collection.mutable.ArrayBuffer.empty[Long]
+      lastConvergenceSeries = Nil
       while (!converged && iter < maxIter) {
         // neighbor propagation: each node receives its neighbors' labels
         val neighborMsgs = edges.join(labels, edges("src") === labels("node"))
@@ -615,13 +625,21 @@ object Dedup {
           .select(col("a.node").as("node"), col("b.label").as("cand"))
         val msgs = neighborMsgs.union(shortcutMsgs)
           .groupBy(col("node")).agg(min(col("cand")).as("cand"))
-        // the changed flag rides the same pass so convergence costs one
-        // cheap scan of the checkpointed frame, not a second join+job
+        // the changed count rides the checkpoint action itself as an
+        // observed metric (`cc_round_<i>`.changed): convergence costs
+        // ZERO extra jobs, and every listener sees the per-round series
+        // live — a slow 100 TB convergence is visible round by round,
+        // not only as the final maxIter throw
         val newLabel = least(col("label"), coalesce(col("cand"), col("label")))
+        val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
         val next = labels.join(msgs, Seq("node"), "left")
           .select(col("node"), newLabel.as("label"), (newLabel =!= col("label")).as("__chg"))
+          .observe(obs, count(when(col("__chg"), lit(1))).as("changed"))
           .localCheckpoint(true)
-        converged = next.filter(col("__chg")).limit(1).count() == 0
+        val changed = obs.get("changed").asInstanceOf[Long]
+        series += changed
+        lastConvergenceSeries = series.toSeq
+        converged = changed == 0L
         labels = next.drop("__chg")
         iter += 1
       }

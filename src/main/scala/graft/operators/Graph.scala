@@ -33,6 +33,32 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructFiel
   */
 object Graph {
 
+  /** Degree-ordered orientation of an undirected edge set `(a, b)` —
+    * returns each edge exactly once as `(u, v)` pointing from the
+    * LOWER-degree endpoint to the higher (ties by id), the standard
+    * triangle-enumeration refinement: any total order makes each
+    * triangle materialize exactly once through the wedge join, but
+    * ordering by degree bounds every node's OUT-degree by O(√E)
+    * (arboricity), so the wedge candidate count Σ indeg·outdeg stays
+    * near-linear where an id order lets one mid-id hub pay O(deg²).
+    * Input may carry each undirected edge in either or both directions;
+    * output is distinct. Degrees are computed from the deduplicated
+    * undirected set, joined back per endpoint (plain equi-joins — AQE
+    * broadcasts the degree frame when the vertex set is small). */
+  def orientByDegree(und: DataFrame): DataFrame = {
+    val e = und.select(
+      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    val aFirst = (col("da") < col("db")) ||
+      ((col("da") === col("db")) && (col("a") < col("b")))
+    e.join(deg.select(col("p").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("p").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+  }
+
   /** Weighted PageRank: `edges` is `(src, dst, w)` with multi-edge counts
     * as weights; a node's mass splits across out-edges in proportion to
     * `w`. With `redistributeDangling` the mass of out-edge-less nodes

@@ -208,6 +208,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(e - math.log(4.0)) < 1e-8, s"$e vs ${math.log(4.0)}")
   }
 
+  test("degree-ordered orientation kills hub wedge blow-up; triangle count unchanged") {
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.Graph
+    // mid-id hub (500) wired to every other node: id-orientation gives
+    // it 500 in-edges AND 500 out-edges → 250k wedge candidates at the
+    // hub alone; degree-orientation points every star edge INTO the hub
+    // (outdeg 0) so the hub contributes none. 100 rim edges close 100
+    // triangles either way.
+    val hub = 500L
+    val star = (0L to 1000L).filterNot(_ == hub).map(i => (i, hub))
+    val rim = (0L until 100L).map(i => (i, i + 1))
+    val und = (star ++ rim).toDF("a", "b")
+    def wedges(edges: DataFrame): Long =
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+        .count()
+    def triangles(edges: DataFrame): Long =
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+        .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
+          "left_semi")
+        .count()
+    val byId = und.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v")).distinct()
+    val byDeg = Graph.orientByDegree(und)
+    assert(triangles(byId) === 100L)
+    assert(triangles(byDeg) === 100L, "orientation must not change the triangle set")
+    val (wi, wd) = (wedges(byId), wedges(byDeg))
+    assert(wi > 250000L, s"id orientation must exhibit the hub blow-up: $wi")
+    assert(wd * 100 < wi, s"degree orientation must collapse candidates: $wd vs $wi")
+    // reversed/duplicated input edges must not double-orient
+    val doubled = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    assert(Graph.orientByDegree(doubled).count() === byDeg.count())
+  }
+
   test("pageRank: hub node dominates, ring graph stays uniform, mass is bounded") {
     import graft.operators.Graph
     // star: every node links to the hub (node 0); hub links to node 1

@@ -259,6 +259,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH hot band: AQE splits the skewed bucket join; candidates stay exact") {
+    // boilerplate-heavy corpus: 600 byte-identical docs collapse into ONE
+    // band bucket per band (the hot band SCALE.md flags as AQE skew-join
+    // territory), 600 unique docs spread out. With the skew thresholds
+    // scaled down to test size, AQE must mark the bucket join's hot
+    // partition skewed and split it — and the candidate set must be
+    // exactly the planted clique either way.
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val prev = keys.map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val boiler = "the same cookie banner boilerplate repeated on every page of the site "
+      val hot = (0L until 600L).map(i => (i, boiler * 3))
+      val uniq = (600L until 1200L).map(i =>
+        (i, s"unique document number $i with its own words ${i * 7} ${i * 13} ${i * 31}"))
+      val docs = (hot ++ uniq).toDF("doc_id", "text").repartition(16)
+      // bands = 1 concentrates the clique into ONE bucket key (with the
+      // default 8 bands the 8 hot keys spread across the 4 test
+      // partitions and no partition is skewed relative to the median)
+      val pairs = Dedup.minhashCandidates(docs, col("text"), col("doc_id"),
+        bands = 1, minJaccard = 0.9)
+      // collect() drives pairs' OWN queryExecution, so the adaptive plan
+      // below is the one that actually ran (a derived dataset's action
+      // would leave it unexecuted and skew-unannotated)
+      val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === 600 * 599 / 2,
+        "every planted identical pair must be a candidate")
+      assert(!got.exists { case (a, b) => a >= 600 || b >= 600 },
+        "no unique doc may survive the 0.9 estimated-jaccard verify")
+      // the executed adaptive plan must show the skew split engaged
+      val executed = pairs.queryExecution.executedPlan.toString
+      assert(executed.toLowerCase.contains("skew=true"),
+        "AQE did not split the hot band:\n" + executed.take(2000))
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("connected components: 1000-link chain converges in O(log d) rounds") {
     // a planted worst case for plain min-label propagation (diameter 1000):
     // hash-to-min would need ~1000 rounds; pointer doubling must land in
@@ -270,6 +316,15 @@ class DedupSpec extends AnyFunSuite {
     val (cc, rounds) = Dedup.connectedComponentsWithRounds(pairs, localEdgeThreshold = 0)
     assert(rounds >= 1, "distributed tier must have run")
     assert(rounds <= 14, s"expected <= ceil(log2(1000))+4 rounds, got $rounds")
+    // the observe-emitted convergence telemetry: one changed-label count
+    // per round, non-increasing on a chain, terminating at zero
+    val series = Dedup.lastConvergenceSeries
+    assert(series.size === rounds - 1,
+      s"one observed metric per distributed round: $series vs $rounds rounds")
+    assert(series.zip(series.tail).forall { case (a, b) => b <= a },
+      s"changed-label series must be non-increasing on a chain: $series")
+    assert(series.last === 0L, s"final round must observe zero changes: $series")
+    assert(series.head > 0L, s"first round must observe progress: $series")
     val labels = cc.agg(
       count(lit(1)).as("n"),
       sum(when(col("component") === 1L, 0L).otherwise(1L)).as("wrong")).head()
