@@ -34,12 +34,14 @@ import graft.functions.Vectors
   */
 object Cluster {
 
-  /** Centroids after a refinement step, plus the member counts UNDER
-    * THE ASSIGNMENT THAT PRODUCED THEM — each centroid is the mean of
-    * exactly `sizes(cid)` vectors (clusters that lost every member
-    * keep their previous centroid and report size 0 — the standard
-    * Lloyd empty-cluster carry). */
-  final case class KMeansState(centroids: Array[Array[Float]], sizes: Map[Int, Long])
+  /** Centroids after a refinement step (clusters that lost every
+    * member keep their previous centroid — the standard Lloyd
+    * empty-cluster carry). Member counts deliberately do NOT live
+    * here: the final step's counts ride the means frame [[lloyd]]
+    * returns (`n_members`), and a driver copy would either be stale
+    * by one step or force collecting a frame most callers never
+    * need. */
+  final case class KMeansState(centroids: Array[Array[Float]])
 
   /** Map-side nearest-centroid id for `vec` against literal centroids:
     * `least` over (distance, cid) structs — equal distances resolve to
@@ -85,7 +87,7 @@ object Cluster {
       .orderBy(col("__k")).limit(k)
       .collect().map(_.getSeq[Float](1).toArray)
     require(seeds.length == k, s"fewer than $k vectors to seed from")
-    var state = KMeansState(seeds, Map.empty)
+    var state = KMeansState(seeds)
     var lastMeans: DataFrame = null
     for (step <- 1 to iters) {
       lastMeans = meansUnder(df, vec, state.centroids.toSeq)
@@ -93,9 +95,9 @@ object Cluster {
         (r.getInt(0), r.getLong(1).toInt, r.getDouble(2), r.getLong(3))
       })
     }
-    // final sizes without re-collecting the means frame twice: callers
-    // that need them run the returned frame; the state keeps the
-    // (iters-1)-step centroids' refinement of the LAST collected step.
+    // member counts live on the returned means frame (n_members):
+    // callers that need them run the frame; collecting it here would
+    // tax every caller that doesn't.
     (state, lastMeans)
   }
 
@@ -112,9 +114,7 @@ object Cluster {
         case None => old
       }
     }
-    val sizes = (0 until prev.centroids.length)
-      .map(cid => cid -> byCluster.get(cid).map(_.head._4).getOrElse(0L)).toMap
-    KMeansState(cents, sizes)
+    KMeansState(cents)
   }
 
   /** The `nprobe` nearest centroid ids for `vec`, as an exploded
