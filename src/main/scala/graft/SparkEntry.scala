@@ -3596,6 +3596,110 @@ object SparkEntry {
         .filter(col("n_copies") >= 2)
         .select(col("survivor"), col("n_copies"))
     }),
+
+    "q198_ks_drift" -> ((s, dir) => {
+      // exact two-sample Kolmogorov–Smirnov drift per event_type:
+      // KS = sup over the POOLED value grid of |ECDF_ref − ECDF_cur|.
+      // q166's PSI needs a bin choice and q194's W1 a quantile grid;
+      // KS is the binless exactly-computable drift statistic. Scale
+      // shape: one partial agg to per-(type, value) window counts,
+      // then BOTH windows' cumulative counts in ONE
+      // CumSum.withRunningTotals pass ordered by (type, value);
+      // per-type exclusive prefix offsets (a |types|-row driver
+      // frame) rebase the global running totals to within-type — no
+      // per-type Window ever sees a corpus-sized distinct-value
+      // frame (q195's continuous-tier argument, grouped). The sup is
+      // a max over exact-long-ratio doubles; one floor-round at the
+      // end keeps it engine-exact.
+      val cutover = to_timestamp(lit("2024-01-15 00:00:00"))
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"),
+        when(col("ts") < cutover, "ref").otherwise("cur").as("win"))
+      // cacheScoped: the count frame feeds both the cumulative pass and
+      // the per-type totals — one events scan, not two
+      val c = Dedup.cacheScoped(ev.groupBy(col("event_type"), col("value")).agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("cc")))
+      val cum = graft.operators.CumSum.withRunningTotals(c,
+        Seq(col("event_type"), col("value")),
+        Seq(col("cr") -> "gcr", col("cc") -> "gcc"))
+      val tot = c.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("tr"), sum(col("cc")).as("tc"))
+        .orderBy(col("event_type")).collect()
+      var (ar, ac) = (0L, 0L)
+      val offs = tot.map { r =>
+        val row = (r.getString(0), ar, ac, r.getLong(1), r.getLong(2))
+        ar += r.getLong(1); ac += r.getLong(2); row
+      }.toIndexedSeq
+      import s.implicits._
+      val offDf = offs.toDF("event_type", "offr", "offc", "tr", "tc")
+      cum.join(broadcast(offDf), Seq("event_type"))
+        .filter(col("tr") > 0 && col("tc") > 0)
+        .select(col("event_type"),
+          abs((col("gcr") - col("offr")).cast("double") / col("tr")
+            - (col("gcc") - col("offc")).cast("double") / col("tc")).as("d"))
+        .groupBy(col("event_type"))
+        .agg((floor(max(col("d")) * 1e9 + 0.5) / 1e9).as("ks"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q199_embedding_dim_profile" -> ((s, dir) => {
+      // per-DIMENSION embedding QC — mean/std/min/max and a dead-dim
+      // flag per coordinate (collapsed training runs and quantization
+      // bugs surface as near-zero-variance dims; the vector-column
+      // twin of q84's table profile and the moments behind q96's
+      // min-max scaling stats). One posexplode scan, one (dim)
+      // partial agg of exact-decimal Σv/Σv² — shuffle rows are
+      // dims × partitions, independent of corpus size; moments are
+      // pure IEEE arithmetic on the exact sums (q103 discipline).
+      val D = DecimalType(27, 12)
+      val e = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+      val stats = e.groupBy(col("dim")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(D)).cast("double").as("sv"),
+        sum((col("v") * col("v")).cast(D)).cast("double").as("svv"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val nd = col("n").cast("double")
+      val variance = greatest((col("svv") - col("sv") * col("sv") / nd) / nd, lit(0.0))
+      stats.select(col("dim"), col("n"),
+        (floor(col("sv") / nd * 1e9 + 0.5) / 1e9).as("mean"),
+        (floor(sqrt(variance) * 1e9 + 0.5) / 1e9).as("std"),
+        col("vmin"), col("vmax"),
+        (sqrt(variance) < 1e-6).as("dead"))
+        .orderBy(col("dim"))
+    }),
+
+    "q200_zipf_fit" -> ((s, dir) => {
+      // Zipf power-law fit of the corpus vocabulary: OLS slope of
+      // ln(freq) on ln(rank) over the TOP-1000 frequency ranks — the
+      // conventional head fit (the tail departs from the power law,
+      // and bounding the frame also bounds the libm-parity exposure
+      // of the per-term ln). Rank via q81's dense-id discipline (no
+      // global window over the vocab), head filter, then q103's
+      // closed-form exact-decimal OLS — one tiny agg, one output row.
+      // Per-term ln values floor-round to 9 BEFORE the decimal sum so
+      // both engines reduce identical summands.
+      val D = DecimalType(30, 12)
+      def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+      def esum(c: Column) = sum(c.cast(D)).cast("double")
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val ranked = DocPipeline.withDenseIds(counts,
+          struct((-col("cnt")).as("nc"), col("word")), "rk")
+        .filter(col("rk") < 1000)
+        .select(r9(log(col("rk") + 1.0)).as("x"), r9(log(col("cnt"))).as("y"))
+      val st = ranked.agg(count(lit(1)).as("n"),
+        esum(col("x")).as("sx"), esum(col("y")).as("sy"),
+        esum(col("x") * col("y")).as("sxy"), esum(col("x") * col("x")).as("sxx"))
+      val nd = col("n").cast("double")
+      val slope = (nd * col("sxy") - col("sx") * col("sy")) /
+        (nd * col("sxx") - col("sx") * col("sx"))
+      st.select(col("n").as("n_terms"), r9(slope).as("slope"),
+        r9((col("sy") - slope * col("sx")) / nd).as("intercept"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5819,5 +5923,60 @@ object SparkEntry {
         |      FROM corpus GROUP BY h)
         |SELECT survivor, CAST(n_copies AS BIGINT) AS n_copies FROM g
         |WHERE n_copies >= 2""".stripMargin,
+
+    "q198_ks_drift" ->
+      s"""$evCte,
+         |w AS (SELECT event_type, value,
+         |        CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'ref' ELSE 'cur' END AS win
+         |      FROM ev),
+         |c AS (SELECT event_type, value,
+         |        SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS cr,
+         |        SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS cc
+         |      FROM w GROUP BY 1, 2),
+         |m AS (SELECT event_type,
+         |        SUM(cr) OVER (PARTITION BY event_type ORDER BY value) AS wcr,
+         |        SUM(cc) OVER (PARTITION BY event_type ORDER BY value) AS wcc,
+         |        SUM(cr) OVER (PARTITION BY event_type) AS tr,
+         |        SUM(cc) OVER (PARTITION BY event_type) AS tc
+         |      FROM c)
+         |SELECT event_type,
+         |  FLOOR(MAX(ABS(CAST(wcr AS DOUBLE) / tr - CAST(wcc AS DOUBLE) / tc)) * 1e9 + 0.5) / 1e9 AS ks
+         |FROM m WHERE tr > 0 AND tc > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q199_embedding_dim_profile" ->
+      """WITH x AS (SELECT CAST(g.i - 1 AS BIGINT) AS dim, CAST(e.embedding[g.i] AS DOUBLE) AS v
+        |           FROM embeddings e, LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g),
+        |st AS (SELECT dim, COUNT(*) AS n,
+        |         CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) AS sv,
+        |         CAST(SUM(CAST(v * v AS DECIMAL(27,12))) AS DOUBLE) AS svv,
+        |         MIN(v) AS vmin, MAX(v) AS vmax
+        |       FROM x GROUP BY dim)
+        |SELECT dim, n,
+        |  FLOOR(sv / n * 1e9 + 0.5) / 1e9 AS mean,
+        |  FLOOR(SQRT(GREATEST((svv - sv * sv / n) / n, 0.0)) * 1e9 + 0.5) / 1e9 AS std,
+        |  vmin, vmax,
+        |  (SQRT(GREATEST((svv - sv * sv / n) / n, 0.0)) < 1e-6) AS dead
+        |FROM st ORDER BY dim""".stripMargin,
+
+    "q200_zipf_fit" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT ws[g.i] AS word
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word),
+        |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rn, cnt FROM c),
+        |xy AS (SELECT FLOOR(LN(CAST(rn AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS x,
+        |              FLOOR(LN(CAST(cnt AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS y
+        |       FROM r WHERE rn <= 1000),
+        |st AS (SELECT COUNT(*) AS n,
+        |         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+        |       FROM xy)
+        |SELECT n AS n_terms,
+        |  FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS slope,
+        |  FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e9 + 0.5) / 1e9 AS intercept
+        |FROM st""".stripMargin,
   )
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Global running total over a total order WITHOUT a global window — the
   * naive `sum(w) over (order by ...)` serializes the whole table through
@@ -24,24 +25,49 @@ import org.apache.spark.sql.functions._
 object CumSum {
 
   def withRunningTotal(df: DataFrame, order: Seq[Column], weight: Column,
-                       outCol: String): DataFrame = {
+                       outCol: String): DataFrame =
+    withRunningTotals(df, order, Seq(weight -> outCol))
+
+  /** [[withRunningTotal]] for SEVERAL weights in one layout pass: the
+    * range-repartition + checkpoint + per-partition-offset discipline
+    * is paid once and every weight gets its own running-total column —
+    * the shape for statistics that cumulate two measures over one
+    * order (e.g. both windows of a two-sample ECDF comparison). */
+  def withRunningTotals(df: DataFrame, order: Seq[Column],
+                        weights: Seq[(Column, String)]): DataFrame = {
+    require(weights.nonEmpty, "need at least one (weight, outCol)")
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val sorted = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__w", weight.cast("long"))
+    val ws = weights.zipWithIndex
+    val sorted = ws.foldLeft(
+        df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)) {
+        case (d, ((wc, _), i)) => d.withColumn(s"__w$i", wc.cast("long"))
+      }
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val sums = sorted.groupBy(col("__pid")).agg(sum(col("__w")).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, s) => val row = (pid, acc); acc += s; row }
-    val offsetsDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__offset")
+    val sums = sorted.groupBy(col("__pid"))
+      .agg(sum(col("__w0")).as("__s0"),
+        ws.tail.map { case (_, i) => sum(col(s"__w$i")).as(s"__s$i") }: _*)
+      .collect()
+      .map(r => (r.getInt(0), ws.map { case (_, i) => r.getLong(1 + i) }))
+      .sortBy(_._1)
+    val accs = Array.fill(weights.size)(0L)
+    val offsets = sums.map { case (pid, ss) =>
+      val row = Row.fromSeq(pid +: accs.toSeq)
+      ss.zipWithIndex.foreach { case (s, i) => accs(i) += s }
+      row
+    }
+    val offSchema = StructType(StructField("__pid", IntegerType) +:
+      ws.map { case (_, i) => StructField(s"__o$i", LongType) })
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toIndexedSeq, 1), offSchema)
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted.join(broadcast(offsetsDf), Seq("__pid"))
-      .withColumn(outCol, col("__offset") + sum(col("__w")).over(w))
-      .drop("__pid", "__offset", "__w")
+    val joined = sorted.join(broadcast(offsetsDf), Seq("__pid"))
+    ws.foldLeft(joined) { case (d, ((_, name), i)) =>
+        d.withColumn(name, col(s"__o$i") + sum(col(s"__w$i")).over(w))
+      }
+      .drop("__pid" +: ws.flatMap { case (_, i) => Seq(s"__w$i", s"__o$i") }: _*)
   }
 
   /** Exclusive prefix MAXIMUM over a total order — the same two-pass

@@ -77,6 +77,14 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
   }
 
+  test("q198: KS cumulative pass plans no partition-less Window (grouped two-pass)") {
+    val p = plan("q198_ks_drift")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, p.take(1200))
+    specs.foreach(i => assert(p.substring(i).startsWith("__pid"),
+      s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))

@@ -218,6 +218,75 @@ class CumSumSpec extends AnyFunSuite {
     } finally { prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) } }
   }
 
+  test("multi-weight running totals equal two single-weight passes and the window") {
+    val key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "10")
+    try {
+      val n = 20000
+      val df = spark.range(0, n).select(
+        concat(lit("k"), format_string("%07d", xxhash64(col("id")) % 10000000L),
+          format_string("%05d", col("id"))).as("k"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(100L)) + 1).as("w1"),
+        pmod(xxhash64(col("id"), lit(13)), lit(50L)).as("w2"))
+        .repartition(11)
+      val got = CumSum.withRunningTotals(df, Seq(col("k")),
+          Seq(col("w1") -> "c1", col("w2") -> "c2"))
+        .select("k", "c1", "c2").as[(String, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val w = W.orderBy(col("k")).rowsBetween(W.unboundedPreceding, W.currentRow)
+      val want = df
+        .withColumn("c1", sum(col("w1")).over(w))
+        .withColumn("c2", sum(col("w2")).over(w))
+        .select("k", "c1", "c2").as[(String, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(got.size == n && got == want,
+        "one-layout-pass multi-weight cumsum must reproduce both window sums exactly")
+    } finally { prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) } }
+  }
+
+  test("KS drift: identical windows give 0; disjoint supports give 1; always in [0,1]") {
+    import org.apache.spark.sql.DataFrame
+    // mirror q198's shape on planted frames: per-type pooled-grid
+    // cumulative counts, sup of the ECDF gap
+    def ks(rows: Seq[(String, Double, String)]): Map[String, Double] = {
+      val ev = rows.toDF("event_type", "value", "win")
+      val c = ev.groupBy(col("event_type"), col("value")).agg(
+        sum(when(col("win") === "ref", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("win") === "cur", 1L).otherwise(0L)).as("cc"))
+      val cum = CumSum.withRunningTotals(c,
+        Seq(col("event_type"), col("value")),
+        Seq(col("cr") -> "gcr", col("cc") -> "gcc"))
+      val tot = c.groupBy(col("event_type"))
+        .agg(sum(col("cr")).as("tr"), sum(col("cc")).as("tc"))
+        .orderBy(col("event_type")).collect()
+      var (ar, ac) = (0L, 0L)
+      val offs = tot.map { r =>
+        val row = (r.getString(0), ar, ac, r.getLong(1), r.getLong(2))
+        ar += r.getLong(1); ac += r.getLong(2); row
+      }.toIndexedSeq
+      cum.join(broadcast(offs.toDF("event_type", "offr", "offc", "tr", "tc")),
+          Seq("event_type"))
+        .select(col("event_type"),
+          abs((col("gcr") - col("offr")).cast("double") / col("tr")
+            - (col("gcc") - col("offc")).cast("double") / col("tc")).as("d"))
+        .groupBy(col("event_type")).agg(max(col("d")).as("ks"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val same = (1 to 50).flatMap(i =>
+      Seq(("a", i.toDouble, "ref"), ("a", i.toDouble, "cur")))
+    val disjoint = (1 to 50).map(i => ("b", i.toDouble, "ref")) ++
+      (51 to 100).map(i => ("b", i.toDouble, "cur"))
+    val shifted = (1 to 100).map(i => ("c", i.toDouble, "ref")) ++
+      (1 to 100).map(i => (("c", i.toDouble + 25.0, "cur")))
+    val got = ks(same ++ disjoint ++ shifted)
+    assert(got("a") == 0.0, s"identical distributions must give KS 0: ${got("a")}")
+    assert(got("b") == 1.0, s"disjoint supports must give KS 1: ${got("b")}")
+    // the helper skips q198's final floor-round, so allow double noise
+    assert(math.abs(got("c") - 0.25) < 1e-9,
+      s"25-shift of 100 uniform points gives KS 0.25: ${got("c")}")
+  }
+
   test("budgetTake keeps exactly the prefix that fits") {
     val df = Seq(("a", 5L), ("b", 7L), ("c", 4L), ("d", 10L)).toDF("k", "w")
     val kept = CumSum.budgetTake(df, Seq(col("k")), col("w"), budget = 16L)
