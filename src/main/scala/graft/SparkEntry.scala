@@ -3700,6 +3700,103 @@ object SparkEntry {
       st.select(col("n").as("n_terms"), r9(slope).as("slope"),
         r9((col("sy") - slope * col("sx")) / nd).as("intercept"))
     }),
+
+    "q201_url_canonical" -> ((s, dir) => {
+      // URL canonicalization dedup — the crawl-frontier staple the
+      // reference's URL-list ingestion implies (downloader.py consumes
+      // raw url lists): mixed-case scheme/host, default :443 port,
+      // utm_* tracking params and fragments all denote ONE resource,
+      // and a frontier that misses that refetches it. The synthetic
+      // corpus has no URL column, so the query PLANTS the messy forms
+      // deterministically (q196's planting discipline), canonicalizes
+      // with a pure-codegen regex chain (Java∩RE2 syntax, q74
+      // discipline; no capture-group replacements — DuckDB uses \\1
+      // where Java uses $1), and groups: md5-free exact dedup on the
+      // canonical string, q30's min-survivor shape.
+      val u = concat(lit("HTTPS://WWW.Example.COM:443/p/"),
+        (col("doc_id") % 100).cast("string"),
+        lit("?utm_campaign=c"), col("doc_id").cast("string"),
+        lit("&x="), (col("doc_id") % 3).cast("string"),
+        lit("#s"), col("doc_id").cast("string"))
+      val noFrag = regexp_replace(u, "#.*$", "")
+      val prefix = regexp_replace(lower(regexp_extract(noFrag, "^[^/]*//[^/]*", 0)),
+        ":443$", "")
+      val rest = regexp_replace(
+        regexp_replace(regexp_replace(noFrag, "^[^/]*//[^/]*", ""),
+          "\\?utm_[^&]*&", "?"),
+        "[?&]utm_[^&]*", "")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), concat(prefix, rest).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("canon_url"))
+    }),
+
+    "q202_phrase_search" -> ((s, dir) => {
+      // phrase search over a POSITIONAL posting join — the retrieval
+      // feature q169's BM25 (bag-of-words) and q190's fusion can't
+      // express: "w1 w2" as ADJACENT tokens. The corpus's top bigram
+      // (found with one per-doc lead pass, q181's gram shape) is the
+      // query; matching is two posting-list filters (map-side against
+      // the broadcast 1-row phrase) equi-joined on doc_id with the
+      // pos+1 adjacency predicate — the inverted-index formulation:
+      // no document is ever re-scanned or reconstructed, and the join
+      // size is bounded by the two posting lists, not the corpus.
+      val tokens = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val top = tokens
+        .select(col("word").as("w1"), lead(col("word"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("w1"), col("w2")).limit(1)
+      val a = tokens.join(broadcast(top.select(col("w1").as("word"))), Seq("word"))
+        .select(col("doc_id"), col("pos"))
+      val b = tokens.join(broadcast(top.select(col("w2").as("word"))), Seq("word"))
+        .select(col("doc_id"), col("pos").as("pos2"))
+      a.join(b, a("doc_id") === b("doc_id") && col("pos2") === col("pos") + 1)
+        .select(a("doc_id"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(top.select(col("w1"), col("w2"))))
+        .select(col("w1"), col("w2"), col("n_docs"), col("n_occurrences"))
+    }),
+
+    "q203_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient on the co-visitation graph —
+      // 2·tri(v) / (deg(v)·(deg(v)−1)), the community-density signal
+      // q162's raw triangle counts feed: a page in one tight community
+      // scores 1.0 at any degree, a hub bridging many communities
+      // scores near 0. Same degree-oriented wedge join as q162
+      // (per-node counts are orientation-invariant), degrees from the
+      // undirected edge set, coefficient as pure IEEE arithmetic on
+      // the two exact longs with one final floor-round.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val und = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .select(col("page_a").as("a"), col("page_b").as("b"))
+        .distinct())
+      val deg = und.select(explode(array(col("a"), col("b"))).as("page"))
+        .groupBy(col("page")).agg(count(lit(1)).as("degree"))
+      val edges = Dedup.cacheScoped(graft.operators.Graph.orientByDegree(und))
+      val tri = edges.select(col("u").as("x"), col("v").as("y"))
+        .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
+        .join(edges.select(col("u").as("x"), col("v").as("z")), Seq("x", "z"),
+          "left_semi")
+        .select(explode(array(col("x"), col("y"), col("z"))).as("page"))
+        .groupBy(col("page")).agg(count(lit(1)).as("n_triangles"))
+      deg.filter(col("degree") >= 2)
+        .join(tri, Seq("page"), "left")
+        .select(col("page"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          (floor(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            / (col("degree") * (col("degree") - 1)) * 1e9 + 0.5) / 1e9).as("coeff"))
+        .orderBy(desc("coeff"), col("page")).limit(10)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5978,5 +6075,60 @@ object SparkEntry {
         |  FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS slope,
         |  FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e9 + 0.5) / 1e9 AS intercept
         |FROM st""".stripMargin,
+
+    "q201_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    'HTTPS://WWW.Example.COM:443/p/' || CAST(doc_id % 100 AS VARCHAR)
+        |      || '?utm_campaign=c' || CAST(doc_id AS VARCHAR)
+        |      || '&x=' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '#s' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(u, '^[^/]*//[^/]*')), ':443$', '')
+        |    || regexp_replace(regexp_replace(regexp_replace(u, '^[^/]*//[^/]*', ''),
+        |         '\?utm_[^&]*&', '?'), '[?&]utm_[^&]*', '') AS canon_url
+        |  FROM nf)
+        |SELECT canon_url, MIN(doc_id) AS survivor, COUNT(*) AS n_copies
+        |FROM c GROUP BY canon_url HAVING COUNT(*) >= 2 ORDER BY canon_url""".stripMargin,
+
+    "q202_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tok AS (SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, ws[g.i] AS word
+        |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+        |        WHERE length(ws[g.i]) > 0),
+        |bg AS (SELECT word AS w1,
+        |         lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM tok),
+        |top AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg WHERE w2 IS NOT NULL
+        |        GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 1),
+        |a AS (SELECT doc_id, pos FROM tok JOIN top ON tok.word = top.w1),
+        |b AS (SELECT doc_id, pos FROM tok JOIN top ON tok.word = top.w2),
+        |m AS (SELECT a.doc_id FROM a JOIN b
+        |      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+        |SELECT top.w1, top.w2, s.n_docs, s.n_occurrences
+        |FROM (SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences FROM m) s, top""".stripMargin,
+
+    "q203_clustering_coeff" ->
+      s"""$sessionPagesCte,
+         |e AS (SELECT a.page AS u, b.page AS v
+         |      FROM d a JOIN d b
+         |        ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |      GROUP BY 1, 2),
+         |deg AS (SELECT page, COUNT(*) AS degree FROM (
+         |          SELECT u AS page FROM e UNION ALL SELECT v FROM e)
+         |        GROUP BY page),
+         |tri AS (SELECT page, COUNT(*) AS n_triangles FROM (
+         |          SELECT unnest([e1.u, e1.v, e2.v]) AS page
+         |          FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |                    JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+         |        GROUP BY page)
+         |SELECT deg.page, deg.degree,
+         |  COALESCE(tri.n_triangles, 0) AS n_triangles,
+         |  FLOOR(2.0 * COALESCE(tri.n_triangles, 0)
+         |        / (deg.degree * (deg.degree - 1)) * 1e9 + 0.5) / 1e9 AS coeff
+         |FROM deg LEFT JOIN tri USING (page)
+         |WHERE deg.degree >= 2
+         |ORDER BY coeff DESC, deg.page LIMIT 10""".stripMargin,
   )
 }

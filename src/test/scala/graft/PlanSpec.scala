@@ -85,6 +85,20 @@ class PlanSpec extends AnyFunSuite {
       s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
   }
 
+  test("q202: phrase posting filters broadcast; adjacency join stays equi") {
+    val p = plan("q202_phrase_search")
+    // the two posting filters must be broadcast hash joins against the
+    // 1-row phrase (map-side), and doc_id adjacency must never fall
+    // back to a cartesian product
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q203: clustering coefficient joins stay equi (no cartesian)") {
+    val p = plan("q203_clustering_coeff")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
