@@ -3797,6 +3797,28 @@ object SparkEntry {
             / (col("degree") * (col("degree") - 1)) * 1e9 + 0.5) / 1e9).as("coeff"))
         .orderBy(desc("coeff"), col("page")).limit(10)
     }),
+
+    "q204_kcore" -> ((s, dir) => {
+      // 3-core of the co-visitation graph — the dense-community
+      // pre-filter (peel the low-degree fringe BEFORE paying for
+      // community detection / q203's coefficients on nodes that can't
+      // be in one). Iterative peel with cascading removals runs to a
+      // fixpoint (Graph.kCore: per-round degree agg + two semi-joins,
+      // checkpoint lineage truncation, observed edge-count telemetry,
+      // loud maxIter failure). The oracle unrolls 12 peel rounds —
+      // rounds past the fixpoint are no-ops, so any convergence in
+      // ≤ 12 rounds hash-matches exactly; a deeper cascade would
+      // MISMATCH loudly rather than silently truncate.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val und = a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .select(col("page_a").as("a"), col("page_b").as("b"))
+        .distinct()
+      val (core, _) = graft.operators.Graph.kCore(und, k = 3)
+      core.orderBy(col("page"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6130,5 +6152,28 @@ object SparkEntry {
          |FROM deg LEFT JOIN tri USING (page)
          |WHERE deg.degree >= 2
          |ORDER BY coeff DESC, deg.page LIMIT 10""".stripMargin,
+
+    "q204_kcore" -> {
+      // 12 unrolled peel rounds: each keeps nodes with degree >= 3 and
+      // the edges between them; rounds past the fixpoint are no-ops.
+      // MATERIALIZED is load-bearing: each round references the
+      // previous frame three times, and DuckDB's default CTE inlining
+      // would re-expand the chain ~3^12 times (observed as a
+      // too-many-open-files explosion on the base parquet).
+      val rounds = (1 to 12).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |        JOIN n$i a ON e.src = a.node JOIN n$i b ON e.dst = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""$sessionPagesCte,
+         |eu AS MATERIALIZED (SELECT a.page AS u, b.page AS v
+         |       FROM d a JOIN d b
+         |         ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |       GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu UNION SELECT v, u FROM eu),
+         |$rounds
+         |SELECT src AS page, COUNT(*) AS core_degree FROM e12
+         |GROUP BY src ORDER BY page""".stripMargin
+    },
   )
 }

@@ -59,6 +59,60 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("v"))
   }
 
+  /** Removed-node count per peel round of the most recent [[kCore]]
+    * call — also emitted live through `observe` (`kcore_round_<i>`,
+    * column `edges`): the CC-telemetry discipline, so a slow 100 TB
+    * peel cascade surfaces round by round. */
+  @volatile private[graft] var lastPeelSeries: Seq[Long] = Nil
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k —
+    * the standard "dense community" pre-filter (peeling low-degree
+    * fringe before expensive community detection). Iterative peel:
+    * each round drops nodes whose CURRENT degree < k and the edges
+    * touching them; removals cascade (a chain peels one layer per
+    * round), so rounds are data-dependent and the loop runs to a
+    * fixpoint with [[Dedup.connectedComponents]]'s discipline —
+    * symmetrized edges, lineage truncation per round, the surviving
+    * edge count riding each checkpoint as an observed metric, loud
+    * failure if `maxIter` is hit unconverged. Per round: one degree
+    * agg + two semi-joins, all equi on the node key. Returns the
+    * surviving `(page, core_degree)` frame and the round count
+    * (rounds = peel attempts including the final no-op fixpoint
+    * check). Input `(a, b)` undirected, either or both directions. */
+  def kCore(und: DataFrame, k: Int, maxIter: Int = 50): (DataFrame, Int) = {
+    require(k >= 1, "k must be >= 1")
+    var edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var n = edges.count()
+    var iter = 0
+    var converged = n == 0L
+    val series = scala.collection.mutable.ArrayBuffer.empty[Long]
+    lastPeelSeries = Nil
+    while (!converged && iter < maxIter) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      val obs = org.apache.spark.sql.Observation(s"kcore_round_${iter + 1}")
+      val next = edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .observe(obs, count(lit(1)).as("edges"))
+        .localCheckpoint(true)
+      val m = obs.get("edges").asInstanceOf[Long]
+      series += m
+      lastPeelSeries = series.toSeq
+      converged = m == n || m == 0L
+      edges = next; n = m; iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not reach a fixpoint in $maxIter rounds — deeper peel " +
+        "cascade than expected; raise maxIter")
+    (edges.groupBy(col("src").as("page")).agg(count(lit(1)).as("core_degree")),
+      iter)
+  }
+
   /** Weighted PageRank: `edges` is `(src, dst, w)` with multi-edge counts
     * as weights; a node's mass splits across out-edges in proportion to
     * `w`. With `redistributeDangling` the mass of out-edge-less nodes

@@ -243,6 +243,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Graph.orientByDegree(doubled).count() === byDeg.count())
   }
 
+  test("kCore: pendant chain peels one layer per round; the core survives intact") {
+    import graft.operators.Graph
+    // triangle {100,101,102} with a 5-node pendant path 1-2-3-4-5-100:
+    // at k=2 the path END is the only sub-degree node, so removals
+    // CASCADE one node per round — the multi-round behavior the
+    // fixpoint loop exists for — while the triangle is untouched
+    val und = (Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 100L))).toDF("a", "b")
+    val (core, rounds) = Graph.kCore(und, k = 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 2L, 101L -> 2L, 102L -> 2L),
+      s"only the triangle is a 2-core: $got")
+    assert(rounds >= 5, s"a 5-node pendant chain must cascade over rounds: $rounds")
+    // observed telemetry: surviving-edge series non-increasing, ends flat
+    val series = Graph.lastPeelSeries
+    assert(series.size == rounds && series.zip(series.tail).forall { case (x, y) => y <= x },
+      s"peel series must be non-increasing: $series")
+    // k above the max degree peels everything; empty input never throws
+    assert(Graph.kCore(und, k = 4)._1.count() === 0L)
+    assert(Graph.kCore(und.limit(0), k = 2)._1.count() === 0L)
+  }
+
   test("pageRank: hub node dominates, ring graph stays uniform, mass is bounded") {
     import graft.operators.Graph
     // star: every node links to the hub (node 0); hub links to node 1
