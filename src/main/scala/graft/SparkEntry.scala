@@ -3819,6 +3819,78 @@ object SparkEntry {
       val (core, _) = graft.operators.Graph.kCore(und, k = 3)
       core.orderBy(col("page"))
     }),
+
+    "q205_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman r) of the co-visitation graph —
+      // do popular pages co-occur with popular pages? The one-number
+      // mixing diagnostic community pipelines check before trusting
+      // degree-based cuts. Pearson r of (deg(src), deg(dst)) over the
+      // SYMMETRIZED edge list: two equi-joins onto the degree frame,
+      // q103's closed form on exact DECIMAL(38,0) sums of integer
+      // degrees (long products would overflow at web scale), floor-
+      // round once.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val und = a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .select(col("page_a").as("u"), col("page_b").as("v"))
+        .distinct()
+      val sym = Dedup.cacheScoped(und.select(col("u").as("src"), col("v").as("dst"))
+        .union(und.select(col("v").as("src"), col("u").as("dst"))))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val D = DecimalType(38, 0)
+      def esum(c: Column) = sum(c.cast(D)).cast("double")
+      val e = sym
+        .join(deg.select(col("src"), col("d").as("dx")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("d").as("dy")), Seq("dst"))
+      val st = e.agg(count(lit(1)).as("m"),
+        esum(col("dx")).as("sx"), esum(col("dy")).as("sy"),
+        esum(col("dx") * col("dy")).as("sxy"),
+        esum(col("dx") * col("dx")).as("sxx"),
+        esum(col("dy") * col("dy")).as("syy"))
+      val md = col("m").cast("double")
+      val r = (md * col("sxy") - col("sx") * col("sy")) /
+        sqrt((md * col("sxx") - col("sx") * col("sx")) *
+          (md * col("syy") - col("sy") * col("sy")))
+      st.select(col("m").as("n_directed_edges"),
+        (floor(r * 1e9 + 0.5) / 1e9).as("assortativity"))
+    }),
+
+    "q206_adamic_adar" -> ((s, dir) => {
+      // Adamic–Adar link prediction on the co-visitation graph: for
+      // NON-adjacent page pairs, Σ over common neighbors w of
+      // 1/ln(deg(w)) — the related-content score that discounts hub
+      // co-neighbors. Wedge equi-join (bounded by Σdeg² — at web
+      // scale the standard mitigation is capping hub neighbor lists
+      // before wedging; q62's per-source cap is that shape), existing
+      // edges removed by an anti-join, per-term scores floor-rounded
+      // to 9 then summed as exact DECIMAL(27,9) so the float
+      // reduction order can't split engines.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val und = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .select(col("page_a").as("u"), col("page_b").as("v"))
+        .distinct())
+      val sym = Dedup.cacheScoped(und
+        .union(und.select(col("v"), col("u"))).toDF("src", "dst"))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val wedges = sym.select(col("src").as("u"), col("dst").as("w"))
+        .join(sym.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+        .filter(col("u") < col("v"))
+      val scored = wedges
+        .join(deg.select(col("src").as("w"), col("d")), Seq("w"))
+        .select(col("u"), col("v"),
+          (floor(lit(1.0) / log(col("d")) * 1e9 + 0.5) / 1e9)
+            .cast(DecimalType(27, 9)).as("t"))
+      scored.groupBy(col("u"), col("v"))
+        .agg(sum(col("t")).cast("double").as("aa_score"),
+          count(lit(1)).as("common_neighbors"))
+        .join(und, Seq("u", "v"), "left_anti")
+        .orderBy(desc("aa_score"), col("u"), col("v")).limit(10)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6175,5 +6247,50 @@ object SparkEntry {
          |SELECT src AS page, COUNT(*) AS core_degree FROM e12
          |GROUP BY src ORDER BY page""".stripMargin
     },
+
+    "q205_assortativity" ->
+      s"""$sessionPagesCte,
+         |eu AS MATERIALIZED (SELECT a.page AS u, b.page AS v
+         |       FROM d a JOIN d b
+         |         ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |       GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu UNION ALL SELECT v, u FROM eu),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM sym GROUP BY src),
+         |e AS (SELECT x.dg AS dx, y.dg AS dy FROM sym
+         |      JOIN deg x ON sym.src = x.src JOIN deg y ON sym.dst = y.src),
+         |st AS (SELECT COUNT(*) AS m,
+         |         CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |       FROM e)
+         |SELECT m AS n_directed_edges,
+         |  FLOOR((m * sxy - sx * sy)
+         |        / SQRT((m * sxx - sx * sx) * (m * syy - sy * sy)) * 1e9 + 0.5) / 1e9
+         |    AS assortativity
+         |FROM st""".stripMargin,
+
+    "q206_adamic_adar" ->
+      s"""$sessionPagesCte,
+         |eu AS MATERIALIZED (SELECT a.page AS u, b.page AS v
+         |       FROM d a JOIN d b
+         |         ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |       GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu UNION ALL SELECT v, u FROM eu),
+         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM sym GROUP BY src),
+         |w AS (SELECT w1.src AS u, w1.dst AS w, w2.dst AS v
+         |      FROM sym w1 JOIN sym w2 ON w1.dst = w2.src
+         |      WHERE w1.src < w2.dst),
+         |sc AS (SELECT u, v,
+         |         CAST(FLOOR(1.0 / LN(deg.dg) * 1e9 + 0.5) / 1e9 AS DECIMAL(27,9)) AS t
+         |       FROM w JOIN deg ON w.w = deg.src),
+         |p AS (SELECT u, v, CAST(SUM(t) AS DOUBLE) AS aa_score,
+         |        COUNT(*) AS common_neighbors
+         |      FROM sc GROUP BY 1, 2),
+         |np AS (SELECT p.* FROM p LEFT JOIN eu ON p.u = eu.u AND p.v = eu.v
+         |       WHERE eu.u IS NULL)
+         |SELECT u, v, aa_score, common_neighbors FROM np
+         |ORDER BY aa_score DESC, u, v LIMIT 10""".stripMargin,
   )
 }
