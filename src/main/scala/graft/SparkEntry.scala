@@ -3891,6 +3891,71 @@ object SparkEntry {
         .join(und, Seq("u", "v"), "left_anti")
         .orderBy(desc("aa_score"), col("u"), col("v")).limit(10)
     }),
+
+    "q207_cusum_changepoint" -> ((s, dir) => {
+      // CUSUM changepoint score on daily event rates — the monitoring
+      // primitive that catches a PERSISTENT rate shift where q87's
+      // z-score flags single outliers: S_i = C_i − min_{j≤i} C_j with
+      // C = Σ(x·D − T) (deviations from the mean, SCALED BY the day
+      // count so everything stays integer — no float recurrence), the
+      // running-max identity that turns the textbook max(0, S+x−μ)
+      // recurrence into two prefix passes. Day frames are bounded by
+      // the CALENDAR (≤ 365·years rows per type at any corpus size),
+      // so per-type windows are the legitimately-bounded exception to
+      // the no-partitioned-window rule (q110's argument). One scan,
+      // one (type, day) agg, exact until the final divide.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val wOrd = wAll.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("dcnt", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("x")).over(wAll))
+        .withColumn("c", sum(col("x") * col("dcnt") - col("tot")).over(wOrd))
+        .withColumn("s", col("c") - min(col("c")).over(wOrd))
+        .select(col("event_type"), col("day"),
+          (floor(col("s").cast("double") / col("dcnt") * 1e9 + 0.5) / 1e9)
+            .as("cusum"))
+        .orderBy(desc("cusum"), col("event_type"), col("day")).limit(10)
+    }),
+
+    "q208_label_prop" -> ((s, dir) => {
+      // synchronous label-propagation communities, 3 FIXED rounds —
+      // the cheap community detector LPA (Raghavan et al.): each round
+      // every node adopts its neighbors' most frequent label. LPA is
+      // notoriously nondeterministic in async formulations; this one
+      // is engine-exact by construction: synchronous rounds, fixed
+      // count (the q112/q143 unrolled-iteration discipline — CC/q204
+      // run to fixpoints because their results are order-invariant;
+      // LPA's isn't, so the round count IS part of the definition),
+      // ties broken (max count, then MIN label) via one struct-max
+      // partial agg — no per-node window. Per round: one edges⋈labels
+      // equi-join + two partial aggs.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val und = a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .select(col("page_a").as("u"), col("page_b").as("v"))
+        .distinct()
+      val sym = Dedup.cacheScoped(und
+        .union(und.select(col("v"), col("u"))).toDF("src", "dst"))
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 3) {
+        val msgs = sym
+          .join(labels.select(col("node").as("src"), col("lbl")), Seq("src"))
+          .groupBy(col("dst").as("node"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+        labels = msgs.groupBy(col("node"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+      }
+      labels.select(col("node").as("page"), col("lbl").as("community"))
+        .orderBy(col("page"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6292,5 +6357,49 @@ object SparkEntry {
          |       WHERE eu.u IS NULL)
          |SELECT u, v, aa_score, common_neighbors FROM np
          |ORDER BY aa_score DESC, u, v LIMIT 10""".stripMargin,
+
+    "q207_cusum_changepoint" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |m AS (SELECT event_type, day, x,
+         |        COUNT(*) OVER (PARTITION BY event_type) AS dcnt,
+         |        SUM(x) OVER (PARTITION BY event_type) AS tot
+         |      FROM daily),
+         |c AS (SELECT event_type, day, dcnt,
+         |        SUM(x * dcnt - tot) OVER
+         |          (PARTITION BY event_type ORDER BY day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+         |      FROM m),
+         |sc AS (SELECT event_type, day, dcnt,
+         |         cs - MIN(cs) OVER
+         |           (PARTITION BY event_type ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+         |       FROM c)
+         |SELECT event_type, day,
+         |  FLOOR(CAST(s AS DOUBLE) / dcnt * 1e9 + 0.5) / 1e9 AS cusum
+         |FROM sc ORDER BY cusum DESC, event_type, day LIMIT 10""".stripMargin,
+
+    "q208_label_prop" -> {
+      // 3 unrolled synchronous LPA rounds; per round the most frequent
+      // neighbor label wins, ties to the smaller label (row_number)
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS MATERIALIZED (SELECT sym.dst AS node, l.lbl, COUNT(*) AS cnt
+           |      FROM sym JOIN l${i - 1} l ON sym.src = l.node GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+           |        SELECT node, lbl,
+           |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+           |        FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$sessionPagesCte,
+         |eu AS MATERIALIZED (SELECT a.page AS u, b.page AS v
+         |       FROM d a JOIN d b
+         |         ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |       GROUP BY 1, 2),
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu UNION ALL SELECT v, u FROM eu),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+         |$rounds
+         |SELECT node AS page, lbl AS community FROM l3 ORDER BY page""".stripMargin
+    },
   )
 }
