@@ -3956,6 +3956,34 @@ object SparkEntry {
       labels.select(col("node").as("page"), col("lbl").as("community"))
         .orderBy(col("page"))
     }),
+
+    "q209_textrank" -> ((s, dir) => {
+      // TextRank keyword extraction (Mihalcea & Tarau): PageRank on the
+      // word co-occurrence graph — adjacent-word edges, symmetric,
+      // weighted by co-occurrence count — surfaces the corpus's
+      // central vocabulary the way raw frequency (q13-style top-k)
+      // can't: a word ranks high for co-occurring with OTHER central
+      // words. Composition: one tokenize pass → lead() adjacency →
+      // (a,b) weight agg → Graph.pageRank (q112's engine-exact
+      // decimal-contribution iteration, 3 damped rounds) → top-20.
+      // String keys route pageRank to its distributed tier — the
+      // 100 TB path exercised on an oracle-matched query.
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val adj = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), col("word").as("u"),
+          lead(col("word"), 1).over(w).as("v"))
+        .filter(col("v").isNotNull && col("u") =!= col("v"))
+      val und = adj
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .orderBy(desc("rank"), col("node")).limit(20)
+        .select(col("node").as("word"), col("rank"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6379,6 +6407,40 @@ object SparkEntry {
          |SELECT event_type, day,
          |  FLOOR(CAST(s AS DOUBLE) / dcnt * 1e9 + 0.5) / 1e9 AS cusum
          |FROM sc ORDER BY cusum DESC, event_type, day LIMIT 10""".stripMargin,
+
+    "q209_textrank" -> {
+      // q112's unrolled damped-decimal iteration on the word graph
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT f.dst, SUM(CAST(r.rank * f.frac AS DECIMAL(27,12))) AS s
+           |       FROM r${i - 1} r JOIN f ON r.node = f.src GROUP BY f.dst),
+           |r$i AS MATERIALIZED (SELECT r.node, r.n_nodes,
+           |         round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / r.n_nodes
+           |               + CAST(0.85 AS DOUBLE) * coalesce(CAST(c$i.s AS DOUBLE), 0.0), 9) AS rank
+           |       FROM r${i - 1} r LEFT JOIN c$i ON r.node = c$i.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tok AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos, ws[g.i] AS word
+         |        FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+         |        WHERE length(ws[g.i]) > 0),
+         |adj AS (SELECT word AS u,
+         |          lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS v
+         |        FROM tok),
+         |und AS (SELECT least(u, v) AS a, greatest(u, v) AS b, COUNT(*) AS w
+         |        FROM adj WHERE v IS NOT NULL AND u <> v GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM und
+         |     UNION ALL SELECT b, a, w FROM und),
+         |wo AS (SELECT src, SUM(w) AS wout FROM e GROUP BY src),
+         |f AS MATERIALIZED (SELECT e.src, e.dst,
+         |       CAST(e.w AS DOUBLE) / CAST(wo.wout AS DOUBLE) AS frac
+         |     FROM e JOIN wo USING (src)),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node, n_nodes,
+         |       round(CAST(1.0 AS DOUBLE) / n_nodes, 9) AS rank FROM nodes, nn),
+         |$iters
+         |SELECT node AS word, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
