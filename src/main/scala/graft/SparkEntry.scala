@@ -3984,6 +3984,57 @@ object SparkEntry {
         .orderBy(desc("rank"), col("node")).limit(20)
         .select(col("node").as("word"), col("rank"))
     }),
+
+    "q210_stream_psi" -> ((s, dir) => {
+      // STREAMING drift monitor — q166's PSI turned into a live gate:
+      // the value stream is binned against a REFERENCE distribution
+      // whose bounds are FROZEN at reference time (the production
+      // norm: the grid must not move under the monitor), counts
+      // aggregate per (daily window, bin) inside a real streaming
+      // query, and the PSI reduction is a tiny batch query over the
+      // sink table — the monitoring-dashboard pattern (stateful
+      // stream does the corpus-sized work; the dashboard math runs
+      // on bins×days rows). Oracle = the batch twin.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val ref = Tables.events(s, dir).filter(col("ts") < split).select(col("value"))
+      val bounds = ref.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val binOf = when(col("hi") <= col("lo"), lit(0)).otherwise(
+        least(lit(9), floor((col("value") - col("lo"))
+          / (col("hi") - col("lo")) * 10).cast("int")))
+      val refBins = ref.crossJoin(broadcast(bounds)).select(binOf.as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+          .filter(col("ts") >= split)
+          .crossJoin(broadcast(bounds))
+          .select(window(col("ts"), "1 day").as("w"), binOf.as("b"))
+          .groupBy(col("w"), col("b")).agg(count(lit(1)).as("cc"))
+        val sunk = StreamingOps.runToMemory(s, stream, "q210_stream_psi")
+          .select(col("w.start").as("day"), col("b"), col("cc"))
+        // dashboard-side PSI per day: full 10-bin grid (q166's
+        // empty-bin argument), ref totals broadcast, term-rounded
+        // exact-decimal reduction
+        val grid = sunk.select(col("day")).distinct()
+          .withColumn("b", explode(sequence(lit(0), lit(9))))
+          .join(sunk, Seq("day", "b"), "left").na.fill(0L, Seq("cc"))
+          .join(broadcast(refBins), Seq("b"), "left").na.fill(0L, Seq("cr"))
+        val nr = refBins.agg(sum(col("cr")).as("nr"))
+        val nc = grid.groupBy(col("day")).agg(sum(col("cc")).as("nc"))
+        grid.join(broadcast(nc), Seq("day")).crossJoin(broadcast(nr))
+          .withColumn("pr", (col("cr") + 0.5) / (col("nr") + 5.0))
+          .withColumn("pc", (col("cc") + 0.5) / (col("nc") + 5.0))
+          .withColumn("term", (col("pr") - col("pc")) * log(col("pr") / col("pc")))
+          .groupBy(col("day"), col("nc"))
+          .agg(round(sum(round(col("term"), 12).cast(DecimalType(27, 14)))
+            .cast("double"), 9).as("psi"))
+          .select(col("day"), col("nc").as("n_cur"), col("psi"))
+          .orderBy(col("day"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6441,6 +6492,36 @@ object SparkEntry {
          |$iters
          |SELECT node AS word, rank FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
+
+    "q210_stream_psi" ->
+      s"""$evCte,
+         |ref AS (SELECT value FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+         |bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ref),
+         |rb AS (SELECT CASE WHEN hi <= lo THEN 0
+         |         ELSE least(9, CAST(FLOOR((value - lo) / (hi - lo) * 10) AS INT)) END AS b,
+         |         COUNT(*) AS cr
+         |       FROM ref, bounds GROUP BY 1),
+         |cur AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day, value
+         |        FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+         |cb AS (SELECT day, CASE WHEN hi <= lo THEN 0
+         |         ELSE least(9, CAST(FLOOR((value - lo) / (hi - lo) * 10) AS INT)) END AS b,
+         |         COUNT(*) AS cc
+         |       FROM cur, bounds GROUP BY 1, 2),
+         |grid AS (SELECT d.day, g.b,
+         |           COALESCE(cb.cc, 0) AS cc, COALESCE(rb.cr, 0) AS cr
+         |         FROM (SELECT DISTINCT day FROM cb) d
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) g
+         |         LEFT JOIN cb ON cb.day = d.day AND cb.b = g.b
+         |         LEFT JOIN rb ON rb.b = g.b),
+         |nr AS (SELECT SUM(cr) AS nr FROM rb),
+         |nc AS (SELECT day, SUM(cc) AS nc FROM grid GROUP BY day),
+         |t AS (SELECT grid.day, nc.nc,
+         |        (CAST(grid.cr AS DOUBLE) + 0.5) / (nr.nr + 5.0) AS pr,
+         |        (CAST(grid.cc AS DOUBLE) + 0.5) / (nc.nc + 5.0) AS pc
+         |      FROM grid JOIN nc USING (day), nr)
+         |SELECT day, nc AS n_cur,
+         |  round(CAST(SUM(CAST(round((pr - pc) * ln(pr / pc), 12) AS DECIMAL(27,14))) AS DOUBLE), 9) AS psi
+         |FROM t GROUP BY 1, 2 ORDER BY day""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
