@@ -4035,6 +4035,40 @@ object SparkEntry {
           .orderBy(col("day"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
+
+    "q211_scd2_lookup" -> ((s, dir) => {
+      // point-in-time dimension lookup — the join q191's SCD-2 build
+      // exists FOR: facts enriched with the dimension version valid AT
+      // EVENT TIME (as-of-state attribution; joining the current
+      // version would leak the future). Dimension: each user's value
+      // TIER (floor(value/25)) at their 'view' events, run-length
+      // collapsed into [valid_from, valid_to) intervals (q191's two
+      // window passes, one user_id shuffle). Facts: 'purchase'
+      // events. The lookup is an EQUI-join on user_id with the
+      // interval predicate riding the same sort-merge — intervals per
+      // user are disjoint by construction, so no range-bucketing is
+      // needed (q76's machinery is for the non-equi case).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 25).cast("long").as("tier"))
+      val scd = views
+        .withColumn("prev", lag(col("tier"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("tier"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("tier"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      purchases.join(scd,
+          purchases("user_id") === scd("user_id") &&
+            purchases("ts") >= scd("valid_from") &&
+            (scd("valid_to").isNull || purchases("ts") < scd("valid_to")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+        .orderBy(col("tier"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6522,6 +6556,23 @@ object SparkEntry {
          |SELECT day, nc AS n_cur,
          |  round(CAST(SUM(CAST(round((pr - pc) * ln(pr / pc), 12) AS DECIMAL(27,14))) AS DOUBLE), 9) AS psi
          |FROM t GROUP BY 1, 2 ORDER BY day""".stripMargin,
+
+    "q211_scd2_lookup" ->
+      s"""$evCte,
+         |v AS (SELECT user_id, ts, event_id, CAST(FLOOR(value / 25) AS BIGINT) AS tier
+         |      FROM ev WHERE event_type = 'view'),
+         |r AS (SELECT user_id, ts, event_id, tier,
+         |        lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |      FROM v),
+         |ch AS (SELECT user_id, tier, ts AS valid_from,
+         |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         |       FROM r WHERE prev IS NULL OR prev <> tier),
+         |p AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase')
+         |SELECT tier, COUNT(*) AS n_purchases,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
+         |FROM p JOIN ch ON p.user_id = ch.user_id AND p.ts >= ch.valid_from
+         |  AND (ch.valid_to IS NULL OR p.ts < ch.valid_to)
+         |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
