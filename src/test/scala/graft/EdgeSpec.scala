@@ -154,4 +154,32 @@ class EdgeSpec extends AnyFunSuite {
     assert(out.filter(col("removed")).count() === 0L)
     assert(out.count() === 4L)
   }
+
+  // ------------------------------------------------------- round-9 edges
+
+  test("ecdfTable on an empty frame is empty; a single value maps to 1.0") {
+    import graft.operators.CumSum
+    val none = Seq.empty[Tuple1[Double]].toDF("v")
+    assert(CumSum.ecdfTable(none, col("v"), "v").count() === 0L)
+    val one = Seq(Tuple1(42.0)).toDF("v")
+    val got = CumSum.ecdfTable(one, col("v"), "v").collect()
+    assert(got.length == 1 && got(0).getDouble(0) == 42.0 && got(0).getDouble(1) == 1.0)
+  }
+
+  test("orientByDegree drops self-loops and dedups reversed duplicates; empty is empty") {
+    import graft.operators.Graph
+    val e = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("a", "b")
+    val got = Graph.orientByDegree(e).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 1, s"one surviving undirected edge: ${got.toSeq}")
+    assert(Graph.orientByDegree(Seq.empty[(Long, Long)].toDF("a", "b")).count() === 0L)
+  }
+
+  test("withRunningTotals refuses an empty weight list with a clear error") {
+    import graft.operators.CumSum
+    val df = Seq((1L, 1L)).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      CumSum.withRunningTotals(df, Seq(col("k")), Seq.empty)
+    }
+    assert(e.getMessage.contains("at least one"))
+  }
 }
