@@ -4069,6 +4069,76 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
         .orderBy(col("tier"))
     }),
+
+    "q212_benford" -> ((s, dir) => {
+      // Benford first-significant-digit test per event_type — the
+      // data-forensics staple (synthetic/fabricated numeric columns
+      // flunk it): χ² goodness-of-fit of the observed digit counts
+      // against log10(1+1/d). q100's χ² tests INDEPENDENCE of two
+      // observed categoricals; this tests fit against a FIXED law.
+      // Digit extraction is pure math (floor(v/10^floor(log10 v))) —
+      // no double→string formatting, which is NOT engine-portable.
+      // Full 1–9 grid so absent digits still contribute (q166's
+      // empty-bin argument); per-term round + decimal reduction.
+      val ev = Tables.events(s, dir).filter(col("value") > 0)
+        .select(col("event_type"),
+          floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
+            .cast("int").as("d"))
+      val obs = ev.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("o"))
+      val grid = obs.select(col("event_type")).distinct()
+        .withColumn("d", explode(sequence(lit(1), lit(9))))
+        .join(obs, Seq("event_type", "d"), "left").na.fill(0L, Seq("o"))
+      val tot = grid.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+      grid.join(broadcast(tot), Seq("event_type"))
+        .withColumn("e", col("n") * log10(lit(1.0) + lit(1.0) / col("d")))
+        .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(round(sum(round(col("term"), 9).cast(DecimalType(27, 9)))
+          .cast("double"), 9).as("chi2"))
+        .select(col("event_type"), col("n").as("n_values"), col("chi2"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q213_gini" -> ((s, dir) => {
+      // exact Gini coefficient of the value distribution per
+      // event_type — the concentration metric ("is engagement mass in
+      // a few whales?") behind mixture design decisions. Closed form
+      // over DISTINCT-value counts: G = Σ_v v·c_v·(2·cum_v − c_v − n)
+      // / (n · Σ v·c_v) with cum = inclusive cumulative count in
+      // value order — computed by q198's grouped two-pass (ONE
+      // withRunningTotals layout pass + per-type driver offsets), so
+      // no per-type window ever sees a corpus-sized frame. Integer
+      // factors exact; per-term products floor-rounded to 6 then
+      // reduced in DECIMAL(30,6).
+      val ev = Tables.events(s, dir).filter(col("value") >= 0)
+        .select(col("event_type"), col("value"))
+      val c = Dedup.cacheScoped(ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("cnt")))
+      val cum = graft.operators.CumSum.withRunningTotals(c,
+        Seq(col("event_type"), col("value")), Seq(col("cnt") -> "gcum"))
+      val tot = c.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("event_type")).collect()
+      var acc = 0L
+      val offs = tot.map { r =>
+        val row = (r.getString(0), acc, r.getLong(1)); acc += r.getLong(1); row
+      }.toIndexedSeq
+      import s.implicits._
+      val offDf = offs.toDF("event_type", "off", "n")
+      val D6 = DecimalType(30, 6)
+      val cumw = col("gcum") - col("off")
+      val numTerm = col("value") * col("cnt") * (lit(2) * cumw - col("cnt") - col("n"))
+      val denTerm = col("value") * col("cnt")
+      cum.join(broadcast(offDf), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (floor(numTerm * 1e6 + 0.5) / 1e6).cast(D6).as("nt"),
+          (floor(denTerm * 1e6 + 0.5) / 1e6).cast(D6).as("dt"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(sum(col("nt")).cast("double").as("num"),
+          sum(col("dt")).cast("double").as("den"))
+        .select(col("event_type"), col("n").as("n_values"),
+          (floor(col("num") / (col("n") * col("den")) * 1e9 + 0.5) / 1e9).as("gini"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6573,6 +6643,42 @@ object SparkEntry {
          |FROM p JOIN ch ON p.user_id = ch.user_id AND p.ts >= ch.valid_from
          |  AND (ch.valid_to IS NULL OR p.ts < ch.valid_to)
          |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    "q212_benford" ->
+      s"""$evCte,
+         |v AS (SELECT event_type,
+         |        CAST(FLOOR(value / POWER(10.0, FLOOR(LOG10(value)))) AS INT) AS d
+         |      FROM ev WHERE value > 0),
+         |obs AS (SELECT event_type, d, COUNT(*) AS o FROM v GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, g.d, COALESCE(obs.o, 0) AS o
+         |         FROM (SELECT DISTINCT event_type FROM obs) t
+         |         CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) g
+         |         LEFT JOIN obs ON obs.event_type = t.event_type AND obs.d = g.d),
+         |tot AS (SELECT event_type, SUM(o) AS n FROM grid GROUP BY 1),
+         |x AS (SELECT grid.event_type, tot.n, grid.o,
+         |        tot.n * LOG10(1.0 + 1.0 / grid.d) AS e
+         |      FROM grid JOIN tot USING (event_type))
+         |SELECT event_type, n AS n_values,
+         |  round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 9) AS DECIMAL(27,9))) AS DOUBLE), 9) AS chi2
+         |FROM x GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    "q213_gini" ->
+      s"""$evCte,
+         |c AS (SELECT event_type, value, COUNT(*) AS cnt
+         |      FROM ev WHERE value >= 0 GROUP BY 1, 2),
+         |m AS (SELECT event_type, value, cnt,
+         |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |      FROM c),
+         |t AS (SELECT event_type, n,
+         |        CAST(FLOOR(value * cnt * (2 * cumw - cnt - n) * 1e6 + 0.5) / 1e6
+         |          AS DECIMAL(30,6)) AS nt,
+         |        CAST(FLOOR(value * cnt * 1e6 + 0.5) / 1e6 AS DECIMAL(30,6)) AS dt
+         |      FROM m)
+         |SELECT event_type, n AS n_values,
+         |  FLOOR(CAST(SUM(nt) AS DOUBLE) / (n * CAST(SUM(dt) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS gini
+         |FROM t GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
