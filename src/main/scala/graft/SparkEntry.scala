@@ -4139,6 +4139,65 @@ object SparkEntry {
           (floor(col("num") / (col("n") * col("den")) * 1e9 + 0.5) / 1e9).as("gini"))
         .orderBy(col("event_type"))
     }),
+
+    "q214_attribution" -> ((s, dir) => {
+      // position-based (40/20/40) multi-touch attribution — the
+      // marketing-science step past q160's single-touch as-of: each
+      // purchase credits its view/click touches in a 7-DAY lookback
+      // (first 40%, last 40%, middles share 20%; n=1 → 1.0, n=2 →
+      // .5/.5), credits summed per channel. The lookback BOUNDS the
+      // touch join (never all-history), ranks ride per-(user,
+      // purchase) windows whose frames the lookback also bounds;
+      // credit arithmetic is small rationals floor-rounded to 9 and
+      // decimal-reduced.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("tts"), col("event_id"),
+          col("event_type").as("channel"))
+      val joined = purchases.join(touches, Seq("user_id"))
+        .filter(col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+      val w = Window.partitionBy(col("user_id"), col("pts"))
+        .orderBy(col("tts"), col("event_id"))
+      val ranked = joined
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("pts"))))
+      val credit = when(col("n") === 1, lit(1.0))
+        .when(col("n") === 2, lit(0.5))
+        .when(col("rk") === 1 || col("rk") === col("n"), lit(0.4))
+        .otherwise(lit(0.2) / (col("n") - 2))
+      ranked
+        .select(col("channel"),
+          (floor(credit * 1e9 + 0.5) / 1e9).cast(DecimalType(27, 9)).as("c"))
+        .groupBy(col("channel"))
+        .agg(sum(col("c")).cast("double").as("credit"), count(lit(1)).as("n_touches"))
+        .orderBy(col("channel"))
+    }),
+
+    "q215_peak_concurrency" -> ((s, dir) => {
+      // peak session concurrency by sweep line — "how many sessions
+      // were open at once, and when did load peak": q19's sessions
+      // become +1/−1 boundary deltas NETTED per instant first (so the
+      // cumulative order is total — no tie semantics to get wrong;
+      // a start and an end at the same instant cancel, the half-open
+      // [start, end) convention), then the GLOBAL running total over
+      // the boundary stream is CumSum's two-pass — corpus-sized, no
+      // global window. Top-10 peak moments: the interval-stabbing
+      // primitive behind capacity planning.
+      val sess = graft.streaming.StreamingOps
+        .sessionAgg(Tables.events(s, dir), "5 minutes")
+        .select(col("session_start"), col("session_end"))
+      val deltas = sess.select(col("session_start").as("ts"), lit(1L).as("delta"))
+        .union(sess.select(col("session_end").as("ts"), lit(-1L).as("delta")))
+      val net = deltas.groupBy(col("ts")).agg(sum(col("delta")).as("delta"))
+      graft.operators.CumSum
+        .withRunningTotal(net, Seq(col("ts")), col("delta"), "concurrency")
+        .select(col("ts"), col("concurrency"))
+        .orderBy(desc("concurrency"), col("ts")).limit(10)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6679,6 +6738,52 @@ object SparkEntry {
          |SELECT event_type, n AS n_values,
          |  FLOOR(CAST(SUM(nt) AS DOUBLE) / (n * CAST(SUM(dt) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS gini
          |FROM t GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    "q214_attribution" ->
+      s"""$evCte,
+         |p AS (SELECT user_id, ts AS pts FROM ev WHERE event_type = 'purchase'),
+         |tch AS (SELECT user_id, ts AS tts, event_id, event_type AS channel
+         |        FROM ev WHERE event_type IN ('view', 'click')),
+         |j AS (SELECT p.user_id, p.pts, tch.tts, tch.event_id, tch.channel
+         |      FROM p JOIN tch ON p.user_id = tch.user_id
+         |        AND tch.tts < p.pts AND tch.tts >= p.pts - INTERVAL 7 DAY),
+         |r AS (SELECT channel,
+         |        row_number() OVER (PARTITION BY user_id, pts ORDER BY tts, event_id) AS rk,
+         |        COUNT(*) OVER (PARTITION BY user_id, pts) AS n
+         |      FROM j),
+         |c AS (SELECT channel,
+         |        CASE WHEN n = 1 THEN 1.0
+         |             WHEN n = 2 THEN 0.5
+         |             WHEN rk = 1 OR rk = n THEN 0.4
+         |             ELSE 0.2 / (n - 2) END AS credit
+         |      FROM r)
+         |SELECT channel,
+         |  CAST(SUM(CAST(FLOOR(credit * 1e9 + 0.5) / 1e9 AS DECIMAL(27,9))) AS DOUBLE) AS credit,
+         |  COUNT(*) AS n_touches
+         |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q215_peak_concurrency" ->
+      s"""$evCte,
+         |brk AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+         |         THEN 1 ELSE 0 END AS is_break
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM brk),
+         |sp AS (SELECT MIN(ts) AS s, MAX(ts) + INTERVAL '5 minutes' AS e
+         |       FROM sess GROUP BY user_id, sid),
+         |dl AS (SELECT s AS ts, 1 AS delta FROM sp UNION ALL SELECT e, -1 FROM sp),
+         |net AS (SELECT ts, SUM(delta) AS delta FROM dl GROUP BY ts),
+         |c AS (SELECT ts, SUM(delta) OVER (ORDER BY ts
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrency
+         |      FROM net)
+         |SELECT ts, CAST(concurrency AS BIGINT) AS concurrency FROM c
+         |ORDER BY concurrency DESC, ts LIMIT 10""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
