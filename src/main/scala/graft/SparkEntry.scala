@@ -4198,6 +4198,50 @@ object SparkEntry {
         .select(col("ts"), col("concurrency"))
         .orderBy(desc("concurrency"), col("ts")).limit(10)
     }),
+
+    "q216_time_to_convert" -> ((s, dir) => {
+      // time-to-event analysis: the DISTRIBUTION of view→purchase
+      // delay (q92 reports the conversion RATE; how long conversion
+      // takes is the survival-analysis companion). First view / first
+      // purchase-after-view per user are one-row-per-user frames on a
+      // shared user_id shuffle (q182's stage shape); the delay
+      // quantiles come from the no-buffer histogram-refinement
+      // selector — integer seconds, so interpolation is exact in both
+      // engines.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec")))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(v, Seq("user_id"))
+        .filter(col("sec") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("sec") - col("t1")).as("delay"))
+      graft.operators.Selection.exactGroupedQuantiles(
+          p.withColumn("g", lit("all")), "g", "delay",
+          Seq(0.5, 0.9, 0.99))
+        .select(col("q"), col("value").as("delay_sec"))
+        .orderBy(col("q"))
+    }),
+
+    "q217_trailing_wau" -> ((s, dir) => {
+      // trailing 7-day distinct users per day (WAU) — the windowed
+      // COUNT DISTINCT that trailing-sum machinery (q97) can't
+      // decompose: distinct (user, day) activity exploded across the
+      // 7 report days it contributes to (a 7× map-side explode — an
+      // EQUI join shape, never a range join), re-distincted, counted
+      // per report day; report days clipped to observed days. Exact
+      // at any scale; the sketch alternative (q41's HLL) trades this
+      // exactness for state when 7× explode is too much.
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = daily.select(col("day")).distinct()
+      val contrib = daily
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .join(days, Seq("day"), "left_semi")
+      contrib.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("day"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6784,6 +6828,31 @@ object SparkEntry {
          |      FROM net)
          |SELECT ts, CAST(concurrency AS BIGINT) AS concurrency FROM c
          |ORDER BY concurrency DESC, ts LIMIT 10""".stripMargin,
+
+    "q216_time_to_convert" ->
+      s"""$evCte,
+         |e2 AS (SELECT user_id, event_type,
+         |         CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec FROM ev),
+         |v AS (SELECT user_id, MIN(sec) AS t1 FROM e2 WHERE event_type = 'view'
+         |      GROUP BY user_id),
+         |p AS (SELECT e2.user_id, MIN(sec - t1) AS delay
+         |      FROM e2 JOIN v USING (user_id)
+         |      WHERE event_type = 'purchase' AND sec > t1 GROUP BY e2.user_id),
+         |qs AS (SELECT quantile_cont(CAST(delay AS DOUBLE), [0.5, 0.9, 0.99]) AS qv FROM p)
+         |SELECT [0.5, 0.9, 0.99][g.i] AS q, qv[g.i] AS delay_sec
+         |FROM qs, LATERAL (SELECT unnest(generate_series(1, 3)) AS i) g
+         |ORDER BY q""".stripMargin,
+
+    "q217_trailing_wau" ->
+      s"""$evCte,
+         |daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         |days AS (SELECT DISTINCT day FROM daily),
+         |contrib AS (SELECT DISTINCT daily.day + CAST(g.i AS INTEGER) AS day, user_id
+         |            FROM daily, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g),
+         |clipped AS (SELECT contrib.day, user_id FROM contrib
+         |            JOIN days ON contrib.day = days.day)
+         |SELECT day, COUNT(DISTINCT user_id) AS wau
+         |FROM clipped GROUP BY day ORDER BY day""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
