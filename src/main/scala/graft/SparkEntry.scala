@@ -4242,6 +4242,58 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("wau"))
         .orderBy(col("day"))
     }),
+
+    "q218_dedup_yield" -> ((s, dir) => {
+      // dedup yield report — the capacity-planning readout run BEFORE
+      // committing to a dedup pass ("what would q30 actually save"):
+      // exact-dup group sizes rolled into a size histogram with docs
+      // and characters removed per size class. The synthetic corpus
+      // is dup-free, so every 10th doc is PLANTED as a copy (q197's
+      // discipline) — the histogram then exercises both size classes.
+      // Two partial aggs over one md5 shuffle (uniform by
+      // construction); every number is an exact integer.
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("n_chars")))
+      val g = corpus
+        .select(md5(col("text")).as("h"), col("n_chars"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("sz"), sum(col("n_chars")).as("chars"),
+          max(col("n_chars")).as("keep_chars"))
+      g.groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("sz") - 1).as("docs_removed"),
+          sum(col("chars") - col("keep_chars")).as("chars_removed"))
+        .orderBy(col("sz"))
+    }),
+
+    "q219_cross_source_dups" -> ((s, dir) => {
+      // cross-source duplication matrix — WHICH sources copy from
+      // which (q132's shingle overlap scores fuzzy similarity; this
+      // counts byte-exact shared content): distinct (content hash,
+      // source) pairs self-joined on the hash, source-pair counts.
+      // Every 10th doc is planted into the NEXT source (rotation
+      // over the 20-source universe) so the matrix is exercised.
+      // The join is bounded by Σ(sources-per-hash)² — content shared
+      // by MANY sources is the skew case, the same AQE argument as
+      // every content-keyed join. Top-10 copying pairs.
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select(col("text"),
+          concat(lit("src"), ((srcNum + 1) % 20).cast("string")).as("source"))
+      val hs = Dedup.cacheScoped(d.select(col("text"), col("source"))
+        .unionByName(planted)
+        .select(md5(col("text")).as("h"), col("source").as("src"))
+        .distinct())
+      hs.select(col("h"), col("src").as("src_a"))
+        .join(hs.select(col("h"), col("src").as("src_b")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(desc("n_shared"), col("src_a"), col("src_b")).limit(10)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6853,6 +6905,30 @@ object SparkEntry {
          |            JOIN days ON contrib.day = days.day)
          |SELECT day, COUNT(DISTINCT user_id) AS wau
          |FROM clipped GROUP BY day ORDER BY day""".stripMargin,
+
+    "q218_dedup_yield" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 10 = 0),
+        |g AS (SELECT md5(text) AS h, COUNT(*) AS sz, SUM(n_chars) AS chars,
+        |        MAX(n_chars) AS keep_chars
+        |      FROM corpus GROUP BY h)
+        |SELECT sz, COUNT(*) AS n_groups,
+        |  CAST(SUM(sz - 1) AS BIGINT) AS docs_removed,
+        |  CAST(SUM(chars - keep_chars) AS BIGINT) AS chars_removed
+        |FROM g GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "q219_cross_source_dups" ->
+      """WITH planted AS (
+        |  SELECT text, 'src' || CAST((CAST(substr(source, 4) AS INT) + 1) % 20 AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |hs AS (SELECT DISTINCT md5(text) AS h, source AS src FROM (
+        |         SELECT text, source FROM documents UNION ALL SELECT text, source FROM planted)),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b
+        |      FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src)
+        |SELECT src_a, src_b, COUNT(*) AS n_shared
+        |FROM p GROUP BY 1, 2 ORDER BY n_shared DESC, src_a, src_b LIMIT 10""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
