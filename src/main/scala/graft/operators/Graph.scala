@@ -120,14 +120,18 @@ object Graph {
     * to 1, the textbook formulation); off by default to match the q112
     * oracle's simpler unrolling (ranks sum < 1 when dangling nodes
     * exist). Returns `(node, rank)` after `iters` damped rounds from a
-    * uniform start. Graphs of ≤ `localEdgeThreshold` edges (with long
-    * keys) solve on the driver with identical arithmetic. */
+    * uniform start. Graphs of ≤ `localEdgeThreshold` edges (long or
+    * string keys) solve on the driver with identical arithmetic. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                localEdgeThreshold: Long = 1L << 20,
                redistributeDangling: Boolean = false): DataFrame = {
     val e = Dedup.cacheScoped(edges.select(col("src"), col("dst"), col("w")))
-    val localOk = e.schema("src").dataType == LongType &&
-      e.schema("dst").dataType == LongType
+    // long AND string keys solve locally (string graphs — e.g. the
+    // q209 word graph — dict-sort on the driver; same exact arithmetic)
+    val localKey = Set[org.apache.spark.sql.types.DataType](
+      LongType, org.apache.spark.sql.types.StringType)
+    val localOk = localKey(e.schema("src").dataType) &&
+      e.schema("src").dataType == e.schema("dst").dataType
     if (localOk && e.count() <= localEdgeThreshold)
       return localPageRank(e, iters, damping, redistributeDangling)
 
@@ -183,15 +187,21 @@ object Graph {
   private def localPageRank(e: DataFrame, iters: Int, damping: Double,
                             redistributeDangling: Boolean): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keyType = e.schema("src").dataType
+    implicit val ord: Ordering[Any] = keyType match {
+      case LongType => Ordering.by(_.asInstanceOf[Long])
+      case org.apache.spark.sql.types.StringType => Ordering.by(_.asInstanceOf[String])
+      case t => throw new IllegalArgumentException(s"unsupported local key type: $t")
+    }
+    val rows = e.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
     val wout = rows.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
     val nodes = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
     val danglingNodes = nodes.filterNot(wout.contains)
     val n = nodes.length
-    var rank: collection.Map[Long, Double] =
+    var rank: collection.Map[Any, Double] =
       nodes.map(_ -> round9(1.0 / n)).toMap
     for (_ <- 1 to iters) {
-      val sums = collection.mutable.HashMap.empty[Long, java.math.BigDecimal]
+      val sums = collection.mutable.HashMap.empty[Any, java.math.BigDecimal]
       rows.foreach { case (s, d, w) =>
         val frac = w.toDouble / wout(s).toDouble
         val c = java.math.BigDecimal.valueOf(rank(s) * frac)
@@ -214,7 +224,7 @@ object Graph {
     }
     val out = nodes.map(nd => Row(nd, rank(nd)))
     val schema = StructType(Seq(
-      StructField("node", LongType), StructField("rank", DoubleType)))
+      StructField("node", keyType), StructField("rank", DoubleType)))
     spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 }
