@@ -4294,6 +4294,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(desc("n_shared"), col("src_a"), col("src_b")).limit(10)
     }),
+
+    "q220_mann_kendall" -> ((s, dir) => {
+      // Mann–Kendall monotonic-trend test on daily event counts per
+      // type — IS volume drifting up or down (q207's CUSUM finds WHERE
+      // a shift happened; this scores WHETHER a monotone trend
+      // exists): S = Σ_{i<j} sign(x_j − x_i) over day pairs, exact
+      // integer; the pair join is CALENDAR²-bounded per type (q207's
+      // bounded-day argument squared — still tiny at any corpus
+      // size). Tie-corrected variance, z = (S ∓ 1)/√var, one
+      // floor-round at the end.
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")))
+      val pairs = daily.select(col("event_type"), col("day").as("d1"), col("x").as("x1"))
+        .join(daily.select(col("event_type"), col("day").as("d2"), col("x").as("x2")),
+          Seq("event_type"))
+        .filter(col("d1") < col("d2"))
+      val sAgg = pairs.groupBy(col("event_type"))
+        .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+      val nAgg = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val ties = daily.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+      val varExpr = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+        .cast("double") / 18.0
+      val z = when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varExpr))
+        .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varExpr))
+        .otherwise(lit(0.0))
+      sAgg.join(nAgg, Seq("event_type")).join(ties, Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+          (floor(z * 1e9 + 0.5) / 1e9).as("z"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6929,6 +6963,27 @@ object SparkEntry {
         |      FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src)
         |SELECT src_a, src_b, COUNT(*) AS n_shared
         |FROM p GROUP BY 1, 2 ORDER BY n_shared DESC, src_a, src_b LIMIT 10""".stripMargin,
+
+    "q220_mann_kendall" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |p AS (SELECT a.event_type,
+         |        CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+         |      FROM daily a JOIN daily b
+         |        ON a.event_type = b.event_type AND a.day < b.day
+         |      GROUP BY 1),
+         |n AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+         |tg AS (SELECT event_type, x, COUNT(*) AS t FROM daily GROUP BY 1, 2),
+         |ts2 AS (SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tsum FROM tg GROUP BY 1),
+         |j AS (SELECT p.event_type, n.n, p.s_stat,
+         |        CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ts2.tsum AS DOUBLE) / 18.0 AS v
+         |      FROM p JOIN n USING (event_type) JOIN ts2 USING (event_type))
+         |SELECT event_type, n AS n_days, s_stat,
+         |  FLOOR(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(v)
+         |             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(v)
+         |             ELSE 0.0 END * 1e9 + 0.5) / 1e9 AS z
+         |FROM j ORDER BY event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
