@@ -2,17 +2,23 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the driver-generated test tables
   * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md).
   *
   * All queries read through here so schema normalization happens in one
-  * place. The only normalization needed: `events.ts` is parquet
-  * TIMESTAMP(NANOS), which Spark's TimestampType (microseconds) cannot
-  * ingest directly — we read it as a nanosecond Long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds,
-  * exactly matching DuckDB's `CAST(ts AS TIMESTAMP)` truncation so the
-  * oracle comparison is bit-identical.
+  * place. The only normalization needed: `events.ts`, whose physical
+  * layout has varied across driver-generated fixture versions —
+  * TIMESTAMP(NANOS) (unreadable by Spark's µs TimestampType; read as a
+  * nanosecond Long via `spark.sql.legacy.parquet.nanosAsLong` and
+  * truncated to µs) or plain µs TIMESTAMP without a UTC annotation
+  * (read as TIMESTAMP_NTZ; cast to session-local TimestampType — exact
+  * under the UTC session every entry point pins). Both normalizations
+  * match DuckDB's `CAST(ts AS TIMESTAMP)` exactly, so the oracle
+  * comparison stays bit-identical whichever fixture generation is on
+  * disk. Branching on the observed schema (not a conf) keeps every
+  * query working without knowing which generation it reads.
   */
 object Tables {
   def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
@@ -30,15 +36,22 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
-  /** events with `ts` normalized to TimestampType (µs, truncated from ns). */
+  /** events with `ts` normalized to TimestampType (µs) from whichever
+    * physical layout this fixture generation uses (see object scaladoc). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     // Runtime-settable SQL conf; scoped to this session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, sfDir, "events")
-    // ts long nanos -> truncate to micros. MUST be integral `div`: `/` on
-    // longs is double division and 1.7e18 ns exceeds double's 2^53 exact
-    // range (observed off-by-1µs vs DuckDB's truncating cast).
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ts = raw.schema("ts").dataType match {
+      case LongType =>
+        // ns Long -> truncate to µs. MUST be integral `div`: `/` on longs
+        // is double division and 1.7e18 ns exceeds double's 2^53 exact
+        // range (observed off-by-1µs vs DuckDB's truncating cast).
+        timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType) // exact under UTC session
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 }
