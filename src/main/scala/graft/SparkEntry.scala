@@ -4328,6 +4328,91 @@ object SparkEntry {
           (floor(z * 1e9 + 0.5) / 1e9).as("z"))
         .orderBy(col("event_type"))
     }),
+
+    "q221_roc_auc" -> ((s, dir) => {
+      // exact ROC-AUC of the cheap quality score as a detector of
+      // English docs, per source — the threshold-free eval loop for
+      // ranker/filter models (q108 trains a head; this scores any
+      // scorer, and q150's calibration bins need a threshold). AUC via
+      // the rank-sum identity with midrank tie handling: roll up to
+      // per-(source, score) counts, ONE CumSum two-pass over the
+      // (source, score) order (scores are continuous, so the count
+      // frame is corpus-sized — q195's regime; never a global window),
+      // rebase per source with exclusive prefix offsets (q198's
+      // |groups|-row driver frame). 2·R⁺ = Σ np·(2·cumBefore + n + 1)
+      // stays exact long arithmetic; AUC = (2R⁺ − P(P+1)) / (2PN) is
+      // one exact-long double division — correctly rounded, hence
+      // engine-identical with no explicit rounding.
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val c = Dedup.cacheScoped(d.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np")))
+      val cum = CumSum.withRunningTotal(c, Seq(col("source"), col("score")),
+        col("n"), "gcum")
+      val tot = c.groupBy(col("source"))
+        .agg(sum(col("n")).as("tn"), sum(col("np")).as("tp"))
+        .orderBy(col("source")).collect()
+      var acc = 0L
+      val offs = tot.map { r =>
+        val row = (r.getString(0), acc, r.getLong(1), r.getLong(2))
+        acc += r.getLong(1); row
+      }.toIndexedSeq
+      import s.implicits._
+      val offDf = offs.toDF("source", "off", "tn", "tp")
+      cum.join(broadcast(offDf), Seq("source"))
+        .withColumn("r2",
+          lit(2) * (col("gcum") - col("off") - col("n")) + col("n") + 1)
+        .groupBy(col("source")).agg(sum(col("np") * col("r2")).as("rp2"))
+        .join(broadcast(offDf), Seq("source"))
+        .filter(col("tp") > 0 && col("tn") - col("tp") > 0)
+        .select(col("source"), col("tp").as("n_pos"),
+          (col("tn") - col("tp")).as("n_neg"),
+          ((col("rp2") - col("tp") * (col("tp") + 1)).cast("double")
+            / (lit(2) * col("tp") * (col("tn") - col("tp"))).cast("double"))
+            .as("auc"))
+        .orderBy(col("source"))
+    }),
+
+    "q222_mann_whitney" -> ((s, dir) => {
+      // exact Mann–Whitney U: does the `value` distribution of clicks
+      // differ from purchases? The nonparametric two-sample test behind
+      // A/B readouts on skewed metrics (q174's CUPED assumes means;
+      // ranks don't). Same midrank machinery as q221 — per-value
+      // counts, one global CumSum two-pass (values are continuous;
+      // no global window) — then 2R₁ exact, tie-corrected variance,
+      // continuity-corrected z. All integer arithmetic until the final
+      // σ (sqrt is correctly rounded, so the mirrored formula is
+      // engine-identical); one floor-round on z.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"),
+          (col("event_type") === "click").cast("long").as("g1"))
+      val c = Dedup.cacheScoped(ev.groupBy(col("value"))
+        .agg(count(lit(1)).as("n"), sum(col("g1")).as("n1v")))
+      val cum = CumSum.withRunningTotal(c, Seq(col("value")), col("n"), "gcum")
+      val r = cum.agg(sum(col("n1v") *
+        (lit(2) * (col("gcum") - col("n")) + col("n") + 1)).as("r1x2"))
+      val t = c.agg(sum(col("n")).as("nn"), sum(col("n1v")).as("n1"),
+        sum(col("n") * col("n") * col("n") - col("n")).as("tie"))
+      val j = r.crossJoin(broadcast(t))
+        .withColumn("n2", col("nn") - col("n1"))
+        .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + 1))
+        .withColumn("num2", col("u1x2") - col("n1") * col("n2"))
+        .withColumn("sig", sqrt(
+          col("n1").cast("double") * col("n2").cast("double") / 12.0
+            * (col("nn").cast("double") + 1.0
+               - col("tie").cast("double")
+                 / (col("nn").cast("double") * (col("nn").cast("double") - 1.0)))))
+      val z = when(col("num2") > 0,
+          (col("num2") - 1).cast("double") / (lit(2.0) * col("sig")))
+        .when(col("num2") < 0,
+          (col("num2") + 1).cast("double") / (lit(2.0) * col("sig")))
+        .otherwise(lit(0.0))
+      j.select(col("n1"), col("n2"),
+        (col("u1x2").cast("double") / 2.0).as("u1"),
+        (floor(z * 1e9 + 0.5) / 1e9).as("z"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6984,6 +7069,48 @@ object SparkEntry {
          |             WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(v)
          |             ELSE 0.0 END * 1e9 + 0.5) / 1e9 AS z
          |FROM j ORDER BY event_type""".stripMargin,
+
+    "q221_roc_auc" ->
+      """WITH d AS (SELECT source, lang,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        |    * (CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+        |    * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0))
+        |    AS score FROM documents),
+        |c AS (SELECT source, score, COUNT(*) AS n,
+        |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        |      FROM d GROUP BY 1, 2),
+        |cum AS (SELECT source, score, n, np,
+        |        SUM(n) OVER (PARTITION BY source ORDER BY score) AS scum FROM c),
+        |r AS (SELECT source, SUM(np * (2 * (scum - n) + n + 1)) AS rp2 FROM cum GROUP BY 1),
+        |t AS (SELECT source, SUM(n) AS tn, SUM(np) AS tp FROM c GROUP BY 1)
+        |SELECT source, CAST(tp AS BIGINT) AS n_pos, CAST(tn - tp AS BIGINT) AS n_neg,
+        |  CAST(rp2 - tp * (tp + 1) AS DOUBLE) / CAST(2 * tp * (tn - tp) AS DOUBLE) AS auc
+        |FROM r JOIN t USING (source)
+        |WHERE tp > 0 AND tn - tp > 0 ORDER BY source""".stripMargin,
+
+    "q222_mann_whitney" ->
+      s"""$evCte,
+         |g AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1
+         |      FROM ev WHERE event_type IN ('click', 'purchase')),
+         |c AS (SELECT value, COUNT(*) AS n, SUM(g1) AS n1v FROM g GROUP BY 1),
+         |cum AS (SELECT value, n, n1v, SUM(n) OVER (ORDER BY value) AS gcum FROM c),
+         |r AS (SELECT SUM(n1v * (2 * (gcum - n) + n + 1)) AS r1x2 FROM cum),
+         |t AS (SELECT SUM(n) AS nn, SUM(n1v) AS n1, SUM(n * n * n - n) AS tie FROM c),
+         |j AS (SELECT nn, n1, nn - n1 AS n2, tie, r1x2,
+         |        r1x2 - n1 * (n1 + 1) AS u1x2,
+         |        r1x2 - n1 * (n1 + 1) - n1 * (nn - n1) AS num2,
+         |        SQRT(CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE) / 12.0
+         |          * (CAST(nn AS DOUBLE) + 1.0
+         |             - CAST(tie AS DOUBLE) / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0)))) AS sig
+         |      FROM r CROSS JOIN t)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(u1x2 AS DOUBLE) / 2.0 AS u1,
+         |  FLOOR(CASE WHEN num2 > 0 THEN CAST(num2 - 1 AS DOUBLE) / (2.0 * sig)
+         |             WHEN num2 < 0 THEN CAST(num2 + 1 AS DOUBLE) / (2.0 * sig)
+         |             ELSE 0.0 END * 1e9 + 0.5) / 1e9 AS z
+         |FROM j""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
