@@ -2797,12 +2797,17 @@ object SparkEntry {
       cells.join(broadcast(tot), Seq("event_type"))
         .withColumn("pr", (col("cr") + 0.5) / (col("nr") + 5.0))
         .withColumn("pc", (col("cc") + 0.5) / (col("nc") + 5.0))
-        .withColumn("term", (col("pr") - col("pc")) * log(col("pr") / col("pc")))
+        .withColumn("term", floor((col("pr") - col("pc"))
+          * log(col("pr") / col("pc")) * 1e12 + 0.5) / 1e12)
         .groupBy(col("event_type"), col("nr"), col("nc"))
         // q91 discipline: round each term, reduce in exact decimal —
-        // a raw double sum would be partial-agg-order-dependent
-        .agg(round(sum(round(col("term"), 12).cast(DecimalType(27, 14)))
-          .cast("double"), 9).as("psi"))
+        // a raw double sum would be partial-agg-order-dependent.
+        // Floor-form, not round(double, n): the 12-digit term sum hits
+        // the outer 9-digit HALF_UP boundary with ~1e-3 odds per row
+        // and Spark/DuckDB break the tie differently (the r9 q210
+        // lesson, same shape as this query).
+        .agg((floor(sum(col("term").cast(DecimalType(27, 14)))
+          .cast("double") * 1e9 + 0.5) / 1e9).as("psi"))
         .select(col("event_type"), col("nr").as("n_ref"), col("nc").as("n_cur"),
           col("psi"))
         .orderBy(col("event_type"))
@@ -4024,13 +4029,19 @@ object SparkEntry {
           .join(broadcast(refBins), Seq("b"), "left").na.fill(0L, Seq("cr"))
         val nr = refBins.agg(sum(col("cr")).as("nr"))
         val nc = grid.groupBy(col("day")).agg(sum(col("cc")).as("nc"))
+        // floor-form rounding end-to-end (r9 lesson): round(double, n)
+        // is BigDecimal-HALF_UP in Spark vs libm in DuckDB and the
+        // 12-digit term sum hits the outer 9-digit half boundary with
+        // ~1e-3 odds per row; floor(x·1eN+0.5)/1eN is pure IEEE and
+        // engine-identical even ON a boundary.
         grid.join(broadcast(nc), Seq("day")).crossJoin(broadcast(nr))
           .withColumn("pr", (col("cr") + 0.5) / (col("nr") + 5.0))
           .withColumn("pc", (col("cc") + 0.5) / (col("nc") + 5.0))
-          .withColumn("term", (col("pr") - col("pc")) * log(col("pr") / col("pc")))
+          .withColumn("term", floor((col("pr") - col("pc"))
+            * log(col("pr") / col("pc")) * 1e12 + 0.5) / 1e12)
           .groupBy(col("day"), col("nc"))
-          .agg(round(sum(round(col("term"), 12).cast(DecimalType(27, 14)))
-            .cast("double"), 9).as("psi"))
+          .agg((floor(sum(col("term").cast(DecimalType(27, 14)))
+            .cast("double") * 1e9 + 0.5) / 1e9).as("psi"))
           .select(col("day"), col("nc").as("n_cur"), col("psi"))
           .orderBy(col("day"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -4076,25 +4087,51 @@ object SparkEntry {
       // flunk it): χ² goodness-of-fit of the observed digit counts
       // against log10(1+1/d). q100's χ² tests INDEPENDENCE of two
       // observed categoricals; this tests fit against a FIXED law.
-      // Digit extraction is pure math (floor(v/10^floor(log10 v))) —
-      // no double→string formatting, which is NOT engine-portable.
-      // Full 1–9 grid so absent digits still contribute (q166's
-      // empty-bin argument); per-term round + decimal reduction.
-      val ev = Tables.events(s, dir).filter(col("value") > 0)
-        .select(col("event_type"),
-          floor(col("value") / pow(lit(10.0), floor(log10(col("value")))))
-            .cast("int").as("d"))
+      // PORTABILITY (the r9 hash-mismatch lesson): no transcendentals
+      // anywhere. Digit extraction via floor(log10 v) can flip the
+      // leading digit entirely when log10 differs 1 ulp near a power
+      // of 10 between the JVM and libm; instead quantize value to an
+      // exact centi-unit integer k = floor(v·100 + 0.5) (IEEE-pure,
+      // engine-identical) and take k's leading digit by plain double
+      // division — k/p < 16 with p a power of 10 is correctly rounded
+      // and identical in both engines. The Benford expectations
+      // log10(1+1/d) are 9 CONSTANTS, inlined as decimal literals
+      // (both engines parse literals correctly-rounded). Terms use
+      // the floor-form round (floor(x·1e9+0.5)/1e9 — pure IEEE),
+      // never round(double, n) whose BigDecimal-HALF_UP vs libm
+      // semantics diverge on half boundaries. Full 1–9 grid so
+      // absent digits still contribute (q166's empty-bin argument).
+      val k = floor(col("value") * 100 + 0.5)
+      val d = when(k >= 1e12, floor(k / 1e12))
+        .when(k >= 1e11, floor(k / 1e11)).when(k >= 1e10, floor(k / 1e10))
+        .when(k >= 1e9, floor(k / 1e9)).when(k >= 1e8, floor(k / 1e8))
+        .when(k >= 1e7, floor(k / 1e7)).when(k >= 1e6, floor(k / 1e6))
+        .when(k >= 1e5, floor(k / 1e5)).when(k >= 1e4, floor(k / 1e4))
+        .when(k >= 1e3, floor(k / 1e3)).when(k >= 100, floor(k / 100))
+        .when(k >= 10, floor(k / 10)).otherwise(k)
+      val ev = Tables.events(s, dir).filter(col("value") > 0 && k >= 1)
+        .select(col("event_type"), d.cast("int").as("d"))
       val obs = ev.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("o"))
       val grid = obs.select(col("event_type")).distinct()
         .withColumn("d", explode(sequence(lit(1), lit(9))))
         .join(obs, Seq("event_type", "d"), "left").na.fill(0L, Seq("o"))
       val tot = grid.groupBy(col("event_type")).agg(sum(col("o")).as("n"))
+      val benford = when(col("d") === 1, lit(0.3010299956639812))
+        .when(col("d") === 2, lit(0.17609125905568124))
+        .when(col("d") === 3, lit(0.12493873660829992))
+        .when(col("d") === 4, lit(0.09691001300805642))
+        .when(col("d") === 5, lit(0.07918124604762482))
+        .when(col("d") === 6, lit(0.06694678963061322))
+        .when(col("d") === 7, lit(0.05799194697768673))
+        .when(col("d") === 8, lit(0.05115252244738129))
+        .otherwise(lit(0.04575749056067514))
       grid.join(broadcast(tot), Seq("event_type"))
-        .withColumn("e", col("n") * log10(lit(1.0) + lit(1.0) / col("d")))
+        .withColumn("e", col("n") * benford)
         .withColumn("term", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
         .groupBy(col("event_type"), col("n"))
-        .agg(round(sum(round(col("term"), 9).cast(DecimalType(27, 9)))
-          .cast("double"), 9).as("chi2"))
+        .agg((floor(sum((floor(col("term") * 1e9 + 0.5) / 1e9)
+            .cast(DecimalType(27, 9))).cast("double") * 1e9 + 0.5) / 1e9)
+          .as("chi2"))
         .select(col("event_type"), col("n").as("n_values"), col("chi2"))
         .orderBy(col("event_type"))
     }),
@@ -4107,9 +4144,18 @@ object SparkEntry {
       // / (n · Σ v·c_v) with cum = inclusive cumulative count in
       // value order — computed by q198's grouped two-pass (ONE
       // withRunningTotals layout pass + per-type driver offsets), so
-      // no per-type window ever sees a corpus-sized frame. Integer
-      // factors exact; per-term products floor-rounded to 6 then
-      // reduced in DECIMAL(30,6).
+      // no per-type window ever sees a corpus-sized frame.
+      // PORTABILITY (the r9 hash-mismatch lesson): the old form
+      // floor-rounded the ~1e9-magnitude double product v·c·(2cum−c−n)
+      // at 1e6 and cast to DECIMAL(30,6) — at that magnitude the
+      // double's ulp sits AT the 6th decimal, so the decimal cast is
+      // engine-unstable. Instead `value` is quantized ONCE on entry to
+      // an exact centi-unit integer (floor(v·100+0.5), IEEE-pure; the
+      // fixture's values are 2-decimal so this is lossless) and the
+      // whole num/den reduction runs in exact integer DECIMAL(38,0) /
+      // DuckDB HUGEINT — num stays < 2^53 through sf1, so the final
+      // int→double casts are exact in both engines and the single
+      // closing division + floor-form round is bit-identical.
       val ev = Tables.events(s, dir).filter(col("value") >= 0)
         .select(col("event_type"), col("value"))
       val c = Dedup.cacheScoped(ev.groupBy(col("event_type"), col("value"))
@@ -4124,14 +4170,15 @@ object SparkEntry {
       }.toIndexedSeq
       import s.implicits._
       val offDf = offs.toDF("event_type", "off", "n")
-      val D6 = DecimalType(30, 6)
+      val DI = DecimalType(14, 0)
       val cumw = col("gcum") - col("off")
-      val numTerm = col("value") * col("cnt") * (lit(2) * cumw - col("cnt") - col("n"))
-      val denTerm = col("value") * col("cnt")
+      val vc = floor(col("value") * 100 + 0.5).cast(DI)
+      val numTerm = vc * col("cnt").cast(DI) *
+        (lit(2) * cumw - col("cnt") - col("n")).cast(DI)
+      val denTerm = vc * col("cnt").cast(DI)
       cum.join(broadcast(offDf), Seq("event_type"))
         .select(col("event_type"), col("n"),
-          (floor(numTerm * 1e6 + 0.5) / 1e6).cast(D6).as("nt"),
-          (floor(denTerm * 1e6 + 0.5) / 1e6).cast(D6).as("dt"))
+          numTerm.as("nt"), denTerm.as("dt"))
         .groupBy(col("event_type"), col("n"))
         .agg(sum(col("nt")).cast("double").as("num"),
           sum(col("dt")).cast("double").as("den"))
@@ -6299,10 +6346,10 @@ object SparkEntry {
          |tot AS (SELECT event_type, SUM(cr) AS nr, SUM(cc) AS nc
          |        FROM cells GROUP BY event_type)
          |SELECT event_type, CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
-         |  round(CAST(SUM(CAST(round(
+         |  FLOOR(CAST(SUM(CAST(FLOOR(
          |    (((cr + 0.5) / (nr + 5.0)) - ((cc + 0.5) / (nc + 5.0)))
-         |      * ln(((cr + 0.5) / (nr + 5.0)) / ((cc + 0.5) / (nc + 5.0))), 12)
-         |    AS DECIMAL(27,14))) AS DOUBLE), 9) AS psi
+         |      * ln(((cr + 0.5) / (nr + 5.0)) / ((cc + 0.5) / (nc + 5.0))) * 1e12 + 0.5) / 1e12
+         |    AS DECIMAL(27,14))) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS psi
          |FROM cells JOIN tot USING (event_type)
          |GROUP BY event_type, nr, nc ORDER BY event_type""".stripMargin,
 
@@ -6898,7 +6945,8 @@ object SparkEntry {
          |        (CAST(grid.cc AS DOUBLE) + 0.5) / (nc.nc + 5.0) AS pc
          |      FROM grid JOIN nc USING (day), nr)
          |SELECT day, nc AS n_cur,
-         |  round(CAST(SUM(CAST(round((pr - pc) * ln(pr / pc), 12) AS DECIMAL(27,14))) AS DOUBLE), 9) AS psi
+         |  FLOOR(CAST(SUM(CAST(FLOOR((pr - pc) * ln(pr / pc) * 1e12 + 0.5) / 1e12
+         |    AS DECIMAL(27,14))) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS psi
          |FROM t GROUP BY 1, 2 ORDER BY day""".stripMargin,
 
     "q211_scd2_lookup" ->
@@ -6920,9 +6968,23 @@ object SparkEntry {
 
     "q212_benford" ->
       s"""$evCte,
-         |v AS (SELECT event_type,
-         |        CAST(FLOOR(value / POWER(10.0, FLOOR(LOG10(value)))) AS INT) AS d
-         |      FROM ev WHERE value > 0),
+         |kk AS (SELECT event_type, FLOOR(value * 100 + 0.5) AS k
+         |       FROM ev WHERE value > 0),
+         |v AS (SELECT event_type, CAST(
+         |        CASE WHEN k >= 1e12 THEN FLOOR(k / 1e12)
+         |             WHEN k >= 1e11 THEN FLOOR(k / 1e11)
+         |             WHEN k >= 1e10 THEN FLOOR(k / 1e10)
+         |             WHEN k >= 1e9 THEN FLOOR(k / 1e9)
+         |             WHEN k >= 1e8 THEN FLOOR(k / 1e8)
+         |             WHEN k >= 1e7 THEN FLOOR(k / 1e7)
+         |             WHEN k >= 1e6 THEN FLOOR(k / 1e6)
+         |             WHEN k >= 1e5 THEN FLOOR(k / 1e5)
+         |             WHEN k >= 1e4 THEN FLOOR(k / 1e4)
+         |             WHEN k >= 1e3 THEN FLOOR(k / 1e3)
+         |             WHEN k >= 100 THEN FLOOR(k / 100)
+         |             WHEN k >= 10 THEN FLOOR(k / 10)
+         |             ELSE k END AS INT) AS d
+         |      FROM kk WHERE k >= 1),
          |obs AS (SELECT event_type, d, COUNT(*) AS o FROM v GROUP BY 1, 2),
          |grid AS (SELECT t.event_type, g.d, COALESCE(obs.o, 0) AS o
          |         FROM (SELECT DISTINCT event_type FROM obs) t
@@ -6930,10 +6992,20 @@ object SparkEntry {
          |         LEFT JOIN obs ON obs.event_type = t.event_type AND obs.d = g.d),
          |tot AS (SELECT event_type, SUM(o) AS n FROM grid GROUP BY 1),
          |x AS (SELECT grid.event_type, tot.n, grid.o,
-         |        tot.n * LOG10(1.0 + 1.0 / grid.d) AS e
+         |        tot.n * CASE grid.d
+         |          WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
+         |          WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE)
+         |          WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE)
+         |          WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE)
+         |          WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE)
+         |          WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE)
+         |          WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE)
+         |          WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE)
+         |          ELSE CAST(0.04575749056067514 AS DOUBLE) END AS e
          |      FROM grid JOIN tot USING (event_type))
          |SELECT event_type, n AS n_values,
-         |  round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 9) AS DECIMAL(27,9))) AS DOUBLE), 9) AS chi2
+         |  FLOOR(CAST(SUM(CAST(FLOOR((o - e) * (o - e) / e * 1e9 + 0.5) / 1e9
+         |    AS DECIMAL(27,9))) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS chi2
          |FROM x GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     "q213_gini" ->
@@ -6946,12 +7018,11 @@ object SparkEntry {
          |        SUM(cnt) OVER (PARTITION BY event_type) AS n
          |      FROM c),
          |t AS (SELECT event_type, n,
-         |        CAST(FLOOR(value * cnt * (2 * cumw - cnt - n) * 1e6 + 0.5) / 1e6
-         |          AS DECIMAL(30,6)) AS nt,
-         |        CAST(FLOOR(value * cnt * 1e6 + 0.5) / 1e6 AS DECIMAL(30,6)) AS dt
+         |        CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) * cnt * (2 * cumw - cnt - n) AS nt,
+         |        CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) * cnt AS dt
          |      FROM m)
          |SELECT event_type, n AS n_values,
-         |  FLOOR(CAST(SUM(nt) AS DOUBLE) / (n * CAST(SUM(dt) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS gini
+         |  FLOOR(CAST(SUM(nt) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(SUM(dt) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS gini
          |FROM t GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
 
     "q214_attribution" ->
