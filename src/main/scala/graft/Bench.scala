@@ -45,15 +45,33 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
-    for (_ <- 1 to 3; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val roundTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (round <- 1 to 3) {
+      val r0 = System.nanoTime()
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      roundTotals += (System.nanoTime() - r0) / 1e9
+      // Shuffle files and localCheckpoint blocks are reclaimed by the
+      // ContextCleaner only when their references are GC'd — on a
+      // large-heap driver a whole 222-query round can finish without a
+      // single full GC, so files from EVERY query of EVERY round pile
+      // up in the shuffle dirs (the r9 driver run degraded ~1.7× vs
+      // the builder run on the same code; per-round totals above make
+      // the drift measurable). One explicit GC per round bounds the
+      // accumulation at one round's worth, outside any per-query
+      // timing window.
+      System.gc()
+      Thread.sleep(200) // let the async cleaner issue its deletes
     }
+    System.err.println(roundTotals.zipWithIndex
+      .map { case (t, i) => s"round${i + 1}=${f"$t%.1f"}s" }.mkString("[bench] ", " ", ""))
     val results = names.map { case (name, _) => name -> best(name) }
     // The driver's stdout capture keeps only the TAIL of the output, so
     // anything that must survive goes last: per-query lines (numeric-id
@@ -67,8 +85,9 @@ object Bench {
     val qs = byId.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val rounds = roundTotals.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"sf":"$sfDir","unit":"sec","queries":$qs,"metric":"total","value":${fmt(total)}}"""
+      s"""{"sf":"$sfDir","unit":"sec","rounds":$rounds,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -33,6 +33,57 @@ object SparkEntry {
   // exact, order-independent sum of a double column (see scaladoc above)
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** Engine-portable round to `scale` decimal digits:
+    * floor(x·10^scale + 0.5) / 10^scale — pure IEEE double arithmetic,
+    * bit-identical in Spark and DuckDB. Replaces `functions.round` in
+    * every oracle-compared column: Spark's round is BigDecimal-HALF_UP
+    * on the double's shortest decimal representation while DuckDB's is
+    * libm double rounding, and the two disagree whenever a value lands
+    * on a half boundary (the r9 q210/q212/q213 hash-mismatch lesson —
+    * a 12-digit decimal sum hits a 9-digit half boundary with ~1e-3
+    * odds per row, so any fixture regeneration can reopen the class).
+    * Ties break toward +∞ in BOTH engines; `portableSqlRounds` rewrites
+    * the oracle side to the same form, so the pair stays in lockstep by
+    * construction. */
+  private def pround(c: Column, scale: Int): Column = {
+    val s = math.pow(10, scale)
+    floor(c * s + 0.5) / s
+  }
+
+  /** Rewrite every SQL `round(expr, n)` (and `round(expr)`) to the
+    * floor form `FLOOR((expr) * 1en + 0.5) / 1en` — the DuckDB twin of
+    * `pround`, applied to every oracle string at map construction so no
+    * oracle-compared column ever goes through an engine-specific
+    * rounding path. Nested rounds rewrite recursively. */
+  private def portableSqlRounds(sql: String): String = {
+    val out = new StringBuilder
+    val lower = sql.toLowerCase
+    var i = 0
+    while (i < sql.length) {
+      val j = lower.indexOf("round(", i)
+      if (j < 0) { out.append(sql.substring(i)); i = sql.length }
+      else if (j > 0 && (sql(j - 1).isLetterOrDigit || sql(j - 1) == '_')) {
+        out.append(sql.substring(i, j + 6)); i = j + 6 // part of an identifier
+      } else {
+        out.append(sql.substring(i, j))
+        var k = j + 6; var depth = 1; var comma = -1
+        while (depth > 0) {
+          val c = sql(k)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (c == ',' && depth == 1) comma = k
+          k += 1
+        }
+        val (expr, scale) =
+          if (comma < 0) (sql.substring(j + 6, k - 1), 0)
+          else (sql.substring(j + 6, comma), sql.substring(comma + 1, k - 1).trim.toInt)
+        out.append(s"FLOOR((${portableSqlRounds(expr)}) * 1e$scale + 0.5) / 1e$scale")
+        i = k
+      }
+    }
+    out.toString
+  }
+
   /** Three chained Lehmer/MINSTD steps as a portable uniform hash: the
     * modulus is taken BEFORE each multiply, so the product stays < 2^47 —
     * no BIGINT overflow at any id (Spark ANSI and DuckDB both raise on
@@ -787,7 +838,7 @@ object SparkEntry {
       tf.join(df_, Seq("word"))
         .crossJoin(broadcast(n))
         .withColumn("score",
-          round(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")), 9))
+          pround(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")), 9))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("doc_id"), col("word"), col("score"), col("rk").cast("long").as("rk"))
@@ -1017,13 +1068,13 @@ object SparkEntry {
       // priorities): top-k by ln(u)/w where u is a deterministic
       // arithmetic-hash uniform and w = n_chars — long docs win more
       // often, reproducibly. ln differs from libm in the last ulp →
-      // round(9) both sides and break ties on the key (q64 discipline).
+      // pround(9) both sides and break ties on the key (q64 discipline).
       // orderBy.limit compiles to TakeOrderedAndProject: only k rows per
       // partition cross the wire.
       val u = (lehmer3(col("doc_id")).cast("double") + 0.5) / 2147483647.0
       Tables.documents(s, dir)
         .select(col("doc_id"), col("n_chars"),
-          round(log(u) / col("n_chars"), 9).as("priority"))
+          pround(log(u) / col("n_chars"), 9).as("priority"))
         .orderBy(desc("priority"), col("doc_id"))
         .limit(100)
     }),
@@ -1056,10 +1107,10 @@ object SparkEntry {
         .select(col("label").cast("long").as("label"),
           posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim").cast("long").as("dim"))
-        // round(9): a float's terminating decimal expansion can tie at the
+        // pround(9): a float's terminating decimal expansion can tie at the
         // 13th digit, and the engines' decimal-cast tie-breaking differs —
         // observed 1e-14 drift on exact-decimal sums (q64 discipline)
-        .agg(round(sum(col("v").cast("double").cast(DecimalType(27, 12)))
+        .agg(pround(sum(col("v").cast("double").cast(DecimalType(27, 12)))
           .cast("double") / count(lit(1)), 9).as("centroid"))
     }),
 
@@ -1108,7 +1159,7 @@ object SparkEntry {
       assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("centroid_id"), col("dim").cast("long").as("dim"))
-        .agg(round(sum(col("v").cast("double").cast(DecimalType(27, 12)))
+        .agg(pround(sum(col("v").cast("double").cast(DecimalType(27, 12)))
             .cast("double") / count(lit(1)), 9).as("new_val"),
           count(lit(1)).as("n_members"))
     }),
@@ -1139,7 +1190,7 @@ object SparkEntry {
         .crossJoin(broadcast(n))
         .filter(col("c_ab") >= 5)
         .withColumn("pmi",
-          round(log((col("c_ab") * col("n_bi")).cast("double") / (col("c_a") * col("c_b"))), 9))
+          pround(log((col("c_ab") * col("n_bi")).cast("double") / (col("c_a") * col("c_b"))), 9))
         .orderBy(desc("pmi"), col("word"), col("next"))
         .limit(50)
         .select(col("word"), col("next"), col("c_ab"), col("pmi"))
@@ -1157,10 +1208,10 @@ object SparkEntry {
         count(lit(1)).as("n"))
       val mean = col("s1") / col("n")
       val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
-      // ln/sqrt chains drift a final ulp between engines -> round(9) and
+      // ln/sqrt chains drift a final ulp between engines -> pround(9) and
       // gate on the ROUNDED value so boundary rows agree (q64 discipline)
       ev.join(broadcast(stats), Seq("event_type"))
-        .withColumn("z", round((col("value") - mean) / sqrt(variance), 9))
+        .withColumn("z", pround((col("value") - mean) / sqrt(variance), 9))
         .filter(abs(col("z")) > 2.5)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
     }),
@@ -1234,7 +1285,7 @@ object SparkEntry {
       val tot = wc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
       val p = col("c").cast("double") / col("n")
       wc.join(tot, Seq("doc_id"))
-        .withColumn("term", round(p * log(p), 9))
+        .withColumn("term", pround(p * log(p), 9))
         .groupBy(col("doc_id"))
         .agg((-sum(col("term").cast(DecimalType(27, 12)))).cast("double").as("entropy"),
           count(lit(1)).as("n_distinct_words"))
@@ -1258,7 +1309,7 @@ object SparkEntry {
         .groupBy(date_trunc("day", col("first_click")).as("day"))
         .agg(count(lit(1)).as("n_users"),
           count(col("conv_ts")).as("n_converted"),
-          round(count(col("conv_ts")).cast("double") / count(lit(1)), 9).as("conv_rate"))
+          pround(count(col("conv_ts")).cast("double") / count(lit(1)), 9).as("conv_rate"))
     }),
 
     "q93_sql_text" -> ((s, dir) => {
@@ -1397,7 +1448,7 @@ object SparkEntry {
       obs.join(broadcast(rowT), Seq("event_type"))
         .join(broadcast(colT), Seq("hr"))
         .crossJoin(broadcast(n))
-        .withColumn("term", round((col("o") - e) * (col("o") - e) / e, 9))
+        .withColumn("term", pround((col("o") - e) * (col("o") - e) / e, 9))
         .agg(sum(col("term").cast(DecimalType(27, 12))).cast("double").as("chi2"),
           count(lit(1)).as("n_cells"))
     }),
@@ -1422,7 +1473,7 @@ object SparkEntry {
       val mad = ev.join(broadcast(med), Seq("event_type"))
         .groupBy(col("event_type"), col("med"))
         .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
-      // 0.6745 ≈ Φ⁻¹(0.75): scales MAD to σ under normality; round(9)
+      // 0.6745 ≈ Φ⁻¹(0.75): scales MAD to σ under normality; pround(9)
       // and gate on the rounded score (the q87 discipline)
       // mad = 0 (a group where >=50% of values equal the median) would
       // make every division Infinity/NaN and flag the whole group —
@@ -1430,7 +1481,7 @@ object SparkEntry {
       ev.join(broadcast(mad), Seq("event_type"))
         .filter(col("mad") > 0)
         .withColumn("robust_z",
-          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 9))
+          pround(lit(0.6745) * (col("value") - col("med")) / col("mad"), 9))
         .filter(abs(col("robust_z")) > 3.0)
         .select(col("event_id"), col("event_type"), col("value"), col("robust_z"))
     }),
@@ -1455,9 +1506,9 @@ object SparkEntry {
       val vy = nd * col("syy") - col("sy") * col("sy")
       val slope = cov / vx
       stats.select(col("l_returnflag"), col("n"),
-        round(slope, 9).as("slope"),
-        round((col("sy") - slope * col("sx")) / nd, 9).as("intercept"),
-        round(cov / sqrt(vx * vy), 9).as("pearson_r"))
+        pround(slope, 9).as("slope"),
+        pround((col("sy") - slope * col("sx")) / nd, 9).as("intercept"),
+        pround(cov / sqrt(vx * vy), 9).as("pearson_r"))
     }),
 
     "q104_weighted_median" -> ((s, dir) => {
@@ -1572,7 +1623,7 @@ object SparkEntry {
       val totals = trans.groupBy(col("src")).agg(sum(col("c")).as("total"))
       trans.join(totals, Seq("src"))
         .select(col("src"), col("dst"), col("c"),
-          round(col("c").cast("double") / col("total"), 9).as("p"))
+          pround(col("c").cast("double") / col("total"), 9).as("p"))
     }),
 
     "q112_pagerank" -> ((s, dir) => {
@@ -1645,7 +1696,7 @@ object SparkEntry {
         .agg(sum(col("c")).as("n_pos"),
           sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("n_dup_pos"))
         .select(col("doc_id"), col("n_pos"), col("n_dup_pos"),
-          round(col("n_dup_pos").cast("double") / col("n_pos"), 9).as("dup_frac"))
+          pround(col("n_dup_pos").cast("double") / col("n_pos"), 9).as("dup_frac"))
     }),
 
     "q119_curation_funnel" -> ((s, dir) => {
@@ -1701,7 +1752,7 @@ object SparkEntry {
       val lv = CumSum.withPrefixMax(levels, Seq(col("q").desc), col("lvl_max"), "prior_max")
       d.join(lv.select(col("q"), col("prior_max")), Seq("q"))
         .filter(col("prior_max").isNull || col("prior_max") <= col("wc"))
-        .select(col("doc_id"), round(col("q"), 9).as("quality"), col("wc"))
+        .select(col("doc_id"), pround(col("q"), 9).as("quality"), col("wc"))
     }),
 
     "q154_dedup_provenance" -> ((s, dir) => {
@@ -1727,8 +1778,8 @@ object SparkEntry {
         .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(percentile(col("value"), lit(0.5)), 9).as("p50"),
-          round(percentile(col("value"), lit(0.95)), 9).as("p95"))
+          pround(percentile(col("value"), lit(0.5)), 9).as("p50"),
+          pround(percentile(col("value"), lit(0.95)), 9).as("p95"))
     }),
 
     "q153_skew_report" -> ((s, dir) => {
@@ -1745,11 +1796,11 @@ object SparkEntry {
         .orderBy(desc("c"), col("l_partkey"))
         .limit(10)
         .select(col("l_partkey"), col("c"),
-          round(col("c").cast("double") / col("total"), 9).as("share"),
+          pround(col("c").cast("double") / col("total"), 9).as("share"),
           // cast BEFORE multiplying: max_c * n_keys in long arithmetic
           // overflows at production cardinalities (Spark wraps silently,
           // DuckDB raises — both wrong); double * double does not
-          round(col("max_c").cast("double") * col("n_keys").cast("double")
+          pround(col("max_c").cast("double") * col("n_keys").cast("double")
               / col("total").cast("double"), 9)
             .as("skew_factor"))
     }),
@@ -1788,7 +1839,7 @@ object SparkEntry {
       val mean = col("s1") / col("k")
       val variance = (col("s2") - col("s1") * col("s1") / col("k")) / (col("k") - 1)
       hours.crossJoin(broadcast(stats))
-        .withColumn("z", round((col("n") - mean) / sqrt(variance), 9))
+        .withColumn("z", pround((col("n") - mean) / sqrt(variance), 9))
         .filter(abs(col("z")) > 2.5)
         .select(col("hour"), col("n"), col("z"))
     }),
@@ -1818,11 +1869,11 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val mx = ev.agg(max(unix_timestamp(col("ts"))).as("mx"))
       ev.crossJoin(broadcast(mx))
-        .withColumn("wgt", round(
+        .withColumn("wgt", pround(
           exp((unix_timestamp(col("ts")) - col("mx")).cast("double") / (30.0 * 86400.0)), 9))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("wgt").cast(DecimalType(18, 9))).cast("double"), 9).as("decayed_score"))
+          pround(sum(col("wgt").cast(DecimalType(18, 9))).cast("double"), 9).as("decayed_score"))
     }),
 
     "q150_calibration" -> ((s, dir) => {
@@ -1839,9 +1890,9 @@ object SparkEntry {
         .withColumn("bucket", least(floor(col("score") * 10), lit(9L)).cast("long"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("score").cast(DecimalType(18, 9))).cast("double") / count(lit(1)), 9)
+          pround(sum(col("score").cast(DecimalType(18, 9))).cast("double") / count(lit(1)), 9)
             .as("mean_score"),
-          round(sum(col("y")).cast("double") / count(lit(1)), 9).as("pos_rate"))
+          pround(sum(col("y")).cast("double") / count(lit(1)), 9).as("pos_rate"))
     }),
 
     "q146_skipgram_pmi" -> ((s, dir) => {
@@ -1871,7 +1922,7 @@ object SparkEntry {
         .crossJoin(broadcast(n))
         .filter(col("c_ab") >= 8)
         .withColumn("pmi",
-          round(log((col("c_ab") * col("n_pairs")).cast("double") / (col("c_a") * col("c_b"))), 9))
+          pround(log((col("c_ab") * col("n_pairs")).cast("double") / (col("c_a") * col("c_b"))), 9))
         .orderBy(desc("pmi"), col("word"), col("ctx"))
         .limit(50)
         .select(col("word"), col("ctx"), col("c_ab"), col("pmi"))
@@ -1903,7 +1954,7 @@ object SparkEntry {
       val tfidf = Dedup.cacheScoped(tf.join(dfq, Seq("w")).crossJoin(broadcast(nDocs))
         .filter(col("df") <= col("n_docs") * maxDfFrac)
         .select(col("doc_id"), col("w"),
-          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("wt")))
+          pround(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("wt")))
       val norms = tfidf.groupBy(col("doc_id"))
         .agg(sqrt(sum((col("wt") * col("wt")).cast(DecimalType(27, 12))).cast("double")).as("norm"))
       val a = tfidf.select(col("w"), col("doc_id").as("doc_a"), col("wt").as("wt_a"))
@@ -1914,7 +1965,7 @@ object SparkEntry {
       dots.join(broadcast(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"))), Seq("doc_a"))
         .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"))), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          round(col("dot") / (col("norm_a") * col("norm_b")), 9).as("cosine"))
+          pround(col("dot") / (col("norm_a") * col("norm_b")), 9).as("cosine"))
         .orderBy(desc("cosine"), col("doc_a"), col("doc_b"))
         .limit(20)
     }),
@@ -1933,7 +1984,7 @@ object SparkEntry {
       val cents = emb
         .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("source"), col("dim"))
-        .agg(round(sum(col("v").cast("double").cast(DecimalType(27, 12)))
+        .agg(pround(sum(col("v").cast("double").cast(DecimalType(27, 12)))
           .cast("double") / count(lit(1)), 9).as("cv"))
         .groupBy(col("source"))
         .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
@@ -1966,9 +2017,9 @@ object SparkEntry {
         sum(length(col("text")).cast("long")).as("n_chars"),
         countDistinct(col("lang")).as("n_langs"),
         sum((col("lang") === "en").cast("long")).as("n_en"),
-        round(percentile(col("q"), lit(0.5)), 9).as("q_median"),
-        round(min(col("q")), 9).as("q_min"),
-        round(max(col("q")), 9).as("q_max"))
+        pround(percentile(col("q"), lit(0.5)), 9).as("q_median"),
+        pround(min(col("q")), 9).as("q_min"),
+        pround(max(col("q")), 9).as("q_max"))
         .crossJoin(broadcast(dups))
     }),
 
@@ -2007,7 +2058,7 @@ object SparkEntry {
       totals.join(flagged, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
-          round(coalesce(col("n_flagged"), lit(0L)).cast("double") / col("n_tokens"), 9)
+          pround(coalesce(col("n_flagged"), lit(0L)).cast("double") / col("n_tokens"), 9)
             .as("flag_rate"))
         .withColumn("keep", col("flag_rate") < 0.2)
     }),
@@ -2053,17 +2104,17 @@ object SparkEntry {
       val v = cAB.agg(countDistinct(col("next")).as("vocab"))
       val model = cAB.join(cA, Seq("word")).crossJoin(broadcast(v))
         .select(col("word"), col("next"),
-          round(log((col("c_ab") + 0.5) /
+          pround(log((col("c_ab") + 0.5) /
             (col("c_a").cast("double") + lit(0.5) * col("vocab"))), 9).as("lp"))
       bi.join(model, Seq("word", "next"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          // round(6), not the house round(9): the decimal sum is wide
+          // pround(6), not the house pround(9): the decimal sum is wide
           // (38,12) and engines' decimal→double conversions can differ
           // by 1 ulp, which a 9-digit boundary can expose (observed on
           // ONE row at sf0.1); at 6 digits the boundary window is 1000×
           // narrower than the conversion ulp everywhere in range
-          round(sum(col("lp").cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 6)
+          pround(sum(col("lp").cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 6)
             .as("mean_logprob"))
     }),
 
@@ -2084,7 +2135,7 @@ object SparkEntry {
           words.cast("long").as("n_words"),
           sentences.cast("long").as("n_sentences"),
           syllables.cast("long").as("n_syllables"),
-          round(lit(206.835) - lit(1.015) * (words / sentences)
+          pround(lit(206.835) - lit(1.015) * (words / sentences)
             - lit(84.6) * (syllables / words), 9).as("flesch"))
     }),
 
@@ -2130,7 +2181,7 @@ object SparkEntry {
         .join(broadcast(totals.select(col("source").as("src_a"), col("n_a"))), Seq("src_a"))
         .filter(col("n_shared") >= 10)
         .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
-          round(col("n_shared").cast("double") / col("n_a"), 9).as("overlap_ratio"))
+          pround(col("n_shared").cast("double") / col("n_a"), 9).as("overlap_ratio"))
     }),
 
     "q133_kwic" -> ((s, dir) => {
@@ -2172,7 +2223,7 @@ object SparkEntry {
         .filter(length(col("w")) > 0)
         .groupBy(col("source"))
         .agg(countDistinct(col("w")).as("n_types"), count(lit(1)).as("n_tokens"))
-        .withColumn("ttr", round(col("n_types").cast("double") / col("n_tokens"), 9))
+        .withColumn("ttr", pround(col("n_types").cast("double") / col("n_tokens"), 9))
     }),
 
     "q131_stream_outer_join" -> ((s, dir) => {
@@ -2225,7 +2276,7 @@ object SparkEntry {
         .select(col("col_name"),
           col("distinct_t"), col("distinct_y"),
           (col("distinct_t") - col("distinct_y")).as("distinct_delta"),
-          round(col("nulls_t").cast("double") / col("rows_t")
+          pround(col("nulls_t").cast("double") / col("rows_t")
             - col("nulls_y").cast("double") / col("rows_y"), 9).as("null_rate_delta"))
     }),
 
@@ -2273,7 +2324,7 @@ object SparkEntry {
       hits.join(Tables.documents(s, dir), Seq("doc_id"))
         .select(col("query_id"), col("doc_id"), col("cosine"), col("rank"),
           col("source"), col("lang"), col("n_chars"),
-          round(TextAnalysis.qualityScore(col("text")), 9).as("quality"))
+          pround(TextAnalysis.qualityScore(col("text")), 9).as("quality"))
     }),
 
     "q128_curation_e2e" -> ((s, dir) => {
@@ -2296,7 +2347,7 @@ object SparkEntry {
           col("__s.quality").as("quality"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_tokens"),
-          round(sum(col("quality").cast(DecimalType(18, 9))).cast("double"), 9).as("quality_mass"))
+          pround(sum(col("quality").cast(DecimalType(18, 9))).cast("double"), 9).as("quality_mass"))
     }),
 
     "q124_temperature_mix" -> ((s, dir) => {
@@ -2310,10 +2361,10 @@ object SparkEntry {
       val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       val tot = counts.agg(sum(col("cnt")).as("total"))
       val sh = counts.crossJoin(broadcast(tot))
-        .withColumn("s9", round(pow(col("cnt").cast("double") / col("total"), 0.5), 9))
+        .withColumn("s9", pround(pow(col("cnt").cast("double") / col("total"), 0.5), 9))
       val z = sh.agg(sum(col("s9").cast(DecimalType(18, 9))).cast("double").as("z"))
       val rates = sh.crossJoin(broadcast(z))
-        .withColumn("rate", round(least(lit(1.0),
+        .withColumn("rate", pround(least(lit(1.0),
           col("s9") / col("z") * lit(0.6) * col("total") / col("cnt")), 9))
         .select(col("lang"), col("rate"))
       val u = (lehmer3(col("doc_id")).cast("double") + 0.5) / 2147483647.0
@@ -2458,7 +2509,7 @@ object SparkEntry {
 
     "q116_embed_quantize" -> ((s, dir) => {
       // int8 embedding quantization (asymmetric, per-vector min/max):
-      // code = round((v - min) / scale) in 0..255, the storage-reduction
+      // code = pround((v - min) / scale) in 0..255, the storage-reduction
       // step before ANN at 100 TB (4 bytes → 1 per dim). Pure map-side
       // HOF arithmetic (no UDF); emitted as scalars (code sum + bounds +
       // max reconstruction error, round 9) so the oracle hashes stably.
@@ -2470,13 +2521,13 @@ object SparkEntry {
         .select(col("vec_id"), v.as("v"), mn.as("mn"), mx.as("mx"))
         .filter(col("mx") > col("mn")) // constant vectors have no scale
         .select(col("vec_id"), col("mn"), col("mx"),
-          round(scale, 9).as("scale"),
+          pround(scale, 9).as("scale"),
           aggregate(
-            transform(col("v"), x => round((x.cast("double") - col("mn")) / scale, 0)),
+            transform(col("v"), x => pround((x.cast("double") - col("mn")) / scale, 0)),
             lit(0L), (acc, x) => acc + x.cast("long")).as("code_sum"),
-          round(aggregate(
+          pround(aggregate(
             transform(col("v"), x =>
-              abs(round((x.cast("double") - col("mn")) / scale, 0) * scale + col("mn")
+              abs(pround((x.cast("double") - col("mn")) / scale, 0) * scale + col("mn")
                 - x.cast("double"))),
             lit(0.0), (acc, x) => greatest(acc, x)), 9).as("max_err"))
     }),
@@ -2669,7 +2720,7 @@ object SparkEntry {
           // population — the estimator formula is meaningless there and
           // the exact count is free (q175's fallback, mirrored)
           when(col("k_actual") < k, col("k_actual").cast("double"))
-            .otherwise(round(lit((k - 1).toDouble)
+            .otherwise(pround(lit((k - 1).toDouble)
               / (col("kth").cast("double") / 4294967296.0), 3)).as("kmv_est"))
     }),
 
@@ -2718,7 +2769,7 @@ object SparkEntry {
       val t = c.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
       c.crossJoin(broadcast(t))
         .select(col("word"), col("a").as("n_a"), col("b").as("n_b"),
-          round((log((col("a") + 0.5) / (col("ta") - col("a") + 0.5))
+          pround((log((col("a") + 0.5) / (col("ta") - col("a") + 0.5))
               - log((col("b") + 0.5) / (col("tb") - col("b") + 0.5)))
             / sqrt(lit(1.0) / (col("a") + 0.5) + lit(1.0) / (col("b") + 0.5)),
             9).as("z"))
@@ -2745,7 +2796,7 @@ object SparkEntry {
           Seq("doc_a"))
         .filter(col("n_shared").cast("double") / col("sz") >= 0.6)
         .select(col("doc_a"), col("doc_b"),
-          round(col("n_shared").cast("double") / col("sz"), 9).as("containment"))
+          pround(col("n_shared").cast("double") / col("sz"), 9).as("containment"))
         .orderBy(desc("containment"), col("doc_a"), col("doc_b"))
     }),
 
@@ -2759,7 +2810,7 @@ object SparkEntry {
       // the selection is true order statistics, not an approximation.
       graft.operators.Selection.exactGroupedMedian(
           Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
-        .select(col("l_returnflag"), round(col("median"), 9).as("median"))
+        .select(col("l_returnflag"), pround(col("median"), 9).as("median"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -2802,7 +2853,7 @@ object SparkEntry {
         .groupBy(col("event_type"), col("nr"), col("nc"))
         // q91 discipline: round each term, reduce in exact decimal —
         // a raw double sum would be partial-agg-order-dependent.
-        // Floor-form, not round(double, n): the 12-digit term sum hits
+        // Floor-form, not pround(double, n): the 12-digit term sum hits
         // the outer 9-digit HALF_UP boundary with ~1e-3 odds per row
         // and Spark/DuckDB break the tie differently (the r9 q210
         // lesson, same shape as this query).
@@ -2824,9 +2875,9 @@ object SparkEntry {
           Seq(0.5, 0.95, 0.99))
         .groupBy(col("l_returnflag"))
         .agg(
-          round(max(when(col("q") === 0.5, col("value"))), 9).as("p50"),
-          round(max(when(col("q") === 0.95, col("value"))), 9).as("p95"),
-          round(max(when(col("q") === 0.99, col("value"))), 9).as("p99"))
+          pround(max(when(col("q") === 0.5, col("value"))), 9).as("p50"),
+          pround(max(when(col("q") === 0.95, col("value"))), 9).as("p95"),
+          pround(max(when(col("q") === 0.99, col("value"))), 9).as("p99"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -2847,7 +2898,7 @@ object SparkEntry {
         .filter(col("mx") > col("mn"))
         .select(col("vec_id"), col("embedding"),
           transform(col("embedding"), x =>
-            round((x.cast("double") - col("mn")) / scale, 0).cast("long"))
+            pround((x.cast("double") - col("mn")) / scale, 0).cast("long"))
             .as("code")))
       val q = coded.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("code").as("qcode"),
@@ -2889,7 +2940,7 @@ object SparkEntry {
         .join(keys.groupBy(col("g")).agg(count(lit(1)).as("n_exact")), Seq("g"))
         .select(col("g"), col("n_exact"), col("k_actual"),
           when(col("k_actual") < k, col("k_actual").cast("double"))
-            .otherwise(round(lit((k - 1).toDouble)
+            .otherwise(pround(lit((k - 1).toDouble)
               / (col("kth").cast("double") / 4294967296.0), 3)).as("kmv_est"))
         .orderBy(col("g"))
     }),
@@ -2904,8 +2955,8 @@ object SparkEntry {
           Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
           (1 to 9).map(_ / 10.0))
         .select(col("l_returnflag"),
-          round(col("q") * 10, 0).cast("long").as("decile"),
-          round(col("value"), 9).as("edge"))
+          pround(col("q") * 10, 0).cast("long").as("decile"),
+          pround(col("value"), 9).as("edge"))
         .orderBy(col("l_returnflag"), col("decile"))
     }),
 
@@ -2934,26 +2985,26 @@ object SparkEntry {
       val m = u.agg(count(lit(1)).as("n"),
         sum(col("x").cast(D6)).cast("double").as("sx"),
         sum(col("y").cast(D6)).cast("double").as("sy"),
-        sum(round(col("x") * col("y"), 6).cast(D6)).cast("double").as("sxy"),
-        sum(round(col("x") * col("x"), 6).cast(D6)).cast("double").as("sxx"))
+        sum(pround(col("x") * col("y"), 6).cast(D6)).cast("double").as("sxy"),
+        sum(pround(col("x") * col("x"), 6).cast(D6)).cast("double").as("sxx"))
       val th = m.select(col("n"), (col("sx") / col("n")).as("mx"),
         ((col("sxy") - col("sx") * col("sy") / col("n"))
           / (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"))
       val adj = u.crossJoin(broadcast(th))
         .select(col("t"), col("y"),
-          round(col("y") - col("theta") * (col("x") - col("mx")), 6).as("ya"))
+          pround(col("y") - col("theta") * (col("x") - col("mx")), 6).as("ya"))
       val arm = adj.groupBy(col("t")).agg(
         count(lit(1)).as("n_users"),
         (sum(col("y").cast(D6)).cast("double") / count(lit(1))).as("my"),
         (sum(col("ya").cast(D6)).cast("double") / count(lit(1))).as("mya"),
-        (sum(round(col("ya") * col("ya"), 6).cast(DecimalType(33, 6)))
+        (sum(pround(col("ya") * col("ya"), 6).cast(DecimalType(33, 6)))
           .cast("double") / count(lit(1))).as("myy2"),
-        (sum(round(col("y") * col("y"), 6).cast(DecimalType(33, 6)))
+        (sum(pround(col("y") * col("y"), 6).cast(DecimalType(33, 6)))
           .cast("double") / count(lit(1))).as("my2"))
       arm.select(col("t"), col("n_users"),
-          round(col("my"), 6).as("mean_y"),
-          round(col("mya"), 6).as("mean_adj"),
-          round((col("myy2") - col("mya") * col("mya"))
+          pround(col("my"), 6).as("mean_y"),
+          pround(col("mya"), 6).as("mean_adj"),
+          pround((col("myy2") - col("mya") * col("mya"))
             / (col("my2") - col("my") * col("my")), 6).as("var_ratio"))
         .orderBy(col("t"))
     }),
@@ -3032,12 +3083,12 @@ object SparkEntry {
       val avgdl = col("total_dl").cast("double") / col("n_docs")
       tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
         .crossJoin(broadcast(st))
-        .withColumn("s", round(
+        .withColumn("s", pround(
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
             * col("tf") * 2.2
             / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9)
+        .agg(pround(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9)
           .as("bm25"))
         .orderBy(desc("bm25"), col("doc_id")).limit(20)
     }),
@@ -3060,7 +3111,7 @@ object SparkEntry {
       pairs
         .select(col("key_a"), col("key_b"),
           splitOf(col("key_a")).as("split_a"), splitOf(col("key_b")).as("split_b"),
-          round(col("jaccard"), 9).as("jaccard"))
+          pround(col("jaccard"), 9).as("jaccard"))
         .filter(col("split_a") =!= col("split_b"))
         .orderBy(col("key_a"), col("key_b"))
     }),
@@ -3130,9 +3181,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("nw"), countDistinct(col("w")).as("ndw"))
       top2.join(dup3, Seq("doc_id")).join(dw, Seq("doc_id"))
         .select(col("doc_id"),
-          round(col("tc").cast("double") / col("nc"), 9).as("top2_frac"),
-          round(least(col("dc").cast("double") / col("nc"), lit(1.0)), 9).as("dup3_frac"),
-          round(lit(1.0) - col("ndw").cast("double") / col("nw"), 9).as("dup_word_frac"),
+          pround(col("tc").cast("double") / col("nc"), 9).as("top2_frac"),
+          pround(least(col("dc").cast("double") / col("nc"), lit(1.0)), 9).as("dup3_frac"),
+          pround(lit(1.0) - col("ndw").cast("double") / col("nw"), 9).as("dup_word_frac"),
           (col("tc").cast("double") / col("nc") > 0.15
             || col("dc").cast("double") / col("nc") > 0.10).as("flagged"))
     }),
@@ -3156,13 +3207,13 @@ object SparkEntry {
         sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
       val tot = wc.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"), count(lit(1)).as("v"))
       val lr = wc.crossJoin(broadcast(tot))
-        .select(col("w"), round(
+        .select(col("w"), pround(
           log(((col("ct") + 0.5) / (col("nt") + col("v") * 0.5))
             / ((col("cr") + 0.5) / (col("nr") + col("v") * 0.5))), 12).as("lr"))
       dc.filter(col("lang") =!= "en")
         .join(broadcast(lr), Seq("w"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(round(sum(round(col("c") * col("lr"), 9).cast(DecimalType(27, 9)))
+        .agg(pround(sum(pround(col("c") * col("lr"), 9).cast(DecimalType(27, 9)))
           .cast("double"), 6).as("dsir_weight"))
         .orderBy(desc("dsir_weight"), col("doc_id")).limit(20)
     }),
@@ -3220,7 +3271,7 @@ object SparkEntry {
       v.agg(count(lit(1)).as("n_view"))
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase"),
-          round(sum(col("t3") - col("t1")).cast("double") / count(lit(1)) / 3600.0, 9)
+          pround(sum(col("t3") - col("t1")).cast("double") / count(lit(1)) / 3600.0, 9)
             .as("avg_hours_to_convert")))
     }),
 
@@ -3249,9 +3300,9 @@ object SparkEntry {
         .crossJoin(broadcast(n))
         .filter(col("n_ab") >= 10)
         .select(col("ante"), col("cons"), col("n_ab"),
-          round(col("n_ab").cast("double") / col("n_sess"), 9).as("support"),
-          round(col("n_ab").cast("double") / col("na"), 9).as("confidence"),
-          round((col("n_ab") * col("n_sess")).cast("double") / (col("na") * col("nb")), 9)
+          pround(col("n_ab").cast("double") / col("n_sess"), 9).as("support"),
+          pround(col("n_ab").cast("double") / col("na"), 9).as("confidence"),
+          pround((col("n_ab") * col("n_sess")).cast("double") / (col("na") * col("nb")), 9)
             .as("lift"))
         .orderBy(desc("lift"), col("ante"), col("cons")).limit(30)
     }),
@@ -3265,15 +3316,15 @@ object SparkEntry {
       val qs = graft.operators.Selection.exactGroupedQuantiles(
         Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice", Seq(0.05, 0.95))
       val band = qs.groupBy(col("l_returnflag")).agg(
-        round(max(when(col("q") === 0.05, col("value"))), 9).as("lo"),
-        round(max(when(col("q") === 0.95, col("value"))), 9).as("hi"))
+        pround(max(when(col("q") === 0.05, col("value"))), 9).as("lo"),
+        pround(max(when(col("q") === 0.95, col("value"))), 9).as("hi"))
       Tables.lineitem(s, dir).join(broadcast(band), Seq("l_returnflag"))
         .withColumn("wv", least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
+          pround(sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
             / count(lit(1)), 9).as("raw_mean"),
-          round(sum(round(col("wv"), 9).cast(DecimalType(27, 9))).cast("double")
+          pround(sum(pround(col("wv"), 9).cast(DecimalType(27, 9))).cast("double")
             / count(lit(1)), 9).as("wins_mean"),
           max(col("lo")).as("lo"), max(col("hi")).as("hi"))
         .orderBy(col("l_returnflag"))
@@ -3322,7 +3373,7 @@ object SparkEntry {
         .groupBy(col("pct"))
         .agg(min(struct(col("rank"), col("cum"))).as("s"), max(col("n_tok")).as("n_tok"))
         .select(col("pct"), col("s.rank").cast("long").as("vocab_size"),
-          round(col("s.cum").cast("double") / col("n_tok"), 9).as("coverage"))
+          pround(col("s.cum").cast("double") / col("n_tok"), 9).as("coverage"))
         .orderBy(col("pct"))
     }),
 
@@ -3380,12 +3431,12 @@ object SparkEntry {
       val tot = src.agg(sum(col("n_tokens")).as("n_total"))
       val t = src.crossJoin(broadcast(tot))
         .withColumn("share", col("n_tokens").cast("double") / col("n_total"))
-        .withColumn("t", round(exp(log(col("share")) * 0.7), 12))
+        .withColumn("t", pround(exp(log(col("share")) * 0.7), 12))
       val tt = t.agg(sum(col("t").cast(DecimalType(27, 12))).cast("double").as("t_sum"))
       t.crossJoin(broadcast(tt))
-        .select(col("source"), col("n_tokens"), round(col("share"), 9).as("share"),
-          round(col("t") / col("t_sum"), 9).as("weight"),
-          round(col("t") / col("t_sum") * B, 3).as("expected_tokens"))
+        .select(col("source"), col("n_tokens"), pround(col("share"), 9).as("share"),
+          pround(col("t") / col("t_sum"), 9).as("weight"),
+          pround(col("t") / col("t_sum") * B, 3).as("expected_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -3410,12 +3461,12 @@ object SparkEntry {
       val avgdl = col("total_dl").cast("double") / col("n_docs")
       val bm25 = tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
         .crossJoin(broadcast(st))
-        .withColumn("s", round(
+        .withColumn("s", pround(
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
             * col("tf") * 2.2
             / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9).as("bm25"))
+        .agg(pround(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id")).limit(50)
         .withColumn("rb", row_number().over(Window.orderBy(desc("bm25"), col("doc_id"))))
       val emb = Tables.embeddings(s, dir)
@@ -3431,7 +3482,7 @@ object SparkEntry {
         .select(col("doc_id"),
           col("rb").cast("long").as("bm25_rank"),
           col("rc").cast("long").as("cos_rank"),
-          round(
+          pround(
             coalesce(lit(1.0) / (col("rb") + 60), lit(0.0))
               + coalesce(lit(1.0) / (col("rc") + 60), lit(0.0)), 12).as("rrf"))
         .orderBy(desc("rrf"), col("doc_id")).limit(20)
@@ -3482,7 +3533,7 @@ object SparkEntry {
         .crossJoin(broadcast(n))
         .withColumn("rest", col("w_all") - col("cw"))
         .withColumn("n_rest", col("n_all") - col("n_c"))
-        .withColumn("z", round(
+        .withColumn("z", pround(
           (log((col("cw") + 0.5) / (col("n_c") - col("cw") + 0.5))
             - log((col("rest") + 0.5) / (col("n_rest") - col("rest") + 0.5)))
           / sqrt(lit(1.0) / (col("cw") + 0.5) + lit(1.0) / (col("rest") + 0.5)), 9))
@@ -3514,7 +3565,7 @@ object SparkEntry {
           sum((lit(1) - col("a")) * (lit(1) - col("b"))).as("n00"),
           sum(col("a")).as("na"), sum(col("b")).as("nb"))
         .select(col("n"), col("n11"), col("n00"), col("na"), col("nb"),
-          round(((col("n11") + col("n00")).cast("double") / nD - pe)
+          pround(((col("n11") + col("n00")).cast("double") / nD - pe)
             / (lit(1.0) - pe), 9).as("kappa"))
     }),
 
@@ -3541,7 +3592,7 @@ object SparkEntry {
         .select(col("event_type"), col("q"), col("value").as("qc"))
       a.join(b, Seq("event_type", "q"))
         .groupBy(col("event_type"))
-        .agg(round(sum(round(abs(col("qr") - col("qc")), 9).cast(DecimalType(27, 9)))
+        .agg(pround(sum(pround(abs(col("qr") - col("qc")), 9).cast(DecimalType(27, 9)))
           .cast("double") / 9.0, 9).as("w1"))
         .orderBy(col("event_type"))
     }),
@@ -3559,7 +3610,7 @@ object SparkEntry {
       // The quantile-normalization step behind rank-based scaling.
       val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
       val ecdf = graft.operators.CumSum.ecdfTable(d, col("n_chars"), "n_chars")
-        .select(col("n_chars"), round(col("ecdf"), 9).as("ecdf"))
+        .select(col("n_chars"), pround(col("ecdf"), 9).as("ecdf"))
       d.filter(col("doc_id") < 100)
         .join(ecdf, Seq("n_chars"))
         .select(col("doc_id"), col("n_chars"), col("ecdf"))
@@ -3866,35 +3917,22 @@ object SparkEntry {
       // Adamic–Adar link prediction on the co-visitation graph: for
       // NON-adjacent page pairs, Σ over common neighbors w of
       // 1/ln(deg(w)) — the related-content score that discounts hub
-      // co-neighbors. Wedge equi-join (bounded by Σdeg² — at web
-      // scale the standard mitigation is capping hub neighbor lists
-      // before wedging; q62's per-source cap is that shape), existing
-      // edges removed by an anti-join, per-term scores floor-rounded
-      // to 9 then summed as exact DECIMAL(27,9) so the float
-      // reduction order can't split engines.
+      // co-neighbors. Delegates to Graph.adamicAdar: HUB-CAPPED wedge
+      // join (each node wedges through its 64 id-smallest neighbors;
+      // candidates bounded by E·64 instead of Σdeg² — the web-scale
+      // mitigation this query's r9 scaladoc prescribed but didn't
+      // implement), true degrees in the discount, existing edges
+      // removed by an anti-join, per-term scores floor-rounded to 9
+      // then summed as exact DECIMAL(27,9). The oracle implements the
+      // identical deterministic cap.
       val d = sessionPages(s, dir)
       val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
+      val und = a.join(b, Seq("user_id", "sid"))
         .filter(col("page_a") < col("page_b"))
         .select(col("page_a").as("u"), col("page_b").as("v"))
-        .distinct())
-      val sym = Dedup.cacheScoped(und
-        .union(und.select(col("v"), col("u"))).toDF("src", "dst"))
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val wedges = sym.select(col("src").as("u"), col("dst").as("w"))
-        .join(sym.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
-        .filter(col("u") < col("v"))
-      val scored = wedges
-        .join(deg.select(col("src").as("w"), col("d")), Seq("w"))
-        .select(col("u"), col("v"),
-          (floor(lit(1.0) / log(col("d")) * 1e9 + 0.5) / 1e9)
-            .cast(DecimalType(27, 9)).as("t"))
-      scored.groupBy(col("u"), col("v"))
-        .agg(sum(col("t")).cast("double").as("aa_score"),
-          count(lit(1)).as("common_neighbors"))
-        .join(und, Seq("u", "v"), "left_anti")
-        .orderBy(desc("aa_score"), col("u"), col("v")).limit(10)
+        .distinct()
+      graft.operators.Graph.adamicAdar(und, capK = 64, topN = 10)
     }),
 
     "q207_cusum_changepoint" -> ((s, dir) => {
@@ -4029,7 +4067,7 @@ object SparkEntry {
           .join(broadcast(refBins), Seq("b"), "left").na.fill(0L, Seq("cr"))
         val nr = refBins.agg(sum(col("cr")).as("nr"))
         val nc = grid.groupBy(col("day")).agg(sum(col("cc")).as("nc"))
-        // floor-form rounding end-to-end (r9 lesson): round(double, n)
+        // floor-form rounding end-to-end (r9 lesson): pround(double, n)
         // is BigDecimal-HALF_UP in Spark vs libm in DuckDB and the
         // 12-digit term sum hits the outer 9-digit half boundary with
         // ~1e-3 odds per row; floor(x·1eN+0.5)/1eN is pure IEEE and
@@ -4098,7 +4136,7 @@ object SparkEntry {
       // log10(1+1/d) are 9 CONSTANTS, inlined as decimal literals
       // (both engines parse literals correctly-rounded). Terms use
       // the floor-form round (floor(x·1e9+0.5)/1e9 — pure IEEE),
-      // never round(double, n) whose BigDecimal-HALF_UP vs libm
+      // never pround(double, n) whose BigDecimal-HALF_UP vs libm
       // semantics diverge on half boundaries. Full 1–9 grid so
       // absent digits still contribute (q166's empty-bin argument).
       val k = floor(col("value") * 100 + 0.5)
@@ -4440,8 +4478,12 @@ object SparkEntry {
       val cum = CumSum.withRunningTotal(c, Seq(col("value")), col("n"), "gcum")
       val r = cum.agg(sum(col("n1v") *
         (lit(2) * (col("gcum") - col("n")) + col("n") + 1)).as("r1x2"))
+      // tie term in DECIMAL: long n³ silently wraps past n ≈ 2.1M tied
+      // rows while DuckDB widens to HUGEINT — exact-arithmetic
+      // discipline (r9 ADVICE), no present-day fixture reaches it
+      val nD = col("n").cast(DecimalType(14, 0))
       val t = c.agg(sum(col("n")).as("nn"), sum(col("n1v")).as("n1"),
-        sum(col("n") * col("n") * col("n") - col("n")).as("tie"))
+        sum(nD * nD * nD - nD).as("tie"))
       val j = r.crossJoin(broadcast(t))
         .withColumn("n2", col("nn") - col("n1"))
         .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + 1))
@@ -4462,7 +4504,13 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Oracle SQL with every `round()` rewritten to the portable floor
+    * form — see pround/portableSqlRounds. Keep authoring new oracles
+    * with plain `round(x, n)`; the rewrite keeps both engines exact. */
+  def oracleSql: Map[String, String] =
+    oracleSqlRaw.map { case (k, v) => k -> portableSqlRounds(v) }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q01_pruned_scan" ->
       """SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01'""".stripMargin,
@@ -6848,9 +6896,13 @@ object SparkEntry {
          |       GROUP BY 1, 2),
          |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu UNION ALL SELECT v, u FROM eu),
          |deg AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM sym GROUP BY src),
-         |w AS (SELECT w1.src AS u, w1.dst AS w, w2.dst AS v
-         |      FROM sym w1 JOIN sym w2 ON w1.dst = w2.src
-         |      WHERE w1.src < w2.dst),
+         |cap AS MATERIALIZED (SELECT src, dst FROM (
+         |        SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |        FROM sym) WHERE rn <= 64),
+         |w AS (SELECT w1.src AS w, w1.dst AS u, w2.dst AS v
+         |      FROM cap w1 JOIN cap w2 ON w1.src = w2.src
+         |      WHERE w1.dst < w2.dst),
          |sc AS (SELECT u, v,
          |         CAST(FLOOR(1.0 / LN(deg.dg) * 1e9 + 0.5) / 1e9 AS DECIMAL(27,9)) AS t
          |       FROM w JOIN deg ON w.w = deg.src),
@@ -7168,7 +7220,8 @@ object SparkEntry {
          |c AS (SELECT value, COUNT(*) AS n, SUM(g1) AS n1v FROM g GROUP BY 1),
          |cum AS (SELECT value, n, n1v, SUM(n) OVER (ORDER BY value) AS gcum FROM c),
          |r AS (SELECT SUM(n1v * (2 * (gcum - n) + n + 1)) AS r1x2 FROM cum),
-         |t AS (SELECT SUM(n) AS nn, SUM(n1v) AS n1, SUM(n * n * n - n) AS tie FROM c),
+         |t AS (SELECT SUM(n) AS nn, SUM(n1v) AS n1,
+         |        SUM(CAST(n AS HUGEINT) * n * n - n) AS tie FROM c),
          |j AS (SELECT nn, n1, nn - n1 AS n2, tie, r1x2,
          |        r1x2 - n1 * (n1 + 1) AS u1x2,
          |        r1x2 - n1 * (n1 + 1) - n1 * (nn - n1) AS num2,

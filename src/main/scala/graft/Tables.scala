@@ -49,7 +49,14 @@ object Tables {
         // range (observed off-by-1µs vs DuckDB's truncating cast).
         timestamp_micros(expr("ts div 1000"))
       case TimestampNTZType => col("ts").cast(TimestampType) // exact under UTC session
-      case _                => col("ts")
+      case TimestampType    => col("ts")
+      case other =>
+        // fail LOUDLY on an unrecognized fixture layout: a silent
+        // pass-through would feed wrong timestamps to every query
+        // instead of one descriptive error at load (r9 ADVICE item)
+        throw new IllegalStateException(
+          s"events.ts has unrecognized physical type $other — a new fixture " +
+            "generation needs an explicit normalization branch here (Tables.events)")
     }
     raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -174,7 +174,10 @@ object TextAnalysis {
     val z = least(wsTokenCount(c).cast("double") / 100.0, lit(1.0)) * wTokens +
       stopwordRatio(c) * wStop + alphaRatio(c) * wAlpha +
       punctRatio(c) * wPunct + bias
-    round(lit(1.0) / (lit(1.0) + exp(-z)), 9)
+    // floor-form round (pure IEEE, engine-portable — the oracle side is
+    // FLOOR(x*1e9+0.5)/1e9), not functions.round whose BigDecimal
+    // HALF_UP can break the tie differently than DuckDB on a boundary
+    floor((lit(1.0) / (lit(1.0) + exp(-z))) * 1e9 + 0.5) / 1e9
   }
 
   /** Deflate-compression ratio (compressed/raw bytes, level 6) — the

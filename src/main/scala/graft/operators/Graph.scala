@@ -3,6 +3,7 @@ package graft.operators
 import java.math.RoundingMode
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StructField, StructType}
 
@@ -57,6 +58,51 @@ object Graph {
       .join(deg.select(col("p").as("b"), col("d").as("db")), Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"))
+  }
+
+  /** Adamic–Adar link prediction over an undirected edge set `(u, v)`
+    * (each edge once, u < v, distinct): for non-adjacent pairs, the
+    * top-`topN` by Σ over common neighbors w of 1/ln(deg(w)).
+    *
+    * The wedge join is HUB-CAPPED: each node contributes at most
+    * `capK` neighbors (deterministically the `capK` smallest by id) to
+    * wedge enumeration, bounding candidates by Σ min(deg, K)² ≤ E·K
+    * instead of Σ deg² — the standard web-scale mitigation (one
+    * celebrity hub otherwise pays deg² ≈ 10¹² wedges alone). Degrees
+    * in the 1/ln(deg) discount are TRUE degrees (computed before the
+    * cap), so the score of surviving wedges is uncapped-exact; what
+    * the cap drops is wedges through a hub beyond its first `capK`
+    * neighbors — exactly the terms a hub's 1/ln(deg) already discounts
+    * toward zero. The cap is part of the operator's definition and the
+    * oracle implements the identical rank (row_number by neighbor id).
+    *
+    * Per-term scores floor-rounded to 9 then summed as exact
+    * DECIMAL(27,9) so the float reduction order can't split engines. */
+  def adamicAdar(und0: DataFrame, capK: Int = 64, topN: Int = 10): DataFrame = {
+    val und = Dedup.cacheScoped(und0.select(col("u"), col("v")))
+    val sym = Dedup.cacheScoped(
+      und.union(und.select(col("v"), col("u"))).toDF("src", "dst"))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // per-node neighbor cap: bounded-frame window per src (frame size
+    // ≤ deg; only rank ≤ capK survive — the skew a hub row group pays
+    // is one sort of its adjacency, not a deg² join blow-up)
+    val capped = Dedup.cacheScoped(sym
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .filter(col("rn") <= capK).select(col("src"), col("dst")))
+    val wedges = capped.select(col("src").as("w"), col("dst").as("u"))
+      .join(capped.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    wedges
+      .join(deg.select(col("src").as("w"), col("d")), Seq("w"))
+      .select(col("u"), col("v"),
+        (floor(lit(1.0) / log(col("d")) * 1e9 + 0.5) / 1e9)
+          .cast(DecimalType(27, 9)).as("t"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("t")).cast("double").as("aa_score"),
+        count(lit(1)).as("common_neighbors"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .orderBy(desc("aa_score"), col("u"), col("v")).limit(topN)
   }
 
   /** Removed-node count per peel round of the most recent [[kCore]]
@@ -147,7 +193,8 @@ object Graph {
     // N as a broadcast scalar (q64 discipline — never a driver collect)
     val n = nodes.agg(count(lit(1)).as("n_nodes"))
     var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("node"), col("n_nodes"), round(lit(1.0) / col("n_nodes"), 9).as("rank"))
+      .select(col("node"), col("n_nodes"),
+        (floor(lit(1.0) / col("n_nodes") * 1e9 + 0.5) / 1e9).as("rank"))
     // dangling node set computed once (nodes with no out-edge)
     lazy val dangling = Dedup.cacheScoped(
       nodes.join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
@@ -169,21 +216,26 @@ object Graph {
         }
       ranks = ranks.join(contrib, ranks("node") === contrib("dst"), "left")
         .select(col("node"), col("n_nodes"),
-          round(base +
-            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9).as("rank"))
+          (floor((base +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)))
+            * 1e9 + 0.5) / 1e9).as("rank"))
         .localCheckpoint(true) // truncate lineage: plan depth stays O(1) per round
     }
     ranks.select(col("node"), col("rank"))
   }
 
-  /** Spark `round(x, 9)` on doubles = BigDecimal.valueOf + HALF_UP. */
+  /** The engine-portable floor-form round both tiers (and the DuckDB
+    * oracle) use: pure IEEE, identical in Spark / DuckDB / driver JVM —
+    * unlike `functions.round`, whose BigDecimal-HALF_UP semantics
+    * diverge from libm rounding on half boundaries (r9 lesson). */
   private def round9(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue()
+    math.floor(x * 1e9 + 0.5) / 1e9
 
   /** Driver tier: same damped update with the EXACT cast/round semantics
     * of the distributed plan (valueOf→setScale(12) mirrors the
     * double→DECIMAL(27,12) cast; exact BigDecimal sums; round9 mirrors
-    * `round(_, 9)`), so both tiers hash-match the same oracle. */
+    * the distributed tier's floor-form round), so both tiers hash-match
+    * the same oracle. */
   private def localPageRank(e: DataFrame, iters: Int, damping: Double,
                             redistributeDangling: Boolean): DataFrame = {
     val spark = e.sparkSession

@@ -35,8 +35,10 @@ object Optim {
     val base = df.select((features :+ y).zipWithIndex.map {
       case (c, i) => c.cast("double").as(if (i == k) "__y" else s"__x$i")
     }: _*).localCheckpoint(true) // one materialization; every step rescans it
-    def round9(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    // engine-portable floor-form round (pure IEEE; mirrors the oracle's
+    // FLOOR(x*1e9+0.5)/1e9 — not BigDecimal HALF_UP, which diverges
+    // from libm rounding on half boundaries)
+    def round9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
     var w = Array.fill(k)(0.0)
     var b = 0.0
     for (_ <- 1 to iters) {
@@ -57,8 +59,8 @@ object Optim {
       Seq(count(lit(1)).as("n")) ++
         (0 until k).map(i => lit(w(i)).as(s"w$i")) ++
         Seq(lit(b).as("b"),
-          round(sum((errF * errF).cast(DecimalType(27, 12))).cast("double") / count(lit(1)), 6)
-            .as("mse"))
+          (floor(sum((errF * errF).cast(DecimalType(27, 12))).cast("double")
+            / count(lit(1)) * 1e6 + 0.5) / 1e6).as("mse"))
     base.agg(outCols.head, outCols.tail: _*)
   }
 }

@@ -75,9 +75,18 @@ object Selection {
     val base = df.filter(v.isNotNull).select(col(groupCol).as("g"), v.as("v"))
     val gType = base.schema("g").dataType
 
-    val counts: Map[Any, Long] = base.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    // pass 0 computes counts (for the rank targets) AND bounds (for
+    // orderStats' binning) in ONE agg over ONE scan — splitting them
+    // cost the non-recursing path a fourth full scan in r9 (q184's
+    // +80%); the combined frame is handed to the depth-0 orderStats
+    // so the common path is exactly the 3-scan r8 plan.
+    val statsDf = base.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"), count(lit(1)).as("n"))
+      .persist()
+    val statRows = statsDf.collect()
+    val counts: Map[Any, Long] = statRows.map(r => (r.get(0), r.getLong(3))).toMap
+    val bounds0: Map[Any, (Double, Double)] =
+      statRows.map(r => (r.get(0), (r.getDouble(1), r.getDouble(2)))).toMap
 
     // the 0-indexed ranks each quantile needs (floor(h) and, when h is
     // fractional, ceil(h))
@@ -93,7 +102,9 @@ object Selection {
     }
 
     lastDepth.set(0)
-    val stats = orderStats(base, wanted, bins, sliceCap, depth = 0)
+    val stats = orderStats(base, wanted, bins, sliceCap, depth = 0,
+      precomputed = Some((statsDf.select(col("g"), col("lo"), col("hi")), bounds0)))
+    statsDf.unpersist(false)
 
     val out = counts.toSeq.flatMap { case (g, n) =>
       qs.map { q =>
@@ -118,20 +129,26 @@ object Selection {
     * ranks). Driver state per level: groups × bins histogram rows plus
     * the collected slices — never a full group. */
   private def orderStats(base: DataFrame, wanted: Map[Any, Seq[Long]],
-                         bins: Int, sliceCap: Long,
-                         depth: Int): Map[(Any, Long), Double] = {
+                         bins: Int, sliceCap: Long, depth: Int,
+                         precomputed: Option[(DataFrame, Map[Any, (Double, Double)])] = None)
+      : Map[(Any, Long), Double] = {
     if (wanted.isEmpty) return Map.empty
     lastDepth.getAndUpdate(d => math.max(d, depth))
     val spark = base.sparkSession
     val gType = base.schema("g").dataType
 
     // pass 0: bounds (kept as a frame for the broadcast join, collected
-    // for the driver walk — same tiny result, computed once)
-    val boundsDf = base.groupBy(col("g"))
-      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .persist()
-    val bounds = boundsDf.collect()
-      .map(r => (r.get(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // for the driver walk — same tiny result, computed once). The
+    // depth-0 caller already has them from its combined counts+bounds
+    // agg (`precomputed`) — only recursion levels scan here.
+    val ownsPersist = precomputed.isEmpty
+    val (boundsDf, bounds) = precomputed.getOrElse {
+      val df0 = base.groupBy(col("g"))
+        .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .persist()
+      (df0, df0.collect()
+        .map(r => (r.get(0), (r.getDouble(1), r.getDouble(2)))).toMap)
+    }
 
     // single-valued groups are fully answered by pass 0 — every order
     // statistic IS lo. Routing them through pass 2 would collect the
@@ -144,7 +161,10 @@ object Selection {
     }.toMap
     val live = wanted.filter { case (g, _) =>
       !degenerate.contains(g) && bounds.contains(g) }
-    if (live.isEmpty) { boundsDf.unpersist(false); return answered }
+    if (live.isEmpty) {
+      if (ownsPersist) boundsDf.unpersist(false)
+      return answered
+    }
 
     // codegen binning against the broadcast bounds
     val binExpr = when(col("hi") <= col("lo"), lit(0)).otherwise(
@@ -226,7 +246,7 @@ object Selection {
       }.toMap
     }
 
-    boundsDf.unpersist(false)
+    if (ownsPersist) boundsDf.unpersist(false)
     answered ++ smallAnswers ++ bigAnswers
   }
 

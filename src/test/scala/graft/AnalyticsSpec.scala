@@ -51,6 +51,27 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("quantile selector non-recursing path reads the input exactly 3 times — no extra scan") {
+    // the r9 regression: splitting the counts agg out of pass 0 cost
+    // the common path a 4th full scan of the input (q184's +80%). An
+    // accumulator ticking once per input-row evaluation counts actual
+    // scans independent of AQE's job/stage slicing: combined
+    // counts+bounds, histogram, and slice passes each read every row
+    // once -> exactly 3n ticks; a reintroduced counts scan would show
+    // up as 4n.
+    val n = 5000
+    val scans = spark.sparkContext.longAccumulator("selq-scans")
+    val tick = udf { x: Double => scans.add(1L); x }
+    val df = (1 to n).map(i => (s"g${i % 3}", ((i * 37) % 1009).toDouble))
+      .toDF("g", "v0").select(col("g"), tick(col("v0")).as("v"))
+    val res = graft.operators.Selection
+      .exactGroupedQuantiles(df, "g", "v", Seq(0.5, 0.95), bins = 64)
+    assert(graft.operators.Selection.lastDepth.get() === 0, "must not recurse")
+    assert(res.count() === 6L) // output is driver-built rows: no re-scan
+    assert(scans.value === 3L * n,
+      s"non-recursing path must scan the input exactly 3 times: ${scans.value / n.toDouble} scans")
+  }
+
   test("quantile selector recurses past the slice cap and stays bit-equal to percentile") {
     // bins=4 over 100k spread values with cap=1000 forces multi-level
     // refinement: 100k/4 = 25k per top bin, /4 per level → depth ≥ 3
@@ -241,6 +262,30 @@ class AnalyticsSpec extends AnyFunSuite {
     // reversed/duplicated input edges must not double-orient
     val doubled = und.union(und.select(col("b").as("a"), col("a").as("b")))
     assert(Graph.orientByDegree(doubled).count() === byDeg.count())
+  }
+
+  test("adamicAdar: hub cap bounds wedge candidates, discount keeps TRUE degree, sub-cap graphs unchanged") {
+    import graft.operators.Graph
+    // planted hub: node 0 adjacent to 200 leaves. Uncapped, every leaf
+    // pair is a wedge through the hub — C(200,2) = 19900 candidates;
+    // with capK=64 only the 64 id-smallest neighbors wedge — C(64,2).
+    val star = (1L to 200L).map(i => (0L, i)).toDF("u", "v")
+    val all = Graph.adamicAdar(star, capK = 64, topN = 1000000).collect()
+    assert(all.length === 64 * 63 / 2,
+      s"cap must bound candidates to C(64,2)=2016: ${all.length}")
+    assert(all.forall { r => r.getLong(0) >= 1L && r.getLong(1) <= 64L },
+      "surviving wedges are pairs among the hub's 64 id-smallest neighbors")
+    // the 1/ln(deg) discount must use the TRUE hub degree (200), not
+    // the capped adjacency size (64)
+    val expected = math.floor(1.0 / math.log(200.0) * 1e9 + 0.5) / 1e9
+    assert(all.forall(r => r.getDouble(2) === expected),
+      s"score must discount by ln(200): ${all.take(3).mkString(",")}")
+    assert(all.forall(r => r.getLong(3) === 1L), "one common neighbor each")
+    // no node over the cap -> capped result identical to uncapped
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val capped = Graph.adamicAdar(g, capK = 64, topN = 100).collect().toSeq
+    val open = Graph.adamicAdar(g, capK = 1000000, topN = 100).collect().toSeq
+    assert(capped === open, "cap must be a no-op below the threshold")
   }
 
   test("kCore: pendant chain peels one layer per round; the core survives intact") {
