@@ -41,6 +41,29 @@ object Bench {
     // can only poison one of its three timings; the min is steady-state.
     // local-iteration hook: SPARK_GRAFT_ONLY=q52,q84 runs just matching
     // queries (substring match). Driver never sets it -> full run.
+    // CPU calibration: a fixed deterministic spin (SplitMix-style LCG),
+    // single-threaded and all-threads, timed on THIS run — the box's
+    // throughput varies by epoch (r9: builder-run 115.6 s vs driver-run
+    // 170.6 s on identical code, broad and uniform), so every bench
+    // artifact carries its own speed measurement and totals can be
+    // normalized across runs instead of guessed at (SCALE.md §bench).
+    def spin(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) { x = x * 6364136223846793005L + 1442695040888963407L; x ^= x >>> 33; i += 1 }
+      x
+    }
+    def timeSec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    spin(50000000L) // JIT warmup
+    val cal1 = timeSec(spin(500000000L))
+    val calN = timeSec {
+      val ts = (1 to cpus.toInt).map(_ => new Thread(new Runnable {
+        def run(): Unit = spin(500000000L)
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    System.err.println(f"[bench] cal_1t=$cal1%.2fs cal_${cpus}t=$calN%.2fs")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
@@ -87,7 +110,8 @@ object Bench {
     val total = results.map(_._2).sum
     val rounds = roundTotals.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"sf":"$sfDir","unit":"sec","rounds":$rounds,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
+      s"""{"sf":"$sfDir","unit":"sec","cal_1t":${fmt(cal1)},"cal_nt":${fmt(calN)},""" +
+        s""""rounds":$rounds,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
