@@ -4502,6 +4502,104 @@ object SparkEntry {
         (col("u1x2").cast("double") / 2.0).as("u1"),
         (floor(z * 1e9 + 0.5) / 1e9).as("z"))
     }),
+
+    "q223_seasonal_decompose" -> ((s, dir) => {
+      // STL-lite additive decomposition of daily event volume per type
+      // [EXT]: trend = centered 7-day moving average (full windows
+      // only), seasonal = day-of-week mean of the detrended series,
+      // residual = detrended − seasonal — the monitoring decomposition
+      // that separates "weekend dip" from "real drop" (q207 flags
+      // level shifts; this explains the periodic part). Day frames are
+      // calendar-bounded (q207's argument), so the per-type ordered
+      // window is legitimate at any corpus size; dow means reduce with
+      // the house pround+decimal discipline. dow via weekday()+1 =
+      // DuckDB's isodow (Mon=1) — Spark's dayofweek() starts at
+      // Sunday and would silently shift the seasonal index.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("s7", sum(col("x")).over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .withColumn("trend", when(col("c7") === 7, col("s7") / lit(7.0)))
+        .withColumn("detr", col("x") - col("trend"))
+        .withColumn("dow", weekday(col("day")) + 1)
+      val seas = t.filter(col("detr").isNotNull)
+        .groupBy(col("event_type"), col("dow"))
+        .agg((sum(pround(col("detr"), 9).cast(DecimalType(27, 9))).cast("double")
+          / count(lit(1))).as("s0"))
+      t.join(seas, Seq("event_type", "dow"), "left")
+        .select(col("event_type"), col("day"), col("x"),
+          pround(col("trend"), 9).as("trend"),
+          pround(col("s0"), 9).as("seasonal"),
+          pround(col("detr") - col("s0"), 9).as("residual"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q224_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking dedup [EXT] (Hernández–Stolfo):
+      // the classic record-linkage alternative to LSH blocking — sort
+      // the corpus by a normalized key and compare each record ONLY to
+      // its w nearest neighbors in sort order. Candidates are exactly
+      // ≤ w·n regardless of skew (an LSH hot band can go quadratic;
+      // the sorted window cannot). Global rank WITHOUT a global
+      // window via the q25 dense-id two-pass (range-partitioned sort +
+      // broadcast offsets — the terasort shape, legitimate at 100 TB);
+      // neighbor pairs via a rid-div-w band equi-join (each row emits
+      // its own and the next band key — never a theta join); verified
+      // with exact word-set Jaccard (q34's array machinery, 1-shingle
+      // word sets).
+      val w = 4
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9]", ""), 1, 32).as("nk"),
+        graft.functions.Shingles.shingles(col("text"), 1, distinct = true).as("ws"))
+      val ranked = graft.operators.DocPipeline.withDenseIds(
+        docs, struct(col("nk"), col("doc_id")), "rid")
+      val x = Dedup.cacheScoped(ranked.select(col("doc_id"), col("rid"), col("ws")))
+      val aExp = x.select(col("rid").as("rid_a"), col("doc_id").as("id_a"),
+          col("ws").as("ws_a"), floor(col("rid") / lit(w.toDouble)).as("b0"))
+        .withColumn("jb", explode(array(col("b0"), col("b0") + 1))).drop("b0")
+      val bSide = x.select(floor(col("rid") / lit(w.toDouble)).as("jb"),
+        col("rid").as("rid_b"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
+      aExp.join(bSide, Seq("jb"))
+        .filter((col("rid_b") - col("rid_a")).between(1, w))
+        .filter(size(array_union(col("ws_a"), col("ws_b"))) > 0)
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+            size(array_union(col("ws_a"), col("ws_b")))).as("jaccard"))
+        .filter(col("jaccard") > 0)
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b")).limit(20)
+        .select(col("id_a"), col("id_b"), pround(col("jaccard"), 9).as("jaccard"))
+    }),
+
+    "q225_theil_sen" -> ((s, dir) => {
+      // Theil–Sen robust trend [EXT]: the median of all pairwise daily
+      // slopes per event_type — the estimator that shrugs off the
+      // outlier days that wreck q103's least squares (29% breakdown
+      // point vs 0%). Day-pair frames are calendar²-bounded per type
+      // (q220's argument — ≤ (365·years)², never corpus-sized), and
+      // the median rides the no-buffer histogram-refinement selector,
+      // bit-equal to quantile_cont.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("di", datediff(col("day"), to_date(lit("2024-01-01"))))
+      val a = daily.select(col("event_type"), col("di").as("da"), col("x").as("xa"))
+      val b = daily.select(col("event_type"), col("di").as("db"), col("x").as("xb"))
+      val slopes = Dedup.cacheScoped(
+        a.join(b, Seq("event_type")).filter(col("db") > col("da"))
+          .select(col("event_type"),
+            ((col("xb") - col("xa")).cast("double") / (col("db") - col("da")))
+              .as("slope")))
+      val med = graft.operators.Selection.exactGroupedQuantiles(
+        slopes, "event_type", "slope", Seq(0.5))
+      val n = slopes.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
+      med.join(n, Seq("event_type"))
+        .select(col("event_type"), col("n_pairs"), pround(col("value"), 9).as("sen_slope"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7235,6 +7333,62 @@ object SparkEntry {
          |             WHEN num2 < 0 THEN CAST(num2 + 1 AS DOUBLE) / (2.0 * sig)
          |             ELSE 0.0 END * 1e9 + 0.5) / 1e9 AS z
          |FROM j""".stripMargin,
+
+    "q223_seasonal_decompose" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |m AS (SELECT event_type, day, x,
+         |        SUM(x) OVER w7 AS s7, COUNT(*) OVER w7 AS c7,
+         |        isodow(day) AS dow
+         |      FROM daily
+         |      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+         |                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |t2 AS (SELECT event_type, day, x, dow,
+         |         CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END AS trend,
+         |         x - (CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END) AS detr
+         |       FROM m),
+         |seas AS (SELECT event_type, dow,
+         |           CAST(SUM(CAST(round(detr, 9) AS DECIMAL(27,9))) AS DOUBLE)
+         |             / COUNT(*) AS s0
+         |         FROM t2 WHERE detr IS NOT NULL GROUP BY 1, 2)
+         |SELECT t2.event_type, t2.day, t2.x,
+         |  round(trend, 9) AS trend, round(s0, 9) AS seasonal,
+         |  round(detr - s0, 9) AS residual
+         |FROM t2 LEFT JOIN seas ON t2.event_type = seas.event_type AND t2.dow = seas.dow
+         |ORDER BY t2.event_type, t2.day""".stripMargin,
+
+    "q224_sorted_neighborhood" ->
+      """WITH docs AS (SELECT doc_id,
+        |        substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 32) AS nk,
+        |        list_distinct(list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0)) AS ws
+        |      FROM documents),
+        |r AS (SELECT doc_id, ws, row_number() OVER (ORDER BY nk, doc_id) - 1 AS rid
+        |      FROM docs),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ws AS wa, b.ws AS wb
+        |         FROM r a JOIN r b ON b.rid - a.rid BETWEEN 1 AND 4),
+        |j AS (SELECT id_a, id_b,
+        |        CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(wa, wb))) AS jaccard
+        |      FROM cand WHERE len(list_distinct(list_concat(wa, wb))) > 0)
+        |SELECT id_a, id_b, round(jaccard, 9) AS jaccard
+        |FROM j WHERE jaccard > 0
+        |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin,
+
+    "q225_theil_sen" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |d2 AS (SELECT event_type,
+         |         date_diff('day', TIMESTAMP '2024-01-01', day) AS di, x FROM daily),
+         |p AS (SELECT a.event_type,
+         |        CAST(b.x - a.x AS DOUBLE) / (b.di - a.di) AS slope
+         |      FROM d2 a JOIN d2 b ON a.event_type = b.event_type AND b.di > a.di)
+         |SELECT event_type, COUNT(*) AS n_pairs,
+         |  round(quantile_cont(slope, 0.5), 9) AS sen_slope
+         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
