@@ -4600,6 +4600,48 @@ object SparkEntry {
         .select(col("event_type"), col("n_pairs"), pround(col("value"), 9).as("sen_slope"))
         .orderBy(col("event_type"))
     }),
+
+    "q226_embedding_covariance" -> ((s, dir) => {
+      // per-label covariance matrix of the first 16 embedding dims
+      // [EXT] — the PCA/whitening prep and the QC companion to q199's
+      // per-dim profile (a near-singular covariance flags collapsed
+      // dimensions; cross-label covariance shifts flag encoder drift).
+      // Upper triangle flattened MAP-SIDE by a nested posexplode over
+      // the same row (never a self-join): n·d(d+1)/2 product rows flow
+      // into a partial agg keyed by (label, i, j), so the shuffle
+      // carries ≤ labels·136 cells at any corpus size. float·float is
+      // EXACT in double (24-bit mantissas), the per-cell sums reduce
+      // in DECIMAL(27,12) (order-free), and cov = E[xy] − E[x]E[y]
+      // closes in IEEE doubles + pround. Dims are 1-based in the
+      // output to match the oracle's list indexing.
+      val d = 16
+      val base = Tables.embeddings(s, dir)
+        .select(col("label").cast("long").as("label"),
+          slice(col("embedding"), 1, d).as("e"))
+      val lvl1 = base.select(col("label"), col("e"),
+        posexplode(col("e")).as(Seq("i0", "xi")))
+      val tri = lvl1.select(col("label"), col("i0"), col("xi"),
+          posexplode(slice(col("e"), col("i0") + 1, lit(d))).as(Seq("k", "xj")))
+        .select(col("label"), (col("i0") + 1).as("i"),
+          (col("i0") + col("k") + 1).as("j"),
+          (col("xi").cast("double") * col("xj").cast("double")).as("xy"))
+      val sxy = tri.groupBy(col("label"), col("i"), col("j"))
+        .agg(sum(col("xy").cast(DecimalType(27, 12))).cast("double").as("sxy"),
+          count(lit(1)).as("n"))
+      val mx = base.select(col("label"), posexplode(col("e")).as(Seq("i0", "x")))
+        .groupBy(col("label"), (col("i0") + 1).as("i"))
+        .agg(sum(col("x").cast("double").cast(DecimalType(27, 12)))
+          .cast("double").as("sx"))
+      sxy
+        .join(broadcast(mx.select(col("label"), col("i"), col("sx").as("sxi"))),
+          Seq("label", "i"))
+        .join(broadcast(mx.select(col("label"), col("i").as("j"), col("sx").as("sxj"))),
+          Seq("label", "j"))
+        .select(col("label"), col("i"), col("j"),
+          pround(col("sxy") / col("n")
+            - (col("sxi") / col("n")) * (col("sxj") / col("n")), 9).as("cov"))
+        .orderBy(col("label"), col("i"), col("j"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7389,6 +7431,29 @@ object SparkEntry {
          |SELECT event_type, COUNT(*) AS n_pairs,
          |  round(quantile_cont(slope, 0.5), 9) AS sen_slope
          |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q226_embedding_covariance" ->
+      """WITH g AS (SELECT a.i, b.j
+        |           FROM (SELECT unnest(generate_series(1, 16)) AS i) a,
+        |                (SELECT unnest(generate_series(1, 16)) AS j) b
+        |           WHERE b.j >= a.i),
+        |tri AS (SELECT CAST(e.label AS BIGINT) AS label, g.i, g.j,
+        |          CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.j] AS DOUBLE) AS xy
+        |        FROM embeddings e, g),
+        |sxy AS (SELECT label, i, j,
+        |          CAST(SUM(CAST(xy AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+        |          COUNT(*) AS n
+        |        FROM tri GROUP BY 1, 2, 3),
+        |mx AS (SELECT CAST(e.label AS BIGINT) AS label, d.i,
+        |         CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS sx
+        |       FROM embeddings e, (SELECT unnest(generate_series(1, 16)) AS i) d
+        |       GROUP BY 1, 2)
+        |SELECT s.label, s.i, s.j,
+        |  round(s.sxy / s.n - (a.sx / s.n) * (b.sx / s.n), 9) AS cov
+        |FROM sxy s
+        |JOIN mx a ON a.label = s.label AND a.i = s.i
+        |JOIN mx b ON b.label = s.label AND b.i = s.j
+        |ORDER BY s.label, s.i, s.j""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent

@@ -99,6 +99,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("q224: sorted-neighborhood pairs via band equi-join, rank without a global window") {
+    val p = plan("q224_sorted_neighborhood")
+    // the w-neighbor pairing must be the band equi-join, never a
+    // theta join over ranks
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // the global rank comes from the dense-id two-pass: no
+    // partition-less Window anywhere in the plan
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    specs.foreach(i => assert(p.substring(i).startsWith("__pid"),
+      s"partition-less window spec found: ${p.substring(i - 22, math.min(i + 60, p.length))}"))
+  }
+
+  test("q226: covariance triangle is map-side explode — no self-join, means broadcast") {
+    val p = plan("q226_embedding_covariance")
+    // the upper triangle comes from a nested posexplode over the SAME
+    // row; a vec_id self-join (SortMergeJoin) would shuffle n·d rows
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q13: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q13_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
