@@ -4642,6 +4642,125 @@ object SparkEntry {
             - (col("sxi") / col("n")) * (col("sxj") / col("n")), 9).as("cov"))
         .orderBy(col("label"), col("i"), col("j"))
     }),
+
+    "q227_stream_hourly_anomaly" -> ((s, dir) => {
+      // STREAMING hourly-volume anomaly gate [EXT] — q210's
+      // monitoring-dashboard split applied to q87's z-score: the
+      // baseline (mean/std of hourly counts per HOUR-OF-DAY, so a 3am
+      // lull isn't an anomaly at 3am) is FROZEN from the reference
+      // window; the live stream aggregates per absolute hour inside a
+      // real streaming query; the dashboard z-scores the sink against
+      // the broadcast baseline (≤ 24 rows). Variance via exact integer
+      // Σx/Σx² decimal sums; sqrt is IEEE-correctly-rounded so the
+      // closing arithmetic is engine-identical; negative-epsilon
+      // variance clamped via greatest(var, 0) on BOTH sides.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val refHourly = Tables.events(s, dir).filter(col("ts") < split)
+        .groupBy(date_trunc("HOUR", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val baseline = refHourly
+        .groupBy(hour(col("h")).as("hod"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("c").cast(DecimalType(27, 0))).cast("double").as("sc"),
+          sum((col("c") * col("c")).cast(DecimalType(27, 0))).cast("double").as("sc2"))
+        .select(col("hod"), (col("sc") / col("nh")).as("mu"),
+          sqrt(greatest(
+            col("sc2") / col("nh") - (col("sc") / col("nh")) * (col("sc") / col("nh")),
+            lit(0.0))).as("sd"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+          .filter(col("ts") >= split)
+          .select(window(col("ts"), "1 hour").as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val sunk = StreamingOps.runToMemory(s, stream, "q227_stream_hourly_anomaly")
+          .select(col("w.start").as("hs"), col("n"))
+        sunk.join(broadcast(baseline), hour(col("hs")) === col("hod"))
+          .filter(col("sd") > 0)
+          .select(col("hs"), col("n"),
+            pround((col("n") - col("mu")) / col("sd"), 9).as("z"))
+          .orderBy(desc("z"), col("hs")).limit(20)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
+    "q228_harmonic_centrality" -> ((s, dir) => {
+      // 3-hop harmonic centrality on the co-visitation page graph
+      // [EXT]: Σ over v reachable in d(u,v) ≤ 3 of 1/d — the
+      // closeness-family complement to q112's PageRank (authority ≠
+      // proximity). Exact-distance BFS by ring subtraction: ring 2 =
+      // (ring1 ⋈ ring1) minus ring1 minus self, ring 3 = (ring2 ⋈
+      // ring1) minus closer rings — all plain equi-joins + anti-joins
+      // on the node key, the k-hop ego-expansion shape (bounded by
+      // Σdeg³, the standard 3-hop cap that keeps web-scale centrality
+      // tractable — the full-BFS exact version is the (a) — doesn't
+      // scale answer). Harmonic = n1 + n2/2 + n3/3: exact integer
+      // counts, two IEEE divisions, engine-identical.
+      val d = sessionPages(s, dir)
+      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
+      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
+      val und = a.join(b, Seq("user_id", "sid"))
+        .filter(col("page_a") < col("page_b"))
+        .select(col("page_a").as("u"), col("page_b").as("v"))
+        .distinct()
+      val r1 = Dedup.cacheScoped(und
+        .union(und.select(col("v"), col("u"))).toDF("src", "dst"))
+      val hop = r1.select(col("src").as("m"), col("dst"))
+      val r2 = Dedup.cacheScoped(
+        r1.select(col("src"), col("dst").as("m")).join(hop, Seq("m"))
+          .select(col("src"), col("dst")).distinct()
+          .filter(col("src") =!= col("dst"))
+          .join(r1, Seq("src", "dst"), "left_anti"))
+      val r3 = r2.select(col("src"), col("dst").as("m")).join(hop, Seq("m"))
+        .select(col("src"), col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .join(r1, Seq("src", "dst"), "left_anti")
+        .join(r2, Seq("src", "dst"), "left_anti")
+      val n1 = r1.groupBy(col("src")).agg(count(lit(1)).as("n1"))
+      val n2 = r2.groupBy(col("src")).agg(count(lit(1)).as("n2"))
+      val n3 = r3.groupBy(col("src")).agg(count(lit(1)).as("n3"))
+      n1.join(n2, Seq("src"), "left").join(n3, Seq("src"), "left")
+        .na.fill(0L, Seq("n2", "n3"))
+        .select(col("src").as("page"),
+          pround(col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 9)
+            .as("harmonic"))
+        .orderBy(desc("harmonic"), col("page")).limit(20)
+    }),
+
+    "q229_rolling_correlation" -> ((s, dir) => {
+      // 7-day rolling Pearson correlation between daily click and
+      // purchase volumes [EXT] — the co-movement monitor behind "did
+      // the funnel decouple?" (q103 fits ONE global line; this tracks
+      // the relationship day by day). All sums are exact integers
+      // inside calendar-bounded frames (≤ 365·years rows total — the
+      // single ordered series is the documented tiny-frame exception,
+      // like q207); the closing r = (n·sxy − sx·sy)/√(...) is pure
+      // IEEE, identical in both engines; degenerate windows (zero
+      // variance) drop via the den > 0 guard on both sides.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val m = ev
+        .withColumn("cnt", count(lit(1)).over(w7))
+        .withColumn("sx", sum(col("x")).over(w7))
+        .withColumn("sy", sum(col("y")).over(w7))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w7))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w7))
+        .withColumn("syy", sum(col("y") * col("y")).over(w7))
+        .filter(col("cnt") === 7)
+      val num = (col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val den = sqrt((col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")
+        * (col("cnt") * col("syy") - col("sy") * col("sy")).cast("double"))
+      m.filter((col("cnt") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("cnt") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("day"), pround(num / den, 9).as("r"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7454,6 +7573,70 @@ object SparkEntry {
         |JOIN mx a ON a.label = s.label AND a.i = s.i
         |JOIN mx b ON b.label = s.label AND b.i = s.j
         |ORDER BY s.label, s.i, s.j""".stripMargin,
+
+    "q227_stream_hourly_anomaly" ->
+      s"""$evCte,
+         |rh AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+         |       FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1),
+         |base AS (SELECT hour(h) AS hod, COUNT(*) AS nh,
+         |           CAST(SUM(CAST(c AS DECIMAL(27,0))) AS DOUBLE) AS sc,
+         |           CAST(SUM(CAST(c * c AS DECIMAL(27,0))) AS DOUBLE) AS sc2
+         |         FROM rh GROUP BY 1),
+         |b2 AS (SELECT hod, sc / nh AS mu,
+         |         sqrt(greatest(sc2 / nh - (sc / nh) * (sc / nh), 0.0)) AS sd
+         |       FROM base),
+         |cur AS (SELECT date_trunc('hour', ts) AS hs, COUNT(*) AS n
+         |        FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1)
+         |SELECT hs, n, round((n - mu) / sd, 9) AS z
+         |FROM cur JOIN b2 ON hour(hs) = b2.hod
+         |WHERE sd > 0
+         |ORDER BY z DESC, hs LIMIT 20""".stripMargin,
+
+    "q228_harmonic_centrality" -> {
+      s"""$sessionPagesCte,
+         |eu AS MATERIALIZED (SELECT a.page AS u, b.page AS v
+         |       FROM d a JOIN d b
+         |         ON a.user_id = b.user_id AND a.sid = b.sid AND a.page < b.page
+         |       GROUP BY 1, 2),
+         |r1 AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu UNION ALL SELECT v, u FROM eu),
+         |p2 AS (SELECT DISTINCT a.src, b.dst FROM r1 a JOIN r1 b ON a.dst = b.src
+         |       WHERE a.src <> b.dst),
+         |r2 AS MATERIALIZED (SELECT p2.src, p2.dst FROM p2
+         |       LEFT JOIN r1 ON r1.src = p2.src AND r1.dst = p2.dst
+         |       WHERE r1.src IS NULL),
+         |p3 AS (SELECT DISTINCT a.src, b.dst FROM r2 a JOIN r1 b ON a.dst = b.src
+         |       WHERE a.src <> b.dst),
+         |r3 AS (SELECT p3.src, p3.dst FROM p3
+         |       LEFT JOIN r1 ON r1.src = p3.src AND r1.dst = p3.dst
+         |       LEFT JOIN r2 ON r2.src = p3.src AND r2.dst = p3.dst
+         |       WHERE r1.src IS NULL AND r2.src IS NULL),
+         |n1 AS (SELECT src, COUNT(*) AS n1 FROM r1 GROUP BY 1),
+         |n2 AS (SELECT src, COUNT(*) AS n2 FROM r2 GROUP BY 1),
+         |n3 AS (SELECT src, COUNT(*) AS n3 FROM r3 GROUP BY 1)
+         |SELECT n1.src AS page,
+         |  round(n1.n1 + COALESCE(n2.n2, 0) / 2.0 + COALESCE(n3.n3, 0) / 3.0, 9) AS harmonic
+         |FROM n1 LEFT JOIN n2 ON n1.src = n2.src LEFT JOIN n3 ON n1.src = n3.src
+         |ORDER BY harmonic DESC, page LIMIT 20""".stripMargin
+    },
+
+    "q229_rolling_correlation" ->
+      s"""$evCte,
+         |daily AS (SELECT date_trunc('day', ts) AS day,
+         |            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         |            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |          FROM ev WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+         |m AS (SELECT day,
+         |        COUNT(*) OVER w AS cnt, SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         |        SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+         |        SUM(y * y) OVER w AS syy
+         |      FROM daily
+         |      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT day, round(CAST(cnt * sxy - sx * sy AS DOUBLE)
+         |  / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+         |         * CAST(cnt * syy - sy * sy AS DOUBLE)), 9) AS r
+         |FROM m
+         |WHERE cnt = 7 AND cnt * sxx - sx * sx > 0 AND cnt * syy - sy * sy > 0
+         |ORDER BY day""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
