@@ -55,7 +55,7 @@ object SparkEntry {
     * `pround`, applied to every oracle string at map construction so no
     * oracle-compared column ever goes through an engine-specific
     * rounding path. Nested rounds rewrite recursively. */
-  private def portableSqlRounds(sql: String): String = {
+  private[graft] def portableSqlRounds(sql: String): String = {
     val out = new StringBuilder
     val lower = sql.toLowerCase
     var i = 0

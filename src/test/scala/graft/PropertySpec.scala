@@ -289,4 +289,32 @@ class PropertySpec extends AnyFunSuite {
     got.foreach { case (lang, n, k) =>
       assert(k === (n + 9) / 10, s"$lang: n=$n k=$k") }
   }
+
+  test("portableSqlRounds: rewrites every round() form, leaves identifiers alone") {
+    val f = SparkEntry.portableSqlRounds _
+    // simple two-arg
+    assert(f("SELECT round(x, 9) FROM t") ===
+      "SELECT FLOOR((x) * 1e9 + 0.5) / 1e9 FROM t")
+    // nested call in the expr, comma inside nested parens
+    assert(f("round(sum(CAST(a, b)), 12)") ===
+      "FLOOR((sum(CAST(a, b))) * 1e12 + 0.5) / 1e12")
+    // nested round-inside-round rewrites recursively
+    assert(f("round(SUM(round(t, 12)), 9)") ===
+      "FLOOR((SUM(FLOOR((t) * 1e12 + 0.5) / 1e12)) * 1e9 + 0.5) / 1e9")
+    // single-arg round = scale 0
+    assert(f("round(x)") === "FLOOR((x) * 1e0 + 0.5) / 1e0")
+    // case-insensitive
+    assert(f("ROUND(x, 3)") === "FLOOR((x) * 1e3 + 0.5) / 1e3")
+    // identifiers containing 'round' are untouched
+    assert(f("SELECT bround(x, 2), my_round(y) FROM t") ===
+      "SELECT bround(x, 2), my_round(y) FROM t")
+    // multiple occurrences on one line
+    assert(f("round(a, 1) + round(b, 2)") ===
+      "FLOOR((a) * 1e1 + 0.5) / 1e1 + FLOOR((b) * 1e2 + 0.5) / 1e2")
+    // every shipped oracle must survive the rewrite with no round( left
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.toLowerCase.matches("(?s).*(^|[^a-z0-9_])round\\(.*"),
+        s"$name still contains a bare round( after rewrite")
+    }
+  }
 }
