@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-
-import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, ExpressionInfo, Floor, Literal, Multiply, Round}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.functions.{CosineSimilarity, DotProduct, EuclideanDistance, ShingleArray, SimHash64}
 
@@ -27,7 +27,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.shinglesFn)
     e.injectFunction(GraftExtensions.distinctShinglesFn)
     e.injectFunction(GraftExtensions.simhashFn)
+    e.injectOptimizerRule(_ => PortableRoundRule)
   }
+}
+
+/** Optimizer rule (Catalyst `Rule[LogicalPlan]` — SURVEY §7 custom-
+  * operator surface (c)): rewrites `round(x, n)` on DOUBLE columns to
+  * the engine-portable floor form floor(x·10ⁿ + 0.5)/10ⁿ, the same
+  * discipline every graft query applies by hand (`SparkEntry.pround`).
+  * Spark's `Round` is BigDecimal-HALF_UP over the double's shortest
+  * decimal representation; other engines (DuckDB, Postgres, most libm
+  * users) round the binary double directly, and the two disagree
+  * whenever a value lands on a half boundary — so plain SQL `round`
+  * is NOT reproducible across engines. With this rule a user's ad-hoc
+  * `spark.sql("... round(x, 9) ...")` gets the portable semantics
+  * automatically (ties toward +∞, matching FLOOR-form SQL on the
+  * other engine). Only literal scales 0..12 on DOUBLE children
+  * rewrite (10ⁿ exact in double); `bround` (HALF_EVEN) is untouched.
+  * Caveat: a fully-foldable argument (a literal) may constant-fold
+  * with stock semantics before any optimizer rule runs — the rule
+  * targets COLUMN data, which is where cross-engine reproducibility
+  * matters.
+  */
+object PortableRoundRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case r @ Round(child, Literal(scale: Int, IntegerType), _)
+          if child.dataType == DoubleType && scale >= 0 && scale <= 12 =>
+        val s = Literal(math.pow(10, scale), DoubleType)
+        if (scale == 0) Cast(Floor(Add(child, Literal(0.5, DoubleType))), DoubleType)
+        else Divide(
+          Cast(Floor(Add(Multiply(child, s), Literal(0.5, DoubleType))), DoubleType),
+          s)
+    }
 }
 
 object GraftExtensions {
@@ -84,4 +116,13 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+
+  /** Post-hoc twin of the builder-time `injectOptimizerRule` path: adds
+    * [[PortableRoundRule]] to THIS session's experimental optimizations
+    * (per-session state — a `newSession()` can opt in without touching
+    * the parent). */
+  def registerOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(PortableRoundRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PortableRoundRule
 }

@@ -41,6 +41,34 @@ class VectorsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && r.getDouble(1) == 23.0)
   }
 
+  test("PortableRoundRule: opted-in session rewrites SQL round to the floor form") {
+    // isolated child session: experimental optimizations are
+    // per-session, so the shared TestSpark session keeps stock
+    // round semantics
+    val s2 = spark.newSession()
+    GraftExtensions.registerOptimizations(s2)
+    // COLUMN data (a foldable literal would constant-fold with stock
+    // semantics before any optimizer rule runs — the rule targets real
+    // columns, which is where cross-engine reproducibility matters)
+    s2.range(1).selectExpr("CAST(id AS DOUBLE) - 2.5 AS x",
+        "CAST(id AS DOUBLE) + 0.1234567895 AS y")
+      .createOrReplaceTempView("pr_t")
+    // a negative exact half: HALF_UP gives -3, the portable floor form
+    // (ties toward +inf, matching FLOOR(x*1e0+0.5) on any engine) -2
+    val row = s2.sql("SELECT round(x, 0) AS r, round(y, 9) AS r9, bround(x, 0) AS be FROM pr_t").head
+    assert(row.getDouble(0) === -2.0,
+      s"portable round must break ties toward +inf: ${row.getDouble(0)}")
+    // scale > 0: equal to the hand-written pround discipline
+    assert(row.getDouble(1) === math.floor(0.1234567895 * 1e9 + 0.5) / 1e9)
+    // bround (HALF_EVEN) is untouched by the rule
+    assert(row.getDouble(2) === -2.0, "bround must keep HALF_EVEN")
+    // the shared session (no opt-in) keeps Spark's stock HALF_UP
+    spark.range(1).selectExpr("CAST(id AS DOUBLE) - 2.5 AS x")
+      .createOrReplaceTempView("pr_stock_t")
+    val stock = spark.sql("SELECT round(x, 0) AS r FROM pr_stock_t").head.getDouble(0)
+    assert(stock === -3.0, "shared session must keep Spark HALF_UP semantics")
+  }
+
   test("SQL registration: shingle kernels plan the SAME expression as the DSL") {
     GraftExtensions.register(spark)
     import spark.implicits._
