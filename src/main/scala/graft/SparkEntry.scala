@@ -4761,6 +4761,39 @@ object SparkEntry {
         .select(col("day"), pround(num / den, 9).as("r"))
         .orderBy(col("day"))
     }),
+
+    "q230_aspect_bucketing" -> ((s, dir) => {
+      // aspect-ratio bucketing [EXT] — the diffusion-training batcher
+      // (SDXL-style): each image lands in the ladder bucket minimizing
+      // its aspect distance, then per-bucket batch counts at B=8 — the
+      // "how many uniform batches does my corpus yield" capacity
+      // planner. Distance is the CROSS-MULTIPLIED |w·bh − h·bw| (exact
+      // integer arithmetic — no log-ratio transcendental to diverge
+      // between engines; ties to the smaller bucket index, resolved by
+      // one struct-min partial agg, never a per-doc window). Decode
+      // rides the q38 typed-mapPartitions codec path (stubbed codec,
+      // real plumbing); the 7-row ladder broadcasts with the closure.
+      import s.implicits._
+      val withMedia = Multimodal.withBinaryPayload(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+      val meta = Multimodal.decodeMetadata(withMedia).toDF()
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"))
+      val ladder = Seq((1, 256L, 1024L), (2, 384L, 768L), (3, 448L, 576L),
+        (4, 512L, 512L), (5, 576L, 448L), (6, 768L, 384L), (7, 1024L, 256L))
+        .toDF("bucket", "bw", "bh")
+      meta.crossJoin(broadcast(ladder))
+        .select(col("doc_id"), col("bucket"), col("bw"), col("bh"),
+          abs(col("w") * col("bh") - col("h") * col("bw")).as("cost"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct(col("cost"), col("bucket"), col("bw"), col("bh"))).as("best"))
+        .groupBy(col("best.bucket").as("bucket"),
+          col("best.bw").as("bw"), col("best.bh").as("bh"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("n_batches", ceil(col("n_docs") / lit(8.0)).cast("long"))
+        .withColumn("leftover", col("n_docs") % 8)
+        .orderBy(col("bucket"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7637,6 +7670,27 @@ object SparkEntry {
          |FROM m
          |WHERE cnt = 7 AND cnt * sxx - sx * sx > 0 AND cnt * syy - sy * sy > 0
          |ORDER BY day""".stripMargin,
+
+    "q230_aspect_bucketing" ->
+      """WITH meta AS (SELECT doc_id,
+        |        CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS w,
+        |        CAST(64 + (CASE WHEN length(text) = 0 THEN 0
+        |                        ELSE ascii(substr(text, 1, 1)) END) * 4 AS BIGINT) AS h
+        |      FROM documents),
+        |ladder AS (SELECT * FROM (VALUES (1, 256, 1024), (2, 384, 768),
+        |             (3, 448, 576), (4, 512, 512), (5, 576, 448),
+        |             (6, 768, 384), (7, 1024, 256)) AS t(bucket, bw, bh)),
+        |costed AS (SELECT doc_id, bucket, bw, bh,
+        |             abs(w * bh - h * bw) AS cost,
+        |             row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY abs(w * bh - h * bw), bucket) AS rn
+        |           FROM meta CROSS JOIN ladder),
+        |best AS (SELECT doc_id, bucket, bw, bh FROM costed WHERE rn = 1)
+        |SELECT bucket, CAST(bw AS BIGINT) AS bw, CAST(bh AS BIGINT) AS bh,
+        |  COUNT(*) AS n_docs,
+        |  CAST(ceil(COUNT(*) / 8.0) AS BIGINT) AS n_batches,
+        |  COUNT(*) % 8 AS leftover
+        |FROM best GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
