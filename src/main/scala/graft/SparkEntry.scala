@@ -4794,6 +4794,49 @@ object SparkEntry {
         .withColumn("leftover", col("n_docs") % 8)
         .orderBy(col("bucket"))
     }),
+
+    "q231_neyman_allocation" -> ((s, dir) => {
+      // Neyman-optimal stratified sample allocation [EXT]: per-source
+      // sample budgets n_h ∝ N_h·σ_h — the design that minimizes
+      // estimator variance at fixed total budget (q185 allocates
+      // proportionally to SIZE; Neyman also weights by in-stratum
+      // spread, so a volatile source gets more budget than a uniform
+      // one). σ from exact integer Σx/Σx² decimal sums (population
+      // form); integerization by largest-remainder (Hamilton): floors
+      // first, the remaining seats by biggest fractional part — ranked
+      // over the ≤|sources|-row strata frame (tiny-frame window
+      // exception, like q110's top-50). All shares are identical IEEE
+      // doubles in both engines, so seat order ties break identically
+      // (then by source name). Degenerate all-σ=0 corpora fall back to
+      // proportional-to-size on BOTH sides.
+      val budget = 1000L
+      val st = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nh"),
+          sum(col("n_chars").cast(DecimalType(27, 0))).cast("double").as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast(DecimalType(27, 0)))
+            .cast("double").as("sx2"))
+        .select(col("source"), col("nh"),
+          sqrt(greatest(col("sx2") / col("nh")
+            - (col("sx") / col("nh")) * (col("sx") / col("nh")), lit(0.0))).as("sigma"))
+      val tot = st.agg(sum(col("nh") * col("sigma")).as("wsum"),
+        sum(col("nh")).as("ntot"))
+      val shared = st.crossJoin(broadcast(tot))
+        .withColumn("share", when(col("wsum") > 0,
+            lit(budget.toDouble) * col("nh") * col("sigma") / col("wsum"))
+          .otherwise(lit(budget.toDouble) * col("nh") / col("ntot")))
+        .withColumn("base", floor(col("share")))
+        .withColumn("frac", col("share") - col("base"))
+      val wRank = Window.orderBy(desc("frac"), col("source"))
+      shared
+        .withColumn("extra",
+          when(row_number().over(wRank) <=
+            (lit(budget) - sum(col("base")).over()), 1L).otherwise(0L))
+        .select(col("source"), col("nh").as("n_docs"),
+          pround(col("sigma"), 9).as("sigma"),
+          (col("base") + col("extra")).as("alloc"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7691,6 +7734,26 @@ object SparkEntry {
         |  CAST(ceil(COUNT(*) / 8.0) AS BIGINT) AS n_batches,
         |  COUNT(*) % 8 AS leftover
         |FROM best GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+
+    "q231_neyman_allocation" ->
+      """WITH st AS (SELECT source, COUNT(*) AS nh,
+        |        CAST(SUM(CAST(n_chars AS DECIMAL(27,0))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(27,0))) AS DOUBLE) AS sx2
+        |      FROM documents GROUP BY 1),
+        |s2 AS (SELECT source, nh,
+        |         sqrt(greatest(sx2 / nh - (sx / nh) * (sx / nh), 0.0)) AS sigma
+        |       FROM st),
+        |t AS (SELECT SUM(nh * sigma) AS wsum, SUM(nh) AS ntot FROM s2),
+        |sh AS (SELECT source, nh, sigma,
+        |         CASE WHEN wsum > 0 THEN 1000.0 * nh * sigma / wsum
+        |              ELSE 1000.0 * nh / ntot END AS share
+        |       FROM s2, t),
+        |fb AS (SELECT *, FLOOR(share) AS base, share - FLOOR(share) AS frac FROM sh),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS rn,
+        |         SUM(base) OVER () AS sb FROM fb)
+        |SELECT source, nh AS n_docs, round(sigma, 9) AS sigma,
+        |  CAST(base + (CASE WHEN rn <= 1000 - sb THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        |FROM rk ORDER BY source""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
