@@ -4837,6 +4837,76 @@ object SparkEntry {
           (col("base") + col("extra")).as("alloc"))
         .orderBy(col("source"))
     }),
+
+    "q232_kendall_tau" -> ((s, dir) => {
+      // Kendall τ-b between daily click and purchase volumes [EXT] —
+      // the tie-robust rank companion to q229's rolling Pearson (rank
+      // concordance survives outlier days that bend a linear r; τ-b's
+      // denominator corrects for tied days on either margin). Same
+      // calendar²-bounded day-pair join as q220; concordant/discordant
+      // /tie counts are EXACT integers, the closing
+      // (C−D)/√((n0−n1)(n0−n2)) is two exact-int casts, one sqrt and
+      // one division — pure IEEE both engines, one floor-round.
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")))
+      val pairs = daily.select(col("day").as("d1"), col("x").as("x1"), col("y").as("y1"))
+        .join(daily.select(col("day").as("d2"), col("x").as("x2"), col("y").as("y2")),
+          col("d1") < col("d2"))
+      val cd = pairs.agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("x2") - col("x1")) * (col("y2") - col("y1")) > 0, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when((col("x2") - col("x1")) * (col("y2") - col("y1")) < 0, 1L)
+          .otherwise(0L)).as("d"),
+        sum(when(col("x1") === col("x2"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("y1") === col("y2"), 1L).otherwise(0L)).as("n2"))
+      val n = daily.agg(count(lit(1)).as("n_days"))
+      cd.crossJoin(n)
+        .filter(col("n0") - col("n1") > 0 && col("n0") - col("n2") > 0)
+        .select(col("n_days"), col("c").as("concordant"), col("d").as("discordant"),
+          (floor((col("c") - col("d")).cast("double")
+            / sqrt((col("n0") - col("n1")).cast("double")
+              * (col("n0") - col("n2")).cast("double")) * 1e9 + 0.5) / 1e9).as("tau_b"))
+    }),
+
+    "q233_calibration_error" -> ((s, dir) => {
+      // expected calibration error [EXT] — q150's decile reliability
+      // table reduced to the headline scalar: ECE = Σ_b (n_b/N)·
+      // |acc_b − conf_b| (Guo et al.'s metric behind "is the quality
+      // classifier overconfident?"). Rides q150's exact calibration
+      // study — same weights, same least(floor(p·10), 9) deciles — so
+      // the scalar IS that table's summary; per-bucket sums reduce in
+      // exact decimal (scores are 9-digit by construction, labels
+      // integer), the closing weighted sum floor-rounds each |gap| at
+      // 9 then reduces in DECIMAL — fully engine-portable.
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          score.as("p"), (col("lang") === "en").cast("long").as("y"))
+        .withColumn("b", least(floor(col("p") * 10), lit(9L)).cast("long"))
+      val buckets = scored.groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("p").cast(DecimalType(27, 9))).cast("double").as("sp"),
+          sum(col("y")).as("sy"))
+      val tot = buckets.agg(sum(col("nb")).as("nn"))
+      val gap9 = floor(abs(col("sy").cast("double") / col("nb")
+        - col("sp") / col("nb")) * 1e9 + 0.5) / 1e9
+      // tight precisions: (10,9)×(14,0) → DECIMAL(25,9), exact. Wider
+      // declarations ((27,9)×(27,0) → needs 55) trip Spark's
+      // allowPrecisionLoss scale-truncation to 6 digits and silently
+      // shave each weight (observed 2e-9 on the final ECE).
+      buckets.crossJoin(broadcast(tot))
+        .select((gap9.cast(DecimalType(10, 9))
+          * col("nb").cast(DecimalType(14, 0))).as("w"), col("nn"))
+        .groupBy(col("nn"))
+        .agg((floor(sum(col("w")).cast("double") / col("nn").cast("double")
+          * 1e9 + 0.5) / 1e9).as("ece"))
+        .select(col("nn").as("n_docs"), col("ece"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7754,6 +7824,55 @@ object SparkEntry {
         |SELECT source, nh AS n_docs, round(sigma, 9) AS sigma,
         |  CAST(base + (CASE WHEN rn <= 1000 - sb THEN 1 ELSE 0 END) AS BIGINT) AS alloc
         |FROM rk ORDER BY source""".stripMargin,
+
+    "q232_kendall_tau" ->
+      s"""$evCte,
+         |daily AS (SELECT date_trunc('day', ts) AS day,
+         |            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         |            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |          FROM ev WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+         |p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+         |      FROM daily a JOIN daily b ON a.day < b.day),
+         |cd AS (SELECT COUNT(*) AS n0,
+         |         SUM(CASE WHEN (x2 - x1) * (y2 - y1) > 0 THEN 1 ELSE 0 END) AS c,
+         |         SUM(CASE WHEN (x2 - x1) * (y2 - y1) < 0 THEN 1 ELSE 0 END) AS d,
+         |         SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS n1,
+         |         SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS n2
+         |       FROM p),
+         |n AS (SELECT COUNT(*) AS n_days FROM daily)
+         |SELECT n_days, CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+         |  FLOOR(CAST(c - d AS DOUBLE)
+         |    / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS tau_b
+         |FROM cd, n WHERE n0 - n1 > 0 AND n0 - n2 > 0""".stripMargin,
+
+    "q233_calibration_error" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |        round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0 + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) AS p
+        |      FROM f),
+        |b AS (SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS b, p,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |      FROM z),
+        |bk AS (SELECT b, COUNT(*) AS nb,
+        |         CAST(SUM(CAST(p AS DECIMAL(27,9))) AS DOUBLE) AS sp,
+        |         SUM(y) AS sy
+        |       FROM b GROUP BY 1),
+        |t AS (SELECT SUM(nb) AS nn FROM bk),
+        |w AS (SELECT CAST(FLOOR(abs(CAST(sy AS DOUBLE) / nb - sp / nb) * 1e9 + 0.5) / 1e9
+        |          AS DECIMAL(27,9)) * CAST(nb AS DECIMAL(27,0)) AS w, nn
+        |      FROM bk, t)
+        |SELECT nn AS n_docs,
+        |  FLOOR(CAST(SUM(w) AS DOUBLE) / CAST(nn AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ece
+        |FROM w GROUP BY nn""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
