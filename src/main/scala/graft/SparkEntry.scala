@@ -4907,6 +4907,56 @@ object SparkEntry {
           * 1e9 + 0.5) / 1e9).as("ece"))
         .select(col("nn").as("n_docs"), col("ece"))
     }),
+
+    "q234_km_survival" -> ((s, dir) => {
+      // Kaplan–Meier survival of view→purchase conversion [EXT] —
+      // S(t) = Π_{u≤t}(1 − d_u/n_u), the survival companion to q216's
+      // delay quantiles (quantiles describe converters; KM describes
+      // EVERYONE, censoring the users who never converted inside the
+      // 168 h window — dropping them biases time-to-convert toward
+      // the fast converters). Administrative censoring at the horizon
+      // means at-risk = N − cumulative events: pure integers through
+      // the whole table. The product telescopes as exp(Σ ln((n−d)/n))
+      // with each ln term floor-rounded at 12 and summed over the
+      // ≤168-row hour grid (tiny-frame window exception, like q207) —
+      // the q166/q210 transcendental discipline, so both engines walk
+      // identical doubles into the one exp, floor-rounded at 9.
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val firstP = v.join(p, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts")).agg(min(col("p_ts")).as("p_ts"))
+      val delays = v.join(firstP, Seq("user_id", "v_ts"), "left")
+        .select(col("user_id"),
+          ((unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts"))) / 3600L)
+            .cast("long").as("delay_h"))
+        .withColumn("event", col("delay_h").isNotNull && col("delay_h") < 168)
+      val nTot = delays.agg(count(lit(1)).as("n_users"))
+      val grid = delays.filter(col("event"))
+        .groupBy(col("delay_h").as("t")).agg(count(lit(1)).as("d"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(broadcast(nTot))
+        .withColumn("cumd", sum(col("d")).over(wCum))
+        .withColumn("n_at_risk", col("n_users") - col("cumd") + col("d"))
+        // n_at_risk == d (everyone left converts this hour) zeroes the
+        // survival curve from here on; ln(0) = -inf must not enter the
+        // floor-form (Spark's floor(-inf) -> Long.MinValue vs DuckDB's
+        // -inf double would diverge) — carry a hit-zero flag instead
+        .withColumn("lt", when(col("n_at_risk") > col("d"), floor(
+          log((col("n_at_risk") - col("d")).cast("double") / col("n_at_risk"))
+            * 1e12 + 0.5) / 1e12).otherwise(lit(0.0)))
+        .withColumn("ls", sum(col("lt").cast(DecimalType(27, 14))).over(wCum))
+        .withColumn("hit0",
+          max((col("n_at_risk") === col("d")).cast("int")).over(wCum))
+        .select(col("t").as("t_hours"), col("d").as("n_events"), col("n_at_risk"),
+          when(col("hit0") === 1, lit(0.0)).otherwise(
+            floor(exp(col("ls").cast("double")) * 1e9 + 0.5) / 1e9).as("survival"))
+        .orderBy(col("t_hours"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7873,6 +7923,44 @@ object SparkEntry {
         |SELECT nn AS n_docs,
         |  FLOOR(CAST(SUM(w) AS DOUBLE) / CAST(nn AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ece
         |FROM w GROUP BY nn""".stripMargin,
+
+    "q234_km_survival" ->
+      s"""$evCte,
+         |v AS (SELECT user_id, MIN(ts) AS v_ts FROM ev
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |fp AS (SELECT v.user_id, v.v_ts, MIN(p.ts) AS p_ts
+         |       FROM v JOIN ev p ON p.user_id = v.user_id
+         |         AND p.event_type = 'purchase' AND p.ts >= v.v_ts
+         |       GROUP BY 1, 2),
+         |del AS (SELECT v.user_id,
+         |          CAST((epoch_us(fp.p_ts) // 1000000 - epoch_us(v.v_ts) // 1000000)
+         |            // 3600 AS BIGINT) AS delay_h
+         |        FROM v LEFT JOIN fp ON fp.user_id = v.user_id),
+         |nt AS (SELECT COUNT(*) AS n_users FROM del),
+         |grid AS (SELECT delay_h AS t, COUNT(*) AS d FROM del
+         |         WHERE delay_h IS NOT NULL AND delay_h < 168 GROUP BY 1),
+         |m0 AS (SELECT t, d, n_users,
+         |         SUM(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS cumd
+         |       FROM grid, nt),
+         |m AS (SELECT t, d, n_users - cumd + d AS n_at_risk,
+         |        MAX(CASE WHEN n_users - cumd = 0 THEN 1 ELSE 0 END)
+         |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND CURRENT ROW) AS hit0
+         |      FROM m0),
+         |l AS (SELECT t, d, n_at_risk, hit0,
+         |        CASE WHEN n_at_risk > d THEN FLOOR(
+         |          ln(CAST(n_at_risk - d AS DOUBLE) / n_at_risk) * 1e12 + 0.5) / 1e12
+         |        ELSE 0.0 END AS lt
+         |      FROM m),
+         |c AS (SELECT t, d, n_at_risk, hit0,
+         |        SUM(CAST(lt AS DECIMAL(27,14))) OVER
+         |          (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+         |      FROM l)
+         |SELECT t AS t_hours, d AS n_events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+         |  CASE WHEN hit0 = 1 THEN 0.0
+         |       ELSE FLOOR(exp(CAST(ls AS DOUBLE)) * 1e9 + 0.5) / 1e9 END AS survival
+         |FROM c ORDER BY t_hours""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
