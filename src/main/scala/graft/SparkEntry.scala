@@ -4957,6 +4957,52 @@ object SparkEntry {
             floor(exp(col("ls").cast("double")) * 1e9 + 0.5) / 1e9).as("survival"))
         .orderBy(col("t_hours"))
     }),
+
+    "q235_bootstrap_ci" -> ((s, dir) => {
+      // deterministic Poisson-bootstrap confidence interval for the
+      // mean value per event_type [EXT] — the error-bars operator
+      // behind every dashboard number. B=100 replicates via the
+      // POISSON bootstrap (Chamandy et al.'s map-side resampling: each
+      // row draws a Poisson(1) replicate weight independently — no
+      // global resample pass, the form that works on unbounded
+      // streams): u = the q109 Lehmer hash of (event_id·101 + b) — the
+      // house portable PRNG, pure integer arithmetic in both engines —
+      // inverted through a LITERAL Poisson(1) CDF ladder (both engines
+      // parse the same 7 cumulative constants; k capped at 7,
+      // P ≈ 1e-5). Replicate means reduce as exact DECIMAL(18,4)
+      // weighted sums per (type, b) — the blow-up is map-side ×B into
+      // a B·|types|-row shuffle; the percentile band over the 100
+      // replicate means rides the no-buffer selector, bit-equal to
+      // quantile_cont.
+      val B = 100
+      val u = (lehmer3(col("event_id") * 101L + col("b")).cast("double") + 0.5) /
+        2147483647.0
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L).when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L).when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L).when(u < 0.999916758850712, 6L)
+        .otherwise(7L)
+      val reps = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("b", explode(sequence(lit(1), lit(B))))
+        .withColumn("w", w)
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum((col("w") * col("value")).cast(DecimalType(18, 4))).cast("double")
+          .as("swx"), sum(col("w")).as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("event_type"), (col("swx") / col("sw")).as("m"))
+      val band = graft.operators.Selection.exactGroupedQuantiles(
+        Dedup.cacheScoped(reps), "event_type", "m", Seq(0.025, 0.975))
+      val mean = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mean_value"))
+      mean.join(band.groupBy(col("event_type")).agg(
+          max(when(col("q") === 0.025, col("value"))).as("lo95"),
+          max(when(col("q") === 0.975, col("value"))).as("hi95")),
+        Seq("event_type"))
+        .select(col("event_type"), pround(col("mean_value"), 9).as("mean_value"),
+          pround(col("lo95"), 9).as("lo95"), pround(col("hi95"), 9).as("hi95"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -7961,6 +8007,41 @@ object SparkEntry {
          |  CASE WHEN hit0 = 1 THEN 0.0
          |       ELSE FLOOR(exp(CAST(ls AS DOUBLE)) * 1e9 + 0.5) / 1e9 END AS survival
          |FROM c ORDER BY t_hours""".stripMargin,
+
+    "q235_bootstrap_ci" ->
+      s"""$evCte,
+         |x AS (SELECT event_type, event_id, value, b.b
+         |      FROM ev CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS b) b),
+         |uu AS (SELECT event_type, value,
+         |         (CAST((event_id * 101 + b) % 2147483647 * 48271 % 2147483647
+         |            * 48271 % 2147483647 * 48271 % 2147483647 AS DOUBLE) + 0.5)
+         |           / 2147483647.0 AS u, b
+         |       FROM x),
+         |ww AS (SELECT event_type, value, b,
+         |         CASE WHEN u < 0.36787944117144233 THEN 0
+         |              WHEN u < 0.7357588823428847 THEN 1
+         |              WHEN u < 0.9196986029286058 THEN 2
+         |              WHEN u < 0.9810118431238463 THEN 3
+         |              WHEN u < 0.9963401531726563 THEN 4
+         |              WHEN u < 0.9994058151824183 THEN 5
+         |              WHEN u < 0.999916758850712 THEN 6
+         |              ELSE 7 END AS w
+         |       FROM uu),
+         |reps AS (SELECT event_type, b,
+         |           CAST(SUM(CAST(w * value AS DECIMAL(18,4))) AS DOUBLE)
+         |             / SUM(w) AS m
+         |         FROM ww GROUP BY 1, 2 HAVING SUM(w) > 0),
+         |band AS (SELECT event_type,
+         |           quantile_cont(m, 0.025) AS lo95,
+         |           quantile_cont(m, 0.975) AS hi95
+         |         FROM reps GROUP BY 1),
+         |mn AS (SELECT event_type,
+         |         CAST(SUM(CAST(value AS $D)) AS DOUBLE) / COUNT(*) AS mean_value
+         |       FROM ev GROUP BY 1)
+         |SELECT mn.event_type, round(mean_value, 9) AS mean_value,
+         |  round(lo95, 9) AS lo95, round(hi95, 9) AS hi95
+         |FROM mn JOIN band ON mn.event_type = band.event_type
+         |ORDER BY mn.event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
