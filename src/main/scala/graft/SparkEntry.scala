@@ -5003,6 +5003,67 @@ object SparkEntry {
           pround(col("lo95"), 9).as("lo95"), pround(col("hi95"), 9).as("hi95"))
         .orderBy(col("event_type"))
     }),
+
+    "q236_spearman" -> ((s, dir) => {
+      // Spearman rank correlation between daily click and purchase
+      // volumes [EXT] — the monotone-association companion to q232's
+      // τ-b (ρ uses rank MAGNITUDES, τ counts inversions; the pair
+      // diverges under heavy ties, so dashboards report both). Midranks
+      // come from per-value counts + one cumulative over the ≤|days|-row
+      // value frame (tiny-frame window exception, like q207):
+      // 2·midrank = 2(cum−cnt)+cnt+1 is an exact INTEGER, so every sum
+      // in the closing Pearson-on-ranks formula is exact long
+      // arithmetic; the ×2 scale cancels exactly (sqrt of an exact 4A
+      // is exactly 2√A in IEEE), leaving one sqrt+division and a single
+      // floor-round — engine-identical by construction.
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("DAY", col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y")))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def rank2(c: String): DataFrame = daily.groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wv))
+        .select(col("v").as(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L).as("r2" + c))
+      daily.join(broadcast(rank2("x")), Seq("x"))
+        .join(broadcast(rank2("y")), Seq("y"))
+        .agg(count(lit(1)).as("n"), sum(col("r2x")).as("sx"), sum(col("r2y")).as("sy"),
+          sum(col("r2x") * col("r2x")).as("sxx"),
+          sum(col("r2y") * col("r2y")).as("syy"),
+          sum(col("r2x") * col("r2y")).as("sxy"))
+        .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0)
+        .select(col("n").as("n_days"),
+          (floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+            * 1e9 + 0.5) / 1e9).as("rho"))
+    }),
+
+    "q237_markov_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix over per-user event
+      // sequences [EXT] — the behavioral fingerprint behind "what
+      // happens after a click": P(next | current) from lead() pairs.
+      // The window is per-user only (q92's funnel discipline — never a
+      // global sequence sort; user partitions scale the shuffle), pair
+      // counts are exact, the row-normalizing totals are a ≤|types|²-row
+      // broadcast join, and each probability is one exact-int division
+      // floor-rounded once — pure IEEE in both engines.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"), col("ts"), col("event_id"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_pairs"))
+      val tot = pairs.groupBy(col("src")).agg(sum(col("n_pairs")).as("n_src"))
+      pairs.join(broadcast(tot), Seq("src"))
+        .select(col("src"), col("dst"), col("n_pairs"),
+          (floor(col("n_pairs").cast("double") / col("n_src") * 1e9 + 0.5) / 1e9).as("p"))
+        .orderBy(col("src"), col("dst"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8042,6 +8103,44 @@ object SparkEntry {
          |  round(lo95, 9) AS lo95, round(hi95, 9) AS hi95
          |FROM mn JOIN band ON mn.event_type = band.event_type
          |ORDER BY mn.event_type""".stripMargin,
+
+    "q236_spearman" ->
+      s"""$evCte,
+         |daily AS (SELECT date_trunc('day', ts) AS day,
+         |            SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         |            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+         |          FROM ev WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+         |rx AS (SELECT v AS x, 2 * (cum - cnt) + cnt + 1 AS r2x FROM (
+         |         SELECT x AS v, COUNT(*) AS cnt,
+         |           SUM(COUNT(*)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+         |                               AND CURRENT ROW) AS cum
+         |         FROM daily GROUP BY x)),
+         |ry AS (SELECT v AS y, 2 * (cum - cnt) + cnt + 1 AS r2y FROM (
+         |         SELECT y AS v, COUNT(*) AS cnt,
+         |           SUM(COUNT(*)) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+         |                               AND CURRENT ROW) AS cum
+         |         FROM daily GROUP BY y)),
+         |a AS (SELECT COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2y) AS sy,
+         |        SUM(r2x * r2x) AS sxx, SUM(r2y * r2y) AS syy,
+         |        SUM(r2x * r2y) AS sxy
+         |      FROM daily JOIN rx USING (x) JOIN ry USING (y))
+         |SELECT n AS n_days,
+         |  FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS rho
+         |FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+
+    "q237_markov_transitions" ->
+      s"""$evCte,
+         |sq AS (SELECT user_id, event_type AS src,
+         |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |       FROM ev),
+         |p AS (SELECT src, dst, COUNT(*) AS n_pairs FROM sq
+         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT src, SUM(n_pairs) AS n_src FROM p GROUP BY 1)
+         |SELECT p.src, p.dst, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  FLOOR(CAST(n_pairs AS DOUBLE) / n_src * 1e9 + 0.5) / 1e9 AS p
+         |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
