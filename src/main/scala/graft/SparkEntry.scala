@@ -5043,26 +5043,106 @@ object SparkEntry {
             * 1e9 + 0.5) / 1e9).as("rho"))
     }),
 
-    "q237_markov_transitions" -> ((s, dir) => {
-      // first-order Markov transition matrix over per-user event
-      // sequences [EXT] — the behavioral fingerprint behind "what
-      // happens after a click": P(next | current) from lead() pairs.
-      // The window is per-user only (q92's funnel discipline — never a
-      // global sequence sort; user partitions scale the shuffle), pair
-      // counts are exact, the row-normalizing totals are a ≤|types|²-row
-      // broadcast join, and each probability is one exact-int division
-      // floor-rounded once — pure IEEE in both engines.
+    "q237_path_trigrams" -> ((s, dir) => {
+      // top-20 event-type path trigrams [EXT] — the second-order
+      // sequence motifs q111's first-order transition matrix cannot
+      // see (a Markov chain factorizes P(a→b→c) = P(b|a)·P(c|b); the
+      // trigram counts expose exactly the paths where that product is
+      // wrong — the "view→click→purchase vs view→click→error" split
+      // behind journey mining). Two leads over the per-user window
+      // (never a global sequence sort), exact motif counts, support as
+      // one floor-rounded division, deterministic top-20 via
+      // TakeOrderedAndProject on (count desc, motif) — no global sort
+      // materializes.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val pairs = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type").as("src"), col("ts"), col("event_id"))
-        .withColumn("dst", lead(col("src"), 1).over(w))
-        .filter(col("dst").isNotNull)
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_pairs"))
-      val tot = pairs.groupBy(col("src")).agg(sum(col("n_pairs")).as("n_src"))
-      pairs.join(broadcast(tot), Seq("src"))
-        .select(col("src"), col("dst"), col("n_pairs"),
-          (floor(col("n_pairs").cast("double") / col("n_src") * 1e9 + 0.5) / 1e9).as("p"))
-        .orderBy(col("src"), col("dst"))
+      val tri = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("e1"), col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3")).agg(count(lit(1)).as("n_paths"))
+      val tot = tri.agg(sum(col("n_paths")).as("n_tot"))
+      tri.crossJoin(broadcast(tot))
+        .select(col("e1"), col("e2"), col("e3"), col("n_paths"),
+          (floor(col("n_paths").cast("double") / col("n_tot") * 1e9 + 0.5) / 1e9)
+            .as("support"))
+        .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
+    "q238_acf" -> ((s, dir) => {
+      // lag-1..7 autocorrelation of the daily event count per type
+      // [EXT] — Box–Jenkins model identification for the volume series:
+      // a spike at lag 7 CONFIRMS the weekly period q223's decompose
+      // assumes, decay across lags separates trend from noise (q229
+      // correlates two DIFFERENT series; the ACF correlates a series
+      // with its own shifted self). Daily counts are exact ints; the
+      // full-series mean enters every centered product as the same IEEE
+      // double; the 7 lag alignments are one explode + equi-join on the
+      // shifted day (calendar-bounded — never a window over the
+      // series); products floor-round at 12, reduce in DECIMAL, and
+      // each lag closes with a single floor-9 ratio against the lag-0
+      // denominator.
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")))
+      val mu = daily.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("event_type"), (col("sx").cast("double") / col("n")).as("mu"))
+      val c = daily.join(broadcast(mu), Seq("event_type"))
+      val den = c.select(col("event_type"),
+          (floor((col("x") - col("mu")) * (col("x") - col("mu")) * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("d2"))
+        .groupBy(col("event_type")).agg(sum(col("d2")).cast("double").as("den"))
+      val num = c.withColumn("lag", explode(sequence(lit(1), lit(7))))
+        .select(col("event_type"), col("lag"),
+          date_add(col("day"), col("lag")).as("day"), col("x").as("x0"), col("mu"))
+        .join(daily.select(col("event_type"), col("day"), col("x").as("x1")),
+          Seq("event_type", "day"))
+        .select(col("event_type"), col("lag"),
+          (floor((col("x0") - col("mu")) * (col("x1") - col("mu")) * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("p2"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("p2")).cast("double").as("num"))
+      num.join(broadcast(den), Seq("event_type"))
+        .filter(col("den") > 0)
+        .select(col("event_type"), col("lag").cast("long").as("lag"), col("n_pairs"),
+          (floor(col("num") / col("den") * 1e9 + 0.5) / 1e9).as("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    "q239_hill_tail" -> ((s, dir) => {
+      // Hill tail-index estimator per event_type [EXT] — "how heavy is
+      // the value tail": α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top
+      // k+1 order statistics (Hill 1975, the POT estimator behind p99
+      // capacity planning; α < 2 means infinite variance — means stop
+      // converging). The per-type rank is a WindowGroupLimit top-(k+1)
+      // (the rank filter pushes the limit into the shuffle — never a
+      // global sort; event_id breaks value ties so the retained multiset
+      // is deterministic), the (k+1)-th value joins back as a ≤|types|-
+      // row broadcast, each ln(x/x_{k+1}) is one division + ln floor-
+      // rounded at 12 (q166 transcendental discipline), summed in
+      // DECIMAL(27,14), inverted once and floor-rounded at 9.
+      val k = 100
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      val ranked = Dedup.cacheScoped(Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k + 1)
+        .select(col("event_type"), col("rk"), col("value")))
+      val xk1 = ranked.filter(col("rk") === k + 1)
+        .select(col("event_type"), col("value").as("xk"))
+      ranked.filter(col("rk") <= k)
+        .join(broadcast(xk1), Seq("event_type"))
+        .select(col("event_type"), col("xk"),
+          (floor(log(col("value") / col("xk")) * 1e12 + 0.5) / 1e12).as("lt"))
+        .groupBy(col("event_type"), col("xk"))
+        .agg(sum(col("lt").cast(DecimalType(27, 14))).cast("double").as("sl"))
+        .filter(col("sl") > 0)
+        .select(col("event_type"), col("xk").as("x_kplus1"),
+          (floor(lit(k).cast("double") / col("sl") * 1e9 + 0.5) / 1e9).as("alpha"))
+        .orderBy(col("event_type"))
     }),
   )
 
@@ -8130,17 +8210,61 @@ object SparkEntry {
          |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS rho
          |FROM a WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
 
-    "q237_markov_transitions" ->
+    "q237_path_trigrams" ->
       s"""$evCte,
-         |sq AS (SELECT user_id, event_type AS src,
-         |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |sq AS (SELECT user_id, event_type AS e1,
+         |         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         |         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
          |       FROM ev),
-         |p AS (SELECT src, dst, COUNT(*) AS n_pairs FROM sq
-         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
-         |t AS (SELECT src, SUM(n_pairs) AS n_src FROM p GROUP BY 1)
-         |SELECT p.src, p.dst, CAST(n_pairs AS BIGINT) AS n_pairs,
-         |  FLOOR(CAST(n_pairs AS DOUBLE) / n_src * 1e9 + 0.5) / 1e9 AS p
-         |FROM p JOIN t USING (src) ORDER BY src, dst""".stripMargin,
+         |tri AS (SELECT e1, e2, e3, COUNT(*) AS n_paths FROM sq
+         |        WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+         |t AS (SELECT SUM(n_paths) AS n_tot FROM tri)
+         |SELECT e1, e2, e3, CAST(n_paths AS BIGINT) AS n_paths,
+         |  FLOOR(CAST(n_paths AS DOUBLE) / n_tot * 1e9 + 0.5) / 1e9 AS support
+         |FROM tri, t ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    "q238_acf" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |            COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |mu AS (SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+         |       FROM daily GROUP BY 1),
+         |c AS (SELECT d.event_type, d.day, d.x, m.mu
+         |      FROM daily d JOIN mu m USING (event_type)),
+         |den AS (SELECT event_type,
+         |          CAST(SUM(CAST(FLOOR((x - mu) * (x - mu) * 1e12 + 0.5) / 1e12
+         |            AS DECIMAL(27,14))) AS DOUBLE) AS den
+         |        FROM c GROUP BY 1),
+         |lagged AS (SELECT c.event_type, g.lag, c.day + CAST(g.lag AS INTEGER) AS day,
+         |             c.x AS x0, c.mu
+         |           FROM c, (SELECT unnest(generate_series(1, 7)) AS lag) g),
+         |num AS (SELECT l.event_type, l.lag, COUNT(*) AS n_pairs,
+         |          CAST(SUM(CAST(FLOOR((l.x0 - l.mu) * (d.x - l.mu) * 1e12 + 0.5) / 1e12
+         |            AS DECIMAL(27,14))) AS DOUBLE) AS num
+         |        FROM lagged l JOIN daily d
+         |          ON d.event_type = l.event_type AND d.day = l.day
+         |        GROUP BY 1, 2)
+         |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_pairs,
+         |  FLOOR(n.num / de.den * 1e9 + 0.5) / 1e9 AS acf
+         |FROM num n JOIN den de USING (event_type)
+         |WHERE de.den > 0 ORDER BY event_type, lag""".stripMargin,
+
+    "q239_hill_tail" ->
+      s"""$evCte,
+         |rk AS (SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY value DESC, event_id) AS rk
+         |       FROM ev WHERE value > 0),
+         |xk AS (SELECT event_type, value AS xk FROM rk WHERE rk = 101),
+         |s AS (SELECT r.event_type, x.xk,
+         |        CAST(SUM(CAST(FLOOR(ln(r.value / x.xk) * 1e12 + 0.5) / 1e12
+         |          AS DECIMAL(27,14))) AS DOUBLE) AS sl
+         |      FROM rk r JOIN xk x USING (event_type)
+         |      WHERE r.rk <= 100 GROUP BY 1, 2)
+         |SELECT event_type, xk AS x_kplus1,
+         |  FLOOR(CAST(100 AS DOUBLE) / sl * 1e9 + 0.5) / 1e9 AS alpha
+         |FROM s WHERE sl > 0 ORDER BY event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
