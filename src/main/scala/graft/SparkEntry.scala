@@ -5144,6 +5144,79 @@ object SparkEntry {
           (floor(lit(k).cast("double") / col("sl") * 1e9 + 0.5) / 1e9).as("alpha"))
         .orderBy(col("event_type"))
     }),
+
+    "q240_jsd_sources" -> ((s, dir) => {
+      // Jensen–Shannon divergence between source token distributions
+      // [EXT] — the symmetric, bounded (≤ ln 2) corpus-mixing metric:
+      // PSI (q166) and KS (q198) compare VALUE distributions; JSD is
+      // the standard measure for "how different is source A's language
+      // from source B's" when weighting a pretraining mixture. Key
+      // scale identity: words present in only ONE source contribute
+      // exactly p·ln2, so JSD = ½[Σ_shared(p·ln(2p/(p+q)) +
+      // q·ln(2q/(p+q))) + ln2·(2 − mass₁ − mass₂)] needs NO outer
+      // join — one word equi-join for the shared terms (fan-out ≤
+      // |sources|² per word, vocabulary-bounded) and exact-integer
+      // shared-mass counts; transcendental terms floor-round at 12
+      // into DECIMAL sums (q166 discipline), masses are single
+      // exact-int divisions, one floor-9 close.
+      val LN2 = 0.6931471805599453
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val wc = Dedup.cacheScoped(
+        toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+      val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val a = wc.join(broadcast(tot), Seq("source"))
+        .select(col("source").as("s1"), col("w"), col("c").as("c1"), col("n").as("n1"))
+      val b = wc.join(broadcast(tot), Seq("source"))
+        .select(col("source").as("s2"), col("w"), col("c").as("c2"), col("n").as("n2"))
+      val p = col("c1").cast("double") / col("n1")
+      val q = col("c2").cast("double") / col("n2")
+      val term = floor((p * log(lit(2) * p / (p + q))
+        + q * log(lit(2) * q / (p + q))) * 1e12 + 0.5) / 1e12
+      a.join(b, Seq("w")).filter(col("s1") < col("s2"))
+        .select(col("s1"), col("s2"), col("n1"), col("n2"),
+          col("c1"), col("c2"), term.cast(DecimalType(27, 14)).as("t"))
+        .groupBy(col("s1"), col("s2"), col("n1"), col("n2"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("t")).cast("double").as("ts"),
+          sum(col("c1")).as("m1"), sum(col("c2")).as("m2"))
+        .select(col("s1"), col("s2"), col("n_shared"),
+          (floor((col("ts") + lit(LN2) * (lit(2)
+            - col("m1").cast("double") / col("n1")
+            - col("m2").cast("double") / col("n2"))) / 2 * 1e9 + 0.5) / 1e9).as("jsd"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    "q241_mutual_info" -> ((s, dir) => {
+      // mutual information between the value bin and event_type [EXT]
+      // — the model-free feature-relevance / leakage detector ("does
+      // value predict event_type?"): q86/q146 compute word-pair PMI,
+      // q91 per-doc entropy; this is I(X;Y) = Σ (n_xy/n)·
+      // ln(n_xy·n/(n_x·n_y)) over the (bin × type) contingency — the
+      // quantity feature selection ranks on. Fixed-width bins are
+      // map-side (q83's histogram shape), every count is exact, each
+      // cell's log ratio takes exact-integer products (< 2⁵³ so the
+      // double casts are exact), floor-rounds at 12, weights by the
+      // exact cell count, floor-rounds again and reduces in DECIMAL;
+      // one division by n and a floor-9 close the scalar.
+      val binned = Tables.events(s, dir)
+        .select(col("event_type").as("t"), floor(col("value") / 25).cast("long").as("b"))
+      val cells = Dedup.cacheScoped(
+        binned.groupBy(col("t"), col("b")).agg(count(lit(1)).as("nxy")))
+      val nx = cells.groupBy(col("t")).agg(sum(col("nxy")).as("nx"))
+      val ny = cells.groupBy(col("b")).agg(sum(col("nxy")).as("ny"))
+      val nT = cells.agg(sum(col("nxy")).as("n"))
+      val lr = floor(log((col("nxy") * col("n")).cast("double")
+        / (col("nx") * col("ny")).cast("double")) * 1e12 + 0.5) / 1e12
+      val wterm = floor(col("nxy").cast("double") * lr * 1e12 + 0.5) / 1e12
+      cells.join(broadcast(nx), Seq("t")).join(broadcast(ny), Seq("b"))
+        .crossJoin(broadcast(nT))
+        .select(col("n"), wterm.cast(DecimalType(27, 14)).as("wt"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("wt")).cast("double").as("sw"))
+        .select(col("n").as("n_events"), col("n_cells"),
+          (floor(col("sw") / col("n") * 1e9 + 0.5) / 1e9).as("mi_nats"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8265,6 +8338,47 @@ object SparkEntry {
          |SELECT event_type, xk AS x_kplus1,
          |  FLOOR(CAST(100 AS DOUBLE) / sl * 1e9 + 0.5) / 1e9 AS alpha
          |FROM s WHERE sl > 0 ORDER BY event_type""".stripMargin,
+
+    "q240_jsd_sources" ->
+      """WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |              FROM documents),
+        |wc AS (SELECT source, w, COUNT(*) AS c FROM toks
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT source, SUM(c) AS n FROM wc GROUP BY 1),
+        |wn AS (SELECT wc.source, wc.w, wc.c, tot.n
+        |       FROM wc JOIN tot USING (source)),
+        |j AS (SELECT a.source AS s1, b.source AS s2, a.n AS n1, b.n AS n2,
+        |        a.c AS c1, b.c AS c2,
+        |        CAST(a.c AS DOUBLE) / a.n AS p, CAST(b.c AS DOUBLE) / b.n AS q
+        |      FROM wn a JOIN wn b ON a.w = b.w AND a.source < b.source),
+        |ag AS (SELECT s1, s2, n1, n2, COUNT(*) AS n_shared,
+        |         CAST(SUM(CAST(FLOOR((p * ln(2 * p / (p + q))
+        |           + q * ln(2 * q / (p + q))) * 1e12 + 0.5) / 1e12
+        |           AS DECIMAL(27,14))) AS DOUBLE) AS ts,
+        |         SUM(c1) AS m1, SUM(c2) AS m2
+        |       FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT s1, s2, n_shared,
+        |  FLOOR((ts + 0.6931471805599453 * (2 - CAST(m1 AS DOUBLE) / n1
+        |    - CAST(m2 AS DOUBLE) / n2)) / 2 * 1e9 + 0.5) / 1e9 AS jsd
+        |FROM ag ORDER BY s1, s2""".stripMargin,
+
+    "q241_mutual_info" ->
+      s"""$evCte,
+         |binned AS (SELECT event_type AS t,
+         |             CAST(FLOOR(value / 25) AS BIGINT) AS b FROM ev),
+         |cells AS (SELECT t, b, COUNT(*) AS nxy FROM binned GROUP BY 1, 2),
+         |nx AS (SELECT t, SUM(nxy) AS nx FROM cells GROUP BY 1),
+         |ny AS (SELECT b, SUM(nxy) AS ny FROM cells GROUP BY 1),
+         |nt AS (SELECT SUM(nxy) AS n FROM cells),
+         |tm AS (SELECT n,
+         |         FLOOR(CAST(nxy AS DOUBLE)
+         |           * (FLOOR(ln(CAST(nxy * n AS DOUBLE) / CAST(nx.nx * ny.ny AS DOUBLE))
+         |              * 1e12 + 0.5) / 1e12) * 1e12 + 0.5) / 1e12 AS wt
+         |       FROM cells JOIN nx USING (t) JOIN ny USING (b), nt)
+         |SELECT CAST(n AS BIGINT) AS n_events, COUNT(*) AS n_cells,
+         |  FLOOR(CAST(SUM(CAST(wt AS DECIMAL(27,14))) AS DOUBLE) / n * 1e9 + 0.5) / 1e9
+         |    AS mi_nats
+         |FROM tm GROUP BY n""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
