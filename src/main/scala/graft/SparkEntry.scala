@@ -5217,6 +5217,66 @@ object SparkEntry {
         .select(col("n").as("n_events"), col("n_cells"),
           (floor(col("sw") / col("n") * 1e9 + 0.5) / 1e9).as("mi_nats"))
     }),
+
+    "q242_mmr_rerank" -> ((s, dir) => {
+      // MMR diversified retrieval [EXT] — the rerank between q36's raw
+      // top-k and what a RAG context window actually wants: k results
+      // that are relevant AND non-redundant (raw top-k over a corpus
+      // with near-dups returns the same passage k times; MMR trades
+      // λ·relevance against (1−λ)·max-similarity-to-selected). The
+      // distributed shape: candidate generation is the corpus-scale
+      // bruteForceTopK (broadcast query, WindowGroupLimit top-pool);
+      // the greedy argmax — inherently sequential in k — runs on the
+      // ≤50-row pool driver-side (bounded by construction, the q177
+      // centroid-walk collect tier). Rows-only: the per-step argmax
+      // recursion is not ANSI-expressible; OperatorSpec pins the
+      // selection to an independent quadratic reference + invariants.
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.orderBy(col("vec_id")).limit(1)
+      val pool = Similarity.bruteForceTopK(
+        emb, col("vec_id"), col("embedding"),
+        qv, col("vec_id"), col("embedding"), k = 50)
+      val rows = pool
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          Seq("neighbor_id"))
+        .select(col("neighbor_id"), col("embedding"), col("cosine"))
+        .collect() // ≤ pool rows by construction — never corpus-sized
+      val cands = rows.map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2))).toIndexedSeq
+      val sel = Similarity.mmrSelect(cands, k = 10, lambda = 0.7)
+      import s.implicits._
+      sel.toDF("vec_id", "mmr", "rank")
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          pround(col("mmr"), 9).as("mmr_score"))
+        .orderBy(col("rank"))
+    }),
+
+    "q243_mg_heavy_hitters" -> ((s, dir) => {
+      // exact heavy hitters through a mergeable Misra–Gries sketch
+      // [EXT] — the deterministic single-pass twin of q115's CMS: MG
+      // guarantees every token with true count > n/k survives in its
+      // ≤(k−1)-entry summary (Sketch.MgAgg scaladoc), so the sketch's
+      // candidate set SUPERSETS the true heavy hitters regardless of
+      // partitioning. The token stream never shuffles — partial O(k)
+      // maps merge; candidates broadcast back to prune the exact
+      // recount to ≤(k−1) tokens' occurrences, and the n/k filter on
+      // exact counts makes the output the EXACT heavy-hitter set:
+      // oracle-able even though the sketch is approximate (q115's
+      // one-sided-bound pattern upgraded to exact equality).
+      val k = 20
+      val toks = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val nT = toks.agg(count(lit(1)).as("n"))
+      val cands = toks.agg(graft.functions.Sketch.mgSummary(col("w"), k).as("m"))
+        .select(explode(map_keys(col("m"))).as("w"))
+      toks.join(broadcast(cands), Seq("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(nT))
+        .filter(col("cnt") * k > col("n"))
+        .select(col("w").as("word"), col("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8379,6 +8439,15 @@ object SparkEntry {
          |  FLOOR(CAST(SUM(CAST(wt AS DECIMAL(27,14))) AS DOUBLE) / n * 1e9 + 0.5) / 1e9
          |    AS mi_nats
          |FROM tm GROUP BY n""".stripMargin,
+
+    "q243_mg_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |              FROM documents),
+        |t AS (SELECT w FROM toks WHERE length(w) > 0),
+        |n AS (SELECT COUNT(*) AS n FROM t),
+        |c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY 1)
+        |SELECT w AS word, cnt FROM c, n
+        |WHERE cnt * 20 > n ORDER BY cnt DESC, word""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent

@@ -63,4 +63,47 @@ object Sketch {
   def estimateCol(sketch: Column, term: Column): Column =
     udf((sk: Seq[Long], s: String) => estimate(sk.toIndexedSeq, s))
       .apply(sketch, term)
+
+  /** Misra–Gries heavy-hitter summary (Misra & Gries 1982) as a typed
+    * mergeable `Aggregator` — the DETERMINISTIC counterpart to [[CmsAgg]]:
+    * where CMS answers point queries within εN w.h.p., MG guarantees
+    * unconditionally that `true(x) − n/k ≤ est(x) ≤ true(x)` and that
+    * every item with `true(x) > n/k` is present in the ≤(k−1)-entry
+    * summary. Partial summaries merge by counter addition followed by
+    * subtracting the k-th largest combined count (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12 — the merge preserves the n/k error
+    * bound), so the CANDIDATE SET is partitioning-independent enough to
+    * superset the true heavy hitters regardless of task scheduling.
+    * State is O(k) per group — at 100 TB the token stream never
+    * shuffles; only ≤(k−1)-entry maps do. */
+  class MgAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k >= 2, s"MG needs k >= 2, got $k")
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b
+      else b.get(a) match {
+        case Some(c) => b.updated(a, c + 1L)
+        case None if b.size < k - 1 => b.updated(a, 1L)
+        // decrement-all: drops every counter by 1, evicting zeros —
+        // the classic MG step; amortized O(1) decrements per stream item
+        case None => b.flatMap { case (w, c) => if (c > 1L) Some(w -> (c - 1L)) else None }
+      }
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val comb = y.foldLeft(x) { case (m, (w, c)) => m.updated(w, m.getOrElse(w, 0L) + c) }
+      if (comb.size <= k - 1) comb
+      else {
+        // subtract the k-th largest count from every counter (mergeable-
+        // summaries merge rule): ≤ k−1 survivors, error still ≤ n/k
+        val thr = comb.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k - 1)
+        comb.flatMap { case (w, c) => if (c > thr) Some(w -> (c - thr)) else None }
+      }
+    }
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Column aggregate: the ≤(k−1)-entry MG summary of the (grouped) input. */
+  def mgSummary(c: Column, k: Int): Column =
+    udaf(new MgAgg(k), ExpressionEncoder[String]()).apply(c)
 }

@@ -141,4 +141,59 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k of the candidates maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` — relevance traded against
+    * redundancy with what's already selected. The greedy argmax is
+    * inherently sequential in k, so the RIGHT distributed shape is:
+    * corpus-scale candidate generation via [[bruteForceTopK]]/[[ivfTopK]]
+    * (the expensive part), then this ≤pool-row driver loop (the cheap
+    * part — pool is bounded by construction, never corpus-sized). Ties
+    * break to the smaller id so the selection is deterministic.
+    *
+    * @param cands (id, vector, relevance) pool, pre-scored against the query
+    * @return (id, mmrScore, rank) in selection order, rank 1-based
+    */
+  def mmrSelect(cands: IndexedSeq[(Long, Array[Double], Double)], k: Int,
+                lambda: Double): Seq[(Long, Double, Int)] = {
+    val n = cands.size
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = cands.map(c => math.sqrt(dot(c._2, c._2)))
+    def cos(i: Int, j: Int): Double =
+      if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+      else dot(cands(i)._2, cands(j)._2) / (norms(i) * norms(j))
+    val taken = new Array[Boolean](n)
+    val maxSim = new Array[Double](n) // max cosine to the selected set
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    var step = 0
+    while (step < math.min(k, n)) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val div = if (step == 0) 0.0 else maxSim(i)
+          val sc = lambda * cands(i)._3 - (1 - lambda) * div
+          if (sc > bestScore ||
+            (sc == bestScore && (best < 0 || cands(i)._1 < cands(best)._1))) {
+            best = i; bestScore = sc
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out += ((cands(best)._1, bestScore, step + 1))
+      i = 0
+      while (i < n) {
+        if (!taken(i)) maxSim(i) = math.max(maxSim(i), cos(i, best))
+        i += 1
+      }
+      step += 1
+    }
+    out.toSeq
+  }
 }

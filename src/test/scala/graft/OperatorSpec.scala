@@ -471,4 +471,79 @@ class SimilaritySpec extends AnyFunSuite {
     // every LSH result must carry a correct exact cosine (verified subset)
     assert(lsh.forall { case (qid, nid) => qid != nid })
   }
+
+  test("MMR selection equals an independent quadratic reference + invariants") {
+    // deterministic pseudo-random pool: 24 candidates in 8 dims
+    def vec(i: Int): Array[Double] =
+      Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.1)
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cands = (0 until 24).map(i => (i.toLong, vec(i), math.cos(i * 0.37).abs))
+    val lambda = 0.7
+    // independent reference: recompute the full argmax from scratch each step
+    var sel = Vector.empty[Long]
+    val byId = cands.map(c => c._1 -> c).toMap
+    (1 to 10).foreach { _ =>
+      val best = cands.filterNot(c => sel.contains(c._1)).map { c =>
+        val div = if (sel.isEmpty) 0.0
+          else sel.map(s => cosRef(c._2, byId(s)._2)).max
+        (c._1, lambda * c._3 - (1 - lambda) * div)
+      }.minBy { case (id, sc) => (-sc, id) }
+      sel = sel :+ best._1
+    }
+    val got = Similarity.mmrSelect(cands, k = 10, lambda = lambda)
+    assert(got.map(_._1) == sel, s"selection order diverged: ${got.map(_._1)} vs $sel")
+    // invariants: rank 1 is the pure-relevance argmax; ranks are 1..k; distinct
+    val topRel = cands.maxBy(c => (c._3, -c._1))._1
+    assert(got.head._1 == topRel)
+    assert(got.map(_._3) == (1 to 10))
+    assert(got.map(_._1).distinct.size == 10)
+  }
+}
+
+class MisraGriesSpec extends AnyFunSuite {
+  import graft.functions.Sketch
+
+  test("MG guarantee: est within [true - n/k, true]; heavy items always present") {
+    val k = 10
+    val agg = new Sketch.MgAgg(k)
+    // skewed stream: item "h0" 400x, "h1" 200x, tail of 100 singletons x4
+    val stream = scala.util.Random.shuffle(
+      (Seq.fill(400)("h0") ++ Seq.fill(200)("h1") ++
+        (0 until 100).flatMap(i => Seq.fill(4)(s"t$i"))).toVector)
+    val n = stream.size
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // simulate Spark's partial aggregation: 7 partitions, reduce then merge
+    val parts = stream.grouped(math.ceil(n / 7.0).toInt).toSeq
+    val summary = parts.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+    assert(summary.size <= k - 1, s"summary overflow: ${summary.size}")
+    summary.foreach { case (w, est) =>
+      val t = truth(w)
+      assert(est <= t, s"$w: est $est > true $t")
+      assert(est >= t - n / k, s"$w: est $est below true - n/k = ${t - n / k}")
+    }
+    // every item with true count > n/k must be present
+    truth.filter(_._2 > n / k).keys.foreach { w =>
+      assert(summary.contains(w), s"heavy item $w missing from summary")
+    }
+  }
+
+  test("MG merge order does not break the superset guarantee") {
+    val k = 5
+    val agg = new Sketch.MgAgg(k)
+    val stream = (Seq.fill(50)("big") ++ (0 until 40).map(i => s"x$i")).toVector
+    val n = stream.size
+    // try several partitionings/merge orders
+    Seq(2, 3, 5, 9).foreach { p =>
+      val parts = stream.grouped(math.ceil(n.toDouble / p).toInt).toSeq
+      val s1 = parts.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+      val s2 = parts.reverse.map(_.foldLeft(agg.zero)(agg.reduce)).reduce(agg.merge)
+      Seq(s1, s2).foreach { s =>
+        assert(s.contains("big"), s"p=$p: heavy item evicted")
+        assert(s.size <= k - 1)
+      }
+    }
+  }
 }
