@@ -5277,6 +5277,73 @@ object SparkEntry {
         .select(col("w").as("word"), col("cnt"))
         .orderBy(col("cnt").desc, col("word"))
     }),
+
+    "q244_source_concentration" -> ((s, dir) => {
+      // corpus composition concentration [EXT] — the "is the mixture
+      // dominated by one domain" dashboard scalar triple: HHI = Σ
+      // share² (antitrust's market-concentration index applied to
+      // token mass per source), effective source count 1/HHI, and
+      // Shannon diversity exp(−Σ share·ln share) (the two diverge
+      // under skew: HHI weights the head, entropy the tail). q189
+      // PRESCRIBES target mixture weights; this MEASURES the realized
+      // concentration — by token mass, not doc count, since training
+      // epochs consume tokens (q213's Gini is value-concentration per
+      // type; this is corpus-share concentration). Exact-integer token
+      // masses, one division per share, share² and share·ln(share)
+      // floor-round at 12 into DECIMAL sums, floor-9 closes.
+      val mass = Tables.documents(s, dir)
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast("long").as("toks"))
+        .groupBy(col("source")).agg(sum(col("toks")).as("m"))
+      val tot = mass.agg(sum(col("m")).as("n"))
+      val share = col("m").cast("double") / col("n")
+      mass.crossJoin(broadcast(tot))
+        .select(col("n"),
+          (floor(share * share * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("s2"),
+          (floor(share * log(share) * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("slns"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("s2")).cast("double").as("hhi"),
+          sum(col("slns")).cast("double").as("sh"))
+        .select(col("n_sources"), pround(col("hhi"), 9).as("hhi"),
+          (floor(lit(1.0) / col("hhi") * 1e9 + 0.5) / 1e9).as("eff_sources"),
+          (floor(exp(-col("sh")) * 1e9 + 0.5) / 1e9).as("shannon_diversity"))
+    }),
+
+    "q245_poststrat_mean" -> ((s, dir) => {
+      // post-stratified (inverse-propensity) mean [EXT] — the
+      // covariate-shift correction behind "clicks skew toward evening
+      // hours; what would their mean value be if they followed overall
+      // traffic?": m̂ = Σ_h (N_h/N)·mean(value | click, h), i.e. each
+      // hour stratum's click mean reweighted by the POPULATION hour
+      // distribution (equivalently IPW with exact stratum propensities
+      // C_h/N_h — no fitted model, so the weights are exact-integer
+      // ratios). q174's CUPED reduces variance with a pre-period
+      // covariate; this removes allocation BIAS. One pass builds both
+      // strata tables (≤24 rows each, broadcast); per-stratum terms
+      // are two exact divisions and a product, floor-rounded at 12
+      // into a DECIMAL sum; the naive mean rides the dsum discipline.
+      val ev = Tables.events(s, dir)
+      val pop = ev.groupBy(hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("nh"))
+      val clk = ev.filter(col("event_type") === "click")
+        .groupBy(hour(col("ts")).cast("long").as("h"))
+        .agg(count(lit(1)).as("ch"), dsum(col("value")).as("sh"))
+      val nT = ev.agg(count(lit(1)).as("n"))
+      val naive = ev.filter(col("event_type") === "click")
+        .agg((dsum(col("value")) / count(lit(1))).as("naive"))
+      val term = floor(col("nh").cast("double") / col("n")
+        * (col("sh") / col("ch")) * 1e12 + 0.5) / 1e12
+      pop.join(clk, Seq("h")).crossJoin(broadcast(nT))
+        .select(term.cast(DecimalType(27, 14)).as("t"))
+        .agg(count(lit(1)).as("n_strata"), sum(col("t")).cast("double").as("adj"))
+        .crossJoin(broadcast(naive))
+        .select(col("n_strata"), pround(col("naive"), 9).as("naive_mean"),
+          pround(col("adj"), 9).as("poststrat_mean"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8448,6 +8515,46 @@ object SparkEntry {
         |c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY 1)
         |SELECT w AS word, cnt FROM c, n
         |WHERE cnt * 20 > n ORDER BY cnt DESC, word""".stripMargin,
+
+    "q244_source_concentration" ->
+      """WITH mass AS (SELECT source,
+        |                SUM(len(regexp_extract_all(text, '\S+'))) AS m
+        |              FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(m) AS n FROM mass),
+        |t AS (SELECT n,
+        |        FLOOR((CAST(m AS DOUBLE) / n) * (CAST(m AS DOUBLE) / n)
+        |          * 1e12 + 0.5) / 1e12 AS s2,
+        |        FLOOR((CAST(m AS DOUBLE) / n) * ln(CAST(m AS DOUBLE) / n)
+        |          * 1e12 + 0.5) / 1e12 AS slns
+        |      FROM mass, tot),
+        |ag AS (SELECT COUNT(*) AS n_sources,
+        |         CAST(SUM(CAST(s2 AS DECIMAL(27,14))) AS DOUBLE) AS hhi,
+        |         CAST(SUM(CAST(slns AS DECIMAL(27,14))) AS DOUBLE) AS sh
+        |       FROM t GROUP BY n)
+        |SELECT n_sources, round(hhi, 9) AS hhi,
+        |  FLOOR(1.0 / hhi * 1e9 + 0.5) / 1e9 AS eff_sources,
+        |  FLOOR(exp(-sh) * 1e9 + 0.5) / 1e9 AS shannon_diversity
+        |FROM ag""".stripMargin,
+
+    "q245_poststrat_mean" ->
+      s"""$evCte,
+         |pop AS (SELECT CAST(hour(ts) AS BIGINT) AS h, COUNT(*) AS nh
+         |        FROM ev GROUP BY 1),
+         |clk AS (SELECT CAST(hour(ts) AS BIGINT) AS h, COUNT(*) AS ch,
+         |          CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sh
+         |        FROM ev WHERE event_type = 'click' GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n FROM ev),
+         |nv AS (SELECT CAST(SUM(CAST(value AS $D)) AS DOUBLE) / COUNT(*) AS naive
+         |       FROM ev WHERE event_type = 'click'),
+         |t AS (SELECT FLOOR(CAST(nh AS DOUBLE) / n * (sh / ch) * 1e12 + 0.5) / 1e12
+         |        AS t
+         |      FROM pop JOIN clk USING (h), nt),
+         |ag AS (SELECT COUNT(*) AS n_strata,
+         |         CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE) AS adj
+         |       FROM t)
+         |SELECT n_strata, round(naive, 9) AS naive_mean,
+         |  round(adj, 9) AS poststrat_mean
+         |FROM ag, nv""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
