@@ -5344,6 +5344,109 @@ object SparkEntry {
         .select(col("n_strata"), pround(col("naive"), 9).as("naive_mean"),
           pround(col("adj"), 9).as("poststrat_mean"))
     }),
+
+    "q246_burstiness" -> ((s, dir) => {
+      // volume burstiness per event_type [EXT] — point-process QC for
+      // the ingest stream: Fano factor Var/Mean of the daily count (1
+      // for Poisson traffic, ≫1 for bursty; the overdispersion test
+      // behind "is this organic or a bot flood") and Goh–Barabási
+      // B = (σ−μ)/(σ+μ) ∈ (−1, 1). All moments are exact-integer sums
+      // over the ≤calendar-row daily frame; Σx² widens through
+      // DECIMAL(38,0) (long Σx² wraps once daily counts reach ~10⁹ at
+      // corpus scale — the q222 wrap lesson); the closings are a
+      // handful of IEEE ops from exact-int casts, floor-rounded once.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+        .filter(col("n") > 1 && col("sx") > 0)
+        .select(col("event_type"), col("n").as("n_days"),
+          (floor((col("n").cast(DecimalType(38, 0)) * col("sxx")
+            - col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")
+            / (col("sx").cast("double") / col("n")) * 1e9 + 0.5) / 1e9).as("fano"),
+          (floor((sqrt((col("n").cast(DecimalType(38, 0)) * col("sxx")
+              - col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double")
+              / (col("n") * (col("n") - 1)).cast("double"))
+            - col("sx").cast("double") / col("n"))
+            / (sqrt((col("n").cast(DecimalType(38, 0)) * col("sxx")
+              - col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double")
+              / (col("n") * (col("n") - 1)).cast("double"))
+            + col("sx").cast("double") / col("n")) * 1e9 + 0.5) / 1e9).as("b_coef"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q247_two_proportion_z" -> ((s, dir) => {
+      // two-proportion z-test on funnel conversion across cohorts [EXT]
+      // — "did weekend users convert view→click at a different rate
+      // than weekday users": the significance gate product analytics
+      // runs before acting on a funnel diff (q182 measures the funnel;
+      // q222 compares VALUE distributions; this tests a RATE between
+      // two user cohorts). Cohort = ISO-weekday of the user's first
+      // event (weekend vs weekday); conversion = had a view AND later
+      // (or equal) a click. Per-user reductions are exact min/bool
+      // aggs; the four cells are exact counts; ẑ closes with pooled
+      // p̂(1−p̂)(1/n₁+1/n₂) — pure IEEE from exact ints, one floor-9.
+      val ev = Tables.events(s, dir)
+      val firstTs = ev.groupBy(col("user_id")).agg(min(col("ts")).as("f_ts"))
+      val conv = ev.filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"),
+          max(when(col("event_type") === "click", col("ts"))).as("c_ts"))
+        .filter(col("v_ts").isNotNull)
+        .select(col("user_id"),
+          (col("c_ts").isNotNull && col("c_ts") >= col("v_ts")).cast("long").as("cv"))
+      val cohorts = firstTs
+        .select(col("user_id"), (weekday(col("f_ts")) >= 5).cast("long").as("wknd"))
+        .join(conv, Seq("user_id"))
+        .groupBy(col("wknd"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("x"))
+      val wide = cohorts.agg(
+        max(when(col("wknd") === 1, col("n"))).as("n1"),
+        max(when(col("wknd") === 1, col("x"))).as("x1"),
+        max(when(col("wknd") === 0, col("n"))).as("n2"),
+        max(when(col("wknd") === 0, col("x"))).as("x2"))
+      val p1 = col("x1").cast("double") / col("n1")
+      val p2 = col("x2").cast("double") / col("n2")
+      val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+      wide.filter(col("n1") > 0 && col("n2") > 0)
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          (floor((p1 - p2) / sqrt(pp * (lit(1.0) - pp)
+            * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))) * 1e9 + 0.5) / 1e9)
+            .as("z"))
+    }),
+
+    "q248_mase" -> ((s, dir) => {
+      // seasonal-naive forecast error (MASE) per event_type [EXT] —
+      // Hyndman's scale-free forecast-accuracy metric: MAE of the
+      // seasonal-naive forecast x̂_t = x_{t−7} scaled by the in-sample
+      // MAE of the plain naive x̂_t = x_{t−1}; < 1 means "the weekly
+      // pattern predicts better than persistence" — the acceptance
+      // gate for q223's seasonal model. Absolute diffs are exact
+      // integers over the two calendar-bounded self-joins (q238's
+      // shifted-day equi-join shape); MASE = Σe·n₁ / (n₇·Σb) stays in
+      // exact integer arithmetic until one final division, floor-9.
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")))
+      def shifted(lag: Int, en: String, xn: String) = daily.select(
+        col("event_type"), date_add(col("day"), lag).as("day"), col("x").as(xn))
+        .join(daily.select(col("event_type"), col("day"), col("x").as(en)),
+          Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n_$xn"),
+          sum(abs(col(en) - col(xn))).as(s"s_$xn"))
+      shifted(7, "e7", "x7").join(shifted(1, "e1", "x1"), Seq("event_type"))
+        .filter(col("s_x1") > 0)
+        .select(col("event_type"), col("n_x7").as("n_pairs7"),
+          col("n_x1").as("n_pairs1"),
+          (floor((col("s_x7") * col("n_x1")).cast("double")
+            / (col("n_x7") * col("s_x1")).cast("double") * 1e9 + 0.5) / 1e9)
+            .as("mase"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8555,6 +8658,71 @@ object SparkEntry {
          |SELECT n_strata, round(naive, 9) AS naive_mean,
          |  round(adj, 9) AS poststrat_mean
          |FROM ag, nv""".stripMargin,
+
+    "q246_burstiness" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |            COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |m AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+         |        SUM(CAST(x AS HUGEINT) * x) AS sxx
+         |      FROM daily GROUP BY 1),
+         |v AS (SELECT event_type, n,
+         |        CAST(n * sxx - sx * sx AS DOUBLE)
+         |          / CAST(n * (n - 1) AS DOUBLE) AS var,
+         |        CAST(sx AS DOUBLE) / n AS mu
+         |      FROM m WHERE n > 1 AND sx > 0)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  FLOOR(var / mu * 1e9 + 0.5) / 1e9 AS fano,
+         |  FLOOR((sqrt(var) - mu) / (sqrt(var) + mu) * 1e9 + 0.5) / 1e9 AS b_coef
+         |FROM v ORDER BY event_type""".stripMargin,
+
+    "q247_two_proportion_z" ->
+      s"""$evCte,
+         |ft AS (SELECT user_id, MIN(ts) AS f_ts FROM ev GROUP BY 1),
+         |conv AS (SELECT user_id,
+         |           MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts,
+         |           MAX(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
+         |         FROM ev WHERE event_type IN ('view', 'click') GROUP BY 1),
+         |cu AS (SELECT c.user_id,
+         |         CASE WHEN c.c_ts IS NOT NULL AND c.c_ts >= c.v_ts
+         |              THEN 1 ELSE 0 END AS cv,
+         |         CASE WHEN isodow(f.f_ts) >= 6 THEN 1 ELSE 0 END AS wknd
+         |       FROM conv c JOIN ft f USING (user_id)
+         |       WHERE c.v_ts IS NOT NULL),
+         |g AS (SELECT wknd, COUNT(*) AS n, SUM(cv) AS x FROM cu GROUP BY 1),
+         |w AS (SELECT MAX(CASE WHEN wknd = 1 THEN n END) AS n1,
+         |        MAX(CASE WHEN wknd = 1 THEN x END) AS x1,
+         |        MAX(CASE WHEN wknd = 0 THEN n END) AS n2,
+         |        MAX(CASE WHEN wknd = 0 THEN x END) AS x2
+         |      FROM g)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+         |  CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+         |  FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         |    / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+         |      * (1.0 / n1 + 1.0 / n2)) * 1e9 + 0.5) / 1e9 AS z
+         |FROM w WHERE n1 > 0 AND n2 > 0""".stripMargin,
+
+    "q248_mase" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |            COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |p7 AS (SELECT a.event_type, COUNT(*) AS n7, SUM(abs(b.x - a.x)) AS s7
+         |       FROM daily a JOIN daily b
+         |         ON b.event_type = a.event_type AND b.day = a.day + 7
+         |       GROUP BY 1),
+         |p1 AS (SELECT a.event_type, COUNT(*) AS n1, SUM(abs(b.x - a.x)) AS s1
+         |       FROM daily a JOIN daily b
+         |         ON b.event_type = a.event_type AND b.day = a.day + 1
+         |       GROUP BY 1)
+         |SELECT p7.event_type, CAST(n7 AS BIGINT) AS n_pairs7,
+         |  CAST(n1 AS BIGINT) AS n_pairs1,
+         |  FLOOR(CAST(s7 * n1 AS DOUBLE) / CAST(n7 * s1 AS DOUBLE)
+         |    * 1e9 + 0.5) / 1e9 AS mase
+         |FROM p7 JOIN p1 USING (event_type)
+         |WHERE s1 > 0 ORDER BY event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
