@@ -5447,6 +5447,73 @@ object SparkEntry {
             .as("mase"))
         .orderBy(col("event_type"))
     }),
+
+    "q249_rbo_sources" -> ((s, dir) => {
+      // rank-biased overlap between source top-20 token lists [EXT] —
+      // Webber et al.'s top-weighted list-similarity: q240's JSD
+      // compares the full DISTRIBUTIONS; RBO asks "do the sources
+      // agree on what's at the TOP", the right metric for vocabulary-
+      // head drift between corpus snapshots. RBO@k = (1−p)·Σ_{d≤k}
+      // p^{d−1}·|A_d∩B_d|/d with p=0.9. The geometric weights are a
+      // PRECOMPUTED literal ladder (both engines parse the same
+      // shortest-repr doubles — the q235 CDF-ladder portability trick;
+      // computing p^(d−1) via pow() would race engine libm), the
+      // per-source top-20 is a WindowGroupLimit, the depth frame is a
+      // ≤20-row explode over the ≤400-cell pair join, and the weighted
+      // terms floor-round at 12 into a DECIMAL sum.
+      val p = 0.9
+      val K = 20
+      val weights = (1 to K).map(d => (1 - p) * math.pow(p, d - 1))
+      val wArr = array(weights.map(lit): _*)
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("w"))
+      val top = Dedup.cacheScoped(toks
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(wRank))
+        .filter(col("r") <= K)
+        .select(col("source"), col("w"), col("r")))
+      val pairs = top.select(col("source").as("s1"), col("w"), col("r").as("ra"))
+        .join(top.select(col("source").as("s2"), col("w"), col("r").as("rb")),
+          Seq("w"))
+        .filter(col("s1") < col("s2"))
+      pairs.withColumn("d", explode(sequence(greatest(col("ra"), col("rb")), lit(K))))
+        .groupBy(col("s1"), col("s2"), col("d"))
+        .agg(count(lit(1)).as("xd"))
+        .select(col("s1"), col("s2"),
+          (floor(element_at(wArr, col("d").cast("int"))
+            * col("xd") / col("d") * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("t"))
+        .groupBy(col("s1"), col("s2"))
+        .agg((floor(sum(col("t")).cast("double") * 1e9 + 0.5) / 1e9).as("rbo"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
+    "q250_k_anonymity" -> ((s, dir) => {
+      // k-anonymity / l-diversity audit over quasi-identifiers [EXT] —
+      // the privacy QC that complements the RTBF delete path
+      // (WebDataset.deleteKeys): a released corpus slice is k-anonymous
+      // when every (source, size-bucket) quasi-identifier combination
+      // covers ≥ k documents, and l-diverse when each combination
+      // spans ≥ l distinct values of the sensitive attribute (lang) —
+      // small cells re-identify, monocultural cells attribute. One
+      // exact agg over the quasi grid; flags are pure comparisons;
+      // output is the violating cells (the audit artifact a release
+      // gate consumes), deterministically ordered.
+      val k = 10
+      val l = 2
+      Tables.documents(s, dir)
+        .groupBy(col("source"), floor(col("n_chars") / 100).cast("long").as("size_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .filter(col("n_docs") < k || col("n_langs") < l)
+        .select(col("source"), col("size_bucket"), col("n_docs"), col("n_langs"),
+          (col("n_docs") < k).cast("long").as("k_violation"),
+          (col("n_langs") < l).cast("long").as("l_violation"))
+        .orderBy(col("source"), col("size_bucket"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8723,6 +8790,47 @@ object SparkEntry {
          |    * 1e9 + 0.5) / 1e9 AS mase
          |FROM p7 JOIN p1 USING (event_type)
          |WHERE s1 > 0 ORDER BY event_type""".stripMargin,
+
+    "q249_rbo_sources" -> {
+      // the same literal weight ladder the Spark side embeds — the
+      // IDENTICAL Scala expression, so both engines parse identical
+      // shortest-repr doubles (q235 pattern; note (1 − 0.9) ≠ 0.1 in
+      // IEEE — the expression text must match, not just the math)
+      val ws = (1 to 20).map(d => (1 - 0.9) * math.pow(0.9, d - 1)).mkString(", ")
+      s"""WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+         |              FROM documents),
+         |tc AS (SELECT source, w, COUNT(*) AS cnt FROM toks
+         |       WHERE length(w) > 0 GROUP BY 1, 2),
+         |top AS (SELECT source, w, r FROM (
+         |          SELECT source, w,
+         |            row_number() OVER (PARTITION BY source
+         |                               ORDER BY cnt DESC, w) AS r
+         |          FROM tc) WHERE r <= 20),
+         |pairs AS (SELECT a.source AS s1, b.source AS s2, a.r AS ra, b.r AS rb
+         |          FROM top a JOIN top b ON a.w = b.w AND a.source < b.source),
+         |dep AS (SELECT s1, s2, d.d, COUNT(*) AS xd
+         |        FROM pairs, (SELECT unnest(generate_series(1, 20)) AS d) d
+         |        WHERE d.d >= greatest(ra, rb)
+         |        GROUP BY 1, 2, 3),
+         |tm AS (SELECT s1, s2,
+         |         FLOOR([$ws][CAST(d AS INTEGER)] * xd / d * 1e12 + 0.5) / 1e12 AS t
+         |       FROM dep)
+         |SELECT s1, s2,
+         |  FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE) * 1e9 + 0.5) / 1e9
+         |    AS rbo
+         |FROM tm GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin
+    },
+
+    "q250_k_anonymity" ->
+      """WITH g AS (SELECT source,
+        |             CAST(FLOOR(CAST(n_chars AS DOUBLE) / 100) AS BIGINT) AS size_bucket,
+        |             COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT source, size_bucket, n_docs, n_langs,
+        |  CAST(CASE WHEN n_docs < 10 THEN 1 ELSE 0 END AS BIGINT) AS k_violation,
+        |  CAST(CASE WHEN n_langs < 2 THEN 1 ELSE 0 END AS BIGINT) AS l_violation
+        |FROM g WHERE n_docs < 10 OR n_langs < 2
+        |ORDER BY source, size_bucket""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
