@@ -5514,6 +5514,79 @@ object SparkEntry {
           (col("n_langs") < l).cast("long").as("l_violation"))
         .orderBy(col("source"), col("size_bucket"))
     }),
+
+    "q251_smd_balance" -> ((s, dir) => {
+      // standardized-mean-difference covariate balance [EXT] — the
+      // third leg of the causal-inference triple (q174 CUPED reduces
+      // variance, q245 post-stratification removes bias, SMD CHECKS
+      // the randomization): per-covariate (μ₁−μ₂)/√((s₁²+s₂²)/2)
+      // between the q174 arms; |SMD| > 0.1 flags imbalance before any
+      // readout is trusted. Per-user rollup shuffles once on user_id;
+      // per-arm moments are pround-then-DECIMAL sums (q174's
+      // discipline), the ≤2-row arm frame pivots wide via max(when),
+      // and the close is pure IEEE from decimal-cast doubles, floor-9.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val D6 = DecimalType(27, 6)
+      val u = Dedup.cacheScoped(Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < split, col("value")).otherwise(lit(0.0))
+            .cast(DecimalType(18, 4))).cast("double").as("x"),
+          sum(when(col("ts") < split, 1L).otherwise(0L)).cast("double").as("c"))
+        .select((col("user_id") % 2).as("t"), col("x"), col("c")))
+      def smdOf(cn: String, label: String): DataFrame = {
+        val arms = u.groupBy(col("t")).agg(count(lit(1)).as("n"),
+          sum(col(cn).cast(D6)).cast("double").as("s"),
+          sum(pround(col(cn) * col(cn), 6).cast(D6)).cast("double").as("ss"))
+        val w = arms.agg(
+          max(when(col("t") === 1, col("n"))).as("n1"),
+          max(when(col("t") === 1, col("s"))).as("s1"),
+          max(when(col("t") === 1, col("ss"))).as("ss1"),
+          max(when(col("t") === 0, col("n"))).as("n2"),
+          max(when(col("t") === 0, col("s"))).as("s2"),
+          max(when(col("t") === 0, col("ss"))).as("ss2"))
+        val m1 = col("s1") / col("n1"); val m2 = col("s2") / col("n2")
+        val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+        val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+        w.filter(col("n1") > 1 && col("n2") > 1)
+          .select(lit(label).as("covariate"), col("n1"), col("n2"),
+            pround(m1, 9).as("mean_t"), pround(m2, 9).as("mean_c"),
+            when(v1 + v2 > 0,
+              floor((m1 - m2) / sqrt((v1 + v2) / 2) * 1e9 + 0.5) / 1e9)
+              .as("smd"))
+      }
+      smdOf("x", "pre_value_sum").unionAll(smdOf("c", "pre_event_count"))
+        .orderBy(col("covariate"))
+    }),
+
+    "q252_power_analysis" -> ((s, dir) => {
+      // A/B sample-size planner per event_type [EXT] — "how many users
+      // per arm to detect a 5% lift at α=0.05, power 0.8": n = 2σ²
+      // (z_{α/2}+z_β)²/δ² with δ = 5% of the mean — the planning
+      // counterpart to q247's post-hoc z (run BEFORE the experiment;
+      // rates that need more samples than traffic allows never launch).
+      // z constants are literals (identical parsed doubles — never an
+      // engine inverse-normal), moments are pround-then-DECIMAL sums,
+      // the close is pure IEEE with one ceil (exact on both engines'
+      // doubles) and one floor-9 per reported scalar.
+      val zA = 1.959963984540054 // z_{0.975}
+      val zB = 0.8416212335729143 // z_{0.80}
+      val D6 = DecimalType(27, 6)
+      val m = Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("s"),
+          sum(pround(col("value") * col("value"), 6).cast(D6)).cast("double").as("ss"))
+      val mu = col("s") / col("n")
+      val v = (col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)
+      val delta = lit(0.05) * mu
+      m.filter(col("n") > 1)
+        .select(col("event_type"), col("n").as("n_obs"),
+          pround(mu, 9).as("mean_value"),
+          pround(sqrt(v), 9).as("sd"),
+          pround(delta, 9).as("mde_abs"),
+          ceil(lit(2.0) * v * (lit(zA) + lit(zB)) * (lit(zA) + lit(zB))
+            / (delta * delta)).cast("long").as("n_per_arm"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8831,6 +8904,57 @@ object SparkEntry {
         |  CAST(CASE WHEN n_langs < 2 THEN 1 ELSE 0 END AS BIGINT) AS l_violation
         |FROM g WHERE n_docs < 10 OR n_langs < 2
         |ORDER BY source, size_bucket""".stripMargin,
+
+    "q251_smd_balance" -> {
+      def arm(cn: String, label: String) =
+        s"""a_$cn AS (SELECT t, COUNT(*) AS n,
+           |         CAST(SUM(CAST($cn AS DECIMAL(27,6))) AS DOUBLE) AS s,
+           |         CAST(SUM(CAST(round($cn * $cn, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss
+           |       FROM u GROUP BY 1),
+           |w_$cn AS (SELECT MAX(CASE WHEN t = 1 THEN n END) AS n1,
+           |        MAX(CASE WHEN t = 1 THEN s END) AS s1,
+           |        MAX(CASE WHEN t = 1 THEN ss END) AS ss1,
+           |        MAX(CASE WHEN t = 0 THEN n END) AS n2,
+           |        MAX(CASE WHEN t = 0 THEN s END) AS s2,
+           |        MAX(CASE WHEN t = 0 THEN ss END) AS ss2
+           |      FROM a_$cn),
+           |r_$cn AS (SELECT '$label' AS covariate, CAST(n1 AS BIGINT) AS n1,
+           |        CAST(n2 AS BIGINT) AS n2,
+           |        round(s1 / n1, 9) AS mean_t, round(s2 / n2, 9) AS mean_c,
+           |        CASE WHEN (ss1 - s1 * s1 / n1) / (n1 - 1)
+           |                  + (ss2 - s2 * s2 / n2) / (n2 - 1) > 0
+           |             THEN FLOOR((s1 / n1 - s2 / n2)
+           |               / sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)
+           |                 + (ss2 - s2 * s2 / n2) / (n2 - 1)) / 2)
+           |               * 1e9 + 0.5) / 1e9 END AS smd
+           |      FROM w_$cn WHERE n1 > 1 AND n2 > 1)""".stripMargin
+      s"""$evCte,
+         |u AS (SELECT user_id % 2 AS t,
+         |        CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+         |          THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS x,
+         |        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+         |          THEN 1 ELSE 0 END) AS DOUBLE) AS c
+         |      FROM ev GROUP BY user_id),
+         |${arm("x", "pre_value_sum")},
+         |${arm("c", "pre_event_count")}
+         |SELECT * FROM r_x UNION ALL SELECT * FROM r_c ORDER BY covariate""".stripMargin
+    },
+
+    "q252_power_analysis" ->
+      s"""$evCte,
+         |m AS (SELECT event_type, COUNT(*) AS n,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+         |        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss
+         |      FROM ev GROUP BY 1)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+         |  round(s / n, 9) AS mean_value,
+         |  round(sqrt((ss - s * s / n) / (n - 1)), 9) AS sd,
+         |  round(0.05 * (s / n), 9) AS mde_abs,
+         |  CAST(ceil(2.0 * ((ss - s * s / n) / (n - 1))
+         |    * (1.959963984540054 + 0.8416212335729143)
+         |    * (1.959963984540054 + 0.8416212335729143)
+         |    / ((0.05 * (s / n)) * (0.05 * (s / n)))) AS BIGINT) AS n_per_arm
+         |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
