@@ -5587,6 +5587,54 @@ object SparkEntry {
             / (delta * delta)).cast("long").as("n_per_arm"))
         .orderBy(col("event_type"))
     }),
+
+    "q253_silhouette" -> ((s, dir) => {
+      // simplified silhouette over the q177 Lloyd clustering [EXT] —
+      // the cluster-VALIDATION scalar the k-means family lacked
+      // (q177 trains, q192 labels, q188 probes; nothing said whether
+      // k=8 is any good): s_i = (b−a)/max(a,b) with a = distance to
+      // the own centroid, b = to the nearest other (Hruschka's
+      // centroid-based simplification — the O(n·k) form that scales;
+      // full silhouette is O(n²) pairwise). Distances are per-dim
+      // (x−c)² terms floor-rounded at 12 and DECIMAL-summed (the q226
+      // triangle discipline), which makes d² bit-identical across
+      // engines BEFORE the assignment argmin — so even equidistant
+      // ties cannot diverge (stronger than ordering on raw
+      // list_distance). Centroids are k×d literals (corpus never
+      // shuffles to be assigned); the d² frame is |corpus|·k rows.
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val (state, _) = Cluster.lloyd(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 3)
+      val centDf = state.centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "cvec")
+      val xd = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      val cd = centDf.select(col("cid"), posexplode(col("cvec")).as(Seq("dim", "c")))
+      val d2 = xd.join(broadcast(cd), Seq("dim"))
+        .select(col("vec_id"), col("cid"),
+          (floor((col("x").cast("double") - col("c").cast("double"))
+            * (col("x").cast("double") - col("c").cast("double")) * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("t"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(col("t")).cast("double").as("d2"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      val ab = d2.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+        .groupBy(col("vec_id"))
+        .agg(max(when(col("rk") === 1, col("cid"))).as("cid"),
+          sqrt(max(when(col("rk") === 1, col("d2")))).as("a"),
+          sqrt(max(when(col("rk") === 2, col("d2")))).as("b"))
+      ab.select(col("cid"),
+          when(greatest(col("a"), col("b")) > 0,
+            floor((col("b") - col("a")) / greatest(col("a"), col("b"))
+              * 1e12 + 0.5) / 1e12).otherwise(lit(0.0))
+            .cast(DecimalType(27, 14)).as("sil"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum(col("sil")).cast("double") / count(lit(1)) * 1e9 + 0.5) / 1e9)
+            .as("silhouette"))
+        .select(col("cid").as("cluster"), col("n_vecs"), col("silhouette"))
+        .orderBy(col("cluster"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -8955,6 +9003,38 @@ object SparkEntry {
          |    * (1.959963984540054 + 0.8416212335729143)
          |    / ((0.05 * (s / n)) * (0.05 * (s / n)))) AS BIGINT) AS n_per_arm
          |FROM m WHERE n > 1 ORDER BY event_type""".stripMargin,
+
+    "q253_silhouette" ->
+      s"""$kmeansBaseCte,
+         |${kmeansIterCte(1)},
+         |${kmeansIterCte(2)},
+         |cd AS (SELECT c.cid, CAST(g.i - 1 AS BIGINT) AS dim, c.cvec[g.i] AS cv
+         |       FROM cent2 c,
+         |       LATERAL (SELECT unnest(generate_series(1, len(c.cvec))) AS i) g),
+         |xd AS (SELECT e.vec_id, CAST(g.i - 1 AS BIGINT) AS dim,
+         |         CAST(e.embedding[g.i] AS DOUBLE) AS x
+         |       FROM e,
+         |       LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g),
+         |d2 AS (SELECT x.vec_id, c.cid,
+         |         CAST(SUM(CAST(FLOOR((x.x - c.cv) * (x.x - c.cv) * 1e12 + 0.5) / 1e12
+         |           AS DECIMAL(27,14))) AS DOUBLE) AS d2
+         |       FROM xd x JOIN cd c USING (dim) GROUP BY 1, 2),
+         |r AS (SELECT vec_id, cid, d2,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+         |      FROM d2),
+         |ab AS (SELECT vec_id, MAX(CASE WHEN rk = 1 THEN cid END) AS cid,
+         |         sqrt(MAX(CASE WHEN rk = 1 THEN d2 END)) AS a,
+         |         sqrt(MAX(CASE WHEN rk = 2 THEN d2 END)) AS b
+         |       FROM r WHERE rk <= 2 GROUP BY 1),
+         |si AS (SELECT cid,
+         |         CASE WHEN greatest(a, b) > 0
+         |              THEN FLOOR((b - a) / greatest(a, b) * 1e12 + 0.5) / 1e12
+         |              ELSE 0.0 END AS s
+         |       FROM ab)
+         |SELECT CAST(cid AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+         |  FLOOR(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*)
+         |    * 1e9 + 0.5) / 1e9 AS silhouette
+         |FROM si GROUP BY 1 ORDER BY cluster""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
