@@ -5635,6 +5635,75 @@ object SparkEntry {
         .select(col("cid").as("cluster"), col("n_vecs"), col("silhouette"))
         .orderBy(col("cluster"))
     }),
+
+    "q254_isotonic_calibration" -> ((s, dir) => {
+      // isotonic (PAV) calibration repair [EXT] — q150 DIAGNOSES
+      // miscalibration, q233 scores it; this FIXES it: the monotone
+      // map score→P(label) that Zadrozny–Elkan calibration deploys.
+      // The corpus reduces to ≤10 decile bins (q150's exact frame);
+      // pool-adjacent-violators is inherently sequential, so it runs
+      // driver-side on that bounded frame (Optim.pav — the linregGD
+      // parameters-as-literals discipline). Rows-only: PAV's
+      // order-dependent pooling is not ANSI-expressible; OperatorSpec
+      // pins pav() to monotonicity + block-mean preservation + an
+      // independent O(n²) reference.
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      val bins = Tables.documents(s, dir)
+        .select(score.as("p"), (col("lang") === "en").cast("long").as("y"))
+        .withColumn("b", least(floor(col("p") * 10), lit(9L)).cast("long"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"),
+          pround(sum(col("p").cast(DecimalType(27, 9))).cast("double")
+            / count(lit(1)), 9).as("conf"),
+          pround(sum(col("y")).cast("double") / count(lit(1)), 9).as("acc"))
+        .orderBy(col("b"))
+        .collect() // ≤10 rows by construction — the calibration grid
+      val iso = graft.operators.Optim.pav(
+        bins.map(_.getDouble(3)).toIndexedSeq, bins.map(_.getLong(1)).toIndexedSeq)
+      import s.implicits._
+      bins.zip(iso).map { case (r, f) =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          math.floor(f * 1e9 + 0.5) / 1e9)
+      }.toSeq.toDF("bucket", "n", "conf", "acc", "iso_acc")
+        .orderBy(col("bucket"))
+    }),
+
+    "q255_entropy_rate" -> ((s, dir) => {
+      // Markov entropy rate of the event stream [EXT] — the sequence-
+      // predictability scalar over q111's chain: H = Σ_s π_s·H_s with
+      // the plug-in π = empirical source frequency and H_s the row
+      // entropy of transitions out of s (Shannon's entropy rate for a
+      // first-order chain; low H means journeys are script-like,
+      // rising H flags behavior drift — the sequence twin of q91's
+      // static lexical entropy). Per-user lead pairs shuffle once;
+      // row entropies are floor-12 −p·ln p terms in DECIMAL sums over
+      // the ≤|types|² transition frame; the outer mix is a second
+      // floor-12 weighted DECIMAL reduction, floor-9 close.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("src"), col("ts"), col("event_id"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+      val tot = pairs.groupBy(col("src")).agg(sum(col("c")).as("ns"))
+      val nT = pairs.agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("ns")
+      val hs = pairs.join(broadcast(tot), Seq("src"))
+        .select(col("src"), col("ns"),
+          (-(floor(p * log(p) * 1e12 + 0.5) / 1e12))
+            .cast(DecimalType(27, 14)).as("t"))
+        .groupBy(col("src"), col("ns"))
+        .agg(sum(col("t")).cast("double").as("h"))
+      hs.crossJoin(broadcast(nT))
+        .select(col("n"),
+          (floor(col("ns").cast("double") / col("n") * col("h") * 1e12 + 0.5) / 1e12)
+            .cast(DecimalType(27, 14)).as("wt"))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_states"),
+          (floor(sum(col("wt")).cast("double") * 1e9 + 0.5) / 1e9).as("entropy_rate"))
+        .select(col("n").as("n_transitions"), col("n_states"), col("entropy_rate"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9035,6 +9104,28 @@ object SparkEntry {
          |  FLOOR(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*)
          |    * 1e9 + 0.5) / 1e9 AS silhouette
          |FROM si GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "q255_entropy_rate" ->
+      s"""$evCte,
+         |sq AS (SELECT user_id, event_type AS src,
+         |         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |       FROM ev),
+         |p AS (SELECT src, dst, COUNT(*) AS c FROM sq
+         |      WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT src, SUM(c) AS ns FROM p GROUP BY 1),
+         |nt AS (SELECT SUM(c) AS n FROM p),
+         |hs AS (SELECT p.src, t.ns,
+         |         CAST(SUM(CAST(-(FLOOR((CAST(c AS DOUBLE) / ns)
+         |           * ln(CAST(c AS DOUBLE) / ns) * 1e12 + 0.5) / 1e12)
+         |           AS DECIMAL(27,14))) AS DOUBLE) AS h
+         |       FROM p JOIN t USING (src) GROUP BY 1, 2),
+         |wt AS (SELECT n,
+         |         FLOOR(CAST(ns AS DOUBLE) / n * h * 1e12 + 0.5) / 1e12 AS wt
+         |       FROM hs, nt)
+         |SELECT CAST(n AS BIGINT) AS n_transitions, COUNT(*) AS n_states,
+         |  FLOOR(CAST(SUM(CAST(wt AS DECIMAL(27,14))) AS DOUBLE) * 1e9 + 0.5) / 1e9
+         |    AS entropy_rate
+         |FROM wt GROUP BY n""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent

@@ -63,4 +63,27 @@ object Optim {
             / count(lit(1)) * 1e6 + 0.5) / 1e6).as("mse"))
     base.agg(outCols.head, outCols.tail: _*)
   }
+
+  /** Pool-adjacent-violators (PAV) weighted isotonic regression: the
+    * non-decreasing fit ŷ minimizing Σ wᵢ(ŷᵢ − yᵢ)² over ys IN ORDER
+    * (Ayer et al. 1955; the stack form is O(n)). Blocks merge while the
+    * previous block's weighted mean exceeds the current one's; each
+    * input position receives its block's weighted mean. Driver-side by
+    * design: callers hand it an already-reduced ≤bins-row frame (the
+    * k×d-literal discipline of [[linregGD]] applied to calibration
+    * bins), never corpus-sized data. */
+  def pav(ys: IndexedSeq[Double], ws: IndexedSeq[Long]): IndexedSeq[Double] = {
+    require(ys.length == ws.length, "ys and ws must align")
+    require(ws.forall(_ > 0), "weights must be positive")
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    for (i <- ys.indices) {
+      var w = ws(i).toDouble; var wy = ws(i) * ys(i); var c = 1
+      while (blocks.nonEmpty && blocks.last._2 / blocks.last._1 > wy / w) {
+        val (bw, bwy, bc) = blocks.remove(blocks.length - 1)
+        w += bw; wy += bwy; c += bc
+      }
+      blocks += ((w, wy, c))
+    }
+    blocks.flatMap { case (w, wy, c) => Seq.fill(c)(wy / w) }.toIndexedSeq
+  }
 }

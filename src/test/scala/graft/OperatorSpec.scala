@@ -503,6 +503,59 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class PavSpec extends AnyFunSuite {
+  import graft.operators.Optim
+
+  // independent O(n^2) reference: repeatedly merge the first adjacent
+  // violating pair until the weighted block means are non-decreasing
+  private def pavRef(ys: IndexedSeq[Double], ws: IndexedSeq[Long]): IndexedSeq[Double] = {
+    var blocks = ys.indices.map(i => (ws(i).toDouble, ws(i) * ys(i), 1)).toVector
+    var changed = true
+    while (changed) {
+      changed = false
+      val i = blocks.indices.dropRight(1).find(j =>
+        blocks(j)._2 / blocks(j)._1 > blocks(j + 1)._2 / blocks(j + 1)._1)
+      i.foreach { j =>
+        val (w1, y1, c1) = blocks(j); val (w2, y2, c2) = blocks(j + 1)
+        blocks = (blocks.take(j) :+ ((w1 + w2, y1 + y2, c1 + c2))) ++ blocks.drop(j + 2)
+        changed = true
+      }
+    }
+    blocks.flatMap { case (w, wy, c) => Seq.fill(c)(wy / w) }.toIndexedSeq
+  }
+
+  test("PAV equals the O(n^2) reference; monotone; preserves weighted mass") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 2 + rng.nextInt(12)
+      val ys = IndexedSeq.fill(n)(rng.nextDouble())
+      val ws = IndexedSeq.fill(n)(1L + rng.nextInt(50))
+      val got = Optim.pav(ys, ws)
+      val ref = pavRef(ys, ws)
+      got.zip(ref).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"fit diverged: $got vs $ref")
+      }
+      // monotone non-decreasing
+      got.sliding(2).foreach {
+        case Seq(a, b) => assert(a <= b + 1e-12)
+        case _ =>
+      }
+      // total weighted mass preserved
+      val m1 = ys.zip(ws).map { case (y, w) => y * w }.sum
+      val m2 = got.zip(ws).map { case (y, w) => y * w }.sum
+      assert(math.abs(m1 - m2) < 1e-9)
+    }
+  }
+
+  test("PAV is identity on already-monotone input") {
+    // each value round-trips through (w*y)/w — compare to tolerance,
+    // not bitwise (5*0.2/5 != 0.2 in IEEE)
+    val ys = IndexedSeq(0.1, 0.2, 0.2, 0.7)
+    val got = Optim.pav(ys, IndexedSeq(3L, 1L, 5L, 2L))
+    got.zip(ys).foreach { case (a, b) => assert(math.abs(a - b) < 1e-15) }
+  }
+}
+
 class MisraGriesSpec extends AnyFunSuite {
   import graft.functions.Sketch
 
