@@ -308,4 +308,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       "key assignment regressed to a global window (single-partition funnel):\n" + p.take(1500))
   }
+
+  test("q240: JSD shared-word join is an equi-join, never a cartesian over vocabularies") {
+    val p = plan("q240_jsd_sources")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the s1 < s2 pair filter must ride the word equi-join, not a BNLJ
+    // over the full per-source vocabularies
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
+  test("q239: per-type top-(k+1) plans a WindowGroupLimit (rank pushed into the shuffle)") {
+    val p = plan("q239_hill_tail")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("q243: MG sketch aggregates partial-per-partition before one map merge") {
+    val p = plan("q243_mg_heavy_hitters")
+    // the token stream must reduce via partial ObjectHashAggregate
+    // (O(k) maps shuffle), never sort-shuffle raw tokens to one task:
+    // two ObjectHashAggregate nodes = partial (below the Exchange) +
+    // final, the mergeable-summary shape
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
 }
