@@ -5704,6 +5704,94 @@ object SparkEntry {
           (floor(sum(col("wt")).cast("double") * 1e9 + 0.5) / 1e9).as("entropy_rate"))
         .select(col("n").as("n_transitions"), col("n_states"), col("entropy_rate"))
     }),
+
+    "q256_conformal_interval" -> ((s, dir) => {
+      // split-conformal prediction interval per event_type [EXT] —
+      // distribution-free UQ (Vovk; Lei et al.): the train half fits
+      // the predictor (the per-type mean), the calibration half takes
+      // q̂ = the ceil((n+1)(1−α))-th smallest |residual|, and [μ̂ ± q̂]
+      // covers a fresh point with P ≥ 1−α under exchangeability ALONE
+      // — no normality, no variance estimate (q235's bootstrap is the
+      // resampling cousin; this one carries a finite-sample
+      // guarantee). The split is the q109 portable Lehmer parity
+      // (engine-identical); the conformal rank is data-dependent per
+      // type, so it rides the selector's NEW rank entry point
+      // (Selection.exactGroupedOrderStat — never a corpus sort
+      // window); α = 0.1. ceil runs on (n+1)·0.9 as a DOUBLE in both
+      // engines (decimal 0.9 would ceil differently at exact-integer
+      // boundaries: 10·0.9 is 9 in decimal, 9.000…002 in IEEE).
+      val ev = Tables.events(s, dir)
+        .withColumn("half", lehmer3(col("event_id")) % 2)
+      val mu = ev.filter(col("half") === 0).groupBy(col("event_type"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mu"))
+      val cal = Dedup.cacheScoped(ev.filter(col("half") === 1)
+        .join(broadcast(mu), Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          abs(col("value") - col("mu")).as("res")))
+      val ks: Map[Any, Long] = cal.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.get(0): Any,
+          math.min(math.ceil((r.getLong(1) + 1) * 0.9).toLong, r.getLong(1))))
+        .toMap
+      val qh = graft.operators.Selection.exactGroupedOrderStat(
+        cal, "event_type", "res", ks)
+      mu.join(qh, Seq("event_type"))
+        .select(col("event_type"), col("k").as("k_rank"),
+          pround(col("mu"), 9).as("mu"), pround(col("value"), 9).as("qhat"),
+          pround(col("mu") - col("value"), 9).as("lo"),
+          pround(col("mu") + col("value"), 9).as("hi"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q257_eb_shrinkage" -> ((s, dir) => {
+      // empirical-Bayes (James–Stein) shrinkage of per-source quality
+      // means [EXT] — the small-domain estimator behind every
+      // per-domain dashboard: a 30-doc source's raw mean is mostly
+      // noise, so m̃_s = m̄ + B_s·(m_s − m̄) with B_s = τ²/(τ² + σ²/n_s)
+      // pulls it toward the grand mean exactly as hard as its sample
+      // size warrants (normal-normal EB; τ² by method of moments,
+      // clamped at 0 — all-shrink when between-variance vanishes).
+      // Scores are the q108/q233 portable sigmoid (9-digit by
+      // construction); within-σ² from pround-DECIMAL moments; the
+      // ≤|sources|-row shrink frame closes in pure IEEE, floor-9.
+      val D6 = DecimalType(27, 6)
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      val perSrc = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("source"), score.as("p"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(DecimalType(27, 9))).cast("double").as("s"),
+          sum(pround(col("p") * col("p"), 6).cast(D6)).cast("double").as("ss")))
+      // every cross-source reduction routes through pround+DECIMAL —
+      // a raw double sum would be partial-agg-order-dependent even on
+      // this ≤|sources|-row frame
+      val g = perSrc.agg(sum(col("n")).as("nn"), count(lit(1)).as("kk"),
+        sum(col("s").cast(DecimalType(27, 9))).cast("double").as("stot"),
+        sum(col("ss").cast(D6)).cast("double").as("sstot"),
+        sum(pround((col("s") / col("n")) * (col("s") / col("n")), 9)
+          .cast(DecimalType(27, 9))).cast("double").as("sm2"),
+        sum(pround(col("s") / col("n"), 9).cast(DecimalType(27, 9)))
+          .cast("double").as("smraw"),
+        sum(pround(lit(1.0) / col("n"), 12).cast(DecimalType(27, 14)))
+          .cast("double").as("sinv"))
+      // σ²: global sample variance of scores; between: sample variance
+      // of the k raw means; τ² = max(0, between − σ²·avg(1/n))
+      val mbar = col("stot") / col("nn")
+      val sig2 = (col("sstot") - col("stot") * col("stot") / col("nn")) /
+        (col("nn") - 1)
+      val between = (col("sm2") - col("smraw") * col("smraw") / col("kk")) /
+        (col("kk") - 1)
+      val tau2 = greatest(between - sig2 * (col("sinv") / col("kk")), lit(0.0))
+      perSrc.crossJoin(broadcast(g))
+        .filter(col("kk") > 1 && col("nn") > col("kk"))
+        .select(col("source"), col("n"),
+          pround(col("s") / col("n"), 9).as("raw_mean"),
+          (floor(tau2 / (tau2 + sig2 / col("n")) * 1e9 + 0.5) / 1e9).as("shrink_b"),
+          pround(mbar + tau2 / (tau2 + sig2 / col("n"))
+            * (col("s") / col("n") - mbar), 9).as("shrunk_mean"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9126,6 +9214,71 @@ object SparkEntry {
          |  FLOOR(CAST(SUM(CAST(wt AS DECIMAL(27,14))) AS DOUBLE) * 1e9 + 0.5) / 1e9
          |    AS entropy_rate
          |FROM wt GROUP BY n""".stripMargin,
+
+    "q256_conformal_interval" ->
+      s"""$evCte,
+         |h AS (SELECT event_type, event_id, value,
+         |        event_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647
+         |          * 48271 % 2147483647 % 2 AS half
+         |      FROM ev),
+         |mu AS (SELECT event_type,
+         |         CAST(SUM(CAST(value AS $D)) AS DOUBLE) / COUNT(*) AS mu
+         |       FROM h WHERE half = 0 GROUP BY 1),
+         |cal AS (SELECT h.event_type, h.event_id, abs(h.value - mu.mu) AS res
+         |        FROM h JOIN mu USING (event_type) WHERE half = 1),
+         |k AS (SELECT event_type, COUNT(*) AS n,
+         |        LEAST(CAST(ceil(CAST(COUNT(*) + 1 AS DOUBLE) * 0.9) AS BIGINT),
+         |          COUNT(*)) AS k
+         |      FROM cal GROUP BY 1),
+         |r AS (SELECT event_type, event_id, res,
+         |        row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY res, event_id) AS rk
+         |      FROM cal),
+         |q AS (SELECT r.event_type, k.k, r.res AS qhat
+         |      FROM r JOIN k USING (event_type) WHERE r.rk = k.k)
+         |SELECT q.event_type, CAST(q.k AS BIGINT) AS k_rank,
+         |  round(mu.mu, 9) AS mu, round(q.qhat, 9) AS qhat,
+         |  round(mu.mu - q.qhat, 9) AS lo, round(mu.mu + q.qhat, 9) AS hi
+         |FROM q JOIN mu USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "q257_eb_shrinkage" ->
+      """WITH f AS (SELECT source,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT source,
+        |        round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0
+        |          + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) AS p
+        |      FROM f),
+        |ps AS (SELECT source, COUNT(*) AS n,
+        |         CAST(SUM(CAST(p AS DECIMAL(27,9))) AS DOUBLE) AS s,
+        |         CAST(SUM(CAST(round(p * p, 6) AS DECIMAL(27,6))) AS DOUBLE) AS ss
+        |       FROM z GROUP BY 1),
+        |g AS (SELECT SUM(n) AS nn, COUNT(*) AS kk,
+        |        CAST(SUM(CAST(s AS DECIMAL(27,9))) AS DOUBLE) AS stot,
+        |        CAST(SUM(CAST(ss AS DECIMAL(27,6))) AS DOUBLE) AS sstot,
+        |        CAST(SUM(CAST(round((s / n) * (s / n), 9) AS DECIMAL(27,9))) AS DOUBLE) AS sm2,
+        |        CAST(SUM(CAST(round(s / n, 9) AS DECIMAL(27,9))) AS DOUBLE) AS smraw,
+        |        CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / n, 12) AS DECIMAL(27,14))) AS DOUBLE) AS sinv
+        |      FROM ps),
+        |gg AS (SELECT nn, kk, stot,
+        |         (sstot - stot * stot / nn) / (nn - 1) AS sig2,
+        |         greatest((sm2 - smraw * smraw / kk) / (kk - 1)
+        |           - ((sstot - stot * stot / nn) / (nn - 1)) * (sinv / kk),
+        |           0.0) AS tau2
+        |       FROM g WHERE kk > 1 AND nn > kk)
+        |SELECT ps.source, CAST(ps.n AS BIGINT) AS n,
+        |  round(ps.s / ps.n, 9) AS raw_mean,
+        |  FLOOR(tau2 / (tau2 + sig2 / ps.n) * 1e9 + 0.5) / 1e9 AS shrink_b,
+        |  round(stot / nn + tau2 / (tau2 + sig2 / ps.n)
+        |    * (ps.s / ps.n - stot / nn), 9) AS shrunk_mean
+        |FROM ps, gg ORDER BY ps.source""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent

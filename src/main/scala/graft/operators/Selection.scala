@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Distributed order statistics by histogram refinement — the 100 TB
   * answer to "exact percentile without buffering the group".
@@ -119,6 +119,30 @@ object Selection {
       spark.sparkContext.parallelize(out, 1),
       StructType(Seq(StructField(groupCol, gType),
         StructField("q", DoubleType), StructField("value", DoubleType))))
+  }
+
+  /** The exact k-th smallest value (1-based k, per group) — the RANK
+    * entry point to the same no-buffer refinement machinery:
+    * split-conformal calibration needs the ceil((n+1)(1−α))-th order
+    * statistic, whose rank is data-dependent per group and therefore
+    * cannot ride fixed quantile probabilities (and probability
+    * interpolation at (k−1)/(n−1) is 1-ulp fragile — a rank lookup is
+    * value-exact by construction). Output columns: (group, k, value). */
+  def exactGroupedOrderStat(df: DataFrame, groupCol: String, valueCol: String,
+                            ks: Map[Any, Long], bins: Int = 1024,
+                            sliceCap: Long = 1L << 18): DataFrame = {
+    require(ks.values.forall(_ >= 1), s"ranks are 1-based: $ks")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("double")
+    val base = df.filter(v.isNotNull).select(col(groupCol).as("g"), v.as("v"))
+    val gType = base.schema("g").dataType
+    val wanted: Map[Any, Seq[Long]] = ks.map { case (g, k) => (g, Seq(k - 1)) }
+    lastDepth.set(0)
+    val stats = orderStats(base, wanted, bins, sliceCap, depth = 0)
+    val out = ks.toSeq.map { case (g, k) => Row(g, k, stats((g, k - 1))) }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(StructField(groupCol, gType),
+        StructField("k", LongType), StructField("value", DoubleType))))
   }
 
   /** One refinement level: the exact value at each wanted 0-indexed rank

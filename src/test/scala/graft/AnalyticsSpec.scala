@@ -51,6 +51,28 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("rank entry point: exactGroupedOrderStat returns the k-th smallest per group") {
+    // mixed groups incl. ties and a data-dependent k per group (the
+    // conformal use case); reference = plain sorted order statistics
+    val rows = (1 to 400).map(i => ("a", ((i * 31) % 97).toDouble)) ++
+      (1 to 55).map(i => ("b", (i % 7).toDouble)) ++
+      Seq(("c", 5.0))
+    val df = rows.toDF("g", "v").repartition(7)
+    val ks: Map[Any, Long] = Map("a" -> 360L, "b" -> 50L, "c" -> 1L)
+    val got = graft.operators.Selection.exactGroupedOrderStat(df, "g", "v", ks, bins = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, k) <- ks)
+      assert(got(g.toString) == ((k, byG(g.toString)(k.toInt - 1))),
+        s"group $g k=$k: ${got(g.toString)} != ${byG(g.toString)(k.toInt - 1)}")
+    // recursing case: tiny sliceCap forces refinement; still exact
+    val deep = graft.operators.Selection.exactGroupedOrderStat(
+        df, "g", "v", Map("a" -> 123L), bins = 4, sliceCap = 16)
+      .collect().head.getDouble(2)
+    assert(deep == byG("a")(122))
+    assert(graft.operators.Selection.lastDepth.get() > 0, "sliceCap must force recursion")
+  }
+
   test("quantile selector non-recursing path reads the input exactly 3 times — no extra scan") {
     // the r9 regression: splitting the counts agg out of pass 0 cost
     // the common path a 4th full scan of the input (q184's +80%). An
