@@ -5792,6 +5792,58 @@ object SparkEntry {
             * (col("s") / col("n") - mbar), 9).as("shrunk_mean"))
         .orderBy(col("source"))
     }),
+
+    "q258_topic_coherence" -> ((s, dir) => {
+      // NPMI topic coherence of per-source top terms [EXT] — the
+      // topic-model evaluation metric (Lau et al.; Röder's C_NPMI)
+      // applied to each source's vocabulary head: do its top-10
+      // document-frequency terms actually CO-OCCUR in documents
+      // (coherent domain) or just individually often (grab-bag)?
+      // NPMI(w₁,w₂) = ln(df₁₂·D/(df₁·df₂)) / −ln(df₁₂/D) over the ≤45
+      // pairs per source; q86/q146 compute corpus-wide collocation PMI
+      // — this is the NORMALIZED, presence-based variant scoped to the
+      // vocabulary head, the form used to score topic quality. Top
+      // terms rank by a WindowGroupLimit over per-source document
+      // frequencies; presence rows semi-join against the ≤10·|sources|
+      // broadcast term list; every count is exact, each ln takes
+      // exact-integer ratios floor-rounded at 12, the per-source mean
+      // reduces in DECIMAL. Zero-co-occurrence pairs drop (inner join)
+      // — deterministic and mirrored, the standard C_NPMI convention.
+      val presence = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct())
+      val dS = presence.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("d"))
+      val wDf = Window.partitionBy(col("source")).orderBy(col("df").desc, col("w"))
+      val top = presence.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("df"))
+        .withColumn("r", row_number().over(wDf))
+        .filter(col("r") <= 10)
+        .select(col("source"), col("w"), col("df"))
+      val hits = presence.join(broadcast(top), Seq("source", "w"))
+        .select(col("source"), col("doc_id"), col("w"), col("df"))
+      val pairs = hits.select(col("source"), col("doc_id"),
+          col("w").as("w1"), col("df").as("df1"))
+        .join(hits.select(col("source"), col("doc_id"),
+          col("w").as("w2"), col("df").as("df2")), Seq("source", "doc_id"))
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("source"), col("w1"), col("w2"), col("df1"), col("df2"))
+        .agg(count(lit(1)).as("df12"))
+      val npmi = floor(
+        log((col("df12") * col("d")).cast("double")
+          / (col("df1") * col("df2")).cast("double"))
+        / -log(col("df12").cast("double") / col("d")) * 1e12 + 0.5) / 1e12
+      pairs.join(broadcast(dS), Seq("source"))
+        .filter(col("df12") < col("d")) // p12 = 1 makes the normalizer ln(1) = 0
+        .select(col("source"), npmi.cast(DecimalType(27, 14)).as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (floor(sum(col("t")).cast("double") / count(lit(1)) * 1e9 + 0.5) / 1e9)
+            .as("coherence"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9279,6 +9331,34 @@ object SparkEntry {
         |  round(stot / nn + tau2 / (tau2 + sig2 / ps.n)
         |    * (ps.s / ps.n - stot / nn), 9) AS shrunk_mean
         |FROM ps, gg ORDER BY ps.source""".stripMargin,
+
+    "q258_topic_coherence" ->
+      """WITH pres AS (SELECT DISTINCT source, doc_id, w FROM (
+        |                SELECT source, doc_id,
+        |                  unnest(string_split(lower(text), ' ')) AS w
+        |                FROM documents) WHERE length(w) > 0),
+        |ds AS (SELECT source, COUNT(DISTINCT doc_id) AS d FROM pres GROUP BY 1),
+        |dfc AS (SELECT source, w, COUNT(*) AS df FROM pres GROUP BY 1, 2),
+        |top AS (SELECT source, w, df FROM (
+        |          SELECT source, w, df,
+        |            row_number() OVER (PARTITION BY source
+        |                               ORDER BY df DESC, w) AS r
+        |          FROM dfc) WHERE r <= 10),
+        |hits AS (SELECT p.source, p.doc_id, p.w, t.df
+        |         FROM pres p JOIN top t ON p.source = t.source AND p.w = t.w),
+        |pairs AS (SELECT a.source, a.w AS w1, b.w AS w2, a.df AS df1,
+        |            b.df AS df2, COUNT(*) AS df12
+        |          FROM hits a JOIN hits b
+        |            ON a.source = b.source AND a.doc_id = b.doc_id AND a.w < b.w
+        |          GROUP BY 1, 2, 3, 4, 5),
+        |tm AS (SELECT p.source,
+        |         FLOOR(ln(CAST(df12 * d AS DOUBLE) / CAST(df1 * df2 AS DOUBLE))
+        |           / -ln(CAST(df12 AS DOUBLE) / d) * 1e12 + 0.5) / 1e12 AS t
+        |       FROM pairs p JOIN ds USING (source) WHERE df12 < d)
+        |SELECT source, COUNT(*) AS n_pairs,
+        |  FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*)
+        |    * 1e9 + 0.5) / 1e9 AS coherence
+        |FROM tm GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
