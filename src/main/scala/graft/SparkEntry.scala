@@ -5844,6 +5844,87 @@ object SparkEntry {
             .as("coherence"))
         .orderBy(col("source"))
     }),
+
+    "q259_sample_selectivity" -> ((s, dir) => {
+      // sample-based selectivity estimation QC [EXT] — the "how wrong
+      // is ANALYZE" report: cost-based planners estimate predicate
+      // selectivity from a small sample; this measures the estimate
+      // against ground truth for a ladder of `value > t` predicates so
+      // the statistics refresh policy has numbers (big rel_err on the
+      // tail thresholds = the classic sample-misses-the-tail failure).
+      // The 10% sample is the q109 portable Lehmer hash (deterministic
+      // and engine-identical — a random() sample could never oracle);
+      // both counts reduce in ONE conditional agg over one scan each;
+      // the estimate scales by the EXACT sample fraction, rel_err
+      // closes floor-9 (actual = 0 rows are dropped — mirrored).
+      val thresholds = Seq(50, 100, 200, 300)
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("value"), (lehmer3(col("event_id")) % 10 === 0).as("in_sample")))
+      val aggCols = Seq(count(lit(1)).as("n"),
+        sum(col("in_sample").cast("long")).as("n_samp")) ++
+        thresholds.flatMap(t => Seq(
+          sum(when(col("value") > t, 1L).otherwise(0L)).as(s"a_$t"),
+          sum(when(col("in_sample") && col("value") > t, 1L).otherwise(0L)).as(s"s_$t")))
+      val agg = Dedup.cacheScoped(ev.agg(aggCols.head, aggCols.tail: _*))
+      thresholds.map { t =>
+        agg.select(lit(t.toLong).as("threshold"), col(s"a_$t").as("actual"),
+          col(s"s_$t").as("n_sample_hits"),
+          (floor(col(s"s_$t").cast("double") / col("n_samp") * col("n")
+            * 1e9 + 0.5) / 1e9).as("estimate"),
+          when(col(s"a_$t") > 0,
+            floor((col(s"s_$t").cast("double") / col("n_samp") * col("n")
+              - col(s"a_$t")) / col(s"a_$t") * 1e9 + 0.5) / 1e9).as("rel_err"))
+          .filter(col("actual") > 0)
+      }.reduce(_ unionAll _).orderBy(col("threshold"))
+    }),
+
+    "q260_heaps_law" -> ((s, dir) => {
+      // Heaps'-law vocabulary growth fit [EXT] — V(n) ≈ K·n^β: how fast
+      // does the vocabulary grow as the corpus grows (q200's Zipf fit
+      // is the static rank-frequency law; Heaps is its GROWTH twin —
+      // the pair is the standard corpus-statistics health check, and β
+      // drifting upward across snapshots means rising boilerplate /
+      // synthetic text). Doc order comes from the dense-id two-pass
+      // (q25 discipline — no global window over documents); V at each
+      // of 10 cutoffs = words whose FIRST-occurrence rank ≤ cutoff
+      // (one pass + a 10-row broadcast theta filter — never 10 corpus
+      // scans); cutoffs are exact integer ceil((m·D)/10) via `div`;
+      // the log-log OLS runs on floor-12 lns over the 10-point frame
+      // in DECIMAL sums, slope and K close pure-IEEE, floor-9.
+      val docs = DocPipeline.withDenseIds(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        col("doc_id"), "rid")
+      val fr = docs
+        .select((col("rid") + 1).as("r"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(min(col("r")).as("fr"))
+      val dT = docs.agg(count(lit(1)).as("d"))
+      val cuts = dT.withColumn("m", explode(sequence(lit(1), lit(10))))
+        .select(col("m").cast("long").as("m"),
+          expr("(m * d + 9) div 10").as("cutoff"))
+      val pts = fr.crossJoin(broadcast(cuts))
+        .filter(col("fr") <= col("cutoff"))
+        .groupBy(col("m"), col("cutoff")).agg(count(lit(1)).as("v"))
+      val xy = pts.select(
+        (floor(log(col("cutoff").cast("double")) * 1e12 + 0.5) / 1e12).as("x"),
+        (floor(log(col("v").cast("double")) * 1e12 + 0.5) / 1e12).as("y"))
+        .select(col("x"), col("y"),
+          (floor(col("x") * col("y") * 1e12 + 0.5) / 1e12).as("xy"),
+          (floor(col("x") * col("x") * 1e12 + 0.5) / 1e12).as("xx"))
+      val D14 = DecimalType(27, 14)
+      val f = xy.agg(count(lit(1)).as("np"),
+        sum(col("x").cast(D14)).cast("double").as("sx"),
+        sum(col("y").cast(D14)).cast("double").as("sy"),
+        sum(col("xy").cast(D14)).cast("double").as("sxy"),
+        sum(col("xx").cast(D14)).cast("double").as("sxx"))
+      val beta = (col("np") * col("sxy") - col("sx") * col("sy")) /
+        (col("np") * col("sxx") - col("sx") * col("sx"))
+      f.filter(col("np") * col("sxx") - col("sx") * col("sx") > 0)
+        .select(col("np").as("n_points"),
+          (floor(beta * 1e9 + 0.5) / 1e9).as("beta"),
+          (floor(exp(col("sy") / col("np") - beta * (col("sx") / col("np")))
+            * 1e9 + 0.5) / 1e9).as("k_coef"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9359,6 +9440,64 @@ object SparkEntry {
         |  FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*)
         |    * 1e9 + 0.5) / 1e9 AS coherence
         |FROM tm GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q259_sample_selectivity" -> {
+      val ts = Seq(50, 100, 200, 300)
+      val cells = ts.map(t =>
+        s"""SUM(CASE WHEN value > $t THEN 1 ELSE 0 END) AS a_$t,
+           |        SUM(CASE WHEN in_sample AND value > $t THEN 1 ELSE 0 END) AS s_$t"""
+          .stripMargin).mkString(",\n        ")
+      val selects = ts.map(t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold, CAST(a_$t AS BIGINT) AS actual,
+           |  CAST(s_$t AS BIGINT) AS n_sample_hits,
+           |  FLOOR(CAST(s_$t AS DOUBLE) / n_samp * n * 1e9 + 0.5) / 1e9 AS estimate,
+           |  CASE WHEN a_$t > 0 THEN
+           |    FLOOR((CAST(s_$t AS DOUBLE) / n_samp * n - a_$t) / a_$t
+           |      * 1e9 + 0.5) / 1e9 END AS rel_err
+           |FROM a WHERE a_$t > 0""".stripMargin).mkString("\nUNION ALL\n")
+      s"""$evCte,
+         |h AS (SELECT value,
+         |        (event_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647
+         |          * 48271 % 2147483647) % 10 = 0 AS in_sample
+         |      FROM ev),
+         |a AS (SELECT COUNT(*) AS n,
+         |        SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS n_samp,
+         |        $cells
+         |      FROM h)
+         |$selects
+         |ORDER BY threshold""".stripMargin
+    },
+
+    "q260_heaps_law" ->
+      """WITH dr AS (SELECT doc_id, text,
+        |              row_number() OVER (ORDER BY doc_id) AS r
+        |            FROM documents),
+        |fr AS (SELECT w, MIN(r) AS fr FROM (
+        |         SELECT r, unnest(string_split(lower(text), ' ')) AS w FROM dr)
+        |       WHERE length(w) > 0 GROUP BY 1),
+        |d AS (SELECT COUNT(*) AS d FROM documents),
+        |cuts AS (SELECT CAST(g.m AS BIGINT) AS m, (g.m * d.d + 9) // 10 AS cutoff
+        |         FROM d, (SELECT unnest(generate_series(1, 10)) AS m) g),
+        |pts AS (SELECT c.m, c.cutoff, COUNT(*) AS v
+        |        FROM fr f JOIN cuts c ON f.fr <= c.cutoff
+        |        GROUP BY 1, 2),
+        |xy AS (SELECT x, y,
+        |         FLOOR(x * y * 1e12 + 0.5) / 1e12 AS xy,
+        |         FLOOR(x * x * 1e12 + 0.5) / 1e12 AS xx
+        |       FROM (SELECT FLOOR(ln(CAST(cutoff AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS x,
+        |               FLOOR(ln(CAST(v AS DOUBLE)) * 1e12 + 0.5) / 1e12 AS y
+        |             FROM pts)),
+        |f AS (SELECT COUNT(*) AS np,
+        |        CAST(SUM(CAST(x AS DECIMAL(27,14))) AS DOUBLE) AS sx,
+        |        CAST(SUM(CAST(y AS DECIMAL(27,14))) AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(xy AS DECIMAL(27,14))) AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(xx AS DECIMAL(27,14))) AS DOUBLE) AS sxx
+        |      FROM xy)
+        |SELECT np AS n_points,
+        |  FLOOR((np * sxy - sx * sy) / (np * sxx - sx * sx) * 1e9 + 0.5) / 1e9 AS beta,
+        |  FLOOR(exp(sy / np - (np * sxy - sx * sy) / (np * sxx - sx * sx)
+        |    * (sx / np)) * 1e9 + 0.5) / 1e9 AS k_coef
+        |FROM f WHERE np * sxx - sx * sx > 0""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
