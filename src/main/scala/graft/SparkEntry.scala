@@ -5925,6 +5925,56 @@ object SparkEntry {
           (floor(exp(col("sy") / col("np") - beta * (col("sx") / col("np")))
             * 1e9 + 0.5) / 1e9).as("k_coef"))
     }),
+
+    "q261_stream_conformal" -> ((s, dir) => {
+      // STREAMING conformal anomaly gate [EXT] — q256's finite-sample
+      // band deployed as a live monitor (the conformal take on q227's
+      // z-gate: z assumes normality; the conformal band guarantees
+      // ~10% exceedance under NO distributional assumption, so a day
+      // running far above 0.1 reads as distribution shift, not as a
+      // violated Gaussian). μ̂ and q̂ are FROZEN from the pre-split
+      // train/cal halves (portable Lehmer parity + the selector's
+      // rank entry point); the live stream broadcast-joins the
+      // ≤|types|-row band (q114's stream-static shape), flags
+      // |value−μ̂| > q̂ map-side, and aggregates per (day, type) inside
+      // a real streaming query — per-row state never accumulates,
+      // only the window counts do.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val pre = Tables.events(s, dir).filter(col("ts") < split)
+        .withColumn("half", lehmer3(col("event_id")) % 2)
+      val mu = pre.filter(col("half") === 0).groupBy(col("event_type"))
+        .agg((dsum(col("value")) / count(lit(1))).as("mu"))
+      val cal = Dedup.cacheScoped(pre.filter(col("half") === 1)
+        .join(broadcast(mu), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("mu")).as("res")))
+      val ks: Map[Any, Long] = cal.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.get(0): Any,
+          math.min(math.ceil((r.getLong(1) + 1) * 0.9).toLong, r.getLong(1))))
+        .toMap
+      val band = graft.operators.Selection.exactGroupedOrderStat(
+          cal, "event_type", "res", ks)
+        .select(col("event_type"), col("value").as("qhat"))
+        .join(mu, Seq("event_type"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+          .filter(col("ts") >= split)
+          .join(broadcast(band), Seq("event_type"))
+          .select(col("event_type"), window(col("ts"), "1 day").as("w"),
+            (abs(col("value") - col("mu")) > col("qhat")).cast("long").as("out"))
+          .groupBy(col("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("out")).as("n_out"))
+        StreamingOps.runToMemory(s, stream, "q261_stream_conformal")
+          .select(col("w.start").as("day"), col("event_type"), col("n"), col("n_out"),
+            (floor(col("n_out").cast("double") / col("n") * 1e9 + 0.5) / 1e9)
+              .as("out_rate"))
+          .orderBy(col("day"), col("event_type"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9498,6 +9548,38 @@ object SparkEntry {
         |  FLOOR(exp(sy / np - (np * sxy - sx * sy) / (np * sxx - sx * sx)
         |    * (sx / np)) * 1e9 + 0.5) / 1e9 AS k_coef
         |FROM f WHERE np * sxx - sx * sx > 0""".stripMargin,
+
+    "q261_stream_conformal" ->
+      s"""$evCte,
+         |pre AS (SELECT event_type, event_id, value FROM ev
+         |        WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+         |h AS (SELECT event_type, event_id, value,
+         |        event_id % 2147483647 * 48271 % 2147483647 * 48271 % 2147483647
+         |          * 48271 % 2147483647 % 2 AS half
+         |      FROM pre),
+         |mu AS (SELECT event_type,
+         |         CAST(SUM(CAST(value AS $D)) AS DOUBLE) / COUNT(*) AS mu
+         |       FROM h WHERE half = 0 GROUP BY 1),
+         |cal AS (SELECT h.event_type, h.event_id, abs(h.value - mu.mu) AS res
+         |        FROM h JOIN mu USING (event_type) WHERE half = 1),
+         |k AS (SELECT event_type, COUNT(*) AS n,
+         |        LEAST(CAST(ceil(CAST(COUNT(*) + 1 AS DOUBLE) * 0.9) AS BIGINT),
+         |          COUNT(*)) AS k
+         |      FROM cal GROUP BY 1),
+         |r AS (SELECT event_type, event_id, res,
+         |        row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY res, event_id) AS rk
+         |      FROM cal),
+         |q AS (SELECT r.event_type, r.res AS qhat
+         |      FROM r JOIN k USING (event_type) WHERE r.rk = k.k),
+         |cur AS (SELECT event_type, date_trunc('day', ts) AS day, value FROM ev
+         |        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+         |fl AS (SELECT c.event_type, c.day,
+         |         CASE WHEN abs(c.value - mu.mu) > q.qhat THEN 1 ELSE 0 END AS o
+         |       FROM cur c JOIN mu USING (event_type) JOIN q USING (event_type))
+         |SELECT day, event_type, COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS n_out,
+         |  FLOOR(CAST(SUM(o) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS out_rate
+         |FROM fl GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
