@@ -5975,6 +5975,48 @@ object SparkEntry {
           .orderBy(col("day"), col("event_type"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
+
+    "q262_did" -> ((s, dir) => {
+      // difference-in-differences [EXT] — the panel-data causal
+      // estimator the A/B family still lacked (q174 needs
+      // randomization; DiD works on OBSERVATIONAL rollouts):
+      // δ̂ = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), which
+      // differences away both the group level and the common time
+      // trend; SE from the four cells' variances (independent-means
+      // approximation — the same ingredients q247/q252 use). Arms are
+      // the q174 user parity, periods split at the q174 date; all
+      // four cells reduce in ONE conditional agg over one scan
+      // (pround+DECIMAL moments), the ≤1-row close is pure IEEE,
+      // floor-9.
+      val split = to_timestamp(lit("2024-01-15 00:00:00"))
+      val D6 = DecimalType(27, 6)
+      val cells = Tables.events(s, dir)
+        .select((col("user_id") % 2).as("t"),
+          (col("ts") >= split).cast("long").as("post"), col("value"))
+        .groupBy(col("t"), col("post"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("s"),
+          sum(pround(col("value") * col("value"), 6).cast(D6)).cast("double").as("ss"))
+      def cell(t: Int, p: Int, c: String) =
+        max(when(col("t") === t && col("post") === p, col(c))).as(s"${c}_${t}$p")
+      val w = cells.agg(
+        cell(1, 0, "n"), cell(1, 0, "s"), cell(1, 0, "ss"),
+        cell(1, 1, "n"), cell(1, 1, "s"), cell(1, 1, "ss"),
+        cell(0, 0, "n"), cell(0, 0, "s"), cell(0, 0, "ss"),
+        cell(0, 1, "n"), cell(0, 1, "s"), cell(0, 1, "ss"))
+      def m(t: Int, p: Int) = col(s"s_$t$p") / col(s"n_$t$p")
+      def v(t: Int, p: Int) =
+        (col(s"ss_$t$p") - col(s"s_$t$p") * col(s"s_$t$p") / col(s"n_$t$p")) /
+          (col(s"n_$t$p") - 1) / col(s"n_$t$p")
+      val did = m(1, 1) - m(1, 0) - (m(0, 1) - m(0, 0))
+      w.filter(col("n_10") > 1 && col("n_11") > 1 && col("n_00") > 1 && col("n_01") > 1)
+        .select(
+          col("n_10").as("n_treat_pre"), col("n_11").as("n_treat_post"),
+          col("n_00").as("n_ctrl_pre"), col("n_01").as("n_ctrl_post"),
+          pround(did, 9).as("did"),
+          (floor(sqrt(v(1, 1) + v(1, 0) + v(0, 1) + v(0, 0)) * 1e9 + 0.5) / 1e9)
+            .as("se"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9580,6 +9622,36 @@ object SparkEntry {
          |SELECT day, event_type, COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS n_out,
          |  FLOOR(CAST(SUM(o) AS DOUBLE) / COUNT(*) * 1e9 + 0.5) / 1e9 AS out_rate
          |FROM fl GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q262_did" -> {
+      def cell(t: Int, p: Int, c: String) =
+        s"MAX(CASE WHEN t = $t AND post = $p THEN $c END) AS ${c}_$t$p"
+      def m(t: Int, p: Int) = s"(s_$t$p / n_$t$p)"
+      def v(t: Int, p: Int) =
+        s"((ss_$t$p - s_$t$p * s_$t$p / n_$t$p) / (n_$t$p - 1) / n_$t$p)"
+      s"""$evCte,
+         |cells AS (SELECT user_id % 2 AS t,
+         |            CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |                 THEN 1 ELSE 0 END AS post,
+         |            COUNT(*) AS n,
+         |            CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS s,
+         |            CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6)))
+         |              AS DOUBLE) AS ss
+         |          FROM ev GROUP BY 1, 2),
+         |w AS (SELECT ${cell(1, 0, "n")}, ${cell(1, 0, "s")}, ${cell(1, 0, "ss")},
+         |        ${cell(1, 1, "n")}, ${cell(1, 1, "s")}, ${cell(1, 1, "ss")},
+         |        ${cell(0, 0, "n")}, ${cell(0, 0, "s")}, ${cell(0, 0, "ss")},
+         |        ${cell(0, 1, "n")}, ${cell(0, 1, "s")}, ${cell(0, 1, "ss")}
+         |      FROM cells)
+         |SELECT CAST(n_10 AS BIGINT) AS n_treat_pre,
+         |  CAST(n_11 AS BIGINT) AS n_treat_post,
+         |  CAST(n_00 AS BIGINT) AS n_ctrl_pre,
+         |  CAST(n_01 AS BIGINT) AS n_ctrl_post,
+         |  round(${m(1, 1)} - ${m(1, 0)} - (${m(0, 1)} - ${m(0, 0)}), 9) AS did,
+         |  FLOOR(sqrt(${v(1, 1)} + ${v(1, 0)} + ${v(0, 1)} + ${v(0, 0)})
+         |    * 1e9 + 0.5) / 1e9 AS se
+         |FROM w WHERE n_10 > 1 AND n_11 > 1 AND n_00 > 1 AND n_01 > 1""".stripMargin
+    },
 
     "q208_label_prop" -> {
       // 3 unrolled synchronous LPA rounds; per round the most frequent
