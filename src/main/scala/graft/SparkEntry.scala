@@ -6017,6 +6017,63 @@ object SparkEntry {
           (floor(sqrt(v(1, 1) + v(1, 0) + v(0, 1) + v(0, 0)) * 1e9 + 0.5) / 1e9)
             .as("se"))
     }),
+
+    "q263_ndcg" -> ((s, dir) => {
+      // nDCG@10 of the BM25 ranking [EXT] — the graded ranking-quality
+      // metric the IR family lacked (the recall@k specs check ANN
+      // CANDIDATE quality; nDCG scores the ORDERING): relevance = tf
+      // of the query's first term capped at 3 (a deterministic graded
+      // proxy both engines derive from the same posting lists), gains
+      // 2^rel−1, discounts 1/log₂(i+1) as a literal ladder (q249
+      // discipline — never engine log2), IDCG from the corpus-ideal
+      // ordering so a perfect ranker scores exactly 1. The only
+      // corpus-sized pass is the shared tokenize; the ranking and the
+      // ideal list are ≤10-row frames.
+      val terms = Seq("spark", "join", "scan")
+      val discounts = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      val dArr = array(discounts.map(lit): _*)
+      val words = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      val tf = words.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_dl").cast("double") / col("n_docs")
+      val bm25 = tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
+        .crossJoin(broadcast(st))
+        .withColumn("s", pround(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
+        .groupBy(col("doc_id"))
+        .agg(pround(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9)
+          .as("bm25"))
+      val rel = words.filter(col("w") === terms.head)
+        .groupBy(col("doc_id")).agg(least(count(lit(1)), lit(3L)).as("rel"))
+      def gain(c: Column) = when(c === 1, 1L).when(c === 2, 3L)
+        .when(c === 3, 7L).otherwise(0L)
+      val wTop = Window.orderBy(desc("bm25"), col("doc_id"))
+      val dcg = bm25.orderBy(desc("bm25"), col("doc_id")).limit(10)
+        .withColumn("i", row_number().over(wTop))
+        .join(rel, Seq("doc_id"), "left")
+        .select((floor(gain(coalesce(col("rel"), lit(0L))).cast("double")
+          * element_at(dArr, col("i")) * 1e12 + 0.5) / 1e12)
+          .cast(DecimalType(27, 14)).as("t"))
+        .agg(sum(col("t")).cast("double").as("dcg"))
+      val wIdeal = Window.orderBy(desc("rel"), col("doc_id"))
+      val idcg = rel.orderBy(desc("rel"), col("doc_id")).limit(10)
+        .withColumn("i", row_number().over(wIdeal))
+        .select((floor(gain(col("rel")).cast("double")
+          * element_at(dArr, col("i")) * 1e12 + 0.5) / 1e12)
+          .cast(DecimalType(27, 14)).as("t"))
+        .agg(sum(col("t")).cast("double").as("idcg"))
+      dcg.crossJoin(broadcast(idcg))
+        .filter(col("idcg") > 0)
+        .select(pround(col("dcg"), 9).as("dcg"), pround(col("idcg"), 9).as("idcg"),
+          (floor(col("dcg") / col("idcg") * 1e9 + 0.5) / 1e9).as("ndcg"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -9651,6 +9708,46 @@ object SparkEntry {
          |  FLOOR(sqrt(${v(1, 1)} + ${v(1, 0)} + ${v(0, 1)} + ${v(0, 0)})
          |    * 1e9 + 0.5) / 1e9 AS se
          |FROM w WHERE n_10 > 1 AND n_11 > 1 AND n_00 > 1 AND n_01 > 1""".stripMargin
+    },
+
+    "q263_ndcg" -> {
+      // the identical Scala discount ladder the Spark side embeds
+      val ds = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w2
+         |       WHERE w IN ('spark','join','scan') GROUP BY doc_id, w),
+         |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+         |           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))), 12) AS s
+         |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w), st),
+         |bm AS (SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25
+         |       FROM sc GROUP BY doc_id),
+         |rel AS (SELECT doc_id, least(COUNT(*), 3) AS rel FROM w2
+         |        WHERE w = 'spark' GROUP BY doc_id),
+         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS i
+         |       FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |dcg AS (SELECT CAST(SUM(CAST(
+         |          FLOOR((CASE COALESCE(rel.rel, 0) WHEN 1 THEN 1 WHEN 2 THEN 3
+         |                 WHEN 3 THEN 7 ELSE 0 END)
+         |            * [$ds][CAST(rk.i AS INTEGER)] * 1e12 + 0.5) / 1e12
+         |          AS DECIMAL(27,14))) AS DOUBLE) AS dcg
+         |        FROM rk LEFT JOIN rel USING (doc_id)),
+         |irk AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS i
+         |        FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+         |idcg AS (SELECT CAST(SUM(CAST(
+         |           FLOOR((CASE rel WHEN 1 THEN 1 WHEN 2 THEN 3
+         |                  WHEN 3 THEN 7 ELSE 0 END)
+         |             * [$ds][CAST(i AS INTEGER)] * 1e12 + 0.5) / 1e12
+         |           AS DECIMAL(27,14))) AS DOUBLE) AS idcg
+         |         FROM irk)
+         |SELECT round(dcg, 9) AS dcg, round(idcg, 9) AS idcg,
+         |  FLOOR(dcg / idcg * 1e9 + 0.5) / 1e9 AS ndcg
+         |FROM dcg, idcg WHERE idcg > 0""".stripMargin
     },
 
     "q208_label_prop" -> {
