@@ -188,6 +188,66 @@ object SparkEntry {
        |       CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value
        |FROM sess GROUP BY user_id, sid""".stripMargin
 
+  /** Query terms shared by the BM25-based IR-eval family (q263 nDCG,
+    * q264 MAP): relevance is derived from the head term's postings. */
+  private val bm25Terms = Seq("spark", "join", "scan")
+
+  /** Per-doc BM25 scores over [[bm25Terms]] plus the shared tokenized
+    * frame — the ONE corpus-sized pass of the IR-eval family; everything
+    * downstream (rankings, relevance lists) is a ≤10-row frame. k1=1.2,
+    * b=0.75, per-term scores pround(12) into a DECIMAL(27,14) sum,
+    * floor-9 — see q263's scaladoc for the parity argument. Returns
+    * (bm25: doc_id→bm25, words: cacheScoped (doc_id, w)). */
+  private def bm25Scores(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val words = Dedup.cacheScoped(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val tf = words.filter(col("w").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast("double") / col("n_docs")
+    val bm25 = tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
+      .crossJoin(broadcast(st))
+      .withColumn("s", pround(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
+      .groupBy(col("doc_id"))
+      .agg(pround(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9)
+        .as("bm25"))
+    (bm25, words)
+  }
+
+  /** DuckDB twin of [[bm25Scores]] — the shared CTE prefix of the q263
+    * and q264 oracles (`w2` = tokenized frame, `bm` = per-doc BM25). */
+  private lazy val bm25Cte: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
+      |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w2
+      |       WHERE w IN ('spark','join','scan') GROUP BY doc_id, w),
+      |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |sc AS (SELECT tf.doc_id,
+      |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+      |           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))), 12) AS s
+      |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w), st),
+      |bm AS (SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25
+      |       FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** Cheap-quality-score document frame (q221's oracle CTE, shared with
+    * q265/q268): `source, lang, score` with the score formula inlined. */
+  private lazy val qualityDocCte: String =
+    """WITH d AS (SELECT source, lang,
+      |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      |    * (CASE WHEN length(text) = 0 THEN 0.0
+      |            ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
+      |    * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+      |            ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0))
+      |    AS score FROM documents)""".stripMargin
+
   /** Flagship query on sf=0.001: the reference's end-to-end pipeline
     * (decode → explode pages → extract → filter → key) over the documents
     * table with the deterministic stand-in decoder. Driver smoke-checks
@@ -6029,28 +6089,10 @@ object SparkEntry {
       // ordering so a perfect ranker scores exactly 1. The only
       // corpus-sized pass is the shared tokenize; the ranking and the
       // ideal list are ≤10-row frames.
-      val terms = Seq("spark", "join", "scan")
       val discounts = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
       val dArr = array(discounts.map(lit): _*)
-      val words = Dedup.cacheScoped(Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0))
-      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      val tf = words.filter(col("w").isin(terms: _*))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val avgdl = col("total_dl").cast("double") / col("n_docs")
-      val bm25 = tf.join(dl, Seq("doc_id")).join(broadcast(dfq), Seq("w"))
-        .crossJoin(broadcast(st))
-        .withColumn("s", pround(
-          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-            * col("tf") * 2.2
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)), 12))
-        .groupBy(col("doc_id"))
-        .agg(pround(sum(col("s").cast(DecimalType(27, 14))).cast("double"), 9)
-          .as("bm25"))
-      val rel = words.filter(col("w") === terms.head)
+      val (bm25, words) = bm25Scores(s, dir)
+      val rel = words.filter(col("w") === bm25Terms.head)
         .groupBy(col("doc_id")).agg(least(count(lit(1)), lit(3L)).as("rel"))
       def gain(c: Column) = when(c === 1, 1L).when(c === 2, 3L)
         .when(c === 3, 7L).otherwise(0L)
@@ -6073,6 +6115,193 @@ object SparkEntry {
         .filter(col("idcg") > 0)
         .select(pround(col("dcg"), 9).as("dcg"), pround(col("idcg"), 9).as("idcg"),
           (floor(col("dcg") / col("idcg") * 1e9 + 0.5) / 1e9).as("ndcg"))
+    }),
+
+    "q264_map_at_k" -> ((s, dir) => {
+      // MAP@10 of the BM25 ranking [EXT] — the binary-relevance
+      // companion to q263's graded nDCG: average precision integrates
+      // precision at every relevant rank, so one irrelevant doc ranked
+      // above a relevant one is charged at exactly the rank it
+      // corrupts (the canonical ad-hoc-retrieval headline metric).
+      // rel = doc contains the query's head term; AP@10 =
+      // Σ_{i≤10, rel_i} P@i / min(R, 10) with R the corpus-wide
+      // relevant count (the TREC-eval denominator). Only corpus-sized
+      // pass is [[bm25Scores]]' shared tokenize; the ranked frame is
+      // 10 rows. P@i is an exact-long ratio pround(12) into a DECIMAL
+      // sum; floor-9 close.
+      val (bm25, words) = bm25Scores(s, dir)
+      val rel = words.filter(col("w") === bm25Terms.head)
+        .select(col("doc_id")).distinct()
+      val nRel = rel.agg(count(lit(1)).as("n_rel"))
+      val wTop = Window.orderBy(desc("bm25"), col("doc_id"))
+      bm25.orderBy(desc("bm25"), col("doc_id")).limit(10)
+        .withColumn("i", row_number().over(wTop))
+        .join(rel.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .withColumn("cumhit", sum(col("hit")).over(
+          wTop.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .agg(
+          sum(when(col("hit") === 1L,
+              pround(col("cumhit").cast("double") / col("i"), 12))
+            .otherwise(lit(0.0)).cast(DecimalType(27, 14))).as("apnum"),
+          sum(col("hit")).as("hits"))
+        .crossJoin(broadcast(nRel))
+        .filter(col("n_rel") > 0)
+        .select(col("n_rel"), col("hits").as("hits_at_10"),
+          (floor(col("apnum").cast("double")
+            / least(col("n_rel"), lit(10L)).cast("double") * 1e9 + 0.5) / 1e9)
+            .as("ap_at_10"))
+    }),
+
+    "q265_pr_auc" -> ((s, dir) => {
+      // average precision (step-function PR-AUC) per source [EXT] —
+      // q221's ROC-AUC twin for the IMBALANCED regime: ROC flatters a
+      // rare-positive detector (false positives barely dent the huge
+      // negative mass) while PR tracks precision exactly where the
+      // positives live — the right eval for quality filters that keep
+      // 1% of a crawl. Same per-(source, score) count frame and
+      // no-global-window discipline as q221: ONE CumSum two-pass over
+      // (source, score DESC) carrying BOTH n and np, per-source rebase
+      // with driver offsets (≤|sources| rows), then AP =
+      // Σ_thresholds ΔTP·cumTP / (P·cumN) — each term an exact-long
+      // ratio pround(12) into a DECIMAL sum, floor-9 close.
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.qualityScore(col("text")).as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val c = Dedup.cacheScoped(d.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np")))
+      val cum = CumSum.withRunningTotals(c,
+        Seq(col("source"), col("score") * lit(-1.0)),
+        Seq(col("n") -> "gn", col("np") -> "gnp"))
+      val tot = c.groupBy(col("source"))
+        .agg(sum(col("n")).as("tn"), sum(col("np")).as("tp"))
+        .orderBy(col("source")).collect()
+      var accN = 0L
+      var accP = 0L
+      val offs = tot.map { r =>
+        val row = (r.getString(0), accN, accP, r.getLong(1), r.getLong(2))
+        accN += r.getLong(1); accP += r.getLong(2); row
+      }.toIndexedSeq
+      import s.implicits._
+      val offDf = offs.toDF("source", "offn", "offp", "tn", "tp")
+      cum.join(broadcast(offDf), Seq("source"))
+        .filter(col("tp") > 0 && col("tn") - col("tp") > 0)
+        .withColumn("cn", col("gn") - col("offn"))
+        .withColumn("ctp", col("gnp") - col("offp"))
+        // double-FIRST products: long·long wraps past 2^63 at corpus
+        // scale while DuckDB widens to HUGEINT; IEEE double multiply is
+        // engine-identical at any magnitude (q222 tie-term lesson)
+        .withColumn("term", pround(
+          (col("np").cast("double") * col("ctp").cast("double"))
+            / (col("tp").cast("double") * col("cn").cast("double")), 12))
+        .groupBy(col("source"))
+        .agg(sum(col("term").cast(DecimalType(27, 14))).as("apd"))
+        .join(broadcast(offDf), Seq("source"))
+        .select(col("source"), col("tp").as("n_pos"),
+          (floor(col("apd").cast("double") * 1e9 + 0.5) / 1e9).as("ap"))
+        .orderBy(col("source"))
+    }),
+
+    "q266_max_concurrency" -> ((s, dir) => {
+      // peak session concurrency [EXT] — the interval boundary sweep
+      // (+1 at each session start, −1 at each end, running-sum, max):
+      // "how many sessions were live at once", the capacity-planning /
+      // rate-limit-sizing number the interval family (q172 overlap
+      // join, q92 funnel) cannot answer. Sessions are the 30-min-gap
+      // per-user kind; the boundary frame is 2 rows/session and the
+      // global running sum rides the CumSum two-pass (never a global
+      // window) over the total order (ts, start-before-end, user, sid)
+      // — ends sort AFTER starts at the same instant, so touching
+      // sessions count as overlapping. Within an order-tie block all
+      // deltas are equal, so the live-count multiset (hence peak,
+      // peak_ts, n_at_peak) is tie-order invariant; all arithmetic is
+      // exact longs.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap", (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))) >= 1800)
+        .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val bounds = sess.select(col("st").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("sid"))
+        .unionAll(sess.select(col("en").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("sid")))
+      val cum = CumSum.withRunningTotal(bounds,
+        Seq(col("ts"), col("delta") * lit(-1L), col("user_id"), col("sid")),
+        col("delta"), "live")
+      val peak = cum.agg(max(col("live")).as("peak"))
+      cum.crossJoin(broadcast(peak))
+        .filter(col("live") === col("peak"))
+        .groupBy(col("peak"))
+        .agg(min(col("ts")).as("peak_ts"), count(lit(1)).as("n_at_peak"))
+        .select(col("peak"), col("peak_ts"), col("n_at_peak"))
+    }),
+
+    "q267_cramers_v" -> ((s, dir) => {
+      // Cramér's V of event_type × weekday [EXT] — the normalized
+      // effect-size companion to q100's χ²: χ² grows linearly with n,
+      // so at corpus scale EVERYTHING is "significant"; V ∈ [0,1] is
+      // comparable across tables and corpora — the right "is usage
+      // actually day-dependent" number for seasonality triage. Weekday
+      // from exact integer epoch-day arithmetic (never engine
+      // date-part conventions, which disagree on week start); margins
+      // broadcast back onto the |types|×7 cell frame; each (o−e)²/e
+      // term pround(9) into a DECIMAL sum; dof and the min(r,c)−1
+      // normalizer from exact distinct counts.
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7).as("dow"))
+      val cells = ev.groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+      val nT = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("r"), countDistinct(col("dow")).as("c"))
+      cells.join(broadcast(rowT), Seq("event_type"))
+        .join(broadcast(colT), Seq("dow"))
+        .crossJoin(broadcast(nT))
+        // double-first product: rt·ct reaches n² (wraps long at corpus
+        // scale; DuckDB's HUGEINT wouldn't) — IEEE multiply is portable
+        .withColumn("e", col("rt").cast("double") * col("ct").cast("double")
+          / col("n").cast("double"))
+        .withColumn("term",
+          pround((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9))
+        .groupBy(col("n"), col("r"), col("c"))
+        .agg(sum(col("term").cast(DecimalType(27, 10))).cast("double").as("chi2"))
+        .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          pround(col("chi2"), 6).as("chi2"),
+          (floor(sqrt(col("chi2")
+            / (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
+            * 1e9 + 0.5) / 1e9).as("v"))
+    }),
+
+    "q268_cohens_kappa" -> ((s, dir) => {
+      // Cohen's κ between two deterministic raters [EXT] — the
+      // chance-corrected agreement number for label QC: raw agreement
+      // flatters skewed label distributions (two raters who both say
+      // "keep almost everything" agree by accident), κ subtracts the
+      // margin-product chance floor — the standard inter-annotator
+      // report before trusting a relabeling campaign. Rater A: the
+      // cheap quality score ≥ 0.5; rater B: lang = 'en'. All four
+      // contingency cells reduce in ONE conditional agg over one scan;
+      // po/pe close in exact longs → double ratios mirrored term-for-
+      // term in the oracle, floor-9.
+      val d = Tables.documents(s, dir).select(
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).cast("long").as("a"),
+        (col("lang") === "en").cast("long").as("b"))
+      val nD = col("n").cast("double")
+      val pe = (col("na").cast("double") / nD) * (col("nb").cast("double") / nD) +
+        ((col("n") - col("na")).cast("double") / nD) *
+          ((col("n") - col("nb")).cast("double") / nD)
+      val po = col("agree").cast("double") / nD
+      d.agg(count(lit(1)).as("n"), sum(col("a")).as("na"), sum(col("b")).as("nb"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+        .filter(col("n") > 0 && pe =!= 1.0)
+        .select(col("n"), col("na").as("n_a_pos"), col("nb").as("n_b_pos"),
+          pround(po, 9).as("po"), pround(pe, 9).as("pe"),
+          (floor((po - pe) / (lit(1.0) - pe) * 1e9 + 0.5) / 1e9).as("kappa"))
     }),
   )
 
@@ -9714,19 +9943,7 @@ object SparkEntry {
       // the identical Scala discount ladder the Spark side embeds
       val ds = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
         .mkString(", ")
-      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         |w2 AS (SELECT doc_id, w FROM w WHERE length(w) > 0),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
-         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
-         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w2
-         |       WHERE w IN ('spark','join','scan') GROUP BY doc_id, w),
-         |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-         |sc AS (SELECT tf.doc_id,
-         |         round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
-         |           / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs))), 12) AS s
-         |       FROM tf JOIN dl USING (doc_id) JOIN dfq USING (w), st),
-         |bm AS (SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25
-         |       FROM sc GROUP BY doc_id),
+      s"""$bm25Cte,
          |rel AS (SELECT doc_id, least(COUNT(*), 3) AS rel FROM w2
          |        WHERE w = 'spark' GROUP BY doc_id),
          |rk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS i
@@ -9771,5 +9988,106 @@ object SparkEntry {
          |$rounds
          |SELECT node AS page, lbl AS community FROM l3 ORDER BY page""".stripMargin
     },
+
+    "q264_map_at_k" ->
+      s"""$bm25Cte,
+         |rel AS (SELECT DISTINCT doc_id FROM w2 WHERE w = 'spark'),
+         |rk AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS i
+         |       FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |h AS (SELECT rk.i, CASE WHEN rel.doc_id IS NULL THEN 0 ELSE 1 END AS hit
+         |      FROM rk LEFT JOIN rel USING (doc_id)),
+         |ch AS (SELECT i, hit, SUM(hit) OVER (ORDER BY i) AS cumhit FROM h),
+         |a AS (SELECT COALESCE(SUM(CASE WHEN hit = 1
+         |          THEN CAST(round(CAST(cumhit AS DOUBLE) / i, 12) AS DECIMAL(27,14))
+         |          ELSE CAST(0 AS DECIMAL(27,14)) END), 0) AS apnum,
+         |        COALESCE(SUM(hit), 0) AS hits FROM ch),
+         |nr AS (SELECT COUNT(*) AS n_rel FROM rel)
+         |SELECT CAST(n_rel AS BIGINT) AS n_rel, CAST(hits AS BIGINT) AS hits_at_10,
+         |  FLOOR(CAST(apnum AS DOUBLE) / CAST(least(n_rel, 10) AS DOUBLE)
+         |    * 1e9 + 0.5) / 1e9 AS ap_at_10
+         |FROM a, nr WHERE n_rel > 0""".stripMargin,
+
+    "q265_pr_auc" ->
+      s"""$qualityDocCte,
+         |c AS (SELECT source, score, COUNT(*) AS n,
+         |        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+         |      FROM d GROUP BY 1, 2),
+         |cum AS (SELECT source, score, n, np,
+         |        SUM(n) OVER (PARTITION BY source ORDER BY score DESC) AS cn,
+         |        SUM(np) OVER (PARTITION BY source ORDER BY score DESC) AS ctp
+         |        FROM c),
+         |t AS (SELECT source, SUM(n) AS tn, SUM(np) AS tp FROM c GROUP BY 1),
+         |r AS (SELECT cum.source,
+         |        SUM(CAST(round((CAST(np AS DOUBLE) * CAST(ctp AS DOUBLE))
+         |            / (CAST(tp AS DOUBLE) * CAST(cn AS DOUBLE)), 12)
+         |          AS DECIMAL(27,14))) AS apd
+         |      FROM cum JOIN t USING (source)
+         |      WHERE tp > 0 AND tn - tp > 0 GROUP BY 1)
+         |SELECT r.source AS source, CAST(tp AS BIGINT) AS n_pos,
+         |  FLOOR(CAST(apd AS DOUBLE) * 1e9 + 0.5) / 1e9 AS ap
+         |FROM r JOIN t USING (source) ORDER BY source""".stripMargin,
+
+    "q266_max_concurrency" ->
+      s"""$evCte,
+         |brk AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+         |         THEN 1 ELSE 0 END AS is_break
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sx AS (SELECT user_id, ts,
+         |         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |       FROM brk),
+         |sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en FROM sx GROUP BY 1, 2),
+         |b AS (SELECT st AS ts, 1 AS delta, user_id, sid FROM sess
+         |      UNION ALL SELECT en, -1, user_id, sid FROM sess),
+         |c AS (SELECT ts, SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, sid
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+         |      FROM b),
+         |p AS (SELECT MAX(live) AS peak FROM c)
+         |SELECT CAST(peak AS BIGINT) AS peak, MIN(ts) AS peak_ts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_at_peak
+         |FROM c, p WHERE live = peak GROUP BY peak""".stripMargin,
+
+    "q267_cramers_v" ->
+      s"""$evCte,
+         |x AS (SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow FROM ev),
+         |cells AS (SELECT event_type, dow, COUNT(*) AS o FROM x GROUP BY 1, 2),
+         |rt AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+         |ctt AS (SELECT dow, SUM(o) AS ct FROM cells GROUP BY 1),
+         |nt AS (SELECT SUM(o) AS n, COUNT(DISTINCT event_type) AS r,
+         |         COUNT(DISTINCT dow) AS c FROM cells),
+         |s AS (SELECT n, r, c,
+         |        CAST(SUM(CAST(round(
+         |          (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (o - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+         |          AS DECIMAL(27,10))) AS DOUBLE) AS chi2
+         |      FROM cells JOIN rt USING (event_type) JOIN ctt USING (dow), nt
+         |      GROUP BY 1, 2, 3)
+         |SELECT CAST(n AS BIGINT) AS n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+         |  round(chi2, 6) AS chi2,
+         |  FLOOR(sqrt(chi2 / CAST(n * least(r - 1, c - 1) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS v
+         |FROM s""".stripMargin,
+
+    "q268_cohens_kappa" ->
+      s"""$qualityDocCte,
+         |lab AS (SELECT CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS a,
+         |          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b FROM d),
+         |t AS (SELECT COUNT(*) AS n, SUM(a) AS na, SUM(b) AS nb,
+         |        SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree FROM lab),
+         |k AS (SELECT n, na, nb, agree,
+         |        CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |        (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+         |        + (CAST(n - na AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(n - nb AS DOUBLE) / CAST(n AS DOUBLE)) AS pe
+         |      FROM t)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a_pos,
+         |  CAST(nb AS BIGINT) AS n_b_pos,
+         |  round(po, 9) AS po, round(pe, 9) AS pe,
+         |  FLOOR((po - pe) / (1.0 - pe) * 1e9 + 0.5) / 1e9 AS kappa
+         |FROM k WHERE n > 0 AND pe <> 1.0""".stripMargin,
   )
 }
