@@ -6303,6 +6303,184 @@ object SparkEntry {
           pround(po, 9).as("po"), pround(pe, 9).as("pe"),
           (floor((po - pe) / (lit(1.0) - pe) * 1e9 + 0.5) / 1e9).as("kappa"))
     }),
+
+    "q269_changepoint" -> ((s, dir) => {
+      // single-changepoint estimate (binary segmentation, first level)
+      // on the daily total-value series [EXT] — "WHEN did the metric
+      // shift": q207's CUSUM monitors drift online, this RETROSPECTIVELY
+      // locates the split t maximizing the between-segment sum of
+      // squares BSS(t) = (S_t − t·S_T/T)²·T/(t(T−t)) — the first
+      // recursion level of binary segmentation. One corpus pass (daily
+      // DECIMAL sums — exact, order-free), then all candidate splits on
+      // the ≤|days| frame: prefix sums stay in DECIMAL (a windowed
+      // double sum would tie the hash to the engine's summation tree),
+      // statistics convert once to double, mirrored term-for-term;
+      // argmax by (gain DESC, day) is total. Tiny-frame global window
+      // only (|days| rows).
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("y"))
+      val w = Window.orderBy(col("day"))
+      val cum = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("st", sum(col("y")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = daily.agg(count(lit(1)).as("tt"), sum(col("y")).as("stt"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("t") < col("tt"))
+        .withColumn("std", col("st").cast("double"))
+        .withColumn("sttd", col("stt").cast("double"))
+        .withColumn("diff", col("std")
+          - col("t").cast("double") * col("sttd") / col("tt").cast("double"))
+        .withColumn("gain", pround(col("diff") * col("diff") * col("tt").cast("double")
+          / (col("t").cast("double") * (col("tt") - col("t")).cast("double")), 6))
+        .orderBy(desc("gain"), col("day")).limit(1)
+        .select(col("day").as("split_day"), col("t").as("n_left"),
+          (col("tt") - col("t")).as("n_right"), col("gain"),
+          pround(col("std") / col("t").cast("double"), 6).as("mean_left"),
+          pround((col("sttd") - col("std"))
+            / (col("tt") - col("t")).cast("double"), 6).as("mean_right"))
+    }),
+
+    "q270_lognormal_tail" -> ((s, dir) => {
+      // log-normal fit + tail-mass check of doc length per source [EXT]
+      // — the distributional QC behind length-based curation gates:
+      // doc lengths are canonically log-normal; a heavy log-space skew
+      // or tail mass far above the 2σ prediction (Φ(−2) ≈ 0.02275)
+      // says the source mixes regimes (boilerplate + books) and a
+      // single length cut is wrong. Moments of ln(n_chars) pround(9)
+      // into DECIMAL sums (one pass); thresholds broadcast back for
+      // the tail count (second pass, map-side); compare ROUNDED lx to
+      // ROUNDED threshold so an exp/ln last-ulp can't flip a boundary
+      // doc (q87 discipline).
+      val d = Dedup.cacheScoped(Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("source"), log(col("n_chars").cast("double")).as("lx")))
+      val st = d.groupBy(col("source")).agg(
+          count(lit(1)).as("n"),
+          sum(pround(col("lx"), 9).cast(DecimalType(27, 10))).cast("double").as("s1"),
+          sum(pround(col("lx") * col("lx"), 9).cast(DecimalType(27, 10)))
+            .cast("double").as("s2"),
+          sum(pround(col("lx") * col("lx") * col("lx"), 9).cast(DecimalType(27, 10)))
+            .cast("double").as("s3"))
+        .filter(col("n") > 2)
+        .withColumn("mu", col("s1") / col("n"))
+        .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+        .filter(col("m2") > 0)
+        .withColumn("m3", col("s3") / col("n")
+          - lit(3.0) * col("mu") * (col("s2") / col("n"))
+          + lit(2.0) * col("mu") * col("mu") * col("mu"))
+        .withColumn("sigma", sqrt(col("m2")))
+        .withColumn("thr", pround(col("mu") + lit(2.0) * col("sigma"), 9))
+      val tail = d.join(broadcast(st.select(col("source"), col("thr"))), Seq("source"))
+        .groupBy(col("source"))
+        .agg(sum(when(pround(col("lx"), 9) > col("thr"), 1L).otherwise(0L)).as("n_tail"))
+      st.join(tail, Seq("source"))
+        .select(col("source"), col("n"),
+          pround(col("mu"), 9).as("mu_log"),
+          (floor(col("sigma") * 1e9 + 0.5) / 1e9).as("sigma_log"),
+          (floor(col("m3") / (col("sigma") * col("m2")) * 1e9 + 0.5) / 1e9)
+            .as("skew_log"),
+          pround(col("n_tail").cast("double") / col("n"), 9).as("tail_frac"),
+          pround(col("n_tail").cast("double") / col("n") - 0.02275, 9).as("tail_excess"))
+        .orderBy(col("source"))
+    }),
+
+    "q271_gumbel_fit" -> ((s, dir) => {
+      // Gumbel fit of daily block maxima [EXT] — extreme-value theory's
+      // block-maxima branch (q239's Hill index is the OTHER branch:
+      // tail decay of ALL large values; Gumbel models the distribution
+      // of per-period RECORDS — the "how bad is the worst day of the
+      // next year" capacity question). Method of moments: β̂ = s·√6/π,
+      // μ̂ = m − γ·β̂, 99% return level μ̂ − β̂·ln(−ln 0.99); √6/π, γ and
+      // the ln(−ln p) constant are Scala-computed literals embedded in
+      // BOTH plans (never engine-evaluated transcendentals of
+      // constants). One corpus pass (daily max), moments on the
+      // ≤|days| frame in pround+DECIMAL.
+      val sqrt6OverPi = math.sqrt(6.0) / math.Pi
+      val gamma = 0.5772156649015329
+      val c99 = math.log(-math.log(0.99))
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(max(col("value")).as("mx"))
+      daily.agg(count(lit(1)).as("n"),
+          sum(pround(col("mx"), 6).cast(DecimalType(27, 8))).cast("double").as("s1"),
+          sum(pround(col("mx") * col("mx"), 6).cast(DecimalType(27, 8)))
+            .cast("double").as("s2"))
+        .filter(col("n") > 1)
+        .withColumn("m", col("s1") / col("n"))
+        .withColumn("v", (col("s2") - col("s1") * col("s1") / col("n"))
+          / (col("n") - 1))
+        .filter(col("v") > 0)
+        .withColumn("beta", sqrt(col("v")) * lit(sqrt6OverPi))
+        .withColumn("mu", col("m") - lit(gamma) * col("beta"))
+        .select(col("n").as("n_blocks"), pround(col("m"), 9).as("mean_max"),
+          pround(col("mu"), 9).as("mu"),
+          (floor(col("beta") * 1e9 + 0.5) / 1e9).as("beta"),
+          (floor((col("mu") - col("beta") * lit(c99)) * 1e9 + 0.5) / 1e9)
+            .as("return_99"))
+    }),
+
+    "q272_spell_variants" -> ((s, dir) => {
+      // edit-distance-1 spell-variant mining over the corpus vocabulary
+      // [EXT] — the fuzzy-matching tier of the dedup/linkage family
+      // (q158 blocks RECORDS on exact keys; q224 sorts neighborhoods;
+      // this finds typo/variant WORD pairs — normalization candidates
+      // for tokenizer vocab and query rewriting). Levenshtein is
+      // exact-integer in both engines (no float parity surface).
+      // Blocked self-join: equal 2-char prefix + |Δlen| ≤ 1 bounds
+      // pairs to Σ_blk |blk|² over the VOCABULARY (not the corpus) —
+      // the standard blocking recall trade, stated; distance-1 pairs
+      // differing inside the first 2 chars are out of block by design.
+      // Top-20 by combined document frequency, total order.
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]{4,12}$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val v = Dedup.cacheScoped(vocab.withColumn("blk", substring(col("w"), 1, 2)))
+      v.as("a").join(v.as("b"),
+          col("a.blk") === col("b.blk") && col("a.w") < col("b.w") &&
+            abs(length(col("a.w")) - length(col("b.w"))) <= 1)
+        .filter(levenshtein(col("a.w"), col("b.w")) === 1)
+        .select(col("a.w").as("w1"), col("b.w").as("w2"),
+          col("a.df").as("df1"), col("b.df").as("df2"))
+        .orderBy((col("df1") + col("df2")).desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
+    "q273_sax_motifs" -> ((s, dir) => {
+      // SAX motif discovery on the daily-volume series [EXT] — symbolic
+      // aggregate approximation: z-normalize the daily counts, map to a
+      // 4-letter alphabet at the N(0,1) quartile breakpoints (±0.6745,
+      // 0 — literals), and count 3-day words; the top motifs are the
+      // series' recurring local shapes (the time-series twin of q237's
+      // path trigrams). Calendar joins align consecutive days (q238's
+      // discipline — never a window over the series); counts are exact
+      // ints, z pround(9) before the breakpoint compare so a last-ulp
+      // can't flip a letter; population variance via double-first
+      // products (exact-int squares would overflow long at corpus
+      // scale).
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x")))
+      val st = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("x"))).as("sxx"))
+      val lettered = daily.crossJoin(broadcast(st))
+        .filter(col("n") > 1)
+        .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("v", col("sxx").cast("double") / col("n").cast("double")
+          - col("m") * col("m"))
+        .filter(col("v") > 0)
+        .withColumn("z", pround((col("x").cast("double") - col("m")) / sqrt(col("v")), 9))
+        .withColumn("l", when(col("z") < -0.6745, lit("a"))
+          .when(col("z") < 0.0, lit("b"))
+          .when(col("z") < 0.6745, lit("c")).otherwise(lit("d")))
+        .select(col("day"), col("l"))
+      lettered.as("d0")
+        .join(lettered.as("d1"), date_add(col("d0.day"), 1) === col("d1.day"))
+        .join(lettered.as("d2"), date_add(col("d0.day"), 2) === col("d2.day"))
+        .select(concat(col("d0.l"), col("d1.l"), col("d2.l")).as("motif"))
+        .groupBy(col("motif")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("motif")).limit(5)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -10089,5 +10267,109 @@ object SparkEntry {
          |  round(po, 9) AS po, round(pe, 9) AS pe,
          |  FLOOR((po - pe) / (1.0 - pe) * 1e9 + 0.5) / 1e9 AS kappa
          |FROM k WHERE n > 0 AND pe <> 1.0""".stripMargin,
+
+    "q269_changepoint" ->
+      s"""$evCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day,
+         |            SUM(CAST(value AS DECIMAL(18,4))) AS y FROM ev GROUP BY 1),
+         |cum AS (SELECT day, row_number() OVER (ORDER BY day) AS t,
+         |          SUM(y) OVER (ORDER BY day
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+         |        FROM daily),
+         |tot AS (SELECT COUNT(*) AS tt, SUM(y) AS stt FROM daily),
+         |g AS (SELECT day, t, tt, CAST(st AS DOUBLE) AS std, CAST(stt AS DOUBLE) AS sttd,
+         |        round((CAST(st AS DOUBLE)
+         |            - CAST(t AS DOUBLE) * CAST(stt AS DOUBLE) / CAST(tt AS DOUBLE))
+         |          * (CAST(st AS DOUBLE)
+         |            - CAST(t AS DOUBLE) * CAST(stt AS DOUBLE) / CAST(tt AS DOUBLE))
+         |          * CAST(tt AS DOUBLE)
+         |          / (CAST(t AS DOUBLE) * CAST(tt - t AS DOUBLE)), 6) AS gain
+         |      FROM cum, tot WHERE t < tt)
+         |SELECT day AS split_day, CAST(t AS BIGINT) AS n_left,
+         |  CAST(tt - t AS BIGINT) AS n_right, gain,
+         |  round(std / CAST(t AS DOUBLE), 6) AS mean_left,
+         |  round((sttd - std) / CAST(tt - t AS DOUBLE), 6) AS mean_right
+         |FROM g ORDER BY gain DESC, day LIMIT 1""".stripMargin,
+
+    "q270_lognormal_tail" ->
+      """WITH d AS (SELECT source, ln(CAST(n_chars AS DOUBLE)) AS lx
+        |           FROM documents WHERE n_chars > 0),
+        |st AS (SELECT source, COUNT(*) AS n,
+        |         CAST(SUM(CAST(round(lx, 9) AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(round(lx * lx, 9) AS DECIMAL(27,10))) AS DOUBLE) AS s2,
+        |         CAST(SUM(CAST(round(lx * lx * lx, 9) AS DECIMAL(27,10))) AS DOUBLE) AS s3
+        |       FROM d GROUP BY 1),
+        |f AS (SELECT source, n, s1 / n AS mu, s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |        s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |          + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3
+        |      FROM st WHERE n > 2),
+        |f2 AS (SELECT source, n, mu, m2, m3, sqrt(m2) AS sigma,
+        |         round(mu + 2.0 * sqrt(m2), 9) AS thr
+        |       FROM f WHERE m2 > 0),
+        |tl AS (SELECT d.source, SUM(CASE WHEN round(lx, 9) > thr THEN 1 ELSE 0 END) AS n_tail
+        |       FROM d JOIN f2 USING (source) GROUP BY 1)
+        |SELECT f2.source AS source, CAST(n AS BIGINT) AS n,
+        |  round(mu, 9) AS mu_log,
+        |  FLOOR(sigma * 1e9 + 0.5) / 1e9 AS sigma_log,
+        |  FLOOR(m3 / (sigma * m2) * 1e9 + 0.5) / 1e9 AS skew_log,
+        |  round(CAST(n_tail AS DOUBLE) / n, 9) AS tail_frac,
+        |  round(CAST(n_tail AS DOUBLE) / n - 0.02275, 9) AS tail_excess
+        |FROM f2 JOIN tl ON f2.source = tl.source ORDER BY source""".stripMargin,
+
+    "q271_gumbel_fit" -> {
+      val sqrt6OverPi = math.sqrt(6.0) / math.Pi
+      val gamma = 0.5772156649015329
+      val c99 = math.log(-math.log(0.99))
+      s"""$evCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day, MAX(value) AS mx FROM ev GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n,
+         |         CAST(SUM(CAST(round(mx, 6) AS DECIMAL(27,8))) AS DOUBLE) AS s1,
+         |         CAST(SUM(CAST(round(mx * mx, 6) AS DECIMAL(27,8))) AS DOUBLE) AS s2
+         |       FROM daily),
+         |f AS (SELECT n, s1 / n AS m, (s2 - s1 * s1 / n) / (n - 1) AS v
+         |      FROM st WHERE n > 1),
+         |g AS (SELECT n, m, sqrt(v) * $sqrt6OverPi AS beta FROM f WHERE v > 0),
+         |h AS (SELECT n, m, beta, m - $gamma * beta AS mu FROM g)
+         |SELECT CAST(n AS BIGINT) AS n_blocks, round(m, 9) AS mean_max,
+         |  round(mu, 9) AS mu,
+         |  FLOOR(beta * 1e9 + 0.5) / 1e9 AS beta,
+         |  FLOOR((mu - beta * $c99) * 1e9 + 0.5) / 1e9 AS return_99
+         |FROM h""".stripMargin
+    },
+
+    "q272_spell_variants" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wd AS (SELECT w, COUNT(*) AS df FROM w0
+        |       WHERE regexp_full_match(w, '[a-z]{4,12}') GROUP BY 1),
+        |v AS (SELECT w, df, substr(w, 1, 2) AS blk FROM wd)
+        |SELECT a.w AS w1, b.w AS w2, a.df AS df1, b.df AS df2
+        |FROM v a JOIN v b
+        |  ON a.blk = b.blk AND a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+        |WHERE levenshtein(a.w, b.w) = 1
+        |ORDER BY a.df + b.df DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "q273_sax_motifs" ->
+      s"""$evCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n, SUM(x) AS sx,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx FROM daily),
+         |z AS (SELECT day,
+         |        round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |          / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         |            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |              * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS zz
+         |      FROM daily, st
+         |      WHERE n > 1 AND CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         |        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0),
+         |lettered AS (SELECT day,
+         |        CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0.0 THEN 'b'
+         |             WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS l
+         |      FROM z)
+         |SELECT d0.l || d1.l || d2.l AS motif, COUNT(*) AS cnt
+         |FROM lettered d0
+         |JOIN lettered d1 ON d0.day + 1 = d1.day
+         |JOIN lettered d2 ON d0.day + 2 = d2.day
+         |GROUP BY 1 ORDER BY cnt DESC, motif LIMIT 5""".stripMargin,
   )
 }
