@@ -47,7 +47,14 @@ object SparkEntry {
     * construction. */
   private def pround(c: Column, scale: Int): Column = {
     val s = math.pow(10, scale)
-    floor(c * s + 0.5) / s
+    val y = c * s + 0.5
+    // Spark's floor(double) returns LONG and silently clamps past 2^63
+    // (DuckDB's FLOOR stays double — the q275 Durbin–Watson find):
+    // above 2^52 a double is already integral, so floor is the
+    // identity there and the long path is exact below it — this makes
+    // the floor form overflow-free and bit-identical to DuckDB's
+    // FLOOR(x·10ⁿ + 0.5)/10ⁿ at EVERY magnitude.
+    when(abs(y) >= 4.503599627370496e15, y).otherwise(floor(y).cast("double")) / s
   }
 
   /** Rewrite every SQL `round(expr, n)` (and `round(expr)`) to the
@@ -237,10 +244,72 @@ object SparkEntry {
       |bm AS (SELECT doc_id, round(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25
       |       FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** Lag-1..maxLag autocorrelation frame of the per-type daily count
+    * series — q238's pipeline factored so PACF (q279) rides the SAME
+    * arithmetic (see q238's scaladoc for the parity argument). Returns
+    * (event_type, lag, n_pairs, acf[floor-9]). */
+  private def acfFrame(s: SparkSession, dir: String, maxLag: Int): DataFrame = {
+    val daily = Dedup.cacheScoped(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("event_type"), (col("sx").cast("double") / col("n")).as("mu"))
+    val c = daily.join(broadcast(mu), Seq("event_type"))
+    val den = c.select(col("event_type"),
+        (floor((col("x") - col("mu")) * (col("x") - col("mu")) * 1e12 + 0.5) / 1e12)
+          .cast(DecimalType(27, 14)).as("d2"))
+      .groupBy(col("event_type")).agg(sum(col("d2")).cast("double").as("den"))
+    val num = c.withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .select(col("event_type"), col("lag"),
+        date_add(col("day"), col("lag")).as("day"), col("x").as("x0"), col("mu"))
+      .join(daily.select(col("event_type"), col("day"), col("x").as("x1")),
+        Seq("event_type", "day"))
+      .select(col("event_type"), col("lag"),
+        (floor((col("x0") - col("mu")) * (col("x1") - col("mu")) * 1e12 + 0.5) / 1e12)
+          .cast(DecimalType(27, 14)).as("p2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("p2")).cast("double").as("num"))
+    num.join(broadcast(den), Seq("event_type"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("lag").cast("long").as("lag"), col("n_pairs"),
+        (floor(col("num") / col("den") * 1e9 + 0.5) / 1e9).as("acf"))
+  }
+
+  /** DuckDB twin of [[acfFrame]] — CTE chain ending in
+    * `acfv(event_type, lag, n_pairs, acf)`, shared by the q238 and
+    * q279 oracles. */
+  private def acfCte(maxLag: Int): String =
+    s"""$evCte,
+       |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |            COUNT(*) AS x
+       |          FROM ev GROUP BY 1, 2),
+       |mu AS (SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
+       |       FROM daily GROUP BY 1),
+       |c AS (SELECT d.event_type, d.day, d.x, m.mu
+       |      FROM daily d JOIN mu m USING (event_type)),
+       |den AS (SELECT event_type,
+       |          CAST(SUM(CAST(FLOOR((x - mu) * (x - mu) * 1e12 + 0.5) / 1e12
+       |            AS DECIMAL(27,14))) AS DOUBLE) AS den
+       |        FROM c GROUP BY 1),
+       |lagged AS (SELECT c.event_type, g.lag, c.day + CAST(g.lag AS INTEGER) AS day,
+       |             c.x AS x0, c.mu
+       |           FROM c, (SELECT unnest(generate_series(1, $maxLag)) AS lag) g),
+       |num AS (SELECT l.event_type, l.lag, COUNT(*) AS n_pairs,
+       |          CAST(SUM(CAST(FLOOR((l.x0 - l.mu) * (d.x - l.mu) * 1e12 + 0.5) / 1e12
+       |            AS DECIMAL(27,14))) AS DOUBLE) AS num
+       |        FROM lagged l JOIN daily d
+       |          ON d.event_type = l.event_type AND d.day = l.day
+       |        GROUP BY 1, 2),
+       |acfv AS (SELECT n.event_type, n.lag, n.n_pairs,
+       |           FLOOR(n.num / de.den * 1e9 + 0.5) / 1e9 AS acf
+       |         FROM num n JOIN den de USING (event_type)
+       |         WHERE de.den > 0)""".stripMargin
+
   /** Cheap-quality-score document frame (q221's oracle CTE, shared with
     * q265/q268): `source, lang, score` with the score formula inlined. */
   private lazy val qualityDocCte: String =
-    """WITH d AS (SELECT source, lang,
+    """WITH d AS (SELECT doc_id, source, lang,
       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
       |    * (CASE WHEN length(text) = 0 THEN 0.0
       |            ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END)
@@ -5143,32 +5212,7 @@ object SparkEntry {
       // series); products floor-round at 12, reduce in DECIMAL, and
       // each lag closes with a single floor-9 ratio against the lag-0
       // denominator.
-      val daily = Dedup.cacheScoped(Tables.events(s, dir)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("x")))
-      val mu = daily.groupBy(col("event_type"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .select(col("event_type"), (col("sx").cast("double") / col("n")).as("mu"))
-      val c = daily.join(broadcast(mu), Seq("event_type"))
-      val den = c.select(col("event_type"),
-          (floor((col("x") - col("mu")) * (col("x") - col("mu")) * 1e12 + 0.5) / 1e12)
-            .cast(DecimalType(27, 14)).as("d2"))
-        .groupBy(col("event_type")).agg(sum(col("d2")).cast("double").as("den"))
-      val num = c.withColumn("lag", explode(sequence(lit(1), lit(7))))
-        .select(col("event_type"), col("lag"),
-          date_add(col("day"), col("lag")).as("day"), col("x").as("x0"), col("mu"))
-        .join(daily.select(col("event_type"), col("day"), col("x").as("x1")),
-          Seq("event_type", "day"))
-        .select(col("event_type"), col("lag"),
-          (floor((col("x0") - col("mu")) * (col("x1") - col("mu")) * 1e12 + 0.5) / 1e12)
-            .cast(DecimalType(27, 14)).as("p2"))
-        .groupBy(col("event_type"), col("lag"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("p2")).cast("double").as("num"))
-      num.join(broadcast(den), Seq("event_type"))
-        .filter(col("den") > 0)
-        .select(col("event_type"), col("lag").cast("long").as("lag"), col("n_pairs"),
-          (floor(col("num") / col("den") * 1e9 + 0.5) / 1e9).as("acf"))
-        .orderBy(col("event_type"), col("lag"))
+      acfFrame(s, dir, 7).orderBy(col("event_type"), col("lag"))
     }),
 
     "q239_hill_tail" -> ((s, dir) => {
@@ -6480,6 +6524,242 @@ object SparkEntry {
         .select(concat(col("d0.l"), col("d1.l"), col("d2.l")).as("motif"))
         .groupBy(col("motif")).agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("motif")).limit(5)
+    }),
+
+    "q274_cv_accuracy" -> ((s, dir) => {
+      // 5-fold cross-validated accuracy of a nearest-class-mean text
+      // classifier [EXT] — the eval loop q108's training head lacks:
+      // in-sample accuracy flatters any model, CV is the honest
+      // number. The k training sets come from ONE scan via the
+      // complement trick: per-(fold, class) count/sum cells reduce
+      // once; the held-out fold's training mean is (total − fold) /
+      // (n − n_fold) — exact DECIMAL subtraction, never k passes over
+      // the corpus. Fold means broadcast back for a map-side predict;
+      // ROUNDED score vs ROUNDED means in the decision (q87
+      // discipline) so a last-ulp can't flip a prediction.
+      val k = 5
+      val d = Dedup.cacheScoped(Tables.documents(s, dir).select(
+        (col("doc_id") % k).as("fold"),
+        (col("lang") === "en").cast("long").as("y"),
+        pround(TextAnalysis.qualityScore(col("text")), 9).as("sc")))
+      val cell = d.groupBy(col("fold"), col("y"))
+        .agg(count(lit(1)).as("nf"), sum(col("sc").cast(DecimalType(27, 10))).as("sf"))
+      val tot = cell.groupBy(col("y"))
+        .agg(sum(col("nf")).as("nt"), sum(col("sf")).as("stot"))
+      val tr = cell.join(broadcast(tot), Seq("y"))
+        .filter(col("nt") - col("nf") > 0)
+        .select(col("fold"), col("y"),
+          pround((col("stot") - col("sf")).cast("double")
+            / (col("nt") - col("nf")).cast("double"), 9).as("m"))
+      val means = tr.groupBy(col("fold")).agg(
+          max(when(col("y") === 1, col("m"))).as("m1"),
+          max(when(col("y") === 0, col("m"))).as("m0"))
+        .filter(col("m1").isNotNull && col("m0").isNotNull)
+      d.join(broadcast(means), Seq("fold"))
+        .withColumn("pred",
+          (abs(col("sc") - col("m1")) < abs(col("sc") - col("m0"))).cast("long"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy", pround(col("n_correct").cast("double") / col("n"), 9))
+        .orderBy(col("fold"))
+    }),
+
+    "q275_durbin_watson" -> ((s, dir) => {
+      // Durbin–Watson serial-correlation test on daily-trend residuals
+      // [EXT] — the regression-diagnostics gap: q103 fits the line,
+      // q238 autocorrelates the RAW series; DW asks whether the
+      // RESIDUALS of a fitted trend still carry lag-1 structure (if so,
+      // the trend's SEs are fiction — the classic monitoring false-
+      // confidence trap). OLS on the ≤|days| frame from exact sums
+      // (DECIMAL for Σy/Σty, longs for Σt/Σt²) → doubles once,
+      // mirrored; residuals pround(9); adjacent pairs by row-index
+      // equi-join; num/den terms pround(12)→DECIMAL. Tiny-frame global
+      // window only (row_number over |days|).
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("y"))
+      val w = Window.orderBy(col("day"))
+      val idx = Dedup.cacheScoped(daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("yd", col("y").cast("double")))
+      // y·t double-FIRST then pround(4): the DECIMAL(28,4)·long product
+      // trips Spark's allowPrecisionLoss scale truncation (q233 lesson)
+      // — the rounded double product is the exact decimal value and
+      // engine-identical below ~1e12 magnitude
+      val st = idx.agg(count(lit(1)).as("n"), sum(col("t")).as("st1"),
+        sum(col("y")).as("sy"),
+        sum(pround(col("yd") * col("t").cast("double"), 4)
+          .cast(DecimalType(38, 6))).as("sty"),
+        sum(col("t") * col("t")).as("st2"))
+      val nd = col("n").cast("double")
+      val fit = st.filter(col("n") > 2)
+        .withColumn("st1d", col("st1").cast("double"))
+        .withColumn("syd", col("sy").cast("double"))
+        .withColumn("styd", col("sty").cast("double"))
+        .withColumn("st2d", col("st2").cast("double"))
+        .withColumn("b", (nd * col("styd") - col("st1d") * col("syd"))
+          / (nd * col("st2d") - col("st1d") * col("st1d")))
+        .withColumn("a", (col("syd") - col("b") * col("st1d")) / nd)
+        .select(col("a"), col("b"))
+      val e = idx.crossJoin(broadcast(fit))
+        .select(col("t"),
+          pround(col("yd") - (col("a") + col("b") * col("t").cast("double")), 9).as("e"))
+      // squared residuals round at scale 6, not 12: e² reaches 1e7 at
+      // sf0.01 already (1e10+ at larger SFs), and scale 6 keeps the
+      // scaled terms deep inside the exact-integer double range (the
+      // find that motivated pround's 2^52 identity guard)
+      val den = e.agg(
+        sum(pround(col("e") * col("e"), 6).cast(DecimalType(27, 8))).cast("double")
+          .as("den"), count(lit(1)).as("n"))
+      val num = e.select((col("t") + 1).as("t"), col("e").as("e0"))
+        .join(e.select(col("t"), col("e").as("e1")), Seq("t"))
+        .agg(sum(pround((col("e1") - col("e0")) * (col("e1") - col("e0")), 6)
+          .cast(DecimalType(27, 8))).cast("double").as("num"))
+      num.crossJoin(broadcast(den))
+        .filter(col("den") > 0)
+        .select(col("n"),
+          (floor(col("num") / col("den") * 1e9 + 0.5) / 1e9).as("dw"),
+          (floor((lit(1.0) - col("num") / col("den") / 2.0) * 1e9 + 0.5) / 1e9)
+            .as("rho1"))
+    }),
+
+    "q276_tost_equivalence" -> ((s, dir) => {
+      // TOST equivalence test (two one-sided z-tests) on click-vs-view
+      // value means [EXT] — the inverse of q247's difference test: a
+      // non-significant difference is NOT evidence of equivalence;
+      // TOST bounds the difference inside ±δ (δ = 5% of the control
+      // mean) with BOTH one-sided tests — the parity gate before
+      // swapping a data source or scorer version. Both groups' moments
+      // in ONE conditional agg (q262 cell shape), pround+DECIMAL sums,
+      // decision on ROUNDED t's vs the 1.645 literal (q87 discipline).
+      val D6 = DecimalType(27, 6)
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select((col("event_type") === "click").cast("long").as("t"), col("value"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sv"),
+          sum(pround(col("value") * col("value"), 6).cast(D6)).cast("double").as("svv"))
+      def cell(t: Int, c: String) =
+        max(when(col("t") === t, col(c))).as(s"${c}$t")
+      val wv = g.agg(cell(1, "n"), cell(1, "sv"), cell(1, "svv"),
+        cell(0, "n"), cell(0, "sv"), cell(0, "svv"))
+      def m(t: Int) = col(s"sv$t") / col(s"n$t")
+      def v(t: Int) = (col(s"svv$t") - col(s"sv$t") * col(s"sv$t") / col(s"n$t")) /
+        (col(s"n$t") - 1) / col(s"n$t")
+      val diff = m(1) - m(0)
+      val delta = lit(0.05) * m(0)
+      val se = sqrt(v(1) + v(0))
+      val tl = pround((diff + delta) / se, 9)
+      val tu = pround((diff - delta) / se, 9)
+      wv.filter(col("n1") > 1 && col("n0") > 1)
+        .select(col("n1").as("n_click"), col("n0").as("n_view"),
+          pround(diff, 9).as("diff"),
+          (floor(delta * 1e9 + 0.5) / 1e9).as("margin"),
+          tl.as("t_lower"), tu.as("t_upper"),
+          (tl > 1.645 && tu < -1.645).cast("long").as("equivalent"))
+    }),
+
+    "q277_hapax_profile" -> ((s, dir) => {
+      // hapax-legomena lexical profile per source [EXT] — the
+      // vocabulary-richness triple the diversity family still lacked
+      // (q135 TTR is size-biased; q260 Heaps fits GROWTH; this profiles
+      // the FREQUENCY SPECTRUM): hapax fraction V1/V (synthetic/
+      // templated text runs low), Sichel's S = V2/V (stable across
+      // sizes), Honoré's R = 100·ln N/(1 − V1/V). One corpus tokenize
+      // → per-(source, word) counts → |vocab|-frame spectrum agg;
+      // exact longs into mirrored double ratios, ln on an exact
+      // integer (portable per q258).
+      val wc = Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source")).agg(
+          count(lit(1)).as("v"),
+          sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2"))
+        .filter(col("v") > 0 && col("v1") < col("v"))
+        .select(col("source"), col("n_tokens"), col("v"), col("v1"), col("v2"),
+          pround(col("v1").cast("double") / col("v"), 9).as("hapax_frac"),
+          pround(col("v2").cast("double") / col("v"), 9).as("sichel_s"),
+          (floor(lit(100.0) * log(col("n_tokens").cast("double"))
+            / (lit(1.0) - col("v1").cast("double") / col("v")) * 1e9 + 0.5) / 1e9)
+            .as("honore_r"))
+        .orderBy(col("source"))
+    }),
+
+    "q278_seasonal_mk" -> ((s, dir) => {
+      // seasonal Mann–Kendall trend test per type [EXT] — q220 on a
+      // weekly-seasonal series confounds trend with weekday mix; the
+      // seasonal form runs MK WITHIN each weekday sub-series and sums
+      // S and var over seasons (Hirsch–Slack), so a pure weekday
+      // pattern scores exactly 0. Same exact-integer pair machinery as
+      // q220 with (calendar/7)²-bounded pair joins per (type, dow);
+      // weekday from epoch-day integer arithmetic (q267 discipline).
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("dow",
+          datediff(col("day"), lit("1970-01-01").cast("date")) % 7))
+      val pairs = daily
+        .select(col("event_type"), col("dow"), col("day").as("d1"), col("x").as("x1"))
+        .join(daily.select(col("event_type"), col("dow"), col("day").as("d2"),
+          col("x").as("x2")), Seq("event_type", "dow"))
+        .filter(col("d1") < col("d2"))
+      val sAgg = pairs.groupBy(col("event_type"))
+        .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s_stat"))
+      val nAgg = daily.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("nw"))
+      val ties = daily.groupBy(col("event_type"), col("dow"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tsum"))
+      val varW = nAgg.join(ties, Seq("event_type", "dow"))
+        .select(col("event_type"), col("nw"),
+          (col("nw") * (col("nw") - 1) * (lit(2) * col("nw") + 5) - col("tsum"))
+            .as("vw"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("vw")).as("vsum"), sum(col("nw")).as("n_days"))
+      val varExpr = col("vsum").cast("double") / 18.0
+      val z = when(col("s_stat") > 0, (col("s_stat") - 1).cast("double") / sqrt(varExpr))
+        .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double") / sqrt(varExpr))
+        .otherwise(lit(0.0))
+      sAgg.join(varW, Seq("event_type"))
+        .filter(col("vsum") > 0)
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          (floor(z * 1e9 + 0.5) / 1e9).as("z"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q279_pacf" -> ((s, dir) => {
+      // partial autocorrelation at lags 1–3 via Durbin–Levinson [EXT]
+      // — the Box–Jenkins companion q238 implies but can't answer: the
+      // ACF of an AR(1) decays at EVERY lag, so "is there structure
+      // BEYOND lag 1" needs the partial form (PACF cuts off at the AR
+      // order — THE model-order diagnostic). Rides [[acfFrame]]'s
+      // exact arithmetic (one shared pipeline), pivots the 3 lags on a
+      // |types|-row frame, and closes the D–L recursion level by level
+      // with term-for-term mirrored doubles.
+      val piv = acfFrame(s, dir, 3)
+        .groupBy(col("event_type")).agg(
+          max(when(col("lag") === 1, col("acf"))).as("r1"),
+          max(when(col("lag") === 2, col("acf"))).as("r2"),
+          max(when(col("lag") === 3, col("acf"))).as("r3"))
+        .filter(col("r1").isNotNull && col("r2").isNotNull && col("r3").isNotNull)
+        .filter(lit(1.0) - col("r1") * col("r1") =!= 0.0)
+      piv
+        .withColumn("phi22", (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+        .filter(lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2") =!= 0.0)
+        .select(col("event_type"), col("r1").as("pacf1"),
+          (floor(col("phi22") * 1e9 + 0.5) / 1e9).as("pacf2"),
+          (floor((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+            / (lit(1.0) - col("phi21") * col("r1") - col("phi22") * col("r2"))
+            * 1e9 + 0.5) / 1e9).as("pacf3"))
+        .orderBy(col("event_type"))
     }),
   )
 
@@ -9561,31 +9841,9 @@ object SparkEntry {
          |FROM tri, t ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "q238_acf" ->
-      s"""$evCte,
-         |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-         |            COUNT(*) AS x
-         |          FROM ev GROUP BY 1, 2),
-         |mu AS (SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu
-         |       FROM daily GROUP BY 1),
-         |c AS (SELECT d.event_type, d.day, d.x, m.mu
-         |      FROM daily d JOIN mu m USING (event_type)),
-         |den AS (SELECT event_type,
-         |          CAST(SUM(CAST(FLOOR((x - mu) * (x - mu) * 1e12 + 0.5) / 1e12
-         |            AS DECIMAL(27,14))) AS DOUBLE) AS den
-         |        FROM c GROUP BY 1),
-         |lagged AS (SELECT c.event_type, g.lag, c.day + CAST(g.lag AS INTEGER) AS day,
-         |             c.x AS x0, c.mu
-         |           FROM c, (SELECT unnest(generate_series(1, 7)) AS lag) g),
-         |num AS (SELECT l.event_type, l.lag, COUNT(*) AS n_pairs,
-         |          CAST(SUM(CAST(FLOOR((l.x0 - l.mu) * (d.x - l.mu) * 1e12 + 0.5) / 1e12
-         |            AS DECIMAL(27,14))) AS DOUBLE) AS num
-         |        FROM lagged l JOIN daily d
-         |          ON d.event_type = l.event_type AND d.day = l.day
-         |        GROUP BY 1, 2)
-         |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_pairs,
-         |  FLOOR(n.num / de.den * 1e9 + 0.5) / 1e9 AS acf
-         |FROM num n JOIN den de USING (event_type)
-         |WHERE de.den > 0 ORDER BY event_type, lag""".stripMargin,
+      s"""${acfCte(7)}
+         |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs, acf
+         |FROM acfv ORDER BY event_type, lag""".stripMargin,
 
     "q239_hill_tail" ->
       s"""$evCte,
@@ -10371,5 +10629,161 @@ object SparkEntry {
          |JOIN lettered d1 ON d0.day + 1 = d1.day
          |JOIN lettered d2 ON d0.day + 2 = d2.day
          |GROUP BY 1 ORDER BY cnt DESC, motif LIMIT 5""".stripMargin,
+
+    "q274_cv_accuracy" ->
+      s"""$qualityDocCte,
+         |dd AS (SELECT doc_id % 5 AS fold,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |         round(score, 9) AS sc FROM d),
+         |cell AS (SELECT fold, y, COUNT(*) AS nf,
+         |           SUM(CAST(sc AS DECIMAL(27,10))) AS sf
+         |         FROM dd GROUP BY 1, 2),
+         |tot AS (SELECT y, SUM(nf) AS nt, SUM(sf) AS stot FROM cell GROUP BY 1),
+         |tr AS (SELECT fold, y,
+         |         round(CAST(stot - sf AS DOUBLE) / CAST(nt - nf AS DOUBLE), 9) AS m
+         |       FROM cell JOIN tot USING (y) WHERE nt - nf > 0),
+         |means AS (SELECT fold, MAX(CASE WHEN y = 1 THEN m END) AS m1,
+         |            MAX(CASE WHEN y = 0 THEN m END) AS m0
+         |          FROM tr GROUP BY 1),
+         |p AS (SELECT dd.fold, y,
+         |        CASE WHEN abs(sc - m1) < abs(sc - m0) THEN 1 ELSE 0 END AS pred
+         |      FROM dd JOIN means USING (fold)
+         |      WHERE m1 IS NOT NULL AND m0 IS NOT NULL)
+         |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 9) AS accuracy
+         |FROM p GROUP BY 1 ORDER BY fold""".stripMargin,
+
+    "q275_durbin_watson" ->
+      s"""$evCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day,
+         |            SUM(CAST(value AS DECIMAL(18,4))) AS y FROM ev GROUP BY 1),
+         |idx AS (SELECT day, y, CAST(y AS DOUBLE) AS yd,
+         |          row_number() OVER (ORDER BY day) AS t FROM daily),
+         |st AS (SELECT COUNT(*) AS n, SUM(t) AS st1, SUM(y) AS sy,
+         |         SUM(CAST(round(yd * t, 4) AS DECIMAL(38,6))) AS sty,
+         |         SUM(t * t) AS st2 FROM idx),
+         |fit AS (SELECT (CAST(n AS DOUBLE) * CAST(sty AS DOUBLE)
+         |            - CAST(st1 AS DOUBLE) * CAST(sy AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) * CAST(st2 AS DOUBLE)
+         |            - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) AS b,
+         |          CAST(sy AS DOUBLE) AS syd, CAST(st1 AS DOUBLE) AS st1d,
+         |          CAST(n AS DOUBLE) AS nd
+         |        FROM st WHERE n > 2),
+         |fit2 AS (SELECT b, (syd - b * st1d) / nd AS a FROM fit),
+         |e AS (SELECT t, round(yd - (a + b * CAST(t AS DOUBLE)), 9) AS e
+         |      FROM idx, fit2),
+         |den AS (SELECT CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(27,8))) AS DOUBLE)
+         |          AS den, COUNT(*) AS n FROM e),
+         |num AS (SELECT CAST(SUM(CAST(round((e1.e - e0.e) * (e1.e - e0.e), 6)
+         |            AS DECIMAL(27,8))) AS DOUBLE) AS num
+         |        FROM e e0 JOIN e e1 ON e0.t + 1 = e1.t)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  FLOOR(num / den * 1e9 + 0.5) / 1e9 AS dw,
+         |  FLOOR((1.0 - num / den / 2.0) * 1e9 + 0.5) / 1e9 AS rho1
+         |FROM num, den WHERE den > 0""".stripMargin,
+
+    "q276_tost_equivalence" -> {
+      def m(t: Int) = s"(sv$t / n$t)"
+      def v(t: Int) = s"((svv$t - sv$t * sv$t / n$t) / (n$t - 1) / n$t)"
+      s"""$evCte,
+         |g AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+         |        COUNT(*) AS n,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         |        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS svv
+         |      FROM ev WHERE event_type IN ('click', 'view') GROUP BY 1),
+         |w AS (SELECT MAX(CASE WHEN t = 1 THEN n END) AS n1,
+         |        MAX(CASE WHEN t = 1 THEN sv END) AS sv1,
+         |        MAX(CASE WHEN t = 1 THEN svv END) AS svv1,
+         |        MAX(CASE WHEN t = 0 THEN n END) AS n0,
+         |        MAX(CASE WHEN t = 0 THEN sv END) AS sv0,
+         |        MAX(CASE WHEN t = 0 THEN svv END) AS svv0
+         |      FROM g),
+         |k AS (SELECT n1, n0,
+         |        ${m(1)} - ${m(0)} AS diff,
+         |        0.05 * ${m(0)} AS delta,
+         |        sqrt(${v(1)} + ${v(0)}) AS se
+         |      FROM w WHERE n1 > 1 AND n0 > 1),
+         |k2 AS (SELECT n1, n0, diff, delta,
+         |         round((diff + delta) / se, 9) AS tl,
+         |         round((diff - delta) / se, 9) AS tu
+         |       FROM k)
+         |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n0 AS BIGINT) AS n_view,
+         |  round(diff, 9) AS diff,
+         |  FLOOR(delta * 1e9 + 0.5) / 1e9 AS margin,
+         |  tl AS t_lower, tu AS t_upper,
+         |  CAST(CASE WHEN tl > 1.645 AND tu < -1.645 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS equivalent
+         |FROM k2""".stripMargin
+    },
+
+    "q277_hapax_profile" ->
+      """WITH w0 AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT source, w, COUNT(*) AS c FROM w0
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |sp AS (SELECT source, COUNT(*) AS v, SUM(c) AS n_tokens,
+        |         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+        |         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS v2
+        |       FROM wc GROUP BY 1)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS v,
+        |  CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+        |  round(CAST(v1 AS DOUBLE) / v, 9) AS hapax_frac,
+        |  round(CAST(v2 AS DOUBLE) / v, 9) AS sichel_s,
+        |  FLOOR(100.0 * ln(CAST(n_tokens AS DOUBLE))
+        |    / (1.0 - CAST(v1 AS DOUBLE) / v) * 1e9 + 0.5) / 1e9 AS honore_r
+        |FROM sp WHERE v > 0 AND v1 < v ORDER BY source""".stripMargin,
+
+    "q278_seasonal_mk" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x,
+         |            (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow
+         |          FROM ev GROUP BY event_type, CAST(ts AS DATE)),
+         |sp AS (SELECT a.event_type,
+         |         CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+         |                       ELSE 0 END) AS BIGINT) AS s_stat
+         |       FROM daily a JOIN daily b
+         |         ON a.event_type = b.event_type AND a.dow = b.dow AND a.day < b.day
+         |       GROUP BY 1),
+         |nw AS (SELECT event_type, dow, COUNT(*) AS nw FROM daily GROUP BY 1, 2),
+         |tsum AS (SELECT event_type, dow,
+         |           SUM(t * (t - 1) * (2 * t + 5)) AS tsum
+         |         FROM (SELECT event_type, dow, x, COUNT(*) AS t
+         |               FROM daily GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |vv AS (SELECT n.event_type,
+         |         SUM(n.nw * (n.nw - 1) * (2 * n.nw + 5) - t.tsum) AS vsum,
+         |         SUM(n.nw) AS n_days
+         |       FROM nw n JOIN tsum t ON n.event_type = t.event_type AND n.dow = t.dow
+         |       GROUP BY 1)
+         |SELECT s.event_type, CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(s_stat AS BIGINT) AS s_stat,
+         |  FLOOR((CASE WHEN s_stat > 0
+         |           THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(vsum AS DOUBLE) / 18.0)
+         |         WHEN s_stat < 0
+         |           THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(vsum AS DOUBLE) / 18.0)
+         |         ELSE 0.0 END) * 1e9 + 0.5) / 1e9 AS z
+         |FROM sp s JOIN vv USING (event_type)
+         |WHERE vsum > 0 ORDER BY event_type""".stripMargin,
+
+    "q279_pacf" ->
+      s"""${acfCte(3)},
+         |piv AS (SELECT event_type,
+         |          MAX(CASE WHEN lag = 1 THEN acf END) AS r1,
+         |          MAX(CASE WHEN lag = 2 THEN acf END) AS r2,
+         |          MAX(CASE WHEN lag = 3 THEN acf END) AS r3
+         |        FROM acfv GROUP BY 1),
+         |f AS (SELECT event_type, r1, r2, r3,
+         |        (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+         |      FROM piv
+         |      WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+         |        AND 1.0 - r1 * r1 <> 0.0),
+         |g AS (SELECT event_type, r1, r2, r3, phi22,
+         |        r1 - phi22 * r1 AS phi21 FROM f)
+         |SELECT event_type, r1 AS pacf1,
+         |  FLOOR(phi22 * 1e9 + 0.5) / 1e9 AS pacf2,
+         |  FLOOR((r3 - phi21 * r2 - phi22 * r1)
+         |    / (1.0 - phi21 * r1 - phi22 * r2) * 1e9 + 0.5) / 1e9 AS pacf3
+         |FROM g WHERE 1.0 - phi21 * r1 - phi22 * r2 <> 0.0
+         |ORDER BY event_type""".stripMargin,
   )
 }
