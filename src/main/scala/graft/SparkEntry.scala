@@ -306,6 +306,23 @@ object SparkEntry {
        |         FROM num n JOIN den de USING (event_type)
        |         WHERE de.den > 0)""".stripMargin
 
+  /** Shapley skeleton for the 4 touch channels (q280): one row per
+    * (channel, coalition-without-channel) = (channel, m0, m1 = m0∪bit,
+    * weight |S|!·(n−1−|S|)!/n!). Generated once in Scala and embedded
+    * as the SAME literal VALUES rows in the oracle SQL, so neither
+    * engine computes a factorial. */
+  private lazy val shapleySkeleton: Seq[(String, Int, Int, Double)] = {
+    val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    def fact(k: Int): Int = (1 to k).product
+    for {
+      (name, bit) <- channels
+      m0 <- 0 until 16 if (m0 & bit) == 0
+    } yield {
+      val k = Integer.bitCount(m0)
+      (name, m0, m0 | bit, fact(k).toDouble * fact(4 - 1 - k) / fact(4))
+    }
+  }
+
   /** Cheap-quality-score document frame (q221's oracle CTE, shared with
     * q265/q268): `source, lang, score` with the score formula inlined. */
   private lazy val qualityDocCte: String =
@@ -6761,6 +6778,192 @@ object SparkEntry {
             * 1e9 + 0.5) / 1e9).as("pacf3"))
         .orderBy(col("event_type"))
     }),
+
+    "q280_shapley_attribution" -> ((s, dir) => {
+      // Shapley-value conversion attribution [EXT] — the
+      // order-independent marginal-credit estimator the attribution
+      // family lacked: q160 credits ONE touch, q214 a fixed 40/20/40
+      // rule; Shapley averages each channel's marginal conversion lift
+      // over all coalition orderings — the unique credit satisfying
+      // efficiency/symmetry/dummy. v(S) = conversion rate of users
+      // whose touch-set is EXACTLY S (0 for unobserved sets — stated
+      // convention). One corpus pass to per-user (mask, converted);
+      // the 16-coalition rate frame and the 32-row factorial-weighted
+      // skeleton (generated in Scala, broadcast, and embedded as the
+      // SAME literal VALUES in the oracle) close map-side.
+      val users = Tables.events(s, dir).groupBy(col("user_id")).agg(
+        (max(when(col("event_type") === "click", 1L).otherwise(0L))
+          + lit(2L) * max(when(col("event_type") === "error", 1L).otherwise(0L))
+          + lit(4L) * max(when(col("event_type") === "signup", 1L).otherwise(0L))
+          + lit(8L) * max(when(col("event_type") === "view", 1L).otherwise(0L)))
+          .as("mask"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val rates = users.groupBy(col("mask"))
+        .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+        .select(col("mask"),
+          pround(col("nc").cast("double") / col("nu"), 12).as("r"))
+      import s.implicits._
+      val sk = shapleySkeleton.toDF("channel", "m0", "m1", "w")
+      sk.join(broadcast(rates.select(col("mask").as("m0"), col("r").as("r0"))),
+          Seq("m0"), "left")
+        .join(broadcast(rates.select(col("mask").as("m1"), col("r").as("r1"))),
+          Seq("m1"), "left")
+        .withColumn("term", pround(col("w")
+          * (coalesce(col("r1"), lit(0.0)) - coalesce(col("r0"), lit(0.0))), 12))
+        .groupBy(col("channel"))
+        .agg((floor(sum(col("term").cast(DecimalType(27, 14))).cast("double")
+          * 1e9 + 0.5) / 1e9).as("phi"))
+        .orderBy(col("channel"))
+    }),
+
+    "q281_caliper_matching" -> ((s, dir) => {
+      // 1-NN caliper propensity matching (with replacement) for the
+      // ATT [EXT] — the causal family's matching estimator (q262 DiD
+      // needs a time split, q245 post-stratifies on coarse cells;
+      // matching compares each treated unit to its CLOSEST control on
+      // a covariate, discarding off-support units): covariate x =
+      // per-user view count, outcome y = total purchase value, arms =
+      // the q174 user parity, caliper 5. The candidate join is the
+      // range-join bucket discipline (q76): treated explode into 3
+      // caliper buckets, equi-join controls on the bucket — bounded
+      // blow-up, no window, no cross join; the 1-NN argmin is a
+      // min-struct with total tie policy (|Δx|, control x, control id).
+      val users = Tables.events(s, dir).groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 4))).otherwise(lit(null)))
+          .cast("double").as("y"))
+        .select(col("user_id"), col("x"), coalesce(col("y"), lit(0.0)).as("y"),
+          (col("user_id") % 2).as("t"))
+      val ctl = users.filter(col("t") === 0)
+        .select(expr("x div 5").as("b"), col("x").as("xc"),
+          col("user_id").as("cid"), col("y").as("yc"))
+      val trt = users.filter(col("t") === 1)
+        .withColumn("db", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("user_id").as("tid"), col("x").as("xt"), col("y").as("yt"),
+          (expr("x div 5") + col("db")).as("b"))
+      val matched = trt.join(ctl, Seq("b"))
+        .filter(abs(col("xt") - col("xc")) <= 5)
+        .groupBy(col("tid"), col("xt"), col("yt"))
+        .agg(min(struct(abs(col("xt") - col("xc")).as("adist"), col("xc"),
+          col("cid"), col("yc"))).as("mc"))
+        .select(col("tid"), col("yt"), col("mc.yc").as("yc"))
+      val nT = users.filter(col("t") === 1).agg(count(lit(1)).as("n_treated"))
+      matched
+        .select((col("yt") - col("yc")).as("d"))
+        .agg(count(lit(1)).as("n_matched"),
+          sum(col("d").cast(DecimalType(18, 4))).cast("double").as("sd"),
+          sum(pround(col("d") * col("d"), 6).cast(DecimalType(27, 8)))
+            .cast("double").as("sdd"))
+        .crossJoin(broadcast(nT))
+        .filter(col("n_matched") > 1)
+        .select(col("n_treated"), col("n_matched"),
+          pround(col("sd") / col("n_matched"), 9).as("att"),
+          (floor(sqrt((col("sdd") - col("sd") * col("sd") / col("n_matched"))
+            / (col("n_matched") - 1) / col("n_matched")) * 1e9 + 0.5) / 1e9)
+            .as("se"))
+    }),
+
+    "q282_ewma_chart" -> ((s, dir) => {
+      // EWMA control chart on daily volume per type [EXT] — the
+      // small-shift monitor the gate family lacked: q227's z-gate
+      // needs a full-σ jump to fire, the EWMA statistic accumulates
+      // drift (the classic SPC chart for 0.5–1σ shifts). Truncated
+      // 20-day kernel with λ=0.2: the weight ladder and its
+      // normalizer are Scala-computed literals shared by BOTH plans
+      // (q263 discount discipline); the lag alignment is a row-index
+      // equi-join per type (never a sliding window over the corpus);
+      // flag when |x − ewma| > 3σ̂·√(λ/(2−λ)) on ROUNDED operands.
+      val lam = 0.2
+      val weights = (0 until 20).map(j => lam * math.pow(1 - lam, j))
+      val norm = weights.sum
+      val sfac = math.sqrt(lam / (2 - lam))
+      val warr = array(weights.map(lit): _*)
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("t", row_number().over(wt).cast("long")))
+      val sig = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("x").cast(DecimalType(38, 0)) * col("x"))).as("sxx"))
+        .filter(col("n") > 1)
+        .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+        .select(col("event_type"),
+          sqrt(col("sxx").cast("double") / col("n").cast("double")
+            - col("m") * col("m")).as("sig"))
+      val ew = daily.withColumn("j", explode(sequence(lit(0), lit(19))))
+        .select(col("event_type"), col("t"), (col("t") - col("j")).as("tj"),
+          element_at(warr, (col("j") + 1).cast("int")).as("wj"))
+        .filter(col("t") >= 20)
+        .join(daily.select(col("event_type"), col("t").as("tj"), col("x")),
+          Seq("event_type", "tj"))
+        .withColumn("term", pround(col("wj") * col("x"), 9))
+        .groupBy(col("event_type"), col("t"))
+        .agg((floor(sum(col("term").cast(DecimalType(27, 10))).cast("double")
+          / lit(norm) * 1e9 + 0.5) / 1e9).as("ewma"))
+      ew.join(daily.select(col("event_type"), col("t"), col("x")),
+          Seq("event_type", "t"))
+        .join(broadcast(sig), Seq("event_type"))
+        .withColumn("dev", pround(abs(col("x") - col("ewma")), 9))
+        .withColumn("flag",
+          (col("dev") > pround(lit(3.0) * col("sig") * lit(sfac), 9)).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"), sum(col("flag")).as("n_flagged"),
+          max(col("dev")).as("max_dev"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q283_bh_fdr" -> ((s, dir) => {
+      // Benjamini–Hochberg FDR over per-type mean-shift tests [EXT] —
+      // the multiplicity correction the testing family lacked: running
+      // q247-style tests per type at α each inflates the family-wise
+      // false-discovery rate; BH's step-up (reject all p ≤ the largest
+      // p_(i) ≤ αi/m) controls FDR at α = 0.1. z per type compares
+      // daily counts before/after the q262 split date; Φ via the
+      // Abramowitz–Stegun 7.1.26 polynomial in Horner form with
+      // literal coefficients (pure exp + arithmetic, mirrored
+      // term-for-term — never an engine's erf). |types|-row frame
+      // windows only.
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("post",
+          (col("day") >= lit("2024-01-15").cast("date")).cast("long"))
+      val gstats = daily.groupBy(col("event_type"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("x").cast(DecimalType(38, 0)) * col("x"))).as("sxx"))
+      def cellc(p: Int, c: String) =
+        max(when(col("post") === p, col(c))).as(s"${c}$p")
+      val wv = gstats.groupBy(col("event_type"))
+        .agg(cellc(0, "n"), cellc(0, "sx"), cellc(0, "sxx"),
+          cellc(1, "n"), cellc(1, "sx"), cellc(1, "sxx"))
+        .filter(col("n0") > 1 && col("n1") > 1)
+      def mm(p: Int) = col(s"sx$p").cast("double") / col(s"n$p").cast("double")
+      def vv(p: Int) = (col(s"sxx$p").cast("double") / col(s"n$p").cast("double")
+        - mm(p) * mm(p)) / (col(s"n$p").cast("double") - 1.0)
+      val z = pround((mm(1) - mm(0)) / sqrt(vv(1) + vv(0)), 9)
+      val az = abs(col("z"))
+      val tA = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val poly = tA * (lit(0.319381530) + tA * (lit(-0.356563782)
+        + tA * (lit(1.781477937) + tA * (lit(-1.821255978)
+          + tA * lit(1.330274429)))))
+      val pdf = exp(az * az * lit(-0.5)) * lit(0.3989422804014327)
+      val scored = wv.select(col("event_type"), z.as("z"))
+        .withColumn("p", pround(lit(2.0) * pdf * poly, 12))
+      val wRank = Window.orderBy(col("p"), col("event_type"))
+      val ranked = scored
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("m"))))
+        .withColumn("ok", (col("p") <= lit(0.1) * col("rank").cast("double")
+          / col("m").cast("double")).cast("long"))
+      val kMax = ranked.agg(max(when(col("ok") === 1, col("rank"))
+        .otherwise(lit(0L))).as("kmax"))
+      ranked.crossJoin(broadcast(kMax))
+        .select(col("event_type"), col("z"), col("p"), col("rank"),
+          (col("rank") <= col("kmax")).cast("long").as("rejected"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -10785,5 +10988,135 @@ object SparkEntry {
          |    / (1.0 - phi21 * r1 - phi22 * r2) * 1e9 + 0.5) / 1e9 AS pacf3
          |FROM g WHERE 1.0 - phi21 * r1 - phi22 * r2 <> 0.0
          |ORDER BY event_type""".stripMargin,
+
+    "q280_shapley_attribution" -> {
+      val rows = shapleySkeleton
+        .map { case (c, m0, m1, w) => s"('$c', $m0, $m1, $w)" }.mkString(", ")
+      s"""$evCte,
+         |users AS (SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |    + 2 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |    + 4 * MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         |    + 8 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS mask,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM ev GROUP BY 1),
+         |rates AS (SELECT mask, round(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 12) AS r
+         |          FROM users GROUP BY 1),
+         |sk AS (SELECT * FROM (VALUES $rows) AS t(channel, m0, m1, w))
+         |SELECT channel,
+         |  FLOOR(CAST(SUM(CAST(round(w * (COALESCE(r1.r, 0.0) - COALESCE(r0.r, 0.0)), 12)
+         |    AS DECIMAL(27,14))) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS phi
+         |FROM sk LEFT JOIN rates r0 ON sk.m0 = r0.mask
+         |        LEFT JOIN rates r1 ON sk.m1 = r1.mask
+         |GROUP BY 1 ORDER BY channel""".stripMargin
+    },
+
+    "q281_caliper_matching" ->
+      s"""$evCte,
+         |users AS (SELECT user_id,
+         |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+         |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS y,
+         |    user_id % 2 AS t
+         |  FROM ev GROUP BY 1),
+         |cand AS (SELECT tr.user_id AS tid, tr.y AS yt, c.y AS yc,
+         |           abs(tr.x - c.x) AS adist, c.x AS xc, c.user_id AS cid
+         |         FROM users tr JOIN users c
+         |           ON tr.t = 1 AND c.t = 0 AND abs(tr.x - c.x) <= 5),
+         |m AS (SELECT tid, yt, yc,
+         |        row_number() OVER (PARTITION BY tid ORDER BY adist, xc, cid) AS rn
+         |      FROM cand),
+         |d AS (SELECT yt - yc AS d FROM m WHERE rn = 1),
+         |ag AS (SELECT COUNT(*) AS n_matched,
+         |         CAST(SUM(CAST(d AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+         |         CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(27,8))) AS DOUBLE) AS sdd
+         |       FROM d),
+         |nt AS (SELECT COUNT(*) AS n_treated FROM users WHERE t = 1)
+         |SELECT CAST(n_treated AS BIGINT) AS n_treated,
+         |  CAST(n_matched AS BIGINT) AS n_matched,
+         |  round(sd / n_matched, 9) AS att,
+         |  FLOOR(sqrt((sdd - sd * sd / n_matched) / (n_matched - 1) / n_matched)
+         |    * 1e9 + 0.5) / 1e9 AS se
+         |FROM ag, nt WHERE n_matched > 1""".stripMargin,
+
+    "q282_ewma_chart" -> {
+      val lam = 0.2
+      val weights = (0 until 20).map(j => lam * math.pow(1 - lam, j))
+      val norm = weights.sum
+      val sfac = math.sqrt(lam / (2 - lam))
+      val ws = weights.mkString(", ")
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |idx AS (SELECT event_type, day, x,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+         |        FROM daily),
+         |sig AS (SELECT event_type,
+         |          sqrt(CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) / COUNT(*)
+         |            - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+         |              * (CAST(SUM(x) AS DOUBLE) / COUNT(*))) AS sig
+         |        FROM daily GROUP BY 1 HAVING COUNT(*) > 1),
+         |lagged AS (SELECT i.event_type, i.t, i.t - g.j AS tj,
+         |             [$ws][CAST(g.j + 1 AS INTEGER)] AS wj
+         |           FROM idx i, (SELECT unnest(generate_series(0, 19)) AS j) g
+         |           WHERE i.t >= 20),
+         |ew AS (SELECT l.event_type, l.t,
+         |         FLOOR(CAST(SUM(CAST(round(l.wj * i2.x, 9) AS DECIMAL(27,10)))
+         |             AS DOUBLE) / $norm * 1e9 + 0.5) / 1e9 AS ewma
+         |       FROM lagged l JOIN idx i2
+         |         ON i2.event_type = l.event_type AND i2.t = l.tj
+         |       GROUP BY 1, 2)
+         |SELECT e.event_type AS event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |  CAST(SUM(CASE WHEN round(abs(i3.x - e.ewma), 9)
+         |         > round(3.0 * s.sig * $sfac, 9) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  MAX(round(abs(i3.x - e.ewma), 9)) AS max_dev
+         |FROM ew e JOIN idx i3 ON i3.event_type = e.event_type AND i3.t = e.t
+         |          JOIN sig s ON s.event_type = e.event_type
+         |GROUP BY 1 ORDER BY event_type""".stripMargin
+    },
+
+    "q283_bh_fdr" -> {
+      def mmm(p: Int) = s"(CAST(sx$p AS DOUBLE) / CAST(n$p AS DOUBLE))"
+      def vvv(p: Int) =
+        s"((CAST(sxx$p AS DOUBLE) / CAST(n$p AS DOUBLE) - ${mmm(p)} * ${mmm(p)})" +
+          s" / (CAST(n$p AS DOUBLE) - 1.0))"
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |g AS (SELECT event_type,
+         |        CASE WHEN day >= DATE '2024-01-15' THEN 1 ELSE 0 END AS post,
+         |        COUNT(*) AS n, SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+         |      FROM daily GROUP BY 1, 2),
+         |wv AS (SELECT event_type,
+         |         MAX(CASE WHEN post = 0 THEN n END) AS n0,
+         |         MAX(CASE WHEN post = 0 THEN sx END) AS sx0,
+         |         MAX(CASE WHEN post = 0 THEN sxx END) AS sxx0,
+         |         MAX(CASE WHEN post = 1 THEN n END) AS n1,
+         |         MAX(CASE WHEN post = 1 THEN sx END) AS sx1,
+         |         MAX(CASE WHEN post = 1 THEN sxx END) AS sxx1
+         |       FROM g GROUP BY 1),
+         |f AS (SELECT event_type,
+         |        round((${mmm(1)} - ${mmm(0)}) / sqrt(${vvv(1)} + ${vvv(0)}), 9) AS z
+         |      FROM wv WHERE n0 > 1 AND n1 > 1),
+         |p2 AS (SELECT event_type, z,
+         |         1.0 / (1.0 + 0.2316419 * abs(z)) AS ta FROM f),
+         |p3 AS (SELECT event_type, z,
+         |         round(2.0 * (exp(abs(z) * abs(z) * -0.5) * 0.3989422804014327)
+         |           * (ta * (0.319381530 + ta * (-0.356563782 + ta * (1.781477937
+         |              + ta * (-1.821255978 + ta * 1.330274429))))), 12) AS p
+         |       FROM p2),
+         |r AS (SELECT event_type, z, p,
+         |        row_number() OVER (ORDER BY p, event_type) AS rank FROM p3),
+         |mm2 AS (SELECT COUNT(*) AS m FROM p3),
+         |ok AS (SELECT r.event_type, r.z, r.p, r.rank,
+         |         CASE WHEN p <= 0.1 * CAST(rank AS DOUBLE) / CAST(m AS DOUBLE)
+         |              THEN 1 ELSE 0 END AS ok
+         |       FROM r, mm2),
+         |km AS (SELECT MAX(CASE WHEN ok = 1 THEN rank ELSE 0 END) AS kmax FROM ok)
+         |SELECT event_type, z, p, CAST(rank AS BIGINT) AS rank,
+         |  CAST(CASE WHEN rank <= kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+         |FROM ok, km ORDER BY event_type""".stripMargin
+    },
   )
 }
