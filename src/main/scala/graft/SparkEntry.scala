@@ -45,7 +45,7 @@ object SparkEntry {
     * Ties break toward +∞ in BOTH engines; `portableSqlRounds` rewrites
     * the oracle side to the same form, so the pair stays in lockstep by
     * construction. */
-  private def pround(c: Column, scale: Int): Column = {
+  private[graft] def pround(c: Column, scale: Int): Column = {
     val s = math.pow(10, scale)
     val y = c * s + 0.5
     // Spark's floor(double) returns LONG and silently clamps past 2^63
@@ -311,7 +311,7 @@ object SparkEntry {
     * weight |S|!·(n−1−|S|)!/n!). Generated once in Scala and embedded
     * as the SAME literal VALUES rows in the oracle SQL, so neither
     * engine computes a factorial. */
-  private lazy val shapleySkeleton: Seq[(String, Int, Int, Double)] = {
+  private[graft] lazy val shapleySkeleton: Seq[(String, Int, Int, Double)] = {
     val channels = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
     def fact(k: Int): Int = (1 to k).product
     for {
