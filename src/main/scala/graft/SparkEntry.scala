@@ -6964,6 +6964,172 @@ object SparkEntry {
           (col("rank") <= col("kmax")).cast("long").as("rejected"))
         .orderBy(col("event_type"))
     }),
+
+    "q284_partial_correlation" -> ((s, dir) => {
+      // partial correlation r_xy·z [EXT] — the confound-aware
+      // correlation the moments family lacked: q103's Pearson r of
+      // (value, hour) is inflated by any weekday effect on both; the
+      // partial form regresses BOTH out of z = weekday first, via the
+      // closed form (rxy − rxz·ryz)/√((1−rxz²)(1−ryz²)). ALL nine
+      // moments in ONE agg (q103 discipline): ints exact, y-moments
+      // pround→DECIMAL, cross moments double-first (the q275 decimal-
+      // product lesson); the close is a 1-row mirrored-double frame.
+      val e = Tables.events(s, dir).select(
+        col("value").as("y"), hour(col("ts")).cast("long").as("x"),
+        (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) % 7)
+          .cast("long").as("z"))
+      val st = e.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("y").cast(DecimalType(18, 4))).cast("double").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("z") * col("z")).as("szz"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(pround(col("y") * col("y"), 6).cast(DecimalType(27, 8)))
+          .cast("double").as("syy"),
+        sum(pround(col("y") * col("x").cast("double"), 4).cast(DecimalType(38, 6)))
+          .cast("double").as("sxy"),
+        sum(pround(col("y") * col("z").cast("double"), 4).cast(DecimalType(38, 6)))
+          .cast("double").as("syz"))
+      val nd = col("n").cast("double")
+      def corr2(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+        (nd * sab - sa * sb) / sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb))
+      val rxy = corr2(col("sxy"), col("sx").cast("double"), col("sy"),
+        col("sxx").cast("double"), col("syy"))
+      val rxz = corr2(col("sxz").cast("double"), col("sx").cast("double"),
+        col("sz").cast("double"), col("sxx").cast("double"), col("szz").cast("double"))
+      val ryz = corr2(col("syz"), col("sz").cast("double"), col("sy"),
+        col("szz").cast("double"), col("syy"))
+      st.filter(col("n") > 2)
+        .withColumn("rxy", pround(rxy, 9))
+        .withColumn("rxz", pround(rxz, 9))
+        .withColumn("ryz", pround(ryz, 9))
+        .filter((lit(1.0) - col("rxz") * col("rxz")) > 0 &&
+          (lit(1.0) - col("ryz") * col("ryz")) > 0)
+        .select(col("n"), col("rxy"), col("rxz"), col("ryz"),
+          (floor((col("rxy") - col("rxz") * col("ryz"))
+            / sqrt((lit(1.0) - col("rxz") * col("rxz"))
+              * (lit(1.0) - col("ryz") * col("ryz"))) * 1e9 + 0.5) / 1e9)
+            .as("partial_r"))
+    }),
+
+    "q285_moods_median" -> ((s, dir) => {
+      // Mood's median test across event types [EXT] — the robust
+      // k-sample location test (q222's Mann–Whitney is two-sample;
+      // ANOVA assumes normal tails): split every value at the POOLED
+      // exact median and χ² the above/below counts per type. The
+      // pooled median rides the histogram-refinement selector (q165's
+      // three shared scans — no single-buffer percentile at corpus
+      // scale), broadcast back as a 1-row frame for the map-side
+      // split; χ² over the 2×|types| table reuses the q267 margin
+      // shape with expected counts as mirrored doubles.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+      val med = graft.operators.Selection
+        .exactGroupedMedian(ev.select(lit("all").as("g"), col("value")), "g", "value")
+        .select(col("median"))
+      val cells = ev.crossJoin(broadcast(med))
+        .select(col("event_type"), (col("value") > col("median")).cast("long").as("hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("rt"), sum(col("hi")).as("a"))
+      val tot = cells.agg(sum(col("rt")).as("n"), sum(col("a")).as("ta"),
+        count(lit(1)).as("k"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("ehi", col("rt").cast("double") * col("ta").cast("double")
+          / col("n").cast("double"))
+        .withColumn("elo", col("rt").cast("double")
+          * (col("n") - col("ta")).cast("double") / col("n").cast("double"))
+        .filter(col("ehi") > 0 && col("elo") > 0)
+        .withColumn("term", pround(
+          (col("a") - col("ehi")) * (col("a") - col("ehi")) / col("ehi")
+            + (col("rt") - col("a") - col("elo")) * (col("rt") - col("a") - col("elo"))
+              / col("elo"), 9))
+        .groupBy(col("n"), col("k"))
+        .agg(sum(col("term").cast(DecimalType(27, 10))).cast("double").as("chi2"))
+        .crossJoin(broadcast(med))
+        .select(col("n"), (col("k") - 1).as("dof"),
+          pround(col("median"), 9).as("pooled_median"),
+          pround(col("chi2"), 6).as("chi2"))
+    }),
+
+    "q286_welch_t" -> ((s, dir) => {
+      // Welch's unequal-variance t with Satterthwaite dof [EXT] — the
+      // correct two-sample mean test when variances differ (q247 tests
+      // proportions; q222 ranks; the pooled-variance t silently
+      // miscalibrates under heteroscedasticity — Welch is the default
+      // recommendation). Both groups' moments in ONE conditional agg
+      // (q276 cell shape); t and the dof close as mirrored doubles.
+      val D6 = DecimalType(27, 6)
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select((col("event_type") === "click").cast("long").as("t"), col("value"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sv"),
+          sum(pround(col("value") * col("value"), 6).cast(D6)).cast("double").as("svv"))
+      def cell(t: Int, c: String) = max(when(col("t") === t, col(c))).as(s"${c}$t")
+      val wv = g.agg(cell(1, "n"), cell(1, "sv"), cell(1, "svv"),
+        cell(0, "n"), cell(0, "sv"), cell(0, "svv"))
+      def m(t: Int) = col(s"sv$t") / col(s"n$t")
+      def se2(t: Int) = (col(s"svv$t") - col(s"sv$t") * col(s"sv$t") / col(s"n$t")) /
+        (col(s"n$t") - 1) / col(s"n$t")
+      val dof = (se2(1) + se2(0)) * (se2(1) + se2(0)) /
+        (se2(1) * se2(1) / (col("n1") - 1) + se2(0) * se2(0) / (col("n0") - 1))
+      wv.filter(col("n1") > 1 && col("n0") > 1)
+        .select(col("n1").as("n_click"), col("n0").as("n_view"),
+          pround(m(1) - m(0), 9).as("diff"),
+          (floor((m(1) - m(0)) / sqrt(se2(1) + se2(0)) * 1e9 + 0.5) / 1e9).as("t_stat"),
+          (floor(dof * 1e6 + 0.5) / 1e6).as("dof"))
+    }),
+
+    "q287_energy_distance" -> ((s, dir) => {
+      // energy distance between click and view value distributions
+      // [EXT] — the ALL-moments two-sample metric (KS q198 sees the
+      // worst ECDF gap, W1 q194 the decile mass shift; energy distance
+      // 2E|X−Y| − E|X−X'| − E|Y−Y'| is zero iff the distributions are
+      // EQUAL — the metric behind energy statistics/MMD tests). The
+      // O(nm) pairwise sums collapse to prefix sums over the sorted
+      // distinct-value frame: values quantize exactly to centi-units
+      // (the generator's grid), so EVERY pairwise term is exact
+      // integer arithmetic until three final divisions; the global
+      // order rides ONE CumSum two-pass carrying all four weights.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(floor(col("value") * 100 + 0.5).as("v"),
+          (col("event_type") === "click").cast("long").as("isx"))
+      val byV = ev.groupBy(col("v")).agg(
+        sum(col("isx")).as("nx"), sum(lit(1L) - col("isx")).as("ny"))
+      val cum = graft.operators.CumSum.withRunningTotals(byV, Seq(col("v")),
+        Seq(col("nx") -> "cnx", col("ny") -> "cny",
+          (col("nx") * col("v")) -> "csx", (col("ny") * col("v")) -> "csy"))
+      val tot = byV.agg(sum(col("nx")).as("tnx"), sum(col("ny")).as("tny"),
+        sum(col("nx") * col("v")).as("tsx"), sum(col("ny") * col("v")).as("tsy"))
+      val terms = cum.crossJoin(broadcast(tot))
+        // Σ_i |x_i − v| from the inclusive cumulatives, exact longs
+        .withColumn("dx", (col("v") * col("cnx") - col("csx"))
+          + ((col("tsx") - col("csx")) - col("v") * (col("tnx") - col("cnx"))))
+        .withColumn("dy", (col("v") * col("cny") - col("csy"))
+          + ((col("tsy") - col("csy")) - col("v") * (col("tny") - col("cny"))))
+        // decimal-FIRST products: count·pairdist wraps long at corpus
+        // scale (DuckDB's HUGEINT wouldn't) — cast one factor before
+        // multiplying so the sum stays exact at any magnitude
+        .agg(sum(col("ny").cast(DecimalType(38, 0)) * col("dx")).as("sxy"),
+          sum(col("nx").cast(DecimalType(38, 0)) * col("dy")).as("syx"),
+          sum(col("nx").cast(DecimalType(38, 0)) * col("dx")).as("sxx"),
+          sum(col("ny").cast(DecimalType(38, 0)) * col("dy")).as("syy"))
+      terms.crossJoin(broadcast(tot))
+        .filter(col("tnx") > 0 && col("tny") > 0)
+        .withColumn("exy", (col("sxy").cast("double") + col("syx").cast("double"))
+          / (lit(2.0) * col("tnx").cast("double") * col("tny").cast("double")) / 100.0)
+        .withColumn("exx", col("sxx").cast("double")
+          / (col("tnx").cast("double") * col("tnx").cast("double")) / 100.0)
+        .withColumn("eyy", col("syy").cast("double")
+          / (col("tny").cast("double") * col("tny").cast("double")) / 100.0)
+        .select(col("tnx").as("n_click"), col("tny").as("n_view"),
+          pround(col("exy"), 9).as("e_xy"),
+          pround(col("exx"), 9).as("e_xx"),
+          pround(col("eyy"), 9).as("e_yy"),
+          (floor(sqrt(lit(2.0) * col("exy") - col("exx") - col("eyy"))
+            * 1e9 + 0.5) / 1e9).as("energy_d"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -11118,5 +11284,114 @@ object SparkEntry {
          |  CAST(CASE WHEN rank <= kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
          |FROM ok, km ORDER BY event_type""".stripMargin
     },
+
+    "q284_partial_correlation" -> {
+      def corr2(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        s"(nd * $sab - $sa * $sb) / sqrt((nd * $saa - $sa * $sa)" +
+          s" * (nd * $sbb - $sb * $sb))"
+      s"""$evCte,
+         |e2 AS (SELECT value AS y, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+         |         (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS z FROM ev),
+         |st AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(z) AS sz,
+         |         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         |         SUM(x * x) AS sxx, SUM(z * z) AS szz, SUM(x * z) AS sxz,
+         |         CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(27,8))) AS DOUBLE) AS syy,
+         |         CAST(SUM(CAST(round(y * x, 4) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |         CAST(SUM(CAST(round(y * z, 4) AS DECIMAL(38,6))) AS DOUBLE) AS syz
+         |       FROM e2),
+         |d2 AS (SELECT n, CAST(n AS DOUBLE) AS nd, sy, syy, sxy, syz,
+         |         CAST(sx AS DOUBLE) AS sxd, CAST(sz AS DOUBLE) AS szd,
+         |         CAST(sxx AS DOUBLE) AS sxxd, CAST(szz AS DOUBLE) AS szzd,
+         |         CAST(sxz AS DOUBLE) AS sxzd
+         |       FROM st WHERE n > 2),
+         |r AS (SELECT n,
+         |        round(${corr2("sxy", "sxd", "sy", "sxxd", "syy")}, 9) AS rxy,
+         |        round(${corr2("sxzd", "sxd", "szd", "sxxd", "szzd")}, 9) AS rxz,
+         |        round(${corr2("syz", "szd", "sy", "szzd", "syy")}, 9) AS ryz
+         |      FROM d2)
+         |SELECT CAST(n AS BIGINT) AS n, rxy, rxz, ryz,
+         |  FLOOR((rxy - rxz * ryz)
+         |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1e9 + 0.5) / 1e9
+         |    AS partial_r
+         |FROM r WHERE (1.0 - rxz * rxz) > 0 AND (1.0 - ryz * ryz) > 0""".stripMargin
+    },
+
+    "q285_moods_median" ->
+      s"""$evCte,
+         |med AS (SELECT quantile_cont(value, 0.5) AS median FROM ev),
+         |cells AS (SELECT event_type, COUNT(*) AS rt,
+         |            SUM(CASE WHEN value > median THEN 1 ELSE 0 END) AS a
+         |          FROM ev, med GROUP BY 1),
+         |tot AS (SELECT SUM(rt) AS n, SUM(a) AS ta, COUNT(*) AS k FROM cells),
+         |t2 AS (SELECT rt, a, n, k,
+         |         CAST(rt AS DOUBLE) * CAST(ta AS DOUBLE) / CAST(n AS DOUBLE) AS ehi,
+         |         CAST(rt AS DOUBLE) * CAST(n - ta AS DOUBLE) / CAST(n AS DOUBLE) AS elo
+         |       FROM cells, tot),
+         |s2 AS (SELECT n, k,
+         |         CAST(SUM(CAST(round((a - ehi) * (a - ehi) / ehi
+         |           + (rt - a - elo) * (rt - a - elo) / elo, 9)
+         |           AS DECIMAL(27,10))) AS DOUBLE) AS chi2
+         |       FROM t2 WHERE ehi > 0 AND elo > 0 GROUP BY 1, 2)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS dof,
+         |  round(median, 9) AS pooled_median, round(chi2, 6) AS chi2
+         |FROM s2, med""".stripMargin,
+
+    "q286_welch_t" -> {
+      def m(t: Int) = s"(sv$t / n$t)"
+      def v(t: Int) = s"((svv$t - sv$t * sv$t / n$t) / (n$t - 1) / n$t)"
+      s"""$evCte,
+         |g AS (SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS t,
+         |        COUNT(*) AS n,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         |        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6))) AS DOUBLE) AS svv
+         |      FROM ev WHERE event_type IN ('click', 'view') GROUP BY 1),
+         |w AS (SELECT MAX(CASE WHEN t = 1 THEN n END) AS n1,
+         |        MAX(CASE WHEN t = 1 THEN sv END) AS sv1,
+         |        MAX(CASE WHEN t = 1 THEN svv END) AS svv1,
+         |        MAX(CASE WHEN t = 0 THEN n END) AS n0,
+         |        MAX(CASE WHEN t = 0 THEN sv END) AS sv0,
+         |        MAX(CASE WHEN t = 0 THEN svv END) AS svv0
+         |      FROM g)
+         |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n0 AS BIGINT) AS n_view,
+         |  round(${m(1)} - ${m(0)}, 9) AS diff,
+         |  FLOOR((${m(1)} - ${m(0)}) / sqrt(${v(1)} + ${v(0)}) * 1e9 + 0.5) / 1e9
+         |    AS t_stat,
+         |  FLOOR((${v(1)} + ${v(0)}) * (${v(1)} + ${v(0)})
+         |    / (${v(1)} * ${v(1)} / (n1 - 1) + ${v(0)} * ${v(0)} / (n0 - 1))
+         |    * 1e6 + 0.5) / 1e6 AS dof
+         |FROM w WHERE n1 > 1 AND n0 > 1""".stripMargin
+    },
+
+    "q287_energy_distance" ->
+      s"""$evCte,
+         |e2 AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isx
+         |       FROM ev WHERE event_type IN ('click', 'view')),
+         |byv AS (SELECT v, SUM(isx) AS nx, SUM(1 - isx) AS ny FROM e2 GROUP BY 1),
+         |cum AS (SELECT v, nx, ny,
+         |          SUM(nx) OVER win AS cnx, SUM(ny) OVER win AS cny,
+         |          SUM(nx * v) OVER win AS csx, SUM(ny * v) OVER win AS csy
+         |        FROM byv WINDOW win AS (ORDER BY v)),
+         |tot AS (SELECT SUM(nx) AS tnx, SUM(ny) AS tny,
+         |          SUM(nx * v) AS tsx, SUM(ny * v) AS tsy FROM byv),
+         |t2 AS (SELECT nx, ny,
+         |         (v * cnx - csx) + ((tsx - csx) - v * (tnx - cnx)) AS dx,
+         |         (v * cny - csy) + ((tsy - csy) - v * (tny - cny)) AS dy
+         |       FROM cum, tot),
+         |ag AS (SELECT SUM(ny * dx) AS sxy, SUM(nx * dy) AS syx,
+         |         SUM(nx * dx) AS sxx, SUM(ny * dy) AS syy FROM t2)
+         |SELECT CAST(tnx AS BIGINT) AS n_click, CAST(tny AS BIGINT) AS n_view,
+         |  round((CAST(sxy AS DOUBLE) + CAST(syx AS DOUBLE))
+         |    / (2.0 * CAST(tnx AS DOUBLE) * CAST(tny AS DOUBLE)) / 100.0, 9) AS e_xy,
+         |  round(CAST(sxx AS DOUBLE)
+         |    / (CAST(tnx AS DOUBLE) * CAST(tnx AS DOUBLE)) / 100.0, 9) AS e_xx,
+         |  round(CAST(syy AS DOUBLE)
+         |    / (CAST(tny AS DOUBLE) * CAST(tny AS DOUBLE)) / 100.0, 9) AS e_yy,
+         |  FLOOR(sqrt(2.0 * (CAST(sxy AS DOUBLE) + CAST(syx AS DOUBLE))
+         |      / (2.0 * CAST(tnx AS DOUBLE) * CAST(tny AS DOUBLE)) / 100.0
+         |    - CAST(sxx AS DOUBLE) / (CAST(tnx AS DOUBLE) * CAST(tnx AS DOUBLE)) / 100.0
+         |    - CAST(syy AS DOUBLE) / (CAST(tny AS DOUBLE) * CAST(tny AS DOUBLE)) / 100.0)
+         |    * 1e9 + 0.5) / 1e9 AS energy_d
+         |FROM ag, tot WHERE tnx > 0 AND tny > 0""".stripMargin,
   )
 }
