@@ -7130,6 +7130,245 @@ object SparkEntry {
           (floor(sqrt(lit(2.0) * col("exy") - col("exx") - col("eyy"))
             * 1e9 + 0.5) / 1e9).as("energy_d"))
     }),
+
+    "q288_logrank" -> ((s, dir) => {
+      // log-rank test between the two arms' conversion survival [EXT]
+      // — the hypothesis-test companion to q234's KM curve ("ARE the
+      // two survival curves different", weighting every event time by
+      // its at-risk split; the standard A/B readout for time-to-event
+      // outcomes). Same delays frame as q234 with administrative
+      // censoring at 168 h — so nobody exits the risk set before the
+      // horizon and at-risk counts are pure cumulative-event
+      // subtractions: exact integers through the entire ≤168-row grid
+      // (tiny-frame window exception), O/E/V terms as mirrored doubles
+      // pround(12) into DECIMAL sums.
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val firstP = v.join(p, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts")).agg(min(col("p_ts")).as("p_ts"))
+      val delays = v.join(firstP, Seq("user_id", "v_ts"), "left")
+        .select(col("user_id"), (col("user_id") % 2).as("arm"),
+          ((unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts"))) / 3600L)
+            .cast("long").as("delay_h"))
+        .withColumn("event", col("delay_h").isNotNull && col("delay_h") < 168)
+      val nTot = delays.agg(count(lit(1)).as("nn"),
+        sum(col("arm")).as("n1"))
+      val grid = delays.filter(col("event"))
+        .groupBy(col("delay_h").as("t"))
+        .agg(count(lit(1)).as("d"), sum(col("arm")).as("d1"))
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = grid.crossJoin(broadcast(nTot))
+        .withColumn("cumd", sum(col("d")).over(wCum))
+        .withColumn("cumd1", sum(col("d1")).over(wCum))
+        .withColumn("nr", col("nn") - col("cumd") + col("d"))
+        .withColumn("nr1", col("n1") - col("cumd1") + col("d1"))
+        .filter(col("nr") > 1)
+        .withColumn("frac", col("nr1").cast("double") / col("nr").cast("double"))
+        .withColumn("et", pround(col("d").cast("double") * col("frac"), 12))
+        .withColumn("vt", pround(col("d").cast("double") * col("frac")
+          * (lit(1.0) - col("frac"))
+          * (col("nr") - col("d")).cast("double")
+          / (col("nr") - 1).cast("double"), 12))
+      terms.agg(sum(col("d1")).as("o1"),
+          sum(col("et").cast(DecimalType(27, 14))).cast("double").as("e1"),
+          sum(col("vt").cast(DecimalType(27, 14))).cast("double").as("v1"))
+        .filter(col("v1") > 0)
+        .select(col("o1"), pround(col("e1"), 6).as("e1"),
+          (floor((col("o1") - col("e1")) / sqrt(col("v1")) * 1e9 + 0.5) / 1e9)
+            .as("z"))
+    }),
+
+    "q289_kruskal_wallis" -> ((s, dir) => {
+      // Kruskal–Wallis H across all event types [EXT] — the k-sample
+      // rank test (q222's Mann–Whitney is its two-sample case; q290's
+      // ANOVA assumes normal tails): midranks from the grouped value
+      // frame via 2R = 2·cumBefore + n_v + 1 (exact-integer doubling,
+      // q221/q222 discipline), per-type rank sums as decimal-first
+      // products, the H close and the tie correction Σ(t³−t) in
+      // DECIMAL/HUGEINT — everything exact until the final mirrored
+      // doubles.
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val cells = Dedup.cacheScoped(ev.groupBy(col("value"), col("event_type"))
+        .agg(count(lit(1)).as("ng")))
+      val byV = cells.groupBy(col("value")).agg(sum(col("ng")).as("nv"))
+      val cum = graft.operators.CumSum.withRunningTotal(byV, Seq(col("value")),
+        col("nv"), "gcum")
+      val r2 = cells.join(cum.select(col("value"), col("nv"), col("gcum")),
+          Seq("value"))
+        .withColumn("r2row", col("ng").cast(DecimalType(38, 0))
+          * (lit(2) * (col("gcum") - col("nv")) + col("nv") + 1))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ng")).as("n_g"), sum(col("r2row")).as("r2_g"))
+      val ties = byV.agg(sum(col("nv").cast(DecimalType(38, 0)) * col("nv") * col("nv")
+        - col("nv")).as("tie"), sum(col("nv")).as("nn"),
+        count(lit(1)).as("n_distinct"))
+      val h = r2.crossJoin(broadcast(ties))
+        .withColumn("rbar", col("r2_g").cast("double") / 2.0
+          / col("n_g").cast("double"))
+        .withColumn("dev", col("rbar")
+          - (col("nn").cast("double") + 1.0) / 2.0)
+        .withColumn("term", pround(col("n_g").cast("double")
+          * col("dev") * col("dev"), 6))
+        .groupBy(col("nn"), col("tie"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("term").cast(DecimalType(27, 8))).cast("double").as("ssb"))
+      h.filter(col("nn") > 1)
+        .withColumn("hstat", lit(12.0) * col("ssb")
+          / (col("nn").cast("double") * (col("nn").cast("double") + 1.0)))
+        .withColumn("cf", lit(1.0) - col("tie").cast("double")
+          / (col("nn").cast("double") * col("nn").cast("double")
+            * col("nn").cast("double") - col("nn").cast("double")))
+        .filter(col("cf") > 0)
+        .select(col("nn").as("n"), (col("k") - 1).as("dof"),
+          pround(col("hstat"), 9).as("h"),
+          (floor(col("hstat") / col("cf") * 1e9 + 0.5) / 1e9).as("h_tie_corrected"))
+    }),
+
+    "q290_anova_f" -> ((s, dir) => {
+      // one-way ANOVA F of value across event types [EXT] — the
+      // classical k-sample mean test (q286 is its two-sample Welch
+      // case; q289 the rank form): SSB/SSW from per-group exact
+      // DECIMAL sums in ONE grouped agg + one 1-row close, F and η²
+      // as mirrored doubles — the canonical "does the group label
+      // explain variance" readout.
+      val D6 = DecimalType(27, 6)
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sv"),
+          sum(pround(col("value") * col("value"), 6).cast(D6)).cast("double").as("svv"))
+      val tot = g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+        sum(col("sv").cast(DecimalType(27, 6))).cast("double").as("st"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("ssb_t", pround(col("sv") * col("sv") / col("n").cast("double"), 6))
+        .withColumn("ssw_t", pround(col("svv")
+          - col("sv") * col("sv") / col("n").cast("double"), 6))
+        .groupBy(col("nn"), col("k"), col("st"))
+        .agg(sum(col("ssb_t").cast(DecimalType(27, 8))).cast("double").as("sb"),
+          sum(col("ssw_t").cast(DecimalType(27, 8))).cast("double").as("sw"))
+        .filter(col("k") > 1 && col("nn") > col("k"))
+        .withColumn("ssb", col("sb") - col("st") * col("st") / col("nn").cast("double"))
+        .withColumn("msb", col("ssb") / (col("k") - 1).cast("double"))
+        .withColumn("msw", col("sw") / (col("nn") - col("k")).cast("double"))
+        .filter(col("msw") > 0)
+        .select(col("nn").as("n"), (col("k") - 1).as("df_between"),
+          (col("nn") - col("k")).as("df_within"),
+          (floor(col("msb") / col("msw") * 1e9 + 0.5) / 1e9).as("f_stat"),
+          (floor(col("ssb") / (col("ssb") + col("sw")) * 1e9 + 0.5) / 1e9)
+            .as("eta_sq"))
+    }),
+
+    "q291_brown_forsythe" -> ((s, dir) => {
+      // Brown–Forsythe variance-homogeneity test [EXT] — "do the
+      // groups differ in SPREAD" (q290 tests means; variance QC is
+      // the precondition for pooled tests and a drift signal in its
+      // own right; the median-centered Levene variant is robust to
+      // heavy tails). Per-type exact medians ride the grouped
+      // histogram-refinement selector (q165's shared scans), broadcast
+      // back for the map-side |x − med_g| transform, then q290's
+      // ANOVA-F machinery on the transformed values with pround(4)
+      // quantization shared by BOTH engines.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+      val med = graft.operators.Selection
+        .exactGroupedMedian(ev, "event_type", "value")
+      val z = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), pround(abs(col("value") - col("median")), 4).as("z"))
+      val D6 = DecimalType(27, 6)
+      val g = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("z").cast(DecimalType(18, 4))).cast("double").as("sv"),
+          sum(pround(col("z") * col("z"), 6).cast(D6)).cast("double").as("svv"))
+      val tot = g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+        sum(col("sv").cast(DecimalType(27, 6))).cast("double").as("st"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("ssb_t", pround(col("sv") * col("sv") / col("n").cast("double"), 6))
+        .withColumn("ssw_t", pround(col("svv")
+          - col("sv") * col("sv") / col("n").cast("double"), 6))
+        .groupBy(col("nn"), col("k"), col("st"))
+        .agg(sum(col("ssb_t").cast(DecimalType(27, 8))).cast("double").as("sb"),
+          sum(col("ssw_t").cast(DecimalType(27, 8))).cast("double").as("sw"))
+        .filter(col("k") > 1 && col("nn") > col("k"))
+        .withColumn("ssb", col("sb") - col("st") * col("st") / col("nn").cast("double"))
+        .withColumn("msw", col("sw") / (col("nn") - col("k")).cast("double"))
+        .filter(col("msw") > 0)
+        .select(col("nn").as("n"), (col("k") - 1).as("df_between"),
+          (col("nn") - col("k")).as("df_within"),
+          (floor(col("ssb") / (col("k") - 1).cast("double") / col("msw")
+            * 1e9 + 0.5) / 1e9).as("f_stat"))
+    }),
+
+    "q292_cliffs_delta" -> ((s, dir) => {
+      // Cliff's delta effect size, click vs view values [EXT] — the
+      // DIRECTIONAL companion to q222's Mann–Whitney (U says whether
+      // the shift is significant; δ = P(X>Y) − P(X<Y) says how LARGE
+      // and is robust where Cohen's d assumes normality). Rides q287's
+      // grouped centi-unit value frame: #(x>y) = Σ_v nx_v·cny_{<v}
+      // from ONE CumSum pass, everything exact integers (decimal-first
+      // products) until the single final division.
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(floor(col("value") * 100 + 0.5).as("v"),
+          (col("event_type") === "click").cast("long").as("isx"))
+      val byV = ev.groupBy(col("v")).agg(
+        sum(col("isx")).as("nx"), sum(lit(1L) - col("isx")).as("ny"))
+      val cum = graft.operators.CumSum.withRunningTotals(byV, Seq(col("v")),
+        Seq(col("nx") -> "cnx", col("ny") -> "cny"))
+      val tot = byV.agg(sum(col("nx")).as("tnx"), sum(col("ny")).as("tny"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("gt", col("nx").cast(DecimalType(38, 0))
+          * (col("cny") - col("ny")))
+        .withColumn("lt2", col("nx").cast(DecimalType(38, 0))
+          * (col("tny") - col("cny")))
+        .agg(sum(col("gt")).as("n_gt"), sum(col("lt2")).as("n_lt"),
+          max(col("tnx")).as("tnx"), max(col("tny")).as("tny"))
+        .filter(col("tnx") > 0 && col("tny") > 0)
+        .select(col("tnx").as("n_click"), col("tny").as("n_view"),
+          col("n_gt").cast("long").as("n_gt"),
+          col("n_lt").cast("long").as("n_lt"),
+          (floor((col("n_gt").cast("double") - col("n_lt").cast("double"))
+            / (col("tnx").cast("double") * col("tny").cast("double"))
+            * 1e9 + 0.5) / 1e9).as("delta"))
+    }),
+
+    "q293_centroid_drift" -> ((s, dir) => {
+      // per-label embedding-centroid drift [EXT] — the vector-space
+      // version of q240's distributional divergence: cosine between
+      // each label's centroid and the global centroid (a label whose
+      // centroid drifts from the corpus mean is a candidate for
+      // re-embedding or split). Centroids are per-dimension means from
+      // ONE posexplode pass (map-side partial aggs); the cosine closes
+      // on the |labels|×dim frame with per-dim products pround(12)
+      // into DECIMAL sums — the q117/q226 embedding-oracle idiom.
+      val e = Dedup.cacheScoped(Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("label"), col("i"), col("x").cast("double").as("x")))
+      val perL = e.groupBy(col("label"), col("i"))
+        .agg((floor(sum(col("x").cast(DecimalType(27, 12))).cast("double")
+          / count(lit(1)) * 1e9 + 0.5) / 1e9).as("cl"))
+      val glob = e.groupBy(col("i"))
+        .agg((floor(sum(col("x").cast(DecimalType(27, 12))).cast("double")
+          / count(lit(1)) * 1e9 + 0.5) / 1e9).as("cg"))
+      perL.join(broadcast(glob), Seq("i"))
+        .groupBy(col("label"))
+        .agg(
+          sum(pround(col("cl") * col("cg"), 12).cast(DecimalType(27, 14)))
+            .cast("double").as("dot"),
+          sum(pround(col("cl") * col("cl"), 12).cast(DecimalType(27, 14)))
+            .cast("double").as("nl"),
+          sum(pround(col("cg") * col("cg"), 12).cast(DecimalType(27, 14)))
+            .cast("double").as("ng"))
+        .filter(col("nl") > 0 && col("ng") > 0)
+        .select(col("label"),
+          (floor(col("dot") / (sqrt(col("nl")) * sqrt(col("ng")))
+            * 1e9 + 0.5) / 1e9).as("cos_to_global"))
+        .orderBy(col("label"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -11393,5 +11632,174 @@ object SparkEntry {
          |    - CAST(syy AS DOUBLE) / (CAST(tny AS DOUBLE) * CAST(tny AS DOUBLE)) / 100.0)
          |    * 1e9 + 0.5) / 1e9 AS energy_d
          |FROM ag, tot WHERE tnx > 0 AND tny > 0""".stripMargin,
+
+    "q288_logrank" ->
+      s"""$evCte,
+         |v AS (SELECT user_id, MIN(ts) AS v_ts FROM ev
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |p AS (SELECT user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+         |fp AS (SELECT v.user_id, v.v_ts, MIN(p.p_ts) AS p_ts
+         |       FROM v JOIN p ON v.user_id = p.user_id AND p.p_ts >= v.v_ts
+         |       GROUP BY 1, 2),
+         |delays AS (SELECT v.user_id, v.user_id % 2 AS arm,
+         |             CAST((epoch_us(fp.p_ts) // 1000000
+         |               - epoch_us(v.v_ts) // 1000000) // 3600 AS BIGINT) AS delay_h
+         |           FROM v LEFT JOIN fp ON v.user_id = fp.user_id
+         |             AND v.v_ts = fp.v_ts),
+         |nt AS (SELECT COUNT(*) AS nn, SUM(arm) AS n1 FROM delays),
+         |grid AS (SELECT delay_h AS t, COUNT(*) AS d, SUM(arm) AS d1
+         |         FROM delays WHERE delay_h IS NOT NULL AND delay_h < 168
+         |         GROUP BY 1),
+         |cum AS (SELECT t, d, d1, nn, n1,
+         |          SUM(d) OVER w AS cumd, SUM(d1) OVER w AS cumd1
+         |        FROM grid, nt
+         |        WINDOW w AS (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |terms AS (SELECT d, d1,
+         |            nn - cumd + d AS nr, n1 - cumd1 + d1 AS nr1,
+         |            CAST(n1 - cumd1 + d1 AS DOUBLE) / CAST(nn - cumd + d AS DOUBLE)
+         |              AS frac
+         |          FROM cum WHERE nn - cumd + d > 1),
+         |t2 AS (SELECT d1,
+         |         round(CAST(d AS DOUBLE) * frac, 12) AS et,
+         |         round(CAST(d AS DOUBLE) * frac * (1.0 - frac)
+         |           * CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE), 12) AS vt
+         |       FROM terms),
+         |ag AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         |         CAST(SUM(CAST(et AS DECIMAL(27,14))) AS DOUBLE) AS e1,
+         |         CAST(SUM(CAST(vt AS DECIMAL(27,14))) AS DOUBLE) AS v1
+         |       FROM t2)
+         |SELECT o1, round(e1, 6) AS e1,
+         |  FLOOR((o1 - e1) / sqrt(v1) * 1e9 + 0.5) / 1e9 AS z
+         |FROM ag WHERE v1 > 0""".stripMargin,
+
+    "q289_kruskal_wallis" ->
+      s"""$evCte,
+         |cells AS (SELECT value, event_type, COUNT(*) AS ng
+         |          FROM ev GROUP BY 1, 2),
+         |byv AS (SELECT value, SUM(ng) AS nv FROM cells GROUP BY 1),
+         |cum AS (SELECT value, nv, SUM(nv) OVER (ORDER BY value) AS gcum FROM byv),
+         |r2 AS (SELECT c.event_type, SUM(c.ng) AS n_g,
+         |         SUM(CAST(c.ng AS HUGEINT)
+         |           * (2 * (m.gcum - m.nv) + m.nv + 1)) AS r2_g
+         |       FROM cells c JOIN cum m ON c.value = m.value GROUP BY 1),
+         |tie AS (SELECT SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS tie,
+         |          SUM(nv) AS nn, COUNT(*) AS n_distinct FROM byv),
+         |h AS (SELECT nn, tie, COUNT(*) AS k,
+         |        CAST(SUM(CAST(round(CAST(n_g AS DOUBLE)
+         |          * (CAST(r2_g AS DOUBLE) / 2.0 / CAST(n_g AS DOUBLE)
+         |             - (CAST(nn AS DOUBLE) + 1.0) / 2.0)
+         |          * (CAST(r2_g AS DOUBLE) / 2.0 / CAST(n_g AS DOUBLE)
+         |             - (CAST(nn AS DOUBLE) + 1.0) / 2.0), 6)
+         |          AS DECIMAL(27,8))) AS DOUBLE) AS ssb
+         |      FROM r2, tie GROUP BY 1, 2),
+         |f AS (SELECT nn, tie, k,
+         |        12.0 * ssb / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) AS hstat,
+         |        1.0 - CAST(tie AS DOUBLE)
+         |          / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+         |             - CAST(nn AS DOUBLE)) AS cf
+         |      FROM h WHERE nn > 1)
+         |SELECT CAST(nn AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS dof,
+         |  round(hstat, 9) AS h,
+         |  FLOOR(hstat / cf * 1e9 + 0.5) / 1e9 AS h_tie_corrected
+         |FROM f WHERE cf > 0""".stripMargin,
+
+    "q290_anova_f" ->
+      s"""$evCte,
+         |g AS (SELECT event_type, COUNT(*) AS n,
+         |        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         |        CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(27,6))) AS DOUBLE)
+         |          AS svv
+         |      FROM ev GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS nn, COUNT(*) AS k,
+         |          CAST(SUM(CAST(sv AS DECIMAL(27,6))) AS DOUBLE) AS st FROM g),
+         |t2 AS (SELECT nn, k, st,
+         |         CAST(SUM(CAST(round(sv * sv / CAST(n AS DOUBLE), 6)
+         |           AS DECIMAL(27,8))) AS DOUBLE) AS sb,
+         |         CAST(SUM(CAST(round(svv - sv * sv / CAST(n AS DOUBLE), 6)
+         |           AS DECIMAL(27,8))) AS DOUBLE) AS sw
+         |       FROM g, tot GROUP BY 1, 2, 3),
+         |f AS (SELECT nn, k, sw,
+         |        sb - st * st / CAST(nn AS DOUBLE) AS ssb
+         |      FROM t2 WHERE k > 1 AND nn > k),
+         |f2 AS (SELECT nn, k, sw, ssb,
+         |         ssb / CAST(k - 1 AS DOUBLE) AS msb,
+         |         sw / CAST(nn - k AS DOUBLE) AS msw
+         |       FROM f)
+         |SELECT CAST(nn AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS df_between,
+         |  CAST(nn - k AS BIGINT) AS df_within,
+         |  FLOOR(msb / msw * 1e9 + 0.5) / 1e9 AS f_stat,
+         |  FLOOR(ssb / (ssb + sw) * 1e9 + 0.5) / 1e9 AS eta_sq
+         |FROM f2 WHERE msw > 0""".stripMargin,
+
+    "q291_brown_forsythe" ->
+      s"""$evCte,
+         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS median
+         |        FROM ev GROUP BY 1),
+         |z AS (SELECT ev.event_type,
+         |        round(abs(value - median), 4) AS z
+         |      FROM ev JOIN med ON ev.event_type = med.event_type),
+         |g AS (SELECT event_type, COUNT(*) AS n,
+         |        CAST(SUM(CAST(z AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+         |        CAST(SUM(CAST(round(z * z, 6) AS DECIMAL(27,6))) AS DOUBLE) AS svv
+         |      FROM z GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS nn, COUNT(*) AS k,
+         |          CAST(SUM(CAST(sv AS DECIMAL(27,6))) AS DOUBLE) AS st FROM g),
+         |t2 AS (SELECT nn, k, st,
+         |         CAST(SUM(CAST(round(sv * sv / CAST(n AS DOUBLE), 6)
+         |           AS DECIMAL(27,8))) AS DOUBLE) AS sb,
+         |         CAST(SUM(CAST(round(svv - sv * sv / CAST(n AS DOUBLE), 6)
+         |           AS DECIMAL(27,8))) AS DOUBLE) AS sw
+         |       FROM g, tot GROUP BY 1, 2, 3),
+         |f AS (SELECT nn, k, sw,
+         |        sb - st * st / CAST(nn AS DOUBLE) AS ssb
+         |      FROM t2 WHERE k > 1 AND nn > k),
+         |f2 AS (SELECT nn, k, ssb,
+         |         sw / CAST(nn - k AS DOUBLE) AS msw FROM f)
+         |SELECT CAST(nn AS BIGINT) AS n, CAST(k - 1 AS BIGINT) AS df_between,
+         |  CAST(nn - k AS BIGINT) AS df_within,
+         |  FLOOR(ssb / CAST(k - 1 AS DOUBLE) / msw * 1e9 + 0.5) / 1e9 AS f_stat
+         |FROM f2 WHERE msw > 0""".stripMargin,
+
+    "q292_cliffs_delta" ->
+      s"""$evCte,
+         |e2 AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isx
+         |       FROM ev WHERE event_type IN ('click', 'view')),
+         |byv AS (SELECT v, SUM(isx) AS nx, SUM(1 - isx) AS ny FROM e2 GROUP BY 1),
+         |cum AS (SELECT v, nx, ny,
+         |          SUM(nx) OVER win AS cnx, SUM(ny) OVER win AS cny
+         |        FROM byv WINDOW win AS (ORDER BY v)),
+         |tot AS (SELECT SUM(nx) AS tnx, SUM(ny) AS tny FROM byv),
+         |ag AS (SELECT SUM(nx * (cny - ny)) AS n_gt,
+         |         SUM(nx * (tny - cny)) AS n_lt,
+         |         MAX(tnx) AS tnx, MAX(tny) AS tny
+         |       FROM cum, tot)
+         |SELECT CAST(tnx AS BIGINT) AS n_click, CAST(tny AS BIGINT) AS n_view,
+         |  CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+         |  FLOOR((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+         |    / (CAST(tnx AS DOUBLE) * CAST(tny AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS delta
+         |FROM ag WHERE tnx > 0 AND tny > 0""".stripMargin,
+
+    "q293_centroid_drift" ->
+      """WITH e AS (SELECT label, g.i AS i, CAST(e2.embedding[g.i] AS DOUBLE) AS x
+        |           FROM embeddings e2,
+        |           LATERAL (SELECT unnest(generate_series(1, len(e2.embedding))) AS i) g),
+        |perl AS (SELECT label, i,
+        |           floor(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+        |             * 1e9 + 0.5) / 1e9 AS cl
+        |         FROM e GROUP BY 1, 2),
+        |gcent AS (SELECT i,
+        |           floor(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+        |             * 1e9 + 0.5) / 1e9 AS cg
+        |         FROM e GROUP BY 1),
+        |ag AS (SELECT label,
+        |         CAST(SUM(CAST(round(cl * cg, 12) AS DECIMAL(27,14))) AS DOUBLE) AS dot,
+        |         CAST(SUM(CAST(round(cl * cl, 12) AS DECIMAL(27,14))) AS DOUBLE) AS nl,
+        |         CAST(SUM(CAST(round(cg * cg, 12) AS DECIMAL(27,14))) AS DOUBLE) AS ng
+        |       FROM perl JOIN gcent USING (i) GROUP BY 1)
+        |SELECT label, FLOOR(dot / (sqrt(nl) * sqrt(ng)) * 1e9 + 0.5) / 1e9
+        |  AS cos_to_global
+        |FROM ag WHERE nl > 0 AND ng > 0 ORDER BY label""".stripMargin,
   )
 }
