@@ -7369,6 +7369,121 @@ object SparkEntry {
             * 1e9 + 0.5) / 1e9).as("cos_to_global"))
         .orderBy(col("label"))
     }),
+
+    "q294_median_ci" -> ((s, dir) => {
+      // distribution-free binomial CI for the per-type median [EXT] —
+      // the uncertainty the point estimates (q55/q165) don't carry:
+      // order statistics x_(k), x_(n+1−k) with k = ⌊(n − 1.96√n)/2⌋
+      // bracket the median at ~95% by the sign-test argument — no
+      // normality, no bootstrap replicates (q235's B resamples cost
+      // B× this). Ranks from mirrored doubles on the |types|-row count
+      // frame (driver map — the selector's documented conformal-k
+      // tier); both bracket values from the histogram-refinement
+      // selector (two calls, shared machinery, no per-group buffer).
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+      val ns = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .filter(_._2 >= 16)
+      val kLo: Map[Any, Long] = ns.map { case (g, n) =>
+        (g: Any) -> math.max(1L,
+          math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      }
+      val kHi: Map[Any, Long] = ns.map { case (g, n) => (g: Any) -> (n + 1 - kLo(g)) }
+      val lo = graft.operators.Selection
+        .exactGroupedOrderStat(ev, "event_type", "value", kLo)
+        .select(col("event_type"), col("k").as("k_lo"), col("value").as("ci_lo"))
+      val hi = graft.operators.Selection
+        .exactGroupedOrderStat(ev, "event_type", "value", kHi)
+        .select(col("event_type"), col("k").as("k_hi"), col("value").as("ci_hi"))
+      import s.implicits._
+      val nDf = ns.toSeq.map { case (g, n) => (g, n) }.toDF("event_type", "n")
+      nDf.join(lo, Seq("event_type")).join(hi, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("k_lo"), col("k_hi"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q295_brier_score" -> ((s, dir) => {
+      // Brier score + Murphy decomposition of the quality classifier
+      // [EXT] — the PROPER scoring rule the calibration family lacked
+      // (q150 shows the reliability table, q233 averages |gap|; the
+      // Brier score is what the model actually optimizes, and its
+      // reliability − resolution + uncertainty decomposition says
+      // WHERE the loss comes from). One scan for the scores, decile
+      // bins (q150's floor-bucketing), every cross-row reduction
+      // pround→DECIMAL; the three components close on the 10-row bin
+      // frame as mirrored doubles.
+      val score = TextAnalysis.classifierScore(col("text"),
+        wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
+      val d = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(score.as("p"), (col("lang") === "en").cast("long").as("y"))
+        .withColumn("bucket", least(floor(col("p") * 10), lit(9L)).cast("long")))
+      val t = d.agg(count(lit(1)).as("n"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("ybar"),
+        sum(pround((col("p") - col("y")) * (col("p") - col("y")), 9)
+          .cast(DecimalType(27, 10))).cast("double").as("sq"))
+      val bins = d.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("nb"),
+          (sum(col("p").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+            .as("pbar"),
+          (sum(col("y")).cast("double") / count(lit(1))).as("ybarb"))
+      val comp = bins.crossJoin(broadcast(t))
+        .agg(
+          sum(pround(col("nb").cast("double") * (col("pbar") - col("ybarb"))
+            * (col("pbar") - col("ybarb")), 9).cast(DecimalType(27, 10)))
+            .cast("double").as("reln"),
+          sum(pround(col("nb").cast("double") * (col("ybarb") - col("ybar"))
+            * (col("ybarb") - col("ybar")), 9).cast(DecimalType(27, 10)))
+            .cast("double").as("resn"))
+      comp.crossJoin(broadcast(t))
+        .filter(col("n") > 0)
+        .select(col("n"),
+          pround(col("sq") / col("n"), 9).as("brier"),
+          pround(col("reln") / col("n"), 9).as("reliability"),
+          pround(col("resn") / col("n"), 9).as("resolution"),
+          pround(col("ybar") * (lit(1.0) - col("ybar")), 9).as("uncertainty"))
+    }),
+
+    "q296_gini_split" -> ((s, dir) => {
+      // CART decision-stump split finder on the quality score [EXT] —
+      // the supervised threshold chooser the gate family lacked (q108
+      // fixes 0.5; q75 uses hand rules): the split minimizing weighted
+      // Gini impurity is exactly one tree level of CART/XGBoost — the
+      // principled "where to cut a quality filter" answer. Candidate
+      // thresholds are the grouped distinct scores; left/right class
+      // counts come from ONE CumSum two-pass (never a global window);
+      // impurity closes as mirrored doubles, argmin total-ordered by
+      // (impurity, threshold).
+      val d = Tables.documents(s, dir).select(
+        pround(TextAnalysis.qualityScore(col("text")), 9).as("sc"),
+        (col("lang") === "en").cast("long").as("y"))
+      val byV = d.groupBy(col("sc")).agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      val cum = graft.operators.CumSum.withRunningTotals(byV, Seq(col("sc")),
+        Seq(col("n") -> "cn", col("p") -> "cp"))
+      val tot = byV.agg(sum(col("n")).as("tn"), sum(col("p")).as("tp"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cn") < col("tn") && col("tn") > 0)
+        .withColumn("nl", col("cn").cast("double"))
+        .withColumn("nr", (col("tn") - col("cn")).cast("double"))
+        .withColumn("pl", col("cp").cast("double") / col("nl"))
+        .withColumn("pr2", (col("tp") - col("cp")).cast("double") / col("nr"))
+        .withColumn("gl", lit(1.0) - col("pl") * col("pl")
+          - (lit(1.0) - col("pl")) * (lit(1.0) - col("pl")))
+        .withColumn("gr", lit(1.0) - col("pr2") * col("pr2")
+          - (lit(1.0) - col("pr2")) * (lit(1.0) - col("pr2")))
+        .withColumn("impRaw", (col("nl") * col("gl") + col("nr") * col("gr"))
+          / col("tn").cast("double"))
+        .withColumn("imp", pround(col("impRaw"), 9))
+        .withColumn("p0", col("tp").cast("double") / col("tn").cast("double"))
+        .withColumn("g0", lit(1.0) - col("p0") * col("p0")
+          - (lit(1.0) - col("p0")) * (lit(1.0) - col("p0")))
+        .orderBy(col("imp"), col("sc")).limit(1)
+        .select(col("sc").as("threshold"), col("cn").as("n_left"),
+          (col("tn") - col("cn")).as("n_right"), col("imp").as("impurity"),
+          pround(col("g0"), 9).as("gini_parent"),
+          pround(col("g0") - col("impRaw"), 9).as("gain"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -11801,5 +11916,89 @@ object SparkEntry {
         |SELECT label, FLOOR(dot / (sqrt(nl) * sqrt(ng)) * 1e9 + 0.5) / 1e9
         |  AS cos_to_global
         |FROM ag WHERE nl > 0 AND ng > 0 ORDER BY label""".stripMargin,
+
+    "q294_median_ci" ->
+      s"""$evCte,
+         |ns AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY 1
+         |       HAVING COUNT(*) >= 16),
+         |ks AS (SELECT event_type, n,
+         |         GREATEST(1, CAST(FLOOR((CAST(n AS DOUBLE)
+         |           - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS k_lo
+         |       FROM ns),
+         |ks2 AS (SELECT event_type, n, k_lo, n + 1 - k_lo AS k_hi FROM ks),
+         |rk AS (SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS r
+         |       FROM ev)
+         |SELECT k.event_type, CAST(k.n AS BIGINT) AS n,
+         |  CAST(k.k_lo AS BIGINT) AS k_lo, CAST(k.k_hi AS BIGINT) AS k_hi,
+         |  lo.value AS ci_lo, hi.value AS ci_hi
+         |FROM ks2 k
+         |JOIN rk lo ON lo.event_type = k.event_type AND lo.r = k.k_lo
+         |JOIN rk hi ON hi.event_type = k.event_type AND hi.r = k.k_hi
+         |ORDER BY k.event_type""".stripMargin,
+
+    "q295_brier_score" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |        round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0 + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) AS p
+        |      FROM f),
+        |b AS (SELECT p, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |        CAST(least(floor(p * 10), 9) AS BIGINT) AS bucket FROM z),
+        |t AS (SELECT COUNT(*) AS n, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar,
+        |        CAST(SUM(CAST(round((p - y) * (p - y), 9) AS DECIMAL(27,10)))
+        |          AS DOUBLE) AS sq
+        |      FROM b),
+        |bb AS (SELECT bucket, COUNT(*) AS nb,
+        |         CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS pbar,
+        |         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybarb
+        |       FROM b GROUP BY 1),
+        |comp AS (SELECT
+        |           CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * (pbar - ybarb)
+        |             * (pbar - ybarb), 9) AS DECIMAL(27,10))) AS DOUBLE) AS reln,
+        |           CAST(SUM(CAST(round(CAST(nb AS DOUBLE) * (ybarb - ybar)
+        |             * (ybarb - ybar), 9) AS DECIMAL(27,10))) AS DOUBLE) AS resn
+        |         FROM bb, t)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(sq / n, 9) AS brier,
+        |  round(reln / n, 9) AS reliability,
+        |  round(resn / n, 9) AS resolution,
+        |  round(ybar * (1.0 - ybar), 9) AS uncertainty
+        |FROM comp, t WHERE n > 0""".stripMargin,
+
+    "q296_gini_split" ->
+      s"""$qualityDocCte,
+         |d2 AS (SELECT round(score, 9) AS sc,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM d),
+         |byv AS (SELECT sc, COUNT(*) AS n, SUM(y) AS p FROM d2 GROUP BY 1),
+         |cum AS (SELECT sc, n, p,
+         |          SUM(n) OVER win AS cn, SUM(p) OVER win AS cp
+         |        FROM byv WINDOW win AS (ORDER BY sc)),
+         |tot AS (SELECT SUM(n) AS tn, SUM(p) AS tp FROM byv),
+         |g AS (SELECT sc, cn, tn,
+         |        CAST(cn AS DOUBLE) AS nl, CAST(tn - cn AS DOUBLE) AS nr,
+         |        CAST(cp AS DOUBLE) / CAST(cn AS DOUBLE) AS pl,
+         |        CAST(tp - cp AS DOUBLE) / CAST(tn - cn AS DOUBLE) AS pr2,
+         |        CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE) AS p0
+         |      FROM cum, tot WHERE cn < tn AND tn > 0),
+         |h AS (SELECT sc, cn, tn, p0,
+         |        (nl * (1.0 - pl * pl - (1.0 - pl) * (1.0 - pl))
+         |         + nr * (1.0 - pr2 * pr2 - (1.0 - pr2) * (1.0 - pr2)))
+         |          / CAST(tn AS DOUBLE) AS imp_raw
+         |      FROM g),
+         |h2 AS (SELECT sc, cn, tn, p0, imp_raw, round(imp_raw, 9) AS imp FROM h)
+         |SELECT sc AS threshold, CAST(cn AS BIGINT) AS n_left,
+         |  CAST(tn - cn AS BIGINT) AS n_right, imp AS impurity,
+         |  round(1.0 - p0 * p0 - (1.0 - p0) * (1.0 - p0), 9) AS gini_parent,
+         |  round((1.0 - p0 * p0 - (1.0 - p0) * (1.0 - p0)) - imp_raw, 9) AS gain
+         |FROM h2 ORDER BY imp, sc LIMIT 1""".stripMargin,
   )
 }
