@@ -7484,6 +7484,120 @@ object SparkEntry {
           pround(col("g0"), 9).as("gini_parent"),
           pround(col("g0") - col("impRaw"), 9).as("gain"))
     }),
+
+    "q297_page_hinkley" -> ((s, dir) => {
+      // Page–Hinkley drift alarm per type [EXT] — the sequential
+      // change detector between q207 (CUSUM vs a FIXED reference) and
+      // q269 (retrospective argmax): PH tracks m_t = Σ(x_i − x̄_i − δ)
+      // against its running minimum, where x̄_i is the RUNNING mean —
+      // self-calibrating, no reference window to choose. Every term
+      // depends only on prefix sums, so the whole statistic is
+      // per-type windowed cumulatives on the ≤|days| frame: terms
+      // pround(9) into DECIMAL running sums (exact), the excursion
+      // m − M closes in exact decimal; alarms compare against
+      // 5σ̂ (double-first moments), ROUNDED vs ROUNDED.
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wcum = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")))
+      val sig = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("x").cast(DecimalType(38, 0)) * col("x"))).as("sxx"))
+        .filter(col("n") > 1)
+        .withColumn("m", col("sx").cast("double") / col("n").cast("double"))
+        .select(col("event_type"), col("m"),
+          sqrt(col("sxx").cast("double") / col("n").cast("double")
+            - col("m") * col("m")).as("sig"))
+      val terms = daily
+        .withColumn("i", row_number().over(wt).cast("long"))
+        .withColumn("si", sum(col("x")).over(wcum))
+        .join(broadcast(sig), Seq("event_type"))
+        .withColumn("term", pround(col("x").cast("double")
+          - col("si").cast("double") / col("i").cast("double")
+          - lit(0.01) * col("m"), 9))
+        .withColumn("mt", sum(col("term").cast(DecimalType(27, 10))).over(wcum))
+        .withColumn("mmin", min(col("mt")).over(wcum))
+        .withColumn("exc", (col("mt") - col("mmin")).cast("double"))
+        .withColumn("h", pround(lit(5.0) * col("sig"), 9))
+      terms.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("exc") > col("h"), 1L).otherwise(0L)).as("n_alarms"),
+          min(when(col("exc") > col("h"), col("day"))).as("first_alarm_day"),
+          (floor(max(col("exc")) * 1e9 + 0.5) / 1e9).as("max_excursion"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q298_tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer fertility per source [EXT] — subword tokens per
+      // whitespace word, THE tokenizer-efficiency number for mixture
+      // design (a source at fertility 2.5 costs 2.5× the context
+      // budget per word; q27 counts tokens per doc, this rolls the
+      // ratio up to the curation unit and flags the heavy tail). One
+      // codegen scan; exact-long token sums; the doc-level tail flag
+      // compares exact integers (bpe > 2·ws — no float boundary at
+      // all).
+      val d = Tables.documents(s, dir).select(col("source"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe"))
+        .filter(col("ws") > 0)
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_tokens"),
+          sum(when(col("bpe") > lit(2) * col("ws"), 1L).otherwise(0L))
+            .as("n_high_fertility"))
+        .filter(col("ws_tokens") > 0)
+        .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+          (floor(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")
+            * 1e9 + 0.5) / 1e9).as("fertility"),
+          (floor(col("n_high_fertility").cast("double") / col("n_docs").cast("double")
+            * 1e9 + 0.5) / 1e9).as("high_fertility_frac"))
+        .orderBy(col("source"))
+    }),
+
+    "q299_burst_detection" -> ((s, dir) => {
+      // Kleinberg-style two-state burst detection on the daily volume
+      // [EXT] — the burst segmentation behind trending-topic and
+      // incident timelines: base state at the global rate λ, burst
+      // state at 2λ with an entry cost, minimum-cost state sequence
+      // via the forward DP (the FILTERED state argmin(c0,c1) — the
+      // online decision, no backtrack pass). Sequential by nature:
+      // the ≤|days| frame walks on the DRIVER (the q198 bounded-walk
+      // tier) with floor(12) after every accumulation, while the
+      // oracle replays the identical recursion as a RECURSIVE CTE —
+      // step-for-step mirrored doubles, the q112 PageRank discipline.
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+        .orderBy(col("day"))
+      val rows = daily.collect().map(r => (r.getDate(0), r.getLong(1)))
+      val tT = rows.length
+      import s.implicits._
+      if (tT == 0 || rows.map(_._2).sum == 0) {
+        Seq.empty[(Long, Long, Double)].toDF("n_days", "n_burst_days", "min_cost")
+      } else {
+        val lam0 = rows.map(_._2).sum.toDouble / tT
+        def r12(v: Double): Double = math.floor(v * 1e12 + 0.5) / 1e12
+        def f0(x: Long): Double = lam0 - x * math.log(lam0)
+        def f1(x: Long): Double = 2.0 * lam0 - x * math.log(2.0 * lam0)
+        var c0 = r12(f0(rows.head._2))
+        var c1 = r12(f1(rows.head._2) + 1.0)
+        var burstDays = 0L
+        var firstBurst: Option[java.sql.Date] = None
+        if (c1 < c0) { burstDays += 1; firstBurst = Some(rows.head._1) }
+        rows.tail.foreach { case (day, x) =>
+          val n0 = r12(math.min(c0, c1) + f0(x))
+          val n1 = r12(math.min(c1, c0 + 1.0) + f1(x))
+          c0 = n0; c1 = n1
+          if (c1 < c0) { burstDays += 1; if (firstBurst.isEmpty) firstBurst = Some(day) }
+        }
+        val minCost = math.floor(math.min(c0, c1) * 1e9 + 0.5) / 1e9
+        Seq((tT.toLong, burstDays, minCost))
+          .toDF("n_days", "n_burst_days", "min_cost")
+          .withColumn("first_burst_day",
+            firstBurst.map(d => lit(d.toString).cast("date"))
+              .getOrElse(lit(null).cast("date")))
+      }
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -12000,5 +12114,84 @@ object SparkEntry {
          |  round(1.0 - p0 * p0 - (1.0 - p0) * (1.0 - p0), 9) AS gini_parent,
          |  round((1.0 - p0 * p0 - (1.0 - p0) * (1.0 - p0)) - imp_raw, 9) AS gain
          |FROM h2 ORDER BY imp, sc LIMIT 1""".stripMargin,
+
+    "q297_page_hinkley" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |sig AS (SELECT event_type, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS m,
+         |          sqrt(CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) / COUNT(*)
+         |            - (CAST(SUM(x) AS DOUBLE) / COUNT(*))
+         |              * (CAST(SUM(x) AS DOUBLE) / COUNT(*))) AS sig
+         |        FROM daily GROUP BY 1 HAVING COUNT(*) > 1),
+         |t1 AS (SELECT d.event_type, d.day, d.x, s.m, s.sig,
+         |         row_number() OVER wpt AS i, SUM(d.x) OVER wcum AS si
+         |       FROM daily d JOIN sig s USING (event_type)
+         |       WINDOW wpt AS (PARTITION BY d.event_type ORDER BY d.day),
+         |         wcum AS (PARTITION BY d.event_type ORDER BY d.day
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t2 AS (SELECT event_type, day, sig,
+         |         round(CAST(x AS DOUBLE) - CAST(si AS DOUBLE) / CAST(i AS DOUBLE)
+         |           - 0.01 * m, 9) AS term
+         |       FROM t1),
+         |t3 AS (SELECT event_type, day, sig,
+         |         SUM(CAST(term AS DECIMAL(27,10))) OVER wcum AS mt
+         |       FROM t2 WINDOW wcum AS (PARTITION BY event_type ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t4 AS (SELECT event_type, day, sig,
+         |         CAST(mt - MIN(mt) OVER wcum AS DOUBLE) AS exc
+         |       FROM t3 WINDOW wcum AS (PARTITION BY event_type ORDER BY day
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |t5 AS (SELECT event_type, day, exc, round(5.0 * sig, 9) AS h FROM t4)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(CASE WHEN exc > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+         |  MIN(CASE WHEN exc > h THEN day END) AS first_alarm_day,
+         |  FLOOR(MAX(exc) * 1e9 + 0.5) / 1e9 AS max_excursion
+         |FROM t5 GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q298_tokenizer_fertility" ->
+      """WITH d AS (SELECT source,
+        |    len(regexp_extract_all(text, '\S+')) AS ws,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS bpe
+        |  FROM documents),
+        |g AS (SELECT source, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
+        |        SUM(bpe) AS bpe_tokens,
+        |        SUM(CASE WHEN bpe > 2 * ws THEN 1 ELSE 0 END) AS nh
+        |      FROM d WHERE ws > 0 GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(ws_tokens AS BIGINT) AS ws_tokens,
+        |  CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+        |  FLOOR(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+        |    * 1e9 + 0.5) / 1e9 AS fertility,
+        |  FLOOR(CAST(nh AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e9 + 0.5) / 1e9
+        |    AS high_fertility_frac
+        |FROM g WHERE ws_tokens > 0 ORDER BY source""".stripMargin,
+
+    "q299_burst_detection" ->
+      """WITH RECURSIVE ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev GROUP BY 1),
+        |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM daily),
+        |st AS (SELECT COUNT(*) AS tt, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS lam0
+        |       FROM daily),
+        |dp AS (
+        |  SELECT i.t, i.day,
+        |    FLOOR((s.lam0 - i.x * ln(s.lam0)) * 1e12 + 0.5) / 1e12 AS c0,
+        |    FLOOR((2.0 * s.lam0 - i.x * ln(2.0 * s.lam0) + 1.0) * 1e12 + 0.5) / 1e12
+        |      AS c1
+        |  FROM idx i, st s WHERE i.t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day,
+        |    FLOOR((least(d.c0, d.c1) + (s.lam0 - i.x * ln(s.lam0)))
+        |      * 1e12 + 0.5) / 1e12,
+        |    FLOOR((least(d.c1, d.c0 + 1.0)
+        |      + (2.0 * s.lam0 - i.x * ln(2.0 * s.lam0))) * 1e12 + 0.5) / 1e12
+        |  FROM dp d JOIN idx i ON i.t = d.t + 1, st s
+        |)
+        |SELECT CAST((SELECT COUNT(*) FROM dp) AS BIGINT) AS n_days,
+        |  CAST((SELECT SUM(CASE WHEN c1 < c0 THEN 1 ELSE 0 END) FROM dp)
+        |    AS BIGINT) AS n_burst_days,
+        |  (SELECT FLOOR(least(c0, c1) * 1e9 + 0.5) / 1e9 FROM dp
+        |   WHERE t = (SELECT MAX(t) FROM dp)) AS min_cost,
+        |  (SELECT MIN(day) FROM dp WHERE c1 < c0) AS first_burst_day""".stripMargin,
   )
 }
