@@ -7598,6 +7598,259 @@ object SparkEntry {
               .getOrElse(lit(null).cast("date")))
       }
     }),
+
+    "q300_ngram_novelty" -> ((s, dir) => {
+      // per-source n-gram novelty attribution [EXT] — for each doc,
+      // the fraction of its distinct 3-shingles whose corpus-FIRST
+      // occurrence (min doc_id) is this doc; rolled up to the source.
+      // The redundancy lens the dedup family lacks: q164 asks "is doc
+      // B contained in A", this asks "what does each SOURCE add that
+      // the corpus didn't already have" — the marginal-contribution
+      // number mixture design weighs against token cost (q298). Shape
+      // is the standard dedup bucketing: distinct shingles explode
+      // (codegen), one gram-keyed agg for first owners (a gram's first
+      // owner is unique, so novel-gram counts PARTITION the corpus
+      // vocabulary), one equi-join back — linear in total grams, never
+      // pairwise. Per-doc ratios pround(9) into exact DECIMAL sums;
+      // the mean-of-ratios closes with one double divide.
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.cacheScoped(docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.Shingles.shingles(col("text"), 3))).as("sh")))
+      val firstOwner = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = sh.join(firstOwner, Seq("sh"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_novel")).as("novel_grams"),
+          sum(pround(col("n_novel").cast("double") / col("n_grams"), 9)
+            .cast(DecimalType(27, 10))).as("ratio_sum"))
+        .select(col("source"), col("n_docs"), col("total_grams"),
+          col("novel_grams"),
+          pround(col("novel_grams").cast("double")
+            / col("total_grams").cast("double"), 9).as("novelty"),
+          pround(col("ratio_sum").cast("double")
+            / col("n_docs").cast("double"), 9).as("mean_doc_novelty"))
+        .orderBy(col("source"))
+    }),
+
+    "q301_filter_funnel" -> ((s, dir) => {
+      // quality-filter cascade audit [EXT] — the per-STAGE funnel a
+      // curation pipeline publishes next to its output (q92 is the
+      // user-journey funnel; this is the data-yield one): how many
+      // docs survive length → alpha-word (Gopher 80%) → stopword →
+      // exact-dedup, where each gate sees only the previous gate's
+      // survivors. Every gate compares EXACT INTEGERS via cross-
+      // multiplication (alpha·5 ≥ ws·4, stop·100 ≥ ws·3) — zero float
+      // surface, so no engine boundary can flip a doc. One scan builds
+      // the flags; dedup-keep-first is the standard min-per-hash agg
+      // over stage-3 survivors; the four funnel rows unpivot from the
+      // single 1-row close (no second scan).
+      val flagged = Dedup.cacheScoped(Tables.documents(s, dir).select(
+          col("doc_id"), col("n_chars"), md5(col("text")).as("h"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.alphaWordPattern), lit(0))).cast("long").as("aw"),
+          size(regexp_extract_all(lower(col("text")),
+            lit(TextAnalysis.stopwordAltPattern), lit(0))).cast("long").as("sw"))
+        .withColumn("s1", col("n_chars") >= 200)
+        .withColumn("s2", col("s1") && col("ws") > 0
+          && col("aw") * 5 >= col("ws") * 4)
+        .withColumn("s3", col("s2") && col("sw") * 100 >= col("ws") * 3))
+      val keepFirst = flagged.filter(col("s3"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val wide = flagged.join(keepFirst, Seq("h"), "left")
+        .withColumn("s4", col("s3") && col("doc_id") === col("keep_id"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n4"))
+      wide.select(explode(array(
+          struct(lit(1).as("stage"), lit("min_length").as("gate"),
+            col("n0").as("n_in"), col("n1").as("n_out")),
+          struct(lit(2).as("stage"), lit("alpha_words").as("gate"),
+            col("n1").as("n_in"), col("n2").as("n_out")),
+          struct(lit(3).as("stage"), lit("stopwords").as("gate"),
+            col("n2").as("n_in"), col("n3").as("n_out")),
+          struct(lit(4).as("stage"), lit("exact_dedup").as("gate"),
+            col("n3").as("n_in"), col("n4").as("n_out")))).as("r"),
+          col("n0"))
+        .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+          col("r.n_in").as("n_in"), col("r.n_out").as("n_out"),
+          pround(lit(1.0) - col("r.n_out").cast("double")
+            / col("r.n_in").cast("double"), 9).as("drop_frac"),
+          pround(col("r.n_out").cast("double")
+            / col("n0").cast("double"), 9).as("cum_survival"))
+        .orderBy(col("stage"))
+    }),
+
+    "q302_context_overflow" -> ((s, dir) => {
+      // context-window overflow audit [EXT] — for candidate sequence
+      // lengths k ∈ {256 … 4096}, what fraction of docs exceed k
+      // whitespace tokens and what fraction of corpus TOKENS a
+      // truncate-at-k policy discards. The number that picks
+      // max_seq_len: packing efficiency (q124 family) says how full
+      // the windows are, this says what truncation THROWS AWAY. One
+      // codegen scan computes all five thresholds as conditional
+      // exact-long sums in a single agg (no doc×k join at any scale);
+      // the five rows unpivot from the 1-row close.
+      val ks = Seq(256, 512, 1024, 2048, 4096)
+      val d = Tables.documents(s, dir)
+        .select(TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("ws")).as("tot")) ++
+        ks.flatMap(k => Seq(
+          sum(when(col("ws") > k, 1L).otherwise(0L)).as(s"o$k"),
+          sum(when(col("ws") > k, col("ws") - k).otherwise(0L)).as(s"l$k")))
+      val wide = d.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"o$k").as("n_over"),
+            col(s"l$k").as("tokens_lost"))): _*)).as("r"),
+          col("n"), col("tot"))
+        .select(col("r.k").as("k"), col("r.n_over").as("n_docs_over"),
+          pround(col("r.n_over").cast("double") / col("n").cast("double"), 9)
+            .as("frac_docs_over"),
+          col("r.tokens_lost").as("tokens_lost"),
+          pround(col("r.tokens_lost").cast("double")
+            / col("tot").cast("double"), 9).as("frac_tokens_lost"))
+        .orderBy(col("k"))
+    }),
+
+    "q303_cross_source_dups" -> ((s, dir) => {
+      // cross-source duplicate contamination matrix [EXT] — which
+      // sources copy from which: for every exact-dup group (md5 of
+      // the text), the source×source matrix of duplicated doc pairs.
+      // The provenance view the dedup family lacks (q30 counts dups,
+      // q300 credits first owners; this localizes WHERE redundancy
+      // comes from — the "CC dumps overlap with each other" audit).
+      // Scale-safe by construction: docs aggregate to (hash, source)
+      // COUNTS first, and only the count frames pair up — a dup group
+      // with 10⁴ members contributes |sources|² rows, never C(10⁴,2)
+      // pairs. Within-source pairs count C(n,2), cross-source n_a·n_b;
+      // all exact integers.
+      val hs = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(md5(col("text")).as("h"), col("source"))
+        .groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt")))
+      val dupH = hs.groupBy(col("h"))
+        .agg(sum(col("cnt")).as("tot"))
+        .filter(col("tot") > 1)
+        .select(col("h"))
+      val d = hs.join(dupH, Seq("h"))
+      val a = d.select(col("h"), col("source").as("src_a"), col("cnt").as("na"))
+      val b = d.select(col("h"), col("source").as("src_b"), col("cnt").as("nb"))
+      a.join(b, Seq("h"))
+        .filter(col("src_a") <= col("src_b"))
+        .select(col("h"), col("src_a"), col("src_b"),
+          when(col("src_a") === col("src_b"),
+              col("na") * (col("na") - 1) / 2)
+            .otherwise(col("na") * col("nb")).as("pairs"))
+        .filter(col("pairs") > 0)
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(countDistinct(col("h")).as("n_dup_groups"),
+          sum(col("pairs")).as("n_doc_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    "q304_ols_two_factor" -> ((s, dir) => {
+      // closed-form two-regressor OLS [EXT] — value ~ hour-of-day +
+      // day-of-week via the NORMAL EQUATIONS (Cramer on the centered
+      // moment matrix), the exact one-pass answer where Optim.linregGD
+      // (q103's family) iterates: one grouped-moment scan, a 1-row
+      // close. Moment sums are exact DECIMAL over centi-quantized y
+      // (q287's on-entry quantization — the only float in the inputs
+      // dies there); the centered combos n·Sxy − Sx·Sy and the Cramer
+      // solve run in pure IEEE double from those exact sums (both
+      // engines cast exact decimals identically), pround once per
+      // output. R² = (b1·S1y + b2·S2y)/SST on the same centered sums.
+      val D = DecimalType(38, 0)
+      val ev = Tables.events(s, dir).select(
+        hour(col("ts")).cast("long").as("x1"),
+        dayofweek(col("ts")).cast("long").as("x2"),
+        floor(col("value") * 100 + 0.5).cast("long").as("yc"))
+      val m = ev.agg(count(lit(1)).as("n"),
+        sum(col("x1").cast(D)).as("sx1"), sum(col("x2").cast(D)).as("sx2"),
+        sum(col("yc").cast(D)).as("sy"),
+        sum((col("x1") * col("x1")).cast(D)).as("sx1x1"),
+        sum((col("x1") * col("x2")).cast(D)).as("sx1x2"),
+        sum((col("x2") * col("x2")).cast(D)).as("sx2x2"),
+        sum((col("x1") * col("yc")).cast(D)).as("sx1y"),
+        sum((col("x2") * col("yc")).cast(D)).as("sx2y"),
+        sum((col("yc").cast(D) * col("yc")).cast(D)).as("syy"))
+      def dbl(name: String) = col(name).cast("double")
+      val nd = dbl("n")
+      val s11 = nd * dbl("sx1x1") - dbl("sx1") * dbl("sx1")
+      val s12 = nd * dbl("sx1x2") - dbl("sx1") * dbl("sx2")
+      val s22 = nd * dbl("sx2x2") - dbl("sx2") * dbl("sx2")
+      val s1y = nd * dbl("sx1y") - dbl("sx1") * dbl("sy")
+      val s2y = nd * dbl("sx2y") - dbl("sx2") * dbl("sy")
+      val sst = nd * dbl("syy") - dbl("sy") * dbl("sy")
+      val det = s11 * s22 - s12 * s12
+      val b1c = (s1y * s22 - s2y * s12) / det
+      val b2c = (s2y * s11 - s1y * s12) / det
+      m.select(col("n"),
+          pround((dbl("sy") - b1c * dbl("sx1") - b2c * dbl("sx2")) / nd / 100.0, 9)
+            .as("intercept"),
+          pround(b1c / 100.0, 9).as("beta_hour"),
+          pround(b2c / 100.0, 9).as("beta_dow"),
+          pround((b1c * s1y + b2c * s2y) / sst, 9).as("r2"))
+    }),
+
+    "q305_huber_mean" -> ((s, dir) => {
+      // Huber M-estimator of the per-type location, 3 unrolled IRLS
+      // rounds [EXT] — the robust mean between q184 (winsorize at
+      // fixed quantiles) and q284's family: downweight outliers by
+      // w = min(1, c/|x−μ|) with c = 1.345σ̂ and re-solve. Iterative-
+      // parity discipline (q112 PageRank): each round's weighted terms
+      // pround(9) into exact DECIMAL sums (order-free), μ re-rounds
+      // per round, the oracle unrolls the IDENTICAL three CTEs. Each
+      // round is one broadcast-join + grouped agg over events — no
+      // windows, no buffers.
+      val D = DecimalType(38, 0)
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+      val base = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1e6 + 0.5).cast(D)).as("s6"),
+          sum((floor(col("value") * 1e3 + 0.5).cast(D)
+            * floor(col("value") * 1e3 + 0.5).cast(D)).as("sq")).as("sqq"))
+        .withColumn("mu0", pround(col("s6").cast("double") / 1e6
+          / col("n").cast("double"), 9))
+        .withColumn("m3", col("s6").cast("double") / 1e6)
+        .withColumn("sig", pround(
+          sqrt(col("sqq").cast("double") / 1e6 / col("n").cast("double")
+            - (col("s6").cast("double") / 1e6 / col("n").cast("double"))
+              * (col("s6").cast("double") / 1e6 / col("n").cast("double"))), 9))
+        .withColumn("c", pround(lit(1.345) * col("sig"), 9))
+        .select(col("event_type"), col("n"), col("mu0"), col("sig"), col("c"))
+      def irls(prev: DataFrame, muCol: String, outCol: String): DataFrame = {
+        val joined = ev.join(broadcast(prev), Seq("event_type"))
+        val r = abs(col("value") - col(muCol))
+        val w = when(r <= col("c"), lit(1.0)).otherwise(col("c") / r)
+        joined
+          .withColumn("wx", pround(w * col("value"), 9).cast(DecimalType(27, 10)))
+          .withColumn("w9", pround(w, 9).cast(DecimalType(27, 10)))
+          .groupBy(col("event_type"), col("n"), col("mu0"), col("sig"), col("c"))
+          .agg(sum(col("wx")).as("swx"), sum(col("w9")).as("sw"),
+            sum(when(w < 1.0, 1L).otherwise(0L)).as("n_down"))
+          .withColumn(outCol, pround(col("swx").cast("double")
+            / col("sw").cast("double"), 9))
+          .select(col("event_type"), col("n"), col("mu0"), col("sig"), col("c"),
+            col(outCol), col("n_down"))
+      }
+      val it1 = irls(base, "mu0", "mu1")
+      val it2 = irls(it1.select(col("event_type"), col("n"), col("mu0"),
+        col("sig"), col("c"), col("mu1")), "mu1", "mu2")
+      val it3 = irls(it2.select(col("event_type"), col("n"), col("mu0"),
+        col("sig"), col("c"), col("mu2")), "mu2", "mu3")
+      it3.select(col("event_type"), col("n"), col("mu0").as("mean"),
+          col("sig").as("sigma"), col("mu3").as("huber_mean"),
+          col("n_down").as("n_downweighted"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -12193,5 +12446,183 @@ object SparkEntry {
         |  (SELECT FLOOR(least(c0, c1) * 1e9 + 0.5) / 1e9 FROM dp
         |   WHERE t = (SELECT MAX(t) FROM dp)) AS min_cost,
         |  (SELECT MIN(day) FROM dp WHERE c1 < c0) AS first_burst_day""".stripMargin,
+
+    "q300_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(
+        |        regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |        x -> len(x) > 0) AS words FROM documents),
+        |sh0 AS (SELECT doc_id, source, unnest(list_distinct(
+        |         CASE WHEN len(words) = 0 THEN []
+        |              ELSE [array_to_string(words[i:i+2], ' ')
+        |                    FOR i IN generate_series(1, greatest(len(words) - 2, 1))] END)) AS sh
+        |        FROM w),
+        |fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh0 GROUP BY 1),
+        |pd AS (SELECT s.doc_id, s.source, COUNT(*) AS n_grams,
+        |         SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_novel
+        |       FROM sh0 s JOIN fo f USING (sh) GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+        |  CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+        |  round(CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE), 9)
+        |    AS novelty,
+        |  round(CAST(SUM(CAST(round(CAST(n_novel AS DOUBLE) / n_grams, 9)
+        |      AS DECIMAL(27,10))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+        |    AS mean_doc_novelty
+        |FROM pd GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q301_filter_funnel" ->
+      """WITH f AS (SELECT doc_id, n_chars, md5(text) AS h,
+        |    len(regexp_extract_all(text, '\S+')) AS ws,
+        |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS aw,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS sw
+        |  FROM documents),
+        |g AS (SELECT doc_id, h,
+        |        (n_chars >= 200) AS s1,
+        |        (n_chars >= 200 AND ws > 0 AND aw * 5 >= ws * 4) AS s2,
+        |        (n_chars >= 200 AND ws > 0 AND aw * 5 >= ws * 4
+        |          AND sw * 100 >= ws * 3) AS s3
+        |      FROM f),
+        |kf AS (SELECT h, MIN(doc_id) AS keep_id FROM g WHERE s3 GROUP BY 1),
+        |wd AS (SELECT COUNT(*) AS n0,
+        |         SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+        |         SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS n2,
+        |         SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS n3,
+        |         SUM(CASE WHEN s3 AND g.doc_id = kf.keep_id THEN 1 ELSE 0 END) AS n4
+        |       FROM g LEFT JOIN kf ON g.h = kf.h),
+        |st AS (SELECT 1 AS stage, 'min_length' AS gate, n0 AS n_in, n1 AS n_out, n0 FROM wd
+        |       UNION ALL SELECT 2, 'alpha_words', n1, n2, n0 FROM wd
+        |       UNION ALL SELECT 3, 'stopwords', n2, n3, n0 FROM wd
+        |       UNION ALL SELECT 4, 'exact_dedup', n3, n4, n0 FROM wd)
+        |SELECT CAST(stage AS INT) AS stage, gate,
+        |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+        |  round(1.0 - CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE), 9) AS drop_frac,
+        |  round(CAST(n_out AS DOUBLE) / CAST(n0 AS DOUBLE), 9) AS cum_survival
+        |FROM st ORDER BY stage""".stripMargin,
+
+    "q302_context_overflow" ->
+      """WITH d AS (SELECT len(regexp_extract_all(text, '\S+')) AS ws
+        |  FROM documents),
+        |t AS (SELECT COUNT(*) AS n, SUM(ws) AS tot FROM d),
+        |k AS (SELECT unnest([256, 512, 1024, 2048, 4096]) AS k)
+        |SELECT CAST(k.k AS INT) AS k,
+        |  CAST(SUM(CASE WHEN d.ws > k.k THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over,
+        |  round(CAST(SUM(CASE WHEN d.ws > k.k THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(t.n AS DOUBLE), 9) AS frac_docs_over,
+        |  CAST(SUM(CASE WHEN d.ws > k.k THEN d.ws - k.k ELSE 0 END) AS BIGINT)
+        |    AS tokens_lost,
+        |  round(CAST(SUM(CASE WHEN d.ws > k.k THEN d.ws - k.k ELSE 0 END) AS DOUBLE)
+        |    / CAST(t.tot AS DOUBLE), 9) AS frac_tokens_lost
+        |FROM d CROSS JOIN k CROSS JOIN t
+        |GROUP BY k.k, t.n, t.tot ORDER BY k""".stripMargin,
+
+    "q303_cross_source_dups" ->
+      """WITH hs AS (SELECT md5(text) AS h, source, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |dup AS (SELECT h FROM hs GROUP BY h HAVING SUM(cnt) > 1),
+        |d AS (SELECT hs.* FROM hs JOIN dup USING (h)),
+        |p AS (SELECT a.h, a.source AS src_a, b.source AS src_b,
+        |        CASE WHEN a.source = b.source THEN a.cnt * (a.cnt - 1) // 2
+        |             ELSE a.cnt * b.cnt END AS pairs
+        |      FROM d a JOIN d b ON a.h = b.h AND a.source <= b.source)
+        |SELECT src_a, src_b, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_dup_groups,
+        |  CAST(SUM(pairs) AS BIGINT) AS n_doc_pairs
+        |FROM p WHERE pairs > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q304_ols_two_factor" ->
+      """WITH ev AS (SELECT
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x1,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS x2,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yc
+        |  FROM events),
+        |m AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(x1 AS HUGEINT)) AS sx1, SUM(CAST(x2 AS HUGEINT)) AS sx2,
+        |    SUM(CAST(yc AS HUGEINT)) AS sy,
+        |    SUM(CAST(x1 * x1 AS HUGEINT)) AS sx1x1,
+        |    SUM(CAST(x1 * x2 AS HUGEINT)) AS sx1x2,
+        |    SUM(CAST(x2 * x2 AS HUGEINT)) AS sx2x2,
+        |    SUM(CAST(x1 * yc AS HUGEINT)) AS sx1y,
+        |    SUM(CAST(x2 * yc AS HUGEINT)) AS sx2y,
+        |    SUM(CAST(yc AS HUGEINT) * CAST(yc AS HUGEINT)) AS syy
+        |  FROM ev),
+        |c AS (SELECT n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+        |    CAST(sy AS DOUBLE) AS dy,
+        |    CAST(n AS DOUBLE) * CAST(sx1x1 AS DOUBLE)
+        |      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) AS s11,
+        |    CAST(n AS DOUBLE) * CAST(sx1x2 AS DOUBLE)
+        |      - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS s12,
+        |    CAST(n AS DOUBLE) * CAST(sx2x2 AS DOUBLE)
+        |      - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE) AS s22,
+        |    CAST(n AS DOUBLE) * CAST(sx1y AS DOUBLE)
+        |      - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE) AS s1y,
+        |    CAST(n AS DOUBLE) * CAST(sx2y AS DOUBLE)
+        |      - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE) AS s2y,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS sst
+        |  FROM m),
+        |sol AS (SELECT n, nd, dx1, dx2, dy, s1y, s2y, sst,
+        |    (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1c,
+        |    (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2c
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((dy - b1c * dx1 - b2c * dx2) / nd / 100.0, 9) AS intercept,
+        |  round(b1c / 100.0, 9) AS beta_hour,
+        |  round(b2c / 100.0, 9) AS beta_dow,
+        |  round((b1c * s1y + b2c * s2y) / sst, 9) AS r2
+        |FROM sol""".stripMargin,
+
+    "q305_huber_mean" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |b0 AS (SELECT event_type, COUNT(*) AS n,
+        |         SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)) AS s6,
+        |         SUM(CAST(FLOOR(value * 1e3 + 0.5) AS HUGEINT)
+        |           * CAST(FLOOR(value * 1e3 + 0.5) AS HUGEINT)) AS sqq
+        |       FROM ev GROUP BY 1),
+        |b AS (SELECT event_type, n,
+        |        round(CAST(s6 AS DOUBLE) / 1e6 / n, 9) AS mu0,
+        |        round(sqrt(CAST(sqq AS DOUBLE) / 1e6 / n
+        |          - (CAST(s6 AS DOUBLE) / 1e6 / n)
+        |            * (CAST(s6 AS DOUBLE) / 1e6 / n)), 9) AS sig
+        |      FROM b0),
+        |bc AS (SELECT *, round(1.345 * sig, 9) AS cc FROM b),
+        |i1 AS (SELECT e.event_type,
+        |         SUM(CAST(round((CASE WHEN abs(e.value - c.mu0) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu0) END) * e.value, 9)
+        |           AS DECIMAL(27,10))) AS swx,
+        |         SUM(CAST(round(CASE WHEN abs(e.value - c.mu0) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu0) END, 9)
+        |           AS DECIMAL(27,10))) AS sw
+        |       FROM ev e JOIN bc c USING (event_type) GROUP BY 1),
+        |m1 AS (SELECT c.*, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS mu1
+        |       FROM bc c JOIN i1 USING (event_type)),
+        |i2 AS (SELECT e.event_type,
+        |         SUM(CAST(round((CASE WHEN abs(e.value - c.mu1) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu1) END) * e.value, 9)
+        |           AS DECIMAL(27,10))) AS swx,
+        |         SUM(CAST(round(CASE WHEN abs(e.value - c.mu1) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu1) END, 9)
+        |           AS DECIMAL(27,10))) AS sw
+        |       FROM ev e JOIN m1 c USING (event_type) GROUP BY 1),
+        |m2 AS (SELECT c.*, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS mu2
+        |       FROM m1 c JOIN i2 USING (event_type)),
+        |i3 AS (SELECT e.event_type,
+        |         SUM(CAST(round((CASE WHEN abs(e.value - c.mu2) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu2) END) * e.value, 9)
+        |           AS DECIMAL(27,10))) AS swx,
+        |         SUM(CAST(round(CASE WHEN abs(e.value - c.mu2) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu2) END, 9)
+        |           AS DECIMAL(27,10))) AS sw,
+        |         SUM(CASE WHEN (CASE WHEN abs(e.value - c.mu2) <= c.cc THEN 1.0
+        |               ELSE c.cc / abs(e.value - c.mu2) END) < 1.0
+        |             THEN 1 ELSE 0 END) AS n_down
+        |       FROM ev e JOIN m2 c USING (event_type) GROUP BY 1),
+        |m3 AS (SELECT c.*, round(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE), 9) AS mu3,
+        |         n_down
+        |       FROM m2 c JOIN i3 USING (event_type))
+        |SELECT event_type, CAST(n AS BIGINT) AS n, mu0 AS mean, sig AS sigma,
+        |  mu3 AS huber_mean, CAST(n_down AS BIGINT) AS n_downweighted
+        |FROM m3 ORDER BY event_type""".stripMargin,
   )
 }
