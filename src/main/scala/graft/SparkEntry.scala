@@ -7851,6 +7851,98 @@ object SparkEntry {
           col("n_down").as("n_downweighted"))
         .orderBy(col("event_type"))
     }),
+
+    "q306_shard_balance" -> ((s, dir) => {
+      // epoch-shard balance audit [EXT] — assign every doc to one of
+      // 64 training shards by the q161 md5-prefix hash and ask the two
+      // questions a data-loading team asks before an epoch: are the
+      // shards TOKEN-balanced (max/mean ratio, coefficient of
+      // variation — stragglers = idle accelerators), and is each shard
+      // source-MIXED (mean within-shard source entropy — a shard that
+      // is all one source breaks shuffled-training assumptions). One
+      // scan to (shard, source) exact counts; everything downstream
+      // closes on the ≤ 64·|sources| frame. Entropy terms pround(9)
+      // into DECIMAL sums (order-free), shard moments exact DECIMAL.
+      val D = DecimalType(38, 0)
+      val d = Tables.documents(s, dir).select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 64).as("shard"),
+        col("source"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+      val cell = Dedup.cacheScoped(d.groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("ws")).as("tok")))
+      val shard = cell.groupBy(col("shard"))
+        .agg(sum(col("n")).as("n"), sum(col("tok")).as("tok"))
+      val ent = cell.join(shard.select(col("shard"), col("n").as("ntot")),
+          Seq("shard"))
+        .withColumn("p", col("n").cast("double") / col("ntot").cast("double"))
+        .withColumn("term", pround(-col("p") * log(col("p")), 9)
+          .cast(DecimalType(27, 10)))
+        .groupBy(col("shard")).agg(sum(col("term")).as("h"))
+      val st = shard.agg(count(lit(1)).as("n_shards"),
+        min(col("tok")).as("min_tokens"), max(col("tok")).as("max_tokens"),
+        sum(col("tok").cast(D)).as("st"),
+        sum((col("tok").cast(D) * col("tok")).cast(D)).as("stt"))
+      val eAvg = ent.agg(sum(col("h")).as("hs"), count(lit(1)).as("hn"))
+      st.crossJoin(eAvg)
+        .withColumn("mean_tok", col("st").cast("double")
+          / col("n_shards").cast("double"))
+        .select(col("n_shards"), col("min_tokens"), col("max_tokens"),
+          pround(col("max_tokens").cast("double") / col("mean_tok"), 9)
+            .as("imbalance"),
+          pround(sqrt(col("stt").cast("double") / col("n_shards").cast("double")
+            - col("mean_tok") * col("mean_tok")) / col("mean_tok"), 9).as("cov"),
+          pround(col("hs").cast("double") / col("hn").cast("double"), 9)
+            .as("mean_source_entropy"))
+    }),
+
+    "q307_weighted_sample" -> ((s, dir) => {
+      // token-budget weighted sampling [EXT] — Efraimidis–Spirakis
+      // weighted sampling without replacement, the way training
+      // corpora are sampled PROPORTIONAL TO TOKEN COUNT rather than
+      // per-doc: each doc draws the deterministic md5-uniform
+      // u ∈ (0,1] (q53/q80's reproducible-sample idiom) and ranks by
+      // key = ln(u)/ws — the ES exponential trick, top-k of which IS
+      // a weight-proportional without-replacement draw. Fully
+      // distributed: one scan, TakeOrderedAndProject top-50 (no global
+      // sort); deterministic end-to-end, so the oracle replays it
+      // exactly. Keys pround(12) before ranking (the transcendental-
+      // parity discipline), doc_id breaks ties totally.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+        .filter(col("ws") > 0)
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + 1.0) / 4294967296.0
+      docs.withColumn("k", pround(log(u) / col("ws"), 12))
+        .orderBy(desc("k"), col("doc_id")).limit(50)
+        .select(col("doc_id"), col("source"), col("ws"), col("k").as("es_key"))
+    }),
+
+    "q308_dedup_savings" -> ((s, dir) => {
+      // exact-dedup savings by source [EXT] — the before/after yield
+      // table a curation run reports: per source, docs and tokens
+      // before exact dedup vs after GLOBAL keep-first (min doc_id per
+      // md5 — a cross-source duplicate survives only in the source
+      // that contributed it first, matching q303's provenance view).
+      // One scan to per-doc rows, one hash-agg for keepers, one
+      // aggregate — the q30 dedup shape rolled up to the curation
+      // unit. All counts exact integers; fractions close pround(9).
+      val d = Dedup.cacheScoped(Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), md5(col("text")).as("h"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws")))
+      val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      d.join(keep, Seq("h"))
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("tokens"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("kept"), col("ws")).otherwise(0L)).as("kept_tokens"))
+        .select(col("source"), col("n_docs"), col("tokens"), col("kept_docs"),
+          col("kept_tokens"),
+          pround(lit(1.0) - col("kept_tokens").cast("double")
+            / col("tokens").cast("double"), 9).as("token_savings"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -12624,5 +12716,61 @@ object SparkEntry {
         |SELECT event_type, CAST(n AS BIGINT) AS n, mu0 AS mean, sig AS sigma,
         |  mu3 AS huber_mean, CAST(n_down AS BIGINT) AS n_downweighted
         |FROM m3 ORDER BY event_type""".stripMargin,
+
+    "q306_shard_balance" ->
+      """WITH d AS (SELECT
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS UINT64) % 64 AS BIGINT) AS shard,
+        |    source, len(regexp_extract_all(text, '\S+')) AS ws
+        |  FROM documents),
+        |cell AS (SELECT shard, source, COUNT(*) AS n, SUM(ws) AS tok
+        |         FROM d GROUP BY 1, 2),
+        |sh AS (SELECT shard, SUM(n) AS n, SUM(tok) AS tok FROM cell GROUP BY 1),
+        |ent AS (SELECT c.shard,
+        |          SUM(CAST(round(-(CAST(c.n AS DOUBLE) / CAST(s.n AS DOUBLE))
+        |            * ln(CAST(c.n AS DOUBLE) / CAST(s.n AS DOUBLE)), 9)
+        |            AS DECIMAL(27,10))) AS h
+        |        FROM cell c JOIN sh s USING (shard) GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_shards, MIN(tok) AS min_tokens,
+        |         MAX(tok) AS max_tokens, SUM(CAST(tok AS HUGEINT)) AS stt1,
+        |         SUM(CAST(tok AS HUGEINT) * CAST(tok AS HUGEINT)) AS stt2
+        |       FROM sh),
+        |ea AS (SELECT SUM(h) AS hs, COUNT(*) AS hn FROM ent)
+        |SELECT CAST(n_shards AS BIGINT) AS n_shards,
+        |  CAST(min_tokens AS BIGINT) AS min_tokens,
+        |  CAST(max_tokens AS BIGINT) AS max_tokens,
+        |  round(CAST(max_tokens AS DOUBLE)
+        |    / (CAST(stt1 AS DOUBLE) / CAST(n_shards AS DOUBLE)), 9) AS imbalance,
+        |  round(sqrt(CAST(stt2 AS DOUBLE) / CAST(n_shards AS DOUBLE)
+        |      - (CAST(stt1 AS DOUBLE) / CAST(n_shards AS DOUBLE))
+        |        * (CAST(stt1 AS DOUBLE) / CAST(n_shards AS DOUBLE)))
+        |    / (CAST(stt1 AS DOUBLE) / CAST(n_shards AS DOUBLE)), 9) AS cov,
+        |  round(CAST(hs AS DOUBLE) / CAST(hn AS DOUBLE), 9) AS mean_source_entropy
+        |FROM st CROSS JOIN ea""".stripMargin,
+
+    "q307_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS ws FROM documents),
+        |f AS (SELECT doc_id, source, ws,
+        |        (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS UINT64) AS DOUBLE) + 1.0) / 4294967296.0 AS u
+        |      FROM d WHERE ws > 0)
+        |SELECT doc_id, source, CAST(ws AS BIGINT) AS ws,
+        |  round(ln(u) / ws, 12) AS es_key
+        |FROM f ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q308_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+        |    len(regexp_extract_all(text, '\S+')) AS ws FROM documents),
+        |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN d.doc_id = keep.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_docs,
+        |  CAST(SUM(CASE WHEN d.doc_id = keep.keep_id THEN ws ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  round(1.0 - CAST(SUM(CASE WHEN d.doc_id = keep.keep_id THEN ws ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9) AS token_savings
+        |FROM d JOIN keep USING (h) GROUP BY 1 ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants of the q300–q308 curation-audit family: novelty counts
+  * partition the corpus vocabulary, the funnel is a true cascade, the
+  * ES weighted-sampling key is weight-monotone, and dedup keep-first
+  * conserves hash groups. */
+class PipelineAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("q300 novelty: per-source novel grams partition the corpus vocabulary") {
+    val out = SparkEntry.queries("q300_ngram_novelty")(spark, TestSpark.sf0001)
+      .collect()
+    val novelSum = out.map(_.getAs[Long]("novel_grams")).sum
+    val vocab = Tables.documents(spark, TestSpark.sf0001)
+      .select(explode(array_distinct(
+        graft.functions.Shingles.shingles(col("text"), 3))).as("sh"))
+      .agg(countDistinct(col("sh"))).head.getLong(0)
+    // every distinct gram has exactly one first owner
+    assert(novelSum === vocab)
+    out.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+  }
+
+  test("q301 funnel is a cascade: stage inputs chain and survival is monotone") {
+    val rows = SparkEntry.queries("q301_filter_funnel")(spark, TestSpark.sf0001)
+      .orderBy(col("stage")).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_in"))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") === a.getAs[Long]("n_out"))
+      assert(b.getAs[Double]("cum_survival") <= a.getAs[Double]("cum_survival"))
+    }
+  }
+
+  test("q307 ES key is strictly weight-monotone at fixed u (heavier docs rank higher)") {
+    // key = ln(u)/w with ln(u) < 0: doubling w must strictly increase the key
+    val d = Seq((1L, 100L), (1L, 200L), (2L, 50L), (2L, 100L))
+      .toDF("id", "w")
+      .withColumn("u",
+        (conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("double") + 1.0) / 4294967296.0)
+      .withColumn("k", log(col("u")) / col("w"))
+      .collect()
+    val byId = d.groupBy(_.getAs[Long]("id"))
+    byId.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("w"))
+      assert(sorted(0).getAs[Double]("k") < sorted(1).getAs[Double]("k"))
+    }
+    // and the full query returns a deterministic desc-sorted top-50
+    val out = SparkEntry.queries("q307_weighted_sample")(spark, TestSpark.sf0001)
+      .collect()
+    assert(out.length <= 50 && out.nonEmpty)
+    val keys = out.map(_.getAs[Double]("es_key"))
+    assert(keys.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("q308 keep-first conserves hash groups: kept docs == distinct hashes") {
+    val out = SparkEntry.queries("q308_dedup_savings")(spark, TestSpark.sf0001)
+      .collect()
+    val kept = out.map(_.getAs[Long]("kept_docs")).sum
+    val distinctHashes = Tables.documents(spark, TestSpark.sf0001)
+      .select(md5(col("text")).as("h")).distinct().count()
+    assert(kept === distinctHashes)
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("tokens"))
+    }
+  }
+}
