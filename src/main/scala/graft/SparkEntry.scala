@@ -7943,6 +7943,88 @@ object SparkEntry {
             / col("tokens").cast("double"), 9).as("token_savings"))
         .orderBy(col("source"))
     }),
+
+    "q309_dtw" -> ((s, dir) => {
+      // dynamic time warping between the click and purchase daily
+      // series [EXT] — the elastic-alignment distance that q229's
+      // rolling Pearson can't give when one series LAGS the other by
+      // a varying amount (campaign → delayed purchases): full DTW on
+      // |a_i − b_j| costs. The DP is ALL-INTEGER (daily counts, abs
+      // diffs, mins — zero float surface until the final normalize),
+      // so engine parity is exact by construction. Sequential by
+      // nature: both series are CALENDAR-bounded (≤365·years rows —
+      // the q198/q299 driver-walk tier), the n·m cell walk runs on
+      // the driver, and the oracle replays the IDENTICAL row-major
+      // cell order as a recursive CTE carrying (prev_row, cur) lists.
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .orderBy(col("day")).collect()
+      val a = daily.filter(_.getString(0) == "click").map(_.getLong(2))
+      val b = daily.filter(_.getString(0) == "purchase").map(_.getLong(2))
+      import s.implicits._
+      if (a.isEmpty || b.isEmpty) {
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("n_days_a", "n_days_b", "dtw", "dtw_per_step")
+      } else {
+        val n = a.length; val m = b.length
+        val INF = Long.MaxValue / 4
+        var prev = Array.fill(m + 1)(INF); prev(0) = 0L
+        for (i <- 1 to n) {
+          val cur = Array.fill(m + 1)(INF)
+          for (j <- 1 to m) {
+            val cost = math.abs(a(i - 1) - b(j - 1))
+            cur(j) = cost + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+          }
+          prev = cur
+        }
+        val dtw = prev(m)
+        Seq((n.toLong, m.toLong, dtw,
+          math.floor(dtw.toDouble / (n + m) * 1e9 + 0.5) / 1e9))
+          .toDF("n_days_a", "n_days_b", "dtw", "dtw_per_step")
+      }
+    }),
+
+    "q310_stream_heavy_hitters" -> ((s, dir) => {
+      // STREAMING per-day heavy-hitter users [EXT] — q243's Misra–
+      // Gries sketch deployed INSIDE a real streaming aggregation
+      // (§2.7's tenth shape): the abuse-monitoring question "which
+      // users generate > n/512 of a day's traffic" answered with
+      // ≤511 counters of state per window instead of a per-user
+      // streaming state that grows with the user base. MG's candidate
+      // set SUPERSETS the true heavy hitters under ANY partial/merge
+      // order (the stream's nondeterministic micro-batch order is
+      // exactly the adversary the guarantee covers), so the batch
+      // recount of candidates + the exact n/512 filter yields the
+      // EXACT set — oracle-able even though the sketch inside the
+      // stream is approximate.
+      val k = 512
+      val staging = StreamingOps.defaultStagingDir(s, dir)
+      StreamingOps.stageEventsForStreaming(s, dir, staging)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = StreamingOps.eventsStream(s, staging)
+          .select(window(col("ts"), "1 day").as("w"),
+            col("user_id").cast("string").as("u"))
+          .groupBy(col("w"))
+          .agg(graft.functions.Sketch.mgSummary(col("u"), k).as("m"),
+            count(lit(1)).as("n"))
+        val cand = StreamingOps.runToMemory(s, stream, "q310_stream_hh")
+          .select(col("w.start").cast("date").as("day"), col("n"),
+            explode(map_keys(col("m"))).as("u"))
+        val daily = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"),
+            col("user_id").cast("string").as("u"))
+          .groupBy(col("day"), col("u")).agg(count(lit(1)).as("cnt"))
+        daily.join(cand, Seq("day", "u"))
+          .filter(col("cnt") * k > col("n"))
+          .select(col("day"), col("u").cast("long").as("user_id"), col("cnt"),
+            col("n").as("n_day"))
+          .orderBy(col("day"), desc("cnt"), col("user_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -12772,5 +12854,51 @@ object SparkEntry {
         |  round(1.0 - CAST(SUM(CASE WHEN d.doc_id = keep.keep_id THEN ws ELSE 0 END)
         |      AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9) AS token_savings
         |FROM d JOIN keep USING (h) GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q309_dtw" ->
+      """WITH RECURSIVE ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |a AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x FROM ev
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |al AS (SELECT list(x ORDER BY day) AS s FROM a),
+        |bl AS (SELECT list(x ORDER BY day) AS s FROM b),
+        |dp AS (
+        |  SELECT 1 AS i, 1 AS j, CAST([] AS BIGINT[]) AS prev_row,
+        |    CAST([abs(al.s[1] - bl.s[1])] AS BIGINT[]) AS cur,
+        |    al.s AS sa, bl.s AS sb, len(al.s) AS n, len(bl.s) AS m
+        |  FROM al, bl WHERE len(al.s) > 0 AND len(bl.s) > 0
+        |  UNION ALL
+        |  SELECT CASE WHEN j = m THEN i + 1 ELSE i END,
+        |         CASE WHEN j = m THEN 1 ELSE j + 1 END,
+        |         CASE WHEN j = m THEN cur ELSE prev_row END,
+        |         CASE WHEN j = m
+        |           THEN [abs(sa[i + 1] - sb[1]) + cur[1]]
+        |           ELSE list_append(cur, abs(sa[i] - sb[j + 1])
+        |             + least(
+        |                 CASE WHEN i = 1 THEN 1152921504606846975
+        |                      ELSE prev_row[j + 1] END,
+        |                 CASE WHEN i = 1 THEN 1152921504606846975
+        |                      ELSE prev_row[j] END,
+        |                 cur[j]))
+        |         END,
+        |         sa, sb, n, m
+        |  FROM dp WHERE NOT (i = n AND j = m)
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_days_a, CAST(m AS BIGINT) AS n_days_b,
+        |  CAST(cur[m] AS BIGINT) AS dtw,
+        |  round(CAST(cur[m] AS DOUBLE) / (n + m), 9) AS dtw_per_step
+        |FROM dp WHERE i = n AND j = m""".stripMargin,
+
+    "q310_stream_heavy_hitters" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |d AS (SELECT CAST(ts AS DATE) AS day, user_id, COUNT(*) AS cnt
+        |      FROM ev GROUP BY 1, 2),
+        |n AS (SELECT day, SUM(cnt) AS n_day FROM d GROUP BY 1)
+        |SELECT d.day, CAST(d.user_id AS BIGINT) AS user_id,
+        |  CAST(d.cnt AS BIGINT) AS cnt, CAST(n.n_day AS BIGINT) AS n_day
+        |FROM d JOIN n USING (day) WHERE d.cnt * 512 > n.n_day
+        |ORDER BY d.day, d.cnt DESC, d.user_id""".stripMargin,
   )
 }
