@@ -8025,6 +8025,129 @@ object SparkEntry {
           .orderBy(col("day"), desc("cnt"), col("user_id"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
+
+    "q311_zonemap_skip" -> ((s, dir) => {
+      // zone-map skip-ratio audit [EXT] — the 100 TB pruning argument
+      // made measurable: partition events into 1000-row blocks under
+      // two layouts (ts-clustered vs deterministic hash-shuffle — the
+      // "what if you don't maintain clustering" counterfactual),
+      // compute per-block min/max ts zone maps, and report what
+      // fraction of blocks a 3-day range predicate can SKIP and how
+      // many rows survive to scan. The q120 Morton audit boxes two
+      // dimensions; this quantifies the single-dimension case every
+      // time-partitioned table lives or dies by. Block ids come from
+      // the two-pass dense-id idiom (DocPipeline.withDenseIds — no
+      // global window); block frames are |rows|/1000 and close tiny.
+      val lo = to_timestamp(lit("2024-01-10 00:00:00"))
+      val hi = to_timestamp(lit("2024-01-13 00:00:00"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      def audit(df: DataFrame, layout: String): DataFrame = {
+        val blocks = df.withColumn("blk", floor(col("rid") / 1000))
+          .groupBy(col("blk"))
+          .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"),
+            count(lit(1)).as("n"))
+          .withColumn("skip", col("mx") < lo || col("mn") >= hi)
+        blocks.agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"),
+            sum(when(col("skip"), 0L).otherwise(col("n"))).as("rows_scanned"))
+          .select(lit(layout).as("layout"), col("n_blocks"), col("n_skipped"),
+            pround(col("n_skipped").cast("double")
+              / col("n_blocks").cast("double"), 9).as("skip_frac"),
+            col("rows_scanned"))
+      }
+      val sorted = graft.operators.DocPipeline.withDenseIds(
+        ev, struct(col("ts"), col("event_id")), "rid")
+      val shuffled = graft.operators.DocPipeline.withDenseIds(
+        ev, struct(md5(col("event_id").cast("string")), col("event_id")), "rid")
+      audit(sorted, "ts_clustered").unionAll(audit(shuffled, "hash_shuffled"))
+        .orderBy(col("layout"))
+    }),
+
+    "q312_pca_power" -> ((s, dir) => {
+      // top principal component of the embedding corpus via 3 power-
+      // iteration steps [EXT] — the direction-of-maximum-variance
+      // diagnostic behind whitening/anisotropy checks (embedding
+      // corpora are notoriously anisotropic; a dominant component
+      // eating most variance degrades cosine retrieval). Fully
+      // distributed: centering means and every C·v product are
+      // posexplode aggs (q293's idiom); the ONLY driver state is the
+      // 64-row v frame, cached per round. Iterative parity (q112):
+      // every reduction is pround(12) terms into exact DECIMAL sums,
+      // v re-normalizes through pround(9) per round, the oracle
+      // unrolls the IDENTICAL three CTEs. λ = ‖Σᵢ c·s‖/n, explained
+      // share vs the exact total variance.
+      val D = DecimalType(27, 14)
+      val e = Dedup.cacheScoped(Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), col("x").cast("double").as("x")))
+      val st = Dedup.cacheScoped(e.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"),
+          (floor(sum(col("x").cast(DecimalType(27, 12))).cast("double")
+            / count(lit(1)) * 1e9 + 0.5) / 1e9).as("m"),
+          sum(pround(col("x") * col("x"), 12).cast(D)).cast("double").as("sxx")))
+      val c = Dedup.cacheScoped(e.join(broadcast(st.select(col("i"), col("m"))),
+          Seq("i"))
+        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("c")))
+      def step(v: DataFrame): DataFrame = {
+        val sI = c.join(broadcast(v), Seq("i"))
+          .withColumn("t", pround(col("c") * col("v"), 12).cast(D))
+          .groupBy(col("vec_id")).agg(sum(col("t")).cast("double").as("s"))
+        val u = c.join(sI, Seq("vec_id"))
+          .withColumn("t", pround(col("c") * col("s"), 12).cast(D))
+          .groupBy(col("i")).agg(sum(col("t")).cast("double").as("u"))
+        val nrm = u.agg(sqrt(sum(pround(col("u") * col("u"), 12).cast(D))
+          .cast("double")).as("nrm"))
+        Dedup.cacheScoped(u.crossJoin(broadcast(nrm))
+          .select(col("i"), pround(col("u") / col("nrm"), 9).as("v"),
+            col("nrm")))
+      }
+      val v0 = st.select(col("i"),
+        when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
+      val v3 = step(step(step(v0).drop("nrm")).drop("nrm"))
+      val tv = st.select(col("n"),
+          pround(col("sxx") / col("n") - col("m") * col("m"), 9).as("vr"))
+        .agg(max(col("n")).as("n"),
+          sum(col("vr").cast(DecimalType(27, 10))).cast("double").as("totvar"))
+      v3.crossJoin(broadcast(tv))
+        .select((col("i") + 1).as("dim"), col("v").as("loading"),
+          pround(col("nrm") / col("n"), 9).as("lambda"),
+          pround(col("nrm") / col("n") / col("totvar"), 9).as("explained_frac"))
+        .orderBy(col("dim"))
+    }),
+
+    "q313_query_likelihood" -> ((s, dir) => {
+      // Dirichlet-smoothed query-likelihood retrieval (μ=2000) [EXT]
+      // — the language-modeling scorer next to q169's BM25 (Zhai &
+      // Lafferty smoothing: score = Σ_t ln((tf + μ·p_c(t))/(|d|+μ)));
+      // unlike BM25 every doc scores every query term (absent terms
+      // contribute the smoothed background), so the score frame is
+      // docs×|q| built from the doc-length frame — the corpus
+      // tokenizes ONCE and only |q|=3 collection stats broadcast.
+      // Per-term lns pround(12) into exact DECIMAL sums (q91/q169
+      // discipline), close pround(9), top-20 TakeOrderedAndProject.
+      val terms = Seq("spark", "join", "scan")
+      val mu = 2000.0
+      val words = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val cTot = words.agg(count(lit(1)).as("c_tot"))
+      val cf = words.filter(col("w").isin(terms: _*))
+        .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+      val tf = words.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      dl.crossJoin(broadcast(cf.crossJoin(cTot)
+          .select(col("w"), (col("cf").cast("double")
+            / col("c_tot").cast("double")).as("p"))))
+        .join(tf, Seq("doc_id", "w"), "left")
+        .withColumn("t", pround(log(
+          (coalesce(col("tf"), lit(0L)).cast("double") + lit(mu) * col("p"))
+            / (col("dl").cast("double") + lit(mu))), 12))
+        .groupBy(col("doc_id"))
+        .agg(pround(sum(col("t").cast(DecimalType(27, 14))).cast("double"), 9)
+          .as("ql_score"))
+        .orderBy(desc("ql_score"), col("doc_id")).limit(20)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -12900,5 +13023,109 @@ object SparkEntry {
         |  CAST(d.cnt AS BIGINT) AS cnt, CAST(n.n_day AS BIGINT) AS n_day
         |FROM d JOIN n USING (day) WHERE d.cnt * 512 > n.n_day
         |ORDER BY d.day, d.cnt DESC, d.user_id""".stripMargin,
+
+    "q311_zonemap_skip" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |srt AS (SELECT ts,
+        |          (row_number() OVER (ORDER BY ts, event_id) - 1) // 1000 AS blk
+        |        FROM ev),
+        |shf AS (SELECT ts,
+        |          (row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)),
+        |            event_id) - 1) // 1000 AS blk
+        |        FROM ev),
+        |b1 AS (SELECT blk, MIN(ts) AS mn, MAX(ts) AS mx, COUNT(*) AS n
+        |       FROM srt GROUP BY 1),
+        |b2 AS (SELECT blk, MIN(ts) AS mn, MAX(ts) AS mx, COUNT(*) AS n
+        |       FROM shf GROUP BY 1),
+        |s1 AS (SELECT 'ts_clustered' AS layout, COUNT(*) AS n_blocks,
+        |         SUM(CASE WHEN mx < TIMESTAMP '2024-01-10 00:00:00'
+        |               OR mn >= TIMESTAMP '2024-01-13 00:00:00'
+        |             THEN 1 ELSE 0 END) AS n_skipped,
+        |         SUM(CASE WHEN mx < TIMESTAMP '2024-01-10 00:00:00'
+        |               OR mn >= TIMESTAMP '2024-01-13 00:00:00'
+        |             THEN 0 ELSE n END) AS rows_scanned
+        |       FROM b1),
+        |s2 AS (SELECT 'hash_shuffled' AS layout, COUNT(*) AS n_blocks,
+        |         SUM(CASE WHEN mx < TIMESTAMP '2024-01-10 00:00:00'
+        |               OR mn >= TIMESTAMP '2024-01-13 00:00:00'
+        |             THEN 1 ELSE 0 END) AS n_skipped,
+        |         SUM(CASE WHEN mx < TIMESTAMP '2024-01-10 00:00:00'
+        |               OR mn >= TIMESTAMP '2024-01-13 00:00:00'
+        |             THEN 0 ELSE n END) AS rows_scanned
+        |       FROM b2),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |SELECT layout, CAST(n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(n_skipped AS BIGINT) AS n_skipped,
+        |  round(CAST(n_skipped AS DOUBLE) / CAST(n_blocks AS DOUBLE), 9)
+        |    AS skip_frac,
+        |  CAST(rows_scanned AS BIGINT) AS rows_scanned
+        |FROM u ORDER BY layout""".stripMargin,
+
+    "q312_pca_power" ->
+      """WITH e AS (SELECT e2.vec_id, g.i AS i, CAST(e2.embedding[g.i] AS DOUBLE) AS x
+        |           FROM embeddings e2,
+        |           LATERAL (SELECT unnest(generate_series(1, len(e2.embedding))) AS i) g),
+        |st AS (SELECT i, COUNT(*) AS n,
+        |         floor(CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)
+        |           * 1e9 + 0.5) / 1e9 AS m,
+        |         CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(27,14))) AS DOUBLE) AS sxx
+        |       FROM e GROUP BY 1),
+        |c AS (SELECT e.vec_id, e.i, e.x - st.m AS c FROM e JOIN st USING (i)),
+        |v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM st),
+        |sa AS (SELECT vec_id, CAST(SUM(CAST(round(c.c * v0.v, 12)
+        |         AS DECIMAL(27,14))) AS DOUBLE) AS s
+        |       FROM c JOIN v0 USING (i) GROUP BY 1),
+        |ua AS (SELECT i, CAST(SUM(CAST(round(c.c * sa.s, 12)
+        |         AS DECIMAL(27,14))) AS DOUBLE) AS u
+        |       FROM c JOIN sa USING (vec_id) GROUP BY 1),
+        |na AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(27,14)))
+        |         AS DOUBLE)) AS nrm FROM ua),
+        |va AS (SELECT i, round(u / nrm, 9) AS v FROM ua, na),
+        |sb AS (SELECT vec_id, CAST(SUM(CAST(round(c.c * va.v, 12)
+        |         AS DECIMAL(27,14))) AS DOUBLE) AS s
+        |       FROM c JOIN va USING (i) GROUP BY 1),
+        |ub AS (SELECT i, CAST(SUM(CAST(round(c.c * sb.s, 12)
+        |         AS DECIMAL(27,14))) AS DOUBLE) AS u
+        |       FROM c JOIN sb USING (vec_id) GROUP BY 1),
+        |nb AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(27,14)))
+        |         AS DOUBLE)) AS nrm FROM ub),
+        |vb AS (SELECT i, round(u / nrm, 9) AS v FROM ub, nb),
+        |sc AS (SELECT vec_id, CAST(SUM(CAST(round(c.c * vb.v, 12)
+        |         AS DECIMAL(27,14))) AS DOUBLE) AS s
+        |       FROM c JOIN vb USING (i) GROUP BY 1),
+        |uc AS (SELECT i, CAST(SUM(CAST(round(c.c * sc.s, 12)
+        |         AS DECIMAL(27,14))) AS DOUBLE) AS u
+        |       FROM c JOIN sc USING (vec_id) GROUP BY 1),
+        |nc AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(27,14)))
+        |         AS DOUBLE)) AS nrm FROM uc),
+        |vc AS (SELECT i, round(u / nrm, 9) AS v FROM uc, nc),
+        |tv AS (SELECT MAX(n) AS n,
+        |         CAST(SUM(CAST(round(sxx / n - m * m, 9) AS DECIMAL(27,10)))
+        |           AS DOUBLE) AS totvar
+        |       FROM st)
+        |SELECT CAST(vc.i AS INT) AS dim, vc.v AS loading,
+        |  round(nc.nrm / tv.n, 9) AS lambda,
+        |  round(nc.nrm / tv.n / tv.totvar, 9) AS explained_frac
+        |FROM vc, nc, tv ORDER BY dim""".stripMargin,
+
+    "q313_query_likelihood" ->
+      """WITH w0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |ww AS (SELECT doc_id, w FROM w0 WHERE len(w) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ww GROUP BY 1),
+        |ct AS (SELECT COUNT(*) AS c_tot FROM ww),
+        |cf AS (SELECT w, COUNT(*) AS cf FROM ww
+        |       WHERE w IN ('spark', 'join', 'scan') GROUP BY 1),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ww
+        |       WHERE w IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+        |p AS (SELECT w, CAST(cf AS DOUBLE) / c_tot AS p FROM cf, ct),
+        |sc AS (SELECT dl.doc_id,
+        |         round(ln((COALESCE(tf.tf, 0) + 2000.0 * p.p)
+        |           / (dl.dl + 2000.0)), 12) AS t
+        |       FROM dl CROSS JOIN p
+        |       LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = p.w)
+        |SELECT doc_id,
+        |  round(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE), 9) AS ql_score
+        |FROM sc GROUP BY 1 ORDER BY ql_score DESC, doc_id LIMIT 20""".stripMargin,
   )
 }
