@@ -8148,6 +8148,33 @@ object SparkEntry {
           .as("ql_score"))
         .orderBy(desc("ql_score"), col("doc_id")).limit(20)
     }),
+
+    "q314_jw_linkage" -> ((s, dir) => {
+      // Jaro–Winkler fuzzy linkage over part names [EXT] — the
+      // prefix-weighted scorer record linkage prefers for NAMES where
+      // q158's levenshtein treats all positions equally (JW's Winkler
+      // boost rewards shared prefixes, the high-signal region of
+      // entity names). Powered by the new native codegen expression
+      // (Strings.jaroWinkler — Spark has no built-in; the O(|a|·w)
+      // loop compiles into the stage as one static call), verified
+      // term-for-term against DuckDB's jaro_winkler_similarity.
+      // Brand blocking bounds candidates to Σ|brand|² (q158's
+      // pigeonhole discipline — never all-pairs); key_a < key_b
+      // halves the frame; ROUNDED scores order the top-20 totally.
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("key_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("key_b"),
+        col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("key_a") < col("key_b"))
+        .withColumn("jw", pround(
+          graft.functions.Strings.jaroWinkler(col("name_a"), col("name_b")), 9))
+        .filter(col("jw") >= 0.93)
+        .select(col("key_a"), col("key_b"), col("p_brand"), col("jw"))
+        .orderBy(desc("jw"), col("key_a"), col("key_b")).limit(20)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -13127,5 +13154,14 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE), 9) AS ql_score
         |FROM sc GROUP BY 1 ORDER BY ql_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q314_jw_linkage" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_brand AS p_brand,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.93
+        |ORDER BY jw DESC, key_a, key_b LIMIT 20""".stripMargin,
   )
 }

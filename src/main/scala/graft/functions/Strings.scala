@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** String-similarity expressions beyond the built-ins (Spark ships
+  * levenshtein but not Jaro–Winkler; reference-side record linkage
+  * relies on fuzzy name matching — see doc2dataset's metadata join
+  * surface). [[JaroWinklerSim]] is a native codegen expression: the
+  * O(|a|·window) matching loop compiles into the stage as one static
+  * call, no boxing — the same rationale as [[Vectors.CosineSimilarity]].
+  *
+  * The algorithm is the TEXTBOOK Jaro–Winkler (match window
+  * ⌊max(|a|,|b|)/2⌋−1, half-transpositions, prefix ≤ 4, p = 0.1, boost
+  * threshold 0.7) — verified term-for-term against DuckDB's
+  * `jaro_winkler_similarity` on a 12-case battery, so the oracle can
+  * replay it with the built-in (the levenshtein precedent, q158/q59).
+  */
+object Strings {
+
+  /** Jaro–Winkler similarity in [0,1]; null if either side is null. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    column(JaroWinklerSim(expression(a), expression(b)))
+
+  /** Static impl shared by interpreted eval and generated code. Operates
+    * on UTF-16 chars of the decoded strings (fixture text is ASCII, where
+    * char ≡ byte ≡ codepoint — the same equivalence DuckDB's byte-wise
+    * scorer relies on). */
+  def jwImpl(ua: UTF8String, ub: UTF8String): Double = {
+    val s1 = ua.toString; val s2 = ub.toString
+    if (s1 == s2) return 1.0
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - w)
+      val jEnd = math.min(l2, i + w + 1)
+      var done = false
+      while (j < jEnd && !done) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    var jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val pMax = math.min(4, math.min(l1, l2))
+      while (l < pMax && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro = jaro + l * 0.1 * (1.0 - jaro)
+    }
+    jaro
+  }
+}
+
+/** jaro_winkler(a, b) over strings with codegen; null-safe. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Strings.jwImpl(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Strings.jwImpl($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

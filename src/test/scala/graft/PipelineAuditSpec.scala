@@ -62,6 +62,34 @@ class PipelineAuditSpec extends AnyFunSuite {
     assert(keys.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("JaroWinkler expression matches the textbook battery (DuckDB-verified values)") {
+    // the 12-case battery cross-checked against DuckDB's
+    // jaro_winkler_similarity — the parity contract q314's oracle rides
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.functions.Strings.jwImpl(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val eps = 1e-12
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < eps)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < eps)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962962962964) < eps)
+    assert(jw("abc", "abc") === 1.0)
+    assert(math.abs(jw("spark", "sprak") - 0.9466666666666667) < eps)
+    assert(math.abs(jw("kitten", "sitting") - 0.746031746031746) < eps)
+    assert(jw("alpha", "bravo") === 0.0)
+    assert(jw("a", "") === 0.0)
+    assert(jw("ab", "ba") === 0.0)           // window 0: adjacent swap has no matches
+    assert(math.abs(jw("crate", "trace") - 0.7333333333333334) < eps)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < eps)
+    assert(math.abs(jw("arnab", "raanb") - 0.8666666666666667) < eps)
+    // codegen path agrees with the static impl
+    import spark.implicits._
+    val viaExpr = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(graft.functions.Strings.jaroWinkler(col("a"), col("b")))
+      .head.getDouble(0)
+    assert(math.abs(viaExpr - 0.9611111111111111) < eps)
+  }
+
   test("q308 keep-first conserves hash groups: kept docs == distinct hashes") {
     val out = SparkEntry.queries("q308_dedup_savings")(spark, TestSpark.sf0001)
       .collect()

@@ -331,4 +331,40 @@ class PlanSpec extends AnyFunSuite {
     // final, the mergeable-summary shape
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
+
+  test("q300: novelty gram join is an equi-join, never all-pairs") {
+    val p = plan("q300_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q302: all five overflow thresholds reduce in ONE scan (no doc×k join)") {
+    val p = plan("q302_context_overflow")
+    assert(!p.contains("Join"), p.take(1500))
+    // one scan NODE = two mentions in FormattedMode (tree line + detail)
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p.take(1500))
+  }
+
+  test("q307: ES weighted top-50 rides TakeOrderedAndProject, not a global sort") {
+    val p = plan("q307_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("q311: dense-id block assignment plans no Window (two-pass idiom)") {
+    val p = plan("q311_zonemap_skip")
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("q312: power-iteration joins broadcast the 64-row v frame, no cartesian blowup") {
+    val p = plan("q312_pca_power")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q313: QL scoring has no cartesian over the corpus; top-20 is rank-limited") {
+    val p = plan("q313_query_likelihood")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
 }
