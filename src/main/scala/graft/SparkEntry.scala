@@ -8175,6 +8175,53 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"), col("p_brand"), col("jw"))
         .orderBy(desc("jw"), col("key_a"), col("key_b")).limit(20)
     }),
+
+    "q315_grouped_weighted_sample" -> ((s, dir) => {
+      // per-source token-weighted sample (A-Res within groups) [EXT] —
+      // q307's Efraimidis–Spirakis draw stratified by the curation
+      // unit: 5 docs PER SOURCE, weight-proportional to token count —
+      // how a mixture spec ("N docs from each source, biased to the
+      // long tail of long docs") is actually materialized. Same
+      // deterministic md5-uniform key; the per-group top-k rides a
+      // WindowGroupLimit (rank pushed into the shuffle — each
+      // partition keeps ≤k rows per group before the exchange), never
+      // a global sort.
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+        .filter(col("ws") > 0)
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + 1.0) / 4294967296.0
+      val w = Window.partitionBy(col("source"))
+        .orderBy(desc("k"), col("doc_id"))
+      docs.withColumn("k", pround(log(u) / col("ws"), 12))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("doc_id"), col("ws"),
+          col("k").as("es_key"))
+        .orderBy(col("source"), col("rnk"))
+    }),
+
+    "q316_decayed_popularity" -> ((s, dir) => {
+      // exponentially time-decayed popularity [EXT] — the feature-
+      // store freshness primitive: score(u) = Σ_events 2^(−age_days/7)
+      // (7-day half-life), the maintenance-free alternative to sliding
+      // windows (yesterday's score × decay + today's mass — never
+      // recomputed from history). One scan; per-event decay terms are
+      // pure IEEE (exp2 of an exact day difference — integer ages, so
+      // both engines evaluate the SAME dyadic power), pround(12) into
+      // exact DECIMAL sums per user; top-20 TakeOrderedAndProject.
+      val asOf = to_date(lit("2024-02-01"))
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(asOf, to_date(col("ts"))).cast("double").as("age"))
+        .withColumn("t", pround(pow(lit(2.0), -col("age") / 7.0), 12))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          pround(sum(col("t").cast(DecimalType(27, 14))).cast("double"), 9)
+            .as("decayed_score"))
+        .orderBy(desc("decayed_score"), col("user_id")).limit(20)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -13163,5 +13210,30 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 9) >= 0.93
         |ORDER BY jw DESC, key_a, key_b LIMIT 20""".stripMargin,
+
+    "q315_grouped_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS ws FROM documents),
+        |f AS (SELECT doc_id, source, ws,
+        |        (CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS UINT64) AS DOUBLE) + 1.0) / 4294967296.0 AS u
+        |      FROM d WHERE ws > 0),
+        |k AS (SELECT doc_id, source, ws, round(ln(u) / ws, 12) AS es_key FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY es_key DESC, doc_id) AS rnk FROM k)
+        |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, CAST(ws AS BIGINT) AS ws,
+        |  es_key
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    "q316_decayed_popularity" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(datediff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+        |      DATE '2024-02-01') AS DOUBLE) AS age
+        |  FROM events),
+        |t AS (SELECT user_id, round(pow(2.0, -age / 7.0), 12) AS t FROM ev)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  round(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE), 9)
+        |    AS decayed_score
+        |FROM t GROUP BY 1 ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin,
   )
 }

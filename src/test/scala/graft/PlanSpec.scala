@@ -362,6 +362,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q315: per-source weighted top-5 plans a WindowGroupLimit") {
+    val p = plan("q315_grouped_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
   test("q313: QL scoring has no cartesian over the corpus; top-20 is rank-limited") {
     val p = plan("q313_query_likelihood")
     assert(!p.contains("CartesianProduct"), p.take(1500))
