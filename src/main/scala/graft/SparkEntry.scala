@@ -8167,11 +8167,30 @@ object SparkEntry {
         col("p_name").as("name_a"))
       val b = p.select(col("p_brand"), col("p_partkey").as("key_b"),
         col("p_name").as("name_b"))
+      // length-ratio prune BEFORE the JW loop: m ≤ min(|a|,|b|) bounds
+      // jaro ≤ (2 + min/max)/3 and the Winkler boost is monotone
+      // (jw ≤ 0.6·j + 0.4), so jw ≥ 0.93 ⟹ min/max ≥ 0.65 — the
+      // conjunct short-circuits codegen past the O(|a|·w) match loop
+      // for length-mismatched pairs at zero recall loss (implied by
+      // the threshold, so the oracle needs no twin)
+      val lenOk = least(length(col("name_a")), length(col("name_b")))
+        .cast("double") * 3.0 >=
+        greatest(length(col("name_a")), length(col("name_b")))
+          .cast("double") * 1.95
+      // ONE filter with explicit conjunct order — And short-circuits
+      // left-to-right in codegen, so the O(1) key/length tests gate the
+      // O(|a|·w) JW loop; written as separate .filter calls the
+      // optimizer merged them JW-first (measured 2× slower). The round
+      // is the DIRECT floor form, not pround: jw ∈ [0,1] can never
+      // reach pround's 2^52 overflow branch, and the guard's CASE
+      // would inline the expensive JW call twice in the generated
+      // join-condition code (no CSE there — measured another 1.5×).
+      val jwCol = (floor(
+        graft.functions.Strings.jaroWinkler(col("name_a"), col("name_b"))
+          * 1e9 + 0.5).cast("double") / 1e9)
       a.join(b, Seq("p_brand"))
-        .filter(col("key_a") < col("key_b"))
-        .withColumn("jw", pround(
-          graft.functions.Strings.jaroWinkler(col("name_a"), col("name_b")), 9))
-        .filter(col("jw") >= 0.93)
+        .filter(col("key_a") < col("key_b") && lenOk && jwCol >= 0.93)
+        .withColumn("jw", jwCol)
         .select(col("key_a"), col("key_b"), col("p_brand"), col("jw"))
         .orderBy(desc("jw"), col("key_a"), col("key_b")).limit(20)
     }),
@@ -8221,6 +8240,120 @@ object SparkEntry {
           pround(sum(col("t").cast(DecimalType(27, 14))).cast("double"), 9)
             .as("decayed_score"))
         .orderBy(desc("decayed_score"), col("user_id")).limit(20)
+    }),
+
+    "q317_cohort_retention" -> ((s, dir) => {
+      // signup-cohort retention triangle [EXT] — the product-analytics
+      // matrix between q92's funnel (one journey) and q234's
+      // Kaplan–Meier (time-to-ONE-event): of the users first seen in
+      // week W, what fraction was active in week W+k? Two aggs: first-
+      // seen week per user (min over one scan), distinct (user,
+      // activity-week) pairs; the matrix closes on the cohorts×offsets
+      // frame. Week offsets are EXACT integer day differences / 7
+      // (both engines truncate weeks to Monday, so the difference is
+      // always a multiple of 7 — no float, no calendar edge).
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")).distinct())
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("n_cohort"))
+      ev.join(cohort, Seq("user_id"))
+        .withColumn("week_offset", (datediff(col("wk"), col("cw")) / 7).cast("int"))
+        .groupBy(col("cw"), col("week_offset")).agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cw"))
+        .select(col("cw").as("cohort_week"), col("week_offset"), col("n_active"),
+          col("n_cohort"),
+          pround(col("n_active").cast("double")
+            / col("n_cohort").cast("double"), 9).as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    "q318_dup_cluster_sizes" -> ((s, dir) => {
+      // duplicate-cluster size profile [EXT] — where the duplicate
+      // MASS concentrates: exact-dup groups (md5) bucketed by size
+      // (1 / 2 / 3-5 / 6+), with doc and token mass per bucket — the
+      // "is duplication a long tail of pairs or a few megaclusters"
+      // diagnostic that picks between q308's keep-first (fine for
+      // pairs) and manual review (megaclusters are usually template
+      // text). Two hash-aggs; all exact integers until the one share
+      // division.
+      val d = Tables.documents(s, dir).select(md5(col("text")).as("h"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+      val g = d.groupBy(col("h"))
+        .agg(count(lit(1)).as("sz"), sum(col("ws")).as("tok"))
+      val tot = g.agg(sum(col("tok")).as("all_tok"))
+      g.withColumn("bucket",
+          when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+            .when(col("sz") <= 5, "3-5").otherwise("6+"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_docs"),
+          sum(col("tok")).as("tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_groups"), col("n_docs"), col("tokens"),
+          pround(col("tokens").cast("double") / col("all_tok").cast("double"), 9)
+            .as("token_share"))
+        .orderBy(col("bucket"))
+    }),
+
+    "q319_lorenz_deciles" -> ((s, dir) => {
+      // Lorenz concentration deciles of per-user event mass [EXT] —
+      // the CURVE behind q213's Gini scalar: rank users by activity,
+      // cut into 10 equal-population slices, report each slice's share
+      // and the running share ("the top decile generates X%"). Ranks
+      // come from the two-pass dense-id idiom (never a global window
+      // over users); the 10-row close runs cumulative totals through
+      // CumSum. All exact integers until the two share divisions.
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val ranked = graft.operators.DocPipeline.withDenseIds(
+        cnt, struct(col("cnt"), col("user_id")), "rid")
+      val nU = ranked.agg(count(lit(1)).as("nu"), sum(col("cnt")).as("ne"))
+      val dec = ranked.crossJoin(broadcast(nU))
+        .withColumn("decile", (col("rid") * 10 / col("nu")).cast("int"))
+        .groupBy(col("decile"), col("nu"), col("ne"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
+      graft.operators.CumSum.withRunningTotals(dec, Seq(col("decile")),
+          Seq(col("n_events") -> "cum_events"))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          pround(col("n_events").cast("double") / col("ne").cast("double"), 9)
+            .as("share"),
+          pround(col("cum_events").cast("double") / col("ne").cast("double"), 9)
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    }),
+
+    "q320_zipf_slope" -> ((s, dir) => {
+      // Zipf exponent of the vocabulary head [EXT] — the rank-
+      // frequency power law that pairs with q260's Heaps law (Heaps:
+      // how fast vocabulary GROWS; Zipf: how steeply frequency FALLS):
+      // OLS slope of ln(freq) on ln(rank) over the top-500 words. A
+      // natural corpus sits near −1; a flatter slope flags synthetic/
+      // boilerplate-heavy text. Head selection is one hash-agg +
+      // TakeOrderedAndProject (never a global sort); ranks are
+      // row_number on the 500-row frame (tiny-frame window exception,
+      // q110's argument); the regression closes via q304's exact-
+      // moment machinery with ln terms pround(12) into DECIMAL sums.
+      val head = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), col("w")).limit(500)
+      val D = DecimalType(27, 14)
+      val xy = head
+        .withColumn("r", row_number().over(Window.orderBy(desc("f"), col("w"))))
+        .select(pround(log(col("r").cast("double")), 12).as("x"),
+          pround(log(col("f").cast("double")), 12).as("y"))
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum(pround(col("x") * col("x"), 12).cast(D)).as("sxx"),
+        sum(pround(col("x") * col("y"), 12).cast(D)).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val nd = dbl("n")
+      val slope = (nd * dbl("sxy") - dbl("sx") * dbl("sy")) /
+        (nd * dbl("sxx") - dbl("sx") * dbl("sx"))
+      m.select(col("n").as("n_words"),
+        pround(slope, 9).as("zipf_slope"),
+        pround((dbl("sy") - slope * dbl("sx")) / nd, 9).as("intercept"))
     }),
   )
 
@@ -13235,5 +13368,81 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(t AS DECIMAL(27,14))) AS DOUBLE), 9)
         |    AS decayed_score
         |FROM t GROUP BY 1 ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin,
+
+    "q317_cohort_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS cw FROM ev GROUP BY 1),
+        |sizes AS (SELECT cw, COUNT(*) AS n_cohort FROM cohort GROUP BY 1),
+        |act AS (SELECT c.cw, datediff('day', c.cw, e.wk) // 7 AS wko,
+        |          COUNT(*) AS n_active
+        |        FROM ev e JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cw AS cohort_week, CAST(a.wko AS INT) AS week_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+        |  round(CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 9)
+        |    AS retention
+        |FROM act a JOIN sizes s USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q318_dup_cluster_sizes" ->
+      """WITH d AS (SELECT md5(text) AS h,
+        |    len(regexp_extract_all(text, '\S+')) AS ws FROM documents),
+        |g AS (SELECT h, COUNT(*) AS sz, SUM(ws) AS tok FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(tok) AS all_tok FROM g),
+        |b AS (SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+        |             WHEN sz <= 5 THEN '3-5' ELSE '6+' END AS bucket,
+        |        sz, tok FROM g)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(SUM(tok) AS BIGINT) AS tokens,
+        |  round(CAST(SUM(tok) AS DOUBLE) / CAST(tot.all_tok AS DOUBLE), 9)
+        |    AS token_share
+        |FROM b CROSS JOIN tot GROUP BY bucket, tot.all_tok
+        |ORDER BY bucket""".stripMargin,
+
+    "q319_lorenz_deciles" ->
+      """WITH cnt AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) - 1 AS rid
+        |       FROM cnt),
+        |nu AS (SELECT COUNT(*) AS nu, SUM(cnt) AS ne FROM cnt),
+        |dec AS (SELECT (rid * 10) // nu.nu AS decile, COUNT(*) AS n_users,
+        |          SUM(cnt) AS n_events, MAX(nu.ne) AS ne
+        |        FROM rk CROSS JOIN nu GROUP BY 1),
+        |cum AS (SELECT *, SUM(n_events) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+        |        FROM dec)
+        |SELECT CAST(decile AS INT) AS decile, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  round(CAST(n_events AS DOUBLE) / CAST(ne AS DOUBLE), 9) AS share,
+        |  round(CAST(cum_events AS DOUBLE) / CAST(ne AS DOUBLE), 9) AS cum_share
+        |FROM cum ORDER BY decile""".stripMargin,
+
+    "q320_zipf_slope" ->
+      """WITH w0 AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, COUNT(*) AS f FROM w0 WHERE len(w) > 0 GROUP BY 1
+        |      ORDER BY f DESC, w LIMIT 500),
+        |xy AS (SELECT round(ln(CAST(row_number() OVER (ORDER BY f DESC, w)
+        |           AS DOUBLE)), 12) AS x,
+        |         round(ln(CAST(f AS DOUBLE)), 12) AS y
+        |       FROM f),
+        |m AS (SELECT COUNT(*) AS n,
+        |        SUM(CAST(x AS DECIMAL(27,14))) AS sx,
+        |        SUM(CAST(y AS DECIMAL(27,14))) AS sy,
+        |        SUM(CAST(round(x * x, 12) AS DECIMAL(27,14))) AS sxx,
+        |        SUM(CAST(round(x * y, 12) AS DECIMAL(27,14))) AS sxy
+        |      FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept
+        |FROM m""".stripMargin,
   )
 }

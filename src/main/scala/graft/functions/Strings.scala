@@ -27,14 +27,64 @@ object Strings {
     column(JaroWinklerSim(expression(a), expression(b)))
 
   /** Static impl shared by interpreted eval and generated code. Operates
-    * on UTF-16 chars of the decoded strings (fixture text is ASCII, where
-    * char ≡ byte ≡ codepoint — the same equivalence DuckDB's byte-wise
-    * scorer relies on). */
+    * BYTE-wise on the raw UTF8String (fixture text is ASCII, where byte ≡
+    * char ≡ codepoint — the same equivalence DuckDB's byte-wise scorer
+    * relies on). The ≤64-byte hot path is ZERO-ALLOCATION: match flags
+    * live in two Long bitmasks instead of heap boolean arrays, and the
+    * strings are never decoded — at 8M pairs per brand-blocked join
+    * (q314 @ sf0.1) the original toString + 2-array version spent more
+    * time in GC than in matching. Longer strings take the array path. */
   def jwImpl(ua: UTF8String, ub: UTF8String): Double = {
-    val s1 = ua.toString; val s2 = ub.toString
-    if (s1 == s2) return 1.0
-    val l1 = s1.length; val l2 = s2.length
+    if (ua.equals(ub)) return 1.0
+    val l1 = ua.numBytes(); val l2 = ub.numBytes()
     if (l1 == 0 || l2 == 0) return 0.0
+    if (l1 <= 64 && l2 <= 64) jwSmall(ua, ub, l1, l2)
+    else jwGeneric(ua.toString, ub.toString)
+  }
+
+  private def jwSmall(ua: UTF8String, ub: UTF8String, l1: Int, l2: Int): Double = {
+    val w = math.max(math.max(l1, l2) / 2 - 1, 0)
+    var m1 = 0L; var m2 = 0L
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val c = ua.getByte(i)
+      var j = math.max(0, i - w)
+      val jEnd = math.min(l2, i + w + 1)
+      var done = false
+      while (j < jEnd && !done) {
+        if (((m2 >>> j) & 1L) == 0L && c == ub.getByte(j)) {
+          m1 |= 1L << i; m2 |= 1L << j; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (((m1 >>> i) & 1L) != 0L) {
+        while (((m2 >>> k) & 1L) == 0L) k += 1
+        if (ua.getByte(i) != ub.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    var jaro = (md / l1 + md / l2 + (md - t) / md) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val pMax = math.min(4, math.min(l1, l2))
+      while (l < pMax && ua.getByte(l) == ub.getByte(l)) l += 1
+      jaro = jaro + l * 0.1 * (1.0 - jaro)
+    }
+    jaro
+  }
+
+  private def jwGeneric(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
     val w = math.max(math.max(l1, l2) / 2 - 1, 0)
     val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
     var m = 0
