@@ -8355,6 +8355,120 @@ object SparkEntry {
         pround(slope, 9).as("zipf_slope"),
         pround((dbl("sy") - slope * dbl("sx")) / nd, 9).as("intercept"))
     }),
+
+    "q321_referential_audit" -> ((s, dir) => {
+      // referential-integrity audit across the order graph [EXT] —
+      // the data-quality gate an ingest pipeline runs before
+      // publishing a snapshot: orphan lineitems (FK → missing order),
+      // childless orders, FK coverage rates, and the revenue
+      // reconciliation (Σ o_totalprice vs Σ extendedprice·(1−disc)·
+      // (1+tax) — the classic "do the rollup columns still agree with
+      // the detail" check). Two anti-join counts + exact DECIMAL money
+      // sums; one row out. The anti-joins are the q06 shape — null-
+      // safe, shuffle on the FK only.
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val orphan = li.join(o.select(col("o_orderkey")),
+        li("l_orderkey") === o("o_orderkey"), "left_anti")
+      val childless = o.join(li.select(col("l_orderkey")).distinct(),
+        o("o_orderkey") === li("l_orderkey"), "left_anti")
+      val D = DecimalType(38, 4)
+      val liSum = li.agg(count(lit(1)).as("n_lineitems"),
+        sum((floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100 + 0.5)).cast(D)).as("li_cents"))
+      val oSum = o.agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast(D)).as("o_cents"))
+      val orphanN = orphan.agg(count(lit(1)).as("n_orphan_lineitems"))
+      val childN = childless.agg(count(lit(1)).as("n_childless_orders"))
+      liSum.crossJoin(oSum).crossJoin(orphanN).crossJoin(childN)
+        .select(col("n_lineitems"), col("n_orders"),
+          col("n_orphan_lineitems"), col("n_childless_orders"),
+          pround(lit(1.0) - col("n_orphan_lineitems").cast("double")
+            / col("n_lineitems").cast("double"), 9).as("fk_coverage"),
+          (col("li_cents").cast("double") / 100.0).as("lineitem_revenue"),
+          (col("o_cents").cast("double") / 100.0).as("order_revenue"),
+          pround(col("li_cents").cast("double") / col("o_cents").cast("double"),
+            9).as("reconciliation_ratio"))
+    }),
+
+    "q322_gap_fill" -> ((s, dir) => {
+      // calendar gap-fill + forward-fill resampling [EXT] — the
+      // time-series scaffold every dashboard needs when a sparse slice
+      // (here the 1-in-397 audit sample of users) has empty (type,
+      // day) cells: a full types×calendar grid from sequence(), LEFT
+      // join of the observed daily means, last-observation-carried-
+      // forward for the holes (per-type calendar-bounded window — the
+      // q207 legitimate exception), leading holes stay null. Means are
+      // exact centi-quantized DECIMAL sums closed pround(9) so the
+      // carried values are engine-identical.
+      val ev = Tables.events(s, dir).filter(col("user_id") % 397 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_obs"),
+          pround(sum(floor(col("value") * 100 + 0.5).cast(DecimalType(38, 0)))
+            .cast("double") / 100.0 / count(lit(1)), 9).as("mean_raw"))
+      val bounds = Tables.events(s, dir)
+        .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val cal = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wff = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(ev, Seq("event_type", "day"), "left")
+        .withColumn("mean_filled", last(col("mean_raw"), ignoreNulls = true)
+          .over(wff))
+        .select(col("event_type"), col("day"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("mean_raw"),
+          col("mean_filled"),
+          (col("mean_raw").isNull && col("mean_filled").isNotNull)
+            .as("is_filled"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q323_coverage_timeline" -> ((s, dir) => {
+      // global session-coverage timeline [EXT] — how much wall-clock
+      // was ANY session live, and in how many merged busy intervals:
+      // the uptime/idle split q266's peak cannot give. Interval union
+      // WITHOUT adjacency walks: on the boundary sweep (q266's order —
+      // starts before ends at the same instant, so touching sessions
+      // merge), a merged interval STARTS exactly where the running
+      // live count hits 1 from 0 (delta=+1 ∧ live=1) and ENDS where it
+      // returns to 0 (delta=−1 ∧ live=0); covered time = Σ end-ts −
+      // Σ start-ts — two filtered exact-long sums, no lead/lag over
+      // the global order anywhere.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap", (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))) >= 1800)
+        .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val bounds = sess.select(col("st").as("ts"), lit(1L).as("delta"),
+          col("user_id"), col("sid"))
+        .unionAll(sess.select(col("en").as("ts"), lit(-1L).as("delta"),
+          col("user_id"), col("sid")))
+      val cum = graft.operators.CumSum.withRunningTotal(bounds,
+        Seq(col("ts"), col("delta") * lit(-1L), col("user_id"), col("sid")),
+        col("delta"), "live")
+      val D = DecimalType(38, 0)
+      val agg = cum.agg(
+        sum(when(col("delta") === 1L && col("live") === 1L, 1L).otherwise(0L))
+          .as("n_merged"),
+        sum(when(col("delta") === 1L && col("live") === 1L,
+          unix_timestamp(col("ts"))).otherwise(0L).cast(D)).as("s_start"),
+        sum(when(col("delta") === -1L && col("live") === 0L,
+          unix_timestamp(col("ts"))).otherwise(0L).cast(D)).as("s_end"),
+        count(lit(1)).as("n_bounds"),
+        min(unix_timestamp(col("ts"))).as("t_lo"),
+        max(unix_timestamp(col("ts"))).as("t_hi"))
+      agg.select((col("n_bounds") / 2).as("n_sessions"), col("n_merged"),
+        (col("s_end") - col("s_start")).cast("long").as("covered_seconds"),
+        pround((col("s_end") - col("s_start")).cast("double")
+          / (col("t_hi") - col("t_lo")).cast("double"), 9).as("coverage_frac"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -13444,5 +13558,96 @@ object SparkEntry {
         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 9) AS intercept
         |FROM m""".stripMargin,
+
+    "q321_referential_audit" ->
+      """WITH ls AS (SELECT COUNT(*) AS n_lineitems,
+        |    SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |      * 100 + 0.5) AS HUGEINT)) AS li_cents
+        |  FROM lineitem),
+        |os AS (SELECT COUNT(*) AS n_orders,
+        |    SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS HUGEINT)) AS o_cents
+        |  FROM orders),
+        |orp AS (SELECT COUNT(*) AS n_orphan FROM lineitem
+        |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |chl AS (SELECT COUNT(*) AS n_childless FROM orders
+        |        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+        |SELECT CAST(n_lineitems AS BIGINT) AS n_lineitems,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(n_orphan AS BIGINT) AS n_orphan_lineitems,
+        |  CAST(n_childless AS BIGINT) AS n_childless_orders,
+        |  round(1.0 - CAST(n_orphan AS DOUBLE) / CAST(n_lineitems AS DOUBLE), 9)
+        |    AS fk_coverage,
+        |  CAST(li_cents AS DOUBLE) / 100.0 AS lineitem_revenue,
+        |  CAST(o_cents AS DOUBLE) / 100.0 AS order_revenue,
+        |  round(CAST(li_cents AS DOUBLE) / CAST(o_cents AS DOUBLE), 9)
+        |    AS reconciliation_ratio
+        |FROM ls CROSS JOIN os CROSS JOIN orp CROSS JOIN chl""".stripMargin,
+
+    "q322_gap_fill" ->
+      """WITH ev0 AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    value FROM events),
+        |obs AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_obs,
+        |          round(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT))
+        |            AS DOUBLE) / 100.0 / COUNT(*), 9) AS mean_raw
+        |        FROM ev0 WHERE user_id % 397 = 0 GROUP BY 1, 2),
+        |b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        |      FROM ev0),
+        |cal AS (SELECT t.event_type, CAST(g.d AS DATE) AS day
+        |        FROM (SELECT DISTINCT event_type FROM ev0) t, b,
+        |        LATERAL (SELECT unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+        |          CAST(b.hi AS TIMESTAMP), INTERVAL 1 DAY)) AS d) g),
+        |j AS (SELECT c.event_type, c.day, COALESCE(o.n_obs, 0) AS n_obs,
+        |        o.mean_raw
+        |      FROM cal c LEFT JOIN obs o USING (event_type, day)),
+        |f AS (SELECT *, last_value(mean_raw IGNORE NULLS) OVER (
+        |        PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_filled
+        |      FROM j)
+        |SELECT event_type, day, CAST(n_obs AS BIGINT) AS n_obs, mean_raw,
+        |  mean_filled,
+        |  (mean_raw IS NULL AND mean_filled IS NOT NULL) AS is_filled
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    "q323_coverage_timeline" ->
+      s"""$evCte,
+         |brk AS (
+         |  -- second-TRUNCATED gap compare mirrors Spark's unix_timestamp
+         |  -- (a 1799.6 s raw gap can truncate to 1800): full-precision
+         |  -- intervals here cost one session at sf0.1
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR CAST(floor(epoch(ts)) AS BIGINT)
+         |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) >= 1800
+         |         THEN 1 ELSE 0 END AS is_break
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sx AS (SELECT user_id, ts,
+         |         SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |       FROM brk),
+         |sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en FROM sx GROUP BY 1, 2),
+         |bnd AS (SELECT st AS ts, 1 AS delta, user_id, sid FROM sess
+         |        UNION ALL SELECT en, -1, user_id, sid FROM sess),
+         |c AS (SELECT ts, delta,
+         |        SUM(delta) OVER (ORDER BY ts, delta DESC, user_id, sid
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+         |      FROM bnd),
+         |a AS (SELECT
+         |        SUM(CASE WHEN delta = 1 AND live = 1 THEN 1 ELSE 0 END) AS n_merged,
+         |        SUM(CASE WHEN delta = 1 AND live = 1
+         |            THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT)
+         |            ELSE 0 END) AS s_start,
+         |        SUM(CASE WHEN delta = -1 AND live = 0
+         |            THEN CAST(CAST(floor(epoch(ts)) AS BIGINT) AS HUGEINT)
+         |            ELSE 0 END) AS s_end,
+         |        COUNT(*) AS n_bounds,
+         |        MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_lo,
+         |        MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t_hi
+         |      FROM c)
+         |SELECT CAST(n_bounds // 2 AS BIGINT) AS n_sessions,
+         |  CAST(n_merged AS BIGINT) AS n_merged,
+         |  CAST(s_end - s_start AS BIGINT) AS covered_seconds,
+         |  round(CAST(s_end - s_start AS DOUBLE)
+         |    / CAST(t_hi - t_lo AS DOUBLE), 9) AS coverage_frac
+         |FROM a""".stripMargin,
   )
 }
