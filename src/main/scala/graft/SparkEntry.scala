@@ -8469,6 +8469,108 @@ object SparkEntry {
         pround((col("s_end") - col("s_start")).cast("double")
           / (col("t_hi") - col("t_lo")).cast("double"), 9).as("coverage_frac"))
     }),
+
+    "q324_snapshot_diff" -> ((s, dir) => {
+      // snapshot diff (data-diff operator) [EXT] — the table-to-table
+      // reconciliation an ingest pipeline runs between yesterday's and
+      // today's snapshot: keys added / removed / value-changed /
+      // unchanged, from ONE full-outer join on the key (the q51 shape;
+      // both sides shuffle once on event_id, counts close in a 1-row
+      // agg). Snapshots are deterministic slices of the fixture
+      // (A drops id%100=7, B drops id%100=13 and perturbs value on
+      // id%50=3) — the OPERATOR is the deliverable, the slices make
+      // every diff class non-empty at every SF.
+      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val a = ev.filter(col("event_id") % 100 =!= 7)
+        .select(col("event_id").as("k"), col("value").as("va"))
+      val b = ev.filter(col("event_id") % 100 =!= 13)
+        .select(col("event_id").as("k"),
+          when(col("event_id") % 50 === 3, col("value") + 1.0)
+            .otherwise(col("value")).as("vb"))
+      a.join(b, Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vb").isNotNull, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("va").isNull && col("vb").isNotNull, 1L).otherwise(0L))
+            .as("added"),
+          sum(when(col("va").isNotNull && col("vb").isNull, 1L).otherwise(0L))
+            .as("removed"),
+          sum(when(col("va").isNotNull && col("vb").isNotNull
+            && col("va") =!= col("vb"), 1L).otherwise(0L)).as("changed"),
+          sum(when(col("va").isNotNull && col("vb").isNotNull
+            && col("va") === col("vb"), 1L).otherwise(0L)).as("unchanged"))
+    }),
+
+    "q325_linear_interp" -> ((s, dir) => {
+      // linear interpolation of sparse-series holes [EXT] — the other
+      // resampling policy next to q322's carry-forward: a hole lerps
+      // between the PREVIOUS and NEXT observed daily means, weighted
+      // by exact integer day distances (edges with no neighbor stay
+      // null). Four calendar-bounded per-type windows (two directions
+      // × value/day — the q207 exception), means already pround(9) so
+      // the lerp is pure IEEE from engine-identical inputs, re-rounded
+      // once.
+      val ev = Tables.events(s, dir).filter(col("user_id") % 397 === 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(pround(sum(floor(col("value") * 100 + 0.5).cast(DecimalType(38, 0)))
+          .cast("double") / 100.0 / count(lit(1)), 9).as("mean_raw"))
+      val bounds = Tables.events(s, dir)
+        .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      val types = Tables.events(s, dir).select(col("event_type")).distinct()
+      val cal = types.crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("mean_raw").isNotNull, col("day"))
+      val g = cal.join(ev, Seq("event_type", "day"), "left")
+        .withColumn("pv", last(col("mean_raw"), ignoreNulls = true).over(wB))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(wB))
+        .withColumn("nv", first(col("mean_raw"), ignoreNulls = true).over(wF))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(wF))
+      g.select(col("event_type"), col("day"), col("mean_raw"),
+          when(col("mean_raw").isNotNull, col("mean_raw"))
+            .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+              pround(col("pv") + (col("nv") - col("pv"))
+                * datediff(col("day"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd")).cast("double"), 9)))
+            .as("mean_interp"),
+          (col("mean_raw").isNull && col("pv").isNotNull && col("nv").isNotNull)
+            .as("is_interpolated"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q326_mad_outliers" -> ((s, dir) => {
+      // MAD-based robust outliers (Iglewicz–Hoaglin modified z) [EXT]
+      // — q87's z-score breaks down exactly when you need it (outliers
+      // inflate σ); the modified z = 0.6745·(x−med)/MAD is the robust
+      // gate. BOTH medians (value, then |x−med|) come from the
+      // histogram-refinement selector — no per-group buffer at any
+      // scale; the flag compares ROUNDED |mz| to 3.5 so the boundary
+      // is engine-exact.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+      val med = graft.operators.Selection.exactGroupedMedian(
+          ev, "event_type", "value")
+        .select(col("event_type"), pround(col("median"), 9).as("med"))
+      val res = Dedup.cacheScoped(ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("r", abs(col("value") - col("med"))))
+      val mad = graft.operators.Selection.exactGroupedMedian(
+          res.select(col("event_type"), col("r").as("value")),
+          "event_type", "value")
+        .select(col("event_type"), pround(col("median"), 9).as("mad"))
+      res.join(broadcast(mad), Seq("event_type"))
+        .withColumn("mz", pround(lit(0.6745) * (col("value") - col("med"))
+          / col("mad"), 9))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med")).as("median"),
+          max(col("mad")).as("mad"),
+          sum(when(abs(col("mz")) > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+          max(abs(col("mz"))).as("max_abs_mz"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -13649,5 +13751,78 @@ object SparkEntry {
          |  round(CAST(s_end - s_start AS DOUBLE)
          |    / CAST(t_hi - t_lo AS DOUBLE), 9) AS coverage_frac
          |FROM a""".stripMargin,
+
+    "q324_snapshot_diff" ->
+      """WITH ev AS (SELECT event_id, value FROM events),
+        |a AS (SELECT event_id AS k, value AS va FROM ev
+        |      WHERE event_id % 100 <> 7),
+        |b AS (SELECT event_id AS k,
+        |        CASE WHEN event_id % 50 = 3 THEN value + 1.0 ELSE value END AS vb
+        |      FROM ev WHERE event_id % 100 <> 13)
+        |SELECT
+        |  CAST(SUM(CASE WHEN va IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN vb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN va IS NULL AND vb IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS added,
+        |  CAST(SUM(CASE WHEN va IS NOT NULL AND vb IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS removed,
+        |  CAST(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va <> vb
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(SUM(CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va = vb
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        |FROM a FULL OUTER JOIN b USING (k)""".stripMargin,
+
+    "q325_linear_interp" ->
+      """WITH ev0 AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    value FROM events),
+        |obs AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |          round(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT))
+        |            AS DOUBLE) / 100.0 / COUNT(*), 9) AS mean_raw
+        |        FROM ev0 WHERE user_id % 397 = 0 GROUP BY 1, 2),
+        |b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        |      FROM ev0),
+        |cal AS (SELECT t.event_type, CAST(g.d AS DATE) AS day
+        |        FROM (SELECT DISTINCT event_type FROM ev0) t, b,
+        |        LATERAL (SELECT unnest(generate_series(CAST(b.lo AS TIMESTAMP),
+        |          CAST(b.hi AS TIMESTAMP), INTERVAL 1 DAY)) AS d) g),
+        |j AS (SELECT c.event_type, c.day, o.mean_raw
+        |      FROM cal c LEFT JOIN obs o USING (event_type, day)),
+        |f AS (SELECT *,
+        |        last_value(mean_raw IGNORE NULLS) OVER wb AS pv,
+        |        last_value(CASE WHEN mean_raw IS NOT NULL THEN day END
+        |          IGNORE NULLS) OVER wb AS pd,
+        |        first_value(mean_raw IGNORE NULLS) OVER wf AS nv,
+        |        first_value(CASE WHEN mean_raw IS NOT NULL THEN day END
+        |          IGNORE NULLS) OVER wf AS nd
+        |      FROM j WINDOW
+        |        wb AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        wf AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day, mean_raw,
+        |  CASE WHEN mean_raw IS NOT NULL THEN mean_raw
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         round(pv + (nv - pv) * CAST(datediff('day', pd, day) AS DOUBLE)
+        |           / CAST(datediff('day', pd, nd) AS DOUBLE), 9)
+        |       END AS mean_interp,
+        |  (mean_raw IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+        |    AS is_interpolated
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    "q326_mad_outliers" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+        |        FROM ev GROUP BY 1),
+        |res AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS r
+        |        FROM ev e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(r, 0.5), 9) AS mad
+        |        FROM res GROUP BY 1)
+        |SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(r.med) AS median, MAX(d.mad) AS mad,
+        |  CAST(SUM(CASE WHEN abs(round(0.6745 * (r.value - r.med) / d.mad, 9))
+        |    > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  MAX(abs(round(0.6745 * (r.value - r.med) / d.mad, 9))) AS max_abs_mz
+        |FROM res r JOIN mad d USING (event_type)
+        |GROUP BY 1 ORDER BY r.event_type""".stripMargin,
   )
 }
