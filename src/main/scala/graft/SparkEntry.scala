@@ -7746,7 +7746,7 @@ object SparkEntry {
         .filter(col("src_a") <= col("src_b"))
         .select(col("h"), col("src_a"), col("src_b"),
           when(col("src_a") === col("src_b"),
-              col("na") * (col("na") - 1) / 2)
+              (col("na") * (col("na") - 1) / 2).cast("long"))
             .otherwise(col("na") * col("nb")).as("pairs"))
         .filter(col("pairs") > 0)
         .groupBy(col("src_a"), col("src_b"))
@@ -8075,39 +8075,12 @@ object SparkEntry {
       // every reduction is pround(12) terms into exact DECIMAL sums,
       // v re-normalizes through pround(9) per round, the oracle
       // unrolls the IDENTICAL three CTEs. λ = ‖Σᵢ c·s‖/n, explained
-      // share vs the exact total variance.
-      val D = DecimalType(27, 14)
-      val e = Dedup.cacheScoped(Tables.embeddings(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"), col("x").cast("double").as("x")))
-      val st = Dedup.cacheScoped(e.groupBy(col("i"))
-        .agg(count(lit(1)).as("n"),
-          (floor(sum(col("x").cast(DecimalType(27, 12))).cast("double")
-            / count(lit(1)) * 1e9 + 0.5) / 1e9).as("m"),
-          sum(pround(col("x") * col("x"), 12).cast(D)).cast("double").as("sxx")))
-      val c = Dedup.cacheScoped(e.join(broadcast(st.select(col("i"), col("m"))),
-          Seq("i"))
-        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("c")))
-      def step(v: DataFrame): DataFrame = {
-        val sI = c.join(broadcast(v), Seq("i"))
-          .withColumn("t", pround(col("c") * col("v"), 12).cast(D))
-          .groupBy(col("vec_id")).agg(sum(col("t")).cast("double").as("s"))
-        val u = c.join(sI, Seq("vec_id"))
-          .withColumn("t", pround(col("c") * col("s"), 12).cast(D))
-          .groupBy(col("i")).agg(sum(col("t")).cast("double").as("u"))
-        val nrm = u.agg(sqrt(sum(pround(col("u") * col("u"), 12).cast(D))
-          .cast("double")).as("nrm"))
-        Dedup.cacheScoped(u.crossJoin(broadcast(nrm))
-          .select(col("i"), pround(col("u") / col("nrm"), 9).as("v"),
-            col("nrm")))
-      }
-      val v0 = st.select(col("i"),
-        when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
-      val v3 = step(step(step(v0).drop("nrm")).drop("nrm"))
-      val tv = st.select(col("n"),
-          pround(col("sxx") / col("n") - col("m") * col("m"), 9).as("vr"))
-        .agg(max(col("n")).as("n"),
-          sum(col("vr").cast(DecimalType(27, 10))).cast("double").as("totvar"))
+      // share vs the exact total variance. Machinery lives in
+      // operators.Pca (topComponent/varianceStats) so the synthetic
+      // known-direction spec can drive it off-fixture.
+      val emb = Tables.embeddings(s, dir)
+      val v3 = graft.operators.Pca.topComponent(emb, "embedding", "vec_id", 3)
+      val tv = graft.operators.Pca.varianceStats(emb, "embedding")
       v3.crossJoin(broadcast(tv))
         .select((col("i") + 1).as("dim"), col("v").as("loading"),
           pround(col("nrm") / col("n"), 9).as("lambda"),
@@ -8464,7 +8437,7 @@ object SparkEntry {
         count(lit(1)).as("n_bounds"),
         min(unix_timestamp(col("ts"))).as("t_lo"),
         max(unix_timestamp(col("ts"))).as("t_hi"))
-      agg.select((col("n_bounds") / 2).as("n_sessions"), col("n_merged"),
+      agg.select((col("n_bounds") / 2).cast("long").as("n_sessions"), col("n_merged"),
         (col("s_end") - col("s_start")).cast("long").as("covered_seconds"),
         pround((col("s_end") - col("s_start")).cast("double")
           / (col("t_hi") - col("t_lo")).cast("double"), 9).as("coverage_frac"))
