@@ -8544,6 +8544,108 @@ object SparkEntry {
           max(abs(col("mz"))).as("max_abs_mz"))
         .orderBy(col("event_type"))
     }),
+
+    "q327_incremental_rollup" -> ((s, dir) => {
+      // incremental rollup maintenance (IVM merge) [EXT] — the "never
+      // recompute history" pattern at 100 TB: yesterday's materialized
+      // per-(type, day) rollup MERGES with today's delta pre-agg
+      // (counts add, exact DECIMAL sums add — the same mergeable-state
+      // law partial aggregation rides), provably ≡ the full recompute
+      // the oracle performs. The cutoff splits the fixture into
+      // base/delta; provenance columns show the merge actually mixed
+      // (the cutoff day carries mass from BOTH sides). Each half
+      // pre-aggregates before the union — the merge input is rollup-
+      // sized, never row-sized.
+      val cut = to_timestamp(lit("2024-01-20 12:00:00"))
+      val D = DecimalType(38, 0)
+      def roll(df: DataFrame, tag: String) = df
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(floor(col("value") * 100 + 0.5).cast(D)).as(s"c_$tag"))
+      val ev = Tables.events(s, dir)
+      val base = roll(ev.filter(col("ts") < cut), "base")
+      val delta = roll(ev.filter(col("ts") >= cut), "delta")
+      base.join(delta, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("n_base"), lit(0L))
+            + coalesce(col("n_delta"), lit(0L))).as("n"),
+          ((coalesce(col("c_base"), lit(0L).cast(D))
+            + coalesce(col("c_delta"), lit(0L).cast(D))).cast("double") / 100.0)
+            .as("total_value"),
+          coalesce(col("n_base"), lit(0L)).as("n_from_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_from_delta"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q328_growth_accounting" -> ((s, dir) => {
+      // weekly growth accounting [EXT] — the new / retained /
+      // resurrected / churned decomposition every growth dashboard
+      // leads with (q317 slices by COHORT; this slices by WEEK):
+      // active = seen this week, retained = also active last week,
+      // new = first week, resurrected = active now, inactive last
+      // week, seen before; churned = active last week, not this.
+      // Shapes: distinct (user, week) frame, first-seen agg, one
+      // self-join shifted a week — all equi-joins on (user, week).
+      val uw = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk")).distinct())
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+      val prev = uw.select(col("user_id"), date_add(col("wk"), 7).as("wk"),
+        lit(1L).as("was_prev"))
+      val cur = uw.join(first, Seq("user_id"))
+        .join(prev, Seq("user_id", "wk"), "left")
+        .select(col("wk"),
+          when(col("wk") === col("fw"), 1L).otherwise(0L).as("is_new"),
+          when(col("was_prev").isNotNull, 1L).otherwise(0L).as("is_ret"),
+          when(col("wk") =!= col("fw") && col("was_prev").isNull, 1L)
+            .otherwise(0L).as("is_res"))
+      val churn = uw.select(col("user_id"), date_add(col("wk"), 7).as("wk"))
+        .join(uw.select(col("user_id"), col("wk"), lit(1L).as("still")),
+          Seq("user_id", "wk"), "left")
+        .groupBy(col("wk"))
+        .agg(sum(when(col("still").isNull, 1L).otherwise(0L)).as("n_churned"))
+      cur.groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_active"), sum(col("is_new")).as("n_new"),
+          sum(col("is_ret")).as("n_retained"),
+          sum(col("is_res")).as("n_resurrected"))
+        .join(churn, Seq("wk"), "left")
+        .select(col("wk").as("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("week"))
+    }),
+
+    "q329_conversion_delay" -> ((s, dir) => {
+      // click→purchase conversion-delay percentiles [EXT] — the exact
+      // delay distribution of CONVERTERS (q234's Kaplan–Meier handles
+      // the censored rest): per user, first click then first
+      // subsequent purchase; delay P50/P90 from the histogram-
+      // refinement selector over exact integer seconds — no per-group
+      // buffer, and the two-sided funnel stays two tiny aggs + one
+      // equi-join on user.
+      val ev = Tables.events(s, dir)
+      val click = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("t_click"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t_p"))
+      val delays = Dedup.cacheScoped(click.join(purch, Seq("user_id"))
+        .filter(col("t_p") >= col("t_click"))
+        .groupBy(col("user_id"), col("t_click"))
+        .agg(min(col("t_p")).as("t_purchase"))
+        .select(lit("all").as("g"),
+          (col("t_purchase") - col("t_click")).cast("double").as("delay")))
+      val qs = graft.operators.Selection.exactGroupedQuantiles(
+        delays, "g", "delay", Seq(0.5, 0.9))
+      val n = delays.agg(count(lit(1)).as("n_converters"))
+      qs.groupBy(col("g"))
+        .agg(
+          pround(max(when(col("q") === 0.5, col("value"))), 9).as("p50_delay_s"),
+          pround(max(when(col("q") === 0.9, col("value"))), 9).as("p90_delay_s"))
+        .crossJoin(broadcast(n))
+        .select(col("n_converters"), col("p50_delay_s"), col("p90_delay_s"))
+    }),
+
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -13797,5 +13899,69 @@ object SparkEntry {
         |  MAX(abs(round(0.6745 * (r.value - r.med) / d.mad, 9))) AS max_abs_mz
         |FROM res r JOIN mad d USING (event_type)
         |GROUP BY 1 ORDER BY r.event_type""".stripMargin,
+
+    "q327_incremental_rollup" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |base AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS nb,
+        |           SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS cb
+        |         FROM ev WHERE ts < TIMESTAMP '2024-01-20 12:00:00'
+        |         GROUP BY 1, 2),
+        |delta AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS nd,
+        |            SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS cd
+        |          FROM ev WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
+        |          GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |  CAST(COALESCE(nb, 0) + COALESCE(nd, 0) AS BIGINT) AS n,
+        |  CAST(COALESCE(cb, 0) + COALESCE(cd, 0) AS DOUBLE) / 100.0
+        |    AS total_value,
+        |  CAST(COALESCE(nb, 0) AS BIGINT) AS n_from_base,
+        |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_from_delta
+        |FROM base FULL OUTER JOIN delta USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q328_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, MIN(wk) AS fw FROM uw GROUP BY 1),
+        |cur AS (SELECT u.wk,
+        |          CASE WHEN u.wk = f.fw THEN 1 ELSE 0 END AS is_new,
+        |          CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_ret,
+        |          CASE WHEN u.wk <> f.fw AND p.user_id IS NULL THEN 1 ELSE 0 END
+        |            AS is_res
+        |        FROM uw u JOIN fw f USING (user_id)
+        |        LEFT JOIN (SELECT user_id, wk + 7 AS wk FROM uw) p
+        |          ON p.user_id = u.user_id AND p.wk = u.wk),
+        |ca AS (SELECT wk, COUNT(*) AS n_active, SUM(is_new) AS n_new,
+        |         SUM(is_ret) AS n_retained, SUM(is_res) AS n_resurrected
+        |       FROM cur GROUP BY 1),
+        |chn AS (SELECT a.wk + 7 AS wk,
+        |          SUM(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS n_churned
+        |        FROM uw a LEFT JOIN uw b
+        |          ON b.user_id = a.user_id AND b.wk = a.wk + 7
+        |        GROUP BY 1)
+        |SELECT ca.wk AS week, CAST(n_active AS BIGINT) AS n_active,
+        |  CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(COALESCE(chn.n_churned, 0) AS BIGINT) AS n_churned
+        |FROM ca LEFT JOIN chn USING (wk) ORDER BY week""".stripMargin,
+
+    "q329_conversion_delay" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, user_id
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_click
+        |      FROM ev WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_p
+        |      FROM ev WHERE event_type = 'purchase'),
+        |d AS (SELECT c.user_id, c.t_click, MIN(p.t_p) AS t_purchase
+        |      FROM c JOIN p USING (user_id) WHERE p.t_p >= c.t_click
+        |      GROUP BY 1, 2),
+        |dl AS (SELECT CAST(t_purchase - t_click AS DOUBLE) AS delay FROM d)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+        |  round(quantile_cont(delay, 0.5), 9) AS p50_delay_s,
+        |  round(quantile_cont(delay, 0.9), 9) AS p90_delay_s
+        |FROM dl""".stripMargin,
   )
 }
