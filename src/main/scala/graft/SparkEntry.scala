@@ -8646,6 +8646,92 @@ object SparkEntry {
         .select(col("n_converters"), col("p50_delay_s"), col("p90_delay_s"))
     }),
 
+    "q330_ordered_funnel" -> ((s, dir) => {
+      // ordered 3-step funnel (signup → click → purchase) [EXT] — the
+      // general sequential-pattern funnel q92's single hop can't
+      // express: each step must happen strictly AFTER the user's
+      // matched previous step (first-match semantics, the standard
+      // funnel definition). Three chained per-user min-aggs, each
+      // joined to the previous step's timestamp — all equi-joins on
+      // user, never a sequence window; counts + conversion fractions
+      // close on 1 row.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          unix_timestamp(col("ts")).as("t")))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("t") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("t")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t2")), Seq("user_id"))
+        .filter(col("t") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+      val c1 = s1.agg(count(lit(1)).as("n_signup"))
+      val c2 = s2.agg(count(lit(1)).as("n_then_click"))
+      val c3 = s3.agg(count(lit(1)).as("n_then_purchase"))
+      c1.crossJoin(c2).crossJoin(c3)
+        .select(col("n_signup"), col("n_then_click"), col("n_then_purchase"),
+          pround(col("n_then_click").cast("double")
+            / col("n_signup").cast("double"), 9).as("step2_rate"),
+          pround(col("n_then_purchase").cast("double")
+            / col("n_then_click").cast("double"), 9).as("step3_rate"))
+    }),
+
+    "q331_weighted_median" -> ((s, dir) => {
+      // token-weighted median document length [EXT] — "half the
+      // CORPUS TOKENS live in docs longer than X": the curation
+      // number the per-doc median hides (a few long docs carry most
+      // of the mass). Weighted quantile via the exact cumulative-
+      // weight frame: per-length token sums (one partial agg), CumSum
+      // running totals over the length-ordered frame (never a global
+      // window), pick the first length whose cumulative weight
+      // reaches half the total — exact integers end to end.
+      val d = Tables.documents(s, dir)
+        .select(TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+        .filter(col("ws") > 0)
+      val byLen = d.groupBy(col("ws"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("tok"))
+      val cum = graft.operators.CumSum.withRunningTotals(byLen,
+        Seq(col("ws")), Seq(col("tok") -> "cum_tok"))
+      val tot = byLen.agg(sum(col("tok")).as("t"), sum(col("n_docs")).as("nd"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum_tok") * 2 >= col("t"))
+        .orderBy(col("ws")).limit(1)
+        .select(col("nd").as("n_docs"), col("t").as("total_tokens"),
+          col("ws").as("weighted_median_len"),
+          pround(col("cum_tok").cast("double") / col("t").cast("double"), 9)
+            .as("cum_token_frac"))
+    }),
+
+    "q332_template_ngrams" -> ((s, dir) => {
+      // per-source template detector [EXT] — the most REUSED 3-shingle
+      // per source and the fraction of that source's docs carrying it:
+      // coverage near 1.0 means a boilerplate template (q107 removes
+      // corpus-common LINES; this localizes which SOURCE is template-
+      // heavy and shows the offending fragment). Distinct shingles
+      // explode once (codegen), one (source, gram) doc-count agg, the
+      // per-source argmax rides a max-struct partial agg — never a
+      // rank window over the vocabulary. Ties break to the
+      // lexicographically LAST gram (max-struct order), mirrored in
+      // the oracle's (n_with, sh) DESC rank.
+      val docs = Tables.documents(s, dir)
+      val nSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val sh = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          graft.functions.Shingles.shingles(col("text"), 3))).as("sh"))
+      val gramDocs = sh.groupBy(col("source"), col("sh"))
+        .agg(count(lit(1)).as("n_with"))
+      gramDocs
+        .groupBy(col("source"))
+        .agg(max(struct(col("n_with"), col("sh"))).as("top"))
+        .join(broadcast(nSrc), Seq("source"))
+        .select(col("source"), col("top.sh").as("top_gram"),
+          col("top.n_with").as("n_docs_with"), col("n_docs"),
+          pround(col("top.n_with").cast("double")
+            / col("n_docs").cast("double"), 9).as("coverage"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -13963,5 +14049,59 @@ object SparkEntry {
         |  round(quantile_cont(delay, 0.5), 9) AS p50_delay_s,
         |  round(quantile_cont(delay, 0.9), 9) AS p90_delay_s
         |FROM dl""".stripMargin,
+
+    "q330_ordered_funnel" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(t) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t1, MIN(e.t) AS t2
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, MIN(e.t) AS t3
+        |       FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_then_click,
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_then_purchase,
+        |  round(CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 9) AS step2_rate,
+        |  round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM s2) AS DOUBLE), 9) AS step3_rate""".stripMargin,
+
+    "q331_weighted_median" ->
+      """WITH d AS (SELECT len(regexp_extract_all(text, '\S+')) AS ws
+        |  FROM documents),
+        |f AS (SELECT ws FROM d WHERE ws > 0),
+        |bl AS (SELECT ws, COUNT(*) AS n_docs, SUM(ws) AS tok FROM f GROUP BY 1),
+        |cum AS (SELECT *, SUM(tok) OVER (ORDER BY ws
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |        FROM bl),
+        |tot AS (SELECT SUM(tok) AS t, SUM(n_docs) AS nd FROM bl)
+        |SELECT CAST(nd AS BIGINT) AS n_docs, CAST(t AS BIGINT) AS total_tokens,
+        |  CAST(ws AS BIGINT) AS weighted_median_len,
+        |  round(CAST(cum_tok AS DOUBLE) / CAST(t AS DOUBLE), 9) AS cum_token_frac
+        |FROM cum, tot WHERE cum_tok * 2 >= t ORDER BY ws LIMIT 1""".stripMargin,
+
+    "q332_template_ngrams" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(
+        |        regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |        x -> len(x) > 0) AS words FROM documents),
+        |sh0 AS (SELECT doc_id, source, unnest(list_distinct(
+        |         CASE WHEN len(words) = 0 THEN []
+        |              ELSE [array_to_string(words[i:i+2], ' ')
+        |                    FOR i IN generate_series(1, greatest(len(words) - 2, 1))] END)) AS sh
+        |        FROM w),
+        |gd AS (SELECT source, sh, COUNT(*) AS n_with FROM sh0 GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY n_with DESC, sh DESC) AS rk FROM gd),
+        |ns AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT r.source, r.sh AS top_gram, CAST(r.n_with AS BIGINT) AS n_docs_with,
+        |  CAST(ns.n_docs AS BIGINT) AS n_docs,
+        |  round(CAST(r.n_with AS DOUBLE) / CAST(ns.n_docs AS DOUBLE), 9)
+        |    AS coverage
+        |FROM r JOIN ns USING (source) WHERE rk = 1 ORDER BY r.source""".stripMargin,
   )
 }
