@@ -8516,13 +8516,14 @@ object SparkEntry {
     }),
 
     "q326_mad_outliers" -> ((s, dir) => {
-      // MAD-based robust outliers (Iglewicz–Hoaglin modified z) [EXT]
-      // — q87's z-score breaks down exactly when you need it (outliers
-      // inflate σ); the modified z = 0.6745·(x−med)/MAD is the robust
-      // gate. BOTH medians (value, then |x−med|) come from the
-      // histogram-refinement selector — no per-group buffer at any
-      // scale; the flag compares ROUNDED |mz| to 3.5 so the boundary
-      // is engine-exact.
+      // MAD-based robust outliers — q102's SCALE-SAFE twin (the q55 →
+      // q165 pattern): q102 anchors the semantics on Spark's single-
+      // buffer `percentile` (O(group) memory in one task); this runs
+      // BOTH medians (value, then |x−med|) through the histogram-
+      // refinement selector — no per-group buffer at any scale — and
+      // rolls up to the per-type outlier REPORT (counts + max modified
+      // z) instead of per-row flags. The flag compares ROUNDED |mz| to
+      // 3.5 so the boundary is engine-exact.
       val ev = Dedup.cacheScoped(Tables.events(s, dir)
         .select(col("event_type"), col("value")))
       val med = graft.operators.Selection.exactGroupedMedian(
@@ -8682,11 +8683,13 @@ object SparkEntry {
       // token-weighted median document length [EXT] — "half the
       // CORPUS TOKENS live in docs longer than X": the curation
       // number the per-doc median hides (a few long docs carry most
-      // of the mass). Weighted quantile via the exact cumulative-
-      // weight frame: per-length token sums (one partial agg), CumSum
-      // running totals over the length-ordered frame (never a global
-      // window), pick the first length whose cumulative weight
-      // reaches half the total — exact integers end to end.
+      // of the mass). q104 computes a weighted median per GROUP with
+      // a partitioned cumulative window; this is the GLOBAL tier that
+      // q104's shape can't take (one group = one partition funnel):
+      // per-length token sums (one partial agg), CumSum running
+      // totals over the length-ordered frame (never a global window),
+      // first length whose cumulative weight reaches half the total —
+      // exact integers end to end.
       val d = Tables.documents(s, dir)
         .select(TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
         .filter(col("ws") > 0)
@@ -8731,6 +8734,122 @@ object SparkEntry {
           pround(col("top.n_with").cast("double")
             / col("n_docs").cast("double"), 9).as("coverage"))
         .orderBy(col("source"))
+    }),
+
+    "q333_threshold_curve" -> ((s, dir) => {
+      // dedup threshold sensitivity curve [EXT] — how many near-dup
+      // pairs each Jaccard cutoff would flag: the curve an operator
+      // reads BEFORE committing to a threshold (a cliff between 0.5
+      // and 0.7 means the corpus has a natural dup/distinct gap; a
+      // smooth slope means any cutoff is arbitrary). One pass of the
+      // q34 gram-blocked pair machinery at the LOWEST cutoff, then
+      // all five counts as conditional sums in ONE 1-row agg (q302's
+      // unpivot shape) — the pair frame is computed once, never per
+      // threshold.
+      val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      val pairs = Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 200),
+        col("text"), col("doc_id"), k = 2, minJaccard = 0.1)
+      val aggs = ts.map(t =>
+        sum(when(col("jaccard") >= t, 1L).otherwise(0L))
+          .as(s"c${(t * 10).toInt}"))
+      val wide = pairs.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(ts.map(t =>
+          struct(lit(t).as("threshold"),
+            coalesce(col(s"c${(t * 10).toInt}"), lit(0L))
+              .as("n_pairs"))): _*)).as("r"))
+        .select(col("r.threshold").as("threshold"), col("r.n_pairs").as("n_pairs"))
+        .orderBy(col("threshold"))
+    }),
+
+    "q334_fd_histogram" -> ((s, dir) => {
+      // Freedman–Diaconis auto-binned histogram per type [EXT] — the
+      // binning RULE (width = 2·IQR/n^⅓) instead of q166's fixed bin
+      // count: the statistically-sized histogram that adapts to spread
+      // and sample size. IQR from the histogram-refinement selector;
+      // width pround(9) so the bin edges are engine-identical; the
+      // mode bin closes via max-struct argmax (count, then LOWEST bin
+      // on ties), never a rank window.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), col("value")))
+      val iqr = graft.operators.Selection.exactGroupedQuantiles(
+          ev, "event_type", "value", Seq(0.25, 0.75))
+        .groupBy(col("event_type"))
+        .agg((max(when(col("q") === 0.75, col("value")))
+          - max(when(col("q") === 0.25, col("value")))).as("iqr"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+        .join(iqr, Seq("event_type"))
+        .withColumn("h", pround(lit(2.0) * col("iqr")
+          / pow(col("n").cast("double"), 1.0 / 3.0), 9))
+        .filter(col("h") > 0)
+      val binned = ev.join(broadcast(st), Seq("event_type"))
+        .withColumn("bin", least(floor((col("value") - col("mn")) / col("h")),
+          floor((col("mx") - col("mn")) / col("h"))).cast("long"))
+        .groupBy(col("event_type"), col("n"), col("iqr"), col("h"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      binned.groupBy(col("event_type"), col("n"), col("iqr"), col("h"))
+        .agg(count(lit(1)).as("n_bins"),
+          max(struct(col("cnt").as("c"), (-col("bin")).as("nb"))).as("top"))
+        .select(col("event_type"), col("n"), pround(col("iqr"), 9).as("iqr"),
+          col("h").as("bin_width"), col("n_bins"),
+          col("top.c").as("mode_count"), (-col("top.nb")).as("mode_bin"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q335_oov_rate" -> ((s, dir) => {
+      // out-of-vocabulary rate per source [EXT] — tokenizer coverage
+      // against the corpus head vocabulary (top-1000 words): a source
+      // whose OOV rate is high either needs its own vocab budget or
+      // is noise (q298 prices tokens; this prices COVERAGE). The
+      // vocab head is a hash-agg + TakeOrderedAndProject broadcast;
+      // the per-source rate is one left-anti-flavored join (broadcast
+      // hash, null ⇒ OOV) over the exploded token frame.
+      val words = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .orderBy(desc("f"), col("w")).limit(1000)
+        .select(col("w"), lit(1L).as("in_vocab"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          pround(col("n_oov").cast("double") / col("n_tokens").cast("double"), 9)
+            .as("oov_rate"))
+        .orderBy(col("source"))
+    }),
+
+    "q336_fanout_audit" -> ((s, dir) => {
+      // join-fanout audit (orders ⋈ lineitem) [EXT] — the pre-flight
+      // that predicts whether a join EXPLODES: per-key match counts
+      // (childless keys included at 0 via the left join), max / mean /
+      // exact P99 fanout (selector — no per-group buffer), and the
+      // count of keys fanning out past 2× the mean (the skew tail a
+      // salted join would target). One grouped count + tiny closes.
+      val o = Tables.orders(s, dir).select(col("o_orderkey"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val fan = Dedup.cacheScoped(o.join(li,
+          o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(sum(when(col("l_orderkey").isNotNull, 1L).otherwise(0L))
+          .as("fanout"))
+        .select(lit("all").as("g"), col("fanout")))
+      val p99 = graft.operators.Selection.exactGroupedQuantiles(
+          fan, "g", "fanout", Seq(0.99))
+        .select(col("value").as("p99"))
+      val st = fan.agg(count(lit(1)).as("n_keys"),
+        sum(col("fanout")).as("n_rows"), max(col("fanout")).as("max_fanout"))
+      val mean = col("n_rows").cast("double") / col("n_keys").cast("double")
+      val over = fan.crossJoin(broadcast(st))
+        .filter(col("fanout").cast("double") > lit(2.0) * mean)
+        .agg(count(lit(1)).as("n_keys_over_2x"))
+      st.crossJoin(broadcast(p99)).crossJoin(broadcast(over))
+        .select(col("n_keys"), col("n_rows"), col("max_fanout"),
+          pround(mean, 9).as("mean_fanout"),
+          pround(col("p99"), 9).as("p99_fanout"), col("n_keys_over_2x"))
     }),
   )
 
@@ -14103,5 +14222,81 @@ object SparkEntry {
         |  round(CAST(r.n_with AS DOUBLE) / CAST(ns.n_docs AS DOUBLE), 9)
         |    AS coverage
         |FROM r JOIN ns USING (source) WHERE rk = 1 ORDER BY r.source""".stripMargin,
+
+    "q333_threshold_curve" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id,
+        |        list_filter(string_split_regex(
+        |          regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+'),
+        |          x -> len(x) > 0) AS words
+        |      FROM docs),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([array_to_string(words[i:i+1], ' ')
+        |                        FOR i IN generate_series(1, greatest(len(words) - 1, 1))]) AS sh
+        |       FROM w WHERE len(words) > 0),
+        |f AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1),
+        |t AS (SELECT unnest([0.1, 0.3, 0.5, 0.7, 0.9]) AS threshold)
+        |SELECT t.threshold, CAST(COUNT(f.j) AS BIGINT) AS n_pairs
+        |FROM t LEFT JOIN f ON f.j >= t.threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q334_fd_histogram" ->
+      s"""$evCte,
+         |iqr AS (SELECT event_type,
+         |          quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+         |        FROM ev GROUP BY 1),
+         |st AS (SELECT event_type, COUNT(*) AS n, MIN(value) AS mn,
+         |         MAX(value) AS mx FROM ev GROUP BY 1),
+         |j AS (SELECT s.event_type, s.n, i.iqr,
+         |        round(2.0 * i.iqr / pow(CAST(s.n AS DOUBLE), 1.0 / 3), 9) AS h,
+         |        s.mn, s.mx
+         |      FROM st s JOIN iqr i USING (event_type)
+         |      WHERE round(2.0 * i.iqr / pow(CAST(s.n AS DOUBLE), 1.0 / 3), 9) > 0),
+         |b AS (SELECT j.event_type, j.n, j.iqr, j.h,
+         |        CAST(least(floor((e.value - j.mn) / j.h),
+         |          floor((j.mx - j.mn) / j.h)) AS BIGINT) AS bin,
+         |        COUNT(*) AS cnt
+         |      FROM ev e JOIN j USING (event_type) GROUP BY 1, 2, 3, 4, 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |        ORDER BY cnt DESC, bin) AS rk,
+         |        COUNT(*) OVER (PARTITION BY event_type) AS n_bins
+         |      FROM b)
+         |SELECT event_type, CAST(n AS BIGINT) AS n, round(iqr, 9) AS iqr,
+         |  h AS bin_width, CAST(n_bins AS BIGINT) AS n_bins,
+         |  CAST(cnt AS BIGINT) AS mode_count, CAST(bin AS BIGINT) AS mode_bin
+         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q335_oov_rate" ->
+      """WITH w0 AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |ww AS (SELECT source, w FROM w0 WHERE len(w) > 0),
+        |v AS (SELECT w FROM (SELECT w, COUNT(*) AS f FROM ww GROUP BY 1
+        |      ORDER BY f DESC, w LIMIT 1000))
+        |SELECT ww.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS oov_rate
+        |FROM ww LEFT JOIN v ON ww.w = v.w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q336_fanout_audit" ->
+      """WITH f AS (SELECT o.o_orderkey, COUNT(l.l_orderkey) AS fanout
+        |           FROM orders o LEFT JOIN lineitem l
+        |             ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        |st AS (SELECT COUNT(*) AS n_keys, SUM(fanout) AS n_rows,
+        |         MAX(fanout) AS max_fanout FROM f),
+        |p AS (SELECT quantile_cont(CAST(fanout AS DOUBLE), 0.99) AS p99 FROM f),
+        |ov AS (SELECT COUNT(*) AS n_keys_over FROM f, st
+        |       WHERE CAST(fanout AS DOUBLE)
+        |         > 2.0 * (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)))
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(max_fanout AS BIGINT) AS max_fanout,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE), 9) AS mean_fanout,
+        |  round(p99, 9) AS p99_fanout,
+        |  CAST(n_keys_over AS BIGINT) AS n_keys_over_2x
+        |FROM st, p, ov""".stripMargin,
   )
 }
