@@ -8851,6 +8851,48 @@ object SparkEntry {
           pround(mean, 9).as("mean_fanout"),
           pround(col("p99"), 9).as("p99_fanout"), col("n_keys_over_2x"))
     }),
+
+    "q337_phash_dedup" -> ((s, dir) => {
+      // perceptual-hash near-dup over the media column [EXT] — the
+      // image-dedup shape at scale: 60-bit pHash per asset, 4×15-bit
+      // Hamming BANDS (pigeonhole: ≤3 bit flips across 4 bands leave
+      // ≥1 band intact, so the band equi-join provably finds EVERY
+      // pair at hamming ≤ 3 — the oracle verifies by brute all-pairs,
+      // which must give the identical set), exact bit_count(xor)
+      // verify on candidates only. The pHash itself is the honestly-
+      // stubbed codec step (Multimodal discipline): a coarse content
+      // feature (md5 of the asset's leading bytes) + a deterministic
+      // per-asset perturbation standing in for DCT low frequencies —
+      // the BANDING plumbing, which is what has to scale, is real.
+      val docs = Tables.documents(s, dir)
+      val base = conv(substring(md5(substring(col("text"), 1, 40)), 1, 15),
+        16, 10).cast("long")
+      val pert = when(col("doc_id") % 4 === 0, 0L)
+        .when(col("doc_id") % 4 === 1, 1L << 7)
+        .when(col("doc_id") % 4 === 2, (1L << 13) | (1L << 47))
+        .otherwise((1L << 5) | (1L << 23) | (1L << 58))
+      val ph = Dedup.cacheScoped(docs.select(col("doc_id"),
+        base.bitwiseXOR(pert).as("phash")))
+      val bands = ph.select(col("doc_id"), col("phash"),
+        explode(array((0 to 3).map(i => struct(lit(i).as("b"),
+          shiftright(col("phash"), i * 15).bitwiseAND(lit(0x7FFFL))
+            .as("v"))): _*)).as("r"))
+        .select(col("doc_id"), col("phash"), col("r.b").as("b"),
+          col("r.v").as("v"))
+      val a = bands.select(col("b"), col("v"), col("doc_id").as("key_a"),
+        col("phash").as("ph_a"))
+      val b = bands.select(col("b"), col("v"), col("doc_id").as("key_b"),
+        col("phash").as("ph_b"))
+      a.join(b, Seq("b", "v"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), col("ph_a"), col("ph_b"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("key_a"), col("key_b"), col("hamming"))
+        .orderBy(col("hamming"), col("key_a"), col("key_b")).limit(50)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14298,5 +14340,22 @@ object SparkEntry {
         |  round(p99, 9) AS p99_fanout,
         |  CAST(n_keys_over AS BIGINT) AS n_keys_over_2x
         |FROM st, p, ov""".stripMargin,
+
+    "q337_phash_dedup" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
+        |      AS UINT64) AS BIGINT) AS base,
+        |    doc_id % 4 AS p
+        |  FROM documents),
+        |ph AS (SELECT doc_id, xor(base, CASE p WHEN 0 THEN 0 WHEN 1 THEN 128
+        |         WHEN 2 THEN (CAST(1 AS BIGINT) << 13) | (CAST(1 AS BIGINT) << 47)
+        |         ELSE (CAST(1 AS BIGINT) << 5) | (CAST(1 AS BIGINT) << 23)
+        |           | (CAST(1 AS BIGINT) << 58) END) AS phash
+        |       FROM h)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY hamming, key_a, key_b LIMIT 50""".stripMargin,
   )
 }

@@ -90,6 +90,26 @@ class PipelineAuditSpec extends AnyFunSuite {
     assert(math.abs(viaExpr - 0.9611111111111111) < eps)
   }
 
+  test("q337 pigeonhole: 4×15-bit bands find EVERY pair at hamming ≤ 3") {
+    // flip k bits of a base hash; band-candidacy (≥1 equal band) must
+    // hold for every k ≤ 3 (pigeonhole) — and CAN fail only for k ≥ 4
+    val base = 0x0ABCDEF123456L // 60-bit
+    def bands(x: Long): Seq[Long] = (0 to 3).map(i => (x >> (i * 15)) & 0x7FFF)
+    val flips3 = Seq(Seq(0), Seq(14, 29), Seq(1, 22, 59), Seq(3, 17, 44))
+    flips3.foreach { bits =>
+      val other = bits.foldLeft(base)((h, b) => h ^ (1L << b))
+      assert(java.lang.Long.bitCount(base ^ other) === bits.length)
+      assert(bands(base).zip(bands(other)).exists { case (x, y) => x == y },
+        s"pair at hamming ${bits.length} missed by bands: $bits")
+    }
+    // one flip per band: all 4 bands differ — correctly NOT a candidate,
+    // and also beyond the hamming-3 threshold, so the result set is
+    // still exactly the all-pairs answer
+    val far = Seq(0, 15, 30, 45).foldLeft(base)((h, b) => h ^ (1L << b))
+    assert(bands(base).zip(bands(far)).forall { case (x, y) => x != y })
+    assert(java.lang.Long.bitCount(base ^ far) === 4)
+  }
+
   test("q308 keep-first conserves hash groups: kept docs == distinct hashes") {
     val out = SparkEntry.queries("q308_dedup_savings")(spark, TestSpark.sf0001)
       .collect()
