@@ -8893,6 +8893,69 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"), col("hamming"))
         .orderBy(col("hamming"), col("key_a"), col("key_b")).limit(50)
     }),
+
+    "q338_quality_yield" -> ((s, dir) => {
+      // quality-threshold yield matrix per source [EXT] — how many
+      // docs and tokens survive each quality bar, per source: the
+      // mixture designer's trade-off table (q301 fixes ONE cascade;
+      // this sweeps the quality knob — a source whose token yield
+      // collapses at 0.4 can't fund its mixture weight at that bar).
+      // One codegen scan; all 4 thresholds × 2 measures as conditional
+      // exact-long sums in ONE grouped agg (q302's unpivot shape) —
+      // never a docs×thresholds join. Gates compare the pround(9)
+      // score to the literal bar — engine-exact boundaries.
+      val ts = Seq(0.2, 0.4, 0.6, 0.8)
+      val d = Tables.documents(s, dir).select(col("source"),
+        pround(TextAnalysis.qualityScore(col("text")), 9).as("q"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("ws")).as("tok")) ++
+        ts.flatMap(t => Seq(
+          sum(when(col("q") >= t, 1L).otherwise(0L)).as(s"d${(t * 10).toInt}"),
+          sum(when(col("q") >= t, col("ws")).otherwise(0L))
+            .as(s"t${(t * 10).toInt}")))
+      val wide = d.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      wide.select(col("source"), col("n"), col("tok"),
+          explode(array(ts.map(t => struct(lit(t).as("threshold"),
+            col(s"d${(t * 10).toInt}").as("n_docs_kept"),
+            col(s"t${(t * 10).toInt}").as("tokens_kept"))): _*)).as("r"))
+        .select(col("source"), col("r.threshold").as("threshold"),
+          col("r.n_docs_kept").as("n_docs_kept"),
+          col("r.tokens_kept").as("tokens_kept"),
+          pround(col("r.tokens_kept").cast("double")
+            / col("tok").cast("double"), 9).as("token_yield"))
+        .orderBy(col("source"), col("threshold"))
+    }),
+
+    "q339_sla_trend" -> ((s, dir) => {
+      // daily P95 SLA trend per type [EXT] — the exact per-(type, day)
+      // P95 of value and the days breaching 1.2× the type's OVERALL
+      // P95: the latency-SLA report shape, and the selector exercised
+      // at COMPOSITE-group scale (types×days groups through one
+      // histogram-refinement pass — the regime where q55's per-group
+      // buffer would hold a day of values per task). Breach compares
+      // ROUNDED P95s, engine-exact.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value")))
+      val byDay = graft.operators.Selection.exactGroupedQuantiles(
+          ev.select(concat_ws("|", col("event_type"), col("day")).as("g"),
+            col("value")), "g", "value", Seq(0.95))
+        .select(split(col("g"), "\\|").getItem(0).as("event_type"),
+          split(col("g"), "\\|").getItem(1).cast("date").as("day"),
+          pround(col("value"), 9).as("p95"))
+      val overall = graft.operators.Selection.exactGroupedQuantiles(
+          ev.select(col("event_type").as("g"), col("value")), "g", "value",
+          Seq(0.95))
+        .select(col("g").as("event_type"), pround(col("value"), 9).as("p95_all"))
+      byDay.join(broadcast(overall), Seq("event_type"))
+        .groupBy(col("event_type"), col("p95_all"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("p95") > pround(lit(1.2) * col("p95_all"), 9), 1L)
+            .otherwise(0L)).as("n_breach_days"),
+          pround(max(col("p95")), 9).as("max_daily_p95"))
+        .select(col("event_type"), col("n_days"), col("n_breach_days"),
+          col("p95_all").as("overall_p95"), col("max_daily_p95"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14357,5 +14420,44 @@ object SparkEntry {
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
         |ORDER BY hamming, key_a, key_b LIMIT 50""".stripMargin,
+
+    "q338_quality_yield" ->
+      s"""$qualityDocCte,
+         |d2 AS (SELECT d.source, round(d.score, 9) AS q,
+         |         len(regexp_extract_all(doc.text, '\\S+')) AS ws
+         |       FROM d JOIN documents doc USING (doc_id)),
+         |g AS (SELECT source, COUNT(*) AS n, SUM(ws) AS tok,
+         |        SUM(CASE WHEN q >= 0.2 THEN 1 ELSE 0 END) AS d2c,
+         |        SUM(CASE WHEN q >= 0.2 THEN ws ELSE 0 END) AS t2,
+         |        SUM(CASE WHEN q >= 0.4 THEN 1 ELSE 0 END) AS d4,
+         |        SUM(CASE WHEN q >= 0.4 THEN ws ELSE 0 END) AS t4,
+         |        SUM(CASE WHEN q >= 0.6 THEN 1 ELSE 0 END) AS d6,
+         |        SUM(CASE WHEN q >= 0.6 THEN ws ELSE 0 END) AS t6,
+         |        SUM(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS d8,
+         |        SUM(CASE WHEN q >= 0.8 THEN ws ELSE 0 END) AS t8
+         |      FROM d2 GROUP BY 1),
+         |u AS (SELECT source, tok, 0.2 AS threshold, d2c AS nk, t2 AS tk FROM g
+         |      UNION ALL SELECT source, tok, 0.4, d4, t4 FROM g
+         |      UNION ALL SELECT source, tok, 0.6, d6, t6 FROM g
+         |      UNION ALL SELECT source, tok, 0.8, d8, t8 FROM g)
+         |SELECT source, threshold, CAST(nk AS BIGINT) AS n_docs_kept,
+         |  CAST(tk AS BIGINT) AS tokens_kept,
+         |  round(CAST(tk AS DOUBLE) / CAST(tok AS DOUBLE), 9) AS token_yield
+         |FROM u ORDER BY source, threshold""".stripMargin,
+
+    "q339_sla_trend" ->
+      s"""$evCte,
+         |byday AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |            round(quantile_cont(value, 0.95), 9) AS p95
+         |          FROM ev GROUP BY 1, 2),
+         |ov AS (SELECT event_type, round(quantile_cont(value, 0.95), 9) AS p95_all
+         |       FROM ev GROUP BY 1)
+         |SELECT b.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  CAST(SUM(CASE WHEN b.p95 > round(1.2 * o.p95_all, 9)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_days,
+         |  o.p95_all AS overall_p95,
+         |  round(MAX(b.p95), 9) AS max_daily_p95
+         |FROM byday b JOIN ov o USING (event_type)
+         |GROUP BY 1, 4 ORDER BY b.event_type""".stripMargin,
   )
 }
