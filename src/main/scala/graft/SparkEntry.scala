@@ -8956,6 +8956,33 @@ object SparkEntry {
           col("p95_all").as("overall_p95"), col("max_daily_p95"))
         .orderBy(col("event_type"))
     }),
+
+    "q340_effective_tokens" -> ((s, dir) => {
+      // effective training tokens [EXT] — the capstone yield scalar a
+      // curation run reports: of the raw corpus tokens, what survives
+      // exact dedup (q308's keep-first), then the quality bar (q338's
+      // 0.4 gate), then context truncation at 1024 (q302's policy) —
+      // the number that actually funds a token budget. One scan
+      // builds per-doc (hash, quality, ws); one min-per-hash agg; the
+      // cascade closes as conditional exact-long sums in a 1-row agg.
+      val d = Dedup.cacheScoped(Tables.documents(s, dir).select(
+        col("doc_id"), md5(col("text")).as("h"),
+        pround(TextAnalysis.qualityScore(col("text")), 9).as("q"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws")))
+      val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      d.join(keep, Seq("h"))
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .withColumn("qual", col("kept") && col("q") >= 0.4)
+        .agg(sum(col("ws")).as("raw_tokens"),
+          sum(when(col("kept"), col("ws")).otherwise(0L)).as("after_dedup"),
+          sum(when(col("qual"), col("ws")).otherwise(0L)).as("after_quality"),
+          sum(when(col("qual"), least(col("ws"), lit(1024L))).otherwise(0L))
+            .as("effective_tokens"))
+        .select(col("raw_tokens"), col("after_dedup"), col("after_quality"),
+          col("effective_tokens"),
+          pround(col("effective_tokens").cast("double")
+            / col("raw_tokens").cast("double"), 9).as("overall_yield"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14459,5 +14486,24 @@ object SparkEntry {
          |  round(MAX(b.p95), 9) AS max_daily_p95
          |FROM byday b JOIN ov o USING (event_type)
          |GROUP BY 1, 4 ORDER BY b.event_type""".stripMargin,
+
+    "q340_effective_tokens" ->
+      s"""$qualityDocCte,
+         |f AS (SELECT d.doc_id, md5(doc.text) AS h, round(d.score, 9) AS q,
+         |        len(regexp_extract_all(doc.text, '\\S+')) AS ws
+         |      FROM d JOIN documents doc USING (doc_id)),
+         |keep AS (SELECT h, MIN(doc_id) AS keep_id FROM f GROUP BY 1),
+         |j AS (SELECT f.ws, f.q, (f.doc_id = keep.keep_id) AS kept
+         |      FROM f JOIN keep USING (h))
+         |SELECT CAST(SUM(ws) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(CASE WHEN kept THEN ws ELSE 0 END) AS BIGINT) AS after_dedup,
+         |  CAST(SUM(CASE WHEN kept AND q >= 0.4 THEN ws ELSE 0 END) AS BIGINT)
+         |    AS after_quality,
+         |  CAST(SUM(CASE WHEN kept AND q >= 0.4 THEN least(ws, 1024)
+         |    ELSE 0 END) AS BIGINT) AS effective_tokens,
+         |  round(CAST(SUM(CASE WHEN kept AND q >= 0.4 THEN least(ws, 1024)
+         |      ELSE 0 END) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9)
+         |    AS overall_yield
+         |FROM j""".stripMargin,
   )
 }
