@@ -8983,6 +8983,51 @@ object SparkEntry {
           pround(col("effective_tokens").cast("double")
             / col("raw_tokens").cast("double"), 9).as("overall_yield"))
     }),
+
+    "q341_bpe_merges" -> ((s, dir) => {
+      // BPE merge learning, 5 steps [EXT] — the ACTUAL tokenizer-
+      // training inner loop (Sennrich et al.) run distributed: start
+      // from characters, repeatedly count adjacent-token pairs across
+      // the corpus and merge the most frequent one (ties: lexicographic
+      // min pair — fully deterministic). Each round is ONE corpus-wide
+      // pair-count agg + a 1-ROW driver collect (the argmax — the
+      // q198 bounded tier, 5 rows total) + a map-side token-boundary
+      // replace (' a b '→' ab ' on the space-sentinel string — the
+      // left-to-right non-overlapping semantics Java, DuckDB and
+      // Python's str.replace share, verified by a three-way parity
+      // prototype). The oracle unrolls the IDENTICAL five rounds as
+      // generated CTEs. q298 PRICES a fixed tokenizer; this LEARNS
+      // one. Oracle-tier doc_id < 100 / 200-char bound (q164's
+      // discipline — the shape is linear in corpus size).
+      var corpus = Dedup.cacheScoped(Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), array_join(regexp_extract_all(
+          lower(substring(col("text"), 1, 200)), lit("[a-z]"), lit(0)), " ")
+          .as("s")))
+      val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (r <- 1 to 5) {
+        val top = corpus
+          .withColumn("t", split(col("s"), " "))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), col("pair")).limit(1)
+          .collect()(0)
+        val pair = top.getString(0); val cnt = top.getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, cnt))
+        corpus = Dedup.cacheScoped(corpus.select(col("doc_id"),
+          trim(expr(s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')"))
+            .as("s")))
+      }
+      import s.implicits._
+      merges.toSeq.toDF("merge_rank", "pair", "merged", "cnt")
+        .select(col("merge_rank").cast("int").as("merge_rank"), col("pair"),
+          col("merged"), col("cnt"))
+        .orderBy(col("merge_rank"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14505,5 +14550,37 @@ object SparkEntry {
          |      ELSE 0 END) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9)
          |    AS overall_yield
          |FROM j""".stripMargin,
+
+    // generated 5-round unroll — the q263 programmatic-oracle pattern
+    "q341_bpe_merges" -> {
+      val sb = new StringBuilder(
+        """WITH r0 AS (SELECT doc_id,
+          |  array_to_string(regexp_extract_all(lower(substr(text, 1, 200)),
+          |    '[a-z]'), ' ') AS s
+          |  FROM documents WHERE doc_id < 100)""".stripMargin)
+      val outs = scala.collection.mutable.ArrayBuffer[String]()
+      var prev = "r0"
+      for (r <- 1 to 5) {
+        sb ++= s""",
+          |b$r AS (SELECT unnest([t[i] || ' ' || t[i+1]
+          |          FOR i IN generate_series(1, len(t) - 1)]) AS pair
+          |        FROM (SELECT string_split(s, ' ') AS t FROM $prev)
+          |        WHERE len(t) >= 2),
+          |c$r AS (SELECT pair, COUNT(*) AS cnt FROM b$r GROUP BY 1
+          |        ORDER BY cnt DESC, pair LIMIT 1),
+          |r$r AS (SELECT d.doc_id, trim(replace(' ' || d.s || ' ',
+          |          ' ' || c.pair || ' ', ' ' || replace(c.pair, ' ', '') || ' '),
+          |          ' ') AS s
+          |        FROM $prev d, c$r c)""".stripMargin
+        outs += s"""SELECT $r AS merge_rank, pair,
+          | replace(pair, ' ', '') AS merged, CAST(cnt AS BIGINT) AS cnt
+          | FROM c$r""".stripMargin
+        prev = s"r$r"
+      }
+      sb ++= "\nSELECT CAST(merge_rank AS INT) AS merge_rank, pair, merged, cnt FROM ("
+      sb ++= outs.mkString(" UNION ALL ")
+      sb ++= ") ORDER BY merge_rank"
+      sb.toString
+    },
   )
 }
