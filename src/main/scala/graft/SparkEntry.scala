@@ -9028,6 +9028,75 @@ object SparkEntry {
           col("merged"), col("cnt"))
         .orderBy(col("merge_rank"))
     }),
+
+    "q342_haar_energy" -> ((s, dir) => {
+      // Haar wavelet energy profile of the daily series [EXT] — which
+      // TIMESCALE carries the volume signal: 5 levels of the
+      // unnormalized Haar transform (pairwise sums/differences —
+      // ALL-INTEGER, so engine parity is exact by construction, the
+      // q309 discipline), zero-padded to 32 days; per level the
+      // detail-coefficient energy Σd² and the largest |d| with its
+      // position (a spike at level 1 = day-to-day noise; at level 4 =
+      // a two-week regime shift — the multiresolution complement to
+      // q238's ACF). Each level is one groupBy(i/2) agg on a
+      // ≤32-row frame; the SHAPE (pairwise reduction) is the log-depth
+      // scan that works at any series length.
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      val lo = daily.agg(min(col("day")).as("lo"))
+      val idx = daily.crossJoin(broadcast(lo))
+        .select(datediff(col("day"), col("lo")).cast("long").as("i"), col("x"))
+      val pad = s.range(0, 32).toDF("i")
+      var cur = pad.join(idx, Seq("i"), "left")
+        .select(col("i"), coalesce(col("x"), lit(0L)).as("v"))
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      for (level <- 1 to 5) {
+        val paired = cur.groupBy((col("i") / 2).cast("long").as("j"))
+          .agg(sum(when(col("i") % 2 === 0, col("v")).otherwise(0L)).as("a"),
+            sum(when(col("i") % 2 === 1, col("v")).otherwise(0L)).as("b"))
+        val stats = paired
+          .select(col("j").as("i"), (col("a") + col("b")).as("v"),
+            (col("a") - col("b")).as("d"))
+        val row = stats.agg(count(lit(1)).as("n"),
+          sum(col("d") * col("d")).as("energy"),
+          max(struct(abs(col("d")).as("m"), (-col("i")).as("ni"))).as("top"))
+          .select(lit(level).as("level"), col("n"), col("energy"),
+            col("top.m").as("max_abs_detail"), (-col("top.ni")).as("argmax_idx"))
+          .collect()(0)
+        out += row
+        cur = Dedup.cacheScoped(stats.select(col("i"), col("v")))
+      }
+      import s.implicits._
+      out.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toDF("level", "n_coeffs", "energy", "max_abs_detail", "argmax_idx")
+        .orderBy(col("level"))
+    }),
+
+    "q343_rolling_wau" -> ((s, dir) => {
+      // rolling 7-day active users (WAU), daily [EXT] — THE product
+      // dashboard headline, and a distinct-count that does NOT
+      // decompose over windows (you can't sum daily distincts): each
+      // calendar day joins the distinct (user, day) frame over a
+      // 7-day offset explode — the window materializes as 7 equi-join
+      // rows per active pair, never a per-day rescan; the distinct
+      // close is one hash-agg. Exact integers throughout.
+      val ud = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+      val days = ud.select(col("day")).distinct()
+      val window7 = ud.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("asof"))
+        .distinct()
+      days.join(window7, days("day") === window7("asof"))
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+        .join(ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau")),
+          Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          pround(col("wau").cast("double") / col("dau").cast("double"), 9)
+            .as("wau_dau_ratio"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14582,5 +14651,55 @@ object SparkEntry {
       sb ++= ") ORDER BY merge_rank"
       sb.toString
     },
+
+    // generated 5-level unroll, same pattern
+    "q342_haar_energy" -> {
+      val sb = new StringBuilder(
+        s"""$evCte,
+           |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+           |          FROM ev GROUP BY 1),
+           |lo AS (SELECT MIN(day) AS lo FROM daily),
+           |idx AS (SELECT datediff('day', lo.lo, d.day) AS i, d.x
+           |        FROM daily d, lo),
+           |pad AS (SELECT unnest(generate_series(0, 31)) AS i),
+           |l0 AS (SELECT p.i, COALESCE(x, 0) AS v
+           |       FROM pad p LEFT JOIN idx ON idx.i = p.i)""".stripMargin)
+      val outs = scala.collection.mutable.ArrayBuffer[String]()
+      var prev = "l0"
+      for (l <- 1 to 5) {
+        sb ++= s""",
+          |p$l AS (SELECT i // 2 AS j,
+          |          SUM(CASE WHEN i % 2 = 0 THEN v ELSE 0 END) AS a,
+          |          SUM(CASE WHEN i % 2 = 1 THEN v ELSE 0 END) AS b
+          |        FROM $prev GROUP BY 1),
+          |s$l AS (SELECT j AS i, a + b AS v, a - b AS d FROM p$l)""".stripMargin
+        outs += s"""SELECT $l AS level,
+          | (SELECT CAST(COUNT(*) AS BIGINT) FROM s$l) AS n_coeffs,
+          | (SELECT CAST(SUM(d * d) AS BIGINT) FROM s$l) AS energy,
+          | CAST(abs(d) AS BIGINT) AS max_abs_detail,
+          | CAST(i AS BIGINT) AS argmax_idx
+          | FROM s$l ORDER BY abs(d) DESC, i LIMIT 1""".stripMargin
+        prev = s"s$l"
+      }
+      sb ++= "\nSELECT CAST(level AS INT) AS level, n_coeffs, energy,"
+      sb ++= " max_abs_detail, argmax_idx FROM ("
+      sb ++= outs.map(o => s"($o)").mkString(" UNION ALL ")
+      sb ++= ") ORDER BY level"
+      sb.toString
+    },
+
+    "q343_rolling_wau" ->
+      s"""$evCte,
+         |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         |days AS (SELECT DISTINCT day FROM ud),
+         |w7 AS (SELECT DISTINCT user_id, day + CAST(o.off AS INT) AS asof FROM ud,
+         |       (SELECT unnest(generate_series(0, 6)) AS off) o),
+         |wau AS (SELECT d.day, COUNT(*) AS wau FROM days d
+         |        JOIN w7 ON w7.asof = d.day GROUP BY 1),
+         |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+         |SELECT w.day, CAST(dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+         |  round(CAST(w.wau AS DOUBLE) / CAST(dau AS DOUBLE), 9)
+         |    AS wau_dau_ratio
+         |FROM wau w JOIN dau USING (day) ORDER BY day""".stripMargin,
   )
 }
