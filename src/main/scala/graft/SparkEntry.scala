@@ -9097,6 +9097,85 @@ object SparkEntry {
             .as("wau_dau_ratio"))
         .orderBy(col("day"))
     }),
+
+    "q344_rfm" -> ((s, dir) => {
+      // RFM segmentation [EXT] — the classic churn/value feature
+      // triple: per user Recency (days since last event), Frequency
+      // (event count), Monetary (exact centi-sum of value), each cut
+      // into terciles by the two-pass dense-id rank (never an ntile
+      // global window — q319's discipline), composed into the 27
+      // R·F·M segments with counts and per-segment means. Output is
+      // the segment SUMMARY (≤27 rows); the per-user frame never
+      // leaves the executors.
+      val D = DecimalType(38, 0)
+      val asOf = to_date(lit("2024-02-01"))
+      val u = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+          sum(floor(col("value") * 100 + 0.5).cast(D)).as("mon"))
+        .withColumn("rec", datediff(asOf, to_date(col("last_ts"))).cast("long"))
+        .drop("last_ts")
+      def tercile(df: DataFrame, c: String, asc: Boolean): DataFrame = {
+        val ord = if (asc) struct(col(c), col("user_id"))
+          else struct(-col(c), col("user_id"))
+        val ranked = graft.operators.DocPipeline.withDenseIds(df, ord, "rid")
+        val n = ranked.agg(count(lit(1)).as("nu"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn(s"${c}_score",
+            (col("rid") * 3 / col("nu")).cast("int") + 1)
+          .drop("rid", "nu")
+      }
+      // recency: LOWER is better → asc rank gives score 1 = most recent
+      // (score 3 = stale); freq/monetary: HIGHER is better → desc rank
+      val scored = tercile(tercile(tercile(u, "rec", asc = true),
+        "freq", asc = false), "mon", asc = false)
+      scored.groupBy(col("rec_score"), col("freq_score"), col("mon_score"))
+        .agg(count(lit(1)).as("n_users"), sum(col("rec")).as("sr"),
+          sum(col("freq")).as("sf"), sum(col("mon")).as("sm"))
+        .select(col("rec_score"), col("freq_score"), col("mon_score"),
+          col("n_users"),
+          pround(col("sr").cast("double") / col("n_users").cast("double"), 9)
+            .as("avg_recency_days"),
+          pround(col("sf").cast("double") / col("n_users").cast("double"), 9)
+            .as("avg_frequency"),
+          pround(col("sm").cast("double") / 100.0
+            / col("n_users").cast("double"), 9).as("avg_monetary"))
+        .orderBy(col("rec_score"), col("freq_score"), col("mon_score"))
+    }),
+
+    "q345_holt_forecast" -> ((s, dir) => {
+      // Holt double-exponential smoothing (α=0.3, β=0.1) on the daily
+      // volume [EXT] — the trend-aware forecaster between q282's EWMA
+      // (level only) and q248's MASE (which EVALUATES forecasts):
+      // level/trend recurrences over the calendar-bounded series, so
+      // the walk runs on the DRIVER (q198/q299 tier) with floor(12)
+      // after every accumulation while the oracle replays the
+      // IDENTICAL recursion as a recursive CTE — mirrored doubles
+      // step for step. One-step-ahead SSE is the in-sample fit;
+      // forecast_next7 = Σ_{h=1..7}(l + h·b) = 7l + 28b projects the
+      // next week's volume.
+      val rows = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+        .orderBy(col("day")).collect().map(_.getLong(1).toDouble)
+      import s.implicits._
+      if (rows.length < 2) {
+        Seq.empty[(Long, Double, Double, Double, Double)]
+          .toDF("n_days", "level", "trend", "sse", "forecast_next7")
+      } else {
+        def r12(v: Double) = math.floor(v * 1e12 + 0.5) / 1e12
+        def r9(v: Double) = math.floor(v * 1e9 + 0.5) / 1e9
+        var l = rows(0); var b = rows(1) - rows(0); var sse = 0.0
+        for (t <- 1 until rows.length) {
+          val p = l + b
+          val e = rows(t) - p
+          val l2 = r12(0.3 * rows(t) + 0.7 * (l + b))
+          b = r12(0.1 * (l2 - l) + 0.9 * b)
+          l = l2
+          sse = r12(sse + e * e)
+        }
+        Seq((rows.length.toLong, r9(l), r9(b), r9(sse), r9(7 * l + 28 * b)))
+          .toDF("n_days", "level", "trend", "sse", "forecast_next7")
+      }
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14701,5 +14780,53 @@ object SparkEntry {
          |  round(CAST(w.wau AS DOUBLE) / CAST(dau AS DOUBLE), 9)
          |    AS wau_dau_ratio
          |FROM wau w JOIN dau USING (day) ORDER BY day""".stripMargin,
+
+    "q344_rfm" ->
+      s"""$evCte,
+         |u AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+         |        SUM(CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)) AS mon
+         |      FROM ev GROUP BY 1),
+         |u2 AS (SELECT user_id,
+         |         datediff('day', CAST(last_ts AS DATE), DATE '2024-02-01') AS rec,
+         |         freq, mon FROM u),
+         |nu AS (SELECT COUNT(*) AS nu FROM u2),
+         |r AS (SELECT u2.*,
+         |        CAST(((row_number() OVER (ORDER BY rec, user_id) - 1) * 3)
+         |          // nu.nu AS INT) + 1 AS rec_score,
+         |        CAST(((row_number() OVER (ORDER BY freq DESC, user_id) - 1) * 3)
+         |          // nu.nu AS INT) + 1 AS freq_score,
+         |        CAST(((row_number() OVER (ORDER BY mon DESC, user_id) - 1) * 3)
+         |          // nu.nu AS INT) + 1 AS mon_score
+         |      FROM u2, nu)
+         |SELECT rec_score, freq_score, mon_score,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  round(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 9) AS avg_recency_days,
+         |  round(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 9) AS avg_frequency,
+         |  round(CAST(SUM(mon) AS DOUBLE) / 100.0 / COUNT(*), 9) AS avg_monetary
+         |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q345_holt_forecast" ->
+      s"""WITH RECURSIVE ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1),
+         |idx AS (SELECT CAST(x AS DOUBLE) AS x,
+         |          row_number() OVER (ORDER BY day) AS t FROM daily),
+         |n AS (SELECT COUNT(*) AS n FROM idx),
+         |dp AS (
+         |  SELECT 1 AS t, i1.x AS l, i2.x - i1.x AS b, CAST(0.0 AS DOUBLE) AS sse
+         |  FROM idx i1, idx i2, n
+         |  WHERE i1.t = 1 AND i2.t = 2 AND n.n >= 2
+         |  UNION ALL
+         |  SELECT d.t + 1,
+         |    round(0.3 * i.x + 0.7 * (d.l + d.b), 12),
+         |    round(0.1 * (round(0.3 * i.x + 0.7 * (d.l + d.b), 12) - d.l)
+         |      + 0.9 * d.b, 12),
+         |    round(d.sse + (i.x - (d.l + d.b)) * (i.x - (d.l + d.b)), 12)
+         |  FROM dp d JOIN idx i ON i.t = d.t + 1
+         |)
+         |SELECT CAST(n.n AS BIGINT) AS n_days, round(d.l, 9) AS level,
+         |  round(d.b, 9) AS trend, round(d.sse, 9) AS sse,
+         |  round(7 * d.l + 28 * d.b, 9) AS forecast_next7
+         |FROM dp d, n WHERE d.t = n.n""".stripMargin,
   )
 }
