@@ -9176,6 +9176,77 @@ object SparkEntry {
           .toDF("n_days", "level", "trend", "sse", "forecast_next7")
       }
     }),
+
+    "q346_ipf_raking" -> ((s, dir) => {
+      // iterative proportional fitting (raking), 3 half-steps [EXT] —
+      // the survey-calibration workhorse q245's post-stratification
+      // can't replace when TWO margins must hold at once: reweight the
+      // event_type × weekday cell counts so weekdays become UNIFORM
+      // (the "what if traffic were day-balanced" counterfactual) while
+      // type totals stay fixed. Column-fit → row-fit → column-fit;
+      // each half-step is one margin agg (r12'd cells sum in exact
+      // DECIMAL — order-free) + a broadcast factor join. The oracle
+      // unrolls the identical three CTE rounds. Output: the ≤7·|types|
+      // cell frame with final weights and the residual column error.
+      val D = DecimalType(27, 14)
+      def msum(c: Column) = sum(c.cast(D)).cast("double")
+      val cells = Dedup.cacheScoped(Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n")))
+      val tot = cells.agg(sum(col("n")).as("nn"))
+      val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rt"))
+      val m0 = cells.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("n"),
+          col("n").cast("double").as("m"),
+          (col("nn").cast("double") / 7.0).as("colT"))
+      def colFit(df: DataFrame): DataFrame = {
+        val cs = df.groupBy(col("dow")).agg(msum(col("m")).as("cs"))
+        df.join(broadcast(cs), Seq("dow"))
+          .withColumn("m", pround(col("m") * col("colT") / col("cs"), 12))
+          .drop("cs")
+      }
+      def rowFit(df: DataFrame): DataFrame = {
+        val rs = df.groupBy(col("event_type")).agg(msum(col("m")).as("rs"))
+        df.join(broadcast(rs), Seq("event_type"))
+          .join(broadcast(rowT), Seq("event_type"))
+          .withColumn("m", pround(col("m") * col("rt").cast("double")
+            / col("rs"), 12))
+          .drop("rs", "rt")
+      }
+      val m3 = colFit(rowFit(colFit(m0)))
+      m3.select(col("event_type"), col("dow"), col("n"),
+          pround(col("m"), 9).as("fitted"),
+          pround(col("m") / col("n").cast("double"), 9).as("weight"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    "q347_capture_recapture" -> ((s, dir) => {
+      // Chapman capture–recapture population estimate [EXT] — "how
+      // many users EXIST given two overlapping activity samples":
+      // N̂ = (n₁+1)(n₂+1)/(m+1) − 1 from the week-1 and week-2 active
+      // sets — the ecology estimator that doubles as a coverage check
+      // for observability pipelines (does a week of logs see the whole
+      // population?). Three distinct-count aggs + one semi-join
+      // overlap — exact integers until the single division; compared
+      // against the OBSERVED distinct total.
+      val ev = Dedup.cacheScoped(Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")))
+      val w1 = ev.filter(col("day").between(lit("2024-01-02"), lit("2024-01-08")))
+        .select(col("user_id")).distinct()
+      val w2 = ev.filter(col("day").between(lit("2024-01-09"), lit("2024-01-15")))
+        .select(col("user_id")).distinct()
+      val n1 = w1.agg(count(lit(1)).as("n1"))
+      val n2 = w2.agg(count(lit(1)).as("n2"))
+      val m = w1.join(w2, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val truth = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_observed"))
+      n1.crossJoin(n2).crossJoin(m).crossJoin(truth)
+        .select(col("n1"), col("n2"), col("m"), col("n_observed"),
+          pround((col("n1") + 1).cast("double") * (col("n2") + 1).cast("double")
+            / (col("m") + 1).cast("double") - 1.0, 9).as("chapman_estimate"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14828,5 +14899,51 @@ object SparkEntry {
          |  round(d.b, 9) AS trend, round(d.sse, 9) AS sse,
          |  round(7 * d.l + 28 * d.b, 9) AS forecast_next7
          |FROM dp d, n WHERE d.t = n.n""".stripMargin,
+
+    "q346_ipf_raking" ->
+      s"""$evCte,
+         |cells AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         |            COUNT(*) AS n FROM ev GROUP BY 1, 2),
+         |tot AS (SELECT SUM(n) AS nn FROM cells),
+         |rowt AS (SELECT event_type, SUM(n) AS rt FROM cells GROUP BY 1),
+         |m0 AS (SELECT event_type, dow, n, CAST(n AS DOUBLE) AS m,
+         |         CAST(nn AS DOUBLE) / 7.0 AS colt FROM cells, tot),
+         |c1s AS (SELECT dow, CAST(SUM(CAST(m AS DECIMAL(27,14))) AS DOUBLE) AS cs
+         |        FROM m0 GROUP BY 1),
+         |m1 AS (SELECT m0.event_type, m0.dow, m0.n,
+         |         round(m0.m * m0.colt / c1s.cs, 12) AS m, m0.colt
+         |       FROM m0 JOIN c1s USING (dow)),
+         |r1s AS (SELECT event_type,
+         |          CAST(SUM(CAST(m AS DECIMAL(27,14))) AS DOUBLE) AS rs
+         |        FROM m1 GROUP BY 1),
+         |m2 AS (SELECT m1.event_type, m1.dow, m1.n,
+         |         round(m1.m * CAST(r.rt AS DOUBLE) / r1s.rs, 12) AS m, m1.colt
+         |       FROM m1 JOIN r1s USING (event_type) JOIN rowt r USING (event_type)),
+         |c2s AS (SELECT dow, CAST(SUM(CAST(m AS DECIMAL(27,14))) AS DOUBLE) AS cs
+         |        FROM m2 GROUP BY 1),
+         |m3 AS (SELECT m2.event_type, m2.dow, m2.n,
+         |         round(m2.m * m2.colt / c2s.cs, 12) AS m
+         |       FROM m2 JOIN c2s USING (dow))
+         |SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+         |  round(m, 9) AS fitted, round(m / CAST(n AS DOUBLE), 9) AS weight
+         |FROM m3 ORDER BY event_type, dow""".stripMargin,
+
+    "q347_capture_recapture" ->
+      s"""$evCte,
+         |ud AS (SELECT user_id, CAST(ts AS DATE) AS day FROM ev),
+         |w1 AS (SELECT DISTINCT user_id FROM ud
+         |       WHERE day BETWEEN DATE '2024-01-02' AND DATE '2024-01-08'),
+         |w2 AS (SELECT DISTINCT user_id FROM ud
+         |       WHERE day BETWEEN DATE '2024-01-09' AND DATE '2024-01-15'),
+         |n1 AS (SELECT COUNT(*) AS n1 FROM w1),
+         |n2 AS (SELECT COUNT(*) AS n2 FROM w2),
+         |m AS (SELECT COUNT(*) AS m FROM w1 WHERE user_id IN
+         |      (SELECT user_id FROM w2)),
+         |tr AS (SELECT COUNT(DISTINCT user_id) AS n_observed FROM ud)
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  CAST(m AS BIGINT) AS m, CAST(n_observed AS BIGINT) AS n_observed,
+         |  round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+         |    / CAST(m + 1 AS DOUBLE) - 1.0, 9) AS chapman_estimate
+         |FROM n1, n2, m, tr""".stripMargin,
   )
 }
