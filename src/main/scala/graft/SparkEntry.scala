@@ -9247,6 +9247,57 @@ object SparkEntry {
           pround((col("n1") + 1).cast("double") * (col("n2") + 1).cast("double")
             / (col("m") + 1).cast("double") - 1.0, 9).as("chapman_estimate"))
     }),
+
+    "q348_bm25f" -> ((s, dir) => {
+      // BM25F two-field retrieval [EXT] — the fielded extension of
+      // q169 (Robertson–Zaragoza simplified form): a hit in the TITLE
+      // (first 100 chars — the fixture's stand-in for a structured
+      // title field) weighs 2× a body hit, each field length-
+      // normalized against its own corpus average BEFORE the k1
+      // saturation — the shape every product search engine runs.
+      // Same posting-list economics as q169: one tokenize pass per
+      // field, only the 3 query terms' postings reach the scoring
+      // join, field stats ride a scalar broadcast. Per-term scores
+      // pround(12) → exact DECIMAL sum, top-20 TakeOrderedAndProject.
+      val terms = Seq("spark", "join", "scan")
+      def toks(c: Column) = explode(split(c, " "))
+      val docs = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 100).as("title"),
+          substring(col("text"), 101, 1000000).as("body")))
+      def field(c: String) = Dedup.cacheScoped(docs
+        .select(col("doc_id"), toks(col(c)).as("w"))
+        .filter(length(col("w")) > 0))
+      val tw = field("title"); val bw = field("body")
+      def dl(df: DataFrame) = df.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tdl = dl(tw); val bdl = dl(bw)
+      val st = tdl.agg(sum(col("dl")).as("t_tot"), count(lit(1)).as("t_n"))
+        .crossJoin(bdl.agg(sum(col("dl")).as("b_tot"), count(lit(1)).as("b_n")))
+      def tf(df: DataFrame) = df.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val joined = tf(tw).withColumnRenamed("tf", "tf_t")
+        .join(tf(bw).withColumnRenamed("tf", "tf_b"), Seq("doc_id", "w"),
+          "full_outer")
+        .join(tdl.withColumnRenamed("dl", "dl_t"), Seq("doc_id"), "left")
+        .join(bdl.withColumnRenamed("dl", "dl_b"), Seq("doc_id"), "left")
+        .crossJoin(broadcast(st))
+      val nDocs = col("t_n").cast("double")
+      val avT = col("t_tot").cast("double") / col("t_n")
+      val avB = col("b_tot").cast("double") / col("b_n")
+      val normT = coalesce(col("tf_t"), lit(0L)).cast("double") /
+        (lit(0.25) + lit(0.75) * coalesce(col("dl_t"), lit(0L)) / avT)
+      val normB = coalesce(col("tf_b"), lit(0L)).cast("double") /
+        (lit(0.25) + lit(0.75) * coalesce(col("dl_b"), lit(0L)) / avB)
+      val tfc = lit(2.0) * normT + normB
+      val dfq = joined.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      joined.join(broadcast(dfq), Seq("w"))
+        .withColumn("sterm", pround(
+          log((nDocs - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * tfc / (lit(1.2) + tfc), 12))
+        .groupBy(col("doc_id"))
+        .agg(pround(sum(col("sterm").cast(DecimalType(27, 14))).cast("double"), 9)
+          .as("bm25f"))
+        .orderBy(desc("bm25f"), col("doc_id")).limit(20)
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -14945,5 +14996,52 @@ object SparkEntry {
          |  round(CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
          |    / CAST(m + 1 AS DOUBLE) - 1.0, 9) AS chapman_estimate
          |FROM n1, n2, m, tr""".stripMargin,
+
+    "q348_bm25f" ->
+      """WITH docs AS (SELECT doc_id, substr(text, 1, 100) AS title,
+        |    substr(text, 101) AS body FROM documents),
+        |tw AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |         unnest(string_split(title, ' ')) AS w FROM docs)
+        |       WHERE len(w) > 0),
+        |bw AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |         unnest(string_split(body, ' ')) AS w FROM docs)
+        |       WHERE len(w) > 0),
+        |tdl AS (SELECT doc_id, COUNT(*) AS dl FROM tw GROUP BY 1),
+        |bdl AS (SELECT doc_id, COUNT(*) AS dl FROM bw GROUP BY 1),
+        |st AS (SELECT t.t_tot, t.t_n, b.b_tot, b.b_n FROM
+        |       (SELECT SUM(dl) AS t_tot, COUNT(*) AS t_n FROM tdl) t,
+        |       (SELECT SUM(dl) AS b_tot, COUNT(*) AS b_n FROM bdl) b),
+        |tft AS (SELECT doc_id, w, COUNT(*) AS tf_t FROM tw
+        |        WHERE w IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+        |tfb AS (SELECT doc_id, w, COUNT(*) AS tf_b FROM bw
+        |        WHERE w IN ('spark', 'join', 'scan') GROUP BY 1, 2),
+        |j AS (SELECT f.doc_id, f.w, f.tf_t, f.tf_b,
+        |        td.dl AS dl_t, bd.dl AS dl_b, st.*
+        |      FROM (SELECT doc_id, w, tf_t, tf_b
+        |            FROM tft FULL OUTER JOIN tfb USING (doc_id, w)) f
+        |      LEFT JOIN tdl td ON td.doc_id = f.doc_id
+        |      LEFT JOIN bdl bd ON bd.doc_id = f.doc_id
+        |      CROSS JOIN st),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM j GROUP BY 1),
+        |sc AS (SELECT j.doc_id,
+        |         round(ln((CAST(j.t_n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)
+        |             + 1.0)
+        |           * ((2.0 * (CAST(COALESCE(j.tf_t, 0) AS DOUBLE)
+        |               / (0.25 + 0.75 * COALESCE(j.dl_t, 0)
+        |                  / (CAST(j.t_tot AS DOUBLE) / j.t_n)))
+        |             + (CAST(COALESCE(j.tf_b, 0) AS DOUBLE)
+        |               / (0.25 + 0.75 * COALESCE(j.dl_b, 0)
+        |                  / (CAST(j.b_tot AS DOUBLE) / j.b_n))))
+        |           / (1.2 + (2.0 * (CAST(COALESCE(j.tf_t, 0) AS DOUBLE)
+        |               / (0.25 + 0.75 * COALESCE(j.dl_t, 0)
+        |                  / (CAST(j.t_tot AS DOUBLE) / j.t_n)))
+        |             + (CAST(COALESCE(j.tf_b, 0) AS DOUBLE)
+        |               / (0.25 + 0.75 * COALESCE(j.dl_b, 0)
+        |                  / (CAST(j.b_tot AS DOUBLE) / j.b_n)))))), 12)
+        |           AS sterm
+        |       FROM j JOIN dfq d USING (w))
+        |SELECT doc_id,
+        |  round(CAST(SUM(CAST(sterm AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25f
+        |FROM sc GROUP BY 1 ORDER BY bm25f DESC, doc_id LIMIT 20""".stripMargin,
   )
 }
