@@ -9298,6 +9298,45 @@ object SparkEntry {
           .as("bm25f"))
         .orderBy(desc("bm25f"), col("doc_id")).limit(20)
     }),
+
+    "q349_ccf_lag" -> ((s, dir) => {
+      // cross-correlation lag finder [EXT] — at what LAG does the
+      // click series best predict purchases: Pearson r of
+      // (clicks(d), purchases(d+τ)) for τ ∈ [−7, 7] — the LINEAR
+      // complement to q309's DTW (which warps; this finds the single
+      // best shift, the marketing "conversion delay" scalar). Each
+      // lag is an equi-join on the shifted day (the q238 ACF shape
+      // generalized to two series); moments are exact DECIMAL sums of
+      // integer counts, r closes in pure IEEE (q103's closed form),
+      // argmax total-ordered by (|r| desc, τ).
+      val D = DecimalType(38, 0)
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")))
+      val a = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("x").as("xa"))
+      val b = daily.filter(col("event_type") === "purchase")
+        .select(col("day"), col("x").as("xb"))
+      val lags = a.crossJoin(broadcast(
+          s.range(-7, 8).toDF("lag").select(col("lag").cast("int").as("lag"))))
+        .select(col("lag"), date_add(col("day"), col("lag")).as("day"),
+          col("xa"))
+        .join(b, Seq("day"))
+      def esum(c: Column) = sum(c.cast(D)).cast("double")
+      val st = lags.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), esum(col("xa")).as("sa"),
+          esum(col("xb")).as("sb"), esum(col("xa") * col("xb")).as("sab"),
+          esum(col("xa") * col("xa")).as("saa"),
+          esum(col("xb") * col("xb")).as("sbb"))
+        .filter(col("n") > 2)
+      val nd = col("n").cast("double")
+      val r = (nd * col("sab") - col("sa") * col("sb")) /
+        sqrt((nd * col("saa") - col("sa") * col("sa"))
+          * (nd * col("sbb") - col("sb") * col("sb")))
+      st.select(col("lag"), col("n").as("n_days"), pround(r, 9).as("ccf"))
+        .orderBy(col("lag"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15043,5 +15082,29 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(SUM(CAST(sterm AS DECIMAL(27,14))) AS DOUBLE), 9) AS bm25f
         |FROM sc GROUP BY 1 ORDER BY bm25f DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q349_ccf_lag" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev WHERE event_type IN ('click', 'purchase')
+         |          GROUP BY 1, 2),
+         |a AS (SELECT day, x AS xa FROM daily WHERE event_type = 'click'),
+         |b AS (SELECT day, x AS xb FROM daily WHERE event_type = 'purchase'),
+         |lg AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+         |p AS (SELECT lg.lag, a.xa, b.xb
+         |      FROM a CROSS JOIN lg
+         |      JOIN b ON b.day = a.day + CAST(lg.lag AS INT)),
+         |st AS (SELECT lag, COUNT(*) AS n,
+         |         CAST(SUM(CAST(xa AS DECIMAL(38,0))) AS DOUBLE) AS sa,
+         |         CAST(SUM(CAST(xb AS DECIMAL(38,0))) AS DOUBLE) AS sb,
+         |         CAST(SUM(CAST(xa * xb AS DECIMAL(38,0))) AS DOUBLE) AS sab,
+         |         CAST(SUM(CAST(xa * xa AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+         |         CAST(SUM(CAST(xb * xb AS DECIMAL(38,0))) AS DOUBLE) AS sbb
+         |       FROM p GROUP BY 1 HAVING COUNT(*) > 2)
+         |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+         |  round((CAST(n AS DOUBLE) * sab - sa * sb)
+         |    / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+         |      * (CAST(n AS DOUBLE) * sbb - sb * sb)), 9) AS ccf
+         |FROM st ORDER BY lag""".stripMargin,
   )
 }
