@@ -9337,6 +9337,48 @@ object SparkEntry {
       st.select(col("lag"), col("n").as("n_days"), pround(r, 9).as("ccf"))
         .orderBy(col("lag"))
     }),
+
+    "q350_datasheet" -> ((s, dir) => {
+      // corpus datasheet [EXT] — the Datasheets-for-Datasets one-pager
+      // a published corpus ships with, assembled in two scans + tiny
+      // closes: size (docs/tokens), vocabulary, language composition
+      // (top language + its share), exact-dup rate, mean quality
+      // (pround'd terms in exact DECIMAL — order-free), and the
+      // dominant source with its token share. Every number is a
+      // composition of family primitives (q30 dup rate, q244
+      // concentration, q338 quality) — the report is ONE row a release
+      // pipeline can diff against the previous snapshot (q324).
+      val d = Dedup.cacheScoped(Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"),
+        pround(TextAnalysis.qualityScore(col("text")), 9).as("q")))
+      val base = d.agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_tokens"),
+        countDistinct(col("h")).as("n_unique_docs"),
+        sum(col("q").cast(DecimalType(27, 10))).as("qsum"))
+      val vocabN = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(countDistinct(col("w")).as("vocab_size"))
+      val topLang = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        .orderBy(desc("nl"), col("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("nl"))
+      val topSrc = d.groupBy(col("source")).agg(sum(col("ws")).as("st"))
+        .orderBy(desc("st"), col("source")).limit(1)
+        .select(col("source").as("top_source"), col("st"))
+      base.crossJoin(broadcast(vocabN)).crossJoin(broadcast(topLang))
+        .crossJoin(broadcast(topSrc))
+        .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+          pround(lit(1.0) - col("n_unique_docs").cast("double")
+            / col("n_docs").cast("double"), 9).as("dup_rate"),
+          pround(col("qsum").cast("double") / col("n_docs").cast("double"), 9)
+            .as("mean_quality"),
+          col("top_lang"),
+          pround(col("nl").cast("double") / col("n_docs").cast("double"), 9)
+            .as("top_lang_share"),
+          col("top_source"),
+          pround(col("st").cast("double") / col("n_tokens").cast("double"), 9)
+            .as("top_source_token_share"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15106,5 +15148,36 @@ object SparkEntry {
          |    / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
          |      * (CAST(n AS DOUBLE) * sbb - sb * sb)), 9) AS ccf
          |FROM st ORDER BY lag""".stripMargin,
+
+    "q350_datasheet" ->
+      s"""$qualityDocCte,
+         |f AS (SELECT d.doc_id, d.lang, d.source, md5(doc.text) AS h,
+         |        len(regexp_extract_all(doc.text, '\\S+')) AS ws,
+         |        round(d.score, 9) AS q
+         |      FROM d JOIN documents doc USING (doc_id)),
+         |base AS (SELECT COUNT(*) AS n_docs, SUM(ws) AS n_tokens,
+         |           COUNT(DISTINCT h) AS n_unique,
+         |           SUM(CAST(q AS DECIMAL(27,10))) AS qsum FROM f),
+         |vn AS (SELECT COUNT(DISTINCT w) AS vocab_size FROM
+         |       (SELECT unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents) WHERE len(w) > 0),
+         |tl AS (SELECT lang AS top_lang, COUNT(*) AS nl FROM f GROUP BY 1
+         |       ORDER BY nl DESC, lang LIMIT 1),
+         |tsrc AS (SELECT source AS top_source, SUM(ws) AS st FROM f GROUP BY 1
+         |         ORDER BY st DESC, source LIMIT 1)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(vocab_size AS BIGINT) AS vocab_size,
+         |  round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+         |    AS dup_rate,
+         |  round(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+         |    AS mean_quality,
+         |  top_lang,
+         |  round(CAST(nl AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+         |    AS top_lang_share,
+         |  top_source,
+         |  round(CAST(st AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+         |    AS top_source_token_share
+         |FROM base, vn, tl, tsrc""".stripMargin,
   )
 }
