@@ -9379,6 +9379,82 @@ object SparkEntry {
           pround(col("st").cast("double") / col("n_tokens").cast("double"), 9)
             .as("top_source_token_share"))
     }),
+
+    "q351_negbin_fit" -> ((s, dir) => {
+      // negative-binomial fit of daily counts per type [EXT] — q246's
+      // Fano factor SAYS the counts are overdispersed; this gives the
+      // PARAMETERS (method of moments: p = m/v, r = m²/(v−m)) that a
+      // capacity planner or synthetic-data generator actually uses.
+      // Exact integer moments over the calendar-bounded daily frame,
+      // Poisson fallback flagged when v ≤ m (NB undefined). One
+      // grouped agg + a |types|-row close.
+      val D = DecimalType(38, 0)
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val st = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+          sum((col("x").cast(D) * col("x")).cast(D)).as("sxx"))
+        .filter(col("n") > 1)
+      val m = col("sx").cast("double") / col("n").cast("double")
+      val v = ((col("n").cast("double") * col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double"))
+        / (col("n").cast("double") * (col("n").cast("double") - 1.0)))
+      st.select(col("event_type"), col("n").as("n_days"),
+          pround(m, 9).as("mean"), pround(v, 9).as("variance"),
+          (v > m).as("overdispersed"),
+          when(v > m, pround(m / v, 9)).as("p_hat"),
+          when(v > m, pround(m * m / (v - m), 9)).as("r_hat"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q352_good_turing" -> ((s, dir) => {
+      // Good–Turing unseen-mass estimate per source [EXT] — the
+      // probability the NEXT token is a word never seen in this
+      // source: P₀ = n₁/N (singleton count over token count), the
+      // famous missing-mass estimator that tells a vocab designer how
+      // OPEN each source's vocabulary still is (q260 fits growth;
+      // q335 measures coverage of a FIXED head; this bounds what any
+      // finite vocab must miss). One tokenize pass, one (source,
+      // word) agg, exact integers to one division.
+      val words = Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+        .groupBy(col("source"))
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("n_singletons"),
+          pround(col("n_singletons").cast("double")
+            / col("n_tokens").cast("double"), 9).as("unseen_mass"))
+        .orderBy(col("source"))
+    }),
+
+    "q353_hash_collisions" -> ((s, dir) => {
+      // birthday audit of the 32-bit hash prefix [EXT] — the engine's
+      // md5-prefix idioms (q161 KMV, q306 shards, q307 sampling) rely
+      // on a 32-bit uniform; this VALIDATES that on live keys:
+      // observed colliding pairs Σ C(cnt,2) over 32-bit buckets vs
+      // the birthday expectation n(n−1)/2³³ — an observed/expected
+      // ratio far from 1 means the hash (or the keyspace) is not
+      // behaving. One hash-agg over the key frame, exact integers to
+      // the final ratio.
+      val h = Tables.lineitem(s, dir)
+        .select(conv(substring(md5(concat_ws("_", col("l_orderkey"),
+          col("l_linenumber"))), 1, 8), 16, 10).cast("long").as("b"))
+      val buckets = h.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      buckets.agg(sum(col("cnt")).as("n"),
+          count(lit(1)).as("n_buckets"),
+          sum((col("cnt") * (col("cnt") - 1) / 2).cast("long")).as("observed"))
+        .select(col("n"), col("n_buckets"), col("observed"),
+          pround(col("n").cast("double") * (col("n").cast("double") - 1.0)
+            / 8589934592.0, 9).as("expected"),
+          when(col("observed") > 0,
+            pround(col("observed").cast("double")
+              / (col("n").cast("double") * (col("n").cast("double") - 1.0)
+                / 8589934592.0), 9)).as("obs_over_exp"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15179,5 +15255,53 @@ object SparkEntry {
          |  round(CAST(st AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
          |    AS top_source_token_share
          |FROM base, vn, tl, tsrc""".stripMargin,
+
+    "q351_negbin_fit" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1, 2),
+         |st AS (SELECT event_type, COUNT(*) AS n,
+         |         SUM(CAST(x AS HUGEINT)) AS sx,
+         |         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+         |       FROM daily GROUP BY 1 HAVING COUNT(*) > 1),
+         |c AS (SELECT event_type, n,
+         |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         |        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v
+         |      FROM st)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days, round(m, 9) AS mean,
+         |  round(v, 9) AS variance, (v > m) AS overdispersed,
+         |  CASE WHEN v > m THEN round(m / v, 9) END AS p_hat,
+         |  CASE WHEN v > m THEN round(m * m / (v - m), 9) END AS r_hat
+         |FROM c ORDER BY event_type""".stripMargin,
+
+    "q352_good_turing" ->
+      """WITH w0 AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |ww AS (SELECT source, w FROM w0 WHERE len(w) > 0),
+        |f AS (SELECT source, w, COUNT(*) AS f FROM ww GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  round(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(f) AS DOUBLE), 9) AS unseen_mass
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q353_hash_collisions" ->
+      """WITH h AS (SELECT CAST(CAST(concat('0x', substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)),
+        |    1, 8)) AS UINT64) AS BIGINT) AS b FROM lineitem),
+        |buckets AS (SELECT b, COUNT(*) AS cnt FROM h GROUP BY 1),
+        |a AS (SELECT SUM(cnt) AS n, COUNT(*) AS n_buckets,
+        |        SUM(cnt * (cnt - 1) // 2) AS observed FROM buckets)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(observed AS BIGINT) AS observed,
+        |  round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |    / 8589934592.0, 9) AS expected,
+        |  CASE WHEN observed > 0 THEN
+        |    round(CAST(observed AS DOUBLE) / (CAST(n AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) - 1.0) / 8589934592.0), 9) END AS obs_over_exp
+        |FROM a""".stripMargin,
   )
 }
