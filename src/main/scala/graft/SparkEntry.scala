@@ -9455,6 +9455,41 @@ object SparkEntry {
               / (col("n").cast("double") * (col("n").cast("double") - 1.0)
                 / 8589934592.0), 9)).as("obs_over_exp"))
     }),
+
+    "q354_ivf_recall_curve" -> ((s, dir) => {
+      // IVF recall-vs-nprobe curve [EXT] — the tuning table an ANN
+      // deployment reads before fixing nprobe: exact recall@5 of the
+      // q188 trained-codebook IVF against the q36 brute-force truth at
+      // nprobe ∈ {1, 2, 3}. Every stage is deterministic (Lloyd's
+      // engine-exact trajectory, total-ordered ranks), so the whole
+      // CURVE is one oracle row set — approximate-search QUALITY
+      // measured inside the correctness gate, not just spec'd. The
+      // corpus assigns once; the three probe depths reuse the same
+      // lists (probe fan-out only re-filters).
+      val emb = Tables.embeddings(s, dir)
+      val (state, _) = Cluster.lloyd(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 2)
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Dedup.cacheScoped(Similarity.bruteForceTopK(
+          emb, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"), k = 5)
+        .select(col("query_id"), col("neighbor_id")))
+      val nTrue = brute.agg(count(lit(1)).as("n_true"))
+      val rows = Seq(1, 2, 3).map { np =>
+        val ivf = Cluster.ivfTopK(emb, col("vec_id"), col("embedding"),
+            q, col("vec_id"), col("embedding"), state, k = 5, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"))
+        ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(np).as("nprobe"), col("n_hits"))
+      }
+      rows.reduce(_ unionAll _)
+        .crossJoin(broadcast(nTrue))
+        .select(col("nprobe"), col("n_hits"), col("n_true"),
+          pround(col("n_hits").cast("double") / col("n_true").cast("double"), 9)
+            .as("recall_at_5"))
+        .orderBy(col("nprobe"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15303,5 +15338,57 @@ object SparkEntry {
         |    round(CAST(observed AS DOUBLE) / (CAST(n AS DOUBLE)
         |      * (CAST(n AS DOUBLE) - 1.0) / 8589934592.0), 9) END AS obs_over_exp
         |FROM a""".stripMargin,
+
+    "q354_ivf_recall_curve" ->
+      s"""$kmeansBaseCte,
+         |${kmeansIterCte(1)},
+         |ac AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+         |    FROM e, cent1 c) WHERE rk = 1),
+         |pq AS (SELECT vec_id AS query_id, cid, rk AS probe_rk FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_distance(e.emb, c.cvec), c.cid) AS rk
+         |    FROM e, cent1 c WHERE e.vec_id < 10) WHERE rk <= 3),
+         |cand AS (SELECT p.query_id, p.probe_rk, a.vec_id AS neighbor_id,
+         |           list_cosine_similarity(eq.emb, ea.emb) AS cosine
+         |         FROM pq p JOIN ac a USING (cid)
+         |         JOIN e eq ON eq.vec_id = p.query_id
+         |         JOIN e ea ON ea.vec_id = a.vec_id
+         |         WHERE a.vec_id <> p.query_id),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT eq.vec_id AS query_id, ea.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY eq.vec_id
+         |        ORDER BY list_cosine_similarity(eq.emb, ea.emb) DESC,
+         |          ea.vec_id) AS rank
+         |    FROM e eq, e ea WHERE eq.vec_id < 10 AND ea.vec_id <> eq.vec_id)
+         |  WHERE rank <= 5),
+         |bt AS (SELECT COUNT(*) AS n_true FROM brute),
+         |t1 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM cand WHERE probe_rk <= 1) WHERE rank <= 5),
+         |t2 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM cand WHERE probe_rk <= 2) WHERE rank <= 5),
+         |t3 AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM cand WHERE probe_rk <= 3) WHERE rank <= 5),
+         |h1 AS (SELECT COUNT(*) AS n_hits FROM t1 JOIN brute
+         |       USING (query_id, neighbor_id)),
+         |h2 AS (SELECT COUNT(*) AS n_hits FROM t2 JOIN brute
+         |       USING (query_id, neighbor_id)),
+         |h3 AS (SELECT COUNT(*) AS n_hits FROM t3 JOIN brute
+         |       USING (query_id, neighbor_id))
+         |SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  round(CAST(n_hits AS DOUBLE) / CAST(n_true AS DOUBLE), 9)
+         |    AS recall_at_5
+         |FROM (SELECT 1 AS nprobe, n_hits FROM h1
+         |      UNION ALL SELECT 2, n_hits FROM h2
+         |      UNION ALL SELECT 3, n_hits FROM h3), bt
+         |ORDER BY nprobe""".stripMargin,
   )
 }
