@@ -9490,6 +9490,76 @@ object SparkEntry {
             .as("recall_at_5"))
         .orderBy(col("nprobe"))
     }),
+
+    "q355_tail_dependence" -> ((s, dir) => {
+      // extremal tail dependence between click and purchase days [EXT]
+      // — q349's CCF measures AVERAGE linear coupling; capacity
+      // planning cares about the TAILS: when clicks spike past their
+      // P75, how often do purchases spike past theirs the SAME day
+      // (the empirical χ co-exceedance, and its independence baseline
+      // 1−q)? Day-level thresholds from the selector (exact),
+      // exceedance flags compare exact counts to ROUNDED thresholds,
+      // the 2×2 close is integer counts.
+      val daily = Dedup.cacheScoped(Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x")))
+      val thr = graft.operators.Selection.exactGroupedQuantiles(
+          daily.select(col("event_type").as("g"), col("x").cast("double")
+            .as("x")), "g", "x", Seq(0.75))
+        .select(col("g").as("event_type"), pround(col("value"), 9).as("q75"))
+      val flagged = daily.join(broadcast(thr), Seq("event_type"))
+        .select(col("day"), col("event_type"),
+          (col("x").cast("double") > col("q75")).cast("long").as("exc"))
+      val a = flagged.filter(col("event_type") === "click")
+        .select(col("day"), col("exc").as("ea"))
+      val b = flagged.filter(col("event_type") === "purchase")
+        .select(col("day"), col("exc").as("eb"))
+      a.join(b, Seq("day"))
+        .agg(count(lit(1)).as("n_days"), sum(col("ea")).as("n_click_exc"),
+          sum(col("eb")).as("n_purch_exc"),
+          sum(col("ea") * col("eb")).as("n_joint"))
+        .select(col("n_days"), col("n_click_exc"), col("n_purch_exc"),
+          col("n_joint"),
+          when(col("n_click_exc") > 0,
+            pround(col("n_joint").cast("double")
+              / col("n_click_exc").cast("double"), 9)).as("chi_hat"),
+          pround(col("n_purch_exc").cast("double")
+            / col("n_days").cast("double"), 9).as("independence_baseline"))
+    }),
+
+    "q356_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on daily up/down moves [EXT] — is
+      // the volume series RANDOM or regime-y: too few runs = sticky
+      // regimes (momentum), too many = oscillation; the classic
+      // nonparametric randomness check the drift family (q207/q297)
+      // assumes but never tests. Signs from exact integer day-over-day
+      // diffs (zeros dropped, the standard treatment) on the
+      // calendar-bounded day frame (tiny-frame window exception);
+      // R, n₊, n₋ exact; z closes in IEEE with pround.
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("day"))
+      val sgn = daily
+        .withColumn("d", col("x") - lag(col("x"), 1).over(w))
+        .filter(col("d").isNotNull && col("d") =!= 0)
+        .withColumn("s", when(col("d") > 0, 1L).otherwise(-1L))
+        .withColumn("prev", lag(col("s"), 1).over(w))
+      val st = sgn.agg(count(lit(1)).as("n"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("nm"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L))).as("runs"))
+      val npd = col("np").cast("double"); val nmd = col("nm").cast("double")
+      val nd = col("n").cast("double")
+      val mu = lit(1.0) + lit(2.0) * npd * nmd / nd
+      val sg = sqrt((mu - 1.0) * (mu - 2.0) / (nd - 1.0))
+      st.filter(col("np") > 0 && col("nm") > 0 && col("n") > 2)
+        .select(col("n").as("n_moves"), col("np").as("n_up"),
+          col("nm").as("n_down"), col("runs"),
+          pround(mu, 9).as("expected_runs"),
+          pround((col("runs").cast("double") - mu) / sg, 9).as("z"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15390,5 +15460,58 @@ object SparkEntry {
          |      UNION ALL SELECT 2, n_hits FROM h2
          |      UNION ALL SELECT 3, n_hits FROM h3), bt
          |ORDER BY nprobe""".stripMargin,
+
+    "q355_tail_dependence" ->
+      s"""$evCte,
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev WHERE event_type IN ('click', 'purchase')
+         |          GROUP BY 1, 2),
+         |thr AS (SELECT event_type,
+         |          round(quantile_cont(CAST(x AS DOUBLE), 0.75), 9) AS q75
+         |        FROM daily GROUP BY 1),
+         |fl AS (SELECT d.day, d.event_type,
+         |         CASE WHEN CAST(d.x AS DOUBLE) > t.q75 THEN 1 ELSE 0 END AS exc
+         |       FROM daily d JOIN thr t USING (event_type)),
+         |a AS (SELECT day, exc AS ea FROM fl WHERE event_type = 'click'),
+         |b AS (SELECT day, exc AS eb FROM fl WHERE event_type = 'purchase'),
+         |j AS (SELECT a.ea, b.eb FROM a JOIN b USING (day)),
+         |st AS (SELECT COUNT(*) AS n_days, SUM(ea) AS nce, SUM(eb) AS npe,
+         |         SUM(ea * eb) AS nj FROM j)
+         |SELECT CAST(n_days AS BIGINT) AS n_days, CAST(nce AS BIGINT)
+         |    AS n_click_exc,
+         |  CAST(npe AS BIGINT) AS n_purch_exc, CAST(nj AS BIGINT) AS n_joint,
+         |  CASE WHEN nce > 0 THEN
+         |    round(CAST(nj AS DOUBLE) / CAST(nce AS DOUBLE), 9) END AS chi_hat,
+         |  round(CAST(npe AS DOUBLE) / CAST(n_days AS DOUBLE), 9)
+         |    AS independence_baseline
+         |FROM st""".stripMargin,
+
+    "q356_runs_test" ->
+      s"""$evCte,
+         |daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+         |          FROM ev GROUP BY 1),
+         |l AS (SELECT day, x, x - lag(x) OVER (ORDER BY day) AS d FROM daily),
+         |sg AS (SELECT day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+         |       FROM l WHERE d IS NOT NULL AND d <> 0),
+         |p AS (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM sg),
+         |st AS (SELECT COUNT(*) AS n,
+         |         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS np,
+         |         SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS nm,
+         |         SUM(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END)
+         |           AS runs
+         |       FROM p)
+         |SELECT CAST(n AS BIGINT) AS n_moves, CAST(np AS BIGINT) AS n_up,
+         |  CAST(nm AS BIGINT) AS n_down, CAST(runs AS BIGINT) AS runs,
+         |  round(1.0 + 2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+         |    / CAST(n AS DOUBLE), 9) AS expected_runs,
+         |  round((CAST(runs AS DOUBLE)
+         |      - (1.0 + 2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+         |         / CAST(n AS DOUBLE)))
+         |    / sqrt(((1.0 + 2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+         |         / CAST(n AS DOUBLE)) - 1.0)
+         |      * ((1.0 + 2.0 * CAST(np AS DOUBLE) * CAST(nm AS DOUBLE)
+         |         / CAST(n AS DOUBLE)) - 2.0) / (CAST(n AS DOUBLE) - 1.0)), 9)
+         |    AS z
+         |FROM st WHERE np > 0 AND nm > 0 AND n > 2""".stripMargin,
   )
 }
