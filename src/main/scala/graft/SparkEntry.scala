@@ -9560,6 +9560,69 @@ object SparkEntry {
           pround(mu, 9).as("expected_runs"),
           pround((col("runs").cast("double") - mu) / sg, 9).as("z"))
     }),
+
+    "q357_theil_decomposition" -> ((s, dir) => {
+      // Theil-T inequality decomposition of token mass [EXT] — the
+      // question q213's Gini and q319's Lorenz can't answer: is token
+      // inequality BETWEEN sources or WITHIN them (Theil decomposes
+      // ADDITIVELY: T = T_between + Σ share_g·T_g — Gini doesn't)?
+      // Within-source terms (x/μ_g)ln(x/μ_g) are pround(12)'d into
+      // exact DECIMAL sums against broadcast per-source means; the
+      // between term closes on the |sources| frame. Mixture design
+      // reads this as "rebalancing sources fixes T_between only".
+      val D = DecimalType(27, 14)
+      val d = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"))
+        .filter(col("ws") > 0))
+      val g = Dedup.cacheScoped(d.groupBy(col("source"))
+        .agg(count(lit(1)).as("ng"), sum(col("ws")).as("tg"))
+        .withColumn("mug", col("tg").cast("double") / col("ng").cast("double")))
+      val tot = g.agg(sum(col("ng")).as("n"), sum(col("tg")).as("t"))
+        .withColumn("mu", col("t").cast("double") / col("n").cast("double"))
+      val within = d.join(broadcast(g), Seq("source"))
+        .withColumn("term", pround(col("ws").cast("double") / col("mug")
+          * log(col("ws").cast("double") / col("mug")), 12).cast(D))
+        .groupBy(col("source"), col("ng"), col("mug"))
+        .agg((sum(col("term")).cast("double")).as("tsum"))
+        .withColumn("tg_within", pround(col("tsum")
+          / col("ng").cast("double"), 12))
+      val parts = within.crossJoin(broadcast(tot))
+        .select(col("source"), col("ng"), col("mug"), col("tg_within"),
+          pround(col("ng").cast("double") * col("mug") / col("t").cast("double")
+            * col("tg_within"), 12).as("w_contrib"),
+          pround(col("ng").cast("double") * col("mug") / col("t").cast("double")
+            * log(col("mug") / col("mu")), 12).as("b_contrib"))
+      parts.agg(
+          sum(col("w_contrib").cast(D)).cast("double").as("t_within"),
+          sum(col("b_contrib").cast(D)).cast("double").as("t_between"))
+        .select(pround(col("t_within"), 9).as("theil_within"),
+          pround(col("t_between"), 9).as("theil_between"),
+          pround(col("t_within") + col("t_between"), 9).as("theil_total"),
+          pround(col("t_between") / (col("t_within") + col("t_between")), 9)
+            .as("between_share"))
+    }),
+
+    "q358_bowley_skew" -> ((s, dir) => {
+      // Bowley quartile skewness per type [EXT] — the ROBUST skew
+      // (Q3+Q1−2·Q2)/(Q3−Q1) that q184's winsorized moments and q87's
+      // z-family never report: outlier-immune asymmetry in [−1, 1],
+      // the right "is this distribution lopsided" number for heavy
+      // tails. All three quartiles from ONE histogram-refinement
+      // selector pass; the close is pure IEEE on pround'd quartiles.
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val qs = graft.operators.Selection.exactGroupedQuantiles(
+          ev, "event_type", "value", Seq(0.25, 0.5, 0.75))
+        .groupBy(col("event_type"))
+        .agg(pround(max(when(col("q") === 0.25, col("value"))), 9).as("q1"),
+          pround(max(when(col("q") === 0.5, col("value"))), 9).as("q2"),
+          pround(max(when(col("q") === 0.75, col("value"))), 9).as("q3"))
+      qs.filter(col("q3") > col("q1"))
+        .select(col("event_type"), col("q1"), col("q2"), col("q3"),
+          pround((col("q3") + col("q1") - lit(2.0) * col("q2"))
+            / (col("q3") - col("q1")), 9).as("bowley_skew"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15513,5 +15576,47 @@ object SparkEntry {
          |         / CAST(n AS DOUBLE)) - 2.0) / (CAST(n AS DOUBLE) - 1.0)), 9)
          |    AS z
          |FROM st WHERE np > 0 AND nm > 0 AND n > 2""".stripMargin,
+
+    "q357_theil_decomposition" ->
+      """WITH d AS (SELECT source, len(regexp_extract_all(text, '\S+')) AS ws
+        |  FROM documents),
+        |f AS (SELECT source, ws FROM d WHERE ws > 0),
+        |g AS (SELECT source, COUNT(*) AS ng, SUM(ws) AS tg,
+        |        CAST(SUM(ws) AS DOUBLE) / COUNT(*) AS mug FROM f GROUP BY 1),
+        |tot AS (SELECT SUM(ng) AS n, SUM(tg) AS t,
+        |          CAST(SUM(tg) AS DOUBLE) / SUM(ng) AS mu FROM g),
+        |w AS (SELECT f.source, g.ng, g.mug,
+        |        SUM(CAST(round(CAST(f.ws AS DOUBLE) / g.mug
+        |          * ln(CAST(f.ws AS DOUBLE) / g.mug), 12) AS DECIMAL(27,14)))
+        |          AS tsum
+        |      FROM f JOIN g USING (source) GROUP BY 1, 2, 3),
+        |w2 AS (SELECT source, ng, mug,
+        |         round(CAST(tsum AS DOUBLE) / CAST(ng AS DOUBLE), 12)
+        |           AS tg_within FROM w),
+        |parts AS (SELECT w2.source,
+        |            round(CAST(w2.ng AS DOUBLE) * w2.mug / CAST(tot.t AS DOUBLE)
+        |              * w2.tg_within, 12) AS w_contrib,
+        |            round(CAST(w2.ng AS DOUBLE) * w2.mug / CAST(tot.t AS DOUBLE)
+        |              * ln(w2.mug / tot.mu), 12) AS b_contrib
+        |          FROM w2, tot),
+        |agg AS (SELECT
+        |          CAST(SUM(CAST(w_contrib AS DECIMAL(27,14))) AS DOUBLE) AS tw,
+        |          CAST(SUM(CAST(b_contrib AS DECIMAL(27,14))) AS DOUBLE) AS tb
+        |        FROM parts)
+        |SELECT round(tw, 9) AS theil_within, round(tb, 9) AS theil_between,
+        |  round(tw + tb, 9) AS theil_total,
+        |  round(tb / (tw + tb), 9) AS between_share
+        |FROM agg""".stripMargin,
+
+    "q358_bowley_skew" ->
+      s"""$evCte,
+         |q AS (SELECT event_type,
+         |        round(quantile_cont(value, 0.25), 9) AS q1,
+         |        round(quantile_cont(value, 0.5), 9) AS q2,
+         |        round(quantile_cont(value, 0.75), 9) AS q3
+         |      FROM ev GROUP BY 1)
+         |SELECT event_type, q1, q2, q3,
+         |  round((q3 + q1 - 2.0 * q2) / (q3 - q1), 9) AS bowley_skew
+         |FROM q WHERE q3 > q1 ORDER BY event_type""".stripMargin,
   )
 }
