@@ -9623,6 +9623,74 @@ object SparkEntry {
             / (col("q3") - col("q1")), 9).as("bowley_skew"))
         .orderBy(col("event_type"))
     }),
+
+    "q359_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test between two quality gates [EXT] — do
+      // the Gopher alpha-words rule and the stopword rule disagree
+      // SYSTEMATICALLY on the same docs (the paired question an
+      // unpaired χ² (q100) gets wrong): only the discordant cells
+      // matter, χ² = (b−c)²/(b+c) with the continuity correction
+      // (|b−c|−1)²/(b+c). One codegen scan, exact-integer 2×2, two
+      // IEEE closes.
+      val d = Tables.documents(s, dir).select(
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.alphaWordPattern), lit(0))).cast("long").as("aw"),
+        size(regexp_extract_all(lower(col("text")),
+          lit(TextAnalysis.stopwordAltPattern), lit(0))).cast("long").as("sw"))
+        .filter(col("ws") > 0)
+        .select((col("aw") * 5 >= col("ws") * 4).as("ga"),
+          (col("sw") * 100 >= col("ws") * 3).as("gs"))
+      d.agg(count(lit(1)).as("n"),
+          sum(when(col("ga") && col("gs"), 1L).otherwise(0L)).as("n_both"),
+          sum(when(col("ga") && !col("gs"), 1L).otherwise(0L)).as("only_a"),
+          sum(when(!col("ga") && col("gs"), 1L).otherwise(0L)).as("only_s"),
+          sum(when(!col("ga") && !col("gs"), 1L).otherwise(0L)).as("neither"))
+        .filter(col("only_a") + col("only_s") > 0)
+        .select(col("n"), col("n_both"), col("only_a"), col("only_s"),
+          col("neither"),
+          pround((col("only_a") - col("only_s")).cast("double")
+            * (col("only_a") - col("only_s")).cast("double")
+            / (col("only_a") + col("only_s")).cast("double"), 9)
+            .as("mcnemar_chi2"),
+          pround((abs(col("only_a") - col("only_s")) - 1).cast("double")
+            * (abs(col("only_a") - col("only_s")) - 1).cast("double")
+            / (col("only_a") + col("only_s")).cast("double"), 9)
+            .as("mcnemar_cc"))
+    }),
+
+    "q360_lift_chart" -> ((s, dir) => {
+      // decile lift/gain chart of the quality classifier [EXT] — the
+      // model-eval table next to ROC (q221) and calibration (q233):
+      // rank docs by the q295 classifier score, cut into 10 equal
+      // slices by the two-pass dense-id (q319's discipline), and per
+      // decile report the en-rate, lift vs base rate, and cumulative
+      // gain — "the top decile captures X% of positives". Exact
+      // integers through the CumSum running totals; three divisions
+      // close each row.
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        pround(TextAnalysis.classifierScore(col("text"),
+          1.2, 2.0, 1.5, -3.0, -1.0), 9).as("p"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val ranked = graft.operators.DocPipeline.withDenseIds(
+        scored, struct(-col("p"), col("doc_id")), "rid")
+      val nTot = ranked.agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val dec = ranked.crossJoin(broadcast(nTot))
+        .withColumn("decile", (col("rid") * 10 / col("n")).cast("int"))
+        .groupBy(col("decile"), col("n"), col("pos"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      graft.operators.CumSum.withRunningTotals(dec, Seq(col("decile")),
+          Seq(col("n_pos") -> "cum_pos"))
+        .select(col("decile"), col("n_docs"), col("n_pos"),
+          pround(col("n_pos").cast("double") / col("n_docs").cast("double"), 9)
+            .as("response_rate"),
+          pround(col("n_pos").cast("double") / col("n_docs").cast("double")
+            / (col("pos").cast("double") / col("n").cast("double")), 9)
+            .as("lift"),
+          pround(col("cum_pos").cast("double") / col("pos").cast("double"), 9)
+            .as("cum_gain"))
+        .orderBy(col("decile"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15618,5 +15686,64 @@ object SparkEntry {
          |SELECT event_type, q1, q2, q3,
          |  round((q3 + q1 - 2.0 * q2) / (q3 - q1), 9) AS bowley_skew
          |FROM q WHERE q3 > q1 ORDER BY event_type""".stripMargin,
+
+    "q359_mcnemar" ->
+      """WITH f AS (SELECT len(regexp_extract_all(text, '\S+')) AS ws,
+        |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS aw,
+        |    len(regexp_extract_all(lower(text),
+        |        '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS sw
+        |  FROM documents),
+        |g AS (SELECT (aw * 5 >= ws * 4) AS ga, (sw * 100 >= ws * 3) AS gs
+        |      FROM f WHERE ws > 0),
+        |a AS (SELECT COUNT(*) AS n,
+        |        SUM(CASE WHEN ga AND gs THEN 1 ELSE 0 END) AS nb,
+        |        SUM(CASE WHEN ga AND NOT gs THEN 1 ELSE 0 END) AS only_a,
+        |        SUM(CASE WHEN NOT ga AND gs THEN 1 ELSE 0 END) AS only_s,
+        |        SUM(CASE WHEN NOT ga AND NOT gs THEN 1 ELSE 0 END) AS neither
+        |      FROM g)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nb AS BIGINT) AS n_both,
+        |  CAST(only_a AS BIGINT) AS only_a, CAST(only_s AS BIGINT) AS only_s,
+        |  CAST(neither AS BIGINT) AS neither,
+        |  round(CAST(only_a - only_s AS DOUBLE) * CAST(only_a - only_s AS DOUBLE)
+        |    / CAST(only_a + only_s AS DOUBLE), 9) AS mcnemar_chi2,
+        |  round(CAST(abs(only_a - only_s) - 1 AS DOUBLE)
+        |    * CAST(abs(only_a - only_s) - 1 AS DOUBLE)
+        |    / CAST(only_a + only_s AS DOUBLE), 9) AS mcnemar_cc
+        |FROM a WHERE only_a + only_s > 0""".stripMargin,
+
+    "q360_lift_chart" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT doc_id,
+        |        round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0
+        |          + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) AS p,
+        |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |      FROM f),
+        |rk AS (SELECT p, y,
+        |         row_number() OVER (ORDER BY p DESC, doc_id) - 1 AS rid
+        |       FROM z),
+        |nt AS (SELECT COUNT(*) AS n, SUM(y) AS pos FROM z),
+        |dec AS (SELECT (rid * 10) // nt.n AS decile, COUNT(*) AS n_docs,
+        |          SUM(y) AS n_pos, MAX(nt.n) AS n, MAX(nt.pos) AS pos
+        |        FROM rk CROSS JOIN nt GROUP BY 1),
+        |cum AS (SELECT *, SUM(n_pos) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |        FROM dec)
+        |SELECT CAST(decile AS INT) AS decile, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+        |    AS response_rate,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS lift,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(pos AS DOUBLE), 9) AS cum_gain
+        |FROM cum ORDER BY decile""".stripMargin,
   )
 }
