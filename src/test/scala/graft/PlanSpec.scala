@@ -372,4 +372,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
+
+  test("q337: pHash candidates come from the band equi-join, never all-pairs") {
+    val p = plan("q337_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q343: rolling WAU joins on the shifted day, never per-day rescans") {
+    val p = plan("q343_rolling_wau")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
