@@ -34,6 +34,19 @@ def compare(a: pd.DataFrame, b: pd.DataFrame):
         return f"COLUMNS differ: spark={sorted(a.columns)} oracle={sorted(b.columns)}"
     if len(a) != len(b):
         return f"ROWS differ: spark={len(a)} oracle={len(b)}"
+    # STRICT dtype family check (the r10 lesson): the driver's hash is
+    # dtype-sensitive across the int/float divide — DuckDB SUM(BIGINT)
+    # returns HUGEINT which pandas converts to float64, so an uncast sum
+    # hash-mismatches an int64 Spark column even when every value is
+    # equal. Flag the cross loudly instead of silently coercing.
+    for c in a.columns:
+        ai = pd.api.types.is_integer_dtype(a[c])
+        bi = pd.api.types.is_integer_dtype(b[c])
+        af = pd.api.types.is_float_dtype(a[c])
+        bf = pd.api.types.is_float_dtype(b[c])
+        if (ai and bf) or (af and bi):
+            return (f"DTYPE FAMILY differs in {c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                    " (driver hash would mismatch — CAST the oracle output to BIGINT)")
     a, b = canon(a), canon(b)
     for c in a.columns:
         av, bv = a[c], b[c]
@@ -85,7 +98,11 @@ def main():
     for m in sorted(missing):
         print(f"{m:28s} SPARK OUTPUT MISSING")
     n_match = sum(1 for r in results.values() if r == "MATCH" or r.startswith("rows-only") and "OK" in r)
-    print(f"\n{n_match}/{len(results)} OK")
+    print(f"\n{n_match}/{len(results)} OK  (duckdb {duckdb.__version__})")
+    (out_dir / "check_manifest.json").write_text(json.dumps(
+        {"duckdb_version": duckdb.__version__,
+         "pandas_version": pd.__version__,
+         "results": results}, indent=1))
 
 
 if __name__ == "__main__":

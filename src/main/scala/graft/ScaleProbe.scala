@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale-blow-up probe (VERDICT r10 item 4): replicate the
+  * LLM-pipeline tables (events / documents / embeddings) ×FACTOR with
+  * perturbed keys, run the most expensive bench queries on both the
+  * base and the blown-up fixture, and record t(base) vs t(×FACTOR) plus
+  * peak driver heap — converting SCALE.md's asymptotic arguments into
+  * per-query measured growth.
+  *
+  * Replication is NOT a plain union of identical copies: identical text
+  * would turn every near-dup/fingerprint query quadratic by data
+  * pathology (every doc 10× duplicated), which measures the fixture,
+  * not the plan. Instead each replica r > 0:
+  *   - events: event_id/user_id offset per replica (new users, same
+  *     time range — the realistic "10× traffic" shape: days×10 rows/day)
+  *   - documents: doc_id offset; every 8th word salted with the replica
+  *     id, so any ≥8-word shingle/fingerprint window differs across
+  *     replicas (vocab grows mildly, like a real corpus; near-dup
+  *     candidate structure stays realistic)
+  *   - embeddings: vec_id offset; embedding circularly shifted by r
+  *     dims (new geometry, same distribution)
+  * The TPC-H tables are copied as-is (the probe's query set reads only
+  * the pipeline tables).
+  *
+  * Output: SCALE_BLOWUP.json — per query {base_sec, blown_sec, ratio,
+  * peak_heap_mb}, plus the factor and calibration spin. A ratio well
+  * under FACTOR×1.5 on a 32-thread box that is NOT 10× wider than the
+  * base run is the evidence the plan scales ≲linearly in data volume.
+  */
+object ScaleProbe {
+  // the most expensive BENCH_r10 queries that read the replicated
+  // tables (lineitem/part-based ones excluded — their input is flat
+  // here, so their timing would measure nothing)
+  val Probes: Seq[String] = Seq(
+    "q235_bootstrap_ci", "q115_cms_heavy_hitters", "q312_pca_power",
+    "q206_adamic_adar", "q157_substr_fingerprints", "q147_tfidf_pairs",
+    "q253_silhouette", "q228_harmonic_centrality", "q131_stream_outer_join",
+    "q203_clustering_coeff", "q177_kmeans_lloyd", "q258_topic_coherence",
+    "q344_rfm", "q339_sla_trend", "q65_stream_join")
+
+  def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
+                        factor: Int): Unit = {
+    val reps = spark.range(0, factor).select(col("id").cast("int").as("r"))
+    // events: per-replica id offsets, same time range
+    val ev = Tables.events(spark, sfDir)
+    ev.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("r").cast("long") * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r").cast("long") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // documents: salt every 8th word with the replica id (r=0 unchanged)
+    val docs = Tables.documents(spark, sfDir)
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          array_join(zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (w, i) => when(i % 8 === 7, concat(w, lit("_zr"), col("r")))
+              .otherwise(w)), " ")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // embeddings: circular dim shift per replica
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = size(col("embedding"))
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("r").cast("long") * 10000000L).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(
+          concat(slice(col("embedding"), col("r") + 1, n - col("r")),
+            slice(col("embedding"), lit(1), col("r")))).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // flat copies for the rest so any query can run against outDir
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem"))
+      spark.read.parquet(Tables.path(sfDir, t))
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val outJson = if (args.length > 2) args(2) else "/root/repo/SCALE_BLOWUP.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val blownDir = s"/root/repo/target/scale_blowup_x$factor"
+    println(s"[scale] building x$factor fixture at $blownDir")
+    buildBlownFixture(spark, sfDir, blownDir, factor)
+    // stage streaming inputs for both dirs outside the timings
+    for (d <- Seq(sfDir, blownDir))
+      try graft.streaming.StreamingOps.stageEventsForStreaming(
+        spark, d, graft.streaming.StreamingOps.defaultStagingDir(spark, d))
+      catch { case e: Throwable => System.err.println(s"[scale] staging $d: ${e.getMessage}") }
+    val queries = SparkEntry.queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").filter(_.nonEmpty).toSet)
+    val probes = Probes.filter(n => only.forall(_.exists(n.contains)))
+    def runOne(name: String, dir: String): (Double, Long) = {
+      val rt = Runtime.getRuntime
+      val t0 = System.nanoTime()
+      queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      (sec, usedMb)
+    }
+    // warm both paths once (codegen + JIT), then one timed pass each;
+    // base gets min-of-2 (it is cheap) to damp box stalls
+    val rows = probes.map { name =>
+      try {
+        val (w, _) = runOne(name, sfDir)
+        val (b1, _) = runOne(name, sfDir)
+        val base = math.min(w, b1)
+        val (blown, heapMb) = runOne(name, blownDir)
+        System.gc()
+        val ratio = if (base > 0) blown / base else Double.NaN
+        println(f"[scale] $name%-28s base=$base%6.2fs x$factor=$blown%7.2fs ratio=$ratio%5.2f heap=${heapMb}MB")
+        f"""{"query":"$name","base_sec":$base%.3f,"blown_sec":$blown%.3f,"ratio":$ratio%.2f,"heap_mb":$heapMb}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+        s"""{"query":"$name","error":"${e.getClass.getSimpleName}"}"""
+      }
+    }
+    val json = s"""{"factor":$factor,"base":"$sfDir","cpus":$cpus,""" +
+      s""""probes":[${rows.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

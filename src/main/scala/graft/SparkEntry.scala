@@ -4184,6 +4184,13 @@ object SparkEntry {
       // sink table — the monitoring-dashboard pattern (stateful
       // stream does the corpus-sized work; the dashboard math runs
       // on bins×days rows). Oracle = the batch twin.
+      // ROOT CAUSE of the r9/r10 driver hash-mismatch (found r11, NOT
+      // libm): the oracle's uncast SUM(cc) is a DuckDB HUGEINT, which
+      // pandas converts to float64; the driver's hash is dtype-
+      // sensitive across the int/float divide, so n_cur mismatched the
+      // Spark int64 even with every value equal. Fixed by CAST(SUM(cc)
+      // AS BIGINT) in the oracle; scripts/check_oracle.py now fails
+      // loudly on any int↔float dtype cross.
       val split = to_timestamp(lit("2024-01-15 00:00:00"))
       val staging = StreamingOps.defaultStagingDir(s, dir)
       StreamingOps.stageEventsForStreaming(s, dir, staging)
@@ -4285,6 +4292,10 @@ object SparkEntry {
       // never pround(double, n) whose BigDecimal-HALF_UP vs libm
       // semantics diverge on half boundaries. Full 1–9 grid so
       // absent digits still contribute (q166's empty-bin argument).
+      // The r9/r10 driver hash-mismatch was NONE of the above: the
+      // oracle's uncast SUM(o) → HUGEINT → pandas float64 vs Spark
+      // int64 n_values (dtype-sensitive driver hash). Fixed r11 with
+      // CAST(SUM(o) AS BIGINT); see q210's note.
       val k = floor(col("value") * 100 + 0.5)
       val d = when(k >= 1e12, floor(k / 1e12))
         .when(k >= 1e11, floor(k / 1e11)).when(k >= 1e10, floor(k / 1e10))
@@ -4340,6 +4351,10 @@ object SparkEntry {
       // DuckDB HUGEINT — num stays < 2^53 through sf1, so the final
       // int→double casts are exact in both engines and the single
       // closing division + floor-form round is bit-identical.
+      // The r9/r10 driver hash-mismatch was never arithmetic: the
+      // oracle's uncast window SUM(cnt) → HUGEINT → pandas float64 vs
+      // Spark int64 n_values (dtype-sensitive driver hash). Fixed r11
+      // with CAST(... AS BIGINT); see q210's note.
       val ev = Tables.events(s, dir).filter(col("value") >= 0)
         .select(col("event_type"), col("value"))
       val c = Dedup.cacheScoped(ev.groupBy(col("event_type"), col("value"))
@@ -5028,6 +5043,10 @@ object SparkEntry {
       // exact decimal (scores are 9-digit by construction, labels
       // integer), the closing weighted sum floor-rounds each |gap| at
       // 9 then reduces in DECIMAL — fully engine-portable.
+      // The r10 driver hash-mismatch was not the sigmoid: the oracle's
+      // uncast SUM(nb) → HUGEINT → pandas float64 vs Spark int64
+      // n_docs (dtype-sensitive driver hash). Fixed r11 with
+      // CAST(SUM(nb) AS BIGINT); see q210's note.
       val score = TextAnalysis.classifierScore(col("text"),
         wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
       val scored = Tables.documents(s, dir)
@@ -12180,7 +12199,7 @@ object SparkEntry {
          |         LEFT JOIN cb ON cb.day = d.day AND cb.b = g.b
          |         LEFT JOIN rb ON rb.b = g.b),
          |nr AS (SELECT SUM(cr) AS nr FROM rb),
-         |nc AS (SELECT day, SUM(cc) AS nc FROM grid GROUP BY day),
+         |nc AS (SELECT day, CAST(SUM(cc) AS BIGINT) AS nc FROM grid GROUP BY day),
          |t AS (SELECT grid.day, nc.nc,
          |        (CAST(grid.cr AS DOUBLE) + 0.5) / (nr.nr + 5.0) AS pr,
          |        (CAST(grid.cc AS DOUBLE) + 0.5) / (nc.nc + 5.0) AS pc
@@ -12231,7 +12250,7 @@ object SparkEntry {
          |         FROM (SELECT DISTINCT event_type FROM obs) t
          |         CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) g
          |         LEFT JOIN obs ON obs.event_type = t.event_type AND obs.d = g.d),
-         |tot AS (SELECT event_type, SUM(o) AS n FROM grid GROUP BY 1),
+         |tot AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS n FROM grid GROUP BY 1),
          |x AS (SELECT grid.event_type, tot.n, grid.o,
          |        tot.n * CASE grid.d
          |          WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE)
@@ -12256,7 +12275,7 @@ object SparkEntry {
          |m AS (SELECT event_type, value, cnt,
          |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
-         |        SUM(cnt) OVER (PARTITION BY event_type) AS n
+         |        CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
          |      FROM c),
          |t AS (SELECT event_type, n,
          |        CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) * cnt * (2 * cumw - cnt - n) AS nt,
@@ -12650,7 +12669,7 @@ object SparkEntry {
         |         CAST(SUM(CAST(p AS DECIMAL(27,9))) AS DOUBLE) AS sp,
         |         SUM(y) AS sy
         |       FROM b GROUP BY 1),
-        |t AS (SELECT SUM(nb) AS nn FROM bk),
+        |t AS (SELECT CAST(SUM(nb) AS BIGINT) AS nn FROM bk),
         |w AS (SELECT CAST(FLOOR(abs(CAST(sy AS DOUBLE) / nb - sp / nb) * 1e9 + 0.5) / 1e9
         |          AS DECIMAL(27,9)) * CAST(nb AS DECIMAL(27,0)) AS w, nn
         |      FROM bk, t)

@@ -4,11 +4,20 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north star): image/audio/video as opaque
-  * `binary` columns with typed metadata structs. The real decode needs
-  * native codecs absent from this container, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[FakeImageCodec]]); the Spark-side
-  * contract — binary payload schema, batch-shaped partition processing,
-  * metadata struct, frame sampling — is real and tested.
+  * `binary` columns with typed metadata structs. Two codecs behind one
+  * trait ([[MediaCodec]]):
+  *
+  *   - [[JdkImageCodec]] — REAL decode for the formats the JDK ships
+  *     codecs for (PNG/JPEG/BMP/GIF via `javax.imageio`, WAV via
+  *     `javax.sound.sampled`), header-only metadata reads (no pixel
+  *     decode for `decodeMeta`) and a real pixel-level `resizeImage`.
+  *     Promoted from stub in round 11 after the standing library probe
+  *     confirmed the JDK built-ins cover the image/audio leg (PDF and
+  *     video codecs remain absent from the container).
+  *   - [[FakeImageCodec]] — the deterministic stand-in for payloads
+  *     that are NOT real media (the fixture's synthesized UTF-8
+  *     payloads) and for formats the JDK lacks; keeps the q38/q69/q138
+  *     oracle rows arithmetic.
   *
   * In Scala the `mapInPandas` batch-UDF shape becomes `mapPartitions`
   * over a typed Dataset: one codec instance per partition (the expensive
@@ -20,11 +29,114 @@ object Multimodal {
   case class DecodedImage(doc_id: Long, width: Int, height: Int,
                           channels: Int, format: String, n_bytes: Long)
   case class FrameOffset(doc_id: Long, frame_no: Long, offset: Long)
+  case class AudioMeta(sampleRateHz: Int, channels: Int, frames: Long, format: String)
+
+  /** Codec contract: one instance per partition; implementations must be
+    * deterministic under task retries. */
+  trait MediaCodec extends Serializable {
+    def decodeMeta(payload: Array[Byte]): MediaMeta
+    def resize(meta: MediaMeta, maxSide: Int): MediaMeta
+  }
+
+  /** REAL codec over the JDK's built-in imageio/sampled readers — no
+    * external dependency. `decodeMeta` reads only the header (an
+    * ImageReader is asked for dimensions without decoding pixels — at
+    * 100 TB of media the metadata pass must not decompress frames).
+    * Unsupported/undecodable payloads raise IllegalArgumentException;
+    * callers choose the fallback (see [[decodeRealMetadata]]). */
+  object JdkImageCodec extends MediaCodec {
+    def decodeMeta(payload: Array[Byte]): MediaMeta = {
+      require(payload != null && payload.length >= 12, "payload too short for any media header")
+      if (isWav(payload)) {
+        val m = decodeAudioMeta(payload)
+        // WAV mapped into MediaMeta: width carries frames-per-channel,
+        // height the sample rate — documented, not pretty; callers who
+        // care use decodeAudioMeta directly
+        MediaMeta(width = m.frames.toInt, height = m.sampleRateHz,
+          channels = m.channels, format = m.format)
+      } else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, "no JDK ImageReader recognizes this payload")
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val ch =
+              if (r.getImageTypes(0).hasNext) r.getImageTypes(0).next().getNumComponents else 3
+            MediaMeta(r.getWidth(0), r.getHeight(0), ch,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT))
+          } finally r.dispose()
+        } finally iis.close()
+      }
+    }
+
+    /** Real WAV header decode via javax.sound.sampled. */
+    def decodeAudioMeta(payload: Array[Byte]): AudioMeta = {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val f = aff.getFormat
+      AudioMeta(f.getSampleRate.toInt, f.getChannels, aff.getFrameLength.toLong,
+        aff.getType.getExtension.toLowerCase(java.util.Locale.ROOT))
+    }
+
+    def resize(meta: MediaMeta, maxSide: Int): MediaMeta = {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(meta.width, meta.height))
+      meta.copy(width = math.max(1, (meta.width * scale).toInt),
+        height = math.max(1, (meta.height * scale).toInt))
+    }
+
+    /** Real pixel-level resize: decode → scale (bilinear) → re-encode.
+      * The feature-extract/resize leg of the multimodal contract. */
+    def resizeImage(payload: Array[Byte], maxSide: Int, outFormat: String = "png"): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, outFormat, bos)
+      bos.toByteArray
+    }
+
+    /** Mean luminance (0–255) over all pixels — the feature-extract
+      * kernel demonstrating real pixel access. */
+    def meanLuminance(payload: Array[Byte]): Double = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      sum / (img.getWidth.toLong * img.getHeight)
+    }
+
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+  }
 
   /** STUB image codec: parses deterministic pseudo-metadata from the
-    * payload bytes. A production build replaces `decodeMeta` with a real
-    * image library behind the same signature. */
-  object FakeImageCodec extends Serializable {
+    * payload bytes — for payloads that are not real media (the fixture
+    * synthesizes UTF-8 text payloads) and for formats the JDK lacks
+    * (video containers, PDF-embedded imagery). */
+  object FakeImageCodec extends MediaCodec {
     /** Deterministic fake "decode": metadata derived from payload length
       * and first bytes — stable under task retries. */
     def decodeMeta(payload: Array[Byte]): MediaMeta = {
@@ -104,15 +216,38 @@ object Multimodal {
   /** Decode metadata for each media payload — one codec per partition,
     * rows streamed (never materialized per-partition). */
   def decodeMetadata(df: DataFrame, idCol: String = "doc_id",
-                     mediaCol: String = "media"): Dataset[DecodedImage] = {
+                     mediaCol: String = "media",
+                     codec: MediaCodec = FakeImageCodec): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = FakeImageCodec // per-partition init point
+        val c = codec // per-partition init point
         rows.map { case (id, payload) =>
-          val m = codec.decodeMeta(payload)
+          val m = c.decodeMeta(payload)
+          DecodedImage(id, m.width, m.height, m.channels, m.format,
+            if (payload == null) 0L else payload.length.toLong)
+        }
+      }
+  }
+
+  /** [[decodeMetadata]] through the REAL JDK codec, falling back to
+    * `fallback` for payloads no JDK reader recognizes — the production
+    * shape for a mixed corpus (real media + junk bytes) where a single
+    * undecodable blob must not fail the stage. */
+  def decodeRealMetadata(df: DataFrame, idCol: String = "doc_id",
+                         mediaCol: String = "media",
+                         fallback: MediaCodec = FakeImageCodec): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val m =
+            try JdkImageCodec.decodeMeta(payload)
+            catch { case _: Exception => fallback.decodeMeta(payload) }
           DecodedImage(id, m.width, m.height, m.channels, m.format,
             if (payload == null) 0L else payload.length.toLong)
         }
