@@ -2643,10 +2643,11 @@ object SparkEntry {
         count(lit(1)).as("total")).head()
       val counters = skRow.getSeq[Long](0).toArray
       val thresh = (skRow.getLong(1) * 0.002).toLong
-      val bSk = s.sparkContext.broadcast(counters)
-      val estimate = udf((w: String) =>
-        graft.functions.Sketch.estimate(bSk.value, w))
-      words.filter(estimate(col("word")) >= lit(thresh))
+      // codegen probe (no UDF): the prior per-row UTF8String→String
+      // decode + Scala call was 1.5 µs/row — 9× the exact agg it
+      // prefilters (r11 profile); the expression hashes bytes in place
+      // inside whole-stage codegen
+      words.filter(graft.functions.Sketch.probe(counters, col("word")) >= lit(thresh))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .filter(col("n") >= lit(thresh))
         .select(col("word"), col("n"))

@@ -1,9 +1,16 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.GraftBridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.{udaf, udf}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-min sketch (Cormode & Muthukrishnan 2005) as a typed Spark
   * `Aggregator` — the custom-UDAF surface of SURVEY §2.8 applied to the
@@ -16,16 +23,43 @@ import org.apache.spark.sql.functions.{udaf, udf}
   *
   * Guarantees: est ≥ true (one-sided); est ≤ true + εN with
   * probability 1−δ, ε = e/Width, δ = e^−Depth. Hashes are seeded FNV-1a
-  * — no RNG state, identical across JVMs.
+  * over the term's UTF-8 BYTES — no RNG state, identical across JVMs,
+  * and byte-oriented so the zero-allocation probe path ([[CmsProbe]])
+  * can walk a `UTF8String` directly without decoding it; the build path
+  * ([[CmsAgg]]) encodes each term once and hashes the same bytes.
+  *
+  * The probe is a native codegen `Expression` holding the materialized
+  * counter array (32 KB, plan-shipped): the prior `udf` probe paid a
+  * UTF8String→String decode plus a Scala call per row — measured 1.5 µs
+  * /row at sf0.1, 9× the exact aggregation it was prefiltering (r10
+  * VERDICT item 3). The expression stays inside whole-stage codegen and
+  * hashes bytes in place.
   */
 object Sketch {
   val Depth = 4
   val Width = 1024
 
-  private[graft] def bucket(s: String, seed: Int): Int = {
-    var h = 0xcbf29ce484222325L ^ (seed.toLong * 0x9e3779b97f4a7c15L)
+  private final val FnvPrime = 0x100000001b3L
+  private def seedOffset(seed: Int): Long =
+    0xcbf29ce484222325L ^ (seed.toLong * 0x9e3779b97f4a7c15L)
+
+  private[graft] def bucketBytes(bs: Array[Byte], seed: Int): Int = {
+    var h = seedOffset(seed)
     var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    while (i < bs.length) { h ^= (bs(i) & 0xFF).toLong; h *= FnvPrime; i += 1 }
+    (((h % Width) + Width) % Width).toInt
+  }
+
+  private[graft] def bucket(s: String, seed: Int): Int =
+    bucketBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  /** Allocation-free bucket over a UTF8String's bytes — bit-identical to
+    * [[bucket]] of the decoded string (same UTF-8 bytes). */
+  private[graft] def bucketUtf8(u: UTF8String, seed: Int): Int = {
+    var h = seedOffset(seed)
+    val n = u.numBytes()
+    var i = 0
+    while (i < n) { h ^= (u.getByte(i) & 0xFF).toLong; h *= FnvPrime; i += 1 }
     (((h % Width) + Width) % Width).toInt
   }
 
@@ -33,8 +67,9 @@ object Sketch {
     def zero: Array[Long] = new Array[Long](Depth * Width)
     def reduce(b: Array[Long], a: String): Array[Long] = {
       if (a != null) {
+        val bs = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         var d = 0
-        while (d < Depth) { b(d * Width + bucket(a, d)) += 1; d += 1 }
+        while (d < Depth) { b(d * Width + bucketBytes(bs, d)) += 1; d += 1 }
       }
       b
     }
@@ -54,12 +89,32 @@ object Sketch {
   /** Point estimate from a materialized sketch (min over the d rows). */
   def estimate(sketch: IndexedSeq[Long], s: String): Long = {
     var m = Long.MaxValue
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var d = 0
-    while (d < Depth) { m = math.min(m, sketch(d * Width + bucket(s, d))); d += 1 }
+    while (d < Depth) { m = math.min(m, sketch(d * Width + bucketBytes(bs, d))); d += 1 }
     m
   }
 
-  /** Column twin of [[estimate]] for probing a broadcast sketch row. */
+  /** Zero-allocation kernel for the codegen probe. */
+  def estimateUtf8(counters: Array[Long], u: UTF8String): Long = {
+    if (u == null) return 0L
+    var m = Long.MaxValue
+    var d = 0
+    while (d < Depth) {
+      val c = counters(d * Width + bucketUtf8(u, d))
+      if (c < m) m = c
+      d += 1
+    }
+    m
+  }
+
+  /** Codegen point-estimate of `term` against a materialized counter
+    * array — the map-side prefilter probe of q115. Null term → 0. */
+  def probe(counters: Array[Long], term: Column): Column =
+    column(CmsProbe(expression(term), counters))
+
+  /** Column twin of [[estimate]] for probing a sketch carried as a
+    * column (kept for API parity; the hot path is [[probe]]). */
   def estimateCol(sketch: Column, term: Column): Column =
     udf((sk: Seq[Long], s: String) => estimate(sk.toIndexedSeq, s))
       .apply(sketch, term)
@@ -106,4 +161,31 @@ object Sketch {
   /** Column aggregate: the ≤(k−1)-entry MG summary of the (grouped) input. */
   def mgSummary(c: Column, k: Int): Column =
     udaf(new MgAgg(k), ExpressionEncoder[String]()).apply(c)
+}
+
+/** CMS point estimate with codegen: min over Depth counter rows, hashing
+  * the term's UTF8String bytes in place (no decode, no per-row
+  * allocation). The counter array rides the plan as a reference object
+  * (32 KB per task binary — trivial; a broadcast would add a per-row
+  * `value` indirection for nothing at this size). */
+case class CmsProbe(child: Expression, counters: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    Sketch.estimateUtf8(counters, child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val arr = ctx.addReferenceObj("cmsCounters", counters, "long[]")
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = graft.functions.Sketch.estimateUtf8(
+        $arr, ${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

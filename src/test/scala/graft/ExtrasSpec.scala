@@ -361,4 +361,23 @@ class SketchSpec extends AnyFunSuite {
       .agg(Sketch.cms(col("word"))).collect()(0).getSeq[Long](0)
     assert(sk1 == sk7, "merge must be partitioning-invariant")
   }
+
+  test("codegen CmsProbe ≡ scalar estimate, including multi-byte UTF-8") {
+    // the probe hashes UTF8String BYTES in place; the build path hashes
+    // String.getBytes(UTF_8) — parity must hold beyond ASCII or the
+    // prefilter could undercount and drop a true heavy hitter
+    val words = Seq("plain", "héllo", "héllo", "über", "日本語", "日本語", "日本語",
+      "mixedÆscii", "", "a")
+    val df = words.toDF("word")
+    val sk = df.agg(Sketch.cms(col("word"))).collect()(0).getSeq[Long](0)
+    val probed = df
+      .select(col("word"), Sketch.probe(sk.toArray, col("word")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- words.distinct)
+      assert(probed(w) == Sketch.estimate(sk.toIndexedSeq, w),
+        s"probe/estimate parity broken for '$w'")
+    // and the estimate still dominates the exact count
+    val exact = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    for ((w, c) <- exact) assert(probed(w) >= c)
+  }
 }
