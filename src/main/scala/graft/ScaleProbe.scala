@@ -116,14 +116,18 @@ object ScaleProbe {
       val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       (sec, usedMb)
     }
-    // warm both paths once (codegen + JIT), then one timed pass each;
-    // base gets min-of-2 (it is cheap) to damp box stalls
+    // min-of-2 on BOTH sides: the first execution of a plan shape in a
+    // JVM runs the generated code interpreted until C2 compiles it —
+    // measured 49 s vs 1.9 s warm for q235 on the blown fixture — so a
+    // single cold blown run would measure the JIT, not the plan
     val rows = probes.map { name =>
       try {
         val (w, _) = runOne(name, sfDir)
         val (b1, _) = runOne(name, sfDir)
         val base = math.min(w, b1)
-        val (blown, heapMb) = runOne(name, blownDir)
+        val (c1, h1) = runOne(name, blownDir)
+        val (c2, h2) = runOne(name, blownDir)
+        val (blown, heapMb) = (math.min(c1, c2), math.max(h1, h2))
         System.gc()
         val ratio = if (base > 0) blown / base else Double.NaN
         println(f"[scale] $name%-28s base=$base%6.2fs x$factor=$blown%7.2fs ratio=$ratio%5.2f heap=${heapMb}MB")

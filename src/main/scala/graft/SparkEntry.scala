@@ -2097,8 +2097,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("tf")))
       val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, dir).agg(countDistinct(col("doc_id")).as("n_docs"))
+      // the df prune is BOTH fractional and absolute: the fractional
+      // cut drops near-ubiquitous (zero-idf) terms; the ABSOLUTE cap
+      // is the 100 TB guard — with it, candidate pairs are bounded by
+      // cap·nnz (LINEAR in corpus size), where a fractional cap alone
+      // leaves Σdf² growing quadratically as every term's df scales
+      // with the corpus (measured in the r11 ×10 blow-up run:
+      // SCALE_BLOWUP.json / SCALE.md "q147"). 250 > every observed df
+      // at the tested SFs, so results are unchanged below sf≈0.5.
+      val maxDfAbs = 250
       val tfidf = Dedup.cacheScoped(tf.join(dfq, Seq("w")).crossJoin(broadcast(nDocs))
-        .filter(col("df") <= col("n_docs") * maxDfFrac)
+        .filter(col("df") <= least(col("n_docs") * maxDfFrac, lit(maxDfAbs)))
         .select(col("doc_id"), col("w"),
           pround(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("wt")))
       val norms = tfidf.groupBy(col("doc_id"))
@@ -9711,6 +9720,41 @@ object SparkEntry {
             .as("cum_gain"))
         .orderBy(col("decile"))
     }),
+
+    "q361_image_decode" -> ((s, dir) => {
+      // REAL image decode through the JDK codec (round-11 item-5
+      // promotion of the multimodal decode row, not breadth): per doc a
+      // real PNG is ENCODED (dimensions and fill color arithmetic in
+      // doc_id/n_chars), then DECODED back — actual ImageIO pixel
+      // access, not the stub — and the recovered dimensions + mean
+      // luminance aggregate per size bucket. The oracle recomputes the
+      // same arithmetic directly on `documents`, so any decode error
+      // (wrong dims, wrong pixels, lossy roundtrip) breaks the hash.
+      // Luminance: a uniform-fill PNG roundtrips losslessly, so
+      // mean-lum == 0.299R+0.587G+0.114B up to ~1e-11 summation noise;
+      // floored at 1e6 (quantum 8 orders above the noise) and summed as
+      // exact integers. Image encode is a justified UDF (no built-in).
+      val gen = udf((id: Long, n: Long) => {
+        val w = 8 + (n % 48).toInt; val h = 8 + (id % 24).toInt
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+        finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id"), col("n_chars")).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .groupBy(col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(floor(col("lum") * 1e6 + 0.5).cast("long")).as("lum_sum_u6"))
+        .orderBy(col("width"), col("height"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -10119,7 +10163,7 @@ object SparkEntry {
         |dfp AS (SELECT w, COUNT(*) AS dfc FROM tf0 GROUP BY w),
         |ndp AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         |tf AS (SELECT doc_id, tf0.w, tf FROM tf0 JOIN dfp ON tf0.w = dfp.w, ndp
-        |       WHERE dfc <= n_docs * 0.05),
+        |       WHERE dfc <= least(n_docs * 0.05, 250)),
         |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
         |ti AS (SELECT doc_id, tf.w,
@@ -15765,5 +15809,19 @@ object SparkEntry {
         |    / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS lift,
         |  round(CAST(cum_pos AS DOUBLE) / CAST(pos AS DOUBLE), 9) AS cum_gain
         |FROM cum ORDER BY decile""".stripMargin,
+
+    // the oracle recomputes q361's image arithmetic directly: the Spark
+    // side must recover EXACTLY these dims and (to 1e-6) this luminance
+    // from real decoded pixels, or the hash breaks
+    "q361_image_decode" ->
+      """WITH f AS (SELECT
+        |    CAST(8 + (n_chars % 48) AS BIGINT) AS width,
+        |    CAST(8 + (doc_id % 24) AS BIGINT) AS height,
+        |    CAST(FLOOR((0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+        |      + 0.114 * ((doc_id * 13) % 256)) * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |  FROM documents)
+        |SELECT width, height, COUNT(*) AS n_images,
+        |  CAST(SUM(lum_u6) AS BIGINT) AS lum_sum_u6
+        |FROM f GROUP BY 1, 2 ORDER BY width, height""".stripMargin,
   )
 }

@@ -232,6 +232,45 @@ object Multimodal {
       }
   }
 
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int, lum: Double)
+
+  /** REAL pixel-level feature extraction: decode each payload once
+    * (JDK ImageIO), emit dimensions + mean luminance (0.299R + 0.587G +
+    * 0.114B over all pixels). The feature-extract leg of the multimodal
+    * contract with actual pixel access — one decoder per partition,
+    * rows streamed. Undecodable payloads are dropped (the caller
+    * filters junk upstream or counts the loss via `observe`). */
+  def extractImageFeatures(df: DataFrame, idCol: String = "doc_id",
+                           mediaCol: String = "media"): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val img =
+            if (payload == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img == null) None
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageFeatures(id, img.getWidth, img.getHeight,
+              sum / (img.getWidth.toLong * img.getHeight)))
+          }
+        }
+      }
+  }
+
   /** [[decodeMetadata]] through the REAL JDK codec, falling back to
     * `fallback` for payloads no JDK reader recognizes — the production
     * shape for a mixed corpus (real media + junk bytes) where a single

@@ -151,4 +151,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.width == 200 && resized.height == 100)
     assert(Multimodal.FakeImageCodec.sampleFrames("abcdefgh".getBytes, 3) == Seq(0L, 3L, 6L))
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(nFrames: Int, sampleRate: Float = 16000f, channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("JDK codec: real PNG/JPEG/BMP header decode through the Spark path") {
+    // real images generated by the JDK encoder, decoded by the REAL
+    // codec through the same mapPartitions plumbing as the stub
+    val rows = Seq(
+      (1L, pngBytes(20, 10, 0x336699, "png")),
+      (2L, pngBytes(7, 5, 0xAA0000, "jpg")),
+      (3L, pngBytes(33, 44, 0x00FF00, "bmp")),
+      (4L, "not an image at all, just bytes".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "media").repartition(2)
+    val out = Multimodal.decodeRealMetadata(df).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(out(1L).width == 20 && out(1L).height == 10 && out(1L).format == "png")
+    assert(out(2L).width == 7 && out(2L).height == 5 && out(2L).format.startsWith("jp"))
+    assert(out(3L).width == 33 && out(3L).height == 44 && out(3L).format == "bmp")
+    // junk payload falls back to the deterministic stub, not a task failure
+    assert(out(4L).format == "jpeg" || out(4L).format == "png")
+  }
+
+  test("JDK codec: real WAV header decode and real pixel resize") {
+    val wav = wavBytes(nFrames = 800, sampleRate = 16000f, channels = 1)
+    val am = Multimodal.JdkImageCodec.decodeAudioMeta(wav)
+    assert(am.sampleRateHz == 16000 && am.channels == 1 && am.frames == 800)
+    assert(am.format == "wav")
+    // decodeMeta routes WAV through the audio path (frames/rate/channels)
+    val mm = Multimodal.JdkImageCodec.decodeMeta(wav)
+    assert(mm.width == 800 && mm.height == 16000 && mm.channels == 1)
+    // real resize: 80x40 PNG into a 20-box -> 20x10, re-decodable
+    val resized = Multimodal.JdkImageCodec.resizeImage(pngBytes(80, 40, 0x123456), maxSide = 20)
+    val rm = Multimodal.JdkImageCodec.decodeMeta(resized)
+    assert(rm.width == 20 && rm.height == 10 && rm.format == "png")
+    // uniform-color image keeps its luminance through the bilinear resize
+    val lum = Multimodal.JdkImageCodec.meanLuminance(resized)
+    val expected = 0.299 * 0x12 + 0.587 * 0x34 + 0.114 * 0x56
+    assert(math.abs(lum - expected) < 1.5, s"luminance $lum vs $expected")
+  }
 }
