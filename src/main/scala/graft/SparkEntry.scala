@@ -854,14 +854,28 @@ object SparkEntry {
     }),
 
     "q55_percentiles" -> ((s, dir) => {
-      // exact interpolated percentiles (percentile_approx is sketch-based
-      // and engine-specific; `percentile` is the oracle-able exact form)
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
+      // exact interpolated percentiles — re-anchored (r11, VERDICT item
+      // 6) on the histogram-refinement selector so NO oracle path keeps
+      // an O(group) buffer: Spark's built-in `percentile` collects the
+      // whole group into one task's aggregation buffer (the documented
+      // scale ceiling this repo's Selection machinery exists to
+      // remove). Two selector calls share scans per value column; the
+      // long (group, q, value) output pivots wide. Bit-equal to the
+      // built-in and to DuckDB quantile_cont (same weighted-mean
+      // interpolation form — Selection scaladoc), so the oracle is
+      // unchanged.
+      val li = Tables.lineitem(s, dir)
+      val ep = graft.operators.Selection.exactGroupedQuantiles(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.9))
+      val qt = graft.operators.Selection.exactGroupedQuantiles(
+        li, "l_returnflag", "l_quantity", Seq(0.25))
+      ep.groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("p50"),
-          expr("percentile(l_extendedprice, 0.9)").as("p90"),
-          expr("percentile(l_quantity, 0.25)").as("q25"))
+          max(when(col("q") === 0.5, col("value"))).as("p50"),
+          max(when(col("q") === 0.9, col("value"))).as("p90"))
+        .join(qt.groupBy(col("l_returnflag"))
+          .agg(max(when(col("q") === 0.25, col("value"))).as("q25")),
+          Seq("l_returnflag"))
     }),
 
     "q57_percentile_approx" -> ((s, dir) => {
