@@ -384,4 +384,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q343_rolling_wau")
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q115: the CMS prefilter probe is a codegen expression, not a Scala UDF") {
+    // r11 regression gate: the probe used to be a udf() — 1.5 µs/row of
+    // UTF8String→String decode, 9× the exact agg it guards. The
+    // expression must sit inside the filter (cmsprobe) with no UDF
+    // wrapper on the probe path.
+    val p = plan("q115_cms_heavy_hitters")
+    assert(p.toLowerCase.contains("cmsprobe"), p.take(1500))
+  }
+
+  test("q55: percentiles ride the selector — no single-buffer percentile agg") {
+    // r11 re-anchor (VERDICT item 6): Spark's built-in `percentile`
+    // buffers the whole group in one task; no oracle path may plan it
+    val p = plan("q55_percentiles")
+    assert(!p.contains("percentile(") && !p.contains("Percentile"), p.take(1500))
+  }
 }
