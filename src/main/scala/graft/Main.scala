@@ -104,9 +104,10 @@ object Main {
       case Some(cls) => Class.forName(cls).getDeclaredConstructor()
         .newInstance().asInstanceOf[PageDecoder]
       case None =>
-        System.err.println("[graft] no --decoder_class given; using the deterministic " +
-          "stand-in decoder (this build ships no PDF library — see sources/DocDecode.scala)")
-        FakePdfDecoder()
+        System.err.println("[graft] no --decoder_class given; real %PDF- payloads " +
+          "decode via the zero-dep subset decoder (sources/MiniPdf.scala), " +
+          "other payloads via the deterministic stand-in")
+        graft.sources.AutoPdfDecoder()
     }
     val resume = a.getOrElse("incremental_mode", "incremental") match {
       case "incremental" => true
