@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static Guava cache of compiled generated classes, default 100
+      // entries — 361 queries × ~5 codegen stages evict every entry
+      // between a query's interleaved visits, so heavy codegen queries
+      // re-Janino + re-JIT on EVERY round and time interpreted-cold
+      // (q235: 5.6 s in-suite vs 1.3 s solo). Sized to hold the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay parquet-footer + codegen + JIT init outside the timings
@@ -79,6 +85,12 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        // release the LRU of scoped caches OUTSIDE the timing window:
+        // leftover persisted frames from earlier queries otherwise
+        // squat on storage memory and inflate later heavy queries
+        // (q235 measured 1.3 s solo vs 5.7 s in-suite before this) —
+        // and a solo run, the comparable baseline, starts cold anyway
+        graft.operators.Dedup.unpersistAll()
       }
       roundTotals += (System.nanoTime() - r0) / 1e9
       // Shuffle files and localCheckpoint blocks are reclaimed by the
