@@ -15,23 +15,43 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *     scanning, not via the xref table, which is exactly the
   *     "reconstruction" mode real parsers fall back to on damaged
   *     files)
-  *   - `/FlateDecode` content streams — `java.util.zip.Inflater`
+  *   - PDF 1.5+ object streams (`/Type /ObjStm`): non-stream objects
+  *     (catalog, page tree, fonts) hidden inside compressed streams
+  *     are inflated and merged into the object map, so modern writers
+  *     (which put the whole page tree in ObjStm) decode too
+  *   - stream filter CHAINS: `/FlateDecode` (`java.util.zip.Inflater`,
+  *     with PNG predictors 10–15 and TIFF predictor 2),
+  *     `/ASCIIHexDecode`, `/ASCII85Decode`, `/RunLengthDecode`, in
+  *     `/Filter [ … ]` order
   *   - the page tree (`/Root → /Pages → /Kids → /Page`) for true page
-  *     ORDER (document order of objects is not page order)
+  *     ORDER (document order of objects is not page order); `/Root`
+  *     is taken from the newest trailer OR xref-stream dict, so both
+  *     classic and 1.5-style files resolve
   *   - text operators inside `BT…ET`: `Tj`, `'`, `"`, `TJ` (with
   *     literal-string escapes incl. octal, and hex strings), `Td`/
-  *     `TD`/`T*` line moves
+  *     `TD`/`T*`/`Tm` line moves, `Tf` font tracking
+  *   - composite-font text: per-page `/Resources → /Font` resolution
+  *     (with `/Parent` inheritance), `/ToUnicode` CMap parsing
+  *     (`bfchar` + `bfrange`, incl. array form), 2-byte CID codes for
+  *     Type0/Identity-H fonts; UTF-16BE (BOM FE FF) literal strings;
+  *     TJ kerning ≤ −180/1000 em rendered as a word space (the
+  *     PyMuPDF-style heuristic)
   *
-  * Honest subset limits (documented, spec-pinned): simple byte
-  * encodings only (Latin-1/WinAnsi-ish — no CID/Type0 composite
-  * fonts), FlateDecode only (no DCT/LZW/ASCII85 filters), no
-  * encryption, kerning numbers in TJ arrays are not turned into
-  * spaces. Payloads outside the subset fail CLOSED with a descriptive
-  * Left, exactly like the reference's `cannot open document` channel.
+  * Honest subset limits (documented, spec-pinned): no encryption
+  * (`/Encrypt` fails CLOSED with a descriptive Left, like the
+  * reference's `cannot open document` channel), no LZW/DCT/JBIG2/CCITT
+  * filters (image filters carry no text; LZW is legacy-rare), no
+  * font-program parsing (a Type0 font with NO ToUnicode maps to
+  * nothing rather than glyph-id garbage), simple fonts without
+  * ToUnicode read as Latin-1/WinAnsi-ish bytes.
   */
 object MiniPdf {
 
   final case class PdfObj(num: Int, dict: String, stream: Option[Array[Byte]])
+
+  /** Per-font text decode info: `twoByte` = CID/Type0 codes (2-byte
+    * units); `toUni` maps code → unicode string ("" entries drop). */
+  final case class FontInfo(twoByte: Boolean, toUni: Map[Int, String])
 
   private val ObjHeader = """(?s)(\d+)\s+(\d+)\s+obj""".r
   private val RootRef = """/Root\s+(\d+)\s+\d+\s+R""".r
@@ -40,6 +60,16 @@ object MiniPdf {
   private val Ref = """(\d+)\s+\d+\s+R""".r
   private val ContentsArr = """(?s)/Contents\s*\[(.*?)\]""".r
   private val ContentsOne = """/Contents\s+(\d+)\s+\d+\s+R""".r
+  private val ParentRef = """/Parent\s+(\d+)\s+\d+\s+R""".r
+  private val IntAfter = Map(
+    "/N" -> """/N\s+(\d+)""".r, "/First" -> """/First\s+(\d+)""".r,
+    "/Predictor" -> """/Predictor\s+(\d+)""".r,
+    "/Columns" -> """/Columns\s+(\d+)""".r,
+    "/Colors" -> """/Colors\s+(\d+)""".r,
+    "/BitsPerComponent" -> """/BitsPerComponent\s+(\d+)""".r)
+
+  private def intIn(dict: String, key: String, dflt: Int): Int =
+    IntAfter(key).findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
 
   /** Balanced `<< … >>` span starting at `start` (which must point at
     * `<<`); returns exclusive end index, or -1. */
@@ -57,7 +87,32 @@ object MiniPdf {
     -1
   }
 
-  /** Scan all indirect objects (xref-free reconstruction mode). */
+  /** Inline value after `key` in `dict`: a balanced `<< … >>` if one
+    * follows, else None (caller then tries the `N 0 R` form). */
+  private def inlineDictAfter(dict: String, key: String): Option[String] = {
+    var from = 0
+    while (true) {
+      val at = dict.indexOf(key, from)
+      if (at < 0) return None
+      var i = at + key.length
+      // reject longer keys sharing the prefix (e.g. /FontFile for /Font)
+      if (i < dict.length && (dict.charAt(i).isLetterOrDigit)) { from = i; }
+      else {
+        while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+        if (i + 1 < dict.length && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<') {
+          val e = dictEnd(dict, i)
+          return if (e > 0) Some(dict.substring(i, e)) else None
+        }
+        return None
+      }
+    }
+    None
+  }
+
+  /** Scan all indirect objects (xref-free reconstruction mode), then
+    * expand `/Type /ObjStm` object streams (PDF 1.5+) — inner objects
+    * join the map unless a top-level definition of the same number
+    * exists (top-level wins: incremental updates append uncompressed). */
   def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
     val s = new String(bytes, ISO_8859_1)
     val out = scala.collection.mutable.Map[Int, PdfObj]()
@@ -88,6 +143,36 @@ object MiniPdf {
       // later definitions win (incremental updates append new versions)
       out(num) = PdfObj(num, dict, stream)
     }
+    // expand object streams: header is N (objnum, offset) int pairs,
+    // bodies start at /First; inner objects are dict-only per spec
+    val objStms = out.values.toSeq
+      .filter(o => """/Type\s*/ObjStm\b""".r.findFirstIn(o.dict).isDefined)
+    for (os <- objStms) {
+      val data = new String(decodedStream(os), ISO_8859_1)
+      val n = intIn(os.dict, "/N", 0)
+      val first = intIn(os.dict, "/First", 0)
+      if (n > 0 && first > 0 && first <= data.length) {
+        val header = data.substring(0, first).trim.split("\\s+").filter(_.nonEmpty)
+        val pairs = header.grouped(2).collect {
+          case Array(a, b) if a.forall(_.isDigit) && b.forall(_.isDigit) =>
+            (a.toInt, b.toInt)
+        }.take(n).toSeq
+        for (((num, off), idx) <- pairs.zipWithIndex if !out.contains(num)) {
+          val from = first + off
+          val to = if (idx + 1 < pairs.length) math.min(first + pairs(idx + 1)._2, data.length)
+                   else data.length
+          if (from >= 0 && from < to) {
+            val body = data.substring(from, to).trim
+            val dict =
+              if (body.startsWith("<<")) {
+                val e = dictEnd(body, 0)
+                if (e > 0) body.substring(0, e) else body
+              } else body
+            out(num) = PdfObj(num, dict, None)
+          }
+        }
+      }
+    }
     out.toMap
   }
 
@@ -106,10 +191,162 @@ object MiniPdf {
     } finally inf.end()
   }
 
-  private def decodedStream(o: PdfObj): Array[Byte] = o.stream match {
-    case Some(raw) if o.dict.contains("/FlateDecode") => inflate(raw)
-    case Some(raw) => raw
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { bos.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) bos.write(hi << 4) // odd final digit: low nibble 0
+    bos.toByteArray
+  }
+
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(k: Int): Unit = { // k data bytes of the 4-byte group
+      var t = tuple
+      var pad = 5 - n
+      while (pad > 0) { t = t * 85 + 84; pad -= 1 } // pad with 'u'
+      val b = Array(((t >> 24) & 0xff).toInt, ((t >> 16) & 0xff).toInt,
+        ((t >> 8) & 0xff).toInt, (t & 0xff).toInt)
+      var j = 0
+      while (j < k) { bos.write(b(j)); j += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { bos.write(0); bos.write(0); bos.write(0); bos.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) { flush(4); tuple = 0; n = 0 }
+      }
+      i += 1
+    }
+    if (n > 1) flush(n - 1)
+    bos.toByteArray
+  }
+
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i - 1)
+        bos.write(data, i + 1, n)
+        i += n + 1
+      } else {
+        if (i + 1 < data.length) {
+          val b = data(i + 1)
+          var k = 0
+          while (k < 257 - l) { bos.write(b); k += 1 }
+        }
+        i += 2
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** PNG predictors 10–15 (per-row filter byte) and TIFF predictor 2. */
+  private def unpredict(data: Array[Byte], dict: String): Array[Byte] = {
+    val pred = intIn(dict, "/Predictor", 1)
+    if (pred <= 1) return data
+    val colors = intIn(dict, "/Colors", 1)
+    val bpc = intIn(dict, "/BitsPerComponent", 8)
+    val columns = intIn(dict, "/Columns", 1)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (colors * bpc * columns + 7) / 8
+    if (pred == 2) { // TIFF horizontal differencing (8-bit components)
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      return out
+    }
+    // PNG: rows of (1 filter byte + rowLen data bytes)
+    val stride = rowLen + 1
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * stride) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val x = data(r * stride + 1 + i) & 0xff
+        val a = if (i >= bpp) out(r * rowLen + i - bpp) & 0xff else 0
+        val b = if (r > 0) out((r - 1) * rowLen + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) out((r - 1) * rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => x
+        }
+        out(r * rowLen + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** `/Filter` entries in order (name or array form; common
+    * abbreviations accepted). */
+  private def filterChain(dict: String): Seq[String] = {
+    val at = dict.indexOf("/Filter")
+    if (at < 0) return Nil
+    var i = at + "/Filter".length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    val Name = """/([A-Za-z0-9]+)""".r
+    if (i < dict.length && dict.charAt(i) == '[') {
+      val e = dict.indexOf(']', i)
+      val body = if (e > 0) dict.substring(i + 1, e) else dict.substring(i + 1)
+      Name.findAllMatchIn(body).map(_.group(1)).toSeq
+    } else Name.findFirstMatchIn(dict.substring(i)).map(_.group(1)).toSeq
+  }
+
+  /** Decode a stream through its full filter chain. Unknown filters
+    * (DCT/JPX/CCITT/JBIG2 images, LZW, Crypt) yield NO text bytes —
+    * fail-safe for the text path. */
+  private[sources] def decodedStream(o: PdfObj): Array[Byte] = o.stream match {
     case None => Array.emptyByteArray
+    case Some(raw) =>
+      filterChain(o.dict).foldLeft(raw) { (data, f) =>
+        f match {
+          case "FlateDecode" | "Fl" => unpredict(inflate(data), o.dict)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => ascii85Decode(data)
+          case "RunLengthDecode" | "RL" => runLengthDecode(data)
+          case _ => Array.emptyByteArray
+        }
+      }
   }
 
   /** Page object numbers in page-tree order; falls back to document
@@ -119,26 +356,34 @@ object MiniPdf {
     def isPageLeaf(dict: String) =
       """/Type\s*/Page\b""".r.findFirstIn(dict).isDefined &&
         !"""/Type\s*/Pages\b""".r.findFirstIn(dict).isDefined
+    // /Root lives in the trailer (classic) or an xref-stream / ObjStm
+    // catalog-bearing dict (1.5+); both the raw bytes and any expanded
+    // ObjStm dicts are searched, newest first
+    val rootCandidates =
+      RootRef.findAllMatchIn(s).toSeq.map(_.group(1).toInt).reverse ++
+        objs.values.toSeq.sortBy(-_.num)
+          .flatMap(o => RootRef.findFirstMatchIn(o.dict).map(_.group(1).toInt))
     val fromTree: Seq[Int] =
-      (for {
-        root <- RootRef.findAllMatchIn(s).toSeq.lastOption.map(_.group(1).toInt)
-        cat <- objs.get(root)
-        pagesRoot <- PagesRef.findFirstMatchIn(cat.dict).map(_.group(1).toInt)
-      } yield {
-        def walk(num: Int, depth: Int): Seq[Int] = {
-          if (depth > 32) return Nil // cycle guard
-          objs.get(num) match {
-            case Some(o) if isPageLeaf(o.dict) => Seq(num)
-            case Some(o) =>
-              KidsArr.findFirstMatchIn(o.dict).toSeq.flatMap { km =>
-                Ref.findAllMatchIn(km.group(1)).toSeq
-                  .flatMap(r => walk(r.group(1).toInt, depth + 1))
-              }
-            case None => Nil
+      rootCandidates.iterator.map { root =>
+        (for {
+          cat <- objs.get(root)
+          pagesRoot <- PagesRef.findFirstMatchIn(cat.dict).map(_.group(1).toInt)
+        } yield {
+          def walk(num: Int, depth: Int): Seq[Int] = {
+            if (depth > 32) return Nil // cycle guard
+            objs.get(num) match {
+              case Some(o) if isPageLeaf(o.dict) => Seq(num)
+              case Some(o) =>
+                KidsArr.findFirstMatchIn(o.dict).toSeq.flatMap { km =>
+                  Ref.findAllMatchIn(km.group(1)).toSeq
+                    .flatMap(r => walk(r.group(1).toInt, depth + 1))
+                }
+              case None => Nil
+            }
           }
-        }
-        walk(pagesRoot, 0)
-      }).getOrElse(Nil)
+          walk(pagesRoot, 0)
+        }).getOrElse(Nil)
+      }.find(_.nonEmpty).getOrElse(Nil)
     if (fromTree.nonEmpty) fromTree
     else objs.values.toSeq.filter(o => isPageLeaf(o.dict)).map(_.num).sorted
   }
@@ -148,38 +393,167 @@ object MiniPdf {
     val dict = objs.get(pageNum).map(_.dict).getOrElse("")
     val refs: Seq[Int] = ContentsArr.findFirstMatchIn(dict) match {
       case Some(am) => Ref.findAllMatchIn(am.group(1)).map(_.group(1).toInt).toSeq
-      case None => ContentsOne.findFirstMatchIn(dict).map(_.group(1).toInt).toSeq
+      case None => ContentsOne.findFirstMatchIn(dict).map(_.group(1)).map(_.toInt).toSeq
     }
     refs.flatMap(r => objs.get(r).map(decodedStream).getOrElse(Array.emptyByteArray)).toArray
   }
 
+  /** UTF-16BE string from CMap destination hex (4 hex digits / char;
+    * surrogate pairs compose naturally). */
+  private def utf16FromHex(h: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    if (i + 2 <= h.length) // stray single byte: treat as char
+      sb.append(Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+    sb.toString
+  }
+
+  /** Parse a ToUnicode CMap: `bfchar` pairs and `bfrange` triples
+    * (incremental or array destination form). */
+  def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map[Int, String]()
+    val Hex = """<([0-9A-Fa-f]+)>""".r
+    for (m <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)) {
+      val toks = Hex.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(code, dst) => out(Integer.parseInt(code, 16)) = utf16FromHex(dst)
+        case _ =>
+      }
+    }
+    for (m <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap)) {
+      // tokenize: hex strings and brackets, in order
+      val toks = """<[0-9A-Fa-f]+>|\[|\]""".r.findAllIn(m.group(1)).toSeq
+      var i = 0
+      while (i + 2 <= toks.length - 1) {
+        val lo = Integer.parseInt(toks(i).drop(1).dropRight(1), 16)
+        val hi = Integer.parseInt(toks(i + 1).drop(1).dropRight(1), 16)
+        if (toks(i + 2) == "[") {
+          var j = i + 3
+          var c = lo
+          while (j < toks.length && toks(j) != "]") {
+            if (c <= hi) out(c) = utf16FromHex(toks(j).drop(1).dropRight(1))
+            c += 1; j += 1
+          }
+          i = j + 1
+        } else {
+          val dst = utf16FromHex(toks(i + 2).drop(1).dropRight(1))
+          var c = lo
+          while (c <= hi && c - lo < 65536) {
+            out(c) =
+              if (dst.isEmpty) ""
+              else dst.init + (dst.last + (c - lo)).toChar
+            c += 1
+          }
+          i += 3
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Resolve a page's `/Resources → /Font` map (with `/Parent`
+    * inheritance) into per-name [[FontInfo]]. */
+  def pageFonts(objs: Map[Int, PdfObj], pageNum: Int): Map[String, FontInfo] = {
+    // find the governing /Resources: on the page, else up the parents
+    def resourcesOf(num: Int, depth: Int): Option[String] = {
+      if (depth > 16) return None
+      objs.get(num).flatMap { o =>
+        inlineDictAfter(o.dict, "/Resources")
+          .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(o.dict)
+            .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+          .orElse(ParentRef.findFirstMatchIn(o.dict)
+            .flatMap(m => resourcesOf(m.group(1).toInt, depth + 1)))
+      }
+    }
+    val fontDictOpt = resourcesOf(pageNum, 0).flatMap { res =>
+      inlineDictAfter(res, "/Font")
+        .orElse("""/Font\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(res)
+          .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+    }
+    if (fontDictOpt.isEmpty) return Map.empty
+    val fontDict = fontDictOpt.get
+    val FontRef = """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r
+    FontRef.findAllMatchIn(fontDict).flatMap { m =>
+      objs.get(m.group(2).toInt).map { fo =>
+        val twoByte = """/Subtype\s*/Type0\b""".r.findFirstIn(fo.dict).isDefined ||
+          fo.dict.contains("/Identity-H") || fo.dict.contains("/Identity-V")
+        val toUni = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fo.dict)
+          .flatMap(tm => objs.get(tm.group(1).toInt))
+          .map(o => parseToUnicode(new String(decodedStream(o), ISO_8859_1)))
+          .getOrElse(Map.empty[Int, String])
+        m.group(1) -> FontInfo(twoByte, toUni)
+      }
+    }.toMap
+  }
+
+  def contentText(content: Array[Byte]): String =
+    contentText(content, Map.empty)
+
   /** Extract text from a content stream: a small operand-stack scanner
     * over `BT…ET` blocks. Strings accumulate; `Tj`/`TJ` emit; `'`/`"`
-    * and `Td`/`TD`/`T*` break lines. */
-  def contentText(content: Array[Byte]): String = {
+    * and `Td`/`TD`/`T*`/`Tm` break lines; `Tf` switches the active
+    * [[FontInfo]] (CID code mapping); TJ kerning ≤ −180 emits a space. */
+  def contentText(content: Array[Byte], fonts: Map[String, FontInfo]): String = {
     val s = new String(content, ISO_8859_1)
     val out = new StringBuilder
     val pending = new StringBuilder // operand strings since last operator
     var i = 0
+    var curFont: Option[FontInfo] = None
+    var lastName: String = ""
+    var inArray = false
     def emitLineBreak(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
     def emitPending(): Unit = { out.append(pending); pending.clear() }
 
+    /** Raw string bytes → text per the active font: UTF-16BE BOM wins;
+      * else CID 2-byte codes through ToUnicode (no map → drop, never
+      * glyph-id garbage); else byte map / identity Latin-1. */
+    def appendDecoded(raw: StringBuilder): Unit = {
+      if (raw.length >= 2 && raw.charAt(0) == 0xFE.toChar && raw.charAt(1) == 0xFF.toChar) {
+        var k = 2
+        while (k + 1 < raw.length) {
+          pending.append(((raw.charAt(k) << 8) | raw.charAt(k + 1)).toChar)
+          k += 2
+        }
+      } else curFont match {
+        case Some(f) if f.twoByte =>
+          var k = 0
+          while (k + 1 < raw.length) {
+            val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)
+            pending.append(f.toUni.getOrElse(code, ""))
+            k += 2
+          }
+        case Some(f) if f.toUni.nonEmpty =>
+          var k = 0
+          while (k < raw.length) {
+            val c = raw.charAt(k)
+            pending.append(f.toUni.getOrElse(c.toInt, c.toString))
+            k += 1
+          }
+        case _ => pending.append(raw)
+      }
+    }
+
     def parseLiteral(from: Int): Int = { // from points AT '('; returns index after ')'
+      val raw = new StringBuilder
       var j = from + 1
       var depth = 1
       while (j < s.length && depth > 0) {
         s.charAt(j) match {
           case '\\' if j + 1 < s.length =>
             s.charAt(j + 1) match {
-              case 'n' => pending.append('\n'); j += 2
-              case 'r' => pending.append('\r'); j += 2
-              case 't' => pending.append('\t'); j += 2
-              case 'b' => pending.append('\b'); j += 2
-              case 'f' => pending.append('\f'); j += 2
-              case '(' => pending.append('('); j += 2
-              case ')' => pending.append(')'); j += 2
-              case '\\' => pending.append('\\'); j += 2
+              case 'n' => raw.append('\n'); j += 2
+              case 'r' => raw.append('\r'); j += 2
+              case 't' => raw.append('\t'); j += 2
+              case 'b' => raw.append('\b'); j += 2
+              case 'f' => raw.append('\f'); j += 2
+              case '(' => raw.append('('); j += 2
+              case ')' => raw.append(')'); j += 2
+              case '\\' => raw.append('\\'); j += 2
               case '\n' => j += 2 // line continuation
               case '\r' => j += (if (j + 2 < s.length && s.charAt(j + 2) == '\n') 3 else 2)
               case d if d >= '0' && d <= '7' =>
@@ -187,17 +561,18 @@ object MiniPdf {
                 while (k < s.length && n < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
                   v = v * 8 + (s.charAt(k) - '0'); k += 1; n += 1
                 }
-                pending.append(v.toChar); j = k
-              case other => pending.append(other); j += 2
+                raw.append(v.toChar); j = k
+              case other => raw.append(other); j += 2
             }
-          case '(' => depth += 1; pending.append('('); j += 1
+          case '(' => depth += 1; raw.append('('); j += 1
           case ')' =>
             depth -= 1
-            if (depth > 0) pending.append(')')
+            if (depth > 0) raw.append(')')
             j += 1
-          case c => pending.append(c); j += 1
+          case c => raw.append(c); j += 1
         }
       }
+      appendDecoded(raw)
       j
     }
     def parseHex(from: Int): Int = { // from points AT '<' (not '<<'); returns after '>'
@@ -209,11 +584,13 @@ object MiniPdf {
         j += 1
       }
       if (hex.length % 2 == 1) hex.append('0')
+      val raw = new StringBuilder
       var k = 0
       while (k + 1 < hex.length) {
-        pending.append(Integer.parseInt(hex.substring(k, k + 2), 16).toChar)
+        raw.append(Integer.parseInt(hex.substring(k, k + 2), 16).toChar)
         k += 2
       }
+      appendDecoded(raw)
       j + 1
     }
 
@@ -225,7 +602,23 @@ object MiniPdf {
         val e = dictEnd(s, i); i = if (e > 0) e else i + 2
       }
       else if (c == '<') i = parseHex(i)
-      else if (c == '[' || c == ']') i += 1 // TJ arrays: strings already accumulate
+      else if (c == '[') { inArray = true; i += 1 }
+      else if (c == ']') { inArray = false; i += 1 }
+      else if (c == '/') {
+        var j = i + 1
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        lastName = s.substring(i + 1, j)
+        i = j
+      }
+      else if (inArray && (c == '-' || c.isDigit)) {
+        // TJ kerning number: large negative displacement = word space
+        var j = i + 1
+        while (j < s.length && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+        val v = try s.substring(i, j).toDouble catch { case _: Exception => 0.0 }
+        if (v <= -180.0 && (pending.isEmpty || pending.last != ' ')) pending.append(' ')
+        i = j
+      }
       else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace &&
@@ -234,7 +627,8 @@ object MiniPdf {
         s.substring(i, j) match {
           case "Tj" | "TJ" => emitPending()
           case "'" | "\"" => emitLineBreak(); emitPending()
-          case "Td" | "TD" | "T*" => pending.clear(); emitLineBreak()
+          case "Td" | "TD" | "T*" | "Tm" => pending.clear(); emitLineBreak()
+          case "Tf" => pending.clear(); curFont = fonts.get(lastName)
           case "BT" => pending.clear(); emitLineBreak()
           case "ET" => pending.clear()
           case _ => pending.clear() // other operators consume their operands
@@ -256,13 +650,20 @@ final case class MiniPdfDecoder() extends PageDecoder {
       return Left("cannot open document: empty payload")
     if (!new String(payload, 0, 5, ISO_8859_1).startsWith("%PDF-"))
       return Left("cannot open document: not a PDF header")
+    // encryption: fail CLOSED (trailer / xref-stream dict carries
+    // /Encrypt; scan the tail where trailers live)
+    val tail = new String(payload, math.max(0, payload.length - 2048),
+      math.min(2048, payload.length), ISO_8859_1)
+    if ("""/Encrypt\s+\d+\s+\d+\s+R""".r.findFirstIn(tail).isDefined)
+      return Left("cannot open document: encrypted")
     try {
       val objs = MiniPdf.parseObjects(payload)
       if (objs.isEmpty) return Left("cannot open document: no PDF objects")
       val pages = MiniPdf.pageOrder(objs, payload)
       if (pages.isEmpty) return Left("cannot open document: no pages")
       Right(pages.map { p =>
-        val text = MiniPdf.contentText(MiniPdf.pageContent(objs, p))
+        val fonts = MiniPdf.pageFonts(objs, p)
+        val text = MiniPdf.contentText(MiniPdf.pageContent(objs, p), fonts)
           .replaceAll("\\s+", " ").trim
         val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         s"<div><p>$esc</p></div>"

@@ -114,6 +114,200 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(auto.decode(textPayload) == FakePdfDecoder().decode(textPayload))
   }
 
+  // ------------------------------------------------------------------
+  // round-11 depth extensions: modern-PDF coverage
+  // ------------------------------------------------------------------
+
+  /** Assemble a PDF from raw (num, dict, streamBytes) objects plus an
+    * arbitrary trailer/footer — for the PDF 1.5-style tests the classic
+    * builder can't express. */
+  private def rawPdf(objects: Seq[(Int, String, Option[Array[Byte]])],
+                     footer: String = "trailer\n<< /Root 1 0 R >>\n%%EOF\n"): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    for ((num, dict, stream) <- objects) {
+      w(s"$num 0 obj\n$dict\n")
+      stream.foreach { data =>
+        w("stream\n"); bos.write(data); w("\nendstream\n")
+      }
+      w("endobj\n")
+    }
+    w(footer)
+    bos.toByteArray
+  }
+
+  private def a85encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var t = 0L
+      var k = 0
+      while (k < 4) { t = (t << 8) | (if (i + k < data.length) data(i + k) & 0xff else 0); k += 1 }
+      if (n == 4 && t == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var v = t
+        var j = 4
+        while (j >= 0) { cs(j) = ((v % 85) + 33).toChar; v /= 85; j -= 1 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  test("PDF 1.5 object streams: page tree hidden in /Type /ObjStm decodes") {
+    // catalog (2), pages (3) and page (6) live INSIDE a Flate'd ObjStm;
+    // /Root comes from an xref-stream dict, no `trailer` keyword at all
+    val inner = Seq(
+      2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+      3 -> "<< /Type /Pages /Kids [ 6 0 R ] /Count 1 >>",
+      6 -> "<< /Type /Page /Parent 3 0 R /Contents 4 0 R >>")
+    val bodies = inner.map(_._2)
+    val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = inner.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString("\n") + "\n").getBytes(ISO_8859_1)
+    val packed = deflate(payload)
+    val content = "BT (from an object stream) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, s"<< /Type /ObjStm /N 3 /First ${header.length} /Filter /FlateDecode /Length ${packed.length} >>", Some(packed)),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Type /XRef /Root 2 0 R /W [ 1 2 1 ] /Length 0 >>", Some(Array.emptyByteArray))),
+      footer = "startxref\n0\n%%EOF\n")
+    assert(MiniPdfDecoder().decode(pdf) ==
+      Right(Seq("<div><p>from an object stream</p></div>")))
+  }
+
+  test("filter chains: ASCII85+Flate, ASCIIHex, RunLength, PNG predictor") {
+    def onePage(filter: String, data: Array[Byte], parms: String = ""): Array[Byte] =
+      rawPdf(Seq(
+        (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+        (4, s"<< /Filter $filter$parms /Length ${data.length} >>", Some(data))))
+    // chain: stream = a85(deflate(text)); decode order A85 -> Flate
+    val t1 = "BT (chained filters) Tj ET"
+    assert(MiniPdfDecoder().decode(onePage("[ /ASCII85Decode /FlateDecode ]",
+      a85encode(deflate(t1.getBytes(ISO_8859_1))))) ==
+      Right(Seq("<div><p>chained filters</p></div>")))
+    // ASCIIHex with whitespace and terminator
+    val t2 = "BT (hex filter) Tj ET"
+    val hex = t2.getBytes(ISO_8859_1).map(b => f"${b & 0xff}%02X").mkString(" ") + " >"
+    assert(MiniPdfDecoder().decode(onePage("/ASCIIHexDecode", hex.getBytes(ISO_8859_1))) ==
+      Right(Seq("<div><p>hex filter</p></div>")))
+    // RunLength: literal chunks + EOD
+    val t3 = "BT (rle) Tj ET".getBytes(ISO_8859_1)
+    val rle = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < t3.length) {
+      val n = math.min(128, t3.length - i)
+      rle.write(n - 1); rle.write(t3, i, n); i += n
+    }
+    rle.write(128)
+    assert(MiniPdfDecoder().decode(onePage("/RunLengthDecode", rle.toByteArray)) ==
+      Right(Seq("<div><p>rle</p></div>")))
+    // Flate + PNG Up predictor (12), Columns 10
+    val cols = 10
+    val raw0 = "BT (predicted row data) Tj ET".getBytes(ISO_8859_1)
+    val pad = (cols - raw0.length % cols) % cols
+    val raw = raw0 ++ Array.fill(pad)(' '.toByte)
+    val enc = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < raw.length / cols) {
+      enc.write(2) // Up
+      var c = 0
+      while (c < cols) {
+        val prev = if (r > 0) raw((r - 1) * cols + c) & 0xff else 0
+        enc.write((raw(r * cols + c) & 0xff) - prev & 0xff)
+        c += 1
+      }
+      r += 1
+    }
+    assert(MiniPdfDecoder().decode(onePage("/FlateDecode", deflate(enc.toByteArray),
+      s" /DecodeParms << /Predictor 12 /Columns $cols >>")) ==
+      Right(Seq("<div><p>predicted row data</p></div>")))
+  }
+
+  test("Type0 font text via ToUnicode CMap; Identity-H without map drops cleanly") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0001> <0048>
+        |<0002> <00690021>
+        |<0003> <0020>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<0058> <00590059>]
+        |endbfrange
+        |endcmap
+        |end""".stripMargin.getBytes(ISO_8859_1)
+    // bfchar: 0001->H, 0002->i!, 0003->space; bfrange: 0010..0012->A,B,C;
+    // array form: 0020->X, 0021->YY
+    val content = "BT /F1 12 Tf <00010002> Tj <0003> Tj <001000110012> Tj " +
+      "/F2 12 Tf <00010002> Tj /F1 12 Tf <00200021> Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 7 0 R /F2 9 0 R >> >> /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (7, "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 8 0 R >>", None),
+      (8, s"<< /Length ${cmap.length} >>", Some(cmap)),
+      (9, "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>", None)))
+    // F2 (no ToUnicode) must contribute NOTHING — not glyph-id garbage
+    val Right(pages) = MiniPdfDecoder().decode(pdf)
+    assert(pages == Seq("<div><p>Hi! ABCXYY</p></div>"))
+  }
+
+  test("resources inherited from the Pages parent node resolve fonts") {
+    val cmap = "1 beginbfchar <0001> <005A> endbfchar".getBytes(ISO_8859_1)
+    val content = "BT /F1 1 Tf <0001> Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 /Resources << /Font << /F1 7 0 R >> >> >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None), // no /Resources here
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (7, "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 8 0 R >>", None),
+      (8, s"<< /Length ${cmap.length} >>", Some(cmap))))
+    assert(MiniPdfDecoder().decode(pdf) == Right(Seq("<div><p>Z</p></div>")))
+  }
+
+  test("UTF-16BE literal strings and TJ kerning word spaces") {
+    val utf16 = Array[Byte]('B', 'T', ' ', '(', 0xFE.toByte, 0xFF.toByte,
+      0x00, 'H', 0x00, 'i', ')', ' ', 'T', 'j', ' ', 'E', 'T')
+    val kern = "BT [(Hello) -250 (world) -20 (!)] TJ ET"
+    val full = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R 5 0 R ] /Count 2 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 10 0 R >>", None),
+      (5, "<< /Type /Page /Parent 2 0 R /Contents 11 0 R >>", None),
+      (10, s"<< /Length ${utf16.length} >>", Some(utf16)),
+      (11, s"<< /Length ${kern.length} >>", Some(kern.getBytes(ISO_8859_1)))))
+    val Right(pages) = MiniPdfDecoder().decode(full)
+    assert(pages(0) == "<div><p>Hi</p></div>")
+    // -250 (beyond the word-space threshold) breaks; -20 (kerning) glues
+    assert(pages(1) == "<div><p>Hello world!</p></div>")
+  }
+
+  test("encrypted PDFs fail CLOSED with a descriptive error") {
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, "<< /Length 20 >>", Some("BT (secret) Tj ET".getBytes(ISO_8859_1)))),
+      footer = "trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n")
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res.isLeft && res.swap.toOption.get.contains("encrypted"))
+  }
+
   test("end-to-end: real PDFs through DocPipeline.decodePages") {
     val spark = TestSpark.spark
     import spark.implicits._
