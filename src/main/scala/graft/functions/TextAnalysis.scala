@@ -17,77 +17,11 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- langid
 
-  /** Stopword profiles for a character/stopword n-gram language heuristic.
-    * Public-knowledge function-word lists (the highest-frequency words of
-    * each language); script ranges handle zh/ru/ar/fa/he/ja/ko. */
-  private val stopwords: Map[String, Set[String]] = Map(
-    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "on", "are", "with", "as", "this", "at", "be", "have", "not"),
-    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "se", "del", "su", "al", "como", "no"),
-    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "für", "auf", "des", "ein", "eine", "nicht", "dem", "sich", "auch", "zu", "als"),
-    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "du", "est", "en", "que", "qui", "dans", "pour", "pas", "au", "sur", "avec", "ne"),
-    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "del", "della", "con", "non", "sono", "gli", "le", "si", "da", "come", "nel", "più"),
-    "pt" -> Set("o", "a", "de", "que", "e", "do", "da", "em", "um", "uma", "para", "com", "não", "os", "as", "dos", "se", "na", "no", "por"),
-    "nl" -> Set("de", "het", "een", "van", "en", "in", "is", "dat", "op", "te", "met", "voor", "niet", "zijn", "aan", "er", "ook", "als", "bij", "maar"),
-  )
-
-  /** Score text against script ranges + stopword profiles; returns an ISO
-    * 639-1 code or "un" (unknown). Deterministic, allocation-light; used
-    * inside the langid UDF and directly testable. */
-  def detectLanguage(text: String): String = {
-    if (text == null || text.isEmpty) return "un"
-    var cjk = 0; var cyr = 0; var arab = 0; var hebrew = 0
-    var hira = 0; var hangul = 0; var latin = 0; var letters = 0
-    var i = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (Character.isLetter(c)) {
-        letters += 1
-        val b = Character.UnicodeScript.of(c)
-        b match {
-          case Character.UnicodeScript.HAN => cjk += 1
-          case Character.UnicodeScript.CYRILLIC => cyr += 1
-          case Character.UnicodeScript.ARABIC => arab += 1
-          case Character.UnicodeScript.HEBREW => hebrew += 1
-          case Character.UnicodeScript.HIRAGANA | Character.UnicodeScript.KATAKANA => hira += 1
-          case Character.UnicodeScript.HANGUL => hangul += 1
-          case Character.UnicodeScript.LATIN => latin += 1
-          case _ => ()
-        }
-      }
-      i += 1
-    }
-    if (letters == 0) return "un"
-    val l = letters.toDouble
-    // Script-dominant languages first (cheap and unambiguous).
-    if (hira / l > 0.2) return "ja"
-    if (hangul / l > 0.5) return "ko"
-    if (cjk / l > 0.5) return "zh"
-    if (cyr / l > 0.5) return "ru"
-    if (hebrew / l > 0.5) return "he"
-    if (arab / l > 0.5) {
-      // fa vs ar: Farsi-specific letters گ چ پ ژ + Farsi forms of yeh/kaf
-      // (U+06CC/U+06A9), plus tiny function-word lists for text written
-      // entirely in the shared subset (e.g. خداحافظ).
-      val farsiChars = "گچپژیک"
-      val faWords = Set("خداحافظ", "سلام", "است", "این", "که", "های", "برای", "با", "را")
-      val arWords = Set("في", "من", "على", "إلى", "هذا", "التي", "عن", "مع", "أن")
-      val ws = text.split("\\s+").toSet
-      if (text.exists(farsiChars.contains(_)) || ws.exists(faWords.contains)) return "fa"
-      if (ws.exists(arWords.contains)) return "ar"
-      return "fa" // default: the reference corpus skews Farsi (cld2 parity on its tests)
-    }
-    // Latin-script languages: stopword-profile vote.
-    val words = text.toLowerCase.split("[^\\p{L}']+").filter(_.nonEmpty)
-    if (words.isEmpty) return "un"
-    var best = "un"; var bestHits = 0
-    stopwords.foreach { case (lang, sw) =>
-      val hits = words.count(sw.contains)
-      if (hits > bestHits) { best = lang; bestHits = hits }
-    }
-    if (bestHits > 0) best
-    else if (latin / l > 0.5) "en" // latin text with no profile hits
-    else "un"
-  }
+  /** Language identification: script histogram + per-script statistical
+    * n-gram profiles — see [[LangId]] for the model. Returns an ISO 639-1
+    * code or "un" (unknown). Deterministic, allocation-light; used inside
+    * the langid UDF and directly testable. */
+  def detectLanguage(text: String): String = LangId.detect(text)
 
   /** Language-ID column (UDF — the scorer needs per-char script lookups
     * that Catalyst expressions can't express). Deterministic + idempotent,
