@@ -43,7 +43,10 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   * filters (image filters carry no text; LZW is legacy-rare), no
   * font-program parsing (a Type0 font with NO ToUnicode maps to
   * nothing rather than glyph-id garbage), simple fonts without
-  * ToUnicode read as Latin-1/WinAnsi-ish bytes.
+  * ToUnicode read as Latin-1/WinAnsi-ish bytes. Decompression bombs
+  * fail CLOSED: any decoded stream over [[DecodedCap]] (128 MiB) or a
+  * filter chain longer than 8 aborts the document with a descriptive
+  * Left rather than OOM-ing the executor.
   */
 object MiniPdf {
 
@@ -176,16 +179,29 @@ object MiniPdf {
     out.toMap
   }
 
+  /** Decompression-bomb ceiling per decoded stream (128 MiB). Real PDF
+    * content streams are a few MB at most; a crafted Flate or RLE bomb
+    * (KBs in, GBs out) would otherwise OOM an executor mid-corpus.
+    * Exceeding the cap throws → [[MiniPdfDecoder]] fails the document
+    * CLOSED with a descriptive Left, like encryption. */
+  private[sources] val DecodedCap: Int = 128 << 20
+
+  private def capExceeded(): Nothing =
+    throw new IllegalStateException(
+      s"decoded stream exceeds ${DecodedCap >> 20} MiB cap (decompression bomb?)")
+
   def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data)
-      val bos = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val bos = new java.io.ByteArrayOutputStream(math.max(64, math.min(data.length * 4, 1 << 20)))
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) bos.write(buf, 0, n)
-        else if (n == 0 && !inf.finished()) return bos.toByteArray // truncated
+        if (n > 0) {
+          if (bos.size() + n > DecodedCap) capExceeded()
+          bos.write(buf, 0, n)
+        } else if (n == 0 && !inf.finished()) return bos.toByteArray // truncated
       }
       bos.toByteArray
     } finally inf.end()
@@ -256,6 +272,7 @@ object MiniPdf {
       } else {
         if (i + 1 < data.length) {
           val b = data(i + 1)
+          if (bos.size() + (257 - l) > DecodedCap) capExceeded()
           var k = 0
           while (k < 257 - l) { bos.write(b); k += 1 }
         }
@@ -338,7 +355,9 @@ object MiniPdf {
   private[sources] def decodedStream(o: PdfObj): Array[Byte] = o.stream match {
     case None => Array.emptyByteArray
     case Some(raw) =>
-      filterChain(o.dict).foldLeft(raw) { (data, f) =>
+      // real files chain ≤2-3 filters; a long crafted chain of RLE
+      // passes would be a multiplicative bomb — cap at 8
+      filterChain(o.dict).take(8).foldLeft(raw) { (data, f) =>
         f match {
           case "FlateDecode" | "Fl" => unpredict(inflate(data), o.dict)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
