@@ -321,19 +321,31 @@ object TfRecord {
   /** Read one framed record off a stream (length/CRC-validated), or None
     * at clean EOF. Works on any InputStream — the DSv2 reader feeds it a
     * Hadoop FSDataInputStream directly, no temp copies. */
+  /** Per-record ceiling (1 GiB): a corrupt length word that happens to
+    * pass its CRC window must still not become a giant allocation. */
+  private val MaxRecord: Long = 1L << 30
+
+  /** Corruption policy: TFRecord framing has no resync marker, so the
+    * first record whose length CRC, data CRC, or length bound fails (or
+    * that is truncated mid-record) ENDS the stream — records before it
+    * are salvaged, the tail is dropped. One flipped byte must not fail
+    * the file's whole task. */
   def nextRecord(in: java.io.DataInputStream): Option[Array[Byte]] = {
-    val first = in.read()
-    if (first < 0) return None // clean end-of-file between records
-    val lenBytes = new Array[Byte](8)
-    lenBytes(0) = first.toByte
-    in.readFully(lenBytes, 1, 7)
-    val lenCrc = Integer.reverseBytes(in.readInt())
-    require(lenCrc == maskedCrc(lenBytes), "length crc mismatch")
-    val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
-    val data = new Array[Byte](len); in.readFully(data)
-    val dataCrc = Integer.reverseBytes(in.readInt())
-    require(dataCrc == maskedCrc(data), "data crc mismatch")
-    Some(data)
+    try {
+      val first = in.read()
+      if (first < 0) return None // clean end-of-file between records
+      val lenBytes = new Array[Byte](8)
+      lenBytes(0) = first.toByte
+      in.readFully(lenBytes, 1, 7)
+      val lenCrc = Integer.reverseBytes(in.readInt())
+      if (lenCrc != maskedCrc(lenBytes)) return None // length crc mismatch
+      val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong
+      if (len < 0 || len > MaxRecord) return None // corrupt length
+      val data = new Array[Byte](len.toInt); in.readFully(data)
+      val dataCrc = Integer.reverseBytes(in.readInt())
+      if (dataCrc != maskedCrc(data)) return None // data crc mismatch
+      Some(data)
+    } catch { case _: java.io.EOFException => None } // truncated mid-record
   }
 
   /** Read back the framing, returning raw Example payload bytes — used by

@@ -29,18 +29,35 @@ object Warc {
     StructField("content_type", StringType),
     StructField("payload", BinaryType)))
 
+  /** Header lines are small (URIs + digests); a corrupt stream with no
+    * newline for a GB must not buffer it all as one "line". Bytes past
+    * the cap are consumed but not stored. */
+  private val MaxHeaderLine = 64 * 1024
+
+  /** Per-record payload ceiling (1 GiB). A corrupt or crafted
+    * `Content-Length` past this is treated as lost framing, not an
+    * allocation request. */
+  private val MaxPayload: Long = 1L << 30
+
   private def readLine(in: DataInputStream): String = {
     val sb = new java.lang.StringBuilder()
     var b = in.read()
     if (b < 0) throw new EOFException()
     while (b >= 0 && b != '\n') {
-      if (b != '\r') sb.append(b.toChar)
+      if (b != '\r' && sb.length < MaxHeaderLine) sb.append(b.toChar)
       b = in.read()
     }
     sb.toString
   }
 
-  /** Streaming parse of one WARC stream into records. */
+  /** Streaming parse of one WARC stream into records.
+    *
+    * Corruption policy (what a 100 TB crawl needs — one bad record must
+    * never fail the whole file's task): a malformed `Content-Length`
+    * (non-numeric, negative, or over [[MaxPayload]]) means record framing
+    * is lost, so the parser RESYNCS by scanning for the next `WARC/`
+    * version line; a mid-stream I/O error (torn gzip member, truncated
+    * tail) ends the stream and SALVAGES everything parsed before it. */
   def parseStream(raw: InputStream): Iterator[(String, String, String, Array[Byte])] = {
     val in = new DataInputStream(new BufferedInputStream(raw))
     new Iterator[(String, String, String, Array[Byte])] {
@@ -49,24 +66,35 @@ object Warc {
 
       private def advance(): Unit = {
         try {
-          // seek the version line (skips inter-record blank lines)
-          var line = readLine(in)
-          while (!line.startsWith("WARC/")) line = readLine(in)
-          val headers = scala.collection.mutable.Map.empty[String, String]
-          line = readLine(in)
-          while (line.nonEmpty) {
-            val i = line.indexOf(':')
-            if (i > 0) headers(line.substring(0, i).trim.toLowerCase) =
-              line.substring(i + 1).trim
+          var found = false
+          while (!found) {
+            // seek the version line (skips inter-record blank lines, and
+            // resyncs after a record whose framing was unparseable)
+            var line = readLine(in)
+            while (!line.startsWith("WARC/")) line = readLine(in)
+            val headers = scala.collection.mutable.Map.empty[String, String]
             line = readLine(in)
+            while (line.nonEmpty) {
+              val i = line.indexOf(':')
+              if (i > 0) headers(line.substring(0, i).trim.toLowerCase) =
+                line.substring(i + 1).trim
+              line = readLine(in)
+            }
+            val len = headers.get("content-length")
+              .flatMap(v => v.toLongOption).getOrElse(-1L)
+            if (len >= 0 && len <= MaxPayload) {
+              val payload = new Array[Byte](len.toInt)
+              in.readFully(payload)
+              nextRec = (headers.getOrElse("warc-type", ""),
+                headers.getOrElse("warc-target-uri", ""),
+                headers.getOrElse("content-type", ""), payload)
+              found = true
+            } // else: framing lost — loop resyncs at the next WARC/ line
           }
-          val len = headers.getOrElse("content-length", "0").toInt
-          val payload = new Array[Byte](len)
-          in.readFully(payload)
-          nextRec = (headers.getOrElse("warc-type", ""),
-            headers.getOrElse("warc-target-uri", ""),
-            headers.getOrElse("content-type", ""), payload)
-        } catch { case _: EOFException => done = true }
+        } catch {
+          case _: EOFException => done = true
+          case _: java.io.IOException => done = true // torn gzip etc: salvage
+        }
       }
 
       advance()
@@ -83,8 +111,12 @@ object Warc {
   def scan(spark: SparkSession, path: String): DataFrame = {
     val rdd = spark.sparkContext.binaryFiles(path).flatMap { case (name, pds) =>
       val base: InputStream = pds.open()
-      val stream = if (name.endsWith(".gz")) new GZIPInputStream(base) else base
-      parseStream(stream).map { case (t, uri, ct, payload) =>
+      // a corrupt gzip HEADER throws at construction (before the parser's
+      // salvage policy can apply) — treat that file as empty, not failed
+      val stream: Option[InputStream] =
+        try Some(if (name.endsWith(".gz")) new GZIPInputStream(base) else base)
+        catch { case _: java.io.IOException => base.close(); None }
+      stream.iterator.flatMap(parseStream).map { case (t, uri, ct, payload) =>
         Row(t, uri, ct, payload)
       }
     }

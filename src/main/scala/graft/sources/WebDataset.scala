@@ -64,6 +64,15 @@ object WebDataset {
           private var drain: Iterator[Row] = null
           private var queued: Row = fetch()
 
+          // corruption policy (mirrors Warc.parseStream): a torn or
+          // garbage tar tail ends the archive and SALVAGES the pairs
+          // already read — one corrupt shard byte must never fail the
+          // whole task (and with it the job, after retries)
+          private def endAndDrain(): Unit = {
+            try in.close() catch { case _: java.io.IOException => () }
+            drain = orphanPayloads.iterator.map { case (k, b) => Row(k, b, null, shard) }
+          }
+
           private def fetch(): Row = {
             var out: Row = null
             var done = false
@@ -72,30 +81,33 @@ object WebDataset {
                 if (drain.hasNext) out = drain.next()
                 done = true
               } else {
-                val e = in.getNextEntry
+                val e = try in.getNextEntry catch { case _: java.io.IOException => null }
                 if (e == null) {
-                  in.close()
-                  drain = orphanPayloads.iterator.map { case (k, b) => Row(k, b, null, shard) }
+                  endAndDrain()
                 } else if (!e.isDirectory) {
-                  val n = e.getName
-                  if (n.endsWith(".json")) {
-                    val k = n.stripSuffix(".json")
-                    if (!seen.contains(k)) {
-                      val m = new String(in.readAllBytes(), StandardCharsets.UTF_8)
-                      orphanPayloads.remove(k) match {
-                        case Some(b) => seen += k; out = Row(k, b, m, shard); done = true
-                        case None    => orphanMetas(k) = m
+                  try {
+                    val n = e.getName
+                    if (n.endsWith(".json")) {
+                      val k = n.stripSuffix(".json")
+                      if (!seen.contains(k)) {
+                        val m = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+                        orphanPayloads.remove(k) match {
+                          case Some(b) => seen += k; out = Row(k, b, m, shard); done = true
+                          case None    => orphanMetas(k) = m
+                        }
+                      }
+                    } else if (n.endsWith(s".$ext")) {
+                      val k = n.stripSuffix(s".$ext")
+                      if (!seen.contains(k)) {
+                        val b = in.readAllBytes()
+                        orphanMetas.remove(k) match {
+                          case Some(m) => seen += k; out = Row(k, b, m, shard); done = true
+                          case None    => orphanPayloads(k) = b
+                        }
                       }
                     }
-                  } else if (n.endsWith(s".$ext")) {
-                    val k = n.stripSuffix(s".$ext")
-                    if (!seen.contains(k)) {
-                      val b = in.readAllBytes()
-                      orphanMetas.remove(k) match {
-                        case Some(m) => seen += k; out = Row(k, b, m, shard); done = true
-                        case None    => orphanPayloads(k) = b
-                      }
-                    }
+                  } catch {
+                    case _: java.io.IOException => endAndDrain() // truncated entry
                   }
                 }
               }
