@@ -330,7 +330,13 @@ object TfRecord {
     * that is truncated mid-record) ENDS the stream — records before it
     * are salvaged, the tail is dropped. One flipped byte must not fail
     * the file's whole task. */
-  def nextRecord(in: java.io.DataInputStream): Option[Array[Byte]] = {
+  def nextRecord(in: java.io.DataInputStream): Option[Array[Byte]] =
+    nextRecord(in, () => ())
+
+  /** As [[nextRecord]]; `onCorrupt` fires when the stream ends because of
+    * corruption (vs clean EOF), so readers can surface the loss as a
+    * metric instead of dropping it silently. */
+  def nextRecord(in: java.io.DataInputStream, onCorrupt: () => Unit): Option[Array[Byte]] = {
     try {
       val first = in.read()
       if (first < 0) return None // clean end-of-file between records
@@ -338,14 +344,16 @@ object TfRecord {
       lenBytes(0) = first.toByte
       in.readFully(lenBytes, 1, 7)
       val lenCrc = Integer.reverseBytes(in.readInt())
-      if (lenCrc != maskedCrc(lenBytes)) return None // length crc mismatch
+      if (lenCrc != maskedCrc(lenBytes)) { onCorrupt(); return None } // length crc mismatch
       val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong
-      if (len < 0 || len > MaxRecord) return None // corrupt length
+      if (len < 0 || len > MaxRecord) { onCorrupt(); return None } // corrupt length
       val data = new Array[Byte](len.toInt); in.readFully(data)
       val dataCrc = Integer.reverseBytes(in.readInt())
-      if (dataCrc != maskedCrc(data)) return None // data crc mismatch
+      if (dataCrc != maskedCrc(data)) { onCorrupt(); return None } // data crc mismatch
       Some(data)
-    } catch { case _: java.io.EOFException => None } // truncated mid-record
+    } catch {
+      case _: java.io.EOFException => onCorrupt(); None // truncated mid-record
+    }
   }
 
   /** Read back the framing, returning raw Example payload bytes — used by

@@ -158,7 +158,7 @@ private[sources] object TfRecordFilters {
   }
 }
 
-private[sources] class TfRecordScan(path: String, schema: StructType,
+private[graft] class TfRecordScan(path: String, schema: StructType,
                                     pushed: Array[Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
@@ -179,6 +179,20 @@ private[sources] class TfRecordScan(path: String, schema: StructType,
       SparkSession.active.sessionState.newHadoopConf())
     TfRecordReaderFactory(schema, conf, pushed)
   }
+
+  // salvage observability: corrupt-tail count surfaces in the Spark UI /
+  // SQL metrics for every scan, so silent data loss is alertable
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new TfRecordCorruptTailMetric)
+}
+
+/** Sum over tasks of streams ended early by corruption (CRC mismatch,
+  * bad length word, truncation mid-record). Nonzero means data was
+  * dropped by the salvage policy. */
+private[graft] class TfRecordCorruptTailMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "corruptTails"
+  override def description(): String = "tfrecord streams ended early by corruption"
 }
 
 private[sources] case class TfRecordInputPartition(file: String) extends InputPartition
@@ -217,10 +231,12 @@ private[graft] class TfRecordPartitionReader(
       evaluable.forall(TfRecordFilters.eval(_, get))
     }
 
+  private var corruptTails = 0L
+
   override def next(): Boolean = {
     var found = false
     var more = true
-    while (!found && more) TfRecord.nextRecord(in) match {
+    while (!found && more) TfRecord.nextRecord(in, () => corruptTails += 1) match {
       case Some(data) =>
         val row = decode(data)
         if (passes(row)) { current = row; found = true }
@@ -230,6 +246,12 @@ private[graft] class TfRecordPartitionReader(
   }
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "corruptTails"
+      override def value(): Long = corruptTails
+    })
 
   private def decode(data: Array[Byte]): InternalRow = {
     val feats = TfRecord.parseExample(data)

@@ -57,8 +57,15 @@ object Warc {
     * (non-numeric, negative, or over [[MaxPayload]]) means record framing
     * is lost, so the parser RESYNCS by scanning for the next `WARC/`
     * version line; a mid-stream I/O error (torn gzip member, truncated
-    * tail) ends the stream and SALVAGES everything parsed before it. */
-  def parseStream(raw: InputStream): Iterator[(String, String, String, Array[Byte])] = {
+    * tail) ends the stream and SALVAGES everything parsed before it.
+    *
+    * `onResync` / `onTear` fire once per salvage event so callers can
+    * COUNT dropped data instead of losing it silently — [[scanCounted]]
+    * wires them to Spark accumulators. */
+  def parseStream(raw: InputStream,
+                  onResync: () => Unit = () => (),
+                  onTear: () => Unit = () => ())
+      : Iterator[(String, String, String, Array[Byte])] = {
     val in = new DataInputStream(new BufferedInputStream(raw))
     new Iterator[(String, String, String, Array[Byte])] {
       private var nextRec: (String, String, String, Array[Byte]) = _
@@ -89,11 +96,11 @@ object Warc {
                 headers.getOrElse("warc-target-uri", ""),
                 headers.getOrElse("content-type", ""), payload)
               found = true
-            } // else: framing lost — loop resyncs at the next WARC/ line
+            } else onResync() // framing lost — loop resyncs at next WARC/
           }
         } catch {
           case _: EOFException => done = true
-          case _: java.io.IOException => done = true // torn gzip etc: salvage
+          case _: java.io.IOException => done = true; onTear() // torn gzip etc
         }
       }
 
@@ -105,22 +112,46 @@ object Warc {
     }
   }
 
+  /** Salvage counters for a [[scanCounted]] run. Spark accumulators:
+    * exact on success, at-least-once under task retries — monitoring
+    * semantics (alert when nonzero), not billing semantics. */
+  final case class SalvageCounters(
+      resyncedRecords: org.apache.spark.util.LongAccumulator,
+      tornStreams: org.apache.spark.util.LongAccumulator,
+      unreadableFiles: org.apache.spark.util.LongAccumulator)
+
   /** Scan a directory/glob of `.warc` / `.warc.gz` files into a DataFrame
     * of records. Each file is one task (CC-style archives are ~1 GB —
     * the natural partition granule). */
-  def scan(spark: SparkSession, path: String): DataFrame = {
+  def scan(spark: SparkSession, path: String): DataFrame =
+    scanCounted(spark, path)._1
+
+  /** [[scan]], plus salvage observability: counters for records dropped
+    * to framing resync, streams ended early by a tear, and files whose
+    * gzip header would not even open. Silent data loss at corpus scale
+    * is a bug — these make the loss a measured, alertable quantity. */
+  def scanCounted(spark: SparkSession, path: String): (DataFrame, SalvageCounters) = {
+    val counters = SalvageCounters(
+      spark.sparkContext.longAccumulator("warc.records.resynced"),
+      spark.sparkContext.longAccumulator("warc.streams.torn"),
+      spark.sparkContext.longAccumulator("warc.files.unreadable"))
     val rdd = spark.sparkContext.binaryFiles(path).flatMap { case (name, pds) =>
       val base: InputStream = pds.open()
       // a corrupt gzip HEADER throws at construction (before the parser's
       // salvage policy can apply) — treat that file as empty, not failed
       val stream: Option[InputStream] =
         try Some(if (name.endsWith(".gz")) new GZIPInputStream(base) else base)
-        catch { case _: java.io.IOException => base.close(); None }
-      stream.iterator.flatMap(parseStream).map { case (t, uri, ct, payload) =>
-        Row(t, uri, ct, payload)
-      }
+        catch {
+          case _: java.io.IOException =>
+            base.close(); counters.unreadableFiles.add(1L); None
+        }
+      stream.iterator
+        .flatMap(parseStream(_,
+          onResync = () => counters.resyncedRecords.add(1L),
+          onTear = () => counters.tornStreams.add(1L)))
+        .map { case (t, uri, ct, payload) => Row(t, uri, ct, payload) }
     }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), counters)
   }
 
   /** PDF-link manifest from response-ish records: extract `.pdf` hrefs

@@ -28,7 +28,15 @@ object WebDataset {
     StructField("meta", StringType),
     StructField("shard", StringType)))
 
-  def read(spark: SparkSession, dir: String, ext: String = "txt"): DataFrame = {
+  def read(spark: SparkSession, dir: String, ext: String = "txt"): DataFrame =
+    readCounted(spark, dir, ext)._1
+
+  /** [[read]], plus salvage observability: a counter of tars ended early
+    * by corruption (at-least-once under task retries — alert on nonzero,
+    * don't bill by it). */
+  def readCounted(spark: SparkSession, dir: String, ext: String = "txt")
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val tornTars = spark.sparkContext.longAccumulator("webdataset.tars.torn")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val base = new Path(dir)
@@ -81,7 +89,9 @@ object WebDataset {
                 if (drain.hasNext) out = drain.next()
                 done = true
               } else {
-                val e = try in.getNextEntry catch { case _: java.io.IOException => null }
+                val e = try in.getNextEntry catch {
+                  case _: java.io.IOException => tornTars.add(1L); null
+                }
                 if (e == null) {
                   endAndDrain()
                 } else if (!e.isDirectory) {
@@ -107,7 +117,8 @@ object WebDataset {
                       }
                     }
                   } catch {
-                    case _: java.io.IOException => endAndDrain() // truncated entry
+                    case _: java.io.IOException => // truncated entry
+                      tornTars.add(1L); endAndDrain()
                   }
                 }
               }
@@ -121,7 +132,7 @@ object WebDataset {
           }
         }
       }
-    spark.createDataFrame(rdd, schema)
+    (spark.createDataFrame(rdd, schema), tornTars)
   }
 
   /** Surgical key deletion (right-to-be-forgotten maintenance): rewrite

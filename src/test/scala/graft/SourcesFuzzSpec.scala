@@ -172,4 +172,55 @@ class SourcesFuzzSpec extends AnyFunSuite {
       Iterator.continually(TfRecord.nextRecord(in)).takeWhile(_.isDefined).size
     }
   }
+
+  // ---------------------------------------------------- salvage observability
+
+  test("warc: salvage counters measure what was dropped") {
+    val dir = new File("target/tmp/warc_fuzz3"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val text =
+      warcRecord("http://ok.example/", "good") +
+      "WARC/1.0\r\nContent-Length: nope\r\n\r\n" + // 1 resync
+      warcRecord("http://ok2.example/", "good too")
+    val f = new FileOutputStream(new File(dir, "a.warc"))
+    f.write(text.getBytes(StandardCharsets.UTF_8)); f.close()
+    val bad = new FileOutputStream(new File(dir, "bad.warc.gz"))
+    bad.write("not gzip".getBytes(StandardCharsets.UTF_8)); bad.close() // 1 unreadable
+    val (df, counters) = Warc.scanCounted(spark, dir.getAbsolutePath + "/*")
+    assert(df.count() == 2)
+    assert(counters.resyncedRecords.value == 1L)
+    assert(counters.unreadableFiles.value == 1L)
+    assert(counters.tornStreams.value == 0L)
+  }
+
+  test("webdataset: torn-tar counter is nonzero when a shard is corrupt") {
+    val dir = new File("target/tmp/wds_fuzz3"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val rnd = new scala.util.Random(5)
+    val junk = new Array[Byte](8192); rnd.nextBytes(junk)
+    val f = new FileOutputStream(new File(dir, "junk.tar")); f.write(junk); f.close()
+    val (df, torn) = WebDataset.readCounted(spark, dir.getAbsolutePath)
+    assert(df.count() == 0)
+    assert(torn.value >= 1L)
+  }
+
+  test("tfrecord: onCorrupt fires for flipped bytes but not clean EOF") {
+    val a = "aaa".getBytes(StandardCharsets.UTF_8)
+    val clean = framedRecords(Seq(a))
+    var n = 0
+    val in1 = new DataInputStream(new ByteArrayInputStream(clean))
+    Iterator.continually(TfRecord.nextRecord(in1, () => n += 1)).takeWhile(_.isDefined).size
+    assert(n == 0, "clean EOF is not corruption")
+    val bad = clean.clone(); bad(4) = (bad(4) ^ 0x1).toByte // corrupt the length word
+    val in2 = new DataInputStream(new ByteArrayInputStream(bad))
+    Iterator.continually(TfRecord.nextRecord(in2, () => n += 1)).takeWhile(_.isDefined).size
+    assert(n == 1)
+  }
+
+  test("tfrecord scan exposes the corruptTails DSv2 metric in the executed plan") {
+    val scan = new graft.sources.TfRecordScan("/tmp/nonexistent",
+      org.apache.spark.sql.types.StructType(Nil))
+    val metrics = scan.supportedCustomMetrics()
+    assert(metrics.map(_.name()).contains("corruptTails"))
+  }
 }
