@@ -248,9 +248,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
+          // ImageIO.read returns null only for UNRECOGNIZED formats; a
+          // recognized-but-corrupt payload (truncated PNG) throws instead —
+          // catch it so both kinds of junk are dropped, per the contract.
           val img =
             if (payload == null) null
-            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            else
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
           if (img == null) None
           else {
             var sum = 0.0

@@ -357,11 +357,16 @@ object TfRecord {
   }
 
   /** Read back the framing, returning raw Example payload bytes — used by
-    * tests to verify the writer byte-level. */
+    * tests to verify the writer byte-level. STRICT: a framing/CRC error
+    * throws instead of salvaging, so a writer bug in the file tail fails
+    * the round-trip check loudly. Salvage semantics belong to the DSv2
+    * scan path ([[nextRecord]] with a counting callback), not here. */
   def readRecords(path: String): Seq[Array[Byte]] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(path)))
-    try Iterator.continually(nextRecord(in)).takeWhile(_.isDefined).flatten.toVector
+    val strict = () => throw new java.io.IOException(
+      s"tfrecord framing/CRC error in $path (writer-verification mode)")
+    try Iterator.continually(nextRecord(in, strict)).takeWhile(_.isDefined).flatten.toVector
     finally in.close()
   }
 }

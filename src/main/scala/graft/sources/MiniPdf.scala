@@ -74,6 +74,25 @@ object MiniPdf {
   private def intIn(dict: String, key: String, dflt: Int): Int =
     IntAfter(key).findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
 
+  // direct-integer /Length only — `/Length 5 0 R` (indirect) must NOT
+  // match, or the ref's object number would be read as the byte count
+  private val DirectLength = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+
+  /** Offset of `%PDF-` within the first 1024 bytes, or -1. The spec
+    * permits junk before the header (readers scan for it); routing on
+    * offset 0 alone would misdirect real crawled PDFs to the fallback. */
+  def headerOffset(payload: Array[Byte]): Int = {
+    if (payload == null || payload.length < 5) return -1
+    val limit = math.min(payload.length - 4, 1024)
+    var i = 0
+    while (i < limit) {
+      if (payload(i) == '%' && payload(i + 1) == 'P' && payload(i + 2) == 'D' &&
+          payload(i + 3) == 'F' && payload(i + 4) == '-') return i
+      i += 1
+    }
+    -1
+  }
+
   /** Balanced `<< … >>` span starting at `start` (which must point at
     * `<<`); returns exclusive end index, or -1. */
   private def dictEnd(s: String, start: Int): Int = {
@@ -134,13 +153,29 @@ object MiniPdf {
           var j = i + "stream".length
           if (j < s.length && s.charAt(j) == '\r') j += 1
           if (j < s.length && s.charAt(j) == '\n') j += 1
-          val e = s.indexOf("endstream", j)
-          if (e < 0) None
-          else {
-            var k = e
-            if (k > j && s.charAt(k - 1) == '\n') k -= 1
-            if (k > j && s.charAt(k - 1) == '\r') k -= 1
-            Some(s.substring(j, k).getBytes(ISO_8859_1))
+          // Compressed bytes may legally contain 'endstream' (or 'N G obj');
+          // a first-occurrence scan would truncate the stream silently. When
+          // the dict carries a direct /Length that lands on an 'endstream'
+          // keyword, trust it; the scan stays as the damaged-file fallback.
+          val byLength: Option[Int] =
+            DirectLength.findFirstMatchIn(dict).map(_.group(1).toInt).collect {
+              case len if len >= 0 && j + len <= s.length =>
+                var k = j + len
+                if (k < s.length && s.charAt(k) == '\r') k += 1
+                if (k < s.length && s.charAt(k) == '\n') k += 1
+                if (s.startsWith("endstream", k)) j + len else -1
+            }.filter(_ >= 0)
+          byLength match {
+            case Some(end) => Some(s.substring(j, end).getBytes(ISO_8859_1))
+            case None =>
+              val e = s.indexOf("endstream", j)
+              if (e < 0) None
+              else {
+                var k = e
+                if (k > j && s.charAt(k - 1) == '\n') k -= 1
+                if (k > j && s.charAt(k - 1) == '\r') k -= 1
+                Some(s.substring(j, k).getBytes(ISO_8859_1))
+              }
           }
         } else None
       // later definitions win (incremental updates append new versions)
@@ -388,8 +423,14 @@ object MiniPdf {
           cat <- objs.get(root)
           pagesRoot <- PagesRef.findFirstMatchIn(cat.dict).map(_.group(1).toInt)
         } yield {
+          // A conforming page tree visits each object once; a crafted
+          // /Kids list that repeats a self/ancestor ref k times would
+          // otherwise cost k^depth walk calls (each running regexes over
+          // the dict). The visited set makes the walk O(|objs|) on ANY
+          // input; the node cap bounds even pathological object counts.
+          val visited = scala.collection.mutable.Set[Int]()
           def walk(num: Int, depth: Int): Seq[Int] = {
-            if (depth > 32) return Nil // cycle guard
+            if (depth > 32 || visited.size > 100000 || !visited.add(num)) return Nil
             objs.get(num) match {
               case Some(o) if isPageLeaf(o.dict) => Seq(num)
               case Some(o) =>
@@ -664,11 +705,18 @@ object MiniPdf {
 /** [[PageDecoder]] over [[MiniPdf]]: real PDF payloads → one
   * reference-shaped XHTML string per page, true page-tree order. */
 final case class MiniPdfDecoder() extends PageDecoder {
-  override def decode(payload: Array[Byte]): Either[String, Seq[String]] = {
-    if (payload == null || payload.length < 8)
+  override def decode(raw: Array[Byte]): Either[String, Seq[String]] = {
+    if (raw == null || raw.length < 8)
       return Left("cannot open document: empty payload")
-    if (!new String(payload, 0, 5, ISO_8859_1).startsWith("%PDF-"))
+    // Real crawled files often carry junk before the header (HTTP noise,
+    // BOMs); the spec lets readers find '%PDF-' within the first 1024
+    // bytes, so slice from the header rather than requiring offset 0.
+    val off = MiniPdf.headerOffset(raw)
+    if (off < 0)
       return Left("cannot open document: not a PDF header")
+    val payload = if (off == 0) raw else java.util.Arrays.copyOfRange(raw, off, raw.length)
+    if (payload.length < 8)
+      return Left("cannot open document: empty payload")
     // encryption: fail CLOSED (trailer / xref-stream dict carries
     // /Encrypt; scan the tail where trailers live)
     val tail = new String(payload, math.max(0, payload.length - 2048),
@@ -699,8 +747,7 @@ final case class MiniPdfDecoder() extends PageDecoder {
 final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder())
     extends PageDecoder {
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
-    if (payload != null && payload.length >= 5 &&
-        new String(payload, 0, 5, ISO_8859_1) == "%PDF-")
+    if (MiniPdf.headerOffset(payload) >= 0)
       MiniPdfDecoder().decode(payload)
     else fallback.decode(payload)
 

@@ -30,6 +30,44 @@ class TfRecordSpec extends AnyFunSuite {
     assert(sidecar.count() == 2 && !sidecar.columns.contains("text"))
   }
 
+  test("readRecords is strict: a corrupt tail FAILS the writer-verification read") {
+    val out = new File("target/tmp/tfrec_strict"); org.apache.commons.io.FileUtils.deleteQuietly(out)
+    val df = Seq(("k0", "hello"), ("k1", "world")).toDF("key", "text")
+    TfRecord.write(df.repartition(1), out.getAbsolutePath)
+    val f = out.listFiles().filter(_.getName.endsWith(".tfrecord")).head
+    // flip one byte inside the LAST record's payload: the salvaging reader
+    // would silently return 1 record; the verification reader must throw
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0xFF).toByte
+    val damaged = new File(out, "damaged.tfrecord")
+    java.nio.file.Files.write(damaged.toPath, bytes)
+    val ex = intercept[java.io.IOException] {
+      TfRecord.readRecords(damaged.getAbsolutePath)
+    }
+    assert(ex.getMessage.contains("writer-verification"))
+  }
+
+  test("extractImageFeatures drops recognized-but-corrupt payloads instead of failing the task") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    // valid 2x2 PNG
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val good = bos.toByteArray
+    // truncated PNG: valid signature+IHDR prefix so ImageIO RECOGNIZES the
+    // format (returns a reader, then throws mid-decode) — the case the
+    // null-check alone does not cover
+    val corrupt = good.take(good.length / 2)
+    val junk = "not an image at all".getBytes
+    val df = Seq((1L, good), (2L, corrupt), (3L, junk), (4L, null: Array[Byte]))
+      .toDF("doc_id", "media")
+    val feats = graft.operators.Multimodal.extractImageFeatures(df).collect()
+    assert(feats.map(_.doc_id).toSeq == Seq(1L))
+    assert(feats.head.width == 2 && feats.head.height == 2)
+  }
+
   test("tfrecord read: write -> read round-trip preserves values") {
     import org.apache.spark.sql.types._
     val out = new File("target/tmp/tfrec_rt"); org.apache.commons.io.FileUtils.deleteQuietly(out)

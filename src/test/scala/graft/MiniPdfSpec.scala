@@ -328,4 +328,88 @@ class MiniPdfSpec extends AnyFunSuite {
     // junk payload routed to the FAKE decoder (deterministic pages, no error)
     assert(out("junk")._1.get.nonEmpty && out("junk")._2.isEmpty)
   }
+
+  // ---- round-12 adversarial hardening ----------------------------------
+
+  test("page-tree walk is linear on a repeated-ancestor /Kids bomb") {
+    // /Pages node 2 lists ITSELF 12 times before the real page: without a
+    // visited set the walk costs 12^depth regex passes (an executor hang
+    // from a ~300-byte payload); with it the walk is O(|objs|).
+    val selfKids = (Seq.fill(12)("2 0 R") :+ "3 0 R").mkString(" ")
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, s"<< /Type /Pages /Kids [ $selfKids ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, "<< /Length 17 >>", Some("BT (alive) Tj ET".getBytes(ISO_8859_1)))))
+    val t0 = System.nanoTime()
+    val res = MiniPdfDecoder().decode(pdf)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 5000, s"walk took ${elapsedMs}ms — cycle guard broken")
+    assert(res.isRight && res.toOption.get.exists(_.contains("alive")))
+  }
+
+  test("two-node /Kids cycle terminates and still yields the reachable page") {
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 5 0 R 3 0 R ] /Count 1 >>", None),
+      (5, "<< /Type /Pages /Kids [ 2 0 R 5 0 R ] /Count 0 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, "<< /Length 16 >>", Some("BT (page) Tj ET".getBytes(ISO_8859_1)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res.isRight && res.toOption.get == Seq("<div><p>page</p></div>"))
+  }
+
+  test("junk before %PDF- header: decoder slices from the header, router stays real") {
+    val clean = buildPdf(Map(4 -> "BT (behind junk) Tj ET"),
+      Seq(3 -> Seq(4)), Seq(3), flate = true)
+    val junk = "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+      .getBytes(ISO_8859_1)
+    val shifted = junk ++ clean
+    assert(MiniPdf.headerOffset(shifted) == junk.length)
+    val direct = MiniPdfDecoder().decode(shifted)
+    assert(direct == Right(Seq("<div><p>behind junk</p></div>")))
+    // AutoPdfDecoder must route to the REAL decoder, not fabricate fake pages
+    val routed = AutoPdfDecoder(FakePdfDecoder(40)).decode(shifted)
+    assert(routed == Right(Seq("<div><p>behind junk</p></div>")))
+    // header beyond the 1024-byte scan window is NOT a PDF
+    val farJunk = Array.fill[Byte](2048)('x') ++ clean
+    assert(MiniPdf.headerOffset(farJunk) == -1)
+  }
+
+  test("literal 'endstream' inside stream bytes survives via direct /Length") {
+    // the first-occurrence scan would truncate the content stream at the
+    // embedded keyword, losing the second text run with no error signal
+    val content = "BT (before) Tj ET BT (endstream inside) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>",
+        Some(content.getBytes(ISO_8859_1)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq("<div><p>before endstream inside</p></div>")))
+  }
+
+  test("wrong /Length falls back to the endstream scan (damaged-file salvage)") {
+    val content = "BT (salvaged) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, "<< /Length 9999 >>", Some(content.getBytes(ISO_8859_1)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq("<div><p>salvaged</p></div>")))
+  }
+
+  test("indirect /Length (N 0 R) is ignored, not misread as a byte count") {
+    val content = "BT (indirect len) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, "<< /Length 7 0 R >>", Some(content.getBytes(ISO_8859_1))),
+      (7, s"${content.length}", None)))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq("<div><p>indirect len</p></div>")))
+  }
 }
