@@ -5158,28 +5158,25 @@ object SparkEntry {
       // house portable PRNG, pure integer arithmetic in both engines —
       // inverted through a LITERAL Poisson(1) CDF ladder (both engines
       // parse the same 7 cumulative constants; k capped at 7,
-      // P ≈ 1e-5). Replicate means reduce as exact DECIMAL(18,4)
-      // weighted sums per (type, b) — the blow-up is map-side ×B into
-      // a B·|types|-row shuffle; the percentile band over the 100
-      // replicate means rides the no-buffer selector, bit-equal to
-      // quantile_cont.
+      // P ≈ 1e-5). Replicate sums fold INSIDE one typed aggregate per
+      // event_type (operators/Bootstrap.scala): state is two long[B]
+      // arrays — n agg probes instead of the naive n·B-row explode
+      // (which cost a 60M-row decimal hash-agg at sf0.1), partial
+      // state 2·B longs per group at ANY corpus size. Each term is
+      // floor(w·value·1e4+0.5), an exact integer both engines sum
+      // order-free; the percentile band over the 100 replicate means
+      // rides the no-buffer selector, bit-equal to quantile_cont.
       val B = 100
-      val u = (lehmer3(col("event_id") * 101L + col("b")).cast("double") + 0.5) /
-        2147483647.0
-      val w = when(u < 0.36787944117144233, 0L)
-        .when(u < 0.7357588823428847, 1L).when(u < 0.9196986029286058, 2L)
-        .when(u < 0.9810118431238463, 3L).when(u < 0.9963401531726563, 4L)
-        .when(u < 0.9994058151824183, 5L).when(u < 0.999916758850712, 6L)
-        .otherwise(7L)
       val reps = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("b", explode(sequence(lit(1), lit(B))))
-        .withColumn("w", w)
-        .groupBy(col("event_type"), col("b"))
-        .agg(sum((col("w") * col("value")).cast(DecimalType(18, 4))).cast("double")
-          .as("swx"), sum(col("w")).as("sw"))
-        .filter(col("sw") > 0)
-        .select(col("event_type"), (col("swx") / col("sw")).as("m"))
+        .groupBy(col("event_type"))
+        .agg(graft.operators.Bootstrap.poissonReps(B)(
+          col("event_id"), col("value")).as("r"))
+        .select(col("event_type"),
+          explode(arrays_zip(col("r.swx"), col("r.sw"))).as("z"))
+        .filter(col("z.sw") > 0)
+        .select(col("event_type"),
+          (col("z.swx").cast("double") / lit(10000.0)
+            / col("z.sw").cast("double")).as("m"))
       val band = graft.operators.Selection.exactGroupedQuantiles(
         Dedup.cacheScoped(reps), "event_type", "m", Seq(0.025, 0.975))
       val mean = Tables.events(s, dir).groupBy(col("event_type"))
@@ -12794,8 +12791,8 @@ object SparkEntry {
          |              ELSE 7 END AS w
          |       FROM uu),
          |reps AS (SELECT event_type, b,
-         |           CAST(SUM(CAST(w * value AS DECIMAL(18,4))) AS DOUBLE)
-         |             / SUM(w) AS m
+         |           CAST(SUM(CAST(FLOOR(w * value * 10000 + 0.5) AS BIGINT))
+         |                AS DOUBLE) / 10000.0 / CAST(SUM(w) AS DOUBLE) AS m
          |         FROM ww GROUP BY 1, 2 HAVING SUM(w) > 0),
          |band AS (SELECT event_type,
          |           quantile_cont(m, 0.025) AS lo95,
