@@ -3368,10 +3368,16 @@ object SparkEntry {
       // per-word log-ratio is a broadcast scalar table; per-term
       // products round then decimal-reduce (q91). Top-20 non-target
       // docs = what DSIR would pull INTO a target-domain mix.
-      val tok = Dedup.cacheScoped(Tables.documents(s, dir)
+      // cache the POST-aggregation (doc, word) counts, not the raw
+      // exploded token frame: dc is both reused frames' common input
+      // (caching tok still re-ran dc's groupBy twice), and it is the
+      // far smaller artifact — an exploded token cache is corpus-sized
+      // string storage whose memory pressure is exactly what a loaded
+      // box amplifies
+      val dc = Dedup.cacheScoped(Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0))
-      val dc = tok.groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("c")))
       val wc = dc.groupBy(col("w")).agg(
         sum(col("c")).as("cr"),
         sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
@@ -3690,10 +3696,15 @@ object SparkEntry {
       val (state, _) = Cluster.lloyd(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
       val assign = emb.select(col("vec_id").as("doc_id"),
         Cluster.assignCol(col("embedding"), state.centroids.toSeq).as("cluster"))
+      // join the cluster assignment at DOC level, then explode: the join
+      // probes n_docs rows instead of n_tokens, and at 100 TB (where
+      // assign is corpus-sized and must shuffle) the shuffle moves doc
+      // rows, never the exploded token stream
       val words = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), col("text"))
         .join(assign, Seq("doc_id"))
+        .select(col("cluster"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
       val cw = Dedup.cacheScoped(
         words.groupBy(col("cluster"), col("word")).agg(count(lit(1)).as("cw")))
       val wtot = cw.groupBy(col("word")).agg(sum(col("cw")).as("w_all"))
