@@ -71,6 +71,28 @@ object HttpFetch {
 
   /** One URL → (payload, status, error) with retries and the X-Robots-Tag
     * opt-out check — the shared core of both fetch flavors. */
+  /** Per-document payload ceiling (256 MiB). `ofByteArray` would buffer
+    * whatever a hostile or misconfigured server streams — at crawl scale
+    * one endless body must become a counted failure, not an executor OOM. */
+  private val MaxBodyBytes: Long = 256L * 1024 * 1024
+
+  /** Read at most `cap` bytes from the body stream; Left(error) past the
+    * cap. The stream is always closed (also aborts the transfer). */
+  private[graft] def boundedBody(in: java.io.InputStream,
+                                   cap: Long = MaxBodyBytes): Either[String, Array[Byte]] =
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (bos.size().toLong + n > cap)
+          return Left(s"payload exceeds $cap bytes")
+        bos.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Right(bos.toByteArray)
+    } finally in.close()
+
   private def fetchUrl(client: HttpClient, url: String, ua: String,
                        timeoutSec: Int, retries: Int,
                        userAgentToken: Option[String],
@@ -83,16 +105,20 @@ object HttpFetch {
           .timeout(Duration.ofSeconds(timeoutSec.toLong))
           .header("User-Agent", ua)
           .GET().build()
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
         if (resp.statusCode() >= 400) {
+          resp.body().close()
           last = (null, "failed_to_download", s"http ${resp.statusCode()}")
         } else {
           val headers = resp.headers().map().asScala.toMap
             .map { case (k, v) => k -> v.asScala.toSeq }
-          if (isDisallowed(headers, userAgentToken, disallowed))
+          if (isDisallowed(headers, userAgentToken, disallowed)) {
+            resp.body().close()
             last = (null, "failed_to_download", "Use of image disallowed by X-Robots-Tag directive")
-          else
-            return (resp.body(), "success", null)
+          } else boundedBody(resp.body()) match {
+            case Right(bytes) => return (bytes, "success", null)
+            case Left(err)    => last = (null, "failed_to_download", err)
+          }
         }
       } catch {
         case NonFatal(e) =>

@@ -34,7 +34,8 @@ object WebDataset {
   /** [[read]], plus salvage observability: a counter of tars ended early
     * by corruption (at-least-once under task retries — alert on nonzero,
     * don't bill by it). */
-  def readCounted(spark: SparkSession, dir: String, ext: String = "txt")
+  def readCounted(spark: SparkSession, dir: String, ext: String = "txt",
+                  maxOrphanBytes: Long = 256L * 1024 * 1024)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val tornTars = spark.sparkContext.longAccumulator("webdataset.tars.torn")
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -69,6 +70,15 @@ object WebDataset {
           private val orphanPayloads = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
           private val orphanMetas = collection.mutable.HashMap.empty[String, String]
           private val seen = collection.mutable.HashSet.empty[String]
+          // Unmatched-payload buffer cap: a tar that is ALL orphans (no
+          // .json ever arrives — adversarial or a foreign layout) would
+          // otherwise buffer the whole shard on-heap. Past the cap the
+          // OLDEST orphan is emitted with null meta — the same salvage
+          // row it would get at EOF, just early — so memory is bounded
+          // and no payload is lost; a meta arriving after its payload
+          // was evicted is dropped like any other orphan meta.
+          private val MaxOrphanBytes = maxOrphanBytes
+          private var orphanBytes = 0L
           private var drain: Iterator[Row] = null
           private var queued: Row = fetch()
 
@@ -102,7 +112,9 @@ object WebDataset {
                       if (!seen.contains(k)) {
                         val m = new String(in.readAllBytes(), StandardCharsets.UTF_8)
                         orphanPayloads.remove(k) match {
-                          case Some(b) => seen += k; out = Row(k, b, m, shard); done = true
+                          case Some(b) =>
+                            orphanBytes -= b.length
+                            seen += k; out = Row(k, b, m, shard); done = true
                           case None    => orphanMetas(k) = m
                         }
                       }
@@ -112,7 +124,16 @@ object WebDataset {
                         val b = in.readAllBytes()
                         orphanMetas.remove(k) match {
                           case Some(m) => seen += k; out = Row(k, b, m, shard); done = true
-                          case None    => orphanPayloads(k) = b
+                          case None =>
+                            orphanPayloads(k) = b
+                            orphanBytes += b.length
+                            if (orphanBytes > MaxOrphanBytes && orphanPayloads.size > 1) {
+                              val (ek, eb) = orphanPayloads.head
+                              orphanPayloads.remove(ek)
+                              orphanBytes -= eb.length
+                              seen += ek
+                              out = Row(ek, eb, null, shard); done = true
+                            }
                         }
                       }
                     }

@@ -121,6 +121,56 @@ class SourcesFuzzSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).contains("k0"), "pairs before the corruption salvage")
   }
 
+  test("webdataset: all-orphan tar stays under the buffer cap, every payload salvaged") {
+    // no .json ever arrives — pre-cap this buffered the WHOLE shard
+    // on-heap; with the cap, oldest orphans emit early with null meta
+    // (the same row they would get at EOF) and memory stays bounded
+    val dir = new File("target/tmp/wds_orphans"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val bos = new ByteArrayOutputStream()
+    val os = new TarArchiveOutputStream(bos)
+    def put(name: String, data: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(name); e.setSize(data.length)
+      os.putArchiveEntry(e); os.write(data); os.closeArchiveEntry()
+    }
+    val n = 50
+    for (i <- 0 until n) put(f"k$i%03d.txt", Array.fill[Byte](1000)(i.toByte))
+    // one late pair whose payload was already evicted: meta must drop,
+    // not resurrect a second row for the same key
+    put("k000.json", """{"late":true}""".getBytes(StandardCharsets.UTF_8))
+    os.finish()
+    val f = new FileOutputStream(new File(dir, "s0.tar")); f.write(bos.toByteArray); f.close()
+    // cap of ~5 payloads forces eviction 45 times
+    val (df, _) = WebDataset.readCounted(spark, dir.getAbsolutePath, maxOrphanBytes = 5000L)
+    val rows = df.collect()
+    assert(rows.length == n, s"expected $n salvage rows, got ${rows.length}")
+    assert(rows.map(_.getString(0)).distinct.length == n, "one row per key, no dup emission")
+    assert(rows.forall(_.isNullAt(2)), "orphans emit with null meta")
+    assert(rows.forall(_.getAs[Array[Byte]](1).length == 1000), "payload bytes intact")
+  }
+
+  test("http fetch: a body past the payload cap is a counted failure, not an OOM") {
+    class Endless(total: Long) extends java.io.InputStream {
+      var served = 0L
+      var closed = false
+      override def read(): Int = { if (served >= total) -1 else { served += 1; 'x' } }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (served >= total) -1
+        else { val n = math.min(len.toLong, total - served).toInt
+               java.util.Arrays.fill(b, off, off + n, 'x'.toByte); served += n; n }
+      }
+      override def close(): Unit = closed = true
+    }
+    val over = new Endless(100000)
+    val res = graft.sources.HttpFetch.boundedBody(over, cap = 4096)
+    assert(res.isLeft && res.swap.toOption.get.contains("exceeds"))
+    assert(over.closed, "oversize body stream must be closed (aborts the transfer)")
+    assert(over.served <= 4096 + 65536 + 65536, "reading stops near the cap, not at EOF")
+    val under = new Endless(1000)
+    val ok = graft.sources.HttpFetch.boundedBody(under, cap = 4096)
+    assert(ok.isRight && ok.toOption.get.length == 1000 && under.closed)
+  }
+
   test("webdataset: random-bytes .tar yields zero rows, not a failed job") {
     val dir = new File("target/tmp/wds_fuzz2"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
     dir.mkdirs()
