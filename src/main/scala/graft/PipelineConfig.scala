@@ -18,6 +18,10 @@ final case class PipelineConfig(
     minWordsPerPage: Int = 0,
     maxImagesPerPage: Option[Int] = None,
     minImageSize: Int = 0,
+    // accepted-but-unused, faithfully: the reference takes max_image_area
+    // (main.py:91) but its removal criteria use only min_image_size and
+    // max_aspect_ratio (extractor.py:121-126) — the parameter is dead
+    // there, so it is config-surface-only here too
     maxImageArea: Double = Double.MaxValue,
     maxAspectRatio: Double = Double.MaxValue,
     getLanguage: Boolean = false,

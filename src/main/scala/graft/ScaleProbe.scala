@@ -39,7 +39,9 @@ object ScaleProbe {
     "q206_adamic_adar", "q157_substr_fingerprints", "q147_tfidf_pairs",
     "q253_silhouette", "q228_harmonic_centrality", "q131_stream_outer_join",
     "q203_clustering_coeff", "q177_kmeans_lloyd", "q258_topic_coherence",
-    "q344_rfm", "q339_sla_trend", "q65_stream_join")
+    "q344_rfm", "q339_sla_trend", "q65_stream_join",
+    // round-12 plan rewrites — blow-up re-measured after the change
+    "q180_dsir", "q192_cluster_labels")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {
