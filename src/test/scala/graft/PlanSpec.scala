@@ -400,4 +400,35 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q55_percentiles")
     assert(!p.contains("percentile(") && !p.contains("Percentile"), p.take(1500))
   }
+
+  test("q235 shape: the replicate aggregate plans with NO x100 Generate") {
+    // r12 rewrite gate. The final q235 plan can't carry the aggregate
+    // (the quantile selector materializes `reps` eagerly), so the gate
+    // pins the reps SHAPE itself: one aggregate holding the B replicate
+    // sums, zero Generate — the old form exploded sequence(1,100) into
+    // an n·B-row decimal hash-agg.
+    import org.apache.spark.sql.functions.col
+    val reps = graft.Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type"))
+      .agg(graft.operators.Bootstrap.poissonReps(100)(
+        col("event_id"), col("value")).as("r"))
+    val p = reps.queryExecution.explainString(FormattedMode)
+    assert(p.toLowerCase.contains("poissonrepsagg"), p.take(1500))
+    assert(!p.contains("Generate"), "x100 explode crept back:\n" + p.take(1500))
+    // and the full query must not re-introduce the replicate sequence
+    assert(!plan("q235_bootstrap_ci").contains("sequence(1, 100"))
+  }
+
+  test("q192: token explode sits directly ON the doc-level join") {
+    // r12 rewrite gate: joining the exploded token stream probes
+    // n_tokens rows (and at scale shuffles tokens); the Generate's
+    // direct child must be the doc⋈assignment join
+    // the Generate's Input must already carry the cluster column — it
+    // only exists after the doc⋈assignment join, so its presence proves
+    // the join ran before the explode
+    val p = plan("q192_cluster_labels")
+    assert("""\) Generate\s*\nInput \[\d+\]: \[(?=[^\]\n]*cluster#)(?=[^\]\n]*text#)""".r
+      .findFirstIn(p).isDefined,
+      "explode no longer sits on the joined (cluster, text) frame:\n" + p.take(2000))
+  }
 }
