@@ -32,34 +32,55 @@ object Pca {
 
   /** Returns (dim 0-based, loading, nrm) — loading is the unit top
     * component after `iters` power steps from e0; nrm is ‖C·v‖
-    * UNNORMALIZED by n (divide by the row count for the eigenvalue). */
+    * UNNORMALIZED by n (divide by the row count for the eigenvalue).
+    *
+    * Plan shape (round-12 rewrite, values BIT-IDENTICAL to the old
+    * exploded form so the unrolled SQL oracle is untouched): means and
+    * the round's v are |dim|-sized literals (the Cluster.lloyd
+    * parameters-as-literals discipline — driver traffic O(d) per
+    * round), the per-row projection s = Σ_d pround(c·v, 12) folds as a
+    * sequential exact-DECIMAL array aggregate (exact addition is
+    * order-free, so the sequential fold equals the old per-vid grouped
+    * sum), and each iteration costs ONE grouped agg over the exploded
+    * (rows×dim) frame — the old shape also shuffled a per-vid
+    * projection frame and joined it back against the exploded corpus,
+    * which was the dominant cost and grows with n at 100 TB. */
   def topComponent(vecs: DataFrame, vecCol: String, idCol: String,
                    iters: Int): DataFrame = {
-    val e = Dedup.cacheScoped(vecs
-      .select(col(idCol).as("__vid"), posexplode(col(vecCol)).as(Seq("i", "x")))
-      .select(col("__vid"), col("i"), col("x").cast("double").as("x")))
-    val st = Dedup.cacheScoped(e.groupBy(col("i"))
-      .agg(count(lit(1)).as("n"),
-        (floor(sum(col("x").cast(DecimalType(27, 12))).cast("double")
-          / count(lit(1)) * 1e9 + 0.5) / 1e9).as("m")))
-    val c = Dedup.cacheScoped(e.join(broadcast(st.select(col("i"), col("m"))),
-        Seq("i"))
-      .select(col("__vid"), col("i"), (col("x") - col("m")).as("c")))
-    def step(v: DataFrame): DataFrame = {
-      val sI = c.join(broadcast(v.select(col("i"), col("v"))), Seq("i"))
-        .withColumn("t", pr(col("c") * col("v"), 12).cast(D))
-        .groupBy(col("__vid")).agg(sum(col("t")).cast("double").as("s"))
-      val u = c.join(sI, Seq("__vid"))
-        .withColumn("t", pr(col("c") * col("s"), 12).cast(D))
+    val spark = vecs.sparkSession
+    val dimStats = vecs
+      .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+      .groupBy(col("i"))
+      .agg((floor(sum(col("x").cast(DecimalType(27, 12))).cast("double")
+        / count(lit(1)) * 1e9 + 0.5) / 1e9).as("m"))
+      .orderBy(col("i")).collect()
+    val d = dimStats.length
+    require(d > 0, "topComponent: empty vector column")
+    val mLit = array(dimStats.map(r => lit(r.getDouble(1))): _*)
+    val c = Dedup.cacheScoped(vecs.select(
+      zip_with(col(vecCol), mLit, (x, m) => x.cast("double") - m).as("c")))
+    var v: Array[Double] = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    var nrmOut = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val s = aggregate(
+        zip_with(col("c"), vLit, (ci, vi) => pr(ci * vi, 12).cast(D)),
+        lit(0).cast(D), (acc, t) => (acc + t).cast(D)).cast("double")
+      val u = c.withColumn("s", s)
+        .select(col("s"), posexplode(col("c")).as(Seq("i", "cd")))
+        .withColumn("t", pr(col("cd") * col("s"), 12).cast(D))
         .groupBy(col("i")).agg(sum(col("t")).cast("double").as("u"))
-      val nrm = u.agg(sqrt(sum(pr(col("u") * col("u"), 12).cast(D))
-        .cast("double")).as("nrm"))
-      Dedup.cacheScoped(u.crossJoin(broadcast(nrm))
-        .select(col("i"), pr(col("u") / col("nrm"), 9).as("v"), col("nrm")))
+      val rows = u.crossJoin(broadcast(
+          u.agg(sqrt(sum(pr(col("u") * col("u"), 12).cast(D))
+            .cast("double")).as("nrm"))))
+        .select(col("i"), pr(col("u") / col("nrm"), 9).as("v"), col("nrm"))
+        .orderBy(col("i")).collect()
+      v = rows.map(_.getDouble(1))
+      nrmOut = rows.head.getDouble(2)
     }
-    val v0 = st.select(col("i"),
-      when(col("i") === 0, lit(1.0)).otherwise(lit(0.0)).as("v"))
-    (1 to iters).foldLeft(v0)((v, _) => step(v.select(col("i"), col("v"))))
+    import spark.implicits._
+    v.indices.map(i => (i, v(i), nrmOut)).toDF("i", "v", "nrm")
   }
 
   /** Per-dim count and exact total variance companion frame
