@@ -5812,13 +5812,18 @@ object SparkEntry {
       // isotonic (PAV) calibration repair [EXT] — q150 DIAGNOSES
       // miscalibration, q233 scores it; this FIXES it: the monotone
       // map score→P(label) that Zadrozny–Elkan calibration deploys.
-      // The corpus reduces to ≤10 decile bins (q150's exact frame);
-      // pool-adjacent-violators is inherently sequential, so it runs
-      // driver-side on that bounded frame (Optim.pav — the linregGD
-      // parameters-as-literals discipline). Rows-only: PAV's
-      // order-dependent pooling is not ANSI-expressible; OperatorSpec
-      // pins pav() to monotonicity + block-mean preservation + an
-      // independent O(n²) reference.
+      // The corpus reduces to ≤10 decile bins (q150's exact frame).
+      // PAV's sequential pooling is not ANSI-expressible — but its
+      // SOLUTION is: the minimax identity (Robertson–Wright–Dykstra)
+      // gives fit_i = max_{j≤i} min_{k≥i} wavg(acc_j..acc_k), an O(n³)
+      // closed form that is trivial on a 10-row frame and turns this
+      // row from rows-only into a full oracle row (round 12). Segment
+      // means stay EXACT integers (nb·acc9 with acc9 = the 9-decimal
+      // quantized accuracy ×1e9) until one double division, so both
+      // engines compare identical doubles and pick identical extrema
+      // — no accumulation-order hazard. Optim.pav stays the operator
+      // (OperatorSpec: O(n²) reference, monotonicity, mass
+      // preservation; round-12 spec pins pav ≡ minimax).
       val score = TextAnalysis.classifierScore(col("text"),
         wTokens = 1.2, wStop = 2.0, wAlpha = 1.5, wPunct = -3.0, bias = -1.0)
       val bins = Tables.documents(s, dir)
@@ -5831,7 +5836,7 @@ object SparkEntry {
           pround(sum(col("y")).cast("double") / count(lit(1)), 9).as("acc"))
         .orderBy(col("b"))
         .collect() // ≤10 rows by construction — the calibration grid
-      val iso = graft.operators.Optim.pav(
+      val iso = graft.operators.Optim.isotonicMinimax(
         bins.map(_.getDouble(3)).toIndexedSeq, bins.map(_.getLong(1)).toIndexedSeq)
       import s.implicits._
       bins.zip(iso).map { case (r, f) =>
@@ -13155,6 +13160,52 @@ object SparkEntry {
          |  FLOOR(CAST(SUM(CAST(s AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*)
          |    * 1e9 + 0.5) / 1e9 AS silhouette
          |FROM si GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    // isotonic fit by the MINIMAX identity fit_i = max_{j<=i} min_{k>=i}
+    // wavg(acc_j..acc_k) — segment means reduce as exact integers
+    // (nb * acc9) until ONE double division, so both engines compare
+    // identical doubles and select identical extrema (see Optim
+    // .isotonicMinimax, whose Scala loops mirror these CTEs 1:1)
+    "q254_isotonic_calibration" ->
+      """WITH f AS (SELECT doc_id, lang,
+        |  least(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) AS f_tok,
+        |  CASE WHEN len(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS DOUBLE)
+        |            / len(regexp_extract_all(text, '\S+')) END AS f_stop,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) END AS f_alpha,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text) END AS f_punct
+        |FROM documents),
+        |z AS (SELECT doc_id, lang,
+        |        round(1.0 / (1.0 + exp(-(f_tok * 1.2 + f_stop * 2.0 + f_alpha * 1.5 + f_punct * (-3.0) + (-1.0)))), 9) AS score
+        |      FROM f),
+        |raw AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bucket, score,
+        |          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |        FROM z),
+        |bins AS (SELECT bucket, COUNT(*) AS n,
+        |           round(CAST(SUM(CAST(score AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 9) AS conf,
+        |           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 9) AS acc
+        |         FROM raw GROUP BY bucket),
+        |b9 AS (SELECT bucket, n, conf, acc,
+        |         CAST(FLOOR(acc * 1000000000.0 + 0.5) AS BIGINT) AS acc9
+        |       FROM bins),
+        |seg AS (SELECT j.bucket AS j, k.bucket AS k,
+        |          CAST(SUM(t.n * t.acc9) AS BIGINT) AS num,
+        |          CAST(SUM(t.n) AS BIGINT) AS den
+        |        FROM b9 j, b9 k, b9 t
+        |        WHERE j.bucket <= k.bucket
+        |          AND t.bucket BETWEEN j.bucket AND k.bucket
+        |        GROUP BY 1, 2),
+        |mn AS (SELECT i.bucket, s.j,
+        |         MIN(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE)
+        |             / 1000000000.0) AS v
+        |       FROM b9 i JOIN seg s ON s.j <= i.bucket AND s.k >= i.bucket
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT bucket, MAX(v) AS fit FROM mn GROUP BY bucket)
+        |SELECT b9.bucket, b9.n, b9.conf, b9.acc, round(iso.fit, 9) AS iso_acc
+        |FROM b9 JOIN iso ON b9.bucket = iso.bucket
+        |ORDER BY b9.bucket""".stripMargin,
 
     "q255_entropy_rate" ->
       s"""$evCte,

@@ -86,4 +86,39 @@ object Optim {
     }
     blocks.flatMap { case (w, wy, c) => Seq.fill(c)(wy / w) }.toIndexedSeq
   }
+
+  /** The same weighted isotonic fit by the MINIMAX identity
+    * (Robertson–Wright–Dykstra): fit_i = max_{j≤i} min_{k≥i}
+    * wavg(y_j..y_k). O(n³) vs [[pav]]'s O(n) — but ANSI-expressible
+    * (three self-joins + MIN/MAX), which is the whole point: an SQL
+    * oracle can compute the identical fit. Engine parity: `ys` must be
+    * 9-decimal quantized (every emitted ratio in this codebase is);
+    * segment means then reduce as EXACT integers Σw·round(y·1e9) and
+    * Σw until one double division — both engines compare identical
+    * doubles and select identical extrema, with no accumulation-order
+    * dependence. Driver-side on ≤bins-row frames, like [[pav]]. */
+  def isotonicMinimax(ys: IndexedSeq[Double], ws: IndexedSeq[Long]): IndexedSeq[Double] = {
+    require(ys.length == ws.length, "ys and ws must align")
+    require(ws.forall(_ > 0), "weights must be positive")
+    val n = ys.length
+    val y9 = ys.map(y => math.floor(y * 1e9 + 0.5).toLong)
+    // v(j,k) = (Σ_{t=j..k} w_t·y9_t) / (Σ w_t) / 1e9 — one division each
+    def v(j: Int, k: Int): Double = {
+      var num = 0L; var den = 0L; var t = j
+      while (t <= k) { num += ws(t) * y9(t); den += ws(t); t += 1 }
+      num.toDouble / den.toDouble / 1.0e9
+    }
+    IndexedSeq.tabulate(n) { i =>
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j <= i) {
+        var mn = Double.PositiveInfinity
+        var k = i
+        while (k < n) { val x = v(j, k); if (x < mn) mn = x; k += 1 }
+        if (mn > best) best = mn
+        j += 1
+      }
+      best
+    }
+  }
 }

@@ -547,6 +547,28 @@ class PavSpec extends AnyFunSuite {
     }
   }
 
+  test("minimax identity: isotonicMinimax ≡ PAV on random weighted inputs") {
+    // fit_i = max_{j≤i} min_{k≥i} wavg(y_j..y_k) — the closed form the
+    // q254 oracle computes in SQL; must agree with the sequential PAV
+    val rng = new scala.util.Random(1234)
+    for (_ <- 1 to 30) {
+      val n = 1 + rng.nextInt(12)
+      // 9-decimal quantized, per the minimax form's parity contract
+      val ys = IndexedSeq.fill(n)(math.floor(rng.nextDouble() * 1e9 + 0.5) / 1e9)
+      val ws = IndexedSeq.fill(n)(1L + rng.nextInt(50))
+      val a = Optim.pav(ys, ws)
+      val b = Optim.isotonicMinimax(ys, ws)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"pav $a vs minimax $b for ys=$ys ws=$ws")
+      }
+      // monotone by construction
+      b.sliding(2).foreach {
+        case Seq(p, q) => assert(p <= q + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
   test("PAV is identity on already-monotone input") {
     // each value round-trips through (w*y)/w — compare to tolerance,
     // not bitwise (5*0.2/5 != 0.2 in IEEE)
