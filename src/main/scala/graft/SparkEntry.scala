@@ -102,6 +102,25 @@ object SparkEntry {
     id % LP * 48271L % LP * 48271L % LP * 48271L % LP
   private val D = "DECIMAL(18,4)"
 
+  /** Unrolled MMR greedy steps 2..k for the q242 oracle — the q177
+    * materialized-unrolled-rounds discipline applied to diversified
+    * rerank. Expects CTEs `pool(vec_id, rel)`, `pc(u, w, c)` (pairwise
+    * pool cosines), and `k1` (the rank-1 pick). Each step scores the
+    * unpicked pool 0.7·rel − (1.0−0.7)·max-cosine-to-picked and takes
+    * the (score desc, vec_id) head — the exact IEEE expression and
+    * tie-break of Similarity.mmrSelect. */
+  private def mmrStepCtes(k: Int): String = (2 to k).map { t =>
+    s"""p$t AS MATERIALIZED (SELECT vec_id, mmr, $t AS rank FROM (
+       |  SELECT c.vec_id, 0.7 * c.rel - (1.0 - 0.7) *
+       |    (SELECT MAX(pc.c) FROM pc JOIN k${t - 1} s
+       |     ON pc.u = c.vec_id AND pc.w = s.vec_id) AS mmr
+       |  FROM pool c
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM k${t - 1}))
+       |ORDER BY mmr DESC, vec_id LIMIT 1),
+       |k$t AS MATERIALIZED (SELECT vec_id, mmr, rank FROM k${t - 1}
+       |        UNION ALL SELECT vec_id, mmr, rank FROM p$t)""".stripMargin
+  }.mkString(",\n")
+
   /** One DuckDB Lloyd step (assign under cent{i-1} → per-dim decimal
     * means m{i} → round-9 → REAL centroids cent{i}, empty clusters
     * carrying the previous centroid) — the oracle twin of
@@ -5400,9 +5419,16 @@ object SparkEntry {
       // bruteForceTopK (broadcast query, WindowGroupLimit top-pool);
       // the greedy argmax — inherently sequential in k — runs on the
       // ≤50-row pool driver-side (bounded by construction, the q177
-      // centroid-walk collect tier). Rows-only: the per-step argmax
-      // recursion is not ANSI-expressible; OperatorSpec pins the
-      // selection to an independent quadratic reference + invariants.
+      // centroid-walk collect tier). Oracle row since round 12: the 10
+      // greedy steps unroll as materialized CTEs (the q177/q208
+      // discipline) over a precomputed pool×pool cosine CTE;
+      // mmrSelect's cosine is dot/(√na·√nb) in array order — exactly
+      // DuckDB's list_cosine_similarity (the q36 parity precedent) —
+      // and the score 0.7·rel − (1.0−0.7)·maxsim is the same IEEE
+      // expression both sides, so every argmax compares identical
+      // doubles (ties break by vec_id in both engines). OperatorSpec
+      // additionally pins the selection to an independent quadratic
+      // reference + invariants.
       val emb = Tables.embeddings(s, dir)
       val qv = emb.orderBy(col("vec_id")).limit(1)
       val pool = Similarity.bruteForceTopK(
@@ -12922,6 +12948,32 @@ object SparkEntry {
          |  FLOOR(CAST(SUM(CAST(wt AS DECIMAL(27,14))) AS DOUBLE) / n * 1e9 + 0.5) / 1e9
          |    AS mi_nats
          |FROM tm GROUP BY n""".stripMargin,
+
+    // MMR greedy rerank, 10 materialized unrolled steps over a pool×pool
+    // cosine CTE; list_cosine_similarity is bit-equal to mmrSelect's
+    // dot/(√na·√nb) in array order (the q36 precedent)
+    "q242_mmr_rerank" ->
+      s"""WITH q AS MATERIALIZED (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings ORDER BY vec_id LIMIT 1),
+         |sall AS MATERIALIZED (SELECT c.vec_id,
+         |           list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) AS rel
+         |         FROM embeddings c, q WHERE c.vec_id != q.qid),
+         |pool AS MATERIALIZED (SELECT vec_id, rel FROM (
+         |           SELECT vec_id, rel,
+         |             row_number() OVER (ORDER BY rel DESC, vec_id) AS rk
+         |           FROM sall) WHERE rk <= 50),
+         |pe AS MATERIALIZED (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+         |       FROM embeddings e
+         |       WHERE e.vec_id IN (SELECT vec_id FROM pool)),
+         |pc AS MATERIALIZED (SELECT a.vec_id AS u, b.vec_id AS w,
+         |         list_cosine_similarity(a.v, b.v) AS c
+         |       FROM pe a, pe b WHERE a.vec_id != b.vec_id),
+         |p1 AS MATERIALIZED (SELECT vec_id, 0.7 * rel - (1.0 - 0.7) * 0.0 AS mmr, 1 AS rank
+         |       FROM pool ORDER BY mmr DESC, vec_id LIMIT 1),
+         |k1 AS MATERIALIZED (SELECT vec_id, mmr, rank FROM p1),
+         |${mmrStepCtes(10)}
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(mmr, 9) AS mmr_score
+         |FROM k10 ORDER BY rank""".stripMargin,
 
     "q243_mg_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w

@@ -168,7 +168,12 @@ object Similarity {
       if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
       else dot(cands(i)._2, cands(j)._2) / (norms(i) * norms(j))
     val taken = new Array[Boolean](n)
-    val maxSim = new Array[Double](n) // max cosine to the selected set
+    // max cosine to the selected set — init −∞, NOT 0.0: cosines can be
+    // negative, and a zero floor silently clamps the diversity penalty
+    // into a bonus-free zone (found when the q242 oracle's true max
+    // diverged on an all-negative neighborhood; the spec reference
+    // always computed the unclamped max)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
     var step = 0
     while (step < math.min(k, n)) {

@@ -473,9 +473,11 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("MMR selection equals an independent quadratic reference + invariants") {
-    // deterministic pseudo-random pool: 24 candidates in 8 dims
+    // deterministic pseudo-random pool: 24 candidates in 8 dims; SIGNED
+    // components so pairwise cosines go negative (the regime where a
+    // zero-initialized max-sim would silently clamp the penalty)
     def vec(i: Int): Array[Double] =
-      Array.tabulate(8)(d => math.sin(i * 31 + d * 7).abs + 0.1)
+      Array.tabulate(8)(d => math.sin(i * 31 + d * 7))
     def cosRef(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
