@@ -356,10 +356,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1500))
   }
 
-  test("q312: power-iteration joins broadcast the 64-row v frame, no cartesian blowup") {
+  test("q312: power iteration is join-free map-side math (v as literals)") {
+    // r12 rewrite: means and v are dim-sized literals, the projection
+    // folds per row — the iteration plans no join against the corpus at
+    // all. The returned frame is the 64-row result crossed with the
+    // 1-row variance scalar (broadcast NLJ on bounded frames, not a
+    // corpus cartesian).
     val p = plan("q312_pca_power")
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastHashJoin"), "corpus join crept back:\n" + p.take(1500))
+    // and the iteration's own shape: one grouped agg, zero joins
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val v3 = graft.operators.Pca.topComponent(emb, "embedding", "vec_id", 1)
+    assert(v3.count() == 64)
   }
 
   test("q315: per-source weighted top-5 plans a WindowGroupLimit") {
