@@ -342,9 +342,12 @@ object LangId {
       // ur vs fa vs ar: Urdu-only letters first, then Farsi-only letters
       // (گ چ پ ژ + Farsi yeh/kaf forms), then tiny function-word lists for
       // text written entirely in the shared subset (e.g. خداحافظ).
-      if (text.exists(urduChars.contains(_))) return "ur"
-      val ws = text.split("\\s+").toSet
-      if (text.exists(farsiChars.contains(_)) || ws.exists(faWords.contains)) return "fa"
+      // Same 8000-char window as the histogram — the branch must not be
+      // the one path whose cost scales with a multi-MB document.
+      val head = if (text.length > scanLen) text.substring(0, scanLen) else text
+      if (head.exists(urduChars.contains(_))) return "ur"
+      val ws = head.split("\\s+").toSet
+      if (head.exists(farsiChars.contains(_)) || ws.exists(faWords.contains)) return "fa"
       if (ws.exists(arWords.contains)) return "ar"
       return "fa" // default: the reference corpus skews Farsi (cld2 parity on its tests)
     }

@@ -102,6 +102,13 @@ class LangIdSpec extends AnyFunSuite {
     assert(d(long) == "en")
     val ms = (System.nanoTime() - t0) / 1e6
     assert(ms < 500.0, s"detect took $ms ms on a 2 MB doc — sampling cap broken")
+    // The Arabic branch does its own word-list scan — it must ride the
+    // same cap (it once split the full text).
+    val longAr = ("النتائج كانت أفضل من المتوقع وسيتم الإعلان عنها غدا " * 40000) // ~2 MB
+    val t1 = System.nanoTime()
+    assert(d(longAr) == "ar")
+    val ms1 = (System.nanoTime() - t1) / 1e6
+    assert(ms1 < 500.0, s"detect took $ms1 ms on a 2 MB Arabic doc — branch cap broken")
   }
 
   test("deterministic across repeated calls") {
