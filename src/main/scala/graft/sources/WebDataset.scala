@@ -68,17 +68,21 @@ object WebDataset {
         // was last-wins at the cost of buffering the whole shard.)
         new Iterator[Row] {
           private val orphanPayloads = collection.mutable.LinkedHashMap.empty[String, Array[Byte]]
-          private val orphanMetas = collection.mutable.HashMap.empty[String, String]
+          private val orphanMetas = collection.mutable.LinkedHashMap.empty[String, String]
           private val seen = collection.mutable.HashSet.empty[String]
-          // Unmatched-payload buffer cap: a tar that is ALL orphans (no
-          // .json ever arrives — adversarial or a foreign layout) would
-          // otherwise buffer the whole shard on-heap. Past the cap the
-          // OLDEST orphan is emitted with null meta — the same salvage
-          // row it would get at EOF, just early — so memory is bounded
-          // and no payload is lost; a meta arriving after its payload
-          // was evicted is dropped like any other orphan meta.
+          // Unmatched-entry buffer caps: a tar that is ALL orphans (the
+          // pair side never arrives — adversarial or a foreign layout)
+          // would otherwise buffer the whole shard on-heap. Past the cap
+          // the OLDEST orphan payload is emitted with null meta — the
+          // same salvage row it would get at EOF, just early — and the
+          // OLDEST orphan meta is dropped — the same fate it would get
+          // at EOF (its payload, if it ever arrives, still salvages
+          // with null meta). Memory is bounded and no payload is lost;
+          // a meta arriving after its payload was evicted is dropped
+          // like any other orphan meta.
           private val MaxOrphanBytes = maxOrphanBytes
           private var orphanBytes = 0L
+          private var metaBytes = 0L
           private var drain: Iterator[Row] = null
           private var queued: Row = fetch()
 
@@ -115,7 +119,17 @@ object WebDataset {
                           case Some(b) =>
                             orphanBytes -= b.length
                             seen += k; out = Row(k, b, m, shard); done = true
-                          case None    => orphanMetas(k) = m
+                          case None =>
+                            // duplicate-stem meta: replace (last-wins
+                            // pre-pairing) without drifting the counter
+                            orphanMetas.remove(k).foreach(old => metaBytes -= old.length)
+                            orphanMetas(k) = m
+                            metaBytes += m.length
+                            if (metaBytes > MaxOrphanBytes && orphanMetas.size > 1) {
+                              val (ek, em) = orphanMetas.head
+                              orphanMetas.remove(ek)
+                              metaBytes -= em.length
+                            }
                         }
                       }
                     } else if (n.endsWith(s".$ext")) {
@@ -125,6 +139,9 @@ object WebDataset {
                         orphanMetas.remove(k) match {
                           case Some(m) => seen += k; out = Row(k, b, m, shard); done = true
                           case None =>
+                            // duplicate-stem payload: replace (last-wins
+                            // pre-pairing) without drifting the counter
+                            orphanPayloads.remove(k).foreach(old => orphanBytes -= old.length)
                             orphanPayloads(k) = b
                             orphanBytes += b.length
                             if (orphanBytes > MaxOrphanBytes && orphanPayloads.size > 1) {

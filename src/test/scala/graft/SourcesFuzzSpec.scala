@@ -149,6 +149,38 @@ class SourcesFuzzSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Array[Byte]](1).length == 1000), "payload bytes intact")
   }
 
+  test("webdataset: all-meta tar stays under the buffer cap; payload after meta eviction salvages") {
+    // the dual hole: only .json entries ever arrive — pre-cap this
+    // buffered every meta string on-heap. Past the cap the oldest meta
+    // drops (its EOF fate anyway); a payload arriving AFTER its meta
+    // was evicted still salvages with null meta, and a payload whose
+    // meta survived pairs normally.
+    val dir = new File("target/tmp/wds_metas"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val bos = new ByteArrayOutputStream()
+    val os = new TarArchiveOutputStream(bos)
+    def put(name: String, data: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(name); e.setSize(data.length)
+      os.putArchiveEntry(e); os.write(data); os.closeArchiveEntry()
+    }
+    val n = 50
+    for (i <- 0 until n)
+      put(f"k$i%03d.json", (s"""{"i":$i,"pad":"""" + "x" * 1000 + "\"}").getBytes(StandardCharsets.UTF_8))
+    // k000's meta was evicted long ago; k049's survived (most recent)
+    put("k000.txt", Array.fill[Byte](10)(1))
+    put("k049.txt", Array.fill[Byte](10)(2))
+    os.finish()
+    val f = new FileOutputStream(new File(dir, "s0.tar")); f.write(bos.toByteArray); f.close()
+    // cap of ~5 metas forces meta eviction 45 times
+    val (df, _) = WebDataset.readCounted(spark, dir.getAbsolutePath, maxOrphanBytes = 5000L)
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows.length == 2, s"only paired/salvaged payloads emit rows, got ${rows.length}")
+    assert(rows(0).getString(0) == "k000" && rows(0).isNullAt(2),
+      "payload after meta eviction salvages with null meta")
+    assert(rows(1).getString(0) == "k049" && rows(1).getString(2).contains("\"i\":49"),
+      "payload whose meta survived pairs normally")
+  }
+
   test("http fetch: a body past the payload cap is a counted failure, not an OOM") {
     class Endless(total: Long) extends java.io.InputStream {
       var served = 0L
