@@ -51,38 +51,50 @@ object AsOf {
     }
   }
 
-  /** Union-and-carry core — every left column rides the shuffle+window. */
+  /** Union-and-carry core — every left column rides the shuffle+window.
+    *
+    * The carried right payload is ONE struct, not per-column carries:
+    * attachment is row-atomic (a matched row's legitimate NULL payload
+    * value must come through as NULL, never resurrect an older row's
+    * value for that column), and duplicate right (key, ts) rows resolve
+    * deterministically to the greatest payload tuple (the struct rides
+    * the window sort when its type is orderable — maps aren't; there
+    * the tie stays engine-order as before). */
   private def joinCarry(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                         payload: Seq[String], tolerance: Option[String]): DataFrame = {
     val lCols = left.columns
+    val pStruct = struct((payload.map(col) :+ col(tsCol).as("__mts")): _*)
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__mts", right.schema(tsCol).dataType))
     // Right rows become carrier rows: payload present, left columns null.
     val rTagged = right.select(
-      (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +:
-        payload.map(c => col(c).as(s"__p_$c")) ++:
+      (col(keyCol) +: col(tsCol).as("__ts") +: lit(0).as("__side") +: pStruct.as("__p") +:
         lCols.filterNot(c => c == keyCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val lTagged = left.select(
       (col(keyCol) +: col(tsCol).as("__ts") +: lit(1).as("__side") +:
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++:
+        lit(null).cast(pType).as("__p") +:
         lCols.filterNot(c => c == keyCol).map(col)): _*)
     val unioned = rTagged.unionByName(lTagged)
-    // Order right rows before left rows at equal ts => `<=` semantics.
+    // Order right rows before left rows at equal ts => `<=` semantics;
+    // among equal-ts right rows the greatest payload struct sorts last,
+    // so `last()` picks it — a deterministic tie policy.
+    val sortKeys = Seq(col("__ts").asc, col("__side").asc) ++
+      (if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(pType))
+         Seq(col("__p").asc_nulls_first) else Nil)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry the matched right-row timestamp alongside the payload so a
+    val carried = unioned
+      .withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))
+    // the matched right-row timestamp rides inside the struct so a
     // tolerance bound can null out stale matches after the window pass
-    val withMatchTs = unioned.withColumn("__mts",
-      when(col("__side") === 0, col("__ts")))
-    val carried = (payload :+ "__mts_carry").foldLeft(
-      withMatchTs.withColumn("__p___mts_carry", col("__mts"))) { (df, c) =>
-      df.withColumn(s"__p_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
     val fresh: Column = tolerance match {
-      case Some(t) => col("__p___mts_carry") >= col("__ts") - expr(s"INTERVAL $t")
-      case None    => lit(true)
+      case Some(t) => col("__pc.__mts") >= col("__ts") - expr(s"INTERVAL $t")
+      case None    => col("__pc").isNotNull
     }
     carried.filter(col("__side") === 1)
       .select((lCols.map(col) ++ payload.map(c =>
-        when(fresh, col(s"__p_$c")).as(s"right_$c"))): _*)
+        when(fresh, col(s"__pc.$c")).as(s"right_$c"))): _*)
   }
 }

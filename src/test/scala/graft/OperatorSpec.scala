@@ -364,6 +364,35 @@ class DedupSpec extends AnyFunSuite {
     assert(ccLocal.exceptAll(cc).count() === 0L && cc.exceptAll(ccLocal).count() === 0L)
   }
 
+  test("connected components: random multigraphs — tiers agree exactly") {
+    // differential check beyond the planted chain: irregular topologies
+    // (cross-linked stars, cycles, self-loops, duplicate/reversed edges,
+    // disconnected pairs) through BOTH tiers; any disagreement is a bug
+    // in one of them. Seeded — deterministic across runs.
+    for (seed <- Seq(7L, 1234L, 987654L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 300
+      val edges = Seq.fill(450) {
+        val a = rnd.nextInt(n).toLong
+        // mix: short links, hub links, self-loops
+        val b = rnd.nextInt(4) match {
+          case 0 => a                         // self-loop
+          case 1 => (a + 1 + rnd.nextInt(3)) % n  // local link
+          case 2 => rnd.nextInt(5).toLong     // hub link
+          case _ => rnd.nextInt(n).toLong     // random
+        }
+        if (rnd.nextBoolean()) (a, b) else (b, a) // reversed duplicates
+      }
+      val pairs = edges.toDF("key_a", "key_b")
+      val (ccDist, rd) = Dedup.connectedComponentsWithRounds(pairs, localEdgeThreshold = 0)
+      val (ccLocal, r0) = Dedup.connectedComponentsWithRounds(pairs)
+      assert(rd >= 1 && r0 === 0, s"tiers must differ in mechanism (seed $seed)")
+      assert(ccDist.exceptAll(ccLocal).count() === 0L &&
+        ccLocal.exceptAll(ccDist).count() === 0L,
+        s"tier disagreement on seed $seed")
+    }
+  }
+
   test("fnv1a64 / simhashOf deterministic") {
     assert(Dedup.fnv1a64("abc") == Dedup.fnv1a64("abc"))
     assert(Dedup.fnv1a64("abc") != Dedup.fnv1a64("abd"))
@@ -422,6 +451,63 @@ class AsOfSpec extends AnyFunSuite {
     val carryTol = AsOf.join(left, right, "user_id", "ts",
       Seq("purchase_id", "pval"), tolerance = Some("5 seconds"), carryThreshold = 100)
     assert(norm(slimTol) == norm(carryTol))
+  }
+
+  test("row-atomic attachment: a matched row's NULL payload value stays NULL") {
+    // regression for the per-column-carry bug: the newer matched row has
+    // pval = NULL; the old per-column last(ignoreNulls) resurrected the
+    // OLDER row's 5.0 for pval while attaching the newer purchase_id —
+    // a payload mixed from two rows. Attachment must be row-atomic.
+    val left = Seq((100L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (900L, 1L, ts(10), java.lang.Double.valueOf(5.0)),
+      (901L, 1L, ts(20), null.asInstanceOf[java.lang.Double]),
+    ).toDF("purchase_id", "user_id", "ts", "pval")
+      .select(col("user_id"), col("ts"), col("purchase_id"), col("pval"))
+    for (th <- Seq(0, 100)) {
+      val r = AsOf.join(left, right, "user_id", "ts", Seq("purchase_id", "pval"),
+        carryThreshold = th).select("right_purchase_id", "right_pval").head()
+      assert(r.getLong(0) == 901L, s"latest row must match (threshold $th)")
+      assert(r.isNullAt(1), s"matched row's NULL pval must come through NULL (threshold $th)")
+    }
+  }
+
+  test("as-of join: randomized differential vs naive reference (dup ties + null payloads)") {
+    // semantics pinned: per left row, the max-ts right row with ts <= left
+    // ts (within tolerance); among equal-ts ties the greatest payload
+    // tuple wins deterministically; attachment is row-atomic.
+    for (seed <- Seq(11L, 4242L)) {
+      val rnd = new scala.util.Random(seed)
+      val leftRows = (0 until 200).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, ts(rnd.nextInt(50).toLong)))
+      val rightRows = (0 until 150).map { j =>
+        val v: java.lang.Double =
+          if (rnd.nextInt(4) == 0) null else java.lang.Double.valueOf(rnd.nextInt(100).toDouble)
+        (rnd.nextInt(8).toLong, ts(rnd.nextInt(50).toLong), (j % 40).toLong, v)
+      }
+      val left = leftRows.toDF("event_id", "user_id", "ts")
+      val right = rightRows.toDF("user_id", "ts", "purchase_id", "pval")
+      def pick(k: Long, t: Timestamp, tolSec: Option[Long]): Option[(Long, Option[Double])] = {
+        val cands = rightRows.filter(r => r._1 == k && !r._2.after(t) &&
+          tolSec.forall(sec => r._2.getTime >= t.getTime - sec * 1000))
+        if (cands.isEmpty) None
+        else {
+          val maxTs = cands.map(_._2.getTime).max
+          val best = cands.filter(_._2.getTime == maxTs)
+            .maxBy(r => (r._3, Option(r._4).fold(Double.NegativeInfinity)(_.doubleValue)))
+          Some((best._3, Option(best._4).map(_.doubleValue)))
+        }
+      }
+      for (tolSec <- Seq[Option[Long]](None, Some(10L)); th <- Seq(0, 100)) {
+        val got = AsOf.join(left, right, "user_id", "ts", Seq("purchase_id", "pval"),
+          tolerance = tolSec.map(s => s"$s seconds"), carryThreshold = th)
+          .select("event_id", "right_purchase_id", "right_pval").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+            else Some((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))).toMap
+        for ((eid, k, t) <- leftRows)
+          assert(got(eid) == pick(k, t, tolSec), s"event $eid seed $seed tol $tolSec th $th")
+      }
+    }
   }
 }
 
