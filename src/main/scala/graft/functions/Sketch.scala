@@ -109,9 +109,14 @@ object Sketch {
   }
 
   /** Codegen point-estimate of `term` against a materialized counter
-    * array — the map-side prefilter probe of q115. Null term → 0. */
-  def probe(counters: Array[Long], term: Column): Column =
+    * array — the map-side prefilter probe of q115. Null term → 0.
+    * `counters` must be a [[CmsAgg]] result (Depth×Width layout) — checked
+    * here so a wrong-shaped array fails at plan build, not mid-task. */
+  def probe(counters: Array[Long], term: Column): Column = {
+    require(counters.length == Depth * Width,
+      s"CMS probe needs a Depth*Width=${Depth * Width} counter array, got ${counters.length}")
     column(CmsProbe(expression(term), counters))
+  }
 
   /** Column twin of [[estimate]] for probing a sketch carried as a
     * column (kept for API parity; the hot path is [[probe]]). */

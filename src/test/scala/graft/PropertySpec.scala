@@ -281,6 +281,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("every hand-rolled expression: codegen ≡ interpreted on a random battery") {
+    // doGenCode and eval are two implementations of the same semantics —
+    // the classic divergence source for custom Catalyst expressions. One
+    // battery of seeded random inputs (unicode strings incl. astral
+    // chars, float vectors incl. zeros/negatives) through JW, the vector
+    // kernels, shingle/minhash/simhash, and the CMS probe, in both
+    // factory modes, compared exactly.
+    val rnd = new scala.util.Random(20260815L)
+    val alphabets = Seq("abcdef ", "αβγδ θε", "日本語テキスト ", "áé x", "ab🙂cd ")
+    val texts = (0 until 40).map { i =>
+      val alpha = alphabets(i % alphabets.size)
+      (0 until rnd.nextInt(30)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    } :+ "" :+ "one"
+    val vecs = (0 until 40).map { _ =>
+      Array.fill(8)(rnd.nextInt(5) match {
+        case 0 => 0.0f
+        case _ => (rnd.nextDouble() * 2 - 1).toFloat
+      })
+    }
+    val df = texts.zipAll(texts.reverse, "", "").zip(vecs.zipAll(vecs.reverse, Array.empty[Float], Array.empty[Float]))
+      .map { case ((s1, s2), (v1, v2)) => (s1, s2, v1, v2) }
+      .toDF("s1", "s2", "v1", "v2")
+    val cms = Array.fill(graft.functions.Sketch.Depth * graft.functions.Sketch.Width)(
+      rnd.nextInt(1000).toLong)
+    def run(): Seq[Seq[Any]] = df.select(
+        graft.functions.Strings.jaroWinkler(col("s1"), col("s2")),
+        graft.functions.Vectors.cosine(col("v1"), col("v2")),
+        graft.functions.Vectors.dot(col("v1"), col("v2")),
+        graft.functions.Vectors.l2Distance(col("v1"), col("v2")),
+        graft.functions.Shingles.shingles(col("s1"), 3),
+        graft.functions.Shingles.minhashSigBands(col("s1"), 3, 16, 4),
+        graft.functions.Shingles.simhash(col("s1"), 3),
+        graft.functions.Sketch.probe(cms, col("s1")),
+        Extraction.nfc(col("s1")))
+      .collect().toSeq.map(_.toSeq)
+    val conf = spark.conf
+    val gotCodegen = run()
+    val prev = (conf.get("spark.sql.codegen.wholeStage"),
+      conf.get("spark.sql.codegen.factoryMode", "FALLBACK"))
+    conf.set("spark.sql.codegen.wholeStage", "false")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val gotInterp = run()
+      gotCodegen.zip(gotInterp).zipWithIndex.foreach { case ((cg, in), i) =>
+        assert(cg === in, s"row $i codegen vs interpreted: $cg vs $in")
+      }
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", prev._1)
+      conf.set("spark.sql.codegen.factoryMode", prev._2)
+    }
+  }
+
   test("proportional stratified sample takes exactly ceil(n/10) per stratum") {
     val got = SparkEntry.queries("q185_stratified_sample")(spark, TestSpark.sf0001)
       .groupBy("lang").agg(max("stratum_n").as("n"), count(lit(1)).as("k"))
