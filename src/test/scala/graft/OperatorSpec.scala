@@ -364,6 +364,43 @@ class DedupSpec extends AnyFunSuite {
     assert(ccLocal.exceptAll(cc).count() === 0L && cc.exceptAll(ccLocal).count() === 0L)
   }
 
+  test("minhashCandidates == independent signature-band reference on random texts") {
+    // the banding pipeline is deterministic given the hash family, so
+    // the candidate set is EXACTLY checkable (unlike recall, which is
+    // probabilistic): pairs sharing >= 1 band bucket, est_jaccard from
+    // matching signature rows, threshold applied — recomputed
+    // independently through the scalar twin and compared pair-for-pair.
+    val rnd = new scala.util.Random(99L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val texts = (0 until 60).map { i =>
+      val base = Vector.tabulate(12)(j => vocab((i / 6 + j) % vocab.size))
+      val t = if (i % 3 == 0) base
+              else base.updated(rnd.nextInt(12), vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, t.mkString(" "))
+    }
+    val got = Dedup.minhashCandidates(texts.toDF("doc_id", "text"),
+        col("text"), col("doc_id"),
+        shingleK = 2, numHashes = 16, bands = 4, minJaccard = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    import org.apache.spark.unsafe.types.UTF8String
+    val sigs = texts.map { case (id, t) =>
+      val row = graft.functions.ShingleKernel.minhashSigBands(UTF8String.fromString(t), 2, 16, 4)
+      (id, row.getArray(0).toLongArray(), row.getArray(1).toLongArray())
+    }
+    val want = sigs.flatMap { case (ia, sa, ba) =>
+      sigs.flatMap { case (ib, sb, bb) =>
+        if (ia < ib && ba.zip(bb).exists(p => p._1 == p._2)) {
+          val est = sa.zip(sb).count(p => p._1 == p._2).toDouble / 16
+          if (est >= 0.3) Some((ia, ib) -> est) else None
+        } else None
+      }
+    }.toMap
+    assert(want.nonEmpty, "fixture must produce candidates")
+    assert(got.keySet == want.keySet,
+      s"candidate sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    want.foreach { case (p, est) => assert(got(p) == est, s"pair $p: ${got(p)} != $est") }
+  }
+
   test("connected components: random multigraphs — tiers agree exactly") {
     // differential check beyond the planted chain: irregular topologies
     // (cross-linked stars, cycles, self-loops, duplicate/reversed edges,
