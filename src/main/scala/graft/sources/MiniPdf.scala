@@ -20,9 +20,10 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *     are inflated and merged into the object map, so modern writers
   *     (which put the whole page tree in ObjStm) decode too
   *   - stream filter CHAINS: `/FlateDecode` (`java.util.zip.Inflater`,
-  *     with PNG predictors 10–15 and TIFF predictor 2),
+  *     with PNG predictors 10–15 and TIFF predictor 2), `/LZWDecode`
+  *     (TIFF-style LZW incl. `/EarlyChange`, same predictors),
   *     `/ASCIIHexDecode`, `/ASCII85Decode`, `/RunLengthDecode`, in
-  *     `/Filter [ … ]` order
+  *     `/Filter [ … ]` order — every text-bearing standard filter
   *   - the page tree (`/Root → /Pages → /Kids → /Page`) for true page
   *     ORDER (document order of objects is not page order); `/Root`
   *     is taken from the newest trailer OR xref-stream dict, so both
@@ -39,8 +40,8 @@ import java.nio.charset.StandardCharsets.ISO_8859_1
   *
   * Honest subset limits (documented, spec-pinned): no encryption
   * (`/Encrypt` fails CLOSED with a descriptive Left, like the
-  * reference's `cannot open document` channel), no LZW/DCT/JBIG2/CCITT
-  * filters (image filters carry no text; LZW is legacy-rare), no
+  * reference's `cannot open document` channel), no DCT/JPX/JBIG2/CCITT
+  * filters (image filters carry no text), no
   * font-program parsing (a Type0 font with NO ToUnicode maps to
   * nothing rather than glyph-id garbage), simple fonts without
   * ToUnicode read as Latin-1/WinAnsi-ish bytes. Decompression bombs
@@ -69,7 +70,8 @@ object MiniPdf {
     "/Predictor" -> """/Predictor\s+(\d+)""".r,
     "/Columns" -> """/Columns\s+(\d+)""".r,
     "/Colors" -> """/Colors\s+(\d+)""".r,
-    "/BitsPerComponent" -> """/BitsPerComponent\s+(\d+)""".r)
+    "/BitsPerComponent" -> """/BitsPerComponent\s+(\d+)""".r,
+    "/EarlyChange" -> """/EarlyChange\s+(\d+)""".r)
 
   private def intIn(dict: String, key: String, dflt: Int): Int =
     IntAfter(key).findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
@@ -242,6 +244,54 @@ object MiniPdf {
     } finally inf.end()
   }
 
+  /** PDF `/LZWDecode` (ISO 32000-1 §7.4.4; TIFF-style LZW): 9→12-bit
+    * MSB-first codes, 256 = clear-table, 257 = EOD, dictionary entries
+    * from 258, code width growing one code EARLY when
+    * `/EarlyChange 1` (the default). Legacy-rare (Flate replaced it in
+    * PDF 1.2) but present in 1990s crawled documents; capped by the
+    * same bomb ceiling as every decoder here. */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, math.min(data.length * 4, 1 << 20)))
+    val dict = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetDict(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 = clear, 257 = EOD
+    }
+    resetDict()
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) done = true // truncated tail: keep what we have
+      else {
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { resetDict(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < dict.length && dict(code) != null) dict(code)
+            else if (prev != null && code == dict.length) prev :+ prev(0) // KwKwK
+            else return out.toByteArray // corrupt code: salvage prior output
+          if (out.size() + entry.length > DecodedCap) capExceeded()
+          out.write(entry)
+          if (prev != null) dict += (prev :+ entry(0))
+          prev = entry
+          if (dict.length + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
     var hi = -1
@@ -385,7 +435,7 @@ object MiniPdf {
   }
 
   /** Decode a stream through its full filter chain. Unknown filters
-    * (DCT/JPX/CCITT/JBIG2 images, LZW, Crypt) yield NO text bytes —
+    * (DCT/JPX/CCITT/JBIG2 images, Crypt) yield NO text bytes —
     * fail-safe for the text path. */
   private[sources] def decodedStream(o: PdfObj): Array[Byte] = o.stream match {
     case None => Array.emptyByteArray
@@ -395,6 +445,8 @@ object MiniPdf {
       filterChain(o.dict).take(8).foldLeft(raw) { (data, f) =>
         f match {
           case "FlateDecode" | "Fl" => unpredict(inflate(data), o.dict)
+          case "LZWDecode" | "LZW" =>
+            unpredict(lzwDecode(data, intIn(o.dict, "/EarlyChange", 1)), o.dict)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
           case "ASCII85Decode" | "A85" => ascii85Decode(data)
           case "RunLengthDecode" | "RL" => runLengthDecode(data)

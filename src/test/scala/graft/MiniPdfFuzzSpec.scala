@@ -130,6 +130,22 @@ class MiniPdfFuzzSpec extends AnyFunSuite {
     assert(sec < 60.0, s"RLE chain took $sec s — bomb cap not effective")
   }
 
+  test("LZW kernel: random byte soup never throws, never hangs, output bounded") {
+    val rnd = new scala.util.Random(314L)
+    for (_ <- 0 until 300) {
+      val bytes = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(bytes)
+      val t0 = System.nanoTime()
+      val out = graft.sources.MiniPdf.lzwDecode(bytes, rnd.nextInt(2)) // must not throw
+      assert((System.nanoTime() - t0) / 1e9 < 10.0, "LZW fuzz input hung")
+      // random codes mostly hit the corrupt-code salvage path quickly;
+      // whatever survives is bounded by construction (cap would throw
+      // IllegalStateException, which decode() maps to a Left — but at
+      // 2 KB of input the cap is unreachable: each code emits <= 4096 B)
+      assert(out.length <= (2048 * 8 / 9 + 1) * 4096)
+    }
+  }
+
   test("self-referential /Parent and /Pages cycles terminate") {
     val bos = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = bos.write(s.getBytes(ISO_8859_1))

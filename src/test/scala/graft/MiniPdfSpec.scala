@@ -412,4 +412,153 @@ class MiniPdfSpec extends AnyFunSuite {
     val res = MiniPdfDecoder().decode(pdf)
     assert(res == Right(Seq("<div><p>indirect len</p></div>")))
   }
+
+  // ------------------------------------------------------------- LZW
+
+  /** PDF/TIFF LZW encoder (early-change convention), the test-side twin
+    * of MiniPdf.lzwDecode — used for round-trips and to build genuine
+    * /LZWDecode PDFs. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap[collection.immutable.ArraySeq[Byte], Int]()
+    def reset(): Unit = {
+      dict.clear()
+      (0 until 256).foreach(i => dict(collection.immutable.ArraySeq(i.toByte)) = i)
+      width = 9
+    }
+    var next = 258
+    reset()
+    put(256)
+    var w = Vector.empty[Byte]
+    for (b <- data) {
+      val wb = collection.immutable.ArraySeq.from(w :+ b)
+      if (dict.contains(wb)) w = w :+ b
+      else {
+        put(dict(collection.immutable.ArraySeq.from(w)))
+        dict(wb) = next; next += 1
+        // early change: the encoder is one dict entry ahead of the
+        // decoder at the same stream point, so its switch condition is
+        // next >= 2^width where the decoder's is len+1 >= 2^width
+        if (next >= (1 << width) && width < 12) width += 1
+        if (next == 4096) { put(256); reset(); next = 258 }
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) put(dict(collection.immutable.ArraySeq.from(w)))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZW known vector: hand-packed codes for ABABAB decode exactly") {
+    // codes [CLEAR, 'A', 'B', 258, 258, EOD] at 9 bits, MSB-first,
+    // packed by hand: 0x80 0x10 0x48 0x50 0x28 0x14 0x04
+    val bytes = Array(0x80, 0x10, 0x48, 0x50, 0x28, 0x14, 0x04).map(_.toByte)
+    assert(new String(MiniPdf.lzwDecode(bytes, 1), ISO_8859_1) == "ABABAB")
+  }
+
+  test("LZW round-trip: KwKwK runs, width transitions, clear-at-full-table") {
+    val rnd = new scala.util.Random(77L)
+    val cases = Seq(
+      "aaaaaaaaaaaa".getBytes(ISO_8859_1), // KwKwK case on every step
+      Array.emptyByteArray,
+      "single".getBytes(ISO_8859_1),
+      Array.fill(20000)(rnd.nextInt(256).toByte), // incompressible: 9->10->11->12 bits, table fills, clear fires
+      (0 until 5000).flatMap(i => s"tok$i ".getBytes(ISO_8859_1)).toArray)
+    for (c <- cases)
+      assert(java.util.Arrays.equals(MiniPdf.lzwDecode(lzwEncode(c), 1), c),
+        s"round-trip failed for ${c.length} bytes")
+    // truncation: half the stream must salvage a prefix, never throw
+    val enc = lzwEncode(cases(3))
+    val half = MiniPdf.lzwDecode(enc.take(enc.length / 2), 1)
+    assert(half.length > 0 && half.length < cases(3).length)
+    assert(java.util.Arrays.equals(half, cases(3).take(half.length)), "salvaged prefix must match")
+  }
+
+  test("LZW convention cross-check: JDK TIFF writer's LZW strips decode bit-exactly") {
+    // PDF LZW IS TIFF LZW (ISO 32000-1 cites TIFF 6.0) — the JDK ships
+    // a TIFF writer with LZW, giving an AUTHORITATIVE independent
+    // encoder to pin the early-change/width convention against (a
+    // self-round-trip alone could hide a symmetric off-by-one).
+    val rnd = new scala.util.Random(13L)
+    val wpx = 64; val hpx = 200 // 12.8k random bytes: crosses 9->10->11 bit widths
+    val img = new java.awt.image.BufferedImage(wpx, hpx, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = Array.fill(wpx * hpx)(rnd.nextInt(256).toByte)
+    img.getRaster.setDataElements(0, 0, wpx, hpx, raster)
+    val wit = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assume(wit.hasNext, "JDK TIFF writer absent")
+    val writer = wit.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val t = bos.toByteArray
+    // minimal TIFF IFD walk (II and MM)
+    val le = t(0) == 'I'
+    def u16(o: Int) = if (le) ((t(o) & 0xff) | ((t(o + 1) & 0xff) << 8))
+                      else (((t(o) & 0xff) << 8) | (t(o + 1) & 0xff))
+    def u32(o: Int): Long =
+      if (le) (t(o) & 0xffL) | ((t(o + 1) & 0xffL) << 8) | ((t(o + 2) & 0xffL) << 16) | ((t(o + 3) & 0xffL) << 24)
+      else ((t(o) & 0xffL) << 24) | ((t(o + 1) & 0xffL) << 16) | ((t(o + 2) & 0xffL) << 8) | (t(o + 3) & 0xffL)
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var comp = -1; var pred = 1
+    var offs = Seq.empty[Long]; var cnts = Seq.empty[Long]
+    for (i <- 0 until n) {
+      val e = ifd + 2 + 12 * i
+      val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4).toInt
+      def arr: Seq[Long] = {
+        val sz = if (typ == 3) 2 else 4
+        val base = if (cnt.toLong * sz <= 4) e + 8 else u32(e + 8).toInt
+        (0 until cnt).map(j => if (typ == 3) u16(base + 2 * j).toLong else u32(base + 4 * j))
+      }
+      tag match {
+        case 259 => comp = arr.head.toInt
+        case 273 => offs = arr
+        case 279 => cnts = arr
+        case 317 => pred = arr.head.toInt
+        case _ =>
+      }
+    }
+    assert(comp == 5, s"writer must have used LZW, got compression=$comp")
+    val decoded = offs.zip(cnts).flatMap { case (o, c) =>
+      MiniPdf.lzwDecode(t.slice(o.toInt, (o + c).toInt), 1)
+    }.toArray
+    val expected =
+      if (pred == 2) raster // would need inverse differencing; JDK default is no predictor
+      else raster
+    assume(pred == 1, s"JDK writer unexpectedly used predictor $pred")
+    assert(decoded.length == expected.length,
+      s"decoded ${decoded.length} bytes, expected ${expected.length}")
+    assert(java.util.Arrays.equals(decoded, expected),
+      "TIFF LZW strips must decode bit-exactly — convention mismatch")
+  }
+
+  test("a genuine /LZWDecode PDF extracts its text (incl. chained with ASCIIHex)") {
+    val content = "BT /F1 12 Tf 72 720 Td (Legacy LZW stream text) Tj ET"
+    val lzw = lzwEncode(content.getBytes(ISO_8859_1))
+    val pdf1 = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${lzw.length} /Filter /LZWDecode >>", Some(lzw))))
+    assert(MiniPdfDecoder().decode(pdf1) == Right(Seq("<div><p>Legacy LZW stream text</p></div>")))
+    // chain: LZW then ASCIIHex armor (decode order is reverse of encode)
+    val hex = (lzw.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes(ISO_8859_1)
+    val pdf2 = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${hex.length} /Filter [ /ASCIIHexDecode /LZWDecode ] >>", Some(hex))))
+    assert(MiniPdfDecoder().decode(pdf2) == Right(Seq("<div><p>Legacy LZW stream text</p></div>")))
+  }
 }
