@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * trait ([[MediaCodec]]):
   *
   *   - [[JdkImageCodec]] — REAL decode for the formats the JDK ships
-  *     codecs for (PNG/JPEG/BMP/GIF via `javax.imageio`, WAV via
+  *     codecs for (PNG/JPEG/BMP/GIF/TIFF via `javax.imageio`, WAV via
   *     `javax.sound.sampled`), header-only metadata reads (no pixel
   *     decode for `decodeMeta`) and a real pixel-level `resizeImage`.
   *     Promoted from stub in round 11 after the standing library probe

@@ -190,6 +190,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L).format == "jpeg" || out(4L).format == "png")
   }
 
+  test("JDK codec: TIFF decodes too (the JDK ships a TIFF plugin since 9)") {
+    val tiff = pngBytes(24, 18, 0x406080, "tiff")
+    val mm = Multimodal.JdkImageCodec.decodeMeta(tiff)
+    assert(mm.width == 24 && mm.height == 18 && mm.format.startsWith("tif"), mm.toString)
+    val lum = Multimodal.JdkImageCodec.meanLuminance(tiff)
+    val expected = 0.299 * 0x40 + 0.587 * 0x60 + 0.114 * 0x80
+    assert(math.abs(lum - expected) < 1.0, s"luminance $lum vs $expected")
+  }
+
   test("JDK codec: real WAV header decode and real pixel resize") {
     val wav = wavBytes(nFrames = 800, sampleRate = 16000f, channels = 1)
     val am = Multimodal.JdkImageCodec.decodeAudioMeta(wav)
