@@ -47,7 +47,7 @@ object Multimodal {
   object JdkImageCodec extends MediaCodec {
     def decodeMeta(payload: Array[Byte]): MediaMeta = {
       require(payload != null && payload.length >= 12, "payload too short for any media header")
-      if (isWav(payload)) {
+      if (isAudio(payload)) {
         val m = decodeAudioMeta(payload)
         // WAV mapped into MediaMeta: width carries frames-per-channel,
         // height the sample rate — documented, not pretty; callers who
@@ -127,9 +127,17 @@ object Multimodal {
       sum / (img.getWidth.toLong * img.getHeight)
     }
 
-    private def isWav(p: Array[Byte]): Boolean =
-      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+    /** WAV (RIFF/WAVE), AIFF (FORM/AIFF or AIFC), AU (.snd) — the
+      * container magics `javax.sound.sampled` decodes out of the box. */
+    private def isAudio(p: Array[Byte]): Boolean = {
+      if (p.length < 12) return false
+      val wav = p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
         p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+      val aiff = p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M' &&
+        p(8) == 'A' && p(9) == 'I' && p(10) == 'F' && (p(11) == 'F' || p(11) == 'C')
+      val au = p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'
+      wav || aiff || au
+    }
   }
 
   /** STUB image codec: parses deterministic pseudo-metadata from the

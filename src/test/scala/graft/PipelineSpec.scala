@@ -190,6 +190,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L).format == "jpeg" || out(4L).format == "png")
   }
 
+  test("JDK codec: AIFF and AU route to the audio path like WAV") {
+    for (tpe <- Seq(javax.sound.sampled.AudioFileFormat.Type.AIFF,
+                    javax.sound.sampled.AudioFileFormat.Type.AU)) {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true)
+      val pcm = new Array[Byte](300 * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 300L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, tpe, bos)
+      val mm = Multimodal.JdkImageCodec.decodeMeta(bos.toByteArray)
+      assert(mm.width == 300 && mm.height == 8000 && mm.channels == 2,
+        s"$tpe routed wrong: $mm")
+      assert(mm.format == tpe.getExtension.toLowerCase, mm.format)
+    }
+  }
+
   test("JDK codec: TIFF decodes too (the JDK ships a TIFF plugin since 9)") {
     val tiff = pngBytes(24, 18, 0x406080, "tiff")
     val mm = Multimodal.JdkImageCodec.decodeMeta(tiff)
