@@ -164,4 +164,143 @@ object Warc {
         decode(col("payload"), "UTF-8"),
         lit("""https?://[^\s"'<>\\)]+\.pdf"""), lit(0))).as("url"))
       .dropDuplicates("url")
+
+  // ------------------------------------------------ HTTP payload unwrap
+
+  /** A WARC `response` record's payload is the raw HTTP message: status
+    * line + headers + body, with the body possibly chunked
+    * (`Transfer-Encoding: chunked`) and/or compressed
+    * (`Content-Encoding: gzip`/`deflate`). Getting DOCUMENT BYTES out —
+    * the input every decode operator downstream wants — needs all three
+    * unwrapped. Returns (status, lowercased headers, body). A payload
+    * with no `HTTP/` status line passes through whole as the body
+    * (resource/conversion records carry bare documents). */
+  private[graft] def splitHttp(p: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
+    if (p == null || p.length < 5 ||
+        !(p(0) == 'H' && p(1) == 'T' && p(2) == 'T' && p(3) == 'P' && p(4) == '/'))
+      return (0, Map.empty, if (p == null) Array.emptyByteArray else p)
+    // header/body split at the first blank line (CRLF CRLF, LF-tolerant)
+    var i = 0
+    var split = -1
+    while (split < 0 && i < p.length - 1) {
+      if (p(i) == '\n') {
+        if (p(i + 1) == '\n') split = i + 2
+        else if (i + 2 < p.length && p(i + 1) == '\r' && p(i + 2) == '\n') split = i + 3
+      }
+      i += 1
+    }
+    if (split < 0) return (0, Map.empty, p) // torn header: pass through
+    val head = new String(p, 0, split, StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n").toSeq
+    val status = """HTTP/\S+\s+(\d{3})""".r.findFirstMatchIn(lines.head)
+      .map(_.group(1).toInt).getOrElse(0)
+    val headers = lines.tail.flatMap { l =>
+      val c = l.indexOf(':')
+      if (c > 0) Some(l.substring(0, c).trim.toLowerCase ->
+        l.substring(c + 1).trim) else None
+    }.toMap
+    var body = java.util.Arrays.copyOfRange(p, split, p.length)
+    if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+      body = dechunk(body)
+    headers.get("content-encoding").map(_.toLowerCase) match {
+      case Some(ce) if ce.contains("gzip") => body = gunzipCapped(body)
+      case Some(ce) if ce.contains("deflate") => body = inflateCapped(body)
+      case _ =>
+    }
+    (status, headers, body)
+  }
+
+  /** RFC 9112 chunked decoding: `size-hex[;ext]\r\n bytes \r\n`, ended
+    * by a zero chunk (trailers dropped). Malformed framing salvages the
+    * bytes decoded so far plus nothing else — never throws. */
+  private[graft] def dechunk(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(p.length)
+    var i = 0
+    var done = false
+    while (!done && i < p.length) {
+      // read the size line
+      val lineEnd = {
+        var j = i
+        while (j < p.length && p(j) != '\n') j += 1
+        j
+      }
+      if (lineEnd >= p.length) done = true
+      else {
+        val line = new String(p, i, lineEnd - i, StandardCharsets.ISO_8859_1).trim
+        val hex = line.takeWhile(c => Character.digit(c, 16) >= 0)
+        if (hex.isEmpty) done = true // malformed: salvage what we have
+        else {
+          val size = try java.lang.Long.parseLong(hex, 16) catch { case _: NumberFormatException => -1L }
+          if (size < 0 || size > MaxPayload) done = true
+          else if (size == 0) done = true // final chunk; trailers ignored
+          else {
+            val start = lineEnd + 1
+            val end = math.min(p.length.toLong, start + size).toInt
+            if (start >= p.length) done = true
+            else {
+              out.write(p, start, end - start)
+              i = end
+              // skip the chunk-terminating CRLF
+              if (i < p.length && p(i) == '\r') i += 1
+              if (i < p.length && p(i) == '\n') i += 1
+              if (end.toLong < start + size) done = true // torn chunk: salvaged
+            }
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def gunzipCapped(p: Array[Byte]): Array[Byte] =
+    try boundedCopy(new GZIPInputStream(new ByteArrayInputStream(p)))
+    catch { case _: java.io.IOException => p } // not actually gzip: pass through
+
+  private def inflateCapped(p: Array[Byte]): Array[Byte] =
+    try {
+      // HTTP "deflate" is zlib-wrapped; some servers send raw deflate —
+      // try zlib first, fall back to raw (nowrap)
+      boundedCopy(new java.util.zip.InflaterInputStream(new ByteArrayInputStream(p)))
+    } catch {
+      case _: java.io.IOException =>
+        try boundedCopy(new java.util.zip.InflaterInputStream(
+          new ByteArrayInputStream(p), new java.util.zip.Inflater(true)))
+        catch { case _: java.io.IOException => p }
+    }
+
+  private def boundedCopy(in: InputStream): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(8192)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size().toLong + n > MaxPayload)
+          throw new java.io.IOException("decompressed body exceeds payload cap")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+
+  /** Document bytes from `response`/`resource`/`conversion` records:
+    * (target_uri, http_status, mime from the HTTP header — falling back
+    * to the WARC content-type — and the unwrapped body). The input to
+    * every downstream decode operator when the corpus arrives as WARC
+    * instead of live fetches. Scale shape: one map over the record
+    * frame, no shuffle. */
+  def responseDocuments(records: DataFrame): DataFrame = {
+    val unwrap = udf { (p: Array[Byte], warcCt: String) =>
+      val (status, headers, body) = splitHttp(p)
+      val mime = headers.get("content-type").map(_.takeWhile(_ != ';').trim)
+        .filter(_.nonEmpty).getOrElse(if (warcCt == null) "" else warcCt)
+      (status, mime, body)
+    }
+    records
+      .filter(col("warc_type").isin("response", "resource", "conversion"))
+      .withColumn("__u", unwrap(col("payload"), col("content_type")))
+      .select(col("target_uri"),
+        col("__u._1").as("http_status"),
+        col("__u._2").as("mime"),
+        col("__u._3").as("body"))
+  }
 }

@@ -54,6 +54,69 @@ class WarcSpec extends AnyFunSuite {
       .as[String].collect().toSet
     assert(links == Set("http://a.example/docs/paper.pdf", "http://b.example/files/report.pdf"))
   }
+
+  test("responseDocuments unwraps HTTP: headers split, chunked decoded, gzip inflated") {
+    // a Common-Crawl-style response record: HTTP status+headers, body
+    // both chunked AND gzipped (encode order: gzip first, chunk outer)
+    val doc = "%PDF-1.4 fake document body for the unwrap test"
+    val gz = { val b = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(b); g.write(doc.getBytes(StandardCharsets.ISO_8859_1)); g.close()
+      b.toByteArray }
+    def chunked(p: Array[Byte], sizes: Seq[Int]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      var off = 0
+      for (s <- sizes; if off < p.length) {
+        val n = math.min(s, p.length - off)
+        b.write(f"$n%x\r\n".getBytes(StandardCharsets.ISO_8859_1))
+        b.write(p, off, n); b.write("\r\n".getBytes(StandardCharsets.ISO_8859_1))
+        off += n
+      }
+      b.write("0\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+      b.toByteArray
+    }
+    val httpBody = chunked(gz, Seq(7, 11, 9999))
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf; charset=binary\r\n" +
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ httpBody
+    def rec(wtype: String, uri: String, p: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http\r\nContent-Length: ${p.length}\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ p ++
+        "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val plainHttp = ("HTTP/1.0 404 Not Found\r\nContent-Type: text/html\r\n\r\n" +
+      "<html>gone</html>").getBytes(StandardCharsets.ISO_8859_1)
+    val bare = "just raw conversion bytes".getBytes(StandardCharsets.ISO_8859_1)
+    val dir = new File("target/tmp/warc_http"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val f = new FileOutputStream(new File(dir, "r.warc"))
+    f.write(rec("response", "http://x.example/d.pdf", http))
+    f.write(rec("response", "http://x.example/gone", plainHttp))
+    f.write(rec("conversion", "http://x.example/conv", bare))
+    f.write(rec("warcinfo", "", "software: test".getBytes(StandardCharsets.ISO_8859_1)))
+    f.close()
+    val docs = Warc.responseDocuments(Warc.scan(spark, dir.getAbsolutePath))
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), new String(r.getAs[Array[Byte]](3), StandardCharsets.ISO_8859_1))))
+      .toMap
+    assert(docs.size == 3, "warcinfo must be excluded")
+    assert(docs("http://x.example/d.pdf") == ((200, "application/pdf", doc)),
+      s"chunk+gzip unwrap failed: ${docs("http://x.example/d.pdf")}")
+    assert(docs("http://x.example/gone") == ((404, "text/html", "<html>gone</html>")))
+    assert(docs("http://x.example/conv") ==
+      ((0, "application/http", "just raw conversion bytes")),
+      "bare payload must pass through with the WARC content-type")
+  }
+
+  test("dechunk salvages on malformed framing, never throws") {
+    import graft.sources.Warc
+    assert(new String(Warc.dechunk("5\r\nhello\r\n0\r\n\r\n".getBytes), StandardCharsets.ISO_8859_1) == "hello")
+    // torn mid-chunk: declared 10, only 3 present -> salvage the 3
+    assert(new String(Warc.dechunk("a\r\nabc".getBytes), StandardCharsets.ISO_8859_1) == "abc")
+    // garbage size line -> empty salvage, no throw
+    assert(Warc.dechunk("zz\r\nboom\r\n".getBytes).isEmpty)
+    // absurd size -> no allocation attempt
+    assert(Warc.dechunk("ffffffffff\r\nx".getBytes).isEmpty)
+  }
 }
 
 class AsOfToleranceSpec extends AnyFunSuite {
