@@ -107,6 +107,39 @@ class WarcSpec extends AnyFunSuite {
       "bare payload must pass through with the WARC content-type")
   }
 
+  test("WARC -> HTTP unwrap -> REAL PDF decode, end to end through the Spark pipeline") {
+    // the complete Common-Crawl story: a response record carrying a
+    // gzipped real PDF unwraps to document bytes and decodes to page
+    // text through the same DocPipeline path live fetches use
+    val pdfText = "Archived corpus document"
+    val content = s"BT /F1 12 Tf 72 720 Td ($pdfText) Tj ET"
+    val pdf = (s"%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    val gz = { val b = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(b); g.write(pdf); g.close(); b.toByteArray }
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1) ++ gz
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://cc.example/doc.pdf\r\n" +
+      s"Content-Type: application/http\r\nContent-Length: ${http.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ http ++
+      "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val dir = new File("target/tmp/warc_e2e"); org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    val f = new FileOutputStream(new File(dir, "cc.warc")); f.write(rec); f.close()
+    val docs = Warc.responseDocuments(Warc.scan(spark, dir.getAbsolutePath))
+      .filter(col("mime") === "application/pdf")
+    val decoded = graft.operators.DocPipeline.decodePages(
+      docs, graft.sources.AutoPdfDecoder(), "body")
+    val pages = decoded.select(explode(col("pages"))).as[String].collect()
+    assert(pages.toSeq == Seq(s"<div><p>$pdfText</p></div>"),
+      s"end-to-end WARC->PDF text extraction: $pages")
+  }
+
   test("dechunk salvages on malformed framing, never throws") {
     import graft.sources.Warc
     assert(new String(Warc.dechunk("5\r\nhello\r\n0\r\n\r\n".getBytes), StandardCharsets.ISO_8859_1) == "hello")
