@@ -63,6 +63,10 @@ object PortableRoundRule extends Rule[LogicalPlan] {
 }
 
 object GraftExtensions {
+  // the non-deprecated ExpressionInfo constructor validates group/source
+  // enums that don't apply to session-registered functions — the classic
+  // 5-arg form is the right surface here
+  @scala.annotation.nowarn("cat=deprecation")
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
 

@@ -47,7 +47,7 @@ object Verify {
         val back = spark.read.parquet(s"$outDir/$name")
         val cols = back.columns.sorted
         val fpRow = back
-          .select(to_json(struct(cols.map(col): _*)).as("js"))
+          .select(to_json(struct(cols.toIndexedSeq.map(col): _*)).as("js"))
           .agg(
             coalesce(sum(conv(substring(md5(col("js")), 1, 15), 16, 10)
               .cast(DecimalType(38, 0))), lit(0).cast(DecimalType(38, 0)))

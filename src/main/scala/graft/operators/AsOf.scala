@@ -62,7 +62,7 @@ object AsOf {
     * the tie stays engine-order as before). */
   private def joinCarry(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                         payload: Seq[String], tolerance: Option[String]): DataFrame = {
-    val lCols = left.columns
+    val lCols = left.columns.toIndexedSeq
     val pStruct = struct((payload.map(col) :+ col(tsCol).as("__mts")): _*)
     val pType = org.apache.spark.sql.types.StructType(
       payload.map(c => right.schema(c)) :+

@@ -69,10 +69,10 @@ object Dedup {
   def exact(df: DataFrame, payload: Column, key: Column): DataFrame = {
     val fields = df.columns
     val packed = struct(
-      key.as("__k") +: fields.map(c => col(c).as(s"__f_$c")): _*)
+      (key.as("__k") +: fields.toIndexedSeq.map(c => col(c).as(s"__f_$c"))): _*)
     df.groupBy(md5(payload).as("__h"))
       .agg(min(packed).as("__s"))
-      .select(fields.map(c => col(s"__s.__f_$c").as(c)): _*)
+      .select(fields.toIndexedSeq.map(c => col(s"__s.__f_$c").as(c)): _*)
   }
 
   /** Groups of exact duplicates (size > 1) — the audit view. */

@@ -57,13 +57,13 @@ object Pca {
       .orderBy(col("i")).collect()
     val d = dimStats.length
     require(d > 0, "topComponent: empty vector column")
-    val mLit = array(dimStats.map(r => lit(r.getDouble(1))): _*)
+    val mLit = array(dimStats.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
     val c = Dedup.cacheScoped(vecs.select(
       zip_with(col(vecCol), mLit, (x, m) => x.cast("double") - m).as("c")))
     var v: Array[Double] = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
     var nrmOut = 0.0
     for (_ <- 1 to iters) {
-      val vLit = array(v.map(lit): _*)
+      val vLit = array(v.toIndexedSeq.map(lit): _*)
       val s = aggregate(
         zip_with(col("c"), vLit, (ci, vi) => pr(ci * vi, 12).cast(D)),
         lit(0).cast(D), (acc, t) => (acc + t).cast(D)).cast("double")
