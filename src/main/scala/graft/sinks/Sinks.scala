@@ -288,13 +288,24 @@ object Sinks {
                      format: String = "parquet"): DataFrame = {
     val spark = df.sparkSession
     val pending = minusTombstones(df, existingOut, keyCol)
+    // Fail-open ONLY when there is genuinely no prior output (first run:
+    // path absent, or an empty directory with no readable files →
+    // AnalysisException at schema inference). Any other failure — a
+    // transient FS fault, a corrupt done-scan — must FAIL the run: a
+    // swallowed error here silently re-processes every key and the sink
+    // double-writes (the same fail-closed rule minusTombstones applies).
+    val outPath = new Path(existingOut)
+    if (!outPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(outPath))
+      return pending
     val done = try {
       val prior = format match {
         case "json" => spark.read.json(existingOut)
         case _      => spark.read.parquet(existingOut)
       }
       prior.select(col(keyCol)).distinct()
-    } catch { case _: Exception => return pending }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => return pending // empty dir
+    }
     pending.join(done, Seq(keyCol), "left_anti")
   }
 

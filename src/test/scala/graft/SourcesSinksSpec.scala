@@ -115,6 +115,18 @@ class SinksSpec extends AnyFunSuite {
     assert(remaining == Set("0001"))
     // missing prior output -> everything flows
     assert(Sinks.resumeAntiJoin(sample, s"$out/_nope").count() == 2)
+    // empty prior dir (exists, no readable files) -> everything flows
+    val empty = tmpDir("resume_empty"); new File(empty).mkdirs()
+    assert(Sinks.resumeAntiJoin(sample, empty).count() == 2)
+    // CORRUPT prior output must FAIL the run, not silently re-process
+    // every key (the fail-open would double-write the whole corpus)
+    val corrupt = tmpDir("resume_corrupt"); new File(corrupt).mkdirs()
+    val fw = new java.io.FileOutputStream(new File(corrupt, "part-00000.parquet"))
+    fw.write("this is not a parquet file".getBytes("UTF-8")); fw.close()
+    val e = intercept[Exception](Sinks.resumeAntiJoin(sample, corrupt).count())
+    assert(!e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.getMessage.toLowerCase.contains("parquet"),
+      s"corrupt done-scan must surface, got: ${e.getClass.getSimpleName}: ${e.getMessage}")
   }
 
   test("webdataset round trip: sink → WebDataset.read returns every (key, payload, meta)") {
