@@ -252,34 +252,59 @@ object Warc {
     out.toByteArray
   }
 
-  private def gunzipCapped(p: Array[Byte]): Array[Byte] =
-    try boundedCopy(new GZIPInputStream(new ByteArrayInputStream(p)))
-    catch { case _: java.io.IOException => p } // not actually gzip: pass through
+  /** Over-[[MaxPayload]] expansion: a crafted body, not a framing tear —
+    * distinguished so the salvage policy can DROP it instead of either
+    * allocating the blow-up or passing the compressed form downstream. */
+  private final class CapExceeded
+    extends java.io.IOException("decompressed body exceeds payload cap")
 
-  private def inflateCapped(p: Array[Byte]): Array[Byte] =
-    try {
-      // HTTP "deflate" is zlib-wrapped; some servers send raw deflate —
-      // try zlib first, fall back to raw (nowrap)
-      boundedCopy(new java.util.zip.InflaterInputStream(new ByteArrayInputStream(p)))
-    } catch {
+  /** Content-decoding salvage policy (mirrors [[parseStream]]'s): a
+    * MISLABELED encoding — zero bytes decodable, the common server bug of
+    * claiming gzip on a plain body — passes the body through untouched; a
+    * stream TORN after partial decode keeps the decoded prefix (a
+    * mostly-complete document beats compressed junk bytes downstream); a
+    * decompression BOMB over [[MaxPayload]] is dropped to empty. */
+  private def gunzipCapped(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8192)
+    try { copyCapped(new GZIPInputStream(new ByteArrayInputStream(p)), out); out.toByteArray }
+    catch {
+      case _: CapExceeded => Array.emptyByteArray
       case _: java.io.IOException =>
-        try boundedCopy(new java.util.zip.InflaterInputStream(
-          new ByteArrayInputStream(p), new java.util.zip.Inflater(true)))
-        catch { case _: java.io.IOException => p }
+        if (out.size() == 0) p else out.toByteArray
     }
+  }
 
-  private def boundedCopy(in: InputStream): Array[Byte] =
+  private def inflateCapped(p: Array[Byte]): Array[Byte] = {
+    // HTTP "deflate" is zlib-wrapped; some servers send raw deflate —
+    // try zlib first, fall back to raw (nowrap)
+    val out = new java.io.ByteArrayOutputStream(8192)
+    try { copyCapped(new java.util.zip.InflaterInputStream(new ByteArrayInputStream(p)), out); out.toByteArray }
+    catch {
+      case _: CapExceeded => Array.emptyByteArray
+      case _: java.io.IOException if out.size() > 0 => out.toByteArray
+      case _: java.io.IOException =>
+        val raw = new java.io.ByteArrayOutputStream(8192)
+        try {
+          copyCapped(new java.util.zip.InflaterInputStream(
+            new ByteArrayInputStream(p), new java.util.zip.Inflater(true)), raw)
+          raw.toByteArray
+        } catch {
+          case _: CapExceeded => Array.emptyByteArray
+          case _: java.io.IOException =>
+            if (raw.size() == 0) p else raw.toByteArray
+        }
+    }
+  }
+
+  private def copyCapped(in: InputStream, out: java.io.ByteArrayOutputStream): Unit =
     try {
-      val out = new java.io.ByteArrayOutputStream(8192)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) {
-        if (out.size().toLong + n > MaxPayload)
-          throw new java.io.IOException("decompressed body exceeds payload cap")
+        if (out.size().toLong + n > MaxPayload) throw new CapExceeded
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      out.toByteArray
     } finally in.close()
 
   /** Document bytes from `response`/`resource`/`conversion` records:

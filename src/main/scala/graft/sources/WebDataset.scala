@@ -137,7 +137,9 @@ object WebDataset {
                       if (!seen.contains(k)) {
                         val b = in.readAllBytes()
                         orphanMetas.remove(k) match {
-                          case Some(m) => seen += k; out = Row(k, b, m, shard); done = true
+                          case Some(m) =>
+                            metaBytes -= m.length
+                            seen += k; out = Row(k, b, m, shard); done = true
                           case None =>
                             // duplicate-stem payload: replace (last-wins
                             // pre-pairing) without drifting the counter

@@ -150,6 +150,44 @@ class WarcSpec extends AnyFunSuite {
     // absurd size -> no allocation attempt
     assert(Warc.dechunk("ffffffffff\r\nx".getBytes).isEmpty)
   }
+
+  test("content-decode salvage: torn gzip keeps the decoded prefix, mislabel passes through, bomb drops") {
+    import graft.sources.Warc
+    def http(enc: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Encoding: $enc\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ body
+    val doc = ("the quick brown fox jumps over the lazy dog " * 3000)
+      .getBytes(StandardCharsets.ISO_8859_1) // ~132 KB, compressible
+    val gz = { val b = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(b); g.write(doc); g.close(); b.toByteArray }
+    // torn mid-stream: keep the decoded prefix, NOT the compressed junk
+    val torn = java.util.Arrays.copyOf(gz, gz.length / 2)
+    val (_, _, salvaged) = Warc.splitHttp(http("gzip", torn))
+    assert(salvaged.nonEmpty && salvaged.length < doc.length,
+      s"expected partial decode, got ${salvaged.length} of ${doc.length}")
+    assert(java.util.Arrays.equals(salvaged,
+      java.util.Arrays.copyOf(doc, salvaged.length)),
+      "salvaged bytes must be a prefix of the original document")
+    // mislabeled encoding (plain body claiming gzip): pass through untouched
+    val plain = "<html>not actually gzip</html>".getBytes(StandardCharsets.ISO_8859_1)
+    val (_, _, passed) = Warc.splitHttp(http("gzip", plain))
+    assert(java.util.Arrays.equals(passed, plain))
+    // torn zlib deflate: same prefix salvage on the deflate path
+    val zl = { val b = new ByteArrayOutputStream()
+      val d = new java.util.zip.DeflaterOutputStream(b); d.write(doc); d.close(); b.toByteArray }
+    val (_, _, zsal) = Warc.splitHttp(http("deflate", java.util.Arrays.copyOf(zl, zl.length / 2)))
+    assert(zsal.nonEmpty && zsal.length < doc.length &&
+      java.util.Arrays.equals(zsal, java.util.Arrays.copyOf(doc, zsal.length)))
+    // decompression bomb (>1 GiB expansion): dropped to empty, never
+    // allocated as a document nor passed through as compressed bytes
+    val bomb = { val b = new ByteArrayOutputStream()
+      val g = new GZIPOutputStream(b)
+      val zeros = new Array[Byte](1 << 20)
+      for (_ <- 0 until 1025) g.write(zeros) // 1 GiB + 1 MiB of zeros
+      g.close(); b.toByteArray }
+    val (_, _, dropped) = Warc.splitHttp(http("gzip", bomb))
+    assert(dropped.isEmpty, s"bomb must drop, got ${dropped.length} bytes")
+  }
 }
 
 class AsOfToleranceSpec extends AnyFunSuite {
