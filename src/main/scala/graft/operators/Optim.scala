@@ -102,12 +102,18 @@ object Optim {
     require(ws.forall(_ > 0), "weights must be positive")
     val n = ys.length
     val y9 = ys.map(y => math.floor(y * 1e9 + 0.5).toLong)
-    // v(j,k) = (Σ_{t=j..k} w_t·y9_t) / (Σ w_t) / 1e9 — one division each
-    def v(j: Int, k: Int): Double = {
-      var num = 0L; var den = 0L; var t = j
-      while (t <= k) { num += ws(t) * y9(t); den += ws(t); t += 1 }
-      num.toDouble / den.toDouble / 1.0e9
+    // v(j,k) = (Σ_{t=j..k} w_t·y9_t) / (Σ w_t) / 1e9 — prefix-sum
+    // differences make each call O(1), so the triple loop below is the
+    // true O(n³) the doc claims. Exact-long prefix differences equal
+    // the old in-order segment sums bit-for-bit.
+    val pw = new Array[Long](n + 1); val pwy = new Array[Long](n + 1)
+    var t0 = 0
+    while (t0 < n) {
+      pw(t0 + 1) = pw(t0) + ws(t0); pwy(t0 + 1) = pwy(t0) + ws(t0) * y9(t0)
+      t0 += 1
     }
+    def v(j: Int, k: Int): Double =
+      (pwy(k + 1) - pwy(j)).toDouble / (pw(k + 1) - pw(j)).toDouble / 1.0e9
     IndexedSeq.tabulate(n) { i =>
       var best = Double.NegativeInfinity
       var j = 0

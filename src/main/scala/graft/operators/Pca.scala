@@ -47,7 +47,11 @@ object Pca {
     * which was the dominant cost and grows with n at 100 TB. */
   def topComponent(vecs: DataFrame, vecCol: String, idCol: String,
                    iters: Int): DataFrame = {
+    // Fixed-dimensionality assumed: a ragged/short vector yields a null
+    // zip_with projection and that row silently drops out of the update
+    // aggregate — callers feed fixed-dim embedding columns.
     val spark = vecs.sparkSession
+    import spark.implicits._
     val dimStats = vecs
       .select(posexplode(col(vecCol)).as(Seq("i", "x")))
       .select(col("i"), col("x").cast("double").as("x"))
@@ -56,7 +60,9 @@ object Pca {
         / count(lit(1)) * 1e9 + 0.5) / 1e9).as("m"))
       .orderBy(col("i")).collect()
     val d = dimStats.length
-    require(d > 0, "topComponent: empty vector column")
+    // Degenerate input (no rows / all-null vectors) → empty result, not
+    // a throw: matches the pre-r12 exploded form's behavior.
+    if (d == 0) return Seq.empty[(Int, Double, Double)].toDF("i", "v", "nrm")
     val mLit = array(dimStats.toIndexedSeq.map(r => lit(r.getDouble(1))): _*)
     val c = Dedup.cacheScoped(vecs.select(
       zip_with(col(vecCol), mLit, (x, m) => x.cast("double") - m).as("c")))

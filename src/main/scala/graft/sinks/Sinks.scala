@@ -304,7 +304,14 @@ object Sinks {
       }
       prior.select(col(keyCol)).distinct()
     } catch {
-      case _: org.apache.spark.sql.AnalysisException => return pending // empty dir
+      // ONLY schema inference over a file-less directory means "no prior
+      // output". Any other AnalysisException — corrupt prior rows (json
+      // inferring _corrupt_record then missing keyCol), a prior output
+      // without keyCol — is real prior output we cannot trust, and
+      // returning `pending` there double-writes; rethrow those.
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+        return pending
     }
     pending.join(done, Seq(keyCol), "left_anti")
   }

@@ -52,10 +52,10 @@ object HttpFetch {
     tags.exists { tag =>
       val parts = tag.split(":", 2).map(_.trim)
       val (agent, directives) =
-        if (parts.length == 2) (Some(parts(0).toLowerCase), parts(1))
+        if (parts.length == 2) (Some(parts(0).toLowerCase(java.util.Locale.ROOT)), parts(1))
         else (None, parts(0))
-      val applies = agent.isEmpty || userAgentToken.exists(t => agent.contains(t.toLowerCase))
-      applies && directives.split(",").map(_.trim.toLowerCase).exists(disallowed.contains)
+      val applies = agent.isEmpty || userAgentToken.exists(t => agent.contains(t.toLowerCase(java.util.Locale.ROOT)))
+      applies && directives.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).exists(disallowed.contains)
     }
   }
 

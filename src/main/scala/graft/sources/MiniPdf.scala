@@ -77,8 +77,10 @@ object MiniPdf {
     IntAfter(key).findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(dflt)
 
   // direct-integer /Length only — `/Length 5 0 R` (indirect) must NOT
-  // match, or the ref's object number would be read as the byte count
-  private val DirectLength = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  // match, or the ref's object number would be read as the byte count.
+  // The (?!\d) digit guard stops backtracking from shrinking (\d+) until
+  // the indirect-ref lookahead passes (`/Length 50 0 R` must not yield 5).
+  private val DirectLength = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
 
   /** Offset of `%PDF-` within the first 1024 bytes, or -1. The spec
     * permits junk before the header (readers scan for it); routing on

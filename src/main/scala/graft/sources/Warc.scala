@@ -83,7 +83,7 @@ object Warc {
             line = readLine(in)
             while (line.nonEmpty) {
               val i = line.indexOf(':')
-              if (i > 0) headers(line.substring(0, i).trim.toLowerCase) =
+              if (i > 0) headers(line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)) =
                 line.substring(i + 1).trim
               line = readLine(in)
             }
@@ -196,13 +196,13 @@ object Warc {
       .map(_.group(1).toInt).getOrElse(0)
     val headers = lines.tail.flatMap { l =>
       val c = l.indexOf(':')
-      if (c > 0) Some(l.substring(0, c).trim.toLowerCase ->
+      if (c > 0) Some(l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
         l.substring(c + 1).trim) else None
     }.toMap
     var body = java.util.Arrays.copyOfRange(p, split, p.length)
-    if (headers.get("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+    if (headers.get("transfer-encoding").exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
       body = dechunk(body)
-    headers.get("content-encoding").map(_.toLowerCase) match {
+    headers.get("content-encoding").map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case Some(ce) if ce.contains("gzip") => body = gunzipCapped(body)
       case Some(ce) if ce.contains("deflate") => body = inflateCapped(body)
       case _ =>

@@ -413,6 +413,29 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(res == Right(Seq("<div><p>indirect len</p></div>")))
   }
 
+  test("multi-digit indirect /Length cannot backtrack into a bogus direct length") {
+    // `/Length 351 0 R`: without the (?!\d) guard the regex backtracks
+    // (\d+) from "351" to "35", the indirect-ref lookahead then passes,
+    // and 35 is trusted as a direct byte count. Craft the stream so 35
+    // bytes lands exactly on the real `endstream` terminator while an
+    // embedded `endstream` occurs earlier: the bogus trusted length
+    // would keep the whole payload (emitting both text runs); the
+    // correct indirect-ignored path scans to the FIRST endstream and
+    // emits only the prefix run.
+    val prefix = "BT (first) Tj ET"            // 16 bytes
+    val tail = "\nendstream q\nBT (2nd) Tj ET" // embedded terminator + junk run
+    val content = prefix + tail
+    val refNum = content.length * 10 + 1       // backtracks to content.length
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length $refNum 0 R >>", Some(content.getBytes(ISO_8859_1))),
+      (refNum, s"${content.length}", None)))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq("<div><p>first</p></div>")))
+  }
+
   // ------------------------------------------------------------- LZW
 
   /** PDF/TIFF LZW encoder (early-change convention), the test-side twin

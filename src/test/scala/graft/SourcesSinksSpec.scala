@@ -127,6 +127,20 @@ class SinksSpec extends AnyFunSuite {
     assert(!e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
       e.getMessage.toLowerCase.contains("parquet"),
       s"corrupt done-scan must surface, got: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    // corrupt JSON prior output infers _corrupt_record (schema WITHOUT
+    // keyCol) — the keyCol AnalysisException must surface, not be
+    // swallowed as "no prior output" (that fail-open double-writes)
+    val badJson = tmpDir("resume_badjson"); new File(badJson).mkdirs()
+    val jw = new java.io.FileOutputStream(new File(badJson, "part-00000.json"))
+    jw.write("{not valid json at all\n".getBytes("UTF-8")); jw.close()
+    intercept[org.apache.spark.sql.AnalysisException](
+      Sinks.resumeAntiJoin(sample, badJson, format = "json").count())
+    // prior output readable but missing keyCol: schema mismatch is real
+    // prior output we cannot trust — must throw, not pass everything
+    val noKey = tmpDir("resume_nokey")
+    sample.select(col("key").as("other")).write.mode("overwrite").parquet(noKey)
+    intercept[org.apache.spark.sql.AnalysisException](
+      Sinks.resumeAntiJoin(sample, noKey).count())
   }
 
   test("webdataset round trip: sink → WebDataset.read returns every (key, payload, meta)") {
