@@ -9808,6 +9808,93 @@ object SparkEntry {
           sum(floor(col("lum") * 1e6 + 0.5).cast("long")).as("lum_sum_u6"))
         .orderBy(col("width"), col("height"))
     }),
+
+    "q362_pdf_planted_dims" -> ((s, dir) => {
+      // REAL-PDF image parity (round-13 item-1): per doc a genuine PDF
+      // is assembled whose page paints one image XObject (dims planted
+      // as arithmetic in doc_id/n_chars) plus, on even doc_ids, one
+      // inline BI..ID..EI image. MiniPdf decodes it for REAL — XObject
+      // dict /Width //Height resolution, inline-dict /W //H, binary
+      // skip — and emits reference-shaped <img> tags that
+      // Extraction.imgDim parses back (ref `extractor.py:38-44`,
+      // `downloader.py:254-255`). The oracle recomputes the planted
+      // arithmetic straight from `documents`: a wrong dict parse, a
+      // miscounted image, or a torn inline-binary skip breaks the hash.
+      val gen = udf((id: Long, n: Long) => {
+        val w1 = 100 + (id % 200).toInt; val h1 = 50 + (n % 150).toInt
+        val wi = 10 + (id % 90).toInt; val hi = 20 + (id % 70).toInt
+        val content = s"BT (doc body) Tj ET /Im1 Do" +
+          (if (id % 2 == 0) s" BI /W $wi /H $hi /BPC 8 ID   EI" else "")
+        val sb = new StringBuilder("%PDF-1.4\n")
+        def obj(num: Int, dict: String, stream: Option[String]): Unit = {
+          sb.append(s"$num 0 obj\n$dict\n")
+          stream.foreach(st => sb.append(s"stream\n$st\nendstream\n"))
+          sb.append("endobj\n")
+        }
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content))
+        obj(5, s"<< /Subtype /Image /Width $w1 /Height $h1 " +
+          "/BitsPerComponent 8 /Length 1 >>", Some(" "))
+        sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      })
+      val dec = udf((p: Array[Byte]) =>
+        graft.sources.AutoPdfDecoder().decode(p).toOption.map(_.head).orNull)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), dec(gen(col("doc_id"), col("n_chars"))).as("page"))
+        .withColumn("imgs", Extraction.imgTags(col("page")))
+        .select(col("doc_id"),
+          size(col("imgs")).cast("long").as("n_imgs"),
+          Extraction.imgDim(try_element_at(col("imgs"), lit(1)), "width").cast("long").as("xo_w"),
+          Extraction.imgDim(try_element_at(col("imgs"), lit(1)), "height").cast("long").as("xo_h"),
+          Extraction.imgDim(try_element_at(col("imgs"), lit(2)), "width").cast("long").as("in_w"),
+          Extraction.imgDim(try_element_at(col("imgs"), lit(2)), "height").cast("long").as("in_h"))
+    }),
+
+    "q363_pdf_channels" -> ((s, dir) => {
+      // q40-family channel counts driven through REAL PDFs (round-13
+      // item-1 "done" gate): multi-page documents with planted per-page
+      // word counts and image paint counts, decoded by MiniPdf via the
+      // production AutoPdfDecoder router inside DocPipeline, then the
+      // standard explode + min-words + max-images tagging. The oracle
+      // replays the planted arithmetic; a page-order bug, a lost image
+      // occurrence, or a broken filter precedence flips the counts.
+      val gen = udf((id: Long) => {
+        val pcount = 1 + (id % 3).toInt
+        val sb = new StringBuilder("%PDF-1.4\n")
+        def obj(num: Int, dict: String, stream: Option[String]): Unit = {
+          sb.append(s"$num 0 obj\n$dict\n")
+          stream.foreach(st => sb.append(s"stream\n$st\nendstream\n"))
+          sb.append("endobj\n")
+        }
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        val kids = (0 until pcount).map(p => s"${10 + p} 0 R").mkString(" ")
+        obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pcount >>", None)
+        obj(5, "<< /Subtype /Image /Width 30 /Height 40 /Length 1 >>", Some(" "))
+        for (p <- 0 until pcount) {
+          val wc = 1 + ((id + p) % 8).toInt
+          val m = ((id + p) % 3).toInt
+          val words = Seq.fill(wc)("word").mkString(" ")
+          val content = s"BT ($words) Tj ET" + " /Im1 Do" * m
+          obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R " +
+            "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+          obj(20 + p, s"<< /Length ${content.length} >>", Some(content))
+        }
+        sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      })
+      val cfg = PipelineConfig(minWordsPerPage = 5, maxImagesPerPage = Some(1),
+        saveFigures = true)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
+      val decoded = DocPipeline.decodePages(keyed, graft.sources.AutoPdfDecoder(), "payload")
+      val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
+      DocPipeline.channels(tagged)._2
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -15948,5 +16035,33 @@ object SparkEntry {
         |SELECT width, height, COUNT(*) AS n_images,
         |  CAST(SUM(lum_u6) AS BIGINT) AS lum_sum_u6
         |FROM f GROUP BY 1, 2 ORDER BY width, height""".stripMargin,
+
+    // the oracle replays q362's planted dims: the Spark side must
+    // recover exactly these from REAL XObject/inline-image dict parsing
+    "q362_pdf_planted_dims" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_imgs,
+        |  CAST(100 + doc_id % 200 AS BIGINT) AS xo_w,
+        |  CAST(50 + n_chars % 150 AS BIGINT) AS xo_h,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 90 ELSE 0 END AS BIGINT) AS in_w,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 20 + doc_id % 70 ELSE 0 END AS BIGINT) AS in_h
+        |FROM documents""".stripMargin,
+
+    // q363: planted per-page word/image counts through real PDFs; the
+    // oracle replays the arithmetic + the tagging precedence
+    // (min-words before max-images, explodePages order)
+    "q363_pdf_channels" ->
+      """WITH pages AS (
+        |  SELECT d.doc_id, i.g AS g,
+        |    1 + ((d.doc_id + i.g) % 8) AS wc,
+        |    (d.doc_id + i.g) % 3 AS m
+        |  FROM documents d, LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)
+        |)
+        |SELECT status, error_message, COUNT(*) AS count FROM (
+        |  SELECT CASE WHEN wc < 5 OR m > 1 THEN 'failed_to_extract'
+        |              ELSE 'success' END AS status,
+        |         CASE WHEN wc < 5 THEN 'too few words'
+        |              WHEN m > 1 THEN 'too many images' END AS error_message
+        |  FROM pages) t GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -30,13 +30,14 @@ object DocPipeline {
     * call does decode + drawings — never two passes over the payload. */
   def decodePages(df: DataFrame, decoder: PageDecoder, payloadCol: String,
                   withDrawings: Boolean = false): DataFrame = {
-    val dec = udf((payload: Array[Byte]) => decoder.decode(payload) match {
-      case Right(pages) =>
-        val dr = if (withDrawings) pages.indices.map(i => decoder.drawings(payload, i))
-                 else null
-        (pages, dr: Seq[String], null: String)
-      case Left(err) => (null: Seq[String], null: Seq[String], err)
-    })
+    val dec = udf((payload: Array[Byte]) =>
+      if (withDrawings) decoder.decodeWithDrawings(payload) match {
+        case Right(pairs) => (pairs.map(_._1), pairs.map(_._2), null: String)
+        case Left(err) => (null: Seq[String], null: Seq[String], err)
+      } else decoder.decode(payload) match {
+        case Right(pages) => (pages, null: Seq[String], null: String)
+        case Left(err) => (null: Seq[String], null: Seq[String], err)
+      })
     // rows already failed upstream (fetch / hash verify) are never decoded
     // — the reference short-circuits the same way (downloader.py:326-350)
     val shouldDecode =

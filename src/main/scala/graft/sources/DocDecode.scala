@@ -21,6 +21,13 @@ trait PageDecoder extends Serializable {
   /** Per-page SVG drawing extraction (ref `extractor.py:76-77`,
     * `page.get_svg_image()`); default empty. */
   def drawings(payload: Array[Byte], pageNo: Int): String = ""
+
+  /** One-pass decode + per-page drawings. Default composes [[decode]]
+    * and [[drawings]] (re-walking the payload per page); decoders with
+    * expensive payload parsing override to parse once. */
+  def decodeWithDrawings(payload: Array[Byte]): Either[String, Seq[(String, String)]] =
+    decode(payload).map(ps =>
+      ps.zipWithIndex.map { case (p, i) => (p, drawings(payload, i)) })
 }
 
 /** Deterministic fake decoder: interprets the payload as UTF-8 text and

@@ -57,6 +57,18 @@ object MiniPdf {
     * units); `toUni` maps code → unicode string ("" entries drop). */
   final case class FontInfo(twoByte: Boolean, toUni: Map[Int, String])
 
+  /** One image occurrence on a page (dims from the XObject dict /
+    * inline-image dict — no pixel decode needed for the reference's
+    * `images_per_page` + size/ratio filters, `extractor.py:38-44,151-162`,
+    * `downloader.py:254-255`). */
+  final case class ImgRef(width: Int, height: Int)
+
+  /** Named `/XObject` resource entry: an image (dims) or a form
+    * (content-bearing, recursed into like PyMuPDF renders it). */
+  sealed trait XObjEntry extends Serializable
+  final case class XImage(width: Int, height: Int) extends XObjEntry
+  final case class XForm(num: Int) extends XObjEntry
+
   private val ObjHeader = """(?s)(\d+)\s+(\d+)\s+obj""".r
   private val RootRef = """/Root\s+(\d+)\s+\d+\s+R""".r
   private val PagesRef = """/Pages\s+(\d+)\s+\d+\s+R""".r
@@ -139,11 +151,21 @@ object MiniPdf {
     * expand `/Type /ObjStm` object streams (PDF 1.5+) — inner objects
     * join the map unless a top-level definition of the same number
     * exists (top-level wins: incremental updates append uncompressed). */
-  def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+  def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] =
+    parseObjects(bytes, None)
+
+  /** As [[parseObjects]], with an optional per-stream transform
+    * `(num, gen, dict, raw) → raw'` applied to every TOP-LEVEL stream
+    * before ObjStm expansion — the decryption hook: encrypted ObjStm
+    * bodies must be deciphered before their inner objects are parsed. */
+  def parseObjects(bytes: Array[Byte],
+      transform: Option[(Int, Int, String, Array[Byte]) => Array[Byte]])
+      : Map[Int, PdfObj] = {
     val s = new String(bytes, ISO_8859_1)
     val out = scala.collection.mutable.Map[Int, PdfObj]()
     for (m <- ObjHeader.findAllMatchIn(s)) {
       val num = m.group(1).toInt
+      val gen = m.group(2).toInt
       var i = m.end
       while (i < s.length && s.charAt(i).isWhitespace) i += 1
       var dict = ""
@@ -183,7 +205,11 @@ object MiniPdf {
           }
         } else None
       // later definitions win (incremental updates append new versions)
-      out(num) = PdfObj(num, dict, stream)
+      val finalStream = transform match {
+        case Some(t) => stream.map(t(num, gen, dict, _))
+        case None => stream
+      }
+      out(num) = PdfObj(num, dict, finalStream)
     }
     // expand object streams: header is N (objnum, offset) int pairs,
     // bodies start at /First; inner objects are dict-only per spec
@@ -569,29 +595,35 @@ object MiniPdf {
     out.toMap
   }
 
-  /** Resolve a page's `/Resources → /Font` map (with `/Parent`
-    * inheritance) into per-name [[FontInfo]]. */
-  def pageFonts(objs: Map[Int, PdfObj], pageNum: Int): Map[String, FontInfo] = {
-    // find the governing /Resources: on the page, else up the parents
-    def resourcesOf(num: Int, depth: Int): Option[String] = {
-      if (depth > 16) return None
-      objs.get(num).flatMap { o =>
-        inlineDictAfter(o.dict, "/Resources")
-          .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(o.dict)
-            .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
-          .orElse(ParentRef.findFirstMatchIn(o.dict)
-            .flatMap(m => resourcesOf(m.group(1).toInt, depth + 1)))
-      }
-    }
-    val fontDictOpt = resourcesOf(pageNum, 0).flatMap { res =>
-      inlineDictAfter(res, "/Font")
-        .orElse("""/Font\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(res)
+  /** The governing `/Resources` dict text for an object: inline or by
+    * ref on the object itself, else inherited up the `/Parent` chain. */
+  private[sources] def resourcesOf(objs: Map[Int, PdfObj], num: Int,
+                                   depth: Int = 0): Option[String] = {
+    if (depth > 16) return None
+    objs.get(num).flatMap { o =>
+      inlineDictAfter(o.dict, "/Resources")
+        .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(o.dict)
           .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+        .orElse(ParentRef.findFirstMatchIn(o.dict)
+          .flatMap(m => resourcesOf(objs, m.group(1).toInt, depth + 1)))
     }
+  }
+
+  /** The sub-dict named `key` inside resources text: inline `<< … >>`
+    * or an `N 0 R` indirection. */
+  private def resourceSubDict(objs: Map[Int, PdfObj], res: String,
+                              key: String): Option[String] =
+    inlineDictAfter(res, key)
+      .orElse((key + """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(res)
+        .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+
+  /** `/Font` entries of a resources dict as per-name [[FontInfo]]. */
+  private[sources] def fontsFrom(objs: Map[Int, PdfObj],
+                                 res: String): Map[String, FontInfo] = {
+    val fontDictOpt = resourceSubDict(objs, res, "/Font")
     if (fontDictOpt.isEmpty) return Map.empty
-    val fontDict = fontDictOpt.get
     val FontRef = """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r
-    FontRef.findAllMatchIn(fontDict).flatMap { m =>
+    FontRef.findAllMatchIn(fontDictOpt.get).flatMap { m =>
       objs.get(m.group(2).toInt).map { fo =>
         val twoByte = """/Subtype\s*/Type0\b""".r.findFirstIn(fo.dict).isDefined ||
           fo.dict.contains("/Identity-H") || fo.dict.contains("/Identity-V")
@@ -604,6 +636,42 @@ object MiniPdf {
     }.toMap
   }
 
+  // direct-int dims only, with the same anti-backtracking guard as
+  // /Length (`/Width 50 0 R` must not yield 5)
+  private val WidthInt = """/Width\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
+  private val HeightInt = """/Height\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
+
+  /** `/XObject` entries of a resources dict: `/Subtype /Image` → dims
+    * from the XObject dict (`/Width`/`/Height`, direct ints — the spec
+    * requires these keys on image XObjects), `/Subtype /Form` → the
+    * object number for content recursion. */
+  private[sources] def xobjectsFrom(objs: Map[Int, PdfObj],
+                                    res: String): Map[String, XObjEntry] = {
+    val xoDictOpt = resourceSubDict(objs, res, "/XObject")
+    if (xoDictOpt.isEmpty) return Map.empty
+    val XoRef = """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r
+    XoRef.findAllMatchIn(xoDictOpt.get).flatMap { m =>
+      objs.get(m.group(2).toInt).flatMap { xo =>
+        if ("""/Subtype\s*/Image\b""".r.findFirstIn(xo.dict).isDefined) {
+          val w = WidthInt.findFirstMatchIn(xo.dict).map(_.group(1).toInt).getOrElse(0)
+          val h = HeightInt.findFirstMatchIn(xo.dict).map(_.group(1).toInt).getOrElse(0)
+          Some(m.group(1) -> XImage(w, h))
+        } else if ("""/Subtype\s*/Form\b""".r.findFirstIn(xo.dict).isDefined)
+          Some(m.group(1) -> XForm(m.group(2).toInt))
+        else None
+      }
+    }.toMap
+  }
+
+  /** Resolve a page's `/Resources → /Font` map (with `/Parent`
+    * inheritance) into per-name [[FontInfo]]. */
+  def pageFonts(objs: Map[Int, PdfObj], pageNum: Int): Map[String, FontInfo] =
+    resourcesOf(objs, pageNum).map(fontsFrom(objs, _)).getOrElse(Map.empty)
+
+  /** Resolve a page's `/Resources → /XObject` map. */
+  def pageXObjects(objs: Map[Int, PdfObj], pageNum: Int): Map[String, XObjEntry] =
+    resourcesOf(objs, pageNum).map(xobjectsFrom(objs, _)).getOrElse(Map.empty)
+
   def contentText(content: Array[Byte]): String =
     contentText(content, Map.empty)
 
@@ -611,9 +679,26 @@ object MiniPdf {
     * over `BT…ET` blocks. Strings accumulate; `Tj`/`TJ` emit; `'`/`"`
     * and `Td`/`TD`/`T*`/`Tm` break lines; `Tf` switches the active
     * [[FontInfo]] (CID code mapping); TJ kerning ≤ −180 emits a space. */
-  def contentText(content: Array[Byte], fonts: Map[String, FontInfo]): String = {
-    val s = new String(content, ISO_8859_1)
+  def contentText(content: Array[Byte], fonts: Map[String, FontInfo]): String =
+    contentParts(content, fonts, Map.empty, _ => None)._1
+
+  /** Text + image occurrences from a content stream. `Do` on an image
+    * XObject records its dims; `Do` on a form XObject recurses into the
+    * form's own content (depth-capped, cycle-safe — PyMuPDF renders
+    * form content inline the same way); `BI…ID…EI` inline images record
+    * dims from the inline dict and skip the binary payload so it can
+    * never be misread as text operators. `formLookup` resolves a form
+    * object number to (content bytes, fonts, xobjects). */
+  private[sources] def contentParts(content: Array[Byte],
+      fonts0: Map[String, FontInfo], xobjs0: Map[String, XObjEntry],
+      formLookup: Int => Option[(Array[Byte], Map[String, FontInfo], Map[String, XObjEntry])])
+      : (String, Seq[ImgRef]) = {
     val out = new StringBuilder
+    val imgs = scala.collection.mutable.ArrayBuffer.empty[ImgRef]
+
+    def scan(content: Array[Byte], fonts: Map[String, FontInfo],
+             xobjs: Map[String, XObjEntry], depth: Int, onPath: Set[Int]): Unit = {
+    val s = new String(content, ISO_8859_1)
     val pending = new StringBuilder // operand strings since last operator
     var i = 0
     var curFont: Option[FontInfo] = None
@@ -738,6 +823,7 @@ object MiniPdf {
         while (j < s.length && !s.charAt(j).isWhitespace &&
           s.charAt(j) != '(' && s.charAt(j) != '<' && s.charAt(j) != '[' &&
           s.charAt(j) != ']' && s.charAt(j) != '/') j += 1
+        var nextI = j
         s.substring(i, j) match {
           case "Tj" | "TJ" => emitPending()
           case "'" | "\"" => emitLineBreak(); emitPending()
@@ -745,21 +831,238 @@ object MiniPdf {
           case "Tf" => pending.clear(); curFont = fonts.get(lastName)
           case "BT" => pending.clear(); emitLineBreak()
           case "ET" => pending.clear()
+          case "Do" =>
+            pending.clear()
+            xobjs.get(lastName) match {
+              case Some(XImage(w, h)) => imgs += ImgRef(w, h)
+              case Some(XForm(num)) if depth < 8 && !onPath(num) =>
+                formLookup(num).foreach { case (fc, ff, fx) =>
+                  scan(fc, ff, fx, depth + 1, onPath + num)
+                }
+              case _ =>
+            }
+          case "BI" =>
+            // inline image: /W(/Width) × /H(/Height) from the inline
+            // dict, then skip binary to a whitespace-delimited EI
+            pending.clear()
+            val idAt = s.indexOf("ID", j)
+            if (idAt < 0) nextI = s.length
+            else {
+              val dictTxt = s.substring(j, idAt)
+              val w = """/W(?:idth)?\s+(\d+)""".r.findFirstMatchIn(dictTxt)
+                .map(_.group(1).toInt).getOrElse(0)
+              val h = """/H(?:eight)?\s+(\d+)""".r.findFirstMatchIn(dictTxt)
+                .map(_.group(1).toInt).getOrElse(0)
+              imgs += ImgRef(w, h)
+              var k = idAt + 3 // past ID + the single binary-leading byte
+              var end = -1
+              while (end < 0) {
+                val e = s.indexOf("EI", k)
+                if (e < 0) end = s.length
+                else if (s.charAt(e - 1).isWhitespace &&
+                         (e + 2 >= s.length || s.charAt(e + 2).isWhitespace ||
+                          "()<>[]{}/%".indexOf(s.charAt(e + 2)) >= 0)) end = e + 2
+                else k = e + 2
+              }
+              nextI = end
+            }
           case _ => pending.clear() // other operators consume their operands
         }
+        i = nextI
+      }
+      else i += 1
+    }
+    } // scan
+
+    scan(content, fonts0, xobjs0, 0, Set.empty)
+    (out.toString, imgs.toSeq)
+  }
+
+  /** One page's (text, image occurrences): resolves the page's fonts
+    * and XObjects, then scans its content with form recursion (a form
+    * without its own `/Resources` inherits the page's — the common
+    * legacy layout). */
+  def pageParts(objs: Map[Int, PdfObj], pageNum: Int): (String, Seq[ImgRef]) = {
+    val pageRes = resourcesOf(objs, pageNum)
+    val fonts = pageRes.map(fontsFrom(objs, _)).getOrElse(Map.empty)
+    val xobjs = pageRes.map(xobjectsFrom(objs, _)).getOrElse(Map.empty)
+    def formLookup(num: Int) = objs.get(num).map { fo =>
+      val res = inlineDictAfter(fo.dict, "/Resources")
+        .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fo.dict)
+          .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+      (decodedStream(fo),
+        res.map(fontsFrom(objs, _)).getOrElse(fonts),
+        res.map(xobjectsFrom(objs, _)).getOrElse(xobjs))
+    }
+    contentParts(pageContent(objs, pageNum), fonts, xobjs, formLookup)
+  }
+
+  /** REAL vector-drawing extraction (ref `extractor.py:76-77`,
+    * `page.get_svg_image()`): walk the content stream's path operators
+    * (`m l c v y re h`) and painting operators (`S s f F f* B B* b b*`),
+    * emitting one SVG `<path>` per painted path in PDF user-space
+    * coordinates (no CTM/`cm` tracking — the subset's documented
+    * simplification; shapes and topology are exact, placement is the
+    * untransformed operand space). `n`-ended (clip-only) paths drop.
+    * Returns "" when the page paints no paths. */
+  def contentDrawings(content: Array[Byte]): String =
+    wrapSvg(svgPaths(content))
+
+  private def wrapSvg(paths: Seq[String]): String =
+    if (paths.isEmpty) ""
+    else s"""<svg xmlns="http://www.w3.org/2000/svg">${paths.mkString}</svg>"""
+
+  /** Drawings for one page including its form XObjects' content
+    * (depth-capped, cycle-safe), assembled into a single SVG. */
+  def pageDrawings(objs: Map[Int, PdfObj], pageNum: Int): String = {
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walkForms(xobjs: Map[String, XObjEntry], depth: Int, onPath: Set[Int]): Unit =
+      if (depth < 8) xobjs.values.foreach {
+        case XForm(num) if !onPath(num) =>
+          objs.get(num).foreach { fo =>
+            paths ++= svgPaths(decodedStream(fo))
+            val res = inlineDictAfter(fo.dict, "/Resources")
+              .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fo.dict)
+                .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+            res.foreach(r => walkForms(xobjectsFrom(objs, r), depth + 1, onPath + num))
+          }
+        case _ =>
+      }
+    paths ++= svgPaths(pageContent(objs, pageNum))
+    walkForms(pageXObjects(objs, pageNum), 0, Set.empty)
+    wrapSvg(paths.toSeq)
+  }
+
+  private def svgPaths(content: Array[Byte]): Seq[String] = {
+    val s = new String(content, ISO_8859_1)
+    val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val d = new StringBuilder // current path data
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    var curX = 0.0; var curY = 0.0
+    def fmt(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+        .reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    def op(k: Int): Seq[Double] = { // last k operands, missing → 0
+      val t = Seq.tabulate(k)(j =>
+        if (nums.length - k + j >= 0) nums(nums.length - k + j) else 0.0)
+      t
+    }
+    def sep(): Unit = if (d.nonEmpty) d.append(' ')
+    def paint(style: String): Unit = {
+      if (d.nonEmpty) paths += s"""<path d="$d" style="$style"/>"""
+      d.clear()
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') { // string: skip with escapes (no text here)
+        var j = i + 1; var depth = 1
+        while (j < s.length && depth > 0) {
+          s.charAt(j) match {
+            case '\\' => j += 2
+            case '(' => depth += 1; j += 1
+            case ')' => depth -= 1; j += 1
+            case _ => j += 1
+          }
+        }
+        i = j
+      }
+      else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        val e = dictEnd(s, i); i = if (e > 0) e else i + 2
+      }
+      else if (c == '<') { val e = s.indexOf('>', i); i = if (e > 0) e + 1 else s.length }
+      else if (c == '%') { val e = s.indexOf('\n', i); i = if (e > 0) e + 1 else s.length }
+      else if (c == '/' ) {
+        var j = i + 1
+        while (j < s.length && !s.charAt(j).isWhitespace &&
+          "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        i = j
+      }
+      else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        var j = i + 1
+        while (j < s.length && (s.charAt(j).isDigit || s.charAt(j) == '.')) j += 1
+        try nums += s.substring(i, j).toDouble catch { case _: Exception => }
+        if (nums.length > 16) nums.remove(0, nums.length - 16)
+        i = j
+      }
+      else if (c.isLetter || c == '*' || c == '\'' || c == '"') {
+        var j = i
+        while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '*' ||
+          s.charAt(j) == '\'' || s.charAt(j) == '"')) j += 1
+        s.substring(i, j) match {
+          case "m" =>
+            val Seq(x, y) = op(2); sep(); d.append(s"M ${fmt(x)} ${fmt(y)}")
+            curX = x; curY = y
+          case "l" =>
+            val Seq(x, y) = op(2); sep(); d.append(s"L ${fmt(x)} ${fmt(y)}")
+            curX = x; curY = y
+          case "c" =>
+            val Seq(x1, y1, x2, y2, x3, y3) = op(6)
+            sep(); d.append(s"C ${fmt(x1)} ${fmt(y1)} ${fmt(x2)} ${fmt(y2)} ${fmt(x3)} ${fmt(y3)}")
+            curX = x3; curY = y3
+          case "v" => // current point doubles as first control
+            val Seq(x2, y2, x3, y3) = op(4)
+            sep(); d.append(s"C ${fmt(curX)} ${fmt(curY)} ${fmt(x2)} ${fmt(y2)} ${fmt(x3)} ${fmt(y3)}")
+            curX = x3; curY = y3
+          case "y" => // final point doubles as second control
+            val Seq(x1, y1, x3, y3) = op(4)
+            sep(); d.append(s"C ${fmt(x1)} ${fmt(y1)} ${fmt(x3)} ${fmt(y3)} ${fmt(x3)} ${fmt(y3)}")
+            curX = x3; curY = y3
+          case "re" =>
+            val Seq(x, y, w, h) = op(4)
+            sep(); d.append(s"M ${fmt(x)} ${fmt(y)} L ${fmt(x + w)} ${fmt(y)} " +
+              s"L ${fmt(x + w)} ${fmt(y + h)} L ${fmt(x)} ${fmt(y + h)} Z")
+            curX = x; curY = y
+          case "h" => sep(); d.append("Z")
+          case "S" => paint("fill:none;stroke:#000")
+          case "s" => sep(); d.append("Z"); paint("fill:none;stroke:#000")
+          case "f" | "F" => paint("fill:#000")
+          case "f*" => paint("fill:#000;fill-rule:evenodd")
+          case "B" => paint("fill:#000;stroke:#000")
+          case "B*" => paint("fill:#000;stroke:#000;fill-rule:evenodd")
+          case "b" => sep(); d.append("Z"); paint("fill:#000;stroke:#000")
+          case "b*" => sep(); d.append("Z"); paint("fill:#000;stroke:#000;fill-rule:evenodd")
+          case "n" => d.clear() // clip-only path: not a drawing
+          case "BI" => // inline image: skip binary, same policy as text scan
+            val idAt = s.indexOf("ID", j)
+            j = if (idAt < 0) s.length else {
+              var k = idAt + 3; var end = -1
+              while (end < 0) {
+                val e = s.indexOf("EI", k)
+                if (e < 0) end = s.length
+                else if (s.charAt(e - 1).isWhitespace &&
+                         (e + 2 >= s.length || s.charAt(e + 2).isWhitespace ||
+                          "()<>[]{}/%".indexOf(s.charAt(e + 2)) >= 0)) end = e + 2
+                else k = e + 2
+              }
+              end
+            }
+          case _ =>
+        }
+        nums.clear()
         i = j
       }
       else i += 1
     }
-    out.toString
+    paths.toSeq
   }
 
 }
 
 /** [[PageDecoder]] over [[MiniPdf]]: real PDF payloads → one
-  * reference-shaped XHTML string per page, true page-tree order. */
+  * reference-shaped XHTML string per page, true page-tree order. Pages
+  * carry real `<img>` tags for every image XObject / inline image the
+  * content paints (dims from the dicts — `images_per_page` and the
+  * size/ratio filters run truthfully, ref `downloader.py:254-255`,
+  * `extractor.py:38-44,151-162`), and `drawings`/`decodeWithDrawings`
+  * extract real path-operator SVG (ref `extractor.py:76-77`). */
 final case class MiniPdfDecoder() extends PageDecoder {
-  override def decode(raw: Array[Byte]): Either[String, Seq[String]] = {
+
+  /** Common open path: header slice → encryption gate → object scan →
+    * page order. */
+  private def parsed(raw: Array[Byte])
+      : Either[String, (Map[Int, MiniPdf.PdfObj], Seq[Int])] = {
     if (raw == null || raw.length < 8)
       return Left("cannot open document: empty payload")
     // Real crawled files often carry junk before the header (HTTP noise,
@@ -771,33 +1074,86 @@ final case class MiniPdfDecoder() extends PageDecoder {
     val payload = if (off == 0) raw else java.util.Arrays.copyOfRange(raw, off, raw.length)
     if (payload.length < 8)
       return Left("cannot open document: empty payload")
-    // encryption: fail CLOSED (trailer / xref-stream dict carries
-    // /Encrypt; scan the tail where trailers live)
+    // encryption (trailer / xref-stream dict carries /Encrypt; scan
+    // the tail where trailers live): the standard security handler
+    // with an EMPTY user password — the dominant crawled case, which
+    // PyMuPDF opens transparently (`downloader.py:385`) — decrypts via
+    // [[PdfCrypt]]; anything else (real password, exotic filter) fails
+    // CLOSED with a distinguishing message.
     val tail = new String(payload, math.max(0, payload.length - 2048),
       math.min(2048, payload.length), ISO_8859_1)
-    if ("""/Encrypt\s+\d+\s+\d+\s+R""".r.findFirstIn(tail).isDefined)
-      return Left("cannot open document: encrypted")
+    val EncRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r
     try {
-      val objs = MiniPdf.parseObjects(payload)
-      if (objs.isEmpty) return Left("cannot open document: no PDF objects")
+      val objs0 = MiniPdf.parseObjects(payload)
+      if (objs0.isEmpty) return Left("cannot open document: no PDF objects")
+      val encRef = EncRef.findFirstMatchIn(tail).map(_.group(1).toInt)
+        .orElse(objs0.values.toSeq.sortBy(-_.num).iterator
+          .filter(o => """/Type\s*/XRef\b""".r.findFirstIn(o.dict).isDefined)
+          .flatMap(o => EncRef.findFirstMatchIn(o.dict).map(_.group(1).toInt))
+          .nextOption())
+      val objs = encRef match {
+        case None => objs0
+        case Some(encNum) =>
+          val encDict = objs0.get(encNum).map(_.dict).getOrElse("")
+          PdfCrypt.decryptorFor(new String(payload, ISO_8859_1), encDict) match {
+            case Some(d) =>
+              // re-scan with decryption so encrypted ObjStm bodies are
+              // deciphered BEFORE their inner objects are parsed; the
+              // Encrypt dict's own stream (none in practice) and xref
+              // streams are never encrypted per spec
+              MiniPdf.parseObjects(payload, Some((num, gen, dict, raw) =>
+                if (num == encNum ||
+                    """/Type\s*/XRef\b""".r.findFirstIn(dict).isDefined) raw
+                else d.decryptStream(num, gen, raw)))
+            case None => return Left("cannot open document: encrypted")
+          }
+      }
       val pages = MiniPdf.pageOrder(objs, payload)
       if (pages.isEmpty) return Left("cannot open document: no pages")
-      Right(pages.map { p =>
-        val fonts = MiniPdf.pageFonts(objs, p)
-        val text = MiniPdf.contentText(MiniPdf.pageContent(objs, p), fonts)
-          .replaceAll("\\s+", " ").trim
-        val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-        s"<div><p>$esc</p></div>"
-      })
+      Right((objs, pages))
     } catch {
       case e: Exception => Left(s"cannot open document: ${e.getMessage}")
     }
   }
+
+  private def pageXhtml(objs: Map[Int, MiniPdf.PdfObj], p: Int): String = {
+    val (text0, imgs) = MiniPdf.pageParts(objs, p)
+    val text = text0.replaceAll("\\s+", " ").trim
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val imgTags = imgs.zipWithIndex.map { case (r, k) =>
+      s"""<img width="${r.width}" height="${r.height}" src="img$k.png" alt=""/>"""
+    }.mkString
+    s"<div><p>$esc</p>$imgTags</div>"
+  }
+
+  override def decode(raw: Array[Byte]): Either[String, Seq[String]] =
+    parsed(raw).flatMap { case (objs, pages) =>
+      try Right(pages.map(pageXhtml(objs, _)))
+      catch { case e: Exception => Left(s"cannot open document: ${e.getMessage}") }
+    }
+
+  override def decodeWithDrawings(raw: Array[Byte])
+      : Either[String, Seq[(String, String)]] =
+    parsed(raw).flatMap { case (objs, pages) =>
+      try Right(pages.map(p => (pageXhtml(objs, p), MiniPdf.pageDrawings(objs, p))))
+      catch { case e: Exception => Left(s"cannot open document: ${e.getMessage}") }
+    }
+
+  override def drawings(payload: Array[Byte], pageNo: Int): String =
+    parsed(payload) match {
+      case Right((objs, pages)) if pageNo >= 0 && pageNo < pages.length =>
+        try MiniPdf.pageDrawings(objs, pages(pageNo))
+        catch { case _: Exception => "" }
+      case _ => ""
+    }
 }
 
 /** Production router: real `%PDF-` payloads through [[MiniPdfDecoder]],
   * everything else through the deterministic fallback — so a mixed
-  * corpus decodes what it can and the harness fixtures stay stable. */
+  * corpus decodes what it can and the harness fixtures stay stable.
+  * Drawings on the real path are REAL extraction (never the fake's
+  * synthetic SVG — fabricating output for a real document would
+  * contradict the engine's fail-closed policy). */
 final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder())
     extends PageDecoder {
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
@@ -805,6 +1161,14 @@ final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder())
       MiniPdfDecoder().decode(payload)
     else fallback.decode(payload)
 
+  override def decodeWithDrawings(payload: Array[Byte])
+      : Either[String, Seq[(String, String)]] =
+    if (MiniPdf.headerOffset(payload) >= 0)
+      MiniPdfDecoder().decodeWithDrawings(payload)
+    else fallback.decodeWithDrawings(payload)
+
   override def drawings(payload: Array[Byte], pageNo: Int): String =
-    fallback.drawings(payload, pageNo)
+    if (MiniPdf.headerOffset(payload) >= 0)
+      MiniPdfDecoder().drawings(payload, pageNo)
+    else fallback.drawings(payload, pageNo)
 }

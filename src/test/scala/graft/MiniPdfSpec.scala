@@ -584,4 +584,129 @@ class MiniPdfSpec extends AnyFunSuite {
       (4, s"<< /Length ${hex.length} /Filter [ /ASCIIHexDecode /LZWDecode ] >>", Some(hex))))
     assert(MiniPdfDecoder().decode(pdf2) == Right(Seq("<div><p>Legacy LZW stream text</p></div>")))
   }
+
+  // ------------------------------------------- images / forms / drawings
+
+  test("image XObject: dims from the dict emit a real <img> tag (no pixel decode)") {
+    val content = "q 100 0 0 50 10 10 cm /Im1 Do Q BT (with picture) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Image /Width 320 /Height 240 /BitsPerComponent 8 " +
+        "/ColorSpace /DeviceRGB /Filter /DCTDecode /Length 4 >>",
+        Some(Array[Byte](1, 2, 3, 4)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq(
+      "<div><p>with picture</p>" +
+        "<img width=\"320\" height=\"240\" src=\"img0.png\" alt=\"\"/></div>")))
+  }
+
+  test("image XObject with indirect dims yields 0 (guard), never a misread ref number") {
+    val content = "/Im1 Do"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Image /Width 50 0 R /Height 60 0 R /Length 1 >>",
+        Some(Array[Byte](0))),
+      (50, "777", None), (60, "888", None)))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq(
+      "<div><p></p><img width=\"0\" height=\"0\" src=\"img0.png\" alt=\"\"/></div>")))
+  }
+
+  test("inline image BI..ID..EI: dims recorded, binary skipped, surrounding text intact") {
+    // binary payload contains '(' , 'Tj' and a non-delimited 'EI' lookalike
+    val binary = "\u0000(EIx)Tj\u00ff\u0001"
+    val content = s"BT (before) Tj ET BI /W 16 /H 8 /BPC 8 ID $binary EI BT (after) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq(
+      "<div><p>before after</p>" +
+        "<img width=\"16\" height=\"8\" src=\"img0.png\" alt=\"\"/></div>")))
+  }
+
+  test("form XObject: text and images inside the form surface on the page") {
+    val pageContent = "BT (page text) Tj ET /Fm1 Do"
+    val formContent = "BT (form text) Tj ET /Im1 Do"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Fm1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, s"<< /Subtype /Form /Resources << /XObject << /Im1 6 0 R >> >> " +
+        s"/Length ${formContent.length} >>", Some(formContent.getBytes(ISO_8859_1))),
+      (6, "<< /Subtype /Image /Width 64 /Height 48 /Length 1 >>", Some(Array[Byte](0)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq(
+      "<div><p>page text form text</p>" +
+        "<img width=\"64\" height=\"48\" src=\"img0.png\" alt=\"\"/></div>")))
+  }
+
+  test("self-referencing form XObject terminates (cycle guard)") {
+    val pageContent = "/Fm1 Do BT (safe) Tj ET"
+    val formContent = "/Fm1 Do BT (inner) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Fm1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, s"<< /Subtype /Form /Length ${formContent.length} >>",
+        Some(formContent.getBytes(ISO_8859_1)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    // form lacks own resources -> inherits page's, whose /Fm1 is on-path
+    assert(res == Right(Seq("<div><p>inner safe</p></div>")))
+  }
+
+  test("drawings: path operators extract to real SVG (m/l/c/re/h, stroke vs fill)") {
+    val content =
+      "0 0 m 10 0 l 10 10 l h S " +     // closed stroked triangle
+      "5 5 20 30 re f " +               // filled rect
+      "0 0 m 1 2 3 4 5 6 c S " +        // curve
+      "7 7 m 8 8 l n"                   // clip-only: dropped
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1)))))
+    val Right(pairs) = MiniPdfDecoder().decodeWithDrawings(pdf): @unchecked
+    assert(pairs.length == 1)
+    val svg = pairs.head._2
+    assert(svg.startsWith("<svg xmlns="))
+    assert(svg.contains("<path d=\"M 0 0 L 10 0 L 10 10 Z\" style=\"fill:none;stroke:#000\"/>"))
+    assert(svg.contains("<path d=\"M 5 5 L 25 5 L 25 35 L 5 35 Z\" style=\"fill:#000\"/>"))
+    assert(svg.contains("C 1 2 3 4 5 6"))
+    assert(!svg.contains("M 7 7")) // n-ended path dropped
+    // per-page accessor agrees with the one-pass form
+    assert(MiniPdfDecoder().drawings(pdf, 0) == svg)
+  }
+
+  test("real PDFs never receive fabricated drawings from the fake decoder") {
+    val content = "BT (no drawings here) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1)))))
+    val auto = AutoPdfDecoder()
+    // a page that paints no paths extracts "" -- NOT FakePdfDecoder's
+    // synthetic '<svg width="10"...' marker
+    assert(auto.drawings(pdf, 0) == "")
+    val Right(pairs) = auto.decodeWithDrawings(pdf): @unchecked
+    assert(pairs.map(_._2) == Seq(""))
+    // the fake path still serves non-PDF payloads (harness fixtures)
+    assert(auto.drawings("plain text".getBytes(ISO_8859_1), 2)
+      == FakePdfDecoder().drawings(Array.emptyByteArray, 2))
+  }
 }
