@@ -109,6 +109,46 @@ object MiniPdf {
     -1
   }
 
+  private def isDelim(c: Char): Boolean =
+    c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
+  /** Index of the inline-image `ID` operator at/after `from`, as a
+    * STANDALONE token: preceded by a whitespace/delimiter and followed
+    * by one whitespace byte (ISO 32000-1 §8.9.7 — exactly one white-
+    * space separates ID from the binary data). A bare `ID` substring
+    * inside a name or hex string (e.g. `/GRID` or `<49 44>`) must not
+    * match, or the dict parse truncates and the binary skip misfires. */
+  private[sources] def inlineIdAt(s: String, from: Int): Int = {
+    var k = from
+    while (k >= 0) {
+      val at = s.indexOf("ID", k)
+      if (at < 0) return -1
+      val okBefore = at == 0 || isDelim(s.charAt(at - 1))
+      val okAfter = at + 2 >= s.length || s.charAt(at + 2).isWhitespace
+      if (okBefore && okAfter) return at
+      k = at + 2
+    }
+    -1
+  }
+
+  /** Index just past an inline image's binary payload: from `idAt`
+    * (pointing at `ID`), skip the single whitespace byte then scan for
+    * a whitespace-delimited `EI`. Shared by the text/image scan and
+    * the drawings scan so both skip identically. */
+  private[sources] def inlineImageEnd(s: String, idAt: Int): Int = {
+    var k = idAt + 3 // past ID + the single binary-leading byte
+    var end = -1
+    while (end < 0) {
+      val e = s.indexOf("EI", k)
+      if (e < 0) end = s.length
+      else if (s.charAt(e - 1).isWhitespace &&
+               (e + 2 >= s.length || s.charAt(e + 2).isWhitespace ||
+                "()<>[]{}/%".indexOf(s.charAt(e + 2)) >= 0)) end = e + 2
+      else k = e + 2
+    }
+    end
+  }
+
   /** Balanced `<< … >>` span starting at `start` (which must point at
     * `<<`); returns exclusive end index, or -1. */
   private def dictEnd(s: String, start: Int): Int = {
@@ -845,7 +885,7 @@ object MiniPdf {
             // inline image: /W(/Width) × /H(/Height) from the inline
             // dict, then skip binary to a whitespace-delimited EI
             pending.clear()
-            val idAt = s.indexOf("ID", j)
+            val idAt = inlineIdAt(s, j)
             if (idAt < 0) nextI = s.length
             else {
               val dictTxt = s.substring(j, idAt)
@@ -854,17 +894,7 @@ object MiniPdf {
               val h = """/H(?:eight)?\s+(\d+)""".r.findFirstMatchIn(dictTxt)
                 .map(_.group(1).toInt).getOrElse(0)
               imgs += ImgRef(w, h)
-              var k = idAt + 3 // past ID + the single binary-leading byte
-              var end = -1
-              while (end < 0) {
-                val e = s.indexOf("EI", k)
-                if (e < 0) end = s.length
-                else if (s.charAt(e - 1).isWhitespace &&
-                         (e + 2 >= s.length || s.charAt(e + 2).isWhitespace ||
-                          "()<>[]{}/%".indexOf(s.charAt(e + 2)) >= 0)) end = e + 2
-                else k = e + 2
-              }
-              nextI = end
+              nextI = inlineImageEnd(s, idAt)
             }
           case _ => pending.clear() // other operators consume their operands
         }
@@ -900,54 +930,94 @@ object MiniPdf {
   /** REAL vector-drawing extraction (ref `extractor.py:76-77`,
     * `page.get_svg_image()`): walk the content stream's path operators
     * (`m l c v y re h`) and painting operators (`S s f F f* B B* b b*`),
-    * emitting one SVG `<path>` per painted path in PDF user-space
-    * coordinates (no CTM/`cm` tracking — the subset's documented
-    * simplification; shapes and topology are exact, placement is the
-    * untransformed operand space). `n`-ended (clip-only) paths drop.
+    * emitting one SVG `<path>` per painted path. Coordinates are
+    * transformed through the CTM: `cm` pre-multiplies, `q`/`Q`
+    * push/pop the graphics-state stack, and a form XObject's /Matrix
+    * composes into the CTM at `Do` time — matching how PyMuPDF renders
+    * through the transform stack. `n`-ended (clip-only) paths drop.
     * Returns "" when the page paints no paths. */
   def contentDrawings(content: Array[Byte]): String =
-    wrapSvg(svgPaths(content))
+    wrapSvg(svgPaths(content, Map.empty, _ => None))
 
   private def wrapSvg(paths: Seq[String]): String =
     if (paths.isEmpty) ""
     else s"""<svg xmlns="http://www.w3.org/2000/svg">${paths.mkString}</svg>"""
 
-  /** Drawings for one page including its form XObjects' content
-    * (depth-capped, cycle-safe), assembled into a single SVG. */
+  /** Row-vector 2D affine matrix (a, b, c, d, e, f):
+    * x' = a·x + c·y + e, y' = b·x + d·y + f. */
+  private[sources] val IdentityMatrix: Array[Double] =
+    Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+  /** m1 × m2 in PDF convention (m1 applied first): the result maps a
+    * point through m1 then m2 — `cm` and form /Matrix PRE-multiply the
+    * CTM (ISO 32000-1 §8.3.4). */
+  private[sources] def matMul(m1: Array[Double], m2: Array[Double]): Array[Double] =
+    Array(
+      m1(0) * m2(0) + m1(1) * m2(2),
+      m1(0) * m2(1) + m1(1) * m2(3),
+      m1(2) * m2(0) + m1(3) * m2(2),
+      m1(2) * m2(1) + m1(3) * m2(3),
+      m1(4) * m2(0) + m1(5) * m2(2) + m2(4),
+      m1(4) * m2(1) + m1(5) * m2(3) + m2(5))
+
+  /** A form XObject's `/Matrix [a b c d e f]`, default identity. */
+  private[sources] def formMatrix(dict: String): Array[Double] =
+    """/Matrix\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict).map { m =>
+      val vals = """-?\d+(?:\.\d+)?""".r.findAllIn(m.group(1))
+        .map(_.toDouble).toArray
+      if (vals.length == 6) vals else IdentityMatrix
+    }.getOrElse(IdentityMatrix)
+
+  /** Drawings for one page: path-operator SVG from the page content,
+    * with form XObjects contributing AT PAINT TIME — a `Do` on a form
+    * recurses into its content (depth-capped, cycle-safe) in paint
+    * order and multiplicity; a resource-listed form never painted
+    * contributes nothing (PyMuPDF renders invoked content only, ref
+    * `extractor.py:76-77`). */
   def pageDrawings(objs: Map[Int, PdfObj], pageNum: Int): String = {
-    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walkForms(xobjs: Map[String, XObjEntry], depth: Int, onPath: Set[Int]): Unit =
-      if (depth < 8) xobjs.values.foreach {
-        case XForm(num) if !onPath(num) =>
-          objs.get(num).foreach { fo =>
-            paths ++= svgPaths(decodedStream(fo))
-            val res = inlineDictAfter(fo.dict, "/Resources")
-              .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fo.dict)
-                .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
-            res.foreach(r => walkForms(xobjectsFrom(objs, r), depth + 1, onPath + num))
-          }
-        case _ =>
+    val pageXo = pageXObjects(objs, pageNum)
+    def formLookup(num: Int): Option[(Array[Byte], Map[String, XObjEntry], Array[Double])] =
+      objs.get(num).map { fo =>
+        val res = inlineDictAfter(fo.dict, "/Resources")
+          .orElse("""/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fo.dict)
+            .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+        (decodedStream(fo),
+          res.map(xobjectsFrom(objs, _)).getOrElse(pageXo),
+          formMatrix(fo.dict))
       }
-    paths ++= svgPaths(pageContent(objs, pageNum))
-    walkForms(pageXObjects(objs, pageNum), 0, Set.empty)
-    wrapSvg(paths.toSeq)
+    wrapSvg(svgPaths(pageContent(objs, pageNum), pageXo, formLookup))
   }
 
-  private def svgPaths(content: Array[Byte]): Seq[String] = {
-    val s = new String(content, ISO_8859_1)
-    val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val d = new StringBuilder // current path data
+  /** Path extraction over one content stream plus every form its
+    * operators paint. `formLookup` resolves a form object number to
+    * (content bytes, xobjects, /Matrix). */
+  private[sources] def svgPaths(content: Array[Byte],
+      xobjs0: Map[String, XObjEntry],
+      formLookup: Int => Option[(Array[Byte], Map[String, XObjEntry], Array[Double])])
+      : Seq[String] = {
     val paths = scala.collection.mutable.ArrayBuffer.empty[String]
-    var curX = 0.0; var curY = 0.0
     def fmt(v: Double): String =
       if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
       else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
         .reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-    def op(k: Int): Seq[Double] = { // last k operands, missing → 0
-      val t = Seq.tabulate(k)(j =>
-        if (nums.length - k + j >= 0) nums(nums.length - k + j) else 0.0)
-      t
+
+    def scan(content: Array[Byte], xobjs: Map[String, XObjEntry],
+             ctm0: Array[Double], depth: Int, onPath: Set[Int]): Unit = {
+    val s = new String(content, ISO_8859_1)
+    val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val d = new StringBuilder // current path data
+    var ctm = ctm0
+    val gsStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var curX = 0.0; var curY = 0.0 // untransformed current point
+    var lastName = ""
+    def tx(x: Double, y: Double): String = {
+      val px = ctm(0) * x + ctm(2) * y + ctm(4)
+      val py = ctm(1) * x + ctm(3) * y + ctm(5)
+      s"${fmt(px)} ${fmt(py)}"
     }
+    def op(k: Int): Seq[Double] = // last k operands, missing → 0
+      Seq.tabulate(k)(j =>
+        if (nums.length - k + j >= 0) nums(nums.length - k + j) else 0.0)
     def sep(): Unit = if (d.nonEmpty) d.append(' ')
     def paint(style: String): Unit = {
       if (d.nonEmpty) paths += s"""<path d="$d" style="$style"/>"""
@@ -977,6 +1047,7 @@ object MiniPdf {
         var j = i + 1
         while (j < s.length && !s.charAt(j).isWhitespace &&
           "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        lastName = s.substring(i + 1, j)
         i = j
       }
       else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
@@ -992,29 +1063,34 @@ object MiniPdf {
           s.charAt(j) == '\'' || s.charAt(j) == '"')) j += 1
         s.substring(i, j) match {
           case "m" =>
-            val Seq(x, y) = op(2); sep(); d.append(s"M ${fmt(x)} ${fmt(y)}")
+            val Seq(x, y) = op(2); sep(); d.append(s"M ${tx(x, y)}")
             curX = x; curY = y
           case "l" =>
-            val Seq(x, y) = op(2); sep(); d.append(s"L ${fmt(x)} ${fmt(y)}")
+            val Seq(x, y) = op(2); sep(); d.append(s"L ${tx(x, y)}")
             curX = x; curY = y
           case "c" =>
             val Seq(x1, y1, x2, y2, x3, y3) = op(6)
-            sep(); d.append(s"C ${fmt(x1)} ${fmt(y1)} ${fmt(x2)} ${fmt(y2)} ${fmt(x3)} ${fmt(y3)}")
+            sep(); d.append(s"C ${tx(x1, y1)} ${tx(x2, y2)} ${tx(x3, y3)}")
             curX = x3; curY = y3
           case "v" => // current point doubles as first control
             val Seq(x2, y2, x3, y3) = op(4)
-            sep(); d.append(s"C ${fmt(curX)} ${fmt(curY)} ${fmt(x2)} ${fmt(y2)} ${fmt(x3)} ${fmt(y3)}")
+            sep(); d.append(s"C ${tx(curX, curY)} ${tx(x2, y2)} ${tx(x3, y3)}")
             curX = x3; curY = y3
           case "y" => // final point doubles as second control
             val Seq(x1, y1, x3, y3) = op(4)
-            sep(); d.append(s"C ${fmt(x1)} ${fmt(y1)} ${fmt(x3)} ${fmt(y3)} ${fmt(x3)} ${fmt(y3)}")
+            sep(); d.append(s"C ${tx(x1, y1)} ${tx(x3, y3)} ${tx(x3, y3)}")
             curX = x3; curY = y3
-          case "re" =>
+          case "re" => // corners transform individually (rotation-safe)
             val Seq(x, y, w, h) = op(4)
-            sep(); d.append(s"M ${fmt(x)} ${fmt(y)} L ${fmt(x + w)} ${fmt(y)} " +
-              s"L ${fmt(x + w)} ${fmt(y + h)} L ${fmt(x)} ${fmt(y + h)} Z")
+            sep(); d.append(s"M ${tx(x, y)} L ${tx(x + w, y)} " +
+              s"L ${tx(x + w, y + h)} L ${tx(x, y + h)} Z")
             curX = x; curY = y
           case "h" => sep(); d.append("Z")
+          case "q" => gsStack += ctm
+          case "Q" => if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+          case "cm" =>
+            val Seq(a, b, cc, dd, e, f) = op(6)
+            ctm = matMul(Array(a, b, cc, dd, e, f), ctm)
           case "S" => paint("fill:none;stroke:#000")
           case "s" => sep(); d.append("Z"); paint("fill:none;stroke:#000")
           case "f" | "F" => paint("fill:#000")
@@ -1024,20 +1100,18 @@ object MiniPdf {
           case "b" => sep(); d.append("Z"); paint("fill:#000;stroke:#000")
           case "b*" => sep(); d.append("Z"); paint("fill:#000;stroke:#000;fill-rule:evenodd")
           case "n" => d.clear() // clip-only path: not a drawing
-          case "BI" => // inline image: skip binary, same policy as text scan
-            val idAt = s.indexOf("ID", j)
-            j = if (idAt < 0) s.length else {
-              var k = idAt + 3; var end = -1
-              while (end < 0) {
-                val e = s.indexOf("EI", k)
-                if (e < 0) end = s.length
-                else if (s.charAt(e - 1).isWhitespace &&
-                         (e + 2 >= s.length || s.charAt(e + 2).isWhitespace ||
-                          "()<>[]{}/%".indexOf(s.charAt(e + 2)) >= 0)) end = e + 2
-                else k = e + 2
-              }
-              end
+          case "Do" => // a painted form contributes its drawings HERE,
+            // in paint order/multiplicity, through the composed CTM
+            xobjs.get(lastName) match {
+              case Some(XForm(num)) if depth < 8 && !onPath(num) =>
+                formLookup(num).foreach { case (fc, fx, mtx) =>
+                  scan(fc, fx, matMul(mtx, ctm), depth + 1, onPath + num)
+                }
+              case _ =>
             }
+          case "BI" => // inline image: skip binary, same policy as text scan
+            val idAt = inlineIdAt(s, j)
+            j = if (idAt < 0) s.length else inlineImageEnd(s, idAt)
           case _ =>
         }
         nums.clear()
@@ -1045,6 +1119,9 @@ object MiniPdf {
       }
       else i += 1
     }
+    } // scan
+
+    scan(content, xobjs0, IdentityMatrix, 0, Set.empty)
     paths.toSeq
   }
 
@@ -1100,10 +1177,14 @@ final case class MiniPdfDecoder() extends PageDecoder {
               // re-scan with decryption so encrypted ObjStm bodies are
               // deciphered BEFORE their inner objects are parsed; the
               // Encrypt dict's own stream (none in practice) and xref
-              // streams are never encrypted per spec
+              // streams are never encrypted per spec, and /Metadata
+              // streams are stored PLAINTEXT when /EncryptMetadata
+              // false (§7.6.3.2) — decrypting those would garble them
               MiniPdf.parseObjects(payload, Some((num, gen, dict, raw) =>
                 if (num == encNum ||
-                    """/Type\s*/XRef\b""".r.findFirstIn(dict).isDefined) raw
+                    """/Type\s*/XRef\b""".r.findFirstIn(dict).isDefined ||
+                    (!d.encryptMetadata &&
+                     """/Type\s*/Metadata\b""".r.findFirstIn(dict).isDefined)) raw
                 else d.decryptStream(num, gen, raw)))
             case None => return Left("cannot open document: encrypted")
           }

@@ -37,9 +37,13 @@ object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  /** Stream-decryption handle: (objNum, gen, raw) → plaintext. */
+  /** Stream-decryption handle: (objNum, gen, raw) → plaintext.
+    * `encryptMetadata=false` means the `/Metadata` stream is stored as
+    * PLAINTEXT (ISO 32000-1 §7.6.3.2) — callers must skip it, or
+    * decryptStream would garble it. */
   final case class Decryptor(fileKey: Array[Byte], v: Int, aes: Boolean,
-                             streamsEncrypted: Boolean) {
+                             streamsEncrypted: Boolean,
+                             encryptMetadata: Boolean = true) {
     def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
       if (!streamsEncrypted || data.isEmpty) return data
       if (v >= 5) aesDecrypt(fileKey, data)
@@ -270,14 +274,26 @@ object PdfCrypt {
     val p = intAfter(encDict, "/P").getOrElse(return None)
     val emptyPw = Array.emptyByteArray
 
-    // crypt-filter mode for V4/V5 (streams route through /StmF, default
-    // /Identity per spec — but writers always set /StdCF in practice)
+    // crypt-filter mode for V4/V5: streams route through /StmF. An
+    // ABSENT /StmF means /Identity per spec (ISO 32000-1 Table 20) —
+    // streams are stored unencrypted; a /StmF naming anything other
+    // than /Identity or /StdCF is a custom crypt filter → fail CLOSED
+    // (decoding its ciphertext as if standard would emit garbage).
     val cfm =
       if (v < 4) if (v == 0) return None else "V2"
       else """/CFM\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(encDict)
         .map(_.group(1)).getOrElse("Identity")
     val stmIdentity =
-      """/StmF\s*/Identity\b""".r.findFirstIn(encDict).isDefined || cfm == "Identity"
+      if (v < 4) false
+      else """/StmF\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(encDict)
+        .map(_.group(1)) match {
+        case None => true // spec default: /Identity
+        case Some("Identity") => true
+        case Some("StdCF") => cfm == "Identity"
+        case Some(_) => return None // custom crypt filter: unsupported
+      }
+    val encryptMetadata =
+      !"""/EncryptMetadata\s+false""".r.findFirstIn(encDict).isDefined
 
     if (v >= 5) {
       if (r < 5 || cfm != "AESV3" && !stmIdentity) return None
@@ -298,12 +314,11 @@ object PdfCrypt {
       c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(iKey, "AES"),
         new IvParameterSpec(new Array[Byte](16)))
       val fileKey = c.doFinal(ue, 0, 32)
-      Some(Decryptor(fileKey, v, aes = true, streamsEncrypted = !stmIdentity))
+      Some(Decryptor(fileKey, v, aes = true, streamsEncrypted = !stmIdentity,
+        encryptMetadata = encryptMetadata))
     } else {
       val keyBits = intAfter(encDict, "/Length").getOrElse(40L).toInt
       val keyBytes = if (r == 2) 5 else math.max(5, math.min(16, keyBits / 8))
-      val encryptMetadata =
-        !"""/EncryptMetadata\s+false""".r.findFirstIn(encDict).isDefined
       val id0 = firstFileId(raw)
       val key = fileKeyClassic(o, p, id0, r, keyBytes, encryptMetadata)
       val expectU = userValueClassic(key, id0, r)
@@ -314,7 +329,8 @@ object PdfCrypt {
       if (!ok) return None // non-empty user password
       val aes = cfm == "AESV2"
       if (v == 4 && !aes && cfm != "V2" && !stmIdentity) return None
-      Some(Decryptor(key, v, aes, streamsEncrypted = !stmIdentity))
+      Some(Decryptor(key, v, aes, streamsEncrypted = !stmIdentity,
+        encryptMetadata = encryptMetadata))
     }
   }
 }

@@ -692,6 +692,74 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(MiniPdfDecoder().drawings(pdf, 0) == svg)
   }
 
+  test("drawings: resource-listed but never-painted form contributes NO svg; " +
+       "twice-painted form contributes twice, in paint order") {
+    // page paints: its own rect, then /FmA twice; /FmB is resource-listed
+    // but never invoked with Do -> must contribute nothing (PyMuPDF
+    // renders painted content only)
+    val pageContent = "0 0 5 5 re f /FmA Do /FmA Do"
+    val formA = "1 1 m 2 2 l S"
+    val formB = "9 9 m 8 8 l S"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /FmA 5 0 R /FmB 6 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, s"<< /Subtype /Form /Length ${formA.length} >>", Some(formA.getBytes(ISO_8859_1))),
+      (6, s"<< /Subtype /Form /Length ${formB.length} >>", Some(formB.getBytes(ISO_8859_1)))))
+    val svg = MiniPdfDecoder().drawings(pdf, 0)
+    assert(!svg.contains("M 9 9"), "never-painted form leaked drawings")
+    val aPath = "<path d=\"M 1 1 L 2 2\" style=\"fill:none;stroke:#000\"/>"
+    assert(svg.indexOf(aPath) >= 0)
+    assert(svg.indexOf(aPath, svg.indexOf(aPath) + 1) > 0,
+      "twice-painted form must contribute twice")
+    // paint order: page rect first, then the two form strokes
+    assert(svg.indexOf("M 0 0") < svg.indexOf(aPath))
+  }
+
+  test("drawings: cm CTM, q/Q stack, and form /Matrix transform coordinates") {
+    // rect drawn inside q 2 0 0 2 10 20 cm ... Q: scale 2x + translate
+    // (10,20); after Q an untransformed rect; then a form with
+    // /Matrix [1 0 0 1 100 200] painted under a 3x-scale cm
+    val pageContent =
+      "q 2 0 0 2 10 20 cm 1 1 3 4 re S Q " +
+      "1 1 3 4 re S " +
+      "q 3 0 0 3 0 0 cm /FmT Do Q"
+    val formT = "0 0 m 1 0 l S"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /FmT 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Form /Matrix [ 1 0 0 1 100 200 ] " +
+        s"/Length ${formT.length} >>", Some(formT.getBytes(ISO_8859_1)))))
+    val svg = MiniPdfDecoder().drawings(pdf, 0)
+    // (1,1)-(4,5) rect under scale-2 translate-(10,20): (12,22)-(18,30)
+    assert(svg.contains("M 12 22 L 18 22 L 18 30 L 12 30 Z"))
+    // after Q: untransformed
+    assert(svg.contains("M 1 1 L 4 1 L 4 5 L 1 5 Z"))
+    // form /Matrix translate (100,200) composed with cm scale-3:
+    // (0,0)->(300,600), (1,0)->(303,600)
+    assert(svg.contains("M 300 600 L 303 600"))
+  }
+
+  test("inline image: 'ID' inside a name token does not truncate the dict") {
+    // /Filter named /CCIDFoo contains the bare substring 'ID' — the
+    // boundary check must skip it and find the standalone ID operator
+    val content = "BT (pre) Tj ET BI /W 7 /H 9 /F /CCIDFoo ID   EI BT (post) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1)))))
+    val res = MiniPdfDecoder().decode(pdf)
+    assert(res == Right(Seq(
+      "<div><p>pre post</p>" +
+        "<img width=\"7\" height=\"9\" src=\"img0.png\" alt=\"\"/></div>")))
+  }
+
   test("real PDFs never receive fabricated drawings from the fake decoder") {
     val content = "BT (no drawings here) Tj ET"
     val pdf = rawPdf(Seq(
