@@ -70,20 +70,63 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
     }
     System.err.println(f"[bench] cal_1t=$cal1%.2fs cal_${cpus}t=$calN%.2fs")
+    // --- per-query telemetry (round-14): GC-time delta, peak heap and
+    // task retries per timing window, recorded into the artifact so a
+    // driver-box outlier (q17 r12, q180/q183/q361 r13 — all untouched
+    // code) is attributable to GC/contention instead of costing a
+    // round of plan re-audits. Peak heap uses the pool peak-usage
+    // counters (reset per query); retries count non-Success task ends.
+    import java.lang.management.{ManagementFactory, MemoryType}
+    val gcBeans = ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val poolBeans = ManagementFactory.getMemoryPoolMXBeans
+    def resetPeaks(): Unit =
+      poolBeans.forEach(p => if (p.getType == MemoryType.HEAP) p.resetPeakUsage())
+    def peakHeapMb(): Long = {
+      var s = 0L
+      poolBeans.forEach(p => if (p.getType == MemoryType.HEAP) s += p.getPeakUsage.getUsed)
+      s >> 20
+    }
+    val taskFailures = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.reason != org.apache.spark.Success) taskFailures.incrementAndGet()
+    })
+
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // per query: gc ms + peak heap MB of the BEST round (steady-state
+    // footprint), worst-round sec + gc ms (the outlier-explainer), and
+    // total task retries across all rounds
+    final case class Tele(var bestGcMs: Long = 0, var bestPeakMb: Long = 0,
+                          var worstSec: Double = 0.0, var worstGcMs: Long = 0,
+                          var retries: Long = 0)
+    val tele = scala.collection.mutable.Map.empty[String, Tele]
     val roundTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (round <- 1 to 3) {
       val r0 = System.nanoTime()
       for ((name, fn) <- names) {
+        resetPeaks()
+        val g0 = gcMs(); val f0 = taskFailures.get()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        val dGc = gcMs() - g0
+        val t = tele.getOrElseUpdate(name, Tele())
+        t.retries += taskFailures.get() - f0
+        if (sec < best.getOrElse(name, Double.MaxValue)) {
+          t.bestGcMs = dGc; t.bestPeakMb = peakHeapMb()
+        }
+        if (sec > t.worstSec) { t.worstSec = sec; t.worstGcMs = dGc }
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
         // release the LRU of scoped caches OUTSIDE the timing window:
         // leftover persisted frames from earlier queries otherwise
@@ -116,14 +159,26 @@ object Bench {
     def qid(n: String): Int =
       n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case s => s.toInt }
     val byId = results.sortBy { case (n, _) => (qid(n), n) }
-    for ((n, v) <- byId) println(s"""{"query":"$n","sec":${fmt(v)}}""")
+    for ((n, v) <- byId) {
+      val t = tele.getOrElse(n, Tele())
+      println(s"""{"query":"$n","sec":${fmt(v)},"gc_ms":${t.bestGcMs},""" +
+        s""""peak_mb":${t.bestPeakMb},"retries":${t.retries},""" +
+        s""""worst_sec":${fmt(t.worstSec)},"worst_gc_ms":${t.worstGcMs}}""")
+    }
     val qs = byId.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // telemetry map: name -> [best_gc_ms, best_peak_mb, retries,
+    // worst_sec, worst_gc_ms]; placed BEFORE "queries" so the driver's
+    // tail-capture truncation can only cost telemetry, never timings
+    val ts = byId.map { case (k, _) =>
+      val t = tele.getOrElse(k, Tele())
+      "\"" + k + s"""":[${t.bestGcMs},${t.bestPeakMb},${t.retries},${fmt(t.worstSec)},${t.worstGcMs}]"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val rounds = roundTotals.map(fmt).mkString("[", ",", "]")
     val line =
       s"""{"sf":"$sfDir","unit":"sec","cal_1t":${fmt(cal1)},"cal_nt":${fmt(calN)},""" +
-        s""""rounds":$rounds,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
+        s""""rounds":$rounds,"telemetry":$ts,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
