@@ -30,6 +30,117 @@ object Dom {
 
   case class DomImg(src: String, width: Int, height: Int) // -1 = absent
 
+  /** Charset detection for raw HTML bytes (ref `extractor.py:138-139`:
+    * resiliparse `detect_encoding` + `parse_from_bytes` — pages are
+    * fetched as BYTES and the charset must be inferred before parsing,
+    * or a windows-1251 / Shift-JIS page mis-decodes silently).
+    * Cascade, all from public algorithms:
+    *
+    *   1. BOM: UTF-8 / UTF-16BE / UTF-16LE
+    *   2. `<meta charset=…>` / `<meta http-equiv Content-Type
+    *      …charset=…>` in the first 2048 bytes (the HTML5 pre-scan
+    *      window), case-insensitive; unknown labels fall through
+    *   3. strict UTF-8 validation of the full payload (ASCII-only
+    *      passes here too)
+    *   4. legacy heuristic: Shift-JIS lead bytes 0x81–0x9F are
+    *      punctuation/rare in windows-125x, so several of them with
+    *      valid trails ⇒ Shift_JIS; else a high-byte population
+    *      dominated by 0xC0–0xFF (+Ё/ё at 0xA8/0xB8) ⇒ windows-1251;
+    *      else windows-1252 (the web's de-facto latin fallback)
+    */
+  def detectEncoding(bytes: Array[Byte]): java.nio.charset.Charset = {
+    import java.nio.charset.{Charset, StandardCharsets}
+    if (bytes == null || bytes.length == 0) return StandardCharsets.UTF_8
+    val n = bytes.length
+    def b(i: Int) = bytes(i) & 0xff
+    if (n >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF) return StandardCharsets.UTF_8
+    if (n >= 2 && b(0) == 0xFE && b(1) == 0xFF) return StandardCharsets.UTF_16BE
+    if (n >= 2 && b(0) == 0xFF && b(1) == 0xFE) return StandardCharsets.UTF_16LE
+    val head = new String(bytes, 0, math.min(2048, n), StandardCharsets.ISO_8859_1)
+    val MetaCharset =
+      """(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""".r
+    for (m <- MetaCharset.findFirstMatchIn(head)) {
+      try return Charset.forName(m.group(1))
+      catch { case _: Exception => } // unknown label: fall through
+    }
+    if (isValidUtf8(bytes)) return StandardCharsets.UTF_8
+    // legacy 8-bit / multibyte heuristic. 1251-vs-1252 is byte-wise
+    // ambiguous (é in 1252 is щ in 1251); the discriminator is DENSITY:
+    // Cyrillic text is runs of consecutive high bytes (whole words),
+    // latin text has isolated accents inside ASCII words.
+    var i = 0
+    var hi = 0; var cyr = 0; var sjisLead = 0; var sjisBad = 0
+    var hiPairs = 0; var prevHi = false
+    while (i < n) {
+      val c = b(i)
+      if (c < 0x80) { prevHi = false; i += 1 }
+      else {
+        hi += 1
+        if (prevHi) hiPairs += 1
+        prevHi = true
+        if (c >= 0xC0 || c == 0xA8 || c == 0xB8) cyr += 1
+        if (c >= 0x81 && c <= 0x9F) {
+          if (i + 1 < n) {
+            val t = b(i + 1)
+            if (t >= 0x40 && t <= 0xFC && t != 0x7F) { sjisLead += 1; prevHi = false; i += 2 }
+            else { sjisBad += 1; i += 1 }
+          } else i += 1
+        } else i += 1
+      }
+    }
+    if (sjisLead >= 3 && sjisLead > 4 * sjisBad) Charset.forName("Shift_JIS")
+    else if (hi > 0 && cyr * 10 >= hi * 6 && hiPairs * 2 >= hi)
+      Charset.forName("windows-1251")
+    else Charset.forName("windows-1252")
+  }
+
+  /** Strict UTF-8 validation (RFC 3629: no overlongs, no surrogates,
+    * max U+10FFFF). */
+  private[graft] def isValidUtf8(bytes: Array[Byte]): Boolean = {
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val c = bytes(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        val (len, min) =
+          if (c >= 0xC2 && c <= 0xDF) (2, 0x80)
+          else if (c >= 0xE0 && c <= 0xEF) (3, 0x800)
+          else if (c >= 0xF0 && c <= 0xF4) (4, 0x10000)
+          else return false
+        if (i + len > n) return false
+        var cp = c & (0x7f >> len)
+        var k = 1
+        while (k < len) {
+          val t = bytes(i + k) & 0xff
+          if ((t & 0xc0) != 0x80) return false
+          cp = (cp << 6) | (t & 0x3f)
+          k += 1
+        }
+        if (cp < min || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return false
+        i += len
+      }
+    }
+    true
+  }
+
+  /** Bytes → text through the detected charset, BOM stripped — the
+    * `parse_from_bytes` twin. */
+  def decodeHtml(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length == 0) return ""
+    val s = new String(bytes, detectEncoding(bytes))
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+  }
+
+  /** Detected charset name for a binary column (diagnostics/routing). */
+  def detectedCharset(c: Column): Column =
+    udf((b: Array[Byte]) => detectEncoding(b).name()).apply(c)
+
+  /** Visible text parsed from RAW BYTES: charset detection + decode +
+    * DOM parse in one pass (the reference's extract path shape). */
+  def domTextBytes(c: Column): Column =
+    udf((b: Array[Byte]) => parse(decodeHtml(b))._1).apply(c)
+
   /** SAX-style parse: returns (visible text, img descriptors). Text is
     * whitespace-normalized (single spaces); script/style content is
     * dropped; entities are decoded by the parser. Null/empty html →
