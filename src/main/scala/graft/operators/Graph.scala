@@ -105,6 +105,62 @@ object Graph {
       .orderBy(desc("aa_score"), col("u"), col("v")).limit(topN)
   }
 
+  /** 3-hop harmonic centrality (Σ over v with d(u,v) ≤ 3 of 1/d) over
+    * an undirected edge set `(u, v)` (each edge once, u < v, distinct),
+    * top-`topN` by score. Exact-distance BFS by ring subtraction —
+    * ring 2 = (ring1 ⋈ hop) − ring1 − self, ring 3 = (ring2 ⋈ hop) −
+    * closer rings — all equi/anti joins on the node key.
+    *
+    * TWO TIERS, [[graft.operators.Dedup.connectedComponents]]-style:
+    * the ring-2 candidate count is Σ deg² (each node fans its in-edges
+    * across its full adjacency), so one celebrity hub makes the exact
+    * walk intractable at web scale (deg² ≈ 10¹² candidates alone, deg³
+    * by ring 3). While the measured Σ deg² stays within
+    * `exactWedgeCap`, expansion uses the FULL adjacency — results are
+    * textbook-exact (the tier every test-scale run takes). Past the
+    * cap, expansion routes through a HUB-CAPPED hop list (each node's
+    * `hubCap` id-smallest neighbors, the q206/adamicAdar rank), which
+    * bounds candidates by Σ min(deg,K)·deg ≤ E·K per ring; ring-1
+    * counts stay true degrees, rings 2/3 become a deterministic
+    * lower-bound traversal — the standard k-hop mitigation. The tier
+    * guard is ONE scalar agg (bounded collect). */
+  def harmonicCentrality3(und0: DataFrame, hubCap: Int = 64,
+      exactWedgeCap: Long = 50000000L, topN: Int = 20): DataFrame = {
+    val und = Dedup.cacheScoped(und0.select(col("u"), col("v")))
+    val r1 = Dedup.cacheScoped(
+      und.union(und.select(col("v"), col("u"))).toDF("src", "dst"))
+    val sumDeg2 = r1.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * col("d")), lit(0L)).as("s"))
+      .collect()(0).getLong(0)
+    val hop =
+      if (sumDeg2 <= exactWedgeCap) r1.select(col("src").as("m"), col("dst"))
+      else Dedup.cacheScoped(r1
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("dst"))))
+        .filter(col("rn") <= hubCap)
+        .select(col("src").as("m"), col("dst")))
+    val r2 = Dedup.cacheScoped(
+      r1.select(col("src"), col("dst").as("m")).join(hop, Seq("m"))
+        .select(col("src"), col("dst")).distinct()
+        .filter(col("src") =!= col("dst"))
+        .join(r1, Seq("src", "dst"), "left_anti"))
+    val r3 = r2.select(col("src"), col("dst").as("m")).join(hop, Seq("m"))
+      .select(col("src"), col("dst")).distinct()
+      .filter(col("src") =!= col("dst"))
+      .join(r1, Seq("src", "dst"), "left_anti")
+      .join(r2, Seq("src", "dst"), "left_anti")
+    val n1 = r1.groupBy(col("src")).agg(count(lit(1)).as("n1"))
+    val n2 = r2.groupBy(col("src")).agg(count(lit(1)).as("n2"))
+    val n3 = r3.groupBy(col("src")).agg(count(lit(1)).as("n3"))
+    n1.join(n2, Seq("src"), "left").join(n3, Seq("src"), "left")
+      .na.fill(0L, Seq("n2", "n3"))
+      .select(col("src").as("page"),
+        graft.SparkEntry.pround(
+          col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 9)
+          .as("harmonic"))
+      .orderBy(desc("harmonic"), col("page")).limit(topN)
+  }
+
   /** Removed-node count per peel round of the most recent [[kCore]]
     * call — also emitted live through `observe` (`kcore_round_<i>`,
     * column `edges`): the CC-telemetry discipline, so a slow 100 TB
