@@ -41,7 +41,14 @@ object ScaleProbe {
     "q203_clustering_coeff", "q177_kmeans_lloyd", "q258_topic_coherence",
     "q344_rfm", "q339_sla_trend", "q65_stream_join",
     // round-12 plan rewrites — blow-up re-measured after the change
-    "q180_dsir", "q192_cluster_labels")
+    "q180_dsir", "q192_cluster_labels",
+    // round-14: the BINARY document pipeline itself (VERDICT r13 item
+    // 8) — per-doc PDF assembly → MiniPdf decode (incl. images,
+    // drawings-capable path, RC4 decryption) → explode/channels, and
+    // the WARC parse + digest-dedup ingest leg; all per-row map-side
+    // work whose blow-up should track the documents table linearly
+    "q362_pdf_planted_dims", "q363_pdf_channels", "q364_pdf_encrypted",
+    "q366_warc_revisit_dedup")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, ByteArrayInputStream, DataInputStream, EOFE
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,7 +27,8 @@ object Warc {
     StructField("warc_type", StringType),
     StructField("target_uri", StringType),
     StructField("content_type", StringType),
-    StructField("payload", BinaryType)))
+    StructField("payload", BinaryType),
+    StructField("payload_digest", StringType)))
 
   /** Header lines are small (URIs + digests); a corrupt stream with no
     * newline for a GB must not buffer it all as one "line". Bytes past
@@ -65,10 +66,10 @@ object Warc {
   def parseStream(raw: InputStream,
                   onResync: () => Unit = () => (),
                   onTear: () => Unit = () => ())
-      : Iterator[(String, String, String, Array[Byte])] = {
+      : Iterator[(String, String, String, Array[Byte], String)] = {
     val in = new DataInputStream(new BufferedInputStream(raw))
-    new Iterator[(String, String, String, Array[Byte])] {
-      private var nextRec: (String, String, String, Array[Byte]) = _
+    new Iterator[(String, String, String, Array[Byte], String)] {
+      private var nextRec: (String, String, String, Array[Byte], String) = _
       private var done = false
 
       private def advance(): Unit = {
@@ -94,7 +95,8 @@ object Warc {
               in.readFully(payload)
               nextRec = (headers.getOrElse("warc-type", ""),
                 headers.getOrElse("warc-target-uri", ""),
-                headers.getOrElse("content-type", ""), payload)
+                headers.getOrElse("content-type", ""), payload,
+                headers.getOrElse("warc-payload-digest", ""))
               found = true
             } else onResync() // framing lost — loop resyncs at next WARC/
           }
@@ -106,7 +108,7 @@ object Warc {
 
       advance()
       def hasNext: Boolean = !done
-      def next(): (String, String, String, Array[Byte]) = {
+      def next(): (String, String, String, Array[Byte], String) = {
         val r = nextRec; advance(); r
       }
     }
@@ -149,7 +151,7 @@ object Warc {
         .flatMap(parseStream(_,
           onResync = () => counters.resyncedRecords.add(1L),
           onTear = () => counters.tornStreams.add(1L)))
-        .map { case (t, uri, ct, payload) => Row(t, uri, ct, payload) }
+        .map { case (t, uri, ct, payload, dig) => Row(t, uri, ct, payload, dig) }
     }
     (spark.createDataFrame(rdd, schema), counters)
   }
@@ -326,6 +328,42 @@ object Warc {
       .select(col("target_uri"),
         col("__u._1").as("http_status"),
         col("__u._2").as("mime"),
-        col("__u._3").as("body"))
+        col("__u._3").as("body"),
+        col("payload_digest"))
+  }
+
+  /** Crawl-level dedup BEFORE fetch/decode (ISO 28500 §6.7: a
+    * `WARC-Type: revisit` record marks content whose payload digest
+    * matched an earlier capture — Common Crawl writes one per
+    * re-crawled unchanged page). Policy:
+    *
+    *   - `revisit` records DROP — they carry no payload, only the
+    *     pointer; decoding them would yield empty documents
+    *   - among content records sharing a non-empty
+    *     `WARC-Payload-Digest`, ONE survives (deterministically the
+    *     min target_uri via one struct-min partial agg — no window,
+    *     no join-back; the exact-dedup keep-best shape)
+    *   - records with NO digest pass through untouched (can't prove
+    *     duplication, so never silently drop)
+    *
+    * Scale shape: one shuffle on the digest key. */
+  def dedupByPayloadDigest(records: DataFrame): DataFrame = {
+    val content = records.filter(col("warc_type") =!= "revisit")
+    val undigested = content.filter(col("payload_digest").isNull ||
+      col("payload_digest") === "")
+    val keyed = content.filter(col("payload_digest").isNotNull &&
+      col("payload_digest") =!= "")
+    val cols = records.columns.toSeq
+    val rest = cols.filterNot(_ == "payload_digest").filterNot(_ == "target_uri")
+    val bestFields: Seq[Column] = col("target_uri") +: rest.map(col)
+    val outCols: Seq[Column] =
+      col("payload_digest") +: (col("__best.target_uri").as("target_uri") +:
+        rest.map(c => col(s"__best.$c").as(c)))
+    val kept = keyed
+      .groupBy(col("payload_digest"))
+      .agg(min(struct(bestFields: _*)).as("__best"))
+      .select(outCols: _*)
+      .select(cols.map(col): _*)
+    kept.unionByName(undigested.select(cols.map(col): _*))
   }
 }

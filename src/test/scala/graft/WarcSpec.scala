@@ -48,6 +48,50 @@ class WarcSpec extends AnyFunSuite {
     assert(body.contains("paper.pdf"))
   }
 
+  private def recordD(wtype: String, uri: String, digest: String, body: String): String = {
+    val payload = body.getBytes(StandardCharsets.UTF_8)
+    s"WARC/1.0\r\n" +
+      s"WARC-Type: $wtype\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Payload-Digest: $digest\r\n" +
+      s"Content-Type: text/html\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n" + body + "\r\n\r\n"
+  }
+
+  test("revisit records: digest surfaces, revisits drop before decode, " +
+       "digest-duplicates keep one fetch (min uri)") {
+    val text =
+      recordD("response", "http://a.example/1", "sha1:AAA", "HTTP/1.1 200 OK\r\n\r\nbody one") +
+      recordD("revisit", "http://a.example/1.again", "sha1:AAA", "") + // re-crawl pointer
+      recordD("response", "http://b.example/2", "sha1:BBB", "HTTP/1.1 200 OK\r\n\r\nbody two") +
+      recordD("response", "http://c.example/0", "sha1:BBB", "HTTP/1.1 200 OK\r\n\r\nbody two mirror") +
+      record("response", "http://d.example/nodigest", "no digest here")
+    val dir = new File("target/tmp/warc_revisit")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir); dir.mkdirs()
+    val f = new FileOutputStream(new File(dir, "r.warc"))
+    f.write(text.getBytes(StandardCharsets.UTF_8)); f.close()
+    val records = Warc.scan(spark, dir.getAbsolutePath + "/*")
+    // the digest header surfaces on every record, revisits included
+    val byUri = records.collect()
+      .map(r => r.getString(1) -> (r.getString(0), r.getString(4))).toMap
+    assert(byUri("http://a.example/1.again") == ("revisit", "sha1:AAA"))
+    assert(byUri("http://b.example/2")._2 == "sha1:BBB")
+    assert(byUri("http://d.example/nodigest")._2 == "")
+    // crawl dedup: revisit dropped; sha1:BBB keeps min-uri fetch only;
+    // the digest-less record passes through
+    val kept = Warc.dedupByPayloadDigest(records)
+      .select(col("target_uri")).as[String].collect().toSet
+    assert(kept == Set("http://a.example/1", "http://b.example/2",
+      "http://d.example/nodigest"))
+    // and responseDocuments excludes revisits while carrying the digest
+    val docs = Warc.responseDocuments(records)
+      .select(col("target_uri"), col("payload_digest")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!docs.contains("http://a.example/1.again"))
+    assert(docs("http://a.example/1") == "sha1:AAA")
+  }
+
   test("pdf link manifest: extract + dedup (get_pdf_links_from_cc.py parity)") {
     val dir = new File("target/tmp/warc")
     val links = Warc.pdfLinks(Warc.scan(spark, dir.getAbsolutePath + "/*"))
