@@ -4905,14 +4905,15 @@ object SparkEntry {
       // 3-hop harmonic centrality on the co-visitation page graph
       // [EXT]: Σ over v reachable in d(u,v) ≤ 3 of 1/d — the
       // closeness-family complement to q112's PageRank (authority ≠
-      // proximity). Exact-distance BFS by ring subtraction: ring 2 =
-      // (ring1 ⋈ ring1) minus ring1 minus self, ring 3 = (ring2 ⋈
-      // ring1) minus closer rings — all plain equi-joins + anti-joins
-      // on the node key, the k-hop ego-expansion shape (bounded by
-      // Σdeg³, the standard 3-hop cap that keeps web-scale centrality
-      // tractable — the full-BFS exact version is the (a) — doesn't
-      // scale answer). Harmonic = n1 + n2/2 + n3/3: exact integer
-      // counts, two IEEE divisions, engine-identical.
+      // proximity). Delegates to Graph.harmonicCentrality3 (round-14):
+      // ring-subtraction BFS, all equi/anti joins — with the q206-style
+      // HUB-CAP TIER for skewed graphs (Σ deg² over `exactWedgeCap`
+      // routes expansion through each node's 64 id-smallest neighbors,
+      // bounding ring candidates by E·64 instead of Σ deg³). Test-scale
+      // graphs stay under the guard, so this query runs the EXACT tier
+      // and the oracle is the textbook computation; the capped tier is
+      // pinned by the planted-hub spec. Harmonic = n1 + n2/2 + n3/3:
+      // exact integer counts, two IEEE divisions, engine-identical.
       val d = sessionPages(s, dir)
       val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
@@ -4920,28 +4921,7 @@ object SparkEntry {
         .filter(col("page_a") < col("page_b"))
         .select(col("page_a").as("u"), col("page_b").as("v"))
         .distinct()
-      val r1 = Dedup.cacheScoped(und
-        .union(und.select(col("v"), col("u"))).toDF("src", "dst"))
-      val hop = r1.select(col("src").as("m"), col("dst"))
-      val r2 = Dedup.cacheScoped(
-        r1.select(col("src"), col("dst").as("m")).join(hop, Seq("m"))
-          .select(col("src"), col("dst")).distinct()
-          .filter(col("src") =!= col("dst"))
-          .join(r1, Seq("src", "dst"), "left_anti"))
-      val r3 = r2.select(col("src"), col("dst").as("m")).join(hop, Seq("m"))
-        .select(col("src"), col("dst")).distinct()
-        .filter(col("src") =!= col("dst"))
-        .join(r1, Seq("src", "dst"), "left_anti")
-        .join(r2, Seq("src", "dst"), "left_anti")
-      val n1 = r1.groupBy(col("src")).agg(count(lit(1)).as("n1"))
-      val n2 = r2.groupBy(col("src")).agg(count(lit(1)).as("n2"))
-      val n3 = r3.groupBy(col("src")).agg(count(lit(1)).as("n3"))
-      n1.join(n2, Seq("src"), "left").join(n3, Seq("src"), "left")
-        .na.fill(0L, Seq("n2", "n3"))
-        .select(col("src").as("page"),
-          pround(col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 9)
-            .as("harmonic"))
-        .orderBy(desc("harmonic"), col("page")).limit(20)
+      graft.operators.Graph.harmonicCentrality3(und, hubCap = 64, topN = 20)
     }),
 
     "q229_rolling_correlation" -> ((s, dir) => {
@@ -9894,6 +9874,179 @@ object SparkEntry {
       val decoded = DocPipeline.decodePages(keyed, graft.sources.AutoPdfDecoder(), "payload")
       val tagged = DocPipeline.explodePages(decoded.drop("payload"), cfg)
       DocPipeline.channels(tagged)._2
+    }),
+
+    "q364_pdf_encrypted" -> ((s, dir) => {
+      // ENCRYPTED-PDF pipeline parity (round-14 item-1 "done" gate): per
+      // doc a genuine RC4-128 (V2/R3) PDF is assembled and ENCRYPTED by
+      // an inline, from-scratch ISO 32000 implementation (Algorithms
+      // 1/2/3/5 — independent of PdfCrypt, which only ever decrypts),
+      // with planted per-page word counts. Docs with doc_id % 5 == 0
+      // carry a REAL user password: their /U check must fail and the
+      // decoder surfaces the reference's `cannot open document` channel
+      // (ref `downloader.py:385` — PyMuPDF opens empty-user-password
+      // files transparently, password-protected ones error). The oracle
+      // replays the planted arithmetic; a wrong key derivation, object
+      // key, or RC4 state machine turns pages into garbage and breaks
+      // the word-count hash.
+      val gen = udf((id: Long) => {
+        import java.security.MessageDigest
+        val pad = Array( // ISO 32000-1 §7.6.3.3 padding constant (public)
+          0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+          0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+          0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+          0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+        def md5(parts: Array[Byte]*): Array[Byte] = {
+          val d = MessageDigest.getInstance("MD5"); parts.foreach(d.update); d.digest()
+        }
+        def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+          val st = Array.tabulate(256)(_.toByte)
+          var j = 0
+          for (i <- 0 until 256) {
+            j = (j + st(i) + key(i % key.length)) & 0xff
+            val t = st(i); st(i) = st(j); st(j) = t
+          }
+          val out = new Array[Byte](data.length)
+          var x = 0; var y = 0
+          for (k <- data.indices) {
+            x = (x + 1) & 0xff; y = (y + st(x)) & 0xff
+            val t = st(x); st(x) = st(y); st(y) = t
+            out(k) = (data(k) ^ st((st(x) + st(y)) & 0xff)).toByte
+          }
+          out
+        }
+        def le(v: Long, n: Int): Array[Byte] =
+          Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+        val locked = id % 5 == 0
+        val pw: Array[Byte] = // padded user password (Algorithm 2 step a)
+          if (locked) ("x".getBytes("ISO-8859-1") ++ pad).take(32) else pad
+        // Algorithm 3: /O for an empty owner password
+        var ok0 = md5(pad)
+        for (_ <- 0 until 50) ok0 = md5(ok0.take(16))
+        val okey = ok0.take(16)
+        var o = rc4(okey, pad) // padded (empty) user password
+        for (i <- 1 to 19) o = rc4(okey.map(b => (b ^ i).toByte), o)
+        // Algorithm 2: 128-bit file key under the CONTENT password
+        val id0 = md5(le(id, 8))
+        val pPerm = -3904L
+        var fk = md5(pw, o, le(pPerm & 0xffffffffL, 4), id0)
+        for (_ <- 0 until 50) fk = md5(fk.take(16))
+        val fileKey = fk.take(16)
+        // Algorithm 5: /U from that key (locked docs embed a /U the
+        // empty-password check cannot reproduce)
+        var u = rc4(fileKey, md5(pad, id0))
+        for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+        val u32 = u ++ new Array[Byte](16)
+        def objKey(num: Int): Array[Byte] =
+          md5(fileKey, le(num.toLong, 3), le(0L, 2)).take(16)
+        def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
+        val sb = new StringBuilder("%PDF-1.6\n")
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          sb.append(s"$num 0 obj\n$dict\n")
+          stream.foreach { st =>
+            sb.append("stream\n")
+            sb.append(new String(st, java.nio.charset.StandardCharsets.ISO_8859_1))
+            sb.append("\nendstream\n")
+          }
+          sb.append("endobj\n")
+        }
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        val pcount = 1 + (id % 3).toInt
+        val kids = (0 until pcount).map(p => s"${10 + p} 0 R").mkString(" ")
+        obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pcount >>", None)
+        for (p <- 0 until pcount) {
+          val wc = 1 + ((id + p) % 8).toInt
+          val words = Seq.fill(wc)("w").mkString(" ")
+          val enc = rc4(objKey(20 + p),
+            s"BT ($words) Tj ET".getBytes("ISO-8859-1"))
+          obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R >>", None)
+          obj(20 + p, s"<< /Length ${enc.length} >>", Some(enc))
+        }
+        obj(5, s"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <${hex(o)}> " +
+          s"/U <${hex(u32)}> /P $pPerm >>", None)
+        sb.append(s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R " +
+          s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      })
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+        when(col("decode_error").isNull, lit(1L)).otherwise(lit(0L)).as("ok"),
+        when(col("decode_error").isNull, size(col("pages")).cast("long")).as("n_pages"),
+        when(col("decode_error").isNull,
+          expr("aggregate(pages, 0L, (acc, p) -> acc + size(split(regexp_replace(p, '<[^>]+>', ''), ' ')))"))
+          .as("total_words"))
+    }),
+
+    "q365_charset_detect" -> ((s, dir) => {
+      // charset detection before DOM parse (round-14 item-4; ref
+      // `extractor.py:138-139` — resiliparse detect_encoding +
+      // parse_from_bytes): per doc a raw HTML byte payload in one of
+      // four encodings, NONE carrying a <meta charset>, so detection
+      // must run the BOM / strict-UTF-8 / density-heuristic cascade.
+      // The oracle replays the planted charset names and word counts; a
+      // mis-detection garbles the text and flips the counts.
+      val gen = udf((id: Long) => ((id % 4).toInt: @unchecked) match {
+        case 0 => "<html><body>plain english page with seven words here</body></html>"
+          .getBytes("UTF-8")
+        case 1 => "<html><body>Это просто русский текст без объявления кодировки совсем</body></html>"
+          .getBytes("windows-1251")
+        case 2 => "<html><body>こんにちは世界のページへようこそ皆さん どうぞ よろしく</body></html>"
+          .getBytes("Shift_JIS")
+        case 3 => "<html><body>café résumé naïve déjà vu encore</body></html>"
+          .getBytes("windows-1252")
+      })
+      Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+        .select(col("doc_id"),
+          graft.functions.Dom.detectedCharset(col("payload")).as("cs"),
+          size(split(graft.functions.Dom.domTextBytes(col("payload")), " "))
+            .cast("long").as("n_words"))
+    }),
+
+    "q366_warc_revisit_dedup" -> ((s, dir) => {
+      // WARC revisit records + crawl-level digest dedup (round-14
+      // item-7; ISO 28500 §6.7 — Common Crawl marks re-crawled
+      // unchanged pages as `WARC-Type: revisit` pointing at an earlier
+      // capture's payload digest): per doc a genuine WARC byte stream
+      // with planted response/revisit records and colliding digests is
+      // parsed by the REAL Warc.parseStream, then crawl-dedup keeps one
+      // fetch per digest (min target_uri) with revisits dropped — the
+      // dedup-before-decode step every 100 TB crawl ingest needs. The
+      // oracle replays the planted digest arithmetic; a parser that
+      // surfaces the wrong type/digest or a dedup that keeps the wrong
+      // row breaks the hash.
+      val gen = udf((id: Long) => {
+        val bos = new java.io.ByteArrayOutputStream()
+        def rec(wtype: String, uri: String, digest: String, body: String): Unit = {
+          val b = body.getBytes("ISO-8859-1")
+          bos.write((s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+            s"WARC-Payload-Digest: $digest\r\nContent-Length: ${b.length}\r\n\r\n")
+            .getBytes("ISO-8859-1"))
+          bos.write(b)
+          bos.write("\r\n\r\n".getBytes("ISO-8859-1"))
+        }
+        val n = 1 + (id % 3).toInt
+        for (k <- 0 until n) {
+          val dig = s"sha1:D${(id * 7 + k * 13) % 50}"
+          val wtype = if (k % 2 == 1) "revisit" else "response"
+          rec(wtype, s"http://ex.com/$id/$k", dig, s"body $id $k")
+        }
+        bos.toByteArray
+      })
+      val parse = udf((bytes: Array[Byte]) =>
+        graft.sources.Warc.parseStream(new java.io.ByteArrayInputStream(bytes))
+          .map { case (t, uri, _, _, dig) => (t, uri, dig) }.toSeq)
+      val recs = Tables.documents(s, dir)
+        .select(explode(parse(gen(col("doc_id")))).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("payload_digest"), lit("").as("content_type"),
+          lit(Array.emptyByteArray).as("payload"))
+      graft.sources.Warc.dedupByPayloadDigest(recs)
+        .groupBy(col("payload_digest"))
+        .agg(count(lit(1)).as("n_kept"), min(col("target_uri")).as("keep_uri"))
+        .orderBy(col("payload_digest"))
     }),
   )
 
@@ -16063,5 +16216,46 @@ object SparkEntry {
         |         CASE WHEN wc < 5 THEN 'too few words'
         |              WHEN m > 1 THEN 'too many images' END AS error_message
         |  FROM pages) t GROUP BY 1, 2""".stripMargin,
+
+    // q364: encrypted PDFs — empty-user-password docs decode to the
+    // planted per-page word counts; password-locked docs (doc_id%5=0)
+    // fail CLOSED. The oracle replays the planted arithmetic.
+    "q364_pdf_encrypted" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS ok,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            ELSE 1 + doc_id % 3 END AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE
+        |    (1 + doc_id % 8)
+        |    + CASE WHEN doc_id % 3 >= 1 THEN 1 + (doc_id + 1) % 8 ELSE 0 END
+        |    + CASE WHEN doc_id % 3 >= 2 THEN 1 + (doc_id + 2) % 8 ELSE 0 END
+        |  END AS BIGINT) AS total_words
+        |FROM documents""".stripMargin,
+
+    // q365: charset detection — the oracle replays the planted charset
+    // names and per-class word counts
+    "q365_charset_detect" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'windows-1251'
+        |       WHEN 2 THEN 'Shift_JIS' ELSE 'windows-1252' END AS cs,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 7 WHEN 1 THEN 8
+        |       WHEN 2 THEN 3 ELSE 6 END AS BIGINT) AS n_words
+        |FROM documents""".stripMargin,
+
+    // q366: WARC revisit + digest dedup — the oracle replays the
+    // planted record layout (k-th record of doc d: revisit when k odd,
+    // digest (d*7+k*13)%50) and keeps min uri per digest over the
+    // response records only
+    "q366_warc_revisit_dedup" ->
+      """WITH recs AS (
+        |  SELECT 'sha1:D' || CAST((d.doc_id * 7 + i.g * 13) % 50 AS VARCHAR) AS payload_digest,
+        |         'http://ex.com/' || CAST(d.doc_id AS VARCHAR) || '/' || CAST(i.g AS VARCHAR) AS target_uri,
+        |         i.g % 2 AS is_revisit
+        |  FROM documents d, LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)
+        |)
+        |SELECT payload_digest, CAST(1 AS BIGINT) AS n_kept,
+        |       MIN(target_uri) AS keep_uri
+        |FROM recs WHERE is_revisit = 0
+        |GROUP BY payload_digest ORDER BY payload_digest""".stripMargin,
   )
 }
