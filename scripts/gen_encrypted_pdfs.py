@@ -272,6 +272,11 @@ def main():
     pdf, fk = classic_fixture("aesv2", "AES one two eight sesame", 4, 4, 128, True)
     fixtures.append(("aesv2", pdf, "AES one two eight sesame", hexs(fk)))
 
+    # V4 crypt-filter dict routing to RC4 (/CFM /V2) — same cipher as
+    # rc4_128 but through the /CF /StdCF indirection
+    pdf, fk = classic_fixture("rc4_v4", "RC4 behind StdCF sesame", 4, 4, 128, False)
+    fixtures.append(("rc4_v4", pdf, "RC4 behind StdCF sesame", hexs(fk)))
+
     meta_xml = b"<?xpacket?><x:xmpmeta xmlns:x='adobe:ns:meta/'/>"
     pdf, fk = classic_fixture(
         "aesv2_nometa", "AES without metadata sesame", 4, 4, 128, True,
