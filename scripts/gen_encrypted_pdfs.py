@@ -291,7 +291,52 @@ def main():
     pdf, fk = v5_fixture("aesv3_r6", "AES two five six R6 sesame", 6)
     fixtures.append(("aesv3_r6", pdf, "AES two five six R6 sesame", hexs(fk)))
 
+    # encrypted OBJECT STREAM: the whole page tree (catalog, pages, page)
+    # lives inside a /Type /ObjStm whose bytes are deflate-compressed THEN
+    # RC4-encrypted (encryption is the outermost layer per spec) — the
+    # modern-writer layout; the decryptor must decipher the ObjStm BEFORE
+    # its inner objects can be parsed at all
+    import zlib
+    name = "objstm_rc4"
+    text = "ObjStm under RC4 sesame"
+    id0 = det(name + ":id", 16)
+    o = owner_value(3, 16, b"", b"")
+    fkey = file_key_classic(o, P_VALUE, id0, 3, 16, True)
+    u = user_value(3, fkey, id0)
+    inner_objs = [
+        (1, "<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>"),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+    ]
+    bodies = [d for _, d in inner_objs]
+    offsets = []
+    pos = 0
+    for b in bodies:
+        offsets.append(pos)
+        pos += len(b) + 1
+    header = " ".join(f"{n} {off}" for (n, _), off in zip(inner_objs, offsets))
+    payload = (header + "\n").encode("latin-1") + \
+        "\n".join(bodies).encode("latin-1") + b"\n"
+    first = len(header) + 1
+    objstm_plain = zlib.compress(payload)
+    objstm_enc = rc4(object_key(fkey, 9, 0, False), objstm_plain)
+    content = f"BT ({text}) Tj ET".encode("latin-1")
+    content_enc = rc4(object_key(fkey, 4, 0, False), content)
+    enc_dict = (f"<< /Filter /Standard /V 2 /R 3 /Length 128"
+                f" /O <{hexs(o)}> /U <{hexs(u[:32])}> /P {P_VALUE} >>")
+    objs = [
+        (9, f"<< /Type /ObjStm /N {len(inner_objs)} /First {first}"
+            f" /Filter /FlateDecode /Length {len(objstm_enc)} >>", objstm_enc),
+        (4, f"<< /Length {len(content_enc)} >>", content_enc),
+        (5, enc_dict, None),
+    ]
+    pdf = build_pdf(objs, trailer_for(5, id0))
+    fk = file_key_classic(o, P_VALUE, id0, 3, 16, True)
+    fixtures.append((name, pdf, text, hexs(fk)))
+
     for name, pdf, _, _ in fixtures:
+        if name == "objstm_rc4":
+            continue  # object numbers differ by construction
         check_clean(name, pdf)
 
     # wrong /U: content encrypted under password "secret"; the empty-pw

@@ -256,7 +256,16 @@ object MiniPdf {
     val objStms = out.values.toSeq
       .filter(o => """/Type\s*/ObjStm\b""".r.findFirstIn(o.dict).isDefined)
     for (os <- objStms) {
-      val data = new String(decodedStream(os), ISO_8859_1)
+      // an undecodable ObjStm body (ENCRYPTED bytes on the first,
+      // pre-decryption scan — or plain corruption) must not fail the
+      // whole parse: skip it, its inner objects just don't materialize
+      // on this pass. The post-decryption re-scan inflates it fine.
+      // Decompression-bomb aborts (IllegalStateException) still
+      // propagate — the cap is a fail-closed policy, not corruption.
+      val decoded =
+        try decodedStream(os)
+        catch { case _: java.util.zip.DataFormatException => Array.emptyByteArray }
+      val data = new String(decoded, ISO_8859_1)
       val n = intIn(os.dict, "/N", 0)
       val first = intIn(os.dict, "/First", 0)
       if (n > 0 && first > 0 && first <= data.length) {

@@ -170,4 +170,22 @@ class MiniPdfFuzzSpec extends AnyFunSuite {
       assert(r.isLeft || r.isRight)
     }
   }
+
+  test("bit-flip fuzz over encrypted fixtures never throws (decrypt-path robustness)") {
+    // PDF encryption has no integrity check — a flipped ciphertext bit
+    // legitimately yields different plaintext — but the decoder must
+    // never escape its Either for ANY mutation (torn AES blocks, broken
+    // /U hex, truncated /Encrypt dict, garbage ObjStm bodies included)
+    val rnd = new scala.util.Random(1234)
+    for (fx <- EncryptedPdfFixtures.all; _ <- 0 until 25) {
+      val m = fx.pdf.clone()
+      val flips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until flips) {
+        val at = rnd.nextInt(m.length)
+        m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val r = decoder.decode(m)
+      assert(r.isLeft || r.isRight, s"${fx.name}: decoder escaped Either")
+    }
+  }
 }

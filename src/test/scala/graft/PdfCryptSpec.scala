@@ -33,10 +33,14 @@ class PdfCryptSpec extends AnyFunSuite {
     }
   }
 
-  test("variant coverage: RC4-40, RC4-128, AESV2, V4-RC4, EncryptMetadata-false, R5, R6") {
+  test("variant coverage: RC4-40, RC4-128, AESV2, V4-RC4, EncryptMetadata-false, " +
+       "R5, R6, encrypted ObjStm") {
     assert(EncryptedPdfFixtures.all.map(_.name).toSet ==
       Set("rc4_40", "rc4_128", "aesv2", "rc4_v4", "aesv2_nometa",
-          "aesv3_r5", "aesv3_r6"))
+          "aesv3_r5", "aesv3_r6", "objstm_rc4"))
+    // the ObjStm fixture's page tree is INSIDE the encrypted object
+    // stream: a decryptor that deciphers streams after ObjStm expansion
+    // (wrong order) would find no pages at all
   }
 
   test("EncryptMetadata false: flag surfaces on the Decryptor and the key differs " +
