@@ -129,8 +129,12 @@ object Graph {
     val und = Dedup.cacheScoped(und0.select(col("u"), col("v")))
     val r1 = Dedup.cacheScoped(
       und.union(und.select(col("v"), col("u"))).toDF("src", "dst"))
-    val sumDeg2 = r1.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * col("d")), lit(0L)).as("s"))
+    // the degree frame serves BOTH the tier guard and the final n1
+    // counts — one agg over the cached edge set, not two
+    val deg = Dedup.cacheScoped(
+      r1.groupBy(col("src")).agg(count(lit(1)).as("n1")))
+    val sumDeg2 = deg
+      .agg(coalesce(sum(col("n1") * col("n1")), lit(0L)).as("s"))
       .collect()(0).getLong(0)
     val hop =
       if (sumDeg2 <= exactWedgeCap) r1.select(col("src").as("m"), col("dst"))
@@ -149,10 +153,9 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .join(r1, Seq("src", "dst"), "left_anti")
       .join(r2, Seq("src", "dst"), "left_anti")
-    val n1 = r1.groupBy(col("src")).agg(count(lit(1)).as("n1"))
     val n2 = r2.groupBy(col("src")).agg(count(lit(1)).as("n2"))
     val n3 = r3.groupBy(col("src")).agg(count(lit(1)).as("n3"))
-    n1.join(n2, Seq("src"), "left").join(n3, Seq("src"), "left")
+    deg.join(n2, Seq("src"), "left").join(n3, Seq("src"), "left")
       .na.fill(0L, Seq("n2", "n3"))
       .select(col("src").as("page"),
         graft.SparkEntry.pround(
