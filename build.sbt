@@ -40,4 +40,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The JDK-17 default 240 MB code cache (segmented ~117 MB per heap)
+  // evicts C2-compiled methods under a multi-hundred-query suite's
+  // codegen load — measured CodeHeap peaks 119+104 MB, right at the
+  // default segment limits. Controlled A/B on a fixed 111-query
+  // subset: q361 (non-codegen ImageIO hot loop, zero GC/retries)
+  // 4.3 s at default → 2.7 s at 512 MB → 1.7 s ≈ solo-warm at 1 GB.
+  // (At the full 366-query scale q361 retains a ~2× in-suite JIT
+  // re-warm residual regardless of cache size — attributed by the
+  // bench telemetry, not a plan issue; reservation is virtual address
+  // space, committed lazily, so 1 GB costs nothing when unused.)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -150,6 +150,13 @@ object Bench {
     }
     System.err.println(roundTotals.zipWithIndex
       .map { case (t, i) => s"round${i + 1}=${f"$t%.1f"}s" }.mkString("[bench] ", " ", ""))
+    // code-cache occupancy at end of run (the q361 eviction diagnosis):
+    // peak == reserved means C2 eviction churn is live at this size
+    poolBeans.forEach { p =>
+      if (p.getName.startsWith("CodeHeap"))
+        System.err.println(s"[bench] ${p.getName}: peak=${p.getPeakUsage.getUsed >> 20}MB" +
+          s" max=${p.getPeakUsage.getMax >> 20}MB")
+    }
     val results = names.map { case (name, _) => name -> best(name) }
     // The driver's stdout capture keeps only the TAIL of the output, so
     // anything that must survive goes last: per-query lines (numeric-id
