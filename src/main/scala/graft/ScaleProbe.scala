@@ -48,7 +48,7 @@ object ScaleProbe {
     // the WARC parse + digest-dedup ingest leg; all per-row map-side
     // work whose blow-up should track the documents table linearly
     "q362_pdf_planted_dims", "q363_pdf_channels", "q364_pdf_encrypted",
-    "q366_warc_revisit_dedup")
+    "q366_warc_revisit_dedup", "q367_warc_pdf_e2e")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

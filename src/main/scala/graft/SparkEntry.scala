@@ -10048,6 +10048,77 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min(col("target_uri")).as("keep_uri"))
         .orderBy(col("payload_digest"))
     }),
+
+    "q367_warc_pdf_e2e" -> ((s, dir) => {
+      // the COMPOSED crawl-ingest path as one oracle row (round-14: the
+      // binary pipeline VERDICT r13 item 8 names): per doc a genuine
+      // PDF with planted per-page word/image counts is wrapped in a
+      // real HTTP response (gzip Content-Encoding on odd ids — the
+      // content-decode leg), wrapped in a WARC response record, then
+      // driven through the PRODUCTION path: Warc.parseStream →
+      // responseDocuments (header split + gunzip) → AutoPdfDecoder
+      // page decode. A fault anywhere — WARC framing, HTTP unwrap,
+      // gzip, PDF object scan, image-paint dispatch — flips the
+      // planted counts and breaks the hash.
+      val gen = udf((id: Long) => {
+        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+        val pcount = 1 + (id % 2).toInt
+        val sb = new StringBuilder("%PDF-1.4\n")
+        def obj(num: Int, dict: String, stream: Option[String]): Unit = {
+          sb.append(s"$num 0 obj\n$dict\n")
+          stream.foreach(st => sb.append(s"stream\n$st\nendstream\n"))
+          sb.append("endobj\n")
+        }
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        val kids = (0 until pcount).map(p => s"${10 + p} 0 R").mkString(" ")
+        obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pcount >>", None)
+        obj(5, "<< /Subtype /Image /Width 30 /Height 40 /Length 1 >>", Some(" "))
+        for (p <- 0 until pcount) {
+          val wc = 2 + ((id + p) % 6).toInt
+          val words = Seq.fill(wc)("w").mkString(" ")
+          val content = s"BT ($words) Tj ET" +
+            (if ((id + p) % 2 == 1) " /Im1 Do" else "")
+          obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R " +
+            "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+          obj(20 + p, s"<< /Length ${content.length} >>", Some(content))
+        }
+        sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        val pdf = sb.toString.getBytes(iso)
+        val (body, ce) =
+          if (id % 2 == 1) {
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(pdf); gz.close()
+            (bos.toByteArray, "Content-Encoding: gzip\r\n")
+          } else (pdf, "")
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n$ce\r\n")
+          .getBytes(iso) ++ body
+        val wh = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://pdfs.example/$id\r\n" +
+          s"WARC-Payload-Digest: sha1:X$id\r\n" +
+          s"Content-Type: application/http; msgtype=response\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n"
+        wh.getBytes(iso) ++ http ++ "\r\n\r\n".getBytes(iso)
+      })
+      val parse = udf((bytes: Array[Byte]) =>
+        graft.sources.Warc.parseStream(new java.io.ByteArrayInputStream(bytes)).toSeq)
+      val recs = Tables.documents(s, dir)
+        .select(explode(parse(gen(col("doc_id")))).as("r"))
+        .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
+          col("r._3").as("content_type"), col("r._4").as("payload"),
+          col("r._5").as("payload_digest"))
+      val docs = graft.sources.Warc.responseDocuments(recs)
+      val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "body")
+      decoded.select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("http_status").cast("long").as("http_status"),
+        col("mime"),
+        size(col("pages")).cast("long").as("n_pages"),
+        expr("aggregate(pages, 0L, (acc, p) -> acc + size(split(trim(regexp_replace(p, '<[^>]+>', ' ')), ' +')))")
+          .as("total_words"),
+        expr("aggregate(pages, 0L, (acc, p) -> acc + size(split(p, '<img')) - 1)")
+          .as("total_imgs"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16257,5 +16328,18 @@ object SparkEntry {
         |       MIN(target_uri) AS keep_uri
         |FROM recs WHERE is_revisit = 0
         |GROUP BY payload_digest ORDER BY payload_digest""".stripMargin,
+
+    // q367: the composed WARC -> HTTP -> PDF -> pages path; the oracle
+    // replays the planted per-page word/image arithmetic
+    "q367_warc_pdf_e2e" ->
+      """SELECT doc_id,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  'application/pdf' AS mime,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_pages,
+        |  CAST((2 + doc_id % 6)
+        |    + CASE WHEN doc_id % 2 = 1 THEN 2 + (doc_id + 1) % 6 ELSE 0 END
+        |    AS BIGINT) AS total_words,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS total_imgs
+        |FROM documents""".stripMargin,
   )
 }

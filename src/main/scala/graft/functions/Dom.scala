@@ -59,7 +59,10 @@ object Dom {
     val head = new String(bytes, 0, math.min(2048, n), StandardCharsets.ISO_8859_1)
     val MetaCharset =
       """(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""".r
-    for (m <- MetaCharset.findFirstMatchIn(head)) {
+    val XmlDecl = // XHTML: <?xml version="1.0" encoding="…"?>
+      """(?i)<\?xml[^>]*encoding\s*=\s*["']\s*([A-Za-z0-9_\-]+)""".r
+    for (m <- MetaCharset.findFirstMatchIn(head)
+           .orElse(XmlDecl.findFirstMatchIn(head))) {
       try return Charset.forName(m.group(1))
       catch { case _: Exception => } // unknown label: fall through
     }

@@ -107,6 +107,14 @@ class DomSpec extends AnyFunSuite {
     assert(Dom.decodeHtml(u16beBom) == "<p>sixteen</p>")
   }
 
+  test("charset: XML declaration encoding honored (XHTML without meta)") {
+    val xhtml = "<?xml version=\"1.0\" encoding=\"windows-1251\"?>" +
+      "<html><body><p>Текст без меты</p></body></html>"
+    val bytes = xhtml.getBytes("windows-1251")
+    assert(Dom.detectEncoding(bytes).name() == "windows-1251")
+    assert(Dom.decodeHtml(bytes).contains("Текст без меты"))
+  }
+
   test("charset: plain ASCII stays UTF-8; latin high bytes fall back to windows-1252") {
     assert(Dom.detectEncoding("<p>plain ascii</p>".getBytes("US-ASCII")).name() == "UTF-8")
     val w1252 = "<p>café résumé naïve</p>".getBytes("windows-1252")
