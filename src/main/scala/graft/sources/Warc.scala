@@ -346,7 +346,14 @@ object Warc {
     *   - records with NO digest pass through untouched (can't prove
     *     duplication, so never silently drop)
     *
-    * Scale shape: one shuffle on the digest key. */
+    * Scale shape: ONE shuffle on the digest key, partial+final
+    * aggregate (plan-gated: no join-back, no per-key window). Because
+    * the min-struct buffer carries the binary payload, Spark plans a
+    * SortAggregate rather than a hash aggregate — the per-partition
+    * sort is the known cost of single-shuffle keep-best over wide
+    * rows; the alternative (tiny winner agg + semi-join back) trades
+    * it for a second shuffle of the full record frame, which loses
+    * whenever duplicates are common (the crawl case). */
   def dedupByPayloadDigest(records: DataFrame): DataFrame = {
     val content = records.filter(col("warc_type") =!= "revisit")
     val undigested = content.filter(col("payload_digest").isNull ||

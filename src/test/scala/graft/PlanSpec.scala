@@ -441,4 +441,29 @@ class PlanSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined,
       "explode no longer sits on the joined (cluster, text) frame:\n" + p.take(2000))
   }
+
+  test("q366: digest dedup is one struct-min agg — no join, no window, no cartesian") {
+    // the crawl-dedup shape: keep-one-per-digest must stay a grouped
+    // partial+final aggregate (SortAggregate — struct-with-binary
+    // buffers aren't hash-aggregable — but still ONE shuffle with
+    // map-side combine), never a join-back or per-key window
+    val p = plan("q366_warc_revisit_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains(" Window"), "digest dedup must not plan a window:\n" + p.take(1500))
+    assert(p.contains("Aggregate"), p.take(1500))
+  }
+
+  test("q367: the composed WARC->PDF path plans NO join and NO extra shuffle " +
+       "(pure per-row map work over the documents scan)") {
+    val p = plan("q367_warc_pdf_e2e")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains(" Window"), p.take(1500))
+  }
+
+  test("q228: harmonic centrality rings stay equi/anti joins (no cartesian, no BNLJ)") {
+    val p = plan("q228_harmonic_centrality")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
 }
