@@ -969,10 +969,12 @@ object MiniPdf {
       m1(4) * m2(0) + m1(5) * m2(2) + m2(4),
       m1(4) * m2(1) + m1(5) * m2(3) + m2(5))
 
-  /** A form XObject's `/Matrix [a b c d e f]`, default identity. */
+  /** A form XObject's `/Matrix [a b c d e f]`, default identity. PDF
+    * reals allow leading-dot decimals (`.5`) — a digits-only regex
+    * would read `.5` as `5` and scale the form 10×. */
   private[sources] def formMatrix(dict: String): Array[Double] =
     """/Matrix\s*\[([^\]]*)\]""".r.findFirstMatchIn(dict).map { m =>
-      val vals = """-?\d+(?:\.\d+)?""".r.findAllIn(m.group(1))
+      val vals = """[-+]?(?:\d+\.?\d*|\.\d+)""".r.findAllIn(m.group(1))
         .map(_.toDouble).toArray
       if (vals.length == 6) vals else IdentityMatrix
     }.getOrElse(IdentityMatrix)
@@ -1011,12 +1013,16 @@ object MiniPdf {
         .reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
 
     def scan(content: Array[Byte], xobjs: Map[String, XObjEntry],
-             ctm0: Array[Double], depth: Int, onPath: Set[Int]): Unit = {
+             ctm0: Array[Double], fill0: String, stroke0: String,
+             depth: Int, onPath: Set[Int]): Unit = {
     val s = new String(content, ISO_8859_1)
     val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
     val d = new StringBuilder // current path data
     var ctm = ctm0
-    val gsStack = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    // fill/stroke colors ride the graphics state (rg/RG/g/G/k/K — the
+    // color operators PyMuPDF's get_svg_image renders); default black
+    var fillC = fill0; var strokeC = stroke0
+    val gsStack = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], String, String)]
     var curX = 0.0; var curY = 0.0 // untransformed current point
     var lastName = ""
     def tx(x: Double, y: Double): String = {
@@ -1027,6 +1033,13 @@ object MiniPdf {
     def op(k: Int): Seq[Double] = // last k operands, missing → 0
       Seq.tabulate(k)(j =>
         if (nums.length - k + j >= 0) nums(nums.length - k + j) else 0.0)
+    def hexColor(r: Double, g: Double, b: Double): String = {
+      def c(v: Double) = math.max(0, math.min(255, (v * 255 + 0.5).toInt))
+      f"#${c(r)}%02x${c(g)}%02x${c(b)}%02x"
+    }
+    def cmyk(c0: Double, m0: Double, y0: Double, k0: Double): String =
+      hexColor((1 - math.min(1, c0 + k0)), (1 - math.min(1, m0 + k0)),
+        (1 - math.min(1, y0 + k0)))
     def sep(): Unit = if (d.nonEmpty) d.append(' ')
     def paint(style: String): Unit = {
       if (d.nonEmpty) paths += s"""<path d="$d" style="$style"/>"""
@@ -1095,26 +1108,43 @@ object MiniPdf {
               s"L ${tx(x + w, y + h)} L ${tx(x, y + h)} Z")
             curX = x; curY = y
           case "h" => sep(); d.append("Z")
-          case "q" => gsStack += ctm
-          case "Q" => if (gsStack.nonEmpty) ctm = gsStack.remove(gsStack.length - 1)
+          case "q" => gsStack += ((ctm, fillC, strokeC))
+          case "Q" => if (gsStack.nonEmpty) {
+            val (m, fc, sc) = gsStack.remove(gsStack.length - 1)
+            ctm = m; fillC = fc; strokeC = sc
+          }
           case "cm" =>
             val Seq(a, b, cc, dd, e, f) = op(6)
             ctm = matMul(Array(a, b, cc, dd, e, f), ctm)
-          case "S" => paint("fill:none;stroke:#000")
-          case "s" => sep(); d.append("Z"); paint("fill:none;stroke:#000")
-          case "f" | "F" => paint("fill:#000")
-          case "f*" => paint("fill:#000;fill-rule:evenodd")
-          case "B" => paint("fill:#000;stroke:#000")
-          case "B*" => paint("fill:#000;stroke:#000;fill-rule:evenodd")
-          case "b" => sep(); d.append("Z"); paint("fill:#000;stroke:#000")
-          case "b*" => sep(); d.append("Z"); paint("fill:#000;stroke:#000;fill-rule:evenodd")
+          case "rg" => val Seq(r, g, b) = op(3); fillC = hexColor(r, g, b)
+          case "RG" => val Seq(r, g, b) = op(3); strokeC = hexColor(r, g, b)
+          case "g" => val Seq(v) = op(1); fillC = hexColor(v, v, v)
+          case "G" => val Seq(v) = op(1); strokeC = hexColor(v, v, v)
+          case "k" => val Seq(c0, m0, y0, k0) = op(4); fillC = cmyk(c0, m0, y0, k0)
+          case "K" => val Seq(c0, m0, y0, k0) = op(4); strokeC = cmyk(c0, m0, y0, k0)
+          case "sc" | "scn" => // setcolor in the current space: tolerate
+            // gray (1 operand) and RGB (3); pattern/CMYK fall back to RGB-ish
+            if (nums.length >= 3) { val Seq(r, g, b) = op(3); fillC = hexColor(r, g, b) }
+            else if (nums.length == 1) { val Seq(v) = op(1); fillC = hexColor(v, v, v) }
+          case "SC" | "SCN" =>
+            if (nums.length >= 3) { val Seq(r, g, b) = op(3); strokeC = hexColor(r, g, b) }
+            else if (nums.length == 1) { val Seq(v) = op(1); strokeC = hexColor(v, v, v) }
+          case "S" => paint(s"fill:none;stroke:$strokeC")
+          case "s" => sep(); d.append("Z"); paint(s"fill:none;stroke:$strokeC")
+          case "f" | "F" => paint(s"fill:$fillC")
+          case "f*" => paint(s"fill:$fillC;fill-rule:evenodd")
+          case "B" => paint(s"fill:$fillC;stroke:$strokeC")
+          case "B*" => paint(s"fill:$fillC;stroke:$strokeC;fill-rule:evenodd")
+          case "b" => sep(); d.append("Z"); paint(s"fill:$fillC;stroke:$strokeC")
+          case "b*" => sep(); d.append("Z"); paint(s"fill:$fillC;stroke:$strokeC;fill-rule:evenodd")
           case "n" => d.clear() // clip-only path: not a drawing
           case "Do" => // a painted form contributes its drawings HERE,
             // in paint order/multiplicity, through the composed CTM
             xobjs.get(lastName) match {
               case Some(XForm(num)) if depth < 8 && !onPath(num) =>
                 formLookup(num).foreach { case (fc, fx, mtx) =>
-                  scan(fc, fx, matMul(mtx, ctm), depth + 1, onPath + num)
+                  scan(fc, fx, matMul(mtx, ctm), fillC, strokeC,
+                    depth + 1, onPath + num)
                 }
               case _ =>
             }
@@ -1130,7 +1160,7 @@ object MiniPdf {
     }
     } // scan
 
-    scan(content, xobjs0, IdentityMatrix, 0, Set.empty)
+    scan(content, xobjs0, IdentityMatrix, "#000", "#000", 0, Set.empty)
     paths.toSeq
   }
 

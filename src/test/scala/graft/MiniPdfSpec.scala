@@ -745,6 +745,34 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(svg.contains("M 300 600 L 303 600"))
   }
 
+  test("drawings: rg/RG/g color operators render, q/Q restores color state, " +
+       "and a leading-dot form /Matrix scales correctly") {
+    val pageContent =
+      "1 0 0 rg 0 0 4 4 re f " +          // red fill
+      "0 0.5 0 RG 0 0 m 1 1 l S " +       // mid-green stroke
+      "q 0 g 2 2 3 3 re f Q " +           // black inside q..Q
+      "5 5 6 6 re f " +                   // red again after Q
+      "/FmH Do"
+    val formH = "2 2 4 4 re S" // under /Matrix [.5 0 0 .5 0 0]: (1,1)-(3,3)
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /FmH 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Form /Matrix [ .5 0 0 .5 0 0 ] " +
+        s"/Length ${formH.length} >>", Some(formH.getBytes(ISO_8859_1)))))
+    val svg = MiniPdfDecoder().drawings(pdf, 0)
+    assert(svg.contains("<path d=\"M 0 0 L 4 0 L 4 4 L 0 4 Z\" style=\"fill:#ff0000\"/>"))
+    assert(svg.contains("style=\"fill:none;stroke:#008000\""))
+    assert(svg.contains("<path d=\"M 2 2 L 5 2 L 5 5 L 2 5 Z\" style=\"fill:#000000\"/>"))
+    assert(svg.contains("<path d=\"M 5 5 L 11 5 L 11 11 L 5 11 Z\" style=\"fill:#ff0000\"/>"),
+      "Q must restore the pre-q fill color")
+    // .5 must parse as one-half, not 5: rect lands at (1,1)-(3,3)
+    assert(svg.contains("M 1 1 L 3 1 L 3 3 L 1 3 Z"),
+      "leading-dot /Matrix mis-parsed: " + svg)
+  }
+
   test("inline image: 'ID' inside a name token does not truncate the dict") {
     // /Filter named /CCIDFoo contains the bare substring 'ID' — the
     // boundary check must skip it and find the standalone ID operator
