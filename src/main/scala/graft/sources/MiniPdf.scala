@@ -666,7 +666,99 @@ object MiniPdf {
       .orElse((key + """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(res)
         .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
 
-  /** `/Font` entries of a resources dict as per-name [[FontInfo]]. */
+  /** Glyph name → Unicode (Adobe Glyph List conventions, public):
+    * `uniXXXX` / `uXXXX[XX]` hex forms, single-character names map to
+    * themselves, plus an embedded subset of the AGL covering ASCII
+    * punctuation/digit names, common Latin-1 accents and typographic
+    * marks — the names 1990s simple-font `/Differences` arrays use. */
+  private[sources] def glyphUnicode(name: String): Option[String] = {
+    if (name.length == 1) return Some(name)
+    if (name.startsWith("uni") && name.length >= 7 &&
+        name.substring(3, 7).forall(c => Character.digit(c, 16) >= 0))
+      return Some(Integer.parseInt(name.substring(3, 7), 16).toChar.toString)
+    if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+        name.drop(1).forall(c => Character.digit(c, 16) >= 0))
+      return Some(new String(Character.toChars(Integer.parseInt(name.drop(1), 16))))
+    AglSubset.get(name)
+  }
+
+  private val AglSubset: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+    "guillemotleft" -> "«", "guillemotright" -> "»",
+    "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+    "fi" -> "ﬁ", "fl" -> "ﬂ", "germandbls" -> "ß",
+    "exclamdown" -> "¡", "questiondown" -> "¿", "cent" -> "¢",
+    "sterling" -> "£", "yen" -> "¥", "Euro" -> "€", "currency" -> "¤",
+    "section" -> "§", "paragraph" -> "¶", "copyright" -> "©",
+    "registered" -> "®", "trademark" -> "™", "degree" -> "°",
+    "plusminus" -> "±", "multiply" -> "×", "divide" -> "÷",
+    "nbspace" -> " ", "middot" -> "·", "periodcentered" -> "·",
+    "AE" -> "Æ", "ae" -> "æ", "OE" -> "Œ", "oe" -> "œ",
+    "Oslash" -> "Ø", "oslash" -> "ø", "Aring" -> "Å", "aring" -> "å",
+    "Ccedilla" -> "Ç", "ccedilla" -> "ç", "Ntilde" -> "Ñ", "ntilde" -> "ñ",
+    "Thorn" -> "Þ", "thorn" -> "þ", "Eth" -> "Ð", "eth" -> "ð",
+    "dotlessi" -> "ı", "Lslash" -> "Ł", "lslash" -> "ł",
+    "Scaron" -> "Š", "scaron" -> "š", "Zcaron" -> "Ž", "zcaron" -> "ž",
+    "Ydieresis" -> "Ÿ", "florin" -> "ƒ",
+    "Aacute" -> "Á", "aacute" -> "á", "Agrave" -> "À", "agrave" -> "à",
+    "Acircumflex" -> "Â", "acircumflex" -> "â", "Adieresis" -> "Ä",
+    "adieresis" -> "ä", "Atilde" -> "Ã", "atilde" -> "ã",
+    "Eacute" -> "É", "eacute" -> "é", "Egrave" -> "È", "egrave" -> "è",
+    "Ecircumflex" -> "Ê", "ecircumflex" -> "ê", "Edieresis" -> "Ë",
+    "edieresis" -> "ë",
+    "Iacute" -> "Í", "iacute" -> "í", "Igrave" -> "Ì", "igrave" -> "ì",
+    "Icircumflex" -> "Î", "icircumflex" -> "î", "Idieresis" -> "Ï",
+    "idieresis" -> "ï",
+    "Oacute" -> "Ó", "oacute" -> "ó", "Ograve" -> "Ò", "ograve" -> "ò",
+    "Ocircumflex" -> "Ô", "ocircumflex" -> "ô", "Odieresis" -> "Ö",
+    "odieresis" -> "ö", "Otilde" -> "Õ", "otilde" -> "õ",
+    "Uacute" -> "Ú", "uacute" -> "ú", "Ugrave" -> "Ù", "ugrave" -> "ù",
+    "Ucircumflex" -> "Û", "ucircumflex" -> "û", "Udieresis" -> "Ü",
+    "udieresis" -> "ü", "Yacute" -> "Ý", "yacute" -> "ý",
+    "ydieresis" -> "ÿ")
+
+  /** `/Encoding << /Differences [ code /name … ] >>` → code → Unicode
+    * (ISO 32000-1 §9.6.6.1: an integer sets the next code, each name
+    * consumes one). Unmappable glyph names are DROPPED from the map —
+    * the byte falls back to the Latin-1 identity, never glyph-name
+    * garbage. The /Encoding value may be inline or an indirect ref. */
+  private[sources] def differencesMap(objs: Map[Int, PdfObj],
+                                      fontDict: String): Map[Int, String] = {
+    val encDict = inlineDictAfter(fontDict, "/Encoding")
+      .orElse("""/Encoding\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fontDict)
+        .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
+      .getOrElse(return Map.empty)
+    val diffs = """(?s)/Differences\s*\[(.*?)\]""".r.findFirstMatchIn(encDict)
+      .map(_.group(1)).getOrElse(return Map.empty)
+    val out = scala.collection.mutable.Map[Int, String]()
+    var code = 0
+    for (tok <- """\d+|/[A-Za-z0-9.]+""".r.findAllIn(diffs)) {
+      if (tok.charAt(0) == '/') {
+        glyphUnicode(tok.drop(1)).foreach(u => out(code) = u)
+        code += 1
+      } else code = tok.toInt
+    }
+    out.toMap
+  }
+
+  /** `/Font` entries of a resources dict as per-name [[FontInfo]].
+    * Simple-font `/Differences` remaps merge UNDER ToUnicode (the CMap
+    * wins where both define a code, per spec precedence). */
   private[sources] def fontsFrom(objs: Map[Int, PdfObj],
                                  res: String): Map[String, FontInfo] = {
     val fontDictOpt = resourceSubDict(objs, res, "/Font")
@@ -680,7 +772,10 @@ object MiniPdf {
           .flatMap(tm => objs.get(tm.group(1).toInt))
           .map(o => parseToUnicode(new String(decodedStream(o), ISO_8859_1)))
           .getOrElse(Map.empty[Int, String])
-        m.group(1) -> FontInfo(twoByte, toUni)
+        val merged =
+          if (twoByte) toUni
+          else differencesMap(objs, fo.dict) ++ toUni
+        m.group(1) -> FontInfo(twoByte, merged)
       }
     }.toMap
   }

@@ -773,6 +773,26 @@ class MiniPdfSpec extends AnyFunSuite {
       "leading-dot /Matrix mis-parsed: " + svg)
   }
 
+  test("simple-font /Encoding /Differences decodes via glyph names (AGL subset), " +
+       "unmappable names fall back to identity, ToUnicode wins on overlap") {
+    // bytes: A(65) B(66) C(67) a(97) z(122)
+    // Differences: 65 -> adieresis, 66 -> space, 67 -> uni0416 (Ж),
+    //              97 -> eacute, 122 -> fancyUnknownGlyph (unmappable)
+    val content = "BT /F1 12 Tf (ABCaz) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /Differences [ 65 /adieresis /space /uni0416 " +
+        "97 /eacute 122 /fancyUnknownGlyph ] >> >>", None)))
+    val Right(pages) = MiniPdfDecoder().decode(pdf): @unchecked
+    // z (unmappable glyph name) stays identity 'z'
+    assert(pages == Seq("<div><p>ä Жéz</p></div>"))
+  }
+
   test("inline image: 'ID' inside a name token does not truncate the dict") {
     // /Filter named /CCIDFoo contains the bare substring 'ID' — the
     // boundary check must skip it and find the standalone ID operator
