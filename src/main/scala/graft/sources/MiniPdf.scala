@@ -732,19 +732,46 @@ object MiniPdf {
     "udieresis" -> "ü", "Yacute" -> "Ý", "yacute" -> "ý",
     "ydieresis" -> "ÿ")
 
-  /** `/Encoding << /Differences [ code /name … ] >>` → code → Unicode
-    * (ISO 32000-1 §9.6.6.1: an integer sets the next code, each name
-    * consumes one). Unmappable glyph names are DROPPED from the map —
-    * the byte falls back to the Latin-1 identity, never glyph-name
-    * garbage. The /Encoding value may be inline or an indirect ref. */
+  /** Upper-half (0x80–0xFF) remap for the two named base encodings a
+    * simple font can declare (ISO 32000-1 Annex D): the JDK ships both
+    * charsets, so the tables come from `Charset.forName` instead of a
+    * hand-embedded copy. Codes ≤ 0x7F are ASCII in all of them. */
+  private def baseEncodingMap(name: String): Map[Int, String] = {
+    val cs = name match {
+      case "WinAnsiEncoding" => "windows-1252"
+      case "MacRomanEncoding" => "x-MacRoman"
+      case _ => return Map.empty
+    }
+    val charset = java.nio.charset.Charset.forName(cs)
+    (0x80 to 0xFF).flatMap { b =>
+      val s = new String(Array(b.toByte), charset)
+      if (s.nonEmpty && s.charAt(0) != '�') Some(b -> s) else None
+    }.toMap
+  }
+
+  /** Simple-font code remaps from `/Encoding` (ISO 32000-1 §9.6.6.1):
+    * a NAMED encoding (`/Encoding /WinAnsiEncoding`, or `/BaseEncoding`
+    * inside the dict form) remaps the upper half through the real
+    * table; a `/Differences [ code /name … ]` array overlays glyph-name
+    * mappings (an integer sets the next code, each name consumes one).
+    * Unmappable glyph names are DROPPED from the map — the byte falls
+    * back to the Latin-1 identity, never glyph-name garbage. The
+    * /Encoding value may be inline or an indirect ref. */
   private[sources] def differencesMap(objs: Map[Int, PdfObj],
                                       fontDict: String): Map[Int, String] = {
-    val encDict = inlineDictAfter(fontDict, "/Encoding")
+    // name form: /Encoding /WinAnsiEncoding
+    val named = """/Encoding\s*/([A-Za-z]+)""".r.findFirstMatchIn(fontDict)
+      .map(m => baseEncodingMap(m.group(1)))
+    val encDictOpt = inlineDictAfter(fontDict, "/Encoding")
       .orElse("""/Encoding\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fontDict)
         .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
-      .getOrElse(return Map.empty)
-    val diffs = """(?s)/Differences\s*\[(.*?)\]""".r.findFirstMatchIn(encDict)
-      .map(_.group(1)).getOrElse(return Map.empty)
+    val base = named.getOrElse(encDictOpt
+      .flatMap(d => """/BaseEncoding\s*/([A-Za-z]+)""".r.findFirstMatchIn(d))
+      .map(m => baseEncodingMap(m.group(1)))
+      .getOrElse(Map.empty))
+    val diffs = encDictOpt
+      .flatMap(d => """(?s)/Differences\s*\[(.*?)\]""".r.findFirstMatchIn(d))
+      .map(_.group(1)).getOrElse(return base)
     val out = scala.collection.mutable.Map[Int, String]()
     var code = 0
     for (tok <- """\d+|/[A-Za-z0-9.]+""".r.findAllIn(diffs)) {
@@ -753,7 +780,7 @@ object MiniPdf {
         code += 1
       } else code = tok.toInt
     }
-    out.toMap
+    base ++ out.toMap
   }
 
   /** `/Font` entries of a resources dict as per-name [[FontInfo]].

@@ -793,6 +793,30 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(pages == Seq("<div><p>ä Жéz</p></div>"))
   }
 
+  test("named base encodings: /WinAnsiEncoding and /MacRomanEncoding remap the " +
+       "upper half; /Differences overlays the base") {
+    // WinAnsi: 0x93/0x94 are smart quotes, 0xE9 is é
+    val winContent = "BT /F1 12 Tf (A café) Tj ET"
+    // MacRoman: 0x8A is ä
+    val macContent = "BT /F2 12 Tf (bd) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R 6 0 R ] /Count 2 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${winContent.length} >>", Some(winContent.getBytes(ISO_8859_1))),
+      (5, "<< /Type /Font /Subtype /Type1 /Encoding /WinAnsiEncoding >>", None),
+      (6, "<< /Type /Page /Parent 2 0 R /Contents 7 0 R " +
+        "/Resources << /Font << /F2 8 0 R >> >> >>", None),
+      (7, s"<< /Length ${macContent.length} >>", Some(macContent.getBytes(ISO_8859_1))),
+      (8, "<< /Type /Font /Subtype /TrueType /Encoding << /BaseEncoding " +
+        "/MacRomanEncoding /Differences [ 100 /uni0414 ] >> >>", None)))
+    val Right(pages) = MiniPdfDecoder().decode(pdf): @unchecked
+    assert(pages(0) == "<div><p>“A” café</p></div>")
+    // MacRoman base gives ä at 0x8A; the Differences overlay maps 'd' (100) to Д
+    assert(pages(1) == "<div><p>bäД</p></div>")
+  }
+
   test("inline image: 'ID' inside a name token does not truncate the dict") {
     // /Filter named /CCIDFoo contains the bare substring 'ID' — the
     // boundary check must skip it and find the standalone ID operator
