@@ -10119,6 +10119,32 @@ object SparkEntry {
         expr("aggregate(pages, 0L, (acc, p) -> acc + size(split(p, '<img')) - 1)")
           .as("total_imgs"))
     }),
+
+    "q368_meta_robots" -> ((s, dir) => {
+      // in-document robots policy (round-14): the HTML twin of the
+      // X-Robots-Tag opt-out the reference honors (`downloader.py:
+      // 20-34`) — a compliant crawler must drop `<meta name=robots
+      // content=noindex/none>` pages before extraction. Planted per
+      // doc: doc_id%3==0 noindex (attribute order varies by doc_id%2),
+      // %3==1 nofollow-only (NOT an indexing opt-out), %3==2 no meta;
+      // windows-1251 bytes on %5==0 exercise detection-before-policy.
+      val gen = udf((id: Long) => {
+        val meta = (id % 3) match {
+          case 0 => if (id % 2 == 0) "<meta name=\"robots\" content=\"noindex, follow\">"
+                    else "<meta content='none' name='robots'>"
+          case 1 => "<meta name=\"robots\" content=\"nofollow\">"
+          case _ => ""
+        }
+        val cs = if (id % 5 == 0) "windows-1251" else "UTF-8"
+        val body = if (id % 5 == 0) "Привет" else "hello"
+        s"<html><head>$meta</head><body><p>$body</p></body></html>".getBytes(cs)
+      })
+      Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+        .select(col("doc_id"),
+          graft.functions.Dom.metaRobotsNoindex(col("payload"))
+            .cast("long").as("blocked"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16340,6 +16366,13 @@ object SparkEntry {
         |    + CASE WHEN doc_id % 2 = 1 THEN 2 + (doc_id + 1) % 6 ELSE 0 END
         |    AS BIGINT) AS total_words,
         |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS total_imgs
+        |FROM documents""".stripMargin,
+
+    // q368: meta-robots policy — only noindex/none blocks (nofollow
+    // alone and meta-less pages pass)
+    "q368_meta_robots" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
         |FROM documents""".stripMargin,
   )
 }

@@ -144,6 +144,30 @@ object Dom {
   def domTextBytes(c: Column): Column =
     udf((b: Array[Byte]) => parse(decodeHtml(b))._1).apply(c)
 
+  /** In-document robots policy: `<meta name="robots" content="…">`
+    * (either attribute order, any quoting) — the HTML twin of the
+    * `X-Robots-Tag` header opt-out the reference honors
+    * (`downloader.py:20-34`); a crawler that respects one must respect
+    * both. Returns true when the directives include `noindex` or
+    * `none` (RFC 9309-adjacent convention). */
+  private[graft] def robotsNoindex(html: String): Boolean = {
+    if (html == null || html.isEmpty) return false
+    val metas = """(?is)<meta\b[^>]*>""".r.findAllIn(html)
+    val Name = """(?i)name\s*=\s*["']?\s*robots\b""".r
+    val Content = """(?i)content\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""".r
+    metas.exists { m =>
+      Name.findFirstIn(m).isDefined && Content.findFirstMatchIn(m).exists { c =>
+        val v = Option(c.group(2)).orElse(Option(c.group(3)))
+          .getOrElse(c.group(4)).toLowerCase(java.util.Locale.ROOT)
+        v.split("[,\\s]+").exists(d => d == "noindex" || d == "none")
+      }
+    }
+  }
+
+  /** noindex flag over a BYTES column (charset-detected decode first). */
+  def metaRobotsNoindex(c: Column): Column =
+    udf((b: Array[Byte]) => robotsNoindex(decodeHtml(b))).apply(c)
+
   /** SAX-style parse: returns (visible text, img descriptors). Text is
     * whitespace-normalized (single spaces); script/style content is
     * dropped; entities are decoded by the parser. Null/empty html →

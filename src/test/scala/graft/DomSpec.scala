@@ -133,6 +133,28 @@ class DomSpec extends AnyFunSuite {
     assert(!isValidUtf8("truncated é".getBytes("UTF-8").dropRight(1)))
   }
 
+  test("meta robots: noindex/none detected in either attribute order and quoting; " +
+       "nofollow-only and unrelated metas pass") {
+    import graft.functions.Dom.robotsNoindex
+    assert(robotsNoindex("""<head><meta name="robots" content="noindex, follow"></head>"""))
+    assert(robotsNoindex("""<meta content='NONE' name='robots'>"""))
+    assert(robotsNoindex("""<META NAME=robots CONTENT=noindex>"""))
+    assert(!robotsNoindex("""<meta name="robots" content="nofollow">"""))
+    assert(!robotsNoindex("""<meta name="description" content="noindex is a word">"""))
+    assert(!robotsNoindex("""<meta name="robots" content="index, follow">"""))
+    // noindexfoo must not match the noindex directive
+    assert(!robotsNoindex("""<meta name="robots" content="noindexfoo">"""))
+    assert(!robotsNoindex(""))
+    // bytes column form, charset-detected
+    val rows = Seq(
+      ("block", "<html><head><meta name=\"robots\" content=\"noindex\"></head></html>".getBytes("UTF-8")),
+      ("allow", "<html><head></head><body>ok</body></html>".getBytes("UTF-8")))
+    val out = rows.toDF("id", "payload")
+      .select(col("id"), Dom.metaRobotsNoindex(col("payload")).as("blocked"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out("block") && !out("allow"))
+  }
+
   test("charset: end-to-end bytes column through detection + DOM parse") {
     val rows: Seq[(String, Array[Byte])] = Seq(
       ("ru", "<html><body>Русская страница здесь</body></html>".getBytes("windows-1251")),
