@@ -4912,8 +4912,11 @@ object SparkEntry {
       // bounding ring candidates by E·64 instead of Σ deg³). Test-scale
       // graphs stay under the guard, so this query runs the EXACT tier
       // and the oracle is the textbook computation; the capped tier is
-      // pinned by the planted-hub spec. Harmonic = n1 + n2/2 + n3/3:
-      // exact integer counts, two IEEE divisions, engine-identical.
+      // pinned by the planted-hub spec; the tier taken is surfaced
+      // (Graph.lastHarmonicTier, r15) — a capped run is a documented
+      // lower bound, so the oracle comparison is only meaningful when
+      // the tier is "exact". Harmonic = n1 + n2/2 + n3/3: exact
+      // integer counts, two IEEE divisions, engine-identical.
       val d = sessionPages(s, dir)
       val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
       val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))

@@ -42,9 +42,13 @@ object Dom {
     *      window), case-insensitive; unknown labels fall through
     *   3. strict UTF-8 validation of the full payload (ASCII-only
     *      passes here too)
-    *   4. legacy heuristic: Shift-JIS lead bytes 0x81–0x9F are
-    *      punctuation/rare in windows-125x, so several of them with
-    *      valid trails ⇒ Shift_JIS; else a high-byte population
+    *   4. legacy heuristic: Shift-JIS lead bytes 0x81–0x9F with valid
+    *      trails ⇒ Shift_JIS — but 0x91–0x97 is ALSO the windows-125x
+    *      typographic band (curly quotes/dashes: ’ in "don’t" is 0x92
+    *      followed by an ASCII letter, a perfectly valid SJIS pair), so
+    *      a 0x91–0x97 lead with an ASCII trail counts as latin
+    *      evidence, not SJIS, unless "strong" pairs (lead outside the
+    *      band, or a ≥0x80 trail) dominate; else a high-byte population
     *      dominated by 0xC0–0xFF (+Ё/ё at 0xA8/0xB8) ⇒ windows-1251;
     *      else windows-1252 (the web's de-facto latin fallback)
     */
@@ -73,6 +77,7 @@ object Dom {
     // latin text has isolated accents inside ASCII words.
     var i = 0
     var hi = 0; var cyr = 0; var sjisLead = 0; var sjisBad = 0
+    var sjisStrong = 0; var sjisPunct = 0
     var hiPairs = 0; var prevHi = false
     while (i < n) {
       val c = b(i)
@@ -85,13 +90,21 @@ object Dom {
         if (c >= 0x81 && c <= 0x9F) {
           if (i + 1 < n) {
             val t = b(i + 1)
-            if (t >= 0x40 && t <= 0xFC && t != 0x7F) { sjisLead += 1; prevHi = false; i += 2 }
+            if (t >= 0x40 && t <= 0xFC && t != 0x7F) {
+              sjisLead += 1
+              // 0x91-0x97 + ASCII trail is the windows-125x curly-
+              // quote/dash-before-a-letter shape — latin evidence
+              if (c >= 0x91 && c <= 0x97 && t < 0x80) sjisPunct += 1
+              else sjisStrong += 1
+              prevHi = false; i += 2
+            }
             else { sjisBad += 1; i += 1 }
           } else i += 1
         } else i += 1
       }
     }
-    if (sjisLead >= 3 && sjisLead > 4 * sjisBad) Charset.forName("Shift_JIS")
+    if (sjisStrong >= 3 && sjisLead > 4 * sjisBad && sjisStrong >= sjisPunct)
+      Charset.forName("Shift_JIS")
     else if (hi > 0 && cyr * 10 >= hi * 6 && hiPairs * 2 >= hi)
       Charset.forName("windows-1251")
     else Charset.forName("windows-1252")

@@ -123,7 +123,15 @@ object Graph {
     * bounds candidates by Σ min(deg,K)·deg ≤ E·K per ring; ring-1
     * counts stay true degrees, rings 2/3 become a deterministic
     * lower-bound traversal — the standard k-hop mitigation. The tier
-    * guard is ONE scalar agg (bounded collect). */
+    * guard is ONE scalar agg (bounded collect) whose job doubles as
+    * the materialization of the shared edge/degree caches every later
+    * ring reuses, so its marginal cost is the scheduling round-trip.
+    *
+    * The chosen tier is SURFACED ([[lastHarmonicTier]]) — a capped-tier
+    * run is a deterministic lower bound, NOT exact, so any
+    * exact-formula oracle comparison (q228) is only valid when the
+    * exact tier ran; a silent switch at scale would otherwise read as
+    * a correctness failure with no signal. */
   def harmonicCentrality3(und0: DataFrame, hubCap: Int = 64,
       exactWedgeCap: Long = 50000000L, topN: Int = 20): DataFrame = {
     val und = Dedup.cacheScoped(und0.select(col("u"), col("v")))
@@ -136,6 +144,7 @@ object Graph {
     val sumDeg2 = deg
       .agg(coalesce(sum(col("n1") * col("n1")), lit(0L)).as("s"))
       .collect()(0).getLong(0)
+    lastHarmonicTier = if (sumDeg2 <= exactWedgeCap) "exact" else "capped"
     val hop =
       if (sumDeg2 <= exactWedgeCap) r1.select(col("src").as("m"), col("dst"))
       else Dedup.cacheScoped(r1
@@ -163,6 +172,13 @@ object Graph {
           .as("harmonic"))
       .orderBy(desc("harmonic"), col("page")).limit(topN)
   }
+
+  /** Tier taken by the most recent [[harmonicCentrality3]] call:
+    * "exact" (full-adjacency BFS, oracle-comparable) or "capped"
+    * (hub-capped deterministic lower bound — approximate by design; an
+    * exact-formula oracle run MUST gate on this being "exact"). The
+    * [[lastPeelSeries]] telemetry discipline. */
+  @volatile private[graft] var lastHarmonicTier: String = ""
 
   /** Removed-node count per peel round of the most recent [[kCore]]
     * call — also emitted live through `observe` (`kcore_round_<i>`,

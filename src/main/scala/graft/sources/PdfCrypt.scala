@@ -249,6 +249,37 @@ object PdfCrypt {
     (java.util.regex.Pattern.quote(key) + """\s+(-?\d+)""").r
       .findFirstMatchIn(dict).map(_.group(1).toLong)
 
+  /** Balanced `<<…>>` dictionary text starting at the first `<<` at or
+    * after `from`; None if unterminated. */
+  private def balancedDict(s: String, from: Int): Option[String] = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return None
+    var i = start; var depth = 0
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(start, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** /CFM of the crypt filter named `name` inside the /CF dictionary
+    * (ISO 32000-1 §7.6.5). None when /CF, the named filter, or its
+    * /CFM is absent — NOT the first /CFM anywhere in the Encrypt dict:
+    * a /CF listing another filter before the /StmF one must not bleed
+    * its mode onto the stream filter. */
+  private[graft] def cryptFilterMode(encDict: String, name: String): Option[String] =
+    for {
+      cfAt <- """/CF\s*<<""".r.findFirstMatchIn(encDict).map(_.start)
+      cf   <- balancedDict(encDict, cfAt)
+      nmAt <- ("/" + java.util.regex.Pattern.quote(name) + """(?![A-Za-z0-9#._\-])""").r
+                .findFirstMatchIn(cf).map(_.end)
+      sub  <- balancedDict(cf, nmAt)
+      cfm  <- """/CFM\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(sub).map(_.group(1))
+    } yield cfm
+
   /** First element of the trailer `/ID [ <…> <…> ]` array. */
   private[sources] def firstFileId(raw: String): Array[Byte] = {
     val m = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(raw)
@@ -274,23 +305,25 @@ object PdfCrypt {
     val p = intAfter(encDict, "/P").getOrElse(return None)
     val emptyPw = Array.emptyByteArray
 
-    // crypt-filter mode for V4/V5: streams route through /StmF. An
-    // ABSENT /StmF means /Identity per spec (ISO 32000-1 Table 20) —
-    // streams are stored unencrypted; a /StmF naming anything other
-    // than /Identity or /StdCF is a custom crypt filter → fail CLOSED
-    // (decoding its ciphertext as if standard would emit garbage).
-    val cfm =
-      if (v < 4) if (v == 0) return None else "V2"
-      else """/CFM\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(encDict)
-        .map(_.group(1)).getOrElse("Identity")
-    val stmIdentity =
-      if (v < 4) false
-      else """/StmF\s*/([A-Za-z0-9]+)""".r.findFirstMatchIn(encDict)
+    // crypt-filter mode for V4/V5: streams route through /StmF (ISO
+    // 32000-1 Table 20). An ABSENT /StmF means /Identity — streams are
+    // stored unencrypted. A named /StmF is resolved in the /CF
+    // dictionary and ITS /CFM governs (r15: previously the first /CFM
+    // anywhere in the Encrypt dict won, so a /CF listing another
+    // filter before the /StmF one could misread the stream cipher); a
+    // filter missing from /CF or an unknown CFM fails CLOSED (decoding
+    // its ciphertext as if standard would emit garbage).
+    val (cfm, stmIdentity) =
+      if (v < 4) { if (v == 0) return None else ("V2", false) }
+      else """/StmF\s*/([A-Za-z0-9#._\-]+)""".r.findFirstMatchIn(encDict)
         .map(_.group(1)) match {
-        case None => true // spec default: /Identity
-        case Some("Identity") => true
-        case Some("StdCF") => cfm == "Identity"
-        case Some(_) => return None // custom crypt filter: unsupported
+        case None | Some("Identity") => ("Identity", true) // spec default
+        case Some(name) =>
+          cryptFilterMode(encDict, name) match {
+            case Some("Identity")                     => ("Identity", true)
+            case Some(m @ ("V2" | "AESV2" | "AESV3")) => (m, false)
+            case _ => return None // unresolvable filter / unknown CFM
+          }
       }
     val encryptMetadata =
       !"""/EncryptMetadata\s+false""".r.findFirstIn(encDict).isDefined

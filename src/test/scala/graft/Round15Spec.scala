@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import graft.sources.{MiniPdfDecoder, PdfCrypt}
+
+/** Round-15 hardening specs: the r14 ADVICE items — SJIS-vs-1252
+  * typographic punctuation, /CFM scoped to the /StmF-named crypt
+  * filter, nested-form resource inheritance, PDF-name-syntax
+  * /Differences tokenization, and the harmonic-centrality tier
+  * signal. */
+class Round15Spec extends AnyFunSuite {
+
+  // --------------------------------------------------- charset heuristic
+
+  test("undeclared-charset windows-1252 page with curly-quote contractions " +
+       "is NOT misread as Shift_JIS") {
+    // ’ is 0x92 in windows-1252; followed by an ASCII letter it forms a
+    // byte-valid SJIS lead+trail pair — the false-positive class
+    val text = "<html><body>don’t it’s we’re can’t " +
+      "— plain latin prose</body></html>"
+    val bytes = text.getBytes("windows-1252")
+    assert(!graft.functions.Dom.isValidUtf8(bytes)) // heuristic path taken
+    assert(graft.functions.Dom.detectEncoding(bytes).name == "windows-1252")
+    assert(graft.functions.Dom.decodeHtml(bytes).contains("don’t"))
+  }
+
+  test("genuine Shift_JIS page still detects (strong pairs dominate)") {
+    val text = "<html><body>こんにちは世界" +
+      "、日本語のテキスト</body></html>"
+    val bytes = text.getBytes("Shift_JIS")
+    assert(graft.functions.Dom.detectEncoding(bytes).name == "Shift_JIS")
+  }
+
+  // ----------------------------------------- /CFM scoped to /StmF filter
+
+  test("cryptFilterMode resolves the NAMED filter inside /CF, not the first " +
+       "/CFM anywhere in the Encrypt dict") {
+    val d = "<< /Filter /Standard /CF << /AcmeCF << /CFM /V2 /Length 16 >> " +
+      "/StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF >>"
+    assert(PdfCrypt.cryptFilterMode(d, "StdCF") == Some("AESV2"))
+    assert(PdfCrypt.cryptFilterMode(d, "AcmeCF") == Some("V2"))
+    assert(PdfCrypt.cryptFilterMode(d, "NoSuchCF").isEmpty)
+    // CFM absent inside the named filter: None, never a bleed-through
+    val noCfm = "<< /CF << /StdCF << /Length 16 >> >> /StmF /StdCF >>"
+    assert(PdfCrypt.cryptFilterMode(noCfm, "StdCF").isEmpty)
+  }
+
+  test("decoy crypt filter listed BEFORE /StdCF in /CF: the AESV2 fixture " +
+       "still decrypts (stream mode comes from the /StmF-named filter)") {
+    val base = new String(
+      EncryptedPdfFixtures.all.find(_.name == "aesv2").get.pdf, ISO_8859_1)
+    val decoy = base.replace("/CF << /StdCF",
+      "/CF << /AaCF << /CFM /V2 /Length 16 >> /StdCF")
+    assert(decoy != base, "fixture shape changed — update the replace")
+    assert(MiniPdfDecoder().decode(decoy.getBytes(ISO_8859_1)) ==
+      Right(Seq(s"<div><p>${EncryptedPdfFixtures.all.find(_.name == "aesv2").get.text}</p></div>")))
+  }
+
+  test("/StmF-named filter with an ABSENT /CFM fails CLOSED") {
+    val base = new String(
+      EncryptedPdfFixtures.all.find(_.name == "aesv2").get.pdf, ISO_8859_1)
+    val broken = base.replace("/CFM /AESV2", "/CFX /AESV2")
+    assert(broken != base, "fixture shape changed — update the replace")
+    val res = MiniPdfDecoder().decode(broken.getBytes(ISO_8859_1))
+    assert(res.isLeft && res.swap.toOption.get.contains("encrypted"))
+  }
+
+  // ------------------------------------------------ PDF fixture assembly
+
+  private def rawPdf(objects: Seq[(Int, String, Option[Array[Byte]])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    for ((num, dict, stream) <- objects) {
+      w(s"$num 0 obj\n$dict\n")
+      stream.foreach { data => w("stream\n"); bos.write(data); w("\nendstream\n") }
+      w("endobj\n")
+    }
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  // ------------------------------------- nested-form resource inheritance
+
+  test("form without /Resources invoked from a NESTED form sees the invoking " +
+       "form's resources, not the page's (ISO 32000-1 §7.8.3)") {
+    // page -> /FmOuter (own resources: /FmInner + /ImX) -> /FmInner
+    // (NO resources) paints /ImX — resolvable only through the OUTER
+    // form's map; the page's XObject map has no /ImX
+    val pageContent = "BT (page) Tj ET /FmOuter Do"
+    val outer = "BT (outer) Tj ET /FmInner Do"
+    val inner = "BT (inner) Tj ET /ImX Do"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /FmOuter 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Form /Resources << /XObject << /FmInner 6 0 R " +
+        s"/ImX 7 0 R >> >> /Length ${outer.length} >>", Some(outer.getBytes(ISO_8859_1))),
+      (6, s"<< /Subtype /Form /Length ${inner.length} >>", Some(inner.getBytes(ISO_8859_1))),
+      (7, "<< /Subtype /Image /Width 33 /Height 44 /Length 1 >>", Some(Array[Byte](0)))))
+    assert(MiniPdfDecoder().decode(pdf) == Right(Seq(
+      "<div><p>page outer inner</p>" +
+        "<img width=\"33\" height=\"44\" src=\"img0.png\" alt=\"\"/></div>")))
+  }
+
+  test("nested form drawings inherit the invoker's XObject map the same way") {
+    val pageContent = "/FmOuter Do"
+    val outer = "/FmInner Do"
+    val inner = "0 0 m 4 4 l S /FmLeaf Do"
+    val leaf = "1 0 m 2 0 l S"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /FmOuter 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${pageContent.length} >>", Some(pageContent.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Form /Resources << /XObject << /FmInner 6 0 R " +
+        s"/FmLeaf 7 0 R >> >> /Length ${outer.length} >>", Some(outer.getBytes(ISO_8859_1))),
+      // inner has NO resources: /FmLeaf resolves through the OUTER map
+      (6, s"<< /Subtype /Form /Length ${inner.length} >>", Some(inner.getBytes(ISO_8859_1))),
+      (7, s"<< /Subtype /Form /Length ${leaf.length} >>", Some(leaf.getBytes(ISO_8859_1)))))
+    val Right(pairs) = MiniPdfDecoder().decodeWithDrawings(pdf): @unchecked
+    val svg = pairs.head._2
+    assert(svg.contains("M 0 0 L 4 4"))
+    assert(svg.contains("M 1 0 L 2 0"), "leaf form painted through inherited map")
+  }
+
+  // ------------------------------------ /Differences name-syntax tokens
+
+  test("/Differences glyph name with an underscore-digit suffix never resets " +
+       "the code counter (PDF name syntax tokenization)") {
+    // broken tokenizer read /g_1 as name /g + integer 1, remapping the
+    // NEXT name to code 1 instead of 66
+    val content = "BT /F1 12 Tf (AB) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Type /Font /Subtype /Type1 /BaseFont /Foo " +
+        "/Encoding << /Differences [ 65 /g_1 /quoteright ] >> >>", None)))
+    // 65 → /g_1 (unmappable: byte-identity 'A'), 66 → /quoteright
+    assert(MiniPdfDecoder().decode(pdf) ==
+      Right(Seq("<div><p>A’</p></div>")))
+  }
+
+  // ----------------------------------------- harmonic tier is surfaced
+
+  test("harmonicCentrality3 surfaces the tier it ran: exact vs capped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val und = (1 to 10).map(i => (0L, i.toLong)).toDF("u", "v")
+    graft.operators.Graph.harmonicCentrality3(und, topN = 5).collect()
+    assert(graft.operators.Graph.lastHarmonicTier == "exact")
+    graft.operators.Graph.harmonicCentrality3(und, hubCap = 4,
+      exactWedgeCap = 0L, topN = 5).collect()
+    assert(graft.operators.Graph.lastHarmonicTier == "capped")
+  }
+}
