@@ -150,6 +150,32 @@ object Bench {
     }
     System.err.println(roundTotals.zipWithIndex
       .map { case (t, i) => s"round${i + 1}=${f"$t%.1f"}s" }.mkString("[bench] ", " ", ""))
+    // --- solo-warm sampling (round-15): the residual in-suite inflation
+    // on codegen-heavy queries is JIT/code-cache re-profiling churn
+    // across 369 distinct call sites, not plan cost (q361 r14: 2.48 s
+    // in-suite vs 1.44 s solo-warm, measured manually). Re-run the
+    // top-K most expensive queries back-to-back at the end — two
+    // consecutive runs, keep the min: the first re-JITs the query's own
+    // stages, the second times the steady state a solo session sees.
+    // The artifact then carries plan-cost truth (solo_sec) beside
+    // in-suite truth (sec) without a manual session.
+    val soloK = sys.env.getOrElse("SPARK_GRAFT_SOLO_K", "10").toInt
+    val soloSec = scala.collection.mutable.Map.empty[String, Double]
+    for ((name, fn) <- names.sortBy { case (n, _) => -best.getOrElse(n, 0.0) }
+           .take(math.max(0, soloK))) {
+      var m = Double.MaxValue
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] solo $name failed: ${e.getMessage}")
+        }
+        m = math.min(m, (System.nanoTime() - t0) / 1e9)
+        graft.operators.Dedup.unpersistAll()
+      }
+      soloSec(name) = m
+      System.err.println(f"[bench] solo $name: $m%.3fs (in-suite ${best(name)}%.3fs)")
+    }
     // code-cache occupancy at end of run (the q361 eviction diagnosis):
     // peak == reserved means C2 eviction churn is live at this size
     poolBeans.forEach { p =>
@@ -168,18 +194,21 @@ object Bench {
     val byId = results.sortBy { case (n, _) => (qid(n), n) }
     for ((n, v) <- byId) {
       val t = tele.getOrElse(n, Tele())
+      val solo = soloSec.get(n).map(s => s""","solo_sec":${fmt(s)}""").getOrElse("")
       println(s"""{"query":"$n","sec":${fmt(v)},"gc_ms":${t.bestGcMs},""" +
         s""""peak_mb":${t.bestPeakMb},"retries":${t.retries},""" +
-        s""""worst_sec":${fmt(t.worstSec)},"worst_gc_ms":${t.worstGcMs}}""")
+        s""""worst_sec":${fmt(t.worstSec)},"worst_gc_ms":${t.worstGcMs}$solo}""")
     }
     val qs = byId.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // telemetry map: name -> [best_gc_ms, best_peak_mb, retries,
     // worst_sec, worst_gc_ms]; placed BEFORE "queries" so the driver's
     // tail-capture truncation can only cost telemetry, never timings
+    // 6th element: solo-warm sec for the sampled top-K, -1 elsewhere
     val ts = byId.map { case (k, _) =>
       val t = tele.getOrElse(k, Tele())
-      "\"" + k + s"""":[${t.bestGcMs},${t.bestPeakMb},${t.retries},${fmt(t.worstSec)},${t.worstGcMs}]"""
+      val solo = soloSec.get(k).map(fmt).getOrElse("-1")
+      "\"" + k + s"""":[${t.bestGcMs},${t.bestPeakMb},${t.retries},${fmt(t.worstSec)},${t.worstGcMs},$solo]"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val rounds = roundTotals.map(fmt).mkString("[", ",", "]")

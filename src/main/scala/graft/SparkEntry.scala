@@ -8918,29 +8918,51 @@ object SparkEntry {
     }),
 
     "q337_phash_dedup" -> ((s, dir) => {
-      // perceptual-hash near-dup over the media column [EXT] — the
-      // image-dedup shape at scale: 60-bit pHash per asset, 4×15-bit
-      // Hamming BANDS (pigeonhole: ≤3 bit flips across 4 bands leave
-      // ≥1 band intact, so the band equi-join provably finds EVERY
-      // pair at hamming ≤ 3 — the oracle verifies by brute all-pairs,
-      // which must give the identical set), exact bit_count(xor)
-      // verify on candidates only. The pHash itself is the honestly-
-      // stubbed codec step (Multimodal discipline): a coarse content
-      // feature (md5 of the asset's leading bytes) + a deterministic
-      // per-asset perturbation standing in for DCT low frequencies —
-      // the BANDING plumbing, which is what has to scale, is real.
-      val docs = Tables.documents(s, dir)
-      val base = conv(substring(md5(substring(col("text"), 1, 40)), 1, 15),
-        16, 10).cast("long")
-      val pert = when(col("doc_id") % 4 === 0, 0L)
-        .when(col("doc_id") % 4 === 1, 1L << 7)
-        .when(col("doc_id") % 4 === 2, (1L << 13) | (1L << 47))
-        .otherwise((1L << 5) | (1L << 23) | (1L << 58))
-      val ph = Dedup.cacheScoped(docs.select(col("doc_id"),
-        base.bitwiseXOR(pert).as("phash")))
+      // perceptual-hash near-dup over REAL pixels (r15 promotion of the
+      // stub hash input — the last honest stub in the multimodal row):
+      // per doc a real 8×8 black/white PNG is ENCODED whose cell
+      // pattern encodes p = (doc_id/4) % 64 in a 10×-repetition code
+      // (cells 0–59; 60–61 forced bright and 62–63 forced dark keep
+      // the aHash mean strictly interior) and whose variant
+      // v = doc_id % 4 flips a fixed cell set (∅/{7}/{13,47}/
+      // {5,23,58}). JdkImageCodec.averagePHash64 recovers the 64-bit
+      // average hash from ACTUAL decoded pixels; 4×16-bit Hamming
+      // bands (pigeonhole: ≤3 flips leave ≥1 band intact, so the band
+      // equi-join provably finds EVERY pair at hamming ≤ 3) feed the
+      // exact bit_count(xor) verify on candidates only. Distinct p's
+      // differ in ≥10 cells, minus ≤6 variant flips still > 3 — so
+      // ONLY same-p pairs with variant symmetric-difference ≤ 3
+      // survive, which is exactly the arithmetic the oracle replays. A
+      // decode slip, wrong grid mean, bit-order bug, or banding break
+      // changes the pair set and the hash.
+      val gen = udf((id: Long) => {
+        val p = ((id / 4) % 64).toInt
+        val flips: Set[Int] = (id % 4).toInt match {
+          case 0 => Set.empty
+          case 1 => Set(7)
+          case 2 => Set(13, 47)
+          case _ => Set(5, 23, 58)
+        }
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (i <- 0 until 64) {
+          val base = if (i < 60) ((p >> (i / 10)) & 1) == 1 else i < 62
+          val bright = base ^ flips.contains(i)
+          img.setRGB(i % 8, i / 8, if (bright) 0xFFFFFF else 0x000000)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val ph64 = udf((b: Array[Byte]) =>
+        graft.operators.Multimodal.JdkImageCodec.averagePHash64(b)
+          .map(java.lang.Long.valueOf).orNull)
+      val ph = Dedup.cacheScoped(Tables.documents(s, dir)
+        .select(col("doc_id"), ph64(gen(col("doc_id"))).as("phash"))
+        .filter(col("phash").isNotNull))
       val bands = ph.select(col("doc_id"), col("phash"),
         explode(array((0 to 3).map(i => struct(lit(i).as("b"),
-          shiftright(col("phash"), i * 15).bitwiseAND(lit(0x7FFFL))
+          shiftright(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))
             .as("v"))): _*)).as("r"))
         .select(col("doc_id"), col("phash"), col("r.b").as("b"),
           col("r.v").as("v"))
@@ -9881,17 +9903,22 @@ object SparkEntry {
 
     "q364_pdf_encrypted" -> ((s, dir) => {
       // ENCRYPTED-PDF pipeline parity (round-14 item-1 "done" gate): per
-      // doc a genuine RC4-128 (V2/R3) PDF is assembled and ENCRYPTED by
-      // an inline, from-scratch ISO 32000 implementation (Algorithms
-      // 1/2/3/5 — independent of PdfCrypt, which only ever decrypts),
-      // with planted per-page word counts. Docs with doc_id % 5 == 0
-      // carry a REAL user password: their /U check must fail and the
-      // decoder surfaces the reference's `cannot open document` channel
-      // (ref `downloader.py:385` — PyMuPDF opens empty-user-password
-      // files transparently, password-protected ones error). The oracle
+      // doc a genuine encrypted PDF is assembled and ENCRYPTED by an
+      // inline, from-scratch ISO 32000 implementation (Algorithms
+      // 1/1.A/2/3/5 — independent of PdfCrypt, which only ever
+      // decrypts), with planted per-page word counts. Docs with
+      // doc_id % 3 == 1 take the V4/R4 **AES-128-CBC (/AESV2)** leg
+      // (r15 item-4: JDK javax.crypto is the generator — a THIRD
+      // independent AES implementation against PdfCrypt's decryptor and
+      // the Python fixture generator); the rest take RC4-128 (V2/R3).
+      // Docs with doc_id % 5 == 0 carry a REAL user password (in both
+      // cipher classes): their /U check must fail and the decoder
+      // surfaces the reference's `cannot open document` channel (ref
+      // `downloader.py:385` — PyMuPDF opens empty-user-password files
+      // transparently, password-protected ones error). The oracle
       // replays the planted arithmetic; a wrong key derivation, object
-      // key, or RC4 state machine turns pages into garbage and breaks
-      // the word-count hash.
+      // key, CBC/IV handling, or RC4 state machine turns pages into
+      // garbage and breaks the word-count hash.
       val gen = udf((id: Long) => {
         import java.security.MessageDigest
         val pad = Array( // ISO 32000-1 §7.6.3.3 padding constant (public)
@@ -9940,8 +9967,24 @@ object SparkEntry {
         var u = rc4(fileKey, md5(pad, id0))
         for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
         val u32 = u ++ new Array[Byte](16)
+        val aes = id % 3 == 1 // V4/R4 /AESV2 leg; others V2/R3 RC4
+        // Algorithm 1 (RC4) / 1.A (AES: +sAlT suffix) object keys
+        val sAlT = Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)
         def objKey(num: Int): Array[Byte] =
-          md5(fileKey, le(num.toLong, 3), le(0L, 2)).take(16)
+          (if (aes) md5(fileKey, le(num.toLong, 3), le(0L, 2), sAlT)
+           else md5(fileKey, le(num.toLong, 3), le(0L, 2))).take(16)
+        // AES-128-CBC with the IV prepended (ISO 32000-1 §7.6.2); the
+        // IV is derived deterministically so the fixture is stable
+        def aesEnc(key: Array[Byte], num: Int, data: Array[Byte]): Array[Byte] = {
+          val iv = md5(le(id, 8), le(num.toLong, 4)).take(16)
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(key, "AES"),
+            new javax.crypto.spec.IvParameterSpec(iv))
+          iv ++ c.doFinal(data)
+        }
+        def encStream(num: Int, data: Array[Byte]): Array[Byte] =
+          if (aes) aesEnc(objKey(num), num, data) else rc4(objKey(num), data)
         def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
         val sb = new StringBuilder("%PDF-1.6\n")
         def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
@@ -9960,12 +10003,15 @@ object SparkEntry {
         for (p <- 0 until pcount) {
           val wc = 1 + ((id + p) % 8).toInt
           val words = Seq.fill(wc)("w").mkString(" ")
-          val enc = rc4(objKey(20 + p),
-            s"BT ($words) Tj ET".getBytes("ISO-8859-1"))
+          val enc = encStream(20 + p, s"BT ($words) Tj ET".getBytes("ISO-8859-1"))
           obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R >>", None)
           obj(20 + p, s"<< /Length ${enc.length} >>", Some(enc))
         }
-        obj(5, s"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <${hex(o)}> " +
+        val mode =
+          if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
+            "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+          else "/V 2 /R 3 /Length 128"
+        obj(5, s"<< /Filter /Standard $mode /O <${hex(o)}> " +
           s"/U <${hex(u32)}> /P $pPerm >>", None)
         sb.append(s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R " +
           s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
@@ -10147,6 +10193,110 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.Dom.metaRobotsNoindex(col("payload"))
             .cast("long").as("blocked"))
+    }),
+
+    "q369_pdf_embedded_font" -> ((s, dir) => {
+      // EMBEDDED-FONT text decode parity (round-15 item-1 "done" gate;
+      // ref `extractor.py:136` — PyMuPDF reads the font PROGRAM when a
+      // font carries no /ToUnicode and no standard /Encoding): per doc
+      // a genuine PDF whose only font maps byte codes through one of
+      // THREE embedded programs — (a) subset TrueType with a symbolic
+      // (3,0) cmap and `post` glyph names, (b) subset TrueType with a
+      // symbolic cmap resolved through the INVERTED (3,1) Unicode cmap
+      // (no post table), (c) Type 1 cleartext /Encoding `dup … put`
+      // array — with letter/word-shape arithmetic planted in doc_id.
+      // The glyph codes are NOT the character values, so a cmap
+      // binary-search bug, a post-name misread, or an inversion slip
+      // turns every word into garbage and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        def be16(v: Int): Array[Byte] =
+          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def be32(v: Long): Array[Byte] =
+          Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+        def sfnt(tables: (String, Array[Byte])*): Array[Byte] = {
+          var off = 12 + 16 * tables.length
+          val dir = tables.map { case (tag, data) =>
+            val rec = cat(tag.getBytes(ISO), be32(0), be32(off), be32(data.length))
+            off += data.length; rec
+          }
+          cat((be32(0x00010000L) +: be16(tables.length) +: be16(0) +: be16(0) +:
+            be16(0) +: dir) ++ tables.map(_._2): _*)
+        }
+        def cmapTbl(subs: ((Int, Int), Array[Byte])*): Array[Byte] = {
+          var off = 4 + 8 * subs.length
+          val recs = subs.map { case ((plat, enc), data) =>
+            val rec = cat(be16(plat), be16(enc), be32(off))
+            off += data.length; rec
+          }
+          cat((be16(0) +: be16(subs.length) +: recs) ++ subs.map(_._2): _*)
+        }
+        def cmap4(pairs: (Int, Int)*): Array[Byte] = {
+          val segs = pairs.sortBy(_._1).map { case (c, g) =>
+            (c, c, (g - c) & 0xffff) } :+ ((0xFFFF, 0xFFFF, 1))
+          val n = segs.length
+          cat(Seq(be16(4), be16(16 + 8 * n), be16(0), be16(n * 2), be16(0),
+            be16(0), be16(0)) ++ segs.map(x => be16(x._2)) ++ Seq(be16(0)) ++
+            segs.map(x => be16(x._1)) ++ segs.map(x => be16(x._3)) ++
+            segs.map(_ => be16(0)): _*)
+        }
+        def post2(custom: Seq[String]): Array[Byte] =
+          cat(Seq(be32(0x00020000L), new Array[Byte](28),
+            be16(custom.length + 1), be16(0)) ++
+            custom.indices.map(k => be16(258 + k)) ++
+            custom.map(nm => cat(Array(nm.length.toByte), nm.getBytes(ISO))): _*)
+        val letter = ('a' + (id % 26)).toChar
+        val wl = 3 + (id % 4).toInt
+        val wc = 1 + (id % 7).toInt
+        val (font, fileKey, subtype) = (id % 3) match {
+          case 0 => (sfnt(
+              "cmap" -> cmapTbl((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2)),
+              "post" -> post2(Seq(letter.toString, "space"))),
+            "/FontFile2", "/TrueType")
+          case 1 => (sfnt(
+              "cmap" -> cmapTbl(
+                (3, 0) -> cmap4(0xF001 -> 5, 0xF002 -> 6),
+                (3, 1) -> cmap4(letter.toInt -> 5, 0x20 -> 6))),
+            "/FontFile2", "/TrueType")
+          case _ => ((s"/Encoding 256 array\ndup 1 /$letter put\n" +
+              "dup 2 /space put\nreadonly def\neexec X").getBytes(ISO),
+            "/FontFile", "/Type1")
+        }
+        val codes = Seq.fill(wc)("" * wl).mkString("")
+        val content = s"BT /F1 12 Tf ($codes) Tj ET"
+        val bos = new java.io.ByteArrayOutputStream()
+        def w(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          w(s"$num 0 obj\n$dict\n")
+          stream.foreach { st =>
+            w("stream\n"); bos.write(st); w("\nendstream\n")
+          }
+          w("endobj\n")
+        }
+        w("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /Font << /F1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Type /Font /Subtype $subtype /BaseFont /Fake " +
+          "/FontDescriptor 6 0 R >>", None)
+        obj(6, s"<< /Type /FontDescriptor /FontName /Fake $fileKey 7 0 R >>", None)
+        obj(7, s"<< /Length ${font.length} >>", Some(font))
+        w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "payload")
+      val txt = trim(regexp_replace(array_join(col("pages"), " "),
+        lit("<[^>]+>"), lit("")))
+      decoded.select(col("doc_id"),
+        size(split(txt, " +")).cast("long").as("n_words"),
+        length(regexp_replace(txt, lit("[^a-z]"), lit(""))).cast("long").as("n_letters"),
+        substring(txt, 1, 1).as("first_char"))
     }),
   )
 
@@ -15668,21 +15818,25 @@ object SparkEntry {
         |  CAST(n_keys_over AS BIGINT) AS n_keys_over_2x
         |FROM st, p, ov""".stripMargin,
 
+    // q337: real-pixel aHash near-dup — the image pattern encodes
+    // p=(doc_id/4)%64 in a 10×-repetition code (cross-p Hamming ≥ 10-6
+    // > 3) and variant v=doc_id%4 flips the fixed cell sets
+    // ∅/{7}/{13,47}/{5,23,58}; surviving pairs are exactly same-p with
+    // |S_va Δ S_vb| ≤ 3, which this oracle replays
     "q337_phash_dedup" ->
-      """WITH h AS (SELECT doc_id,
-        |    CAST(CAST(concat('0x', substr(md5(substr(text, 1, 40)), 1, 15))
-        |      AS UINT64) AS BIGINT) AS base,
-        |    doc_id % 4 AS p
-        |  FROM documents),
-        |ph AS (SELECT doc_id, xor(base, CASE p WHEN 0 THEN 0 WHEN 1 THEN 128
-        |         WHEN 2 THEN (CAST(1 AS BIGINT) << 13) | (CAST(1 AS BIGINT) << 47)
-        |         ELSE (CAST(1 AS BIGINT) << 5) | (CAST(1 AS BIGINT) << 23)
-        |           | (CAST(1 AS BIGINT) << 58) END) AS phash
-        |       FROM h)
-        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+      """WITH d AS (SELECT doc_id, (doc_id // 4) % 64 AS p, doc_id % 4 AS v
+        |           FROM documents),
+        |pr AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |         CASE WHEN a.v = b.v THEN 0
+        |              WHEN a.v + b.v = 1 THEN 1
+        |              WHEN a.v + b.v = 2 THEN 2
+        |              WHEN a.v * b.v = 0 AND a.v + b.v = 3 THEN 3
+        |              WHEN a.v + b.v = 3 THEN 3
+        |              WHEN a.v + b.v = 4 THEN 4
+        |              ELSE 5 END AS hamming
+        |       FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id)
+        |SELECT key_a, key_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pr WHERE hamming <= 3
         |ORDER BY hamming, key_a, key_b LIMIT 50""".stripMargin,
 
     "q338_quality_yield" ->
@@ -16376,6 +16530,16 @@ object SparkEntry {
     "q368_meta_robots" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked
+        |FROM documents""".stripMargin,
+
+    // q369: embedded-font decode — codes map through TrueType cmap/post
+    // (or Type 1 dup-encoding) programs; the oracle replays the planted
+    // letter/word-shape arithmetic
+    "q369_pdf_embedded_font" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 7 AS BIGINT) AS n_words,
+        |  CAST((1 + doc_id % 7) * (3 + doc_id % 4) AS BIGINT) AS n_letters,
+        |  chr(97 + CAST(doc_id % 26 AS INTEGER)) AS first_char
         |FROM documents""".stripMargin,
   )
 }

@@ -90,12 +90,13 @@ class PipelineAuditSpec extends AnyFunSuite {
     assert(math.abs(viaExpr - 0.9611111111111111) < eps)
   }
 
-  test("q337 pigeonhole: 4×15-bit bands find EVERY pair at hamming ≤ 3") {
+  test("q337 pigeonhole: 4×16-bit bands find EVERY pair at hamming ≤ 3") {
     // flip k bits of a base hash; band-candidacy (≥1 equal band) must
-    // hold for every k ≤ 3 (pigeonhole) — and CAN fail only for k ≥ 4
-    val base = 0x0ABCDEF123456L // 60-bit
-    def bands(x: Long): Seq[Long] = (0 to 3).map(i => (x >> (i * 15)) & 0x7FFF)
-    val flips3 = Seq(Seq(0), Seq(14, 29), Seq(1, 22, 59), Seq(3, 17, 44))
+    // hold for every k ≤ 3 (pigeonhole) — and CAN fail only for k ≥ 4.
+    // 64-bit aHash since r15 (real-pixel promotion), 16-bit bands.
+    val base = 0x8ABCDEF123456789L
+    def bands(x: Long): Seq[Long] = (0 to 3).map(i => (x >>> (i * 16)) & 0xFFFF)
+    val flips3 = Seq(Seq(0), Seq(15, 31), Seq(1, 22, 63), Seq(3, 17, 44))
     flips3.foreach { bits =>
       val other = bits.foldLeft(base)((h, b) => h ^ (1L << b))
       assert(java.lang.Long.bitCount(base ^ other) === bits.length)
@@ -105,7 +106,7 @@ class PipelineAuditSpec extends AnyFunSuite {
     // one flip per band: all 4 bands differ — correctly NOT a candidate,
     // and also beyond the hamming-3 threshold, so the result set is
     // still exactly the all-pairs answer
-    val far = Seq(0, 15, 30, 45).foldLeft(base)((h, b) => h ^ (1L << b))
+    val far = Seq(0, 16, 32, 48).foldLeft(base)((h, b) => h ^ (1L << b))
     assert(bands(base).zip(bands(far)).forall { case (x, y) => x != y })
     assert(java.lang.Long.bitCount(base ^ far) === 4)
   }

@@ -160,4 +160,73 @@ class Round15Spec extends AnyFunSuite {
       exactWedgeCap = 0L, topN = 5).collect()
     assert(graft.operators.Graph.lastHarmonicTier == "capped")
   }
+
+  // --------------------------------------------- real-pixel average pHash
+
+  /** 8×8 black/white PNG from a 64-bit cell pattern (bit i bright),
+    * optionally scaled up by an integer factor (block-average identity
+    * check). */
+  private def patternPng(bits: Long, scale: Int = 1): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8 * scale, 8 * scale,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (i <- 0 until 64; dy <- 0 until scale; dx <- 0 until scale)
+      img.setRGB((i % 8) * scale + dx, (i / 8) * scale + dy,
+        if (((bits >> i) & 1) == 1) 0xFFFFFF else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("averagePHash64 recovers the planted cell pattern from real pixels") {
+    import graft.operators.Multimodal.JdkImageCodec.averagePHash64
+    // half-bright pattern: mean interior, hash == pattern exactly
+    val bits = 0x0F0F0F0F0F0F0F0FL
+    assert(averagePHash64(patternPng(bits)) == Some(bits))
+    // near-identical: 3 flipped cells → Hamming exactly 3
+    val flipped = bits ^ ((1L << 5) | (1L << 23) | (1L << 58))
+    val h1 = averagePHash64(patternPng(bits)).get
+    val h2 = averagePHash64(patternPng(flipped)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) == 3)
+    // identical images → Hamming 0 (hash is deterministic)
+    assert(averagePHash64(patternPng(flipped)).get == h2)
+    // distinct patterns land far apart
+    val other = 0x33CC33CC33CC33CCL
+    assert(java.lang.Long.bitCount(
+      h1 ^ averagePHash64(patternPng(other)).get) > 10)
+  }
+
+  test("averagePHash64 is scale-invariant under block-exact upsampling and " +
+       "fails open on undecodable payloads") {
+    import graft.operators.Multimodal.JdkImageCodec.averagePHash64
+    val bits = 0x5A5A00FF5A5A00FFL
+    val h8 = averagePHash64(patternPng(bits))
+    assert(h8 == Some(bits))
+    assert(averagePHash64(patternPng(bits, scale = 2)) == h8)
+    assert(averagePHash64(patternPng(bits, scale = 5)) == h8)
+    assert(averagePHash64("not an image".getBytes(ISO_8859_1)).isEmpty)
+    assert(averagePHash64(Array.emptyByteArray).isEmpty)
+  }
+
+  // -------------------------------------------------- q364 AES-CBC leg
+
+  test("q364 generator's AES and RC4 legs both decode; locked docs fail " +
+       "closed in both cipher classes") {
+    val spark = TestSpark.spark
+    val out = SparkEntry.queries("q364_pdf_encrypted")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(out.nonEmpty)
+    // AES leg (id%3==1, not locked): decodes with the planted page count
+    out.collect { case (id, (ok, np)) if id % 3 == 1 && id % 5 != 0 =>
+      assert(ok == 1L && np == 1 + id % 3, s"AES doc $id") }
+    // RC4 legs (id%3!=1, not locked) decode too
+    out.collect { case (id, (ok, np)) if id % 3 != 1 && id % 5 != 0 =>
+      assert(ok == 1L && np == 1 + id % 3, s"RC4 doc $id") }
+    // locked docs fail closed regardless of cipher
+    out.collect { case (id, (ok, _)) if id % 5 == 0 =>
+      assert(ok == 0L, s"locked doc $id") }
+    assert(out.keys.exists(id => id % 3 == 1 && id % 5 != 0), "AES leg present")
+    assert(out.keys.exists(id => id % 5 == 0 && id % 3 == 1), "locked AES doc present")
+  }
 }
