@@ -10298,6 +10298,85 @@ object SparkEntry {
         length(regexp_replace(txt, lit("[^a-z]"), lit(""))).cast("long").as("n_letters"),
         substring(txt, 1, 1).as("first_char"))
     }),
+
+    "q370_pdf_image_payload" -> ((s, dir) => {
+      // IN-PDF IMAGE PAYLOAD extraction (round-15 item-3 "done" gate;
+      // ref `extractor.py:136` — PyMuPDF's XHTML embeds page images as
+      // base64, and `save_figures` writes them out): per doc a genuine
+      // PDF paints one image XObject — even doc_ids carry RAW
+      // Flate-compressed DeviceRGB samples (re-wrapped losslessly as
+      // PNG by MiniPdf.imagePayload), odd doc_ids carry a REAL JDK-
+      // encoded JPEG behind /DCTDecode (surfaced verbatim). The
+      // payloads flow through decodeWithImages into the production
+      // multimodal codec (extractImageFeatures), which must recover the
+      // planted dims from actual pixels — and, on the lossless PNG leg,
+      // the exact planted luminance (JPEG is lossy by design, so its
+      // luminance is not oracle-pinned). A torn filter chain, botched
+      // raster wrap, or passthrough slip breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val (imgDict, imgBytes, w, h) =
+          if (id % 2 == 0) {
+            val w = 8 + (id % 16).toInt; val h = 8 + (id % 8).toInt
+            val (r, g, b) = ((id % 256).toInt, ((id * 7) % 256).toInt,
+              ((id * 13) % 256).toInt)
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) {
+              px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
+              i += 3
+            }
+            val d = new java.util.zip.Deflater()
+            d.setInput(px); d.finish()
+            val buf = new Array[Byte](px.length + 64)
+            val n = d.deflate(buf); d.end()
+            (s"/Filter /FlateDecode /ColorSpace /DeviceRGB " +
+              s"/BitsPerComponent 8", buf.take(n), w, h)
+          } else {
+            val w = 16 + (id % 20).toInt; val h = 16 + (id % 12).toInt
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gr = img.createGraphics()
+            try {
+              gr.setColor(new java.awt.Color(((id * 31) % 256).toInt,
+                ((id * 37) % 256).toInt, ((id * 41) % 256).toInt))
+              gr.fillRect(0, 0, w, h)
+            } finally gr.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpeg", bos)
+            ("/Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8",
+              bos.toByteArray, w, h)
+          }
+        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h $imgDict " +
+          s"/Length ${imgBytes.length} >>", Some(imgBytes))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          when(col("doc_id") % 2 === 0,
+            floor(col("lum") * 1e6 + 0.5).cast("long")).as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16540,6 +16619,21 @@ object SparkEntry {
         |  CAST(1 + doc_id % 7 AS BIGINT) AS n_words,
         |  CAST((1 + doc_id % 7) * (3 + doc_id % 4) AS BIGINT) AS n_letters,
         |  chr(97 + CAST(doc_id % 26 AS INTEGER)) AS first_char
+        |FROM documents""".stripMargin,
+
+    // q370: in-PDF image payloads — the oracle replays the planted
+    // dims (both legs) and, on the lossless raw-Flate→PNG leg only,
+    // the exact uniform-fill luminance (JPEG is lossy by design)
+    "q370_pdf_image_payload" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16
+        |            ELSE 16 + doc_id % 20 END AS BIGINT) AS w,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 8
+        |            ELSE 16 + doc_id % 12 END AS BIGINT) AS h,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN
+        |    FLOOR((0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
+        |      + 0.114 * ((doc_id * 13) % 256)) * 1e6 + 0.5)
+        |  END AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
   )
 }

@@ -28,6 +28,16 @@ trait PageDecoder extends Serializable {
   def decodeWithDrawings(payload: Array[Byte]): Either[String, Seq[(String, String)]] =
     decode(payload).map(ps =>
       ps.zipWithIndex.map { case (p, i) => (p, drawings(payload, i)) })
+
+  /** One-pass decode + per-page PAINTED-IMAGE payloads (r15 — the
+    * reference's `save_figures` surface: each payload is a complete
+    * JPEG or PNG consumable by the multimodal codec column). Default:
+    * no payloads — only decoders that can truly extract image bytes
+    * override (fabricating bytes for a real document would violate the
+    * fail-closed policy). */
+  def decodeWithImages(payload: Array[Byte])
+      : Either[String, Seq[(String, Seq[Array[Byte]])]] =
+    decode(payload).map(_.map(p => (p, Seq.empty[Array[Byte]])))
 }
 
 /** Deterministic fake decoder: interprets the payload as UTF-8 text and

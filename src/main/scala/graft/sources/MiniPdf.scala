@@ -64,12 +64,14 @@ object MiniPdf {
     * inline-image dict — no pixel decode needed for the reference's
     * `images_per_page` + size/ratio filters, `extractor.py:38-44,151-162`,
     * `downloader.py:254-255`). */
-  final case class ImgRef(width: Int, height: Int)
+  /** One painted image occurrence; `num` is the XObject's object
+    * number (−1 for inline `BI…EI` images, which carry no object). */
+  final case class ImgRef(width: Int, height: Int, num: Int = -1)
 
   /** Named `/XObject` resource entry: an image (dims) or a form
     * (content-bearing, recursed into like PyMuPDF renders it). */
   sealed trait XObjEntry extends Serializable
-  final case class XImage(width: Int, height: Int) extends XObjEntry
+  final case class XImage(width: Int, height: Int, num: Int = -1) extends XObjEntry
   final case class XForm(num: Int) extends XObjEntry
 
   private val ObjHeader = """(?s)(\d+)\s+(\d+)\s+obj""".r
@@ -514,6 +516,20 @@ object MiniPdf {
     } else Name.findFirstMatchIn(dict.substring(i)).map(_.group(1)).toSeq
   }
 
+  private def applyFilters(raw: Array[Byte], dict: String,
+                           filters: Seq[String]): Array[Byte] =
+    filters.foldLeft(raw) { (data, f) =>
+      f match {
+        case "FlateDecode" | "Fl" => unpredict(inflate(data), dict)
+        case "LZWDecode" | "LZW" =>
+          unpredict(lzwDecode(data, intIn(dict, "/EarlyChange", 1)), dict)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => ascii85Decode(data)
+        case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case _ => Array.emptyByteArray
+      }
+    }
+
   /** Decode a stream through its full filter chain. Unknown filters
     * (DCT/JPX/CCITT/JBIG2 images, Crypt) yield NO text bytes —
     * fail-safe for the text path. */
@@ -522,18 +538,73 @@ object MiniPdf {
     case Some(raw) =>
       // real files chain ≤2-3 filters; a long crafted chain of RLE
       // passes would be a multiplicative bomb — cap at 8
-      filterChain(o.dict).take(8).foldLeft(raw) { (data, f) =>
-        f match {
-          case "FlateDecode" | "Fl" => unpredict(inflate(data), o.dict)
-          case "LZWDecode" | "LZW" =>
-            unpredict(lzwDecode(data, intIn(o.dict, "/EarlyChange", 1)), o.dict)
-          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
-          case "ASCII85Decode" | "A85" => ascii85Decode(data)
-          case "RunLengthDecode" | "RL" => runLengthDecode(data)
-          case _ => Array.emptyByteArray
-        }
-      }
+      applyFilters(raw, o.dict, filterChain(o.dict).take(8))
   }
+
+  /** Binary payload of an image XObject in a downstream-consumable
+    * container (r15, VERDICT Missing #2 — PyMuPDF-parity: reference
+    * `extractor.py:136` rides `page.get_text("xhtml")`, which embeds
+    * page images as base64, and `save_figures` writes them out): a
+    * `/DCTDecode` stream IS a complete JPEG and is returned verbatim
+    * after decoding any PRECEDING filters; an 8-bpc DeviceRGB/
+    * DeviceGray raster (no filter, or any text-decodable chain) is
+    * re-wrapped as a lossless PNG through the JDK codec so the
+    * multimodal column sees one uniform shape. Unsupported encodings
+    * (JPX/CCITT/JBIG2, exotic color spaces, 1/2/4/16-bpc), oversized
+    * dims, or undersized sample data yield None — dropped, never
+    * fabricated. */
+  def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
+    val o = objs.getOrElse(num, return None)
+    val raw = o.stream.getOrElse(return None)
+    if ("""/Subtype\s*/Image\b""".r.findFirstIn(o.dict).isEmpty) return None
+    val w = WidthInt.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(0)
+    val h = HeightInt.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(0)
+    if (w <= 0 || h <= 0 || w.toLong * h > 16777216L) return None
+    val filters = filterChain(o.dict).take(8)
+    try {
+      if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
+        val jpeg = applyFilters(raw, o.dict, filters.dropRight(1))
+        // SOI magic gate: a torn prefix decode must not surface garbage
+        if (jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xFF &&
+            (jpeg(1) & 0xff) == 0xD8) Some(jpeg) else None
+      } else if (filters.lastOption.forall(f =>
+          f != "JPXDecode" && f != "CCITTFaxDecode" && f != "JBIG2Decode" &&
+          f != "Crypt")) {
+        if (intIn(o.dict, "/BitsPerComponent", 8) != 8) return None
+        val px = applyFilters(raw, o.dict, filters)
+        val ncomp =
+          if ("""/ColorSpace\s*/DeviceRGB\b""".r.findFirstIn(o.dict).isDefined) 3
+          else if ("""/ColorSpace\s*/DeviceGray\b""".r.findFirstIn(o.dict).isDefined) 1
+          else if (px.length >= w.toLong * h * 3) 3
+          else 1
+        if (px.length < w.toLong * h * ncomp) return None
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y.toLong * w + x).toInt * ncomp
+            val (r, g, b) =
+              if (ncomp == 3) (px(i) & 0xff, px(i + 1) & 0xff, px(i + 2) & 0xff)
+              else { val v = px(i) & 0xff; (v, v, v) }
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Some(bos.toByteArray)
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Payloads of every image XObject the page PAINTS, paint order
+    * (inline `BI…EI` images carry no object and are not included). */
+  def pageImagePayloads(objs: Map[Int, PdfObj], pageNum: Int): Seq[Array[Byte]] =
+    pageParts(objs, pageNum)._2.filter(_.num > 0)
+      .flatMap(r => imagePayload(objs, r.num))
 
   /** Page object numbers in page-tree order; falls back to document
     * order of `/Type /Page` objects when the tree is unwalkable. */
@@ -902,7 +973,7 @@ object MiniPdf {
         if ("""/Subtype\s*/Image\b""".r.findFirstIn(xo.dict).isDefined) {
           val w = WidthInt.findFirstMatchIn(xo.dict).map(_.group(1).toInt).getOrElse(0)
           val h = HeightInt.findFirstMatchIn(xo.dict).map(_.group(1).toInt).getOrElse(0)
-          Some(m.group(1) -> XImage(w, h))
+          Some(m.group(1) -> XImage(w, h, m.group(2).toInt))
         } else if ("""/Subtype\s*/Form\b""".r.findFirstIn(xo.dict).isDefined)
           Some(m.group(1) -> XForm(m.group(2).toInt))
         else None
@@ -1085,7 +1156,7 @@ object MiniPdf {
           case "Do" =>
             pending.clear()
             xobjs.get(lastName) match {
-              case Some(XImage(w, h)) => imgs += ImgRef(w, h)
+              case Some(XImage(w, h, xnum)) => imgs += ImgRef(w, h, xnum)
               case Some(XForm(num)) if depth < 8 && !onPath(num) =>
                 formLookup(num).foreach { case (fc, ff, fx) =>
                   scan(fc, ff.getOrElse(fonts), fx.getOrElse(xobjs),
@@ -1472,6 +1543,14 @@ final case class MiniPdfDecoder() extends PageDecoder {
         catch { case _: Exception => "" }
       case _ => ""
     }
+
+  override def decodeWithImages(raw: Array[Byte])
+      : Either[String, Seq[(String, Seq[Array[Byte]])]] =
+    parsed(raw).flatMap { case (objs, pages) =>
+      try Right(pages.map(p =>
+        (pageXhtml(objs, p), MiniPdf.pageImagePayloads(objs, p))))
+      catch { case e: Exception => Left(s"cannot open document: ${e.getMessage}") }
+    }
 }
 
 /** Production router: real `%PDF-` payloads through [[MiniPdfDecoder]],
@@ -1497,4 +1576,10 @@ final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder())
     if (MiniPdf.headerOffset(payload) >= 0)
       MiniPdfDecoder().drawings(payload, pageNo)
     else fallback.drawings(payload, pageNo)
+
+  override def decodeWithImages(payload: Array[Byte])
+      : Either[String, Seq[(String, Seq[Array[Byte]])]] =
+    if (MiniPdf.headerOffset(payload) >= 0)
+      MiniPdfDecoder().decodeWithImages(payload)
+    else fallback.decodeWithImages(payload)
 }

@@ -207,6 +207,96 @@ class Round15Spec extends AnyFunSuite {
     assert(averagePHash64(Array.emptyByteArray).isEmpty)
   }
 
+  // ------------------------------------------- in-PDF image payloads
+
+  private def pdfWithImage(imgDict: String, imgBytes: Array[Byte],
+                           w: Int, h: Int): Array[Byte] = {
+    val content = "/Im1 Do"
+    rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, s"<< /Subtype /Image /Width $w /Height $h $imgDict " +
+        s"/Length ${imgBytes.length} >>", Some(imgBytes))))
+  }
+
+  test("planted JPEG XObject (/DCTDecode) surfaces verbatim and round-trips " +
+       "dims + approximate luminance through the JDK codec") {
+    val img = new java.awt.image.BufferedImage(20, 14,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(120, 80, 200)); g.fillRect(0, 0, 20, 14) }
+    finally g.dispose()
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", jb)
+    val pdf = pdfWithImage("/Filter /DCTDecode", jb.toByteArray, 20, 14)
+    val Right(pages) = MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    val payloads = pages.flatMap(_._2)
+    assert(payloads.length == 1)
+    assert(java.util.Arrays.equals(payloads.head, jb.toByteArray),
+      "DCT payload must surface verbatim")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads.head))
+    assert(back.getWidth == 20 && back.getHeight == 14)
+    val expLum = 0.299 * 120 + 0.587 * 80 + 0.114 * 200
+    val lum = graft.operators.Multimodal.JdkImageCodec.meanLuminance(payloads.head)
+    assert(math.abs(lum - expLum) < 3.0, s"JPEG luminance $lum vs $expLum")
+  }
+
+  test("raw Flate DeviceRGB raster re-wraps as lossless PNG with exact pixels") {
+    val (w, h) = (6, 5)
+    val px = Array.fill(w * h)(Array(10, 200, 33)).flatten.map(_.toByte)
+    val d = new java.util.zip.Deflater(); d.setInput(px); d.finish()
+    val buf = new Array[Byte](px.length + 64)
+    val n = d.deflate(buf); d.end()
+    val pdf = pdfWithImage(
+      "/Filter /FlateDecode /ColorSpace /DeviceRGB /BitsPerComponent 8",
+      buf.take(n), w, h)
+    val Right(pages) = MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    val payloads = pages.flatMap(_._2)
+    assert(payloads.length == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads.head))
+    assert(back.getWidth == w && back.getHeight == h)
+    assert((back.getRGB(3, 2) & 0xFFFFFF) == ((10 << 16) | (200 << 8) | 33),
+      "lossless pixel round-trip")
+    // DeviceGray leg
+    val gpx = Array.fill(w * h)(77.toByte)
+    val d2 = new java.util.zip.Deflater(); d2.setInput(gpx); d2.finish()
+    val gbuf = new Array[Byte](gpx.length + 64)
+    val gn = d2.deflate(gbuf); d2.end()
+    val gpdf = pdfWithImage(
+      "/Filter /FlateDecode /ColorSpace /DeviceGray /BitsPerComponent 8",
+      gbuf.take(gn), w, h)
+    val Right(gp) = MiniPdfDecoder().decodeWithImages(gpdf): @unchecked
+    val gback = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gp.flatMap(_._2).head))
+    assert((gback.getRGB(0, 0) & 0xFFFFFF) == ((77 << 16) | (77 << 8) | 77))
+  }
+
+  test("unsupported/corrupt image payloads are dropped, never fabricated") {
+    // truncated sample data: fewer bytes than w*h*ncomp
+    val d = new java.util.zip.Deflater(); d.setInput(Array[Byte](1, 2, 3)); d.finish()
+    val buf = new Array[Byte](64); val n = d.deflate(buf); d.end()
+    val torn = pdfWithImage(
+      "/Filter /FlateDecode /ColorSpace /DeviceRGB /BitsPerComponent 8",
+      buf.take(n), 6, 5)
+    val Right(p1) = MiniPdfDecoder().decodeWithImages(torn): @unchecked
+    assert(p1.flatMap(_._2).isEmpty)
+    // /DCTDecode whose bytes lack the JPEG SOI magic
+    val junk = pdfWithImage("/Filter /DCTDecode", "notajpeg".getBytes(ISO_8859_1), 4, 4)
+    val Right(p2) = MiniPdfDecoder().decodeWithImages(junk): @unchecked
+    assert(p2.flatMap(_._2).isEmpty)
+    // unsupported codec fails closed
+    val jpx = pdfWithImage("/Filter /JPXDecode", Array[Byte](1, 2, 3, 4), 4, 4)
+    val Right(p3) = MiniPdfDecoder().decodeWithImages(jpx): @unchecked
+    assert(p3.flatMap(_._2).isEmpty)
+    // the XHTML/text side is unaffected either way
+    assert(p1.head._1.contains("<img"))
+  }
+
   // -------------------------------------------------- q364 AES-CBC leg
 
   test("q364 generator's AES and RC4 legs both decode; locked docs fail " +
