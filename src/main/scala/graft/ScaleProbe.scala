@@ -48,7 +48,12 @@ object ScaleProbe {
     // the WARC parse + digest-dedup ingest leg; all per-row map-side
     // work whose blow-up should track the documents table linearly
     "q362_pdf_planted_dims", "q363_pdf_channels", "q364_pdf_encrypted",
-    "q366_warc_revisit_dedup", "q367_warc_pdf_e2e")
+    "q366_warc_revisit_dedup", "q367_warc_pdf_e2e",
+    // round-15: embedded-font program decode, in-PDF image payload
+    // extraction (Flate raster → PNG re-wrap + DCT passthrough into the
+    // real codec), real-pixel pHash banding — all per-row map-side
+    // except q337's single band-join shuffle
+    "q369_pdf_embedded_font", "q370_pdf_image_payload", "q337_phash_dedup")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

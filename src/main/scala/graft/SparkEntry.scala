@@ -10200,14 +10200,16 @@ object SparkEntry {
       // ref `extractor.py:136` — PyMuPDF reads the font PROGRAM when a
       // font carries no /ToUnicode and no standard /Encoding): per doc
       // a genuine PDF whose only font maps byte codes through one of
-      // THREE embedded programs — (a) subset TrueType with a symbolic
+      // FOUR embedded programs — (a) subset TrueType with a symbolic
       // (3,0) cmap and `post` glyph names, (b) subset TrueType with a
       // symbolic cmap resolved through the INVERTED (3,1) Unicode cmap
       // (no post table), (c) Type 1 cleartext /Encoding `dup … put`
-      // array — with letter/word-shape arithmetic planted in doc_id.
-      // The glyph codes are NOT the character values, so a cmap
-      // binary-search bug, a post-name misread, or an inversion slip
-      // turns every word into garbage and breaks the hash.
+      // array, (d) CFF/Type1C (/FontFile3: INDEX structures, charset
+      // SIDs through the standard strings, custom format-0 encoding) —
+      // with letter/word-shape arithmetic planted in doc_id. The glyph
+      // codes are NOT the character values, so a cmap binary-search
+      // bug, a post-name misread, an inversion slip, or a CFF offset
+      // error turns every word into garbage and breaks the hash.
       val gen = udf((id: Long) => {
         val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
         def be16(v: Int): Array[Byte] =
@@ -10247,10 +10249,36 @@ object SparkEntry {
             be16(custom.length + 1), be16(0)) ++
             custom.indices.map(k => be16(258 + k)) ++
             custom.map(nm => cat(Array(nm.length.toByte), nm.getBytes(ISO))): _*)
+        // minimal CFF/Type1C (Adobe TN#5176): 1-byte-offset INDEXes,
+        // charset format 0 (glyph → SID), encoding format 0
+        def cffIdx(items: Array[Byte]*): Array[Byte] = {
+          if (items.isEmpty) return be16(0)
+          val offs = items.scanLeft(1)((o, it) => o + it.length)
+          cat(Seq(be16(items.length), Array(1.toByte)) ++
+            offs.map(o => Array(o.toByte)) ++ items: _*)
+        }
+        def cffFont(sids: Seq[Int], codes: Seq[Int]): Array[Byte] = {
+          def op5(v: Int, op: Int): Array[Byte] =
+            cat(Array(29.toByte), be32(v.toLong), Array(op.toByte))
+          val header = Array[Byte](1, 0, 4, 1)
+          val nameIdx = cffIdx("F".getBytes(ISO))
+          val strIdx = be16(0)
+          def topDict(cs: Int, enc: Int, chs: Int): Array[Byte] =
+            cat(op5(cs, 15), op5(enc, 16), op5(chs, 17))
+          val tdSize = cffIdx(topDict(0, 0, 0)).length
+          val base = header.length + nameIdx.length + tdSize + strIdx.length
+          val charset = cat(Array(0.toByte) +: sids.map(be16): _*)
+          val encoding = cat(Array(0.toByte, codes.length.toByte),
+            codes.map(c => c.toByte).toArray)
+          val csAt = base; val encAt = csAt + charset.length
+          val chsAt = encAt + encoding.length
+          cat(header, nameIdx, cffIdx(topDict(csAt, encAt, chsAt)), strIdx,
+            charset, encoding, cffIdx(Seq.fill(sids.length + 1)(Array[Byte](14)): _*))
+        }
         val letter = ('a' + (id % 26)).toChar
         val wl = 3 + (id % 4).toInt
         val wc = 1 + (id % 7).toInt
-        val (font, fileKey, subtype) = (id % 3) match {
+        val (font, fileKey, subtype) = (id % 4) match {
           case 0 => (sfnt(
               "cmap" -> cmapTbl((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2)),
               "post" -> post2(Seq(letter.toString, "space"))),
@@ -10260,9 +10288,14 @@ object SparkEntry {
                 (3, 0) -> cmap4(0xF001 -> 5, 0xF002 -> 6),
                 (3, 1) -> cmap4(letter.toInt -> 5, 0x20 -> 6))),
             "/FontFile2", "/TrueType")
-          case _ => ((s"/Encoding 256 array\ndup 1 /$letter put\n" +
+          case 2 => ((s"/Encoding 256 array\ndup 1 /$letter put\n" +
               "dup 2 /space put\nreadonly def\neexec X").getBytes(ISO),
             "/FontFile", "/Type1")
+          case _ =>
+            // CFF: glyph1 → the letter's standard SID (a..z = 66..91),
+            // glyph2 → SID 1 (space); codes 1/2 → glyphs 1/2
+            (cffFont(Seq(66 + (id % 26).toInt, 1), Seq(1, 2)),
+              "/FontFile3", "/Type1")
         }
         val codes = Seq.fill(wc)("" * wl).mkString("")
         val content = s"BT /F1 12 Tf ($codes) Tj ET"

@@ -69,11 +69,25 @@ object FontProgram {
 
   /** One parsed cmap subtable: point lookup + bounded enumeration (for
     * inversion). Enumeration is capped so a hostile format-4 segment
-    * span cannot allocate the full 21-bit plane. */
+    * span (or format-12 group) cannot allocate the full 21-bit plane. */
   private final class CmapSub(b: Array[Byte], off: Int) {
     val format: Int = if (off + 2 <= b.length) u16(b, off) else -1
 
     def lookup(c: Int): Int = format match {
+      case 12 =>
+        // segmented coverage (u32 groups of startChar/endChar/startGlyph)
+        if (off + 16 > b.length) return 0
+        val n = u32(b, off + 12)
+        if (n < 0 || n > 65536 || off + 16 + 12 * n > b.length) return 0
+        var lo = 0; var hi = n.toInt - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val g = off + 16 + 12 * mid
+          if (c < u32(b, g)) hi = mid - 1
+          else if (c > u32(b, g + 4)) lo = mid + 1
+          else return (u32(b, g + 8) + (c - u32(b, g))).toInt
+        }
+        0
       case 0 =>
         if (c < 0 || c > 255 || off + 6 + 256 > b.length) 0
         else u8(b, off + 6 + c)
@@ -117,6 +131,24 @@ object FontProgram {
 
     /** Visit (code, glyph) pairs, at most `cap` of them. */
     def foreachMapping(cap: Int)(f: (Int, Int) => Unit): Unit = format match {
+      case 12 =>
+        if (off + 16 <= b.length) {
+          val n = u32(b, off + 12)
+          if (n >= 0 && n <= 65536 && off + 16 + 12 * n <= b.length) {
+            var k = 0; var seen = 0
+            while (k < n && seen < cap) {
+              val g = off + 16 + 12 * k
+              val start = u32(b, g); val end = u32(b, g + 4)
+              val sg = u32(b, g + 8)
+              var c = start
+              while (c <= end && seen < cap) {
+                if (sg + (c - start) > 0) { f(c.toInt, (sg + (c - start)).toInt); seen += 1 }
+                c += 1
+              }
+              k += 1
+            }
+          }
+        }
       case 0 =>
         if (off + 6 + 256 <= b.length) {
           var c = 0
@@ -176,7 +208,7 @@ object FontProgram {
       val sub = cm + u32(b, rec + 4)
       if (sub >= 0 && sub + 4 <= b.length) {
         val t = new CmapSub(b, sub.toInt)
-        if (t.format == 0 || t.format == 4 || t.format == 6) {
+        if (t.format == 0 || t.format == 4 || t.format == 6 || t.format == 12) {
           if (plat == 3 && enc == 0 && symbol.isEmpty) symbol = Some(t)
           else if (plat == 1 && enc == 0 && mac.isEmpty) mac = Some(t)
           else if (((plat == 3 && (enc == 1 || enc == 10)) || plat == 0) &&
@@ -300,6 +332,195 @@ object FontProgram {
         else MiniPdf.glyphUnicode(m.group(2)).map(code -> _)
       }.toMap
     } catch { case _: RuntimeException => Map.empty }
+
+  // ------------------------------------------------------------------
+  // CFF / Type1C (`/FontFile3 … /Subtype /Type1C`) — Adobe's compact
+  // font format, the dominant embedded format of the pdflatex era
+  // (public spec: Adobe Tech Note #5176).
+  // ------------------------------------------------------------------
+
+  /** One CFF INDEX: (item count, item accessor). */
+  private def cffIndex(b: Array[Byte], at: Int): Option[(Int, Int => Array[Byte], Int)] = {
+    if (at + 2 > b.length) return None
+    val count = u16(b, at)
+    if (count == 0) return Some((0, _ => Array.emptyByteArray, at + 2))
+    if (at + 3 > b.length) return None
+    val offSize = u8(b, at + 2)
+    if (offSize < 1 || offSize > 4) return None
+    val offsetsAt = at + 3
+    val dataAt = offsetsAt + (count + 1) * offSize - 1
+    def offset(i: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < offSize) { v = (v << 8) | u8(b, offsetsAt + i * offSize + k); k += 1 }
+      v
+    }
+    if (offsetsAt + (count + 1) * offSize > b.length) return None
+    val end = dataAt + offset(count)
+    if (end > b.length || end < dataAt) return None
+    val get = (i: Int) => {
+      val s = dataAt + offset(i); val e = dataAt + offset(i + 1)
+      if (s < 0 || e < s || e > b.length) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(b, s.toInt, e.toInt)
+    }
+    Some((count, get, end.toInt))
+  }
+
+  /** DICT operators → first integer operand (the offset-valued ops this
+    * parser needs all take one operand). */
+  private def cffDict(d: Array[Byte]): Map[Int, Long] = {
+    val out = scala.collection.mutable.Map[Int, Long]()
+    var operands = List.empty[Long]
+    var i = 0
+    while (i < d.length) {
+      val b0 = u8(d, i)
+      if (b0 <= 21) { // operator (12 xx = escaped two-byte)
+        val op = if (b0 == 12 && i + 1 < d.length) { i += 1; 1200 + u8(d, i) } else b0
+        operands.headOption.foreach(v => out(op) = v)
+        operands = Nil
+        i += 1
+      } else if (b0 >= 32 && b0 <= 246) { operands ::= (b0 - 139).toLong; i += 1 }
+      else if (b0 >= 247 && b0 <= 250 && i + 1 < d.length) {
+        operands ::= ((b0 - 247) * 256 + u8(d, i + 1) + 108).toLong; i += 2
+      } else if (b0 >= 251 && b0 <= 254 && i + 1 < d.length) {
+        operands ::= (-(b0 - 251) * 256 - u8(d, i + 1) - 108).toLong; i += 2
+      } else if (b0 == 28 && i + 2 < d.length) {
+        operands ::= u16(d, i + 1).toShort.toLong; i += 3
+      } else if (b0 == 29 && i + 4 < d.length) {
+        operands ::= u32(d, i + 1).toInt.toLong; i += 5
+      } else if (b0 == 30) { // real: nibbles until 0xF
+        i += 1
+        var done = false
+        while (i < d.length && !done) {
+          val n = u8(d, i); i += 1
+          if ((n & 0x0F) == 0x0F || (n >> 4) == 0x0F) done = true
+        }
+        operands ::= 0L
+      } else i += 1
+    }
+    out.toMap
+  }
+
+  /** Simple-font byte code → Unicode from a CFF/Type1C program: the
+    * built-in Encoding (format 0/1; offset 0 = Standard, where printable
+    * ASCII code c maps to SID c−31) resolves code→glyph through the
+    * charset (format 0/1/2; glyph→SID), SIDs resolve to names through
+    * the standard-strings table (first 229, ISOAdobe — Latin coverage)
+    * or the font's String INDEX, names through the AGL conventions.
+    * CID-keyed CFF (ROS present) yields empty — its charset holds CIDs,
+    * not name SIDs. */
+  def cffSimpleMap(data: Array[Byte]): Map[Int, String] =
+    try {
+      if (data.length < 4 || u8(data, 0) != 1) return Map.empty
+      val hdrSize = u8(data, 2)
+      val (_, _, afterName) = cffIndex(data, hdrSize).getOrElse(return Map.empty)
+      val (tdCount, tdGet, afterTop) = cffIndex(data, afterName).getOrElse(return Map.empty)
+      if (tdCount < 1) return Map.empty
+      val (strCount, strGet, _) = cffIndex(data, afterTop).getOrElse(return Map.empty)
+      val top = cffDict(tdGet(0))
+      if (top.contains(1230)) return Map.empty // ROS: CID-keyed
+      val charStringsAt = top.getOrElse(17, return Map.empty)
+      val (nGlyphs, _, _) = cffIndex(data, charStringsAt.toInt).getOrElse(return Map.empty)
+      if (nGlyphs <= 0 || nGlyphs > 65535) return Map.empty
+      // charset: glyph → SID (glyph 0 = .notdef); default 0 = ISOAdobe
+      // (identity up to 228)
+      val glyphSid = new Array[Int](nGlyphs)
+      top.getOrElse(15, 0L) match {
+        case 0L => var g = 0; while (g < nGlyphs && g <= 228) { glyphSid(g) = g; g += 1 }
+        case 1L | 2L => return Map.empty // Expert charsets: no text value
+        case at0 =>
+          val at = at0.toInt
+          if (at < 0 || at + 1 > data.length) return Map.empty
+          u8(data, at) match {
+            case 0 =>
+              var g = 1
+              while (g < nGlyphs && at + 1 + 2 * g <= data.length) {
+                glyphSid(g) = u16(data, at + 1 + 2 * (g - 1)); g += 1
+              }
+            case fmt @ (1 | 2) =>
+              val w = if (fmt == 1) 3 else 4
+              var g = 1; var r = at + 1
+              while (g < nGlyphs && r + w <= data.length) {
+                val first = u16(data, r)
+                val nLeft = if (fmt == 1) u8(data, r + 2) else u16(data, r + 2)
+                var k = 0
+                while (k <= nLeft && g < nGlyphs) { glyphSid(g) = first + k; g += 1; k += 1 }
+                r += w
+              }
+            case _ => return Map.empty
+          }
+      }
+      def sidName(sid: Int): Option[String] =
+        if (sid >= 0 && sid < CffStandardStrings.length) Some(CffStandardStrings(sid))
+        else if (sid >= 391 && sid - 391 < strCount)
+          Some(new String(strGet(sid - 391), java.nio.charset.StandardCharsets.ISO_8859_1))
+        else None
+      // encoding: code → glyph
+      val codeGid = scala.collection.mutable.Map[Int, Int]()
+      top.getOrElse(16, 0L) match {
+        case 0L | 1L => // Standard/Expert: code→SID (ASCII: SID = c−31), SID→glyph
+          val sidGid = glyphSid.zipWithIndex.map { case (s, g) => s -> g }.toMap
+          var c = 32
+          while (c <= 126) { sidGid.get(c - 31).foreach(g => codeGid(c) = g); c += 1 }
+        case at0 =>
+          val at = at0.toInt
+          if (at < 0 || at + 2 > data.length) return Map.empty
+          (u8(data, at) & 0x7f) match {
+            case 0 =>
+              val n = u8(data, at + 1)
+              var i = 1
+              while (i <= n && at + 1 + i < data.length) {
+                codeGid(u8(data, at + 1 + i)) = i; i += 1
+              }
+            case 1 =>
+              val nRanges = u8(data, at + 1)
+              var g = 1; var r = at + 2; var k = 0
+              while (k < nRanges && r + 2 <= data.length) {
+                val first = u8(data, r); val nLeft = u8(data, r + 1)
+                var j = 0
+                while (j <= nLeft) { codeGid(first + j) = g; g += 1; j += 1 }
+                r += 2; k += 1
+              }
+            case _ => return Map.empty
+          }
+      }
+      codeGid.iterator.flatMap { case (c, g) =>
+        if (g <= 0 || g >= nGlyphs) None
+        else sidName(glyphSid(g)).flatMap(MiniPdf.glyphUnicode).map(c -> _)
+      }.toMap
+    } catch { case _: RuntimeException => Map.empty }
+
+  /** CFF standard strings 0–228 (ISOAdobe charset — Adobe Tech Note
+    * #5176 Appendix A; the tail 229–390 is expert-set material irrelevant
+    * to text recovery). */
+  private[sources] val CffStandardStrings: Array[String] = (
+    ".notdef space exclam quotedbl numbersign dollar percent ampersand " +
+    "quoteright parenleft parenright asterisk plus comma hyphen period " +
+    "slash zero one two three four five six seven eight nine colon " +
+    "semicolon less equal greater question at " +
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z " +
+    "bracketleft backslash bracketright asciicircum underscore quoteleft " +
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+    "braceleft bar braceright asciitilde exclamdown cent sterling " +
+    "fraction yen florin section currency quotesingle quotedblleft " +
+    "guillemotleft guilsinglleft guilsinglright fi fl endash dagger " +
+    "daggerdbl periodcentered paragraph bullet quotesinglbase " +
+    "quotedblbase quotedblright guillemotright ellipsis perthousand " +
+    "questiondown grave acute circumflex tilde macron breve dotaccent " +
+    "dieresis ring cedilla hungarumlaut ogonek caron emdash AE " +
+    "ordfeminine Lslash Oslash OE ordmasculine ae dotlessi lslash " +
+    "oslash oe germandbls onesuperior logicalnot mu trademark Eth " +
+    "onehalf plusminus Thorn onequarter divide brokenbar degree thorn " +
+    "threequarters twosuperior registered minus eth multiply " +
+    "threesuperior copyright Aacute Acircumflex Adieresis Agrave Aring " +
+    "Atilde Ccedilla Eacute Ecircumflex Edieresis Egrave Iacute " +
+    "Icircumflex Idieresis Igrave Ntilde Oacute Ocircumflex Odieresis " +
+    "Ograve Otilde Scaron Uacute Ucircumflex Udieresis Ugrave Yacute " +
+    "Ydieresis Zcaron aacute acircumflex adieresis agrave aring atilde " +
+    "ccedilla eacute ecircumflex edieresis egrave iacute icircumflex " +
+    "idieresis igrave ntilde oacute ocircumflex odieresis ograve otilde " +
+    "scaron uacute ucircumflex udieresis ugrave yacute ydieresis zcaron"
+    ).split(' ')
+  require(CffStandardStrings.length == 229)
 
   private def indexOfAscii(b: Array[Byte], needle: String): Int = {
     val n = needle.length

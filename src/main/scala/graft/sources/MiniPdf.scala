@@ -887,9 +887,21 @@ object MiniPdf {
     fontFileStream(objs, fontDict, "/FontFile2")
       .map(FontProgram.trueTypeSimpleMap)
       .filter(_.nonEmpty)
+      .orElse(fontFileStream(objs, fontDict, "/FontFile3")
+        // /Subtype /Type1C (CFF) or /OpenType (full sfnt wrapper) —
+        // sniffed from the program bytes: sfnt magic vs CFF header
+        .map(d => if (d.length >= 4 &&
+            (u32be(d) == 0x00010000L || u32be(d) == 0x4F54544FL))
+          FontProgram.trueTypeSimpleMap(d)
+        else FontProgram.cffSimpleMap(d))
+        .filter(_.nonEmpty))
       .orElse(fontFileStream(objs, fontDict, "/FontFile")
         .map(FontProgram.type1EncodingMap))
       .getOrElse(Map.empty)
+
+  private def u32be(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
 
   /** CID (2-byte) code map recovered from a Type0 font's DESCENDANT
     * font program when no `/ToUnicode` exists: with `/Identity-H` the

@@ -220,7 +220,117 @@ class FontProgramSpec extends AnyFunSuite {
     assert(FontProgram.type1EncodingMap(Array.emptyByteArray).isEmpty)
   }
 
+  // ---- CFF / Type1C builders (Adobe TN#5176) ----
+
+  /** One CFF INDEX with 1-byte offsets. */
+  private def cffIdx(items: Array[Byte]*): Array[Byte] = {
+    if (items.isEmpty) return be16(0)
+    val offs = items.scanLeft(1)((o, it) => o + it.length)
+    cat(Seq(be16(items.length), Array(1.toByte)) ++
+      offs.map(o => Array(o.toByte)) ++ items: _*)
+  }
+
+  /** Minimal CFF: header + Name/TopDICT/String INDEXes, then charset,
+    * encoding and CharStrings at computed absolute offsets. `charset` /
+    * `encoding` are raw table bytes (encoding=None ⇒ Standard, offset 0);
+    * `nGlyphs` sizes the CharStrings INDEX (1-byte dummy charstrings). */
+  private def cff(charset: Array[Byte], encoding: Option[Array[Byte]],
+                  nGlyphs: Int, strings: Seq[String] = Nil,
+                  cid: Boolean = false): Array[Byte] = {
+    def op5(v: Int, op: Int): Array[Byte] =
+      cat(Array(29.toByte), be32(v.toLong), Array(op.toByte))
+    val header = Array[Byte](1, 0, 4, 1)
+    val nameIdx = cffIdx("Fake".getBytes(ISO_8859_1))
+    val strIdx = cffIdx(strings.map(_.getBytes(ISO_8859_1)): _*)
+    // top dict: 3 fixed-width entries (+ROS marker when CID) — size is
+    // independent of the offset VALUES, so one sizing pass suffices
+    def topDict(cs: Int, enc: Int, chs: Int): Array[Byte] =
+      cat(Seq(op5(cs, 15)) ++ encoding.map(_ => op5(enc, 16)).toSeq ++
+        Seq(op5(chs, 17)) ++
+        (if (cid) Seq(cat(Array(29.toByte), be32(0), Array(29.toByte), be32(0),
+          Array(29.toByte), be32(0), Array(12.toByte, 30.toByte))) else Nil): _*)
+    val tdSize = cffIdx(topDict(0, 0, 0)).length
+    val base = header.length + nameIdx.length + tdSize + strIdx.length
+    val csAt = base
+    val encAt = csAt + charset.length
+    val chsAt = encAt + encoding.map(_.length).getOrElse(0)
+    val charStrings = cffIdx(Seq.fill(nGlyphs)(Array[Byte](14)): _*)
+    cat(header, nameIdx,
+      cffIdx(topDict(csAt, if (encoding.isDefined) encAt else 0, chsAt)),
+      strIdx, charset, encoding.getOrElse(Array.emptyByteArray), charStrings)
+  }
+
+  /** charset format 0 from per-glyph SIDs (glyph 0 implicit .notdef). */
+  private def charset0(sids: Int*): Array[Byte] =
+    cat(Array(0.toByte) +: sids.map(be16): _*)
+
+  /** encoding format 0: code(i) → glyph i+1. */
+  private def encoding0(codes: Int*): Array[Byte] =
+    cat(Array(0.toByte, codes.length.toByte), codes.map(c => Array(c.toByte)).flatten.toArray)
+
+  test("CFF custom encoding + charset resolve codes through standard-string SIDs") {
+    // glyph 1 → SID 72 ("g"), glyph 2 → SID 137 ("emdash");
+    // encoding: code 65 → glyph 1, code 66 → glyph 2
+    val font = cff(charset0(72, 137), Some(encoding0(65, 66)), nGlyphs = 3)
+    val m = FontProgram.cffSimpleMap(font)
+    assert(m(65) == "g" && m(66) == "—")
+    assert(!m.contains(67))
+  }
+
+  test("CFF Standard encoding (offset 0) inverts the charset: ASCII code → SID c-31") {
+    // glyph 1 carries SID 8 ("quoteright", standard code 39);
+    // glyph 2 carries SID 34 ("A", standard code 65)
+    val font = cff(charset0(8, 34), None, nGlyphs = 3)
+    val m = FontProgram.cffSimpleMap(font)
+    assert(m(39) == "’" && m(65) == "A")
+  }
+
+  test("CFF custom-string SIDs (≥391) resolve through the String INDEX") {
+    val font = cff(charset0(391, 392), Some(encoding0(1, 2)), nGlyphs = 3,
+      strings = Seq("uni0416", "germandbls"))
+    val m = FontProgram.cffSimpleMap(font)
+    assert(m(1) == "Ж" && m(2) == "ß")
+  }
+
+  test("CFF charset format 1 ranges expand correctly") {
+    // range: first SID 34 ("A"), nLeft 2 → glyphs 1,2,3 = A,B,C
+    val cs1 = cat(Array(1.toByte), be16(34), Array(2.toByte))
+    val font = cff(cs1, Some(encoding0(10, 11, 12)), nGlyphs = 4)
+    val m = FontProgram.cffSimpleMap(font)
+    assert(m(10) == "A" && m(11) == "B" && m(12) == "C")
+  }
+
+  test("CID-keyed CFF (ROS) and corrupt CFF yield the empty map, never throw") {
+    val cidFont = cff(charset0(72), Some(encoding0(65)), nGlyphs = 2, cid = true)
+    assert(FontProgram.cffSimpleMap(cidFont).isEmpty)
+    assert(FontProgram.cffSimpleMap(Array.emptyByteArray).isEmpty)
+    assert(FontProgram.cffSimpleMap("junk but long enough".getBytes).isEmpty)
+    val good = cff(charset0(72), Some(encoding0(65)), nGlyphs = 2)
+    for (cut <- Seq(3, 9, 17, 30) if cut < good.length)
+      FontProgram.cffSimpleMap(good.take(cut)) // must not throw
+  }
+
+  test("cmap format 12 (segmented coverage) lookup and inversion") {
+    // groups: U+0041..U+0043 → gids 5..7
+    val f12 = cat(be16(12), be16(0), be32(16 + 12), be32(0), be32(1),
+      be32(0x41), be32(0x43), be32(5))
+    val font = sfnt(
+      "cmap" -> cmap((3, 0) -> cmap4(0xF001 -> 6), (3, 10) -> f12))
+    // code 1 → gid 6 (symbol), inverted format-12 says gid 6 = U+0042
+    assert(FontProgram.trueTypeSimpleMap(font)(1) == "B")
+    val gm = FontProgram.trueTypeGidMap(font)
+    assert(gm(5) == "A" && gm(7) == "C")
+  }
+
   // ---- e2e through MiniPdf ----
+
+  test("e2e: /FontFile3 Type1C decodes through the CFF program") {
+    val font = cff(charset0(72, 1), Some(encoding0(65, 66)), nGlyphs = 3)
+    val pdf = pdfWithFont("BT /F1 12 Tf (AB) Tj ET",
+      "<< /Type /Font /Subtype /Type1 /FontDescriptor 6 0 R >>",
+      font, fileKey = "/FontFile3")
+    assert(decodeText(pdf) == "<div><p>g</p></div>") // "g" + space trimmed
+  }
 
   test("e2e: symbolic subset TrueType with no ToUnicode decodes exact planted text") {
     val font = sfnt(
