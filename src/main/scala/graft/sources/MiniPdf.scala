@@ -65,8 +65,10 @@ object MiniPdf {
     * `images_per_page` + size/ratio filters, `extractor.py:38-44,151-162`,
     * `downloader.py:254-255`). */
   /** One painted image occurrence; `num` is the XObject's object
-    * number (−1 for inline `BI…EI` images, which carry no object). */
-  final case class ImgRef(width: Int, height: Int, num: Int = -1)
+    * number; inline `BI…EI` images carry no object (num = −1) but keep
+    * their (dict text, raw segment) for lazy payload conversion. */
+  final case class ImgRef(width: Int, height: Int, num: Int = -1,
+      inlineRaw: Option[(String, Array[Byte])] = None)
 
   /** Named `/XObject` resource entry: an image (dims) or a form
     * (content-bearing, recursed into like PyMuPDF renders it). */
@@ -577,34 +579,88 @@ object MiniPdf {
           else if ("""/ColorSpace\s*/DeviceGray\b""".r.findFirstIn(o.dict).isDefined) 1
           else if (px.length >= w.toLong * h * 3) 3
           else 1
-        if (px.length < w.toLong * h * ncomp) return None
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val i = (y.toLong * w + x).toInt * ncomp
-            val (r, g, b) =
-              if (ncomp == 3) (px(i) & 0xff, px(i + 1) & 0xff, px(i + 2) & 0xff)
-              else { val v = px(i) & 0xff; (v, v, v) }
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        Some(bos.toByteArray)
+        rasterToPng(px, w, h, ncomp)
       } else None
     } catch { case _: Exception => None }
   }
 
-  /** Payloads of every image XObject the page PAINTS, paint order
-    * (inline `BI…EI` images carry no object and are not included). */
+  /** 8-bpc interleaved samples → lossless PNG via the JDK codec. */
+  private def rasterToPng(px: Array[Byte], w: Int, h: Int,
+                          ncomp: Int): Option[Array[Byte]] = {
+    if (px.length < w.toLong * h * ncomp) return None
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y.toLong * w + x).toInt * ncomp
+        val (r, g, b) =
+          if (ncomp == 3) (px(i) & 0xff, px(i + 1) & 0xff, px(i + 2) & 0xff)
+          else { val v = px(i) & 0xff; (v, v, v) }
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Some(bos.toByteArray)
+  }
+
+  /** Inline-image (`BI…ID…EI`) payload in a consumable container —
+    * same policy as [[imagePayload]], from the inline dict's
+    * abbreviated keys (§8.9.7: /W /H /BPC /CS /F with /RGB /G /Fl /DCT
+    * etc.): /DCT bytes surface verbatim (SOI-gated), 8-bpc RGB/Gray
+    * rasters re-wrap as PNG, anything else drops. */
+  private[sources] def inlineImagePayload(dictTxt: String,
+                                          raw: Array[Byte]): Option[Array[Byte]] = {
+    val w = """/W(?:idth)?\s+(\d+)""".r.findFirstMatchIn(dictTxt)
+      .map(_.group(1).toInt).getOrElse(0)
+    val h = """/H(?:eight)?\s+(\d+)""".r.findFirstMatchIn(dictTxt)
+      .map(_.group(1).toInt).getOrElse(0)
+    if (w <= 0 || h <= 0 || w.toLong * h > 16777216L) return None
+    val bpc = """/B(?:PC|itsPerComponent)\s+(\d+)""".r.findFirstMatchIn(dictTxt)
+      .map(_.group(1).toInt).getOrElse(8)
+    val filters = {
+      val at = dictTxt.indexOf("/F")
+      // reject /Fo… names; accept /F and /Filter
+      if (at < 0 || ("""/F(?:ilter)?(?=[\s/\[])""".r.findFirstIn(dictTxt)).isEmpty) Nil
+      else {
+        val m = """/F(?:ilter)?\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+          .findFirstMatchIn(dictTxt).map(_.group(1)).getOrElse("")
+        """/([A-Za-z0-9]+)""".r.findAllMatchIn(m).map(_.group(1)).toSeq
+      }
+    }
+    try {
+      if (filters.lastOption.exists(f => f == "DCTDecode" || f == "DCT")) {
+        val jpeg = applyFilters(raw, dictTxt, filters.dropRight(1))
+        if (jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xFF &&
+            (jpeg(1) & 0xff) == 0xD8) Some(jpeg) else None
+      } else if (bpc == 8 && filters.forall(f => Set("FlateDecode", "Fl",
+          "LZWDecode", "LZW", "ASCIIHexDecode", "AHx", "ASCII85Decode",
+          "A85", "RunLengthDecode", "RL").contains(f))) {
+        val px = applyFilters(raw, dictTxt, filters)
+        val ncomp =
+          if ("""/(?:CS\s*/(?:RGB|DeviceRGB)|ColorSpace\s*/DeviceRGB)""".r
+              .findFirstIn(dictTxt).isDefined) 3
+          else if ("""/(?:CS\s*/(?:G|DeviceGray)\b|ColorSpace\s*/DeviceGray)""".r
+              .findFirstIn(dictTxt).isDefined) 1
+          else if (px.length >= w.toLong * h * 3) 3
+          else 1
+        rasterToPng(px, w, h, ncomp)
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Payloads of every image the page PAINTS, paint order — image
+    * XObjects by object number, inline `BI…EI` images from their
+    * captured raw segment. */
   def pageImagePayloads(objs: Map[Int, PdfObj], pageNum: Int): Seq[Array[Byte]] =
-    pageParts(objs, pageNum)._2.filter(_.num > 0)
-      .flatMap(r => imagePayload(objs, r.num))
+    pageParts(objs, pageNum)._2.flatMap { r =>
+      if (r.num > 0) imagePayload(objs, r.num)
+      else r.inlineRaw.flatMap { case (d, raw) => inlineImagePayload(d, raw) }
+    }
 
   /** Page object numbers in page-tree order; falls back to document
     * order of `/Type /Page` objects when the tree is unwalkable. */
@@ -1188,8 +1244,14 @@ object MiniPdf {
                 .map(_.group(1).toInt).getOrElse(0)
               val h = """/H(?:eight)?\s+(\d+)""".r.findFirstMatchIn(dictTxt)
                 .map(_.group(1).toInt).getOrElse(0)
-              imgs += ImgRef(w, h)
               nextI = inlineImageEnd(s, idAt)
+              // binary payload sits between the ID separator byte and
+              // the whitespace before EI; keep the raw slice for lazy
+              // container conversion (ISO_8859_1 round-trips bytes)
+              val pEnd = math.max(idAt + 3, nextI - 3)
+              imgs += ImgRef(w, h, -1, Some((dictTxt,
+                s.substring(math.min(idAt + 3, s.length),
+                  math.min(pEnd, s.length)).getBytes(ISO_8859_1))))
             }
           case _ => pending.clear() // other operators consume their operands
         }

@@ -276,6 +276,35 @@ class Round15Spec extends AnyFunSuite {
     assert((gback.getRGB(0, 0) & 0xFFFFFF) == ((77 << 16) | (77 << 8) | 77))
   }
 
+  test("inline BI..ID..EI image payloads surface through the same container policy") {
+    // uncompressed 3x2 DeviceRGB inline image: 18 raw sample bytes
+    val px = Array.fill(6)(Array(5, 250, 60)).flatten.map(_.toByte)
+    val content = ("BT (t) Tj ET BI /W 3 /H 2 /CS /RGB /BPC 8 ID " +
+      new String(px, ISO_8859_1) + " EI").getBytes(ISO_8859_1)
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content))))
+    val Right(pages) = MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    val payloads = pages.flatMap(_._2)
+    assert(payloads.length == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payloads.head))
+    assert(back.getWidth == 3 && back.getHeight == 2)
+    assert((back.getRGB(2, 1) & 0xFFFFFF) == ((5 << 16) | (250 << 8) | 60))
+    // undersized inline data drops (never a torn PNG)
+    val short = ("BI /W 9 /H 9 /CS /RGB /BPC 8 ID xy EI").getBytes(ISO_8859_1)
+    val pdf2 = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${short.length} >>", Some(short))))
+    val Right(p2) = MiniPdfDecoder().decodeWithImages(pdf2): @unchecked
+    assert(p2.flatMap(_._2).isEmpty)
+    assert(p2.head._1.contains("<img width=\"9\""), "dims still reported")
+  }
+
   test("unsupported/corrupt image payloads are dropped, never fabricated") {
     // truncated sample data: fewer bytes than w*h*ncomp
     val d = new java.util.zip.Deflater(); d.setInput(Array[Byte](1, 2, 3)); d.finish()
