@@ -1524,7 +1524,7 @@ object MiniPdf {
   * size/ratio filters run truthfully, ref `downloader.py:254-255`,
   * `extractor.py:38-44,151-162`), and `drawings`/`decodeWithDrawings`
   * extract real path-operator SVG (ref `extractor.py:76-77`). */
-final case class MiniPdfDecoder() extends PageDecoder {
+final case class MiniPdfDecoder(embedImages: Boolean = false) extends PageDecoder {
 
   /** Common open path: header slice → encryption gate → object scan →
     * page order. */
@@ -1592,7 +1592,23 @@ final case class MiniPdfDecoder() extends PageDecoder {
     val text = text0.replaceAll("\\s+", " ").trim
     val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val imgTags = imgs.zipWithIndex.map { case (r, k) =>
-      s"""<img width="${r.width}" height="${r.height}" src="img$k.png" alt=""/>"""
+      // PyMuPDF-parity option (ref `extractor.py:136`): its XHTML
+      // embeds image payloads as base64 data URIs. OPT-IN here — the
+      // hot text path must not pay a PNG encode per page when the
+      // consumer only wants words; decodeWithImages is the on-demand
+      // surface. Unavailable payloads keep the filename form.
+      val src =
+        if (!embedImages) s"img$k.png"
+        else (if (r.num > 0) MiniPdf.imagePayload(objs, r.num)
+              else r.inlineRaw.flatMap { case (d, raw) =>
+                MiniPdf.inlineImagePayload(d, raw) })
+          .map { bytes =>
+            val mime = if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFF &&
+              (bytes(1) & 0xff) == 0xD8) "image/jpeg" else "image/png"
+            s"data:$mime;base64," +
+              java.util.Base64.getEncoder.encodeToString(bytes)
+          }.getOrElse(s"img$k.png")
+      s"""<img width="${r.width}" height="${r.height}" src="$src" alt=""/>"""
     }.mkString
     s"<div><p>$esc</p>$imgTags</div>"
   }

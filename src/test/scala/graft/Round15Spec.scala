@@ -326,6 +326,33 @@ class Round15Spec extends AnyFunSuite {
     assert(p1.head._1.contains("<img"))
   }
 
+  test("embedImages mode emits base64 data URIs that decode back (PyMuPDF " +
+       "XHTML parity); default mode keeps filenames") {
+    val px = Array.fill(4 * 3)(Array(9, 90, 180)).flatten.map(_.toByte)
+    val d = new java.util.zip.Deflater(); d.setInput(px); d.finish()
+    val buf = new Array[Byte](px.length + 64); val n = d.deflate(buf); d.end()
+    val content = "/Im1 Do"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Image /Width 4 /Height 3 /Filter /FlateDecode " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length $n >>",
+        Some(buf.take(n)))))
+    val Right(plain) = MiniPdfDecoder().decode(pdf): @unchecked
+    assert(plain.head.contains("src=\"img0.png\""))
+    val Right(embedded) = MiniPdfDecoder(embedImages = true).decode(pdf): @unchecked
+    val m = """src="data:image/png;base64,([A-Za-z0-9+/=]+)"""".r
+      .findFirstMatchIn(embedded.head)
+    assert(m.isDefined, embedded.head.take(200))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      java.util.Base64.getDecoder.decode(m.get.group(1))))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+    assert((back.getRGB(0, 0) & 0xFFFFFF) == ((9 << 16) | (90 << 8) | 180))
+  }
+
   // -------------------------------------------------- q364 AES-CBC leg
 
   test("q364 generator's AES and RC4 legs both decode; locked docs fail " +
