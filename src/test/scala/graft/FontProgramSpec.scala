@@ -419,4 +419,65 @@ class FontProgramSpec extends AnyFunSuite {
       "this is not an sfnt at all".getBytes(ISO_8859_1))
     assert(decodeText(pdf) == "<div><p>ok</p></div>")
   }
+
+  test("bit-flip fuzz over font-program PDFs never throws (sfnt/CFF/Type1 robustness)") {
+    // a flipped bit in a font program legitimately changes (or kills)
+    // the decode map, but the decoder must never escape its Either —
+    // torn table directories, wild cmap offsets, corrupt INDEX offsets
+    // and truncated pascal strings included
+    val ttf = sfnt(
+      "cmap" -> cmap((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2),
+        (3, 1) -> cmap4(0x41 -> 1)),
+      "post" -> post(Seq(258, 259), Seq("H", "e")))
+    val cffF = cff(charset0(72, 1), Some(encoding0(65, 66)), nGlyphs = 3,
+      strings = Seq("uni0416"))
+    val t1 = ("/Encoding 256 array\ndup 65 /g put\nreadonly def\neexec X")
+      .getBytes(ISO_8859_1)
+    val targets = Seq(
+      pdfWithFont("BT /F1 12 Tf () Tj ET", simpleTtDict, ttf),
+      pdfWithFont("BT /F1 12 Tf (AB) Tj ET",
+        "<< /Type /Font /Subtype /Type1 /FontDescriptor 6 0 R >>",
+        cffF, fileKey = "/FontFile3"),
+      pdfWithFont("BT /F1 12 Tf (A) Tj ET",
+        "<< /Type /Font /Subtype /Type1 /FontDescriptor 6 0 R >>",
+        t1, fileKey = "/FontFile"))
+    val rnd = new scala.util.Random(77)
+    for (base <- targets; _ <- 0 until 40) {
+      val m = base.clone()
+      val flips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until flips) {
+        val at = rnd.nextInt(m.length)
+        m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val r = MiniPdfDecoder().decode(m)
+      assert(r.isLeft || r.isRight, "decoder escaped Either")
+    }
+  }
+
+  test("bit-flip fuzz over image-payload PDFs never throws (decodeWithImages robustness)") {
+    val px = Array.fill(6 * 4 * 3)(0x40.toByte)
+    val d = new java.util.zip.Deflater(); d.setInput(px); d.finish()
+    val buf = new Array[Byte](px.length + 64); val n = d.deflate(buf); d.end()
+    val content = "/Im1 Do BI /W 2 /H 2 /CS /G /BPC 8 ID abcd EI"
+    val base = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO_8859_1))),
+      (5, "<< /Subtype /Image /Width 6 /Height 4 /Filter /FlateDecode " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length $n >>",
+        Some(buf.take(n)))))
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 80) {
+      val m = base.clone()
+      val flips = 1 + rnd.nextInt(8)
+      for (_ <- 0 until flips) {
+        val at = rnd.nextInt(m.length)
+        m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      val r = MiniPdfDecoder(embedImages = rnd.nextBoolean()).decodeWithImages(m)
+      assert(r.isLeft || r.isRight, "decoder escaped Either")
+    }
+  }
 }
