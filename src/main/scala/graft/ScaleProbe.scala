@@ -49,11 +49,17 @@ object ScaleProbe {
     // work whose blow-up should track the documents table linearly
     "q362_pdf_planted_dims", "q363_pdf_channels", "q364_pdf_encrypted",
     "q366_warc_revisit_dedup", "q367_warc_pdf_e2e",
-    // round-15: embedded-font program decode, in-PDF image payload
+    // round-15: embedded-font program decode and in-PDF image payload
     // extraction (Flate raster → PNG re-wrap + DCT passthrough into the
-    // real codec), real-pixel pHash banding — all per-row map-side
-    // except q337's single band-join shuffle
-    "q369_pdf_embedded_font", "q370_pdf_image_payload", "q337_phash_dedup")
+    // real codec) — per-row map-side decode legs. q337 (real-pixel
+    // pHash) is EXCLUDED by the fixture-pathology rule above: its
+    // planted corpus has only 256 distinct images (64 patterns × 4
+    // variants), so replication multiplies same-hash collisions and the
+    // band join's candidate count grows as Σ|group|² — a property of
+    // the planted data, not the plan (the banding scale shape is the
+    // minhash-LSH one, covered by those probes; candidate growth on a
+    // REAL corpus is governed by true near-dup density)
+    "q369_pdf_embedded_font", "q370_pdf_image_payload")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -8926,15 +8926,21 @@ object SparkEntry {
       // the aHash mean strictly interior) and whose variant
       // v = doc_id % 4 flips a fixed cell set (∅/{7}/{13,47}/
       // {5,23,58}). JdkImageCodec.averagePHash64 recovers the 64-bit
-      // average hash from ACTUAL decoded pixels; 4×16-bit Hamming
-      // bands (pigeonhole: ≤3 flips leave ≥1 band intact, so the band
-      // equi-join provably finds EVERY pair at hamming ≤ 3) feed the
-      // exact bit_count(xor) verify on candidates only. Distinct p's
-      // differ in ≥10 cells, minus ≤6 variant flips still > 3 — so
-      // ONLY same-p pairs with variant symmetric-difference ≤ 3
-      // survive, which is exactly the arithmetic the oracle replays. A
-      // decode slip, wrong grid mean, bit-order bug, or banding break
-      // changes the pair set and the hash.
+      // average hash from ACTUAL decoded pixels. TWO TIERS, the
+      // production image-dedup structure: identical hashes collapse in
+      // an exact self-equi-join FIRST (hamming-0 pairs, one shuffle on
+      // the hash), and the 4×16-bit Hamming band join (pigeonhole: ≤3
+      // flips leave ≥1 band intact, so it provably finds EVERY pair at
+      // hamming ≤ 3) runs over DISTINCT hashes only — on a real crawl
+      // the dominant collision mass (blank pages, logos, tracking
+      // pixels: byte-identical renders) never enters the candidate
+      // join, whose size becomes Σ|distinct-hash band bucket|², not
+      // Σ|doc band bucket|². Distinct p's differ in ≥10 cells, minus
+      // ≤6 variant flips still > 3 — so ONLY same-p pairs with variant
+      // symmetric-difference ≤ 3 survive, which is exactly the
+      // arithmetic the oracle replays. A decode slip, wrong grid mean,
+      // bit-order bug, or banding break changes the pair set and the
+      // hash.
       val gen = udf((id: Long) => {
         val p = ((id / 4) % 64).toInt
         val flips: Set[Int] = (id % 4).toInt match {
@@ -8960,24 +8966,33 @@ object SparkEntry {
       val ph = Dedup.cacheScoped(Tables.documents(s, dir)
         .select(col("doc_id"), ph64(gen(col("doc_id"))).as("phash"))
         .filter(col("phash").isNotNull))
-      val bands = ph.select(col("doc_id"), col("phash"),
+      // tier 1: identical hashes — exact equi-join, hamming 0
+      val same = ph.select(col("doc_id").as("key_a"), col("phash"))
+        .join(ph.select(col("doc_id").as("key_b"), col("phash")), Seq("phash"))
+        .filter(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"), lit(0L).as("hamming"))
+      // tier 2: band join over DISTINCT hashes only
+      val hs = Dedup.cacheScoped(ph.select(col("phash")).distinct())
+      val bands = hs.select(col("phash"),
         explode(array((0 to 3).map(i => struct(lit(i).as("b"),
           shiftright(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))
             .as("v"))): _*)).as("r"))
-        .select(col("doc_id"), col("phash"), col("r.b").as("b"),
-          col("r.v").as("v"))
-      val a = bands.select(col("b"), col("v"), col("doc_id").as("key_a"),
-        col("phash").as("ph_a"))
-      val b = bands.select(col("b"), col("v"), col("doc_id").as("key_b"),
-        col("phash").as("ph_b"))
-      a.join(b, Seq("b", "v"))
-        .filter(col("key_a") < col("key_b"))
-        .select(col("key_a"), col("key_b"), col("ph_a"), col("ph_b"))
-        .distinct()
+        .select(col("phash"), col("r.b").as("b"), col("r.v").as("v"))
+      val nearHash = bands.select(col("b"), col("v"), col("phash").as("ph_a"))
+        .join(bands.select(col("b"), col("v"), col("phash").as("ph_b")),
+          Seq("b", "v"))
+        .filter(col("ph_a") < col("ph_b"))
+        .select(col("ph_a"), col("ph_b")).distinct()
         .withColumn("hamming",
           bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
         .filter(col("hamming") <= 3)
-        .select(col("key_a"), col("key_b"), col("hamming"))
+      // expand near-dup HASH pairs back to doc pairs
+      val near = nearHash
+        .join(ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a")), Seq("ph_a"))
+        .join(ph.select(col("doc_id").as("id_b"), col("phash").as("ph_b")), Seq("ph_b"))
+        .select(least(col("id_a"), col("id_b")).as("key_a"),
+          greatest(col("id_a"), col("id_b")).as("key_b"), col("hamming"))
+      same.unionByName(near)
         .orderBy(col("hamming"), col("key_a"), col("key_b")).limit(50)
     }),
 
