@@ -8963,36 +8963,8 @@ object SparkEntry {
       val ph64 = udf((b: Array[Byte]) =>
         graft.operators.Multimodal.JdkImageCodec.averagePHash64(b)
           .map(java.lang.Long.valueOf).orNull)
-      val ph = Dedup.cacheScoped(Tables.documents(s, dir)
-        .select(col("doc_id"), ph64(gen(col("doc_id"))).as("phash"))
-        .filter(col("phash").isNotNull))
-      // tier 1: identical hashes — exact equi-join, hamming 0
-      val same = ph.select(col("doc_id").as("key_a"), col("phash"))
-        .join(ph.select(col("doc_id").as("key_b"), col("phash")), Seq("phash"))
-        .filter(col("key_a") < col("key_b"))
-        .select(col("key_a"), col("key_b"), lit(0L).as("hamming"))
-      // tier 2: band join over DISTINCT hashes only
-      val hs = Dedup.cacheScoped(ph.select(col("phash")).distinct())
-      val bands = hs.select(col("phash"),
-        explode(array((0 to 3).map(i => struct(lit(i).as("b"),
-          shiftright(col("phash"), i * 16).bitwiseAND(lit(0xFFFFL))
-            .as("v"))): _*)).as("r"))
-        .select(col("phash"), col("r.b").as("b"), col("r.v").as("v"))
-      val nearHash = bands.select(col("b"), col("v"), col("phash").as("ph_a"))
-        .join(bands.select(col("b"), col("v"), col("phash").as("ph_b")),
-          Seq("b", "v"))
-        .filter(col("ph_a") < col("ph_b"))
-        .select(col("ph_a"), col("ph_b")).distinct()
-        .withColumn("hamming",
-          bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
-        .filter(col("hamming") <= 3)
-      // expand near-dup HASH pairs back to doc pairs
-      val near = nearHash
-        .join(ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a")), Seq("ph_a"))
-        .join(ph.select(col("doc_id").as("id_b"), col("phash").as("ph_b")), Seq("ph_b"))
-        .select(least(col("id_a"), col("id_b")).as("key_a"),
-          greatest(col("id_a"), col("id_b")).as("key_b"), col("hamming"))
-      same.unionByName(near)
+      Dedup.phashNearDups(Tables.documents(s, dir)
+          .select(col("doc_id"), ph64(gen(col("doc_id"))).as("phash")))
         .orderBy(col("hamming"), col("key_a"), col("key_b")).limit(50)
     }),
 
@@ -10215,16 +10187,18 @@ object SparkEntry {
       // ref `extractor.py:136` — PyMuPDF reads the font PROGRAM when a
       // font carries no /ToUnicode and no standard /Encoding): per doc
       // a genuine PDF whose only font maps byte codes through one of
-      // FOUR embedded programs — (a) subset TrueType with a symbolic
+      // FIVE embedded programs — (a) subset TrueType with a symbolic
       // (3,0) cmap and `post` glyph names, (b) subset TrueType with a
       // symbolic cmap resolved through the INVERTED (3,1) Unicode cmap
       // (no post table), (c) Type 1 cleartext /Encoding `dup … put`
       // array, (d) CFF/Type1C (/FontFile3: INDEX structures, charset
-      // SIDs through the standard strings, custom format-0 encoding) —
-      // with letter/word-shape arithmetic planted in doc_id. The glyph
-      // codes are NOT the character values, so a cmap binary-search
-      // bug, a post-name misread, an inversion slip, or a CFF offset
-      // error turns every word into garbage and breaks the hash.
+      // SIDs through the standard strings, custom format-0 encoding),
+      // (e) Type0/Identity-H whose 2-byte CIDs resolve through the
+      // DESCENDANT font's inverted Unicode cmap — with letter/word-
+      // shape arithmetic planted in doc_id. The glyph codes are NOT
+      // the character values, so a cmap binary-search bug, a post-name
+      // misread, an inversion slip, or a CFF offset error turns every
+      // word into garbage and breaks the hash.
       val gen = udf((id: Long) => {
         val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
         def be16(v: Int): Array[Byte] =
@@ -10293,27 +10267,42 @@ object SparkEntry {
         val letter = ('a' + (id % 26)).toChar
         val wl = 3 + (id % 4).toInt
         val wc = 1 + (id % 7).toInt
-        val (font, fileKey, subtype) = (id % 4) match {
+        val simpleCodes = Seq.fill(wc)("" * wl).mkString("")
+        // class 4 (Type0/Identity-H): 2-byte hex codes ARE glyph ids
+        val cidCodes = Seq.fill(wc)("0003" * wl).mkString("0004")
+        val sDict = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FontDescriptor 6 0 R >>"
+        val t1Dict = "<< /Type /Font /Subtype /Type1 /BaseFont /Fake /FontDescriptor 6 0 R >>"
+        val sContent = s"BT /F1 12 Tf ($simpleCodes) Tj ET"
+        val (font, fileKey, fontDict, content) = (id % 5) match {
           case 0 => (sfnt(
               "cmap" -> cmapTbl((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2)),
               "post" -> post2(Seq(letter.toString, "space"))),
-            "/FontFile2", "/TrueType")
+            "/FontFile2", sDict, sContent)
           case 1 => (sfnt(
               "cmap" -> cmapTbl(
                 (3, 0) -> cmap4(0xF001 -> 5, 0xF002 -> 6),
                 (3, 1) -> cmap4(letter.toInt -> 5, 0x20 -> 6))),
-            "/FontFile2", "/TrueType")
+            "/FontFile2", sDict, sContent)
           case 2 => ((s"/Encoding 256 array\ndup 1 /$letter put\n" +
               "dup 2 /space put\nreadonly def\neexec X").getBytes(ISO),
-            "/FontFile", "/Type1")
-          case _ =>
+            "/FontFile", t1Dict, sContent)
+          case 3 =>
             // CFF: glyph1 → the letter's standard SID (a..z = 66..91),
             // glyph2 → SID 1 (space); codes 1/2 → glyphs 1/2
             (cffFont(Seq(66 + (id % 26).toInt, 1), Seq(1, 2)),
-              "/FontFile3", "/Type1")
+              "/FontFile3", t1Dict, sContent)
+          case _ =>
+            // Type0/Identity-H with NO ToUnicode: CIDs are glyph ids
+            // (default /CIDToGIDMap), resolved through the DESCENDANT
+            // font's inverted (3,1) Unicode cmap (letter → gid 3,
+            // space → gid 4)
+            (sfnt("cmap" -> cmapTbl(
+                (3, 1) -> cmap4(letter.toInt -> 3, 0x20 -> 4))),
+              "/FontFile2",
+              "<< /Type /Font /Subtype /Type0 /BaseFont /Fake " +
+                "/Encoding /Identity-H /DescendantFonts [ 8 0 R ] >>",
+              s"BT /F1 12 Tf <$cidCodes> Tj ET")
         }
-        val codes = Seq.fill(wc)("" * wl).mkString("")
-        val content = s"BT /F1 12 Tf ($codes) Tj ET"
         val bos = new java.io.ByteArrayOutputStream()
         def w(str: String): Unit = bos.write(str.getBytes(ISO))
         def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
@@ -10329,10 +10318,12 @@ object SparkEntry {
         obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
           "/Resources << /Font << /F1 5 0 R >> >> >>", None)
         obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Type /Font /Subtype $subtype /BaseFont /Fake " +
-          "/FontDescriptor 6 0 R >>", None)
+        obj(5, fontDict, None)
         obj(6, s"<< /Type /FontDescriptor /FontName /Fake $fileKey 7 0 R >>", None)
         obj(7, s"<< /Length ${font.length} >>", Some(font))
+        if (id % 5 == 4)
+          obj(8, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake " +
+            "/FontDescriptor 6 0 R >>", None)
         w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
         bos.toByteArray
       })
@@ -10424,6 +10415,65 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           when(col("doc_id") % 2 === 0,
             floor(col("lum") * 1e6 + 0.5).cast("long")).as("lum_u6"))
+    }),
+
+    "q371_pdf_datauri_roundtrip" -> ((s, dir) => {
+      // base64 data-URI XHTML parity, END TO END (r15; ref
+      // `extractor.py:136` — PyMuPDF's XHTML carries page images as
+      // base64): per doc a PDF painting a raw-Flate DeviceRGB XObject
+      // (planted dims/uniform color) is decoded with embedImages=true;
+      // the data URI is parsed back OUT of the emitted <img> tag
+      // (regexp + unbase64 — built-ins, no UDF on the extraction side)
+      // and the recovered PNG flows through the production codec. Dims
+      // AND the exact uniform-fill luminance must survive the
+      // raster→PNG→base64→XHTML→bytes loop; the oracle replays the
+      // planted arithmetic.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 8 + (id % 10).toInt; val h = 8 + (id % 6).toInt
+        val (r, g, b) = (((id * 3) % 256).toInt, ((id * 11) % 256).toInt,
+          ((id * 17) % 256).toInt)
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
+          i += 3
+        }
+        val d = new java.util.zip.Deflater()
+        d.setInput(px); d.finish()
+        val buf = new Array[Byte](px.length + 64)
+        val n = d.deflate(buf); d.end()
+        val content = "/Im1 Do"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h /Filter /FlateDecode " +
+          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length $n >>",
+          Some(buf.take(n)))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val dec = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder(embedImages = true).decode(p)
+          .toOption.map(_.head).orNull)
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), dec(gen(col("doc_id"))).as("page"))
+        .select(col("doc_id"), unbase64(regexp_extract(col("page"),
+          "base64,([A-Za-z0-9+/=]+)", 1)).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
   )
 
@@ -16682,6 +16732,17 @@ object SparkEntry {
         |    FLOOR((0.299 * (doc_id % 256) + 0.587 * ((doc_id * 7) % 256)
         |      + 0.114 * ((doc_id * 13) % 256)) * 1e6 + 0.5)
         |  END AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
+
+    // q371: base64 data-URI round-trip — the oracle replays the
+    // planted dims + exact uniform-fill luminance
+    "q371_pdf_datauri_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 10 AS BIGINT) AS w,
+        |  CAST(8 + doc_id % 6 AS BIGINT) AS h,
+        |  CAST(FLOOR((0.299 * ((doc_id * 3) % 256)
+        |    + 0.587 * ((doc_id * 11) % 256)
+        |    + 0.114 * ((doc_id * 17) % 256)) * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
   )
 }

@@ -660,4 +660,55 @@ object Dedup {
       .select(col("key").as("__loser"))
     df.join(losers, key === col("__loser"), "left_anti")
   }
+
+  /** Perceptual-hash near-dup pairs over a 64-bit hash column (r15 —
+    * the image-dedup operator behind q337; hashes from
+    * [[Multimodal.JdkImageCodec.averagePHash64]] or any 64-bit
+    * perceptual hash). TWO TIERS, the production structure:
+    *
+    *  1. identical hashes collapse in ONE exact self-equi-join on the
+    *     hash (hamming-0 pairs) — on a real crawl the dominant
+    *     collision mass (blank pages, logos, byte-identical renders)
+    *     is exact, and it must never enter a pairwise candidate join;
+    *  2. the 4×16-bit Hamming band join (pigeonhole: ≤ `maxHamming` ≤ 3
+    *     bit flips leave ≥1 band intact, so the equi-join provably
+    *     finds EVERY qualifying pair) runs over DISTINCT hashes only,
+    *     with the exact `bit_count(xor)` verify on candidates, then
+    *     expands hash pairs back to id pairs.
+    *
+    * Candidate volume is therefore Σ|distinct-hash band bucket|², not
+    * Σ|doc band bucket|² — the shape that survives a 100 TB corpus
+    * where exact-dup groups are huge but distinct near-neighbors are
+    * sparse. Output: (key_a, key_b, hamming), key_a < key_b. */
+  def phashNearDups(df: DataFrame, idCol: String = "doc_id",
+                    hashCol: String = "phash", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding guarantees recall only up to hamming 3")
+    val ph = cacheScoped(df.select(col(idCol).cast("long").as("__id"),
+      col(hashCol).cast("long").as("__ph")).filter(col("__ph").isNotNull))
+    val same = ph.select(col("__id").as("key_a"), col("__ph"))
+      .join(ph.select(col("__id").as("key_b"), col("__ph")), Seq("__ph"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), lit(0L).as("hamming"))
+    val hs = cacheScoped(ph.select(col("__ph")).distinct())
+    val bands = hs.select(col("__ph"),
+      explode(array((0 to 3).map(i => struct(lit(i).as("b"),
+        shiftright(col("__ph"), i * 16).bitwiseAND(lit(0xFFFFL))
+          .as("v"))): _*)).as("r"))
+      .select(col("__ph"), col("r.b").as("b"), col("r.v").as("v"))
+    val nearHash = bands.select(col("b"), col("v"), col("__ph").as("ph_a"))
+      .join(bands.select(col("b"), col("v"), col("__ph").as("ph_b")),
+        Seq("b", "v"))
+      .filter(col("ph_a") < col("ph_b"))
+      .select(col("ph_a"), col("ph_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
+    val near = nearHash
+      .join(ph.select(col("__id").as("id_a"), col("__ph").as("ph_a")), Seq("ph_a"))
+      .join(ph.select(col("__id").as("id_b"), col("__ph").as("ph_b")), Seq("ph_b"))
+      .select(least(col("id_a"), col("id_b")).as("key_a"),
+        greatest(col("id_a"), col("id_b")).as("key_b"), col("hamming"))
+    same.unionByName(near)
+  }
 }

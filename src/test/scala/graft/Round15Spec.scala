@@ -353,6 +353,34 @@ class Round15Spec extends AnyFunSuite {
     assert((back.getRGB(0, 0) & 0xFFFFFF) == ((9 << 16) | (90 << 8) | 180))
   }
 
+  test("Dedup.phashNearDups: exact tier + distinct-hash band tier give the " +
+       "all-pairs answer") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // hashes: 1,2 identical; 3 at hamming 2 from them; 4 far away;
+    // 5,6 identical to each other, far from the rest
+    val base = 0x0123456789ABCDEFL
+    val df = Seq(
+      (1L, base), (2L, base), (3L, base ^ ((1L << 5) | (1L << 40))),
+      (4L, ~base), (5L, 0x00FF00FF00FF00FFL), (6L, 0x00FF00FF00FF00FFL))
+      .toDF("doc_id", "phash")
+    val out = graft.operators.Dedup.phashNearDups(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 0L), (5L, 6L, 0L),
+      (1L, 3L, 2L), (2L, 3L, 2L)))
+    // brute-force all-pairs agreement at hamming <= 3
+    val all = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(out == brute)
+    // the recall guarantee is only proven to hamming 3
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.phashNearDups(df, maxHamming = 4)
+    }
+  }
+
   // -------------------------------------------------- q364 AES-CBC leg
 
   test("q364 generator's AES and RC4 legs both decode; locked docs fail " +
