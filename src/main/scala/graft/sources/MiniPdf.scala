@@ -1649,27 +1649,28 @@ final case class MiniPdfDecoder(embedImages: Boolean = false) extends PageDecode
   * Drawings on the real path are REAL extraction (never the fake's
   * synthetic SVG — fabricating output for a real document would
   * contradict the engine's fail-closed policy). */
-final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder())
-    extends PageDecoder {
+final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
+    embedImages: Boolean = false) extends PageDecoder {
+  private def real = MiniPdfDecoder(embedImages)
+
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
-    if (MiniPdf.headerOffset(payload) >= 0)
-      MiniPdfDecoder().decode(payload)
+    if (MiniPdf.headerOffset(payload) >= 0) real.decode(payload)
     else fallback.decode(payload)
 
   override def decodeWithDrawings(payload: Array[Byte])
       : Either[String, Seq[(String, String)]] =
     if (MiniPdf.headerOffset(payload) >= 0)
-      MiniPdfDecoder().decodeWithDrawings(payload)
+      real.decodeWithDrawings(payload)
     else fallback.decodeWithDrawings(payload)
 
   override def drawings(payload: Array[Byte], pageNo: Int): String =
     if (MiniPdf.headerOffset(payload) >= 0)
-      MiniPdfDecoder().drawings(payload, pageNo)
+      real.drawings(payload, pageNo)
     else fallback.drawings(payload, pageNo)
 
   override def decodeWithImages(payload: Array[Byte])
       : Either[String, Seq[(String, Seq[Array[Byte]])]] =
     if (MiniPdf.headerOffset(payload) >= 0)
-      MiniPdfDecoder().decodeWithImages(payload)
+      real.decodeWithImages(payload)
     else fallback.decodeWithImages(payload)
 }
