@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+
+/** Arrow IPC (random-access / Feather-v2) shard reader — the reference's
+  * shard input format (`doc2dataset/downloader.py:229-231`:
+  * `pa.ipc.open_file(f).read_all()`; the reader writes those shards in
+  * `reader.py:125-138`). Closes the one SURVEY §2.1 row previously marked
+  * by-design obsolete: a user migrating from the reference can point this
+  * at the same `_tmp feather` shards.
+  *
+  * Built on the arrow-vector runtime Spark already ships (no new
+  * dependency). Distributed shape: one Spark partition per IPC FILE —
+  * exactly the reference's shard granularity — with the schema resolved
+  * once on the driver from the first file; each task streams the file's
+  * record batches through a task-local allocator. Files are read through
+  * the Hadoop FileSystem API, so any scheme Spark can reach works; an IPC
+  * shard is by construction small (`number_sample_per_shard` rows), so a
+  * whole-shard buffer per task is the intended memory shape.
+  */
+object ArrowIpc {
+
+  /** Map an Arrow field to a Spark field; unsupported types fail loudly
+    * (silent coercion would corrupt a migration). */
+  private def sparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
+    case i: ArrowType.Int =>
+      (i.getBitWidth, i.getIsSigned) match {
+        case (64, _) => LongType
+        case (32, true) => IntegerType
+        case (16, true) => ShortType
+        case (8, true) => ByteType
+        case _ => LongType
+      }
+    case fp: ArrowType.FloatingPoint =>
+      if (fp.getPrecision == FloatingPointPrecision.SINGLE) FloatType
+      else DoubleType
+    case _: ArrowType.Bool => BooleanType
+    case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
+    case _: ArrowType.Date => DateType
+    case _: ArrowType.Timestamp => TimestampType
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported Arrow type for field '${f.getName}': $other")
+  }
+
+  private def toSpark(v: Any): Any = v match {
+    case null => null
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+    case ld: java.time.LocalDate => java.sql.Date.valueOf(ld)
+    case other => other
+  }
+
+  /** All rows of one IPC payload as Spark Rows. */
+  private def readBytes(bytes: Array[Byte]): Iterator[Row] = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    val ch = new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes)
+    val reader = new ArrowFileReader(ch, alloc)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        val vs = root.getFieldVectors
+        var r = 0
+        while (r < root.getRowCount) {
+          val vals = new Array[Any](vs.size())
+          var c = 0
+          while (c < vs.size()) {
+            vals(c) = toSpark(vs.get(c).getObject(r))
+            c += 1
+          }
+          out += Row.fromSeq(vals.toIndexedSeq)
+          r += 1
+        }
+      }
+    } finally { reader.close(); alloc.close() }
+    out.iterator
+  }
+
+  private def fileBytes(path: String,
+                        conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (1L << 31) - 16, s"IPC shard over 2 GiB: $path")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  /** Read one file / directory / glob of Arrow IPC shards. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no Arrow IPC files at $path")
+    // driver: schema from the first shard (the reference assumes one
+    // schema across shards the same way)
+    val schema: StructType = {
+      val alloc = new RootAllocator(Long.MaxValue)
+      val ch = new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(
+        fileBytes(files.head, conf))
+      val reader = new ArrowFileReader(ch, alloc)
+      try {
+        val fields = reader.getVectorSchemaRoot.getSchema.getFields
+        StructType((0 until fields.size()).map { i =>
+          val f = fields.get(i)
+          StructField(f.getName, sparkType(f), nullable = true)
+        })
+      } finally { reader.close(); alloc.close() }
+    }
+    // executors: one partition per shard file; hadoop conf rebuilt from
+    // defaults task-side (shards live on whatever FS the paths name)
+    val rdd = spark.sparkContext
+      .parallelize(files, files.length)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap(f => readBytes(fileBytes(f, conf)))
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

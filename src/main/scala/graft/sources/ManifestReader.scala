@@ -51,6 +51,12 @@ object ManifestReader {
   def glob(spark: SparkSession, dir: String, format: String): DataFrame =
     spark.read.format(format).load(s"$dir/*.$format")
 
+  /** Arrow IPC / Feather-v2 shards — the reference's own intermediate
+    * shard format (ref `downloader.py:229-231`), readable directly so a
+    * migration can consume existing `_tmp feather` output. */
+  def arrow(spark: SparkSession, path: String): DataFrame =
+    ArrowIpc.read(spark, path)
+
   /** Shard for downstream fetch parallelism: the reference's fixed-size
     * shard (`number_sample_per_shard`, `reader.py:125-138`) maps to a row
     * count based partition target. */

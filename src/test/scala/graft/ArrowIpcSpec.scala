@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, Float8Vector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import graft.sources.ManifestReader
+
+/** Arrow IPC shard reading (r15 — closes the SURVEY §2.1 row previously
+  * marked by-design obsolete): shards are WRITTEN here through the
+  * arrow-vector API (the same wire format `pa.ipc.open_file` reads, ref
+  * `downloader.py:229-231`) and must come back as a Spark DataFrame with
+  * correct types, nulls, multi-batch content, and one partition per
+  * shard file. */
+class ArrowIpcSpec extends AnyFunSuite {
+
+  /** Write one IPC file with the given (url, n, score) rows, split into
+    * `batches` record batches. */
+  private def writeShard(path: java.io.File,
+                         rows: Seq[(String, Option[Long], Option[Double])],
+                         batches: Int = 1): Unit = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    val url = new VarCharVector("url", alloc)
+    val n = new BigIntVector("n", alloc)
+    val score = new Float8Vector("score", alloc)
+    val root = VectorSchemaRoot.of(url, n, score)
+    val ch = new java.io.FileOutputStream(path).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    try {
+      w.start()
+      val per = math.max(1, (rows.length + batches - 1) / batches)
+      for (chunk <- rows.grouped(per)) {
+        url.allocateNew(); n.allocateNew(); score.allocateNew()
+        chunk.zipWithIndex.foreach { case ((u, nv, sv), i) =>
+          url.setSafe(i, u.getBytes("UTF-8"))
+          nv.fold(n.setNull(i))(v => n.setSafe(i, v))
+          sv.fold(score.setNull(i))(v => score.setSafe(i, v))
+        }
+        root.setRowCount(chunk.length)
+        w.writeBatch()
+      }
+      w.end()
+    } finally { w.close(); ch.close(); root.close(); alloc.close() }
+  }
+
+  test("reads a multi-batch IPC shard with nulls into typed Spark rows") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("arrow_ipc").toFile
+    val rows = (0 until 10).map(i =>
+      (s"http://ex.com/$i",
+        if (i % 3 == 0) None else Some(i.toLong * 7),
+        if (i % 4 == 0) None else Some(i * 0.5)))
+    writeShard(new java.io.File(dir, "shard_0.feather"), rows, batches = 3)
+    val df = ManifestReader.arrow(spark, new java.io.File(dir, "shard_0.feather").getPath)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("url", "string"), ("n", "bigint"), ("score", "double")))
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got.sortBy(_._1) == rows.sortBy(_._1))
+  }
+
+  test("a directory of shards reads as one DataFrame, one partition per file") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("arrow_ipc2").toFile
+    writeShard(new java.io.File(dir, "a.feather"),
+      Seq(("u1", Some(1L), Some(0.1)), ("u2", None, Some(0.2))))
+    writeShard(new java.io.File(dir, "b.feather"),
+      Seq(("u3", Some(3L), None)))
+    val df = ManifestReader.arrow(spark, dir.getPath + "/*.feather")
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() == 3)
+    // the reference's normalize step runs unchanged on shard content
+    val norm = ManifestReader.normalize(df, "url", None, "md5", Seq("n"))
+    assert(norm.columns.toSeq == Seq("n", "url"))
+  }
+
+  test("unsupported Arrow types and missing paths fail loudly") {
+    val spark = TestSpark.spark
+    val ex = intercept[IllegalArgumentException] {
+      ManifestReader.arrow(spark, "/nonexistent/path/*.feather")
+    }
+    assert(ex.getMessage.contains("no Arrow IPC files"))
+  }
+}
