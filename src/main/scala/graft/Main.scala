@@ -59,6 +59,8 @@ object Main {
     maxImagesPerPage = a.get("max_images_per_page").map(_.toInt),
     minImageSize = a.getOrElse("min_image_size", "0").toInt,
     maxImageArea = a.get("max_image_area").map(_.toDouble).getOrElse(Double.MaxValue),
+    disableAllReencoding =
+      a.get("disable_all_reencoding").exists(_.toBoolean),
     maxAspectRatio = a.get("max_aspect_ratio").map(_.toDouble).getOrElse(Double.MaxValue),
     getLanguage = a.getOrElse("get_language", "false").toBoolean,
     getDrawings = a.getOrElse("get_drawings", "false").toBoolean,

@@ -23,6 +23,11 @@ final case class PipelineConfig(
     // max_aspect_ratio (extractor.py:121-126) — the parameter is dead
     // there, so it is config-surface-only here too
     maxImageArea: Double = Double.MaxValue,
+    // accepted-but-unused, faithfully: the reference threads
+    // disable_all_reencoding into its Extractor (`main.py:88`,
+    // `extractor.py:98`) which stores and never reads it — config
+    // surface only, like maxImageArea
+    disableAllReencoding: Boolean = false,
     maxAspectRatio: Double = Double.MaxValue,
     getLanguage: Boolean = false,
     getDrawings: Boolean = false,
