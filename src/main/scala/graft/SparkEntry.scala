@@ -10475,6 +10475,36 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q372_arrow_shard_roundtrip" -> ((s, dir) => {
+      // ARROW-SHARD round-trip e2e (r15; ref `reader.py:139-146` writes
+      // feather shards, `downloader.py:229-231` reads them back): a
+      // typed projection of `documents` (with planted nulls) is WRITTEN
+      // as one IPC shard per partition through the arrow-vector wire
+      // format and read BACK via ArrowIpc — the reference-interchange
+      // loop, executor-side on both legs — then aggregated per lang. A
+      // type-mapping slip, null-validity bug, record-batch boundary
+      // tear, or lost shard breaks the hash against the
+      // direct-on-documents oracle.
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q372_${dir.replaceAll("[^A-Za-z0-9]", "_")}").getPath
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      val src = Tables.documents(s, dir).select(col("doc_id"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("doc_id").cast("double") / 4).as("score"))
+        .repartition(4, col("doc_id"))
+      graft.sources.ArrowIpc.write(src, out)
+      graft.sources.ArrowIpc.read(s, out + "/*.feather")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(floor(col("score") * 4).cast("long")).as("score4"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16744,5 +16774,14 @@ object SparkEntry {
         |    + 0.587 * ((doc_id * 11) % 256)
         |    + 0.114 * ((doc_id * 17) % 256)) * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
+
+    // q372: arrow shard round-trip — the oracle aggregates documents
+    // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)
+    "q372_arrow_shard_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id END) AS BIGINT) AS score4
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

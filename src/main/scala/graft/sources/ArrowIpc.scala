@@ -95,6 +95,86 @@ object ArrowIpc {
     buf
   }
 
+  /** Write a DataFrame as Arrow IPC shards — ONE FILE PER PARTITION
+    * (`part-NNNNN.feather`, deterministic names so task retries
+    * overwrite rather than duplicate), the reference's own shard
+    * format (`reader.py:139-146`: `pa.ipc.new_file(...).write_table`),
+    * so a migration can hand shards BACK to reference tooling. Core
+    * types only (string/long/int/double/float/boolean/binary);
+    * unsupported Spark types fail loudly before any file is written. */
+  def write(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
+    import org.apache.arrow.vector._
+    val schema = df.schema
+    schema.fields.foreach { f =>
+      require(Set[DataType](StringType, LongType, IntegerType, DoubleType,
+        FloatType, BooleanType, BinaryType).contains(f.dataType),
+        s"unsupported Spark type for Arrow shard write: ${f.name}: ${f.dataType}")
+    }
+    val names = schema.fieldNames
+    val types = schema.fields.map(_.dataType)
+    df.rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.feather")
+      val fs = path.getFileSystem(conf)
+      val alloc = new RootAllocator(Long.MaxValue)
+      val vecs: Array[FieldVector] = types.zip(names).map {
+        case (StringType, n) => new VarCharVector(n, alloc)
+        case (LongType, n) => new BigIntVector(n, alloc)
+        case (IntegerType, n) => new IntVector(n, alloc)
+        case (DoubleType, n) => new Float8Vector(n, alloc)
+        case (FloatType, n) => new Float4Vector(n, alloc)
+        case (BooleanType, n) => new BitVector(n, alloc)
+        case (_, n) => new VarBinaryVector(n, alloc)
+      }
+      val root = new VectorSchemaRoot(java.util.Arrays.asList(vecs: _*))
+      val out = fs.create(path, true)
+      val ch = java.nio.channels.Channels.newChannel(
+        out.asInstanceOf[java.io.OutputStream])
+      val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      try {
+        w.start()
+        val buf = rows.grouped(batchRows)
+        // an empty partition still writes a valid zero-batch shard
+        var wrote = false
+        while (buf.hasNext) {
+          val chunk = buf.next()
+          vecs.foreach(_.allocateNew())
+          chunk.zipWithIndex.foreach { case (row, i) =>
+            var c = 0
+            while (c < vecs.length) {
+              if (row.isNullAt(c)) vecs(c) match {
+                case v: VarCharVector => v.setNull(i)
+                case v: BigIntVector => v.setNull(i)
+                case v: IntVector => v.setNull(i)
+                case v: Float8Vector => v.setNull(i)
+                case v: Float4Vector => v.setNull(i)
+                case v: BitVector => v.setNull(i)
+                case v: VarBinaryVector => v.setNull(i)
+                case _ =>
+              } else vecs(c) match {
+                case v: VarCharVector => v.setSafe(i, row.getString(c).getBytes("UTF-8"))
+                case v: BigIntVector => v.setSafe(i, row.getLong(c))
+                case v: IntVector => v.setSafe(i, row.getInt(c))
+                case v: Float8Vector => v.setSafe(i, row.getDouble(c))
+                case v: Float4Vector => v.setSafe(i, row.getFloat(c))
+                case v: BitVector => v.setSafe(i, if (row.getBoolean(c)) 1 else 0)
+                case v: VarBinaryVector => v.setSafe(i, row.getAs[Array[Byte]](c))
+                case _ =>
+              }
+              c += 1
+            }
+          }
+          root.setRowCount(chunk.length)
+          w.writeBatch()
+          wrote = true
+        }
+        if (!wrote) { root.setRowCount(0); w.writeBatch() }
+        w.end()
+      } finally { w.close(); out.close(); root.close(); alloc.close() }
+    }
+  }
+
   /** Read one file / directory / glob of Arrow IPC shards. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration

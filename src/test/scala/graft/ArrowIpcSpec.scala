@@ -75,6 +75,34 @@ class ArrowIpcSpec extends AnyFunSuite {
     assert(norm.columns.toSeq == Seq("n", "url"))
   }
 
+  test("ArrowIpc.write round-trips a DataFrame through IPC shards, one per partition") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("arrow_ipc3").toFile.getPath
+    val src = (0 until 20).map(i =>
+        (i.toLong, s"u$i", if (i % 5 == 0) None else Some(i * 1.5), i % 2 == 0))
+      .toDF("id", "url", "score", "flag").repartition(3, $"id")
+    graft.sources.ArrowIpc.write(src, dir, batchRows = 4)
+    val back = graft.sources.ArrowIpc.read(spark, dir + "/*.feather")
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("url", "string"), ("score", "double"),
+        ("flag", "boolean")))
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val want = src.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    // unsupported Spark type fails BEFORE writing anything
+    val bad = Seq((1, Seq("a"))).toDF("id", "arr")
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.ArrowIpc.write(bad, dir + "_bad")
+    }
+    assert(ex.getMessage.contains("unsupported Spark type"))
+  }
+
   test("unsupported Arrow types and missing paths fail loudly") {
     val spark = TestSpark.spark
     val ex = intercept[IllegalArgumentException] {
