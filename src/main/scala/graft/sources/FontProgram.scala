@@ -286,13 +286,28 @@ object FontProgram {
       val (symbol, mac, uni) = cmapSubtables(sfnt)
       if (symbol.isEmpty && mac.isEmpty && uni.isEmpty) return Map.empty
       val toUni = glyphToUnicode(sfnt, uni)
+      val macRoman = java.nio.charset.Charset.forName("x-MacRoman")
       (0 to 255).flatMap { c =>
+        var viaMac = false
         var g = symbol.map(t => {
           val hi = t.lookup(0xF000 | c); if (hi != 0) hi else t.lookup(c)
         }).getOrElse(0)
-        if (g == 0) g = mac.map(_.lookup(c)).getOrElse(0)
+        if (g == 0) {
+          g = mac.map(_.lookup(c)).getOrElse(0)
+          viaMac = g != 0
+        }
         if (g == 0) g = uni.map(_.lookup(c)).getOrElse(0)
-        toUni(g).map(c -> _)
+        toUni(g).orElse {
+          // a (1,0) Mac-cmap font's character codes ARE MacRoman codes
+          // (ISO 32000-1 §9.6.6.4) — when the glyph itself resolves but
+          // carries no name/Unicode evidence, the upper-half byte still
+          // decodes through the real MacRoman table rather than the
+          // Latin-1 identity fallback
+          if (viaMac && c >= 0x80) {
+            val s = new String(Array(c.toByte), macRoman)
+            if (s.nonEmpty && s.charAt(0) != '�') Some(s) else None
+          } else None
+        }.map(c -> _)
       }.toMap
     } catch { case _: RuntimeException => Map.empty }
 

@@ -977,6 +977,11 @@ object MiniPdf {
           .flatMap(m => objs.get(m.group(1).toInt).map(_.dict)))
     descDict.map { dd =>
       val gidMap = fontFileStream(objs, dd, "/FontFile2")
+        // OTTO-wrapped /FontFile3 descendants carry cmap/post tables the
+        // same way; bare-CFF CID programs hold CIDs, not name SIDs — the
+        // sfnt magic gate keeps those out
+        .orElse(fontFileStream(objs, dd, "/FontFile3").filter(d =>
+          d.length >= 4 && (u32be(d) == 0x00010000L || u32be(d) == 0x4F54544FL)))
         .map(FontProgram.trueTypeGidMap).getOrElse(Map.empty[Int, String])
       if (gidMap.isEmpty) Map.empty[Int, String]
       else """/CIDToGIDMap\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dd)

@@ -176,6 +176,20 @@ class FontProgramSpec extends AnyFunSuite {
     assert(FontProgram.trueTypeSimpleMap(font)(1) == "é")
   }
 
+  test("Mac-cmap codes with a glyph but no Unicode evidence decode as MacRoman") {
+    // (1,0)-only font, glyph has no post name and no Unicode cmap:
+    // code 0x8A is 'ä' in MacRoman (ISO 32000-1 §9.6.6.4 Mac platform)
+    val font = sfnt("cmap" -> cmap((1, 0) -> cmap6(0x8A, 7)))
+    assert(FontProgram.trueTypeSimpleMap(font)(0x8A) == "ä")
+    // ASCII-range codes stay absent (identity fallback is already right)
+    val f2 = sfnt("cmap" -> cmap((1, 0) -> cmap6(0x41, 7)))
+    assert(!FontProgram.trueTypeSimpleMap(f2).contains(0x41))
+    // post evidence still wins over the MacRoman positional decode
+    val f3 = sfnt("cmap" -> cmap((1, 0) -> cmap6(0x8A, 1)),
+      "post" -> post(Seq(258), Seq("Q")))
+    assert(FontProgram.trueTypeSimpleMap(f3)(0x8A) == "Q")
+  }
+
   test("corrupt/truncated sfnt never throws and yields the empty map") {
     assert(FontProgram.trueTypeSimpleMap(Array.emptyByteArray).isEmpty)
     assert(FontProgram.trueTypeSimpleMap("garbage".getBytes).isEmpty)
