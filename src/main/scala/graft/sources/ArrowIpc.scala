@@ -113,9 +113,14 @@ object ArrowIpc {
     val names = schema.fieldNames
     val types = schema.fields.map(_.dataType)
     df.rdd.foreachPartition { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val conf = new org.apache.hadoop.conf.Configuration()
       val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.feather")
+      // task-attempt-private temp + rename: a speculative twin or a
+      // retried task must never interleave bytes into the final file
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        f"part-$pid%05d.feather.${tc.taskAttemptId()}.tmp")
       val fs = path.getFileSystem(conf)
       val alloc = new RootAllocator(Long.MaxValue)
       val vecs: Array[FieldVector] = types.zip(names).map {
@@ -128,7 +133,7 @@ object ArrowIpc {
         case (_, n) => new VarBinaryVector(n, alloc)
       }
       val root = new VectorSchemaRoot(java.util.Arrays.asList(vecs: _*))
-      val out = fs.create(path, true)
+      val out = fs.create(tmp, true)
       val ch = java.nio.channels.Channels.newChannel(
         out.asInstanceOf[java.io.OutputStream])
       val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
@@ -172,6 +177,8 @@ object ArrowIpc {
         if (!wrote) { root.setRowCount(0); w.writeBatch() }
         w.end()
       } finally { w.close(); out.close(); root.close(); alloc.close() }
+      fs.delete(path, false)
+      require(fs.rename(tmp, path), s"rename failed for $path")
     }
   }
 
