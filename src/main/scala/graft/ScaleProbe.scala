@@ -59,7 +59,10 @@ object ScaleProbe {
     // the planted data, not the plan (the banding scale shape is the
     // minhash-LSH one, covered by those probes; candidate growth on a
     // REAL corpus is governed by true near-dup density)
-    "q369_pdf_embedded_font", "q370_pdf_image_payload")
+    "q369_pdf_embedded_font", "q370_pdf_image_payload",
+    // executor-side Arrow shard write+read round trip (one file per
+    // partition both ways)
+    "q372_arrow_shard_roundtrip")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {
