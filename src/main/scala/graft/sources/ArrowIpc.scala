@@ -83,6 +83,22 @@ object ArrowIpc {
     out.iterator
   }
 
+  /** Hadoop conf as serializable key-values (Configuration itself is
+    * not Serializable): executors rebuild it so driver-side filesystem
+    * settings — remote-FS credentials, endpoints — survive the ship. */
+  private def confEntries(conf: org.apache.hadoop.conf.Configuration): Array[(String, String)] = {
+    val b = Array.newBuilder[(String, String)]
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private def rebuildConf(kv: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    kv.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   private def fileBytes(path: String,
                         conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -112,10 +128,11 @@ object ArrowIpc {
     }
     val names = schema.fieldNames
     val types = schema.fields.map(_.dataType)
+    val confKV = confEntries(df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.foreachPartition { rows =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = rebuildConf(confKV)
       val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.feather")
       // task-attempt-private temp + rename: a speculative twin or a
       // retried task must never interleave bytes into the final file
@@ -208,13 +225,14 @@ object ArrowIpc {
         })
       } finally { reader.close(); alloc.close() }
     }
-    // executors: one partition per shard file; hadoop conf rebuilt from
-    // defaults task-side (shards live on whatever FS the paths name)
+    // executors: one partition per shard file; the DRIVER's hadoop conf
+    // ships as key-values (remote-FS credentials/endpoints included)
+    val confKV = confEntries(conf)
     val rdd = spark.sparkContext
       .parallelize(files, files.length)
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        it.flatMap(f => readBytes(fileBytes(f, conf)))
+        val c = rebuildConf(confKV)
+        it.flatMap(f => readBytes(fileBytes(f, c)))
       }
     spark.createDataFrame(rdd, schema)
   }
