@@ -168,6 +168,52 @@ object Multimodal {
       Some(hash)
     }
 
+    /** 64-bit difference hash (dHash) over real pixels — the gradient
+      * companion to [[averagePHash64]]: block-average to a 9×8
+      * grayscale grid (one extra column), bit (row, col) = cell(row,
+      * col) < cell(row, col+1), row-major. Horizontal gradients are
+      * invariant to global brightness/contrast shifts, the failure
+      * mode of a mean-threshold hash (re-encoded images with gamma
+      * drift); both feed [[graft.operators.Dedup.phashNearDups]]
+      * unchanged. None for undecodable payloads. */
+    def differencePHash64(payload: Array[Byte]): Option[Long] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Double](72)
+      val counts = new Array[Long](72)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val cx = (x.toLong * 9 / w).toInt
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          val c = cy * 9 + cx
+          sums(c) += lum; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      def cell(i: Int): Double = if (counts(i) == 0) 0.0 else sums(i) / counts(i)
+      var hash = 0L
+      var row = 0
+      while (row < 8) {
+        var colI = 0
+        while (colI < 8) {
+          if (cell(row * 9 + colI) < cell(row * 9 + colI + 1))
+            hash |= 1L << (row * 8 + colI)
+          colI += 1
+        }
+        row += 1
+      }
+      Some(hash)
+    }
+
     /** WAV (RIFF/WAVE), AIFF (FORM/AIFF or AIFC), AU (.snd) — the
       * container magics `javax.sound.sampled` decodes out of the box. */
     private def isAudio(p: Array[Byte]): Boolean = {

@@ -353,6 +353,37 @@ class Round15Spec extends AnyFunSuite {
     assert((back.getRGB(0, 0) & 0xFFFFFF) == ((9 << 16) | (90 << 8) | 180))
   }
 
+  test("differencePHash64: gradient bits from real pixels, invariant under " +
+       "monotone luminance transforms (brightness, gamma)") {
+    import graft.operators.Multimodal.JdkImageCodec.differencePHash64
+    // 9x8 image whose rows alternate an increasing / flat luminance
+    // ramp, pushed through a monotone per-pixel transform
+    def ramp(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = math.min(255, math.max(0,
+          f(if (y % 2 == 0) 20 + x * 10 else 40)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val h0 = differencePHash64(ramp(identity)).get
+    // even rows: strictly increasing → all 8 bits set; odd rows: flat → 0
+    for (row <- 0 until 8; col <- 0 until 8)
+      assert(((h0 >> (row * 8 + col)) & 1) == (if (row % 2 == 0) 1 else 0))
+    // gradient DIRECTIONS survive any strictly monotone transform —
+    // the re-encode/gamma-drift robustness a mean-threshold hash only
+    // has for transforms that also preserve sides of the mean
+    assert(differencePHash64(ramp(v => v + 60)).get == h0, "brightness shift")
+    assert(differencePHash64(ramp(v => v * v / 255)).get == h0, "gamma curve")
+    assert(differencePHash64(ramp(v => 255 - v)).get != h0,
+      "inversion reverses gradients (sanity: the hash does look at pixels)")
+    assert(differencePHash64("junk".getBytes).isEmpty)
+  }
+
   test("Dedup.phashNearDups: exact tier + distinct-hash band tier give the " +
        "all-pairs answer") {
     val spark = TestSpark.spark
