@@ -10486,7 +10486,14 @@ object SparkEntry {
       // type-mapping slip, null-validity bug, record-batch boundary
       // tear, or lost shard breaks the hash against the
       // direct-on-documents oracle.
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
+      // Scratch location: the write and read legs run on executors, so
+      // the dir must be on a filesystem EVERY executor can reach.
+      // java.io.tmpdir satisfies that only in local mode (this test
+      // harness); a distributed run must point SPARK_GRAFT_SCRATCH at a
+      // shared scheme (hdfs://, s3a://, nfs) — ArrowIpc itself is
+      // scheme-agnostic via the Hadoop FileSystem API.
+      val out = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_SCRATCH", sys.props("java.io.tmpdir")),
         s"graft_q372_${dir.replaceAll("[^A-Za-z0-9]", "_")}").getPath
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -10504,6 +10511,46 @@ object SparkEntry {
           sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_null"),
           sum(floor(col("score") * 4).cast("long")).as("score4"))
         .orderBy(col("lang"))
+    }),
+
+    "q373_phash_band_probe" -> ((s, dir) => {
+      // BAND-TIER pHash dedup at REALISTIC distinct-hash cardinality
+      // (r16 — VERDICT r15 "What's wrong" #3: q337's planted corpus has
+      // only 256 distinct images, so its ×30 probe would measure
+      // fixture pathology; THIS query gives the band join a corpus
+      // where every doc carries a unique pseudo-random 64-bit hash —
+      // md5(doc_id), full avalanche, so band values are uniform — and
+      // every 10th doc instead carries its predecessor's hash with 1–3
+      // planted bit flips). phashNearDups must recover EXACTLY the
+      // planted neighbor pairs (the pigeonhole recall guarantee) plus
+      // whatever hamming-≤3 coincidences the md5 stream contains (none
+      // at these scales: P(pair ≤ 3 apart) ≈ 4·10⁴/2⁶⁴ — but the
+      // oracle replays the same band join, so a coincidence would
+      // match, not break). Under ScaleProbe replication doc_ids shift
+      // by 10⁷ per replica, so distinct-hash cardinality grows ×30 —
+      // the realistic-cardinality measurement the fixture-pathology
+      // rule kept q337 from providing. A banding break, star-edge
+      // slip, or xor/bit_count bug changes the counts and the hash.
+      def h64(idCol: Column): Column = {
+        val m = md5(idCol.cast("string"))
+        shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast("long"))
+      }
+      val mask = when(expr("doc_id div 10") % 3 === 0, lit(0x80L))
+        .when(expr("doc_id div 10") % 3 === 1, lit((1L << 7) | (1L << 33)))
+        .otherwise(lit((1L << 7) | (1L << 33) | (1L << 55)))
+      val hashes = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 === 9,
+          h64(col("doc_id") - 1).bitwiseXOR(mask))
+          .otherwise(h64(col("doc_id"))).as("phash"))
+      Dedup.phashNearDups(hashes)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("hamming") === 1, 1L).otherwise(0L)).as("n_h1"),
+          sum(when(col("hamming") === 2, 1L).otherwise(0L)).as("n_h2"),
+          sum(when(col("hamming") === 3, 1L).otherwise(0L)).as("n_h3"),
+          sum(when(col("key_b") === col("key_a") + 1 &&
+            col("key_b") % 10 === 9, 1L).otherwise(0L)).as("n_planted"),
+          sum(col("key_a") + col("key_b")).as("key_sum"))
     }),
   )
 
@@ -16030,20 +16077,22 @@ object SparkEntry {
     // > 3) and variant v=doc_id%4 flips the fixed cell sets
     // ∅/{7}/{13,47}/{5,23,58}; surviving pairs are exactly same-p with
     // |S_va Δ S_vb| ≤ 3, which this oracle replays
+    // r16 star-edge semantics: identical-hash groups (= same (p, v))
+    // emit (group-min, member) stars; near hash pairs emit ONE edge
+    // between the two groups' min doc_ids. Variant flip sets are
+    // disjoint with |set| = v, so hamming(a, b) = v_a + v_b for a ≠ b.
     "q337_phash_dedup" ->
       """WITH d AS (SELECT doc_id, (doc_id // 4) % 64 AS p, doc_id % 4 AS v
         |           FROM documents),
-        |pr AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-        |         CASE WHEN a.v = b.v THEN 0
-        |              WHEN a.v + b.v = 1 THEN 1
-        |              WHEN a.v + b.v = 2 THEN 2
-        |              WHEN a.v * b.v = 0 AND a.v + b.v = 3 THEN 3
-        |              WHEN a.v + b.v = 3 THEN 3
-        |              WHEN a.v + b.v = 4 THEN 4
-        |              ELSE 5 END AS hamming
-        |       FROM d a JOIN d b ON a.p = b.p AND a.doc_id < b.doc_id)
+        |g AS (SELECT p, v, MIN(doc_id) AS m FROM d GROUP BY 1, 2),
+        |ex AS (SELECT g.m AS key_a, d.doc_id AS key_b, 0 AS hamming
+        |       FROM d JOIN g USING (p, v) WHERE d.doc_id <> g.m),
+        |nr AS (SELECT least(a.m, b.m) AS key_a, greatest(a.m, b.m) AS key_b,
+        |         a.v + b.v AS hamming
+        |       FROM g a JOIN g b ON a.p = b.p AND a.v < b.v
+        |       WHERE a.v + b.v <= 3)
         |SELECT key_a, key_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM pr WHERE hamming <= 3
+        |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr)
         |ORDER BY hamming, key_a, key_b LIMIT 50""".stripMargin,
 
     "q338_quality_yield" ->
@@ -16774,6 +16823,51 @@ object SparkEntry {
         |    + 0.587 * ((doc_id * 11) % 256)
         |    + 0.114 * ((doc_id * 17) % 256)) * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
+
+    // q373: synthetic-hash band-tier probe — the oracle rebuilds the
+    // same 64-bit md5-derived hashes (hex → UBIGINT → two's-complement
+    // BIGINT), replays the 4×16-bit band join over distinct hashes and
+    // the star/representative edge emission, and aggregates identically
+    "q373_phash_band_probe" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR)) AS m,
+        |    md5(CAST(doc_id - 1 AS VARCHAR)) AS mp FROM documents),
+        |i64 AS (SELECT doc_id,
+        |    CAST(CASE WHEN vb >= 9223372036854775808::HUGEINT
+        |      THEN vb - 18446744073709551616::HUGEINT ELSE vb END AS BIGINT) AS hb,
+        |    CAST(CASE WHEN vp >= 9223372036854775808::HUGEINT
+        |      THEN vp - 18446744073709551616::HUGEINT ELSE vp END AS BIGINT) AS hp
+        |  FROM (SELECT doc_id,
+        |    CAST(CAST('0x' || substring(m, 1, 16) AS UBIGINT) AS HUGEINT) AS vb,
+        |    CAST(CAST('0x' || substring(mp, 1, 16) AS UBIGINT) AS HUGEINT) AS vp
+        |    FROM d0)),
+        |hh AS (SELECT doc_id, CASE WHEN doc_id % 10 = 9
+        |    THEN xor(hp, CASE (doc_id // 10) % 3
+        |      WHEN 0 THEN 128 WHEN 1 THEN 8589934720
+        |      ELSE 36028805608898688 END)
+        |    ELSE hb END AS h FROM i64),
+        |reps AS (SELECT h, MIN(doc_id) AS rep FROM hh GROUP BY 1),
+        |ex AS (SELECT r.rep AS key_a, t.doc_id AS key_b, 0 AS ham
+        |       FROM hh t JOIN reps r USING (h) WHERE t.doc_id <> r.rep),
+        |bands AS (SELECT h, t.b AS b, ((h >> (16 * t.b)) & 65535) AS v
+        |          FROM reps, range(4) t(b)),
+        |cand AS (SELECT DISTINCT a.h AS ha, c.h AS hc
+        |         FROM bands a JOIN bands c USING (b, v) WHERE a.h < c.h),
+        |np AS (SELECT ha, hc, bit_count(xor(ha, hc)) AS ham FROM cand
+        |       WHERE bit_count(xor(ha, hc)) BETWEEN 1 AND 3),
+        |nr AS (SELECT least(ra.rep, rc.rep) AS key_a,
+        |         greatest(ra.rep, rc.rep) AS key_b, np.ham
+        |       FROM np JOIN reps ra ON np.ha = ra.h
+        |       JOIN reps rc ON np.hc = rc.h),
+        |alle AS (SELECT * FROM ex UNION ALL SELECT * FROM nr)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN ham = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+        |  CAST(SUM(CASE WHEN ham = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_h2,
+        |  CAST(SUM(CASE WHEN ham = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_h3,
+        |  CAST(SUM(CASE WHEN key_b = key_a + 1 AND key_b % 10 = 9
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        |  CAST(SUM(key_a + key_b) AS BIGINT) AS key_sum
+        |FROM alle""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

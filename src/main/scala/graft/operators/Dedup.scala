@@ -661,37 +661,51 @@ object Dedup {
     df.join(losers, key === col("__loser"), "left_anti")
   }
 
-  /** Perceptual-hash near-dup pairs over a 64-bit hash column (r15 —
-    * the image-dedup operator behind q337; hashes from
+  /** Perceptual-hash near-dup STAR edges over a 64-bit hash column
+    * (r15 — the image-dedup operator behind q337; hashes from
     * [[Multimodal.JdkImageCodec.averagePHash64]] or any 64-bit
-    * perceptual hash). TWO TIERS, the production structure:
+    * perceptual hash). TWO TIERS, the production structure, both
+    * emitting edges LINEAR in group size (r16 — VERDICT r15 item 1:
+    * the previous exact tier self-joined on the hash and emitted
+    * C(g,2) pairs per identical-hash group, ~5·10¹³ rows for one
+    * 10M-member blank-page hash; a pairwise LISTING of an exact group
+    * is never needed for dedup — only its connectivity is):
     *
-    *  1. identical hashes collapse in ONE exact self-equi-join on the
-    *     hash (hamming-0 pairs) — on a real crawl the dominant
-    *     collision mass (blank pages, logos, byte-identical renders)
-    *     is exact, and it must never enter a pairwise candidate join;
+    *  1. exact tier: ONE partial-agg shuffle computes the group
+    *     representative (`min(id)` per hash — the q30/q70 survivor
+    *     shape, map-side combined), then each member joins back to its
+    *     representative: g−1 star edges per identical-hash group, the
+    *     same connected components as the C(g,2) clique;
     *  2. the 4×16-bit Hamming band join (pigeonhole: ≤ `maxHamming` ≤ 3
     *     bit flips leave ≥1 band intact, so the equi-join provably
-    *     finds EVERY qualifying pair) runs over DISTINCT hashes only,
-    *     with the exact `bit_count(xor)` verify on candidates, then
-    *     expands hash pairs back to id pairs.
+    *     finds EVERY qualifying hash pair) runs over DISTINCT hashes
+    *     only, with the exact `bit_count(xor)` verify on candidates —
+    *     and each surviving hash pair emits ONE edge between the two
+    *     groups' representatives (the exact tier already connects every
+    *     member to its representative, so rep↔rep is enough for the
+    *     transitive groups; expanding to gA×gB id pairs would re-import
+    *     the quadratic blow-up through the back door).
     *
-    * Candidate volume is therefore Σ|distinct-hash band bucket|², not
-    * Σ|doc band bucket|² — the shape that survives a 100 TB corpus
-    * where exact-dup groups are huge but distinct near-neighbors are
-    * sparse. Output: (key_a, key_b, hamming), key_a < key_b. */
+    * Candidate volume is Σ|distinct-hash band bucket|², output volume
+    * is n − #groups + #near-hash-pairs — the shape that survives a
+    * 100 TB corpus where exact-dup groups are huge but distinct
+    * near-neighbors are sparse. Output: (key_a, key_b, hamming),
+    * key_a < key_b; [[connectedComponents]]/[[dropTransitive]] over it
+    * give exactly the groups of the all-pairs listing. */
   def phashNearDups(df: DataFrame, idCol: String = "doc_id",
                     hashCol: String = "phash", maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees recall only up to hamming 3")
     val ph = cacheScoped(df.select(col(idCol).cast("long").as("__id"),
       col(hashCol).cast("long").as("__ph")).filter(col("__ph").isNotNull))
-    val same = ph.select(col("__id").as("key_a"), col("__ph"))
-      .join(ph.select(col("__id").as("key_b"), col("__ph")), Seq("__ph"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), lit(0L).as("hamming"))
-    val hs = cacheScoped(ph.select(col("__ph")).distinct())
-    val bands = hs.select(col("__ph"),
+    // distinct hashes WITH their representative, one partial agg
+    val reps = cacheScoped(ph.groupBy(col("__ph"))
+      .agg(min(col("__id")).as("__rep")))
+    val same = ph.join(reps, Seq("__ph"))
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep").as("key_a"), col("__id").as("key_b"),
+        lit(0L).as("hamming"))
+    val bands = reps.select(col("__ph"),
       explode(array((0 to 3).map(i => struct(lit(i).as("b"),
         shiftright(col("__ph"), i * 16).bitwiseAND(lit(0xFFFFL))
           .as("v"))): _*)).as("r"))
@@ -705,8 +719,10 @@ object Dedup {
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming && col("hamming") > 0)
     val near = nearHash
-      .join(ph.select(col("__id").as("id_a"), col("__ph").as("ph_a")), Seq("ph_a"))
-      .join(ph.select(col("__id").as("id_b"), col("__ph").as("ph_b")), Seq("ph_b"))
+      .join(reps.select(col("__ph").as("ph_a"), col("__rep").as("id_a")),
+        Seq("ph_a"))
+      .join(reps.select(col("__ph").as("ph_b"), col("__rep").as("id_b")),
+        Seq("ph_b"))
       .select(least(col("id_a"), col("id_b")).as("key_a"),
         greatest(col("id_a"), col("id_b")).as("key_b"), col("hamming"))
     same.unionByName(near)

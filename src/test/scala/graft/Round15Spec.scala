@@ -384,8 +384,8 @@ class Round15Spec extends AnyFunSuite {
     assert(differencePHash64("junk".getBytes).isEmpty)
   }
 
-  test("Dedup.phashNearDups: exact tier + distinct-hash band tier give the " +
-       "all-pairs answer") {
+  test("Dedup.phashNearDups: star exact tier + distinct-hash band tier give " +
+       "the same duplicate GROUPS as the brute-force all-pairs graph") {
     val spark = TestSpark.spark
     import spark.implicits._
     // hashes: 1,2 identical; 3 at hamming 2 from them; 4 far away;
@@ -397,15 +397,29 @@ class Round15Spec extends AnyFunSuite {
       .toDF("doc_id", "phash")
     val out = graft.operators.Dedup.phashNearDups(df)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(out == Set((1L, 2L, 0L), (5L, 6L, 0L),
-      (1L, 3L, 2L), (2L, 3L, 2L)))
-    // brute-force all-pairs agreement at hamming <= 3
+    // r16 star-edge semantics: per identical-hash group one (min,
+    // member) edge; per near hash pair ONE representative edge —
+    // NOT the (2,3) clique edge the all-pairs listing would carry
+    assert(out == Set((1L, 2L, 0L), (5L, 6L, 0L), (1L, 3L, 2L)))
+    // connectivity contract: the star graph's connected components
+    // equal the brute-force all-pairs graph's components
     val all = df.collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       (ia, ha) <- all; (ib, hb) <- all if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
-    } yield (ia, ib, d.toLong)).toSet
-    assert(out == brute)
+    } yield (ia, ib)).toSet
+    def components(edges: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      all.foreach { case (id, _) => find(id) }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      all.map { case (id, _) => find(id) }.toSet.map((r: Long) =>
+        all.collect { case (id, _) if find(id) == r => id }.toSet)
+    }
+    assert(components(out.map(e => (e._1, e._2))) == components(brute))
     // the recall guarantee is only proven to hamming 3
     intercept[IllegalArgumentException] {
       graft.operators.Dedup.phashNearDups(df, maxHamming = 4)
