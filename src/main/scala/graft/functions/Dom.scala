@@ -103,7 +103,16 @@ object Dom {
         } else i += 1
       }
     }
-    if (sjisStrong >= 3 && sjisLead > 4 * sjisBad && sjisStrong >= sjisPunct)
+    // strong pairs must dominate the 0x91–0x97+ASCII-trail band, but a
+    // strict majority is too strict for REAL Shift_JIS (r16, ADVICE):
+    // kanji with 0x91–0x97 leads and 0x40–0x7E trails are a legal,
+    // common SJIS shape, so a kanji-heavy page can legitimately accrue
+    // more band/ASCII pairs than strong ones. windows-125x pages have
+    // essentially ZERO strong pairs (0x81–0x90/0x98–0x9F are the rare
+    // †‡ˆ‰Š‹ŒŽ™š›œž code points), so strong ≥ punct/2 (with the
+    // absolute ≥3 floor) separates the classes: curly-quote latin text
+    // stays latin, mixed kanji text detects as SJIS.
+    if (sjisStrong >= 3 && sjisLead > 4 * sjisBad && sjisStrong * 2 >= sjisPunct)
       Charset.forName("Shift_JIS")
     else if (hi > 0 && cyr * 10 >= hi * 6 && hiPairs * 2 >= hi)
       Charset.forName("windows-1251")

@@ -26,16 +26,28 @@ import org.apache.arrow.vector.types.FloatingPointPrecision
 object ArrowIpc {
 
   /** Map an Arrow field to a Spark field; unsupported types fail loudly
-    * (silent coercion would corrupt a migration). */
+    * (silent coercion would corrupt a migration). Unsigned ints are
+    * REJECTED here rather than coerced: their vectors' `getObject`
+    * returns boxed Character/Integer/wrapped-Long values that would
+    * pass through `toSpark` unconverted and fail (or silently corrupt)
+    * row by row at runtime instead of loudly at schema resolution.
+    * Likewise tz-aware timestamps: their vectors yield epoch Longs, not
+    * the LocalDateTime the tz-naive path converts. */
   private def sparkType(f: Field): DataType = f.getType match {
     case _: ArrowType.Utf8 | _: ArrowType.LargeUtf8 => StringType
     case i: ArrowType.Int =>
       (i.getBitWidth, i.getIsSigned) match {
-        case (64, _) => LongType
+        case (64, true) => LongType
         case (32, true) => IntegerType
         case (16, true) => ShortType
         case (8, true) => ByteType
-        case _ => LongType
+        case (w, false) =>
+          throw new IllegalArgumentException(
+            s"unsupported Arrow type for field '${f.getName}': uint$w " +
+              "(unsigned vectors box values Spark rows cannot carry)")
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported Arrow int width for field '${f.getName}': $other")
       }
     case fp: ArrowType.FloatingPoint =>
       if (fp.getPrecision == FloatingPointPrecision.SINGLE) FloatType
@@ -43,7 +55,12 @@ object ArrowIpc {
     case _: ArrowType.Bool => BooleanType
     case _: ArrowType.Binary | _: ArrowType.LargeBinary => BinaryType
     case _: ArrowType.Date => DateType
-    case _: ArrowType.Timestamp => TimestampType
+    case ts: ArrowType.Timestamp =>
+      if (ts.getTimezone == null) TimestampType
+      else throw new IllegalArgumentException(
+        s"unsupported Arrow type for field '${f.getName}': " +
+          s"timestamp[tz=${ts.getTimezone}] (tz-aware vectors yield raw " +
+          "epoch longs, not LocalDateTime)")
     case other =>
       throw new IllegalArgumentException(
         s"unsupported Arrow type for field '${f.getName}': $other")
@@ -129,6 +146,20 @@ object ArrowIpc {
     val names = schema.fieldNames
     val types = schema.fields.map(_.dataType)
     val confKV = confEntries(df.sparkSession.sparkContext.hadoopConfiguration)
+    // pre-clean (commit hygiene): a prior write with MORE partitions
+    // leaves stale part-NNNNN.feather files a directory read would
+    // silently include, and a killed task attempt leaves a fully
+    // written .tmp — both must go before any task commits
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (driverFs.exists(dirPath))
+      driverFs.listStatus(dirPath).foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isFile && (nm.endsWith(".tmp") ||
+            (nm.startsWith("part-") && nm.contains(".feather"))))
+          driverFs.delete(st.getPath, false)
+      }
     df.rdd.foreachPartition { rows =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
@@ -154,6 +185,7 @@ object ArrowIpc {
       val ch = java.nio.channels.Channels.newChannel(
         out.asInstanceOf[java.io.OutputStream])
       val w = new org.apache.arrow.vector.ipc.ArrowFileWriter(root, null, ch)
+      var failed = false
       try {
         w.start()
         val buf = rows.grouped(batchRows)
@@ -193,10 +225,24 @@ object ArrowIpc {
         }
         if (!wrote) { root.setRowCount(0); w.writeBatch() }
         w.end()
-      } finally { w.close(); out.close(); root.close(); alloc.close() }
+      } catch { case e: Throwable => failed = true; throw e
+      } finally {
+        w.close(); out.close(); root.close(); alloc.close()
+        // a failing attempt removes its own .tmp so a retry (or the
+        // next write's pre-clean) never sees a torn shard
+        if (failed) { try fs.delete(tmp, false) catch { case _: Throwable => } }
+      }
       fs.delete(path, false)
       require(fs.rename(tmp, path), s"rename failed for $path")
     }
+    // post-commit sweep: a killed speculative twin's .tmp may survive
+    // its own cleanup — directory reads ignore non-.feather names, but
+    // the leftover must not linger into external tooling's listings
+    if (driverFs.exists(dirPath))
+      driverFs.listStatus(dirPath).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".tmp"))
+          driverFs.delete(st.getPath, false)
+      }
   }
 
   /** Read one file / directory / glob of Arrow IPC shards. */
@@ -205,8 +251,13 @@ object ArrowIpc {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    // a DIRECTORY listing takes only *.feather shards: task-attempt
+    // .tmp leftovers (or any foreign file) must never be ingested as a
+    // shard. An explicitly named file still reads whatever it is.
     val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".feather"))
       else Seq(st)
     }.map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no Arrow IPC files at $path")

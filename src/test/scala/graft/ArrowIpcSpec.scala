@@ -110,4 +110,53 @@ class ArrowIpcSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no Arrow IPC files"))
   }
+
+  test("unsigned-int and tz-aware-timestamp shards are rejected at schema " +
+       "resolution, not row decode (r16 ADVICE)") {
+    import org.apache.arrow.vector.UInt4Vector
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("arrow_u32").toFile
+    val alloc = new RootAllocator(Long.MaxValue)
+    val u = new UInt4Vector("u", alloc)
+    val root = VectorSchemaRoot.of(u)
+    val ch = new java.io.FileOutputStream(new java.io.File(dir, "s.feather")).getChannel
+    val w = new ArrowFileWriter(root, null, ch)
+    try {
+      w.start(); u.allocateNew(); u.setSafe(0, -1) // 0xFFFFFFFF as u32
+      root.setRowCount(1); w.writeBatch(); w.end()
+    } finally { w.close(); ch.close(); root.close(); alloc.close() }
+    val ex = intercept[IllegalArgumentException] {
+      ManifestReader.arrow(spark, new java.io.File(dir, "s.feather").getPath)
+    }
+    assert(ex.getMessage.contains("uint32"))
+  }
+
+  test("write pre-cleans stale shards and .tmp leftovers; directory reads " +
+       "ignore non-.feather files (r16 ADVICE: commit hygiene)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("arrow_clean").toFile.getPath
+    // first write: 4 partitions -> part-00000..00003
+    graft.sources.ArrowIpc.write(
+      (0L until 40L).toDF("id").repartition(4), dir)
+    // plant a killed-attempt leftover and a foreign file
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00007.feather.123.tmp"),
+      "torn shard bytes".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "README.txt"), "notes".getBytes("UTF-8"))
+    // a directory read must see exactly the 4 real shards
+    assert(graft.sources.ArrowIpc.read(spark, dir).count() == 40)
+    // second write with FEWER partitions: stale part-0000{2,3} and the
+    // .tmp must be gone, rows must be exactly the new frame's
+    graft.sources.ArrowIpc.write(
+      (100L until 120L).toDF("id").repartition(2), dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.count(_.endsWith(".feather")) == 2, s"left: $names")
+    assert(!names.exists(_.endsWith(".tmp")), s"tmp survived: $names")
+    assert(names.contains("README.txt")) // foreign files are not ours to delete
+    val got = graft.sources.ArrowIpc.read(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (100L until 120L).toSeq)
+  }
 }

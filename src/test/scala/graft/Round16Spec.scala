@@ -49,4 +49,37 @@ class Round16Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(10L, 11L, 12L, 20L, 21L).map(groups).distinct.size == 1)
   }
+
+  // --------------------------------------- SJIS recall (r16 ADVICE)
+
+  test("kanji-heavy Shift_JIS dominated by 0x91-0x97 leads with ASCII " +
+       "trails still detects as SJIS (recall, not just precision)") {
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    // harvest real characters by their encoded shape: 'band' = lead in
+    // 0x91..0x97 with an ASCII-range trail (the windows-125x-lookalike
+    // pair the precision gate discounts), 'strong' = any other two-byte
+    // SJIS pair with lead in 0x81..0x9F
+    def shape(cp: Int): Option[(Char, Boolean)] = {
+      val ch = cp.toChar
+      val b = ch.toString.getBytes(sjis)
+      if (b.length != 2) return None
+      val lead = b(0) & 0xff; val trail = b(1) & 0xff
+      if (lead < 0x81 || lead > 0x9F) return None
+      if (trail < 0x40 || trail > 0xFC || trail == 0x7F) return None
+      // charset must round-trip (reject substitution chars)
+      if (new String(b, sjis) != ch.toString) return None
+      Some((ch, lead >= 0x91 && lead <= 0x97 && trail < 0x80))
+    }
+    val harvested = (0x4E00 to 0x9FFF).iterator.flatMap(shape).toSeq
+    val band = harvested.filter(_._2).map(_._1).take(10)
+    val strong = harvested.filterNot(_._2).map(_._1).take(6)
+    assert(band.size == 10 && strong.size == 6, "fixture harvest")
+    // 10 band pairs vs 6 strong pairs: the old strong >= punct gate
+    // flipped this legal SJIS page to windows-1252
+    val text = (band ++ strong).mkString("")
+    val bytes = s"<html><body>$text</body></html>".getBytes(sjis)
+    assert(!graft.functions.Dom.isValidUtf8(bytes))
+    assert(graft.functions.Dom.detectEncoding(bytes).name == "Shift_JIS")
+    assert(graft.functions.Dom.decodeHtml(bytes).contains(band.head))
+  }
 }
