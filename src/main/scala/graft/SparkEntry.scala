@@ -10187,18 +10187,21 @@ object SparkEntry {
       // ref `extractor.py:136` — PyMuPDF reads the font PROGRAM when a
       // font carries no /ToUnicode and no standard /Encoding): per doc
       // a genuine PDF whose only font maps byte codes through one of
-      // FIVE embedded programs — (a) subset TrueType with a symbolic
+      // SIX embedded programs — (a) subset TrueType with a symbolic
       // (3,0) cmap and `post` glyph names, (b) subset TrueType with a
       // symbolic cmap resolved through the INVERTED (3,1) Unicode cmap
       // (no post table), (c) Type 1 cleartext /Encoding `dup … put`
       // array, (d) CFF/Type1C (/FontFile3: INDEX structures, charset
       // SIDs through the standard strings, custom format-0 encoding),
       // (e) Type0/Identity-H whose 2-byte CIDs resolve through the
-      // DESCENDANT font's inverted Unicode cmap — with letter/word-
-      // shape arithmetic planted in doc_id. The glyph codes are NOT
-      // the character values, so a cmap binary-search bug, a post-name
-      // misread, an inversion slip, or a CFF offset error turns every
-      // word into garbage and breaks the hash.
+      // DESCENDANT font's inverted Unicode cmap, (f — r16) Type0/
+      // Identity-H whose descendant is an OTTO-wrapped CID-KEYED CFF:
+      // CID → gid through the INVERTED CFF charset, gid → Unicode
+      // through the wrapper cmap — with letter/word-shape arithmetic
+      // planted in doc_id. The glyph codes are NOT the character
+      // values, so a cmap binary-search bug, a post-name misread, an
+      // inversion slip, or a CFF offset error turns every word into
+      // garbage and breaks the hash.
       val gen = udf((id: Long) => {
         val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
         def be16(v: Int): Array[Byte] =
@@ -10207,15 +10210,18 @@ object SparkEntry {
           Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
             ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
         def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
-        def sfnt(tables: (String, Array[Byte])*): Array[Byte] = {
+        // magic 0x00010000 = TrueType outlines; 'OTTO' = CFF outlines
+        def sfntM(magic: Long, tables: (String, Array[Byte])*): Array[Byte] = {
           var off = 12 + 16 * tables.length
           val dir = tables.map { case (tag, data) =>
             val rec = cat(tag.getBytes(ISO), be32(0), be32(off), be32(data.length))
             off += data.length; rec
           }
-          cat((be32(0x00010000L) +: be16(tables.length) +: be16(0) +: be16(0) +:
+          cat((be32(magic) +: be16(tables.length) +: be16(0) +: be16(0) +:
             be16(0) +: dir) ++ tables.map(_._2): _*)
         }
+        def sfnt(tables: (String, Array[Byte])*): Array[Byte] =
+          sfntM(0x00010000L, tables: _*)
         def cmapTbl(subs: ((Int, Int), Array[Byte])*): Array[Byte] = {
           var off = 4 + 8 * subs.length
           val recs = subs.map { case ((plat, enc), data) =>
@@ -10264,6 +10270,24 @@ object SparkEntry {
           cat(header, nameIdx, cffIdx(topDict(csAt, encAt, chsAt)), strIdx,
             charset, encoding, cffIdx(Seq.fill(sids.length + 1)(Array[Byte](14)): _*))
         }
+        // CID-keyed Type1C (TN#5176 §18): ROS in the top dict, charset
+        // format 0 holding CIDs (gid g -> cids(g-1)), no Encoding op
+        def cffCidFont(cids: Seq[Int]): Array[Byte] = {
+          def int5(v: Int): Array[Byte] = cat(Array(29.toByte), be32(v.toLong))
+          def op5(v: Int, op: Int): Array[Byte] = cat(int5(v), Array(op.toByte))
+          val header = Array[Byte](1, 0, 4, 1)
+          val nameIdx = cffIdx("F-CID".getBytes(ISO))
+          val strIdx = be16(0)
+          def topDict(cs: Int, chs: Int): Array[Byte] =
+            cat(int5(391), int5(392), int5(0), Array(12.toByte, 30.toByte),
+              op5(cs, 15), op5(chs, 17))
+          val tdSize = cffIdx(topDict(0, 0)).length
+          val base = header.length + nameIdx.length + tdSize + strIdx.length
+          val charset = cat(Array(0.toByte) +: cids.map(be16): _*)
+          val csAt = base; val chsAt = csAt + charset.length
+          cat(header, nameIdx, cffIdx(topDict(csAt, chsAt)), strIdx,
+            charset, cffIdx(Seq.fill(cids.length + 1)(Array[Byte](14)): _*))
+        }
         val letter = ('a' + (id % 26)).toChar
         val wl = 3 + (id % 4).toInt
         val wc = 1 + (id % 7).toInt
@@ -10273,7 +10297,10 @@ object SparkEntry {
         val sDict = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FontDescriptor 6 0 R >>"
         val t1Dict = "<< /Type /Font /Subtype /Type1 /BaseFont /Fake /FontDescriptor 6 0 R >>"
         val sContent = s"BT /F1 12 Tf ($simpleCodes) Tj ET"
-        val (font, fileKey, fontDict, content) = (id % 5) match {
+        val type0Dict = "<< /Type /Font /Subtype /Type0 /BaseFont /Fake " +
+          "/Encoding /Identity-H /DescendantFonts [ 8 0 R ] >>"
+        val cidContent = s"BT /F1 12 Tf <$cidCodes> Tj ET"
+        val (font, fileKey, fontDict, content) = (id % 6) match {
           case 0 => (sfnt(
               "cmap" -> cmapTbl((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2)),
               "post" -> post2(Seq(letter.toString, "space"))),
@@ -10291,17 +10318,26 @@ object SparkEntry {
             // glyph2 → SID 1 (space); codes 1/2 → glyphs 1/2
             (cffFont(Seq(66 + (id % 26).toInt, 1), Seq(1, 2)),
               "/FontFile3", t1Dict, sContent)
-          case _ =>
+          case 4 =>
             // Type0/Identity-H with NO ToUnicode: CIDs are glyph ids
             // (default /CIDToGIDMap), resolved through the DESCENDANT
             // font's inverted (3,1) Unicode cmap (letter → gid 3,
             // space → gid 4)
             (sfnt("cmap" -> cmapTbl(
                 (3, 1) -> cmap4(letter.toInt -> 3, 0x20 -> 4))),
-              "/FontFile2",
-              "<< /Type /Font /Subtype /Type0 /BaseFont /Fake " +
-                "/Encoding /Identity-H /DescendantFonts [ 8 0 R ] >>",
-              s"BT /F1 12 Tf <$cidCodes> Tj ET")
+              "/FontFile2", type0Dict, cidContent)
+          case _ =>
+            // (f) r16: Type0/Identity-H whose DESCENDANT carries an
+            // OTTO-wrapped CID-KEYED CFF (ROS) — the modern CJK-subset
+            // shape (VERDICT r15 Missing #3). Codes are CIDs 3 (letter)
+            // and 4 (space); the CFF charset maps gid 5 → CID 3 and
+            // gid 6 → CID 4 (NON-identity, so skipping the charset
+            // inversion garbles every word), and the wrapper's (3,1)
+            // cmap maps letter → gid 5, space → gid 6.
+            (sfntM(0x4F54544FL,
+                "CFF " -> cffCidFont(Seq(7, 8, 9, 10, 3, 4)),
+                "cmap" -> cmapTbl((3, 1) -> cmap4(letter.toInt -> 5, 0x20 -> 6))),
+              "/FontFile3", type0Dict, cidContent)
         }
         val bos = new java.io.ByteArrayOutputStream()
         def w(str: String): Unit = bos.write(str.getBytes(ISO))
@@ -10321,8 +10357,11 @@ object SparkEntry {
         obj(5, fontDict, None)
         obj(6, s"<< /Type /FontDescriptor /FontName /Fake $fileKey 7 0 R >>", None)
         obj(7, s"<< /Length ${font.length} >>", Some(font))
-        if (id % 5 == 4)
+        if (id % 6 == 4)
           obj(8, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake " +
+            "/FontDescriptor 6 0 R >>", None)
+        else if (id % 6 == 5)
+          obj(8, "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake " +
             "/FontDescriptor 6 0 R >>", None)
         w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
         bos.toByteArray
@@ -10551,6 +10590,156 @@ object SparkEntry {
           sum(when(col("key_b") === col("key_a") + 1 &&
             col("key_b") % 10 === 9, 1L).otherwise(0L)).as("n_planted"),
           sum(col("key_a") + col("key_b")).as("key_sum"))
+    }),
+
+    "q374_pdf_ccitt_g4" -> ((s, dir) => {
+      // SCANNED-DOCUMENT image payloads (r16 — VERDICT r15 Missing #1:
+      // CCITT G4 is the dominant scan encoding; ref `extractor.py:136`
+      // rides PyMuPDF, which surfaces every raster): per doc a genuine
+      // PDF paints one /CCITTFaxDecode K -1 (pure T.6 2D) image — a
+      // black run of planted length drifting ±1 px per row. The G4
+      // stream is HAND-CODED here from the public spec, independent of
+      // the production decoder: row 0 = horizontal mode (white/black
+      // run codewords transcribed from T.4 Table 2/3), later rows =
+      // vertical modes only (V0/VR1/VL1 — fixed bit patterns), EOFB
+      // terminated. Odd docs set /BlackIs1 true (CCITT-black → sample
+      // 1 → WHITE under DeviceGray), so a sense inversion flips the
+      // luminance and breaks the hash; a mode-decode slip, reference-
+      // line bug, or run-table typo in the four codeword families
+      // used shears the pixels and breaks dims/luminance.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 24 + (id % 8).toInt; val h = 10 + (id % 5).toInt
+        val p0 = 4 + (id % 4).toInt
+        val len0 = 2 + ((id / 4) % 4).toInt
+        val blackIs1 = id % 2 == 1
+        // hand-transcribed ITU-T T.4 codewords (terminating codes only)
+        val whiteCode = Map(4 -> "1011", 5 -> "1100", 6 -> "1110", 7 -> "1111")
+        val blackCode = Map(2 -> "11", 3 -> "10", 4 -> "011", 5 -> "0011")
+        def p(r: Int): Int = p0 + (if (r % 4 == 1 || r % 4 == 2) 1 else 0)
+        val sb = new StringBuilder
+        sb ++= "001" ++= whiteCode(p0) ++= blackCode(len0) ++= "1"
+        for (r <- 1 until h) {
+          val vc = (p(r) - p(r - 1)) match {
+            case 1 => "011"; case -1 => "010"; case _ => "1"
+          }
+          sb ++= vc ++= vc ++= "1"
+        }
+        sb ++= "000000000001000000000001" // EOFB
+        val bits = sb.toString
+        val g4 = new Array[Byte]((bits.length + 7) / 8)
+        for (i <- bits.indices if bits.charAt(i) == '1')
+          g4(i / 8) = (g4(i / 8) | (1 << (7 - i % 8))).toByte
+        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+          "/Filter /CCITTFaxDecode /DecodeParms << /K -1 " +
+          s"/Columns $w /Rows $h /BlackIs1 $blackIs1 >> " +
+          s"/Length ${g4.length} >>", Some(g4))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
+
+    "q375_pdf_colorspaces" -> ((s, dir) => {
+      // NON-DEVICE COLOR SPACES in the raster re-wrap (r16 — VERDICT
+      // r15 Missing #2: /Indexed palettes and ICCBased rasters are the
+      // print-origin class PyMuPDF surfaces): per doc one image XObject
+      // cycling THREE colorspace shapes — (0) /Indexed over /DeviceRGB
+      // with a hex-string palette and raw index samples, (1) /Indexed
+      // over an [/ICCBased N=3] base with Flate index samples, (2) a
+      // direct [/ICCBased N=3] RGB raster behind Flate. The palette
+      // entry / fill color is planted per doc, so a palette-expansion
+      // slip, wrong hival bound, nested-bracket parse bug, or /N
+      // misread changes the decoded luminance and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 8 + (id % 8).toInt; val h = 6 + (id % 6).toInt
+        def flate(px: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater()
+          d.setInput(px); d.finish()
+          val buf = new Array[Byte](px.length + 64)
+          val n = d.deflate(buf); d.end(); buf.take(n)
+        }
+        // 4-entry palette; the doc paints entry k0 uniformly
+        val k0 = (id % 4).toInt
+        def pal(k: Int): (Int, Int, Int) =
+          (((id * (3 + k)) % 256).toInt, ((id * (7 + k)) % 256).toInt,
+            ((id * (11 + k)) % 256).toInt)
+        val palHex = (0 to 3).map { k =>
+          val (r, g, b) = pal(k); f"$r%02X$g%02X$b%02X"
+        }.mkString
+        val (csDict, imgBytes, extraFilter) = (id % 3).toInt match {
+          case 0 =>
+            (s"/ColorSpace [/Indexed /DeviceRGB 3 <$palHex>]",
+              Array.fill(w * h)(k0.toByte), "")
+          case 1 =>
+            (s"/ColorSpace [/Indexed [/ICCBased 7 0 R] 3 <$palHex>]",
+              flate(Array.fill(w * h)(k0.toByte)), "/Filter /FlateDecode ")
+          case _ =>
+            val (r, g, b) = (((id * 5) % 256).toInt, ((id * 9) % 256).toInt,
+              ((id * 13) % 256).toInt)
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) {
+              px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
+              i += 3
+            }
+            ("/ColorSpace [/ICCBased 7 0 R]", flate(px), "/Filter /FlateDecode ")
+        }
+        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
+        val icc = "fake-icc-profile-bytes".getBytes(ISO)
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          s"/BitsPerComponent 8 $csDict $extraFilter" +
+          s"/Length ${imgBytes.length} >>", Some(imgBytes))
+        obj(7, s"<< /N 3 /Length ${icc.length} >>", Some(icc))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
   )
 
@@ -16868,6 +17057,38 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
         |  CAST(SUM(key_a + key_b) AS BIGINT) AS key_sum
         |FROM alle""".stripMargin,
+
+    // q374: CCITT G4 scanned-image payloads — the oracle replays the
+    // planted dims and the bilevel mean luminance: 255·nwhite/(w·h),
+    // where /BlackIs1 swaps which planted run class renders white
+    // (CCITT-black → sample 1 → white under DeviceGray)
+    "q374_pdf_ccitt_g4" ->
+      """WITH p AS (SELECT doc_id,
+        |    24 + doc_id % 8 AS w, 10 + doc_id % 5 AS h,
+        |    2 + (doc_id // 4) % 4 AS len0, doc_id % 2 = 1 AS b1
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR((255.0 * (CASE WHEN b1 THEN len0 * h
+        |    ELSE (w - len0) * h END)) / (w * h) * 1e6 + 0.5) AS BIGINT)
+        |    AS lum_u6
+        |FROM p""".stripMargin,
+
+    // q375: Indexed / ICCBased color spaces — the oracle replays the
+    // planted palette entry (variants 0/1) or direct fill (variant 2)
+    "q375_pdf_colorspaces" ->
+      """WITH p AS (SELECT doc_id,
+        |    8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+        |    CASE WHEN doc_id % 3 = 2 THEN (doc_id * 5) % 256
+        |         ELSE (doc_id * (3 + doc_id % 4)) % 256 END AS r,
+        |    CASE WHEN doc_id % 3 = 2 THEN (doc_id * 9) % 256
+        |         ELSE (doc_id * (7 + doc_id % 4)) % 256 END AS g,
+        |    CASE WHEN doc_id % 3 = 2 THEN (doc_id * 13) % 256
+        |         ELSE (doc_id * (11 + doc_id % 4)) % 256 END AS b
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR((0.299 * r + 0.587 * g + 0.114 * b) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM p""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

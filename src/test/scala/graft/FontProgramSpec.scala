@@ -24,7 +24,7 @@ class FontProgramSpec extends AnyFunSuite {
   private def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
 
   /** Table directory + concatenated tables. */
-  private def sfnt(tables: (String, Array[Byte])*): Array[Byte] = {
+  private def sfntM(magic: Long, tables: (String, Array[Byte])*): Array[Byte] = {
     val n = tables.length
     var off = 12 + 16 * n
     val dir = tables.map { case (tag, data) =>
@@ -32,9 +32,12 @@ class FontProgramSpec extends AnyFunSuite {
       off += data.length
       rec
     }
-    cat((be32(0x00010000L) +: be16(n) +: be16(0) +: be16(0) +: be16(0) +: dir) ++
+    cat((be32(magic) +: be16(n) +: be16(0) +: be16(0) +: be16(0) +: dir) ++
       tables.map(_._2): _*)
   }
+
+  private def sfnt(tables: (String, Array[Byte])*): Array[Byte] =
+    sfntM(0x00010000L, tables: _*)
 
   /** cmap table with (platform, encoding) → subtable bytes entries. */
   private def cmap(subs: ((Int, Int), Array[Byte])*): Array[Byte] = {
@@ -119,6 +122,25 @@ class FontProgramSpec extends AnyFunSuite {
   private def decodeText(pdf: Array[Byte]): String = {
     val Right(pages) = MiniPdfDecoder().decode(pdf): @unchecked
     pages.head
+  }
+
+  // ---- unit: post-table boundary (r16 ADVICE) ----
+
+  test("post name array stops at the table's recorded length: an index " +
+       "past the in-table names falls back, never reads adjacent tables") {
+    // post carries ONE custom name ("x"); glyph 1 claims custom #2
+    // (index 259) which does not exist inside the table. The next
+    // physical table ("zzzz") starts with bytes that WOULD parse as a
+    // Pascal-string name "A" if the scan overran the post boundary.
+    val font = sfnt(
+      "cmap" -> cmap((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2)),
+      "post" -> post(Seq(259, 258), Seq("x")),
+      "zzzz" -> cat(Array(1.toByte), "A".getBytes(ISO_8859_1), Array(0.toByte, 0.toByte)))
+    val m = FontProgram.trueTypeSimpleMap(font)
+    assert(m.get(2).contains("x"), "in-table custom name still resolves")
+    assert(!m.get(1).contains("A"),
+      "overrunning index must not pull a 'name' from the adjacent table")
+    assert(m.get(1).isEmpty, "unmappable glyph stays absent (byte identity)")
   }
 
   // ---- unit: TrueType simple-font map ----
@@ -324,6 +346,49 @@ class FontProgramSpec extends AnyFunSuite {
       FontProgram.cffSimpleMap(good.take(cut)) // must not throw
   }
 
+  test("openTypeCidMap: CID-keyed CFF inside OTTO resolves CID → gid via " +
+       "the inverted charset, gid → Unicode via the wrapper cmap (r16)") {
+    // gids 1,2,3 carry CIDs 9,3,4 (non-identity!); wrapper cmap says
+    // gid 2 = 'A', gid 3 = 'b'; gid 1 has no Unicode evidence
+    val cidCff = cff(charset0(9, 3, 4), None, nGlyphs = 4, cid = true)
+    val font = sfntM(0x4F54544FL,
+      "CFF " -> cidCff,
+      "cmap" -> cmap((3, 1) -> cmap4('A'.toInt -> 2, 'b'.toInt -> 3)))
+    val m = FontProgram.openTypeCidMap(font)
+    assert(m.get(3).contains("A") && m.get(4).contains("b"))
+    assert(!m.contains(9), "CID with no Unicode evidence stays absent")
+    assert(!m.contains(2) && !m.contains(1),
+      "gid-keyed lookups must not leak through on a CID-keyed font")
+    // non-CID CFF in the wrapper: fall back to code-is-GID (trueTypeGidMap)
+    val plainWrap = sfntM(0x4F54544FL,
+      "CFF " -> cff(charset0(72), None, nGlyphs = 2),
+      "cmap" -> cmap((3, 1) -> cmap4('Z'.toInt -> 1)))
+    assert(FontProgram.openTypeCidMap(plainWrap).get(1).contains("Z"))
+    // bare CFF (no wrapper) and junk: empty, never throws
+    assert(FontProgram.openTypeCidMap(cidCff).isEmpty)
+    assert(FontProgram.openTypeCidMap("garbage bytes here".getBytes).isEmpty)
+  }
+
+  test("e2e: Type0/Identity-H with a CID-keyed OTTO /FontFile3 descendant " +
+       "decodes planted text through the charset inversion (r16)") {
+    // CIDs 3='C', 4='f', 5=' ': charset maps gid 5→CID 3, gid 6→CID 4,
+    // gid 7→CID 5 — identity would garble everything
+    val cidCff = cff(charset0(11, 12, 13, 14, 3, 4, 5), None,
+      nGlyphs = 8, cid = true)
+    val font = sfntM(0x4F54544FL,
+      "CFF " -> cidCff,
+      "cmap" -> cmap((3, 1) -> cmap4(
+        'C'.toInt -> 5, 'f'.toInt -> 6, 0x20 -> 7)))
+    val pdf = pdfWithFont(
+      "BT /F1 12 Tf <00030004000500030004> Tj ET",
+      "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+        "/DescendantFonts [ 8 0 R ] >>",
+      font, fileKey = "/FontFile3",
+      extra = Seq((8, "<< /Type /Font /Subtype /CIDFontType0 " +
+        "/FontDescriptor 6 0 R >>", None)))
+    assert(decodeText(pdf) == "<div><p>Cf Cf</p></div>")
+  }
+
   test("cmap format 12 (segmented coverage) lookup and inversion") {
     // groups: U+0041..U+0043 → gids 5..7
     val f12 = cat(be16(12), be16(0), be32(16 + 12), be32(0), be32(1),
@@ -447,6 +512,9 @@ class FontProgramSpec extends AnyFunSuite {
       strings = Seq("uni0416"))
     val t1 = ("/Encoding 256 array\ndup 65 /g put\nreadonly def\neexec X")
       .getBytes(ISO_8859_1)
+    val ottoCid = sfntM(0x4F54544FL,
+      "CFF " -> cff(charset0(11, 3, 4), None, nGlyphs = 4, cid = true),
+      "cmap" -> cmap((3, 1) -> cmap4('C'.toInt -> 2, 0x20 -> 3)))
     val targets = Seq(
       pdfWithFont("BT /F1 12 Tf () Tj ET", simpleTtDict, ttf),
       pdfWithFont("BT /F1 12 Tf (AB) Tj ET",
@@ -454,7 +522,13 @@ class FontProgramSpec extends AnyFunSuite {
         cffF, fileKey = "/FontFile3"),
       pdfWithFont("BT /F1 12 Tf (A) Tj ET",
         "<< /Type /Font /Subtype /Type1 /FontDescriptor 6 0 R >>",
-        t1, fileKey = "/FontFile"))
+        t1, fileKey = "/FontFile"),
+      pdfWithFont("BT /F1 12 Tf <00030004> Tj ET",
+        "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+          "/DescendantFonts [ 8 0 R ] >>",
+        ottoCid, fileKey = "/FontFile3",
+        extra = Seq((8, "<< /Type /Font /Subtype /CIDFontType0 " +
+          "/FontDescriptor 6 0 R >>", None))))
     val rnd = new scala.util.Random(77)
     for (base <- targets; _ <- 0 until 40) {
       val m = base.clone()

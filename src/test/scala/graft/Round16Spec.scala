@@ -82,4 +82,207 @@ class Round16Spec extends AnyFunSuite {
     assert(graft.functions.Dom.detectEncoding(bytes).name == "Shift_JIS")
     assert(graft.functions.Dom.decodeHtml(bytes).contains(band.head))
   }
+
+  // ------------------------------------------------ CCITT G4 (r16)
+
+  private def bitsOf(data: Array[Byte]): String =
+    data.flatMap(b => (7 to 0 by -1).map(i => ('0' + ((b >> i) & 1)).toChar))
+      .mkString
+
+  private def packBits(bits: String): Array[Byte] = {
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    for (i <- bits.indices if bits.charAt(i) == '1')
+      out(i / 8) = (out(i / 8) | (1 << (7 - i % 8))).toByte
+    out
+  }
+
+  test("CcittG4 decode of a hand-assembled T.6 stream (codewords " +
+       "transcribed from the public spec, independent of the encoder)") {
+    import graft.sources.CcittG4
+    // row 0: horizontal, white 3 ('1000') + black 4 ('011'); V0 closes
+    // the row at column 10. row 1: identical → V0 V0 V0.
+    val bits = "001" + "1000" + "011" + "1" + "111" +
+      "000000000001000000000001"
+    val out = CcittG4.decode(packBits(bits), 10, 2).get
+    val row = Seq(false, false, false, true, true, true, true, false, false, false)
+    assert(out.toSeq == row ++ row)
+    // VR1/VL1: row 1 shifts the black run right by one
+    val bits2 = "001" + "1000" + "011" + "1" + "011011" + "1" +
+      "000000000001000000000001"
+    val out2 = CcittG4.decode(packBits(bits2), 10, 2).get
+    val row2 = Seq(false, false, false, false, true, true, true, true, false, false)
+    assert(out2.toSeq == row ++ row2)
+    // pass mode: ref row has a short black run the coding row skips —
+    // row 1 = all white needs PASS over (3,7) then V0 at 10
+    val bits3 = "001" + "1000" + "011" + "1" + "0001" + "1" +
+      "000000000001000000000001"
+    val out3 = CcittG4.decode(packBits(bits3), 10, 2).get
+    assert(out3.toSeq == row ++ Seq.fill(10)(false))
+  }
+
+  test("CcittG4 encoder emits the spec bit patterns for known rows") {
+    import graft.sources.CcittG4
+    val row = Array(false, false, false, true, true, true, true, false,
+      false, false)
+    val enc = CcittG4.encode(row ++ row, 10, 2)
+    assert(bitsOf(enc).startsWith("001" + "1000" + "011" + "1" + "111" +
+      "000000000001000000000001"))
+  }
+
+  test("CcittG4 encode → decode round-trips exact pixels across shapes " +
+       "(long runs exercise make-up codes; drift exercises all modes)") {
+    import graft.sources.CcittG4
+    val rnd = new scala.util.Random(4242)
+    val shapes = Seq((64, 24), (1728, 4), (200, 31), (7, 7), (2600, 2))
+    for ((w, h) <- shapes) {
+      // structured: drifting stripes (vertical modes + pass)
+      val stripes = Array.tabulate(w * h) { i =>
+        val y = i / w; val x = i % w
+        ((x + (y * 3) % 5) / math.max(3, w / 11)) % 2 == 1
+      }
+      assert(CcittG4.decode(CcittG4.encode(stripes, w, h), w, h)
+        .get.toSeq == stripes.toSeq, s"stripes $w x $h")
+      // random speckle (horizontal modes, short runs)
+      val speckle = Array.fill(w * h)(rnd.nextInt(4) == 0)
+      assert(CcittG4.decode(CcittG4.encode(speckle, w, h), w, h)
+        .get.toSeq == speckle.toSeq, s"speckle $w x $h")
+      // mostly-empty page with one long black band (make-up codes)
+      val band = Array.tabulate(w * h)(i => (i / w) == h / 2)
+      assert(CcittG4.decode(CcittG4.encode(band, w, h), w, h)
+        .get.toSeq == band.toSeq, s"band $w x $h")
+    }
+  }
+
+  test("CcittG4 decode never throws on junk or bit-flipped streams") {
+    import graft.sources.CcittG4
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 200) {
+      val junk = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      CcittG4.decode(junk, 1 + rnd.nextInt(100), 1 + rnd.nextInt(20))
+    }
+    val good = CcittG4.encode(Array.tabulate(32 * 8)(i => i % 5 == 0), 32, 8)
+    for (_ <- 0 until 200) {
+      val m = good.clone()
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      CcittG4.decode(m, 32, 8) // Option either way, no throw
+    }
+  }
+
+  // ---------------------------- image-payload color spaces (r16)
+
+  private def rawPdf(objects: Seq[(Int, String, Option[Array[Byte]])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    for ((num, dict, stream) <- objects) {
+      w(s"$num 0 obj\n$dict\n")
+      stream.foreach { data => w("stream\n"); bos.write(data); w("\nendstream\n") }
+      w("endobj\n")
+    }
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  private def imagePdf(imgDict: String, imgBytes: Array[Byte],
+                       extra: Seq[(Int, String, Option[Array[Byte]])] = Nil): Array[Byte] = {
+    val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
+    rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>",
+        Some(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))),
+      (5, s"$imgDict /Length ${imgBytes.length} >>", Some(imgBytes))) ++ extra)
+  }
+
+  private def onlyImage(pdf: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val Right(pages) = graft.sources.MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    pages.flatMap(_._2).headOption.map(b =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+  }
+
+  test("Indexed palette over DeviceRGB expands EXACT per-pixel colors " +
+       "(multi-color image, hex-string lookup)") {
+    // 4x2, indices 0..3 then 3..0; palette = four distinct colors
+    val pal = Seq((10, 20, 30), (200, 100, 50), (0, 255, 128), (255, 0, 9))
+    val palHex = pal.map { case (r, g, b) => f"$r%02X$g%02X$b%02X" }.mkString
+    val idx = Array[Byte](0, 1, 2, 3, 3, 2, 1, 0)
+    val pdf = imagePdf("<< /Subtype /Image /Width 4 /Height 2 " +
+      s"/BitsPerComponent 8 /ColorSpace [/Indexed /DeviceRGB 3 <$palHex>]", idx)
+    val img = onlyImage(pdf).get
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val (r, g, b) = pal(idx(y * 4 + x) & 0xff)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == ((r << 16) | (g << 8) | b),
+        s"pixel ($x,$y)")
+    }
+    // Indexed over an ICCBased N=3 base (nested array): the /ICCBased
+    // token inside the base must NOT make the resolver treat the
+    // stream as a direct 3-component raster — the samples are indices
+    val icc = "icc".getBytes
+    val pdf2 = imagePdf("<< /Subtype /Image /Width 4 /Height 2 " +
+      s"/BitsPerComponent 8 /ColorSpace [/Indexed [/ICCBased 7 0 R] 3 <$palHex>]",
+      idx, extra = Seq((7, s"<< /N 3 /Length ${icc.length} >>", Some(icc))))
+    val img2 = onlyImage(pdf2).get
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val (r, g, b) = pal(idx(y * 4 + x) & 0xff)
+      assert((img2.getRGB(x, y) & 0xFFFFFF) == ((r << 16) | (g << 8) | b),
+        s"ICC-based pixel ($x,$y)")
+    }
+  }
+
+  test("ICCBased N=3 raster aliases DeviceRGB; N=1 aliases Gray; N=4 drops") {
+    def px3(r: Int, g: Int, b: Int, n: Int) =
+      Array.fill(n)(Seq(r.toByte, g.toByte, b.toByte)).flatten.toArray
+    val icc = "icc".getBytes
+    val p3 = imagePdf("<< /Subtype /Image /Width 2 /Height 2 " +
+      "/BitsPerComponent 8 /ColorSpace [/ICCBased 7 0 R]", px3(9, 99, 199, 4),
+      extra = Seq((7, s"<< /N 3 /Length ${icc.length} >>", Some(icc))))
+    assert((onlyImage(p3).get.getRGB(1, 1) & 0xFFFFFF) == ((9 << 16) | (99 << 8) | 199))
+    val p1 = imagePdf("<< /Subtype /Image /Width 2 /Height 2 " +
+      "/BitsPerComponent 8 /ColorSpace [/ICCBased 7 0 R]",
+      Array[Byte](0, 64, 127, 255.toByte),
+      extra = Seq((7, s"<< /N 1 /Length ${icc.length} >>", Some(icc))))
+    assert((onlyImage(p1).get.getRGB(1, 0) & 0xFFFFFF) == ((64 << 16) | (64 << 8) | 64))
+    val p4 = imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/ICCBased 7 0 R]",
+      Array[Byte](1, 2, 3, 4),
+      extra = Seq((7, s"<< /N 4 /Length ${icc.length} >>", Some(icc))))
+    assert(onlyImage(p4).isEmpty, "CMYK must drop, not guess")
+  }
+
+  test("Indexed guards: out-of-hival index and short palette drop the payload") {
+    val palHex = "FF0000" + "00FF00" // hival 1, two entries
+    val bad = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
+      s"/BitsPerComponent 8 /ColorSpace [/Indexed /DeviceRGB 1 <$palHex>]",
+      Array[Byte](0, 3)) // index 3 > hival
+    assert(onlyImage(bad).isEmpty)
+    val short = imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/Indexed /DeviceRGB 3 <FF0000>]",
+      Array[Byte](0)) // palette shorter than 3*(hival+1)
+    assert(onlyImage(short).isEmpty)
+  }
+
+  test("CCITT payload e2e: G4 XObject decodes to the planted bilevel PNG; " +
+       "K>=0 (G3) and BlackIs1 sense are honoured") {
+    import graft.sources.CcittG4
+    val w = 16; val h = 4
+    val bmp = Array.tabulate(w * h)(i => (i % w) >= 12) // right quarter black
+    val g4 = CcittG4.encode(bmp, w, h)
+    def dict(k: Int, b1: Boolean) =
+      s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 1 " +
+        "/ColorSpace /DeviceGray /Filter /CCITTFaxDecode " +
+        s"/DecodeParms << /K $k /Columns $w /Rows $h /BlackIs1 $b1 >>"
+    val img = onlyImage(imagePdf(dict(-1, b1 = false), g4)).get
+    assert(img.getWidth == w && img.getHeight == h)
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == 0xFFFFFF, "white background")
+    assert((img.getRGB(13, 2) & 0xFFFFFF) == 0x000000, "black run")
+    val inv = onlyImage(imagePdf(dict(-1, b1 = true), g4)).get
+    assert((inv.getRGB(0, 0) & 0xFFFFFF) == 0x000000,
+      "BlackIs1: background renders dark (sample 0)")
+    assert((inv.getRGB(13, 2) & 0xFFFFFF) == 0xFFFFFF)
+    assert(onlyImage(imagePdf(dict(0, b1 = false), g4)).isEmpty,
+      "G3 (K>=0) stays fail-closed")
+  }
 }
