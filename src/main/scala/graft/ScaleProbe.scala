@@ -69,7 +69,8 @@ object ScaleProbe {
     // population grows with the factor; planted 1–3-bit neighbors ride
     // along), plus the scanned-document (CCITT G4) and Indexed/ICC
     // color-space decode legs (per-row map-side, zero shuffle)
-    "q373_phash_band_probe", "q374_pdf_ccitt_g4", "q375_pdf_colorspaces")
+    "q373_phash_band_probe", "q374_pdf_ccitt_g4", "q375_pdf_colorspaces",
+    "q376_pdf_ccitt_g3", "q377_pdf_lowbpc")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -10741,6 +10741,148 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q376_pdf_ccitt_g3" -> ((s, dir) => {
+      // G3 (K ≥ 0) CCITT legs + /Decode-array inversion (r16 depth
+      // extension of q374's scanned class; old fax-origin PDFs are K=0
+      // MH or K>0 mixed): even docs carry PURE 1D MH rows with NO EOLs
+      // (PDF's /EndOfLine false default), odd docs carry K=4 mixed
+      // streams where every row is announced by EOL + tag. All
+      // codewords are HAND-TRANSCRIBED from T.4 Table 2/3 here,
+      // independent of the production decoder; docs with id%3==0 add
+      // /Decode [1 0], which must flip the sample→color mapping or the
+      // luminance breaks.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val p0 = 4 + (id % 4).toInt
+        val len0 = 2 + ((id / 4) % 4).toInt
+        val rest = 8 + (id % 8).toInt
+        val w = p0 + len0 + rest; val h = 6 + (id % 5).toInt
+        val k = if (id % 2 == 0) 0 else 4
+        val dec10 = id % 3 == 0
+        val whiteCode = Map(4 -> "1011", 5 -> "1100", 6 -> "1110",
+          7 -> "1111", 8 -> "10011", 9 -> "10100", 10 -> "00111",
+          11 -> "01000", 12 -> "001000", 13 -> "000011", 14 -> "110100",
+          15 -> "110101")
+        val blackCode = Map(2 -> "11", 3 -> "10", 4 -> "011", 5 -> "0011")
+        val rowBits = whiteCode(p0) + blackCode(len0) + whiteCode(rest)
+        val bits = (if (k > 0) ("000000000001" + "1" + rowBits) * h
+                    else rowBits * h)
+        val g3 = new Array[Byte]((bits.length + 7) / 8)
+        for (i <- bits.indices if bits.charAt(i) == '1')
+          g3(i / 8) = (g3(i / 8) | (1 << (7 - i % 8))).toByte
+        val decodeKey = if (dec10) "/Decode [1 0] " else ""
+        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          s"/BitsPerComponent 1 /ColorSpace /DeviceGray $decodeKey" +
+          "/Filter /CCITTFaxDecode /DecodeParms << " +
+          s"/K $k /Columns $w /Rows $h >> " +
+          s"/Length ${g3.length} >>", Some(g3))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
+
+    "q377_pdf_lowbpc" -> ((s, dir) => {
+      // 1/2/4-bpc rasters (r16 depth extension of q375 — bitmap masks,
+      // dithered scans, small-palette print graphics): (0) 1-bpc
+      // DeviceGray split-column bitmap, /Decode [1 0] on odd docs; (1)
+      // 2-bpc DeviceGray uniform level; (2) 4-bpc /Indexed over a
+      // 16-entry palette. Rows pack high-bit-first and pad to BYTE
+      // boundaries (§8.9.3) — w is chosen non-multiple-of-8, so a
+      // padding slip shears every row and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 10 + (id % 7).toInt; val h = 5 + (id % 6).toInt
+        def flate(px: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater()
+          d.setInput(px); d.finish()
+          val buf = new Array[Byte](px.length + 64)
+          val n = d.deflate(buf); d.end(); buf.take(n)
+        }
+        def pack(samples: Array[Int], bpc: Int): Array[Byte] = {
+          val rowBytes = (w * bpc + 7) / 8
+          val out = new Array[Byte](rowBytes * h)
+          for (y <- 0 until h; x <- 0 until w) {
+            val bitAt = x * bpc
+            val shift = 8 - bpc - (bitAt & 7)
+            out(y * rowBytes + (bitAt >> 3)) =
+              (out(y * rowBytes + (bitAt >> 3)) |
+                ((samples(y * w + x) & ((1 << bpc) - 1)) << shift)).toByte
+          }
+          out
+        }
+        val (csDict, bpc, samples, decodeKey) = (id % 3).toInt match {
+          case 0 =>
+            val xsplit = 1 + (id % (w - 1)).toInt
+            (s"/ColorSpace /DeviceGray", 1,
+              Array.tabulate(w * h)(i => if (i % w < xsplit) 1 else 0),
+              if (id % 2 == 1) "/Decode [1 0] " else "")
+          case 1 =>
+            (s"/ColorSpace /DeviceGray", 2,
+              Array.fill(w * h)((id % 4).toInt), "")
+          case _ =>
+            val palHex = (0 to 15).map { kk =>
+              f"${((id * (3 + kk)) % 256).toInt}%02X" +
+                f"${((id * (7 + kk)) % 256).toInt}%02X" +
+                f"${((id * (11 + kk)) % 256).toInt}%02X"
+            }.mkString
+            (s"/ColorSpace [/Indexed /DeviceRGB 15 <$palHex>]", 4,
+              Array.fill(w * h)((id % 16).toInt), "")
+        }
+        val imgBytes = flate(pack(samples, bpc))
+        val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          s"/BitsPerComponent $bpc $csDict $decodeKey/Filter /FlateDecode " +
+          s"/Length ${imgBytes.length} >>", Some(imgBytes))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17089,6 +17231,41 @@ object SparkEntry {
         |  CAST(FLOOR((0.299 * r + 0.587 * g + 0.114 * b) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM p""".stripMargin,
+
+    // q376: G3 CCITT legs — oracle replays planted run arithmetic with
+    // the /Decode [1 0] inversion flipping the bright count
+    "q376_pdf_ccitt_g3" ->
+      """WITH p AS (SELECT doc_id,
+        |    4 + doc_id % 4 AS p0, 2 + (doc_id // 4) % 4 AS len0,
+        |    8 + doc_id % 8 AS rest, 6 + doc_id % 5 AS h,
+        |    doc_id % 3 = 0 AS dec10
+        |  FROM documents),
+        |q AS (SELECT doc_id, p0 + len0 + rest AS w, h, len0, dec10 FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR((255.0 * (CASE WHEN dec10 THEN len0 * h
+        |    ELSE (w - len0) * h END)) / (w * h) * 1e6 + 0.5) AS BIGINT)
+        |    AS lum_u6
+        |FROM q""".stripMargin,
+
+    // q377: 1/2/4-bpc rasters — oracle replays the planted split-
+    // column bitmap, uniform 2-bpc level, and 4-bpc palette color
+    "q377_pdf_lowbpc" ->
+      """WITH p AS (SELECT doc_id, 10 + doc_id % 7 AS w, 5 + doc_id % 6 AS h
+        |           FROM documents),
+        |v AS (SELECT doc_id, w, h,
+        |    CASE
+        |      WHEN doc_id % 3 = 0 THEN
+        |        (255.0 * (CASE WHEN doc_id % 2 = 1
+        |          THEN (w - (1 + doc_id % (w - 1))) * h
+        |          ELSE (1 + doc_id % (w - 1)) * h END)) / (w * h)
+        |      WHEN doc_id % 3 = 1 THEN CAST(85 * (doc_id % 4) AS DOUBLE)
+        |      ELSE 0.299 * ((doc_id * (3 + doc_id % 16)) % 256)
+        |         + 0.587 * ((doc_id * (7 + doc_id % 16)) % 256)
+        |         + 0.114 * ((doc_id * (11 + doc_id % 16)) % 256)
+        |    END AS lum FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM v""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

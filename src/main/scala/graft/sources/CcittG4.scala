@@ -178,83 +178,167 @@ object CcittG4 {
     var row = 0
     while (row < rows) {
       if (encodedByteAlign) br.alignByte()
-      var nCur = 0
-      var a0 = -1
-      var color = false // white
-      var fail = false
-      var steps = 0
-      while (a0 < columns && !fail) {
-        steps += 1
-        if (steps > 2 * columns + 8) { fail = true }
-        else {
-          // b1: first ref transition > a0 flipping to !color; b2: next
-          var i = 0
-          while (i < ref.length && ref(i) <= a0) i += 1
-          if ((i & 1) != (if (color) 1 else 0)) i += 1
-          val b1 = if (i < ref.length) ref(i) else columns
-          val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
-          // mode code: count leading zeros to the first 1
-          var zeros = 0
-          var one = false
-          while (!one && zeros <= 6 && !fail) {
-            br.bit() match {
-              case -1 => fail = true
-              case 1 => one = true
-              case _ => zeros += 1
-            }
-          }
-          if (!fail) zeros match {
-            case 0 => // V0
-              if (b1 > columns) fail = true
-              else { cur(nCur) = b1; nCur += 1; a0 = b1; color = !color }
-            case 1 => // 01x: VR1 / VL1
-              val d = br.bit()
-              if (d < 0) fail = true
-              else {
-                val a1 = if (d == 1) b1 + 1 else b1 - 1
-                if (a1 <= a0 || a1 > columns || nCur >= cur.length) fail = true
-                else { cur(nCur) = a1; nCur += 1; a0 = a1; color = !color }
-              }
-            case 2 => // 001: horizontal — two runs from a0
-              val s = math.max(a0, 0)
-              val r1 = readRun(br, !color)
-              val r2 = if (r1 < 0) -1 else readRun(br, color)
-              if (r1 < 0 || r2 < 0) fail = true
-              else {
-                val a1 = s + r1; val a2 = a1 + r2
-                if (a2 > columns || a1 < a0 || nCur + 2 > cur.length) fail = true
-                else {
-                  cur(nCur) = a1; cur(nCur + 1) = a2; nCur += 2
-                  a0 = a2 // colour unchanged
-                }
-              }
-            case 3 => // 0001: pass
-              if (b2 > columns) fail = true
-              else a0 = b2 // colour unchanged, no transition
-            case 4 => // 00001x: VR2 / VL2
-              val d = br.bit()
-              if (d < 0) fail = true
-              else {
-                val a1 = if (d == 1) b1 + 2 else b1 - 2
-                if (a1 <= a0 || a1 > columns || nCur >= cur.length) fail = true
-                else { cur(nCur) = a1; nCur += 1; a0 = a1; color = !color }
-              }
-            case 5 => // 000001x: VR3 / VL3
-              val d = br.bit()
-              if (d < 0) fail = true
-              else {
-                val a1 = if (d == 1) b1 + 3 else b1 - 3
-                if (a1 <= a0 || a1 > columns || nCur >= cur.length) fail = true
-                else { cur(nCur) = a1; nCur += 1; a0 = a1; color = !color }
-              }
-            case _ => // 0000001: 2D extensions — unsupported; ≥7 zeros
-              // would be EOL/EOFB, which must not appear mid-image
-              fail = true
+      val nCur = decode2dRow(br, ref, cur, columns)
+      if (nCur < 0) return None
+      // materialize the row from its transitions
+      var px = 0; var t = 0; var c = false
+      while (px < columns) {
+        val next = if (t < nCur) math.min(cur(t), columns) else columns
+        if (c) java.util.Arrays.fill(out, row * columns + px,
+          row * columns + next, true)
+        px = next; t += 1; c = !c
+      }
+      ref = java.util.Arrays.copyOf(cur, nCur)
+      row += 1
+    }
+    Some(out)
+  }
+
+  /** One 2D-coded row: fills `cur` with the row's changing positions
+    * against reference line `ref`, returns the transition count or -1
+    * on malformed input. Shared by the G4 and G3-K>0 paths. */
+  private def decode2dRow(br: BitReader, ref: Array[Int], cur: Array[Int],
+                          columns: Int): Int = {
+    var nCur = 0
+    var a0 = -1
+    var color = false // white
+    var fail = false
+    var steps = 0
+    while (a0 < columns && !fail) {
+      steps += 1
+      if (steps > 2 * columns + 8) { fail = true }
+      else {
+        // b1: first ref transition > a0 flipping to !color; b2: next
+        var i = 0
+        while (i < ref.length && ref(i) <= a0) i += 1
+        if ((i & 1) != (if (color) 1 else 0)) i += 1
+        val b1 = if (i < ref.length) ref(i) else columns
+        val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
+        // mode code: count leading zeros to the first 1
+        var zeros = 0
+        var one = false
+        while (!one && zeros <= 6 && !fail) {
+          br.bit() match {
+            case -1 => fail = true
+            case 1 => one = true
+            case _ => zeros += 1
           }
         }
+        if (!fail) zeros match {
+          case 0 => // V0
+            if (b1 > columns) fail = true
+            else { cur(nCur) = b1; nCur += 1; a0 = b1; color = !color }
+          case 1 => // 01x: VR1 / VL1
+            val d = br.bit()
+            if (d < 0) fail = true
+            else {
+              val a1 = if (d == 1) b1 + 1 else b1 - 1
+              if (a1 <= a0 || a1 > columns || nCur >= cur.length) fail = true
+              else { cur(nCur) = a1; nCur += 1; a0 = a1; color = !color }
+            }
+          case 2 => // 001: horizontal — two runs from a0
+            val s = math.max(a0, 0)
+            val r1 = readRun(br, !color)
+            val r2 = if (r1 < 0) -1 else readRun(br, color)
+            if (r1 < 0 || r2 < 0) fail = true
+            else {
+              val a1 = s + r1; val a2 = a1 + r2
+              if (a2 > columns || a1 < a0 || nCur + 2 > cur.length) fail = true
+              else {
+                cur(nCur) = a1; cur(nCur + 1) = a2; nCur += 2
+                a0 = a2 // colour unchanged
+              }
+            }
+          case 3 => // 0001: pass
+            if (b2 > columns) fail = true
+            else a0 = b2 // colour unchanged, no transition
+          case 4 => // 00001x: VR2 / VL2
+            val d = br.bit()
+            if (d < 0) fail = true
+            else {
+              val a1 = if (d == 1) b1 + 2 else b1 - 2
+              if (a1 <= a0 || a1 > columns || nCur >= cur.length) fail = true
+              else { cur(nCur) = a1; nCur += 1; a0 = a1; color = !color }
+            }
+          case 5 => // 000001x: VR3 / VL3
+            val d = br.bit()
+            if (d < 0) fail = true
+            else {
+              val a1 = if (d == 1) b1 + 3 else b1 - 3
+              if (a1 <= a0 || a1 > columns || nCur >= cur.length) fail = true
+              else { cur(nCur) = a1; nCur += 1; a0 = a1; color = !color }
+            }
+          case _ => // 0000001: 2D extensions — unsupported; ≥7 zeros
+            // would be EOL/EOFB, which must not appear mid-image
+            fail = true
+        }
       }
-      if (fail) return None
-      // materialize the row from its transitions
+    }
+    if (fail) -1 else nCur
+  }
+
+  /** Consume an EOL (≥11 zeros then a 1, fill bits tolerated) if one
+    * sits at the cursor; rewinds and reports false otherwise. Returns
+    * the tag bit (K > 0 streams carry one after each EOL) via the
+    * second slot when `tagged`, else -1. */
+  private def tryEol(br: BitReader, tagged: Boolean): (Boolean, Int) = {
+    val save = br.pos
+    var zeros = 0
+    var b = br.bit()
+    while (b == 0 && zeros < 72) { zeros += 1; b = br.bit() }
+    if (b == 1 && zeros >= 11) {
+      if (tagged) (true, br.bit()) else (true, -1)
+    } else { br.pos = save; (false, -1) }
+  }
+
+  /** Decode a G3 stream (PDF `/CCITTFaxDecode` with K ≥ 0) into
+    * row-major pixels, `true` = black. K = 0: pure one-dimensional MH
+    * rows (EOLs optional, tolerated when present — PDF's /EndOfLine
+    * defaults to false); K > 0: each row is announced by EOL + tag bit
+    * selecting 1D (1) or 2D (0) coding, the 2D rows using the same
+    * pass/vertical/horizontal modes as G4. None on any malformed
+    * structure — same fail-closed contract as [[decode]]. */
+  def decodeG3(data: Array[Byte], columns: Int, rows: Int, k: Int,
+               encodedByteAlign: Boolean = false): Option[Array[Boolean]] = {
+    if (columns <= 0 || rows <= 0 || k < 0 ||
+        columns.toLong * rows > 64L * 1024 * 1024) return None
+    val out = new Array[Boolean](columns * rows)
+    val br = new BitReader(data)
+    var ref = new Array[Int](0)
+    val cur = new Array[Int](columns + 2)
+    // a leading EOL before the first row is legal in both flavours
+    var row = 0
+    while (row < rows) {
+      if (encodedByteAlign) br.alignByte()
+      var oneD = true
+      if (k > 0) {
+        val (got, tag) = tryEol(br, tagged = true)
+        if (!got || tag < 0) return None
+        oneD = tag == 1
+      } else {
+        tryEol(br, tagged = false) // optional in K = 0 streams
+      }
+      var nCur = 0
+      if (oneD) {
+        // MH: alternating runs starting white, exactly `columns` long
+        var total = 0
+        var white = true
+        var guard = 0
+        while (total < columns) {
+          guard += 1
+          if (guard > columns + 2) return None
+          val run = readRun(br, white)
+          if (run < 0 || total + run > columns) return None
+          total += run
+          if (total <= columns && nCur < cur.length) { cur(nCur) = total; nCur += 1 }
+          white = !white
+        }
+      } else {
+        // 2D row against the previous row — same modes as G4
+        val n = decode2dRow(br, ref, cur, columns)
+        if (n < 0) return None
+        nCur = n
+      }
       var px = 0; var t = 0; var c = false
       while (px < columns) {
         val next = if (t < nCur) math.min(cur(t), columns) else columns
@@ -274,66 +358,114 @@ object CcittG4 {
   def encode(pixels: Array[Boolean], columns: Int, rows: Int): Array[Byte] = {
     require(pixels.length == columns * rows, "pixel buffer shape")
     val bw = new BitWriter()
-    def putRun(run: Int, white: Boolean): Unit = {
-      val enc = if (white) WhiteEnc else BlackEnc
-      var r = run
-      while (r >= 64) {
-        val mk = math.min(2560, (r / 64) * 64)
-        bw.put(enc(mk)); r -= mk
-      }
-      bw.put(enc(r))
-    }
-    def transitions(row: Int): Array[Int] = {
-      val b = Array.newBuilder[Int]
-      var c = false
-      var x = 0
-      while (x < columns) {
-        val p = pixels(row * columns + x)
-        if (p != c) { b += x; c = p }
-        x += 1
-      }
-      b.result()
-    }
     var ref = new Array[Int](0)
     var row = 0
     while (row < rows) {
-      val cur = transitions(row)
-      var a0 = -1
-      var color = false
-      var t = 0 // index into cur of the next transition > a0
-      while (a0 < columns) {
-        while (t < cur.length && cur(t) <= a0) t += 1
-        val a1 = if (t < cur.length) cur(t) else columns
-        val a2 = if (t + 1 < cur.length) cur(t + 1) else columns
-        var i = 0
-        while (i < ref.length && ref(i) <= a0) i += 1
-        if ((i & 1) != (if (color) 1 else 0)) i += 1
-        val b1 = if (i < ref.length) ref(i) else columns
-        val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
-        if (b2 < a1) { bw.put("0001"); a0 = b2 } // pass
-        else if (math.abs(a1 - b1) <= 3) { // vertical
-          bw.put((a1 - b1) match {
-            case 0 => "1"
-            case 1 => "011"
-            case 2 => "000011"
-            case 3 => "0000011"
-            case -1 => "010"
-            case -2 => "000010"
-            case _ => "0000010"
-          })
-          a0 = a1; color = !color
-        } else { // horizontal
-          bw.put("001")
-          val s = math.max(a0, 0)
-          putRun(a1 - s, !color)
-          putRun(a2 - a1, color)
-          a0 = a2
-        }
-      }
+      val cur = transitions(pixels, row, columns)
+      encode2dRow(bw, ref, cur, columns)
       ref = cur
       row += 1
     }
     bw.put("000000000001000000000001") // EOFB
     bw.flush()
+  }
+
+  /** Encode as G3 (PDF `/CCITTFaxDecode` K ≥ 0): K = 0 emits plain MH
+    * rows with no EOLs (PDF's /EndOfLine false default); K > 0 emits
+    * EOL + tag per row with a 1D row every K rows (2D otherwise), the
+    * T.4 mixed-mode discipline. Fixture/sink support. */
+  def encodeG3(pixels: Array[Boolean], columns: Int, rows: Int,
+               k: Int): Array[Byte] = {
+    require(pixels.length == columns * rows, "pixel buffer shape")
+    require(k >= 0, "G3 requires K >= 0")
+    val bw = new BitWriter()
+    var ref = new Array[Int](0)
+    var row = 0
+    while (row < rows) {
+      val cur = transitions(pixels, row, columns)
+      val oneD = k == 0 || row % math.max(1, k) == 0
+      if (k > 0) bw.put("000000000001" + (if (oneD) "1" else "0"))
+      if (oneD) {
+        var prev = 0
+        var white = true
+        var t = 0
+        while (prev < columns) {
+          val next = if (t < cur.length) cur(t) else columns
+          putRun(bw, next - prev, white)
+          prev = next; white = !white; t += 1
+        }
+        // a row ending exactly at a transition still needs the final
+        // zero-length run only when the LAST emitted run's colour left
+        // the cursor mid-alternation — handled above because `next`
+        // reaches `columns` exactly once
+      } else {
+        encode2dRow(bw, ref, cur, columns)
+      }
+      ref = cur
+      row += 1
+    }
+    bw.flush()
+  }
+
+  private def putRun(bw: BitWriter, run: Int, white: Boolean): Unit = {
+    val enc = if (white) WhiteEnc else BlackEnc
+    var r = run
+    while (r >= 64) {
+      val mk = math.min(2560, (r / 64) * 64)
+      bw.put(enc(mk)); r -= mk
+    }
+    bw.put(enc(r))
+  }
+
+  private def transitions(pixels: Array[Boolean], row: Int,
+                          columns: Int): Array[Int] = {
+    val b = Array.newBuilder[Int]
+    var c = false
+    var x = 0
+    while (x < columns) {
+      val p = pixels(row * columns + x)
+      if (p != c) { b += x; c = p }
+      x += 1
+    }
+    b.result()
+  }
+
+  /** One 2D-coded row (standard procedure: pass when b2 < a1, vertical
+    * when |a1 − b1| ≤ 3, horizontal otherwise) — shared by the G4 and
+    * G3-K>0 encoders. */
+  private def encode2dRow(bw: BitWriter, ref: Array[Int], cur: Array[Int],
+                          columns: Int): Unit = {
+    var a0 = -1
+    var color = false
+    var t = 0 // index into cur of the next transition > a0
+    while (a0 < columns) {
+      while (t < cur.length && cur(t) <= a0) t += 1
+      val a1 = if (t < cur.length) cur(t) else columns
+      val a2 = if (t + 1 < cur.length) cur(t + 1) else columns
+      var i = 0
+      while (i < ref.length && ref(i) <= a0) i += 1
+      if ((i & 1) != (if (color) 1 else 0)) i += 1
+      val b1 = if (i < ref.length) ref(i) else columns
+      val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
+      if (b2 < a1) { bw.put("0001"); a0 = b2 } // pass
+      else if (math.abs(a1 - b1) <= 3) { // vertical
+        bw.put((a1 - b1) match {
+          case 0 => "1"
+          case 1 => "011"
+          case 2 => "000011"
+          case 3 => "0000011"
+          case -1 => "010"
+          case -2 => "000010"
+          case _ => "0000010"
+        })
+        a0 = a1; color = !color
+      } else { // horizontal
+        bw.put("001")
+        val s = math.max(a0, 0)
+        putRun(bw, a1 - s, !color)
+        putRun(bw, a2 - a1, color)
+        a0 = a2
+      }
+    }
   }
 }

@@ -575,44 +575,64 @@ object MiniPdf {
             (jpeg(1) & 0xff) == 0xD8) Some(jpeg) else None
       } else if (filters.lastOption.exists(f =>
           f == "CCITTFaxDecode" || f == "CCF")) {
-        // scanned-document leg: ITU-T T.6 G4 only (K < 0; the dominant
-        // scan encoding). K ≥ 0 (G3) stays fail-closed.
+        // scanned-document leg: ITU-T T.6 G4 (K < 0, the dominant scan
+        // encoding) and T.4 G3 (K = 0 pure MH; K > 0 mixed EOL+tag)
         val k = """/K\s+(-?\d+)""".r.findFirstMatchIn(o.dict)
           .map(_.group(1).toInt).getOrElse(0)
-        if (k >= 0) return None
         val pre = applyFilters(raw, o.dict, filters.dropRight(1))
         val cols = intIn(o.dict, "/Columns", 1728)
         if (cols != w) return None // dims must agree or pixels would shear
         val align = """/EncodedByteAlign\s+true""".r.findFirstIn(o.dict).isDefined
         val blackIs1 = """/BlackIs1\s+true""".r.findFirstIn(o.dict).isDefined
-        CcittG4.decode(pre, cols, h, align).flatMap { bits =>
+        val dec10 = decodeInverted(o.dict)
+        val decoded =
+          if (k < 0) CcittG4.decode(pre, cols, h, align)
+          else CcittG4.decodeG3(pre, cols, h, k, align)
+        decoded.flatMap { bits =>
           // CCITT 'black' → sample 1 under /BlackIs1, else sample 0;
-          // 1-bit DeviceGray: sample 0 renders dark, 1 renders white
+          // 1-bit DeviceGray renders sample 0 dark and 1 white, and a
+          // /Decode [1 0] array swaps that mapping (ISO 32000-1 §8.9.5.2)
           val px = new Array[Byte](w * h)
           var i = 0
           while (i < px.length) {
             val sampleOne = bits(i) == blackIs1
-            px(i) = if (sampleOne) 0xFF.toByte else 0x00.toByte
+            px(i) = if (sampleOne != dec10) 0xFF.toByte else 0x00.toByte
             i += 1
           }
           rasterToPng(px, w, h, 1)
         }
       } else if (filters.lastOption.forall(f =>
           f != "JPXDecode" && f != "JBIG2Decode" && f != "Crypt")) {
-        if (intIn(o.dict, "/BitsPerComponent", 8) != 8) return None
+        val bpc = intIn(o.dict, "/BitsPerComponent", 8)
+        if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8) return None
         val px = applyFilters(raw, o.dict, filters)
+        val dec10 = decodeInverted(o.dict)
         resolveColorSpace(objs, o.dict) match {
-          case CsRgb => rasterToPng(px, w, h, 3)
-          case CsGray => rasterToPng(px, w, h, 1)
+          case CsRgb =>
+            if (bpc != 8) None else rasterToPng(px, w, h, 3)
+          case CsGray =>
+            // 1/2/4-bpc gray (bitmap masks, dithered scans) unpacks
+            // with byte-aligned rows, levels scaled to 0–255 (§8.9.3)
+            unpackSamples(px, w, h, bpc).flatMap { s =>
+              val scale = 255 / ((1 << bpc) - 1)
+              var i = 0
+              val g = new Array[Byte](w * h)
+              while (i < g.length) {
+                val v = (s(i) & 0xff) * scale
+                g(i) = (if (dec10) 255 - v else v).toByte
+                i += 1
+              }
+              rasterToPng(g, w, h, 1)
+            }
           case CsIndexed(palette, hival) =>
-            // 8-bpc palette indices → RGB expansion (exact colors)
-            if (px.length < w.toLong * h) None
-            else {
+            // palette indices (1/2/4/8-bpc, §8.6.6.3: low-bpc indices
+            // pack high-bit-first with byte-aligned rows) → exact RGB
+            unpackSamples(px, w, h, bpc).flatMap { idxs =>
               val rgb = new Array[Byte](w * h * 3)
               var i = 0
               var ok = true
               while (i < w * h && ok) {
-                val idx = px(i) & 0xff
+                val idx = idxs(i) & 0xff
                 if (idx > hival || 3 * idx + 2 >= palette.length) ok = false
                 else {
                   rgb(3 * i) = palette(3 * idx)
@@ -625,12 +645,45 @@ object MiniPdf {
             }
           case CsUnknown =>
             // legacy heuristic for dict-less rasters
-            val ncomp = if (px.length >= w.toLong * h * 3) 3 else 1
-            rasterToPng(px, w, h, ncomp)
+            if (bpc != 8) None
+            else {
+              val ncomp = if (px.length >= w.toLong * h * 3) 3 else 1
+              rasterToPng(px, w, h, ncomp)
+            }
           case CsUnsupported => None
         }
       } else None
     } catch { case _: Exception => None }
+  }
+
+  /** `/Decode [1 0]` on a one-component image inverts the sample→color
+    * mapping (ISO 32000-1 Table 89 default is [0 1]). */
+  private def decodeInverted(dict: String): Boolean =
+    """/Decode\s*\[\s*1(?:\.0)?\s+0(?:\.0)?\s*\]""".r.findFirstIn(dict).isDefined
+
+  /** Unpack 1/2/4-bpc samples (high bit first, rows padded to a byte
+    * boundary — ISO 32000-1 §8.9.3) to one byte per sample; 8-bpc
+    * passes through. None when the data is shorter than the raster. */
+  private def unpackSamples(px: Array[Byte], w: Int, h: Int,
+                            bpc: Int): Option[Array[Byte]] = {
+    if (bpc == 8)
+      return if (px.length < w.toLong * h) None else Some(px)
+    val rowBytes = (w * bpc + 7) / 8
+    if (px.length < rowBytes.toLong * h) return None
+    val out = new Array[Byte](w * h)
+    val mask = (1 << bpc) - 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bitAt = x * bpc
+        val b = px(y * rowBytes + (bitAt >> 3)) & 0xff
+        out(y * w + x) = ((b >> (8 - bpc - (bitAt & 7))) & mask).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
   }
 
   private sealed trait Cs

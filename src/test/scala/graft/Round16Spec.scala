@@ -283,6 +283,123 @@ class Round16Spec extends AnyFunSuite {
       "BlackIs1: background renders dark (sample 0)")
     assert((inv.getRGB(13, 2) & 0xFFFFFF) == 0xFFFFFF)
     assert(onlyImage(imagePdf(dict(0, b1 = false), g4)).isEmpty,
-      "G3 (K>=0) stays fail-closed")
+      "a G4 stream under a K=0 dict must not decode as MH")
+  }
+
+  // ------------------------------------------------ CCITT G3 (r16)
+
+  test("CcittG3 decode of hand-assembled streams: pure MH rows (K=0, no " +
+       "EOLs) and K>0 EOL+tag rows (codewords from the public tables)") {
+    import graft.sources.CcittG4
+    // width 10: white 3 ('1000') + black 4 ('011') + white 3 ('1000')
+    val mhRow = "1000" + "011" + "1000"
+    val row = Seq(false, false, false, true, true, true, true, false, false, false)
+    val k0 = CcittG4.decodeG3(packBits(mhRow * 3), 10, 3, 0).get
+    assert(k0.toSeq == row ++ row ++ row)
+    // K>0: EOL + tag(1=1D) announces each row
+    val tagged = ("000000000001" + "1" + mhRow) * 2
+    val kp = CcittG4.decodeG3(packBits(tagged), 10, 2, 4).get
+    assert(kp.toSeq == row ++ row)
+    // K>0 with a 2D row: EOL + tag(0) then V0 V0 V0 replays the line
+    val mixed = "000000000001" + "1" + mhRow +
+      "000000000001" + "0" + "111"
+    val km = CcittG4.decodeG3(packBits(mixed), 10, 2, 4).get
+    assert(km.toSeq == row ++ row)
+    // a black-FIRST row needs the zero-length white run ('00110101')
+    val blackFirst = "00110101" + "011" + "000111" // white0 black4 white1... width 5
+    val kb = CcittG4.decodeG3(packBits(blackFirst), 5, 1, 0).get
+    assert(kb.toSeq == Seq(true, true, true, true, false))
+  }
+
+  test("CcittG3 encode → decode round-trips exact pixels (K=0 and K=4, " +
+       "long runs exercise make-up codes)") {
+    import graft.sources.CcittG4
+    val rnd = new scala.util.Random(1717)
+    for ((w, h) <- Seq((64, 12), (1728, 3), (33, 9), (2600, 2))) {
+      val stripes = Array.tabulate(w * h) { i =>
+        val y = i / w; val x = i % w
+        ((x + (y * 2) % 3) / math.max(2, w / 13)) % 2 == 1
+      }
+      val speckle = Array.fill(w * h)(rnd.nextInt(5) == 0)
+      for (bmp <- Seq(stripes, speckle); k <- Seq(0, 4)) {
+        assert(CcittG4.decodeG3(CcittG4.encodeG3(bmp, w, h, k), w, h, k)
+          .get.toSeq == bmp.toSeq, s"$w x $h K=$k")
+      }
+    }
+    // junk/bit-flip robustness
+    for (_ <- 0 until 100) {
+      val junk = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      CcittG4.decodeG3(junk, 1 + rnd.nextInt(64), 1 + rnd.nextInt(8), rnd.nextInt(5))
+    }
+  }
+
+  test("G3 payload e2e: K=0 and K=4 XObjects decode; /Decode [1 0] " +
+       "inverts CCITT and raster samples") {
+    import graft.sources.CcittG4
+    val w = 12; val h = 3
+    val bmp = Array.tabulate(w * h)(i => (i % w) < 4) // left third black
+    def dict(k: Int, dec: String) =
+      s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 1 " +
+        s"/ColorSpace /DeviceGray $dec/Filter /CCITTFaxDecode " +
+        s"/DecodeParms << /K $k /Columns $w /Rows $h >>"
+    for (k <- Seq(0, 4)) {
+      val img = onlyImage(imagePdf(dict(k, ""), CcittG4.encodeG3(bmp, w, h, k))).get
+      assert((img.getRGB(1, 1) & 0xFFFFFF) == 0x000000 &&
+        (img.getRGB(8, 1) & 0xFFFFFF) == 0xFFFFFF, s"K=$k")
+    }
+    val inv = onlyImage(imagePdf(dict(0, "/Decode [1 0] "),
+      CcittG4.encodeG3(bmp, w, h, 0))).get
+    assert((inv.getRGB(1, 1) & 0xFFFFFF) == 0xFFFFFF &&
+      (inv.getRGB(8, 1) & 0xFFFFFF) == 0x000000, "/Decode [1 0] inverts")
+    // 8-bpc gray raster with /Decode [1 0]
+    val gray = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceGray /Decode [1 0]",
+      Array[Byte](0, 200.toByte))
+    val g = onlyImage(gray).get
+    assert((g.getRGB(0, 0) & 0xFF) == 255 && (g.getRGB(1, 0) & 0xFF) == 55)
+  }
+
+  test("1/2/4-bpc rasters unpack high-bit-first with byte-padded rows " +
+       "(exact pixels; a padding slip would shear rows)") {
+    // 1-bpc, width 10 (rows pad to 2 bytes): left 3 columns ON
+    val w1 = 10; val h1 = 3
+    val bits1 = Array.tabulate(w1 * h1)(i => if (i % w1 < 3) 1 else 0)
+    def pack(samples: Array[Int], w: Int, h: Int, bpc: Int): Array[Byte] = {
+      val rowBytes = (w * bpc + 7) / 8
+      val out = new Array[Byte](rowBytes * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bitAt = x * bpc
+        out(y * rowBytes + (bitAt >> 3)) =
+          (out(y * rowBytes + (bitAt >> 3)) |
+            ((samples(y * w + x) & ((1 << bpc) - 1)) <<
+              (8 - bpc - (bitAt & 7)))).toByte
+      }
+      out
+    }
+    val p1 = imagePdf(s"<< /Subtype /Image /Width $w1 /Height $h1 " +
+      "/BitsPerComponent 1 /ColorSpace /DeviceGray",
+      pack(bits1, w1, h1, 1))
+    val i1 = onlyImage(p1).get
+    for (y <- 0 until h1; x <- 0 until w1)
+      assert((i1.getRGB(x, y) & 0xFF) == (if (x < 3) 255 else 0), s"1bpc ($x,$y)")
+    // 2-bpc gray ramp 0..3 → 0,85,170,255
+    val p2 = imagePdf("<< /Subtype /Image /Width 4 /Height 1 " +
+      "/BitsPerComponent 2 /ColorSpace /DeviceGray",
+      pack(Array(0, 1, 2, 3), 4, 1, 2))
+    val i2 = onlyImage(p2).get
+    assert((0 until 4).map(x => i2.getRGB(x, 0) & 0xFF) == Seq(0, 85, 170, 255))
+    // 4-bpc indexed, width 3 (odd → padded rows): palette lookup exact
+    val pal = Seq((1, 2, 3), (250, 0, 9), (7, 200, 100))
+    val palHex = pal.map { case (r, g, b) => f"$r%02X$g%02X$b%02X" }.mkString
+    val p4 = imagePdf("<< /Subtype /Image /Width 3 /Height 2 " +
+      s"/BitsPerComponent 4 /ColorSpace [/Indexed /DeviceRGB 2 <$palHex>]",
+      pack(Array(0, 1, 2, 2, 1, 0), 3, 2, 4))
+    val i4 = onlyImage(p4).get
+    val expect = Seq(0, 1, 2, 2, 1, 0).map(pal)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (r, g, b) = expect(y * 3 + x)
+      assert((i4.getRGB(x, y) & 0xFFFFFF) == ((r << 16) | (g << 8) | b),
+        s"4bpc ($x,$y)")
+    }
   }
 }
