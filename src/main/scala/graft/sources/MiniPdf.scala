@@ -864,18 +864,61 @@ object MiniPdf {
         val jpeg = applyFilters(raw, dictTxt, filters.dropRight(1))
         if (jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xFF &&
             (jpeg(1) & 0xff) == 0xD8) Some(jpeg) else None
-      } else if (bpc == 8 && filters.forall(f => Set("FlateDecode", "Fl",
+      } else if (filters.lastOption.exists(f =>
+          f == "CCITTFaxDecode" || f == "CCF")) {
+        // inline scanned fragments (r16): same G4/G3 policy as
+        // XObjects, params from the abbreviated /DP dict (§8.9.7)
+        val k = """/K\s+(-?\d+)""".r.findFirstMatchIn(dictTxt)
+          .map(_.group(1).toInt).getOrElse(0)
+        val pre = applyFilters(raw, dictTxt, filters.dropRight(1))
+        val cols = """/Columns\s+(\d+)""".r.findFirstMatchIn(dictTxt)
+          .map(_.group(1).toInt).getOrElse(1728)
+        if (cols != w) return None
+        val align = """/EncodedByteAlign\s+true""".r.findFirstIn(dictTxt).isDefined
+        val blackIs1 = """/BlackIs1\s+true""".r.findFirstIn(dictTxt).isDefined
+        val dec10 = decodeInverted(dictTxt) ||
+          """/D(?:ecode)?\s*\[\s*1(?:\.0)?\s+0(?:\.0)?\s*\]""".r
+            .findFirstIn(dictTxt).isDefined
+        val decoded =
+          if (k < 0) CcittG4.decode(pre, cols, h, align)
+          else CcittG4.decodeG3(pre, cols, h, k, align)
+        decoded.flatMap { bits =>
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) {
+            val sampleOne = bits(i) == blackIs1
+            px(i) = if (sampleOne != dec10) 0xFF.toByte else 0x00.toByte
+            i += 1
+          }
+          rasterToPng(px, w, h, 1)
+        }
+      } else if (filters.forall(f => Set("FlateDecode", "Fl",
           "LZWDecode", "LZW", "ASCIIHexDecode", "AHx", "ASCII85Decode",
           "A85", "RunLengthDecode", "RL").contains(f))) {
         val px = applyFilters(raw, dictTxt, filters)
-        val ncomp =
-          if ("""/(?:CS\s*/(?:RGB|DeviceRGB)|ColorSpace\s*/DeviceRGB)""".r
-              .findFirstIn(dictTxt).isDefined) 3
-          else if ("""/(?:CS\s*/(?:G|DeviceGray)\b|ColorSpace\s*/DeviceGray)""".r
-              .findFirstIn(dictTxt).isDefined) 1
-          else if (px.length >= w.toLong * h * 3) 3
-          else 1
-        rasterToPng(px, w, h, ncomp)
+        val gray = """/(?:CS\s*/(?:G|DeviceGray)\b|ColorSpace\s*/DeviceGray)""".r
+          .findFirstIn(dictTxt).isDefined
+        if (bpc == 8) {
+          val ncomp =
+            if ("""/(?:CS\s*/(?:RGB|DeviceRGB)|ColorSpace\s*/DeviceRGB)""".r
+                .findFirstIn(dictTxt).isDefined) 3
+            else if (gray) 1
+            else if (px.length >= w.toLong * h * 3) 3
+            else 1
+          rasterToPng(px, w, h, ncomp)
+        } else if ((bpc == 1 || bpc == 2 || bpc == 4) && gray) {
+          // inline low-bpc gray (image masks): same unpack as XObjects
+          unpackSamples(px, w, h, bpc).flatMap { s =>
+            val scale = 255 / ((1 << bpc) - 1)
+            val g = new Array[Byte](w * h)
+            var i = 0
+            while (i < g.length) {
+              g(i) = ((s(i) & 0xff) * scale).toByte
+              i += 1
+            }
+            rasterToPng(g, w, h, 1)
+          }
+        } else None
       } else None
     } catch { case _: Exception => None }
   }

@@ -359,6 +359,38 @@ class Round16Spec extends AnyFunSuite {
     assert((g.getRGB(0, 0) & 0xFF) == 255 && (g.getRGB(1, 0) & 0xFF) == 55)
   }
 
+  test("inline BI..EI images: CCITT G4 fragments and low-bpc gray masks " +
+       "ride the same container policy as XObjects (r16)") {
+    import graft.sources.CcittG4
+    val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+    def inlinePdf(content: Array[Byte]): Array[Byte] = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content))))
+    def firstImage(pdf: Array[Byte]) = {
+      val Right(pages) = graft.sources.MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+      pages.flatMap(_._2).headOption.map(b =>
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+    }
+    // inline G4: 8x2, right half black
+    val bmp = Array.tabulate(16)(i => (i % 8) >= 4)
+    val g4 = CcittG4.encode(bmp, 8, 2)
+    val c1 = ("BI /W 8 /H 2 /BPC 1 /CS /G /F /CCF " +
+      "/DecodeParms << /K -1 /Columns 8 /Rows 2 >> ID ").getBytes(ISO) ++
+      g4 ++ " EI".getBytes(ISO)
+    val i1 = firstImage(inlinePdf(c1)).get
+    assert(i1.getWidth == 8 && (i1.getRGB(1, 0) & 0xFFFFFF) == 0xFFFFFF &&
+      (i1.getRGB(6, 1) & 0xFFFFFF) == 0x000000)
+    // inline 1-bpc gray mask: width 10 (padded rows), left 2 cols ON
+    val packed = Array[Byte](0xC0.toByte, 0x00, 0xC0.toByte, 0x00) // '11000000 00…' ×2
+    val c2 = ("BI /W 10 /H 2 /BPC 1 /CS /G ID ").getBytes(ISO) ++
+      packed ++ " EI".getBytes(ISO)
+    val i2 = firstImage(inlinePdf(c2)).get
+    assert((i2.getRGB(0, 0) & 0xFF) == 255 && (i2.getRGB(1, 1) & 0xFF) == 255 &&
+      (i2.getRGB(2, 0) & 0xFF) == 0 && (i2.getRGB(9, 1) & 0xFF) == 0)
+  }
+
   test("1/2/4-bpc rasters unpack high-bit-first with byte-padded rows " +
        "(exact pixels; a padding slip would shear rows)") {
     // 1-bpc, width 10 (rows pad to 2 bytes): left 3 columns ON
