@@ -9892,14 +9892,16 @@ object SparkEntry {
       // ENCRYPTED-PDF pipeline parity (round-14 item-1 "done" gate): per
       // doc a genuine encrypted PDF is assembled and ENCRYPTED by an
       // inline, from-scratch ISO 32000 implementation (Algorithms
-      // 1/1.A/2/3/5 — independent of PdfCrypt, which only ever
-      // decrypts), with planted per-page word counts. Docs with
-      // doc_id % 3 == 1 take the V4/R4 **AES-128-CBC (/AESV2)** leg
-      // (r15 item-4: JDK javax.crypto is the generator — a THIRD
-      // independent AES implementation against PdfCrypt's decryptor and
-      // the Python fixture generator); the rest take RC4-128 (V2/R3).
-      // Docs with doc_id % 5 == 0 carry a REAL user password (in both
-      // cipher classes): their /U check must fail and the decoder
+      // 1/1.A/2/3/5, and 2.B for R6 — independent of PdfCrypt, which
+      // only ever decrypts), with planted per-page word counts. Cipher
+      // class by doc_id % 3: 0 → RC4-128 (V2/R3), 1 → **AES-128-CBC
+      // /AESV2** (V4/R4, r15), 2 → **AES-256-CBC /AESV3** (V5/R6, r16 —
+      // the modern-default class: hardened Algorithm 2.B password
+      // hash, /UE-wrapped 256-bit file key, /Perms record, per-object
+      // IVs with the file key used directly).
+      // Docs with doc_id % 5 == 0 carry a REAL user password (in all
+      // cipher classes; for R6 both password records derive from it):
+      // their /U check must fail and the decoder
       // surfaces the reference's `cannot open document` channel (ref
       // `downloader.py:385` — PyMuPDF opens empty-user-password files
       // transparently, password-protected ones error). The oracle
@@ -9954,13 +9956,14 @@ object SparkEntry {
         var u = rc4(fileKey, md5(pad, id0))
         for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
         val u32 = u ++ new Array[Byte](16)
-        val aes = id % 3 == 1 // V4/R4 /AESV2 leg; others V2/R3 RC4
+        val aes = id % 3 == 1 // V4/R4 /AESV2 leg
+        val v5 = id % 3 == 2 // V5/R6 /AESV3 AES-256 leg (r16)
         // Algorithm 1 (RC4) / 1.A (AES: +sAlT suffix) object keys
         val sAlT = Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)
         def objKey(num: Int): Array[Byte] =
           (if (aes) md5(fileKey, le(num.toLong, 3), le(0L, 2), sAlT)
            else md5(fileKey, le(num.toLong, 3), le(0L, 2))).take(16)
-        // AES-128-CBC with the IV prepended (ISO 32000-1 §7.6.2); the
+        // AES-CBC with the IV prepended (ISO 32000-1 §7.6.2); the
         // IV is derived deterministically so the fixture is stable
         def aesEnc(key: Array[Byte], num: Int, data: Array[Byte]): Array[Byte] = {
           val iv = md5(le(id, 8), le(num.toLong, 4)).take(16)
@@ -9970,8 +9973,71 @@ object SparkEntry {
             new javax.crypto.spec.IvParameterSpec(iv))
           iv ++ c.doFinal(data)
         }
+        // ---- V5/R6 material (ISO 32000-2 §7.6.4, empty user password;
+        // Algorithm 2.B implemented HERE from the spec, independent of
+        // PdfCrypt's copy — plus the Python fixture generator as the
+        // third implementation)
+        def sha2(alg: String, parts: Array[Byte]*): Array[Byte] = {
+          val d = MessageDigest.getInstance(alg); parts.foreach(d.update); d.digest()
+        }
+        def aesNoPad(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(key, "AES"),
+            new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+          c.doFinal(data)
+        }
+        def hash2B(pw: Array[Byte], salt: Array[Byte],
+                   udata: Array[Byte]): Array[Byte] = {
+          var k = sha2("SHA-256", pw, salt, udata)
+          var round = 0
+          var done = false
+          while (!done) {
+            val block = pw ++ k ++ udata
+            val k1 = Array.fill(64)(block).flatten
+            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+            c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+              new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+              new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+            val e = c.doFinal(k1)
+            k = (e.take(16).map(_ & 0xff).sum % 3) match {
+              case 0 => sha2("SHA-256", e)
+              case 1 => sha2("SHA-384", e)
+              case _ => sha2("SHA-512", e)
+            }
+            round += 1
+            if (round >= 64 && (e.last & 0xff) <= round - 32) done = true
+          }
+          k.take(32)
+        }
+        // deterministic 256-bit file key + salts; locked docs derive
+        // BOTH password records from a real password ("x") so neither
+        // the user nor the owner empty-password check can open them
+        val fileKey32 = sha2("SHA-256", le(id, 8), "fk".getBytes("ISO-8859-1"))
+        val v5Pw: Array[Byte] =
+          if (locked) "x".getBytes("ISO-8859-1") else Array.emptyByteArray
+        lazy val (u48, ue, o48, oe, perms) = {
+          val vSalt = md5(le(id, 8), "vs".getBytes("ISO-8859-1")).take(8)
+          val kSalt = md5(le(id, 8), "ks".getBytes("ISO-8859-1")).take(8)
+          val u48v = hash2B(v5Pw, vSalt, Array.emptyByteArray) ++ vSalt ++ kSalt
+          val uev = aesNoPad(hash2B(v5Pw, kSalt, Array.emptyByteArray), fileKey32)
+          val oVSalt = md5(le(id, 8), "ovs".getBytes("ISO-8859-1")).take(8)
+          val oKSalt = md5(le(id, 8), "oks".getBytes("ISO-8859-1")).take(8)
+          val o48v = hash2B(v5Pw, oVSalt, u48v) ++ oVSalt ++ oKSalt
+          val oev = aesNoPad(hash2B(v5Pw, oKSalt, u48v), fileKey32)
+          // /Perms: AES-256-ECB(file key) over P ‖ FFFFFFFF ‖ 'T' ‖ 'adb' ‖ 4
+          val pc = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+          pc.init(javax.crypto.Cipher.ENCRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(fileKey32, "AES"))
+          val permsPlain = le(pPerm & 0xffffffffL, 4) ++
+            Array.fill(4)(0xff.toByte) ++ "Tadb".getBytes("ISO-8859-1") ++
+            md5(le(id, 8)).take(4)
+          (u48v, uev, o48v, oev, pc.doFinal(permsPlain))
+        }
         def encStream(num: Int, data: Array[Byte]): Array[Byte] =
-          if (aes) aesEnc(objKey(num), num, data) else rc4(objKey(num), data)
+          if (v5) aesEnc(fileKey32, num, data) // AES-256-CBC, file key direct
+          else if (aes) aesEnc(objKey(num), num, data)
+          else rc4(objKey(num), data)
         def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
         val sb = new StringBuilder("%PDF-1.6\n")
         def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
@@ -9994,12 +10060,20 @@ object SparkEntry {
           obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R >>", None)
           obj(20 + p, s"<< /Length ${enc.length} >>", Some(enc))
         }
-        val mode =
-          if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
-            "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-          else "/V 2 /R 3 /Length 128"
-        obj(5, s"<< /Filter /Standard $mode /O <${hex(o)}> " +
-          s"/U <${hex(u32)}> /P $pPerm >>", None)
+        if (v5)
+          obj(5, "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+            "/StmF /StdCF /StrF /StdCF " +
+            s"/O <${hex(o48)}> /OE <${hex(oe)}> /U <${hex(u48)}> " +
+            s"/UE <${hex(ue)}> /Perms <${hex(perms)}> /P $pPerm >>", None)
+        else {
+          val mode =
+            if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
+              "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            else "/V 2 /R 3 /Length 128"
+          obj(5, s"<< /Filter /Standard $mode /O <${hex(o)}> " +
+            s"/U <${hex(u32)}> /P $pPerm >>", None)
+        }
         sb.append(s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R " +
           s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
         sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)

@@ -428,24 +428,26 @@ class Round15Spec extends AnyFunSuite {
 
   // -------------------------------------------------- q364 AES-CBC leg
 
-  test("q364 generator's AES and RC4 legs both decode; locked docs fail " +
-       "closed in both cipher classes") {
+  test("q364 generator's RC4, AES-128 and AES-256/R6 legs all decode; " +
+       "locked docs fail closed in every cipher class") {
     val spark = TestSpark.spark
     val out = SparkEntry.queries("q364_pdf_encrypted")(spark, TestSpark.sf0001)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
       .toMap
     assert(out.nonEmpty)
-    // AES leg (id%3==1, not locked): decodes with the planted page count
-    out.collect { case (id, (ok, np)) if id % 3 == 1 && id % 5 != 0 =>
-      assert(ok == 1L && np == 1 + id % 3, s"AES doc $id") }
-    // RC4 legs (id%3!=1, not locked) decode too
-    out.collect { case (id, (ok, np)) if id % 3 != 1 && id % 5 != 0 =>
-      assert(ok == 1L && np == 1 + id % 3, s"RC4 doc $id") }
+    // all unlocked docs decode with the planted page count, whatever
+    // the cipher class (0=RC4-128, 1=AESV2/128, 2=AESV3/256-R6)
+    out.collect { case (id, (ok, np)) if id % 5 != 0 =>
+      assert(ok == 1L && np == 1 + id % 3, s"cipher class ${id % 3} doc $id") }
     // locked docs fail closed regardless of cipher
     out.collect { case (id, (ok, _)) if id % 5 == 0 =>
       assert(ok == 0L, s"locked doc $id") }
-    assert(out.keys.exists(id => id % 3 == 1 && id % 5 != 0), "AES leg present")
-    assert(out.keys.exists(id => id % 5 == 0 && id % 3 == 1), "locked AES doc present")
+    for (cls <- 0 to 2) {
+      assert(out.keys.exists(id => id % 3 == cls && id % 5 != 0),
+        s"cipher class $cls present")
+      assert(out.keys.exists(id => id % 3 == cls && id % 5 == 0),
+        s"locked class-$cls doc present")
+    }
   }
 }
