@@ -8963,7 +8963,7 @@ object SparkEntry {
       val ph64 = udf((b: Array[Byte]) =>
         graft.operators.Multimodal.JdkImageCodec.averagePHash64(b)
           .map(java.lang.Long.valueOf).orNull)
-      Dedup.phashNearDups(Tables.documents(s, dir)
+      Dedup.phashNearDups(Tables.documentsFanned(s, dir)
           .select(col("doc_id"), ph64(gen(col("doc_id"))).as("phash")))
         .orderBy(col("hamming"), col("key_a"), col("key_b")).limit(50)
     }),
@@ -9880,7 +9880,7 @@ object SparkEntry {
       })
       val cfg = PipelineConfig(minWordsPerPage = 5, maxImagesPerPage = Some(1),
         saveFigures = true)
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
       val keyed = DocPipeline.withKeys(docs, col("doc_id"), cfg)
       val decoded = DocPipeline.decodePages(keyed, graft.sources.AutoPdfDecoder(), "payload")
@@ -9992,19 +9992,20 @@ object SparkEntry {
           var k = sha2("SHA-256", pw, salt, udata)
           var round = 0
           var done = false
+          // getInstance hoisted out of the ≥64-round loop (the provider
+          // lookup would otherwise dominate the KDF)
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          val digests = Array("SHA-256", "SHA-384", "SHA-512")
+            .map(MessageDigest.getInstance)
           while (!done) {
             val block = pw ++ k ++ udata
             val k1 = Array.fill(64)(block).flatten
-            val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
             c.init(javax.crypto.Cipher.ENCRYPT_MODE,
               new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
               new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
             val e = c.doFinal(k1)
-            k = (e.take(16).map(_ & 0xff).sum % 3) match {
-              case 0 => sha2("SHA-256", e)
-              case 1 => sha2("SHA-384", e)
-              case _ => sha2("SHA-512", e)
-            }
+            val d = digests(e.take(16).map(_ & 0xff).sum % 3)
+            d.reset(); d.update(e); k = d.digest()
             round += 1
             if (round >= 64 && (e.last & 0xff) <= round - 32) done = true
           }
@@ -10078,7 +10079,7 @@ object SparkEntry {
           s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
         sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       })
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
       val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "payload")
       decoded.select(col("doc_id"),
@@ -10107,7 +10108,7 @@ object SparkEntry {
         case 3 => "<html><body>café résumé naïve déjà vu encore</body></html>"
           .getBytes("windows-1252")
       })
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
         .select(col("doc_id"),
           graft.functions.Dom.detectedCharset(col("payload")).as("cs"),
@@ -10148,7 +10149,7 @@ object SparkEntry {
       val parse = udf((bytes: Array[Byte]) =>
         graft.sources.Warc.parseStream(new java.io.ByteArrayInputStream(bytes))
           .map { case (t, uri, _, _, dig) => (t, uri, dig) }.toSeq)
-      val recs = Tables.documents(s, dir)
+      val recs = Tables.documentsFanned(s, dir)
         .select(explode(parse(gen(col("doc_id")))).as("r"))
         .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
           col("r._3").as("payload_digest"), lit("").as("content_type"),
@@ -10212,7 +10213,7 @@ object SparkEntry {
       })
       val parse = udf((bytes: Array[Byte]) =>
         graft.sources.Warc.parseStream(new java.io.ByteArrayInputStream(bytes)).toSeq)
-      val recs = Tables.documents(s, dir)
+      val recs = Tables.documentsFanned(s, dir)
         .select(explode(parse(gen(col("doc_id")))).as("r"))
         .select(col("r._1").as("warc_type"), col("r._2").as("target_uri"),
           col("r._3").as("content_type"), col("r._4").as("payload"),
@@ -10249,7 +10250,7 @@ object SparkEntry {
         val body = if (id % 5 == 0) "Привет" else "hello"
         s"<html><head>$meta</head><body><p>$body</p></body></html>".getBytes(cs)
       })
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
         .select(col("doc_id"),
           graft.functions.Dom.metaRobotsNoindex(col("payload"))
@@ -10440,7 +10441,7 @@ object SparkEntry {
         w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
         bos.toByteArray
       })
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
       val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "payload")
       val txt = trim(regexp_replace(array_join(col("pages"), " "),
@@ -10521,7 +10522,7 @@ object SparkEntry {
       val ext = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder().decodeWithImages(p)
           .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documents(s, dir)
+      val media = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
       graft.operators.Multimodal.extractImageFeatures(media)
         .select(col("doc_id"), col("width").cast("long").as("w"),
@@ -10579,7 +10580,7 @@ object SparkEntry {
       val dec = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder(embedImages = true).decode(p)
           .toOption.map(_.head).orNull)
-      val media = Tables.documents(s, dir)
+      val media = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), dec(gen(col("doc_id"))).as("page"))
         .select(col("doc_id"), unbase64(regexp_extract(col("page"),
           "base64,([A-Za-z0-9+/=]+)", 1)).as("media"))
@@ -10729,7 +10730,7 @@ object SparkEntry {
       val ext = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder().decodeWithImages(p)
           .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documents(s, dir)
+      val media = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
       graft.operators.Multimodal.extractImageFeatures(media)
         .select(col("doc_id"), col("width").cast("long").as("w"),
@@ -10808,7 +10809,7 @@ object SparkEntry {
       val ext = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder().decodeWithImages(p)
           .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documents(s, dir)
+      val media = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
       graft.operators.Multimodal.extractImageFeatures(media)
         .select(col("doc_id"), col("width").cast("long").as("w"),
@@ -10871,7 +10872,7 @@ object SparkEntry {
       val ext = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder().decodeWithImages(p)
           .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documents(s, dir)
+      val media = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
       graft.operators.Multimodal.extractImageFeatures(media)
         .select(col("doc_id"), col("width").cast("long").as("w"),
@@ -10950,7 +10951,7 @@ object SparkEntry {
       val ext = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder().decodeWithImages(p)
           .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documents(s, dir)
+      val media = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
       graft.operators.Multimodal.extractImageFeatures(media)
         .select(col("doc_id"), col("width").cast("long").as("w"),

@@ -36,6 +36,22 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
 
+  /** `documents` spread across the session's full parallelism — the
+    * input frame for CPU-BOUND per-doc kernels (PDF assembly + decode,
+    * image codecs, password KDFs, WARC parse): parquet splits are
+    * BYTE-based, so a small file arrives as ONE partition and
+    * multi-ms-per-row work serializes on one core no matter how wide
+    * the session is. A round-robin repartition of the ids costs one
+    * tiny shuffle and fans the kernel out to every core — the same
+    * stage shape a many-file 100 TB input gets from its file splits,
+    * and still the right call at scale whenever per-row CPU cost
+    * dwarfs the bytes (the split planner cannot see CPU). Queries that
+    * only scan/aggregate documents columns keep using [[documents]] —
+    * an unconditional shuffle would hurt those. */
+  def documentsFanned(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** events with `ts` normalized to TimestampType (µs) from whichever
     * physical layout this fixture generation uses (see object scaladoc). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {

@@ -159,6 +159,13 @@ object PdfCrypt {
     var round = 0
     var lastE = 0
     var done = false
+    // hoisted out of the ≥64-round loop (r16): Cipher.getInstance and
+    // MessageDigest.getInstance do provider lookups per call — inside
+    // the loop they dominated the KDF (~3× the actual crypto work);
+    // a 100 TB crawl pays this hash on EVERY R6 file it opens
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    val digests = Array("SHA-256", "SHA-384", "SHA-512")
+      .map(java.security.MessageDigest.getInstance)
     while (!done) {
       val k1 = {
         val unit = pw ++ k ++ udata
@@ -167,7 +174,6 @@ object PdfCrypt {
         while (i < 64) { System.arraycopy(unit, 0, buf, i * unit.length, unit.length); i += 1 }
         buf
       }
-      val c = Cipher.getInstance("AES/CBC/NoPadding")
       c.init(Cipher.ENCRYPT_MODE,
         new SecretKeySpec(java.util.Arrays.copyOfRange(k, 0, 16), "AES"),
         new IvParameterSpec(java.util.Arrays.copyOfRange(k, 16, 32)))
@@ -175,11 +181,10 @@ object PdfCrypt {
       var mod = 0
       var i = 0
       while (i < 16) { mod += e(i) & 0xff; i += 1 }
-      k = (mod % 3) match {
-        case 0 => sha("SHA-256", e)
-        case 1 => sha("SHA-384", e)
-        case 2 => sha("SHA-512", e)
-      }
+      val d = digests(mod % 3)
+      d.reset()
+      d.update(e)
+      k = d.digest()
       round += 1
       lastE = e(e.length - 1) & 0xff
       done = round >= 64 && lastE <= round - 32
