@@ -83,6 +83,24 @@ class Round16Spec extends AnyFunSuite {
     assert(graft.functions.Dom.decodeHtml(bytes).contains(band.head))
   }
 
+  // ----------------------------------- CPU-kernel fan-out (r16)
+
+  test("documentsFanned spreads the per-doc kernel input across the " +
+       "session's full parallelism (a small parquet file is ONE byte-" +
+       "based split otherwise)") {
+    val spark = TestSpark.spark
+    val plain = Tables.documents(spark, TestSpark.sf0001).rdd.getNumPartitions
+    val fanned = Tables.documentsFanned(spark, TestSpark.sf0001)
+      .rdd.getNumPartitions
+    assert(fanned == spark.sparkContext.defaultParallelism,
+      s"fanned=$fanned parallelism=${spark.sparkContext.defaultParallelism}")
+    assert(plain < fanned,
+      s"fixture premise: the raw scan ($plain) is narrower than the fan-out")
+    // row set unchanged — it is a pure repartition
+    assert(Tables.documentsFanned(spark, TestSpark.sf0001).count() ==
+      Tables.documents(spark, TestSpark.sf0001).count())
+  }
+
   // ------------------------------------------------ CCITT G4 (r16)
 
   private def bitsOf(data: Array[Byte]): String =
