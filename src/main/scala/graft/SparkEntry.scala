@@ -10958,6 +10958,70 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q378_pdf_cmyk" -> ((s, dir) => {
+      // DeviceCMYK / ICC-N=4 rasters (r16 — the print-origin half of
+      // VERDICT r15 Missing #2 that q375 left fail-closed): per doc
+      // one uniform CMYK image in two container shapes — even docs a
+      // direct /DeviceCMYK raster with raw samples, odd docs an
+      // [/ICCBased N=4] stream behind Flate. The planted (c,m,y,k)
+      // overflows c+k past 255 on many ids, so a wrong conversion
+      // formula, a missed §8.6.4.4 clamp, a component-order slip, or
+      // an /N misread shifts the decoded luminance and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 7 + (id % 9).toInt; val h = 5 + (id % 7).toInt
+        def flate(px: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater()
+          d.setInput(px); d.finish()
+          val buf = new Array[Byte](px.length + 64)
+          val n = d.deflate(buf); d.end(); buf.take(n)
+        }
+        val c = ((id * 3) % 256).toInt; val m = ((id * 7) % 256).toInt
+        val y = ((id * 11) % 256).toInt; val k = ((id * 5) % 256).toInt
+        val px = new Array[Byte](w * h * 4)
+        var i = 0
+        while (i < px.length) {
+          px(i) = c.toByte; px(i + 1) = m.toByte
+          px(i + 2) = y.toByte; px(i + 3) = k.toByte
+          i += 4
+        }
+        val (csDict, imgBytes, extraFilter) =
+          if (id % 2 == 0) ("/ColorSpace /DeviceCMYK", px, "")
+          else ("/ColorSpace [/ICCBased 7 0 R]", flate(px),
+            "/Filter /FlateDecode ")
+        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
+        val icc = "fake-icc-profile-bytes".getBytes(ISO)
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          s"/BitsPerComponent 8 $csDict $extraFilter" +
+          s"/Length ${imgBytes.length} >>", Some(imgBytes))
+        obj(7, s"<< /N 4 /Length ${icc.length} >>", Some(icc))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17340,6 +17404,22 @@ object SparkEntry {
         |    END AS lum FROM p)
         |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM v""".stripMargin,
+
+    // q378: CMYK rasters — oracle replays the §8.6.4.4 additive clamp
+    // on the planted per-doc (c,m,y,k)
+    "q378_pdf_cmyk" ->
+      """WITH p AS (SELECT doc_id,
+        |    7 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |    (doc_id * 3) % 256 AS c, (doc_id * 7) % 256 AS m,
+        |    (doc_id * 11) % 256 AS y, (doc_id * 5) % 256 AS k
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h,
+        |    255 - LEAST(255, c + k) AS r, 255 - LEAST(255, m + k) AS g,
+        |    255 - LEAST(255, y + k) AS b FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR((0.299 * r + 0.587 * g + 0.114 * b) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
         |FROM v""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents

@@ -250,7 +250,8 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
-  test("ICCBased N=3 raster aliases DeviceRGB; N=1 aliases Gray; N=4 drops") {
+  test("ICCBased N=3 raster aliases DeviceRGB; N=1 aliases Gray; " +
+       "N=4 converts as CMYK") {
     def px3(r: Int, g: Int, b: Int, n: Int) =
       Array.fill(n)(Seq(r.toByte, g.toByte, b.toByte)).flatten.toArray
     val icc = "icc".getBytes
@@ -267,7 +268,31 @@ class Round16Spec extends AnyFunSuite {
       "/BitsPerComponent 8 /ColorSpace [/ICCBased 7 0 R]",
       Array[Byte](1, 2, 3, 4),
       extra = Seq((7, s"<< /N 4 /Length ${icc.length} >>", Some(icc))))
-    assert(onlyImage(p4).isEmpty, "CMYK must drop, not guess")
+    assert((onlyImage(p4).get.getRGB(0, 0) & 0xFFFFFF) ==
+      ((250 << 16) | (249 << 8) | 248),
+      "ICC N=4 aliases DeviceCMYK (255 - c - k per channel)")
+  }
+
+  test("DeviceCMYK raster converts via the 8.6.4.4 additive clamp " +
+       "(255 - min(255, ch + k)), including the overflow case") {
+    // 2x1: pixel 0 moderate ink, pixel 1 overflows every channel sum
+    val px = Array[Byte](10, 20, 30, 40,
+      200.toByte, 220.toByte, 240.toByte, 100.toByte)
+    val pdf = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceCMYK", px)
+    val img = onlyImage(pdf).get
+    assert((img.getRGB(0, 0) & 0xFFFFFF) ==
+      ((205 << 16) | (195 << 8) | 185))
+    assert((img.getRGB(1, 0) & 0xFFFFFF) == 0x000000,
+      "c+k, m+k, y+k all exceed 255 -> clamps to black")
+    // short sample data (3 comps for a 4-comp space) must drop
+    val short = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceCMYK", px.take(7))
+    assert(onlyImage(short).isEmpty)
+    // 1-bpc CMYK is out of the re-wrap envelope -> drop, not guess
+    val lowbpc = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
+      "/BitsPerComponent 1 /ColorSpace /DeviceCMYK", px)
+    assert(onlyImage(lowbpc).isEmpty)
   }
 
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
