@@ -11022,6 +11022,63 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q379_pdf_jbig2" -> ((s, dir) => {
+      // JBIG2 GENERIC-REGION image payloads (r16 — the remaining
+      // scanned-document encoding after q374/q376's CCITT work; ref
+      // `extractor.py:136` rides PyMuPDF, which surfaces every
+      // raster): per doc one /JBIG2Decode XObject painting a planted
+      // vertical split, cycling the three generic-region shapes —
+      // (0) MQ-coded template 0, (1) MQ template 2 with TPGDON
+      // (identical rows ride the LTP duplicate path), (2) MMR (T.6
+      // inside a JBIG2 region — §6.2.6). Odd docs add /Decode [1 0],
+      // which must swap the fixed JBIG2 1=black convention or the
+      // luminance breaks; an MQ state-table slip, context-layout bug,
+      // segment-walker offset error, or LTP desync shears pixels and
+      // breaks dims/luminance.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 18 + (id % 8).toInt; val h = 8 + (id % 6).toInt
+        val xsplit = 2 + (id % (w - 4)).toInt
+        val px = Array.tabulate(w * h)(i => i % w >= xsplit) // right black
+        val stream = (id % 3).toInt match {
+          case 0 => graft.sources.Jbig2.encodeEmbedded(px, w, h)
+          case 1 => graft.sources.Jbig2.encodeEmbedded(px, w, h,
+            template = 2, tpgdon = true)
+          case _ => graft.sources.Jbig2.encodeEmbedded(px, w, h, mmr = true)
+        }
+        val decodeKey = if (id % 2 == 1) "/Decode [1 0] " else ""
+        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+          s"$decodeKey/Filter /JBIG2Decode " +
+          s"/Length ${stream.length} >>", Some(stream))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17421,6 +17478,19 @@ object SparkEntry {
         |  CAST(FLOOR((0.299 * r + 0.587 * g + 0.114 * b) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM v""".stripMargin,
+
+    // q379: JBIG2 generic regions — oracle replays the planted split
+    // geometry with /Decode [1 0] flipping the bright fraction
+    "q379_pdf_jbig2" ->
+      """WITH p AS (SELECT doc_id,
+        |    18 + doc_id % 8 AS w, 8 + doc_id % 6 AS h,
+        |    2 + doc_id % (14 + doc_id % 8) AS xsplit,
+        |    doc_id % 2 = 1 AS dec10
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(255.0 * (CASE WHEN dec10 THEN w - xsplit
+        |    ELSE xsplit END) / w * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM p""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

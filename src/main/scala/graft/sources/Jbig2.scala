@@ -1,0 +1,483 @@
+package graft.sources
+
+/** ITU-T T.88 (JBIG2) GENERIC-REGION codec for PDF `/JBIG2Decode`
+  * streams — the remaining scanned-document class after the r16 CCITT
+  * work (ISO 32000-1 §7.4.7 embeds JBIG2 as a headerless segment
+  * sequence, optionally preceded by a shared `/JBIG2Globals` stream).
+  * PyMuPDF surfaces every raster (reference `extractor.py:136` rides
+  * `page.get_text("xhtml")`); without this decoder JBIG2-compressed
+  * scans dropped from the image-payload channel.
+  *
+  * Everything here implements the PUBLIC ITU-T Recommendation T.88:
+  * the MQ arithmetic coder (Annex E — the Qe/NMPS/NLPS/SWITCH state
+  * table is a public spec constant, Table E.1), generic region
+  * decoding (§6.2) with templates 0–3, arbitrary adaptive (AT) pixel
+  * positions, and typical-prediction (TPGDON) line duplication, plus
+  * the embedded segment-header format (§7.2) and the generic-region
+  * (§7.4.6) and page-information (§7.4.8) segment payloads. The MMR=1
+  * leg of a generic region is T.6-coded by definition (§6.2.6) and
+  * rides the existing [[CcittG4]] decoder — an independently-validated
+  * cross-check on the whole container path.
+  *
+  * SCOPE, stated honestly: generic regions only — the output of
+  * generic-mode encoders (`jbig2enc -generic`, many scanner firmwares).
+  * Symbol-dictionary/text-region and halftone segments (the other
+  * scanned-text encoding) are structurally recognized and yield None —
+  * fail closed, never fabricate pixels. The decoder is defensive end
+  * to end: truncated headers, unknown segment types, striped pages,
+  * or oversized regions abort to None (crawled-PDF robustness, the
+  * same contract as the rest of MiniPdf). The encoder exists for
+  * fixtures and round-trip specs; it emits spec-conformant page-info +
+  * immediate-lossless-generic-region segments.
+  */
+object Jbig2 {
+
+  // ------------------------------------------------- MQ coder (Annex E)
+  // Table E.1 — Qe values and state transitions (public spec constants).
+  private val Qe = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val Nmps = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val Switch = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Per-label context state (Qe-table index + MPS) as flat byte
+    * arrays — one allocation per region, not one per label (a 16-bit
+    * template has 65536 labels; per-doc decode at corpus scale must
+    * not churn 65k tiny arrays per image). */
+  final class CxTable(size: Int) {
+    val idx = new Array[Byte](size)
+    val mps = new Array[Byte](size)
+  }
+
+  /** MQ decoder over one data buffer. Context state (index + MPS) is
+    * caller-owned per context label. Register layout follows the
+    * software-conventions decoder of Annex G (the form every public
+    * implementation uses): C holds the code register, `chigh` is its
+    * top 16 bits, BYTEIN feeds 1-bits past the end of data. */
+  final class MqDecoder(data: Array[Byte]) {
+    private var bp = 0
+    private var c = 0L
+    private var a = 0
+    private var ct = 0
+    init()
+    private def byteAt(i: Int): Int = if (i < data.length) data(i) & 0xff else 0xff
+    private def init(): Unit = {
+      c = byteAt(0).toLong << 16
+      byteIn()
+      c = (c << 7) & 0xFFFFFFFFL
+      ct -= 7
+      a = 0x8000
+    }
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xFF) {
+        if (byteAt(bp + 1) > 0x8F) { c += 0xFF00; ct = 8 }
+        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
+      } else {
+        bp += 1; c += byteAt(bp).toLong << 8; ct = 8
+      }
+      c &= 0xFFFFFFFFL
+    }
+    /** Decode one decision for `label` in context table `cx`. */
+    def decode(cx: CxTable, label: Int): Int = {
+      val i = cx.idx(label) & 0xff; val mps = cx.mps(label).toInt
+      val qe = Qe(i)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xFFFF) < qe) {
+        // LPS exchange path
+        if (a < qe) { a = qe; d = mps; cx.idx(label) = Nmps(i).toByte }
+        else {
+          a = qe; d = 1 - mps
+          if (Switch(i) == 1) cx.mps(label) = (1 - mps).toByte
+          cx.idx(label) = Nlps(i).toByte
+        }
+        do {
+          if (ct == 0) byteIn()
+          a <<= 1; c = (c << 1) & 0xFFFFFFFFL; ct -= 1
+        } while ((a & 0x8000) == 0)
+      } else {
+        c -= qe.toLong << 16
+        if ((a & 0x8000) == 0) {
+          if (a < qe) {
+            d = 1 - mps
+            if (Switch(i) == 1) cx.mps(label) = (1 - mps).toByte
+            cx.idx(label) = Nlps(i).toByte
+          } else { d = mps; cx.idx(label) = Nmps(i).toByte }
+          do {
+            if (ct == 0) byteIn()
+            a <<= 1; c = (c << 1) & 0xFFFFFFFFL; ct -= 1
+          } while ((a & 0x8000) == 0)
+        } else d = mps
+      }
+      d
+    }
+  }
+
+  /** MQ encoder (Annex E.3) — fixture/round-trip support. Produces a
+    * byte stream the [[MqDecoder]] (and any conformant decoder)
+    * consumes; FLUSH per E.3.8 with the spec's SETBITS discipline. */
+  final class MqEncoder {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var a = 0x8000
+    private var c = 0L
+    private var ct = 12
+    private var b = -1 // pending byte; -1 = none yet
+    def encode(cx: CxTable, label: Int, d: Int): Unit = {
+      val i = cx.idx(label) & 0xff; val mps = cx.mps(label).toInt
+      val qe = Qe(i)
+      if (d == mps) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          cx.idx(label) = Nmps(i).toByte
+          renorm()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Switch(i) == 1) cx.mps(label) = (1 - mps).toByte
+        cx.idx(label) = Nlps(i).toByte
+        renorm()
+      }
+    }
+    private def renorm(): Unit = {
+      do {
+        a <<= 1; c = (c << 1) & 0xFFFFFFFFL; ct -= 1
+        if (ct == 0) byteOut()
+      } while ((a & 0x8000) == 0)
+    }
+    private def emit(v: Int): Unit = { if (b >= 0) out.write(b); b = v }
+    private def byteOut(): Unit = {
+      if (b == 0xFF) { emit(((c >>> 20) & 0xFF).toInt); c &= 0xFFFFFL; ct = 7 }
+      else if (c < 0x8000000L) { emit(((c >>> 19) & 0xFF).toInt); c &= 0x7FFFFL; ct = 8 }
+      else {
+        b += 1 // carry into the pending byte
+        if (b == 0x100) {
+          // carry ripples into already-emitted bytes: spec-impossible
+          // after stuffing, but guard rather than corrupt
+          b = 0xFF
+        }
+        if (b == 0xFF) { c &= 0x7FFFFFFL; emit(((c >>> 20) & 0xFF).toInt); c &= 0xFFFFFL; ct = 7 }
+        else { emit(((c >>> 19) & 0xFF).toInt); c &= 0x7FFFFL; ct = 8 }
+      }
+    }
+    def flush(): Array[Byte] = {
+      // SETBITS
+      val tempc = c + a
+      c |= 0xFFFFL
+      if (c >= tempc) c -= 0x8000L
+      c = (c << ct) & 0xFFFFFFFFL; byteOut()
+      c = (c << ct) & 0xFFFFFFFFL; byteOut()
+      if (b >= 0) out.write(b)
+      out.toByteArray
+    }
+  }
+
+  // ------------------------------------ generic region coding (§6.2.5)
+  // Fixed context-bit layout per template (AT bits live at FIXED
+  // positions regardless of where the AT pixel points — §6.2.5.7;
+  // nominal AT positions below are Table 6's defaults).
+  private val NominalAt = Array(
+    Array(3, -1, -3, -1, 2, -2, -2, -2), // template 0: A1..A4 (x,y) pairs
+    Array(3, -1), Array(2, -1), Array(2, -1))
+  private val SltpContext = Array(0x9B25, 0x0795, 0x00E5, 0x0195)
+  private def contextSize(template: Int): Int =
+    template match { case 0 => 16; case 1 => 13; case _ => 10 }
+
+  /** CONTEXT for pixel (x, y) of `bmp` (w wide), per the §6.2.5.7
+    * bit layout for the given template and AT positions; out-of-bounds
+    * pixels read 0. Shared verbatim by encoder and decoder. */
+  private def context(bmp: Array[Boolean], w: Int, h: Int, x: Int, y: Int,
+                      template: Int, at: Array[Int]): Int = {
+    @inline def p(dx: Int, dy: Int): Int = {
+      val xx = x + dx; val yy = y + dy
+      if (xx < 0 || xx >= w || yy < 0 || yy >= h) 0
+      else if (bmp(yy * w + xx)) 1 else 0
+    }
+    template match {
+      case 0 =>
+        p(-1, 0) | (p(-2, 0) << 1) | (p(-3, 0) << 2) | (p(-4, 0) << 3) |
+          (p(at(0), at(1)) << 4) |
+          (p(2, -1) << 5) | (p(1, -1) << 6) | (p(0, -1) << 7) |
+          (p(-1, -1) << 8) | (p(-2, -1) << 9) |
+          (p(at(2), at(3)) << 10) | (p(at(4), at(5)) << 11) |
+          (p(1, -2) << 12) | (p(0, -2) << 13) | (p(-1, -2) << 14) |
+          (p(at(6), at(7)) << 15)
+      case 1 =>
+        p(-1, 0) | (p(-2, 0) << 1) | (p(-3, 0) << 2) |
+          (p(at(0), at(1)) << 3) |
+          (p(2, -1) << 4) | (p(1, -1) << 5) | (p(0, -1) << 6) |
+          (p(-1, -1) << 7) | (p(-2, -1) << 8) |
+          (p(2, -2) << 9) | (p(1, -2) << 10) | (p(0, -2) << 11) |
+          (p(-1, -2) << 12)
+      case 2 =>
+        p(-1, 0) | (p(-2, 0) << 1) |
+          (p(at(0), at(1)) << 2) |
+          (p(1, -1) << 3) | (p(0, -1) << 4) | (p(-1, -1) << 5) |
+          (p(-2, -1) << 6) |
+          (p(1, -2) << 7) | (p(0, -2) << 8) | (p(-1, -2) << 9)
+      case _ =>
+        p(-1, 0) | (p(-2, 0) << 1) | (p(-3, 0) << 2) | (p(-4, 0) << 3) |
+          (p(at(0), at(1)) << 4) |
+          (p(1, -1) << 5) | (p(0, -1) << 6) | (p(-1, -1) << 7) |
+          (p(-2, -1) << 8) | (p(-3, -1) << 9)
+    }
+  }
+
+  /** Decode an MQ-coded generic region (template 0–3, optional
+    * TPGDON) into row-major pixels, `true` = black (JBIG2 1). */
+  def decodeGeneric(data: Array[Byte], w: Int, h: Int, template: Int,
+                    tpgdon: Boolean, at: Array[Int]): Option[Array[Boolean]] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    if (template < 0 || template > 3) return None
+    val needAt = if (template == 0) 8 else 2
+    if (at.length < needAt) return None
+    // AT reach is spec-bounded to ±127; huge offsets are hostile input
+    if (at.exists(v => v < -127 || v > 127)) return None
+    val bmp = new Array[Boolean](w * h)
+    val mq = new MqDecoder(data)
+    val cx = new CxTable(1 << contextSize(template))
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      if (tpgdon) {
+        if (mq.decode(cx, SltpContext(template)) == 1) ltp = !ltp
+      }
+      if (ltp && y > 0) {
+        System.arraycopy(bmp, (y - 1) * w, bmp, y * w, w)
+      } else if (!ltp) {
+        var x = 0
+        while (x < w) {
+          val ctx = context(bmp, w, h, x, y, template, at)
+          if (mq.decode(cx, ctx) == 1) bmp(y * w + x) = true
+          x += 1
+        }
+      }
+      // ltp && y == 0: spec duplicates an all-0 row — bmp is already 0
+      y += 1
+    }
+    Some(bmp)
+  }
+
+  /** Encode pixels as an MQ-coded generic region decodable by
+    * [[decodeGeneric]] (and any conformant decoder). */
+  def encodeGeneric(pixels: Array[Boolean], w: Int, h: Int, template: Int = 0,
+                    tpgdon: Boolean = false): Array[Byte] = {
+    require(pixels.length == w * h, "pixel buffer shape")
+    val at = NominalAt(template)
+    val mq = new MqEncoder
+    val cx = new CxTable(1 << contextSize(template))
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      if (tpgdon) {
+        val typical = y > 0 &&
+          java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(pixels, (y - 1) * w, y * w),
+            java.util.Arrays.copyOfRange(pixels, y * w, (y + 1) * w))
+        val sltp = if (typical != ltp) 1 else 0
+        mq.encode(cx, SltpContext(template), sltp)
+        if (sltp == 1) ltp = !ltp
+      }
+      if (!(ltp && y > 0)) {
+        var x = 0
+        while (x < w) {
+          val ctx = context(pixels, w, h, x, y, template, at)
+          mq.encode(cx, ctx, if (pixels(y * w + x)) 1 else 0)
+          x += 1
+        }
+      }
+      y += 1
+    }
+    mq.flush()
+  }
+
+  // --------------------------------- embedded segment stream (§7.2 ff)
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  private final case class Segment(number: Long, segType: Int,
+                                   dataStart: Int, dataLen: Int)
+
+  /** Parse the headerless embedded segment sequence (§7.2; the PDF
+    * arrangement per ISO 32000-1 §7.4.7). None on any structural
+    * violation or an unknown-length segment. */
+  private def parseSegments(b: Array[Byte]): Option[List[Segment]] = {
+    val segs = List.newBuilder[Segment]
+    var p = 0
+    while (p < b.length) {
+      if (p + 11 > b.length) return None
+      val number = u32(b, p)
+      val flags = b(p + 4) & 0xff
+      val segType = flags & 0x3F
+      val pageAssoc4 = (flags & 0x40) != 0
+      var q = p + 5
+      // referred-to segment count + retain bits
+      val rts0 = b(q) & 0xff
+      var refCount = rts0 >>> 5
+      if (refCount == 7) {
+        if (q + 4 > b.length) return None
+        refCount = (u32(b, q) & 0x1FFFFFFFL).toInt
+        if (refCount < 0 || refCount > 1000000) return None
+        q += 4 + (refCount + 8) / 8 // retain-bit bytes, §7.2.4
+      } else q += 1
+      // referred segment numbers: size scales with THIS segment's number
+      val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
+      q += refCount * refSize
+      q += (if (pageAssoc4) 4 else 1)
+      if (q + 4 > b.length) return None
+      val dataLen = u32(b, q)
+      q += 4
+      if (dataLen == 0xFFFFFFFFL) return None // unknown length: reject
+      if (dataLen > Int.MaxValue || q + dataLen > b.length) return None
+      segs += Segment(number, segType, q, dataLen.toInt)
+      p = q + dataLen.toInt
+    }
+    Some(segs.result())
+  }
+
+  /** Decode the embedded JBIG2 of a PDF image XObject: optional
+    * globals stream + the image's stream, composited onto a w×h page
+    * (dims from the PDF dict — the authoritative raster shape). Only
+    * generic-region and page-information segments are consumed;
+    * symbol/text/halftone/refinement segments → None (fail closed).
+    * Returns row-major pixels, `true` = black (JBIG2 1). */
+  def decodeEmbedded(globals: Option[Array[Byte]], data: Array[Byte],
+                     w: Int, h: Int): Option[Array[Boolean]] = {
+    if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
+    var page: Array[Boolean] = null
+    var defaultPixel = false
+    var sawRegion = false
+    // segment data offsets index into their OWN buffer — the globals
+    // stream and the image stream are walked separately, in order
+    def walk(b: Array[Byte]): Option[Unit] = parseSegments(b) match {
+      case None => None
+      case Some(ss) =>
+        for (s <- ss) s.segType match {
+              case 48 => // page information (§7.4.8)
+                if (s.dataLen >= 17) {
+                  val flags = b(s.dataStart + 16) & 0xff
+                  defaultPixel = (flags & 0x04) != 0
+                  if (page == null) {
+                    page = Array.fill(w * h)(defaultPixel)
+                  }
+                }
+              case 36 | 38 | 39 => // generic region (§7.4.6)
+                if (s.dataLen < 18) return None
+                val rw = u32(b, s.dataStart)
+                val rh = u32(b, s.dataStart + 4)
+                val rx = u32(b, s.dataStart + 8)
+                val ry = u32(b, s.dataStart + 12)
+                val extCombOp = b(s.dataStart + 16) & 0x07
+                val gFlags = b(s.dataStart + 17) & 0xff
+                val mmr = (gFlags & 1) != 0
+                val template = (gFlags >>> 1) & 3
+                val tpgdon = (gFlags & 8) != 0
+                if (rw <= 0 || rh <= 0 || rw > w || rh > h ||
+                    rx + rw > w || ry + rh > h) return None
+                var ds = s.dataStart + 18
+                val at = if (mmr) Array.empty[Int]
+                  else {
+                    val n = if (template == 0) 8 else 2
+                    if (ds + n > s.dataStart + s.dataLen) return None
+                    val a = Array.tabulate(n)(i => b(ds + i).toInt) // signed
+                    ds = ds + n
+                    a
+                  }
+                val payload = java.util.Arrays.copyOfRange(
+                  b, ds, s.dataStart + s.dataLen)
+                val region: Option[Array[Boolean]] =
+                  if (mmr) CcittG4.decode(payload, rw.toInt, rh.toInt)
+                  else decodeGeneric(payload, rw.toInt, rh.toInt,
+                    template, tpgdon, at)
+                region match {
+                  case None => return None
+                  case Some(r) =>
+                    if (page == null) page = Array.fill(w * h)(defaultPixel)
+                    var yy = 0
+                    while (yy < rh.toInt) {
+                      var xx = 0
+                      while (xx < rw.toInt) {
+                        val dst = (ry.toInt + yy) * w + (rx.toInt + xx)
+                        val v = r(yy * rw.toInt + xx)
+                        page(dst) = extCombOp match {
+                          case 0 => page(dst) | v  // OR
+                          case 1 => page(dst) & v  // AND
+                          case 2 => page(dst) ^ v  // XOR
+                          case 3 => !(page(dst) ^ v) // XNOR
+                          case _ => v // REPLACE
+                        }
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                    sawRegion = true
+                }
+              case 49 | 50 | 51 | 62 => // end-of-page/stripe/file, extension
+                ()
+              case _ =>
+                // symbol dicts, text regions, halftones, refinements,
+                // tables: out of the generic envelope — fail closed
+                return None
+            }
+            Some(())
+    }
+    val ok = globals.map(walk).getOrElse(Some(())).isDefined && walk(data).isDefined
+    if (ok && sawRegion && page != null) Some(page) else None
+  }
+
+  /** Build an embedded-format stream (page info + one immediate
+    * lossless generic region) for fixtures: MQ-coded when mmr=false,
+    * T.6-coded (via [[CcittG4.encode]]) when mmr=true. */
+  def encodeEmbedded(pixels: Array[Boolean], w: Int, h: Int,
+                     template: Int = 0, tpgdon: Boolean = false,
+                     mmr: Boolean = false): Array[Byte] = {
+    require(pixels.length == w * h, "pixel buffer shape")
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32o(v: Long): Unit = { u8((v >>> 24).toInt); u8((v >>> 16).toInt); u8((v >>> 8).toInt); u8(v.toInt) }
+    def header(number: Long, segType: Int, dataLen: Int): Unit = {
+      u32o(number); u8(segType) // flags: page-assoc 1 byte, no defer
+      u8(0x00) // referred-to count 0, retain bits 0
+      u8(0x01) // page association: page 1
+      u32o(dataLen.toLong)
+    }
+    // page information segment (§7.4.8): 19 bytes
+    header(0, 48, 19)
+    u32o(w.toLong); u32o(h.toLong); u32o(0); u32o(0)
+    u8(0x00) // flags: default pixel 0, OR combination
+    u16(0)   // no striping
+    // immediate lossless generic region (§7.4.6)
+    val payload =
+      if (mmr) CcittG4.encode(pixels, w, h)
+      else encodeGeneric(pixels, w, h, template, tpgdon)
+    val at = if (mmr) Array.empty[Int] else NominalAt(template)
+    val dataLen = 17 + 1 + at.length + payload.length
+    header(1, 39, dataLen)
+    u32o(w.toLong); u32o(h.toLong); u32o(0); u32o(0)
+    u8(0x00) // external combination: OR
+    val gFlags = (if (mmr) 1 else 0) | (template << 1) |
+      (if (tpgdon) 8 else 0)
+    u8(gFlags)
+    at.foreach(v => u8(v & 0xff))
+    bos.write(payload)
+    bos.toByteArray
+  }
+}

@@ -556,10 +556,12 @@ object MiniPdf {
     * ICC-N=4 (§8.6.4.4 additive-clamp to RGB), an /Indexed palette
     * over an RGB base, or an /ICCBased stream aliased by component
     * count (r16, Missing #2) is re-wrapped as a lossless PNG through
-    * the JDK codec so the multimodal column sees one uniform shape.
-    * Unsupported encodings (JPX/JBIG2, /Separation, /Lab, unexpected
-    * bit depths), oversized dims, or undersized sample data yield
-    * None — dropped, never fabricated. */
+    * the JDK codec so the multimodal column sees one uniform shape;
+    * a `/JBIG2Decode` GENERIC-REGION stream (MQ or MMR, optional
+    * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16).
+    * Unsupported encodings (JPX, JBIG2 symbol/halftone segments,
+    * /Separation, /Lab, unexpected bit depths), oversized dims, or
+    * undersized sample data yield None — dropped, never fabricated. */
   def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
     val o = objs.getOrElse(num, return None)
     val raw = o.stream.getOrElse(return None)
@@ -598,6 +600,30 @@ object MiniPdf {
           while (i < px.length) {
             val sampleOne = bits(i) == blackIs1
             px(i) = if (sampleOne != dec10) 0xFF.toByte else 0x00.toByte
+            i += 1
+          }
+          rasterToPng(px, w, h, 1)
+        }
+      } else if (filters.lastOption.contains("JBIG2Decode")) {
+        // JBIG2 scanned-document leg (r16): generic-region streams
+        // (MQ-coded or MMR) decode through [[Jbig2]]; symbol-coded
+        // text regions stay fail-closed. An optional shared
+        // /JBIG2Globals stream (ISO 32000-1 §7.4.7) is decoded with
+        // its own filter chain and walked first.
+        val pre = applyFilters(raw, o.dict, filters.dropRight(1))
+        val globals = """/JBIG2Globals\s+(\d+)\s+\d+\s+R""".r
+          .findFirstMatchIn(o.dict)
+          .flatMap(m => objs.get(m.group(1).toInt)).map(decodedStream)
+        val dec10 = decodeInverted(o.dict)
+        Jbig2.decodeEmbedded(globals, pre, w, h).flatMap { bits =>
+          // JBIG2 1 = black (§4; unlike CCITT there is no /BlackIs1 —
+          // the filter's output convention is fixed), /Decode [1 0]
+          // still swaps the final sample→color mapping
+          val px = new Array[Byte](w * h)
+          var i = 0
+          while (i < px.length) {
+            val black = bits(i)
+            px(i) = if (black != dec10) 0x00.toByte else 0xFF.toByte
             i += 1
           }
           rasterToPng(px, w, h, 1)

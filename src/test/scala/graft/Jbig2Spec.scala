@@ -1,0 +1,188 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CcittG4, Jbig2}
+
+/** T.88 generic-region codec (r16): MQ coder round-trips, template /
+  * TPGDON coverage, the MMR leg cross-checked against the
+  * independently-validated T.6 codec, embedded segment parsing,
+  * fail-closed behavior on out-of-envelope segment types, fuzz. */
+class Jbig2Spec extends AnyFunSuite {
+
+  private def rnd = new scala.util.Random(88)
+
+  private def shapes: Seq[(Int, Int)] =
+    Seq((1, 1), (7, 3), (8, 8), (13, 5), (64, 32), (33, 17))
+
+  private def patterns(w: Int, h: Int): Seq[Array[Boolean]] = {
+    val r = new scala.util.Random(w * 31 + h)
+    Seq(
+      Array.fill(w * h)(false),
+      Array.fill(w * h)(true),
+      Array.tabulate(w * h)(i => i % w < w / 2),      // vertical split
+      Array.tabulate(w * h)(i => (i / w) % 2 == 0),   // row stripes (TPGD-ish)
+      Array.tabulate(w * h)(_ => r.nextBoolean()),    // noise
+      Array.tabulate(w * h)(i => (i % w + i / w) % 3 == 0))
+  }
+
+  test("generic-region MQ encode → decode is the identity across " +
+       "templates 0-3, TPGDON on/off, and pattern/shape classes") {
+    for {
+      (w, h) <- shapes
+      px <- patterns(w, h)
+      template <- 0 to 3
+      tpgdon <- Seq(false, true)
+    } {
+      val enc = Jbig2.encodeGeneric(px, w, h, template, tpgdon)
+      val at = if (template == 0) Array(3, -1, -3, -1, 2, -2, -2, -2)
+               else if (template == 1) Array(3, -1) else Array(2, -1)
+      val dec = Jbig2.decodeGeneric(enc, w, h, template, tpgdon, at)
+      assert(dec.isDefined, s"t$template tpgd=$tpgdon ${w}x$h")
+      assert(dec.get.sameElements(px), s"t$template tpgd=$tpgdon ${w}x$h")
+    }
+  }
+
+  test("TPGDON actually compresses repeated rows (the LTP path runs, " +
+       "not just round-trips)") {
+    val w = 64; val h = 64
+    val px = Array.tabulate(w * h)(i => (i % w) < 20) // identical rows
+    val plain = Jbig2.encodeGeneric(px, w, h, 0, tpgdon = false)
+    val tpgd = Jbig2.encodeGeneric(px, w, h, 0, tpgdon = true)
+    assert(tpgd.length < plain.length,
+      s"tpgd ${tpgd.length} should beat plain ${plain.length} on identical rows")
+  }
+
+  test("embedded stream (page info + immediate lossless generic region) " +
+       "round-trips; the MMR leg cross-checks against CcittG4") {
+    for ((w, h) <- shapes; px <- patterns(w, h).take(4)) {
+      val mqStream = Jbig2.encodeEmbedded(px, w, h)
+      assert(Jbig2.decodeEmbedded(None, mqStream, w, h).exists(_.sameElements(px)),
+        s"MQ embedded ${w}x$h")
+      val mmrStream = Jbig2.encodeEmbedded(px, w, h, mmr = true)
+      assert(Jbig2.decodeEmbedded(None, mmrStream, w, h).exists(_.sameElements(px)),
+        s"MMR embedded ${w}x$h")
+    }
+    // the MMR payload is genuine T.6: decode the region bytes directly
+    // with the CCITT codec (independent of the JBIG2 walker)
+    val w = 16; val h = 4
+    val px = Array.tabulate(w * h)(i => i % w >= 12)
+    val mmr = Jbig2.encodeEmbedded(px, w, h, mmr = true)
+    // page-info segment = 11-byte header + 19 data; region header =
+    // 11-byte header; region data = 17 info + 1 flags, then T.6 bytes
+    val t6 = java.util.Arrays.copyOfRange(mmr, 30 + 11 + 18, mmr.length)
+    assert(CcittG4.decode(t6, w, h).exists(_.sameElements(px)))
+  }
+
+  test("globals/data split: page info in the globals stream, region in " +
+       "the data stream (the PDF /JBIG2Globals arrangement)") {
+    val w = 12; val h = 6
+    val px = Array.tabulate(w * h)(i => i % 3 == 0)
+    val full = Jbig2.encodeEmbedded(px, w, h)
+    val globals = java.util.Arrays.copyOfRange(full, 0, 30)
+    val data = java.util.Arrays.copyOfRange(full, 30, full.length)
+    assert(Jbig2.decodeEmbedded(Some(globals), data, w, h)
+      .exists(_.sameElements(px)))
+    // region alone (no page info anywhere) still composites onto a
+    // default-0 page of the PDF dims
+    assert(Jbig2.decodeEmbedded(None, data, w, h).exists(_.sameElements(px)))
+  }
+
+  test("fail-closed: symbol-dictionary segments, unknown data length, " +
+       "truncation, and oversized regions all yield None (never throw)") {
+    val w = 8; val h = 4
+    val px = Array.fill(w * h)(false)
+    val good = Jbig2.encodeEmbedded(px, w, h)
+    // type 0 (symbol dictionary) in the walk → None
+    val sym = good.clone(); sym(4) = 0x00 // page-info header flags byte → type 0
+    assert(Jbig2.decodeEmbedded(None, sym, w, h).isEmpty)
+    // unknown data length 0xFFFFFFFF
+    val unk = good.clone()
+    for (i <- 7 until 11) unk(i) = 0xFF.toByte
+    assert(Jbig2.decodeEmbedded(None, unk, w, h).isEmpty)
+    // truncated mid-header / mid-data
+    assert(Jbig2.decodeEmbedded(None, good.take(5), w, h).isEmpty)
+    assert(Jbig2.decodeEmbedded(None, good.dropRight(3), w, h).isEmpty)
+    // region larger than the PDF dims
+    assert(Jbig2.decodeEmbedded(None, good, w - 1, h).isEmpty)
+  }
+
+  test("bit-flip fuzz: decodeEmbedded never throws on corrupted streams") {
+    val w = 24; val h = 12
+    val px = Array.tabulate(w * h)(i => (i * 7) % 13 < 5)
+    val r = rnd
+    for (mmr <- Seq(false, true); _ <- 0 until 300) {
+      val m = Jbig2.encodeEmbedded(px, w, h, mmr = mmr)
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, w, h) // Option either way
+    }
+    for (_ <- 0 until 200) {
+      val junk = Array.fill(20 + r.nextInt(60))(r.nextInt(256).toByte)
+      Jbig2.decodeEmbedded(None, junk, w, h)
+    }
+  }
+
+  // ------------------------------------------------------- e2e in PDF
+
+  private def imagePdf(imgDict: String, imgBytes: Array[Byte],
+                       extra: Seq[(Int, String, Option[Array[Byte]])] = Nil): Array[Byte] = {
+    val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
+    val bos = new java.io.ByteArrayOutputStream()
+    def wr(s: String): Unit = bos.write(s.getBytes(ISO))
+    wr("%PDF-1.5\n")
+    for ((num, dict, stream) <- Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO))),
+      (5, s"$imgDict /Length ${imgBytes.length} >>", Some(imgBytes))) ++ extra) {
+      wr(s"$num 0 obj\n$dict\n")
+      stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+      wr("endobj\n")
+    }
+    wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  private def onlyImage(pdf: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val Right(pages) = graft.sources.MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    pages.flatMap(_._2).headOption.map(b =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+  }
+
+  test("JBIG2 payload e2e: an XObject decodes to the planted bilevel " +
+       "PNG; /Decode [1 0] inverts; /JBIG2Globals resolves") {
+    val w = 16; val h = 6
+    val px = Array.tabulate(w * h)(i => i % w >= 10) // right 6 cols black
+    val stream = Jbig2.encodeEmbedded(px, w, h)
+    def dict(extra: String) =
+      s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 1 " +
+        s"/ColorSpace /DeviceGray $extra/Filter /JBIG2Decode"
+    val img = onlyImage(imagePdf(dict(""), stream)).get
+    assert(img.getWidth == w && img.getHeight == h)
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == 0xFFFFFF, "white background")
+    assert((img.getRGB(12, 3) & 0xFFFFFF) == 0x000000, "black region")
+    val inv = onlyImage(imagePdf(dict("/Decode [1 0] "), stream)).get
+    assert((inv.getRGB(0, 0) & 0xFFFFFF) == 0x000000)
+    assert((inv.getRGB(12, 3) & 0xFFFFFF) == 0xFFFFFF)
+    // globals split through /DecodeParms /JBIG2Globals
+    val globals = java.util.Arrays.copyOfRange(stream, 0, 30)
+    val rest = java.util.Arrays.copyOfRange(stream, 30, stream.length)
+    val gImg = onlyImage(imagePdf(
+      dict("/DecodeParms << /JBIG2Globals 7 0 R >> "), rest,
+      extra = Seq((7, s"<< /Length ${globals.length} >>", Some(globals))))).get
+    assert((gImg.getRGB(12, 3) & 0xFFFFFF) == 0x000000)
+    // a Flate pre-filter before JBIG2Decode rides the same chain
+    val d = new java.util.zip.Deflater()
+    d.setInput(stream); d.finish()
+    val buf = new Array[Byte](stream.length + 64)
+    val n = d.deflate(buf); d.end()
+    val fImg = onlyImage(imagePdf(
+      s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 1 " +
+        "/ColorSpace /DeviceGray /Filter [/FlateDecode /JBIG2Decode]",
+      buf.take(n))).get
+    assert((fImg.getRGB(12, 3) & 0xFFFFFF) == 0x000000)
+  }
+}
