@@ -221,6 +221,27 @@ class Round16Spec extends AnyFunSuite {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
   }
 
+  test("Type 3 (glyph-procedure) fonts decode text through the same " +
+       "/Differences + ToUnicode ladder as simple fonts") {
+    // Type3 fonts carry no font program — their glyphs are content
+    // streams — so text recovery rides /Encoding exactly like Type1;
+    // a Subtype gate that skipped them would drop the page text
+    val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+    val content = "BT /F1 12 Tf (AB) Tj ET"
+    val pdf = rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO))),
+      (5, "<< /Type /Font /Subtype /Type3 /FontBBox [0 0 10 10] " +
+        "/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs 6 0 R " +
+        "/Encoding << /Differences [ 65 /X /quoteright ] >> >>", None),
+      (6, "<< >>", None)))
+    assert(graft.sources.MiniPdfDecoder().decode(pdf) ==
+      Right(Seq("<div><p>X’</p></div>")))
+  }
+
   test("Indexed palette over DeviceRGB expands EXACT per-pixel colors " +
        "(multi-color image, hex-string lookup)") {
     // 4x2, indices 0..3 then 3..0; palette = four distinct colors
