@@ -71,9 +71,10 @@ object ScaleProbe {
     // color-space decode legs (per-row map-side, zero shuffle)
     "q373_phash_band_probe", "q374_pdf_ccitt_g4", "q375_pdf_colorspaces",
     "q376_pdf_ccitt_g3", "q377_pdf_lowbpc",
-    // round-16b: CMYK raster conversion and JBIG2 generic-region
-    // decode (MQ + TPGDON + MMR legs) — per-row map-side, zero shuffle
-    "q378_pdf_cmyk", "q379_pdf_jbig2")
+    // round-16b: CMYK raster conversion, JBIG2 generic-region decode
+    // (MQ + TPGDON + MMR legs), /SMask alpha merge — per-row map-side,
+    // zero shuffle
+    "q378_pdf_cmyk", "q379_pdf_jbig2", "q380_pdf_smask")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -11079,6 +11079,79 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q380_pdf_smask" -> ((s, dir) => {
+      // /SMask TRANSPARENCY in the raster re-wrap (r16 — PyMuPDF
+      // surfaces soft masks; the lossless-PNG container carries alpha
+      // natively): per doc one image in three shapes — (0) RGB base +
+      // 8-bpc gray mask painting a vertical alpha split, (1) gray base
+      // + uniform mask with /Decode [1 0] (the mask's OWN inversion,
+      // which must flip alpha), (2) no mask → opaque. The mean-alpha
+      // feature column pins the merged channel: a mask-resolution
+      // slip, inversion bug, or silent opaque fallback on a valid
+      // mask shifts alpha_u6 and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 6 + (id % 6).toInt; val h = 4 + (id % 5).toInt
+        val xs = 1 + (id % (w - 1)).toInt
+        val (r, g, b) = (((id * 3) % 256).toInt, ((id * 7) % 256).toInt,
+          ((id * 11) % 256).toInt)
+        val a = 1 + ((id * 5) % 255).toInt
+        val rgbPx = Array.tabulate(w * h * 3)(i =>
+          (if (i % 3 == 0) r else if (i % 3 == 1) g else b).toByte)
+        val grayPx = Array.fill(w * h)(g.toByte)
+        val splitMask = Array.tabulate(w * h)(i =>
+          (if (i % w < xs) 0 else a).toByte)
+        val uniformMask = Array.fill(w * h)(a.toByte)
+        val leg = (id % 3).toInt
+        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        leg match {
+          case 0 =>
+            obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+              "/BitsPerComponent 8 /ColorSpace /DeviceRGB /SMask 7 0 R " +
+              s"/Length ${rgbPx.length} >>", Some(rgbPx))
+            obj(7, s"<< /Subtype /Image /Width $w /Height $h " +
+              "/BitsPerComponent 8 /ColorSpace /DeviceGray " +
+              s"/Length ${splitMask.length} >>", Some(splitMask))
+          case 1 =>
+            obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+              "/BitsPerComponent 8 /ColorSpace /DeviceGray /SMask 7 0 R " +
+              s"/Length ${grayPx.length} >>", Some(grayPx))
+            obj(7, s"<< /Subtype /Image /Width $w /Height $h " +
+              "/BitsPerComponent 8 /ColorSpace /DeviceGray /Decode [1 0] " +
+              s"/Length ${uniformMask.length} >>", Some(uniformMask))
+          case _ =>
+            obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+              "/BitsPerComponent 8 /ColorSpace /DeviceRGB " +
+              s"/Length ${rgbPx.length} >>", Some(rgbPx))
+        }
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"),
+          floor(col("alpha") * 1e6 + 0.5).cast("long").as("alpha_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17491,6 +17564,29 @@ object SparkEntry {
         |  CAST(FLOOR(255.0 * (CASE WHEN dec10 THEN w - xsplit
         |    ELSE xsplit END) / w * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM p""".stripMargin,
+
+    // q380: /SMask transparency — oracle replays the planted alpha
+    // geometry (split mask, inverted uniform mask, opaque) and the
+    // per-leg luminance
+    "q380_pdf_smask" ->
+      """WITH p AS (SELECT doc_id,
+        |    6 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+        |    1 + doc_id % (5 + doc_id % 6) AS xs,
+        |    (doc_id * 3) % 256 AS r, (doc_id * 7) % 256 AS g,
+        |    (doc_id * 11) % 256 AS b, 1 + (doc_id * 5) % 255 AS a,
+        |    doc_id % 3 AS leg
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h,
+        |    CASE WHEN leg = 1 THEN 0.299 * g + 0.587 * g + 0.114 * g
+        |         ELSE 0.299 * r + 0.587 * g + 0.114 * b END AS lum,
+        |    CASE WHEN leg = 0 THEN (w - xs) * a / (255.0 * w)
+        |         WHEN leg = 1 THEN (255 - a) / 255.0
+        |         ELSE 1.0 END AS alpha
+        |  FROM p)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6,
+        |  CAST(FLOOR(alpha * 1e6 + 0.5) AS BIGINT) AS alpha_u6
+        |FROM v""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

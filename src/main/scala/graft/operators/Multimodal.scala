@@ -327,11 +327,14 @@ object Multimodal {
       }
   }
 
-  case class ImageFeatures(doc_id: Long, width: Int, height: Int, lum: Double)
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int, lum: Double,
+                           alpha: Double)
 
   /** REAL pixel-level feature extraction: decode each payload once
     * (JDK ImageIO), emit dimensions + mean luminance (0.299R + 0.587G +
-    * 0.114B over all pixels). The feature-extract leg of the multimodal
+    * 0.114B over all pixels) + mean alpha in [0,1] (1.0 for opaque
+    * formats; PNGs carrying an /SMask-merged alpha channel report the
+    * mask's mean — r16). The feature-extract leg of the multimodal
     * contract with actual pixel access — one decoder per partition,
     * rows streamed. Undecodable payloads are dropped (the caller
     * filters junk upstream or counts the loss via `observe`). */
@@ -354,18 +357,21 @@ object Multimodal {
           if (img == null) None
           else {
             var sum = 0.0
+            var aSum = 0.0
             var y = 0
             while (y < img.getHeight) {
               var x = 0
               while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
+                val rgb = img.getRGB(x, y) // always ARGB; opaque formats read 0xFF alpha
                 sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                aSum += (rgb >>> 24) / 255.0
                 x += 1
               }
               y += 1
             }
+            val n = img.getWidth.toLong * img.getHeight
             Some(ImageFeatures(id, img.getWidth, img.getHeight,
-              sum / (img.getWidth.toLong * img.getHeight)))
+              sum / n, aSum / n))
           }
         }
       }

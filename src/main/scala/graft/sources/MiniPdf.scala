@@ -556,7 +556,10 @@ object MiniPdf {
     * ICC-N=4 (§8.6.4.4 additive-clamp to RGB), an /Indexed palette
     * over an RGB base, or an /ICCBased stream aliased by component
     * count (r16, Missing #2) is re-wrapped as a lossless PNG through
-    * the JDK codec so the multimodal column sees one uniform shape;
+    * the JDK codec so the multimodal column sees one uniform shape —
+    * with a same-dims gray `/SMask` merged as the PNG alpha channel
+    * (r16, [[smaskAlpha]]; transparency is part of what PyMuPDF
+    * surfaces, and PNG carries it natively);
     * a `/JBIG2Decode` GENERIC-REGION stream (MQ or MMR, optional
     * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16).
     * Unsupported encodings (JPX, JBIG2 symbol/halftone segments,
@@ -634,9 +637,10 @@ object MiniPdf {
         if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8) return None
         val px = applyFilters(raw, o.dict, filters)
         val dec10 = decodeInverted(o.dict)
+        val alphaPx = smaskAlpha(objs, o.dict, w, h).orNull
         resolveColorSpace(objs, o.dict) match {
           case CsRgb =>
-            if (bpc != 8) None else rasterToPng(px, w, h, 3)
+            if (bpc != 8) None else rasterToPng(px, w, h, 3, alphaPx)
           case CsGray =>
             // 1/2/4-bpc gray (bitmap masks, dithered scans) unpacks
             // with byte-aligned rows, levels scaled to 0–255 (§8.9.3)
@@ -649,7 +653,7 @@ object MiniPdf {
                 g(i) = (if (dec10) 255 - v else v).toByte
                 i += 1
               }
-              rasterToPng(g, w, h, 1)
+              rasterToPng(g, w, h, 1, alphaPx)
             }
           case CsIndexed(palette, hival) =>
             // palette indices (1/2/4/8-bpc, §8.6.6.3: low-bpc indices
@@ -668,7 +672,7 @@ object MiniPdf {
                 }
                 i += 1
               }
-              if (ok) rasterToPng(rgb, w, h, 3) else None
+              if (ok) rasterToPng(rgb, w, h, 3, alphaPx) else None
             }
           case CsCmyk =>
             // print-origin CMYK rasters (r16 — the remaining half of
@@ -687,18 +691,60 @@ object MiniPdf {
                 rgb(3 * i + 2) = (255 - math.min(255, yy + k)).toByte
                 i += 1
               }
-              rasterToPng(rgb, w, h, 3)
+              rasterToPng(rgb, w, h, 3, alphaPx)
             }
           case CsUnknown =>
             // legacy heuristic for dict-less rasters
             if (bpc != 8) None
             else {
               val ncomp = if (px.length >= w.toLong * h * 3) 3 else 1
-              rasterToPng(px, w, h, ncomp)
+              rasterToPng(px, w, h, ncomp, alphaPx)
             }
           case CsUnsupported => None
         }
       } else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Resolve an image XObject's `/SMask` (ISO 32000-1 §11.6.5.2) into
+    * a per-pixel alpha plane for the PNG re-wrap (r16 — PyMuPDF
+    * surfaces transparency; a lossless PNG carries it natively): the
+    * mask must be a same-dims image behind a text-decodable chain
+    * (1/2/4/8-bpc gray, levels scaled, its own /Decode [1 0]
+    * honoured). Anything else — dims mismatch, DCT/CCITT/JBIG2/JPX-
+    * coded masks — yields None and the payload ships OPAQUE: the base
+    * raster is still honest, only the transparency annotation is
+    * beyond the envelope (never guessed). */
+  private def smaskAlpha(objs: Map[Int, PdfObj], dict: String,
+                         w: Int, h: Int): Option[Array[Byte]] = {
+    val m = """/SMask\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict)
+      .getOrElse(return None)
+    val o = objs.getOrElse(m.group(1).toInt, return None)
+    if ("""/Subtype\s*/Image\b""".r.findFirstIn(o.dict).isEmpty) return None
+    val raw = o.stream.getOrElse(return None)
+    val mw = WidthInt.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(0)
+    val mh = HeightInt.findFirstMatchIn(o.dict).map(_.group(1).toInt).getOrElse(0)
+    if (mw != w || mh != h) return None
+    val filters = filterChain(o.dict).take(8)
+    if (filters.exists(f => f == "DCTDecode" || f == "DCT" ||
+        f == "CCITTFaxDecode" || f == "CCF" || f == "JBIG2Decode" ||
+        f == "JPXDecode" || f == "Crypt")) return None
+    val bpc = intIn(o.dict, "/BitsPerComponent", 8)
+    if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8) return None
+    try {
+      val px = applyFilters(raw, o.dict, filters)
+      unpackSamples(px, w, h, bpc).map { s =>
+        val scale = 255 / ((1 << bpc) - 1)
+        val inv = decodeInverted(o.dict)
+        val a = new Array[Byte](w * h)
+        var i = 0
+        while (i < a.length) {
+          val v = (s(i) & 0xff) * scale
+          a(i) = (if (inv) 255 - v else v).toByte
+          i += 1
+        }
+        a
+      }
     } catch { case _: Exception => None }
   }
 
@@ -866,10 +912,13 @@ object MiniPdf {
 
   /** 8-bpc interleaved samples → lossless PNG via the JDK codec. */
   private def rasterToPng(px: Array[Byte], w: Int, h: Int,
-                          ncomp: Int): Option[Array[Byte]] = {
+                          ncomp: Int,
+                          alpha: Array[Byte] = null): Option[Array[Byte]] = {
     if (px.length < w.toLong * h * ncomp) return None
+    if (alpha != null && alpha.length < w.toLong * h) return None
     val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
+      if (alpha == null) java.awt.image.BufferedImage.TYPE_INT_RGB
+      else java.awt.image.BufferedImage.TYPE_INT_ARGB)
     var y = 0
     while (y < h) {
       var x = 0
@@ -878,7 +927,8 @@ object MiniPdf {
         val (r, g, b) =
           if (ncomp == 3) (px(i) & 0xff, px(i + 1) & 0xff, px(i + 2) & 0xff)
           else { val v = px(i) & 0xff; (v, v, v) }
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        val a = if (alpha == null) 0xFF else alpha(y * w + x) & 0xff
+        img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
         x += 1
       }
       y += 1

@@ -316,6 +316,42 @@ class Round16Spec extends AnyFunSuite {
     assert(onlyImage(lowbpc).isEmpty)
   }
 
+  test("/SMask merges as the PNG alpha channel: exact per-pixel alpha, " +
+       "inverted /Decode on the mask, dims-mismatch ships opaque") {
+    // 3x2 RGB base, 8-bpc gray smask with distinct per-pixel values
+    val base = Array[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90,
+      100, 110, 120, 130.toByte, 140.toByte, 150.toByte, 160.toByte, 170.toByte, 180.toByte)
+    val mask = Array[Byte](0, 64, 127, 128.toByte, 200.toByte, 255.toByte)
+    val pdf = imagePdf("<< /Subtype /Image /Width 3 /Height 2 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceRGB /SMask 7 0 R",
+      base, extra = Seq((7, "<< /Subtype /Image /Width 3 /Height 2 " +
+        s"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length ${mask.length} >>",
+        Some(mask))))
+    val img = onlyImage(pdf).get
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val p = img.getRGB(x, y)
+      assert((p >>> 24) == (mask(y * 3 + x) & 0xff), s"alpha ($x,$y)")
+      assert(((p >> 16) & 0xFF) == (base(3 * (y * 3 + x)) & 0xff), s"red ($x,$y)")
+    }
+    // /Decode [1 0] on the MASK inverts alpha
+    val inv = onlyImage(imagePdf("<< /Subtype /Image /Width 3 /Height 2 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceRGB /SMask 7 0 R",
+      base, extra = Seq((7, "<< /Subtype /Image /Width 3 /Height 2 " +
+        "/BitsPerComponent 8 /ColorSpace /DeviceGray /Decode [1 0] " +
+        s"/Length ${mask.length} >>", Some(mask))))).get
+    assert((inv.getRGB(0, 0) >>> 24) == 255)
+    assert((inv.getRGB(2, 1) >>> 24) == 0)
+    // dims mismatch: the transparency annotation drops, the base ships opaque
+    val mism = onlyImage(imagePdf("<< /Subtype /Image /Width 3 /Height 2 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceRGB /SMask 7 0 R",
+      base, extra = Seq((7, "<< /Subtype /Image /Width 2 /Height 2 " +
+        s"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 4 >>",
+        Some(Array[Byte](0, 0, 0, 0)))))).get
+    assert((mism.getRGB(0, 0) >>> 24) == 255, "opaque on mismatch")
+    assert((mism.getRGB(0, 0) & 0xFFFFFF) == ((10 << 16) | (20 << 8) | 30))
+  }
+
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
     val palHex = "FF0000" + "00FF00" // hival 1, two entries
     val bad = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
