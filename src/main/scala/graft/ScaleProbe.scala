@@ -74,7 +74,8 @@ object ScaleProbe {
     // round-16b: CMYK raster conversion, JBIG2 generic-region decode
     // (MQ + TPGDON + MMR legs), /SMask alpha merge — per-row map-side,
     // zero shuffle
-    "q378_pdf_cmyk", "q379_pdf_jbig2", "q380_pdf_smask")
+    "q378_pdf_cmyk", "q379_pdf_jbig2", "q380_pdf_smask",
+    "q381_pdf_separation")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

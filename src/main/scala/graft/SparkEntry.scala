@@ -11152,6 +11152,81 @@ object SparkEntry {
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"),
           floor(col("alpha") * 1e6 + 0.5).cast("long").as("alpha_u6"))
     }),
+
+    "q381_pdf_separation" -> ((s, dir) => {
+      // /Separation SPOT-COLOR rasters through the PDF function engine
+      // (r16 — §7.10 + §8.6.6.4, the print-origin spot-ink class): per
+      // doc one uniform-tint image cycling the three function types —
+      // (0) Type 2 exponential (N=1) over a DeviceRGB alternate with
+      // planted k/256 C1 components (exact binary decimals, so Spark
+      // and DuckDB parse identical doubles), (1) Type 0 sampled LUT
+      // over DeviceGray (4 planted samples, e = 3t interpolation),
+      // (2) Type 3 stitching of two Type 2 pieces over DeviceGray
+      // (bound 0.5 — the piece choice flips per doc). A Domain-clamp
+      // slip, interpolation bug, sample bit-unpack error, or stitch
+      // boundary off-by-one shifts the luminance and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 5 + (id % 7).toInt; val h = 4 + (id % 5).toInt
+        val sByte = ((id * 7) % 256).toInt // uniform tint sample
+        def dec(k: Int): String = // exact decimal of k/256
+          (BigDecimal(k) / 256).bigDecimal.stripTrailingZeros.toPlainString
+        val (kr, kg, kb) = (((id * 3) % 257).toInt, ((id * 5) % 257).toInt,
+          ((id * 11) % 257).toInt)
+        val g0 = ((id * 13) % 256).toInt; val g1 = ((id * 17) % 256).toInt
+        val g2 = ((id * 19) % 256).toInt; val g3 = ((id * 23) % 256).toInt
+        val (ka, kb2, kc) = (((id * 29) % 257).toInt, ((id * 31) % 257).toInt,
+          ((id * 37) % 257).toInt)
+        val leg = (id % 3).toInt
+        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        val px = Array.fill(w * h)(sByte.toByte)
+        val alt = if (leg == 0) "/DeviceRGB" else "/DeviceGray"
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          s"/BitsPerComponent 8 /ColorSpace [/Separation /Spot $alt 8 0 R] " +
+          s"/Length ${px.length} >>", Some(px))
+        leg match {
+          case 0 =>
+            obj(8, "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] " +
+              s"/C1 [${dec(kr)} ${dec(kg)} ${dec(kb)}] /N 1 >>", None)
+          case 1 =>
+            val samples = Array(g0.toByte, g1.toByte, g2.toByte, g3.toByte)
+            obj(8, "<< /FunctionType 0 /Domain [0 1] /Range [0 1] " +
+              "/Size [4] /BitsPerSample 8 /Length 4 >>", Some(samples))
+          case _ =>
+            obj(8, "<< /FunctionType 3 /Domain [0 1] " +
+              "/Functions [9 0 R 10 0 R] /Bounds [0.5] /Encode [0 1 0 1] >>",
+              None)
+            obj(9, s"<< /FunctionType 2 /Domain [0 1] /C0 [0] " +
+              s"/C1 [${dec(ka)}] /N 1 >>", None)
+            obj(10, s"<< /FunctionType 2 /Domain [0 1] /C0 [${dec(kb2)}] " +
+              s"/C1 [${dec(kc)}] /N 1 >>", None)
+        }
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17587,6 +17662,49 @@ object SparkEntry {
         |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6,
         |  CAST(FLOOR(alpha * 1e6 + 0.5) AS BIGINT) AS alpha_u6
         |FROM v""".stripMargin,
+
+    // q381: /Separation spot color — oracle replays the function
+    // evaluation chain (Type 2 product, Type 0 interpolation, Type 3
+    // stitch) with the same double arithmetic order as the engine
+    "q381_pdf_separation" ->
+      """WITH p AS (SELECT doc_id,
+        |    5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+        |    ((doc_id * 7) % 256) / 255.0 AS t,
+        |    (doc_id * 3) % 257 AS kr, (doc_id * 5) % 257 AS kg,
+        |    (doc_id * 11) % 257 AS kb,
+        |    (doc_id * 13) % 256 AS g0, (doc_id * 17) % 256 AS g1,
+        |    (doc_id * 19) % 256 AS g2, (doc_id * 23) % 256 AS g3,
+        |    (doc_id * 29) % 257 AS ka, (doc_id * 31) % 257 AS kb2,
+        |    (doc_id * 37) % 257 AS kc,
+        |    doc_id % 3 AS leg
+        |  FROM documents),
+        |e1 AS (SELECT *, (t * 3.0) / 1.0 AS e FROM p),
+        |i1 AS (SELECT *, LEAST(CAST(FLOOR(e) AS BIGINT), 3) AS i0 FROM e1),
+        |s1 AS (SELECT *,
+        |    CASE i0 WHEN 0 THEN g0 WHEN 1 THEN g1 WHEN 2 THEN g2
+        |      ELSE g3 END AS gi0,
+        |    CASE LEAST(i0 + 1, 3) WHEN 0 THEN g0 WHEN 1 THEN g1
+        |      WHEN 2 THEN g2 ELSE g3 END AS gi1
+        |  FROM i1),
+        |v AS (SELECT doc_id, w, h, leg,
+        |    FLOOR(255 * (t * (kr / 256.0)) + 0.5) AS r0,
+        |    FLOOR(255 * (t * (kg / 256.0)) + 0.5) AS gg0,
+        |    FLOOR(255 * (t * (kb / 256.0)) + 0.5) AS b0,
+        |    FLOOR(255 * (((gi0 + (e - i0) * (gi1 - gi0)) * 1.0) / 255.0)
+        |      + 0.5) AS gray1,
+        |    FLOOR(255 * (CASE WHEN t >= 0.5
+        |        THEN kb2 / 256.0 + ((t - 0.5) * 1.0) / 0.5
+        |          * (kc / 256.0 - kb2 / 256.0)
+        |        ELSE (t * 1.0) / 0.5 * (ka / 256.0) END) + 0.5) AS gray2
+        |  FROM s1),
+        |l AS (SELECT doc_id, w, h,
+        |    CASE leg WHEN 0 THEN 0.299 * r0 + 0.587 * gg0 + 0.114 * b0
+        |      WHEN 1 THEN 0.299 * gray1 + 0.587 * gray1 + 0.114 * gray1
+        |      ELSE 0.299 * gray2 + 0.587 * gray2 + 0.114 * gray2 END AS lum
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM l""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

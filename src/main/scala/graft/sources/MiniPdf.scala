@@ -674,6 +674,38 @@ object MiniPdf {
               }
               if (ok) rasterToPng(rgb, w, h, 3, alphaPx) else None
             }
+          case CsSeparation(toRgb) =>
+            // spot-color rasters (r16): sample → tint (bpc-scaled,
+            // /Decode [1 0] inverts) → tint transform → alternate
+            // space → RGB, precomputed as a 2^bpc-entry LUT so the
+            // per-pixel loop is a table lookup
+            unpackSamples(px, w, h, bpc).flatMap { s =>
+              val maxS = (1 << bpc) - 1
+              val lut = new Array[Int](maxS + 1)
+              var ok = true
+              var i = 0
+              while (i <= maxS && ok) {
+                val t0 = i.toDouble / maxS
+                toRgb(if (dec10) 1.0 - t0 else t0) match {
+                  case Some((r, g, b)) => lut(i) = (r << 16) | (g << 8) | b
+                  case None => ok = false
+                }
+                i += 1
+              }
+              if (!ok) None
+              else {
+                val rgb = new Array[Byte](w * h * 3)
+                var j = 0
+                while (j < w * h) {
+                  val v = lut(s(j) & 0xff)
+                  rgb(3 * j) = (v >> 16).toByte
+                  rgb(3 * j + 1) = (v >> 8).toByte
+                  rgb(3 * j + 2) = v.toByte
+                  j += 1
+                }
+                rasterToPng(rgb, w, h, 3, alphaPx)
+              }
+            }
           case CsCmyk =>
             // print-origin CMYK rasters (r16 — the remaining half of
             // VERDICT r15 Missing #2): §8.6.4.4 additive clamp,
@@ -785,6 +817,9 @@ object MiniPdf {
   private case object CsUnknown extends Cs
   private case object CsUnsupported extends Cs
   private final case class CsIndexed(palette: Array[Byte], hival: Int) extends Cs
+  /** Spot color: tint in [0,1] → RGB through the compiled tint
+    * transform and alternate space (None = evaluation failed). */
+  private final case class CsSeparation(toRgb: Double => Option[(Int, Int, Int)]) extends Cs
 
   /** Resolve an image XObject's /ColorSpace for the raster re-wrap
     * (r16, VERDICT r15 Missing #2): Device{RGB,Gray} direct;
@@ -865,6 +900,46 @@ object MiniPdf {
       pal match {
         case Some(p) if p.length >= 3 * (hival + 1) => CsIndexed(p, hival)
         case _ => CsUnsupported
+      }
+    } else if (body.contains("/Separation")) {
+      // [/Separation /Name alt tintFn] (§8.6.6.4, r16): the alternate
+      // is a device space or an ICCBased alias; the tint transform is
+      // a function REFERENCE compiled through [[PdfFunction]]. This
+      // branch must run BEFORE the bare-ICCBased alias below — a
+      // Separation with an ICC alternate also contains that token.
+      val m = ("""/Separation\s*/[^\s/\[\]]+\s+""" +
+        """(/DeviceRGB|/DeviceGray|/DeviceCMYK|\[\s*/ICCBased\s+(\d+)\s+\d+\s+R\s*\])""" +
+        """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(body)
+        .getOrElse(return CsUnsupported)
+      val nComp: Int = m.group(1) match {
+        case "/DeviceRGB" => 3
+        case "/DeviceGray" => 1
+        case "/DeviceCMYK" => 4
+        case _ => objs.get(m.group(2).toInt)
+          .map(o => intIn(o.dict, "/N", 0)).getOrElse(0)
+      }
+      if (nComp != 1 && nComp != 3 && nComp != 4) return CsUnsupported
+      PdfFunction.build(objs, m.group(3).toInt) match {
+        case None => CsUnsupported
+        case Some(fn) =>
+          CsSeparation { t =>
+            val out = fn(t)
+            if (out.length != nComp) None
+            else {
+              def byte(v: Double): Int =
+                math.floor(255 * math.max(0.0, math.min(1.0, v)) + 0.5).toInt
+              nComp match {
+                case 1 => val v = byte(out(0)); Some((v, v, v))
+                case 3 => Some((byte(out(0)), byte(out(1)), byte(out(2))))
+                case _ => // CMYK → the same §8.6.4.4 clamp as CsCmyk
+                  val c = byte(out(0)); val mm = byte(out(1))
+                  val yy = byte(out(2)); val k = byte(out(3))
+                  Some((255 - math.min(255, c + k),
+                    255 - math.min(255, mm + k),
+                    255 - math.min(255, yy + k)))
+              }
+            }
+          }
       }
     } else if ("""/ICCBased\s+(\d+)\s+\d+\s+R""".r.findFirstIn(body).isDefined) {
       val n = """/ICCBased\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(body)

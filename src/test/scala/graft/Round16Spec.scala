@@ -352,6 +352,59 @@ class Round16Spec extends AnyFunSuite {
     assert((mism.getRGB(0, 0) & 0xFFFFFF) == ((10 << 16) | (20 << 8) | 30))
   }
 
+  test("/Separation rasters: Type 2 tint over DeviceRGB (incl. N=2), " +
+       "Type 0 sampled over gray with interpolation, Type 3 stitching, " +
+       "CMYK alternate clamp; Type 4 and DeviceN fail closed") {
+    def sepPdf(alt: String, fnObjs: Seq[(Int, String, Option[Array[Byte]])],
+               sample: Int, extraImg: String = "") = imagePdf(
+      "<< /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+        s"/ColorSpace [/Separation /Spot $alt 8 0 R] $extraImg",
+      Array.fill(4)(sample.toByte), extra = fnObjs)
+    // Type 2, N=1, RGB alternate: channel = floor(255 * t * C1 + 0.5)
+    val t2 = Seq((8, "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] " +
+      "/C1 [0.5 0.25 1] /N 1 >>", None))
+    val img = onlyImage(sepPdf("/DeviceRGB", t2, 128)).get
+    val t = 128.0 / 255
+    def b(v: Double) = math.floor(255 * v + 0.5).toInt
+    assert((img.getRGB(0, 0) & 0xFFFFFF) ==
+      ((b(t * 0.5) << 16) | (b(t * 0.25) << 8) | b(t * 1.0)))
+    // N=2: quadratic tint
+    val t2q = Seq((8, "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] " +
+      "/C1 [1 1 1] /N 2 >>", None))
+    val q = onlyImage(sepPdf("/DeviceRGB", t2q, 128)).get
+    assert(((q.getRGB(0, 0) >> 16) & 0xFF) == b(t * t))
+    // Type 0 sampled over gray: 4 samples, e = 3t lands between 1 and 2
+    val samples = Array[Byte](0, 100, 200.toByte, 250.toByte)
+    val t0 = Seq((8, "<< /FunctionType 0 /Domain [0 1] /Range [0 1] " +
+      s"/Size [4] /BitsPerSample 8 /Length 4 >>", Some(samples)))
+    val g = onlyImage(sepPdf("/DeviceGray", t0, 128)).get
+    val e = (128.0 / 255) * 3 / 1
+    val raw = 100 + (e - 1) * (200 - 100)
+    assert(((g.getRGB(0, 0) >> 8) & 0xFF) == b(raw / 255))
+    // Type 3 stitching: t=0.75 → second piece, e=(t-0.5)/0.5
+    val t3 = Seq(
+      (8, "<< /FunctionType 3 /Domain [0 1] /Functions [9 0 R 10 0 R] " +
+        "/Bounds [0.5] /Encode [0 1 0 1] >>", None),
+      (9, "<< /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [0.5] /N 1 >>", None),
+      (10, "<< /FunctionType 2 /Domain [0 1] /C0 [0.5] /C1 [1] /N 1 >>", None))
+    val s3 = onlyImage(sepPdf("/DeviceGray", t3, 191)).get // t≈0.749
+    val tt = 191.0 / 255
+    val e3 = (tt - 0.5) * (1.0 - 0.0) / (1.0 - 0.5)
+    assert((s3.getRGB(0, 0) & 0xFF) == b(0.5 + e3 * 0.5))
+    // CMYK alternate rides the same additive clamp as DeviceCMYK
+    val t2c = Seq((8, "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0 0] " +
+      "/C1 [1 0 0 1] /N 1 >>", None))
+    val cm = onlyImage(sepPdf("/DeviceCMYK", t2c, 255)).get // full tint
+    assert((cm.getRGB(0, 0) & 0xFFFFFF) == ((0 << 16) | (0 << 8) | 0))
+    // Type 4 (PostScript calculator) fails closed
+    val t4 = Seq((8, "<< /FunctionType 4 /Domain [0 1] /Range [0 1] " +
+      "/Length 10 >>", Some("{ 1 sub }".getBytes)))
+    assert(onlyImage(sepPdf("/DeviceGray", t4, 100)).isEmpty)
+    // /Decode [1 0] inverts the tint
+    val inv = onlyImage(sepPdf("/DeviceRGB", t2, 255, "/Decode [1 0] ")).get
+    assert((inv.getRGB(0, 0) & 0xFFFFFF) == 0, "tint 0 -> C0 black")
+  }
+
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
     val palHex = "FF0000" + "00FF00" // hival 1, two entries
     val bad = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
