@@ -11028,24 +11028,36 @@ object SparkEntry {
       // scanned-document encoding after q374/q376's CCITT work; ref
       // `extractor.py:136` rides PyMuPDF, which surfaces every
       // raster): per doc one /JBIG2Decode XObject painting a planted
-      // vertical split, cycling the three generic-region shapes —
-      // (0) MQ-coded template 0, (1) MQ template 2 with TPGDON
-      // (identical rows ride the LTP duplicate path), (2) MMR (T.6
-      // inside a JBIG2 region — §6.2.6). Odd docs add /Decode [1 0],
-      // which must swap the fixed JBIG2 1=black convention or the
-      // luminance breaks; an MQ state-table slip, context-layout bug,
-      // segment-walker offset error, or LTP desync shears pixels and
-      // breaks dims/luminance.
+      // vertical split, cycling FOUR region shapes — (0) MQ-coded
+      // template 0, (1) MQ template 2 with TPGDON (identical rows ride
+      // the LTP duplicate path), (2) MMR (T.6 inside a JBIG2 region —
+      // §6.2.6), (3) an arithmetic SYMBOL DICTIONARY + TEXT REGION
+      // composing the same split from one or two glyph rectangles
+      // (§6.5/§6.4 — IADH/IADW/IAEX/IADS/IAID through the Annex A
+      // integer decoders). Odd docs add /Decode [1 0], which must swap
+      // the fixed JBIG2 1=black convention or the luminance breaks;
+      // an MQ state-table slip, context-layout bug, segment-walker
+      // offset error, or LTP desync shears pixels and breaks
+      // dims/luminance. All four legs paint IDENTICAL geometry, so
+      // one oracle covers them.
       val gen = udf((id: Long) => {
         val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
         val w = 18 + (id % 8).toInt; val h = 8 + (id % 6).toInt
         val xsplit = 2 + (id % (w - 4)).toInt
         val px = Array.tabulate(w * h)(i => i % w >= xsplit) // right black
-        val stream = (id % 3).toInt match {
+        val stream = (id % 4).toInt match {
           case 0 => graft.sources.Jbig2.encodeEmbedded(px, w, h)
           case 1 => graft.sources.Jbig2.encodeEmbedded(px, w, h,
             template = 2, tpgdon = true)
-          case _ => graft.sources.Jbig2.encodeEmbedded(px, w, h, mmr = true)
+          case 2 => graft.sources.Jbig2.encodeEmbedded(px, w, h, mmr = true)
+          case _ =>
+            val black = w - xsplit
+            val a = math.max(1, black / 2); val b = black - a
+            val glyphs = Seq((a, h, Array.fill(a * h)(true))) ++
+              (if (b > 0) Seq((b, h, Array.fill(b * h)(true))) else Nil)
+            val places = Seq((0, xsplit, 0)) ++
+              (if (b > 0) Seq((1, xsplit + a, 0)) else Nil)
+            graft.sources.Jbig2.encodeEmbeddedText(glyphs, places, w, h)
         }
         val decodeKey = if (id % 2 == 1) "/Decode [1 0] " else ""
         val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"

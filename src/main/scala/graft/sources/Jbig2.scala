@@ -19,11 +19,15 @@ package graft.sources
   * rides the existing [[CcittG4]] decoder — an independently-validated
   * cross-check on the whole container path.
   *
-  * SCOPE, stated honestly: generic regions only — the output of
-  * generic-mode encoders (`jbig2enc -generic`, many scanner firmwares).
-  * Symbol-dictionary/text-region and halftone segments (the other
-  * scanned-text encoding) are structurally recognized and yield None —
-  * fail closed, never fabricate pixels. The decoder is defensive end
+  * SCOPE, stated honestly: generic regions (the output of generic-mode
+  * encoders — `jbig2enc -generic`, many scanner firmwares) AND
+  * arithmetic symbol-dictionary + text-region segments (§6.5/§6.4 with
+  * SDHUFF=SBHUFF=0, no refinement, TRANSPOSED=0 — the dominant
+  * scanned-TEXT encoding, built on the Annex A integer arithmetic
+  * decoding procedures and the shared-context per-glyph generic
+  * bitmaps). Huffman-coded variants, refinement/aggregation, halftone
+  * regions, and transposed text yield None — fail closed, never
+  * fabricate pixels. The decoder is defensive end
   * to end: truncated headers, unknown segment types, striped pages,
   * or oversized regions abort to None (crawled-PDF robustness, the
   * same contract as the rest of MiniPdf). The encoder exists for
@@ -242,6 +246,17 @@ object Jbig2 {
     * TPGDON) into row-major pixels, `true` = black (JBIG2 1). */
   def decodeGeneric(data: Array[Byte], w: Int, h: Int, template: Int,
                     tpgdon: Boolean, at: Array[Int]): Option[Array[Boolean]] = {
+    if (template < 0 || template > 3) return None
+    decodeGenericWith(new MqDecoder(data),
+      new CxTable(1 << contextSize(template)), w, h, template, tpgdon, at)
+  }
+
+  /** As [[decodeGeneric]] with a CALLER-owned decoder and GB context
+    * table — the symbol-dictionary path (§6.5.5) decodes every glyph
+    * bitmap from ONE arithmetic stream with ONE shared context. */
+  private[sources] def decodeGenericWith(mq: MqDecoder, cx: CxTable,
+      w: Int, h: Int, template: Int, tpgdon: Boolean,
+      at: Array[Int]): Option[Array[Boolean]] = {
     if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
     if (template < 0 || template > 3) return None
     val needAt = if (template == 0) 8 else 2
@@ -249,8 +264,6 @@ object Jbig2 {
     // AT reach is spec-bounded to ±127; huge offsets are hostile input
     if (at.exists(v => v < -127 || v > 127)) return None
     val bmp = new Array[Boolean](w * h)
-    val mq = new MqDecoder(data)
-    val cx = new CxTable(1 << contextSize(template))
     var ltp = false
     var y = 0
     while (y < h) {
@@ -277,10 +290,20 @@ object Jbig2 {
     * [[decodeGeneric]] (and any conformant decoder). */
   def encodeGeneric(pixels: Array[Boolean], w: Int, h: Int, template: Int = 0,
                     tpgdon: Boolean = false): Array[Byte] = {
+    val mq = new MqEncoder
+    encodeGenericWith(mq, new CxTable(1 << contextSize(template)),
+      pixels, w, h, template, tpgdon)
+    mq.flush()
+  }
+
+  /** As [[encodeGeneric]] with a caller-owned encoder + context (no
+    * flush) — the symbol-dictionary encoder writes many glyph bitmaps
+    * into one stream. */
+  private[sources] def encodeGenericWith(mq: MqEncoder, cx: CxTable,
+      pixels: Array[Boolean], w: Int, h: Int, template: Int,
+      tpgdon: Boolean): Unit = {
     require(pixels.length == w * h, "pixel buffer shape")
     val at = NominalAt(template)
-    val mq = new MqEncoder
-    val cx = new CxTable(1 << contextSize(template))
     var ltp = false
     var y = 0
     while (y < h) {
@@ -303,7 +326,6 @@ object Jbig2 {
       }
       y += 1
     }
-    mq.flush()
   }
 
   // --------------------------------- embedded segment stream (§7.2 ff)
@@ -313,6 +335,7 @@ object Jbig2 {
       ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
 
   private final case class Segment(number: Long, segType: Int,
+                                   refs: Array[Long],
                                    dataStart: Int, dataLen: Int)
 
   /** Parse the headerless embedded segment sequence (§7.2; the PDF
@@ -339,6 +362,15 @@ object Jbig2 {
       } else q += 1
       // referred segment numbers: size scales with THIS segment's number
       val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
+      if (q + refCount.toLong * refSize > b.length) return None
+      val refs = Array.tabulate(refCount) { i =>
+        val o = q + i * refSize
+        refSize match {
+          case 1 => (b(o) & 0xffL)
+          case 2 => ((b(o) & 0xffL) << 8) | (b(o + 1) & 0xffL)
+          case _ => u32(b, o)
+        }
+      }
       q += refCount * refSize
       q += (if (pageAssoc4) 4 else 1)
       if (q + 4 > b.length) return None
@@ -346,7 +378,7 @@ object Jbig2 {
       q += 4
       if (dataLen == 0xFFFFFFFFL) return None // unknown length: reject
       if (dataLen > Int.MaxValue || q + dataLen > b.length) return None
-      segs += Segment(number, segType, q, dataLen.toInt)
+      segs += Segment(number, segType, refs, q, dataLen.toInt)
       p = q + dataLen.toInt
     }
     Some(segs.result())
@@ -354,16 +386,49 @@ object Jbig2 {
 
   /** Decode the embedded JBIG2 of a PDF image XObject: optional
     * globals stream + the image's stream, composited onto a w×h page
-    * (dims from the PDF dict — the authoritative raster shape). Only
-    * generic-region and page-information segments are consumed;
-    * symbol/text/halftone/refinement segments → None (fail closed).
-    * Returns row-major pixels, `true` = black (JBIG2 1). */
+    * (dims from the PDF dict — the authoritative raster shape).
+    * Consumes page-information, generic-region, arithmetic
+    * symbol-dictionary, and arithmetic text-region segments (dicts may
+    * live in the globals stream and be referred to across streams —
+    * the PDF /JBIG2Globals arrangement); halftone, refinement, and
+    * Huffman-coded segments → None (fail closed). Returns row-major
+    * pixels, `true` = black (JBIG2 1). */
   def decodeEmbedded(globals: Option[Array[Byte]], data: Array[Byte],
                      w: Int, h: Int): Option[Array[Boolean]] = {
     if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) return None
     var page: Array[Boolean] = null
     var defaultPixel = false
     var sawRegion = false
+    // exported symbols per symbol-dictionary segment number — shared
+    // across the globals and data walks (PDF puts shared dicts in
+    // /JBIG2Globals exactly so regions in the data stream can refer)
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Sym]]
+    def composite(r: Array[Boolean], rw: Int, rh: Int, rx: Int, ry: Int,
+                  extCombOp: Int): Option[Unit] = {
+      if (rw <= 0 || rh <= 0 || rx < 0 || ry < 0 ||
+          rw > w || rh > h || rx.toLong + rw > w || ry.toLong + rh > h)
+        return None
+      if (page == null) page = Array.fill(w * h)(defaultPixel)
+      var yy = 0
+      while (yy < rh) {
+        var xx = 0
+        while (xx < rw) {
+          val dst = (ry + yy) * w + (rx + xx)
+          val v = r(yy * rw + xx)
+          page(dst) = extCombOp match {
+            case 0 => page(dst) | v // OR
+            case 1 => page(dst) & v // AND
+            case 2 => page(dst) ^ v // XOR
+            case 3 => !(page(dst) ^ v) // XNOR
+            case _ => v // REPLACE
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      sawRegion = true
+      Some(())
+    }
     // segment data offsets index into their OWN buffer — the globals
     // stream and the image stream are walked separately, in order
     def walk(b: Array[Byte]): Option[Unit] = parseSegments(b) match {
@@ -409,31 +474,29 @@ object Jbig2 {
                 region match {
                   case None => return None
                   case Some(r) =>
-                    if (page == null) page = Array.fill(w * h)(defaultPixel)
-                    var yy = 0
-                    while (yy < rh.toInt) {
-                      var xx = 0
-                      while (xx < rw.toInt) {
-                        val dst = (ry.toInt + yy) * w + (rx.toInt + xx)
-                        val v = r(yy * rw.toInt + xx)
-                        page(dst) = extCombOp match {
-                          case 0 => page(dst) | v  // OR
-                          case 1 => page(dst) & v  // AND
-                          case 2 => page(dst) ^ v  // XOR
-                          case 3 => !(page(dst) ^ v) // XNOR
-                          case _ => v // REPLACE
-                        }
-                        xx += 1
-                      }
-                      yy += 1
-                    }
-                    sawRegion = true
+                    if (composite(r, rw.toInt, rh.toInt, rx.toInt, ry.toInt,
+                        extCombOp).isEmpty) return None
+                }
+              case 0 => // symbol dictionary (§7.4.3): register exports
+                val input: IndexedSeq[Sym] =
+                  s.refs.toIndexedSeq.flatMap(n => dicts.getOrElse(n, IndexedSeq.empty))
+                decodeSymbolDict(b, s.dataStart, s.dataLen, input) match {
+                  case None => return None
+                  case Some(ex) => dicts(s.number) = ex
+                }
+              case 4 | 6 | 7 => // text region (§7.4.4): draw via referred dicts
+                val syms: IndexedSeq[Sym] =
+                  s.refs.toIndexedSeq.flatMap(n => dicts.getOrElse(n, IndexedSeq.empty))
+                decodeTextRegion(b, s.dataStart, s.dataLen, syms) match {
+                  case None => return None
+                  case Some((rw, rh, rx, ry, op, r)) =>
+                    if (composite(r, rw, rh, rx, ry, op).isEmpty) return None
                 }
               case 49 | 50 | 51 | 62 => // end-of-page/stripe/file, extension
                 ()
               case _ =>
-                // symbol dicts, text regions, halftones, refinements,
-                // tables: out of the generic envelope — fail closed
+                // halftones, refinements, pattern dicts, tables: out of
+                // the envelope — fail closed
                 return None
             }
             Some(())
@@ -478,6 +541,349 @@ object Jbig2 {
     u8(gFlags)
     at.foreach(v => u8(v & 0xff))
     bos.write(payload)
+    bos.toByteArray
+  }
+
+  // ----------------------- integer arithmetic decoding (Annex A)
+
+  /** Annex A.2 integer arithmetic decoding procedure — one instance
+    * per statistical class (IADH, IADW, IAEX, IADT, …), each with its
+    * own 512-context table and the PREV-tree context evolution.
+    * Returns None for the OOB decision (the spec's "negative zero"),
+    * Some(v) otherwise. */
+  private[sources] final class MqInt {
+    private val cx = new CxTable(512)
+    private var prev = 0
+    private def bit(mq: MqDecoder): Int = {
+      val d = mq.decode(cx, prev)
+      prev =
+        if (prev < 256) (prev << 1) | d
+        else ((((prev << 1) | d) & 511) | 256)
+      d
+    }
+    private def read(mq: MqDecoder, n: Int): Long = {
+      var r = 0L; var i = 0
+      while (i < n) { r = (r << 1) | bit(mq); i += 1 }
+      r
+    }
+    def decode(mq: MqDecoder): Option[Int] = {
+      prev = 1
+      val s = bit(mq)
+      val v: Long =
+        if (bit(mq) == 0) read(mq, 2)
+        else if (bit(mq) == 0) read(mq, 4) + 4
+        else if (bit(mq) == 0) read(mq, 6) + 20
+        else if (bit(mq) == 0) read(mq, 8) + 84
+        else if (bit(mq) == 0) read(mq, 12) + 340
+        else read(mq, 32) + 4436
+      if (s == 1 && v == 0) None // OOB
+      else if (v > Int.MaxValue) Some(Int.MaxValue) // hostile; guards reject
+      else Some(if (s == 1) -v.toInt else v.toInt)
+    }
+    /** Encoder twin: emit `v` (None = OOB) through `mq` with the same
+      * context evolution the decoder replays. */
+    def encode(mq: MqEncoder, value: Option[Int]): Unit = {
+      prev = 1
+      def ebit(d: Int): Unit = {
+        mq.encode(cx, prev, d)
+        prev =
+          if (prev < 256) (prev << 1) | d
+          else ((((prev << 1) | d) & 511) | 256)
+      }
+      def emit(x: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) { ebit(((x >> i) & 1).toInt); i -= 1 }
+      }
+      val v = value.getOrElse(0)
+      val s = if (value.isEmpty || v < 0) 1 else 0
+      val av = math.abs(v.toLong)
+      ebit(s)
+      if (av < 4) { ebit(0); emit(av, 2) }
+      else if (av < 20) { ebit(1); ebit(0); emit(av - 4, 4) }
+      else if (av < 84) { ebit(1); ebit(1); ebit(0); emit(av - 20, 6) }
+      else if (av < 340) { ebit(1); ebit(1); ebit(1); ebit(0); emit(av - 84, 8) }
+      else if (av < 4436) { ebit(1); ebit(1); ebit(1); ebit(1); ebit(0); emit(av - 340, 12) }
+      else { ebit(1); ebit(1); ebit(1); ebit(1); ebit(1); emit(av - 4436, 32) }
+    }
+  }
+
+  /** Annex A.3 IAID: fixed-length symbol-ID decoding over a
+    * (2^(len+1))-context PREV tree. */
+  private def iaidDecode(mq: MqDecoder, cx: CxTable, len: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < len) { prev = (prev << 1) | mq.decode(cx, prev); i += 1 }
+    prev - (1 << len)
+  }
+  private def iaidEncode(mq: MqEncoder, cx: CxTable, len: Int, id: Int): Unit = {
+    var prev = 1
+    var i = len - 1
+    while (i >= 0) {
+      val d = (id >> i) & 1
+      mq.encode(cx, prev, d)
+      prev = (prev << 1) | d
+      i -= 1
+    }
+  }
+
+  // ------------------- symbol dictionary + text region (§6.5 / §6.4)
+
+  /** One decoded symbol bitmap (`true` = black). */
+  private[sources] final case class Sym(w: Int, h: Int, bits: Array[Boolean])
+
+  private def ceilLog2(n: Int): Int = {
+    var l = 0
+    while ((1 << l) < n) l += 1
+    l
+  }
+
+  /** Decode an arithmetic symbol-dictionary segment payload (§6.5.5;
+    * SDHUFF=0, SDREFAGG=0 — the class generic encoders emit) into its
+    * EXPORTED symbols. `input` = symbols imported from referred
+    * dictionaries, participating in the export-flag run. */
+  private def decodeSymbolDict(b: Array[Byte], start: Int, len: Int,
+                               input: IndexedSeq[Sym]): Option[IndexedSeq[Sym]] = {
+    if (len < 12) return None
+    val flags = ((b(start) & 0xff) << 8) | (b(start + 1) & 0xff)
+    if ((flags & 1) != 0 || (flags & 2) != 0) return None // SDHUFF / SDREFAGG
+    val template = (flags >>> 10) & 3
+    var p = start + 2
+    val nAt = if (template == 0) 8 else 2
+    if (p + nAt + 8 > start + len) return None
+    val at = Array.tabulate(nAt)(i => b(p + i).toInt)
+    p += nAt
+    val numEx = u32(b, p); val numNew = u32(b, p + 4); p += 8
+    if (numNew > 10000 || numEx > 10000) return None
+    val mq = new MqDecoder(java.util.Arrays.copyOfRange(b, p, start + len))
+    val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+    val gb = new CxTable(1 << contextSize(template))
+    val newSyms = scala.collection.mutable.ArrayBuffer.empty[Sym]
+    var hc = 0
+    var area = 0L
+    while (newSyms.length < numNew) {
+      hc += iadh.decode(mq).getOrElse(return None)
+      if (hc <= 0 || hc > 4096) return None
+      var sw = 0
+      var more = true
+      while (more) {
+        iadw.decode(mq) match {
+          case None => more = false // OOB ends the height class
+          case Some(dw) =>
+            sw += dw
+            if (sw <= 0 || sw > 4096 || newSyms.length >= numNew) return None
+            area += sw.toLong * hc
+            if (area > 64L * 1024 * 1024) return None
+            val bmp = decodeGenericWith(mq, gb, sw, hc, template,
+              tpgdon = false, at).getOrElse(return None)
+            newSyms += Sym(sw, hc, bmp)
+        }
+      }
+    }
+    // export flags: alternating no-export/export runs over input ++ new
+    val all: IndexedSeq[Sym] = input ++ newSyms
+    val ex = new Array[Boolean](all.length)
+    var i = 0
+    var exporting = false
+    while (i < all.length) {
+      val run = iaex.decode(mq).getOrElse(return None)
+      if (run < 0 || i + run > all.length) return None
+      if (exporting) java.util.Arrays.fill(ex, i, i + run, true)
+      i += run
+      exporting = !exporting
+    }
+    val out = all.indices.collect { case j if ex(j) => all(j) }
+    if (out.length != numEx) return None
+    Some(out)
+  }
+
+  /** Decode an arithmetic text-region segment payload (§6.4.5;
+    * SBHUFF=0, SBREFINE=0, TRANSPOSED=0) against the referred
+    * dictionaries' exported symbols. Returns the region bitmap and
+    * its placement. */
+  private def decodeTextRegion(b: Array[Byte], start: Int, len: Int,
+      syms: IndexedSeq[Sym])
+      : Option[(Int, Int, Int, Int, Int, Array[Boolean])] = {
+    if (len < 23 || syms.isEmpty) return None
+    val rw = u32(b, start); val rh = u32(b, start + 4)
+    val rx = u32(b, start + 8); val ry = u32(b, start + 12)
+    val extCombOp = b(start + 16) & 0x07
+    if (rw <= 0 || rh <= 0 || rw > 65536 || rh > 65536 ||
+        rw * rh > 64L * 1024 * 1024) return None
+    val flags = ((b(start + 17) & 0xff) << 8) | (b(start + 18) & 0xff)
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >>> 2) & 3
+    val refCorner = (flags >>> 4) & 3
+    val transposed = (flags & 0x40) != 0
+    val combOp = (flags >>> 7) & 3
+    val defPixel = (flags & 0x200) != 0
+    val dsOffsetRaw = (flags >>> 10) & 0x1F
+    val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw
+    if (sbhuff || refine || transposed) return None // out of envelope
+    val strips = 1 << logStrips
+    if (start + 23 > start + len) return None
+    val numInst = u32(b, start + 19)
+    if (numInst > 1000000) return None
+    val symCodeLen = math.max(1, ceilLog2(syms.length))
+    val mq = new MqDecoder(java.util.Arrays.copyOfRange(b, start + 23, start + len))
+    val iadt = new MqInt; val iafs = new MqInt
+    val iads = new MqInt; val iait = new MqInt
+    val idCx = new CxTable(1 << (symCodeLen + 1))
+    val w = rw.toInt; val h = rh.toInt
+    val region = Array.fill(w * h)(defPixel)
+    var stripT = -iadt.decode(mq).getOrElse(return None) * strips
+    var firstS = 0
+    var inst = 0L
+    while (inst < numInst) {
+      stripT += iadt.decode(mq).getOrElse(return None) * strips
+      var curS = 0
+      var first = true
+      var inStrip = true
+      while (inStrip && inst < numInst) {
+        if (first) {
+          firstS += iafs.decode(mq).getOrElse(return None)
+          curS = firstS
+          first = false
+        } else iads.decode(mq) match {
+          case None => inStrip = false
+          case Some(ids) => curS += ids + dsOffset
+        }
+        if (inStrip) {
+          val curT = if (strips == 1) 0 else iait.decode(mq).getOrElse(return None)
+          val t = stripT + curT
+          val id = iaidDecode(mq, idCx, symCodeLen)
+          if (id >= syms.length) return None
+          val sym = syms(id)
+          // TRANSPOSED=0: S is the left edge; corner bit 0 selects
+          // top- vs bottom-aligned T (pdf.js-equivalent semantics)
+          val top = if ((refCorner & 1) == 1) t else t - sym.h + 1
+          var yy = 0
+          while (yy < sym.h) {
+            val py = top + yy
+            if (py >= 0 && py < h) {
+              var xx = 0
+              while (xx < sym.w) {
+                val px = curS + xx
+                if (px >= 0 && px < w) {
+                  val v = sym.bits(yy * sym.w + xx)
+                  val dst = py * w + px
+                  region(dst) = combOp match {
+                    case 1 => region(dst) & v
+                    case 2 => region(dst) ^ v
+                    case _ => region(dst) | v
+                  }
+                }
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          curS += sym.w - 1
+          inst += 1
+        }
+      }
+    }
+    Some((w, h, rx.toInt, ry.toInt, extCombOp, region))
+  }
+
+  // --------------------------- symbol/text encoder (fixture support)
+
+  /** Encode a symbol dictionary + text region placing `instances`
+    * (symbol index, left x, TOP y) of `glyphs` onto a pageW×pageH
+    * page, as a complete embedded stream (page info + dict + text
+    * region referring to it). Arithmetic coding throughout, SBSTRIPS=1,
+    * REFCORNER=TOPLEFT. Decodable by [[decodeEmbedded]] and any
+    * conformant reader. */
+  def encodeEmbeddedText(glyphs: Seq[(Int, Int, Array[Boolean])],
+                         instances: Seq[(Int, Int, Int)],
+                         pageW: Int, pageH: Int): Array[Byte] = {
+    require(glyphs.nonEmpty, "at least one glyph")
+    // ---- symbol dictionary payload
+    val sdMq = new MqEncoder
+    val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+    val gb = new CxTable(1 << contextSize(0))
+    // height classes ascending; remember each glyph's dictionary index
+    val order = glyphs.zipWithIndex.sortBy { case ((w, h, _), _) => (h, w) }
+    val dictIndex = new Array[Int](glyphs.length)
+    for ((( _, i), di) <- order.zipWithIndex) dictIndex(i) = di
+    var prevH = 0
+    var k = 0
+    while (k < order.length) {
+      val h = order(k)._1._2
+      iadh.encode(sdMq, Some(h - prevH))
+      prevH = h
+      var prevW = 0
+      while (k < order.length && order(k)._1._2 == h) {
+        val (w, _, bits) = order(k)._1
+        iadw.encode(sdMq, Some(w - prevW))
+        prevW = w
+        encodeGenericWith(sdMq, gb, bits, w, h, 0, tpgdon = false)
+        k += 1
+      }
+      iadw.encode(sdMq, None) // OOB ends the height class
+    }
+    iaex.encode(sdMq, Some(0)) // no-export run
+    iaex.encode(sdMq, Some(glyphs.length)) // export-all run
+    val sdData = sdMq.flush()
+    // ---- text region payload
+    val symCodeLen = math.max(1, ceilLog2(glyphs.length))
+    val trMq = new MqEncoder
+    val iadt = new MqInt; val iafs = new MqInt; val iads = new MqInt
+    val idCx = new CxTable(1 << (symCodeLen + 1))
+    iadt.encode(trMq, Some(0)) // STRIPT = 0
+    val byRow = instances.sortBy { case (_, x, y) => (y, x) }
+    var stripT = 0
+    var firstS = 0
+    var i = 0
+    while (i < byRow.length) {
+      val y = byRow(i)._3
+      iadt.encode(trMq, Some(y - stripT))
+      stripT = y
+      var first = true
+      var curS = 0
+      while (i < byRow.length && byRow(i)._3 == y) {
+        val (sym, x, _) = byRow(i)
+        if (first) {
+          iafs.encode(trMq, Some(x - firstS))
+          firstS = x
+          curS = x
+          first = false
+        } else iads.encode(trMq, Some(x - curS))
+        iaidEncode(trMq, idCx, symCodeLen, dictIndex(sym))
+        curS = x + glyphs(sym)._1 - 1
+        i += 1
+      }
+      if (i < byRow.length) iads.encode(trMq, None) // OOB ends the strip
+    }
+    val trData = trMq.flush()
+    // ---- segments
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32o(v: Long): Unit = { u8((v >>> 24).toInt); u8((v >>> 16).toInt); u8((v >>> 8).toInt); u8(v.toInt) }
+    def header(number: Long, segType: Int, refs: Seq[Int], dataLen: Int): Unit = {
+      u32o(number); u8(segType)
+      u8(refs.length << 5) // short-form count, retain bits 0
+      refs.foreach(u8) // 1-byte refs (segment numbers ≤ 256 here)
+      u8(0x01) // page 1
+      u32o(dataLen.toLong)
+    }
+    header(0, 48, Nil, 19)
+    u32o(pageW.toLong); u32o(pageH.toLong); u32o(0); u32o(0)
+    u8(0x00); u16(0)
+    // symbol dictionary: flags(2) + AT(8) + numEx(4) + numNew(4) + data
+    header(1, 0, Nil, 2 + 8 + 8 + sdData.length)
+    u16(0x0000) // SDHUFF=0, SDREFAGG=0, template 0
+    NominalAt(0).foreach(v => u8(v & 0xff))
+    u32o(glyphs.length.toLong); u32o(glyphs.length.toLong)
+    bos.write(sdData)
+    // immediate text region: region info(17) + flags(2) + numInst(4) + data
+    header(2, 6, Seq(1), 17 + 2 + 4 + trData.length)
+    u32o(pageW.toLong); u32o(pageH.toLong); u32o(0); u32o(0)
+    u8(0x00) // external comb: OR
+    u16(1 << 4) // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT
+    u32o(instances.length.toLong)
+    bos.write(trData)
     bos.toByteArray
   }
 }

@@ -87,14 +87,88 @@ class Jbig2Spec extends AnyFunSuite {
     assert(Jbig2.decodeEmbedded(None, data, w, h).exists(_.sameElements(px)))
   }
 
-  test("fail-closed: symbol-dictionary segments, unknown data length, " +
+  // --------------------- symbol dictionary + text region (arithmetic)
+
+  private def glyphOf(pattern: Seq[String]): (Int, Int, Array[Boolean]) = {
+    val h = pattern.length; val w = pattern.head.length
+    (w, h, pattern.flatMap(_.map(_ == '#')).toArray)
+  }
+
+  test("symbol dictionary + text region: planted glyphs render at the " +
+       "planted positions through the full arithmetic path (IADH/IADW/" +
+       "IAEX/IADT/IAFS/IADS/IAID + shared-context bitmaps)") {
+    val gA = glyphOf(Seq("###", "#.#", "###")) // 3x3 ring
+    val gB = glyphOf(Seq("#..#", ".##.", ".##.", "#..#")) // 4x4 X
+    val gC = glyphOf(Seq("##", "##")) // 2x2 block
+    val pageW = 40; val pageH = 16
+    val places = Seq((0, 2, 1), (1, 10, 1), (2, 20, 2), (0, 30, 9),
+      (2, 6, 9), (1, 14, 10))
+    val stream = Jbig2.encodeEmbeddedText(Seq(gA, gB, gC), places, pageW, pageH)
+    val page = Jbig2.decodeEmbedded(None, stream, pageW, pageH).get
+    val expect = new Array[Boolean](pageW * pageH)
+    for ((si, x, y) <- places) {
+      val (gw, gh, bits) = Seq(gA, gB, gC)(si)
+      for (yy <- 0 until gh; xx <- 0 until gw if bits(yy * gw + xx))
+        expect((y + yy) * pageW + (x + xx)) = true
+    }
+    assert(page.sameElements(expect))
+  }
+
+  test("text region symbols resolve through the referred-segment list; " +
+       "a dict in the GLOBALS stream serves a region in the data stream") {
+    val g = glyphOf(Seq("##", ".#"))
+    val full = Jbig2.encodeEmbeddedText(Seq(g), Seq((0, 3, 2), (0, 9, 5)), 16, 8)
+    // split: [page info + symbol dict] as globals, [text region] as data.
+    // page info = 30 bytes; dict = 11-byte header + (2+8+8+sd) data
+    val segs = full
+    val dictLen = {
+      // parse the dict segment's length field from its header at 30
+      val o = 30 + 7
+      (((segs(o) & 0xff) << 24) | ((segs(o + 1) & 0xff) << 16) |
+        ((segs(o + 2) & 0xff) << 8) | (segs(o + 3) & 0xff))
+    }
+    val cut = 30 + 11 + dictLen
+    val globals = java.util.Arrays.copyOfRange(full, 0, cut)
+    val data = java.util.Arrays.copyOfRange(full, cut, full.length)
+    val viaGlobals = Jbig2.decodeEmbedded(Some(globals), data, 16, 8)
+    val direct = Jbig2.decodeEmbedded(None, full, 16, 8)
+    assert(viaGlobals.isDefined && direct.isDefined)
+    assert(viaGlobals.get.sameElements(direct.get))
+    // region WITHOUT its dictionary fails closed (refs don't resolve)
+    assert(Jbig2.decodeEmbedded(None, data, 16, 8).isEmpty)
+  }
+
+  test("symbol/text fuzz: bit-flipped and truncated streams never throw") {
+    val g1 = glyphOf(Seq("###", ".#.")) ; val g2 = glyphOf(Seq("#", "#", "#"))
+    val good = Jbig2.encodeEmbeddedText(Seq(g1, g2),
+      Seq((0, 1, 1), (1, 8, 2), (0, 14, 8)), 20, 12)
+    val r = new scala.util.Random(42)
+    for (_ <- 0 until 400) {
+      val m = good.clone()
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, 20, 12) // Option either way
+    }
+    for (cut <- 1 until good.length by 7)
+      Jbig2.decodeEmbedded(None, good.take(cut), 20, 12)
+  }
+
+  test("fail-closed: Huffman-coded dictionaries, unknown data length, " +
        "truncation, and oversized regions all yield None (never throw)") {
     val w = 8; val h = 4
     val px = Array.fill(w * h)(false)
     val good = Jbig2.encodeEmbedded(px, w, h)
-    // type 0 (symbol dictionary) in the walk → None
-    val sym = good.clone(); sym(4) = 0x00 // page-info header flags byte → type 0
-    assert(Jbig2.decodeEmbedded(None, sym, w, h).isEmpty)
+    // a halftone-region type in the walk → None (out of envelope);
+    // note retyping page info to a symbol dict (type 0) decodes as a
+    // LEGAL zero-symbol dictionary — leniency, not a hole
+    val halftone = good.clone(); halftone(4) = 20 // page-info header → type 20
+    assert(Jbig2.decodeEmbedded(None, halftone, w, h).isEmpty)
+    // Huffman-coded dictionary (SDHUFF=1) fails closed up front
+    val g = glyphOf(Seq("#"))
+    val txt = Jbig2.encodeEmbeddedText(Seq(g), Seq((0, 0, 0)), 4, 4)
+    val huff = txt.clone()
+    huff(30 + 11 + 1) = (huff(30 + 11 + 1) | 0x01).toByte // dict flags low byte
+    assert(Jbig2.decodeEmbedded(None, huff, 4, 4).isEmpty)
     // unknown data length 0xFFFFFFFF
     val unk = good.clone()
     for (i <- 7 until 11) unk(i) = 0xFF.toByte
