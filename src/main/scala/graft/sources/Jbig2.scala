@@ -408,6 +408,7 @@ object Jbig2 {
       if (rw <= 0 || rh <= 0 || rx < 0 || ry < 0 ||
           rw > w || rh > h || rx.toLong + rw > w || ry.toLong + rh > h)
         return None
+      if (extCombOp > 4) return None // 5–7 invalid: never fabricate
       if (page == null) page = Array.fill(w * h)(defaultPixel)
       var yy = 0
       while (yy < rh) {
@@ -420,7 +421,7 @@ object Jbig2 {
             case 1 => page(dst) & v // AND
             case 2 => page(dst) ^ v // XOR
             case 3 => !(page(dst) ^ v) // XNOR
-            case _ => v // REPLACE
+            case _ => v // 4 = REPLACE
           }
           xx += 1
         }
@@ -439,6 +440,10 @@ object Jbig2 {
                 if (s.dataLen >= 17) {
                   val flags = b(s.dataStart + 16) & 0xff
                   defaultPixel = (flags & 0x04) != 0
+                  // striped pages (striping-info bit 15) deliver rows
+                  // through end-of-stripe segments we don't track
+                  if (s.dataLen >= 19 &&
+                      (b(s.dataStart + 17) & 0x80) != 0) return None
                   if (page == null) {
                     page = Array.fill(w * h)(defaultPixel)
                   }
@@ -505,6 +510,36 @@ object Jbig2 {
     if (ok && sawRegion && page != null) Some(page) else None
   }
 
+  /** Shared fixture-side segment writer: byte primitives, the §7.2
+    * header (1-byte page association, short-form referred list), and
+    * the 19-byte page-information payload — one implementation for
+    * both the generic-region and symbol/text encoders. */
+  private final class SegWriter {
+    private val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
+    def u32(v: Long): Unit = {
+      u8((v >>> 24).toInt); u8((v >>> 16).toInt)
+      u8((v >>> 8).toInt); u8(v.toInt)
+    }
+    def bytes(b: Array[Byte]): Unit = bos.write(b)
+    def header(number: Long, segType: Int, dataLen: Int,
+               refs: Seq[Int] = Nil): Unit = {
+      u32(number); u8(segType) // flags: page-assoc 1 byte, no defer
+      u8(refs.length << 5) // short-form count, retain bits 0
+      refs.foreach(u8) // 1-byte refs (segment numbers ≤ 256 here)
+      u8(0x01) // page association: page 1
+      u32(dataLen.toLong)
+    }
+    def pageInfo(w: Int, h: Int): Unit = {
+      header(0, 48, 19)
+      u32(w.toLong); u32(h.toLong); u32(0); u32(0)
+      u8(0x00) // flags: default pixel 0, OR combination
+      u16(0) // no striping
+    }
+    def result(): Array[Byte] = bos.toByteArray
+  }
+
   /** Build an embedded-format stream (page info + one immediate
     * lossless generic region) for fixtures: MQ-coded when mmr=false,
     * T.6-coded (via [[CcittG4.encode]]) when mmr=true. */
@@ -512,36 +547,20 @@ object Jbig2 {
                      template: Int = 0, tpgdon: Boolean = false,
                      mmr: Boolean = false): Array[Byte] = {
     require(pixels.length == w * h, "pixel buffer shape")
-    val bos = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = bos.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
-    def u32o(v: Long): Unit = { u8((v >>> 24).toInt); u8((v >>> 16).toInt); u8((v >>> 8).toInt); u8(v.toInt) }
-    def header(number: Long, segType: Int, dataLen: Int): Unit = {
-      u32o(number); u8(segType) // flags: page-assoc 1 byte, no defer
-      u8(0x00) // referred-to count 0, retain bits 0
-      u8(0x01) // page association: page 1
-      u32o(dataLen.toLong)
-    }
-    // page information segment (§7.4.8): 19 bytes
-    header(0, 48, 19)
-    u32o(w.toLong); u32o(h.toLong); u32o(0); u32o(0)
-    u8(0x00) // flags: default pixel 0, OR combination
-    u16(0)   // no striping
+    val sw = new SegWriter
+    sw.pageInfo(w, h)
     // immediate lossless generic region (§7.4.6)
     val payload =
       if (mmr) CcittG4.encode(pixels, w, h)
       else encodeGeneric(pixels, w, h, template, tpgdon)
     val at = if (mmr) Array.empty[Int] else NominalAt(template)
-    val dataLen = 17 + 1 + at.length + payload.length
-    header(1, 39, dataLen)
-    u32o(w.toLong); u32o(h.toLong); u32o(0); u32o(0)
-    u8(0x00) // external combination: OR
-    val gFlags = (if (mmr) 1 else 0) | (template << 1) |
-      (if (tpgdon) 8 else 0)
-    u8(gFlags)
-    at.foreach(v => u8(v & 0xff))
-    bos.write(payload)
-    bos.toByteArray
+    sw.header(1, 39, 17 + 1 + at.length + payload.length)
+    sw.u32(w.toLong); sw.u32(h.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00) // external combination: OR
+    sw.u8((if (mmr) 1 else 0) | (template << 1) | (if (tpgdon) 8 else 0))
+    at.foreach(v => sw.u8(v & 0xff))
+    sw.bytes(payload)
+    sw.result()
   }
 
   // ----------------------- integer arithmetic decoding (Annex A)
@@ -646,6 +665,10 @@ object Jbig2 {
     if (len < 12) return None
     val flags = ((b(start) & 0xff) << 8) | (b(start + 1) & 0xff)
     if ((flags & 1) != 0 || (flags & 2) != 0) return None // SDHUFF / SDREFAGG
+    // bit 8: "bitmap coding context used" — this decoder never retains
+    // GB context across dictionaries, so honoring the flag is
+    // impossible; decoding anyway would return silently garbled glyphs
+    if ((flags & 0x100) != 0) return None
     val template = (flags >>> 10) & 3
     var p = start + 2
     val nAt = if (template == 0) 8 else 2
@@ -660,7 +683,13 @@ object Jbig2 {
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Sym]
     var hc = 0
     var area = 0L
+    // progress guard: the MQ decoder never exhausts input (BYTEIN
+    // feeds 1-bits past the end), so a hostile stream of empty height
+    // classes (dh, immediate OOB) would otherwise spin forever
+    var classes = 0
     while (newSyms.length < numNew) {
+      classes += 1
+      if (classes > numNew + 64) return None
       hc += iadh.decode(mq).getOrElse(return None)
       if (hc <= 0 || hc > 4096) return None
       var sw = 0
@@ -684,7 +713,13 @@ object Jbig2 {
     val ex = new Array[Boolean](all.length)
     var i = 0
     var exporting = false
+    // progress guard: zero-length runs are legal (the leading
+    // no-export run is usually 0) but an endless run=0 sequence from
+    // a truncated stream's 0xFF fill must not hang the executor
+    var runs = 0
     while (i < all.length) {
+      runs += 1
+      if (runs > 2 * all.length + 4) return None
       val run = iaex.decode(mq).getOrElse(return None)
       if (run < 0 || i + run > all.length) return None
       if (exporting) java.util.Arrays.fill(ex, i, i + run, true)
@@ -768,9 +803,10 @@ object Jbig2 {
                   val v = sym.bits(yy * sym.w + xx)
                   val dst = py * w + px
                   region(dst) = combOp match {
+                    case 0 => region(dst) | v
                     case 1 => region(dst) & v
                     case 2 => region(dst) ^ v
-                    case _ => region(dst) | v
+                    case _ => !(region(dst) ^ v) // 3 = XNOR (§6.4)
                   }
                 }
                 xx += 1
@@ -857,33 +893,21 @@ object Jbig2 {
     }
     val trData = trMq.flush()
     // ---- segments
-    val bos = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = bos.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >>> 8); u8(v) }
-    def u32o(v: Long): Unit = { u8((v >>> 24).toInt); u8((v >>> 16).toInt); u8((v >>> 8).toInt); u8(v.toInt) }
-    def header(number: Long, segType: Int, refs: Seq[Int], dataLen: Int): Unit = {
-      u32o(number); u8(segType)
-      u8(refs.length << 5) // short-form count, retain bits 0
-      refs.foreach(u8) // 1-byte refs (segment numbers ≤ 256 here)
-      u8(0x01) // page 1
-      u32o(dataLen.toLong)
-    }
-    header(0, 48, Nil, 19)
-    u32o(pageW.toLong); u32o(pageH.toLong); u32o(0); u32o(0)
-    u8(0x00); u16(0)
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
     // symbol dictionary: flags(2) + AT(8) + numEx(4) + numNew(4) + data
-    header(1, 0, Nil, 2 + 8 + 8 + sdData.length)
-    u16(0x0000) // SDHUFF=0, SDREFAGG=0, template 0
-    NominalAt(0).foreach(v => u8(v & 0xff))
-    u32o(glyphs.length.toLong); u32o(glyphs.length.toLong)
-    bos.write(sdData)
+    sw.header(1, 0, 2 + 8 + 8 + sdData.length)
+    sw.u16(0x0000) // SDHUFF=0, SDREFAGG=0, template 0
+    NominalAt(0).foreach(v => sw.u8(v & 0xff))
+    sw.u32(glyphs.length.toLong); sw.u32(glyphs.length.toLong)
+    sw.bytes(sdData)
     // immediate text region: region info(17) + flags(2) + numInst(4) + data
-    header(2, 6, Seq(1), 17 + 2 + 4 + trData.length)
-    u32o(pageW.toLong); u32o(pageH.toLong); u32o(0); u32o(0)
-    u8(0x00) // external comb: OR
-    u16(1 << 4) // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT
-    u32o(instances.length.toLong)
-    bos.write(trData)
-    bos.toByteArray
+    sw.header(2, 6, 17 + 2 + 4 + trData.length, refs = Seq(1))
+    sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00) // external comb: OR
+    sw.u16(1 << 4) // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT
+    sw.u32(instances.length.toLong)
+    sw.bytes(trData)
+    sw.result()
   }
 }

@@ -560,11 +560,15 @@ object MiniPdf {
     * with a same-dims gray `/SMask` merged as the PNG alpha channel
     * (r16, [[smaskAlpha]]; transparency is part of what PyMuPDF
     * surfaces, and PNG carries it natively);
-    * a `/JBIG2Decode` GENERIC-REGION stream (MQ or MMR, optional
-    * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16).
-    * Unsupported encodings (JPX, JBIG2 symbol/halftone segments,
-    * /Separation, /Lab, unexpected bit depths), oversized dims, or
-    * undersized sample data yield None — dropped, never fabricated. */
+    * a `/JBIG2Decode` stream (generic regions — MQ or MMR — AND
+    * arithmetic symbol-dictionary + text-region segments, optional
+    * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16);
+    * a `/Separation` raster evaluates its tint transform through
+    * [[PdfFunction]] into the alternate space (r16). Unsupported
+    * encodings (JPX, Huffman-coded or halftone JBIG2, Type 4
+    * PostScript tints, /DeviceN, /Lab, unexpected bit depths),
+    * oversized dims, or undersized sample data yield None — dropped,
+    * never fabricated. */
   def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
     val o = objs.getOrElse(num, return None)
     val raw = o.stream.getOrElse(return None)
@@ -608,11 +612,12 @@ object MiniPdf {
           rasterToPng(px, w, h, 1)
         }
       } else if (filters.lastOption.contains("JBIG2Decode")) {
-        // JBIG2 scanned-document leg (r16): generic-region streams
-        // (MQ-coded or MMR) decode through [[Jbig2]]; symbol-coded
-        // text regions stay fail-closed. An optional shared
-        // /JBIG2Globals stream (ISO 32000-1 §7.4.7) is decoded with
-        // its own filter chain and walked first.
+        // JBIG2 scanned-document leg (r16): generic regions (MQ-coded
+        // or MMR) and arithmetic symbol-dictionary + text-region
+        // streams decode through [[Jbig2]]; Huffman/halftone variants
+        // stay fail-closed. An optional shared /JBIG2Globals stream
+        // (ISO 32000-1 §7.4.7) is decoded with its own filter chain
+        // and walked first.
         val pre = applyFilters(raw, o.dict, filters.dropRight(1))
         val globals = """/JBIG2Globals\s+(\d+)\s+\d+\s+R""".r
           .findFirstMatchIn(o.dict)
@@ -831,9 +836,10 @@ object MiniPdf {
     * (ISO 32000-1 §8.6.4.4: R = 1 − min(1, C + K) etc. — the same
     * un-color-managed conversion extractors use); `[/Indexed base
     * hival lookup]` with an RGB-class base resolves its palette from
-    * the literal string, hex string, or stream form. Anything else
-    * (/Separation, /Lab, …) is unsupported → the payload drops rather
-    * than guesses. */
+    * the literal string, hex string, or stream form; `[/Separation
+    * /Name alt tintFn]` compiles its tint transform via
+    * [[PdfFunction]] (r16). Anything else (/DeviceN, /Lab, …) is
+    * unsupported → the payload drops rather than guesses. */
   private def resolveColorSpace(objs: Map[Int, PdfObj], dict: String): Cs = {
     if ("""/ColorSpace\s*/DeviceRGB\b""".r.findFirstIn(dict).isDefined) return CsRgb
     if ("""/ColorSpace\s*/DeviceGray\b""".r.findFirstIn(dict).isDefined) return CsGray

@@ -21,20 +21,29 @@ object PdfFunction {
     * evaluator) → output vector. */
   type Fn1 = Double => Array[Double]
 
-  private def numList(s: String, key: String): Option[Array[Double]] = {
-    val at = s.indexOf(key)
-    if (at < 0) return None
+  /** Tri-state key parse, so "absent" (→ spec default) never conflates
+    * with "present but indirect/malformed" (→ fail closed — a /C0
+    * carried as `9 0 R` must NOT silently become the default and
+    * fabricate colors): Right(None) = absent, Right(Some(xs)) = parsed
+    * inline array, Left(()) = present but not an inline numeric array. */
+  private def numList(s: String, key: String)
+      : Either[Unit, Option[Array[Double]]] = {
+    val at = (java.util.regex.Pattern.quote(key) + """(?![A-Za-z0-9])""").r
+      .findFirstMatchIn(s).map(_.start).getOrElse(return Right(None))
     val open = s.indexOf('[', at + key.length)
-    if (open < 0) return None
-    // reject if anything but whitespace sits between key and '['
-    if (s.substring(at + key.length, open).exists(!_.isWhitespace)) return None
+    // anything but whitespace between key and '[' (or no '[' at all):
+    // an indirect ref or non-array value — present but unusable
+    if (open < 0 ||
+        s.substring(at + key.length, open).exists(!_.isWhitespace))
+      return Left(())
     val close = s.indexOf(']', open)
-    if (close < 0) return None
+    if (close < 0) return Left(())
     val body = s.substring(open + 1, close).trim
-    if (body.isEmpty) return Some(Array.empty)
-    try Some(body.split("\\s+").map(_.toDouble))
-    catch { case _: NumberFormatException => None }
+    if (body.isEmpty) return Right(Some(Array.empty))
+    try Right(Some(body.split("\\s+").map(_.toDouble)))
+    catch { case _: NumberFormatException => Left(()) }
   }
+
 
   private def clamp(v: Double, lo: Double, hi: Double): Double =
     if (v < lo) lo else if (v > hi) hi else v
@@ -50,16 +59,29 @@ object PdfFunction {
     if (depth > 4) return None
     val o = objs.getOrElse(num, return None)
     val d = o.dict
-    val domain = numList(d, "/Domain").filter(_.length >= 2).getOrElse(return None)
+    val domain = numList(d, "/Domain") match {
+      case Right(Some(a)) if a.length >= 2 => a
+      case _ => return None // required, inline
+    }
     val (d0, d1) = (domain(0), domain(1))
     val ftype = """/FunctionType\s+(\d+)""".r.findFirstMatchIn(d)
       .map(_.group(1).toInt).getOrElse(return None)
     ftype match {
       case 2 =>
-        val c0 = numList(d, "/C0").getOrElse(Array(0.0))
-        val c1 = numList(d, "/C1").getOrElse(Array(1.0))
-        if (c0.length != c1.length || c0.isEmpty) return None
-        val n = """/N\s+([-0-9.]+)""".r.findFirstMatchIn(d)
+        val c0 = numList(d, "/C0") match {
+          case Right(None) => Array(0.0)
+          case Right(Some(a)) if a.nonEmpty => a
+          case _ => return None
+        }
+        val c1 = numList(d, "/C1") match {
+          case Right(None) => Array(1.0)
+          case Right(Some(a)) if a.nonEmpty => a
+          case _ => return None
+        }
+        if (c0.length != c1.length) return None
+        // the lookahead rejects an indirect `/N 9 0 R` (a bare-regex
+        // read would otherwise treat the object NUMBER as the exponent)
+        val n = """/N\s+([-0-9.]+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(d)
           .map(_.group(1).toDouble).getOrElse(return None)
         Some { t0 =>
           val t = clamp(t0, d0, d1)
@@ -67,18 +89,28 @@ object PdfFunction {
           Array.tabulate(c0.length)(j => c0(j) + xn * (c1(j) - c0(j)))
         }
       case 0 =>
-        val range = numList(d, "/Range").filter(r => r.length >= 2 && r.length % 2 == 0)
-          .getOrElse(return None)
+        val range = numList(d, "/Range") match {
+          case Right(Some(a)) if a.length >= 2 && a.length % 2 == 0 => a
+          case _ => return None // required, inline
+        }
         val nOut = range.length / 2
-        val size = numList(d, "/Size").filter(_.length == 1) // 1-input only
-          .map(_(0).toInt).getOrElse(return None)
+        val size = numList(d, "/Size") match {
+          case Right(Some(a)) if a.length == 1 => a(0).toInt // 1-input only
+          case _ => return None
+        }
         if (size < 1 || size > 65536) return None
         val bps = intKey(d, "/BitsPerSample").getOrElse(return None)
         if (!Set(1, 2, 4, 8, 16).contains(bps)) return None
-        val encode = numList(d, "/Encode").filter(_.length >= 2)
-          .getOrElse(Array(0.0, (size - 1).toDouble))
-        val decode = numList(d, "/Decode").filter(_.length == range.length)
-          .getOrElse(range)
+        val encode = numList(d, "/Encode") match {
+          case Right(None) => Array(0.0, (size - 1).toDouble)
+          case Right(Some(a)) if a.length >= 2 => a
+          case _ => return None
+        }
+        val decode = numList(d, "/Decode") match {
+          case Right(None) => range
+          case Right(Some(a)) if a.length == range.length => a
+          case _ => return None
+        }
         val data = MiniPdf.decodedStream(o)
         val needBits = size.toLong * nOut * bps
         if (data.length.toLong * 8 < needBits) return None
@@ -117,8 +149,14 @@ object PdfFunction {
             .map(_.group(1).toInt).toArray
         }
         if (funcRefs.isEmpty) return None
-        val bounds = numList(d, "/Bounds").getOrElse(return None)
-        val encode = numList(d, "/Encode").getOrElse(return None)
+        val bounds = numList(d, "/Bounds") match {
+          case Right(Some(a)) => a
+          case _ => return None // required, inline
+        }
+        val encode = numList(d, "/Encode") match {
+          case Right(Some(a)) => a
+          case _ => return None // required, inline
+        }
         if (bounds.length != funcRefs.length - 1 ||
             encode.length != 2 * funcRefs.length) return None
         val subs = funcRefs.map(build(objs, _, depth + 1))

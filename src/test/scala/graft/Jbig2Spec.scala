@@ -138,7 +138,9 @@ class Jbig2Spec extends AnyFunSuite {
     assert(Jbig2.decodeEmbedded(None, data, 16, 8).isEmpty)
   }
 
-  test("symbol/text fuzz: bit-flipped and truncated streams never throw") {
+  test("symbol/text fuzz: bit-flipped and truncated streams never throw " +
+       "AND never spin (the MQ decoder feeds 1-bits past end-of-data — " +
+       "the export/height-class loops need progress guards)") {
     val g1 = glyphOf(Seq("###", ".#.")) ; val g2 = glyphOf(Seq("#", "#", "#"))
     val good = Jbig2.encodeEmbeddedText(Seq(g1, g2),
       Seq((0, 1, 1), (1, 8, 2), (0, 14, 8)), 20, 12)
@@ -149,8 +151,50 @@ class Jbig2Spec extends AnyFunSuite {
       m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
       Jbig2.decodeEmbedded(None, m, 20, 12) // Option either way
     }
-    for (cut <- 1 until good.length by 7)
+    // EVERY truncation point, incl. cuts inside the dictionary's MQ
+    // payload whose 0xFF tail used to decode run=0/dh=0 forever
+    for (cut <- 1 until good.length)
       Jbig2.decodeEmbedded(None, good.take(cut), 20, 12)
+  }
+
+  test("review regressions: dict context-reuse flag, striped pages, " +
+       "invalid external comb ops fail closed; text XNOR comb op is " +
+       "honoured (not silently decoded as OR)") {
+    val g = glyphOf(Seq("#.", "##")) // mixed bits: XNOR output is distinctive
+    val good = Jbig2.encodeEmbeddedText(Seq(g), Seq((0, 1, 1)), 6, 4)
+    // symbol-dict flags bit 8 ("bitmap coding context used"): this
+    // decoder cannot honour retained contexts -> None, never garble
+    val ctxUsed = good.clone()
+    ctxUsed(30 + 11) = (ctxUsed(30 + 11) | 0x01).toByte // flags high byte
+    assert(Jbig2.decodeEmbedded(None, ctxUsed, 6, 4).isEmpty)
+    // page-info striping bit 15 -> None
+    val striped = good.clone()
+    striped(11 + 17) = (striped(11 + 17) | 0x80).toByte
+    assert(Jbig2.decodeEmbedded(None, striped, 6, 4).isEmpty)
+    // region-info external comb op 5 -> None (was silently REPLACE)
+    val w0 = 8; val h0 = 4
+    val gen = Jbig2.encodeEmbedded(Array.fill(w0 * h0)(true), w0, h0)
+    val badOp = gen.clone()
+    badOp(30 + 11 + 16) = 5 // region segment info comb-op byte
+    assert(Jbig2.decodeEmbedded(None, badOp, w0, h0).isEmpty)
+    // text-region SBCOMBOP=3 (XNOR): pixels under the symbol become
+    // the COMPLEMENT of its bits; untouched pixels stay 0
+    val dictLen = {
+      val o = 30 + 7
+      ((good(o) & 0xff) << 24) | ((good(o + 1) & 0xff) << 16) |
+        ((good(o + 2) & 0xff) << 8) | (good(o + 3) & 0xff)
+    }
+    // text header = 12 bytes (one referred-segment byte), then 17-byte
+    // region segment info, then the 2-byte text-region flags
+    val trFlagsAt = 30 + 11 + dictLen + 12 + 17
+    val xnor = good.clone()
+    val f = (((xnor(trFlagsAt) & 0xff) << 8) | (xnor(trFlagsAt + 1) & 0xff)) | (3 << 7)
+    xnor(trFlagsAt) = (f >>> 8).toByte; xnor(trFlagsAt + 1) = f.toByte
+    val page = Jbig2.decodeEmbedded(None, xnor, 6, 4).get
+    val expect = new Array[Boolean](6 * 4)
+    for (yy <- 0 until 2; xx <- 0 until 2)
+      expect((1 + yy) * 6 + (1 + xx)) = !g._3(yy * 2 + xx)
+    assert(page.sameElements(expect))
   }
 
   test("fail-closed: Huffman-coded dictionaries, unknown data length, " +

@@ -403,6 +403,17 @@ class Round16Spec extends AnyFunSuite {
     // /Decode [1 0] inverts the tint
     val inv = onlyImage(sepPdf("/DeviceRGB", t2, 255, "/Decode [1 0] ")).get
     assert((inv.getRGB(0, 0) & 0xFFFFFF) == 0, "tint 0 -> C0 black")
+    // a PRESENT-but-indirect /C0 must fail closed, not silently take
+    // the spec default and fabricate colors (review regression)
+    val indirect = Seq(
+      (8, "<< /FunctionType 2 /Domain [0 1] /C0 9 0 R /C1 [1 1 1] /N 1 >>", None),
+      (9, "<< >>", None))
+    assert(onlyImage(sepPdf("/DeviceRGB", indirect, 128)).isEmpty)
+    // same for a malformed /Encode on a sampled function
+    val badEnc = Seq((8, "<< /FunctionType 0 /Domain [0 1] /Range [0 1] " +
+      "/Size [4] /BitsPerSample 8 /Encode 9 0 R /Length 4 >>",
+      Some(Array[Byte](0, 50, 100, (150).toByte))))
+    assert(onlyImage(sepPdf("/DeviceGray", badEnc, 128)).isEmpty)
   }
 
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
