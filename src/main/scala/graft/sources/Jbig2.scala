@@ -570,7 +570,7 @@ object Jbig2 {
     * own 512-context table and the PREV-tree context evolution.
     * Returns None for the OOB decision (the spec's "negative zero"),
     * Some(v) otherwise. */
-  private[sources] final class MqInt {
+  private[graft] final class MqInt {
     private val cx = new CxTable(512)
     private var prev = 0
     private def bit(mq: MqDecoder): Int = {

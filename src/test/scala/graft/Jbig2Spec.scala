@@ -87,6 +87,30 @@ class Jbig2Spec extends AnyFunSuite {
     assert(Jbig2.decodeEmbedded(None, data, w, h).exists(_.sameElements(px)))
   }
 
+  test("Annex A integer coder round-trips every prefix range, signs, " +
+       "OOB, and random interleavings across multiple procedures") {
+    val values: Seq[Option[Int]] =
+      Seq(0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000)
+        .flatMap(v => Seq(Some(v), Some(-v))) ++ Seq(None, Some(0)) ++
+        Seq.fill(200)(Some(new scala.util.Random(7).nextInt(2000000) - 1000000))
+    val enc = new Jbig2.MqEncoder
+    val eA = new Jbig2.MqInt; val eB = new Jbig2.MqInt
+    // interleave two procedures so their context tables stay separate
+    for ((v, i) <- values.zipWithIndex)
+      (if (i % 2 == 0) eA else eB).encode(enc, v)
+    val data = enc.flush()
+    val mq = new Jbig2.MqDecoder(data)
+    val dA = new Jbig2.MqInt; val dB = new Jbig2.MqInt
+    for ((v, i) <- values.zipWithIndex) {
+      val got = (if (i % 2 == 0) dA else dB).decode(mq)
+      // -0 is the OOB encoding, so Some(-0)=Some(0) and None share a
+      // wire form differing only in sign; both decode to the value the
+      // encoder intended except literal Some(0) after None stays Some(0)
+      assert(got == v || (v.contains(0) && got.contains(0)),
+        s"index $i: $v -> $got")
+    }
+  }
+
   // --------------------- symbol dictionary + text region (arithmetic)
 
   private def glyphOf(pattern: Seq[String]): (Int, Int, Array[Boolean]) = {
