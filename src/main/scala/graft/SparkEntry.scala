@@ -11239,6 +11239,62 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q382_pdf_type4" -> ((s, dir) => {
+      // TYPE 4 (PostScript calculator) tint transforms (r16 — §7.10.5,
+      // the MOST COMMON tint type in real print PDFs, previously
+      // fail-closed): per doc one uniform-tint /Separation image whose
+      // transform cycles three planted programs — (0) `{ 1 exch sub }`
+      // (the classic ink inversion; exercises exch/sub), (1)
+      // `{ dup mul }` (t²; dup + mul), (2) a three-output dup/mul
+      // chain over a DeviceRGB alternate. A tokenizer slip, stack-
+      // order bug, or output-arity leak shifts the luminance and
+      // breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 5 + (id % 8).toInt; val h = 4 + (id % 6).toInt
+        val sByte = ((id * 9) % 256).toInt
+        val leg = (id % 3).toInt
+        val (alt, range, prog) = leg match {
+          case 0 => ("/DeviceGray", "[0 1]", "{ 1 exch sub }")
+          case 1 => ("/DeviceGray", "[0 1]", "{ dup mul }")
+          case _ => ("/DeviceRGB", "[0 1 0 1 0 1]",
+            "{ dup 0.5 mul dup 0.5 mul }")
+        }
+        val progBytes = prog.getBytes(ISO)
+        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        val px = Array.fill(w * h)(sByte.toByte)
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          s"/BitsPerComponent 8 /ColorSpace [/Separation /Ink $alt 8 0 R] " +
+          s"/Length ${px.length} >>", Some(px))
+        obj(8, s"<< /FunctionType 4 /Domain [0 1] /Range $range " +
+          s"/Length ${progBytes.length} >>", Some(progBytes))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17713,6 +17769,30 @@ object SparkEntry {
         |    CASE leg WHEN 0 THEN 0.299 * r0 + 0.587 * gg0 + 0.114 * b0
         |      WHEN 1 THEN 0.299 * gray1 + 0.587 * gray1 + 0.114 * gray1
         |      ELSE 0.299 * gray2 + 0.587 * gray2 + 0.114 * gray2 END AS lum
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM l""".stripMargin,
+
+    // q382: Type 4 PostScript tints — oracle replays each planted
+    // program's arithmetic (1−t, t², dup/mul chain) byte-for-byte
+    "q382_pdf_type4" ->
+      """WITH p AS (SELECT doc_id,
+        |    5 + doc_id % 8 AS w, 4 + doc_id % 6 AS h,
+        |    ((doc_id * 9) % 256) / 255.0 AS t,
+        |    doc_id % 3 AS leg
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h, leg,
+        |    FLOOR(255 * (1 - t) + 0.5) AS g0,
+        |    FLOOR(255 * (t * t) + 0.5) AS g1,
+        |    FLOOR(255 * t + 0.5) AS r2,
+        |    FLOOR(255 * (t * 0.5) + 0.5) AS gg2,
+        |    FLOOR(255 * ((t * 0.5) * 0.5) + 0.5) AS b2
+        |  FROM p),
+        |l AS (SELECT doc_id, w, h,
+        |    CASE leg WHEN 0 THEN 0.299 * g0 + 0.587 * g0 + 0.114 * g0
+        |      WHEN 1 THEN 0.299 * g1 + 0.587 * g1 + 0.114 * g1
+        |      ELSE 0.299 * r2 + 0.587 * gg2 + 0.114 * b2 END AS lum
         |  FROM v)
         |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6

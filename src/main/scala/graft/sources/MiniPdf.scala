@@ -565,10 +565,9 @@ object MiniPdf {
     * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16);
     * a `/Separation` raster evaluates its tint transform through
     * [[PdfFunction]] into the alternate space (r16). Unsupported
-    * encodings (JPX, Huffman-coded or halftone JBIG2, Type 4
-    * PostScript tints, /DeviceN, /Lab, unexpected bit depths),
-    * oversized dims, or undersized sample data yield None — dropped,
-    * never fabricated. */
+    * encodings (JPX, Huffman-coded or halftone JBIG2, /DeviceN,
+    * /Lab, unexpected bit depths), oversized dims, or undersized
+    * sample data yield None — dropped, never fabricated. */
   def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
     val o = objs.getOrElse(num, return None)
     val raw = o.stream.getOrElse(return None)

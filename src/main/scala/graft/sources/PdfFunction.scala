@@ -10,9 +10,12 @@ package graft.sources
   *     1/2/4/8/16, linear interpolation, Encode/Decode defaults per
   *     Table 39
   *   - Type 3 (stitching): 1-input piecewise composition of the above
+  *   - Type 4 (PostScript calculator): the [[PsCalc]] interpreter —
+  *     the full §7.10.5 operator set with degree trig, typed booleans,
+  *     if/ifelse blocks, and a stack/op budget against hostile input
   *
-  * Type 4 (PostScript calculator) and multi-input sampled functions
-  * yield None — fail closed, the same contract as the rest of MiniPdf.
+  * Multi-input sampled functions yield None — fail closed, the same
+  * contract as the rest of MiniPdf.
   * Evaluation clamps inputs to Domain and outputs to Range (§7.10.1),
   * exactly as a conformant renderer does. */
 object PdfFunction {
@@ -171,10 +174,235 @@ object PdfFunction {
           val e = interp(t, lo, hi, encode(2 * k), encode(2 * k + 1))
           fns(k)(e)
         }
-      case _ => None // Type 4 (PostScript) and unknown types: fail closed
+      case 4 =>
+        // PostScript calculator (§7.10.5) — the most common tint
+        // transform in print-origin PDFs. Bounded interpreter: the
+        // full spec operator set, degree-based trig, a 100-deep stack
+        // and a 10k-op budget per evaluation (hostile programs must
+        // not hang an executor). Any type error, stack violation, or
+        // budget hit fails the evaluation → the payload drops.
+        val range = numList(d, "/Range") match {
+          case Right(Some(a)) if a.length >= 2 && a.length % 2 == 0 => a
+          case _ => return None // required, inline
+        }
+        val nOut = range.length / 2
+        val src = new String(MiniPdf.decodedStream(o),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val prog = PsCalc.parse(src).getOrElse(return None)
+        Some { t0 =>
+          val t = clamp(t0, d0, d1)
+          PsCalc.run(prog, Array(t), nOut) match {
+            case Some(out) =>
+              Array.tabulate(nOut)(j =>
+                clamp(out(j), range(2 * j), range(2 * j + 1)))
+            case None =>
+              // poison the output so the caller's byte-mapping stage
+              // (which checks arity) drops the payload
+              Array.empty[Double]
+          }
+        }
+      case _ => None // unknown types: fail closed
     }
   }
 
   private def intKey(d: String, key: String): Option[Int] =
     (key + """\s+(\d+)""").r.findFirstMatchIn(d).map(_.group(1).toInt)
+}
+
+/** §7.10.5 PostScript-calculator subset: tokenizer + evaluator for
+  * the spec's operator list (arithmetic in doubles, trig in DEGREES,
+  * bitwise on integers, booleans as a distinct type, `if`/`ifelse`
+  * over nested procedure blocks). No variables, no loops — programs
+  * terminate by construction, and an op budget guards crafted
+  * pathological nesting. */
+private[sources] object PsCalc {
+  sealed trait Tok
+  final case class Num(v: Double) extends Tok
+  final case class Op(name: String) extends Tok
+  final case class Block(body: Vector[Tok]) extends Tok
+
+  /** Parse `{ ... }` (the outermost braces are the program);
+    * %-comments strip to end-of-line first. */
+  def parse(src: String): Option[Vector[Tok]] = {
+    val clean = src.split('\n').map(l => l.takeWhile(_ != '%')).mkString(" ")
+    val toks = clean.split("""\s+""").filter(_.nonEmpty)
+      .flatMap { t => // split glued braces: "{dup" etc.
+        t.foldLeft(Vector.empty[String]) { (acc, ch) =>
+          if (ch == '{' || ch == '}') acc :+ ch.toString
+          else acc.lastOption match {
+            case Some(s) if s != "{" && s != "}" => acc.init :+ (s + ch)
+            case _ => acc :+ ch.toString
+          }
+        }
+      }
+    var pos = 0
+    def block(): Option[Vector[Tok]] = {
+      val out = Vector.newBuilder[Tok]
+      while (pos < toks.length) {
+        toks(pos) match {
+          case "{" =>
+            pos += 1
+            out += Block(block().getOrElse(return None))
+          case "}" =>
+            pos += 1
+            return Some(out.result())
+          case w =>
+            pos += 1
+            out += (try Num(w.toDouble) catch {
+              case _: NumberFormatException => Op(w.toLowerCase)
+            })
+        }
+      }
+      None // unterminated block
+    }
+    if (pos >= toks.length || toks(pos) != "{") return None
+    pos += 1
+    val prog = block()
+    // trailing garbage after the outer } is malformed
+    prog.filter(_ => pos == toks.length)
+  }
+
+  /** Run with `inputs` pre-pushed (first input deepest). Returns the
+    * top `nOut` stack values, bottom-first, iff the stack holds
+    * exactly nOut values at the end. */
+  def run(prog: Vector[Tok], inputs: Array[Double], nOut: Int): Option[Array[Double]] = {
+    val stack = new scala.collection.mutable.ArrayBuffer[Any](16)
+    inputs.foreach(v => stack += (v: java.lang.Double))
+    var budget = 10000
+    def num(a: Any): Option[Double] = a match {
+      case d: java.lang.Double => Some(d.doubleValue)
+      case _ => None
+    }
+    def bool(a: Any): Option[Boolean] = a match {
+      case b: java.lang.Boolean => Some(b.booleanValue)
+      case _ => None
+    }
+    def push(v: Double): Boolean = { stack += (v: java.lang.Double); stack.length <= 100 }
+    def pushB(v: Boolean): Boolean = { stack += (v: java.lang.Boolean); stack.length <= 100 }
+    def pop(): Option[Any] =
+      if (stack.isEmpty) None else Some(stack.remove(stack.length - 1))
+    def pop2(): Option[(Double, Double)] =
+      for (b <- pop(); a <- pop(); bv <- num(b); av <- num(a)) yield (av, bv)
+    def pop1(): Option[Double] = pop().flatMap(num)
+    def popInts(): Option[(Long, Long)] =
+      pop2().map { case (a, b) => (a.toLong, b.toLong) }
+    def exec(body: Vector[Tok]): Boolean = {
+      for (tok <- body) {
+        budget -= 1
+        if (budget <= 0) return false
+        val ok: Boolean = tok match {
+          case Num(v) => push(v)
+          case Block(_) =>
+            // a bare block only makes sense as an if/ifelse operand;
+            // push it for the following conditional to consume
+            stack += tok; stack.length <= 100
+          case Op(name) => name match {
+            case "add" => pop2().exists { case (a, b) => push(a + b) }
+            case "sub" => pop2().exists { case (a, b) => push(a - b) }
+            case "mul" => pop2().exists { case (a, b) => push(a * b) }
+            case "div" => pop2().exists { case (a, b) => b != 0 && push(a / b) }
+            case "idiv" => popInts().exists { case (a, b) => b != 0 && push((a / b).toDouble) }
+            case "mod" => popInts().exists { case (a, b) => b != 0 && push((a % b).toDouble) }
+            case "neg" => pop1().exists(a => push(-a))
+            case "abs" => pop1().exists(a => push(math.abs(a)))
+            case "sqrt" => pop1().exists(a => a >= 0 && push(math.sqrt(a)))
+            case "sin" => pop1().exists(a => push(math.sin(math.toRadians(a))))
+            case "cos" => pop1().exists(a => push(math.cos(math.toRadians(a))))
+            case "atan" => pop2().exists { case (n, dd) =>
+              if (n == 0 && dd == 0) false
+              else { val deg = math.toDegrees(math.atan2(n, dd))
+                push(if (deg < 0) deg + 360 else deg) } }
+            case "exp" => pop2().exists { case (a, b) => push(math.pow(a, b)) }
+            case "ln" => pop1().exists(a => a > 0 && push(math.log(a)))
+            case "log" => pop1().exists(a => a > 0 && push(math.log10(a)))
+            case "ceiling" => pop1().exists(a => push(math.ceil(a)))
+            case "floor" => pop1().exists(a => push(math.floor(a)))
+            case "round" => pop1().exists(a => push(math.rint(a)))
+            case "truncate" => pop1().exists(a => push(a.toLong.toDouble))
+            case "cvi" => pop1().exists(a => push(a.toLong.toDouble))
+            case "cvr" => pop1().exists(push)
+            case "dup" => pop().exists(a => { stack += a; stack += a; stack.length <= 100 })
+            case "pop" => pop().isDefined
+            case "exch" =>
+              (for (b <- pop(); a <- pop()) yield { stack += b; stack += a; true })
+                .getOrElse(false)
+            case "copy" => pop1().exists { nRaw =>
+              val n = nRaw.toInt
+              n >= 0 && n <= stack.length && stack.length + n <= 100 && {
+                val from = stack.length - n
+                for (i <- 0 until n) stack += stack(from + i)
+                true
+              } }
+            case "index" => pop1().exists { nRaw =>
+              val n = nRaw.toInt
+              n >= 0 && n < stack.length && {
+                stack += stack(stack.length - 1 - n); stack.length <= 100
+              } }
+            case "roll" =>
+              (for (j <- pop1(); n <- pop1()) yield {
+                val nn = n.toInt
+                nn >= 0 && nn <= stack.length && (nn == 0 || {
+                  val jj = ((j.toInt % nn) + nn) % nn
+                  val from = stack.length - nn
+                  val seg = stack.slice(from, stack.length).toVector
+                  val rolled = seg.takeRight(jj) ++ seg.dropRight(jj)
+                  for (i <- 0 until nn) stack(from + i) = rolled(i)
+                  true
+                })
+              }).getOrElse(false)
+            case "eq" | "ne" | "lt" | "le" | "gt" | "ge" =>
+              pop2().exists { case (a, b) =>
+                pushB(name match {
+                  case "eq" => a == b; case "ne" => a != b
+                  case "lt" => a < b; case "le" => a <= b
+                  case "gt" => a > b; case _ => a >= b
+                }) }
+            case "true" => pushB(true)
+            case "false" => pushB(false)
+            case "not" => pop().exists {
+              case b: java.lang.Boolean => pushB(!b.booleanValue)
+              case d: java.lang.Double => push((~d.doubleValue.toLong).toDouble)
+              case _ => false }
+            case "and" | "or" | "xor" =>
+              (for (b <- pop(); a <- pop()) yield (a, b) match {
+                case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+                  pushB(name match {
+                    case "and" => x && y; case "or" => x || y
+                    case _ => x != y })
+                case (x: java.lang.Double, y: java.lang.Double) =>
+                  val (xi, yi) = (x.doubleValue.toLong, y.doubleValue.toLong)
+                  push((name match {
+                    case "and" => xi & yi; case "or" => xi | yi
+                    case _ => xi ^ yi }).toDouble)
+                case _ => false
+              }).getOrElse(false)
+            case "bitshift" => popInts().exists { case (a, s) =>
+              push((if (s >= 0) a << math.min(s, 63) else a >> math.min(-s, 63)).toDouble) }
+            case "if" =>
+              (for (proc <- pop(); cond <- pop(); c <- bool(cond)) yield proc match {
+                case Block(body) => !c || exec(body)
+                case _ => false
+              }).getOrElse(false)
+            case "ifelse" =>
+              (for (p2 <- pop(); p1 <- pop(); cond <- pop(); c <- bool(cond))
+                yield (p1, p2) match {
+                  case (Block(b1), Block(b2)) => exec(if (c) b1 else b2)
+                  case _ => false
+                }).getOrElse(false)
+            case _ => false // unknown operator: fail closed
+          }
+        }
+        if (!ok) return false
+      }
+      true
+    }
+    if (!exec(prog)) return None
+    if (stack.length != nOut) return None
+    val out = new Array[Double](nOut)
+    for (i <- 0 until nOut) num(stack(i)) match {
+      case Some(v) => out(i) = v
+      case None => return None
+    }
+    Some(out)
+  }
 }

@@ -354,7 +354,7 @@ class Round16Spec extends AnyFunSuite {
 
   test("/Separation rasters: Type 2 tint over DeviceRGB (incl. N=2), " +
        "Type 0 sampled over gray with interpolation, Type 3 stitching, " +
-       "CMYK alternate clamp; Type 4 and DeviceN fail closed") {
+       "CMYK alternate clamp, Type 4 range clamping") {
     def sepPdf(alt: String, fnObjs: Seq[(Int, String, Option[Array[Byte]])],
                sample: Int, extraImg: String = "") = imagePdf(
       "<< /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
@@ -396,10 +396,12 @@ class Round16Spec extends AnyFunSuite {
       "/C1 [1 0 0 1] /N 1 >>", None))
     val cm = onlyImage(sepPdf("/DeviceCMYK", t2c, 255)).get // full tint
     assert((cm.getRGB(0, 0) & 0xFFFFFF) == ((0 << 16) | (0 << 8) | 0))
-    // Type 4 (PostScript calculator) fails closed
+    // Type 4 (PostScript calculator) evaluates: t-1 clamps to Range
+    // floor 0 → black (full coverage in the dedicated Type 4 test)
     val t4 = Seq((8, "<< /FunctionType 4 /Domain [0 1] /Range [0 1] " +
       "/Length 10 >>", Some("{ 1 sub }".getBytes)))
-    assert(onlyImage(sepPdf("/DeviceGray", t4, 100)).isEmpty)
+    assert((onlyImage(sepPdf("/DeviceGray", t4, 100)).get
+      .getRGB(0, 0) & 0xFFFFFF) == 0)
     // /Decode [1 0] inverts the tint
     val inv = onlyImage(sepPdf("/DeviceRGB", t2, 255, "/Decode [1 0] ")).get
     assert((inv.getRGB(0, 0) & 0xFFFFFF) == 0, "tint 0 -> C0 black")
@@ -414,6 +416,49 @@ class Round16Spec extends AnyFunSuite {
       "/Size [4] /BitsPerSample 8 /Encode 9 0 R /Length 4 >>",
       Some(Array[Byte](0, 50, 100, (150).toByte))))
     assert(onlyImage(sepPdf("/DeviceGray", badEnc, 128)).isEmpty)
+  }
+
+  test("Type 4 PostScript tint functions: arithmetic, stack ops, " +
+       "conditionals, degree trig; hostile programs fail closed") {
+    def fnPdf(prog: String, alt: String, sample: Int,
+              range: String = "[0 1]") = {
+      val bytes = prog.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      imagePdf("<< /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+        s"/ColorSpace [/Separation /Ink $alt 8 0 R]",
+        Array.fill(4)(sample.toByte),
+        extra = Seq((8, s"<< /FunctionType 4 /Domain [0 1] /Range $range " +
+          s"/Length ${bytes.length} >>", Some(bytes))))
+    }
+    def b(v: Double) = math.floor(255 * v + 0.5).toInt
+    val t = 100.0 / 255
+    // 1 - t (the classic ink→luminance inversion)
+    val inv = onlyImage(fnPdf("{ 1 exch sub }", "/DeviceGray", 100)).get
+    assert((inv.getRGB(0, 0) & 0xFF) == b(1 - t))
+    // t^2 via dup mul
+    assert((onlyImage(fnPdf("{ dup mul }", "/DeviceGray", 100)).get
+      .getRGB(0, 0) & 0xFF) == b(t * t))
+    // three outputs through dup/mul chains
+    val rgb = onlyImage(fnPdf("{ dup 0.5 mul dup 0.5 mul }", "/DeviceRGB",
+      100, range = "[0 1 0 1 0 1]")).get.getRGB(0, 0)
+    assert(((rgb >> 16) & 0xFF) == b(t) && ((rgb >> 8) & 0xFF) == b(t * 0.5) &&
+      (rgb & 0xFF) == b(t * 0.5 * 0.5))
+    // conditional: threshold at 0.5
+    def thresh(s: Int) = onlyImage(fnPdf(
+      "{ 0.5 lt { 0 } { 1 } ifelse }", "/DeviceGray", s)).get.getRGB(0, 0) & 0xFF
+    assert(thresh(100) == 0 && thresh(200) == 255)
+    // degree trig: sin 90 = 1 exactly
+    assert((onlyImage(fnPdf("{ 90 sin mul }", "/DeviceGray", 100)).get
+      .getRGB(0, 0) & 0xFF) == b(t))
+    // index copies a deep element
+    val two = onlyImage(fnPdf("{ dup 1 index add }", "/DeviceGray", 100,
+      range = "[0 1 0 2]"))
+    assert(two.isEmpty, "2 outputs vs 1-component gray alternate must drop")
+    // hostile: div-by-zero, unknown op, stack arity mismatch, unterminated
+    for (bad <- Seq("{ 1 0 div }", "{ frobnicate }", "{ dup dup }", "{ 1 add"))
+      assert(onlyImage(fnPdf(bad, "/DeviceGray", 100)).isEmpty, bad)
+    // runaway nesting / op-budget: deep ifelse pyramid terminates to None
+    val deep = "{ " + ("true { " * 60) + "1" + (" } { 0 } ifelse" * 60) + " }"
+    onlyImage(fnPdf(deep, "/DeviceGray", 100)) // must return, not hang
   }
 
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
