@@ -11034,30 +11034,32 @@ object SparkEntry {
       // §6.2.6), (3) an arithmetic SYMBOL DICTIONARY + TEXT REGION
       // composing the same split from one or two glyph rectangles
       // (§6.5/§6.4 — IADH/IADW/IAEX/IADS/IAID through the Annex A
-      // integer decoders). Odd docs add /Decode [1 0], which must swap
-      // the fixed JBIG2 1=black convention or the luminance breaks;
-      // an MQ state-table slip, context-layout bug, segment-walker
-      // offset error, or LTP desync shears pixels and breaks
-      // dims/luminance. All four legs paint IDENTICAL geometry, so
-      // one oracle covers them.
+      // integer decoders), (4) the same symbol composition through a
+      // TRANSPOSED text region (column strips, axis-swapped placement).
+      // Odd docs add /Decode [1 0], which must swap the fixed JBIG2
+      // 1=black convention or the luminance breaks; an MQ state-table
+      // slip, context-layout bug, segment-walker offset error, or LTP
+      // desync shears pixels and breaks dims/luminance. All five legs
+      // paint IDENTICAL geometry, so one oracle covers them.
       val gen = udf((id: Long) => {
         val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
         val w = 18 + (id % 8).toInt; val h = 8 + (id % 6).toInt
         val xsplit = 2 + (id % (w - 4)).toInt
         val px = Array.tabulate(w * h)(i => i % w >= xsplit) // right black
-        val stream = (id % 4).toInt match {
+        val stream = (id % 5).toInt match {
           case 0 => graft.sources.Jbig2.encodeEmbedded(px, w, h)
           case 1 => graft.sources.Jbig2.encodeEmbedded(px, w, h,
             template = 2, tpgdon = true)
           case 2 => graft.sources.Jbig2.encodeEmbedded(px, w, h, mmr = true)
-          case _ =>
+          case leg =>
             val black = w - xsplit
             val a = math.max(1, black / 2); val b = black - a
             val glyphs = Seq((a, h, Array.fill(a * h)(true))) ++
               (if (b > 0) Seq((b, h, Array.fill(b * h)(true))) else Nil)
             val places = Seq((0, xsplit, 0)) ++
               (if (b > 0) Seq((1, xsplit + a, 0)) else Nil)
-            graft.sources.Jbig2.encodeEmbeddedText(glyphs, places, w, h)
+            graft.sources.Jbig2.encodeEmbeddedText(glyphs, places, w, h,
+              transposed = leg == 4)
         }
         val decodeKey = if (id % 2 == 1) "/Decode [1 0] " else ""
         val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"

@@ -22,12 +22,12 @@ package graft.sources
   * SCOPE, stated honestly: generic regions (the output of generic-mode
   * encoders — `jbig2enc -generic`, many scanner firmwares) AND
   * arithmetic symbol-dictionary + text-region segments (§6.5/§6.4 with
-  * SDHUFF=SBHUFF=0, no refinement, TRANSPOSED=0 — the dominant
-  * scanned-TEXT encoding, built on the Annex A integer arithmetic
-  * decoding procedures and the shared-context per-glyph generic
-  * bitmaps). Huffman-coded variants, refinement/aggregation, halftone
-  * regions, and transposed text yield None — fail closed, never
-  * fabricate pixels. The decoder is defensive end
+  * SDHUFF=SBHUFF=0, no refinement; both TRANSPOSED orientations — the
+  * dominant scanned-TEXT encoding, built on the Annex A integer
+  * arithmetic decoding procedures and the shared-context per-glyph
+  * generic bitmaps). Huffman-coded variants, refinement/aggregation,
+  * and halftone regions yield None — fail closed, never fabricate
+  * pixels. The decoder is defensive end
   * to end: truncated headers, unknown segment types, striped pages,
   * or oversized regions abort to None (crawled-PDF robustness, the
   * same contract as the rest of MiniPdf). The encoder exists for
@@ -754,7 +754,7 @@ object Jbig2 {
     val defPixel = (flags & 0x200) != 0
     val dsOffsetRaw = (flags >>> 10) & 0x1F
     val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw
-    if (sbhuff || refine || transposed) return None // out of envelope
+    if (sbhuff || refine) return None // out of envelope
     val strips = 1 << logStrips
     if (start + 23 > start + len) return None
     val numInst = u32(b, start + 19)
@@ -789,16 +789,22 @@ object Jbig2 {
           val id = iaidDecode(mq, idCx, symCodeLen)
           if (id >= syms.length) return None
           val sym = syms(id)
-          // TRANSPOSED=0: S is the left edge; corner bit 0 selects
-          // top- vs bottom-aligned T (pdf.js-equivalent semantics)
-          val top = if ((refCorner & 1) == 1) t else t - sym.h + 1
+          // TRANSPOSED=0: S is the left edge, corner bit 0 (top vs
+          // bottom) aligns T vertically; TRANSPOSED=1 exchanges the
+          // axes: S is the TOP row, corner bit 1 (left vs right)
+          // aligns T horizontally (§6.4.5 step 3c)
+          val (left, top) =
+            if (!transposed)
+              (curS, if ((refCorner & 1) == 1) t else t - sym.h + 1)
+            else
+              (if ((refCorner & 2) == 0) t else t - sym.w + 1, curS)
           var yy = 0
           while (yy < sym.h) {
             val py = top + yy
             if (py >= 0 && py < h) {
               var xx = 0
               while (xx < sym.w) {
-                val px = curS + xx
+                val px = left + xx
                 if (px >= 0 && px < w) {
                   val v = sym.bits(yy * sym.w + xx)
                   val dst = py * w + px
@@ -814,7 +820,7 @@ object Jbig2 {
             }
             yy += 1
           }
-          curS += sym.w - 1
+          curS += (if (transposed) sym.h else sym.w) - 1
           inst += 1
         }
       }
@@ -828,11 +834,13 @@ object Jbig2 {
     * (symbol index, left x, TOP y) of `glyphs` onto a pageW×pageH
     * page, as a complete embedded stream (page info + dict + text
     * region referring to it). Arithmetic coding throughout, SBSTRIPS=1,
-    * REFCORNER=TOPLEFT. Decodable by [[decodeEmbedded]] and any
+    * REFCORNER=TOPLEFT; `transposed` emits column strips (§6.4.5
+    * TRANSPOSED=1). Decodable by [[decodeEmbedded]] and any
     * conformant reader. */
   def encodeEmbeddedText(glyphs: Seq[(Int, Int, Array[Boolean])],
                          instances: Seq[(Int, Int, Int)],
-                         pageW: Int, pageH: Int): Array[Byte] = {
+                         pageW: Int, pageH: Int,
+                         transposed: Boolean = false): Array[Byte] = {
     require(glyphs.nonEmpty, "at least one glyph")
     // ---- symbol dictionary payload
     val sdMq = new MqEncoder
@@ -867,29 +875,36 @@ object Jbig2 {
     val iadt = new MqInt; val iafs = new MqInt; val iads = new MqInt
     val idCx = new CxTable(1 << (symCodeLen + 1))
     iadt.encode(trMq, Some(0)) // STRIPT = 0
-    val byRow = instances.sortBy { case (_, x, y) => (y, x) }
+    // TRANSPOSED=0: strips are rows (T = y, S advances along x);
+    // TRANSPOSED=1: strips are columns (T = x, S advances along y)
+    val byStrip =
+      if (!transposed) instances.sortBy { case (_, x, y) => (y, x) }
+      else instances.sortBy { case (_, x, y) => (x, y) }
     var stripT = 0
     var firstS = 0
     var i = 0
-    while (i < byRow.length) {
-      val y = byRow(i)._3
-      iadt.encode(trMq, Some(y - stripT))
-      stripT = y
+    while (i < byStrip.length) {
+      val t = if (!transposed) byStrip(i)._3 else byStrip(i)._2
+      iadt.encode(trMq, Some(t - stripT))
+      stripT = t
       var first = true
       var curS = 0
-      while (i < byRow.length && byRow(i)._3 == y) {
-        val (sym, x, _) = byRow(i)
+      while (i < byStrip.length &&
+             (if (!transposed) byStrip(i)._3 else byStrip(i)._2) == t) {
+        val (sym, x, y) = byStrip(i)
+        val sCoord = if (!transposed) x else y
         if (first) {
-          iafs.encode(trMq, Some(x - firstS))
-          firstS = x
-          curS = x
+          iafs.encode(trMq, Some(sCoord - firstS))
+          firstS = sCoord
+          curS = sCoord
           first = false
-        } else iads.encode(trMq, Some(x - curS))
+        } else iads.encode(trMq, Some(sCoord - curS))
         iaidEncode(trMq, idCx, symCodeLen, dictIndex(sym))
-        curS = x + glyphs(sym)._1 - 1
+        curS = sCoord +
+          (if (!transposed) glyphs(sym)._1 else glyphs(sym)._2) - 1
         i += 1
       }
-      if (i < byRow.length) iads.encode(trMq, None) // OOB ends the strip
+      if (i < byStrip.length) iads.encode(trMq, None) // OOB ends the strip
     }
     val trData = trMq.flush()
     // ---- segments
@@ -905,7 +920,8 @@ object Jbig2 {
     sw.header(2, 6, 17 + 2 + 4 + trData.length, refs = Seq(1))
     sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
     sw.u8(0x00) // external comb: OR
-    sw.u16(1 << 4) // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT
+    // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT, TRANSPOSED bit 6
+    sw.u16((1 << 4) | (if (transposed) 1 << 6 else 0))
     sw.u32(instances.length.toLong)
     sw.bytes(trData)
     sw.result()

@@ -215,7 +215,7 @@ object PdfFunction {
   * over nested procedure blocks). No variables, no loops — programs
   * terminate by construction, and an op budget guards crafted
   * pathological nesting. */
-private[sources] object PsCalc {
+private[graft] object PsCalc {
   sealed trait Tok
   final case class Num(v: Double) extends Tok
   final case class Op(name: String) extends Tok
@@ -236,13 +236,16 @@ private[sources] object PsCalc {
         }
       }
     var pos = 0
-    def block(): Option[Vector[Tok]] = {
+    // nesting cap: parse recurses per '{', so a crafted brace bomb
+    // would otherwise StackOverflowError PAST the Exception handlers
+    def block(depth: Int): Option[Vector[Tok]] = {
+      if (depth > 64) return None
       val out = Vector.newBuilder[Tok]
       while (pos < toks.length) {
         toks(pos) match {
           case "{" =>
             pos += 1
-            out += Block(block().getOrElse(return None))
+            out += Block(block(depth + 1).getOrElse(return None))
           case "}" =>
             pos += 1
             return Some(out.result())
@@ -257,7 +260,7 @@ private[sources] object PsCalc {
     }
     if (pos >= toks.length || toks(pos) != "{") return None
     pos += 1
-    val prog = block()
+    val prog = block(0)
     // trailing garbage after the outer } is malformed
     prog.filter(_ => pos == toks.length)
   }

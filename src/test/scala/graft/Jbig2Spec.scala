@@ -162,6 +162,31 @@ class Jbig2Spec extends AnyFunSuite {
     assert(Jbig2.decodeEmbedded(None, data, 16, 8).isEmpty)
   }
 
+  test("TRANSPOSED text regions: column strips render the same page as " +
+       "the row-strip encoding of identical instances") {
+    val gA = glyphOf(Seq("##", ".#", "##"))
+    val gB = glyphOf(Seq("#.#", ".#."))
+    val places = Seq((0, 2, 1), (1, 7, 3), (0, 2, 8), (1, 12, 1))
+    val plain = Jbig2.encodeEmbeddedText(Seq(gA, gB), places, 18, 14)
+    val trans = Jbig2.encodeEmbeddedText(Seq(gA, gB), places, 18, 14,
+      transposed = true)
+    val p1 = Jbig2.decodeEmbedded(None, plain, 18, 14)
+    val p2 = Jbig2.decodeEmbedded(None, trans, 18, 14)
+    assert(p1.isDefined && p2.isDefined)
+    assert(p1.get.sameElements(p2.get),
+      "axis-swapped placement must land identical pixels")
+    // two glyphs stacked in ONE column exercise the S-advance-by-height
+    // path (curS += h-1) inside a single transposed strip
+    val stacked = Jbig2.encodeEmbeddedText(Seq(gA), Seq((0, 4, 1), (0, 4, 7)),
+      10, 12, transposed = true)
+    val page = Jbig2.decodeEmbedded(None, stacked, 10, 12).get
+    val expect = new Array[Boolean](10 * 12)
+    for ((_, x, y) <- Seq((0, 4, 1), (0, 4, 7));
+         yy <- 0 until 3; xx <- 0 until 2 if gA._3(yy * 2 + xx))
+      expect((y + yy) * 10 + (x + xx)) = true
+    assert(page.sameElements(expect))
+  }
+
   test("symbol/text fuzz: bit-flipped and truncated streams never throw " +
        "AND never spin (the MQ decoder feeds 1-bits past end-of-data — " +
        "the export/height-class loops need progress guards)") {

@@ -459,6 +459,21 @@ class Round16Spec extends AnyFunSuite {
     // runaway nesting / op-budget: deep ifelse pyramid terminates to None
     val deep = "{ " + ("true { " * 60) + "1" + (" } { 0 } ifelse" * 60) + " }"
     onlyImage(fnPdf(deep, "/DeviceGray", 100)) // must return, not hang
+    // brace bomb: 100k-deep nesting must fail the PARSE, not blow the
+    // JVM stack (StackOverflowError would sail past catch Exception)
+    val bomb = "{ " + ("{ " * 100000) + ("} " * 100000) + "}"
+    assert(onlyImage(fnPdf(bomb, "/DeviceGray", 100)).isEmpty)
+    // token-soup fuzz: random programs never throw or hang
+    val r = new scala.util.Random(16)
+    val words = Array("dup", "mul", "add", "exch", "roll", "index", "copy",
+      "{", "}", "if", "ifelse", "0.5", "3", "-2", "true", "atan", "div",
+      "bitshift", "not", "sqrt", "ln", "cvi", "pop")
+    for (_ <- 0 until 300) {
+      val prog = "{ " + Seq.fill(1 + r.nextInt(25))(
+        words(r.nextInt(words.length))).mkString(" ") + " }"
+      graft.sources.PsCalc.parse(prog).foreach(
+        graft.sources.PsCalc.run(_, Array(0.4), 1)) // Option either way
+    }
   }
 
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
