@@ -75,7 +75,7 @@ object ScaleProbe {
     // (MQ + TPGDON + MMR legs), /SMask alpha merge — per-row map-side,
     // zero shuffle
     "q378_pdf_cmyk", "q379_pdf_jbig2", "q380_pdf_smask",
-    "q381_pdf_separation", "q382_pdf_type4")
+    "q381_pdf_separation", "q382_pdf_type4", "q383_pdf_devicen")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -11297,6 +11297,61 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q383_pdf_devicen" -> ((s, dir) => {
+      // /DeviceN MULTI-INK rasters (r16 — §8.6.6.5): per doc one
+      // two-ink image whose Type 4 tint transform takes BOTH ink
+      // fractions — (0) `{ add 0.5 mul 1 exch sub }` (average-ink
+      // inversion over a gray alternate), (1) `{ exch dup }` over a
+      // DeviceRGB alternate (r = ink2, g = b = ink1 — the output
+      // order pins the first-input-deepest stack convention). A
+      // component-interleave slip, input-order bug, or Domain-arity
+      // leak shifts the luminance and breaks the hash.
+      val gen = udf((id: Long) => {
+        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+        val w = 5 + (id % 7).toInt; val h = 4 + (id % 5).toInt
+        val s1 = ((id * 7) % 256).toInt; val s2 = ((id * 11) % 256).toInt
+        val leg = (id % 2).toInt
+        val (alt, range, prog) =
+          if (leg == 0) ("/DeviceGray", "[0 1]", "{ add 0.5 mul 1 exch sub }")
+          else ("/DeviceRGB", "[0 1 0 1 0 1]", "{ exch dup }")
+        val progBytes = prog.getBytes(ISO)
+        val px = new Array[Byte](w * h * 2)
+        var i = 0
+        while (i < px.length) { px(i) = s1.toByte; px(i + 1) = s2.toByte; i += 2 }
+        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
+        val bos = new java.io.ByteArrayOutputStream()
+        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
+        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
+          wr(s"$num 0 obj\n$dict\n")
+          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
+          wr("endobj\n")
+        }
+        wr("%PDF-1.5\n")
+        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
+        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
+        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
+        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
+        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
+          "/BitsPerComponent 8 " +
+          s"/ColorSpace [/DeviceN [/InkA /InkB] $alt 8 0 R] " +
+          s"/Length ${px.length} >>", Some(px))
+        obj(8, s"<< /FunctionType 4 /Domain [0 1 0 1] /Range $range " +
+          s"/Length ${progBytes.length} >>", Some(progBytes))
+        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+        bos.toByteArray
+      })
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.MiniPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17795,6 +17850,28 @@ object SparkEntry {
         |    CASE leg WHEN 0 THEN 0.299 * g0 + 0.587 * g0 + 0.114 * g0
         |      WHEN 1 THEN 0.299 * g1 + 0.587 * g1 + 0.114 * g1
         |      ELSE 0.299 * r2 + 0.587 * gg2 + 0.114 * b2 END AS lum
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM l""".stripMargin,
+
+    // q383: DeviceN multi-ink tints — oracle replays both planted
+    // programs with the inks' double arithmetic
+    "q383_pdf_devicen" ->
+      """WITH p AS (SELECT doc_id,
+        |    5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+        |    ((doc_id * 7) % 256) / 255.0 AS t1,
+        |    ((doc_id * 11) % 256) / 255.0 AS t2,
+        |    doc_id % 2 AS leg
+        |  FROM documents),
+        |v AS (SELECT doc_id, w, h, leg,
+        |    FLOOR(255 * (1 - ((t1 + t2) * 0.5)) + 0.5) AS g0,
+        |    FLOOR(255 * t2 + 0.5) AS r1,
+        |    FLOOR(255 * t1 + 0.5) AS g1
+        |  FROM p),
+        |l AS (SELECT doc_id, w, h,
+        |    CASE leg WHEN 0 THEN 0.299 * g0 + 0.587 * g0 + 0.114 * g0
+        |      ELSE 0.299 * r1 + 0.587 * g1 + 0.114 * g1 END AS lum
         |  FROM v)
         |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6

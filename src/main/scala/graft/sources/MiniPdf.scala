@@ -565,9 +565,9 @@ object MiniPdf {
     * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16);
     * a `/Separation` raster evaluates its tint transform through
     * [[PdfFunction]] into the alternate space (r16). Unsupported
-    * encodings (JPX, Huffman-coded or halftone JBIG2, /DeviceN,
-    * /Lab, unexpected bit depths), oversized dims, or undersized
-    * sample data yield None — dropped, never fabricated. */
+    * encodings (JPX, Huffman-coded or halftone JBIG2, /Lab,
+    * unexpected bit depths), oversized dims, or undersized sample
+    * data yield None — dropped, never fabricated. */
   def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
     val o = objs.getOrElse(num, return None)
     val raw = o.stream.getOrElse(return None)
@@ -710,6 +710,45 @@ object MiniPdf {
                 rasterToPng(rgb, w, h, 3, alphaPx)
               }
             }
+          case CsDeviceN(m, toRgb) =>
+            // multi-ink rasters (r16): m components per pixel →
+            // tint transform → alternate → RGB, memoized per distinct
+            // ink tuple (packed into a Long — m ≤ 8); an image with
+            // pathological ink diversity (>65536 distinct tuples ×
+            // a 10k-op Type 4 budget each) drops rather than stalls
+            if (bpc != 8 || px.length < w.toLong * h * m) None
+            else {
+              val memo = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+              val rgb = new Array[Byte](w * h * 3)
+              var j = 0
+              var ok = true
+              while (j < w * h && ok) {
+                var key = 0L
+                var i = 0
+                while (i < m) { key = (key << 8) | (px(j * m + i) & 0xffL); i += 1 }
+                var packed = memo.get(key)
+                if (packed == null) {
+                  if (memo.size >= 65536) ok = false
+                  else {
+                    val in = Array.tabulate(m)(i => (px(j * m + i) & 0xff) / 255.0)
+                    toRgb(in) match {
+                      case Some((r, g, b)) =>
+                        packed = Int.box((r << 16) | (g << 8) | b)
+                        memo.put(key, packed)
+                      case None => ok = false
+                    }
+                  }
+                }
+                if (ok) {
+                  val v = packed.intValue
+                  rgb(3 * j) = (v >> 16).toByte
+                  rgb(3 * j + 1) = (v >> 8).toByte
+                  rgb(3 * j + 2) = v.toByte
+                }
+                j += 1
+              }
+              if (ok) rasterToPng(rgb, w, h, 3, alphaPx) else None
+            }
           case CsCmyk =>
             // print-origin CMYK rasters (r16 — the remaining half of
             // VERDICT r15 Missing #2): §8.6.4.4 additive clamp,
@@ -824,6 +863,29 @@ object MiniPdf {
   /** Spot color: tint in [0,1] → RGB through the compiled tint
     * transform and alternate space (None = evaluation failed). */
   private final case class CsSeparation(toRgb: Double => Option[(Int, Int, Int)]) extends Cs
+  /** Multi-ink color (§8.6.6.5): m ink fractions → RGB through a
+    * multi-input tint transform and the alternate space. */
+  private final case class CsDeviceN(m: Int,
+      toRgb: Array[Double] => Option[(Int, Int, Int)]) extends Cs
+
+  /** Map a color vector in an `nComp`-component device space to RGB
+    * bytes — shared by the Separation and DeviceN tint paths (gray
+    * replicates, RGB passes, CMYK takes the §8.6.4.4 additive clamp). */
+  private def deviceToRgb(nComp: Int, out: Array[Double]): Option[(Int, Int, Int)] = {
+    if (out.length != nComp) return None
+    def byte(v: Double): Int =
+      math.floor(255 * math.max(0.0, math.min(1.0, v)) + 0.5).toInt
+    nComp match {
+      case 1 => val v = byte(out(0)); Some((v, v, v))
+      case 3 => Some((byte(out(0)), byte(out(1)), byte(out(2))))
+      case 4 =>
+        val c = byte(out(0)); val m = byte(out(1))
+        val y = byte(out(2)); val k = byte(out(3))
+        Some((255 - math.min(255, c + k), 255 - math.min(255, m + k),
+          255 - math.min(255, y + k)))
+      case _ => None
+    }
+  }
 
   /** Resolve an image XObject's /ColorSpace for the raster re-wrap
     * (r16, VERDICT r15 Missing #2): Device{RGB,Gray} direct;
@@ -837,8 +899,9 @@ object MiniPdf {
     * hival lookup]` with an RGB-class base resolves its palette from
     * the literal string, hex string, or stream form; `[/Separation
     * /Name alt tintFn]` compiles its tint transform via
-    * [[PdfFunction]] (r16). Anything else (/DeviceN, /Lab, …) is
-    * unsupported → the payload drops rather than guesses. */
+    * [[PdfFunction]] (r16), and `[/DeviceN [names] alt tintFn]`
+    * compiles a MULTI-input Type 4 transform. Anything else (/Lab, …)
+    * is unsupported → the payload drops rather than guesses. */
   private def resolveColorSpace(objs: Map[Int, PdfObj], dict: String): Cs = {
     if ("""/ColorSpace\s*/DeviceRGB\b""".r.findFirstIn(dict).isDefined) return CsRgb
     if ("""/ColorSpace\s*/DeviceGray\b""".r.findFirstIn(dict).isDefined) return CsGray
@@ -926,25 +989,29 @@ object MiniPdf {
       if (nComp != 1 && nComp != 3 && nComp != 4) return CsUnsupported
       PdfFunction.build(objs, m.group(3).toInt) match {
         case None => CsUnsupported
-        case Some(fn) =>
-          CsSeparation { t =>
-            val out = fn(t)
-            if (out.length != nComp) None
-            else {
-              def byte(v: Double): Int =
-                math.floor(255 * math.max(0.0, math.min(1.0, v)) + 0.5).toInt
-              nComp match {
-                case 1 => val v = byte(out(0)); Some((v, v, v))
-                case 3 => Some((byte(out(0)), byte(out(1)), byte(out(2))))
-                case _ => // CMYK → the same §8.6.4.4 clamp as CsCmyk
-                  val c = byte(out(0)); val mm = byte(out(1))
-                  val yy = byte(out(2)); val k = byte(out(3))
-                  Some((255 - math.min(255, c + k),
-                    255 - math.min(255, mm + k),
-                    255 - math.min(255, yy + k)))
-              }
-            }
-          }
+        case Some(fn) => CsSeparation(t => deviceToRgb(nComp, fn(t)))
+      }
+    } else if (body.contains("/DeviceN")) {
+      // [/DeviceN [names] alt tintFn] (§8.6.6.5, r16): m ink fractions
+      // through a MULTI-INPUT tint transform (Type 4 — the only
+      // function type that takes m inputs here) into the alternate
+      val m = ("""/DeviceN\s*\[((?:\s*/[^\s/\[\]<>()]+)+)\s*\]\s+""" +
+        """(/DeviceRGB|/DeviceGray|/DeviceCMYK|\[\s*/ICCBased\s+(\d+)\s+\d+\s+R\s*\])""" +
+        """\s+(\d+)\s+\d+\s+R""").r.findFirstMatchIn(body)
+        .getOrElse(return CsUnsupported)
+      val nInks = """/[^\s/\[\]<>()]+""".r.findAllIn(m.group(1)).length
+      if (nInks < 1 || nInks > 8) return CsUnsupported
+      val nComp: Int = m.group(2) match {
+        case "/DeviceRGB" => 3
+        case "/DeviceGray" => 1
+        case "/DeviceCMYK" => 4
+        case _ => objs.get(m.group(3).toInt)
+          .map(o => intIn(o.dict, "/N", 0)).getOrElse(0)
+      }
+      if (nComp != 1 && nComp != 3 && nComp != 4) return CsUnsupported
+      PdfFunction.buildM(objs, m.group(4).toInt, nInks) match {
+        case None => CsUnsupported
+        case Some(fn) => CsDeviceN(nInks, in => deviceToRgb(nComp, fn(in)))
       }
     } else if ("""/ICCBased\s+(\d+)\s+\d+\s+R""".r.findFirstIn(body).isDefined) {
       val n = """/ICCBased\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(body)

@@ -205,6 +205,45 @@ object PdfFunction {
     }
   }
 
+  /** Compile an m-INPUT function (the /DeviceN tint shape). Only
+    * Type 4 supports multiple inputs here (Types 0/2/3 are built as
+    * 1-input above; a multi-dim sampled LUT stays fail-closed). The
+    * Domain must carry exactly 2m bounds; inputs clamp per §7.10.1. */
+  def buildM(objs: Map[Int, MiniPdf.PdfObj], num: Int,
+             m: Int): Option[Array[Double] => Array[Double]] = {
+    if (m == 1) return build(objs, num).map(f => (in: Array[Double]) => f(in(0)))
+    val o = objs.getOrElse(num, return None)
+    val d = o.dict
+    val ftype = """/FunctionType\s+(\d+)""".r.findFirstMatchIn(d)
+      .map(_.group(1).toInt).getOrElse(return None)
+    if (ftype != 4) return None
+    val domain = numList(d, "/Domain") match {
+      case Right(Some(a)) if a.length == 2 * m => a
+      case _ => return None
+    }
+    val range = numList(d, "/Range") match {
+      case Right(Some(a)) if a.length >= 2 && a.length % 2 == 0 => a
+      case _ => return None
+    }
+    val nOut = range.length / 2
+    val src = new String(MiniPdf.decodedStream(o),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val prog = PsCalc.parse(src).getOrElse(return None)
+    Some { in =>
+      if (in.length != m) Array.empty[Double]
+      else {
+        val clamped = Array.tabulate(m)(i =>
+          clamp(in(i), domain(2 * i), domain(2 * i + 1)))
+        PsCalc.run(prog, clamped, nOut) match {
+          case Some(out) =>
+            Array.tabulate(nOut)(j =>
+              clamp(out(j), range(2 * j), range(2 * j + 1)))
+          case None => Array.empty[Double]
+        }
+      }
+    }
+  }
+
   private def intKey(d: String, key: String): Option[Int] =
     (key + """\s+(\d+)""").r.findFirstMatchIn(d).map(_.group(1).toInt)
 }

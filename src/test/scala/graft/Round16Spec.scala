@@ -476,6 +476,46 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("/DeviceN rasters: multi-input Type 4 tints with per-pixel ink " +
+       "tuples; non-Type-4 and wrong-arity Domains fail closed") {
+    def dnPdf(names: String, alt: String, prog: String, domain: String,
+              range: String, px: Array[Byte], w: Int, h: Int,
+              ftype: Int = 4) = {
+      val bytes = prog.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      imagePdf(s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 8 " +
+        s"/ColorSpace [/DeviceN [$names] $alt 8 0 R]", px,
+        extra = Seq((8, s"<< /FunctionType $ftype /Domain $domain " +
+          s"/Range $range /Length ${bytes.length} >>", Some(bytes))))
+    }
+    def b(v: Double) = math.floor(255 * v + 0.5).toInt
+    // 2x1, DISTINCT per-pixel ink pairs: avg-invert over gray
+    val px = Array[Byte](51, 102, 204.toByte, 255.toByte)
+    val img = onlyImage(dnPdf("/Cyan /Magenta", "/DeviceGray",
+      "{ add 0.5 mul 1 exch sub }", "[0 1 0 1]", "[0 1]", px, 2, 1)).get
+    def avgInv(a: Int, c: Int) = b(1 - (a / 255.0 + c / 255.0) * 0.5)
+    assert((img.getRGB(0, 0) & 0xFF) == avgInv(51, 102))
+    assert((img.getRGB(1, 0) & 0xFF) == avgInv(204, 255))
+    // input ORDER: first ink deepest — exch dup gives (t2, t1, t1)
+    val rgbImg = onlyImage(dnPdf("/A /B", "/DeviceRGB",
+      "{ exch dup }", "[0 1 0 1]", "[0 1 0 1 0 1]",
+      Array[Byte](100, 200.toByte), 1, 1)).get
+    val p = rgbImg.getRGB(0, 0)
+    assert(((p >> 16) & 0xFF) == b(200 / 255.0) &&
+      ((p >> 8) & 0xFF) == b(100 / 255.0) && (p & 0xFF) == b(100 / 255.0))
+    // a Type 2 tint cannot take 2 inputs -> drop
+    assert(onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/DeviceN [/A /B] /DeviceGray 8 0 R]",
+      Array[Byte](10, 20),
+      extra = Seq((8, "<< /FunctionType 2 /Domain [0 1 0 1] /C0 [0] " +
+        "/C1 [1] /N 1 >>", None)))).isEmpty)
+    // Domain arity must be 2m
+    assert(onlyImage(dnPdf("/A /B", "/DeviceGray", "{ add }", "[0 1]",
+      "[0 1]", Array[Byte](10, 20), 1, 1)).isEmpty)
+    // short sample data (1 ink byte for a 2-ink pixel) -> drop
+    assert(onlyImage(dnPdf("/A /B", "/DeviceGray", "{ add 0.5 mul }",
+      "[0 1 0 1]", "[0 1]", Array[Byte](10), 1, 1)).isEmpty)
+  }
+
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
     val palHex = "FF0000" + "00FF00" // hival 1, two entries
     val bad = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
