@@ -715,7 +715,22 @@ object MiniPdf {
             // tint transform → alternate → RGB, memoized per distinct
             // ink tuple (packed into a Long — m ≤ 8); an image with
             // pathological ink diversity (>65536 distinct tuples ×
-            // a 10k-op Type 4 budget each) drops rather than stalls
+            // a 10k-op Type 4 budget each) drops rather than stalls.
+            // A /Decode array (2m entries) interpolates each sample
+            // into its component range (§8.9.5.2) — present-but-
+            // unusable fails closed, never renders uninverted colors.
+            val dec: Array[Double] = {
+              val dm = """/Decode\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict)
+              dm match {
+                case None => Array.tabulate(2 * m)(i => (i % 2).toDouble)
+                case Some(g) =>
+                  val nums = try g.group(1).trim.split("\\s+")
+                    .filter(_.nonEmpty).map(_.toDouble)
+                  catch { case _: NumberFormatException => return None }
+                  if (nums.length != 2 * m) return None
+                  nums
+              }
+            }
             if (bpc != 8 || px.length < w.toLong * h * m) None
             else {
               val memo = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
@@ -730,7 +745,10 @@ object MiniPdf {
                 if (packed == null) {
                   if (memo.size >= 65536) ok = false
                   else {
-                    val in = Array.tabulate(m)(i => (px(j * m + i) & 0xff) / 255.0)
+                    val in = Array.tabulate(m) { i =>
+                      val s = (px(j * m + i) & 0xff) / 255.0
+                      dec(2 * i) + s * (dec(2 * i + 1) - dec(2 * i))
+                    }
                     toRgb(in) match {
                       case Some((r, g, b)) =>
                         packed = Int.box((r << 16) | (g << 8) | b)
@@ -873,6 +891,10 @@ object MiniPdf {
     * replicates, RGB passes, CMYK takes the §8.6.4.4 additive clamp). */
   private def deviceToRgb(nComp: Int, out: Array[Double]): Option[(Int, Int, Int)] = {
     if (out.length != nComp) return None
+    // NaN from a tint evaluation (pow of a negative base, Inf−Inf)
+    // slips through min/max clamps — fabricated black, not a color
+    var i = 0
+    while (i < out.length) { if (out(i).isNaN) return None; i += 1 }
     def byte(v: Double): Int =
       math.floor(255 * math.max(0.0, math.min(1.0, v)) + 0.5).toInt
     nComp match {

@@ -359,7 +359,9 @@ private[graft] object PsCalc {
             case "log" => pop1().exists(a => a > 0 && push(math.log10(a)))
             case "ceiling" => pop1().exists(a => push(math.ceil(a)))
             case "floor" => pop1().exists(a => push(math.floor(a)))
-            case "round" => pop1().exists(a => push(math.rint(a)))
+            case "round" =>
+              // PostScript ties round to the GREATER value, not even
+              pop1().exists(a => push(math.floor(a + 0.5)))
             case "truncate" => pop1().exists(a => push(a.toLong.toDouble))
             case "cvi" => pop1().exists(a => push(a.toLong.toDouble))
             case "cvr" => pop1().exists(push)
@@ -392,13 +394,22 @@ private[graft] object PsCalc {
                   true
                 })
               }).getOrElse(false)
-            case "eq" | "ne" | "lt" | "le" | "gt" | "ge" =>
+            case "lt" | "le" | "gt" | "ge" =>
               pop2().exists { case (a, b) =>
                 pushB(name match {
-                  case "eq" => a == b; case "ne" => a != b
                   case "lt" => a < b; case "le" => a <= b
                   case "gt" => a > b; case _ => a >= b
                 }) }
+            case "eq" | "ne" =>
+              // eq/ne also accept boolean operands (PLRM semantics)
+              (for (b <- pop(); a <- pop()) yield (a, b) match {
+                case (x: java.lang.Double, y: java.lang.Double) =>
+                  pushB(if (name == "eq") x.doubleValue == y.doubleValue
+                        else x.doubleValue != y.doubleValue)
+                case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+                  pushB(if (name == "eq") x == y else x != y)
+                case _ => false
+              }).getOrElse(false)
             case "true" => pushB(true)
             case "false" => pushB(false)
             case "not" => pop().exists {

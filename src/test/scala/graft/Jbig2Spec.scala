@@ -89,10 +89,11 @@ class Jbig2Spec extends AnyFunSuite {
 
   test("Annex A integer coder round-trips every prefix range, signs, " +
        "OOB, and random interleavings across multiple procedures") {
+    val rng = new scala.util.Random(7)
     val values: Seq[Option[Int]] =
       Seq(0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000)
         .flatMap(v => Seq(Some(v), Some(-v))) ++ Seq(None, Some(0)) ++
-        Seq.fill(200)(Some(new scala.util.Random(7).nextInt(2000000) - 1000000))
+        Seq.fill(200)(Some(rng.nextInt(2000000) - 1000000))
     val enc = new Jbig2.MqEncoder
     val eA = new Jbig2.MqInt; val eB = new Jbig2.MqInt
     // interleave two procedures so their context tables stay separate
