@@ -45,6 +45,68 @@ class MiniPdfFuzzSpec extends AnyFunSuite {
     assert(pages == Seq("<div><p>First page text</p></div>", "<div><p>Second page</p></div>"))
   }
 
+  test("bit-flip fuzz over the r16 color/function dict shapes never " +
+       "throws (Separation/DeviceN tints, SMask, JBIG2 image)") {
+    val ISO = ISO_8859_1
+    val rnd = new scala.util.Random(163)
+    def pdf(imgDict: String, img: Array[Byte],
+            extra: Seq[(Int, String, Option[Array[Byte]])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = bos.write(s.getBytes(ISO))
+      val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
+      w("%PDF-1.5\n")
+      for ((num, dict, stream) <- Seq(
+        (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+        (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO))),
+        (5, s"$imgDict /Length ${img.length} >>", Some(img))) ++ extra) {
+        w(s"$num 0 obj\n$dict\n")
+        stream.foreach { st => w("stream\n"); bos.write(st); w("\nendstream\n") }
+        w("endobj\n")
+      }
+      w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      bos.toByteArray
+    }
+    val prog1 = "{ 1 exch sub }".getBytes(ISO)
+    val prog = "{ add 0.5 mul 1 exch sub }".getBytes(ISO)
+    val mask = Array[Byte](10, 20, 30, 40)
+    val jb = graft.sources.Jbig2.encodeEmbeddedText(
+      Seq((2, 2, Array(true, false, true, true))), Seq((0, 1, 1)), 6, 4)
+    val fixtures = Seq(
+      pdf("<< /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+        "/ColorSpace [/Separation /Ink /DeviceGray 8 0 R]",
+        Array[Byte](10, 60, 110, (160).toByte),
+        Seq((8, "<< /FunctionType 4 /Domain [0 1] /Range [0 1] " +
+          s"/Length ${prog1.length} >>", Some(prog1)))),
+      pdf("<< /Subtype /Image /Width 2 /Height 1 /BitsPerComponent 8 " +
+        "/ColorSpace [/DeviceN [/A /B] /DeviceGray 8 0 R]",
+        Array[Byte](5, 50, 100, (200).toByte),
+        Seq((8, "<< /FunctionType 4 /Domain [0 1 0 1] /Range [0 1] " +
+          s"/Length ${prog.length} >>", Some(prog)))),
+      pdf("<< /Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+        "/ColorSpace /DeviceRGB /SMask 7 0 R",
+        Array.fill[Byte](12)(99),
+        Seq((7, "<< /Subtype /Image /Width 2 /Height 2 " +
+          s"/BitsPerComponent 8 /ColorSpace /DeviceGray /Length 4 >>",
+          Some(mask)))),
+      pdf("<< /Subtype /Image /Width 6 /Height 4 /BitsPerComponent 1 " +
+        "/ColorSpace /DeviceGray /Filter /JBIG2Decode", jb, Nil))
+    val dec = graft.sources.MiniPdfDecoder()
+    for ((f, fi) <- fixtures.zipWithIndex) {
+      // sanity: the unmutated fixture decodes with one image payload
+      assert(dec.decodeWithImages(f).exists(_.flatMap(_._2).nonEmpty),
+        s"fixture $fi must be valid before mutation")
+      for (_ <- 0 until 150) {
+        val m = f.clone()
+        m(rnd.nextInt(m.length)) = (m(rnd.nextInt(m.length)) ^
+          (1 << rnd.nextInt(8))).toByte
+        dec.decodeWithImages(m) // Either way, never throw / never hang
+      }
+    }
+  }
+
   test("random byte soup never throws (with and without %PDF- header)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 300) {
