@@ -14,8 +14,10 @@ package graft.sources
   *     the full §7.10.5 operator set with degree trig, typed booleans,
   *     if/ifelse blocks, and a stack/op budget against hostile input
   *
-  * Multi-input sampled functions yield None — fail closed, the same
-  * contract as the rest of MiniPdf.
+  * Multi-input functions (the /DeviceN tint shape) are supported for
+  * Type 4 and for Type 0 via MULTILINEAR interpolation ([[buildM]]);
+  * everything else fails closed, the same contract as the rest of
+  * MiniPdf.
   * Evaluation clamps inputs to Domain and outputs to Range (§7.10.1),
   * exactly as a conformant renderer does. */
 object PdfFunction {
@@ -205,10 +207,11 @@ object PdfFunction {
     }
   }
 
-  /** Compile an m-INPUT function (the /DeviceN tint shape). Only
-    * Type 4 supports multiple inputs here (Types 0/2/3 are built as
-    * 1-input above; a multi-dim sampled LUT stays fail-closed). The
-    * Domain must carry exactly 2m bounds; inputs clamp per §7.10.1. */
+  /** Compile an m-INPUT function (the /DeviceN tint shape): Type 4
+    * programs take m stack inputs; Type 0 LUTs interpolate
+    * multilinearly over m dimensions. Types 2/3 are 1-input by spec.
+    * The Domain must carry exactly 2m bounds; inputs clamp per
+    * §7.10.1. */
   def buildM(objs: Map[Int, MiniPdf.PdfObj], num: Int,
              m: Int): Option[Array[Double] => Array[Double]] = {
     if (m == 1) return build(objs, num).map(f => (in: Array[Double]) => f(in(0)))
@@ -216,11 +219,12 @@ object PdfFunction {
     val d = o.dict
     val ftype = """/FunctionType\s+(\d+)""".r.findFirstMatchIn(d)
       .map(_.group(1).toInt).getOrElse(return None)
-    if (ftype != 4) return None
+    if (ftype != 4 && ftype != 0) return None
     val domain = numList(d, "/Domain") match {
       case Right(Some(a)) if a.length == 2 * m => a
       case _ => return None
     }
+    if (ftype == 0) return buildM0(o, d, m, domain)
     val range = numList(d, "/Range") match {
       case Right(Some(a)) if a.length >= 2 && a.length % 2 == 0 => a
       case _ => return None
@@ -239,6 +243,92 @@ object PdfFunction {
             Array.tabulate(nOut)(j =>
               clamp(out(j), range(2 * j), range(2 * j + 1)))
           case None => Array.empty[Double]
+        }
+      }
+    }
+  }
+
+  /** m-input Type 0: MULTILINEAR interpolation over an m-dimensional
+    * sampled LUT (§7.10.2 — "the first dimension varies fastest" in
+    * the sample stream; 2^m corner samples weighted by per-dimension
+    * fractions). Bounded: m ≤ 4 and ≤ 2^20 total samples. */
+  private def buildM0(o: MiniPdf.PdfObj, d: String, m: Int,
+      domain: Array[Double]): Option[Array[Double] => Array[Double]] = {
+    if (m > 4) return None
+    val range = numList(d, "/Range") match {
+      case Right(Some(a)) if a.length >= 2 && a.length % 2 == 0 => a
+      case _ => return None
+    }
+    val nOut = range.length / 2
+    val sizes = numList(d, "/Size") match {
+      case Right(Some(a)) if a.length == m && a.forall(v => v >= 1 && v <= 65536) =>
+        a.map(_.toInt)
+      case _ => return None
+    }
+    if (sizes.map(_.toLong).product > (1L << 20)) return None
+    val bps = intKey(d, "/BitsPerSample").getOrElse(return None)
+    if (!Set(1, 2, 4, 8, 16).contains(bps)) return None
+    val encode = numList(d, "/Encode") match {
+      case Right(None) => Array.tabulate(2 * m)(i =>
+        if (i % 2 == 0) 0.0 else (sizes(i / 2) - 1).toDouble)
+      case Right(Some(a)) if a.length == 2 * m => a
+      case _ => return None
+    }
+    val decode = numList(d, "/Decode") match {
+      case Right(None) => range
+      case Right(Some(a)) if a.length == range.length => a
+      case _ => return None
+    }
+    val data = MiniPdf.decodedStream(o)
+    val total = sizes.map(_.toLong).product
+    if (data.length.toLong * 8 < total * nOut * bps) return None
+    val maxV = (1L << bps) - 1
+    def sample(flat: Long, j: Int): Double = {
+      val bit = (flat * nOut + j) * bps
+      var v = 0L
+      var k = 0L
+      while (k < bps) {
+        val b = data(((bit + k) >> 3).toInt) & 0xff
+        v = (v << 1) | ((b >> (7 - ((bit + k) & 7))) & 1)
+        k += 1
+      }
+      v.toDouble
+    }
+    Some { in =>
+      if (in.length != m) Array.empty[Double]
+      else {
+        val i0 = new Array[Int](m)
+        val frac = new Array[Double](m)
+        var k = 0
+        while (k < m) {
+          val t = clamp(in(k), domain(2 * k), domain(2 * k + 1))
+          val e = clamp(interp(t, domain(2 * k), domain(2 * k + 1),
+            encode(2 * k), encode(2 * k + 1)), 0, sizes(k) - 1)
+          i0(k) = math.min(e.toInt, sizes(k) - 1)
+          frac(k) = e - i0(k)
+          k += 1
+        }
+        Array.tabulate(nOut) { j =>
+          var raw = 0.0
+          var corner = 0
+          while (corner < (1 << m)) {
+            var w = 1.0
+            var flat = 0L
+            var stride = 1L
+            var dim = 0
+            while (dim < m) {
+              val hi = ((corner >> dim) & 1) == 1
+              w *= (if (hi) frac(dim) else 1.0 - frac(dim))
+              val idx = math.min(i0(dim) + (if (hi) 1 else 0), sizes(dim) - 1)
+              flat += idx * stride // first dimension varies fastest
+              stride *= sizes(dim)
+              dim += 1
+            }
+            raw += w * sample(flat, j)
+            corner += 1
+          }
+          clamp(interp(raw, 0, maxV.toDouble, decode(2 * j), decode(2 * j + 1)),
+            range(2 * j), range(2 * j + 1))
         }
       }
     }

@@ -516,6 +516,39 @@ class Round16Spec extends AnyFunSuite {
       "[0 1 0 1]", "[0 1]", Array[Byte](10), 1, 1)).isEmpty)
   }
 
+  test("DeviceN over a multi-input SAMPLED (Type 0) tint: exact " +
+       "bilinear interpolation, first-dimension-fastest sample layout") {
+    // 2x2 LUT over two inks, gray output: corners c00=0, c10=100,
+    // c01=200, c11=250 (flat order: (0,0),(1,0),(0,1),(1,1))
+    val lut = Array[Byte](0, 100, 200.toByte, 250.toByte)
+    def dn(sample1: Int, sample2: Int) = {
+      val pdf = imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+        "/BitsPerComponent 8 /ColorSpace [/DeviceN [/A /B] /DeviceGray 8 0 R]",
+        Array(sample1.toByte, sample2.toByte),
+        extra = Seq((8, "<< /FunctionType 0 /Domain [0 1 0 1] /Range [0 1] " +
+          s"/Size [2 2] /BitsPerSample 8 /Length 4 >>", Some(lut))))
+      onlyImage(pdf).map(_.getRGB(0, 0) & 0xFF)
+    }
+    def expect(s1: Int, s2: Int): Int = {
+      val (f1, f2) = (s1 / 255.0, s2 / 255.0)
+      val raw = (1 - f1) * (1 - f2) * 0 + f1 * (1 - f2) * 100 +
+        (1 - f1) * f2 * 200 + f1 * f2 * 250
+      math.floor(255 * (raw / 255.0) + 0.5).toInt
+    }
+    // corners exact, midpoints bilinear
+    assert(dn(0, 0).contains(0) && dn(255, 0).contains(100) &&
+      dn(0, 255).contains(200) && dn(255, 255).contains(250))
+    for ((a, b) <- Seq((128, 64), (51, 204), (17, 230)))
+      assert(dn(a, b).contains(expect(a, b)), s"($a,$b)")
+    // wrong /Size arity for the ink count drops
+    val bad = imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/DeviceN [/A /B] /DeviceGray 8 0 R]",
+      Array[Byte](1, 2),
+      extra = Seq((8, "<< /FunctionType 0 /Domain [0 1 0 1] /Range [0 1] " +
+        s"/Size [4] /BitsPerSample 8 /Length 4 >>", Some(lut))))
+    assert(onlyImage(bad).isEmpty)
+  }
+
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
     val palHex = "FF0000" + "00FF00" // hival 1, two entries
     val bad = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
