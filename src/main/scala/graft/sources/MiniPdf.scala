@@ -640,28 +640,84 @@ object MiniPdf {
         val bpc = intIn(o.dict, "/BitsPerComponent", 8)
         if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8) return None
         val px = applyFilters(raw, o.dict, filters)
-        val dec10 = decodeInverted(o.dict)
         val alphaPx = smaskAlpha(objs, o.dict, w, h).orNull
+        // the image's /Decode array (§8.9.5.2): Some(None) = absent
+        // (component defaults), Some(Some(a)) = an n-entry inline
+        // array, None = PRESENT but malformed/wrong arity — fail
+        // closed, never render default-mapped colors for an image
+        // that asked for a remap (the DeviceN review-finding class,
+        // closed across every raster leg)
+        def decodeNums(n: Int): Option[Option[Array[Double]]] =
+          """/Decode\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict) match {
+            case None =>
+              if ("""/Decode(?![A-Za-z])""".r.findFirstIn(o.dict).isDefined)
+                None // indirect or non-array /Decode
+              else Some(None)
+            case Some(g) =>
+              val nums =
+                try g.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+                catch { case _: NumberFormatException => return None }
+              if (nums.length != n) None else Some(Some(nums))
+          }
+        @inline def mapComp(t: Double, lo: Double, hi: Double): Byte = {
+          val c = math.max(0.0, math.min(1.0, lo + t * (hi - lo)))
+          math.floor(255 * c + 0.5).toInt.toByte
+        }
         resolveColorSpace(objs, o.dict) match {
           case CsRgb =>
-            if (bpc != 8) None else rasterToPng(px, w, h, 3, alphaPx)
+            if (bpc != 8 || px.length < w.toLong * h * 3) None
+            else decodeNums(6) match {
+              case None => None
+              case Some(None) => rasterToPng(px, w, h, 3, alphaPx)
+              case Some(Some(dd)) =>
+                val out = new Array[Byte](w * h * 3)
+                var i = 0
+                while (i < out.length) {
+                  val c = i % 3
+                  out(i) = mapComp((px(i) & 0xff) / 255.0, dd(2 * c), dd(2 * c + 1))
+                  i += 1
+                }
+                rasterToPng(out, w, h, 3, alphaPx)
+            }
           case CsGray =>
             // 1/2/4-bpc gray (bitmap masks, dithered scans) unpacks
             // with byte-aligned rows, levels scaled to 0–255 (§8.9.3)
-            unpackSamples(px, w, h, bpc).flatMap { s =>
-              val scale = 255 / ((1 << bpc) - 1)
-              var i = 0
-              val g = new Array[Byte](w * h)
-              while (i < g.length) {
-                val v = (s(i) & 0xff) * scale
-                g(i) = (if (dec10) 255 - v else v).toByte
-                i += 1
-              }
-              rasterToPng(g, w, h, 1, alphaPx)
+            decodeNums(2) match {
+              case None => None
+              case Some(decOpt) =>
+                unpackSamples(px, w, h, bpc).flatMap { s =>
+                  val max = (1 << bpc) - 1
+                  val scale = 255 / max
+                  val g = new Array[Byte](w * h)
+                  var i = 0
+                  decOpt match {
+                    case None =>
+                      while (i < g.length) {
+                        g(i) = ((s(i) & 0xff) * scale).toByte
+                        i += 1
+                      }
+                    case Some(dd) =>
+                      while (i < g.length) {
+                        g(i) = mapComp((s(i) & 0xff).toDouble / max, dd(0), dd(1))
+                        i += 1
+                      }
+                  }
+                  rasterToPng(g, w, h, 1, alphaPx)
+                }
             }
           case CsIndexed(palette, hival) =>
             // palette indices (1/2/4/8-bpc, §8.6.6.3: low-bpc indices
-            // pack high-bit-first with byte-aligned rows) → exact RGB
+            // pack high-bit-first with byte-aligned rows) → exact RGB.
+            // /Decode on an Indexed image remaps the INDEX range —
+            // accept only the default [0, 2^bpc−1]; anything else is
+            // out of envelope and drops rather than mis-indexing
+            decodeNums(2) match {
+              case None => return None
+              case Some(Some(dd))
+                if dd(0) != 0.0 || dd(1) != ((1 << bpc) - 1).toDouble =>
+                return None
+              case _ => ()
+            }
             unpackSamples(px, w, h, bpc).flatMap { idxs =>
               val rgb = new Array[Byte](w * h * 3)
               var i = 0
@@ -680,9 +736,13 @@ object MiniPdf {
             }
           case CsSeparation(toRgb) =>
             // spot-color rasters (r16): sample → tint (bpc-scaled,
-            // /Decode [1 0] inverts) → tint transform → alternate
-            // space → RGB, precomputed as a 2^bpc-entry LUT so the
-            // per-pixel loop is a table lookup
+            // any /Decode [a b] interpolates the tint) → tint
+            // transform → alternate space → RGB, precomputed as a
+            // 2^bpc-entry LUT so the per-pixel loop is a table lookup
+            val sepDec = decodeNums(2) match {
+              case None => return None
+              case Some(v) => v
+            }
             unpackSamples(px, w, h, bpc).flatMap { s =>
               val maxS = (1 << bpc) - 1
               val lut = new Array[Int](maxS + 1)
@@ -690,7 +750,10 @@ object MiniPdf {
               var i = 0
               while (i <= maxS && ok) {
                 val t0 = i.toDouble / maxS
-                toRgb(if (dec10) 1.0 - t0 else t0) match {
+                toRgb(sepDec match {
+                  case None => t0
+                  case Some(dd) => dd(0) + t0 * (dd(1) - dd(0))
+                }) match {
                   case Some((r, g, b)) => lut(i) = (r << 16) | (g << 8) | b
                   case None => ok = false
                 }
@@ -719,17 +782,10 @@ object MiniPdf {
             // A /Decode array (2m entries) interpolates each sample
             // into its component range (§8.9.5.2) — present-but-
             // unusable fails closed, never renders uninverted colors.
-            val dec: Array[Double] = {
-              val dm = """/Decode\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict)
-              dm match {
-                case None => Array.tabulate(2 * m)(i => (i % 2).toDouble)
-                case Some(g) =>
-                  val nums = try g.group(1).trim.split("\\s+")
-                    .filter(_.nonEmpty).map(_.toDouble)
-                  catch { case _: NumberFormatException => return None }
-                  if (nums.length != 2 * m) return None
-                  nums
-              }
+            val dec: Array[Double] = decodeNums(2 * m) match {
+              case None => return None
+              case Some(None) => Array.tabulate(2 * m)(i => (i % 2).toDouble)
+              case Some(Some(dd)) => dd
             }
             if (bpc != 8 || px.length < w.toLong * h * m) None
             else {
@@ -773,22 +829,31 @@ object MiniPdf {
             // R = 255 − min(255, C + K); un-color-managed like every
             // extraction-side converter (color management is rendering)
             if (bpc != 8 || px.length < w.toLong * h * 4) None
-            else {
-              val rgb = new Array[Byte](w * h * 3)
-              var i = 0
-              while (i < w * h) {
-                val c = px(4 * i) & 0xff; val m = px(4 * i + 1) & 0xff
-                val yy = px(4 * i + 2) & 0xff; val k = px(4 * i + 3) & 0xff
-                rgb(3 * i) = (255 - math.min(255, c + k)).toByte
-                rgb(3 * i + 1) = (255 - math.min(255, m + k)).toByte
-                rgb(3 * i + 2) = (255 - math.min(255, yy + k)).toByte
-                i += 1
-              }
-              rasterToPng(rgb, w, h, 3, alphaPx)
+            else decodeNums(8) match {
+              case None => None
+              case Some(decOpt) =>
+                @inline def comp(i: Int, c: Int): Int = decOpt match {
+                  case None => px(4 * i + c) & 0xff
+                  case Some(dd) => mapComp((px(4 * i + c) & 0xff) / 255.0,
+                    dd(2 * c), dd(2 * c + 1)) & 0xff
+                }
+                val rgb = new Array[Byte](w * h * 3)
+                var i = 0
+                while (i < w * h) {
+                  val c = comp(i, 0); val m = comp(i, 1)
+                  val yy = comp(i, 2); val k = comp(i, 3)
+                  rgb(3 * i) = (255 - math.min(255, c + k)).toByte
+                  rgb(3 * i + 1) = (255 - math.min(255, m + k)).toByte
+                  rgb(3 * i + 2) = (255 - math.min(255, yy + k)).toByte
+                  i += 1
+                }
+                rasterToPng(rgb, w, h, 3, alphaPx)
             }
           case CsUnknown =>
-            // legacy heuristic for dict-less rasters
-            if (bpc != 8) None
+            // legacy heuristic for dict-less rasters; a /Decode with
+            // no colorspace to anchor its arity is unmappable → drop
+            if (bpc != 8 ||
+                """/Decode(?![A-Za-z])""".r.findFirstIn(o.dict).isDefined) None
             else {
               val ncomp = if (px.length >= w.toLong * h * 3) 3 else 1
               rasterToPng(px, w, h, ncomp, alphaPx)

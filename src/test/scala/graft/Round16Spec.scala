@@ -549,6 +549,55 @@ class Round16Spec extends AnyFunSuite {
     assert(onlyImage(bad).isEmpty)
   }
 
+  test("general /Decode arrays on raster legs: per-component ranges " +
+       "interpolate, wrong arity fails closed (no silent defaults)") {
+    def b(v: Double) = math.floor(255 * math.max(0.0, math.min(1.0, v)) + 0.5).toInt
+    // RGB with a 6-entry decode: red inverted, green compressed to
+    // [0.2, 0.6], blue identity
+    val rgbPx = Array[Byte](255.toByte, 128.toByte, 64)
+    val rgb = onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceRGB " +
+      "/Decode [1 0 0.2 0.6 0 1]", rgbPx)).get.getRGB(0, 0)
+    assert(((rgb >> 16) & 0xFF) == b(1 - 1.0))
+    assert(((rgb >> 8) & 0xFF) == b(0.2 + (128 / 255.0) * 0.4))
+    assert((rgb & 0xFF) == b(64 / 255.0))
+    // gray partial range [0.25 0.75]
+    val g = onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceGray /Decode [0.25 0.75]",
+      Array[Byte](102))).get
+    assert((g.getRGB(0, 0) & 0xFF) == b(0.25 + (102 / 255.0) * 0.5))
+    // CMYK decode inverts the K channel before the additive clamp
+    val cm = onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceCMYK " +
+      "/Decode [0 1 0 1 0 1 1 0]",
+      Array[Byte](10, 20, 30, 255.toByte))).get.getRGB(0, 0)
+    assert(((cm >> 16) & 0xFF) == 255 - math.min(255, 10 + 0),
+      "k=255 decodes to 0 under [1 0]")
+    // wrong arity (4 entries on RGB) and indirect /Decode fail closed
+    assert(onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceRGB /Decode [0 1 0 1]",
+      rgbPx)).isEmpty)
+    assert(onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace /DeviceRGB /Decode 9 0 R",
+      rgbPx)).isEmpty)
+    // Indexed: non-default index decode drops rather than mis-indexing
+    assert(onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/Indexed /DeviceRGB 1 <FF000000FF00>] " +
+      "/Decode [0 1]", Array[Byte](0))).isEmpty)
+    // ...while the explicit DEFAULT index decode passes through
+    val idx = onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/Indexed /DeviceRGB 1 <FF000000FF00>] " +
+      "/Decode [0 255]", Array[Byte](1))).get
+    assert((idx.getRGB(0, 0) & 0xFFFFFF) == 0x00FF00)
+    // Separation: a [0.5 1] decode compresses the tint range
+    val sep = onlyImage(imagePdf("<< /Subtype /Image /Width 1 /Height 1 " +
+      "/BitsPerComponent 8 /ColorSpace [/Separation /Ink /DeviceGray 8 0 R] " +
+      "/Decode [0.5 1]", Array[Byte](0),
+      extra = Seq((8, "<< /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [1] " +
+        "/N 1 >>", None)))).get
+    assert((sep.getRGB(0, 0) & 0xFF) == b(0.5), "sample 0 -> tint 0.5")
+  }
+
   test("Indexed guards: out-of-hival index and short palette drop the payload") {
     val palHex = "FF0000" + "00FF00" // hival 1, two entries
     val bad = imagePdf("<< /Subtype /Image /Width 2 /Height 1 " +
