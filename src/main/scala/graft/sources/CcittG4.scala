@@ -11,8 +11,10 @@ package graft.sources
   * (two-dimensional coding: pass / horizontal / vertical modes over a
   * reference line) with the T.4 §2.3.1.2 run-length code tables
   * (terminating 0–63, make-up 64–1728, shared extended make-up
-  * 1792–2560). K ≥ 0 (G3 one-/mixed-dimensional) is out of scope and
-  * yields None — fail closed, never fabricate pixels.
+  * 1792–2560). `decodeG3` (below) additionally covers ITU-T T.4
+  * K = 0 (pure one-dimensional MH) and K > 0 (mixed 1D/2D with
+  * EOL+tag bits); only encodings outside T.4/T.6 yield None —
+  * fail closed, never fabricate pixels.
   *
   * The decoder is defensive end to end: any structural violation
   * (truncated stream, impossible transition, 2D-extension code, run

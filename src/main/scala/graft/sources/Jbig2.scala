@@ -448,7 +448,12 @@ object Jbig2 {
                     page = Array.fill(w * h)(defaultPixel)
                   }
                 }
-              case 36 | 38 | 39 => // generic region (§7.4.6)
+              case 36 => // intermediate generic region (§7.4.6): input
+                // to a later refinement segment, never page content;
+                // refinement is out of envelope, so fail closed rather
+                // than paint what a conformant decoder would not
+                return None
+              case 38 | 39 => // immediate generic region (§7.4.6)
                 if (s.dataLen < 18) return None
                 val rw = u32(b, s.dataStart)
                 val rh = u32(b, s.dataStart + 4)
@@ -721,7 +726,10 @@ object Jbig2 {
       runs += 1
       if (runs > 2 * all.length + 4) return None
       val run = iaex.decode(mq).getOrElse(return None)
-      if (run < 0 || i + run > all.length) return None
+      // `run > all.length - i` rather than `i + run > all.length`:
+      // MqInt clamps hostile values near Int.MaxValue, so the sum
+      // form can wrap negative and pass the check
+      if (run < 0 || run > all.length - i) return None
       if (exporting) java.util.Arrays.fill(ex, i, i + run, true)
       i += run
       exporting = !exporting

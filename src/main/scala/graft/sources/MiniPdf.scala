@@ -593,19 +593,24 @@ object MiniPdf {
         if (cols != w) return None // dims must agree or pixels would shear
         val align = """/EncodedByteAlign\s+true""".r.findFirstIn(o.dict).isDefined
         val blackIs1 = """/BlackIs1\s+true""".r.findFirstIn(o.dict).isDefined
-        val dec10 = decodeInverted(o.dict)
+        val (dl, dh) = grayDecode(o.dict) match {
+          case None => return None // present but unusable: fail closed
+          case Some(None) => (0.0, 1.0)
+          case Some(Some(dd)) => dd
+        }
         val decoded =
           if (k < 0) CcittG4.decode(pre, cols, h, align)
           else CcittG4.decodeG3(pre, cols, h, k, align)
         decoded.flatMap { bits =>
           // CCITT 'black' → sample 1 under /BlackIs1, else sample 0;
-          // 1-bit DeviceGray renders sample 0 dark and 1 white, and a
-          // /Decode [1 0] array swaps that mapping (ISO 32000-1 §8.9.5.2)
+          // the sample then maps through the /Decode range (default
+          // [0 1]: 0 dark, 1 white; [1 0] swaps — ISO 32000-1 §8.9.5.2)
           val px = new Array[Byte](w * h)
+          val g0 = grayMap(0.0, dl, dh)
+          val g1 = grayMap(1.0, dl, dh)
           var i = 0
           while (i < px.length) {
-            val sampleOne = bits(i) == blackIs1
-            px(i) = if (sampleOne != dec10) 0xFF.toByte else 0x00.toByte
+            px(i) = if (bits(i) == blackIs1) g1 else g0
             i += 1
           }
           rasterToPng(px, w, h, 1)
@@ -621,16 +626,22 @@ object MiniPdf {
         val globals = """/JBIG2Globals\s+(\d+)\s+\d+\s+R""".r
           .findFirstMatchIn(o.dict)
           .flatMap(m => objs.get(m.group(1).toInt)).map(decodedStream)
-        val dec10 = decodeInverted(o.dict)
+        val (dl, dh) = grayDecode(o.dict) match {
+          case None => return None // present but unusable: fail closed
+          case Some(None) => (0.0, 1.0)
+          case Some(Some(dd)) => dd
+        }
         Jbig2.decodeEmbedded(globals, pre, w, h).flatMap { bits =>
           // JBIG2 1 = black (§4; unlike CCITT there is no /BlackIs1 —
-          // the filter's output convention is fixed), /Decode [1 0]
-          // still swaps the final sample→color mapping
+          // the filter's output convention is fixed): a black bit is
+          // sample 0, which then maps through the /Decode range
+          // (default [0 1] renders it dark; [1 0] swaps — §8.9.5.2)
           val px = new Array[Byte](w * h)
+          val g0 = grayMap(0.0, dl, dh)
+          val g1 = grayMap(1.0, dl, dh)
           var i = 0
           while (i < px.length) {
-            val black = bits(i)
-            px(i) = if (black != dec10) 0x00.toByte else 0xFF.toByte
+            px(i) = if (bits(i)) g0 else g1
             i += 1
           }
           rasterToPng(px, w, h, 1)
@@ -891,14 +902,17 @@ object MiniPdf {
     if (bpc != 1 && bpc != 2 && bpc != 4 && bpc != 8) return None
     try {
       val px = applyFilters(raw, o.dict, filters)
+      val (dl, dh) = grayDecode(o.dict) match {
+        case None => return None // present but unusable: fail closed
+        case Some(None) => (0.0, 1.0)
+        case Some(Some(dd)) => dd
+      }
       unpackSamples(px, w, h, bpc).map { s =>
-        val scale = 255 / ((1 << bpc) - 1)
-        val inv = decodeInverted(o.dict)
+        val max = ((1 << bpc) - 1).toDouble
         val a = new Array[Byte](w * h)
         var i = 0
         while (i < a.length) {
-          val v = (s(i) & 0xff) * scale
-          a(i) = (if (inv) 255 - v else v).toByte
+          a(i) = grayMap((s(i) & 0xff) / max, dl, dh)
           i += 1
         }
         a
@@ -906,10 +920,38 @@ object MiniPdf {
     } catch { case _: Exception => None }
   }
 
-  /** `/Decode [1 0]` on a one-component image inverts the sample→color
-    * mapping (ISO 32000-1 Table 89 default is [0 1]). */
-  private def decodeInverted(dict: String): Boolean =
-    """/Decode\s*\[\s*1(?:\.0)?\s+0(?:\.0)?\s*\]""".r.findFirstIn(dict).isDefined
+  /** Tri-state `/Decode` parse for the one-component (CCITT/JBIG2/
+    * SMask) legs, same discipline as the general-raster `decodeNums`:
+    * `Some(None)` = absent (component default `[0 1]`);
+    * `Some(Some((d0,d1)))` = a present 2-entry numeric array mapping
+    * min/max samples through the decode range (§8.9.5.2); `None` =
+    * PRESENT but unusable (indirect ref, non-array, wrong arity,
+    * malformed number) — fail closed rather than silently rendering
+    * the default mapping for an image that asked for a remap.
+    * `abbrev` additionally honours the inline-image `/D` alias
+    * (§8.9.7 Table 93). */
+  private def grayDecode(dict: String, abbrev: Boolean = false)
+      : Option[Option[(Double, Double)]] = {
+    val key = if (abbrev) "/(?:Decode|D)" else "/Decode"
+    (key + """\s*\[([^\]]*)\]""").r.findFirstMatchIn(dict) match {
+      case None =>
+        if ((key + """(?![A-Za-z])""").r.findFirstIn(dict).isDefined)
+          None // indirect or non-array /Decode
+        else Some(None)
+      case Some(g) =>
+        val nums =
+          try g.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+          catch { case _: NumberFormatException => return None }
+        if (nums.length != 2) None else Some(Some((nums(0), nums(1))))
+    }
+  }
+
+  /** Map a normalized one-component sample through a decode range to
+    * an 8-bit gray level, clamped to [0,1] (§8.9.5.2). */
+  @inline private def grayMap(t: Double, d0: Double, d1: Double): Byte = {
+    val c = math.max(0.0, math.min(1.0, d0 + t * (d1 - d0)))
+    math.floor(255 * c + 0.5).toInt.toByte
+  }
 
   /** Unpack 1/2/4-bpc samples (high bit first, rows padded to a byte
     * boundary — ISO 32000-1 §8.9.3) to one byte per sample; 8-bpc
@@ -1213,18 +1255,21 @@ object MiniPdf {
         if (cols != w) return None
         val align = """/EncodedByteAlign\s+true""".r.findFirstIn(dictTxt).isDefined
         val blackIs1 = """/BlackIs1\s+true""".r.findFirstIn(dictTxt).isDefined
-        val dec10 = decodeInverted(dictTxt) ||
-          """/D(?:ecode)?\s*\[\s*1(?:\.0)?\s+0(?:\.0)?\s*\]""".r
-            .findFirstIn(dictTxt).isDefined
+        val (dl, dh) = grayDecode(dictTxt, abbrev = true) match {
+          case None => return None // present but unusable: fail closed
+          case Some(None) => (0.0, 1.0)
+          case Some(Some(dd)) => dd
+        }
         val decoded =
           if (k < 0) CcittG4.decode(pre, cols, h, align)
           else CcittG4.decodeG3(pre, cols, h, k, align)
         decoded.flatMap { bits =>
           val px = new Array[Byte](w * h)
+          val g0 = grayMap(0.0, dl, dh)
+          val g1 = grayMap(1.0, dl, dh)
           var i = 0
           while (i < px.length) {
-            val sampleOne = bits(i) == blackIs1
-            px(i) = if (sampleOne != dec10) 0xFF.toByte else 0x00.toByte
+            px(i) = if (bits(i) == blackIs1) g1 else g0
             i += 1
           }
           rasterToPng(px, w, h, 1)

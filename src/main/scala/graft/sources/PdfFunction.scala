@@ -85,8 +85,10 @@ object PdfFunction {
         }
         if (c0.length != c1.length) return None
         // the lookahead rejects an indirect `/N 9 0 R` (a bare-regex
-        // read would otherwise treat the object NUMBER as the exponent)
-        val n = """/N\s+([-0-9.]+)(?!\s+\d+\s+R)""".r.findFirstMatchIn(d)
+        // read would otherwise treat the object NUMBER as the exponent);
+        // the possessive `++` keeps backtracking from shortening the
+        // token so `/N 12 0 R` can't sneak through as N=1
+        val n = """/N\s+([-0-9.]++)(?!\s+\d+\s+R)""".r.findFirstMatchIn(d)
           .map(_.group(1).toDouble).getOrElse(return None)
         Some { t0 =>
           val t = clamp(t0, d0, d1)

@@ -1,0 +1,209 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{CcittG4, Jbig2, MiniPdf, PdfFunction}
+
+/** Round-17 hardening specs — the r16 ADVICE items: the Type 2 /N
+  * regex defeated by backtracking on multi-digit indirect refs, the
+  * Int-overflowing JBIG2 export-run bound, general-/Decode handling on
+  * the bilevel (CCITT/JBIG2) raster legs, and JBIG2 intermediate
+  * (type 36) generic regions compositing like immediate ones. */
+class Round17Spec extends AnyFunSuite {
+
+  private val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  // --------------------------- PdfFunction /N indirect-ref regression
+
+  private def fnObjs(nValue: String): Map[Int, MiniPdf.PdfObj] = Map(
+    8 -> MiniPdf.PdfObj(8, "<< /FunctionType 2 /Domain [0 1] " +
+      s"/C0 [0] /C1 [1] /N $nValue >>", None),
+    12 -> MiniPdf.PdfObj(12, "<< /Type /SomeTarget >>", None))
+
+  test("Type 2 /N with a MULTI-digit indirect ref fails closed (the " +
+       "backtracking defeat: '/N 12 0 R' must not evaluate as N=1)") {
+    assert(PdfFunction.build(fnObjs("12 0 R"), 8).isEmpty,
+      "indirect /N 12 0 R must not silently become N=1")
+    // single-digit indirect (the case the original lookahead caught)
+    assert(PdfFunction.build(fnObjs("9 0 R"), 8).isEmpty)
+  }
+
+  test("Type 2 inline /N still parses: N=12 gives t^12 interpolation") {
+    val f = PdfFunction.build(fnObjs("12"), 8)
+    assert(f.isDefined)
+    assert(f.get(1.0).sameElements(Array(1.0)))
+    val half = f.get(0.5)(0)
+    assert(math.abs(half - math.pow(0.5, 12)) < 1e-12, s"got $half")
+    // and N followed by another key is not mistaken for an indirect ref
+    val g = PdfFunction.build(Map(8 -> MiniPdf.PdfObj(8,
+      "<< /FunctionType 2 /Domain [0 1] /C0 [0] /C1 [1] /N 2 /Foo true >>",
+      None)), 8)
+    assert(g.isDefined && math.abs(g.get(0.5)(0) - 0.25) < 1e-12)
+  }
+
+  // ----------------------- JBIG2 export-run Int-overflow regression
+
+  test("symbol-dict export run near Int.MaxValue at i>=1 returns None " +
+       "(the 'i + run' sum wraps negative and used to pass the bound)") {
+    // a VALID dictionary exporting two glyphs, so the hostile dict's
+    // import list has length 2 and the first run can advance i to 1
+    val g1 = (2, 2, Array(true, true, true, false))
+    val g2 = (1, 3, Array(true, false, true))
+    val full = Jbig2.encodeEmbeddedText(Seq(g1, g2), Seq((0, 1, 1)), 8, 8)
+    val dictLen = {
+      val o = 30 + 7 // page info is 30 bytes; data length at header+7
+      (((full(o) & 0xff) << 24) | ((full(o + 1) & 0xff) << 16) |
+        ((full(o + 2) & 0xff) << 8) | (full(o + 3) & 0xff))
+    }
+    val prefix = java.util.Arrays.copyOfRange(full, 0, 30 + 11 + dictLen)
+    // hostile dict segment #2 referring to #1: numNew=0, export runs
+    // (1, Int.MaxValue) — the second run, clamped by MqInt, must be
+    // rejected by arithmetic that cannot overflow
+    val mq = new Jbig2.MqEncoder
+    val iaex = new Jbig2.MqInt
+    iaex.encode(mq, Some(1))
+    iaex.encode(mq, Some(Int.MaxValue))
+    val mqData = mq.flush()
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(prefix)
+    def u8(v: Int): Unit = bos.write(v & 0xff)
+    def u32(v: Long): Unit = {
+      u8((v >>> 24).toInt); u8((v >>> 16).toInt); u8((v >>> 8).toInt); u8(v.toInt)
+    }
+    u32(2); u8(0) // segment 2, type 0 (symbol dictionary)
+    u8(1 << 5); u8(1) // one referred segment: #1
+    u8(1) // page association
+    val dataLen = 2 + 8 + 8 + mqData.length
+    u32(dataLen.toLong)
+    u8(0); u8(0) // flags: SDHUFF=0, SDREFAGG=0, template 0
+    (0 until 8).foreach(_ => u8(0)) // AT pixels
+    u32(1L) // numEx
+    u32(0L) // numNew: straight to the export runs over imports
+    bos.write(mqData)
+    val hostile = bos.toByteArray
+    // must return None — never throw (fill(ex, 1, Int.MinValue, ...))
+    assert(Jbig2.decodeEmbedded(None, hostile, 8, 8).isEmpty)
+  }
+
+  // ------------------- JBIG2 intermediate (type 36) generic regions
+
+  test("type 36 intermediate generic region fails closed instead of " +
+       "compositing like an immediate region") {
+    val w = 16; val h = 8
+    val px = Array.tabulate(w * h)(i => i % w >= 6)
+    val good = Jbig2.encodeEmbedded(px, w, h)
+    assert(Jbig2.decodeEmbedded(None, good, w, h).exists(_.sameElements(px)))
+    // the region segment header starts at 30; its type byte is at +4
+    val patched = good.clone()
+    assert((patched(34) & 0x3f) == 39, "fixture emits immediate lossless")
+    patched(34) = (patched(34) & ~0x3f | 36).toByte
+    assert(Jbig2.decodeEmbedded(None, patched, w, h).isEmpty,
+      "an intermediate region is refinement INPUT, not page content")
+  }
+
+  // --------------- bilevel legs: general /Decode arrays (tri-state)
+
+  private def rawPdf(objects: Seq[(Int, String, Option[Array[Byte]])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes(ISO))
+    w("%PDF-1.5\n")
+    for ((num, dict, stream) <- objects) {
+      w(s"$num 0 obj\n$dict\n")
+      stream.foreach { data => w("stream\n"); bos.write(data); w("\nendstream\n") }
+      w("endobj\n")
+    }
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    bos.toByteArray
+  }
+
+  private def imagePdf(imgDict: String, imgBytes: Array[Byte]): Array[Byte] = {
+    val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
+    rawPdf(Seq(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+      (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+      (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO))),
+      (5, s"$imgDict /Length ${imgBytes.length} >>", Some(imgBytes))))
+  }
+
+  private def onlyImage(pdf: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val Right(pages) = graft.sources.MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    pages.flatMap(_._2).headOption.map(b =>
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+  }
+
+  test("CCITT leg honours a GENERAL /Decode array ([0 0.5] maps white " +
+       "to mid-gray), and an indirect /Decode drops the image") {
+    val w = 12; val h = 4
+    val split = 5
+    val px = Array.tabulate(w * h)(i => i % w < split) // left black
+    val g4 = CcittG4.encode(px, w, h)
+    def dict(decode: String) =
+      s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 1 " +
+        s"/ColorSpace /DeviceGray $decode/Filter /CCITTFaxDecode " +
+        s"/DecodeParms << /K -1 /Columns $w /Rows $h >>"
+    val img = onlyImage(imagePdf(dict("/Decode [0 0.5] "), g4))
+    assert(img.isDefined)
+    val gBlack = img.get.getRGB(0, 0) & 0xff
+    val gWhite = img.get.getRGB(w - 1, 0) & 0xff
+    assert(gBlack == 0, s"sample 0 -> decode 0.0 -> 0, got $gBlack")
+    assert(gWhite == 128, s"sample 1 -> decode 0.5 -> 128, got $gWhite")
+    // default decode unchanged
+    val plain = onlyImage(imagePdf(dict(""), g4)).get
+    assert((plain.getRGB(0, 0) & 0xff) == 0 &&
+      (plain.getRGB(w - 1, 0) & 0xff) == 255)
+    // present-but-unusable: indirect ref and wrong arity both drop
+    assert(onlyImage(imagePdf(dict("/Decode 9 0 R "), g4)).isEmpty)
+    assert(onlyImage(imagePdf(dict("/Decode [0 1 0] "), g4)).isEmpty)
+  }
+
+  test("JBIG2 leg: general /Decode range maps black through d0, and a " +
+       "malformed /Decode drops the image instead of defaulting") {
+    val w = 14; val h = 6
+    val px = Array.tabulate(w * h)(i => i % w >= 9) // right black
+    val stream = Jbig2.encodeEmbedded(px, w, h)
+    def dict(decode: String) =
+      s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 1 " +
+        s"/ColorSpace /DeviceGray $decode/Filter /JBIG2Decode"
+    val img = onlyImage(imagePdf(dict("/Decode [0.25 1] "), stream))
+    assert(img.isDefined)
+    val gBlack = img.get.getRGB(w - 1, 0) & 0xff
+    val gWhite = img.get.getRGB(0, 0) & 0xff
+    assert(gBlack == 64, s"black -> decode 0.25 -> 64, got $gBlack")
+    assert(gWhite == 255, s"white -> decode 1.0 -> 255, got $gWhite")
+    assert(onlyImage(imagePdf(dict("/Decode [0 1 0] "), stream)).isEmpty)
+    assert(onlyImage(imagePdf(dict("/Decode 7 0 R "), stream)).isEmpty)
+  }
+
+  test("SMask /Decode: a general range rescales alpha; a malformed " +
+       "mask /Decode drops the ALPHA (opaque fallback, same contract " +
+       "as a dims-mismatched mask) rather than rendering wrong alpha") {
+    val w = 6; val h = 4
+    val rgb = Array.tabulate(w * h * 3)(_ => 100.toByte)
+    val mask = Array.fill(w * h)(200.toByte)
+    def pdf(maskDecode: String) = {
+      val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
+      rawPdf(Seq(
+        (1, "<< /Type /Catalog /Pages 2 0 R >>", None),
+        (2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None),
+        (4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO))),
+        (5, s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 8 " +
+          s"/ColorSpace /DeviceRGB /SMask 7 0 R /Length ${rgb.length} >>",
+          Some(rgb)),
+        (7, s"<< /Subtype /Image /Width $w /Height $h /BitsPerComponent 8 " +
+          s"/ColorSpace /DeviceGray $maskDecode/Length ${mask.length} >>",
+          Some(mask))))
+    }
+    val img = onlyImage(pdf("/Decode [0 0.5] ")).get
+    val a = (img.getRGB(0, 0) >>> 24) & 0xff
+    // sample 200/255 through [0, 0.5] = 0.392..., ×255 rounded = 100
+    assert(a == 100, s"alpha through [0 0.5] should be 100, got $a")
+    val inv = onlyImage(pdf("/Decode [1 0] ")).get
+    assert(((inv.getRGB(0, 0) >>> 24) & 0xff) == 55) // 255-200
+    val bad = onlyImage(pdf("/Decode [0 1 0] ")).get
+    assert(!bad.getColorModel.hasAlpha,
+      "mask with malformed /Decode must not fabricate an alpha channel")
+  }
+}
