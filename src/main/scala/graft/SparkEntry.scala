@@ -91,6 +91,27 @@ object SparkEntry {
     out.toString
   }
 
+  /** Shared Spark-side plumbing for the per-doc fixture-PDF decode
+    * queries (r17 hoist — VERDICT r16 Next #3; the byte-level builders
+    * live in [[PdfFixtures]]): fan the id-pruned documents out
+    * round-robin (multi-ms-per-row kernels; see Tables.documentsFanned),
+    * build one PDF per doc, surface its image payloads through the
+    * production decode path, and project the planted feature columns.
+    * `features` defaults to the standard micro-luminance pin. */
+  private def pdfImageFeatures(s: SparkSession, dir: String,
+      gen: org.apache.spark.sql.expressions.UserDefinedFunction,
+      features: Seq[Column] = Seq(
+        floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))): DataFrame = {
+    val ext = udf((p: Array[Byte]) =>
+      graft.sources.MiniPdfDecoder().decodeWithImages(p)
+        .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+    val media = Tables.documentsFanned(s, dir)
+      .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+    graft.operators.Multimodal.extractImageFeatures(media)
+      .select(Seq(col("doc_id"), col("width").cast("long").as("w"),
+        col("height").cast("long").as("h")) ++ features: _*)
+  }
+
   /** Three chained Lehmer/MINSTD steps as a portable uniform hash: the
     * modulus is taken BEFORE each multiply, so the product stays < 2^47 —
     * no BIGINT overflow at any id (Spark ANSI and DuckDB both raise on
@@ -9812,27 +9833,7 @@ object SparkEntry {
       // `downloader.py:254-255`). The oracle recomputes the planted
       // arithmetic straight from `documents`: a wrong dict parse, a
       // miscounted image, or a torn inline-binary skip breaks the hash.
-      val gen = udf((id: Long, n: Long) => {
-        val w1 = 100 + (id % 200).toInt; val h1 = 50 + (n % 150).toInt
-        val wi = 10 + (id % 90).toInt; val hi = 20 + (id % 70).toInt
-        val content = s"BT (doc body) Tj ET /Im1 Do" +
-          (if (id % 2 == 0) s" BI /W $wi /H $hi /BPC 8 ID   EI" else "")
-        val sb = new StringBuilder("%PDF-1.4\n")
-        def obj(num: Int, dict: String, stream: Option[String]): Unit = {
-          sb.append(s"$num 0 obj\n$dict\n")
-          stream.foreach(st => sb.append(s"stream\n$st\nendstream\n"))
-          sb.append("endobj\n")
-        }
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content))
-        obj(5, s"<< /Subtype /Image /Width $w1 /Height $h1 " +
-          "/BitsPerComponent 8 /Length 1 >>", Some(" "))
-        sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      })
+      val gen = udf(PdfFixtures.plantedDimsDoc _)
       val dec = udf((p: Array[Byte]) =>
         graft.sources.AutoPdfDecoder().decode(p).toOption.map(_.head).orNull)
       Tables.documents(s, dir)
@@ -9854,30 +9855,7 @@ object SparkEntry {
       // standard explode + min-words + max-images tagging. The oracle
       // replays the planted arithmetic; a page-order bug, a lost image
       // occurrence, or a broken filter precedence flips the counts.
-      val gen = udf((id: Long) => {
-        val pcount = 1 + (id % 3).toInt
-        val sb = new StringBuilder("%PDF-1.4\n")
-        def obj(num: Int, dict: String, stream: Option[String]): Unit = {
-          sb.append(s"$num 0 obj\n$dict\n")
-          stream.foreach(st => sb.append(s"stream\n$st\nendstream\n"))
-          sb.append("endobj\n")
-        }
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        val kids = (0 until pcount).map(p => s"${10 + p} 0 R").mkString(" ")
-        obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pcount >>", None)
-        obj(5, "<< /Subtype /Image /Width 30 /Height 40 /Length 1 >>", Some(" "))
-        for (p <- 0 until pcount) {
-          val wc = 1 + ((id + p) % 8).toInt
-          val m = ((id + p) % 3).toInt
-          val words = Seq.fill(wc)("word").mkString(" ")
-          val content = s"BT ($words) Tj ET" + " /Im1 Do" * m
-          obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R " +
-            "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-          obj(20 + p, s"<< /Length ${content.length} >>", Some(content))
-        }
-        sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      })
+      val gen = udf(PdfFixtures.channelsDoc _)
       val cfg = PipelineConfig(minWordsPerPage = 5, maxImagesPerPage = Some(1),
         saveFigures = true)
       val docs = Tables.documentsFanned(s, dir)
@@ -9908,177 +9886,7 @@ object SparkEntry {
       // replays the planted arithmetic; a wrong key derivation, object
       // key, CBC/IV handling, or RC4 state machine turns pages into
       // garbage and breaks the word-count hash.
-      val gen = udf((id: Long) => {
-        import java.security.MessageDigest
-        val pad = Array( // ISO 32000-1 §7.6.3.3 padding constant (public)
-          0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
-          0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
-          0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
-          0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
-        def md5(parts: Array[Byte]*): Array[Byte] = {
-          val d = MessageDigest.getInstance("MD5"); parts.foreach(d.update); d.digest()
-        }
-        def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-          val st = Array.tabulate(256)(_.toByte)
-          var j = 0
-          for (i <- 0 until 256) {
-            j = (j + st(i) + key(i % key.length)) & 0xff
-            val t = st(i); st(i) = st(j); st(j) = t
-          }
-          val out = new Array[Byte](data.length)
-          var x = 0; var y = 0
-          for (k <- data.indices) {
-            x = (x + 1) & 0xff; y = (y + st(x)) & 0xff
-            val t = st(x); st(x) = st(y); st(y) = t
-            out(k) = (data(k) ^ st((st(x) + st(y)) & 0xff)).toByte
-          }
-          out
-        }
-        def le(v: Long, n: Int): Array[Byte] =
-          Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
-        val locked = id % 5 == 0
-        val pw: Array[Byte] = // padded user password (Algorithm 2 step a)
-          if (locked) ("x".getBytes("ISO-8859-1") ++ pad).take(32) else pad
-        // Algorithm 3: /O for an empty owner password
-        var ok0 = md5(pad)
-        for (_ <- 0 until 50) ok0 = md5(ok0.take(16))
-        val okey = ok0.take(16)
-        var o = rc4(okey, pad) // padded (empty) user password
-        for (i <- 1 to 19) o = rc4(okey.map(b => (b ^ i).toByte), o)
-        // Algorithm 2: 128-bit file key under the CONTENT password
-        val id0 = md5(le(id, 8))
-        val pPerm = -3904L
-        var fk = md5(pw, o, le(pPerm & 0xffffffffL, 4), id0)
-        for (_ <- 0 until 50) fk = md5(fk.take(16))
-        val fileKey = fk.take(16)
-        // Algorithm 5: /U from that key (locked docs embed a /U the
-        // empty-password check cannot reproduce)
-        var u = rc4(fileKey, md5(pad, id0))
-        for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
-        val u32 = u ++ new Array[Byte](16)
-        val aes = id % 3 == 1 // V4/R4 /AESV2 leg
-        val v5 = id % 3 == 2 // V5/R6 /AESV3 AES-256 leg (r16)
-        // Algorithm 1 (RC4) / 1.A (AES: +sAlT suffix) object keys
-        val sAlT = Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)
-        def objKey(num: Int): Array[Byte] =
-          (if (aes) md5(fileKey, le(num.toLong, 3), le(0L, 2), sAlT)
-           else md5(fileKey, le(num.toLong, 3), le(0L, 2))).take(16)
-        // AES-CBC with the IV prepended (ISO 32000-1 §7.6.2); the
-        // IV is derived deterministically so the fixture is stable
-        def aesEnc(key: Array[Byte], num: Int, data: Array[Byte]): Array[Byte] = {
-          val iv = md5(le(id, 8), le(num.toLong, 4)).take(16)
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
-          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(key, "AES"),
-            new javax.crypto.spec.IvParameterSpec(iv))
-          iv ++ c.doFinal(data)
-        }
-        // ---- V5/R6 material (ISO 32000-2 §7.6.4, empty user password;
-        // Algorithm 2.B implemented HERE from the spec, independent of
-        // PdfCrypt's copy — plus the Python fixture generator as the
-        // third implementation)
-        def sha2(alg: String, parts: Array[Byte]*): Array[Byte] = {
-          val d = MessageDigest.getInstance(alg); parts.foreach(d.update); d.digest()
-        }
-        def aesNoPad(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-          c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(key, "AES"),
-            new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
-          c.doFinal(data)
-        }
-        def hash2B(pw: Array[Byte], salt: Array[Byte],
-                   udata: Array[Byte]): Array[Byte] = {
-          var k = sha2("SHA-256", pw, salt, udata)
-          var round = 0
-          var done = false
-          // getInstance hoisted out of the ≥64-round loop (the provider
-          // lookup would otherwise dominate the KDF)
-          val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-          val digests = Array("SHA-256", "SHA-384", "SHA-512")
-            .map(MessageDigest.getInstance)
-          while (!done) {
-            val block = pw ++ k ++ udata
-            val k1 = Array.fill(64)(block).flatten
-            c.init(javax.crypto.Cipher.ENCRYPT_MODE,
-              new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
-              new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
-            val e = c.doFinal(k1)
-            val d = digests(e.take(16).map(_ & 0xff).sum % 3)
-            d.reset(); d.update(e); k = d.digest()
-            round += 1
-            if (round >= 64 && (e.last & 0xff) <= round - 32) done = true
-          }
-          k.take(32)
-        }
-        // deterministic 256-bit file key + salts; locked docs derive
-        // BOTH password records from a real password ("x") so neither
-        // the user nor the owner empty-password check can open them
-        val fileKey32 = sha2("SHA-256", le(id, 8), "fk".getBytes("ISO-8859-1"))
-        val v5Pw: Array[Byte] =
-          if (locked) "x".getBytes("ISO-8859-1") else Array.emptyByteArray
-        lazy val (u48, ue, o48, oe, perms) = {
-          val vSalt = md5(le(id, 8), "vs".getBytes("ISO-8859-1")).take(8)
-          val kSalt = md5(le(id, 8), "ks".getBytes("ISO-8859-1")).take(8)
-          val u48v = hash2B(v5Pw, vSalt, Array.emptyByteArray) ++ vSalt ++ kSalt
-          val uev = aesNoPad(hash2B(v5Pw, kSalt, Array.emptyByteArray), fileKey32)
-          val oVSalt = md5(le(id, 8), "ovs".getBytes("ISO-8859-1")).take(8)
-          val oKSalt = md5(le(id, 8), "oks".getBytes("ISO-8859-1")).take(8)
-          val o48v = hash2B(v5Pw, oVSalt, u48v) ++ oVSalt ++ oKSalt
-          val oev = aesNoPad(hash2B(v5Pw, oKSalt, u48v), fileKey32)
-          // /Perms: AES-256-ECB(file key) over P ‖ FFFFFFFF ‖ 'T' ‖ 'adb' ‖ 4
-          val pc = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
-          pc.init(javax.crypto.Cipher.ENCRYPT_MODE,
-            new javax.crypto.spec.SecretKeySpec(fileKey32, "AES"))
-          val permsPlain = le(pPerm & 0xffffffffL, 4) ++
-            Array.fill(4)(0xff.toByte) ++ "Tadb".getBytes("ISO-8859-1") ++
-            md5(le(id, 8)).take(4)
-          (u48v, uev, o48v, oev, pc.doFinal(permsPlain))
-        }
-        def encStream(num: Int, data: Array[Byte]): Array[Byte] =
-          if (v5) aesEnc(fileKey32, num, data) // AES-256-CBC, file key direct
-          else if (aes) aesEnc(objKey(num), num, data)
-          else rc4(objKey(num), data)
-        def hex(b: Array[Byte]): String = b.map(x => f"$x%02X").mkString
-        val sb = new StringBuilder("%PDF-1.6\n")
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          sb.append(s"$num 0 obj\n$dict\n")
-          stream.foreach { st =>
-            sb.append("stream\n")
-            sb.append(new String(st, java.nio.charset.StandardCharsets.ISO_8859_1))
-            sb.append("\nendstream\n")
-          }
-          sb.append("endobj\n")
-        }
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        val pcount = 1 + (id % 3).toInt
-        val kids = (0 until pcount).map(p => s"${10 + p} 0 R").mkString(" ")
-        obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pcount >>", None)
-        for (p <- 0 until pcount) {
-          val wc = 1 + ((id + p) % 8).toInt
-          val words = Seq.fill(wc)("w").mkString(" ")
-          val enc = encStream(20 + p, s"BT ($words) Tj ET".getBytes("ISO-8859-1"))
-          obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R >>", None)
-          obj(20 + p, s"<< /Length ${enc.length} >>", Some(enc))
-        }
-        if (v5)
-          obj(5, "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
-            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
-            "/StmF /StdCF /StrF /StdCF " +
-            s"/O <${hex(o48)}> /OE <${hex(oe)}> /U <${hex(u48)}> " +
-            s"/UE <${hex(ue)}> /Perms <${hex(perms)}> /P $pPerm >>", None)
-        else {
-          val mode =
-            if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
-              "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-            else "/V 2 /R 3 /Length 128"
-          obj(5, s"<< /Filter /Standard $mode /O <${hex(o)}> " +
-            s"/U <${hex(u32)}> /P $pPerm >>", None)
-        }
-        sb.append(s"trailer\n<< /Root 1 0 R /Encrypt 5 0 R " +
-          s"/ID [ <${hex(id0)}> <${hex(id0)}> ] >>\n%%EOF\n")
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      })
+      val gen = udf(PdfFixtures.encryptedDoc _)
       val docs = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
       val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "payload")
@@ -10171,46 +9979,7 @@ object SparkEntry {
       // page decode. A fault anywhere — WARC framing, HTTP unwrap,
       // gzip, PDF object scan, image-paint dispatch — flips the
       // planted counts and breaks the hash.
-      val gen = udf((id: Long) => {
-        val iso = java.nio.charset.StandardCharsets.ISO_8859_1
-        val pcount = 1 + (id % 2).toInt
-        val sb = new StringBuilder("%PDF-1.4\n")
-        def obj(num: Int, dict: String, stream: Option[String]): Unit = {
-          sb.append(s"$num 0 obj\n$dict\n")
-          stream.foreach(st => sb.append(s"stream\n$st\nendstream\n"))
-          sb.append("endobj\n")
-        }
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        val kids = (0 until pcount).map(p => s"${10 + p} 0 R").mkString(" ")
-        obj(2, s"<< /Type /Pages /Kids [ $kids ] /Count $pcount >>", None)
-        obj(5, "<< /Subtype /Image /Width 30 /Height 40 /Length 1 >>", Some(" "))
-        for (p <- 0 until pcount) {
-          val wc = 2 + ((id + p) % 6).toInt
-          val words = Seq.fill(wc)("w").mkString(" ")
-          val content = s"BT ($words) Tj ET" +
-            (if ((id + p) % 2 == 1) " /Im1 Do" else "")
-          obj(10 + p, s"<< /Type /Page /Parent 2 0 R /Contents ${20 + p} 0 R " +
-            "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-          obj(20 + p, s"<< /Length ${content.length} >>", Some(content))
-        }
-        sb.append("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        val pdf = sb.toString.getBytes(iso)
-        val (body, ce) =
-          if (id % 2 == 1) {
-            val bos = new java.io.ByteArrayOutputStream()
-            val gz = new java.util.zip.GZIPOutputStream(bos)
-            gz.write(pdf); gz.close()
-            (bos.toByteArray, "Content-Encoding: gzip\r\n")
-          } else (pdf, "")
-        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n$ce\r\n")
-          .getBytes(iso) ++ body
-        val wh = s"WARC/1.0\r\nWARC-Type: response\r\n" +
-          s"WARC-Target-URI: http://pdfs.example/$id\r\n" +
-          s"WARC-Payload-Digest: sha1:X$id\r\n" +
-          s"Content-Type: application/http; msgtype=response\r\n" +
-          s"Content-Length: ${http.length}\r\n\r\n"
-        wh.getBytes(iso) ++ http ++ "\r\n\r\n".getBytes(iso)
-      })
+      val gen = udf(PdfFixtures.warcPdfDoc _)
       val parse = udf((bytes: Array[Byte]) =>
         graft.sources.Warc.parseStream(new java.io.ByteArrayInputStream(bytes)).toSeq)
       val recs = Tables.documentsFanned(s, dir)
@@ -10277,170 +10046,7 @@ object SparkEntry {
       // values, so a cmap binary-search bug, a post-name misread, an
       // inversion slip, or a CFF offset error turns every word into
       // garbage and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        def be16(v: Int): Array[Byte] =
-          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-        def be32(v: Long): Array[Byte] =
-          Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
-            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
-        def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
-        // magic 0x00010000 = TrueType outlines; 'OTTO' = CFF outlines
-        def sfntM(magic: Long, tables: (String, Array[Byte])*): Array[Byte] = {
-          var off = 12 + 16 * tables.length
-          val dir = tables.map { case (tag, data) =>
-            val rec = cat(tag.getBytes(ISO), be32(0), be32(off), be32(data.length))
-            off += data.length; rec
-          }
-          cat((be32(magic) +: be16(tables.length) +: be16(0) +: be16(0) +:
-            be16(0) +: dir) ++ tables.map(_._2): _*)
-        }
-        def sfnt(tables: (String, Array[Byte])*): Array[Byte] =
-          sfntM(0x00010000L, tables: _*)
-        def cmapTbl(subs: ((Int, Int), Array[Byte])*): Array[Byte] = {
-          var off = 4 + 8 * subs.length
-          val recs = subs.map { case ((plat, enc), data) =>
-            val rec = cat(be16(plat), be16(enc), be32(off))
-            off += data.length; rec
-          }
-          cat((be16(0) +: be16(subs.length) +: recs) ++ subs.map(_._2): _*)
-        }
-        def cmap4(pairs: (Int, Int)*): Array[Byte] = {
-          val segs = pairs.sortBy(_._1).map { case (c, g) =>
-            (c, c, (g - c) & 0xffff) } :+ ((0xFFFF, 0xFFFF, 1))
-          val n = segs.length
-          cat(Seq(be16(4), be16(16 + 8 * n), be16(0), be16(n * 2), be16(0),
-            be16(0), be16(0)) ++ segs.map(x => be16(x._2)) ++ Seq(be16(0)) ++
-            segs.map(x => be16(x._1)) ++ segs.map(x => be16(x._3)) ++
-            segs.map(_ => be16(0)): _*)
-        }
-        def post2(custom: Seq[String]): Array[Byte] =
-          cat(Seq(be32(0x00020000L), new Array[Byte](28),
-            be16(custom.length + 1), be16(0)) ++
-            custom.indices.map(k => be16(258 + k)) ++
-            custom.map(nm => cat(Array(nm.length.toByte), nm.getBytes(ISO))): _*)
-        // minimal CFF/Type1C (Adobe TN#5176): 1-byte-offset INDEXes,
-        // charset format 0 (glyph → SID), encoding format 0
-        def cffIdx(items: Array[Byte]*): Array[Byte] = {
-          if (items.isEmpty) return be16(0)
-          val offs = items.scanLeft(1)((o, it) => o + it.length)
-          cat(Seq(be16(items.length), Array(1.toByte)) ++
-            offs.map(o => Array(o.toByte)) ++ items: _*)
-        }
-        def cffFont(sids: Seq[Int], codes: Seq[Int]): Array[Byte] = {
-          def op5(v: Int, op: Int): Array[Byte] =
-            cat(Array(29.toByte), be32(v.toLong), Array(op.toByte))
-          val header = Array[Byte](1, 0, 4, 1)
-          val nameIdx = cffIdx("F".getBytes(ISO))
-          val strIdx = be16(0)
-          def topDict(cs: Int, enc: Int, chs: Int): Array[Byte] =
-            cat(op5(cs, 15), op5(enc, 16), op5(chs, 17))
-          val tdSize = cffIdx(topDict(0, 0, 0)).length
-          val base = header.length + nameIdx.length + tdSize + strIdx.length
-          val charset = cat(Array(0.toByte) +: sids.map(be16): _*)
-          val encoding = cat(Array(0.toByte, codes.length.toByte),
-            codes.map(c => c.toByte).toArray)
-          val csAt = base; val encAt = csAt + charset.length
-          val chsAt = encAt + encoding.length
-          cat(header, nameIdx, cffIdx(topDict(csAt, encAt, chsAt)), strIdx,
-            charset, encoding, cffIdx(Seq.fill(sids.length + 1)(Array[Byte](14)): _*))
-        }
-        // CID-keyed Type1C (TN#5176 §18): ROS in the top dict, charset
-        // format 0 holding CIDs (gid g -> cids(g-1)), no Encoding op
-        def cffCidFont(cids: Seq[Int]): Array[Byte] = {
-          def int5(v: Int): Array[Byte] = cat(Array(29.toByte), be32(v.toLong))
-          def op5(v: Int, op: Int): Array[Byte] = cat(int5(v), Array(op.toByte))
-          val header = Array[Byte](1, 0, 4, 1)
-          val nameIdx = cffIdx("F-CID".getBytes(ISO))
-          val strIdx = be16(0)
-          def topDict(cs: Int, chs: Int): Array[Byte] =
-            cat(int5(391), int5(392), int5(0), Array(12.toByte, 30.toByte),
-              op5(cs, 15), op5(chs, 17))
-          val tdSize = cffIdx(topDict(0, 0)).length
-          val base = header.length + nameIdx.length + tdSize + strIdx.length
-          val charset = cat(Array(0.toByte) +: cids.map(be16): _*)
-          val csAt = base; val chsAt = csAt + charset.length
-          cat(header, nameIdx, cffIdx(topDict(csAt, chsAt)), strIdx,
-            charset, cffIdx(Seq.fill(cids.length + 1)(Array[Byte](14)): _*))
-        }
-        val letter = ('a' + (id % 26)).toChar
-        val wl = 3 + (id % 4).toInt
-        val wc = 1 + (id % 7).toInt
-        val simpleCodes = Seq.fill(wc)("" * wl).mkString("")
-        // class 4 (Type0/Identity-H): 2-byte hex codes ARE glyph ids
-        val cidCodes = Seq.fill(wc)("0003" * wl).mkString("0004")
-        val sDict = "<< /Type /Font /Subtype /TrueType /BaseFont /Fake /FontDescriptor 6 0 R >>"
-        val t1Dict = "<< /Type /Font /Subtype /Type1 /BaseFont /Fake /FontDescriptor 6 0 R >>"
-        val sContent = s"BT /F1 12 Tf ($simpleCodes) Tj ET"
-        val type0Dict = "<< /Type /Font /Subtype /Type0 /BaseFont /Fake " +
-          "/Encoding /Identity-H /DescendantFonts [ 8 0 R ] >>"
-        val cidContent = s"BT /F1 12 Tf <$cidCodes> Tj ET"
-        val (font, fileKey, fontDict, content) = (id % 6) match {
-          case 0 => (sfnt(
-              "cmap" -> cmapTbl((3, 0) -> cmap4(0xF001 -> 1, 0xF002 -> 2)),
-              "post" -> post2(Seq(letter.toString, "space"))),
-            "/FontFile2", sDict, sContent)
-          case 1 => (sfnt(
-              "cmap" -> cmapTbl(
-                (3, 0) -> cmap4(0xF001 -> 5, 0xF002 -> 6),
-                (3, 1) -> cmap4(letter.toInt -> 5, 0x20 -> 6))),
-            "/FontFile2", sDict, sContent)
-          case 2 => ((s"/Encoding 256 array\ndup 1 /$letter put\n" +
-              "dup 2 /space put\nreadonly def\neexec X").getBytes(ISO),
-            "/FontFile", t1Dict, sContent)
-          case 3 =>
-            // CFF: glyph1 → the letter's standard SID (a..z = 66..91),
-            // glyph2 → SID 1 (space); codes 1/2 → glyphs 1/2
-            (cffFont(Seq(66 + (id % 26).toInt, 1), Seq(1, 2)),
-              "/FontFile3", t1Dict, sContent)
-          case 4 =>
-            // Type0/Identity-H with NO ToUnicode: CIDs are glyph ids
-            // (default /CIDToGIDMap), resolved through the DESCENDANT
-            // font's inverted (3,1) Unicode cmap (letter → gid 3,
-            // space → gid 4)
-            (sfnt("cmap" -> cmapTbl(
-                (3, 1) -> cmap4(letter.toInt -> 3, 0x20 -> 4))),
-              "/FontFile2", type0Dict, cidContent)
-          case _ =>
-            // (f) r16: Type0/Identity-H whose DESCENDANT carries an
-            // OTTO-wrapped CID-KEYED CFF (ROS) — the modern CJK-subset
-            // shape (VERDICT r15 Missing #3). Codes are CIDs 3 (letter)
-            // and 4 (space); the CFF charset maps gid 5 → CID 3 and
-            // gid 6 → CID 4 (NON-identity, so skipping the charset
-            // inversion garbles every word), and the wrapper's (3,1)
-            // cmap maps letter → gid 5, space → gid 6.
-            (sfntM(0x4F54544FL,
-                "CFF " -> cffCidFont(Seq(7, 8, 9, 10, 3, 4)),
-                "cmap" -> cmapTbl((3, 1) -> cmap4(letter.toInt -> 5, 0x20 -> 6))),
-              "/FontFile3", type0Dict, cidContent)
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        def w(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          w(s"$num 0 obj\n$dict\n")
-          stream.foreach { st =>
-            w("stream\n"); bos.write(st); w("\nendstream\n")
-          }
-          w("endobj\n")
-        }
-        w("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /Font << /F1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, fontDict, None)
-        obj(6, s"<< /Type /FontDescriptor /FontName /Fake $fileKey 7 0 R >>", None)
-        obj(7, s"<< /Length ${font.length} >>", Some(font))
-        if (id % 6 == 4)
-          obj(8, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake " +
-            "/FontDescriptor 6 0 R >>", None)
-        else if (id % 6 == 5)
-          obj(8, "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fake " +
-            "/FontDescriptor 6 0 R >>", None)
-        w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
+      val gen = udf(PdfFixtures.fontClassDoc _)
       val docs = Tables.documentsFanned(s, dir)
         .select(col("doc_id"), gen(col("doc_id")).as("payload"))
       val decoded = DocPipeline.decodePages(docs, graft.sources.AutoPdfDecoder(), "payload")
@@ -10466,69 +10072,9 @@ object SparkEntry {
       // the exact planted luminance (JPEG is lossy by design, so its
       // luminance is not oracle-pinned). A torn filter chain, botched
       // raster wrap, or passthrough slip breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val (imgDict, imgBytes, w, h) =
-          if (id % 2 == 0) {
-            val w = 8 + (id % 16).toInt; val h = 8 + (id % 8).toInt
-            val (r, g, b) = ((id % 256).toInt, ((id * 7) % 256).toInt,
-              ((id * 13) % 256).toInt)
-            val px = new Array[Byte](w * h * 3)
-            var i = 0
-            while (i < px.length) {
-              px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
-              i += 3
-            }
-            val d = new java.util.zip.Deflater()
-            d.setInput(px); d.finish()
-            val buf = new Array[Byte](px.length + 64)
-            val n = d.deflate(buf); d.end()
-            (s"/Filter /FlateDecode /ColorSpace /DeviceRGB " +
-              s"/BitsPerComponent 8", buf.take(n), w, h)
-          } else {
-            val w = 16 + (id % 20).toInt; val h = 16 + (id % 12).toInt
-            val img = new java.awt.image.BufferedImage(w, h,
-              java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val gr = img.createGraphics()
-            try {
-              gr.setColor(new java.awt.Color(((id * 31) % 256).toInt,
-                ((id * 37) % 256).toInt, ((id * 41) % 256).toInt))
-              gr.fillRect(0, 0, w, h)
-            } finally gr.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpeg", bos)
-            ("/Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8",
-              bos.toByteArray, w, h)
-          }
-        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h $imgDict " +
-          s"/Length ${imgBytes.length} >>", Some(imgBytes))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          when(col("doc_id") % 2 === 0,
-            floor(col("lum") * 1e6 + 0.5).cast("long")).as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.imagePayloadDoc _),
+        features = Seq(when(col("doc_id") % 2 === 0,
+          floor(col("lum") * 1e6 + 0.5).cast("long")).as("lum_u6")))
     }),
 
     "q371_pdf_datauri_roundtrip" -> ((s, dir) => {
@@ -10542,41 +10088,7 @@ object SparkEntry {
       // AND the exact uniform-fill luminance must survive the
       // raster→PNG→base64→XHTML→bytes loop; the oracle replays the
       // planted arithmetic.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 8 + (id % 10).toInt; val h = 8 + (id % 6).toInt
-        val (r, g, b) = (((id * 3) % 256).toInt, ((id * 11) % 256).toInt,
-          ((id * 17) % 256).toInt)
-        val px = new Array[Byte](w * h * 3)
-        var i = 0
-        while (i < px.length) {
-          px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
-          i += 3
-        }
-        val d = new java.util.zip.Deflater()
-        d.setInput(px); d.finish()
-        val buf = new Array[Byte](px.length + 64)
-        val n = d.deflate(buf); d.end()
-        val content = "/Im1 Do"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h /Filter /FlateDecode " +
-          s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length $n >>",
-          Some(buf.take(n)))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
+      val gen = udf(PdfFixtures.dataUriDoc _)
       val dec = udf((p: Array[Byte]) =>
         graft.sources.MiniPdfDecoder(embedImages = true).decode(p)
           .toOption.map(_.head).orNull)
@@ -10682,60 +10194,7 @@ object SparkEntry {
       // luminance and breaks the hash; a mode-decode slip, reference-
       // line bug, or run-table typo in the four codeword families
       // used shears the pixels and breaks dims/luminance.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 24 + (id % 8).toInt; val h = 10 + (id % 5).toInt
-        val p0 = 4 + (id % 4).toInt
-        val len0 = 2 + ((id / 4) % 4).toInt
-        val blackIs1 = id % 2 == 1
-        // hand-transcribed ITU-T T.4 codewords (terminating codes only)
-        val whiteCode = Map(4 -> "1011", 5 -> "1100", 6 -> "1110", 7 -> "1111")
-        val blackCode = Map(2 -> "11", 3 -> "10", 4 -> "011", 5 -> "0011")
-        def p(r: Int): Int = p0 + (if (r % 4 == 1 || r % 4 == 2) 1 else 0)
-        val sb = new StringBuilder
-        sb ++= "001" ++= whiteCode(p0) ++= blackCode(len0) ++= "1"
-        for (r <- 1 until h) {
-          val vc = (p(r) - p(r - 1)) match {
-            case 1 => "011"; case -1 => "010"; case _ => "1"
-          }
-          sb ++= vc ++= vc ++= "1"
-        }
-        sb ++= "000000000001000000000001" // EOFB
-        val bits = sb.toString
-        val g4 = new Array[Byte]((bits.length + 7) / 8)
-        for (i <- bits.indices if bits.charAt(i) == '1')
-          g4(i / 8) = (g4(i / 8) | (1 << (7 - i % 8))).toByte
-        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
-          "/Filter /CCITTFaxDecode /DecodeParms << /K -1 " +
-          s"/Columns $w /Rows $h /BlackIs1 $blackIs1 >> " +
-          s"/Length ${g4.length} >>", Some(g4))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.ccittG4Doc _))
     }),
 
     "q375_pdf_colorspaces" -> ((s, dir) => {
@@ -10749,72 +10208,7 @@ object SparkEntry {
       // entry / fill color is planted per doc, so a palette-expansion
       // slip, wrong hival bound, nested-bracket parse bug, or /N
       // misread changes the decoded luminance and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 8 + (id % 8).toInt; val h = 6 + (id % 6).toInt
-        def flate(px: Array[Byte]): Array[Byte] = {
-          val d = new java.util.zip.Deflater()
-          d.setInput(px); d.finish()
-          val buf = new Array[Byte](px.length + 64)
-          val n = d.deflate(buf); d.end(); buf.take(n)
-        }
-        // 4-entry palette; the doc paints entry k0 uniformly
-        val k0 = (id % 4).toInt
-        def pal(k: Int): (Int, Int, Int) =
-          (((id * (3 + k)) % 256).toInt, ((id * (7 + k)) % 256).toInt,
-            ((id * (11 + k)) % 256).toInt)
-        val palHex = (0 to 3).map { k =>
-          val (r, g, b) = pal(k); f"$r%02X$g%02X$b%02X"
-        }.mkString
-        val (csDict, imgBytes, extraFilter) = (id % 3).toInt match {
-          case 0 =>
-            (s"/ColorSpace [/Indexed /DeviceRGB 3 <$palHex>]",
-              Array.fill(w * h)(k0.toByte), "")
-          case 1 =>
-            (s"/ColorSpace [/Indexed [/ICCBased 7 0 R] 3 <$palHex>]",
-              flate(Array.fill(w * h)(k0.toByte)), "/Filter /FlateDecode ")
-          case _ =>
-            val (r, g, b) = (((id * 5) % 256).toInt, ((id * 9) % 256).toInt,
-              ((id * 13) % 256).toInt)
-            val px = new Array[Byte](w * h * 3)
-            var i = 0
-            while (i < px.length) {
-              px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
-              i += 3
-            }
-            ("/ColorSpace [/ICCBased 7 0 R]", flate(px), "/Filter /FlateDecode ")
-        }
-        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
-        val icc = "fake-icc-profile-bytes".getBytes(ISO)
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          s"/BitsPerComponent 8 $csDict $extraFilter" +
-          s"/Length ${imgBytes.length} >>", Some(imgBytes))
-        obj(7, s"<< /N 3 /Length ${icc.length} >>", Some(icc))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.colorspaceDoc _))
     }),
 
     "q376_pdf_ccitt_g3" -> ((s, dir) => {
@@ -10827,57 +10221,7 @@ object SparkEntry {
       // independent of the production decoder; docs with id%3==0 add
       // /Decode [1 0], which must flip the sample→color mapping or the
       // luminance breaks.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val p0 = 4 + (id % 4).toInt
-        val len0 = 2 + ((id / 4) % 4).toInt
-        val rest = 8 + (id % 8).toInt
-        val w = p0 + len0 + rest; val h = 6 + (id % 5).toInt
-        val k = if (id % 2 == 0) 0 else 4
-        val dec10 = id % 3 == 0
-        val whiteCode = Map(4 -> "1011", 5 -> "1100", 6 -> "1110",
-          7 -> "1111", 8 -> "10011", 9 -> "10100", 10 -> "00111",
-          11 -> "01000", 12 -> "001000", 13 -> "000011", 14 -> "110100",
-          15 -> "110101")
-        val blackCode = Map(2 -> "11", 3 -> "10", 4 -> "011", 5 -> "0011")
-        val rowBits = whiteCode(p0) + blackCode(len0) + whiteCode(rest)
-        val bits = (if (k > 0) ("000000000001" + "1" + rowBits) * h
-                    else rowBits * h)
-        val g3 = new Array[Byte]((bits.length + 7) / 8)
-        for (i <- bits.indices if bits.charAt(i) == '1')
-          g3(i / 8) = (g3(i / 8) | (1 << (7 - i % 8))).toByte
-        val decodeKey = if (dec10) "/Decode [1 0] " else ""
-        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          s"/BitsPerComponent 1 /ColorSpace /DeviceGray $decodeKey" +
-          "/Filter /CCITTFaxDecode /DecodeParms << " +
-          s"/K $k /Columns $w /Rows $h >> " +
-          s"/Length ${g3.length} >>", Some(g3))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.ccittG3Doc _))
     }),
 
     "q377_pdf_lowbpc" -> ((s, dir) => {
@@ -10888,75 +10232,7 @@ object SparkEntry {
       // 16-entry palette. Rows pack high-bit-first and pad to BYTE
       // boundaries (§8.9.3) — w is chosen non-multiple-of-8, so a
       // padding slip shears every row and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 10 + (id % 7).toInt; val h = 5 + (id % 6).toInt
-        def flate(px: Array[Byte]): Array[Byte] = {
-          val d = new java.util.zip.Deflater()
-          d.setInput(px); d.finish()
-          val buf = new Array[Byte](px.length + 64)
-          val n = d.deflate(buf); d.end(); buf.take(n)
-        }
-        def pack(samples: Array[Int], bpc: Int): Array[Byte] = {
-          val rowBytes = (w * bpc + 7) / 8
-          val out = new Array[Byte](rowBytes * h)
-          for (y <- 0 until h; x <- 0 until w) {
-            val bitAt = x * bpc
-            val shift = 8 - bpc - (bitAt & 7)
-            out(y * rowBytes + (bitAt >> 3)) =
-              (out(y * rowBytes + (bitAt >> 3)) |
-                ((samples(y * w + x) & ((1 << bpc) - 1)) << shift)).toByte
-          }
-          out
-        }
-        val (csDict, bpc, samples, decodeKey) = (id % 3).toInt match {
-          case 0 =>
-            val xsplit = 1 + (id % (w - 1)).toInt
-            (s"/ColorSpace /DeviceGray", 1,
-              Array.tabulate(w * h)(i => if (i % w < xsplit) 1 else 0),
-              if (id % 2 == 1) "/Decode [1 0] " else "")
-          case 1 =>
-            (s"/ColorSpace /DeviceGray", 2,
-              Array.fill(w * h)((id % 4).toInt), "")
-          case _ =>
-            val palHex = (0 to 15).map { kk =>
-              f"${((id * (3 + kk)) % 256).toInt}%02X" +
-                f"${((id * (7 + kk)) % 256).toInt}%02X" +
-                f"${((id * (11 + kk)) % 256).toInt}%02X"
-            }.mkString
-            (s"/ColorSpace [/Indexed /DeviceRGB 15 <$palHex>]", 4,
-              Array.fill(w * h)((id % 16).toInt), "")
-        }
-        val imgBytes = flate(pack(samples, bpc))
-        val content = "q 8 0 0 8 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          s"/BitsPerComponent $bpc $csDict $decodeKey/Filter /FlateDecode " +
-          s"/Length ${imgBytes.length} >>", Some(imgBytes))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.lowBpcDoc _))
     }),
 
     "q378_pdf_cmyk" -> ((s, dir) => {
@@ -10968,59 +10244,7 @@ object SparkEntry {
       // overflows c+k past 255 on many ids, so a wrong conversion
       // formula, a missed §8.6.4.4 clamp, a component-order slip, or
       // an /N misread shifts the decoded luminance and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 7 + (id % 9).toInt; val h = 5 + (id % 7).toInt
-        def flate(px: Array[Byte]): Array[Byte] = {
-          val d = new java.util.zip.Deflater()
-          d.setInput(px); d.finish()
-          val buf = new Array[Byte](px.length + 64)
-          val n = d.deflate(buf); d.end(); buf.take(n)
-        }
-        val c = ((id * 3) % 256).toInt; val m = ((id * 7) % 256).toInt
-        val y = ((id * 11) % 256).toInt; val k = ((id * 5) % 256).toInt
-        val px = new Array[Byte](w * h * 4)
-        var i = 0
-        while (i < px.length) {
-          px(i) = c.toByte; px(i + 1) = m.toByte
-          px(i + 2) = y.toByte; px(i + 3) = k.toByte
-          i += 4
-        }
-        val (csDict, imgBytes, extraFilter) =
-          if (id % 2 == 0) ("/ColorSpace /DeviceCMYK", px, "")
-          else ("/ColorSpace [/ICCBased 7 0 R]", flate(px),
-            "/Filter /FlateDecode ")
-        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
-        val icc = "fake-icc-profile-bytes".getBytes(ISO)
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          s"/BitsPerComponent 8 $csDict $extraFilter" +
-          s"/Length ${imgBytes.length} >>", Some(imgBytes))
-        obj(7, s"<< /N 4 /Length ${icc.length} >>", Some(icc))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.cmykDoc _))
     }),
 
     "q379_pdf_jbig2" -> ((s, dir) => {
@@ -11041,57 +10265,7 @@ object SparkEntry {
       // slip, context-layout bug, segment-walker offset error, or LTP
       // desync shears pixels and breaks dims/luminance. All five legs
       // paint IDENTICAL geometry, so one oracle covers them.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 18 + (id % 8).toInt; val h = 8 + (id % 6).toInt
-        val xsplit = 2 + (id % (w - 4)).toInt
-        val px = Array.tabulate(w * h)(i => i % w >= xsplit) // right black
-        val stream = (id % 5).toInt match {
-          case 0 => graft.sources.Jbig2.encodeEmbedded(px, w, h)
-          case 1 => graft.sources.Jbig2.encodeEmbedded(px, w, h,
-            template = 2, tpgdon = true)
-          case 2 => graft.sources.Jbig2.encodeEmbedded(px, w, h, mmr = true)
-          case leg =>
-            val black = w - xsplit
-            val a = math.max(1, black / 2); val b = black - a
-            val glyphs = Seq((a, h, Array.fill(a * h)(true))) ++
-              (if (b > 0) Seq((b, h, Array.fill(b * h)(true))) else Nil)
-            val places = Seq((0, xsplit, 0)) ++
-              (if (b > 0) Seq((1, xsplit + a, 0)) else Nil)
-            graft.sources.Jbig2.encodeEmbeddedText(glyphs, places, w, h,
-              transposed = leg == 4)
-        }
-        val decodeKey = if (id % 2 == 1) "/Decode [1 0] " else ""
-        val content = "q 10 0 0 10 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
-          s"$decodeKey/Filter /JBIG2Decode " +
-          s"/Length ${stream.length} >>", Some(stream))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2Doc _))
     }),
 
     "q380_pdf_smask" -> ((s, dir) => {
@@ -11104,67 +10278,10 @@ object SparkEntry {
       // feature column pins the merged channel: a mask-resolution
       // slip, inversion bug, or silent opaque fallback on a valid
       // mask shifts alpha_u6 and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 6 + (id % 6).toInt; val h = 4 + (id % 5).toInt
-        val xs = 1 + (id % (w - 1)).toInt
-        val (r, g, b) = (((id * 3) % 256).toInt, ((id * 7) % 256).toInt,
-          ((id * 11) % 256).toInt)
-        val a = 1 + ((id * 5) % 255).toInt
-        val rgbPx = Array.tabulate(w * h * 3)(i =>
-          (if (i % 3 == 0) r else if (i % 3 == 1) g else b).toByte)
-        val grayPx = Array.fill(w * h)(g.toByte)
-        val splitMask = Array.tabulate(w * h)(i =>
-          (if (i % w < xs) 0 else a).toByte)
-        val uniformMask = Array.fill(w * h)(a.toByte)
-        val leg = (id % 3).toInt
-        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        leg match {
-          case 0 =>
-            obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-              "/BitsPerComponent 8 /ColorSpace /DeviceRGB /SMask 7 0 R " +
-              s"/Length ${rgbPx.length} >>", Some(rgbPx))
-            obj(7, s"<< /Subtype /Image /Width $w /Height $h " +
-              "/BitsPerComponent 8 /ColorSpace /DeviceGray " +
-              s"/Length ${splitMask.length} >>", Some(splitMask))
-          case 1 =>
-            obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-              "/BitsPerComponent 8 /ColorSpace /DeviceGray /SMask 7 0 R " +
-              s"/Length ${grayPx.length} >>", Some(grayPx))
-            obj(7, s"<< /Subtype /Image /Width $w /Height $h " +
-              "/BitsPerComponent 8 /ColorSpace /DeviceGray /Decode [1 0] " +
-              s"/Length ${uniformMask.length} >>", Some(uniformMask))
-          case _ =>
-            obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-              "/BitsPerComponent 8 /ColorSpace /DeviceRGB " +
-              s"/Length ${rgbPx.length} >>", Some(rgbPx))
-        }
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
+      pdfImageFeatures(s, dir, udf(PdfFixtures.smaskDoc _),
+        features = Seq(
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"),
-          floor(col("alpha") * 1e6 + 0.5).cast("long").as("alpha_u6"))
+          floor(col("alpha") * 1e6 + 0.5).cast("long").as("alpha_u6")))
     }),
 
     "q381_pdf_separation" -> ((s, dir) => {
@@ -11179,67 +10296,7 @@ object SparkEntry {
       // (bound 0.5 — the piece choice flips per doc). A Domain-clamp
       // slip, interpolation bug, sample bit-unpack error, or stitch
       // boundary off-by-one shifts the luminance and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 5 + (id % 7).toInt; val h = 4 + (id % 5).toInt
-        val sByte = ((id * 7) % 256).toInt // uniform tint sample
-        def dec(k: Int): String = // exact decimal of k/256
-          (BigDecimal(k) / 256).bigDecimal.stripTrailingZeros.toPlainString
-        val (kr, kg, kb) = (((id * 3) % 257).toInt, ((id * 5) % 257).toInt,
-          ((id * 11) % 257).toInt)
-        val g0 = ((id * 13) % 256).toInt; val g1 = ((id * 17) % 256).toInt
-        val g2 = ((id * 19) % 256).toInt; val g3 = ((id * 23) % 256).toInt
-        val (ka, kb2, kc) = (((id * 29) % 257).toInt, ((id * 31) % 257).toInt,
-          ((id * 37) % 257).toInt)
-        val leg = (id % 3).toInt
-        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        val px = Array.fill(w * h)(sByte.toByte)
-        val alt = if (leg == 0) "/DeviceRGB" else "/DeviceGray"
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          s"/BitsPerComponent 8 /ColorSpace [/Separation /Spot $alt 8 0 R] " +
-          s"/Length ${px.length} >>", Some(px))
-        leg match {
-          case 0 =>
-            obj(8, "<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0] " +
-              s"/C1 [${dec(kr)} ${dec(kg)} ${dec(kb)}] /N 1 >>", None)
-          case 1 =>
-            val samples = Array(g0.toByte, g1.toByte, g2.toByte, g3.toByte)
-            obj(8, "<< /FunctionType 0 /Domain [0 1] /Range [0 1] " +
-              "/Size [4] /BitsPerSample 8 /Length 4 >>", Some(samples))
-          case _ =>
-            obj(8, "<< /FunctionType 3 /Domain [0 1] " +
-              "/Functions [9 0 R 10 0 R] /Bounds [0.5] /Encode [0 1 0 1] >>",
-              None)
-            obj(9, s"<< /FunctionType 2 /Domain [0 1] /C0 [0] " +
-              s"/C1 [${dec(ka)}] /N 1 >>", None)
-            obj(10, s"<< /FunctionType 2 /Domain [0 1] /C0 [${dec(kb2)}] " +
-              s"/C1 [${dec(kc)}] /N 1 >>", None)
-        }
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.separationDoc _))
     }),
 
     "q382_pdf_type4" -> ((s, dir) => {
@@ -11252,50 +10309,7 @@ object SparkEntry {
       // chain over a DeviceRGB alternate. A tokenizer slip, stack-
       // order bug, or output-arity leak shifts the luminance and
       // breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 5 + (id % 8).toInt; val h = 4 + (id % 6).toInt
-        val sByte = ((id * 9) % 256).toInt
-        val leg = (id % 3).toInt
-        val (alt, range, prog) = leg match {
-          case 0 => ("/DeviceGray", "[0 1]", "{ 1 exch sub }")
-          case 1 => ("/DeviceGray", "[0 1]", "{ dup mul }")
-          case _ => ("/DeviceRGB", "[0 1 0 1 0 1]",
-            "{ dup 0.5 mul dup 0.5 mul }")
-        }
-        val progBytes = prog.getBytes(ISO)
-        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        val px = Array.fill(w * h)(sByte.toByte)
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          s"/BitsPerComponent 8 /ColorSpace [/Separation /Ink $alt 8 0 R] " +
-          s"/Length ${px.length} >>", Some(px))
-        obj(8, s"<< /FunctionType 4 /Domain [0 1] /Range $range " +
-          s"/Length ${progBytes.length} >>", Some(progBytes))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.type4Doc _))
     }),
 
     "q383_pdf_devicen" -> ((s, dir) => {
@@ -11307,50 +10321,7 @@ object SparkEntry {
       // order pins the first-input-deepest stack convention). A
       // component-interleave slip, input-order bug, or Domain-arity
       // leak shifts the luminance and breaks the hash.
-      val gen = udf((id: Long) => {
-        val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
-        val w = 5 + (id % 7).toInt; val h = 4 + (id % 5).toInt
-        val s1 = ((id * 7) % 256).toInt; val s2 = ((id * 11) % 256).toInt
-        val leg = (id % 2).toInt
-        val (alt, range, prog) =
-          if (leg == 0) ("/DeviceGray", "[0 1]", "{ add 0.5 mul 1 exch sub }")
-          else ("/DeviceRGB", "[0 1 0 1 0 1]", "{ exch dup }")
-        val progBytes = prog.getBytes(ISO)
-        val px = new Array[Byte](w * h * 2)
-        var i = 0
-        while (i < px.length) { px(i) = s1.toByte; px(i + 1) = s2.toByte; i += 2 }
-        val content = "q 9 0 0 9 0 0 cm /Im1 Do Q"
-        val bos = new java.io.ByteArrayOutputStream()
-        def wr(str: String): Unit = bos.write(str.getBytes(ISO))
-        def obj(num: Int, dict: String, stream: Option[Array[Byte]]): Unit = {
-          wr(s"$num 0 obj\n$dict\n")
-          stream.foreach { st => wr("stream\n"); bos.write(st); wr("\nendstream\n") }
-          wr("endobj\n")
-        }
-        wr("%PDF-1.5\n")
-        obj(1, "<< /Type /Catalog /Pages 2 0 R >>", None)
-        obj(2, "<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>", None)
-        obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
-          "/Resources << /XObject << /Im1 5 0 R >> >> >>", None)
-        obj(4, s"<< /Length ${content.length} >>", Some(content.getBytes(ISO)))
-        obj(5, s"<< /Subtype /Image /Width $w /Height $h " +
-          "/BitsPerComponent 8 " +
-          s"/ColorSpace [/DeviceN [/InkA /InkB] $alt 8 0 R] " +
-          s"/Length ${px.length} >>", Some(px))
-        obj(8, s"<< /FunctionType 4 /Domain [0 1 0 1] /Range $range " +
-          s"/Length ${progBytes.length} >>", Some(progBytes))
-        wr("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
-        bos.toByteArray
-      })
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.MiniPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.devicenDoc _))
     }),
   )
 
