@@ -881,4 +881,49 @@ object PdfFixtures {
         w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
         bos.toByteArray
   }
+
+  /** q384: `/JPXDecode` payloads — a full JP2 container on even ids
+    * (with an LBox=0 "to EOF" jp2c box on id%4==2, exercising the box
+    * walk), a raw J2K codestream on odd ids. The SIZ segment plants
+    * nonzero canvas offsets so the Xsiz-XOsiz arithmetic is pinned;
+    * the codestream body is SOC+SIZ+EOC only (the engine surfaces
+    * verbatim and reads dims — it never decodes wavelets). */
+  def jpxDoc(id: Long): Array[Byte] = {
+    val w = 20 + (id % 16).toInt; val h = 12 + (id % 10).toInt
+    val xo = (id % 5).toInt; val yo = (id % 3).toInt
+    val nc = 1 + (id % 3).toInt
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    // SIZ (ISO/IEC 15444-1 A.5.1): Lsiz = 38 + 3*Csiz, 8-bit unsigned
+    // components at 1x1 subsampling
+    val siz = cat(be16(0xFF51), be16(38 + 3 * nc), be16(0),
+      be32(w + xo), be32(h + yo), be32(xo), be32(yo),
+      be32(w + xo), be32(h + yo), be32(0), be32(0), be16(nc),
+      cat(Seq.fill(nc)(Array[Byte](7, 1, 1)): _*))
+    val codestream = cat(be16(0xFF4F), siz, be16(0xFFD9)) // SOC..EOC
+    val payload =
+      if (id % 2 == 1) codestream
+      else {
+        val sig = Array(0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50, 0x20, 0x20,
+          0x0D, 0x0A, 0x87, 0x0A).map(_.toByte)
+        val ftyp = cat(be32(20), "ftyp".getBytes(ISO),
+          "jp2 ".getBytes(ISO), be32(0), "jp2 ".getBytes(ISO))
+        val ihdr = cat(be32(22), "ihdr".getBytes(ISO), be32(h), be32(w),
+          be16(nc), Array[Byte](7, 7, 1, 0))
+        val jp2h = cat(be32((8 + ihdr.length).toLong), "jp2h".getBytes(ISO), ihdr)
+        val jp2c =
+          if (id % 4 == 2) cat(be32(0), "jp2c".getBytes(ISO), codestream)
+          else cat(be32((8 + codestream.length).toLong), "jp2c".getBytes(ISO),
+            codestream)
+        cat(sig, ftyp, jp2h, jp2c)
+      }
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 8 /ColorSpace /DeviceRGB " +
+        s"/Filter /JPXDecode /Length ${payload.length} >>", Some(payload))))
+  }
 }

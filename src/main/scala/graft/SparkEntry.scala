@@ -10323,6 +10323,21 @@ object SparkEntry {
       // leak shifts the luminance and breaks the hash.
       pdfImageFeatures(s, dir, udf(PdfFixtures.devicenDoc _))
     }),
+
+    "q384_pdf_jpx" -> ((s, dir) => {
+      // /JPXDecode PAYLOAD SURFACING (r17 -- VERDICT r16 Missing #1,
+      // the digitized-archive class: JSTOR/newspaper/national-library
+      // corpora; ref `extractor.py:136` rides PyMuPDF, which surfaces
+      // every raster): per doc one JPX image XObject -- a full JP2
+      // container on even ids (LBox=0 jp2c on id%4==2), a raw J2K
+      // codestream on odd ids. The engine surfaces the payload
+      // VERBATIM (like DCT) and feature extraction reports dims parsed
+      // from the public SIZ marker segment (ISO/IEC 15444-1 A.5.1)
+      // with luminance ABSENT -- the oracle pins lum_u6 NULL, so a
+      // fabricated luminance, a dropped payload, a box-walk tear, or
+      // an Xsiz-XOsiz slip all break the hash/row count tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jpxDoc _))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16847,6 +16862,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
         |  CAST(FLOOR(lum * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM l""".stripMargin,
+
+    // q384: JPX payloads -- dims from the SIZ segment, luminance absent
+    "q384_pdf_jpx" ->
+      """SELECT doc_id, CAST(20 + doc_id % 16 AS BIGINT) AS w,
+        |  CAST(12 + doc_id % 10 AS BIGINT) AS h,
+        |  CAST(NULL AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

@@ -54,6 +54,12 @@ object Multimodal {
         // care use decodeAudioMeta directly
         MediaMeta(width = m.frames.toInt, height = m.sampleRateHz,
           channels = m.channels, format = m.format)
+      } else if (graft.sources.Jpx.isJpx(payload)) {
+        // JPEG 2000: no JDK ImageReader — header-only metadata from
+        // the SIZ marker segment, format-tagged jp2 (r17)
+        val (w, h, nc) = graft.sources.Jpx.sizDims(payload).getOrElse(
+          throw new IllegalArgumentException("torn JPEG 2000 payload"))
+        MediaMeta(w, h, nc, "jp2")
       } else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -327,17 +333,21 @@ object Multimodal {
       }
   }
 
-  case class ImageFeatures(doc_id: Long, width: Int, height: Int, lum: Double,
-                           alpha: Double)
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           lum: Option[Double], alpha: Option[Double])
 
   /** REAL pixel-level feature extraction: decode each payload once
     * (JDK ImageIO), emit dimensions + mean luminance (0.299R + 0.587G +
     * 0.114B over all pixels) + mean alpha in [0,1] (1.0 for opaque
     * formats; PNGs carrying an /SMask-merged alpha channel report the
-    * mask's mean — r16). The feature-extract leg of the multimodal
-    * contract with actual pixel access — one decoder per partition,
-    * rows streamed. Undecodable payloads are dropped (the caller
-    * filters junk upstream or counts the loss via `observe`). */
+    * mask's mean — r16). JPEG 2000 payloads (no JDK codec) report
+    * dimensions from the public SIZ marker segment with lum/alpha
+    * ABSENT rather than dropping the row (r17 — the digitized-archive
+    * class; fabricating luminance would be worse than omitting it).
+    * The feature-extract leg of the multimodal contract with actual
+    * pixel access — one decoder per partition, rows streamed.
+    * Undecodable payloads are dropped (the caller filters junk
+    * upstream or counts the loss via `observe`). */
   def extractImageFeatures(df: DataFrame, idCol: String = "doc_id",
                            mediaCol: String = "media"): Dataset[ImageFeatures] = {
     val spark = df.sparkSession
@@ -354,7 +364,14 @@ object Multimodal {
             else
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
               catch { case _: Exception => null }
-          if (img == null) None
+          if (img == null) {
+            // JP2/J2K: dims from the SIZ segment, luminance absent
+            if (graft.sources.Jpx.isJpx(payload))
+              graft.sources.Jpx.sizDims(payload).map { case (w, h, _) =>
+                ImageFeatures(id, w, h, None, None)
+              }
+            else None
+          }
           else {
             var sum = 0.0
             var aSum = 0.0
@@ -371,7 +388,7 @@ object Multimodal {
             }
             val n = img.getWidth.toLong * img.getHeight
             Some(ImageFeatures(id, img.getWidth, img.getHeight,
-              sum / n, aSum / n))
+              Some(sum / n), Some(aSum / n)))
           }
         }
       }

