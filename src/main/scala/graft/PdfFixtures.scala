@@ -926,4 +926,55 @@ object PdfFixtures {
         "/BitsPerComponent 8 /ColorSpace /DeviceRGB " +
         s"/Filter /JPXDecode /Length ${payload.length} >>", Some(payload))))
   }
+
+  /** q385: 4-component (CMYK) JPEGs behind /DCTDecode — the
+    * print-origin class (VERDICT r16 Missing #3). Even ids: a plain
+    * 4-comp JPEG written by the JDK raster writer with the planted
+    * (c,m,y,k) stored directly (uniform color round-trips EXACTLY
+    * through the writer's DC-only blocks — verified over all planted
+    * values and dims). Odd ids: the Adobe shape — samples stored
+    * INVERTED with an APP14 (transform 0) marker spliced after SOI,
+    * which a conformant reader must un-invert. */
+  def cmykJpegDoc(id: Long): Array[Byte] = {
+    val w = 7 + (id % 9).toInt; val h = 5 + (id % 7).toInt
+    val c = ((id * 3) % 256).toInt; val m = ((id * 7) % 256).toInt
+    val y = ((id * 11) % 256).toInt; val k = ((id * 5) % 256).toInt
+    val adobe = id % 2 == 1
+    val raster = java.awt.image.Raster.createInterleavedRaster(
+      java.awt.image.DataBuffer.TYPE_BYTE, w, h, 4, null)
+    val vals = Array(c, m, y, k).map(v => if (adobe) 255 - v else v)
+    var yy = 0
+    while (yy < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < 4) { raster.setSample(x, yy, b, vals(b)); b += 1 }
+        x += 1
+      }
+      yy += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(raster, null, null), null)
+    ios.close(); wr.dispose()
+    val plain = bos.toByteArray
+    val jpeg =
+      if (!adobe) plain
+      else {
+        // Adobe APP14: FFEE len=14 'Adobe' ver flags0 flags1 transform=0
+        val app14 = Array(0xFF, 0xEE, 0, 14, 'A', 'd', 'o', 'b', 'e',
+          0, 100, 0, 0, 0, 0, 0).map(_.toByte)
+        val out = new Array[Byte](plain.length + app14.length)
+        System.arraycopy(plain, 0, out, 0, 2)
+        System.arraycopy(app14, 0, out, 2, app14.length)
+        System.arraycopy(plain, 2, out, 2 + app14.length, plain.length - 2)
+        out
+      }
+    imagePage(9, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 8 /ColorSpace /DeviceCMYK " +
+        s"/Filter /DCTDecode /Length ${jpeg.length} >>", Some(jpeg))))
+  }
 }

@@ -10338,6 +10338,23 @@ object SparkEntry {
       // an Xsiz-XOsiz slip all break the hash/row count tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.jpxDoc _))
     }),
+
+    "q385_pdf_cmyk_jpeg" -> ((s, dir) => {
+      // CMYK /DCTDecode JPEGs in FEATURE EXTRACTION (r17 -- VERDICT
+      // r16 Missing #3: the payload class q378 surfaces verbatim but
+      // whose features dropped; ImageIO's BufferedImage path either
+      // rejects 4-comp JPEGs or converts through SimpleCMYKColorSpace,
+      // which disagrees with the engine's un-color-managed clamp):
+      // per doc one 4-component JPEG -- plain stored samples on even
+      // ids, the Adobe shape (APP14 transform 0, samples stored
+      // INVERTED) on odd ids. extractImageFeatures must route through
+      // ImageReader.readRaster, un-invert the Adobe class, and apply
+      // the same SS 8.6.4.4 additive clamp as the raster re-wrap; the
+      // oracle replays the planted clamp arithmetic, so a missed
+      // inversion, a colorspace-managed conversion, or a dropped
+      // payload breaks the hash tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.cmykJpegDoc _))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16869,6 +16886,23 @@ object SparkEntry {
         |  CAST(12 + doc_id % 10 AS BIGINT) AS h,
         |  CAST(NULL AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
+
+    // q385: CMYK JPEG features -- the oracle replays the planted
+    // (c,m,y,k) through the additive clamp; the Adobe inversion is a
+    // fixture-side storage detail the decoder must undo exactly
+    "q385_pdf_cmyk_jpeg" ->
+      """WITH p AS (SELECT doc_id,
+        |    7 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |    (doc_id * 3) % 256 AS c, (doc_id * 7) % 256 AS m,
+        |    (doc_id * 11) % 256 AS y, (doc_id * 5) % 256 AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR((
+        |    0.299 * (255 - LEAST(255, c + k)) +
+        |    0.587 * (255 - LEAST(255, m + k)) +
+        |    0.114 * (255 - LEAST(255, y + k))) * 1e6 + 0.5) AS BIGINT)
+        |    AS lum_u6
+        |FROM p""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

@@ -283,4 +283,69 @@ class Round17Spec extends AnyFunSuite {
       graft.sources.MiniPdfDecoder().decodeWithImages(m) // Either way, no throw
     }
   }
+
+  // -------------------- CMYK /DCTDecode features (VERDICT r16 item 5)
+
+  private def jpegPayloadOf(pdf: Array[Byte]): Array[Byte] = {
+    val Right(pages) =
+      graft.sources.MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+    pages.flatMap(_._2).head
+  }
+
+  test("CMYK JPEG features ride readRaster + the additive clamp: the " +
+       "Adobe (inverted, APP14) and plain shapes land the SAME planted " +
+       "luminance, NOT the color-managed SimpleCMYKColorSpace value") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // ids 6 and 7 share no planted values; compare each to its formula
+    for (id <- Seq(6L, 7L, 20L, 33L)) {
+      val payload = jpegPayloadOf(PdfFixtures.cmykJpegDoc(id))
+      val (c, m, y, k) = (((id * 3) % 256).toInt, ((id * 7) % 256).toInt,
+        ((id * 11) % 256).toInt, ((id * 5) % 256).toInt)
+      val expect = 0.299 * (255 - math.min(255, c + k)) +
+        0.587 * (255 - math.min(255, m + k)) +
+        0.114 * (255 - math.min(255, y + k))
+      val df = Seq((id, payload)).toDF("doc_id", "media")
+      val feats = graft.operators.Multimodal.extractImageFeatures(df).collect()
+      assert(feats.length == 1, s"id=$id: CMYK JPEG must yield features")
+      assert(feats.head.width == 7 + (id % 9).toInt &&
+        feats.head.height == 5 + (id % 7).toInt, s"id=$id dims")
+      assert(math.abs(feats.head.lum.get - expect) < 1e-9,
+        s"id=$id lum ${feats.head.lum} != clamp $expect")
+      assert(feats.head.alpha.contains(1.0))
+    }
+  }
+
+  test("CMYK JPEG fail-closed: Adobe transform 2 (YCCK) drops, and a " +
+       "truncated 4-comp JPEG drops instead of throwing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val payload = jpegPayloadOf(PdfFixtures.cmykJpegDoc(7L)) // Adobe shape
+    // flip the APP14 transform byte 0 -> 2 (YCCK)
+    var at = 2
+    while (!((payload(at) & 0xff) == 0xFF && (payload(at + 1) & 0xff) == 0xEE))
+      at += 1
+    val ycck = payload.clone()
+    assert((ycck(at + 15) & 0xff) == 0)
+    ycck(at + 15) = 2
+    val truncated = payload.take(payload.length / 2)
+    val df = Seq((1L, ycck), (2L, truncated)).toDF("doc_id", "media")
+    val feats = graft.operators.Multimodal.extractImageFeatures(df).collect()
+    assert(feats.isEmpty,
+      "YCCK and torn CMYK JPEGs must drop, never fabricate features")
+  }
+
+  test("3-component JPEGs still ride the ImageIO path (the CMYK sniff " +
+       "must not divert them)") {
+    assert(graft.operators.Multimodal.jpegComponents(
+      jpegPayloadOf(PdfFixtures.cmykJpegDoc(4L))).contains(4))
+    assert(graft.operators.Multimodal.jpegComponents(
+      jpegPayloadOf(PdfFixtures.imagePayloadDoc(3L))).contains(3))
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rgbJpeg = jpegPayloadOf(PdfFixtures.imagePayloadDoc(3L))
+    val df = Seq((3L, rgbJpeg)).toDF("doc_id", "media")
+    val feats = graft.operators.Multimodal.extractImageFeatures(df).collect()
+    assert(feats.length == 1 && feats.head.lum.isDefined)
+  }
 }
