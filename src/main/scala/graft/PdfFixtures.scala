@@ -977,4 +977,37 @@ object PdfFixtures {
         "/BitsPerComponent 8 /ColorSpace /DeviceCMYK " +
         s"/Filter /DCTDecode /Length ${jpeg.length} >>", Some(jpeg))))
   }
+
+  /** q386: JBIG2 HUFFMAN-coded symbol-dictionary + text-region
+    * streams (T.88 SDHUFF=SBHUFF=1, standard Annex B tables) painting
+    * the same planted vertical split as q379's arithmetic legs —
+    * (0) uncompressed collective bitmaps, (1) MMR (T.6) collective
+    * bitmaps, (2) transposed text region; odd ids add /Decode [1 0].
+    * One or two full-height glyph rectangles compose the split, so
+    * the height-class width split is exercised whenever two glyphs
+    * share the class. */
+  def jbig2HuffmanDoc(id: Long): Array[Byte] = {
+    val w = 18 + (id % 8).toInt; val h = 8 + (id % 6).toInt
+    val xsplit = 2 + (id % (w - 4)).toInt
+    val black = w - xsplit
+    val a = math.max(1, black / 2); val b = black - a
+    val glyphs = Seq((a, h, Array.fill(a * h)(true))) ++
+      (if (b > 0) Seq((b, h, Array.fill(b * h)(true))) else Nil)
+    val places = Seq((0, xsplit, 0)) ++
+      (if (b > 0) Seq((1, xsplit + a, 0)) else Nil)
+    val stream = (id % 3).toInt match {
+      case 0 => graft.sources.Jbig2.encodeEmbeddedTextHuffman(
+        glyphs, places, w, h)
+      case 1 => graft.sources.Jbig2.encodeEmbeddedTextHuffman(
+        glyphs, places, w, h, mmr = true)
+      case _ => graft.sources.Jbig2.encodeEmbeddedTextHuffman(
+        glyphs, places, w, h, transposed = true)
+    }
+    val decodeKey = if (id % 2 == 1) "/Decode [1 0] " else ""
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        s"$decodeKey/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
+  }
 }

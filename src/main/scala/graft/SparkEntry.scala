@@ -10355,6 +10355,22 @@ object SparkEntry {
       // payload breaks the hash tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.cmykJpegDoc _))
     }),
+
+    "q386_pdf_jbig2_huffman" -> ((s, dir) => {
+      // JBIG2 HUFFMAN symbol/text class (r17 -- VERDICT r16 Missing
+      // #2: fax-origin and older-scanner streams use SDHUFF=SBHUFF=1;
+      // the standard Annex B tables are public constants like Table
+      // E.1 was): per doc one /JBIG2Decode XObject painting q379's
+      // planted vertical split through THREE Huffman legs --
+      // (0) uncompressed height-class collective bitmaps (SS 6.5.9
+      // byte-aligned rows), (1) MMR/T.6 collective bitmaps, (2) a
+      // TRANSPOSED SBHUFF text region; odd ids add /Decode [1 0].
+      // The symbol-ID table rides the SS 7.4.4.1.1 runcode machinery;
+      // a canonical-assignment slip, wrong table line, collective
+      // split bug, or byte-alignment miss shears pixels and breaks
+      // the hash tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HuffmanDoc _))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16902,6 +16918,18 @@ object SparkEntry {
         |    0.587 * (255 - LEAST(255, m + k)) +
         |    0.114 * (255 - LEAST(255, y + k))) * 1e6 + 0.5) AS BIGINT)
         |    AS lum_u6
+        |FROM p""".stripMargin,
+
+    // q386: Huffman JBIG2 -- identical painted geometry to q379
+    "q386_pdf_jbig2_huffman" ->
+      """WITH p AS (SELECT doc_id,
+        |    18 + doc_id % 8 AS w, 8 + doc_id % 6 AS h,
+        |    2 + doc_id % (14 + doc_id % 8) AS xsplit,
+        |    doc_id % 2 = 1 AS dec10
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(255.0 * (CASE WHEN dec10 THEN w - xsplit
+        |    ELSE xsplit END) / w * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM p""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents

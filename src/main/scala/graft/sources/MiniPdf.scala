@@ -561,17 +561,19 @@ object MiniPdf {
     * (r16, [[smaskAlpha]]; transparency is part of what PyMuPDF
     * surfaces, and PNG carries it natively);
     * a `/JBIG2Decode` stream (generic regions — MQ or MMR — AND
-    * arithmetic symbol-dictionary + text-region segments, optional
-    * /JBIG2Globals) decodes through [[Jbig2]] to a bilevel PNG (r16);
+    * symbol-dictionary + text-region segments in BOTH coding classes:
+    * arithmetic r16, Huffman with standard Annex B tables r17;
+    * optional /JBIG2Globals) decodes through [[Jbig2]] to a bilevel
+    * PNG;
     * a `/Separation` raster evaluates its tint transform through
     * [[PdfFunction]] into the alternate space (r16);
     * a `/JPXDecode` stream — a complete JP2/J2K container — is
     * returned VERBATIM like the DCT case, gated on the JP2/SOC magic
     * and a parseable SIZ segment (r17, [[Jpx]]; feature extraction
     * reports SIZ dims without luminance). Unsupported encodings
-    * (Huffman-coded or halftone JBIG2, /Lab, unexpected bit depths),
-    * oversized dims, or undersized sample data yield None — dropped,
-    * never fabricated. */
+    * (custom-table or refinement/halftone JBIG2, /Lab, unexpected bit
+    * depths), oversized dims, or undersized sample data yield None —
+    * dropped, never fabricated. */
   def imagePayload(objs: Map[Int, PdfObj], num: Int): Option[Array[Byte]] = {
     val o = objs.getOrElse(num, return None)
     val raw = o.stream.getOrElse(return None)

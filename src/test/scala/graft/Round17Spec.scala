@@ -284,6 +284,128 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------ JBIG2 Huffman class (VERDICT r16 item 2)
+
+  private def glyphOf(pattern: Seq[String]): (Int, Int, Array[Boolean]) = {
+    val h = pattern.length; val w = pattern.head.length
+    (w, h, pattern.flatMap(_.map(_ == '#')).toArray)
+  }
+
+  test("Huffman symbol dict + text region round-trips and matches the " +
+       "ARITHMETIC encoding of identical geometry, across uncompressed " +
+       "and MMR collective bitmaps, plain and transposed strips") {
+    val gA = glyphOf(Seq("###", "#.#", "###"))
+    val gB = glyphOf(Seq("#..#", ".##.", ".##.", "#..#"))
+    val gC = glyphOf(Seq("##", "##"))
+    val pageW = 40; val pageH = 16
+    val places = Seq((0, 2, 1), (1, 10, 1), (2, 20, 2), (0, 30, 9),
+      (2, 6, 9), (1, 14, 10))
+    val arith = Jbig2.decodeEmbedded(None,
+      Jbig2.encodeEmbeddedText(Seq(gA, gB, gC), places, pageW, pageH),
+      pageW, pageH).get
+    for (mmr <- Seq(false, true); transposed <- Seq(false, true)) {
+      val huff = Jbig2.encodeEmbeddedTextHuffman(Seq(gA, gB, gC), places,
+        pageW, pageH, mmr = mmr, transposed = transposed)
+      val page = Jbig2.decodeEmbedded(None, huff, pageW, pageH)
+      assert(page.isDefined, s"mmr=$mmr transposed=$transposed")
+      assert(page.get.sameElements(arith),
+        s"mmr=$mmr transposed=$transposed: Huffman page != arithmetic page")
+    }
+  }
+
+  test("Huffman class: multiple height classes (collective-bitmap " +
+       "split by widths) and a single-glyph dictionary both decode") {
+    // three DISTINCT heights force three height classes; two glyphs
+    // share the tallest class to exercise the width split
+    val g1 = glyphOf(Seq("##"))
+    val g2 = glyphOf(Seq("#.", ".#"))
+    val g3 = glyphOf(Seq("#..", "##.", "###"))
+    val g4 = glyphOf(Seq(".#", ".#", "##"))
+    val places = Seq((0, 1, 1), (1, 5, 1), (2, 9, 1), (3, 14, 1), (2, 1, 6))
+    val huff = Jbig2.encodeEmbeddedTextHuffman(Seq(g1, g2, g3, g4), places, 20, 12)
+    val arith = Jbig2.encodeEmbeddedText(Seq(g1, g2, g3, g4), places, 20, 12)
+    val hp = Jbig2.decodeEmbedded(None, huff, 20, 12)
+    val ap = Jbig2.decodeEmbedded(None, arith, 20, 12)
+    assert(hp.isDefined && ap.isDefined && hp.get.sameElements(ap.get))
+    // single glyph: symCodeLen = 1, one-entry symbol-ID table
+    val solo = Jbig2.encodeEmbeddedTextHuffman(Seq(g3), Seq((0, 2, 3)), 10, 8)
+    assert(Jbig2.decodeEmbedded(None, solo, 10, 8).isDefined)
+  }
+
+  test("standard-table spot checks: hand-assigned canonical codewords " +
+       "decode the spec values (B.1, B.2 OOB, B.4 upper range)") {
+    import graft.sources.Jbig2Huffman._
+    def bitsOf(s: String): BitReader = {
+      val clean = s.filter(c => c == '0' || c == '1')
+      val bytes = new Array[Byte]((clean.length + 7) / 8)
+      for (i <- clean.indices if clean(i) == '1')
+        bytes(i / 8) = (bytes(i / 8) | (1 << (7 - i % 8))).toByte
+      new BitReader(bytes, 0, bytes.length)
+    }
+    // B.1 PREFLENs {1,2,3,3} assign canonically: 0, 10, 110, 111
+    assert(B1.decode(bitsOf("0 0101")) == Some(Some(5L)))
+    assert(B1.decode(bitsOf("10 00000011")) == Some(Some(19L))) // 16+3
+    assert(B1.decode(bitsOf("110 0000000000000001")) == Some(Some(273L)))
+    // B.2 OOB carries PREFLEN 6 -> canonical '111111'... OOB code:
+    // lengths {1,2,3,4,5,6,6}: codes 0,10,110,1110,11110,111110,111111
+    assert(B2.decode(bitsOf("111111")) == Some(None))
+    assert(B2.decode(bitsOf("0")) == Some(Some(0L)))
+    assert(B2.decode(bitsOf("1110 101")) == Some(Some(8L))) // 3+5
+    // B.4 upper range: lengths {1,2,3,4,5,5} -> 76+32-bit code '11111'
+    assert(B4.decode(bitsOf("11111" + "0" * 31 + "1")) == Some(Some(77L)))
+    // tear: not enough bits for the 32-bit suffix
+    assert(B4.decode(bitsOf("11111" + "01")).isEmpty)
+  }
+
+  test("symbol-ID runcode table: repeat (32), small-zero (33) and " +
+       "large-zero (34) runs reconstruct the planted code lengths") {
+    import graft.sources.Jbig2Huffman._
+    val bw = new BitWriter
+    // runcode lengths: give runcodes {2,3,32,33,34} prefix lengths
+    // {2,2,2,3,3}: canonical 00,01,10,110,111
+    val runLens = Array.tabulate(35) {
+      case 2 => 2; case 3 => 2; case 32 => 2; case 33 => 3; case 34 => 3
+      case _ => 0
+    }
+    runLens.foreach(l => bw.write(l.toLong, 4))
+    // lens: 2, then 32(repeat prev x3+1=4? readBits(2)=1 -> 3+1=4)...
+    // plant: [2, 2,2,2,2 (32 run of 4), 3, 0,0,0 (33 run of 3),
+    //         0*11 (34 run of 11)] = 20 symbols
+    bw.write(0x0L, 2) // runcode 2 -> '00'
+    bw.write(0x2L, 2) // runcode 32 -> '10'
+    bw.write(1L, 2) // 3 + 1 = 4 repeats of previous (2)
+    bw.write(0x1L, 2) // runcode 3 -> '01'
+    bw.write(0x6L, 3) // runcode 33 -> '110'
+    bw.write(0L, 3) // 3 + 0 zeroes
+    bw.write(0x7L, 3) // runcode 34 -> '111'
+    bw.write(0L, 7) // 11 + 0 zeroes
+    val data = bw.result()
+    val br = new BitReader(data, 0, data.length)
+    val table = readSymbolIdTable(br, 20)
+    assert(table.isDefined)
+    val lens = table.get.lines.map(_.prefLen).toSeq
+    assert(lens == Seq(2, 2, 2, 2, 2, 3, 0, 0, 0) ++ Seq.fill(11)(0),
+      s"got $lens")
+  }
+
+  test("Huffman JBIG2 fuzz: bit flips and every truncation point " +
+       "return Option, never throw or spin") {
+    val g1 = glyphOf(Seq("###", ".#.")); val g2 = glyphOf(Seq("#", "#", "#"))
+    for (mmr <- Seq(false, true)) {
+      val good = Jbig2.encodeEmbeddedTextHuffman(Seq(g1, g2),
+        Seq((0, 1, 1), (1, 8, 2), (0, 14, 8)), 20, 12, mmr = mmr)
+      val r = new scala.util.Random(99)
+      for (_ <- 0 until 300) {
+        val m = good.clone()
+        val i = r.nextInt(m.length)
+        m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+        Jbig2.decodeEmbedded(None, m, 20, 12)
+      }
+      for (cut <- 1 until good.length)
+        Jbig2.decodeEmbedded(None, good.take(cut), 20, 12)
+    }
+  }
+
   // -------------------- CMYK /DCTDecode features (VERDICT r16 item 5)
 
   private def jpegPayloadOf(pdf: Array[Byte]): Array[Byte] = {
