@@ -52,7 +52,26 @@ object BandScale {
       }
       run()
       val (sec, pairs, planted) = run()
-      val line = f"""{"n":$n,"sec":$sec%.2f,"pairs":$pairs,"planted":$planted,"expected_planted":${n / 50}}"""
+      // scoped variant (r17 — VERDICT r16 Next #4): 16 contiguous
+      // blocks as the partition key; block size a multiple of 50 so
+      // every planted (id−1, id) pair stays in-scope. Candidate volume
+      // drops from ~N²/2¹⁵ to Σ|block|²/2¹⁵ = N²/(16·2¹⁵) — the law
+      // callers buy with a shard key at 100 TB.
+      val blockSize = math.max(50L, (n / 16 / 50) * 50)
+      val scoped = hashes.withColumn("scope", expr(s"doc_id div $blockSize"))
+      def runScoped(): (Double, Long, Long) = {
+        val t0 = System.nanoTime()
+        val agg = graft.operators.Dedup.phashNearDups(scoped,
+            scopeCols = Seq("scope"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(when(col("key_b") === col("key_a") + 1 &&
+              col("key_b") % 50 === 49, 1L).otherwise(0L)).as("planted"))
+          .collect()(0)
+        ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1))
+      }
+      runScoped()
+      val (sSec, sPairs, sPlanted) = runScoped()
+      val line = f"""{"n":$n,"sec":$sec%.2f,"pairs":$pairs,"planted":$planted,"expected_planted":${n / 50},"scoped_sec":$sSec%.2f,"scoped_pairs":$sPairs,"scoped_planted":$sPlanted}"""
       println(line)
       line
     }

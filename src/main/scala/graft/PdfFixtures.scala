@@ -1010,4 +1010,49 @@ object PdfFixtures {
         s"$decodeKey/Filter /JBIG2Decode " +
         s"/Length ${stream.length} >>", Some(stream))))
   }
+
+  /** q387: CIE color spaces — (0) a /Lab raster with a planted
+    * uniform (L*,a*,b*) triple and the default Range, (1) a /CalRGB
+    * raster (un-color-managed DeviceRGB alias), (2) a /CalGray
+    * raster. The Lab leg's conversion is pure IEEE arithmetic the
+    * oracle mirrors term by term. */
+  def labDoc(id: Long): Array[Byte] = {
+    val w = 6 + (id % 8).toInt; val h = 5 + (id % 6).toInt
+    val extra = (id % 3).toInt match {
+      case 0 =>
+        val px = new Array[Byte](w * h * 3)
+        val (ls, as_, bs) = (((id * 3) % 256).toInt, ((id * 7) % 256).toInt,
+          ((id * 11) % 256).toInt)
+        var i = 0
+        while (i < px.length) {
+          px(i) = ls.toByte; px(i + 1) = as_.toByte; px(i + 2) = bs.toByte
+          i += 3
+        }
+        Seq((5, s"<< /Subtype /Image /Width $w /Height $h " +
+          "/BitsPerComponent 8 /ColorSpace [/Lab << " +
+          "/WhitePoint [0.9642 1.0 0.8249] >>] " +
+          s"/Length ${px.length} >>", Some(px)))
+      case 1 =>
+        val (r, g, b) = (((id * 5) % 256).toInt, ((id * 9) % 256).toInt,
+          ((id * 13) % 256).toInt)
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte
+          i += 3
+        }
+        Seq((5, s"<< /Subtype /Image /Width $w /Height $h " +
+          "/BitsPerComponent 8 /ColorSpace [/CalRGB << " +
+          "/WhitePoint [0.9505 1.0 1.089] /Gamma [2.2 2.2 2.2] >>] " +
+          s"/Length ${px.length} >>", Some(px)))
+      case _ =>
+        val g = ((id * 17) % 256).toInt
+        val px = Array.fill(w * h)(g.toByte)
+        Seq((5, s"<< /Subtype /Image /Width $w /Height $h " +
+          "/BitsPerComponent 8 /ColorSpace [/CalGray << " +
+          "/WhitePoint [0.9505 1.0 1.089] >>] " +
+          s"/Length ${px.length} >>", Some(px)))
+    }
+    imagePage(9, extra)
+  }
 }

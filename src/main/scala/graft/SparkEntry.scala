@@ -10371,6 +10371,20 @@ object SparkEntry {
       // the hash tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HuffmanDoc _))
     }),
+
+    "q387_pdf_cie_color" -> ((s, dir) => {
+      // CIE COLOR SPACES in the raster re-wrap (r17 -- the /Lab leg
+      // VERDICT r16 listed as the last fail-closed color family, plus
+      // /CalRGB and /CalGray as documented un-color-managed device
+      // aliases per the engine-wide policy): per doc one raster
+      // cycling (0) /Lab with a planted uniform L*a*b* triple --
+      // SS 8.6.5.4 Lab->XYZ with the dict whitepoint then the linear
+      // sRGB matrix, every step plain IEEE arithmetic the oracle
+      // mirrors term by term -- (1) /CalRGB, (2) /CalGray. A g(t)
+      // branch slip, whitepoint misread, decode-default error, or a
+      // color-managed detour breaks the hash tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.labDoc _))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16931,6 +16945,52 @@ object SparkEntry {
         |  CAST(FLOOR(255.0 * (CASE WHEN dec10 THEN w - xsplit
         |    ELSE xsplit END) / w * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM p""".stripMargin,
+
+    // q387: the Lab leg replays SS 8.6.5.4 term by term (same IEEE
+    // association order as the Scala converter); CalRGB/CalGray are
+    // device aliases
+    "q387_pdf_cie_color" ->
+      """WITH p AS (SELECT doc_id,
+        |    6 + doc_id % 8 AS w, 5 + doc_id % 6 AS h,
+        |    (doc_id * 3) % 256 AS ls, (doc_id * 7) % 256 AS sa,
+        |    (doc_id * 11) % 256 AS sb,
+        |    (doc_id * 5) % 256 AS cr, (doc_id * 9) % 256 AS cg,
+        |    (doc_id * 13) % 256 AS cb, (doc_id * 17) % 256 AS gg,
+        |    doc_id % 3 AS leg
+        |  FROM documents),
+        |lab AS (SELECT doc_id,
+        |    (ls * 100.0) / 255.0 AS lL,
+        |    -100 + (sa * 200.0) / 255.0 AS la,
+        |    -100 + (sb * 200.0) / 255.0 AS lb
+        |  FROM p WHERE leg = 0),
+        |f AS (SELECT doc_id,
+        |    (lL + 16.0) / 116.0 AS fy,
+        |    (lL + 16.0) / 116.0 + la / 500.0 AS fx,
+        |    (lL + 16.0) / 116.0 - lb / 200.0 AS fz
+        |  FROM lab),
+        |xyz AS (SELECT doc_id,
+        |    0.9642 * (CASE WHEN fx >= 6.0/29.0 THEN fx*fx*fx
+        |      ELSE (108.0/841.0) * (fx - 4.0/29.0) END) AS x,
+        |    1.0 * (CASE WHEN fy >= 6.0/29.0 THEN fy*fy*fy
+        |      ELSE (108.0/841.0) * (fy - 4.0/29.0) END) AS y,
+        |    0.8249 * (CASE WHEN fz >= 6.0/29.0 THEN fz*fz*fz
+        |      ELSE (108.0/841.0) * (fz - 4.0/29.0) END) AS z
+        |  FROM f),
+        |bytes AS (SELECT doc_id,
+        |    FLOOR(255.0 * LEAST(1.0, GREATEST(0.0,
+        |      3.2406 * x - 1.5372 * y - 0.4986 * z)) + 0.5) AS r,
+        |    FLOOR(255.0 * LEAST(1.0, GREATEST(0.0,
+        |      -0.9689 * x + 1.8758 * y + 0.0415 * z)) + 0.5) AS g,
+        |    FLOOR(255.0 * LEAST(1.0, GREATEST(0.0,
+        |      0.0557 * x - 0.2040 * y + 1.0570 * z)) + 0.5) AS b
+        |  FROM xyz)
+        |SELECT p.doc_id, CAST(p.w AS BIGINT) AS w, CAST(p.h AS BIGINT) AS h,
+        |  CAST(FLOOR((CASE p.leg
+        |    WHEN 0 THEN 0.299 * bytes.r + 0.587 * bytes.g + 0.114 * bytes.b
+        |    WHEN 1 THEN 0.299 * p.cr + 0.587 * p.cg + 0.114 * p.cb
+        |    ELSE 0.299 * p.gg + 0.587 * p.gg + 0.114 * p.gg END) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM p LEFT JOIN bytes ON p.doc_id = bytes.doc_id""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

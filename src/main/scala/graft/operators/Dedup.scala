@@ -691,38 +691,53 @@ object Dedup {
     * 100 TB corpus where exact-dup groups are huge but distinct
     * near-neighbors are sparse. Output: (key_a, key_b, hamming),
     * key_a < key_b; [[connectedComponents]]/[[dropTransitive]] over it
-    * give exactly the groups of the all-pairs listing. */
+    * give exactly the groups of the all-pairs listing.
+    *
+    * `scopeCols` (r17 — VERDICT r16 Next #4, the API affordance for
+    * the SCALE.md residual): past tens of millions of DISTINCT hashes
+    * the band-candidate law ~N²/2¹⁵ wants sharding by a partition key
+    * (crawl snapshot, domain, shard id). Scope columns fold into BOTH
+    * tiers' keys — the exact-tier groupBy and the band equi-join — so
+    * candidate volume becomes Σ_scope |scope bucket|² and dedup is
+    * exact WITHIN each scope (no cross-scope edges, by design: that
+    * is what sharding means). Empty (the default) preserves the
+    * global-corpus semantics and plan unchanged. */
   def phashNearDups(df: DataFrame, idCol: String = "doc_id",
-                    hashCol: String = "phash", maxHamming: Int = 3): DataFrame = {
+                    hashCol: String = "phash", maxHamming: Int = 3,
+                    scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees recall only up to hamming 3")
-    val ph = cacheScoped(df.select(col(idCol).cast("long").as("__id"),
-      col(hashCol).cast("long").as("__ph")).filter(col("__ph").isNotNull))
-    // distinct hashes WITH their representative, one partial agg
-    val reps = cacheScoped(ph.groupBy(col("__ph"))
+    val scope = scopeCols.map(col)
+    val ph = cacheScoped(df.select(Seq(col(idCol).cast("long").as("__id"),
+      col(hashCol).cast("long").as("__ph")) ++ scope: _*)
+      .filter(col("__ph").isNotNull))
+    // distinct (scope, hash) WITH their representative, one partial agg
+    val reps = cacheScoped(ph.groupBy(col("__ph") +: scope: _*)
       .agg(min(col("__id")).as("__rep")))
-    val same = ph.join(reps, Seq("__ph"))
+    val same = ph.join(reps, "__ph" +: scopeCols)
       .filter(col("__id") =!= col("__rep"))
       .select(col("__rep").as("key_a"), col("__id").as("key_b"),
         lit(0L).as("hamming"))
-    val bands = reps.select(col("__ph"),
+    val bands = reps.select(Seq(col("__ph"),
       explode(array((0 to 3).map(i => struct(lit(i).as("b"),
         shiftright(col("__ph"), i * 16).bitwiseAND(lit(0xFFFFL))
-          .as("v"))): _*)).as("r"))
-      .select(col("__ph"), col("r.b").as("b"), col("r.v").as("v"))
-    val nearHash = bands.select(col("b"), col("v"), col("__ph").as("ph_a"))
-      .join(bands.select(col("b"), col("v"), col("__ph").as("ph_b")),
-        Seq("b", "v"))
+          .as("v"))): _*)).as("r")) ++ scope: _*)
+      .select(Seq(col("__ph"), col("r.b").as("b"), col("r.v").as("v")) ++
+        scope: _*)
+    val nearHash = bands
+      .select(Seq(col("b"), col("v"), col("__ph").as("ph_a")) ++ scope: _*)
+      .join(bands.select(Seq(col("b"), col("v"), col("__ph").as("ph_b")) ++
+        scope: _*), Seq("b", "v") ++ scopeCols)
       .filter(col("ph_a") < col("ph_b"))
-      .select(col("ph_a"), col("ph_b")).distinct()
+      .select(Seq(col("ph_a"), col("ph_b")) ++ scope: _*).distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming && col("hamming") > 0)
     val near = nearHash
-      .join(reps.select(col("__ph").as("ph_a"), col("__rep").as("id_a")),
-        Seq("ph_a"))
-      .join(reps.select(col("__ph").as("ph_b"), col("__rep").as("id_b")),
-        Seq("ph_b"))
+      .join(reps.select(Seq(col("__ph").as("ph_a"),
+        col("__rep").as("id_a")) ++ scope: _*), "ph_a" +: scopeCols)
+      .join(reps.select(Seq(col("__ph").as("ph_b"),
+        col("__rep").as("id_b")) ++ scope: _*), "ph_b" +: scopeCols)
       .select(least(col("id_a"), col("id_b")).as("key_a"),
         greatest(col("id_a"), col("id_b")).as("key_b"), col("hamming"))
     same.unionByName(near)

@@ -876,6 +876,47 @@ object MiniPdf {
                 }
                 rasterToPng(rgb, w, h, 3, alphaPx)
             }
+          case CsLab(wx, wy, wz, aMin, aMax, bMin, bMax) =>
+            // CIE L*a*b* rasters (r17 — the archive/photographic class
+            // VERDICT r16 left fail-closed): §8.6.5.4 Lab→XYZ with the
+            // dict whitepoint, then the standard linear-sRGB matrix —
+            // NO transfer function, the same un-color-managed policy
+            // as the CMYK clamp (color management is rendering; every
+            // arithmetic step here is plain IEEE +,×,÷ and a cube, so
+            // the oracle replays it bit-exactly). Decode default is
+            // [0 100 aMin aMax bMin bMax] (§8.9.5.2 Table 90).
+            if (bpc != 8 || px.length < w.toLong * h * 3) None
+            else decodeNums(6) match {
+              case None => None
+              case Some(decOpt) =>
+                val dd = decOpt.getOrElse(
+                  Array(0.0, 100.0, aMin, aMax, bMin, bMax))
+                @inline def comp(i: Int, c: Int): Double = {
+                  val s = (px(3 * i + c) & 0xff).toDouble
+                  dd(2 * c) + s * (dd(2 * c + 1) - dd(2 * c)) / 255.0
+                }
+                @inline def g(t: Double): Double =
+                  if (t >= 6.0 / 29.0) t * t * t
+                  else (108.0 / 841.0) * (t - 4.0 / 29.0)
+                @inline def byteOf(v: Double): Byte = {
+                  val c = math.max(0.0, math.min(1.0, v))
+                  math.floor(255.0 * c + 0.5).toInt.toByte
+                }
+                val rgb = new Array[Byte](w * h * 3)
+                var i = 0
+                while (i < w * h) {
+                  val ll = comp(i, 0); val aa = comp(i, 1); val bb2 = comp(i, 2)
+                  val fy = (ll + 16.0) / 116.0
+                  val fx = fy + aa / 500.0
+                  val fz = fy - bb2 / 200.0
+                  val x = wx * g(fx); val y = wy * g(fy); val z = wz * g(fz)
+                  rgb(3 * i) = byteOf(3.2406 * x - 1.5372 * y - 0.4986 * z)
+                  rgb(3 * i + 1) = byteOf(-0.9689 * x + 1.8758 * y + 0.0415 * z)
+                  rgb(3 * i + 2) = byteOf(0.0557 * x - 0.2040 * y + 1.0570 * z)
+                  i += 1
+                }
+                rasterToPng(rgb, w, h, 3, alphaPx)
+            }
           case CsUnknown =>
             // legacy heuristic for dict-less rasters; a /Decode with
             // no colorspace to anchor its arity is unmappable → drop
@@ -1004,6 +1045,10 @@ object MiniPdf {
   /** Spot color: tint in [0,1] → RGB through the compiled tint
     * transform and alternate space (None = evaluation failed). */
   private final case class CsSeparation(toRgb: Double => Option[(Int, Int, Int)]) extends Cs
+  /** CIE L*a*b* (§8.6.5.4): whitepoint + a/b ranges from the dict. */
+  private final case class CsLab(wx: Double, wy: Double, wz: Double,
+                                 aMin: Double, aMax: Double,
+                                 bMin: Double, bMax: Double) extends Cs
   /** Multi-ink color (§8.6.6.5): m ink fractions → RGB through a
     * multi-input tint transform and the alternate space. */
   private final case class CsDeviceN(m: Int,
@@ -1164,6 +1209,33 @@ object MiniPdf {
         .map(o => intIn(o.dict, "/N", 0)).getOrElse(0)
       if (n == 3) CsRgb else if (n == 1) CsGray
       else if (n == 4) CsCmyk else CsUnsupported
+    } else if (body.contains("/Lab")) {
+      // [/Lab << /WhitePoint [Xw Yw Zw] /Range [amin amax bmin bmax] >>]
+      // (§8.6.5.4, r17): WhitePoint is REQUIRED — absent/malformed
+      // fails closed; Range defaults to [-100 100 -100 100]
+      def nums(key: String, n: Int): Option[Array[Double]] =
+        (java.util.regex.Pattern.quote(key) + """\s*\[([^\]]*)\]""").r
+          .findFirstMatchIn(body).flatMap { g =>
+            val vs =
+              try g.group(1).trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+              catch { case _: NumberFormatException => return None }
+            if (vs.length == n) Some(vs) else None
+          }
+      val wp = nums("/WhitePoint", 3).getOrElse(return CsUnsupported)
+      if (wp(0) <= 0 || wp(1) <= 0 || wp(2) <= 0) return CsUnsupported
+      val range =
+        if ("""/Range(?![A-Za-z])""".r.findFirstIn(body).isDefined)
+          nums("/Range", 4).getOrElse(return CsUnsupported)
+        else Array(-100.0, 100.0, -100.0, 100.0)
+      CsLab(wp(0), wp(1), wp(2), range(0), range(1), range(2), range(3))
+    } else if (body.contains("/CalRGB")) {
+      // calibrated RGB aliases DeviceRGB (§8.6.5.3): this engine is
+      // un-color-managed throughout (color management is rendering),
+      // so the Gamma/Matrix calibration is deliberately not applied —
+      // the same policy as the ICC aliasing above
+      CsRgb
+    } else if (body.contains("/CalGray")) {
+      CsGray // §8.6.5.2, same un-color-managed aliasing
     } else CsUnsupported
   }
 
