@@ -1055,4 +1055,29 @@ object PdfFixtures {
     }
     imagePage(9, extra)
   }
+
+  /** q388: JBIG2 HALFTONE regions (T.88 §6.6/§6.7) — a pattern
+    * dictionary of density patterns (pattern k = exactly k black
+    * pixels) and a planted two-value grid (left columns vA, right
+    * vB), so the page's black count is closed-form in doc_id. Gray
+    * values span the pattern count, so multiple Gray-coded bitplanes
+    * decode per doc. */
+  def jbig2HalftoneDoc(id: Long): Array[Byte] = {
+    val p = 2 + (id % 3).toInt
+    val count = p * p + 1
+    val hgw = 3 + (id % 4).toInt; val hgh = 2 + (id % 3).toInt
+    val w = hgw * p; val h = hgh * p
+    val vA = ((id * 3) % count).toInt; val vB = ((id * 5) % count).toInt
+    val nLeft = hgw / 2
+    val patterns = (0 until count).map(k => Array.tabulate(p * p)(_ < k))
+    val values = Array.tabulate(hgw * hgh)(i =>
+      if (i % hgw < nLeft) vA else vB)
+    val stream = graft.sources.Jbig2.encodeEmbeddedHalftone(
+      values, hgw, hgh, patterns, p, w, h)
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        "/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
+  }
 }

@@ -75,7 +75,13 @@ object ScaleProbe {
     // (MQ + TPGDON + MMR legs), /SMask alpha merge — per-row map-side,
     // zero shuffle
     "q378_pdf_cmyk", "q379_pdf_jbig2", "q380_pdf_smask",
-    "q381_pdf_separation", "q382_pdf_type4", "q383_pdf_devicen")
+    "q381_pdf_separation", "q382_pdf_type4", "q383_pdf_devicen",
+    // round-17: JPX verbatim surfacing + SIZ dims, CMYK JPEGs through
+    // readRaster+clamp, the Huffman JBIG2 class, and the /Lab CIE
+    // conversion — all per-row map-side behind the documentsFanned
+    // exchange, zero shuffle
+    "q384_pdf_jpx", "q385_pdf_cmyk_jpeg", "q386_pdf_jbig2_huffman",
+    "q387_pdf_cie_color", "q388_pdf_jbig2_halftone")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

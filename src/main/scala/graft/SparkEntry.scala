@@ -10385,6 +10385,21 @@ object SparkEntry {
       // color-managed detour breaks the hash tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.labDoc _))
     }),
+
+    "q388_pdf_jbig2_halftone" -> ((s, dir) => {
+      // JBIG2 HALFTONE regions (r17 -- the last JBIG2 segment family
+      // besides refinement: T.88 SS 6.6/6.7, dithered-grayscale
+      // scans): per doc one /JBIG2Decode XObject whose pattern
+      // dictionary holds density patterns (pattern k = k black
+      // pixels, decoded from ONE collective generic bitmap with the
+      // SS 6.7.5 AT1=(-HDPW,0) pixels) and whose halftone region
+      // carries a planted two-value grid through Annex C Gray-coded
+      // bitplanes (one shared arithmetic coder/context across
+      // planes). The page black count is closed-form in doc_id, so a
+      // Gray-chain slip, pattern-split bug, grid-vector error, or
+      // plane-order mistake breaks the hash tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HalftoneDoc _))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -16991,6 +17006,23 @@ object SparkEntry {
         |    ELSE 0.299 * p.gg + 0.587 * p.gg + 0.114 * p.gg END) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM p LEFT JOIN bytes ON p.doc_id = bytes.doc_id""".stripMargin,
+
+    // q388: halftone black count is closed-form — hgh rows of
+    // (nLeft*vA + (hgw-nLeft)*vB) black pixels over a w*h page
+    "q388_pdf_jbig2_halftone" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS ps,
+        |    3 + doc_id % 4 AS hgw, 2 + doc_id % 3 AS hgh
+        |  FROM documents),
+        |p AS (SELECT doc_id, ps, hgw, hgh,
+        |    ps * ps + 1 AS cnt, hgw // 2 AS nl FROM d),
+        |v AS (SELECT doc_id, ps, hgw, hgh, nl,
+        |    (doc_id * 3) % cnt AS va, (doc_id * 5) % cnt AS vb FROM p)
+        |SELECT doc_id, CAST(hgw * ps AS BIGINT) AS w,
+        |  CAST(hgh * ps AS BIGINT) AS h,
+        |  CAST(FLOOR((255.0 * (hgw * ps * hgh * ps -
+        |    hgh * (nl * va + (hgw - nl) * vb))) / (hgw * ps * hgh * ps)
+        |    * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM v""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

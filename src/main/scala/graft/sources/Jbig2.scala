@@ -25,13 +25,16 @@ package graft.sources
   * SDHUFF=SBHUFF=0, no refinement; both TRANSPOSED orientations — the
   * dominant scanned-TEXT encoding, built on the Annex A integer
   * arithmetic decoding procedures and the shared-context per-glyph
-  * generic bitmaps), AND — r17 — the HUFFMAN-coded symbol/text class
-  * (SDHUFF=SBHUFF=1 with standard Annex B table selections, §6.5.9
-  * collective bitmaps uncompressed or MMR, and the §7.4.4.1.1
+  * generic bitmaps), the HUFFMAN-coded symbol/text class
+  * (r17: SDHUFF=SBHUFF=1 with standard Annex B table selections,
+  * §6.5.9 collective bitmaps uncompressed or MMR, and the §7.4.4.1.1
   * runcode-built symbol-ID table; see [[Jbig2Huffman]]) — the
-  * fax-origin/older-scanner encoding. Custom Huffman tables,
-  * refinement/aggregation, and halftone regions yield None — fail
-  * closed, never fabricate pixels. The decoder is defensive end
+  * fax-origin/older-scanner encoding — AND halftone regions (r17:
+  * §6.6/§6.7 pattern dictionaries + Annex C Gray-coded arithmetic
+  * gray-scale images — the dithered-grayscale scan class). Custom
+  * Huffman tables, refinement/aggregation, MMR-multiplexed gray
+  * planes, and HENABLESKIP yield None — fail closed, never fabricate
+  * pixels. The decoder is defensive end
   * to end: truncated headers, unknown segment types, striped pages,
   * or oversized regions abort to None (crawled-PDF robustness, the
   * same contract as the rest of MiniPdf). The encoder exists for
@@ -305,9 +308,9 @@ object Jbig2 {
     * into one stream. */
   private[sources] def encodeGenericWith(mq: MqEncoder, cx: CxTable,
       pixels: Array[Boolean], w: Int, h: Int, template: Int,
-      tpgdon: Boolean): Unit = {
+      tpgdon: Boolean, atOverride: Array[Int] = null): Unit = {
     require(pixels.length == w * h, "pixel buffer shape")
-    val at = NominalAt(template)
+    val at = if (atOverride != null) atOverride else NominalAt(template)
     var ltp = false
     var y = 0
     while (y < h) {
@@ -407,6 +410,8 @@ object Jbig2 {
     // across the globals and data walks (PDF puts shared dicts in
     // /JBIG2Globals exactly so regions in the data stream can refer)
     val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Sym]]
+    // exported patterns per pattern-dictionary segment (r17, §6.7)
+    val patDicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Sym]]
     def composite(r: Array[Boolean], rw: Int, rh: Int, rx: Int, ry: Int,
                   extCombOp: Int): Option[Unit] = {
       if (rw <= 0 || rh <= 0 || rx < 0 || ry < 0 ||
@@ -506,11 +511,27 @@ object Jbig2 {
                   case Some((rw, rh, rx, ry, op, r)) =>
                     if (composite(r, rw, rh, rx, ry, op).isEmpty) return None
                 }
+              case 16 => // pattern dictionary (§7.4.4, r17): register
+                decodePatternDict(b, s.dataStart, s.dataLen) match {
+                  case None => return None
+                  case Some(ps) => patDicts(s.number) = ps
+                }
+              case 20 => // intermediate halftone region: refinement
+                // input, not page content — fail closed like type 36
+                return None
+              case 22 | 23 => // immediate halftone region (§7.4.5, r17)
+                val pats: IndexedSeq[Sym] = s.refs.toIndexedSeq
+                  .flatMap(n => patDicts.getOrElse(n, IndexedSeq.empty))
+                decodeHalftoneRegion(b, s.dataStart, s.dataLen, pats) match {
+                  case None => return None
+                  case Some((rw, rh, rx, ry, op, r)) =>
+                    if (composite(r, rw, rh, rx, ry, op).isEmpty) return None
+                }
               case 49 | 50 | 51 | 62 => // end-of-page/stripe/file, extension
                 ()
               case _ =>
-                // halftones, refinements, pattern dicts, tables: out of
-                // the envelope — fail closed
+                // refinements, custom tables: out of the envelope —
+                // fail closed
                 return None
             }
             Some(())
@@ -743,6 +764,148 @@ object Jbig2 {
     val out = all.indices.collect { case j if ex(j) => all(j) }
     if (out.length != numEx) return None
     Some(out)
+  }
+
+  /** Decode a pattern-dictionary segment payload (§6.7 / §7.4.4, r17
+    * — the halftone class): flags (HDMMR, HDTEMPLATE), HDPW/HDPH,
+    * GRAYMAX, then ONE collective generic bitmap of width
+    * (GRAYMAX+1)·HDPW with the §6.7.5 AT pixels (AT1 = (−HDPW, 0)),
+    * split into the GRAYMAX+1 patterns. */
+  private def decodePatternDict(b: Array[Byte], start: Int, len: Int)
+      : Option[IndexedSeq[Sym]] = {
+    if (len < 7) return None
+    val flags = b(start) & 0xff
+    val mmr = (flags & 1) != 0
+    val template = (flags >>> 1) & 3
+    val pw = b(start + 1) & 0xff
+    val ph = b(start + 2) & 0xff
+    val grayMax = u32(b, start + 3)
+    if (pw < 1 || pw > 128 || ph < 1 || ph > 128 ||
+        grayMax < 0 || grayMax > 255) return None
+    val count = grayMax.toInt + 1
+    val totW = count * pw
+    if (totW.toLong * ph > 16L * 1024 * 1024) return None
+    val payload = java.util.Arrays.copyOfRange(b, start + 7, start + len)
+    val at =
+      if (template == 0) Array(-pw, 0, -3, -1, 2, -2, -2, -2)
+      else Array(-pw, 0)
+    val coll =
+      (if (mmr) CcittG4.decode(payload, totW, ph)
+       else decodeGeneric(payload, totW, ph, template, tpgdon = false, at))
+        .getOrElse(return None)
+    Some((0 until count).map { k =>
+      val bits = new Array[Boolean](pw * ph)
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          bits(y * pw + x) = coll(y * totW + k * pw + x)
+          x += 1
+        }
+        y += 1
+      }
+      Sym(pw, ph, bits)
+    })
+  }
+
+  /** Decode a halftone-region segment payload (§6.6 / §7.4.5, r17)
+    * against a referred pattern dictionary: an Annex C gray-scale
+    * image — bitplanes MSB-first through ONE arithmetic decoder and
+    * ONE shared context, Gray-decoded (bit_j = plane_j ⊕ bit_{j+1})
+    * — selects a pattern per grid cell, placed by the §6.6.5.1 grid
+    * vectors (8 fractional bits). MMR-multiplexed planes and
+    * HENABLESKIP stay out of envelope (fail closed). */
+  private def decodeHalftoneRegion(b: Array[Byte], start: Int, len: Int,
+      pats: IndexedSeq[Sym])
+      : Option[(Int, Int, Int, Int, Int, Array[Boolean])] = {
+    if (len < 38 || pats.isEmpty) return None
+    val rw = u32(b, start); val rh = u32(b, start + 4)
+    val rx = u32(b, start + 8); val ry = u32(b, start + 12)
+    val extCombOp = b(start + 16) & 0x07
+    if (rw <= 0 || rh <= 0 || rw > 65536 || rh > 65536 ||
+        rw * rh > 64L * 1024 * 1024) return None
+    val flags = b(start + 17) & 0xff
+    if ((flags & 1) != 0) return None // HMMR: Annex C.5 multiplexing
+    val template = (flags >>> 1) & 3
+    if ((flags & 8) != 0) return None // HENABLESKIP
+    val combOp = (flags >>> 4) & 7
+    if (combOp > 4) return None
+    val defPixel = (flags & 0x80) != 0
+    val hgw = u32(b, start + 18); val hgh = u32(b, start + 22)
+    if (hgw <= 0 || hgh <= 0 || hgw * hgh > 16L * 1024 * 1024) return None
+    val hgx = u32(b, start + 26).toInt // signed 32-bit, 8 fractional bits
+    val hgy = u32(b, start + 30).toInt
+    val hrx = ((b(start + 34) & 0xff) << 8) | (b(start + 35) & 0xff)
+    val hry = ((b(start + 36) & 0xff) << 8) | (b(start + 37) & 0xff)
+    // patterns must share dims (they come from one dictionary split)
+    val pw = pats.head.w; val ph = pats.head.h
+    if (!pats.forall(p => p.w == pw && p.h == ph)) return None
+    val bits = math.max(1, ceilLog2(pats.length))
+    // Annex C.3 gray-scale image: one decoder + one context across
+    // ALL bitplanes; AT1 = (template ≤ 1 ? 3 : 2, −1) per C.3.1
+    val mq = new MqDecoder(java.util.Arrays.copyOfRange(
+      b, start + 38, start + len))
+    val cx = new CxTable(1 << contextSize(template))
+    val at1x = if (template <= 1) 3 else 2
+    val at = if (template == 0) Array(at1x, -1, -3, -1, 2, -2, -2, -2)
+             else Array(at1x, -1)
+    val n = (hgw * hgh).toInt
+    val value = new Array[Int](n)
+    var prev: Array[Boolean] = null
+    var j = bits - 1
+    while (j >= 0) {
+      val plane = decodeGenericWith(mq, cx, hgw.toInt, hgh.toInt,
+        template, tpgdon = false, at).getOrElse(return None)
+      val bin =
+        if (prev == null) plane
+        else Array.tabulate(n)(i => plane(i) ^ prev(i))
+      var i = 0
+      while (i < n) {
+        value(i) = (value(i) << 1) | (if (bin(i)) 1 else 0)
+        i += 1
+      }
+      prev = bin
+      j -= 1
+    }
+    val w = rw.toInt; val h = rh.toInt
+    val region = Array.fill(w * h)(defPixel)
+    var m = 0
+    while (m < hgh.toInt) {
+      var ng = 0
+      while (ng < hgw.toInt) {
+        val v = value(m * hgw.toInt + ng)
+        if (v >= pats.length) return None // hostile gray value
+        val px0 = (hgx.toLong + m.toLong * hry + ng.toLong * hrx) >> 8
+        val py0 = (hgy.toLong + m.toLong * hrx - ng.toLong * hry) >> 8
+        val pat = pats(v)
+        var yy = 0
+        while (yy < ph) {
+          val py = py0 + yy
+          if (py >= 0 && py < h) {
+            var xx = 0
+            while (xx < pw) {
+              val px = px0 + xx
+              if (px >= 0 && px < w) {
+                val vv = pat.bits(yy * pw + xx)
+                val dst = py.toInt * w + px.toInt
+                region(dst) = combOp match {
+                  case 0 => region(dst) | vv
+                  case 1 => region(dst) & vv
+                  case 2 => region(dst) ^ vv
+                  case 3 => !(region(dst) ^ vv) // XNOR
+                  case _ => vv // 4 = REPLACE
+                }
+              }
+              xx += 1
+            }
+          }
+          yy += 1
+        }
+        ng += 1
+      }
+      m += 1
+    }
+    Some((w, h, rx.toInt, ry.toInt, extCombOp, region))
   }
 
   /** Decode a HUFFMAN-coded symbol-dictionary segment payload (§6.5
@@ -1254,6 +1417,71 @@ object Jbig2 {
     sw.u16(0x0000) // huffFlags: FS B.6, DS B.8, DT B.11
     sw.u32(instances.length.toLong)
     sw.bytes(trData)
+    sw.result()
+  }
+
+  /** Fixture twin for the halftone class (r17): a pattern dictionary
+    * (§6.7 — template-0 arithmetic collective bitmap with the
+    * AT1 = (−HDPW, 0) spec pixels) of SQUARE pw×pw patterns plus an
+    * immediate lossless halftone region (§6.6) whose Annex C
+    * gray-scale image carries `values` (one pattern index per grid
+    * cell, Gray-coded bitplanes through one shared coder/context).
+    * Axis-aligned grid: HRX = pw·256, HRY = 0, origin 0 — each cell
+    * tiles exactly. Decodable by [[decodeEmbedded]]. */
+  def encodeEmbeddedHalftone(values: Array[Int], hgw: Int, hgh: Int,
+                             patterns: Seq[Array[Boolean]], pw: Int,
+                             pageW: Int, pageH: Int): Array[Byte] = {
+    require(values.length == hgw * hgh, "one value per grid cell")
+    require(patterns.nonEmpty && patterns.forall(_.length == pw * pw),
+      "square patterns")
+    require(values.forall(v => v >= 0 && v < patterns.length), "value range")
+    val count = patterns.length
+    // ---- pattern dictionary payload
+    val totW = count * pw
+    val coll = new Array[Boolean](totW * pw)
+    for ((p, k) <- patterns.zipWithIndex; y <- 0 until pw; x <- 0 until pw)
+      coll(y * totW + k * pw + x) = p(y * pw + x)
+    val pdMq = new MqEncoder
+    val pdCx = new CxTable(1 << contextSize(0))
+    encodeGenericWith(pdMq, pdCx, coll, totW, pw, 0, tpgdon = false,
+      atOverride = Array(-pw, 0, -3, -1, 2, -2, -2, -2))
+    val pdData = pdMq.flush()
+    // ---- halftone region payload: Gray-coded bitplanes, one coder
+    val bits = math.max(1, ceilLog2(count))
+    val htMq = new MqEncoder
+    val htCx = new CxTable(1 << contextSize(0))
+    var prev: Array[Boolean] = null
+    var j = bits - 1
+    while (j >= 0) {
+      val bin = values.map(v => ((v >> j) & 1) != 0)
+      val plane =
+        if (prev == null) bin
+        else Array.tabulate(values.length)(i => bin(i) ^ prev(i))
+      encodeGenericWith(htMq, htCx, plane, hgw, hgh, 0, tpgdon = false)
+      prev = bin
+      j -= 1
+    }
+    val htData = htMq.flush()
+    // ---- segments
+    val rw = hgw * pw; val rh = hgh * pw
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
+    // pattern dictionary: flags(1) + HDPW(1) + HDPH(1) + GRAYMAX(4)
+    sw.header(1, 16, 7 + pdData.length)
+    sw.u8(0x00) // HDMMR=0, template 0
+    sw.u8(pw); sw.u8(pw)
+    sw.u32((count - 1).toLong)
+    sw.bytes(pdData)
+    // immediate lossless halftone region: info(17) + flags(1) +
+    // HGW/HGH(8) + HGX/HGY(8) + HRX/HRY(4) + data
+    sw.header(2, 23, 17 + 1 + 8 + 8 + 4 + htData.length, refs = Seq(1))
+    sw.u32(rw.toLong); sw.u32(rh.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00) // external comb: OR
+    sw.u8(0x00) // HMMR=0, template 0, no skip, comb OR, defpixel 0
+    sw.u32(hgw.toLong); sw.u32(hgh.toLong)
+    sw.u32(0); sw.u32(0) // HGX, HGY
+    sw.u16(pw << 8); sw.u16(0) // HRX = pw (8 fractional bits), HRY = 0
+    sw.bytes(htData)
     sw.result()
   }
 }

@@ -479,6 +479,66 @@ class Round17Spec extends AnyFunSuite {
       s"got $lens")
   }
 
+  test("halftone region: Gray-coded bitplanes select planted patterns " +
+       "per grid cell (exact pixels), incl. multi-plane gray values") {
+    val pw = 3
+    // pattern k = first k pixels black (row-major): 10 patterns ->
+    // 4 bitplanes, so the Gray decode chain really runs
+    val patterns = (0 until 10).map(k =>
+      Array.tabulate(pw * pw)(_ < k))
+    val hgw = 5; val hgh = 4
+    val values = Array.tabulate(hgw * hgh)(i => (i * 7 + 3) % 10)
+    val pageW = hgw * pw; val pageH = hgh * pw
+    val stream = Jbig2.encodeEmbeddedHalftone(values, hgw, hgh,
+      patterns, pw, pageW, pageH)
+    val page = Jbig2.decodeEmbedded(None, stream, pageW, pageH)
+    assert(page.isDefined, "halftone stream must decode")
+    val expect = new Array[Boolean](pageW * pageH)
+    for (m <- 0 until hgh; n <- 0 until hgw) {
+      val p = patterns(values(m * hgw + n))
+      for (yy <- 0 until pw; xx <- 0 until pw if p(yy * pw + xx))
+        expect((m * pw + yy) * pageW + (n * pw + xx)) = true
+    }
+    assert(page.get.sameElements(expect), "planted pattern placement")
+    // black count law the q388 oracle replays
+    assert(page.get.count(identity) == values.sum)
+  }
+
+  test("halftone fail-closed + fuzz: intermediate (type 20) regions, " +
+       "MMR-multiplexed gray planes, hostile gray values, bit flips " +
+       "and truncations all return Option, never throw") {
+    val patterns = (0 until 5).map(k => Array.tabulate(4)(_ < k))
+    val values = Array.tabulate(6)(i => i % 5)
+    val good = Jbig2.encodeEmbeddedHalftone(values, 3, 2, patterns, 2, 6, 4)
+    assert(Jbig2.decodeEmbedded(None, good, 6, 4).isDefined)
+    // patch the region segment type 23 -> 20 (intermediate): the
+    // region header follows the pattern dict; find its header offset
+    // via the dict's data length field at page-info(30) + 7
+    val dictLen = (((good(37) & 0xff) << 24) | ((good(38) & 0xff) << 16) |
+      ((good(39) & 0xff) << 8) | (good(40) & 0xff))
+    val regHdr = 30 + 11 + dictLen
+    assert((good(regHdr + 4) & 0x3f) == 23, "fixture emits type 23")
+    val inter = good.clone()
+    inter(regHdr + 4) = (inter(regHdr + 4) & ~0x3f | 20).toByte
+    assert(Jbig2.decodeEmbedded(None, inter, 6, 4).isEmpty,
+      "intermediate halftone regions are refinement input, fail closed")
+    // MMR-multiplexed gray planes: flip HMMR (flags byte after the
+    // 17-byte region info; the region header is 12 bytes — 11 plus
+    // its one referred-segment byte)
+    val mmr = good.clone()
+    mmr(regHdr + 12 + 17) = (mmr(regHdr + 12 + 17) | 1).toByte
+    assert(Jbig2.decodeEmbedded(None, mmr, 6, 4).isEmpty)
+    val r = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, 6, 4)
+    }
+    for (cut <- 1 until good.length)
+      Jbig2.decodeEmbedded(None, good.take(cut), 6, 4)
+  }
+
   test("Huffman JBIG2 fuzz: bit flips and every truncation point " +
        "return Option, never throw or spin") {
     val g1 = glyphOf(Seq("###", ".#.")); val g2 = glyphOf(Seq("#", "#", "#"))
