@@ -700,44 +700,53 @@ object Dedup {
     * tiers' keys — the exact-tier groupBy and the band equi-join — so
     * candidate volume becomes Σ_scope |scope bucket|² and dedup is
     * exact WITHIN each scope (no cross-scope edges, by design: that
-    * is what sharding means). Empty (the default) preserves the
-    * global-corpus semantics and plan unchanged. */
+    * is what sharding means). The scope rides as ONE struct key, so a
+    * NULL scope value is a real scope of its own (struct equality is
+    * field-wise null-safe) — real corpora have nullable domain/
+    * snapshot keys, and a null-unsafe equi-join would silently drop
+    * every null-scope row from both tiers. Empty (the default)
+    * preserves the global-corpus semantics and plan unchanged. */
   def phashNearDups(df: DataFrame, idCol: String = "doc_id",
                     hashCol: String = "phash", maxHamming: Int = 3,
                     scopeCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4x16-bit banding guarantees recall only up to hamming 3")
-    val scope = scopeCols.map(col)
+    // one struct key: null scope values join null-safely (see scaladoc)
+    val scope: Seq[Column] =
+      if (scopeCols.isEmpty) Nil
+      else Seq(struct(scopeCols.map(col): _*).as("__scope"))
+    val scopeKeys = if (scopeCols.isEmpty) Nil else Seq("__scope")
     val ph = cacheScoped(df.select(Seq(col(idCol).cast("long").as("__id"),
       col(hashCol).cast("long").as("__ph")) ++ scope: _*)
       .filter(col("__ph").isNotNull))
+    val sc = scopeKeys.map(col)
     // distinct (scope, hash) WITH their representative, one partial agg
-    val reps = cacheScoped(ph.groupBy(col("__ph") +: scope: _*)
+    val reps = cacheScoped(ph.groupBy(col("__ph") +: sc: _*)
       .agg(min(col("__id")).as("__rep")))
-    val same = ph.join(reps, "__ph" +: scopeCols)
+    val same = ph.join(reps, "__ph" +: scopeKeys)
       .filter(col("__id") =!= col("__rep"))
       .select(col("__rep").as("key_a"), col("__id").as("key_b"),
         lit(0L).as("hamming"))
     val bands = reps.select(Seq(col("__ph"),
       explode(array((0 to 3).map(i => struct(lit(i).as("b"),
         shiftright(col("__ph"), i * 16).bitwiseAND(lit(0xFFFFL))
-          .as("v"))): _*)).as("r")) ++ scope: _*)
+          .as("v"))): _*)).as("r")) ++ sc: _*)
       .select(Seq(col("__ph"), col("r.b").as("b"), col("r.v").as("v")) ++
-        scope: _*)
+        sc: _*)
     val nearHash = bands
-      .select(Seq(col("b"), col("v"), col("__ph").as("ph_a")) ++ scope: _*)
+      .select(Seq(col("b"), col("v"), col("__ph").as("ph_a")) ++ sc: _*)
       .join(bands.select(Seq(col("b"), col("v"), col("__ph").as("ph_b")) ++
-        scope: _*), Seq("b", "v") ++ scopeCols)
+        sc: _*), Seq("b", "v") ++ scopeKeys)
       .filter(col("ph_a") < col("ph_b"))
-      .select(Seq(col("ph_a"), col("ph_b")) ++ scope: _*).distinct()
+      .select(Seq(col("ph_a"), col("ph_b")) ++ sc: _*).distinct()
       .withColumn("hamming",
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming && col("hamming") > 0)
     val near = nearHash
       .join(reps.select(Seq(col("__ph").as("ph_a"),
-        col("__rep").as("id_a")) ++ scope: _*), "ph_a" +: scopeCols)
+        col("__rep").as("id_a")) ++ sc: _*), "ph_a" +: scopeKeys)
       .join(reps.select(Seq(col("__ph").as("ph_b"),
-        col("__rep").as("id_b")) ++ scope: _*), "ph_b" +: scopeCols)
+        col("__rep").as("id_b")) ++ sc: _*), "ph_b" +: scopeKeys)
       .select(least(col("id_a"), col("id_b")).as("key_a"),
         greatest(col("id_a"), col("id_b")).as("key_b"), col("hamming"))
     same.unionByName(near)

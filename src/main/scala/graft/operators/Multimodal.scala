@@ -351,8 +351,9 @@ object Multimodal {
     while (p + 4 <= b.length) {
       if ((b(p) & 0xff) != 0xFF) return None
       val m = b(p + 1) & 0xff
-      if (m == 0xD9 || m == 0xDA) return None // EOI / SOS without SOF
-      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { p += 2 } // standalone
+      if (m == 0xFF) { p += 1 } // optional fill byte before a marker
+      else if (m == 0xD9 || m == 0xDA) return None // EOI / SOS without SOF
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { p += 2 } // standalone
       else {
         val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
         if (len < 2 || p + 2 + len > b.length) return None
@@ -376,8 +377,9 @@ object Multimodal {
     while (p + 4 <= b.length) {
       if ((b(p) & 0xff) != 0xFF) return None
       val m = b(p + 1) & 0xff
-      if (m == 0xD9 || m == 0xDA) return None
-      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { p += 2 }
+      if (m == 0xFF) { p += 1 } // optional fill byte before a marker
+      else if (m == 0xD9 || m == 0xDA) return None
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { p += 2 }
       else {
         val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
         if (len < 2 || p + 2 + len > b.length) return None
@@ -399,8 +401,9 @@ object Multimodal {
     * stays fail-closed (the samples are not CMYK); any decode tear
     * drops the row. */
   private def cmykJpegFeatures(payload: Array[Byte]): Option[(Int, Int, Double)] = {
-    if (adobeTransform(payload).exists(_ == 2)) return None // YCCK
-    val inverted = adobeTransform(payload).isDefined
+    val transform = adobeTransform(payload) // one marker walk
+    if (transform.exists(_ == 2)) return None // YCCK
+    val inverted = transform.isDefined
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {

@@ -503,7 +503,10 @@ object Jbig2 {
                   case None => return None
                   case Some(ex) => dicts(s.number) = ex
                 }
-              case 4 | 6 | 7 => // text region (§7.4.4): draw via referred dicts
+              case 4 => // intermediate text region: refinement input,
+                // not page content — fail closed like types 36/20
+                return None
+              case 6 | 7 => // immediate text region (§7.4.4)
                 val syms: IndexedSeq[Sym] =
                   s.refs.toIndexedSeq.flatMap(n => dicts.getOrElse(n, IndexedSeq.empty))
                 decodeTextRegion(b, s.dataStart, s.dataLen, syms) match {
@@ -522,7 +525,8 @@ object Jbig2 {
               case 22 | 23 => // immediate halftone region (§7.4.5, r17)
                 val pats: IndexedSeq[Sym] = s.refs.toIndexedSeq
                   .flatMap(n => patDicts.getOrElse(n, IndexedSeq.empty))
-                decodeHalftoneRegion(b, s.dataStart, s.dataLen, pats) match {
+                decodeHalftoneRegion(b, s.dataStart, s.dataLen, pats,
+                    w, h) match {
                   case None => return None
                   case Some((rw, rh, rx, ry, op, r)) =>
                     if (composite(r, rw, rh, rx, ry, op).isEmpty) return None
@@ -816,14 +820,17 @@ object Jbig2 {
     * vectors (8 fractional bits). MMR-multiplexed planes and
     * HENABLESKIP stay out of envelope (fail closed). */
   private def decodeHalftoneRegion(b: Array[Byte], start: Int, len: Int,
-      pats: IndexedSeq[Sym])
+      pats: IndexedSeq[Sym], pageW: Int, pageH: Int)
       : Option[(Int, Int, Int, Int, Int, Array[Boolean])] = {
     if (len < 38 || pats.isEmpty) return None
     val rw = u32(b, start); val rh = u32(b, start + 4)
     val rx = u32(b, start + 8); val ry = u32(b, start + 12)
     val extCombOp = b(start + 16) & 0x07
-    if (rw <= 0 || rh <= 0 || rw > 65536 || rh > 65536 ||
-        rw * rh > 64L * 1024 * 1024) return None
+    // page-bounds BEFORE any decode work (the generic leg's guard): a
+    // hostile out-of-page region must not buy a 64M-element allocation
+    // plus the full gray decode before composite finally rejects it
+    if (rw <= 0 || rh <= 0 || rw > pageW || rh > pageH ||
+        rx + rw > pageW || ry + rh > pageH) return None
     val flags = b(start + 17) & 0xff
     if ((flags & 1) != 0) return None // HMMR: Annex C.5 multiplexing
     val template = (flags >>> 1) & 3
@@ -833,6 +840,10 @@ object Jbig2 {
     val defPixel = (flags & 0x80) != 0
     val hgw = u32(b, start + 18); val hgh = u32(b, start + 22)
     if (hgw <= 0 || hgh <= 0 || hgw * hgh > 16L * 1024 * 1024) return None
+    // stamp-work bound: grid cells × pattern area (cells may overlap,
+    // so the page-bounds check alone does not bound the loop)
+    if (hgw * hgh * (pats.head.w.toLong * pats.head.h) > (1L << 28))
+      return None
     val hgx = u32(b, start + 26).toInt // signed 32-bit, 8 fractional bits
     val hgy = u32(b, start + 30).toInt
     val hrx = ((b(start + 34) & 0xff) << 8) | (b(start + 35) & 0xff)
@@ -840,7 +851,10 @@ object Jbig2 {
     // patterns must share dims (they come from one dictionary split)
     val pw = pats.head.w; val ph = pats.head.h
     if (!pats.forall(p => p.w == pw && p.h == ph)) return None
-    val bits = math.max(1, ceilLog2(pats.length))
+    // HBPP = ceil(log2(HNUMPATS)): a single-pattern dictionary means
+    // ZERO bitplanes (Annex C) — forcing one would decode a phantom
+    // plane and reject legitimate solid-fill streams
+    val bits = ceilLog2(pats.length)
     // Annex C.3 gray-scale image: one decoder + one context across
     // ALL bitplanes; AT1 = (template ≤ 1 ? 3 : 2, −1) per C.3.1
     val mq = new MqDecoder(java.util.Arrays.copyOfRange(
@@ -1447,7 +1461,7 @@ object Jbig2 {
       atOverride = Array(-pw, 0, -3, -1, 2, -2, -2, -2))
     val pdData = pdMq.flush()
     // ---- halftone region payload: Gray-coded bitplanes, one coder
-    val bits = math.max(1, ceilLog2(count))
+    val bits = ceilLog2(count) // 0 planes for a single-pattern dict
     val htMq = new MqEncoder
     val htCx = new CxTable(1 << contextSize(0))
     var prev: Array[Boolean] = null

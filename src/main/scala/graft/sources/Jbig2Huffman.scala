@@ -260,21 +260,25 @@ private[graft] object Jbig2Huffman {
     if (runLens.forall(_ == 0)) return None
     val runTable = prefixTable(runLens)
     val lens = new Array[Int](numSyms)
-    var prev = 0
     var s = 0
     while (s < numSyms) {
       val code = runTable.decode(br) match {
         case Some(Some(v)) => v.toInt
         case _ => return None
       }
-      if (code < 32) { lens(s) = code; if (code > 0) prev = code; s += 1 }
+      if (code < 32) { lens(s) = code; s += 1 }
       else {
+        // runcode 32 repeats the IMMEDIATELY previous code length —
+        // including zero (§7.4.4.1.1; a last-positive-length reading
+        // would silently assign wrong codes after a zero run). With
+        // no previous length at all the stream is malformed.
         val (fill, n) = code match {
-          case 32 => (prev, br.read(2).getOrElse(return None).toInt + 3)
+          case 32 =>
+            if (s == 0) return None
+            (lens(s - 1), br.read(2).getOrElse(return None).toInt + 3)
           case 33 => (0, br.read(3).getOrElse(return None).toInt + 3)
           case _ => (0, br.read(7).getOrElse(return None).toInt + 11)
         }
-        if (code == 32 && prev == 0) return None
         var k = 0
         while (k < n) {
           if (s >= numSyms) return None

@@ -93,7 +93,10 @@ object Jpx {
     if (m + 2 + lsiz > b.length) return None
     if (csiz < 1 || csiz > 16384) return None
     val w = xsiz - xo; val h = ysiz - yo
-    if (w <= 0 || h <= 0 || w * h > 16777216L) return None
+    // bound each side BEFORE the product: hostile u32 dims (4G×4G)
+    // overflow the Long product past the cap and would wrap .toInt
+    if (w <= 0 || h <= 0 || w > 16777216L || h > 16777216L ||
+        w * h > 16777216L) return None
     Some((w.toInt, h.toInt, csiz))
   }
 }

@@ -686,10 +686,6 @@ object MiniPdf {
                 catch { case _: NumberFormatException => return None }
               if (nums.length != n) None else Some(Some(nums))
           }
-        @inline def mapComp(t: Double, lo: Double, hi: Double): Byte = {
-          val c = math.max(0.0, math.min(1.0, lo + t * (hi - lo)))
-          math.floor(255 * c + 0.5).toInt.toByte
-        }
         resolveColorSpace(objs, o.dict) match {
           case CsRgb =>
             if (bpc != 8 || px.length < w.toLong * h * 3) None
@@ -701,7 +697,7 @@ object MiniPdf {
                 var i = 0
                 while (i < out.length) {
                   val c = i % 3
-                  out(i) = mapComp((px(i) & 0xff) / 255.0, dd(2 * c), dd(2 * c + 1))
+                  out(i) = grayMap((px(i) & 0xff) / 255.0, dd(2 * c), dd(2 * c + 1))
                   i += 1
                 }
                 rasterToPng(out, w, h, 3, alphaPx)
@@ -725,7 +721,7 @@ object MiniPdf {
                       }
                     case Some(dd) =>
                       while (i < g.length) {
-                        g(i) = mapComp((s(i) & 0xff).toDouble / max, dd(0), dd(1))
+                        g(i) = grayMap((s(i) & 0xff).toDouble / max, dd(0), dd(1))
                         i += 1
                       }
                   }
@@ -861,7 +857,7 @@ object MiniPdf {
               case Some(decOpt) =>
                 @inline def comp(i: Int, c: Int): Int = decOpt match {
                   case None => px(4 * i + c) & 0xff
-                  case Some(dd) => mapComp((px(4 * i + c) & 0xff) / 255.0,
+                  case Some(dd) => grayMap((px(4 * i + c) & 0xff) / 255.0,
                     dd(2 * c), dd(2 * c + 1)) & 0xff
                 }
                 val rgb = new Array[Byte](w * h * 3)
@@ -1003,8 +999,10 @@ object MiniPdf {
     }
   }
 
-  /** Map a normalized one-component sample through a decode range to
-    * an 8-bit gray level, clamped to [0,1] (§8.9.5.2). */
+  /** Map a normalized sample through a /Decode range to an 8-bit
+    * component level, clamped to [0,1] (§8.9.5.2) — the ONE shared
+    * mapping for every raster leg (RGB/gray/CMYK components and the
+    * bilevel CCITT/JBIG2/SMask legs alike). */
   @inline private def grayMap(t: Double, d0: Double, d1: Double): Byte = {
     val c = math.max(0.0, math.min(1.0, d0 + t * (d1 - d0)))
     math.floor(255 * c + 0.5).toInt.toByte

@@ -375,6 +375,115 @@ class Round17Spec extends AnyFunSuite {
       (1L, 3L, 1L)), s"got $global")
   }
 
+  // ----------------------- r17 code-review regressions
+
+  test("review: scopeCols with NULL scope values — null-scope rows form " +
+       "their own scope (struct key null-safety), never silently drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = 0x1111222233334444L
+    // two exact dups with NULL scope, one with scope "x": the null
+    // pair must pair with each other, never with "x"
+    val df = Seq((1L, a, Option.empty[String]), (2L, a, Option.empty[String]),
+      (3L, a, Some("x"))).toDF("doc_id", "phash", "scope")
+    val out = graft.operators.Dedup.phashNearDups(df, scopeCols = Seq("scope"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 0L)),
+      s"null-scope dups must pair in their own scope, got $out")
+  }
+
+  test("review: hostile SIZ dims that overflow the Long product fail " +
+       "closed instead of wrapping to negative Int dims") {
+    import graft.sources.Jpx
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val siz = Array(0xFF.toByte, 0x4F.toByte, 0xFF.toByte, 0x51.toByte) ++
+      be16(38 + 3) ++ be16(0) ++
+      be32(0xFFFFFFFFL) ++ be32(0xFFFFFFFFL) ++ // Xsiz, Ysiz = 4G
+      be32(0) ++ be32(0) ++ be32(0xFFFFFFFFL) ++ be32(0xFFFFFFFFL) ++
+      be32(0) ++ be32(0) ++ be16(1) ++ Array[Byte](7, 1, 1)
+    assert(Jpx.sizDims(siz).isEmpty,
+      "4G x 4G dims overflow the product past the cap; must fail closed")
+  }
+
+  test("review: runcode 32 repeats the IMMEDIATELY previous length " +
+       "including zero (not the last positive length)") {
+    import graft.sources.Jbig2Huffman._
+    val bw = new BitWriter
+    val runLens = Array.tabulate(35) {
+      case 0 => 2; case 5 => 2; case 32 => 2; case _ => 0
+    } // runcodes {0, 5, 32} at length 2: canonical 00, 01, 10
+    runLens.foreach(l => bw.write(l.toLong, 4))
+    bw.write(0x1L, 2) // runcode 5: lens[0] = 5
+    bw.write(0x0L, 2) // runcode 0: lens[1] = 0
+    bw.write(0x2L, 2) // runcode 32: repeat PREVIOUS (= 0)
+    bw.write(0L, 2) // 3 + 0 = 3 repeats -> lens[2..4] = 0
+    bw.write(0x1L, 2) // runcode 5: lens[5] = 5 (table must stay sane)
+    val data = bw.result()
+    val br = new BitReader(data, 0, data.length)
+    val table = readSymbolIdTable(br, 6)
+    assert(table.isDefined)
+    assert(table.get.lines.map(_.prefLen).toSeq == Seq(5, 0, 0, 0, 0, 5))
+  }
+
+  test("review: intermediate TEXT regions (type 4) fail closed like " +
+       "intermediate generic (36) and halftone (20) regions") {
+    val g = glyphOf(Seq("##", ".#"))
+    val good = Jbig2.encodeEmbeddedText(Seq(g), Seq((0, 2, 1)), 10, 6)
+    assert(Jbig2.decodeEmbedded(None, good, 10, 6).isDefined)
+    // the text-region segment follows the dict; its type byte is at
+    // header offset + 4 (header = 30 + 11 + dictLen)
+    val dictLen = (((good(37) & 0xff) << 24) | ((good(38) & 0xff) << 16) |
+      ((good(39) & 0xff) << 8) | (good(40) & 0xff))
+    val trHdr = 30 + 11 + dictLen
+    assert((good(trHdr + 4) & 0x3f) == 6, "fixture emits immediate (6)")
+    val inter = good.clone()
+    inter(trHdr + 4) = (inter(trHdr + 4) & ~0x3f | 4).toByte
+    assert(Jbig2.decodeEmbedded(None, inter, 10, 6).isEmpty)
+  }
+
+  test("review: halftone regions exceeding the page bounds fail closed " +
+       "before decode work; a single-pattern dict decodes ZERO planes") {
+    val patterns2 = (0 until 5).map(k => Array.tabulate(4)(_ < k))
+    val values2 = Array.tabulate(6)(i => i % 5)
+    val stream = Jbig2.encodeEmbeddedHalftone(values2, 3, 2, patterns2, 2, 6, 4)
+    // region is 6x4; a 5x4 page cannot hold it
+    assert(Jbig2.decodeEmbedded(None, stream, 5, 4).isEmpty)
+    // HNUMPATS = 1 -> HBPP = 0: no bitplanes, all cells pattern 0
+    val solid = Seq(Array(true, true, true, false))
+    val zs = Jbig2.encodeEmbeddedHalftone(Array.fill(4)(0), 2, 2, solid, 2, 4, 4)
+    val page = Jbig2.decodeEmbedded(None, zs, 4, 4)
+    assert(page.isDefined, "zero-bitplane halftone must decode")
+    val expect = new Array[Boolean](16)
+    for (m <- 0 until 2; n <- 0 until 2; yy <- 0 until 2; xx <- 0 until 2
+         if solid.head(yy * 2 + xx))
+      expect((m * 2 + yy) * 4 + (n * 2 + xx)) = true
+    assert(page.get.sameElements(expect))
+  }
+
+  test("review: JPEG fill bytes (FF padding before markers) do not " +
+       "derail the CMYK sniff or the Adobe transform read") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val payload = jpegPayloadOf(PdfFixtures.cmykJpegDoc(7L)) // Adobe shape
+    // splice two 0xFF fill bytes right after SOI
+    val filled = new Array[Byte](payload.length + 2)
+    System.arraycopy(payload, 0, filled, 0, 2)
+    filled(2) = 0xFF.toByte; filled(3) = 0xFF.toByte
+    // the next byte is already 0xFF (the APP14 marker), forming
+    // FF FF FF EE — two fills before one marker
+    System.arraycopy(payload, 2, filled, 4, payload.length - 2)
+    assert(graft.operators.Multimodal.jpegComponents(filled).contains(4))
+    val feats = graft.operators.Multimodal.extractImageFeatures(
+      Seq((7L, filled)).toDF("doc_id", "media")).collect()
+    val base = graft.operators.Multimodal.extractImageFeatures(
+      Seq((7L, payload)).toDF("doc_id", "media")).collect()
+    assert(feats.length == 1 && base.length == 1)
+    assert(feats.head.lum == base.head.lum,
+      "fill bytes must not change the clamp luminance (Adobe inversion intact)")
+  }
+
   // ------------------ JBIG2 Huffman class (VERDICT r16 item 2)
 
   private def glyphOf(pattern: Seq[String]): (Int, Int, Array[Boolean]) = {
