@@ -35,7 +35,7 @@ package graft.sources
   * Huffman tables, refinement/aggregation, MMR-multiplexed gray
   * planes, and HENABLESKIP yield None — fail closed, never fabricate
   * pixels. The decoder is defensive end
-  * to end: truncated headers, unknown segment types, striped pages,
+  * to end: truncated headers, unknown segment types,
   * or oversized regions abort to None (crawled-PDF robustness, the
   * same contract as the rest of MiniPdf). The encoder exists for
   * fixtures and round-trip specs; it emits spec-conformant page-info +
@@ -449,10 +449,15 @@ object Jbig2 {
                 if (s.dataLen >= 17) {
                   val flags = b(s.dataStart + 16) & 0xff
                   defaultPixel = (flags & 0x04) != 0
-                  // striped pages (striping-info bit 15) deliver rows
-                  // through end-of-stripe segments we don't track
-                  if (s.dataLen >= 19 &&
-                      (b(s.dataStart + 17) & 0x80) != 0) return None
+                  // STRIPED pages (striping-info bit 15, r17 — the
+                  // jbig2enc large-page shape) need no row tracking
+                  // here: the page buffer comes from the
+                  // AUTHORITATIVE PDF dims (the declared page height
+                  // is 0xFFFFFFFF = unknown on striped pages), every
+                  // region carries absolute coordinates, and
+                  // end-of-stripe segments (type 50) only delimit
+                  // stripes for row-streaming decoders — a no-op for
+                  // whole-page compositing
                   if (page == null) {
                     page = Array.fill(w * h)(defaultPixel)
                   }

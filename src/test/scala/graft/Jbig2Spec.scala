@@ -207,9 +207,9 @@ class Jbig2Spec extends AnyFunSuite {
       Jbig2.decodeEmbedded(None, good.take(cut), 20, 12)
   }
 
-  test("review regressions: dict context-reuse flag, striped pages, " +
-       "invalid external comb ops fail closed; text XNOR comb op is " +
-       "honoured (not silently decoded as OR)") {
+  test("review regressions: dict context-reuse flag and invalid " +
+       "external comb ops fail closed; striped pages decode (r17); " +
+       "text XNOR comb op is honoured (not silently decoded as OR)") {
     val g = glyphOf(Seq("#.", "##")) // mixed bits: XNOR output is distinctive
     val good = Jbig2.encodeEmbeddedText(Seq(g), Seq((0, 1, 1)), 6, 4)
     // symbol-dict flags bit 8 ("bitmap coding context used"): this
@@ -217,10 +217,13 @@ class Jbig2Spec extends AnyFunSuite {
     val ctxUsed = good.clone()
     ctxUsed(30 + 11) = (ctxUsed(30 + 11) | 0x01).toByte // flags high byte
     assert(Jbig2.decodeEmbedded(None, ctxUsed, 6, 4).isEmpty)
-    // page-info striping bit 15 -> None
+    // page-info striping bit 15: striped pages decode since r17 (the
+    // page buffer comes from the PDF dims; regions carry absolute
+    // coordinates) — same pixels as the unstriped stream
     val striped = good.clone()
     striped(11 + 17) = (striped(11 + 17) | 0x80).toByte
-    assert(Jbig2.decodeEmbedded(None, striped, 6, 4).isEmpty)
+    assert(Jbig2.decodeEmbedded(None, striped, 6, 4).exists(
+      _.sameElements(Jbig2.decodeEmbedded(None, good, 6, 4).get)))
     // region-info external comb op 5 -> None (was silently REPLACE)
     val w0 = 8; val h0 = 4
     val gen = Jbig2.encodeEmbedded(Array.fill(w0 * h0)(true), w0, h0)

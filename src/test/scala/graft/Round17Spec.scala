@@ -375,6 +375,31 @@ class Round17Spec extends AnyFunSuite {
       (1L, 3L, 1L)), s"got $global")
   }
 
+  // ---------------------------- striped pages (r17)
+
+  test("striped pages decode: striping-info bit set + an end-of-stripe " +
+       "segment between regions lands the same pixels as the unstriped " +
+       "stream (regions carry absolute coordinates)") {
+    val w = 16; val h = 10
+    val px = Array.tabulate(w * h)(i => (i % w) >= 5)
+    val plain = Jbig2.encodeEmbedded(px, w, h)
+    val expect = Jbig2.decodeEmbedded(None, plain, w, h).get
+    // set striping bit (page-info data byte 17, absolute 11+17=28) and
+    // a max-stripe-size in the low bits
+    val striped = new java.io.ByteArrayOutputStream()
+    val head = plain.clone()
+    head(28) = (head(28) | 0x80).toByte
+    head(29) = 8 // max stripe rows
+    striped.write(head, 0, 30) // page info only
+    // end-of-stripe segment (type 50): 4-byte Y coordinate of the
+    // stripe's last row
+    striped.write(Array[Byte](0, 0, 0, 5, 50, 0, 1, 0, 0, 0, 4, 0, 0, 0, 7))
+    striped.write(head, 30, head.length - 30) // the region segment
+    val got = Jbig2.decodeEmbedded(None, striped.toByteArray, w, h)
+    assert(got.isDefined, "striped page must decode")
+    assert(got.get.sameElements(expect))
+  }
+
   // ----------------------- r17 code-review regressions
 
   test("review: scopeCols with NULL scope values — null-scope rows form " +
