@@ -1080,4 +1080,57 @@ object PdfFixtures {
         "/Filter /JBIG2Decode " +
         s"/Length ${stream.length} >>", Some(stream))))
   }
+
+  /** q389: compressed-audio headers (r17 — the audio twin of the JPX
+    * discipline: header-only metadata, no codec): (0) a FLAC
+    * STREAMINFO block with planted rate/channels/total-samples,
+    * (1) an MPEG1 Layer III CBR stream behind an ID3v2 tag with a
+    * planted frame count, (2) a real PCM16 WAV through the JDK
+    * writer. */
+  def audioDoc(id: Long): Array[Byte] = (id % 3).toInt match {
+    case 0 =>
+      val sr = Array(44100, 48000, 32000, 22050)((id % 4).toInt)
+      val ch = 1 + (id % 2).toInt
+      val total = 1000L + id % 5000
+      val l = (sr.toLong << 44) | ((ch - 1).toLong << 41) |
+        (15L << 36) | total // bps-1 = 15 (16-bit)
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("fLaC".getBytes(ISO))
+      bos.write(0x80); bos.write(0); bos.write(0); bos.write(34)
+      // min/max block size, min/max frame size
+      bos.write(Array[Byte](0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0))
+      for (i <- 7 to 0 by -1) bos.write(((l >>> (8 * i)) & 0xff).toInt)
+      bos.write(new Array[Byte](16)) // md5 of nothing
+      bos.toByteArray
+    case 1 =>
+      val srIdx = (id % 3).toInt
+      val sr = Array(44100, 48000, 32000)(srIdx)
+      val stereo = id % 2 == 0
+      val n = 2 + (id % 6).toInt
+      val brIdx = 9 // 128 kbps (MPEG1 Layer III)
+      val size = 144 * 128000 / sr
+      val bos = new java.io.ByteArrayOutputStream()
+      // ID3v2 header: 'ID3' v2.3, no flags, 10-byte synchsafe body
+      bos.write("ID3".getBytes(ISO))
+      bos.write(Array[Byte](3, 0, 0, 0, 0, 0, 10))
+      bos.write(new Array[Byte](10))
+      for (_ <- 0 until n) {
+        bos.write(0xFF); bos.write(0xFB) // MPEG1 Layer III, no CRC
+        bos.write((brIdx << 4) | (srIdx << 2)) // no padding
+        bos.write(if (stereo) 0x00 else 0xC0) // channel mode
+        bos.write(new Array[Byte](size - 4))
+      }
+      bos.toByteArray
+    case _ =>
+      val sr = 8000 + (id % 4).toInt * 4000
+      val frames = 500 + (id % 100).toInt
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val data = new Array[Byte](frames * 2)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+  }
 }

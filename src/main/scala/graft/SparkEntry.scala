@@ -10400,6 +10400,25 @@ object SparkEntry {
       // plane-order mistake breaks the hash tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HalftoneDoc _))
     }),
+
+    "q389_audio_compressed_meta" -> ((s, dir) => {
+      // COMPRESSED-AUDIO metadata (r17 -- the audio twin of the JPX
+      // discipline: the container ships no FLAC/MP3 codec, and a
+      // 100 TB metadata pass must not decompress audio anyway): per
+      // doc one payload cycling (0) a FLAC STREAMINFO header (public
+      // xiph layout -- 20-bit rate, 3-bit channels, 36-bit total
+      // samples), (1) an MPEG1 Layer III CBR stream behind an ID3v2
+      // tag, frames WALKED by their header-derived sizes, (2) a real
+      // PCM WAV through javax.sound. All three legs land in one typed
+      // AudioRow shape; the oracle replays the planted values, so a
+      // bit-offset slip, wrong bitrate table, ID3 skip error, or a
+      // fabricated duration breaks the hash tri-scale.
+      Multimodal.decodeAudioMetadata(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            udf(PdfFixtures.audioDoc _).apply(col("doc_id")).as("media")))
+        .toDF()
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17023,6 +17042,27 @@ object SparkEntry {
         |    hgh * (nl * va + (hgw - nl) * vb))) / (hgw * ps * hgh * ps)
         |    * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM v""".stripMargin,
+
+    // q389: all three audio legs replay planted header values
+    "q389_audio_compressed_meta" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      WHEN 2 THEN 32000 ELSE 22050 END
+        |    WHEN 1 THEN CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END
+        |    ELSE 8000 + (doc_id % 4) * 4000 END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1 + doc_id % 2
+        |    WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+        |    ELSE 1 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1000 + doc_id % 5000
+        |    WHEN 1 THEN (2 + doc_id % 6) * 1152
+        |    ELSE 500 + doc_id % 100 END AS BIGINT) AS frames,
+        |  CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+        |    ELSE 'wav' END AS format
+        |FROM documents""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

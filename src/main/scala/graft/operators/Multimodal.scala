@@ -233,6 +233,117 @@ object Multimodal {
     }
   }
 
+  /** FLAC STREAMINFO parse (r17 — the compressed-audio metadata leg,
+    * same discipline as [[graft.sources.Jpx]]: the JDK ships no FLAC
+    * codec, but the header is a PUBLIC xiph spec and a 100 TB metadata
+    * pass must not decompress audio anyway): "fLaC" magic, the first
+    * metadata block MUST be STREAMINFO (type 0, ≥34 bytes); bytes
+    * 10–17 of the block pack sampleRate(20) channels−1(3) bps−1(5)
+    * totalSamples(36) big-endian. Malformed headers → None. */
+  private[graft] def flacMeta(p: Array[Byte]): Option[AudioMeta] = {
+    if (p == null || p.length < 8 + 34) return None
+    if (!(p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')) return None
+    if ((p(4) & 0x7f) != 0) return None // STREAMINFO must come first
+    val blen = ((p(5) & 0xff) << 16) | ((p(6) & 0xff) << 8) | (p(7) & 0xff)
+    if (blen < 34) return None
+    var l = 0L
+    var i = 0
+    while (i < 8) { l = (l << 8) | (p(8 + 10 + i) & 0xffL); i += 1 }
+    val sr = (l >>> 44).toInt
+    val ch = ((l >>> 41) & 0x7).toInt + 1
+    val total = l & 0xFFFFFFFFFL // 36 bits of sample frames
+    if (sr < 1 || sr > 655350) return None
+    Some(AudioMeta(sr, ch, total, "flac"))
+  }
+
+  /** MPEG audio (Layer III) header parse (r17): optional ID3v2 tag
+    * (synchsafe size) skipped, then CBR/VBR frames walked by their
+    * header-derived sizes — MPEG1 (1152 samples/frame) and MPEG2/2.5
+    * (576), the public ISO 11172-3/13818-3 tables. `frames` reports
+    * SAMPLE frames (count × samples-per-frame), matching the WAV and
+    * FLAC semantics. Free-format bitrate, layers I/II, or a torn walk
+    * → None (fail closed, never guessed duration). */
+  private[graft] def mp3Meta(p: Array[Byte]): Option[AudioMeta] = {
+    if (p == null || p.length < 4) return None
+    var o = 0
+    // ID3v2: "ID3" vv flags size(4 x 7-bit synchsafe)
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      o = 10 + sz
+      if (o < 0 || o + 4 > p.length) return None
+    }
+    val Rates = Map(3 -> Array(44100, 48000, 32000), // MPEG1
+      2 -> Array(22050, 24000, 16000), // MPEG2
+      0 -> Array(11025, 12000, 8000)) // MPEG2.5
+    val Br1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, 0) // MPEG1 Layer III, kbps
+    val Br2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160, 0) // MPEG2/2.5 Layer III
+    var frameCount = 0L
+    var samplesPer = 0
+    var sr0 = 0; var ch0 = 0
+    var done = false
+    while (!done && o + 4 <= p.length) {
+      // trailing ID3v1 tag: exactly 128 bytes starting "TAG"
+      if (p.length - o == 128 && p(o) == 'T' && p(o + 1) == 'A' &&
+          p(o + 2) == 'G') { o = p.length; done = true }
+      else {
+      if ((p(o) & 0xff) != 0xFF || (p(o + 1) & 0xE0) != 0xE0) return None
+      val version = (p(o + 1) >>> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layer = (p(o + 1) >>> 1) & 3 // 1 = Layer III
+      if (version == 1 || layer != 1) return None
+      val brIdx = (p(o + 2) >>> 4) & 0xf
+      val srIdx = (p(o + 2) >>> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val pad = (p(o + 2) >>> 1) & 1
+      val mode = (p(o + 3) >>> 6) & 3
+      val sr = Rates(version)(srIdx)
+      val br = (if (version == 3) Br1 else Br2)(brIdx) * 1000
+      val spf = if (version == 3) 1152 else 576
+      val size = spf / 8 * br / sr + pad
+      if (size <= 4) return None
+      if (frameCount == 0) { sr0 = sr; ch0 = if (mode == 3) 1 else 2
+        samplesPer = spf }
+      else if (sr != sr0) return None // mid-stream rate change: torn
+      frameCount += 1
+      if (frameCount > 1000000) return None
+      o += size
+      }
+    }
+    if (frameCount == 0 || o != p.length) return None // torn tail
+    Some(AudioMeta(sr0, ch0, frameCount * samplesPer, "mp3"))
+  }
+
+  /** All audio metadata legs behind one call: header-only FLAC and
+    * MPEG parses first (no JDK codec exists), then the real
+    * javax.sound.sampled read for WAV/AIFF/AU. None = not audio or
+    * torn — dropped, never fabricated. */
+  private[graft] def audioMeta(p: Array[Byte]): Option[AudioMeta] =
+    flacMeta(p).orElse(mp3Meta(p)).orElse(
+      try Some(JdkImageCodec.decodeAudioMeta(p))
+      catch { case _: Exception => None })
+
+  case class AudioRow(doc_id: Long, sample_rate: Int, channels: Int,
+                      frames: Long, format: String)
+
+  /** Typed audio-metadata extraction over opaque binary payloads —
+    * the compressed-audio twin of [[decodeRealMetadata]]: one parse
+    * per row, undecodable payloads dropped. */
+  def decodeAudioMetadata(df: DataFrame, idCol: String = "doc_id",
+                          mediaCol: String = "media"): Dataset[AudioRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          audioMeta(payload).map(m =>
+            AudioRow(id, m.sampleRateHz, m.channels, m.frames, m.format))
+        }
+      }
+  }
+
   /** STUB image codec: parses deterministic pseudo-metadata from the
     * payload bytes — for payloads that are not real media (the fixture
     * synthesizes UTF-8 text payloads) and for formats the JDK lacks

@@ -375,6 +375,67 @@ class Round17Spec extends AnyFunSuite {
       (1L, 3L, 1L)), s"got $global")
   }
 
+  // --------------------------- compressed-audio metadata (r17)
+
+  test("FLAC/MP3 header metadata: planted values round-trip through " +
+       "audioMeta for all fixture legs; WAV still rides javax.sound") {
+    import graft.operators.Multimodal
+    for (id <- 0L until 24L) {
+      val m = Multimodal.audioMeta(PdfFixtures.audioDoc(id))
+      assert(m.isDefined, s"id=$id")
+      (id % 3).toInt match {
+        case 0 =>
+          assert(m.get.format == "flac" &&
+            m.get.sampleRateHz == Array(44100, 48000, 32000, 22050)((id % 4).toInt) &&
+            m.get.channels == 1 + (id % 2).toInt &&
+            m.get.frames == 1000L + id % 5000, s"id=$id: ${m.get}")
+        case 1 =>
+          assert(m.get.format == "mp3" &&
+            m.get.sampleRateHz == Array(44100, 48000, 32000)((id % 3).toInt) &&
+            m.get.channels == (if (id % 2 == 0) 2 else 1) &&
+            m.get.frames == (2 + id % 6) * 1152, s"id=$id: ${m.get}")
+        case _ =>
+          assert(m.get.format == "wav" &&
+            m.get.sampleRateHz == 8000 + (id % 4).toInt * 4000 &&
+            m.get.frames == 500L + id % 100, s"id=$id: ${m.get}")
+      }
+    }
+  }
+
+  test("compressed-audio fail-closed: torn MP3 tails, mid-stream rate " +
+       "changes, free-format bitrate, short FLAC, and junk all drop; " +
+       "a trailing ID3v1 tag is tolerated") {
+    import graft.operators.Multimodal
+    val mp3 = PdfFixtures.audioDoc(1L) // MP3 leg
+    assert(Multimodal.mp3Meta(mp3).isDefined)
+    // torn tail: cut mid-frame
+    assert(Multimodal.mp3Meta(mp3.take(mp3.length - 10)).isEmpty)
+    // free-format bitrate (index 0) fails closed
+    val free = mp3.clone()
+    val firstFrame = 20 // ID3v2 header (10) + body (10)
+    assert((free(firstFrame) & 0xff) == 0xFF)
+    free(firstFrame + 2) = (free(firstFrame + 2) & 0x0f).toByte
+    assert(Multimodal.mp3Meta(free).isEmpty)
+    // ID3v1 trailer tolerated
+    val tagged = mp3 ++ ("TAG" + "x" * 125).getBytes("ISO-8859-1")
+    assert(Multimodal.mp3Meta(tagged).isDefined)
+    assert(Multimodal.mp3Meta(tagged).get.frames ==
+      Multimodal.mp3Meta(mp3).get.frames)
+    // FLAC: truncated STREAMINFO drops
+    val flac = PdfFixtures.audioDoc(0L)
+    assert(Multimodal.flacMeta(flac.take(20)).isEmpty)
+    // junk is not audio
+    assert(Multimodal.audioMeta("certainly not audio".getBytes).isEmpty)
+    // bit-flip fuzz: Option either way, never a throw
+    val r = new scala.util.Random(5)
+    for (leg <- 0L until 3L; _ <- 0 until 150) {
+      val m = PdfFixtures.audioDoc(leg).clone()
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      Multimodal.audioMeta(m)
+    }
+  }
+
   // ---------------------------- striped pages (r17)
 
   test("striped pages decode: striping-info bit set + an end-of-stripe " +
