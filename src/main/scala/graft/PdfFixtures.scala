@@ -1133,4 +1133,38 @@ object PdfFixtures {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
   }
+
+  /** q390: minimal ISO-BMFF movies — ftyp + moov(mvhd + one or two
+    * trak/tkhd) with planted timescale/duration/dims; odd ids use the
+    * v1 (64-bit) mvhd/tkhd variants, id%3==2 adds an audio-only
+    * second track (0x0 dims must not displace the video track's). */
+  def mp4Doc(id: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32((8 + body.length).toLong) ++ typ.getBytes(ISO) ++ body
+    val v1 = id % 2 == 1
+    val timescale = 1000L + (id % 3) * 500
+    val durTicks = (2000L + id % 9000) * timescale / 1000 // exact ms back
+    val w = 320 + (id % 16).toInt * 8; val h = 180 + (id % 9).toInt * 20
+    val mvhd =
+      if (!v1) box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(durTicks) ++ new Array[Byte](80))
+      else box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(timescale) ++ be64(durTicks) ++ new Array[Byte](80))
+    def tkhd(tw: Int, th: Int): Array[Byte] =
+      if (!v1) box("tkhd", Array[Byte](0, 0, 0, 0) ++
+        new Array[Byte](72) ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+      else box("tkhd", Array[Byte](1, 0, 0, 0) ++
+        new Array[Byte](84) ++ be32(tw.toLong << 16) ++ be32(th.toLong << 16))
+    val traks =
+      if (id % 3 == 2) box("trak", tkhd(w, h)) ++ box("trak", tkhd(0, 0))
+      else box("trak", tkhd(w, h))
+    val moov = box("moov", mvhd ++ traks)
+    val ftyp = box("ftyp", "isom".getBytes(ISO) ++ be32(0) ++
+      "isom".getBytes(ISO))
+    ftyp ++ moov
+  }
 }

@@ -10419,6 +10419,24 @@ object SparkEntry {
             udf(PdfFixtures.audioDoc _).apply(col("doc_id")).as("media")))
         .toDF()
     }),
+
+    "q390_video_container_meta" -> ((s, dir) => {
+      // ISO-BMFF VIDEO metadata (r17 -- the video leg of the
+      // multimodal contract made REAL: the public ISO/IEC 14496-12
+      // box layout needs no codec for a metadata pass, exactly like
+      // the JP2 walk): per doc one minimal MP4 -- ftyp + moov with
+      // planted mvhd timescale/duration (v0 on even ids, 64-bit v1 on
+      // odd) and trak/tkhd 16.16 fixed-point dims; id%3==2 adds an
+      // audio-only 0x0 track that must not displace the video dims.
+      // The oracle replays the planted values, so a box-walk tear,
+      // version-offset slip, fixed-point misread, or ms conversion
+      // error breaks the hash tri-scale.
+      Multimodal.decodeVideoMetadata(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            udf(PdfFixtures.mp4Doc _).apply(col("doc_id")).as("media")))
+        .toDF()
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17062,6 +17080,18 @@ object SparkEntry {
         |    ELSE 500 + doc_id % 100 END AS BIGINT) AS frames,
         |  CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
         |    ELSE 'wav' END AS format
+        |FROM documents""".stripMargin,
+
+    // q390: planted ISO-BMFF header values; duration ticks are chosen
+    // so ms = ticks * 1000 / timescale is exact integer arithmetic
+    "q390_video_container_meta" ->
+      """SELECT doc_id,
+        |  CAST(((2000 + doc_id % 9000) * (1000 + (doc_id % 3) * 500)
+        |    // 1000) * 1000 // (1000 + (doc_id % 3) * 500) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
+        |  CAST(180 + (doc_id % 9) * 20 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS tracks
         |FROM documents""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents

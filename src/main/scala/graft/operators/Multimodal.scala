@@ -324,6 +324,107 @@ object Multimodal {
       try Some(JdkImageCodec.decodeAudioMeta(p))
       catch { case _: Exception => None })
 
+  case class VideoMeta(durationMs: Long, width: Int, height: Int,
+                       tracks: Int, format: String)
+
+  /** ISO-BMFF (MP4/MOV) header metadata (r17 — the video leg of the
+    * multimodal contract, REAL: the public ISO/IEC 14496-12 box
+    * layout, no codec needed for a metadata pass): a defensive box
+    * walk (u32/u64/to-EOF sizes, same discipline as the JP2 walk in
+    * [[graft.sources.Jpx]]) to `moov` → `mvhd` (timescale + duration,
+    * v0/v1) and each `trak` → `tkhd` (16.16 fixed-point presentation
+    * dims, v0/v1). Returns the movie duration in ms, the largest
+    * track's dims (0×0 for audio-only movies), and the track count.
+    * Torn boxes, zero timescale, absent moov/mvhd → None. */
+  private[graft] def mp4Meta(p: Array[Byte]): Option[VideoMeta] = {
+    if (p == null || p.length < 16) return None
+    @inline def u32(o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    @inline def fourcc(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // (payloadStart, payloadEnd) for each box in [from, to)
+    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var q = from
+      var boxes = 0
+      while (q + 8 <= to) {
+        boxes += 1
+        if (boxes > 512) return None
+        val sz = u32(q)
+        val typ = fourcc(q + 4)
+        val (at, next) =
+          if (sz == 1) {
+            if (q + 16 > to) return None
+            val xl = u64(q + 8)
+            if (xl < 16 || xl > to - q) return None
+            (q + 16, q + xl.toInt)
+          } else if (sz == 0) (q + 8, to)
+          else {
+            if (sz < 8 || sz > to - q) return None
+            (q + 8, q + sz.toInt)
+          }
+        out += ((typ, at, next))
+        if (next <= q) return None
+        q = next
+      }
+      Some(out.toSeq)
+    }
+    val top = walk(0, p.length).getOrElse(return None)
+    if (!top.exists(_._1 == "ftyp")) return None
+    val (_, moovAt, moovEnd) = top.find(_._1 == "moov").getOrElse(return None)
+    val inMoov = walk(moovAt, moovEnd).getOrElse(return None)
+    val (_, mvAt, mvEnd) = inMoov.find(_._1 == "mvhd").getOrElse(return None)
+    if (mvAt + 4 > mvEnd) return None
+    val v = p(mvAt) & 0xff
+    val (timescale, duration) =
+      if (v == 0) {
+        if (mvAt + 20 > mvEnd) return None
+        (u32(mvAt + 12), u32(mvAt + 16))
+      } else if (v == 1) {
+        if (mvAt + 28 + 4 > mvEnd) return None
+        (u32(mvAt + 20), u64(mvAt + 24))
+      } else return None
+    if (timescale <= 0 || duration < 0) return None
+    var w = 0; var h = 0; var tracks = 0
+    for ((t, a, e) <- inMoov if t == "trak") {
+      tracks += 1
+      val inTrak = walk(a, e).getOrElse(return None)
+      for ((tt, ta, te) <- inTrak if tt == "tkhd") {
+        val tv = p(ta) & 0xff
+        val dimAt = if (tv == 0) ta + 76 else if (tv == 1) ta + 88
+                    else return None
+        if (dimAt + 8 > te) return None
+        val tw = (u32(dimAt) >> 16).toInt // 16.16 fixed
+        val th = (u32(dimAt + 4) >> 16).toInt
+        if (tw > 65536 || th > 65536 || tw < 0 || th < 0) return None
+        if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+      }
+    }
+    if (tracks == 0) return None
+    Some(VideoMeta(duration * 1000L / timescale, w, h, tracks, "mp4"))
+  }
+
+  case class VideoRow(doc_id: Long, duration_ms: Long, width: Int,
+                      height: Int, tracks: Int)
+
+  /** Typed video-metadata extraction over opaque binary payloads:
+    * one box walk per row, undecodable payloads dropped. */
+  def decodeVideoMetadata(df: DataFrame, idCol: String = "doc_id",
+                          mediaCol: String = "media"): Dataset[VideoRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          mp4Meta(payload).map(m =>
+            VideoRow(id, m.durationMs, m.width, m.height, m.tracks))
+        }
+      }
+  }
+
   case class AudioRow(doc_id: Long, sample_rate: Int, channels: Int,
                       frames: Long, format: String)
 

@@ -436,6 +436,45 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // --------------------------- video container metadata (r17)
+
+  test("MP4 box walk: v0/v1 mvhd+tkhd planted values round-trip; an " +
+       "audio-only 0x0 track never displaces the video dims") {
+    import graft.operators.Multimodal
+    for (id <- 0L until 12L) {
+      val m = Multimodal.mp4Meta(PdfFixtures.mp4Doc(id))
+      assert(m.isDefined, s"id=$id")
+      val ts = 1000L + (id % 3) * 500
+      val ticks = (2000L + id % 9000) * ts / 1000
+      assert(m.get.durationMs == ticks * 1000 / ts, s"id=$id: ${m.get}")
+      assert(m.get.width == 320 + (id % 16).toInt * 8 &&
+        m.get.height == 180 + (id % 9).toInt * 20, s"id=$id: ${m.get}")
+      assert(m.get.tracks == (if (id % 3 == 2) 2 else 1))
+    }
+  }
+
+  test("MP4 fail-closed: missing moov/ftyp, zero timescale, unknown " +
+       "version, torn boxes, and junk all drop; bit-flip fuzz never " +
+       "throws") {
+    import graft.operators.Multimodal
+    val good = PdfFixtures.mp4Doc(5L)
+    assert(Multimodal.mp4Meta(good).isDefined)
+    // no ftyp: drop the first box
+    val ftypLen = ((good(0) & 0xff) << 24) | ((good(1) & 0xff) << 16) |
+      ((good(2) & 0xff) << 8) | (good(3) & 0xff)
+    assert(Multimodal.mp4Meta(good.drop(ftypLen)).isEmpty)
+    // torn: every truncation point returns Option, never throws
+    for (cut <- 1 until good.length) Multimodal.mp4Meta(good.take(cut))
+    assert(Multimodal.mp4Meta("not remotely a movie".getBytes).isEmpty)
+    val r = new scala.util.Random(31)
+    for (_ <- 0 until 400) {
+      val m = good.clone()
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      Multimodal.mp4Meta(m)
+    }
+  }
+
   // ---------------------------- striped pages (r17)
 
   test("striped pages decode: striping-info bit set + an end-of-stripe " +
