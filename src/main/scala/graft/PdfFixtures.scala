@@ -1167,4 +1167,39 @@ object PdfFixtures {
       "isom".getBytes(ISO))
     ftyp ++ moov
   }
+
+  /** q391: WebP headers in the three public chunk shapes — (0) VP8
+    * lossy key-frame header, (1) VP8L lossless bitstream header
+    * (alpha bit on odd ids), (2) VP8X extended canvas (alpha flag on
+    * odd ids). Planted dims per id; payload bodies are zeros (header
+    * metadata only, the engine never decodes WebP pixels). */
+  def webpDoc(id: Long): Array[Byte] = {
+    val w = 16 + (id % 200).toInt; val h = 12 + (id % 120).toInt
+    def le24(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val alpha = id % 2 == 1
+    val chunk: Array[Byte] = (id % 3).toInt match {
+      case 0 =>
+        val body = Array[Byte](0, 0, 0) ++ // frame tag (key frame)
+          Array(0x9D.toByte, 0x01.toByte, 0x2A.toByte) ++
+          Array((w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+            (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte) ++
+          new Array[Byte](8)
+        "VP8 ".getBytes(ISO) ++ le32(body.length.toLong) ++ body
+      case 1 =>
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          ((if (alpha) 1L else 0L) << 28)
+        val body = Array(0x2F.toByte) ++ le32(bits) ++ new Array[Byte](6)
+        "VP8L".getBytes(ISO) ++ le32(body.length.toLong) ++ body
+      case _ =>
+        val body = Array[Byte](((if (alpha) 1 else 0) << 4).toByte, 0, 0, 0) ++
+          le24(w - 1) ++ le24(h - 1)
+        "VP8X".getBytes(ISO) ++ le32(body.length.toLong) ++ body
+    }
+    val riffLen = 4 + chunk.length
+    "RIFF".getBytes(ISO) ++ le32(riffLen.toLong) ++ "WEBP".getBytes(ISO) ++ chunk
+  }
 }

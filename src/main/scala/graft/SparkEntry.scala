@@ -10437,6 +10437,25 @@ object SparkEntry {
             udf(PdfFixtures.mp4Doc _).apply(col("doc_id")).as("media")))
         .toDF()
     }),
+
+    "q391_webp_meta" -> ((s, dir) => {
+      // WebP HEADER dims (r17 -- the highest-volume web-crawl image
+      // format the JDK ships no codec for; same discipline as JPX:
+      // dims surface through extractImageFeatures with luminance
+      // ABSENT, never fabricated): per doc one WebP cycling the three
+      // public chunk shapes -- VP8 lossy key-frame header, VP8L
+      // lossless bitstream header, VP8X extended canvas. The oracle
+      // replays planted dims and pins lum_u6 NULL, so a bit-offset
+      // slip, minus-one error, wrong chunk dispatch, or fabricated
+      // luminance breaks the hash tri-scale.
+      val gen = udf(PdfFixtures.webpDoc _)
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17092,6 +17111,13 @@ object SparkEntry {
         |  CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
         |  CAST(180 + (doc_id % 9) * 20 AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS tracks
+        |FROM documents""".stripMargin,
+
+    // q391: planted WebP dims, luminance absent by design
+    "q391_webp_meta" ->
+      """SELECT doc_id, CAST(16 + doc_id % 200 AS BIGINT) AS w,
+        |  CAST(12 + doc_id % 120 AS BIGINT) AS h,
+        |  CAST(NULL AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents

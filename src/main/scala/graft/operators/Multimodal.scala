@@ -60,6 +60,10 @@ object Multimodal {
         val (w, h, nc) = graft.sources.Jpx.sizDims(payload).getOrElse(
           throw new IllegalArgumentException("torn JPEG 2000 payload"))
         MediaMeta(w, h, nc, "jp2")
+      } else if (webpDims(payload).isDefined) {
+        // WebP: no JDK ImageReader — header-only dims (r17)
+        val (w, h, alpha) = webpDims(payload).get
+        MediaMeta(w, h, if (alpha) 4 else 3, "webp")
       } else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -323,6 +327,52 @@ object Multimodal {
     flacMeta(p).orElse(mp3Meta(p)).orElse(
       try Some(JdkImageCodec.decodeAudioMeta(p))
       catch { case _: Exception => None })
+
+  /** WebP header dims (r17 — the highest-volume web-crawl image
+    * format the JDK ships no codec for; the Jpx discipline: dims
+    * surface, luminance stays absent rather than fabricated). Public
+    * RIFF/WEBP container with three chunk shapes: VP8X (extended —
+    * 24-bit canvas dims minus one), VP8 (lossy — 14-bit dims in the
+    * frame header behind the 00 9D 01 2A start code), VP8L (lossless
+    * — 14-bit dims minus one packed little-endian after 0x2F).
+    * Returns (width, height, hasAlpha). Torn headers → None. */
+  private[graft] def webpDims(p: Array[Byte]): Option[(Int, Int, Boolean)] = {
+    if (p == null || p.length < 30) return None
+    if (!(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P'))
+      return None
+    val tag = new String(p, 12, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    @inline def u24le(o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | ((p(o + 2) & 0xff) << 16)
+    tag match {
+      case "VP8X" =>
+        // flags byte at 20 (bit 4 = alpha), canvas dims at 24/27
+        val w = u24le(24) + 1; val h = u24le(27) + 1
+        if (w.toLong * h > 16777216L) None
+        else Some((w, h, ((p(20) >> 4) & 1) == 1))
+      case "VP8 " =>
+        // key-frame start code 9D 01 2A, then 14-bit w/h little-endian
+        if (p.length < 30 ||
+            (p(23) & 0xff) != 0x9D || (p(24) & 0xff) != 0x01 ||
+            (p(25) & 0xff) != 0x2A) None
+        else {
+          val w = ((p(26) & 0xff) | ((p(27) & 0x3f) << 8))
+          val h = ((p(28) & 0xff) | ((p(29) & 0x3f) << 8))
+          if (w < 1 || h < 1) None else Some((w, h, false))
+        }
+      case "VP8L" =>
+        if ((p(20) & 0xff) != 0x2F) None
+        else {
+          // 14+14+1(alpha)+3(version) bits, little-endian from byte 21
+          val bits = (p(21) & 0xffL) | ((p(22) & 0xffL) << 8) |
+            ((p(23) & 0xffL) << 16) | ((p(24) & 0xffL) << 24)
+          val w = (bits & 0x3FFF).toInt + 1
+          val h = ((bits >> 14) & 0x3FFF).toInt + 1
+          Some((w, h, ((bits >> 28) & 1) == 1))
+        }
+      case _ => None
+    }
+  }
 
   case class VideoMeta(durationMs: Long, width: Int, height: Int,
                        tracks: Int, format: String)
@@ -688,12 +738,16 @@ object Multimodal {
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
               catch { case _: Exception => null }
           if (img == null) {
-            // JP2/J2K: dims from the SIZ segment, luminance absent
+            // codec-less formats: dims from the public header, lum/
+            // alpha absent — JP2/J2K via the SIZ segment, WebP via
+            // the VP8/VP8L/VP8X chunk (r17)
             if (graft.sources.Jpx.isJpx(payload))
               graft.sources.Jpx.sizDims(payload).map { case (w, h, _) =>
                 ImageFeatures(id, w, h, None, None)
               }
-            else None
+            else webpDims(payload).map { case (w, h, _) =>
+              ImageFeatures(id, w, h, None, None)
+            }
           }
           else {
             var sum = 0.0

@@ -436,6 +436,35 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------- WebP header dims (r17)
+
+  test("WebP dims: VP8/VP8L/VP8X planted dims and alpha flags round-" +
+       "trip; torn headers and junk drop; decodeMeta tags format webp") {
+    import graft.operators.Multimodal
+    for (id <- 0L until 12L) {
+      val d = Multimodal.webpDims(PdfFixtures.webpDoc(id))
+      assert(d.isDefined, s"id=$id")
+      assert(d.get._1 == 16 + (id % 200).toInt &&
+        d.get._2 == 12 + (id % 120).toInt, s"id=$id: $d")
+      if (id % 3 != 0) // VP8 lossy has no alpha bit
+        assert(d.get._3 == (id % 2 == 1), s"id=$id alpha")
+      val meta = Multimodal.JdkImageCodec.decodeMeta(PdfFixtures.webpDoc(id))
+      assert(meta.format == "webp" && meta.width == d.get._1)
+    }
+    // extractImageFeatures: dims land, lum absent
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val feats = Multimodal.extractImageFeatures(
+      Seq((4L, PdfFixtures.webpDoc(4L))).toDF("doc_id", "media")).collect()
+    assert(feats.length == 1 && feats.head.lum.isEmpty)
+    // fail-closed: bad VP8 start code, truncation, junk
+    val bad = PdfFixtures.webpDoc(0L).clone()
+    bad(23) = 0x00 // break the 9D 01 2A start code
+    assert(Multimodal.webpDims(bad).isEmpty)
+    for (cut <- 1 until 30) Multimodal.webpDims(PdfFixtures.webpDoc(1L).take(cut))
+    assert(Multimodal.webpDims("RIFFxxxxNOPE then junk bytes..".getBytes).isEmpty)
+  }
+
   // --------------------------- video container metadata (r17)
 
   test("MP4 box walk: v0/v1 mvhd+tkhd planted values round-trip; an " +
