@@ -1202,4 +1202,25 @@ object PdfFixtures {
     val riffLen = 4 + chunk.length
     "RIFF".getBytes(ISO) ++ le32(riffLen.toLong) ++ "WEBP".getBytes(ISO) ++ chunk
   }
+
+  /** q392: minimal AVIF/HEIC containers — ftyp (brand cycling
+    * avif/heic/mif1) + meta(FullBox)/iprp/ipco with a planted-dims
+    * ispe; id%3==2 adds a smaller thumbnail ispe the parser must not
+    * prefer. */
+  def avifDoc(id: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32((8 + body.length).toLong) ++ typ.getBytes(ISO) ++ body
+    val w = 64 + (id % 300).toInt; val h = 48 + (id % 200).toInt
+    val brand = Seq("avif", "heic", "mif1")((id % 3).toInt)
+    def ispe(iw: Int, ih: Int): Array[Byte] =
+      box("ispe", Array[Byte](0, 0, 0, 0) ++ be32(iw.toLong) ++ be32(ih.toLong))
+    val ipco = box("ipco",
+      ispe(w, h) ++ (if (id % 3 == 2) ispe(w / 4, h / 4) else Array.emptyByteArray))
+    val meta = box("meta", Array[Byte](0, 0, 0, 0) ++ box("iprp", ipco))
+    val ftyp = box("ftyp", brand.getBytes(ISO) ++ be32(0) ++ brand.getBytes(ISO))
+    ftyp ++ meta
+  }
 }

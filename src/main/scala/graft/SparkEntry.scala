@@ -10456,6 +10456,23 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q392_avif_heic_meta" -> ((s, dir) => {
+      // AVIF/HEIC dims (r17 -- the modern-crawl still-image class,
+      // ISO-BMFF based: meta(FullBox) -> iprp -> ipco -> ispe per
+      // ISO/IEC 23008-12; no JDK codec exists, so dims surface
+      // header-only with luminance ABSENT like JPX/WebP): per doc one
+      // container cycling the avif/heic/mif1 brands; id%3==2 plants a
+      // SECOND smaller thumbnail ispe the parser must not prefer. The
+      // oracle replays planted dims and pins lum_u6 NULL tri-scale.
+      val gen = udf(PdfFixtures.avifDoc _)
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17117,6 +17134,13 @@ object SparkEntry {
     "q391_webp_meta" ->
       """SELECT doc_id, CAST(16 + doc_id % 200 AS BIGINT) AS w,
         |  CAST(12 + doc_id % 120 AS BIGINT) AS h,
+        |  CAST(NULL AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
+
+    // q392: planted AVIF/HEIC ispe dims, luminance absent by design
+    "q392_avif_heic_meta" ->
+      """SELECT doc_id, CAST(64 + doc_id % 300 AS BIGINT) AS w,
+        |  CAST(48 + doc_id % 200 AS BIGINT) AS h,
         |  CAST(NULL AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
 

@@ -64,6 +64,15 @@ object Multimodal {
         // WebP: no JDK ImageReader — header-only dims (r17)
         val (w, h, alpha) = webpDims(payload).get
         MediaMeta(w, h, if (alpha) 4 else 3, "webp")
+      } else if (avifDims(payload).isDefined) {
+        // AVIF/HEIC: ispe dims, format by the ftyp major brand (r17)
+        val (w, h, brand) = avifDims(payload).get
+        val fmt = brand match {
+          case "avif" | "avis" => "avif"
+          case "heic" | "heix" => "heic"
+          case _ => "heif"
+        }
+        MediaMeta(w, h, 3, fmt)
       } else {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -386,41 +395,52 @@ object Multimodal {
     * dims, v0/v1). Returns the movie duration in ms, the largest
     * track's dims (0×0 for audio-only movies), and the track count.
     * Torn boxes, zero timescale, absent moov/mvhd → None. */
+  @inline private def bmffU32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  @inline private def bmffU64(p: Array[Byte], o: Int): Long =
+    (bmffU32(p, o) << 32) | bmffU32(p, o + 4)
+  @inline private def bmff4cc(p: Array[Byte], o: Int): String =
+    new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Defensive ISO-BMFF box walk over `p(from until to)` — (type,
+    * payloadStart, payloadEnd) per box; u32/u64/to-EOF size forms,
+    * 512-box cap, torn boxes → None. Shared by the MP4 and AVIF/HEIC
+    * metadata legs. */
+  private def bmffWalk(p: Array[Byte], from: Int, to: Int)
+      : Option[Seq[(String, Int, Int)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var q = from
+    var boxes = 0
+    while (q + 8 <= to) {
+      boxes += 1
+      if (boxes > 512) return None
+      val sz = bmffU32(p, q)
+      val typ = bmff4cc(p, q + 4)
+      val (at, next) =
+        if (sz == 1) {
+          if (q + 16 > to) return None
+          val xl = bmffU64(p, q + 8)
+          if (xl < 16 || xl > to - q) return None
+          (q + 16, q + xl.toInt)
+        } else if (sz == 0) (q + 8, to)
+        else {
+          if (sz < 8 || sz > to - q) return None
+          (q + 8, q + sz.toInt)
+        }
+      out += ((typ, at, next))
+      if (next <= q) return None
+      q = next
+    }
+    Some(out.toSeq)
+  }
+
   private[graft] def mp4Meta(p: Array[Byte]): Option[VideoMeta] = {
     if (p == null || p.length < 16) return None
-    @inline def u32(o: Int): Long =
-      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
-        ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
-    @inline def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    @inline def fourcc(o: Int): String =
-      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-    // (payloadStart, payloadEnd) for each box in [from, to)
-    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
-      var q = from
-      var boxes = 0
-      while (q + 8 <= to) {
-        boxes += 1
-        if (boxes > 512) return None
-        val sz = u32(q)
-        val typ = fourcc(q + 4)
-        val (at, next) =
-          if (sz == 1) {
-            if (q + 16 > to) return None
-            val xl = u64(q + 8)
-            if (xl < 16 || xl > to - q) return None
-            (q + 16, q + xl.toInt)
-          } else if (sz == 0) (q + 8, to)
-          else {
-            if (sz < 8 || sz > to - q) return None
-            (q + 8, q + sz.toInt)
-          }
-        out += ((typ, at, next))
-        if (next <= q) return None
-        q = next
-      }
-      Some(out.toSeq)
-    }
+    @inline def u32(o: Int): Long = bmffU32(p, o)
+    @inline def u64(o: Int): Long = bmffU64(p, o)
+    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] =
+      bmffWalk(p, from, to)
     val top = walk(0, p.length).getOrElse(return None)
     if (!top.exists(_._1 == "ftyp")) return None
     val (_, moovAt, moovEnd) = top.find(_._1 == "moov").getOrElse(return None)
@@ -454,6 +474,40 @@ object Multimodal {
     }
     if (tracks == 0) return None
     Some(VideoMeta(duration * 1000L / timescale, w, h, tracks, "mp4"))
+  }
+
+  /** AVIF/HEIC still-image dims (r17 — the modern-crawl image class,
+    * ISO-BMFF based like MP4 but with dims in the item-property tree:
+    * `meta` (a FullBox — 4 version/flags bytes precede its children)
+    * → `iprp` → `ipco` → `ispe` (u32 width, u32 height, public
+    * ISO/IEC 23008-12 §6.5.3). Gated on the ftyp major brand; the
+    * LARGEST ispe wins (thumbnails/alpha-aux items carry their own).
+    * Returns (width, height, brand). */
+  private[graft] def avifDims(p: Array[Byte]): Option[(Int, Int, String)] = {
+    if (p == null || p.length < 24) return None
+    val top = bmffWalk(p, 0, p.length).getOrElse(return None)
+    val (_, ftAt, ftEnd) = top.find(_._1 == "ftyp").getOrElse(return None)
+    if (ftAt + 4 > ftEnd) return None
+    val brand = bmff4cc(p, ftAt)
+    if (!Set("avif", "avis", "heic", "heix", "mif1", "msf1").contains(brand))
+      return None
+    val (_, mAt, mEnd) = top.find(_._1 == "meta").getOrElse(return None)
+    if (mAt + 4 > mEnd) return None
+    val inMeta = bmffWalk(p, mAt + 4, mEnd).getOrElse(return None)
+    val (_, iprpAt, iprpEnd) =
+      inMeta.find(_._1 == "iprp").getOrElse(return None)
+    val inIprp = bmffWalk(p, iprpAt, iprpEnd).getOrElse(return None)
+    val (_, ipcoAt, ipcoEnd) =
+      inIprp.find(_._1 == "ipco").getOrElse(return None)
+    val inIpco = bmffWalk(p, ipcoAt, ipcoEnd).getOrElse(return None)
+    var w = 0; var h = 0
+    for ((t, a, e) <- inIpco if t == "ispe") {
+      if (a + 12 > e) return None
+      val iw = bmffU32(p, a + 4); val ih = bmffU32(p, a + 8)
+      if (iw < 0 || ih < 0 || iw > 65536 || ih > 65536) return None
+      if (iw * ih > w.toLong * h) { w = iw.toInt; h = ih.toInt }
+    }
+    if (w < 1 || h < 1) None else Some((w, h, brand))
   }
 
   case class VideoRow(doc_id: Long, duration_ms: Long, width: Int,
@@ -745,9 +799,9 @@ object Multimodal {
               graft.sources.Jpx.sizDims(payload).map { case (w, h, _) =>
                 ImageFeatures(id, w, h, None, None)
               }
-            else webpDims(payload).map { case (w, h, _) =>
-              ImageFeatures(id, w, h, None, None)
-            }
+            else webpDims(payload).orElse(
+              avifDims(payload).map(d => (d._1, d._2, false)))
+              .map { case (w, h, _) => ImageFeatures(id, w, h, None, None) }
           }
           else {
             var sum = 0.0

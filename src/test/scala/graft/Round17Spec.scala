@@ -465,6 +465,35 @@ class Round17Spec extends AnyFunSuite {
     assert(Multimodal.webpDims("RIFFxxxxNOPE then junk bytes..".getBytes).isEmpty)
   }
 
+  // ------------------------------ AVIF/HEIC dims (r17)
+
+  test("AVIF/HEIC ispe dims: all three brands round-trip; a thumbnail " +
+       "ispe never displaces the primary dims; torn boxes drop") {
+    import graft.operators.Multimodal
+    for (id <- 0L until 9L) {
+      val d = Multimodal.avifDims(PdfFixtures.avifDoc(id))
+      assert(d.isDefined, s"id=$id")
+      assert(d.get._1 == 64 + (id % 300).toInt &&
+        d.get._2 == 48 + (id % 200).toInt, s"id=$id: $d")
+      assert(d.get._3 == Seq("avif", "heic", "mif1")((id % 3).toInt))
+      val meta = Multimodal.JdkImageCodec.decodeMeta(PdfFixtures.avifDoc(id))
+      assert(Set("avif", "heic", "heif").contains(meta.format))
+    }
+    // a plain MP4 (mp4-brand ftyp, no meta tree) is NOT an avif
+    assert(graft.operators.Multimodal.avifDims(PdfFixtures.mp4Doc(1L)).isEmpty)
+    // truncation + fuzz: Option either way
+    val good = PdfFixtures.avifDoc(2L)
+    for (cut <- 1 until good.length)
+      graft.operators.Multimodal.avifDims(good.take(cut))
+    val r = new scala.util.Random(13)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      graft.operators.Multimodal.avifDims(m)
+    }
+  }
+
   // --------------------------- video container metadata (r17)
 
   test("MP4 box walk: v0/v1 mvhd+tkhd planted values round-trip; an " +
