@@ -1223,4 +1223,65 @@ object PdfFixtures {
     val ftyp = box("ftyp", brand.getBytes(ISO) ++ be32(0) ++ brand.getBytes(ISO))
     ftyp ++ meta
   }
+
+  /** q393: a real EPUB (OCF container.xml -> OPF manifest+spine ->
+    * XHTML chapters) with planted per-chapter word counts, zipped
+    * through the JDK. */
+  def epubDoc(id: Long): Array[Byte] = {
+    val pcount = 1 + (id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    entry("mimetype", "application/epub+zip")
+    entry("META-INF/container.xml",
+      """<?xml version="1.0"?><container version="1.0"><rootfiles>""" +
+        """<rootfile full-path="OEBPS/content.opf" """ +
+        """media-type="application/oebps-package+xml"/>""" +
+        "</rootfiles></container>")
+    val manifest = (0 until pcount).map(c =>
+      s"""<item id="ch$c" href="ch$c.xhtml" """ +
+        """media-type="application/xhtml+xml"/>""").mkString
+    val spine = (0 until pcount).map(c =>
+      s"""<itemref idref="ch$c"/>""").mkString
+    entry("OEBPS/content.opf",
+      s"""<?xml version="1.0"?><package version="3.0">""" +
+        s"""<manifest>$manifest</manifest><spine>$spine</spine></package>""")
+    for (c <- 0 until pcount) {
+      val wc = 2 + ((id + c) % 7).toInt
+      val words = Seq.fill(wc)("w").mkString(" ")
+      entry(s"OEBPS/ch$c.xhtml",
+        s"""<html><body><p>$words</p></body></html>""")
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** q394: a CBZ — a ZIP of real PNGs with planted dims and uniform
+    * colors, one page per image. */
+  def cbzDoc(id: Long): Array[Byte] = {
+    val n = 1 + (id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    for (g <- 0 until n) {
+      val w = 6 + ((id + g) % 10).toInt; val h = 5 + ((id + g) % 7).toInt
+      val (r, gg, b) = (((id * 3 + g * 7) % 256).toInt,
+        ((id * 5 + g * 11) % 256).toInt, ((id * 7 + g * 13) % 256).toInt)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      try { gr.setColor(new java.awt.Color(r, gg, b)); gr.fillRect(0, 0, w, h) }
+      finally gr.dispose()
+      val ib = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", ib)
+      zos.putNextEntry(new java.util.zip.ZipEntry(f"p$g%03d.png"))
+      zos.write(ib.toByteArray)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
 }

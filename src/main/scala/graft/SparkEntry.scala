@@ -10473,6 +10473,46 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q393_epub_decode" -> ((s, dir) => {
+      // EPUB decode (r17 -- reference parity beyond PDF: PyMuPDF opens
+      // EPUB, ref `downloader.py:385` hands fitz any payload): per doc
+      // a REAL EPUB (JDK-zipped OCF container.xml -> OPF manifest +
+      // spine -> XHTML chapters, planted per-chapter word counts)
+      // routed through the production AutoPdfDecoder, which now
+      // dispatches ZIP containers to EpubDecoder. One page per spine
+      // item; the oracle replays the planted counts, so an OPF parse
+      // slip, spine-order bug, or zip tear breaks the hash tri-scale.
+      val gen = udf(PdfFixtures.epubDoc _)
+      val docs = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs,
+        graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+          posexplode(col("pages")).as(Seq("g", "page")))
+        .select(col("doc_id"), col("g").cast("long").as("g"),
+          size(split(trim(regexp_replace(col("page"),
+            lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
+    }),
+
+    "q394_cbz_images" -> ((s, dir) => {
+      // CBZ decode (r17 -- the comic-archive class PyMuPDF opens):
+      // per doc a ZIP of real PNGs (planted dims/colors); the router
+      // surfaces one page per image with the raw bytes flowing into
+      // the production multimodal codec -- the same decodeWithImages
+      // contract as painted PDF rasters. The oracle replays the
+      // planted dims and exact uniform-fill luminance.
+      val gen = udf(PdfFixtures.cbzDoc _)
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.AutoPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17143,6 +17183,25 @@ object SparkEntry {
         |  CAST(48 + doc_id % 200 AS BIGINT) AS h,
         |  CAST(NULL AS BIGINT) AS lum_u6
         |FROM documents""".stripMargin,
+
+    // q393: planted per-chapter word counts in spine order
+    "q393_epub_decode" ->
+      """SELECT d.doc_id, CAST(i.g AS BIGINT) AS g,
+        |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
+        |FROM documents d,
+        |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    // q394: planted CBZ image dims + exact uniform luminance
+    "q394_cbz_images" ->
+      """SELECT d.doc_id,
+        |  CAST(6 + (d.doc_id + i.g) % 10 AS BIGINT) AS w,
+        |  CAST(5 + (d.doc_id + i.g) % 7 AS BIGINT) AS h,
+        |  CAST(FLOOR((0.299 * ((d.doc_id * 3 + i.g * 7) % 256) +
+        |    0.587 * ((d.doc_id * 5 + i.g * 11) % 256) +
+        |    0.114 * ((d.doc_id * 7 + i.g * 13) % 256)) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM documents d,
+        |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
 
     // q372: arrow shard round-trip — the oracle aggregates documents
     // directly (score4 = doc_id exactly: doc_id/4 is dyadic in double)

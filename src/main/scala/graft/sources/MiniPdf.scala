@@ -2392,33 +2392,40 @@ final case class MiniPdfDecoder(embedImages: Boolean = false) extends PageDecode
 }
 
 /** Production router: real `%PDF-` payloads through [[MiniPdfDecoder]],
-  * everything else through the deterministic fallback — so a mixed
-  * corpus decodes what it can and the harness fixtures stay stable.
-  * Drawings on the real path are REAL extraction (never the fake's
-  * synthetic SVG — fabricating output for a real document would
-  * contradict the engine's fail-closed policy). */
+  * ZIP document containers (EPUB/CBZ — formats PyMuPDF opens alongside
+  * PDF, r17) through [[EpubDecoder]], everything else through the
+  * deterministic fallback — so a mixed corpus decodes what it can and
+  * the harness fixtures stay stable. Drawings on the real path are
+  * REAL extraction (never the fake's synthetic SVG — fabricating
+  * output for a real document would contradict the engine's
+  * fail-closed policy). */
 final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
     embedImages: Boolean = false) extends PageDecoder {
   private def real = MiniPdfDecoder(embedImages)
+  private def zip = EpubDecoder()
 
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
     if (MiniPdf.headerOffset(payload) >= 0) real.decode(payload)
+    else if (Epub.isZip(payload)) zip.decode(payload)
     else fallback.decode(payload)
 
   override def decodeWithDrawings(payload: Array[Byte])
       : Either[String, Seq[(String, String)]] =
     if (MiniPdf.headerOffset(payload) >= 0)
       real.decodeWithDrawings(payload)
+    else if (Epub.isZip(payload)) zip.decodeWithDrawings(payload)
     else fallback.decodeWithDrawings(payload)
 
   override def drawings(payload: Array[Byte], pageNo: Int): String =
     if (MiniPdf.headerOffset(payload) >= 0)
       real.drawings(payload, pageNo)
+    else if (Epub.isZip(payload)) ""
     else fallback.drawings(payload, pageNo)
 
   override def decodeWithImages(payload: Array[Byte])
       : Either[String, Seq[(String, Seq[Array[Byte]])]] =
     if (MiniPdf.headerOffset(payload) >= 0)
       real.decodeWithImages(payload)
+    else if (Epub.isZip(payload)) zip.decodeWithImages(payload)
     else fallback.decodeWithImages(payload)
 }

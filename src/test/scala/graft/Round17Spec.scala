@@ -465,6 +465,56 @@ class Round17Spec extends AnyFunSuite {
     assert(Multimodal.webpDims("RIFFxxxxNOPE then junk bytes..".getBytes).isEmpty)
   }
 
+  // ------------------------------ EPUB / CBZ decode (r17)
+
+  test("EPUB decode: spine-ordered chapters with planted word counts; " +
+       "CBZ surfaces image payloads in name order through the router") {
+    import graft.sources.{AutoPdfDecoder, Epub}
+    for (id <- 0L until 9L) {
+      val pages = AutoPdfDecoder().decode(PdfFixtures.epubDoc(id))
+      assert(pages.isRight, s"id=$id")
+      val pcount = 1 + (id % 3).toInt
+      assert(pages.toOption.get.length == pcount)
+      for ((p, c) <- pages.toOption.get.zipWithIndex) {
+        val wc = p.replaceAll("<[^>]+>", " ").trim.split(" +").length
+        assert(wc == 2 + ((id + c) % 7).toInt, s"id=$id ch$c")
+      }
+      // CBZ: one page per image, payloads decodable by the JDK codec
+      val cbz = AutoPdfDecoder().decodeWithImages(PdfFixtures.cbzDoc(id))
+      assert(cbz.isRight, s"id=$id cbz")
+      val imgs = cbz.toOption.get.flatMap(_._2)
+      assert(imgs.length == 1 + (id % 3).toInt)
+      val img0 = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(imgs.head))
+      assert(img0.getWidth == 6 + (id % 10).toInt)
+    }
+    // torn container.xml: EPUB chain fails, and (no image entries)
+    // the ZIP is neither EPUB nor CBZ -> Left, never garbage pages
+    val broken = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("META-INF/container.xml"))
+      zos.write("<container>no rootfile here</container>".getBytes)
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    assert(graft.sources.AutoPdfDecoder().decode(broken).isLeft)
+    // non-ZIP payloads still route to the fallback (stable fixtures)
+    assert(graft.sources.AutoPdfDecoder()
+      .decode("plain text payload".getBytes).isRight)
+    // byte-flip fuzz over a real EPUB: Either way, never a throw
+    val good = PdfFixtures.epubDoc(4L)
+    val r = new scala.util.Random(23)
+    for (_ <- 0 until 200) {
+      val m = good.clone()
+      val i = r.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte
+      graft.sources.AutoPdfDecoder().decode(m)
+    }
+    for (cut <- 1 until good.length by 7)
+      graft.sources.AutoPdfDecoder().decode(good.take(cut))
+  }
+
   // ------------------------------ AVIF/HEIC dims (r17)
 
   test("AVIF/HEIC ispe dims: all three brands round-trip; a thumbnail " +
