@@ -81,7 +81,10 @@ object ScaleProbe {
     // conversion — all per-row map-side behind the documentsFanned
     // exchange, zero shuffle
     "q384_pdf_jpx", "q385_pdf_cmyk_jpeg", "q386_pdf_jbig2_huffman",
-    "q387_pdf_cie_color", "q388_pdf_jbig2_halftone")
+    "q387_pdf_cie_color", "q388_pdf_jbig2_halftone",
+    // round-17b: the non-PDF document classes (zip-contained EPUB
+    // chapters, CBZ image archives through the real JDK codec)
+    "q393_epub_decode", "q394_cbz_images")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {
