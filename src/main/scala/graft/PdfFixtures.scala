@@ -1284,4 +1284,144 @@ object PdfFixtures {
     zos.close()
     bos.toByteArray
   }
+
+  /** q395: a real XPS (OPC package: _rels/.rels fixedrepresentation
+    * rel -> FixedDocumentSequence -> FixedDocument -> FixedPage parts
+    * whose Glyphs UnicodeString carries the text) with planted
+    * per-page word counts; odd ids split a page's words across two
+    * Glyphs runs and use the OpenXPS rel namespace. */
+  def xpsDoc(id: Long): Array[Byte] = {
+    val pcount = 1 + (id % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    val ns = if (id % 2 == 1)
+      "http://schemas.openxps.org/oxps/v1.0/fixedrepresentation"
+    else "http://schemas.microsoft.com/xps/2005/06/fixedrepresentation"
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types/>""")
+    entry("_rels/.rels",
+      s"""<?xml version="1.0"?><Relationships>""" +
+        s"""<Relationship Type="$ns" Target="/FixedDocSeq.fdseq" Id="r1"/>""" +
+        "</Relationships>")
+    entry("FixedDocSeq.fdseq",
+      """<?xml version="1.0"?><FixedDocumentSequence>""" +
+        """<DocumentReference Source="/Documents/1/FixedDocument.fdoc"/>""" +
+        "</FixedDocumentSequence>")
+    val pageRefs = (0 until pcount).map(g =>
+      s"""<PageContent Source="Pages/$g.fpage"/>""").mkString
+    entry("Documents/1/FixedDocument.fdoc",
+      s"""<?xml version="1.0"?><FixedDocument>$pageRefs</FixedDocument>""")
+    for (g <- 0 until pcount) {
+      val wc = 2 + ((id + g) % 7).toInt
+      val glyphs =
+        if (id % 2 == 1 && wc >= 2) {
+          val a = Seq.fill(wc - 1)("w").mkString(" ")
+          s"""<Glyphs OriginX="0" UnicodeString="$a"/>""" +
+            """<Glyphs OriginX="9" UnicodeString="w"/>"""
+        } else {
+          val a = Seq.fill(wc)("w").mkString(" ")
+          s"""<Glyphs OriginX="0" UnicodeString="$a"/>"""
+        }
+      entry(s"Documents/1/Pages/$g.fpage",
+        s"""<?xml version="1.0"?><FixedPage Width="816" Height="1056">""" +
+          s"$glyphs</FixedPage>")
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** q396: an FB2 FictionBook document with planted per-section word
+    * counts; odd ids nest a subsection inside each section (the
+    * depth-scan must keep nested words on the parent page). */
+  def fb2Doc(id: Long): Array[Byte] = {
+    val pcount = 1 + (id % 3).toInt
+    val sections = (0 until pcount).map { g =>
+      val wc = 2 + ((id + g) % 7).toInt
+      if (id % 2 == 1 && wc >= 4) {
+        val outer = Seq.fill(wc - 2)("w").mkString(" ")
+        s"<section><p>$outer</p><section><p>w w</p></section></section>"
+      } else {
+        val words = Seq.fill(wc)("w").mkString(" ")
+        s"<section><p>$words</p></section>"
+      }
+    }.mkString
+    val xml =
+      s"""<?xml version="1.0" encoding="utf-8"?>""" +
+        """<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0">""" +
+        """<description><title-info/></description>""" +
+        s"<body>$sections</body></FictionBook>"
+    xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** q397: a PDB/MOBI book with planted per-page word counts
+    * (pages separated by the public mbp:pagebreak marker). Cycles the
+    * envelope: id%3==0 plain BOOK/MOBI, ==1 BOOK/MOBI with a MOBI
+    * header carrying extra-data flags 0x3 (one varint trailer + the
+    * multibyte trailer per record, which the decoder must strip),
+    * ==2 bare PalmDOC (TEXt/REAd). Even ids PalmDOC-compressed,
+    * odd ids stored. Records are split small (37 bytes) so multi-
+    * record concatenation is exercised at every id. */
+  def mobiDoc(id: Long): Array[Byte] = {
+    val pcount = 1 + (id % 3).toInt
+    val pages = (0 until pcount).map { g =>
+      val wc = 2 + ((id + g) % 7).toInt
+      "<p>" + Seq.fill(wc)("w").mkString(" ") + "</p>"
+    }
+    val text = pages.mkString("<mbp:pagebreak/>").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
+    val compression = if (id % 2 == 0) 2 else 1
+    val withExtra = id % 3 == 1
+    val palmdoc = id % 3 == 2
+    val chunks = text.grouped(37).toSeq
+    val records = chunks.map { ch =>
+      val body =
+        if (compression == 2) graft.sources.Ebooks.palmdocCompress(ch)
+        else ch
+      if (withExtra) body ++ Array[Byte](0x00, 0x00, 0x82.toByte)
+      else body
+    }
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // record 0: 16-byte PalmDOC header (+ MOBI header when flagged)
+    val rec0 = {
+      val pd = be16(compression) ++ be16(0) ++ be32(text.length.toLong) ++
+        be16(records.length) ++ be16(4096) ++ be16(0) ++ be16(0)
+      if (palmdoc) pd.take(16)
+      else if (!withExtra) pd ++ "MOBI".getBytes(ISO) ++ be32(24) ++
+        new Array[Byte](16) // short header: no extra-flags field
+      else {
+        // MOBI header long enough for the +0xE2 extra-data flags
+        val mobi = new Array[Byte](0xE8)
+        System.arraycopy("MOBI".getBytes(ISO), 0, mobi, 0, 4)
+        System.arraycopy(be32(0xE8L), 0, mobi, 4, 4)
+        mobi(0xE2) = 0; mobi(0xE3) = 0x03 // varint trailer + multibyte
+        pd ++ mobi
+      }
+    }
+    val all = rec0 +: records
+    val headerLen = 78 + 8 * all.length + 2
+    val offs = all.scanLeft(headerLen)((a, r) => a + r.length).init
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(new Array[Byte](32)) // name
+    bos.write(be16(0)); bos.write(be16(0)) // attributes, version
+    bos.write(new Array[Byte](24)) // dates, modnum, appInfo, sortInfo
+    bos.write((if (palmdoc) "TEXtREAd" else "BOOKMOBI").getBytes(ISO))
+    bos.write(be32(0)); bos.write(be32(0)) // uid seed, next record list
+    bos.write(be16(all.length))
+    for ((off, k) <- offs.zipWithIndex) {
+      bos.write(be32(off.toLong))
+      bos.write(0); bos.write(be32(k.toLong).drop(1)) // attr + 3-byte uid
+    }
+    bos.write(be16(0)) // traditional 2-byte pad
+    all.foreach(r => bos.write(r))
+    bos.toByteArray
+  }
 }

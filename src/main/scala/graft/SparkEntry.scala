@@ -10513,6 +10513,67 @@ object SparkEntry {
           col("height").cast("long").as("h"),
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
+
+    "q395_xps_decode" -> ((s, dir) => {
+      // XPS decode (r18 -- VERDICT r17 Missing #1: PyMuPDF opens XPS,
+      // ref `downloader.py:385`): per doc a REAL OPC package
+      // (_rels/.rels fixedrepresentation rel -> .fdseq -> .fdoc ->
+      // FixedPage Glyphs UnicodeString, planted per-page word counts;
+      // odd ids split words across two Glyphs runs and use the
+      // OpenXPS namespace) routed through the production
+      // AutoPdfDecoder's ZIP classifier. The oracle replays the
+      // planted counts, so an OPC walk slip, page-order bug, or
+      // Glyphs-join slip breaks the hash tri-scale.
+      val gen = udf(PdfFixtures.xpsDoc _)
+      val docs = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs,
+        graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+          posexplode(col("pages")).as(Seq("g", "page")))
+        .select(col("doc_id"), col("g").cast("long").as("g"),
+          size(split(trim(regexp_replace(col("page"),
+            lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
+    }),
+
+    "q396_fb2_decode" -> ((s, dir) => {
+      // FB2 decode (r18 -- the FictionBook XML ebook class PyMuPDF
+      // opens): per doc an FB2 with planted per-section word counts
+      // (odd ids nest a subsection whose words must stay on the
+      // parent page -- the depth scan, not a regex, owns the split),
+      // routed through the production AutoPdfDecoder. One page per
+      // top-level body section.
+      val gen = udf(PdfFixtures.fb2Doc _)
+      val docs = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs,
+        graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+          posexplode(col("pages")).as(Seq("g", "page")))
+        .select(col("doc_id"), col("g").cast("long").as("g"),
+          size(split(trim(regexp_replace(col("page"),
+            lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
+    }),
+
+    "q397_mobi_decode" -> ((s, dir) => {
+      // MOBI/PalmDOC decode (r18 -- the ebook-crawl long tail PyMuPDF
+      // opens): per doc a PDB book with planted per-page word counts
+      // behind the REAL PalmDOC LZ77 inflater -- cycling stored vs
+      // compressed records, plain MOBI vs extra-data trailers
+      // (varint + multibyte, stripped per record) vs bare TEXt/REAd
+      // PalmDOC, multi-record concatenation at every id. Pages split
+      // on the format's own mbp:pagebreak marker.
+      val gen = udf(PdfFixtures.mobiDoc _)
+      val docs = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs,
+        graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+          posexplode(col("pages")).as(Seq("g", "page")))
+        .select(col("doc_id"), col("g").cast("long").as("g"),
+          size(split(trim(regexp_replace(col("page"),
+            lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
+    }),
   )
 
   /** Oracle SQL with every `round()` rewritten to the portable floor
@@ -17200,6 +17261,26 @@ object SparkEntry {
         |    0.587 * ((d.doc_id * 5 + i.g * 11) % 256) +
         |    0.114 * ((d.doc_id * 7 + i.g * 13) % 256)) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
+        |FROM documents d,
+        |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    // q395/q396/q397: planted per-page word counts (XPS Glyphs, FB2
+    // sections, MOBI pagebreak pages) — identical count law to q393
+    "q395_xps_decode" ->
+      """SELECT d.doc_id, CAST(i.g AS BIGINT) AS g,
+        |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
+        |FROM documents d,
+        |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    "q396_fb2_decode" ->
+      """SELECT d.doc_id, CAST(i.g AS BIGINT) AS g,
+        |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
+        |FROM documents d,
+        |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    "q397_mobi_decode" ->
+      """SELECT d.doc_id, CAST(i.g AS BIGINT) AS g,
+        |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
         |FROM documents d,
         |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
 

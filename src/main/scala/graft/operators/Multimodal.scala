@@ -456,7 +456,11 @@ object Multimodal {
         if (mvAt + 28 + 4 > mvEnd) return None
         (u32(mvAt + 20), u64(mvAt + 24))
       } else return None
-    if (timescale <= 0 || duration < 0) return None
+    // A hostile v1 64-bit duration near Long.MaxValue would overflow
+    // the ms conversion below into a bogus negative row — fail closed
+    // like every other torn-header case (ADVICE r17).
+    if (timescale <= 0 || duration < 0 ||
+        duration > Long.MaxValue / 1000L) return None
     var w = 0; var h = 0; var tracks = 0
     for ((t, a, e) <- inMoov if t == "trak") {
       tracks += 1

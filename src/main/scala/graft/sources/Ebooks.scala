@@ -1,0 +1,304 @@
+package graft.sources
+
+/** FB2 and MOBI/PalmDOC document decoding (r18 — VERDICT r17 Missing
+  * #1, the last document *containers* where the reference extracts
+  * text and graft dropped the payload: PyMuPDF opens both alongside
+  * PDF/EPUB/XPS — ref `downloader.py:385` hands fitz ANY payload and
+  * `extractor.py:136` yields per-page XHTML).
+  *
+  *   - FB2 (FictionBook 2, the public gribuser.ru schema): bare XML;
+  *     the reading content is `<body>` → top-level `<section>`
+  *     elements. Deterministic page contract: one page per top-level
+  *     section of the first body (PyMuPDF reflows to a layout-derived
+  *     page count; a reflow is not reproducible engine output, a
+  *     section is).
+  *   - MOBI / PalmDOC (PDB container, public Palm layout): 78-byte
+  *     PDB header (type/creator `BOOK/MOBI` or `TEXt/REAd`), a record
+  *     offset table, record 0 = PalmDOC header (compression 1 = none,
+  *     2 = PalmDOC LZ77; HUFF/CDIC 17480 fails closed), text records
+  *     1..recordCount concatenated and truncated to textLength. MOBI
+  *     extra-record trailing entries (the EXTH-era multibyte/indexing
+  *     trailers signalled by the extra-data flags at MOBI-header
+  *     +0xE2) are stripped per record before decompression. Page
+  *     contract: split on the public `<mbp:pagebreak/>` marker, else
+  *     one page.
+  *
+  * Defensive end to end: torn headers, offsets out of range, hostile
+  * record counts, encrypted payloads, and back-references before the
+  * window all yield None — dropped, never fabricated. */
+object Ebooks {
+
+  // ---------------------------------------------------------------- FB2
+
+  /** True when the payload looks like an FB2 XML document (optional
+    * BOM / XML decl, `<FictionBook` root within the first 1 KiB). */
+  def isFb2(p: Array[Byte]): Boolean = {
+    if (p == null || p.length < 16) return false
+    val head = new String(p, 0, math.min(p.length, 1024),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val t = head.dropWhile(c => c == '\uFEFF' || c.isWhitespace)
+    (t.startsWith("<?xml") || t.startsWith("<FictionBook")) &&
+      head.contains("<FictionBook")
+  }
+
+  /** One page per top-level `<section>` of the first `<body>` —
+    * sections nest (a depth-tracking scan, not a regex, so nested
+    * sections stay inside their page). A body without sections is one
+    * page. Pages surface as the section XML verbatim (the same
+    * markup-page shape as EPUB chapters). */
+  private[graft] def fb2Pages(p: Array[Byte]): Option[Seq[String]] = {
+    val xml = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+    if (!xml.contains("<FictionBook")) return None
+    val bodyStart0 = xml.indexOf("<body")
+    if (bodyStart0 < 0) return None
+    val bodyOpenEnd = xml.indexOf('>', bodyStart0)
+    if (bodyOpenEnd < 0) return None
+    val bodyEnd = xml.indexOf("</body>", bodyOpenEnd)
+    if (bodyEnd < 0) return None
+    val body = xml.substring(bodyOpenEnd + 1, bodyEnd)
+    // top-level <section> spans via depth scan
+    val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var depth = 0
+    var start = -1
+    while (i < body.length) {
+      val open = body.indexOf("<section", i)
+      val close = body.indexOf("</section>", i)
+      if (open >= 0 && (close < 0 || open < close)) {
+        if (depth == 0) start = open
+        depth += 1
+        i = open + 8
+      } else if (close >= 0) {
+        if (depth <= 0) return None // malformed nesting
+        depth -= 1
+        if (depth == 0) pages += body.substring(start, close + 10)
+        i = close + 10
+      } else {
+        i = body.length
+      }
+    }
+    if (depth != 0) return None
+    if (pages.isEmpty) Some(Seq(body)) else Some(pages.toSeq)
+  }
+
+  // --------------------------------------------------------- MOBI/PalmDOC
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** True for a PDB container whose type/creator is the MOBI
+    * (`BOOK/MOBI`) or PalmDOC (`TEXt/REAd`) book class. */
+  def isMobi(p: Array[Byte]): Boolean = {
+    if (p == null || p.length < 78 + 8) return false
+    val tc = fourcc(p, 60) + fourcc(p, 64)
+    tc == "BOOKMOBI" || tc == "TEXtREAd"
+  }
+
+  private val MaxTextBytes = 64L * 1024 * 1024
+
+  /** PalmDOC LZ77 decompression (public layout): 0x00 literal NUL;
+    * 0x01–0x08 = copy next N bytes; 0x09–0x7F literal; 0x80–0xBF =
+    * two-byte back-reference (11-bit distance, 3-bit length+3);
+    * 0xC0–0xFF = space + (byte ^ 0x80). None on torn streams,
+    * zero/over-window distances, or output blowup. */
+  private[graft] def palmdocDecompress(b: Array[Byte], from: Int, until: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](8192)
+    var i = from
+    while (i < until) {
+      val c = b(i) & 0xff
+      i += 1
+      if (out.length > maxOut) return None
+      if (c == 0) out += 0
+      else if (c <= 8) {
+        if (i + c > until) return None
+        var k = 0
+        while (k < c) { out += b(i + k); k += 1 }
+        i += c
+      } else if (c <= 0x7f) out += c.toByte
+      else if (c <= 0xbf) {
+        if (i >= until) return None
+        val pair = (c << 8) | (b(i) & 0xff)
+        i += 1
+        val dist = (pair >> 3) & 0x7ff
+        val len = (pair & 7) + 3
+        if (dist < 1 || dist > out.length) return None
+        var k = 0
+        while (k < len) {
+          out += out(out.length - dist)
+          k += 1
+        }
+      } else {
+        out += ' '
+        out += (c ^ 0x80).toByte
+      }
+    }
+    Some(out.toArray)
+  }
+
+  /** PalmDOC encoder twin (fixtures, like the MQ/CCITT/Huffman
+    * encoders): greedy longest-match LZ over the 2047-byte window,
+    * space-char packing, count-escaped literals — every branch of
+    * [[palmdocDecompress]] gets exercised by real fixture text. */
+  private[graft] def palmdocCompress(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var bestLen = 0; var bestDist = 0
+      val maxBack = math.min(i, 2047)
+      var d = 1
+      while (d <= maxBack) {
+        var l = 0
+        while (l < 10 && i + l < data.length &&
+               data(i - d + l) == data(i + l)) l += 1
+        if (l > bestLen) { bestLen = l; bestDist = d }
+        d += 1
+      }
+      if (bestLen >= 3) {
+        val pair = 0x8000 | (bestDist << 3) | (bestLen - 3)
+        out.write((pair >> 8) & 0xff); out.write(pair & 0xff)
+        i += bestLen
+      } else if (data(i) == ' ' && i + 1 < data.length &&
+                 (data(i + 1) & 0xff) >= 0x40 && (data(i + 1) & 0xff) <= 0x7f) {
+        out.write((data(i + 1) & 0xff) | 0x80); i += 2
+      } else {
+        val c = data(i) & 0xff
+        if (c == 0 || (c >= 9 && c <= 0x7f)) { out.write(c); i += 1 }
+        else { out.write(1); out.write(c); i += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Size of the MOBI extra-record trailing data at the END of a text
+    * record (public mobi layout): one backward base-128 varint-sized
+    * entry per set flag bit above bit 0; bit 0 = multibyte-overlap
+    * trailer sized by its own last byte's low 2 bits + 1. */
+  private def trailingSize(b: Array[Byte], from: Int, size0: Int,
+      flags: Int): Option[Int] = {
+    def entrySize(size: Int): Option[Int] = {
+      if (size < 1) return None
+      var num = 0
+      var j = math.max(size - 4, 0)
+      while (j < size) {
+        val v = b(from + j) & 0xff
+        if ((v & 0x80) != 0) num = 0
+        num = (num << 7) | (v & 0x7f)
+        j += 1
+      }
+      if (num < 0 || num > size) None else Some(num)
+    }
+    var num = 0
+    var test = flags >>> 1
+    while (test != 0) {
+      if ((test & 1) != 0) {
+        num += entrySize(size0 - num).getOrElse(return None)
+        if (num > size0) return None
+      }
+      test >>>= 1
+    }
+    if ((flags & 1) != 0) {
+      if (size0 - num - 1 < 0) return None
+      num += (b(from + size0 - num - 1) & 0x3) + 1
+      if (num > size0) return None
+    }
+    Some(num)
+  }
+
+  /** Decode the book text of a PDB/MOBI payload: record offsets →
+    * PalmDOC header (record 0) → per-record trailer strip →
+    * decompress → concatenate → truncate to textLength. */
+  private[graft] def mobiText(p: Array[Byte]): Option[String] = {
+    if (!isMobi(p)) return None
+    val nRec = u16(p, 76)
+    if (nRec < 2 || 78 + 8L * nRec > p.length) return None
+    val offs = Array.tabulate(nRec)(k => u32(p, 78 + 8 * k))
+    // offsets must be ascending and in range
+    var k = 0
+    while (k < nRec) {
+      if (offs(k) < 78 + 8L * nRec || offs(k) > p.length ||
+          (k > 0 && offs(k) < offs(k - 1))) return None
+      k += 1
+    }
+    def recEnd(k: Int): Int =
+      if (k + 1 < nRec) offs(k + 1).toInt else p.length
+    val r0 = offs(0).toInt
+    if (recEnd(0) - r0 < 16) return None
+    val compression = u16(p, r0)
+    val textLength = u32(p, r0 + 4)
+    val recordCount = u16(p, r0 + 8)
+    if (compression != 1 && compression != 2) return None // HUFF fails closed
+    if (textLength < 0 || textLength > MaxTextBytes) return None
+    if (recordCount < 1 || recordCount >= nRec) return None
+    val isBook = fourcc(p, 60) == "BOOK"
+    if (isBook) {
+      val encryption = u16(p, r0 + 12)
+      if (encryption != 0) return None // DRM: dropped, never fabricated
+    }
+    // MOBI extra-data flags live at MOBI-header +0xE2 when the header
+    // is long enough; PalmDOC (TEXt/REAd) has none.
+    val extraFlags: Int =
+      if (isBook && recEnd(0) - r0 >= 16 + 8 &&
+          fourcc(p, r0 + 16) == "MOBI") {
+        val hlen = u32(p, r0 + 20)
+        if (hlen >= 0xE4 && r0 + 16 + 0xE2 + 2 <= recEnd(0))
+          u16(p, r0 + 16 + 0xE2) & 0x7ff
+        else 0
+      } else 0
+    val bos = new java.io.ByteArrayOutputStream()
+    var rec = 1
+    while (rec <= recordCount) {
+      val from = offs(rec).toInt
+      val size0 = recEnd(rec) - from
+      if (size0 < 0) return None
+      val trail =
+        if (extraFlags != 0) trailingSize(p, from, size0, extraFlags)
+          .getOrElse(return None)
+        else 0
+      val until = from + size0 - trail
+      if (until < from) return None
+      if (compression == 1) bos.write(p, from, until - from)
+      else {
+        val d = palmdocDecompress(p, from, until,
+          MaxTextBytes.toInt - bos.size).getOrElse(return None)
+        bos.write(d, 0, d.length)
+      }
+      if (bos.size > MaxTextBytes) return None
+      rec += 1
+    }
+    val all = bos.toByteArray
+    if (all.length < textLength) return None
+    Some(new String(all, 0, textLength.toInt,
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** MOBI pages: the decompressed book HTML split on the public
+    * `<mbp:pagebreak/>` marker (the format's own page contract); a
+    * stream without markers is one page. */
+  private[graft] def mobiPages(p: Array[Byte]): Option[Seq[String]] =
+    mobiText(p).map { text =>
+      text.split("<mbp:pagebreak/>").toSeq match {
+        case Nil => Seq(text)
+        case ps => ps
+      }
+    }
+}
+
+/** [[PageDecoder]] over the reflowable-ebook classes: FB2 when the
+  * payload is FictionBook XML, MOBI/PalmDOC when it is a PDB book
+  * container. Anything else → Left (the router falls back). */
+final case class EbookDecoder() extends PageDecoder {
+  override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
+    if (Ebooks.isFb2(payload))
+      Ebooks.fb2Pages(payload)
+        .toRight("cannot open document: torn FictionBook XML")
+    else if (Ebooks.isMobi(payload))
+      Ebooks.mobiPages(payload)
+        .toRight("cannot open document: torn or encrypted MOBI/PalmDOC")
+    else Left("cannot open document: not an FB2/MOBI payload")
+}

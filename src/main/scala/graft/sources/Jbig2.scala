@@ -268,8 +268,11 @@ object Jbig2 {
     if (template < 0 || template > 3) return None
     val needAt = if (template == 0) 8 else 2
     if (at.length < needAt) return None
-    // AT reach is spec-bounded to ±127; huge offsets are hostile input
-    if (at.exists(v => v < -127 || v > 127)) return None
+    // Stream-read AT fields are signed bytes (inherently −128..127);
+    // the internally-constructed pattern-dict AT1 = (−HDPW, 0) reaches
+    // −255 for the spec's 1-byte HDPW. context() zero-fills any
+    // out-of-bitmap reach, so ±255 is the honest hostile-input bound.
+    if (at.exists(v => v < -255 || v > 255)) return None
     val bmp = new Array[Boolean](w * h)
     var ltp = false
     var y = 0
@@ -789,8 +792,10 @@ object Jbig2 {
     val pw = b(start + 1) & 0xff
     val ph = b(start + 2) & 0xff
     val grayMax = u32(b, start + 3)
-    if (pw < 1 || pw > 128 || ph < 1 || ph > 128 ||
-        grayMax < 0 || grayMax > 255) return None
+    // HDPW/HDPH are 1-byte fields — the full 1..255 is spec-legal
+    // (the §6.7.5 AT1 = (−HDPW, 0) is internally constructed, not a
+    // stream signed byte, so pw up to 255 decodes).
+    if (pw < 1 || ph < 1 || grayMax < 0 || grayMax > 255) return None
     val count = grayMax.toInt + 1
     val totW = count * pw
     if (totW.toLong * ph > 16L * 1024 * 1024) return None
@@ -980,8 +985,12 @@ object Jbig2 {
           case _ => return None
         }
       }
-      if (widths.nonEmpty) {
-        // collective bitmap (§6.5.9): BMSIZE via B.1, byte-aligned
+      locally {
+        // collective bitmap (§6.5.9): BMSIZE via B.1, byte-aligned —
+        // read per height class UNCONDITIONALLY (a conformant stream
+        // may encode a zero-width class; skipping the read desyncs —
+        // ADVICE r17). An empty class carries a zero-area bitmap:
+        // consume BMSIZE bytes (or, uncompressed, nothing) and move on.
         val bmSize = B1.decode(br) match {
           case Some(Some(v)) if v >= 0 && v <= len => v.toInt
           case _ => return None
@@ -990,6 +999,10 @@ object Jbig2 {
         val tw = totW.toInt
         if (tw.toLong * hc > 64L * 1024 * 1024) return None
         val off = br.bytePos
+        if (widths.isEmpty) {
+          if (off + bmSize.toLong > start + len) return None
+          br.seek(off + bmSize)
+        } else {
         val coll: Array[Boolean] =
           if (bmSize == 0) {
             // uncompressed: each row starts on a byte boundary
@@ -1030,6 +1043,7 @@ object Jbig2 {
           }
           newSyms += Sym(wd, hc, bits)
           x0 += wd
+        }
         }
       }
     }

@@ -73,24 +73,35 @@ private[graft] object Jbig2Huffman {
   final class HTable(val lines: Array[HLine]) {
     private val maxLen = lines.map(_.prefLen).max
     private[Jbig2Huffman] val codeOf = new Array[Int](lines.length)
-    locally {
+    /** Kraft validity: every length class fits below 2^len — an
+      * over-subscribed dynamic table (hostile runcode/symbol-ID
+      * lengths) would assign colliding canonical codes and decode
+      * wrong-but-in-range values; callers building tables from
+      * stream data must reject `!valid` (ADVICE r17). The Annex B
+      * standard tables are valid by construction. */
+    val valid: Boolean = {
       val count = new Array[Int](maxLen + 1)
       lines.foreach(l => if (l.prefLen > 0) count(l.prefLen) += 1)
       val first = new Array[Int](maxLen + 2)
+      var ok = maxLen <= 32
       var len = 1
-      while (len <= maxLen) {
-        first(len + 1) = (first(len) + count(len)) << 1
+      while (ok && len <= maxLen) {
+        if (first(len).toLong + count(len) > (1L << len)) ok = false
+        else first(len + 1) = (first(len) + count(len)) << 1
         len += 1
       }
-      val next = first.clone()
-      var i = 0
-      while (i < lines.length) {
-        if (lines(i).prefLen > 0) {
-          codeOf(i) = next(lines(i).prefLen)
-          next(lines(i).prefLen) += 1
+      if (ok) {
+        val next = first.clone()
+        var i = 0
+        while (i < lines.length) {
+          if (lines(i).prefLen > 0) {
+            codeOf(i) = next(lines(i).prefLen)
+            next(lines(i).prefLen) += 1
+          }
+          i += 1
         }
-        i += 1
       }
+      ok
     }
 
     /** Decode one value. None = structural tear; Some(None) = OOB;
@@ -259,6 +270,7 @@ private[graft] object Jbig2Huffman {
     }
     if (runLens.forall(_ == 0)) return None
     val runTable = prefixTable(runLens)
+    if (!runTable.valid) return None
     val lens = new Array[Int](numSyms)
     var s = 0
     while (s < numSyms) {
@@ -287,6 +299,8 @@ private[graft] object Jbig2Huffman {
       }
     }
     if (lens.forall(_ == 0)) return None
-    Some(prefixTable(lens))
+    val table = prefixTable(lens)
+    if (!table.valid) return None
+    Some(table)
   }
 }

@@ -2391,41 +2391,56 @@ final case class MiniPdfDecoder(embedImages: Boolean = false) extends PageDecode
     }
 }
 
-/** Production router: real `%PDF-` payloads through [[MiniPdfDecoder]],
-  * ZIP document containers (EPUB/CBZ — formats PyMuPDF opens alongside
-  * PDF, r17) through [[EpubDecoder]], everything else through the
-  * deterministic fallback — so a mixed corpus decodes what it can and
-  * the harness fixtures stay stable. Drawings on the real path are
-  * REAL extraction (never the fake's synthetic SVG — fabricating
-  * output for a real document would contradict the engine's
-  * fail-closed policy). */
+/** Production router: real `%PDF-` payloads through [[MiniPdfDecoder]];
+  * ZIP document containers (EPUB / CBZ r17, XPS r18 — formats PyMuPDF
+  * opens alongside PDF) through [[Epub.zipDocPages]], with any OTHER
+  * ZIP (DOCX, JAR, a torn archive) falling through to the
+  * deterministic fallback rather than hard-failing a mixed corpus
+  * (ADVICE r17); FB2 FictionBook XML and MOBI/PalmDOC book containers
+  * (r18) through [[EbookDecoder]]; everything else through the
+  * fallback — so a mixed corpus decodes what it can and the harness
+  * fixtures stay stable. Drawings on the real path are REAL
+  * extraction (never the fake's synthetic SVG — fabricating output
+  * for a real document would contradict the engine's fail-closed
+  * policy). */
 final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
     embedImages: Boolean = false) extends PageDecoder {
   private def real = MiniPdfDecoder(embedImages)
-  private def zip = EpubDecoder()
+  private def ebook = EbookDecoder()
+
+  /** Route of a payload: PDF / ZIP-doc pages / ebook / fallback.
+    * The ZIP-doc classification carries its decoded pages (one parse). */
+  private def route(payload: Array[Byte])
+      : Either[PageDecoder, Seq[(String, Seq[Array[Byte]])]] =
+    if (MiniPdf.headerOffset(payload) >= 0) Left(real)
+    else if (Epub.isZip(payload))
+      Epub.zipDocPages(payload).toRight(fallback)
+    else if (Ebooks.isFb2(payload) || Ebooks.isMobi(payload)) Left(ebook)
+    else Left(fallback)
 
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
-    if (MiniPdf.headerOffset(payload) >= 0) real.decode(payload)
-    else if (Epub.isZip(payload)) zip.decode(payload)
-    else fallback.decode(payload)
+    route(payload) match {
+      case Right(pages) => Right(pages.map(_._1))
+      case Left(d) => d.decode(payload)
+    }
 
   override def decodeWithDrawings(payload: Array[Byte])
       : Either[String, Seq[(String, String)]] =
-    if (MiniPdf.headerOffset(payload) >= 0)
-      real.decodeWithDrawings(payload)
-    else if (Epub.isZip(payload)) zip.decodeWithDrawings(payload)
-    else fallback.decodeWithDrawings(payload)
+    route(payload) match {
+      case Right(pages) => Right(pages.map(p => (p._1, "")))
+      case Left(d) => d.decodeWithDrawings(payload)
+    }
 
   override def drawings(payload: Array[Byte], pageNo: Int): String =
-    if (MiniPdf.headerOffset(payload) >= 0)
-      real.drawings(payload, pageNo)
-    else if (Epub.isZip(payload)) ""
-    else fallback.drawings(payload, pageNo)
+    route(payload) match {
+      case Right(_) => ""
+      case Left(d) => d.drawings(payload, pageNo)
+    }
 
   override def decodeWithImages(payload: Array[Byte])
       : Either[String, Seq[(String, Seq[Array[Byte]])]] =
-    if (MiniPdf.headerOffset(payload) >= 0)
-      real.decodeWithImages(payload)
-    else if (Epub.isZip(payload)) zip.decodeWithImages(payload)
-    else fallback.decodeWithImages(payload)
+    route(payload) match {
+      case Right(pages) => Right(pages)
+      case Left(d) => d.decodeWithImages(payload)
+    }
 }

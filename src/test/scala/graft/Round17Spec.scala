@@ -498,7 +498,14 @@ class Round17Spec extends AnyFunSuite {
       zos.closeEntry(); zos.close()
       bos.toByteArray
     }
-    assert(graft.sources.AutoPdfDecoder().decode(broken).isLeft)
+    // r18 (ADVICE r17): the ROUTER now falls back for a ZIP that is
+    // no recognized document container — mixed corpora keep their
+    // pre-r17 fallback behavior; the standalone EpubDecoder still
+    // hard-fails, and the classifier says 'not a document'.
+    assert(graft.sources.EpubDecoder().decode(broken).isLeft)
+    assert(graft.sources.Epub.zipDocPages(broken).isEmpty)
+    assert(graft.sources.AutoPdfDecoder().decode(broken) ==
+      graft.sources.FakePdfDecoder().decode(broken))
     // non-ZIP payloads still route to the fallback (stable fixtures)
     assert(graft.sources.AutoPdfDecoder()
       .decode("plain text payload".getBytes).isRight)
@@ -801,13 +808,14 @@ class Round17Spec extends AnyFunSuite {
       case _ => 0
     }
     runLens.foreach(l => bw.write(l.toLong, 4))
-    // lens: 2, then 32(repeat prev x3+1=4? readBits(2)=1 -> 3+1=4)...
-    // plant: [2, 2,2,2,2 (32 run of 4), 3, 0,0,0 (33 run of 3),
-    //         0*11 (34 run of 11)] = 20 symbols
-    bw.write(0x0L, 2) // runcode 2 -> '00'
-    bw.write(0x2L, 2) // runcode 32 -> '10'
-    bw.write(1L, 2) // 3 + 1 = 4 repeats of previous (2)
+    // plant: [3, 3,3,3,3 (32 run of 4), 2, 0,0,0 (33 run of 3),
+    //         0*11 (34 run of 11)] = 20 symbols — Kraft-valid
+    // (count(2)=1, count(3)=5; r18 rejects over-subscribed tables,
+    // so the pre-r18 five-2-bit-codes plant is now correctly None)
     bw.write(0x1L, 2) // runcode 3 -> '01'
+    bw.write(0x2L, 2) // runcode 32 -> '10'
+    bw.write(1L, 2) // 3 + 1 = 4 repeats of previous (3)
+    bw.write(0x0L, 2) // runcode 2 -> '00'
     bw.write(0x6L, 3) // runcode 33 -> '110'
     bw.write(0L, 3) // 3 + 0 zeroes
     bw.write(0x7L, 3) // runcode 34 -> '111'
@@ -817,7 +825,7 @@ class Round17Spec extends AnyFunSuite {
     val table = readSymbolIdTable(br, 20)
     assert(table.isDefined)
     val lens = table.get.lines.map(_.prefLen).toSeq
-    assert(lens == Seq(2, 2, 2, 2, 2, 3, 0, 0, 0) ++ Seq.fill(11)(0),
+    assert(lens == Seq(3, 3, 3, 3, 3, 2, 0, 0, 0) ++ Seq.fill(11)(0),
       s"got $lens")
   }
 
