@@ -1081,13 +1081,17 @@ object PdfFixtures {
         s"/Length ${stream.length} >>", Some(stream))))
   }
 
-  /** q389: compressed-audio headers (r17 — the audio twin of the JPX
-    * discipline: header-only metadata, no codec): (0) a FLAC
-    * STREAMINFO block with planted rate/channels/total-samples,
-    * (1) an MPEG1 Layer III CBR stream behind an ID3v2 tag with a
-    * planted frame count, (2) a real PCM16 WAV through the JDK
-    * writer. */
-  def audioDoc(id: Long): Array[Byte] = (id % 3).toInt match {
+  /** q389: compressed-audio headers (r17, extended r18 — the audio
+    * twin of the JPX discipline: header-only metadata, no codec):
+    * (0) a FLAC STREAMINFO block with planted rate/channels/total-
+    * samples, (1) an MPEG1 Layer III CBR stream behind an ID3v2 tag
+    * with a planted frame count, (2) a real PCM16 WAV through the JDK
+    * writer, (3 r18) an Ogg/Opus chain — OpusHead BOS page with
+    * planted channels/pre-skip/input-rate, OpusTags, and an EOS audio
+    * page whose granule position plants the sample count, (4 r18) an
+    * AAC ADTS frame walk with planted frequency index, channel
+    * config, and frame count. */
+  def audioDoc(id: Long): Array[Byte] = (id % 5).toInt match {
     case 0 =>
       val sr = Array(44100, 48000, 32000, 22050)((id % 4).toInt)
       val ch = 1 + (id % 2).toInt
@@ -1121,7 +1125,7 @@ object PdfFixtures {
         bos.write(new Array[Byte](size - 4))
       }
       bos.toByteArray
-    case _ =>
+    case 2 =>
       val sr = 8000 + (id % 4).toInt * 4000
       val frames = 500 + (id % 100).toInt
       val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
@@ -1131,6 +1135,56 @@ object PdfFixtures {
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    case 3 =>
+      // Ogg/Opus: RFC 3533 pages + RFC 7845 OpusHead
+      val rate = Array(48000, 44100, 16000, 24000)((id % 4).toInt)
+      val ch = 1 + (id % 2).toInt
+      val preskip = 312
+      val total = 3000L + id % 4000
+      def le16(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Long): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def le64(v: Long): Array[Byte] = le32(v & 0xFFFFFFFFL) ++ le32(v >>> 32)
+      def page(htype: Int, granule: Long, seq: Int,
+               payload: Array[Byte]): Array[Byte] = {
+        // lacing: 255-runs + terminator (payloads here are < 255)
+        val full = payload.length / 255
+        val lacing = Array.fill(full)(255.toByte) :+
+          (payload.length % 255).toByte
+        "OggS".getBytes(ISO) ++ Array[Byte](0, htype.toByte) ++
+          le64(granule) ++ le32(0x6F70L) ++ le32(seq.toLong) ++
+          le32(0L) ++ Array((lacing.length & 0xff).toByte) ++
+          lacing ++ payload
+      }
+      val opusHead = "OpusHead".getBytes(ISO) ++
+        Array[Byte](1, ch.toByte) ++ le16(preskip) ++ le32(rate.toLong) ++
+        le16(0) ++ Array[Byte](0) // gain 0, mapping family 0
+      val opusTags = "OpusTags".getBytes(ISO) ++ le32(5L) ++
+        "graft".getBytes(ISO) ++ le32(0L)
+      val audio = Array.fill(40 + (id % 20).toInt)(0x5A.toByte)
+      page(2, 0, 0, opusHead) ++ page(0, 0, 1, opusTags) ++
+        page(4, preskip + total, 2, audio)
+    case _ =>
+      // AAC ADTS: ISO/IEC 13818-7 §6.2 headers, planted frame count
+      val srIdx = 3 + (id % 3).toInt // 48000 / 44100 / 32000
+      val chanCfg = 1 + (id % 2).toInt
+      val n = 2 + (id % 5).toInt
+      val payLen = 20 + (id % 10).toInt
+      val frameLen = 7 + payLen
+      val bos = new java.io.ByteArrayOutputStream()
+      for (_ <- 0 until n) {
+        bos.write(0xFF)
+        bos.write(0xF1) // MPEG-4, layer 00, no CRC
+        bos.write((1 << 6) | (srIdx << 2) | (chanCfg >> 2)) // AAC-LC
+        bos.write(((chanCfg & 3) << 6) | ((frameLen >> 11) & 3))
+        bos.write((frameLen >> 3) & 0xff)
+        bos.write(((frameLen & 7) << 5) | 0x1f) // fullness hi
+        bos.write(0xFC) // fullness lo + rdb 0 (1 raw data block)
+        bos.write(new Array[Byte](payLen))
+      }
       bos.toByteArray
   }
 

@@ -768,8 +768,12 @@ object SparkEntry {
 
     // ---------------------------------------------------------- multimodal
     "q38_multimodal_meta" -> ((s, dir) => {
+      // EXPLICIT stub codec (r18): the default is now the real JDK
+      // reader; the fixture's synthesized-UTF-8 "media" is the one
+      // place the deterministic fake is the correct decode.
       val withMedia = Multimodal.withBinaryPayload(Tables.documents(s, dir), "text")
-      Multimodal.decodeMetadata(withMedia).toDF()
+      Multimodal.decodeMetadata(withMedia,
+        codec = Multimodal.FakeImageCodec).toDF()
     }),
 
     "q69_frame_sample" -> ((s, dir) => {
@@ -4995,7 +4999,8 @@ object SparkEntry {
       import s.implicits._
       val withMedia = Multimodal.withBinaryPayload(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
-      val meta = Multimodal.decodeMetadata(withMedia).toDF()
+      val meta = Multimodal.decodeMetadata(withMedia,
+          codec = Multimodal.FakeImageCodec).toDF()
         .select(col("doc_id"), col("width").cast("long").as("w"),
           col("height").cast("long").as("h"))
       val ladder = Seq((1, 256L, 1024L), (2, 384L, 768L), (3, 448L, 576L),
@@ -10409,10 +10414,14 @@ object SparkEntry {
       // xiph layout -- 20-bit rate, 3-bit channels, 36-bit total
       // samples), (1) an MPEG1 Layer III CBR stream behind an ID3v2
       // tag, frames WALKED by their header-derived sizes, (2) a real
-      // PCM WAV through javax.sound. All three legs land in one typed
-      // AudioRow shape; the oracle replays the planted values, so a
-      // bit-offset slip, wrong bitrate table, ID3 skip error, or a
-      // fabricated duration breaks the hash tri-scale.
+      // PCM WAV through javax.sound, (3 r18) an Ogg/Opus page chain
+      // (OpusHead channels/pre-skip/input-rate; sample count from the
+      // EOS granule position minus pre-skip), (4 r18) an AAC ADTS
+      // frame walk (public frequency-index table, 1024 samples per
+      // raw data block). All five legs land in one typed AudioRow
+      // shape; the oracle replays the planted values, so a bit-offset
+      // slip, wrong bitrate table, ID3 skip error, lacing-walk slip,
+      // or a fabricated duration breaks the hash tri-scale.
       Multimodal.decodeAudioMetadata(
         Tables.documents(s, dir)
           .select(col("doc_id"),
@@ -17198,25 +17207,33 @@ object SparkEntry {
         |    * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM v""".stripMargin,
 
-    // q389: all three audio legs replay planted header values
+    // q389: all five audio legs replay planted header values
+    // (r18 added Ogg/Opus at %5=3 and AAC-ADTS at %5=4)
     "q389_audio_compressed_meta" ->
       """SELECT doc_id,
-        |  CAST(CASE doc_id % 3
+        |  CAST(CASE doc_id % 5
         |    WHEN 0 THEN CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |      WHEN 2 THEN 32000 ELSE 22050 END
         |    WHEN 1 THEN CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |      ELSE 32000 END
-        |    ELSE 8000 + (doc_id % 4) * 4000 END AS INT) AS sample_rate,
-        |  CAST(CASE doc_id % 3
+        |    WHEN 2 THEN 8000 + (doc_id % 4) * 4000
+        |    WHEN 3 THEN CASE doc_id % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |      WHEN 2 THEN 16000 ELSE 24000 END
+        |    ELSE CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |      ELSE 32000 END END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 5
         |    WHEN 0 THEN 1 + doc_id % 2
         |    WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
-        |    ELSE 1 END AS INT) AS channels,
-        |  CAST(CASE doc_id % 3
+        |    WHEN 2 THEN 1
+        |    ELSE 1 + doc_id % 2 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 5
         |    WHEN 0 THEN 1000 + doc_id % 5000
         |    WHEN 1 THEN (2 + doc_id % 6) * 1152
-        |    ELSE 500 + doc_id % 100 END AS BIGINT) AS frames,
-        |  CASE doc_id % 3 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
-        |    ELSE 'wav' END AS format
+        |    WHEN 2 THEN 500 + doc_id % 100
+        |    WHEN 3 THEN 3000 + doc_id % 4000
+        |    ELSE (2 + doc_id % 5) * 1024 END AS BIGINT) AS frames,
+        |  CASE doc_id % 5 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'opus' ELSE 'aac' END AS format
         |FROM documents""".stripMargin,
 
     // q390: planted ISO-BMFF header values; duration ticks are chosen

@@ -328,14 +328,114 @@ object Multimodal {
     Some(AudioMeta(sr0, ch0, frameCount * samplesPer, "mp3"))
   }
 
-  /** All audio metadata legs behind one call: header-only FLAC and
-    * MPEG parses first (no JDK codec exists), then the real
-    * javax.sound.sampled read for WAV/AIFF/AU. None = not audio or
-    * torn — dropped, never fabricated. */
+  /** Ogg/Opus metadata (r18 — VERDICT r17 Missing tail; public
+    * RFC 3533 page layout + RFC 7845 OpusHead): pages walked by their
+    * lacing tables ("OggS" + version 0 + type + granule + serial +
+    * seq + crc + nseg + lacing + payload — CRC not verified, this is
+    * a header walk, not an integrity pass); the FIRST page's payload
+    * must open with OpusHead (version 1: channels, 16-bit pre-skip,
+    * 32-bit input sample rate, all LE); the LAST page's granule
+    * position is the 48 kHz PCM sample count INCLUDING pre-skip, so
+    * frames = granule − preskip. sampleRateHz reports the OpusHead
+    * input rate (the pre-resample provenance value — Opus itself is
+    * always 48 kHz). Torn pages, missing OpusHead, or a granule below
+    * pre-skip → None. */
+  private[graft] def oggOpusMeta(p: Array[Byte]): Option[AudioMeta] = {
+    if (p == null || p.length < 27 + 1 + 19) return None
+    def isPage(o: Int): Boolean =
+      o + 27 <= p.length && p(o) == 'O' && p(o + 1) == 'g' &&
+        p(o + 2) == 'g' && p(o + 3) == 'S' && p(o + 4) == 0
+    if (!isPage(0)) return None
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    def le64(o: Int): Long = le32(o) | (le32(o + 4) << 32)
+    var o = 0
+    var pages = 0
+    var lastGranule = -1L
+    var head: Option[(Int, Int, Int)] = None // channels, preskip, rate
+    while (o < p.length) {
+      if (!isPage(o)) return None
+      val granule = le64(o + 6)
+      val nseg = p(o + 26) & 0xff
+      if (o + 27 + nseg > p.length) return None
+      var paySize = 0
+      var s = 0
+      while (s < nseg) { paySize += p(o + 27 + s) & 0xff; s += 1 }
+      val payAt = o + 27 + nseg
+      if (payAt + paySize > p.length) return None
+      if (pages == 0) {
+        // BOS page: must be OpusHead v1 (8-byte magic + ≥11 bytes)
+        if (paySize < 19) return None
+        val magic = new String(p, payAt, 8,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (magic != "OpusHead" || (p(payAt + 8) & 0xff) != 1) return None
+        val ch = p(payAt + 9) & 0xff
+        val preskip = le16(payAt + 10)
+        val rate = le32(payAt + 12)
+        if (ch < 1 || ch > 8 || rate < 1 || rate > 768000) return None
+        head = Some((ch, preskip, rate.toInt))
+      }
+      lastGranule = granule
+      pages += 1
+      if (pages > 1000000) return None
+      o = payAt + paySize
+    }
+    head.flatMap { case (ch, preskip, rate) =>
+      if (lastGranule < preskip) None
+      else Some(AudioMeta(rate, ch, lastGranule - preskip, "opus"))
+    }
+  }
+
+  /** AAC ADTS metadata (r18 — public ISO/IEC 13818-7 §6.2 header
+    * layout): frames walked by their 13-bit frame-length fields
+    * (0xFFF sync, layer 00; MPEG-2 and MPEG-4 ID bits both accepted),
+    * sampling-frequency index via the public table, channel
+    * configuration 1–7 (0 = "in a PCE" stays out of envelope),
+    * 1024 samples per raw data block. Mid-stream rate changes, torn
+    * tails, and reserved frequency indices → None. */
+  private[graft] def aacAdtsMeta(p: Array[Byte]): Option[AudioMeta] = {
+    if (p == null || p.length < 7) return None
+    val Rates = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
+      22050, 16000, 12000, 11025, 8000, 7350)
+    var o = 0
+    var sr0 = 0; var ch0 = 0
+    var samples = 0L
+    var frames = 0L
+    while (o < p.length) {
+      if (o + 7 > p.length) return None
+      if ((p(o) & 0xff) != 0xFF || (p(o + 1) & 0xF6) != 0xF0) return None
+      val protAbsent = p(o + 1) & 1
+      val srIdx = (p(o + 2) >>> 2) & 0xF
+      if (srIdx >= Rates.length) return None
+      val chanCfg = ((p(o + 2) & 1) << 2) | ((p(o + 3) >>> 6) & 3)
+      if (chanCfg < 1) return None // PCE-carried config: fail closed
+      val ch = if (chanCfg == 7) 8 else chanCfg
+      val frameLen = ((p(o + 3) & 3) << 11) | ((p(o + 4) & 0xff) << 3) |
+        ((p(o + 5) >>> 5) & 7)
+      val rdb = (p(o + 6) & 3) + 1
+      val minLen = if (protAbsent == 1) 7 else 9
+      if (frameLen < minLen || o + frameLen > p.length) return None
+      if (frames == 0) { sr0 = Rates(srIdx); ch0 = ch }
+      else if (Rates(srIdx) != sr0 || ch != ch0) return None
+      samples += 1024L * rdb
+      frames += 1
+      if (frames > 1000000) return None
+      o += frameLen
+    }
+    if (frames == 0 || o != p.length) return None
+    Some(AudioMeta(sr0, ch0, samples, "aac"))
+  }
+
+  /** All audio metadata legs behind one call: header-only FLAC, MPEG,
+    * Ogg/Opus, and AAC-ADTS parses first (no JDK codec exists), then
+    * the real javax.sound.sampled read for WAV/AIFF/AU. None = not
+    * audio or torn — dropped, never fabricated. */
   private[graft] def audioMeta(p: Array[Byte]): Option[AudioMeta] =
-    flacMeta(p).orElse(mp3Meta(p)).orElse(
-      try Some(JdkImageCodec.decodeAudioMeta(p))
-      catch { case _: Exception => None })
+    flacMeta(p).orElse(oggOpusMeta(p)).orElse(aacAdtsMeta(p))
+      .orElse(mp3Meta(p)).orElse(
+        try Some(JdkImageCodec.decodeAudioMeta(p))
+        catch { case _: Exception => None })
 
   /** WebP header dims (r17 — the highest-volume web-crawl image
     * format the JDK ships no codec for; the Jpx discipline: dims
@@ -635,20 +735,26 @@ object Multimodal {
   }
 
   /** Decode metadata for each media payload — one codec per partition,
-    * rows streamed (never materialized per-partition). */
+    * rows streamed (never materialized per-partition). The DEFAULT
+    * codec is the real JDK reader (r18 — a production caller who
+    * forgot the parameter used to get fake decodes silently); payloads
+    * no reader recognizes are DROPPED, never fabricated. The
+    * deterministic [[FakeImageCodec]] is the explicit harness
+    * argument (the oracle fixtures' synthesized-UTF-8 "media"). */
   def decodeMetadata(df: DataFrame, idCol: String = "doc_id",
                      mediaCol: String = "media",
-                     codec: MediaCodec = FakeImageCodec): Dataset[DecodedImage] = {
+                     codec: MediaCodec = JdkImageCodec): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val c = codec // per-partition init point
-        rows.map { case (id, payload) =>
-          val m = c.decodeMeta(payload)
-          DecodedImage(id, m.width, m.height, m.channels, m.format,
-            if (payload == null) 0L else payload.length.toLong)
+        rows.flatMap { case (id, payload) =>
+          (try Some(c.decodeMeta(payload))
+           catch { case _: Exception => None })
+            .map(m => DecodedImage(id, m.width, m.height, m.channels,
+              m.format, if (payload == null) 0L else payload.length.toLong))
         }
       }
   }
@@ -830,24 +936,29 @@ object Multimodal {
       }
   }
 
-  /** [[decodeMetadata]] through the REAL JDK codec, falling back to
-    * `fallback` for payloads no JDK reader recognizes — the production
+  /** [[decodeMetadata]] through the REAL JDK codec with an OPTIONAL
+    * fallback for payloads no JDK reader recognizes — the production
     * shape for a mixed corpus (real media + junk bytes) where a single
-    * undecodable blob must not fail the stage. */
+    * undecodable blob must not fail the stage. Default: no fallback —
+    * unrecognized payloads DROP (r18; a default that fabricated stub
+    * metadata for junk bytes contradicted the engine's fail-closed
+    * policy). Pass `Some(FakeImageCodec)` only in harness code. */
   def decodeRealMetadata(df: DataFrame, idCol: String = "doc_id",
                          mediaCol: String = "media",
-                         fallback: MediaCodec = FakeImageCodec): Dataset[DecodedImage] = {
+                         fallback: Option[MediaCodec] = None): Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(mediaCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          val m =
-            try JdkImageCodec.decodeMeta(payload)
-            catch { case _: Exception => fallback.decodeMeta(payload) }
-          DecodedImage(id, m.width, m.height, m.channels, m.format,
-            if (payload == null) 0L else payload.length.toLong)
+        rows.flatMap { case (id, payload) =>
+          (try Some(JdkImageCodec.decodeMeta(payload))
+           catch { case _: Exception =>
+             fallback.flatMap(f =>
+               try Some(f.decodeMeta(payload))
+               catch { case _: Exception => None }) })
+            .map(m => DecodedImage(id, m.width, m.height, m.channels,
+              m.format, if (payload == null) 0L else payload.length.toLong))
         }
       }
   }

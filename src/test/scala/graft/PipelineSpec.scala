@@ -142,8 +142,15 @@ class PipelineSpec extends AnyFunSuite {
 
   test("multimodal decode plumbing: schema + deterministic stub") {
     val docs = Seq((1L, "hello world")).toDF("doc_id", "text")
-    val out = Multimodal.decodeMetadata(Multimodal.withBinaryPayload(docs, "text")).collect()
+    // the stub is the EXPLICIT harness argument since r18 (the default
+    // codec is the real JDK reader, which drops non-media payloads)
+    val out = Multimodal.decodeMetadata(Multimodal.withBinaryPayload(docs, "text"),
+      codec = Multimodal.FakeImageCodec).collect()
     assert(out.length == 1)
+    // and the DEFAULT (real) path drops the synthesized payload rather
+    // than fabricating metadata for it
+    assert(Multimodal.decodeMetadata(
+      Multimodal.withBinaryPayload(docs, "text")).collect().isEmpty)
     val m = out(0)
     assert(m.n_bytes == 11 && m.width == 64 + 11 && m.channels == 3 && m.format == "jpeg")
     val resized = Multimodal.FakeImageCodec.resize(
@@ -186,8 +193,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L).width == 20 && out(1L).height == 10 && out(1L).format == "png")
     assert(out(2L).width == 7 && out(2L).height == 5 && out(2L).format.startsWith("jp"))
     assert(out(3L).width == 33 && out(3L).height == 44 && out(3L).format == "bmp")
-    // junk payload falls back to the deterministic stub, not a task failure
-    assert(out(4L).format == "jpeg" || out(4L).format == "png")
+    // r18: junk payload DROPS by default (never fabricated, never a
+    // task failure); the stub fallback is an explicit harness opt-in
+    assert(!out.contains(4L), "junk must drop through the real path")
+    val withStub = Multimodal.decodeRealMetadata(df,
+      fallback = Some(Multimodal.FakeImageCodec)).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(withStub(4L).format == "jpeg" || withStub(4L).format == "png")
   }
 
   test("JDK codec: AIFF and AU route to the audio path like WAV") {

@@ -378,12 +378,13 @@ class Round17Spec extends AnyFunSuite {
   // --------------------------- compressed-audio metadata (r17)
 
   test("FLAC/MP3 header metadata: planted values round-trip through " +
-       "audioMeta for all fixture legs; WAV still rides javax.sound") {
+       "audioMeta for all fixture legs; WAV still rides javax.sound " +
+       "(r18: the fixture cycles five legs — Opus and AAC joined)") {
     import graft.operators.Multimodal
-    for (id <- 0L until 24L) {
+    for (id <- 0L until 40L) {
       val m = Multimodal.audioMeta(PdfFixtures.audioDoc(id))
       assert(m.isDefined, s"id=$id")
-      (id % 3).toInt match {
+      (id % 5).toInt match {
         case 0 =>
           assert(m.get.format == "flac" &&
             m.get.sampleRateHz == Array(44100, 48000, 32000, 22050)((id % 4).toInt) &&
@@ -394,10 +395,20 @@ class Round17Spec extends AnyFunSuite {
             m.get.sampleRateHz == Array(44100, 48000, 32000)((id % 3).toInt) &&
             m.get.channels == (if (id % 2 == 0) 2 else 1) &&
             m.get.frames == (2 + id % 6) * 1152, s"id=$id: ${m.get}")
-        case _ =>
+        case 2 =>
           assert(m.get.format == "wav" &&
             m.get.sampleRateHz == 8000 + (id % 4).toInt * 4000 &&
             m.get.frames == 500L + id % 100, s"id=$id: ${m.get}")
+        case 3 =>
+          assert(m.get.format == "opus" &&
+            m.get.sampleRateHz == Array(48000, 44100, 16000, 24000)((id % 4).toInt) &&
+            m.get.channels == 1 + (id % 2).toInt &&
+            m.get.frames == 3000L + id % 4000, s"id=$id: ${m.get}")
+        case _ =>
+          assert(m.get.format == "aac" &&
+            m.get.sampleRateHz == Array(48000, 44100, 32000)((id % 3).toInt) &&
+            m.get.channels == 1 + (id % 2).toInt &&
+            m.get.frames == (2 + id % 5) * 1024, s"id=$id: ${m.get}")
       }
     }
   }
@@ -428,7 +439,7 @@ class Round17Spec extends AnyFunSuite {
     assert(Multimodal.audioMeta("certainly not audio".getBytes).isEmpty)
     // bit-flip fuzz: Option either way, never a throw
     val r = new scala.util.Random(5)
-    for (leg <- 0L until 3L; _ <- 0 until 150) {
+    for (leg <- 0L until 5L; _ <- 0 until 150) {
       val m = PdfFixtures.audioDoc(leg).clone()
       val i = r.nextInt(m.length)
       m(i) = (m(i) ^ (1 << r.nextInt(8))).toByte

@@ -193,6 +193,64 @@ class Round18Spec extends AnyFunSuite {
     assert(sane.exists(_.durationMs == 5000), s"sane movie decodes: $sane")
   }
 
+  // --------------------------------------- Ogg/Opus + AAC-ADTS (r18)
+
+  test("Ogg/Opus and AAC-ADTS fail-closed: torn pages, missing " +
+       "OpusHead, granule below pre-skip, reserved frequency index, " +
+       "PCE channel config, mid-stream rate change, truncation") {
+    import graft.operators.Multimodal
+    val opus = PdfFixtures.audioDoc(3L) // Opus leg
+    assert(Multimodal.oggOpusMeta(opus).isDefined)
+    // torn: cut mid final page
+    assert(Multimodal.oggOpusMeta(opus.take(opus.length - 5)).isEmpty)
+    // BOS payload not OpusHead
+    val noHead = opus.clone()
+    noHead(28) = 'X'.toByte // first page payload starts at 27+1
+    assert(Multimodal.oggOpusMeta(noHead).isEmpty)
+    // granule below pre-skip on the last page fails closed: rebuild a
+    // single-page stream with granule 0 but pre-skip 312 is simplest —
+    // take the fixture and zero the last page's granule field
+    val lastPage = {
+      // find the final "OggS" magic
+      var p = -1
+      for (i <- 0 to opus.length - 4)
+        if (opus(i) == 'O' && opus(i + 1) == 'g' && opus(i + 2) == 'g' &&
+            opus(i + 3) == 'S') p = i
+      p
+    }
+    val lowGranule = opus.clone()
+    java.util.Arrays.fill(lowGranule, lastPage + 6, lastPage + 14, 0.toByte)
+    assert(Multimodal.oggOpusMeta(lowGranule).isEmpty,
+      "granule < pre-skip must not fabricate a negative duration")
+    val aac = PdfFixtures.audioDoc(4L) // AAC leg
+    assert(Multimodal.aacAdtsMeta(aac).isDefined)
+    assert(Multimodal.aacAdtsMeta(aac.take(aac.length - 3)).isEmpty)
+    // reserved frequency index (13-15)
+    val badSr = aac.clone()
+    badSr(2) = ((badSr(2) & 0xC3) | (13 << 2)).toByte
+    assert(Multimodal.aacAdtsMeta(badSr).isEmpty)
+    // channel config 0 (PCE-carried) stays out of envelope
+    val pce = aac.clone()
+    pce(2) = (pce(2) & 0xFE).toByte; pce(3) = (pce(3) & 0x3F).toByte
+    assert(Multimodal.aacAdtsMeta(pce).isEmpty)
+    // mid-stream rate change: flip the SECOND frame's index
+    val frameLen = 7 + 20 + (4 % 10)
+    val midRate = aac.clone()
+    midRate(frameLen + 2) =
+      ((midRate(frameLen + 2) & 0xC3) | (7 << 2)).toByte
+    assert(Multimodal.aacAdtsMeta(midRate).isEmpty)
+    // junk is neither
+    assert(Multimodal.oggOpusMeta("OggX nope".getBytes).isEmpty)
+    assert(Multimodal.aacAdtsMeta("not audio".getBytes).isEmpty)
+    // bit-flip fuzz over both new legs: Option, never a throw
+    val r = new scala.util.Random(18)
+    for (leg <- Seq(3L, 4L); _ <- 0 until 200) {
+      val m = PdfFixtures.audioDoc(leg).clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Multimodal.audioMeta(m)
+    }
+  }
+
   test("over-subscribed symbol-ID code lengths (Kraft violation) " +
        "return None instead of colliding canonical codes") {
     import Jbig2Huffman._
