@@ -1081,6 +1081,36 @@ object PdfFixtures {
         s"/Length ${stream.length} >>", Some(stream))))
   }
 
+  /** q398: JBIG2 generic REFINEMENT regions (T.88 §6.3, r18 — the
+    * final JBIG2 segment family): a striped base bitmap enters as an
+    * intermediate (type 36) or painted (type 38) region, then a
+    * type 42 refinement decodes the base with a planted rectangle
+    * INVERTED, cycling GRTEMPLATE 0/1, TPGRON, and the
+    * referred-vs-page reference shapes. Page black count is
+    * closed-form: stripes XOR rectangle. */
+  def jbig2RefinementDoc(id: Long): Array[Byte] = {
+    val w = 8 + (id % 5).toInt * 3
+    val h = 6 + (id % 4).toInt * 3
+    val x0 = (id % 3).toInt; val y0 = (id % 2).toInt
+    val rw = 3 + (id % 4).toInt; val rh = 2 + (id % 3).toInt
+    val base = Array.tabulate(w * h)(i => (i % w) % 4 < 2)
+    val refined = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val inRect = x >= x0 && x < x0 + rw && y >= y0 && y < y0 + rh
+      base(i) != inRect // XOR: rectangle inverted
+    }
+    val stream = graft.sources.Jbig2.encodeEmbeddedRefinement(
+      base, refined, w, h,
+      viaIntermediate = id % 4 < 2,
+      template = (id % 2).toInt,
+      tpgron = id % 3 == 0)
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        "/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
+  }
+
   /** q389: compressed-audio headers (r17, extended r18 — the audio
     * twin of the JPX discipline: header-only metadata, no codec):
     * (0) a FLAC STREAMINFO block with planted rate/channels/total-

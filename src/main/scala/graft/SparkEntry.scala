@@ -10523,6 +10523,22 @@ object SparkEntry {
           floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
     }),
 
+    "q398_pdf_jbig2_refinement" -> ((s, dir) => {
+      // JBIG2 generic REFINEMENT regions (r18 -- VERDICT r17 Missing
+      // #2, the final JBIG2 segment family: T.88 SS 6.3, the
+      // high-compression-scanner second pass): per doc one
+      // /JBIG2Decode XObject whose striped base enters as an
+      // INTERMEDIATE (type 36, the SS 8.2 retained-result path) or
+      // painted (type 38) region, refined by a type 42 segment that
+      // inverts a planted rectangle -- cycling GRTEMPLATE 0/1, TPGRON
+      // typical-row prediction, and the referred-bitmap vs
+      // page-content reference shapes. The page black count is
+      // closed-form (stripes XOR rectangle), so a context-layout
+      // slip, SLTP misread, reference-offset bug, or intermediate
+      // plumbing error breaks the hash tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2RefinementDoc _))
+    }),
+
     "q395_xps_decode" -> ((s, dir) => {
       // XPS decode (r18 -- VERDICT r17 Missing #1: PyMuPDF opens XPS,
       // ref `downloader.py:385`): per doc a REAL OPC package
@@ -17280,6 +17296,30 @@ object SparkEntry {
         |    AS BIGINT) AS lum_u6
         |FROM documents d,
         |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    // q398: refinement black count replayed pixel-law-for-pixel-law —
+    // base stripes (x%4<2) XOR the planted inverted rectangle
+    "q398_pdf_jbig2_refinement" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    8 + (doc_id % 5) * 3 AS w, 6 + (doc_id % 4) * 3 AS h,
+        |    doc_id % 3 AS x0, doc_id % 2 AS y0,
+        |    3 + doc_id % 4 AS rw, 2 + doc_id % 3 AS rh
+        |  FROM documents),
+        |px AS (
+        |  SELECT v.doc_id, v.w, v.h,
+        |    SUM(CASE WHEN (xs.x % 4 < 2) <>
+        |      (xs.x >= v.x0 AND xs.x < v.x0 + v.rw AND
+        |       ys.y >= v.y0 AND ys.y < v.y0 + v.rh)
+        |      THEN 1 ELSE 0 END) AS black
+        |  FROM v,
+        |    LATERAL unnest(generate_series(0, v.w - 1)) AS xs(x),
+        |    LATERAL unnest(generate_series(0, v.h - 1)) AS ys(y)
+        |  GROUP BY v.doc_id, v.w, v.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM px""".stripMargin,
 
     // q395/q396/q397: planted per-page word counts (XPS Glyphs, FB2
     // sections, MOBI pagebreak pages) — identical count law to q393

@@ -285,6 +285,88 @@ class Round18Spec extends AnyFunSuite {
     assert(black == pw, s"one diagonal pattern: expected $pw, got $black")
   }
 
+  // ------------------------------ JBIG2 generic refinement (§6.3, r18)
+
+  private def stripes(w: Int, h: Int, period: Int): Array[Boolean] =
+    Array.tabulate(w * h)(i => (i % w) % period < period / 2)
+
+  test("refinement kernel round-trips: templates 0/1 × TPGRON on/off, " +
+       "non-zero GRREFERENCEDX/DY, reference dims differing from the " +
+       "refined region") {
+    val w = 23; val h = 17
+    val base = stripes(w, h, 4)
+    val refined = base.clone()
+    for (y <- 5 until 12; x <- 7 until 15) refined(y * w + x) = !refined(y * w + x)
+    for (template <- Seq(0, 1); tpgron <- Seq(false, true)) {
+      val data = Jbig2.encodeRefinement(refined, w, h, base, w, h, 0, 0,
+        template, tpgron)
+      val at = Array(-1, -1, -1, -1)
+      val out = Jbig2.decodeRefinement(data, w, h, template, tpgron, at,
+        base, w, h, 0, 0)
+      assert(out.exists(_.sameElements(refined)),
+        s"template=$template tpgron=$tpgron")
+    }
+    // non-zero offsets + reference larger than the region: refine a
+    // 10x8 patch against a window of the base at (dx, dy) = (3, 2)
+    val rw = 10; val rh = 8
+    val patch = Array.tabulate(rw * rh)(i => (i % 3) == 0)
+    val d2 = Jbig2.encodeRefinement(patch, rw, rh, base, w, h, 3, 2)
+    val o2 = Jbig2.decodeRefinement(d2, rw, rh, 0, tpgron = false,
+      Array(-1, -1, -1, -1), base, w, h, 3, 2)
+    assert(o2.exists(_.sameElements(patch)), "offset reference")
+    // TPGRON with a refined == reference row run: typical rows carry
+    // zero coded pixels and still reconstruct
+    val same = Jbig2.encodeRefinement(base, w, h, base, w, h, 0, 0,
+      0, tpgron = true)
+    val o3 = Jbig2.decodeRefinement(same, w, h, 0, tpgron = true,
+      Array(-1, -1, -1, -1), base, w, h, 0, 0)
+    assert(o3.exists(_.sameElements(base)), "identity refinement under TPGRON")
+    // the TPGRON stream genuinely carries SLTP decisions (the encoder
+    // did not silently ignore the flag): misreading it with
+    // tpgron=false desyncs and cannot reproduce the pixels
+    val misread = Jbig2.decodeRefinement(same, w, h, 0, tpgron = false,
+      Array(-1, -1, -1, -1), base, w, h, 0, 0)
+    assert(!misread.exists(_.sameElements(base)),
+      "a TPGRON stream read without TPGRON must not line up")
+  }
+
+  test("embedded refinement streams decode: type 36 intermediate + " +
+       "type 42 referring it, and the page-reference shape (no refs); " +
+       "both REPLACE-composite the refined pixels") {
+    val w = 19; val h = 13
+    val base = stripes(w, h, 3)
+    val refined = base.clone()
+    for (y <- 2 until 9; x <- 4 until 13) refined(y * w + x) = !refined(y * w + x)
+    for (via <- Seq(true, false); template <- Seq(0, 1);
+         tpgron <- Seq(false, true)) {
+      val stream = Jbig2.encodeEmbeddedRefinement(base, refined, w, h,
+        viaIntermediate = via, template = template, tpgron = tpgron)
+      val page = Jbig2.decodeEmbedded(None, stream, w, h)
+      assert(page.isDefined, s"via=$via template=$template tpgron=$tpgron")
+      assert(page.get.sameElements(refined),
+        s"via=$via template=$template tpgron=$tpgron pixels")
+    }
+  }
+
+  test("refinement fail-closed + fuzz: truncations and bit flips " +
+       "return Option, never throw; a refinement with a missing " +
+       "intermediate falls back to page content, never garbage") {
+    val w = 16; val h = 10
+    val base = stripes(w, h, 4)
+    val refined = base.map(!_)
+    val good = Jbig2.encodeEmbeddedRefinement(base, refined, w, h,
+      viaIntermediate = true)
+    assert(Jbig2.decodeEmbedded(None, good, w, h).isDefined)
+    for (cut <- 1 until good.length by 3)
+      Jbig2.decodeEmbedded(None, good.take(cut), w, h) // no throw
+    val r = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, w, h) // no throw
+    }
+  }
+
   test("Huffman symbol dict with an EMPTY height class stays in sync " +
        "(BMSIZE is read per class unconditionally)") {
     import Jbig2Huffman._
