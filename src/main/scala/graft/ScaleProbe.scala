@@ -84,7 +84,13 @@ object ScaleProbe {
     "q387_pdf_cie_color", "q388_pdf_jbig2_halftone",
     // round-17b: the non-PDF document classes (zip-contained EPUB
     // chapters, CBZ image archives through the real JDK codec)
-    "q393_epub_decode", "q394_cbz_images")
+    "q393_epub_decode", "q394_cbz_images",
+    // round-18: the remaining document classes (XPS OPC walk, FB2
+    // section scan, MOBI PalmDOC inflate), the five-leg audio header
+    // walk, and JBIG2 generic refinement — per-row map-side decode
+    // behind the documentsFanned exchange, zero shuffle
+    "q395_xps_decode", "q396_fb2_decode", "q397_mobi_decode",
+    "q389_audio_compressed_meta", "q398_pdf_jbig2_refinement")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {
