@@ -1111,6 +1111,42 @@ object PdfFixtures {
         s"/Length ${stream.length} >>", Some(stream))))
   }
 
+  /** q399: JBIG2 refinement-coded SYMBOLS (T.88 §6.4.11 / §6.5.8.2,
+    * r18 — the per-glyph second pass real scanner output uses): even
+    * ids exercise SBREFINE (a text-region instance refines the solid
+    * k×k glyph into a (k+1)×(k+1) hollow border), odd ids SDREFAGG (a
+    * second dictionary derives a hollow k×k symbol from the imported
+    * solid one). Black counts are closed-form in doc_id; the GR
+    * template cycles 0/1. */
+  def jbig2RefinedSymbolsDoc(id: Long): Array[Byte] = {
+    val k = 2 + (id % 3).toInt
+    val w = 2 * k + 6; val h = k + 3
+    val solid = Array.fill(k * k)(true)
+    def hollow(n: Int): Array[Boolean] = Array.tabulate(n * n) { i =>
+      val x = i % n; val y = i / n
+      x == 0 || y == 0 || x == n - 1 || y == n - 1
+    }
+    val template = ((id / 2) % 2).toInt
+    val stream =
+      if (id % 2 == 0)
+        graft.sources.Jbig2.encodeEmbeddedRefinedText(
+          Seq((k, k, solid)),
+          Seq((0, 1, 1, None),
+            (0, k + 3, 1, Some((1, 1, 0, 0, hollow(k + 1))))),
+          w, h, sbrTemplate = template)
+      else
+        graft.sources.Jbig2.encodeEmbeddedAggText(
+          Seq((k, k, solid)),
+          Seq((0, k, k, 0, 0, hollow(k))),
+          Seq((0, 1, 1), (1, k + 3, 1)),
+          w, h, sdrTemplate = template)
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        "/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
+  }
+
   /** q389: compressed-audio headers (r17, extended r18 — the audio
     * twin of the JPX discipline: header-only metadata, no codec):
     * (0) a FLAC STREAMINFO block with planted rate/channels/total-

@@ -461,11 +461,22 @@ object Jbig2 {
                        ref: Array[Boolean], refW: Int, refH: Int,
                        dx: Int, dy: Int, template: Int = 0,
                        tpgron: Boolean = false): Array[Byte] = {
+    val mq = new MqEncoder
+    encodeRefinementWith(mq, new CxTable(1 << refContextSize(template)),
+      pixels, w, h, ref, refW, refH, dx, dy, template, tpgron)
+    mq.flush()
+  }
+
+  /** As [[encodeRefinement]] with a caller-owned encoder + context (no
+    * flush) — the refinement-coded symbol/instance encoders (r18)
+    * write many refinements into one stream. */
+  private[sources] def encodeRefinementWith(mq: MqEncoder, cx: CxTable,
+      pixels: Array[Boolean], w: Int, h: Int,
+      ref: Array[Boolean], refW: Int, refH: Int,
+      dx: Int, dy: Int, template: Int, tpgron: Boolean): Unit = {
     require(pixels.length == w * h, "pixel buffer shape")
     require(ref.length == refW * refH, "reference buffer shape")
     val at = RefNominalAt
-    val mq = new MqEncoder
-    val cx = new CxTable(1 << refContextSize(template))
     var ltp = false
     var y = 0
     while (y < h) {
@@ -496,7 +507,6 @@ object Jbig2 {
       }
       y += 1
     }
-    mq.flush()
   }
 
   /** Nominal refinement AT (Table 12): A1 = (−1, −1), A2 = (−1, −1). */
@@ -927,31 +937,57 @@ object Jbig2 {
   }
 
   /** Decode an arithmetic symbol-dictionary segment payload (§6.5.5;
-    * SDHUFF=0, SDREFAGG=0 — the class generic encoders emit) into its
-    * EXPORTED symbols. `input` = symbols imported from referred
-    * dictionaries, participating in the export-flag run. */
+    * SDHUFF=0 — the class generic encoders emit) into its EXPORTED
+    * symbols. `input` = symbols imported from referred dictionaries,
+    * participating in the export-flag run. r18: SDREFAGG=1 symbols
+    * with REFAGGNINST=1 decode as §6.5.8.2.2 refinements of an
+    * earlier symbol (IAAI count, IAID reference, IARDX/IARDY offsets,
+    * one shared GR context); multi-instance aggregates (a nested text
+    * region per symbol) stay out of envelope. */
   private def decodeSymbolDict(b: Array[Byte], start: Int, len: Int,
                                input: IndexedSeq[Sym]): Option[IndexedSeq[Sym]] = {
     if (len < 12) return None
     val flags = ((b(start) & 0xff) << 8) | (b(start + 1) & 0xff)
-    if ((flags & 2) != 0) return None // SDREFAGG: out of envelope
-    if ((flags & 1) != 0) // SDHUFF (r17): the fax-origin class
+    val refAgg = (flags & 2) != 0
+    if ((flags & 1) != 0) { // SDHUFF (r17): the fax-origin class
+      if (refAgg) return None // Huffman REFAGG: out of envelope
       return decodeSymbolDictHuffman(b, start, len, input, flags)
+    }
     // bit 8: "bitmap coding context used" — this decoder never retains
     // GB context across dictionaries, so honoring the flag is
     // impossible; decoding anyway would return silently garbled glyphs
     if ((flags & 0x100) != 0) return None
     val template = (flags >>> 10) & 3
+    val sdrTemplate = (flags >>> 12) & 1
     var p = start + 2
     val nAt = if (template == 0) 8 else 2
-    if (p + nAt + 8 > start + len) return None
+    if (p + nAt > start + len) return None
     val at = Array.tabulate(nAt)(i => b(p + i).toInt)
     p += nAt
+    val sdrAt =
+      if (refAgg && sdrTemplate == 0) {
+        if (p + 4 > start + len) return None
+        val a = Array.tabulate(4)(i => b(p + i).toInt) // signed
+        p += 4
+        a
+      } else Array.empty[Int]
+    if (p + 8 > start + len) return None
     val numEx = u32(b, p); val numNew = u32(b, p + 4); p += 8
     if (numNew > 10000 || numEx > 10000) return None
     val mq = new MqDecoder(java.util.Arrays.copyOfRange(b, p, start + len))
     val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
     val gb = new CxTable(1 << contextSize(template))
+    // REFAGG state (allocated only when used): aggregate-instance
+    // count, reference-symbol ID tree over input ++ new, RD offsets,
+    // and ONE shared refinement context for the whole dictionary
+    lazy val iaai = new MqInt
+    lazy val iardx = new MqInt
+    lazy val iardy = new MqInt
+    lazy val grCx = new CxTable(1 << refContextSize(sdrTemplate))
+    // §6.5.8.2.3: SBSYMCODELEN = ceil(log2(SDNUMINSYMS + SDNUMNEWSYMS))
+    // — no max(1, …) here, unlike the text region's erratum form
+    val aggCodeLen = ceilLog2(input.length + numNew.toInt)
+    lazy val aggIdCx = new CxTable(1 << (aggCodeLen + 1))
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Sym]
     var hc = 0
     var area = 0L
@@ -974,8 +1010,23 @@ object Jbig2 {
             if (sw <= 0 || sw > 4096 || newSyms.length >= numNew) return None
             area += sw.toLong * hc
             if (area > 64L * 1024 * 1024) return None
-            val bmp = decodeGenericWith(mq, gb, sw, hc, template,
-              tpgdon = false, at).getOrElse(return None)
+            val bmp =
+              if (!refAgg)
+                decodeGenericWith(mq, gb, sw, hc, template,
+                  tpgdon = false, at).getOrElse(return None)
+              else {
+                val ninst = iaai.decode(mq).getOrElse(return None)
+                if (ninst != 1) return None // nested text region: out
+                val id = iaidDecode(mq, aggIdCx, aggCodeLen)
+                val rdx = iardx.decode(mq).getOrElse(return None)
+                val rdy = iardy.decode(mq).getOrElse(return None)
+                val pool: IndexedSeq[Sym] = input ++ newSyms
+                if (id < 0 || id >= pool.length) return None
+                val ref = pool(id)
+                decodeRefinementWith(mq, grCx, sw, hc, sdrTemplate,
+                  tpgron = false, sdrAt, ref.bits, ref.w, ref.h,
+                  rdx, rdy).getOrElse(return None)
+              }
             newSyms += Sym(sw, hc, bmp)
         }
       }
@@ -1299,14 +1350,19 @@ object Jbig2 {
     Some(out)
   }
 
-  /** Decode a text-region segment payload (§6.4.5; SBREFINE=0)
-    * against the referred dictionaries' exported symbols — BOTH
-    * coding classes: arithmetic (SBHUFF=0, the §6.4 IADT/IAFS/IADS/
-    * IAIT/IAID procedures) and Huffman (SBHUFF=1, r17 — the
-    * fax-origin class: standard Annex B table selections plus the
-    * §7.4.4.1.1 runcode-built symbol-ID table). One shared instance
-    * loop; the two classes differ only in the per-field decoders.
-    * Returns the region bitmap and its placement. */
+  /** Decode a text-region segment payload (§6.4.5) against the
+    * referred dictionaries' exported symbols — BOTH coding classes:
+    * arithmetic (SBHUFF=0, the §6.4 IADT/IAFS/IADS/IAIT/IAID
+    * procedures) and Huffman (SBHUFF=1, r17 — the fax-origin class:
+    * standard Annex B table selections plus the §7.4.4.1.1
+    * runcode-built symbol-ID table). One shared instance loop; the
+    * two classes differ only in the per-field decoders. r18:
+    * SBREFINE=1 on the ARITHMETIC class decodes per-instance §6.4.11
+    * refinements (IARI indicator, IARDW/RDH/RDX/RDY deltas, the §6.3
+    * refinement of the selected symbol at GRREFERENCEDX/DY =
+    * floor(RD{W,H}/2)+RD{X,Y}); Huffman refinement (its own RD table
+    * selects) stays out of envelope. Returns the region bitmap and
+    * its placement. */
   private def decodeTextRegion(b: Array[Byte], start: Int, len: Int,
       syms: IndexedSeq[Sym])
       : Option[(Int, Int, Int, Int, Int, Array[Boolean])] = {
@@ -1326,7 +1382,11 @@ object Jbig2 {
     val defPixel = (flags & 0x200) != 0
     val dsOffsetRaw = (flags >>> 10) & 0x1F
     val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw
-    if (refine) return None // refinement: out of envelope
+    val sbrTemplate = (flags >>> 15) & 1
+    // Huffman-coded refinement needs the RDW/RDH/RDX/RDY table
+    // selects — out of envelope (fail closed); arithmetic refinement
+    // decodes below (r18)
+    if (refine && sbhuff) return None
     val strips = 1 << logStrips
     var q = start + 19
     // SBHUFF=1 (r17): a 2-byte Huffman-flags field selects the
@@ -1348,16 +1408,26 @@ object Jbig2 {
         }
         Some((fsT, dsT, dtT))
       }
+    // SBRAT: 2 refinement AT pairs follow the (Huffman) flags when
+    // SBREFINE=1 and SBRTEMPLATE=0 (§7.4.4.1)
+    val sbrAt =
+      if (refine && sbrTemplate == 0) {
+        if (q + 4 > start + len) return None
+        val a = Array.tabulate(4)(i => b(q + i).toInt) // signed
+        q += 4
+        a
+      } else Array.empty[Int]
     if (q + 4 > start + len) return None
     val numInst = u32(b, q); q += 4
     if (numInst > 1000000) return None
     val symCodeLen = math.max(1, ceilLog2(syms.length))
     // per-field decoders — the §6.4.5 loop below is shared; only the
     // wire form differs. decDS: outer None = tear, inner None = OOB
-    // (end of strip).
-    val (decDT, decFS, decDS, decT, decID):
+    // (end of strip). refineFn maps the selected symbol through the
+    // per-instance §6.4.11 refinement (identity when SBREFINE=0).
+    val (decDT, decFS, decDS, decT, decID, refineFn):
         (() => Option[Int], () => Option[Int], () => Option[Option[Int]],
-          () => Option[Int], () => Option[Int]) =
+          () => Option[Int], () => Option[Int], Sym => Option[Sym]) =
       huffTables match {
         case Some((fsT, dsT, dtT)) =>
           val br = new Jbig2Huffman.BitReader(b, q, start + len)
@@ -1378,18 +1448,46 @@ object Jbig2 {
               case _ => None
             },
             () => if (strips == 1) Some(0) else br.read(logStrips).map(_.toInt),
-            () => int(idTable.decode(br)))
+            () => int(idTable.decode(br)),
+            (sym: Sym) => Some(sym))
         case None =>
           val mq = new MqDecoder(
             java.util.Arrays.copyOfRange(b, q, start + len))
           val iadt = new MqInt; val iafs = new MqInt
           val iads = new MqInt; val iait = new MqInt
           val idCx = new CxTable(1 << (symCodeLen + 1))
+          val refF: Sym => Option[Sym] =
+            if (!refine) (sym: Sym) => Some(sym)
+            else {
+              val iari = new MqInt
+              val iardw = new MqInt; val iardh = new MqInt
+              val iardx = new MqInt; val iardy = new MqInt
+              val grCx = new CxTable(1 << refContextSize(sbrTemplate))
+              (sym: Sym) => iari.decode(mq) match {
+                case None => None // OOB on the indicator: torn stream
+                case Some(0) => Some(sym)
+                case Some(_) =>
+                  for {
+                    rdw <- iardw.decode(mq)
+                    rdh <- iardh.decode(mq)
+                    rdx <- iardx.decode(mq)
+                    rdy <- iardy.decode(mq)
+                    nw = sym.w + rdw
+                    nh = sym.h + rdh
+                    if nw > 0 && nh > 0 && nw <= 4096 && nh <= 4096
+                    bits <- decodeRefinementWith(mq, grCx, nw, nh,
+                      sbrTemplate, tpgron = false, sbrAt,
+                      sym.bits, sym.w, sym.h,
+                      (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+                  } yield Sym(nw, nh, bits)
+              }
+            }
           (() => iadt.decode(mq),
             () => iafs.decode(mq),
             () => Some(iads.decode(mq)),
             () => if (strips == 1) Some(0) else iait.decode(mq),
-            () => Some(iaidDecode(mq, idCx, symCodeLen)))
+            () => Some(iaidDecode(mq, idCx, symCodeLen)),
+            refF)
       }
     val w = rw.toInt; val h = rh.toInt
     val region = Array.fill(w * h)(defPixel)
@@ -1415,7 +1513,10 @@ object Jbig2 {
           val t = stripT + curT
           val id = decID().getOrElse(return None)
           if (id < 0 || id >= syms.length) return None
-          val sym = syms(id)
+          // SBREFINE (r18): the placed bitmap is the per-instance
+          // refinement of the dictionary symbol; its own dims govern
+          // placement and the S advance (§6.4.5 step 3c x/xi)
+          val sym = refineFn(syms(id)).getOrElse(return None)
           // TRANSPOSED=0: S is the left edge, corner bit 0 (top vs
           // bottom) aligns T vertically; TRANSPOSED=1 exchanges the
           // axes: S is the TOP row, corner bit 1 (left vs right)
@@ -1549,6 +1650,253 @@ object Jbig2 {
     sw.u8(0x00) // external comb: OR
     // SBHUFF=0, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT, TRANSPOSED bit 6
     sw.u16((1 << 4) | (if (transposed) 1 << 6 else 0))
+    sw.u32(instances.length.toLong)
+    sw.bytes(trData)
+    sw.result()
+  }
+
+  /** r18 fixture twin for SBREFINE: a plain arithmetic dictionary
+    * plus a text region (SBSTRIPS=1, TOPLEFT, untransposed) whose
+    * instances may each carry a §6.4.11 refinement —
+    * `instances: (glyphIdx, x, y, Option[(rdw, rdh, rdx, rdy,
+    * refinedBits)])` with refinedBits of dims (gw+rdw)×(gh+rdh).
+    * Decodable by [[decodeEmbedded]]. */
+  def encodeEmbeddedRefinedText(glyphs: Seq[(Int, Int, Array[Boolean])],
+      instances: Seq[(Int, Int, Int, Option[(Int, Int, Int, Int, Array[Boolean])])],
+      pageW: Int, pageH: Int, sbrTemplate: Int = 0): Array[Byte] = {
+    require(glyphs.nonEmpty, "at least one glyph")
+    // ---- symbol dictionary payload (same shape as encodeEmbeddedText)
+    val sdMq = new MqEncoder
+    val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+    val gb = new CxTable(1 << contextSize(0))
+    val order = glyphs.zipWithIndex.sortBy { case ((w, h, _), _) => (h, w) }
+    val dictIndex = new Array[Int](glyphs.length)
+    for (((_, i), di) <- order.zipWithIndex) dictIndex(i) = di
+    var prevH = 0
+    var k = 0
+    while (k < order.length) {
+      val h = order(k)._1._2
+      iadh.encode(sdMq, Some(h - prevH))
+      prevH = h
+      var prevW = 0
+      while (k < order.length && order(k)._1._2 == h) {
+        val (w, _, bits) = order(k)._1
+        iadw.encode(sdMq, Some(w - prevW))
+        prevW = w
+        encodeGenericWith(sdMq, gb, bits, w, h, 0, tpgdon = false)
+        k += 1
+      }
+      iadw.encode(sdMq, None)
+    }
+    iaex.encode(sdMq, Some(0))
+    iaex.encode(sdMq, Some(glyphs.length))
+    val sdData = sdMq.flush()
+    // ---- SBREFINE text region payload
+    val symCodeLen = math.max(1, ceilLog2(glyphs.length))
+    val trMq = new MqEncoder
+    val iadt = new MqInt; val iafs = new MqInt; val iads = new MqInt
+    val iari = new MqInt
+    val iardw = new MqInt; val iardh = new MqInt
+    val iardx = new MqInt; val iardy = new MqInt
+    val idCx = new CxTable(1 << (symCodeLen + 1))
+    val grCx = new CxTable(1 << refContextSize(sbrTemplate))
+    iadt.encode(trMq, Some(0))
+    val byStrip = instances.sortBy { case (_, x, y, _) => (y, x) }
+    var stripT = 0
+    var firstS = 0
+    var i = 0
+    while (i < byStrip.length) {
+      val t = byStrip(i)._3
+      iadt.encode(trMq, Some(t - stripT))
+      stripT = t
+      var first = true
+      var curS = 0
+      while (i < byStrip.length && byStrip(i)._3 == t) {
+        val (sym, x, _, refSpec) = byStrip(i)
+        if (first) {
+          iafs.encode(trMq, Some(x - firstS))
+          firstS = x
+          curS = x
+          first = false
+        } else iads.encode(trMq, Some(x - curS))
+        iaidEncode(trMq, idCx, symCodeLen, dictIndex(sym))
+        val (gw, gh, gbits) = glyphs(sym)
+        val placedW = refSpec match {
+          case None =>
+            iari.encode(trMq, Some(0))
+            gw
+          case Some((rdw, rdh, rdx, rdy, bits)) =>
+            require(bits.length == (gw + rdw) * (gh + rdh), "refined shape")
+            iari.encode(trMq, Some(1))
+            iardw.encode(trMq, Some(rdw))
+            iardh.encode(trMq, Some(rdh))
+            iardx.encode(trMq, Some(rdx))
+            iardy.encode(trMq, Some(rdy))
+            encodeRefinementWith(trMq, grCx, bits, gw + rdw, gh + rdh,
+              gbits, gw, gh, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+              sbrTemplate, tpgron = false)
+            gw + rdw
+        }
+        curS = x + placedW - 1
+        i += 1
+      }
+      if (i < byStrip.length) iads.encode(trMq, None)
+    }
+    val trData = trMq.flush()
+    // ---- segments
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
+    sw.header(1, 0, 2 + 8 + 8 + sdData.length)
+    sw.u16(0x0000)
+    NominalAt(0).foreach(v => sw.u8(v & 0xff))
+    sw.u32(glyphs.length.toLong); sw.u32(glyphs.length.toLong)
+    sw.bytes(sdData)
+    // text region: info(17) + flags(2) + SBRAT(4 if template 0) +
+    // numInst(4) + data; REFINE bit 1, TOPLEFT, SBRTEMPLATE bit 15
+    val atLen = if (sbrTemplate == 0) 4 else 0
+    sw.header(2, 6, 17 + 2 + atLen + 4 + trData.length, refs = Seq(1))
+    sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00)
+    sw.u16(2 | (1 << 4) | (sbrTemplate << 15))
+    if (sbrTemplate == 0) RefNominalAt.foreach(v => sw.u8(v & 0xff))
+    sw.u32(instances.length.toLong)
+    sw.bytes(trData)
+    sw.result()
+  }
+
+  /** r18 fixture twin for SDREFAGG: dictionary A (plain) exports
+    * `baseGlyphs`; dictionary B (SDREFAGG=1) derives `refined`
+    * symbols — `(refIdx into A's exports, w, h, rdx, rdy, bits)` —
+    * via §6.5.8.2.2 single-instance refinement; a text region
+    * referring BOTH dictionaries places `instances` over the combined
+    * export list (A's glyphs first, then B's). */
+  def encodeEmbeddedAggText(baseGlyphs: Seq[(Int, Int, Array[Boolean])],
+      refined: Seq[(Int, Int, Int, Int, Int, Array[Boolean])],
+      instances: Seq[(Int, Int, Int)],
+      pageW: Int, pageH: Int, sdrTemplate: Int = 0): Array[Byte] = {
+    require(baseGlyphs.nonEmpty && refined.nonEmpty, "glyphs on both sides")
+    // ---- dict A: plain arithmetic (same as encodeEmbeddedText's)
+    val aMq = new MqEncoder
+    locally {
+      val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+      val gb = new CxTable(1 << contextSize(0))
+      val order = baseGlyphs.sortBy { case (w, h, _) => (h, w) }
+      var prevH = 0
+      var k = 0
+      while (k < order.length) {
+        val h = order(k)._2
+        iadh.encode(aMq, Some(h - prevH))
+        prevH = h
+        var prevW = 0
+        while (k < order.length && order(k)._2 == h) {
+          val (w, _, bits) = order(k)
+          iadw.encode(aMq, Some(w - prevW))
+          prevW = w
+          encodeGenericWith(aMq, gb, bits, w, h, 0, tpgdon = false)
+          k += 1
+        }
+        iadw.encode(aMq, None)
+      }
+      iaex.encode(aMq, Some(0))
+      iaex.encode(aMq, Some(baseGlyphs.length))
+    }
+    val aData = aMq.flush()
+    // NOTE: dict A exports in (h, w)-sorted order — refIdx below and
+    // the instance glyph indices address THAT order.
+    val aExports = baseGlyphs.sortBy { case (w, h, _) => (h, w) }
+    // ---- dict B: SDREFAGG=1, every new symbol a 1-instance refinement
+    val bMq = new MqEncoder
+    locally {
+      val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+      val iaai = new MqInt; val iardx = new MqInt; val iardy = new MqInt
+      val aggCodeLen = ceilLog2(aExports.length + refined.length)
+      val aggIdCx = new CxTable(1 << (aggCodeLen + 1))
+      val grCx = new CxTable(1 << refContextSize(sdrTemplate))
+      val order = refined.sortBy { case (_, w, h, _, _, _) => (h, w) }
+      var prevH = 0
+      var k = 0
+      while (k < order.length) {
+        val h = order(k)._3
+        iadh.encode(bMq, Some(h - prevH))
+        prevH = h
+        var prevW = 0
+        while (k < order.length && order(k)._3 == h) {
+          val (refIdx, w, _, rdx, rdy, bits) = order(k)
+          iadw.encode(bMq, Some(w - prevW))
+          prevW = w
+          iaai.encode(bMq, Some(1))
+          iaidEncode(bMq, aggIdCx, aggCodeLen, refIdx)
+          iardx.encode(bMq, Some(rdx))
+          iardy.encode(bMq, Some(rdy))
+          val ref = aExports(refIdx)
+          encodeRefinementWith(bMq, grCx, bits, w, h,
+            ref._3, ref._1, ref._2, rdx, rdy, sdrTemplate, tpgron = false)
+          k += 1
+        }
+        iadw.encode(bMq, None)
+      }
+      iaex.encode(bMq, Some(aExports.length)) // A's imports: not re-exported
+      iaex.encode(bMq, Some(refined.length))
+    }
+    val bData = bMq.flush()
+    // ---- text region over A.exports ++ B.exports
+    val syms: IndexedSeq[(Int, Int, Array[Boolean])] =
+      aExports.toIndexedSeq ++
+        refined.sortBy { case (_, w, h, _, _, _) => (h, w) }
+          .map { case (_, w, h, _, _, bits) => (w, h, bits) }
+    val symCodeLen = math.max(1, ceilLog2(syms.length))
+    val trMq = new MqEncoder
+    locally {
+      val iadt = new MqInt; val iafs = new MqInt; val iads = new MqInt
+      val idCx = new CxTable(1 << (symCodeLen + 1))
+      iadt.encode(trMq, Some(0))
+      val byStrip = instances.sortBy { case (_, x, y) => (y, x) }
+      var stripT = 0
+      var firstS = 0
+      var i = 0
+      while (i < byStrip.length) {
+        val t = byStrip(i)._3
+        iadt.encode(trMq, Some(t - stripT))
+        stripT = t
+        var first = true
+        var curS = 0
+        while (i < byStrip.length && byStrip(i)._3 == t) {
+          val (sym, x, _) = byStrip(i)
+          if (first) {
+            iafs.encode(trMq, Some(x - firstS))
+            firstS = x
+            curS = x
+            first = false
+          } else iads.encode(trMq, Some(x - curS))
+          iaidEncode(trMq, idCx, symCodeLen, sym)
+          curS = x + syms(sym)._1 - 1
+          i += 1
+        }
+        if (i < byStrip.length) iads.encode(trMq, None)
+      }
+    }
+    val trData = trMq.flush()
+    // ---- segments
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
+    sw.header(1, 0, 2 + 8 + 8 + aData.length)
+    sw.u16(0x0000)
+    NominalAt(0).foreach(v => sw.u8(v & 0xff))
+    sw.u32(baseGlyphs.length.toLong); sw.u32(baseGlyphs.length.toLong)
+    sw.bytes(aData)
+    // dict B: flags (SDREFAGG | SDRTEMPLATE<<12) + SDAT(8) +
+    // SDRAT(4 if template 0) + numEx + numNew + data
+    val bAtLen = if (sdrTemplate == 0) 4 else 0
+    sw.header(2, 0, 2 + 8 + bAtLen + 8 + bData.length, refs = Seq(1))
+    sw.u16(2 | (sdrTemplate << 12))
+    NominalAt(0).foreach(v => sw.u8(v & 0xff))
+    if (sdrTemplate == 0) RefNominalAt.foreach(v => sw.u8(v & 0xff))
+    sw.u32(refined.length.toLong); sw.u32(refined.length.toLong)
+    sw.bytes(bData)
+    sw.header(3, 6, 17 + 2 + 4 + trData.length, refs = Seq(1, 2))
+    sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00)
+    sw.u16(1 << 4) // SBHUFF=0, REFINE=0, TOPLEFT
     sw.u32(instances.length.toLong)
     sw.bytes(trData)
     sw.result()

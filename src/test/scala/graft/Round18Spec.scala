@@ -367,6 +367,98 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("SBREFINE text region: per-instance refinements place the " +
+       "REFINED bitmap (own dims govern placement), plain instances " +
+       "place the dictionary glyph; templates 0 and 1") {
+    val pageW = 24; val pageH = 12
+    // glyph 0: 3x3 X shape; glyph 1: 2x2 full block
+    val g0 = (3, 3, Array(true, false, true, false, true, false,
+      true, false, true))
+    val g1 = (2, 2, Array(true, true, true, true))
+    // refined instance of glyph 0: grows 1 wider/taller, all-border
+    val rw = 4; val rh = 4
+    val refBits = Array.tabulate(rw * rh) { i =>
+      val x = i % rw; val y = i / rw
+      x == 0 || y == 0 || x == rw - 1 || y == rh - 1
+    }
+    for (template <- Seq(0, 1)) {
+      val stream = Jbig2.encodeEmbeddedRefinedText(
+        Seq(g0, g1),
+        Seq((1, 1, 1, None), (0, 8, 2, Some((1, 1, 0, 0, refBits)))),
+        pageW, pageH, sbrTemplate = template)
+      val page = Jbig2.decodeEmbedded(None, stream, pageW, pageH)
+      assert(page.isDefined, s"template=$template")
+      val px = page.get
+      def at(x: Int, y: Int) = px(y * pageW + x)
+      // plain glyph 1 at (1,1): 2x2 block
+      assert(at(1, 1) && at(2, 1) && at(1, 2) && at(2, 2))
+      // refined instance at (8,2): the 4x4 border, NOT the 3x3 X
+      for (y <- 0 until rh; x <- 0 until rw)
+        assert(at(8 + x, 2 + y) == refBits(y * rw + x),
+          s"template=$template refined pixel ($x,$y)")
+      assert(!at(9, 3) && !at(10, 3), "border interior stays empty")
+    }
+  }
+
+  test("SDREFAGG symbol dictionary: refinement-coded symbols decode " +
+       "against an imported dictionary and place through a text " +
+       "region; templates 0 and 1") {
+    val pageW = 20; val pageH = 10
+    // base glyph: 3x3 solid; refined symbol: 3x3 hollow (refIdx 0)
+    val base = (3, 3, Array.fill(9)(true))
+    val hollow = Array.tabulate(9)(i => i != 4)
+    for (template <- Seq(0, 1)) {
+      val stream = Jbig2.encodeEmbeddedAggText(
+        Seq(base),
+        Seq((0, 3, 3, 0, 0, hollow)),
+        // id 0 = base (dict A), id 1 = the refined symbol (dict B)
+        Seq((0, 1, 1), (1, 9, 1)),
+        pageW, pageH, sdrTemplate = template)
+      val page = Jbig2.decodeEmbedded(None, stream, pageW, pageH)
+      assert(page.isDefined, s"template=$template")
+      val px = page.get
+      def at(x: Int, y: Int) = px(y * pageW + x)
+      for (y <- 0 until 3; x <- 0 until 3) {
+        assert(at(1 + x, 1 + y), s"base pixel ($x,$y)")
+        assert(at(9 + x, 1 + y) == hollow(y * 3 + x),
+          s"template=$template refined pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("SBREFINE/SDREFAGG fail-closed + fuzz: Huffman refinement and " +
+       "multi-instance aggregates stay out of envelope; bit flips and " +
+       "truncations never throw") {
+    val g = (2, 2, Array(true, true, true, false))
+    val refined = Array.fill(4)(true)
+    val sbr = Jbig2.encodeEmbeddedRefinedText(Seq(g),
+      Seq((0, 1, 1, Some((0, 0, 0, 0, refined)))), 8, 8)
+    assert(Jbig2.decodeEmbedded(None, sbr, 8, 8).isDefined)
+    // flipping the SBHUFF bit on a REFINE region must fail closed
+    // (Huffman refinement tables are out of envelope). Layout: page
+    // info = 11-byte header + 19 data; dict = 11-byte header + LEN
+    // (u32 at its header+7); text = 12-byte header (1 ref) + 17-byte
+    // region info + 2 flag bytes.
+    val dictLen = ((sbr(37) & 0xff) << 24) | ((sbr(38) & 0xff) << 16) |
+      ((sbr(39) & 0xff) << 8) | (sbr(40) & 0xff)
+    val flagsAt = 30 + 11 + dictLen + 12 + 17
+    val huffRef = sbr.clone()
+    huffRef(flagsAt + 1) = (huffRef(flagsAt + 1) | 1).toByte
+    assert((huffRef(flagsAt + 1) & 2) != 0, "offset sanity: REFINE bit set")
+    assert(Jbig2.decodeEmbedded(None, huffRef, 8, 8).isEmpty)
+    val agg = Jbig2.encodeEmbeddedAggText(Seq(g),
+      Seq((0, 2, 2, 0, 0, refined)), Seq((1, 1, 1)), 8, 8)
+    assert(Jbig2.decodeEmbedded(None, agg, 8, 8).isDefined)
+    val r = new scala.util.Random(1818)
+    for (stream <- Seq(sbr, agg); _ <- 0 until 250) {
+      val m = stream.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, 8, 8) // no throw
+    }
+    for (stream <- Seq(sbr, agg); cut <- 1 until stream.length by 3)
+      Jbig2.decodeEmbedded(None, stream.take(cut), 8, 8) // no throw
+  }
+
   test("Huffman symbol dict with an EMPTY height class stays in sync " +
        "(BMSIZE is read per class unconditionally)") {
     import Jbig2Huffman._
