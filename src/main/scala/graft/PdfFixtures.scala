@@ -1111,6 +1111,78 @@ object PdfFixtures {
         s"/Length ${stream.length} >>", Some(stream))))
   }
 
+  /** q401: JBIG2 CUSTOM Huffman tables (T.88 §B.2 / segment type 53,
+    * r18 — the last Huffman class besides refinement tables): a
+    * Huffman-coded text region whose DT deltas ride a custom table
+    * segment (select 3), placing two solid k×k glyphs; the second
+    * strip's T delta cycles 0..7 so several custom codewords decode
+    * per corpus. Black count = 2k². */
+  def jbig2CustomTableDoc(id: Long): Array[Byte] = {
+    val k = 2 + (id % 3).toInt
+    val w = 2 * k + 4; val h = k + 9
+    val solid = Array.fill(k * k)(true)
+    val y2 = 1 + (id % 8).toInt
+    val stream = graft.sources.Jbig2.encodeEmbeddedTextHuffman(
+      Seq((k, k, solid)),
+      Seq((0, 1, 1), (0, k + 2, y2)),
+      w, h, customDt = true)
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        "/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
+  }
+
+  /** q400: minimal Matroska/WebM containers (RFC 8794 EBML) — EBML
+    * header with the DocType cycling matroska/webm, Segment → Info
+    * (TimestampScale OMITTED on id%3==0 to exercise the 1e6 default,
+    * else planted 500k/250k ns ticks; Duration an 8-byte float of
+    * ticks chosen so ms is exact) → Tracks (a video TrackEntry with
+    * planted PixelWidth/PixelHeight; odd ids add an audio TrackEntry
+    * with no Video element that must not displace the dims). */
+  def mkvDoc(id: Long): Array[Byte] = {
+    def sizeOf(n: Long): Array[Byte] =
+      // 8-byte size form: 0x01 marker then 7 payload bytes
+      Array(0x01.toByte) ++ (6 to 0 by -1).map(i =>
+        ((n >>> (8 * i)) & 0xff).toByte).toArray
+    def el(idBytes: Array[Byte], body: Array[Byte]): Array[Byte] =
+      idBytes ++ sizeOf(body.length.toLong) ++ body
+    def id1(v: Int) = Array(v.toByte)
+    def id2(v: Int) = Array((v >> 8).toByte, v.toByte)
+    def id3(v: Int) = Array((v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def id4(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def uintBody(v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >>> (8 * n)) != 0) n += 1
+      ((n - 1) to 0 by -1).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    }
+    val docType = if (id % 2 == 0) "matroska" else "webm"
+    val ms = 2000L + id % 9000
+    val (scaleEl, ticks) = (id % 3).toInt match {
+      case 0 => (Array.emptyByteArray, ms) // default 1e6 ns ticks
+      case 1 => (el(id3(0x2AD7B1), uintBody(500000L)), ms * 2)
+      case _ => (el(id3(0x2AD7B1), uintBody(250000L)), ms * 4)
+    }
+    val durBits = java.lang.Double.doubleToLongBits(ticks.toDouble)
+    val w = 320 + (id % 16).toInt * 8; val h = 180 + (id % 9).toInt * 20
+    val ebml = el(id4(0x1A45DFA3L),
+      el(id2(0x4282), docType.getBytes(ISO)))
+    val info = el(id4(0x1549A966L),
+      scaleEl ++ el(id2(0x4489), (7 to 0 by -1).map(i =>
+        ((durBits >>> (8 * i)) & 0xff).toByte).toArray))
+    val videoTrack = el(id1(0xAE),
+      el(id1(0x83), uintBody(1L)) ++
+        el(id1(0xE0),
+          el(id1(0xB0), uintBody(w.toLong)) ++
+            el(id1(0xBA), uintBody(h.toLong))))
+    val audioTrack =
+      if (id % 2 == 1) el(id1(0xAE), el(id1(0x83), uintBody(2L)))
+      else Array.emptyByteArray
+    val tracks = el(id4(0x1654AE6BL), videoTrack ++ audioTrack)
+    ebml ++ el(id4(0x18538067L), info ++ tracks)
+  }
+
   /** q399: JBIG2 refinement-coded SYMBOLS (T.88 §6.4.11 / §6.5.8.2,
     * r18 — the per-glyph second pass real scanner output uses): even
     * ids exercise SBREFINE (a text-region instance refines the solid

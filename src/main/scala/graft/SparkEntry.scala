@@ -10539,6 +10539,39 @@ object SparkEntry {
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2RefinementDoc _))
     }),
 
+    "q401_pdf_jbig2_custom_table" -> ((s, dir) => {
+      // JBIG2 CUSTOM Huffman tables (r18 -- T.88 SS B.2 / segment
+      // type 53, entirely structural: per-line prefix/range lengths
+      // from the stream, canonical B.3 assignment, Kraft-validated):
+      // per doc a Huffman text region whose DT deltas ride a custom
+      // table selected by SBHUFFDT=3 from the referred table segment,
+      // placing two solid k-square glyphs with a cycling second-strip
+      // T delta. Black count is closed-form, so a line-walk slip,
+      // select-order bug, or lower/upper-escape error breaks the hash
+      // tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2CustomTableDoc _))
+    }),
+
+    "q400_mkv_meta" -> ((s, dir) => {
+      // Matroska/WebM VIDEO metadata (r18 -- the remaining video
+      // container class, same codec-less discipline as the q390
+      // ISO-BMFF walk: RFC 8794 EBML varint elements, public Matroska
+      // IDs): per doc one container cycling the matroska/webm
+      // DocTypes, with the TimestampScale OMITTED on id%3==0 (the 1e6
+      // default must hold) or planted 500k/250k, the Duration an
+      // 8-byte float of ticks (exact integer values), planted video
+      // dims, and on odd ids an extra AUDIO TrackEntry that must
+      // count but not displace the dims. The oracle replays planted
+      // values incl. the format column, so a varint-width slip,
+      // default-scale bug, float misread, or track-walk error breaks
+      // the hash tri-scale.
+      Multimodal.decodeVideoMetadataTagged(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            udf(PdfFixtures.mkvDoc _).apply(col("doc_id")).as("media")))
+        .toDF()
+    }),
+
     "q399_pdf_jbig2_refined_symbols" -> ((s, dir) => {
       // JBIG2 refinement-coded SYMBOLS (r18 -- past the verdict ask,
       // which covered region refinement: T.88 SS 6.4.11 SBREFINE
@@ -17335,6 +17368,27 @@ object SparkEntry {
         |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM px""".stripMargin,
+
+    // q401: two k×k solid glyphs through the custom-DT Huffman path
+    "q401_pdf_jbig2_custom_table" ->
+      """WITH v AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS k FROM documents)
+        |SELECT doc_id,
+        |  CAST(2 * k + 4 AS BIGINT) AS w, CAST(k + 9 AS BIGINT) AS h,
+        |  CAST(FLOOR(255.0 * ((2 * k + 4) * (k + 9) - 2 * k * k) /
+        |    ((2 * k + 4) * (k + 9)) * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM v""".stripMargin,
+
+    // q400: planted Matroska/WebM header values (ms exact across the
+    // omitted-default/500k/250k TimestampScale cycle)
+    "q400_mkv_meta" ->
+      """SELECT doc_id,
+        |  CAST(2000 + doc_id % 9000 AS BIGINT) AS duration_ms,
+        |  CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
+        |  CAST(180 + (doc_id % 9) * 20 AS INT) AS height,
+        |  CAST(1 + doc_id % 2 AS INT) AS tracks,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END AS format
+        |FROM documents""".stripMargin,
 
     // q399: refined-symbol black counts — solid k² plus a hollow
     // border (4k for the grown SBREFINE border, 4k−4 for the k×k

@@ -614,11 +614,108 @@ object Multimodal {
     if (w < 1 || h < 1) None else Some((w, h, brand))
   }
 
+  /** Matroska/WebM metadata (r18 — VERDICT r17 Missing tail; the
+    * public RFC 8794 EBML layout + Matroska element IDs, the same
+    * codec-less header-walk discipline as [[mp4Meta]]): EBML header
+    * (DocType `matroska`|`webm`) → Segment → Info (TimestampScale
+    * ns/tick, default 1e6; Duration as a 4/8-byte float of ticks) →
+    * Tracks (TrackEntry count; the LARGEST video track's
+    * PixelWidth/PixelHeight — thumbnails must not displace the main
+    * track). Unknown-size elements (the live-stream form), torn
+    * varints, absurd scales, and non-finite durations → None. */
+  private[graft] def mkvMeta(p: Array[Byte]): Option[VideoMeta] = {
+    if (p == null || p.length < 12) return None
+    // varint: leading-zero count of the first byte gives the width
+    def varint(o: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= p.length) return None
+      val b0 = p(o) & 0xff
+      if (b0 == 0) return None
+      val n = 8 - (31 - Integer.numberOfLeadingZeros(b0)) // 1..8 bytes
+      if (o + n > p.length) return None
+      var v = (if (keepMarker) b0 else b0 & ((1 << (8 - n)) - 1)).toLong
+      var i = 1
+      while (i < n) { v = (v << 8) | (p(o + i) & 0xff); i += 1 }
+      // all-ones VALUE bits = unknown size: out of envelope
+      if (!keepMarker && v == (1L << (7 * n)) - 1) return None
+      Some((v, n))
+    }
+    // children of b(from until until) as (id, dataStart, dataEnd)
+    def children(from: Int, until: Int): Option[Seq[(Long, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      var o = from
+      while (o < until) {
+        val (id, idN) = varint(o, keepMarker = true).getOrElse(return None)
+        val (sz, szN) = varint(o + idN, keepMarker = false).getOrElse(return None)
+        val ds = o + idN + szN
+        if (sz < 0 || ds + sz > until) return None
+        out += ((id, ds, (ds + sz).toInt))
+        o = (ds + sz).toInt
+        if (out.length > 100000) return None
+      }
+      Some(out.toSeq)
+    }
+    @inline def uint(ds: Int, de: Int): Option[Long] = {
+      if (de - ds > 8 || de - ds < 1) return None
+      var v = 0L; var i = ds
+      while (i < de) { v = (v << 8) | (p(i) & 0xff); i += 1 }
+      Some(v)
+    }
+    def float(ds: Int, de: Int): Option[Double] = (de - ds) match {
+      case 4 => uint(ds, de).map(v => java.lang.Float.intBitsToFloat(v.toInt).toDouble)
+      case 8 => uint(ds, de).map(java.lang.Double.longBitsToDouble)
+      case _ => None
+    }
+    val top = children(0, p.length).getOrElse(return None)
+    val (_, ebmlS, ebmlE) = top.find(_._1 == 0x1A45DFA3L).getOrElse(return None)
+    val ebml = children(ebmlS, ebmlE).getOrElse(return None)
+    val docType = ebml.find(_._1 == 0x4282L).map { case (_, s, e) =>
+      new String(p, s, e - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }.getOrElse(return None)
+    if (docType != "matroska" && docType != "webm") return None
+    val (_, segS, segE) = top.find(_._1 == 0x18538067L).getOrElse(return None)
+    val seg = children(segS, segE).getOrElse(return None)
+    val (_, infS, infE) = seg.find(_._1 == 0x1549A966L).getOrElse(return None)
+    val info = children(infS, infE).getOrElse(return None)
+    val tsScale = info.find(_._1 == 0x2AD7B1L)
+      .map { case (_, s, e) => uint(s, e).getOrElse(return None) }
+      .getOrElse(1000000L) // spec default: 1 ms ticks
+    if (tsScale < 1 || tsScale > 2000000000L) return None
+    val durTicks = info.find(_._1 == 0x4489L)
+      .map { case (_, s, e) => float(s, e).getOrElse(return None) }
+      .getOrElse(return None)
+    if (!java.lang.Double.isFinite(durTicks) || durTicks < 0 ||
+        durTicks > 1e15) return None
+    val durationMs = math.round(durTicks * tsScale / 1e6)
+    val (_, trkS, trkE) = seg.find(_._1 == 0x1654AE6BL).getOrElse(return None)
+    val entries = children(trkS, trkE).getOrElse(return None)
+      .filter(_._1 == 0xAEL)
+    if (entries.isEmpty) return None
+    var w = 0; var h = 0
+    for ((_, es, ee) <- entries) {
+      val fields = children(es, ee).getOrElse(return None)
+      for ((vid, vs, ve) <- fields if vid == 0xE0L) {
+        val vf = children(vs, ve).getOrElse(return None)
+        val tw = vf.find(_._1 == 0xB0L)
+          .flatMap { case (_, s, e) => uint(s, e) }.getOrElse(0L)
+        val th = vf.find(_._1 == 0xBAL)
+          .flatMap { case (_, s, e) => uint(s, e) }.getOrElse(0L)
+        if (tw > 65536 || th > 65536) return None
+        if (tw * th > w.toLong * h) { w = tw.toInt; h = th.toInt }
+      }
+    }
+    Some(VideoMeta(durationMs, w, h, entries.length, docType))
+  }
+
+  /** All video metadata legs: ISO-BMFF then Matroska/WebM. */
+  private[graft] def videoMeta(p: Array[Byte]): Option[VideoMeta] =
+    mp4Meta(p).orElse(mkvMeta(p))
+
   case class VideoRow(doc_id: Long, duration_ms: Long, width: Int,
                       height: Int, tracks: Int)
 
   /** Typed video-metadata extraction over opaque binary payloads:
-    * one box walk per row, undecodable payloads dropped. */
+    * one container walk per row (ISO-BMFF or Matroska/WebM, r18),
+    * undecodable payloads dropped. */
   def decodeVideoMetadata(df: DataFrame, idCol: String = "doc_id",
                           mediaCol: String = "media"): Dataset[VideoRow] = {
     val spark = df.sparkSession
@@ -627,8 +724,29 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          mp4Meta(payload).map(m =>
+          videoMeta(payload).map(m =>
             VideoRow(id, m.durationMs, m.width, m.height, m.tracks))
+        }
+      }
+  }
+
+  case class VideoRowTagged(doc_id: Long, duration_ms: Long, width: Int,
+                            height: Int, tracks: Int, format: String)
+
+  /** As [[decodeVideoMetadata]] with the container format surfaced
+    * (mp4 / matroska / webm) — q390 predates the format column, so
+    * its row shape stays frozen. */
+  def decodeVideoMetadataTagged(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media"): Dataset[VideoRowTagged] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          videoMeta(payload).map(m =>
+            VideoRowTagged(id, m.durationMs, m.width, m.height, m.tracks,
+              m.format))
         }
       }
   }

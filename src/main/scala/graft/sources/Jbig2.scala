@@ -589,6 +589,9 @@ object Jbig2 {
     val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Sym]]
     // exported patterns per pattern-dictionary segment (r17, §6.7)
     val patDicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Sym]]
+    // custom Huffman tables by segment number (r18, §B.2)
+    val custTables = scala.collection.mutable.Map
+      .empty[Long, Jbig2Huffman.HTable]
     // intermediate region results (r18, §8.2): types 4/20/36 retain
     // their bitmap + placement for a later refinement segment instead
     // of compositing into the page
@@ -686,15 +689,26 @@ object Jbig2 {
               case 0 => // symbol dictionary (§7.4.3): register exports
                 val input: IndexedSeq[Sym] =
                   s.refs.toIndexedSeq.flatMap(n => dicts.getOrElse(n, IndexedSeq.empty))
-                decodeSymbolDict(b, s.dataStart, s.dataLen, input) match {
+                val tabs: IndexedSeq[Jbig2Huffman.HTable] =
+                  s.refs.toIndexedSeq.flatMap(custTables.get)
+                decodeSymbolDict(b, s.dataStart, s.dataLen, input, tabs) match {
                   case None => return None
                   case Some(ex) => dicts(s.number) = ex
+                }
+              case 53 => // custom Huffman table (§7.4.5.1 / B.2, r18):
+                // register for table selects of value 3 in later
+                // Huffman dict/text segments
+                Jbig2Huffman.readCustomTable(b, s.dataStart, s.dataLen) match {
+                  case None => return None
+                  case Some(t) => custTables(s.number) = t
                 }
               case 4 | 6 | 7 => // text region (§7.4.4): 6/7 immediate,
                 // 4 intermediate (r18 — retained as refinement input)
                 val syms: IndexedSeq[Sym] =
                   s.refs.toIndexedSeq.flatMap(n => dicts.getOrElse(n, IndexedSeq.empty))
-                decodeTextRegion(b, s.dataStart, s.dataLen, syms) match {
+                val tabs: IndexedSeq[Jbig2Huffman.HTable] =
+                  s.refs.toIndexedSeq.flatMap(custTables.get)
+                decodeTextRegion(b, s.dataStart, s.dataLen, syms, tabs) match {
                   case None => return None
                   case Some((rw, rh, rx, ry, op, r)) =>
                     if (s.segType == 4)
@@ -945,13 +959,15 @@ object Jbig2 {
     * one shared GR context); multi-instance aggregates (a nested text
     * region per symbol) stay out of envelope. */
   private def decodeSymbolDict(b: Array[Byte], start: Int, len: Int,
-                               input: IndexedSeq[Sym]): Option[IndexedSeq[Sym]] = {
+                               input: IndexedSeq[Sym],
+                               tabs: IndexedSeq[Jbig2Huffman.HTable] =
+                                 IndexedSeq.empty): Option[IndexedSeq[Sym]] = {
     if (len < 12) return None
     val flags = ((b(start) & 0xff) << 8) | (b(start + 1) & 0xff)
     val refAgg = (flags & 2) != 0
     if ((flags & 1) != 0) { // SDHUFF (r17): the fax-origin class
       if (refAgg) return None // Huffman REFAGG: out of envelope
-      return decodeSymbolDictHuffman(b, start, len, input, flags)
+      return decodeSymbolDictHuffman(b, start, len, input, flags, tabs)
     }
     // bit 8: "bitmap coding context used" — this decoder never retains
     // GB context across dictionaries, so honoring the flag is
@@ -1220,15 +1236,29 @@ object Jbig2 {
     * BMSIZE = 0, MMR (T.6, riding [[CcittG4]]) otherwise — split by
     * the decoded widths. Custom-table selects fail closed. */
   private def decodeSymbolDictHuffman(b: Array[Byte], start: Int, len: Int,
-      input: IndexedSeq[Sym], flags: Int): Option[IndexedSeq[Sym]] = {
+      input: IndexedSeq[Sym], flags: Int,
+      tabs: IndexedSeq[Jbig2Huffman.HTable] = IndexedSeq.empty)
+      : Option[IndexedSeq[Sym]] = {
     import Jbig2Huffman._
+    // custom-table selects (value 3 / set bit) consume the referred
+    // table segments in select order (§7.4.3.1.6, r18)
+    var tabIdx = 0
+    def nextCustom(): Option[HTable] = {
+      val t = tabs.lift(tabIdx); tabIdx += 1; t
+    }
     val dhT = ((flags >>> 2) & 3) match {
-      case 0 => B4; case 1 => B5; case _ => return None
+      case 0 => B4; case 1 => B5
+      case 3 => nextCustom().getOrElse(return None)
+      case _ => return None
     }
     val dwT = ((flags >>> 4) & 3) match {
-      case 0 => B2; case 1 => B3; case _ => return None
+      case 0 => B2; case 1 => B3
+      case 3 => nextCustom().getOrElse(return None)
+      case _ => return None
     }
-    if (((flags >>> 6) & 1) != 0) return None // custom BMSIZE table
+    val bmT = if (((flags >>> 6) & 1) == 0) B1
+      else nextCustom().getOrElse(return None)
+    if (((flags >>> 7) & 1) != 0) return None // AGG table: REFAGG only
     if ((flags & 0x100) != 0) return None // context retention: n/a
     // after flags: numEx, numNew (SDHUFF=1 carries NO AT pixels)
     var p = start + 2
@@ -1270,7 +1300,7 @@ object Jbig2 {
         // may encode a zero-width class; skipping the read desyncs —
         // ADVICE r17). An empty class carries a zero-area bitmap:
         // consume BMSIZE bytes (or, uncompressed, nothing) and move on.
-        val bmSize = B1.decode(br) match {
+        val bmSize = bmT.decode(br) match {
           case Some(Some(v)) if v >= 0 && v <= len => v.toInt
           case _ => return None
         }
@@ -1364,7 +1394,8 @@ object Jbig2 {
     * selects) stays out of envelope. Returns the region bitmap and
     * its placement. */
   private def decodeTextRegion(b: Array[Byte], start: Int, len: Int,
-      syms: IndexedSeq[Sym])
+      syms: IndexedSeq[Sym],
+      tabs: IndexedSeq[Jbig2Huffman.HTable] = IndexedSeq.empty)
       : Option[(Int, Int, Int, Int, Int, Array[Boolean])] = {
     if (len < 23 || syms.isEmpty) return None
     val rw = u32(b, start); val rh = u32(b, start + 4)
@@ -1398,13 +1429,26 @@ object Jbig2 {
         import Jbig2Huffman._
         if (q + 2 > start + len) return None
         val hf = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff); q += 2
+        // bits 6-14 are the refinement-table selects + RSIZE -- only
+        // meaningful under SBREFINE (already out of envelope for
+        // SBHUFF); any nonzero value here is malformed
         if ((hf >>> 6) != 0) return None
-        val fsT = (hf & 3) match { case 0 => B6; case 1 => B7; case _ => return None }
+        var tabIdx = 0
+        def nextCustom(): Option[HTable] = {
+          val t = tabs.lift(tabIdx); tabIdx += 1; t
+        }
+        val fsT = (hf & 3) match {
+          case 0 => B6; case 1 => B7
+          case 3 => nextCustom().getOrElse(return None)
+          case _ => return None
+        }
         val dsT = ((hf >>> 2) & 3) match {
-          case 0 => B8; case 1 => B9; case 2 => B10; case _ => return None
+          case 0 => B8; case 1 => B9; case 2 => B10
+          case _ => nextCustom().getOrElse(return None)
         }
         val dtT = ((hf >>> 4) & 3) match {
-          case 0 => B11; case 1 => B12; case 2 => B13; case _ => return None
+          case 0 => B11; case 1 => B12; case 2 => B13
+          case _ => nextCustom().getOrElse(return None)
         }
         Some((fsT, dsT, dtT))
       }
@@ -1914,9 +1958,22 @@ object Jbig2 {
                                 instances: Seq[(Int, Int, Int)],
                                 pageW: Int, pageH: Int,
                                 mmr: Boolean = false,
-                                transposed: Boolean = false): Array[Byte] = {
+                                transposed: Boolean = false,
+                                customDt: Boolean = false): Array[Byte] = {
     import Jbig2Huffman._
     require(glyphs.nonEmpty, "at least one glyph")
+    // r18: with customDt the DT deltas ride a CUSTOM table segment
+    // (§B.2 — 4 normal lines of range length 2 covering [0, 16),
+    // 3-bit prefixes) selected by SBHUFFDT=3; DT values must stay in
+    // [0, 16) or hit the upper escape, which the fixture avoids
+    val dtCustomLines = Seq((3, 2), (3, 2), (3, 2), (3, 2))
+    val dtCustomBytes =
+      writeCustomTable(0, 16, dtCustomLines, plLow = 3, plHigh = 3,
+        plOob = None)
+    val dtTable: HTable =
+      if (!customDt) B11
+      else readCustomTable(dtCustomBytes, 0, dtCustomBytes.length)
+        .getOrElse(throw new IllegalStateException("fixture table"))
     // ---- symbol dictionary payload
     val sdBw = new BitWriter
     val order = glyphs.zipWithIndex.sortBy { case ((w, h, _), _) => (h, w) }
@@ -1977,7 +2034,7 @@ object Jbig2 {
     for (_ <- glyphs.indices) runTable.encode(trBw, Some(symCodeLen.toLong))
     trBw.align() // the table ends byte-aligned
     val idTable = prefixTable(Array.fill(glyphs.length)(symCodeLen))
-    B11.encode(trBw, Some(1L)) // initial DT: STRIPT starts at −1
+    dtTable.encode(trBw, Some(1L)) // initial DT: STRIPT starts at −1
     val byStrip =
       if (!transposed) instances.sortBy { case (_, x, y) => (y, x) }
       else instances.sortBy { case (_, x, y) => (x, y) }
@@ -1986,7 +2043,7 @@ object Jbig2 {
     var i = 0
     while (i < byStrip.length) {
       val t = if (!transposed) byStrip(i)._3 else byStrip(i)._2
-      B11.encode(trBw, Some((t - stripT).toLong))
+      dtTable.encode(trBw, Some((t - stripT).toLong))
       stripT = t
       var first = true
       var curS = 0
@@ -2016,14 +2073,21 @@ object Jbig2 {
     sw.u16(0x0001) // SDHUFF=1 (DH B.4, DW B.2, BMSIZE B.1), SDREFAGG=0
     sw.u32(glyphs.length.toLong); sw.u32(glyphs.length.toLong)
     sw.bytes(sdData)
+    // custom DT table segment (type 53) when selected
+    if (customDt) {
+      sw.header(2, 53, dtCustomBytes.length)
+      sw.bytes(dtCustomBytes)
+    }
     // immediate text region: info(17) + flags(2) + huffFlags(2) +
     // numInst(4) + data
-    sw.header(2, 6, 17 + 2 + 2 + 4 + trData.length, refs = Seq(1))
+    sw.header(if (customDt) 3 else 2, 6, 17 + 2 + 2 + 4 + trData.length,
+      refs = if (customDt) Seq(1, 2) else Seq(1))
     sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
     sw.u8(0x00) // external comb: OR
     // SBHUFF=1, REFINE=0, SBSTRIPS=1, REFCORNER=TOPLEFT, TRANSPOSED bit 6
     sw.u16(1 | (1 << 4) | (if (transposed) 1 << 6 else 0))
-    sw.u16(0x0000) // huffFlags: FS B.6, DS B.8, DT B.11
+    // huffFlags: FS B.6, DS B.8, DT B.11 -- or the custom DT (select 3)
+    sw.u16(if (customDt) 3 << 4 else 0x0000)
     sw.u32(instances.length.toLong)
     sw.bytes(trData)
     sw.result()

@@ -257,6 +257,77 @@ private[graft] object Jbig2Huffman {
     new HTable(lengths.zipWithIndex
       .map { case (len, v) => HLine(len, 0, v.toLong, Normal) })
 
+  /** §B.2 CUSTOM table segment payload (r18 — the last Huffman class
+    * besides refinement tables): flags (HTOOB, prefix-size−1 bits
+    * 1–3, range-size−1 bits 4–6), signed HTLOW/HTHIGH, then per
+    * normal line a prefix length and a range length until the range
+    * low reaches HTHIGH, a 32-bit lower-range line at HTLOW−1, a
+    * 32-bit upper-range line at HTHIGH, and an OOB line when HTOOB.
+    * Entirely structural — no table constants. Returns None on torn
+    * reads, absurd line counts, or a Kraft-invalid code. */
+  def readCustomTable(b: Array[Byte], start: Int, len: Int): Option[HTable] = {
+    if (len < 10) return None
+    val flags = b(start) & 0xff
+    val htoob = (flags & 1) != 0
+    val htps = ((flags >>> 1) & 7) + 1
+    val htrs = ((flags >>> 4) & 7) + 1
+    def s32(o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    val htlow = s32(start + 1).toLong
+    val hthigh = s32(start + 5).toLong
+    if (htlow > hthigh) return None
+    val br = new BitReader(b, start + 9, start + len)
+    val lines = scala.collection.mutable.ArrayBuffer.empty[HLine]
+    var cur = htlow
+    while (cur < hthigh) {
+      val pl = br.read(htps).getOrElse(return None).toInt
+      val rl = br.read(htrs).getOrElse(return None).toInt
+      if (rl > 32) return None
+      lines += HLine(pl, rl, cur, Normal)
+      cur += (if (rl >= 63) return None else 1L << rl)
+      if (lines.length > 4096) return None
+    }
+    val plLow = br.read(htps).getOrElse(return None).toInt
+    lines += HLine(plLow, 32, htlow - 1, Lower)
+    val plHigh = br.read(htps).getOrElse(return None).toInt
+    lines += HLine(plHigh, 32, hthigh, Upper)
+    if (htoob) {
+      val plOob = br.read(htps).getOrElse(return None).toInt
+      lines += HLine(plOob, 0, 0, Oob)
+    }
+    if (lines.forall(_.prefLen == 0)) return None
+    val t = new HTable(lines.toArray)
+    if (!t.valid) return None // over-subscribed: colliding codes
+    Some(t)
+  }
+
+  /** Encoder twin of [[readCustomTable]] (fixtures): serialize the
+    * given normal lines (prefixLen, rangeLen) covering
+    * [htlow, hthigh) plus the lower/upper/OOB prefix lengths. */
+  def writeCustomTable(htlow: Int, hthigh: Int,
+                       normal: Seq[(Int, Int)],
+                       plLow: Int, plHigh: Int,
+                       plOob: Option[Int]): Array[Byte] = {
+    val maxPl = (normal.map(_._1) ++ Seq(plLow, plHigh) ++ plOob).max
+    val maxRl = (normal.map(_._2) :+ 1).max
+    def bitsFor(v: Int): Int = { var n = 1; while ((1 << n) <= v) n += 1; n }
+    val htps = bitsFor(maxPl)
+    val htrs = bitsFor(maxRl)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write((if (plOob.isDefined) 1 else 0) |
+      ((htps - 1) << 1) | ((htrs - 1) << 4))
+    for (v <- Seq(htlow, hthigh))
+      for (i <- 3 to 0 by -1) bos.write((v >>> (8 * i)) & 0xff)
+    val bw = new BitWriter
+    for ((pl, rl) <- normal) { bw.write(pl.toLong, htps); bw.write(rl.toLong, htrs) }
+    bw.write(plLow.toLong, htps)
+    bw.write(plHigh.toLong, htps)
+    plOob.foreach(p => bw.write(p.toLong, htps))
+    bos.write(bw.result())
+    bos.toByteArray
+  }
+
   /** §7.4.4.1.1: decode the symbol-ID code table — 35 four-bit
     * runcode lengths, a runcode-decoded length per symbol (32 =
     * repeat previous 3–6 times, 33 = 3–10 zeroes, 34 = 11–138

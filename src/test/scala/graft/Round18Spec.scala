@@ -169,6 +169,68 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------- Matroska/WebM EBML (r18)
+
+  test("Matroska/WebM metadata: planted values round-trip across the " +
+       "omitted/500k/250k TimestampScale cycle; audio tracks count " +
+       "but never displace the video dims") {
+    import graft.operators.Multimodal
+    for (id <- 0L until 24L) {
+      val m = Multimodal.mkvMeta(PdfFixtures.mkvDoc(id))
+      assert(m.isDefined, s"id=$id")
+      assert(m.get.durationMs == 2000L + id % 9000, s"id=$id ms")
+      assert(m.get.width == 320 + (id % 16).toInt * 8 &&
+        m.get.height == 180 + (id % 9).toInt * 20, s"id=$id dims")
+      assert(m.get.tracks == 1 + (id % 2).toInt, s"id=$id tracks")
+      assert(m.get.format == (if (id % 2 == 0) "matroska" else "webm"))
+      // mp4Meta must not claim EBML payloads and vice versa
+      assert(Multimodal.mp4Meta(PdfFixtures.mkvDoc(id)).isEmpty)
+      assert(Multimodal.mkvMeta(PdfFixtures.mp4Doc(id)).isEmpty)
+    }
+  }
+
+  test("Matroska fail-closed: wrong DocType, missing duration, " +
+       "non-finite duration, unknown-size elements, truncation, fuzz") {
+    import graft.operators.Multimodal
+    val good = PdfFixtures.mkvDoc(2L)
+    assert(Multimodal.mkvMeta(good).isDefined)
+    // DocType "matroskb" is neither accepted doctype
+    val badType = good.clone()
+    val dt = {
+      var i = -1
+      for (k <- 0 until good.length - 8)
+        if (new String(good, k, 8, "ISO-8859-1") == "matroska") i = k
+      i
+    }
+    assert(dt > 0)
+    badType(dt + 7) = 'b'.toByte
+    assert(Multimodal.mkvMeta(badType).isEmpty)
+    // NaN duration fails closed (the Duration float is the 8 bytes
+    // after the 0x4489 id + 8-byte size form)
+    val nan = good.clone()
+    val durAt = {
+      var i = -1
+      for (k <- 0 until good.length - 1)
+        if ((good(k) & 0xff) == 0x44 && (good(k + 1) & 0xff) == 0x89) i = k
+      i
+    }
+    assert(durAt > 0)
+    val nanBits = java.lang.Double.doubleToLongBits(Double.NaN)
+    for (i <- 0 until 8)
+      nan(durAt + 2 + 8 + i) = ((nanBits >>> (8 * (7 - i))) & 0xff).toByte
+    assert(Multimodal.mkvMeta(nan).isEmpty, "NaN duration must drop")
+    // truncations and bit flips: Option, never a throw
+    for (cut <- 1 until good.length by 3)
+      Multimodal.mkvMeta(good.take(cut))
+    val r = new scala.util.Random(400)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Multimodal.mkvMeta(m)
+    }
+    assert(Multimodal.mkvMeta("not a matroska".getBytes).isEmpty)
+  }
+
   // ------------------------------------------------- ADVICE r17 hardening
 
   test("hostile v1 mvhd duration near Long.MaxValue fails closed " +
@@ -457,6 +519,56 @@ class Round18Spec extends AnyFunSuite {
     }
     for (stream <- Seq(sbr, agg); cut <- 1 until stream.length by 3)
       Jbig2.decodeEmbedded(None, stream.take(cut), 8, 8) // no throw
+  }
+
+  test("custom Huffman tables (§B.2, type 53): a custom-DT text " +
+       "region decodes pixel-identical to the standard-table stream; " +
+       "torn/over-subscribed tables fail closed") {
+    import graft.sources.Jbig2Huffman
+    val g0 = (3, 3, Array(true, false, true, false, true, false,
+      true, false, true))
+    val g1 = (2, 2, Array(true, true, true, true))
+    val glyphs = Seq(g0, g1)
+    val insts = Seq((0, 1, 1), (1, 7, 4))
+    val std = Jbig2.encodeEmbeddedTextHuffman(glyphs, insts, 12, 9)
+    val cust = Jbig2.encodeEmbeddedTextHuffman(glyphs, insts, 12, 9,
+      customDt = true)
+    val p1 = Jbig2.decodeEmbedded(None, std, 12, 9)
+    val p2 = Jbig2.decodeEmbedded(None, cust, 12, 9)
+    assert(p1.isDefined && p2.isDefined)
+    assert(p1.get.sameElements(p2.get),
+      "custom-DT stream must land the same pixels")
+    // reader-level: round-trip a table with OOB + negative range
+    val raw = Jbig2Huffman.writeCustomTable(-5, 11,
+      Seq((3, 2), (3, 2), (3, 2), (3, 2)), plLow = 3, plHigh = 3,
+      plOob = Some(3))
+    val t = Jbig2Huffman.readCustomTable(raw, 0, raw.length)
+    assert(t.isDefined && t.get.valid)
+    // encode/decode a few values through it
+    val bw = new Jbig2Huffman.BitWriter
+    for (v <- Seq(-5L, 0L, 10L)) t.get.encode(bw, Some(v))
+    t.get.encode(bw, None) // OOB
+    val data = bw.result()
+    val br = new Jbig2Huffman.BitReader(data, 0, data.length)
+    assert(t.get.decode(br) == Some(Some(-5L)))
+    assert(t.get.decode(br) == Some(Some(0L)))
+    assert(t.get.decode(br) == Some(Some(10L)))
+    assert(t.get.decode(br) == Some(None))
+    // over-subscribed custom table: five 1-bit prefixes cannot code
+    val bad = Jbig2Huffman.writeCustomTable(0, 16,
+      Seq((1, 2), (1, 2), (1, 2), (1, 2)), plLow = 1, plHigh = 1,
+      plOob = None)
+    assert(Jbig2Huffman.readCustomTable(bad, 0, bad.length).isEmpty)
+    // truncations never throw
+    for (cut <- 1 until raw.length)
+      Jbig2Huffman.readCustomTable(raw, 0, cut)
+    // bit-flip fuzz over the embedded custom-table stream
+    val r = new scala.util.Random(53)
+    for (_ <- 0 until 250) {
+      val m = cust.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, 12, 9) // no throw
+    }
   }
 
   test("Huffman symbol dict with an EMPTY height class stays in sync " +
