@@ -1275,10 +1275,13 @@ object PdfFixtures {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     case 3 =>
-      // Ogg/Opus: RFC 3533 pages + RFC 7845 OpusHead
+      // Ogg pages (RFC 3533) carrying OpusHead (RFC 7845) or, on
+      // id%10==8 (r18), a Vorbis identification header — granules are
+      // raw PCM samples for Vorbis, pre-skipped 48 kHz for Opus
+      val vorbis = id % 10 == 8
       val rate = Array(48000, 44100, 16000, 24000)((id % 4).toInt)
       val ch = 1 + (id % 2).toInt
-      val preskip = 312
+      val preskip = if (vorbis) 0 else 312
       val total = 3000L + id % 4000
       def le16(v: Int): Array[Byte] =
         Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
@@ -1297,13 +1300,22 @@ object PdfFixtures {
           le32(0L) ++ Array((lacing.length & 0xff).toByte) ++
           lacing ++ payload
       }
-      val opusHead = "OpusHead".getBytes(ISO) ++
-        Array[Byte](1, ch.toByte) ++ le16(preskip) ++ le32(rate.toLong) ++
-        le16(0) ++ Array[Byte](0) // gain 0, mapping family 0
-      val opusTags = "OpusTags".getBytes(ISO) ++ le32(5L) ++
-        "graft".getBytes(ISO) ++ le32(0L)
+      val head =
+        if (vorbis)
+          Array[Byte](1) ++ "vorbis".getBytes(ISO) ++ le32(0L) ++
+            Array(ch.toByte) ++ le32(rate.toLong) ++
+            le32(0L) ++ le32(0L) ++ le32(0L) ++
+            Array[Byte](0x66, 0x01) // blocksizes 2^6/2^6, framing 1
+        else "OpusHead".getBytes(ISO) ++
+          Array[Byte](1, ch.toByte) ++ le16(preskip) ++ le32(rate.toLong) ++
+          le16(0) ++ Array[Byte](0) // gain 0, mapping family 0
+      val tags =
+        if (vorbis) Array[Byte](3) ++ "vorbis".getBytes(ISO) ++
+          le32(5L) ++ "graft".getBytes(ISO) ++ le32(0L)
+        else "OpusTags".getBytes(ISO) ++ le32(5L) ++
+          "graft".getBytes(ISO) ++ le32(0L)
       val audio = Array.fill(40 + (id % 20).toInt)(0x5A.toByte)
-      page(2, 0, 0, opusHead) ++ page(0, 0, 1, opusTags) ++
+      page(2, 0, 0, head) ++ page(0, 0, 1, tags) ++
         page(4, preskip + total, 2, audio)
     case _ =>
       // AAC ADTS: ISO/IEC 13818-7 §6.2 headers, planted frame count
@@ -1313,6 +1325,11 @@ object PdfFixtures {
       val payLen = 20 + (id % 10).toInt
       val frameLen = 7 + payLen
       val bos = new java.io.ByteArrayOutputStream()
+      if (id % 10 == 9) { // r18: the common ID3-tagged .aac shape
+        bos.write("ID3".getBytes(ISO))
+        bos.write(Array[Byte](3, 0, 0, 0, 0, 0, 10))
+        bos.write(new Array[Byte](10))
+      }
       for (_ <- 0 until n) {
         bos.write(0xFF)
         bos.write(0xF1) // MPEG-4, layer 00, no CRC

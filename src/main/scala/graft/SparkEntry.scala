@@ -10414,11 +10414,13 @@ object SparkEntry {
       // xiph layout -- 20-bit rate, 3-bit channels, 36-bit total
       // samples), (1) an MPEG1 Layer III CBR stream behind an ID3v2
       // tag, frames WALKED by their header-derived sizes, (2) a real
-      // PCM WAV through javax.sound, (3 r18) an Ogg/Opus page chain
-      // (OpusHead channels/pre-skip/input-rate; sample count from the
-      // EOS granule position minus pre-skip), (4 r18) an AAC ADTS
+      // PCM WAV through javax.sound, (3 r18) an Ogg page chain
+      // carrying OpusHead (channels/pre-skip/input-rate; samples from
+      // the EOS granule minus pre-skip) or, on id%10==8, a Vorbis
+      // identification header (raw-PCM granules), (4 r18) an AAC ADTS
       // frame walk (public frequency-index table, 1024 samples per
-      // raw data block). All five legs land in one typed AudioRow
+      // raw data block; id%10==9 leads with the common ID3v2 tag the
+      // walk must skip). All legs land in one typed AudioRow
       // shape; the oracle replays the planted values, so a bit-offset
       // slip, wrong bitrate table, ID3 skip error, lacing-walk slip,
       // or a fabricated duration breaks the hash tri-scale.
@@ -17297,7 +17299,10 @@ object SparkEntry {
         |    WHEN 3 THEN 3000 + doc_id % 4000
         |    ELSE (2 + doc_id % 5) * 1024 END AS BIGINT) AS frames,
         |  CASE doc_id % 5 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
-        |    WHEN 2 THEN 'wav' WHEN 3 THEN 'opus' ELSE 'aac' END AS format
+        |    WHEN 2 THEN 'wav'
+        |    WHEN 3 THEN CASE WHEN doc_id % 10 = 8 THEN 'vorbis'
+        |      ELSE 'opus' END
+        |    ELSE 'aac' END AS format
         |FROM documents""".stripMargin,
 
     // q390: planted ISO-BMFF header values; duration ticks are chosen

@@ -353,7 +353,8 @@ object Multimodal {
     var o = 0
     var pages = 0
     var lastGranule = -1L
-    var head: Option[(Int, Int, Int)] = None // channels, preskip, rate
+    // channels, preskip, rate, codec
+    var head: Option[(Int, Int, Int, String)] = None
     while (o < p.length) {
       if (!isPage(o)) return None
       val granule = le64(o + 6)
@@ -365,25 +366,38 @@ object Multimodal {
       val payAt = o + 27 + nseg
       if (payAt + paySize > p.length) return None
       if (pages == 0) {
-        // BOS page: must be OpusHead v1 (8-byte magic + ≥11 bytes)
+        // BOS page: OpusHead v1 (RFC 7845) or the Vorbis
+        // identification header (type 1 + "vorbis", r18 — the other
+        // xiph codec the Ogg container carries; granule positions are
+        // raw PCM samples, no pre-skip)
         if (paySize < 19) return None
         val magic = new String(p, payAt, 8,
           java.nio.charset.StandardCharsets.ISO_8859_1)
-        if (magic != "OpusHead" || (p(payAt + 8) & 0xff) != 1) return None
-        val ch = p(payAt + 9) & 0xff
-        val preskip = le16(payAt + 10)
-        val rate = le32(payAt + 12)
-        if (ch < 1 || ch > 8 || rate < 1 || rate > 768000) return None
-        head = Some((ch, preskip, rate.toInt))
+        if (magic == "OpusHead" && (p(payAt + 8) & 0xff) == 1) {
+          val ch = p(payAt + 9) & 0xff
+          val preskip = le16(payAt + 10)
+          val rate = le32(payAt + 12)
+          if (ch < 1 || ch > 8 || rate < 1 || rate > 768000) return None
+          head = Some((ch, preskip, rate.toInt, "opus"))
+        } else if (paySize >= 30 && (p(payAt) & 0xff) == 1 &&
+            new String(p, payAt + 1, 6,
+              java.nio.charset.StandardCharsets.ISO_8859_1) == "vorbis") {
+          // version u32 LE (0), channels u8, rate u32 LE
+          if (le32(payAt + 7) != 0) return None
+          val ch = p(payAt + 11) & 0xff
+          val rate = le32(payAt + 12)
+          if (ch < 1 || ch > 8 || rate < 1 || rate > 768000) return None
+          head = Some((ch, 0, rate.toInt, "vorbis"))
+        } else return None
       }
       lastGranule = granule
       pages += 1
       if (pages > 1000000) return None
       o = payAt + paySize
     }
-    head.flatMap { case (ch, preskip, rate) =>
+    head.flatMap { case (ch, preskip, rate, codec) =>
       if (lastGranule < preskip) None
-      else Some(AudioMeta(rate, ch, lastGranule - preskip, "opus"))
+      else Some(AudioMeta(rate, ch, lastGranule - preskip, codec))
     }
   }
 
@@ -399,6 +413,14 @@ object Multimodal {
     val Rates = Array(96000, 88200, 64000, 48000, 44100, 32000, 24000,
       22050, 16000, 12000, 11025, 8000, 7350)
     var o = 0
+    // real .aac files commonly lead with an ID3v2 tag (r18 — the same
+    // synchsafe skip the MP3 walk does)
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val sz = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      o = 10 + sz
+      if (o < 0 || o + 7 > p.length) return None
+    }
     var sr0 = 0; var ch0 = 0
     var samples = 0L
     var frames = 0L
