@@ -90,7 +90,11 @@ object ScaleProbe {
     // walk, and JBIG2 generic refinement — per-row map-side decode
     // behind the documentsFanned exchange, zero shuffle
     "q395_xps_decode", "q396_fb2_decode", "q397_mobi_decode",
-    "q389_audio_compressed_meta", "q398_pdf_jbig2_refinement")
+    "q389_audio_compressed_meta", "q398_pdf_jbig2_refinement",
+    // round-18b: refinement-coded symbols, Matroska walks, custom
+    // Huffman tables — per-row map-side like the rest
+    "q399_pdf_jbig2_refined_symbols", "q400_mkv_meta",
+    "q401_pdf_jbig2_custom_table")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {
