@@ -1111,6 +1111,80 @@ object PdfFixtures {
         s"/Length ${stream.length} >>", Some(stream))))
   }
 
+  /** q402: in-document images across the non-PDF classes (r18 — the
+    * decodeWithImages parity PyMuPDF has): per doc ONE planted-color
+    * PNG embedded as (0) an EPUB chapter `<img>` + archive entry,
+    * (1) an FB2 base64 `<binary>` referenced by the section's
+    * `<image href="#…"/>`, (2) an XPS ImageBrush part. Same dim/color
+    * laws as q394 at g=0. */
+  def docImagesDoc(id: Long): Array[Byte] = {
+    val w = 6 + (id % 10).toInt; val h = 5 + (id % 7).toInt
+    val (r, g, b) = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
+      ((id * 7) % 256).toInt)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    try { gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h) }
+    finally gr.dispose()
+    val ib = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ib)
+    val png = ib.toByteArray
+    def zip(entries: (String, Array[Byte])*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      for ((n, body) <- entries) {
+        zos.putNextEntry(new java.util.zip.ZipEntry(n))
+        zos.write(body)
+        zos.closeEntry()
+      }
+      zos.close()
+      bos.toByteArray
+    }
+    def s(x: String): Array[Byte] =
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    (id % 3).toInt match {
+      case 0 =>
+        zip(
+          "META-INF/container.xml" -> s(
+            """<?xml version="1.0"?><container><rootfiles>""" +
+              """<rootfile full-path="OEBPS/content.opf"/>""" +
+              "</rootfiles></container>"),
+          "OEBPS/content.opf" -> s(
+            """<?xml version="1.0"?><package><manifest>""" +
+              """<item id="c0" href="ch0.xhtml"/></manifest>""" +
+              """<spine><itemref idref="c0"/></spine></package>"""),
+          "OEBPS/ch0.xhtml" -> s(
+            """<html><body><p>w w</p><img src="img/pic.png"/></body></html>"""),
+          "OEBPS/img/pic.png" -> png)
+      case 1 =>
+        s("""<?xml version="1.0" encoding="utf-8"?>""" +
+          """<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0">""" +
+          """<description/><body><section><p>w w</p>""" +
+          """<image l:href="#pic"/></section></body>""" +
+          """<binary id="pic" content-type="image/png">""" +
+          java.util.Base64.getEncoder.encodeToString(png) +
+          "</binary></FictionBook>")
+      case _ =>
+        zip(
+          "_rels/.rels" -> s(
+            """<Relationships><Relationship Type=""" +
+              """"http://schemas.microsoft.com/xps/2005/06/fixedrepresentation" """ +
+              """Target="/s.fdseq"/></Relationships>"""),
+          "s.fdseq" -> s(
+            """<FixedDocumentSequence>""" +
+              """<DocumentReference Source="/d.fdoc"/>""" +
+              "</FixedDocumentSequence>"),
+          "d.fdoc" -> s(
+            """<FixedDocument><PageContent Source="/p0.fpage"/></FixedDocument>"""),
+          "p0.fpage" -> s(
+            """<FixedPage Width="816" Height="1056">""" +
+              """<Glyphs UnicodeString="w w"/>""" +
+              """<Path><Path.Fill><ImageBrush ImageSource="/res/pic.png"/>""" +
+              "</Path.Fill></Path></FixedPage>"),
+          "res/pic.png" -> png)
+    }
+  }
+
   /** q401: JBIG2 CUSTOM Huffman tables (T.88 §B.2 / segment type 53,
     * r18 — the last Huffman class besides refinement tables): a
     * Huffman-coded text region whose DT deltas ride a custom table

@@ -94,7 +94,9 @@ object ScaleProbe {
     // round-18b: refinement-coded symbols, Matroska walks, custom
     // Huffman tables — per-row map-side like the rest
     "q399_pdf_jbig2_refined_symbols", "q400_mkv_meta",
-    "q401_pdf_jbig2_custom_table")
+    "q401_pdf_jbig2_custom_table",
+    // round-18c: in-document images across EPUB/FB2/XPS
+    "q402_doc_embedded_images")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

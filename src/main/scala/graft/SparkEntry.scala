@@ -10541,6 +10541,29 @@ object SparkEntry {
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2RefinementDoc _))
     }),
 
+    "q402_doc_embedded_images" -> ((s, dir) => {
+      // In-document images across the NON-PDF classes (r18 -- the
+      // decodeWithImages parity PyMuPDF has: EPUB chapter <img>
+      // entries, FB2 base64 <binary> illustrations, XPS ImageBrush
+      // parts): per doc one planted-color PNG embedded per the
+      // cycling container, surfaced through the production router's
+      // decodeWithImages into the real multimodal codec -- the same
+      // contract as painted PDF rasters (q394). The oracle replays
+      // planted dims and exact uniform luminance, so a path-resolve
+      // slip, base64 tear, or part-reference bug breaks the hash
+      // tri-scale.
+      val gen = udf(PdfFixtures.docImagesDoc _)
+      val ext = udf((p: Array[Byte]) =>
+        graft.sources.AutoPdfDecoder().decodeWithImages(p)
+          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
+      val media = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
+      graft.operators.Multimodal.extractImageFeatures(media)
+        .select(col("doc_id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"),
+          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+    }),
+
     "q401_pdf_jbig2_custom_table" -> ((s, dir) => {
       // JBIG2 CUSTOM Huffman tables (r18 -- T.88 SS B.2 / segment
       // type 53, entirely structural: per-line prefix/range lengths
@@ -17373,6 +17396,18 @@ object SparkEntry {
         |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM px""".stripMargin,
+
+    // q402: one planted uniform PNG per doc across the three
+    // container classes — q394's color law at g=0
+    "q402_doc_embedded_images" ->
+      """SELECT doc_id,
+        |  CAST(6 + doc_id % 10 AS BIGINT) AS w,
+        |  CAST(5 + doc_id % 7 AS BIGINT) AS h,
+        |  CAST(FLOOR((0.299 * ((doc_id * 3) % 256) +
+        |    0.587 * ((doc_id * 5) % 256) +
+        |    0.114 * ((doc_id * 7) % 256)) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
 
     // q401: two k×k solid glyphs through the custom-DT Huffman path
     "q401_pdf_jbig2_custom_table" ->

@@ -81,6 +81,30 @@ object Ebooks {
     if (pages.isEmpty) Some(Seq(body)) else Some(pages.toSeq)
   }
 
+  /** Per-section image payloads of an FB2 (r18 — the
+    * decodeWithImages parity PyMuPDF has): `<binary id="…">` elements
+    * carry base64 payloads referenced by the sections' `<image
+    * …href="#id"/>` elements (any namespace prefix). Dangling refs
+    * and unparseable base64 are skipped — an absent illustration
+    * must not fail the text. */
+  private[graft] def fb2PagesWithImages(p: Array[Byte])
+      : Option[Seq[(String, Seq[Array[Byte]])]] =
+    fb2Pages(p).map { pages =>
+      val xml = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+      val binaries: Map[String, Array[Byte]] =
+        """<binary\b[^>]*\bid="([^"]+)"[^>]*>([^<]*)</binary>""".r
+          .findAllMatchIn(xml).flatMap { m =>
+            try Some(m.group(1) ->
+              java.util.Base64.getMimeDecoder.decode(m.group(2).trim))
+            catch { case _: IllegalArgumentException => None }
+          }.toMap
+      pages.map { page =>
+        val imgs = """<image\b[^>]*\bhref="#([^"]+)"""".r
+          .findAllMatchIn(page).flatMap(m => binaries.get(m.group(1))).toSeq
+        (page, imgs)
+      }
+    }
+
   // --------------------------------------------------------- MOBI/PalmDOC
 
   private def u16(b: Array[Byte], o: Int): Int =
@@ -301,4 +325,12 @@ final case class EbookDecoder() extends PageDecoder {
       Ebooks.mobiPages(payload)
         .toRight("cannot open document: torn or encrypted MOBI/PalmDOC")
     else Left("cannot open document: not an FB2/MOBI payload")
+
+  override def decodeWithImages(payload: Array[Byte])
+      : Either[String, Seq[(String, Seq[Array[Byte]])]] =
+    if (Ebooks.isFb2(payload))
+      // r18: FB2 <binary> illustrations referenced by each section
+      Ebooks.fb2PagesWithImages(payload)
+        .toRight("cannot open document: torn FictionBook XML")
+    else decode(payload).map(_.map(p => (p, Seq.empty[Array[Byte]])))
 }

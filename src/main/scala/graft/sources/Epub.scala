@@ -67,7 +67,7 @@ object Epub {
     * chain tears (missing container.xml, unresolvable OPF, empty
     * spine, dangling idref/href). */
   private[graft] def epubPages(entries: Map[String, Array[Byte]])
-      : Option[Seq[String]] = {
+      : Option[Seq[(String, Seq[Array[Byte]])]] = {
     val container = entries.get("META-INF/container.xml").getOrElse(return None)
     val opfPath = """full-path="([^"]+)"""".r
       .findFirstMatchIn(utf8(container)).map(_.group(1)).getOrElse(return None)
@@ -90,7 +90,22 @@ object Epub {
     val pages = spine.map { idref =>
       val href = items.getOrElse(idref, return None)
       val path = if (href.startsWith("/")) href.drop(1) else opfDir + href
-      utf8(entries.getOrElse(path, return None))
+      val xhtml = utf8(entries.getOrElse(path, return None))
+      // r18: the chapter's <img src=...> payloads resolve against the
+      // archive relative to the chapter's own path (PyMuPDF surfaces
+      // in-document illustrations); dangling refs are skipped -- an
+      // absent image must not fail the text
+      val dir = {
+        val i = path.lastIndexOf('/')
+        if (i < 0) "" else path.substring(0, i + 1)
+      }
+      val imgs = """<img\b[^>]*\bsrc="([^"]+)"""".r
+        .findAllMatchIn(xhtml).flatMap { m =>
+          val h = m.group(1)
+          if (h.startsWith("data:")) None
+          else entries.get(if (h.startsWith("/")) h.drop(1) else dir + h)
+        }.toSeq
+      (xhtml, imgs)
     }
     Some(pages)
   }
@@ -105,7 +120,7 @@ object Epub {
     * FixedPage, XHTML-shaped like the PDF decoder's output. None when
     * the OPC chain tears (no fixedrepresentation rel, dangling part). */
   private[graft] def xpsPages(entries: Map[String, Array[Byte]])
-      : Option[Seq[String]] = {
+      : Option[Seq[(String, Seq[Array[Byte]])]] = {
     // OPC part names are case-preserved but matched case-insensitively
     // in practice; keys here as stored. Target URIs may be absolute
     // ("/Documents/1/…") or relative to the referencing part's dir.
@@ -133,13 +148,18 @@ object Epub {
       """<PageContent\b[^>]*\bSource="([^"]+)"""".r
         .findAllMatchIn(utf8(fdoc)).map(m => resolve(dp, m.group(1))).toSeq
         .map { pp =>
-          val fpage = entries.get(pp).getOrElse(return None)
+          val fpageTxt = utf8(entries.get(pp).getOrElse(return None))
           val text = """\bUnicodeString="([^"]*)"""".r
-            .findAllMatchIn(utf8(fpage)).map(m => xmlUnescape(m.group(1)))
+            .findAllMatchIn(fpageTxt).map(m => xmlUnescape(m.group(1)))
             .mkString(" ").trim
           val esc = text.replace("&", "&amp;")
             .replace("<", "&lt;").replace(">", "&gt;")
-          s"<div><p>$esc</p></div>"
+          // r18: ImageBrush parts referenced by the page resolve to
+          // their payloads; dangling refs are skipped
+          val imgs = """\bImageSource="([^"]+)"""".r
+            .findAllMatchIn(fpageTxt)
+            .flatMap(m => entries.get(resolve(pp, m.group(1)))).toSeq
+          (s"<div><p>$esc</p></div>", imgs)
         }
     }
     if (pages.isEmpty) None else Some(pages)
@@ -157,9 +177,12 @@ object Epub {
   private[graft] def zipDocPages(payload: Array[Byte])
       : Option[Seq[(String, Seq[Array[Byte]])]] =
     zipEntries(payload).flatMap { entries =>
-      epubPages(entries).map(_.map(p => (p, Seq.empty[Array[Byte]])))
+      // XPS before CBZ: an XPS package may legitimately carry image
+      // parts (ImageBrush, r18), and CBZ's "image entries" heuristic
+      // would otherwise claim it and drop the page text
+      epubPages(entries)
+        .orElse(xpsPages(entries))
         .orElse(cbzPages(entries).map(_.map { case (x, b) => (x, Seq(b)) }))
-        .orElse(xpsPages(entries).map(_.map(p => (p, Seq.empty[Array[Byte]]))))
     }
 
   private val ImageExts = Set("png", "jpg", "jpeg", "gif", "webp", "bmp")

@@ -75,6 +75,43 @@ class Round18Spec extends AnyFunSuite {
     assert(text == "a&b c <tag>", s"got '$text'")
   }
 
+  test("embedded images surface from EPUB <img>, FB2 <binary>, and " +
+       "XPS ImageBrush through the router; an image-bearing XPS is " +
+       "still XPS (text kept), never misrouted to CBZ") {
+    for (id <- 0L until 12L) {
+      val payload = PdfFixtures.docImagesDoc(id)
+      val pages = AutoPdfDecoder().decodeWithImages(payload)
+      assert(pages.isRight, s"id=$id")
+      val imgs = pages.toOption.get.flatMap(_._2)
+      assert(imgs.length == 1, s"id=$id image count")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(imgs.head))
+      assert(img.getWidth == 6 + (id % 10).toInt &&
+        img.getHeight == 5 + (id % 7).toInt, s"id=$id dims")
+      // the page TEXT survives alongside the image (the XPS leg would
+      // lose it if the CBZ heuristic claimed the package)
+      val text = pages.toOption.get.head._1
+        .replaceAll("<[^>]+>", " ").trim
+      assert(text.split(" +").count(_.nonEmpty) == 2, s"id=$id words")
+    }
+    // dangling refs: an EPUB img pointing nowhere keeps the text
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(n: String, b: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(b.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("META-INF/container.xml",
+      """<container><rootfiles><rootfile full-path="c.opf"/></rootfiles></container>""")
+    entry("c.opf",
+      """<package><manifest><item id="a" href="a.xhtml"/></manifest><spine><itemref idref="a"/></spine></package>""")
+    entry("a.xhtml", """<html><body><p>w w w</p><img src="gone.png"/></body></html>""")
+    zos.close()
+    val r = AutoPdfDecoder().decodeWithImages(bos.toByteArray)
+    assert(r.isRight && r.toOption.get.head._2.isEmpty,
+      "dangling img ref drops the image, keeps the page")
+  }
+
   // ------------------------------------------------ PalmDOC LZ77 codec
 
   test("PalmDOC compress/decompress round-trips text, binary, and " +
