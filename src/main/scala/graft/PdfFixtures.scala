@@ -1115,8 +1115,9 @@ object PdfFixtures {
     * decodeWithImages parity PyMuPDF has): per doc ONE planted-color
     * PNG embedded as (0) an EPUB chapter `<img>` + archive entry,
     * (1) an FB2 base64 `<binary>` referenced by the section's
-    * `<image href="#…"/>`, (2) an XPS ImageBrush part. Same dim/color
-    * laws as q394 at g=0. */
+    * `<image href="#…"/>`, (2) an XPS ImageBrush part, (3) a MOBI
+    * image record referenced by `<img recindex=…>` via the header's
+    * first-image-index field. Same dim/color laws as q394 at g=0. */
   def docImagesDoc(id: Long): Array[Byte] = {
     val w = 6 + (id % 10).toInt; val h = 5 + (id % 7).toInt
     val (r, g, b) = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
@@ -1142,7 +1143,7 @@ object PdfFixtures {
     }
     def s(x: String): Array[Byte] =
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    (id % 3).toInt match {
+    (id % 4).toInt match {
       case 0 =>
         zip(
           "META-INF/container.xml" -> s(
@@ -1182,6 +1183,38 @@ object PdfFixtures {
               """<Path><Path.Fill><ImageBrush ImageSource="/res/pic.png"/>""" +
               "</Path.Fill></Path></FixedPage>"),
           "res/pic.png" -> png)
+      case _ =>
+        // MOBI: one stored text record + one image record; the MOBI
+        // header's first-image-index (offset 0x6C) points at it
+        val text = s("""<p>w w</p><img recindex="00001"/>""")
+        def be16(v: Int): Array[Byte] =
+          Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def be32(v: Long): Array[Byte] =
+          Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        val mobi = new Array[Byte](0xE8)
+        System.arraycopy("MOBI".getBytes(ISO), 0, mobi, 0, 4)
+        System.arraycopy(be32(0xE8L), 0, mobi, 4, 4)
+        System.arraycopy(be32(2L), 0, mobi, 0x6C, 4) // first image = rec 2
+        val rec0 = be16(1) ++ be16(0) ++ be32(text.length.toLong) ++
+          be16(1) ++ be16(4096) ++ be16(0) ++ be16(0) ++ mobi
+        val all = Seq(rec0, text, png)
+        val headerLen = 78 + 8 * all.length + 2
+        val offs = all.scanLeft(headerLen)((a, r) => a + r.length).init
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(new Array[Byte](32))
+        bos.write(be16(0)); bos.write(be16(0))
+        bos.write(new Array[Byte](24))
+        bos.write("BOOKMOBI".getBytes(ISO))
+        bos.write(be32(0)); bos.write(be32(0))
+        bos.write(be16(all.length))
+        for ((off, k) <- offs.zipWithIndex) {
+          bos.write(be32(off.toLong))
+          bos.write(0); bos.write(be32(k.toLong).drop(1))
+        }
+        bos.write(be16(0))
+        all.foreach(r => bos.write(r))
+        bos.toByteArray
     }
   }
 

@@ -311,6 +311,40 @@ object Ebooks {
         case ps => ps
       }
     }
+
+  /** [[mobiPages]] with per-page image payloads (r18): MOBI stores
+    * illustrations as PDB records past the text, located by the MOBI
+    * header's first-image-index field (offset 0x6C) and referenced
+    * from the HTML as `<img recindex="NNNNN">` (1-based from the
+    * first image record — the public KindleUnpack layout). Dangling
+    * or out-of-range recindexes are skipped. */
+  private[graft] def mobiPagesWithImages(p: Array[Byte])
+      : Option[Seq[(String, Seq[Array[Byte]])]] =
+    mobiPages(p).map { pages =>
+      val nRec = u16(p, 76)
+      val offs = Array.tabulate(nRec)(k => u32(p, 78 + 8 * k))
+      def recEnd(k: Int): Int =
+        if (k + 1 < nRec) offs(k + 1).toInt else p.length
+      val r0 = offs(0).toInt
+      val firstImg: Int =
+        if (fourcc(p, 60) == "BOOK" && recEnd(0) - r0 >= 16 + 0x70 &&
+            fourcc(p, r0 + 16) == "MOBI" &&
+            u32(p, r0 + 20) >= 0x70)
+          u32(p, r0 + 16 + 0x6C).toInt
+        else -1
+      pages.map { page =>
+        val imgs =
+          if (firstImg < 1) Seq.empty[Array[Byte]]
+          else """<img\b[^>]*\brecindex="0*(\d{1,9})"""".r
+            .findAllMatchIn(page).flatMap { m =>
+              val rec = firstImg + m.group(1).toInt - 1
+              if (rec < 1 || rec >= nRec) None
+              else Some(java.util.Arrays.copyOfRange(
+                p, offs(rec).toInt, recEnd(rec)))
+            }.toSeq
+        (page, imgs)
+      }
+    }
 }
 
 /** [[PageDecoder]] over the reflowable-ebook classes: FB2 when the
@@ -332,5 +366,9 @@ final case class EbookDecoder() extends PageDecoder {
       // r18: FB2 <binary> illustrations referenced by each section
       Ebooks.fb2PagesWithImages(payload)
         .toRight("cannot open document: torn FictionBook XML")
+    else if (Ebooks.isMobi(payload))
+      // r18: MOBI recindex-referenced image records
+      Ebooks.mobiPagesWithImages(payload)
+        .toRight("cannot open document: torn or encrypted MOBI/PalmDOC")
     else decode(payload).map(_.map(p => (p, Seq.empty[Array[Byte]])))
 }
