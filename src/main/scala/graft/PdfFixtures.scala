@@ -1165,7 +1165,7 @@ object PdfFixtures {
           """<binary id="pic" content-type="image/png">""" +
           java.util.Base64.getEncoder.encodeToString(png) +
           "</binary></FictionBook>")
-      case _ =>
+      case 2 =>
         zip(
           "_rels/.rels" -> s(
             """<Relationships><Relationship Type=""" +
@@ -1195,7 +1195,9 @@ object PdfFixtures {
         val mobi = new Array[Byte](0xE8)
         System.arraycopy("MOBI".getBytes(ISO), 0, mobi, 0, 4)
         System.arraycopy(be32(0xE8L), 0, mobi, 4, 4)
-        System.arraycopy(be32(2L), 0, mobi, 0x6C, 4) // first image = rec 2
+        // first-image-index lives at RECORD-0 offset 0x6C (the public
+        // MOBI layout counts from record 0) = MOBI-header offset 0x5C
+        System.arraycopy(be32(2L), 0, mobi, 0x5C, 4) // first image = rec 2
         val rec0 = be16(1) ++ be16(0) ++ be32(text.length.toLong) ++
           be16(1) ++ be16(4096) ++ be16(0) ++ be16(0) ++ mobi
         val all = Seq(rec0, text, png)

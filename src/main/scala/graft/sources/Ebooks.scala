@@ -55,8 +55,13 @@ object Ebooks {
     if (bodyOpenEnd < 0) return None
     val bodyEnd = xml.indexOf("</body>", bodyOpenEnd)
     if (bodyEnd < 0) return None
-    val body = xml.substring(bodyOpenEnd + 1, bodyEnd)
-    // top-level <section> spans via depth scan
+    // XML comments are stripped before the depth scan — a commented
+    // <section would otherwise corrupt the paging (review r18)
+    val body = """(?s)<!--.*?-->""".r
+      .replaceAllIn(xml.substring(bodyOpenEnd + 1, bodyEnd), " ")
+    // top-level <section> spans via depth scan; a SELF-CLOSED
+    // <section/> (common writer output for empty sections) is its own
+    // zero-depth page, never an unmatched open (review r18)
     val pages = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     var depth = 0
@@ -65,9 +70,16 @@ object Ebooks {
       val open = body.indexOf("<section", i)
       val close = body.indexOf("</section>", i)
       if (open >= 0 && (close < 0 || open < close)) {
-        if (depth == 0) start = open
-        depth += 1
-        i = open + 8
+        val gt = body.indexOf('>', open)
+        if (gt < 0) return None // torn tag
+        if (gt > open && body.charAt(gt - 1) == '/') {
+          if (depth == 0) pages += body.substring(open, gt + 1)
+          i = gt + 1
+        } else {
+          if (depth == 0) start = open
+          depth += 1
+          i = gt + 1
+        }
       } else if (close >= 0) {
         if (depth <= 0) return None // malformed nesting
         depth -= 1
@@ -326,11 +338,17 @@ object Ebooks {
       def recEnd(k: Int): Int =
         if (k + 1 < nRec) offs(k + 1).toInt else p.length
       val r0 = offs(0).toInt
+      // first-image-index sits at RECORD-0 offset 0x6C (the public
+      // MOBI layout tables count from record 0, unlike the extra-data
+      // flags note in mobiText which this file normalizes to the same
+      // record-0 convention: 16 + 0xE2 = 0xF2) — review r18: reading
+      // MOBI-relative 0x6C (= record-0 0x7C) landed on the
+      // Huffman-table-length word and dropped every real-world image
       val firstImg: Int =
-        if (fourcc(p, 60) == "BOOK" && recEnd(0) - r0 >= 16 + 0x70 &&
+        if (fourcc(p, 60) == "BOOK" && recEnd(0) - r0 >= 0x70 &&
             fourcc(p, r0 + 16) == "MOBI" &&
-            u32(p, r0 + 20) >= 0x70)
-          u32(p, r0 + 16 + 0x6C).toInt
+            u32(p, r0 + 20) >= 0x60)
+          u32(p, r0 + 0x6C).toInt
         else -1
       pages.map { page =>
         val imgs =

@@ -63,10 +63,48 @@ object Epub {
   private def utf8(b: Array[Byte]): String =
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
 
+  /** Normalize a ZIP-internal reference: percent-decode %XX (URIs in
+    * OPF/XHTML/OPC are encoded, entry names are raw) and resolve
+    * ./ and ../ segments clamped at the archive root (review r18: a
+    * chapter at text/ch1.xhtml referencing ../images/fig.png must
+    * land on images/fig.png, and hostile ../../ escapes go nowhere). */
+  private[graft] def normPath(path: String): String = {
+    val decoded =
+      if (!path.contains('%')) path
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        var i = 0
+        var ok = true
+        while (i < path.length) {
+          val c = path.charAt(i)
+          if (c == '%' && i + 2 < path.length) {
+            try {
+              bos.write(Integer.parseInt(path.substring(i + 1, i + 3), 16))
+              i += 3
+            } catch { case _: NumberFormatException => ok = false; i = path.length }
+          } else {
+            bos.write(c.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            i += 1
+          }
+        }
+        if (ok) new String(bos.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+        else path
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (seg <- decoded.split("/") if seg.nonEmpty && seg != ".") {
+      if (seg == "..") { if (out.nonEmpty) out.remove(out.length - 1) }
+      else out += seg
+    }
+    out.mkString("/")
+  }
+
   /** Spine-ordered chapter XHTML of an EPUB, or None when the OCF/OPF
     * chain tears (missing container.xml, unresolvable OPF, empty
     * spine, dangling idref/href). */
-  private[graft] def epubPages(entries: Map[String, Array[Byte]])
+  private[graft] def epubPages(entries: Map[String, Array[Byte]],
+      withImages: Boolean = true)
       : Option[Seq[(String, Seq[Array[Byte]])]] = {
     val container = entries.get("META-INF/container.xml").getOrElse(return None)
     val opfPath = """full-path="([^"]+)"""".r
@@ -89,7 +127,8 @@ object Epub {
     if (spine.isEmpty) return None
     val pages = spine.map { idref =>
       val href = items.getOrElse(idref, return None)
-      val path = if (href.startsWith("/")) href.drop(1) else opfDir + href
+      val path = normPath(
+        if (href.startsWith("/")) href.drop(1) else opfDir + href)
       val xhtml = utf8(entries.getOrElse(path, return None))
       // r18: the chapter's <img src=...> payloads resolve against the
       // archive relative to the chapter's own path (PyMuPDF surfaces
@@ -99,12 +138,15 @@ object Epub {
         val i = path.lastIndexOf('/')
         if (i < 0) "" else path.substring(0, i + 1)
       }
-      val imgs = """<img\b[^>]*\bsrc="([^"]+)"""".r
-        .findAllMatchIn(xhtml).flatMap { m =>
-          val h = m.group(1)
-          if (h.startsWith("data:")) None
-          else entries.get(if (h.startsWith("/")) h.drop(1) else dir + h)
-        }.toSeq
+      val imgs =
+        if (!withImages) Seq.empty[Array[Byte]]
+        else """<img\b[^>]*\bsrc="([^"]+)"""".r
+          .findAllMatchIn(xhtml).flatMap { m =>
+            val h = m.group(1)
+            if (h.startsWith("data:")) None
+            else entries.get(normPath(
+              if (h.startsWith("/")) h.drop(1) else dir + h))
+          }.toSeq
       (xhtml, imgs)
     }
     Some(pages)
@@ -119,17 +161,19 @@ object Epub {
     * UnicodeString="…">` elements carry the page text. One page per
     * FixedPage, XHTML-shaped like the PDF decoder's output. None when
     * the OPC chain tears (no fixedrepresentation rel, dangling part). */
-  private[graft] def xpsPages(entries: Map[String, Array[Byte]])
+  private[graft] def xpsPages(entries: Map[String, Array[Byte]],
+      withImages: Boolean = true)
       : Option[Seq[(String, Seq[Array[Byte]])]] = {
     // OPC part names are case-preserved but matched case-insensitively
     // in practice; keys here as stored. Target URIs may be absolute
     // ("/Documents/1/…") or relative to the referencing part's dir.
     def resolve(base: String, target: String): String =
-      if (target.startsWith("/")) target.drop(1)
-      else {
-        val i = base.lastIndexOf('/')
-        (if (i < 0) "" else base.substring(0, i + 1)) + target
-      }
+      normPath(
+        if (target.startsWith("/")) target.drop(1)
+        else {
+          val i = base.lastIndexOf('/')
+          (if (i < 0) "" else base.substring(0, i + 1)) + target
+        })
     val rels = entries.get("_rels/.rels").getOrElse(return None)
     // both the MS XPS and the ECMA OpenXPS relationship namespaces
     val fixedRepRel =
@@ -156,9 +200,11 @@ object Epub {
             .replace("<", "&lt;").replace(">", "&gt;")
           // r18: ImageBrush parts referenced by the page resolve to
           // their payloads; dangling refs are skipped
-          val imgs = """\bImageSource="([^"]+)"""".r
-            .findAllMatchIn(fpageTxt)
-            .flatMap(m => entries.get(resolve(pp, m.group(1)))).toSeq
+          val imgs =
+            if (!withImages) Seq.empty[Array[Byte]]
+            else """\bImageSource="([^"]+)"""".r
+              .findAllMatchIn(fpageTxt)
+              .flatMap(m => entries.get(resolve(pp, m.group(1)))).toSeq
           (s"<div><p>$esc</p></div>", imgs)
         }
     }
@@ -174,14 +220,19 @@ object Epub {
     * any other ZIP (DOCX, JAR, ODT, torn archive) — the router falls
     * back to its deterministic decoder rather than hard-failing a
     * mixed corpus (ADVICE r17). */
-  private[graft] def zipDocPages(payload: Array[Byte])
+  private[graft] def zipDocPages(payload: Array[Byte],
+      withImages: Boolean = true)
       : Option[Seq[(String, Seq[Array[Byte]])]] =
     zipEntries(payload).flatMap { entries =>
       // XPS before CBZ: an XPS package may legitimately carry image
       // parts (ImageBrush, r18), and CBZ's "image entries" heuristic
-      // would otherwise claim it and drop the page text
-      epubPages(entries)
-        .orElse(xpsPages(entries))
+      // would otherwise claim it and drop the page text. The
+      // withImages=false form is the HOT text path (review r18): it
+      // skips the per-chapter image-reference resolution entirely
+      // (CBZ page payloads are references into the already-inflated
+      // entries, not copies, so they stay).
+      epubPages(entries, withImages)
+        .orElse(xpsPages(entries, withImages))
         .orElse(cbzPages(entries).map(_.map { case (x, b) => (x, Seq(b)) }))
     }
 
@@ -209,7 +260,13 @@ object Epub {
   * [[Epub.zipDocPages]] so unrecognized ZIPs fall back. */
 final case class EpubDecoder() extends PageDecoder {
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
-    decodeWithImages(payload).map(_.map(_._1))
+    Epub.zipDocPages(payload, withImages = false) match {
+      case Some(pages) => Right(pages.map(_._1))
+      case None =>
+        if (Epub.isZip(payload))
+          Left("cannot open document: ZIP is not an EPUB/CBZ/XPS container")
+        else Left("cannot open document: not a readable ZIP container")
+    }
 
   override def decodeWithImages(payload: Array[Byte])
       : Either[String, Seq[(String, Seq[Array[Byte]])]] =

@@ -2409,37 +2409,39 @@ final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
   private def ebook = EbookDecoder()
 
   /** Route of a payload: PDF / ZIP-doc pages / ebook / fallback.
-    * The ZIP-doc classification carries its decoded pages (one parse). */
-  private def route(payload: Array[Byte])
+    * The ZIP-doc classification carries its decoded pages (one
+    * parse); `withImages=false` is the HOT text form — it skips the
+    * per-page embedded-image resolution entirely (review r18). */
+  private def route(payload: Array[Byte], withImages: Boolean)
       : Either[PageDecoder, Seq[(String, Seq[Array[Byte]])]] =
     if (MiniPdf.headerOffset(payload) >= 0) Left(real)
     else if (Epub.isZip(payload))
-      Epub.zipDocPages(payload).toRight(fallback)
+      Epub.zipDocPages(payload, withImages).toRight(fallback)
     else if (Ebooks.isFb2(payload) || Ebooks.isMobi(payload)) Left(ebook)
     else Left(fallback)
 
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
-    route(payload) match {
+    route(payload, withImages = false) match {
       case Right(pages) => Right(pages.map(_._1))
       case Left(d) => d.decode(payload)
     }
 
   override def decodeWithDrawings(payload: Array[Byte])
       : Either[String, Seq[(String, String)]] =
-    route(payload) match {
+    route(payload, withImages = false) match {
       case Right(pages) => Right(pages.map(p => (p._1, "")))
       case Left(d) => d.decodeWithDrawings(payload)
     }
 
   override def drawings(payload: Array[Byte], pageNo: Int): String =
-    route(payload) match {
+    route(payload, withImages = false) match {
       case Right(_) => ""
       case Left(d) => d.drawings(payload, pageNo)
     }
 
   override def decodeWithImages(payload: Array[Byte])
       : Either[String, Seq[(String, Seq[Array[Byte]])]] =
-    route(payload) match {
+    route(payload, withImages = true) match {
       case Right(pages) => Right(pages)
       case Left(d) => d.decodeWithImages(payload)
     }

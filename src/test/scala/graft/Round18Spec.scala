@@ -112,6 +112,56 @@ class Round18Spec extends AnyFunSuite {
       "dangling img ref drops the image, keeps the page")
   }
 
+  test("review r18: parent-relative and percent-encoded EPUB image " +
+       "refs resolve; FB2 self-closed sections and commented markup " +
+       "don't tear the paging; MOBI images ride record-0 offset 0x6C") {
+    import graft.sources.{Ebooks, Epub}
+    // ../-relative + %20-encoded img refs (the common real-EPUB shape)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(n: String, b: Array[Byte]): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n))
+      zos.write(b); zos.closeEntry()
+    }
+    def sb(x: String) = x.getBytes("UTF-8")
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val ib = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", ib)
+      ib.toByteArray
+    }
+    entry("META-INF/container.xml", sb(
+      """<container><rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles></container>"""))
+    entry("OEBPS/content.opf", sb(
+      """<package><manifest><item id="a" href="text/ch1.xhtml"/></manifest><spine><itemref idref="a"/></spine></package>"""))
+    entry("OEBPS/text/ch1.xhtml", sb(
+      """<html><body><p>w</p><img src="../images/my%20fig.png"/></body></html>"""))
+    entry("OEBPS/images/my fig.png", png)
+    zos.close()
+    val pages = AutoPdfDecoder().decodeWithImages(bos.toByteArray)
+    assert(pages.isRight)
+    assert(pages.toOption.get.head._2.length == 1,
+      "../ + %20 image ref must resolve")
+    // the text-only route skips image resolution but keeps the pages
+    assert(AutoPdfDecoder().decode(bos.toByteArray).toOption.get.length == 1)
+    // FB2: self-closed empty section is a page, not an unmatched open;
+    // a commented-out <section never corrupts the depth
+    val fb2 = ("""<?xml version="1.0"?>""" +
+      """<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0">""" +
+      """<body><section/><section><p>a b c</p></section>""" +
+      """<!-- <section>ghost</section> --></body></FictionBook>""").getBytes("UTF-8")
+    val fp = Ebooks.fb2Pages(fb2)
+    assert(fp.isDefined && fp.get.length == 2, s"got $fp")
+    assert(fp.get(1).contains("a b c"))
+    // MOBI: the fixture image decodes through the PRODUCTION offset
+    val mobi = PdfFixtures.docImagesDoc(3L) // id%4==3: the MOBI leg
+    assert(Ebooks.isMobi(mobi), "leg 3 must actually be MOBI")
+    val mp = Ebooks.mobiPagesWithImages(mobi)
+    assert(mp.isDefined && mp.get.head._2.length == 1,
+      "recindex image must surface from record-0 offset 0x6C")
+  }
+
   // ------------------------------------------------ PalmDOC LZ77 codec
 
   test("PalmDOC compress/decompress round-trips text, binary, and " +
