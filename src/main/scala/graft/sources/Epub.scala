@@ -77,12 +77,18 @@ object Epub {
         var ok = true
         while (i < path.length) {
           val c = path.charAt(i)
-          if (c == '%' && i + 2 < path.length) {
-            try {
-              bos.write(Integer.parseInt(path.substring(i + 1, i + 3), 16))
-              i += 3
-            } catch { case _: NumberFormatException => ok = false; i = path.length }
-          } else {
+          // both escape chars must be REAL hex digits — Integer.parseInt
+          // accepts signed forms ("%-1" → byte 0xFF) which would turn a
+          // junk escape into a junk path instead of the raw fallback
+          // (ADVICE r18)
+          if (c == '%' && i + 2 < path.length &&
+              Character.digit(path.charAt(i + 1), 16) >= 0 &&
+              Character.digit(path.charAt(i + 2), 16) >= 0) {
+            bos.write((Character.digit(path.charAt(i + 1), 16) << 4) |
+              Character.digit(path.charAt(i + 2), 16))
+            i += 3
+          } else if (c == '%') { ok = false; i = path.length }
+          else {
             bos.write(c.toString.getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
             i += 1

@@ -2397,28 +2397,39 @@ final case class MiniPdfDecoder(embedImages: Boolean = false) extends PageDecode
   * ZIP (DOCX, JAR, a torn archive) falling through to the
   * deterministic fallback rather than hard-failing a mixed corpus
   * (ADVICE r17); FB2 FictionBook XML and MOBI/PalmDOC book containers
-  * (r18) through [[EbookDecoder]]; everything else through the
-  * fallback — so a mixed corpus decodes what it can and the harness
-  * fixtures stay stable. Drawings on the real path are REAL
-  * extraction (never the fake's synthetic SVG — fabricating output
-  * for a real document would contradict the engine's fail-closed
-  * policy). */
+  * (r18) through [[EbookDecoder]]; SVG root-element documents and
+  * printable plain text (r19 — the last two classes in PyMuPDF's
+  * document-open envelope) through [[PlainDocs]]; everything else
+  * through the fallback — so a mixed corpus decodes what it can and
+  * the harness fixtures stay stable. Drawings on the real path are
+  * REAL extraction (never the fake's synthetic SVG — fabricating
+  * output for a real document would contradict the engine's
+  * fail-closed policy). */
 final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
     embedImages: Boolean = false) extends PageDecoder {
   private def real = MiniPdfDecoder(embedImages)
   private def ebook = EbookDecoder()
 
-  /** Route of a payload: PDF / ZIP-doc pages / ebook / fallback.
-    * The ZIP-doc classification carries its decoded pages (one
-    * parse); `withImages=false` is the HOT text form — it skips the
-    * per-page embedded-image resolution entirely (review r18). */
+  /** Route of a payload: PDF / ZIP-doc pages / ebook / SVG / TXT /
+    * fallback. The ZIP-doc, SVG, and TXT classifications carry their
+    * decoded pages (one parse — TXT detection IS a full strict
+    * decode, so re-dispatching to a decoder would pay it twice);
+    * `withImages=false` is the HOT text form — it skips the per-page
+    * embedded-image resolution entirely (review r18). Torn members
+    * of a detected class (unrecognized ZIP, closing-tag-less SVG)
+    * fall back per the ADVICE-r17 mixed-corpus precedent. */
   private def route(payload: Array[Byte], withImages: Boolean)
       : Either[PageDecoder, Seq[(String, Seq[Array[Byte]])]] =
     if (MiniPdf.headerOffset(payload) >= 0) Left(real)
     else if (Epub.isZip(payload))
       Epub.zipDocPages(payload, withImages).toRight(fallback)
     else if (Ebooks.isFb2(payload) || Ebooks.isMobi(payload)) Left(ebook)
-    else Left(fallback)
+    else if (PlainDocs.isSvg(payload))
+      PlainDocs.svgPages(payload)
+        .map(_.map(p => (p, Seq.empty[Array[Byte]]))).toRight(fallback)
+    else
+      PlainDocs.txtPages(payload)
+        .map(_.map(p => (p, Seq.empty[Array[Byte]]))).toRight(fallback)
 
   override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
     route(payload, withImages = false) match {

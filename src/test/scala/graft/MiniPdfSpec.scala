@@ -104,14 +104,21 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(MiniPdfDecoder().decode(noPages).isLeft)
   }
 
-  test("AutoPdfDecoder routes real PDFs to MiniPdf and text payloads to the stub") {
+  test("AutoPdfDecoder routes real PDFs to MiniPdf, printable text to " +
+       "the TXT class (r19), and binary junk to the stub") {
     val pdf = buildPdf(
       contents = Map(4 -> "BT (routed) Tj ET"),
       pageObjs = Seq(3 -> Seq(4)), kidsOrder = Seq(3), flate = false)
     val auto = AutoPdfDecoder()
     assert(auto.decode(pdf) == Right(Seq("<div><p>routed</p></div>")))
-    val textPayload = "plain words for the fake decoder".getBytes("UTF-8")
-    assert(auto.decode(textPayload) == FakePdfDecoder().decode(textPayload))
+    // r19: printable text is a PyMuPDF document class of its own now —
+    // one 66-line page, one <p> per line
+    val textPayload = "plain words for the txt class".getBytes("UTF-8")
+    assert(auto.decode(textPayload) ==
+      Right(Seq("<div><p>plain words for the txt class</p></div>")))
+    // binary junk (invalid UTF-8) still rides the fallback
+    val junk = Array[Byte](0x41, 0x20, 0xC3.toByte, 0x28, 0x42) // torn UTF-8
+    assert(auto.decode(junk) == FakePdfDecoder().decode(junk))
   }
 
   // ------------------------------------------------------------------
@@ -845,8 +852,10 @@ class MiniPdfSpec extends AnyFunSuite {
     assert(auto.drawings(pdf, 0) == "")
     val Right(pairs) = auto.decodeWithDrawings(pdf): @unchecked
     assert(pairs.map(_._2) == Seq(""))
-    // the fake path still serves non-PDF payloads (harness fixtures)
-    assert(auto.drawings("plain text".getBytes(ISO_8859_1), 2)
+    // r19: printable text is the TXT document class — no drawings
+    assert(auto.drawings("plain text".getBytes(ISO_8859_1), 2) == "")
+    // the fake path still serves binary junk (harness fixtures)
+    assert(auto.drawings(Array[Byte](0xC3.toByte, 0x28), 2)
       == FakePdfDecoder().drawings(Array.emptyByteArray, 2))
   }
 }
