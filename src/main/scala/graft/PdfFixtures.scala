@@ -978,6 +978,53 @@ object PdfFixtures {
         s"/Filter /DCTDecode /Length ${jpeg.length} >>", Some(jpeg))))
   }
 
+  /** q407: YCCK JPEGs behind /DCTDecode (r19 — VERDICT r18 Missing
+    * #4, the Photoshop-CMYK-with-color-transform class): the stored
+    * channels are (Y, Cb, Cr, K′) — the Adobe-inverted CMY channels
+    * pushed through the JFIF forward transform, K inverted directly —
+    * marked by an APP14 with transform byte 2. The fixture plants the
+    * STORED samples (uniform colors round-trip exactly through the
+    * writer's DC-only blocks, the q385-verified property), so the
+    * oracle replays the decoder's inverse-transform arithmetic term
+    * by term; a missed inverse, wrong matrix constant, or rounding
+    * slip shifts every channel and breaks the hash tri-scale. */
+  def ycckJpegDoc(id: Long): Array[Byte] = {
+    val w = 7 + (id % 9).toInt; val h = 5 + (id % 7).toInt
+    val ys = ((id * 3) % 256).toInt; val cb = ((id * 7) % 256).toInt
+    val cr = ((id * 11) % 256).toInt; val ks = ((id * 5) % 256).toInt
+    val raster = java.awt.image.Raster.createInterleavedRaster(
+      java.awt.image.DataBuffer.TYPE_BYTE, w, h, 4, null)
+    val vals = Array(ys, cb, cr, ks)
+    var yy = 0
+    while (yy < h) {
+      var x = 0
+      while (x < w) {
+        var b = 0
+        while (b < 4) { raster.setSample(x, yy, b, vals(b)); b += 1 }
+        x += 1
+      }
+      yy += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(raster, null, null), null)
+    ios.close(); wr.dispose()
+    val plain = bos.toByteArray
+    // Adobe APP14: FFEE len=14 'Adobe' ver flags0 flags1 transform=2
+    val app14 = Array(0xFF, 0xEE, 0, 14, 'A', 'd', 'o', 'b', 'e',
+      0, 100, 0, 0, 0, 0, 2).map(_.toByte)
+    val jpeg = new Array[Byte](plain.length + app14.length)
+    System.arraycopy(plain, 0, jpeg, 0, 2)
+    System.arraycopy(app14, 0, jpeg, 2, app14.length)
+    System.arraycopy(plain, 2, jpeg, 2 + app14.length, plain.length - 2)
+    imagePage(9, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 8 /ColorSpace /DeviceCMYK " +
+        s"/Filter /DCTDecode /Length ${jpeg.length} >>", Some(jpeg))))
+  }
+
   /** q386: JBIG2 HUFFMAN-coded symbol-dictionary + text-region
     * streams (T.88 SDHUFF=SBHUFF=1, standard Annex B tables) painting
     * the same planted vertical split as q379's arithmetic legs —
@@ -1291,6 +1338,70 @@ object PdfFixtures {
       else Array.emptyByteArray
     val tracks = el(id4(0x1654AE6BL), videoTrack ++ audioTrack)
     ebml ++ el(id4(0x18538067L), info ++ tracks)
+  }
+
+  /** q405: JBIG2 HUFFMAN-coded refinement (T.88 §6.4.11 with
+    * SBHUFF=1, r19 — VERDICT r18 Missing #2, the last text-region
+    * class): the q399 even-leg geometry (a plain k×k solid instance
+    * plus an instance refined into a (k+1)×(k+1) hollow border)
+    * driven through an SBHUFF text region whose refinement deltas
+    * ride the standard B.14 (RDW/RDH) and B.15 (RDX/RDY) tables and
+    * whose per-instance arithmetic block is BMSIZE-framed (B.1). The
+    * GR template cycles 0/1. Black counts are closed-form in doc_id,
+    * so a table-line error, canonical-code slip, RI misread, or
+    * block-framing bug shears pixels and breaks the hash tri-scale. */
+  def jbig2HuffmanRefineDoc(id: Long): Array[Byte] = {
+    val k = 2 + (id % 3).toInt
+    val w = 2 * k + 6; val h = k + 3
+    val solid = Array.fill(k * k)(true)
+    def hollow(n: Int): Array[Boolean] = Array.tabulate(n * n) { i =>
+      val x = i % n; val y = i / n
+      x == 0 || y == 0 || x == n - 1 || y == n - 1
+    }
+    val template = ((id / 2) % 2).toInt
+    val stream = graft.sources.Jbig2.encodeEmbeddedRefinedTextHuffman(
+      Seq((k, k, solid)),
+      Seq((0, 1, 1, None),
+        (0, k + 3, 1, Some((1, 1, 0, 0, hollow(k + 1))))),
+      w, h, sbrTemplate = template)
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        "/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
+  }
+
+  /** q406: MULTI-instance SDREFAGG (T.88 §6.5.8.2.1, r19 — VERDICT
+    * r18 Missing #3): dictionary B derives one (2k+1)×k aggregate
+    * symbol from TWO nested-text-region instances — a refined one
+    * (the imported solid k×k turned into a hollow border, IARI=1) at
+    * x=0 and a plain placement of the import (IARI=0) at x=k+1 — and
+    * a final text region places the import and the aggregate side by
+    * side. Black counts are closed-form (2k² + 4k − 4), so an IAAI
+    * misread, nested-region S/T slip, shared-statistics break, or
+    * composition bug breaks the hash tri-scale. GR template cycles. */
+  def jbig2MultiAggDoc(id: Long): Array[Byte] = {
+    val k = 2 + (id % 3).toInt
+    val w = 3 * k + 4; val h = k + 2
+    val solid = Array.fill(k * k)(true)
+    val hollow = Array.tabulate(k * k) { i =>
+      val x = i % k; val y = i / k
+      x == 0 || y == 0 || x == k - 1 || y == k - 1
+    }
+    val template = ((id / 2) % 2).toInt
+    val stream = graft.sources.Jbig2.encodeEmbeddedMultiAggText(
+      Seq((k, k, solid)),
+      aggW = 2 * k + 1, aggH = k,
+      aggInstances = Seq(
+        (0, 0, 0, Some((0, 0, 0, 0, hollow))),
+        (0, k + 1, 0, None)),
+      instances = Seq((0, 1, 1), (1, k + 2, 1)),
+      w, h, sdrTemplate = template)
+    imagePage(10, Seq(
+      (5, s"<< /Subtype /Image /Width $w /Height $h " +
+        "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
+        "/Filter /JBIG2Decode " +
+        s"/Length ${stream.length} >>", Some(stream))))
   }
 
   /** q399: JBIG2 refinement-coded SYMBOLS (T.88 §6.4.11 / §6.5.8.2,

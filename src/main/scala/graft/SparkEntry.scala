@@ -10654,6 +10654,45 @@ object SparkEntry {
             lit("<[^>]+>"), lit(" "))), " +")).cast("long").as("n_words"))
     }),
 
+    "q407_pdf_ycck_jpeg" -> ((s, dir) => {
+      // YCCK /DCTDecode JPEGs (r19 -- VERDICT r18 Missing #4): the
+      // Adobe transform=2 class q385 left fail-closed. The decoder
+      // reads the APP14 transform byte and inverts the stored YCbCr
+      // back to the inverted-CMY channels (JFIF SS 7 inverse,
+      // round-half-up, [0,255] clamp) before the Adobe un-invert and
+      // the SS 8.6.4.4 additive clamp. The oracle replays the planted
+      // stored samples through the same IEEE expression term by term,
+      // so a missed inverse, a wrong matrix constant, or a rounding
+      // slip breaks the hash tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.ycckJpegDoc _))
+    }),
+
+    "q406_pdf_jbig2_multi_agg" -> ((s, dir) => {
+      // MULTI-instance SDREFAGG (r19 -- VERDICT r18 Missing #3, T.88
+      // SS 6.5.8.2.1): an aggregate dictionary symbol composed by a
+      // NESTED text region of TWO instances (one refined via the
+      // shared GR state, one plain) against an imported dictionary,
+      // then placed by a final region. The nested region's IADT/IAFS/
+      // IADS/IARI/IARDW/IARDH statistics are dictionary-level -- a
+      // fresh-stats misread desynchronizes the arithmetic stream and
+      // shears every later pixel. Closed-form black counts, tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2MultiAggDoc _))
+    }),
+
+    "q405_pdf_jbig2_huffman_refinement" -> ((s, dir) => {
+      // JBIG2 HUFFMAN-coded refinement (r19 -- VERDICT r18 Missing
+      // #2, the last JBIG2 text-region class; fax-origin second-pass
+      // streams): the q399 even-leg geometry driven through an SBHUFF
+      // text region -- raw RI bits, RDW/RDH via the standard B.14
+      // table, RDX/RDY via B.15 (transcription validated by the
+      // Kraft-completeness + contiguous-coverage invariants the spec
+      // tables satisfy by design, asserted in Round19Spec), BMSIZE-
+      // framed byte-aligned arithmetic refinement blocks with fresh
+      // GR state per instance. Closed-form black counts break the
+      // hash on any table or framing slip, tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HuffmanRefineDoc _))
+    }),
+
     "q403_svg_decode" -> ((s, dir) => {
       // SVG decode (r19 -- VERDICT r18 Missing #1: PyMuPDF opens .svg
       // as a one-page vector document whose text is its <text>
@@ -17512,6 +17551,57 @@ object SparkEntry {
         |  CAST(2 + (d.doc_id + i.g) % 7 AS BIGINT) AS n_words
         |FROM documents d,
         |  LATERAL unnest(generate_series(0, d.doc_id % 3)) AS i(g)""".stripMargin,
+
+    // q407: the planted STORED (Y, Cb, Cr, K') samples replayed
+    // through the decoder's JFIF inverse (same IEEE association
+    // order), Adobe un-invert, and the q385 additive clamp
+    "q407_pdf_ycck_jpeg" ->
+      """WITH p AS (SELECT doc_id,
+        |    7 + doc_id % 9 AS w, 5 + doc_id % 7 AS h,
+        |    (doc_id * 3) % 256 AS ys, (doc_id * 7) % 256 - 128 AS cb,
+        |    (doc_id * 11) % 256 - 128 AS cr, (doc_id * 5) % 256 AS ks
+        |  FROM documents),
+        |t AS (SELECT doc_id, w, h, ks,
+        |    LEAST(255, GREATEST(0, FLOOR(ys + 1.402 * cr + 0.5))) AS r1,
+        |    LEAST(255, GREATEST(0,
+        |      FLOOR(ys - 0.344136 * cb - 0.714136 * cr + 0.5))) AS g1,
+        |    LEAST(255, GREATEST(0, FLOOR(ys + 1.772 * cb + 0.5))) AS b1
+        |  FROM p),
+        |cc AS (SELECT doc_id, w, h,
+        |    255 - r1 AS c, 255 - g1 AS m, 255 - b1 AS y, 255 - ks AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR((
+        |    0.299 * (255 - LEAST(255, c + k)) +
+        |    0.587 * (255 - LEAST(255, m + k)) +
+        |    0.114 * (255 - LEAST(255, y + k))) * 1e6 + 0.5) AS BIGINT)
+        |    AS lum_u6
+        |FROM cc""".stripMargin,
+
+    // q406: solid k² + (hollow border 4k−4 + solid k²) aggregate
+    "q406_pdf_jbig2_multi_agg" ->
+      """WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+        |b AS (
+        |  SELECT doc_id, 3 * k + 4 AS w, k + 2 AS h,
+        |    2 * k * k + 4 * k - 4 AS black
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM b""".stripMargin,
+
+    // q405: the q399 even-leg black-count law (solid k² + hollow
+    // border 4k) under the Huffman-refinement wire form
+    "q405_pdf_jbig2_huffman_refinement" ->
+      """WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+        |b AS (
+        |  SELECT doc_id, 2 * k + 6 AS w, k + 3 AS h,
+        |    k * k + 4 * k AS black
+        |  FROM v)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+        |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM b""".stripMargin,
 
     // q403: one SVG page per doc with the planted word count;
     // q404: the q395 page/word law under the 66-line TXT contract

@@ -31,10 +31,14 @@ package graft.sources
   * runcode-built symbol-ID table; see [[Jbig2Huffman]]) — the
   * fax-origin/older-scanner encoding — AND halftone regions (r17:
   * §6.6/§6.7 pattern dictionaries + Annex C Gray-coded arithmetic
-  * gray-scale images — the dithered-grayscale scan class). Custom
-  * Huffman tables, refinement/aggregation, MMR-multiplexed gray
-  * planes, and HENABLESKIP yield None — fail closed, never fabricate
-  * pixels. The decoder is defensive end
+  * gray-scale images — the dithered-grayscale scan class), custom
+  * Huffman tables (r18: §B.2 table segments, Kraft-validated),
+  * refinement (r18: §6.3 generic refinement regions, §6.4.11 SBREFINE
+  * instances, §6.5.8.2.2 single-instance SDREFAGG; r19: Huffman-coded
+  * refinement via the B.14/B.15 standard tables and §6.5.8.2.1
+  * multi-instance aggregates with their nested text regions).
+  * MMR-multiplexed gray planes and HENABLESKIP yield None — fail
+  * closed, never fabricate pixels. The decoder is defensive end
   * to end: truncated headers, unknown segment types,
   * or oversized regions abort to None (crawled-PDF robustness, the
   * same contract as the rest of MiniPdf). The encoder exists for
@@ -956,8 +960,9 @@ object Jbig2 {
     * participating in the export-flag run. r18: SDREFAGG=1 symbols
     * with REFAGGNINST=1 decode as §6.5.8.2.2 refinements of an
     * earlier symbol (IAAI count, IAID reference, IARDX/IARDY offsets,
-    * one shared GR context); multi-instance aggregates (a nested text
-    * region per symbol) stay out of envelope. */
+    * one shared GR context). r19 (VERDICT r18 Missing #3):
+    * REFAGGNINST>1 decodes the §6.5.8.2.1 NESTED text region per
+    * symbol via [[decodeAggTextRegion]]. */
   private def decodeSymbolDict(b: Array[Byte], start: Int, len: Int,
                                input: IndexedSeq[Sym],
                                tabs: IndexedSeq[Jbig2Huffman.HTable] =
@@ -995,11 +1000,22 @@ object Jbig2 {
     val gb = new CxTable(1 << contextSize(template))
     // REFAGG state (allocated only when used): aggregate-instance
     // count, reference-symbol ID tree over input ++ new, RD offsets,
-    // and ONE shared refinement context for the whole dictionary
+    // and ONE shared refinement context for the whole dictionary.
+    // r19 (VERDICT r18 Missing #3): multi-instance aggregates decode
+    // a NESTED text region per symbol (§6.5.8.2.1), whose IADT/IAFS/
+    // IADS/IARI/IARDW/IARDH statistics are likewise dictionary-level
+    // (they persist across the dictionary's aggregate symbols, the
+    // same sharing discipline as IARDX/IARDY/GR).
     lazy val iaai = new MqInt
     lazy val iardx = new MqInt
     lazy val iardy = new MqInt
     lazy val grCx = new CxTable(1 << refContextSize(sdrTemplate))
+    lazy val iadt = new MqInt
+    lazy val iafs = new MqInt
+    lazy val iads = new MqInt
+    lazy val iari = new MqInt
+    lazy val iardw = new MqInt
+    lazy val iardh = new MqInt
     // §6.5.8.2.3: SBSYMCODELEN = ceil(log2(SDNUMINSYMS + SDNUMNEWSYMS))
     // — no max(1, …) here, unlike the text region's erratum form
     val aggCodeLen = ceilLog2(input.length + numNew.toInt)
@@ -1032,16 +1048,31 @@ object Jbig2 {
                   tpgdon = false, at).getOrElse(return None)
               else {
                 val ninst = iaai.decode(mq).getOrElse(return None)
-                if (ninst != 1) return None // nested text region: out
-                val id = iaidDecode(mq, aggIdCx, aggCodeLen)
-                val rdx = iardx.decode(mq).getOrElse(return None)
-                val rdy = iardy.decode(mq).getOrElse(return None)
+                if (ninst < 1 || ninst > 10000) return None
                 val pool: IndexedSeq[Sym] = input ++ newSyms
-                if (id < 0 || id >= pool.length) return None
-                val ref = pool(id)
-                decodeRefinementWith(mq, grCx, sw, hc, sdrTemplate,
-                  tpgron = false, sdrAt, ref.bits, ref.w, ref.h,
-                  rdx, rdy).getOrElse(return None)
+                if (ninst == 1) {
+                  // §6.5.8.2.2 single-instance shortcut: no nested
+                  // text region — IAID + IARDX/IARDY + one refinement
+                  val id = iaidDecode(mq, aggIdCx, aggCodeLen)
+                  val rdx = iardx.decode(mq).getOrElse(return None)
+                  val rdy = iardy.decode(mq).getOrElse(return None)
+                  if (id < 0 || id >= pool.length) return None
+                  val ref = pool(id)
+                  decodeRefinementWith(mq, grCx, sw, hc, sdrTemplate,
+                    tpgron = false, sdrAt, ref.bits, ref.w, ref.h,
+                    rdx, rdy).getOrElse(return None)
+                } else {
+                  // §6.5.8.2.1 (r19): a nested text region of the
+                  // symbol's own sw×hc canvas — SBREFINE=1,
+                  // SBSTRIPS=1, TRANSPOSED=0, REFCORNER=TOPLEFT,
+                  // SBCOMBOP=OR, SBDSOFFSET=0, symbols = input ++
+                  // new-so-far, SBSYMCODELEN = the dictionary's
+                  // aggregate code length
+                  decodeAggTextRegion(mq, ninst, sw, hc, pool,
+                    aggIdCx, aggCodeLen, iadt, iafs, iads, iari,
+                    iardw, iardh, iardx, iardy, grCx, sdrTemplate,
+                    sdrAt).getOrElse(return None)
+                }
               }
             newSyms += Sym(sw, hc, bmp)
         }
@@ -1071,6 +1102,83 @@ object Jbig2 {
     val out = all.indices.collect { case j if ex(j) => all(j) }
     if (out.length != numEx) return None
     Some(out)
+  }
+
+  /** The §6.5.8.2.1 NESTED text region of a multi-instance aggregate
+    * symbol (r19 — VERDICT r18 Missing #3): `ninst` instances compose
+    * the sw×hc symbol canvas with the fixed parameter set the spec
+    * pins (SBREFINE=1 so every instance carries an IARI indicator,
+    * SBSTRIPS=1 so no IAIT reads, TRANSPOSED=0, REFCORNER=TOPLEFT,
+    * SBCOMBOP=OR, SBDSOFFSET=0, SBDEFPIXEL=0). All integer-decoding
+    * statistics are the CALLER's dictionary-level instances — they
+    * persist across the dictionary's aggregate symbols. */
+  private def decodeAggTextRegion(mq: MqDecoder, ninst: Int,
+      sw: Int, hc: Int, pool: IndexedSeq[Sym],
+      aggIdCx: CxTable, aggCodeLen: Int,
+      iadt: MqInt, iafs: MqInt, iads: MqInt, iari: MqInt,
+      iardw: MqInt, iardh: MqInt, iardx: MqInt, iardy: MqInt,
+      grCx: CxTable, sdrTemplate: Int, sdrAt: Array[Int])
+      : Option[Array[Boolean]] = {
+    if (pool.isEmpty) return None
+    val region = new Array[Boolean](sw * hc)
+    var stripT = -iadt.decode(mq).getOrElse(return None) // strips = 1
+    var firstS = 0
+    var inst = 0
+    while (inst < ninst) {
+      stripT += iadt.decode(mq).getOrElse(return None)
+      var curS = 0
+      var first = true
+      var inStrip = true
+      while (inStrip && inst < ninst) {
+        if (first) {
+          firstS += iafs.decode(mq).getOrElse(return None)
+          curS = firstS
+          first = false
+        } else iads.decode(mq) match {
+          case None => inStrip = false // OOB ends the strip
+          case Some(ids) => curS += ids
+        }
+        if (inStrip) {
+          val id = iaidDecode(mq, aggIdCx, aggCodeLen)
+          if (id < 0 || id >= pool.length) return None
+          val base = pool(id)
+          val sym = iari.decode(mq) match {
+            case None => return None
+            case Some(0) => base
+            case Some(_) =>
+              val rdw = iardw.decode(mq).getOrElse(return None)
+              val rdh = iardh.decode(mq).getOrElse(return None)
+              val rdx = iardx.decode(mq).getOrElse(return None)
+              val rdy = iardy.decode(mq).getOrElse(return None)
+              val nw = base.w + rdw; val nh = base.h + rdh
+              if (nw <= 0 || nh <= 0 || nw > 4096 || nh > 4096) return None
+              val bits = decodeRefinementWith(mq, grCx, nw, nh,
+                sdrTemplate, tpgron = false, sdrAt, base.bits,
+                base.w, base.h, (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+                .getOrElse(return None)
+              Sym(nw, nh, bits)
+          }
+          // TOPLEFT, OR composite onto the symbol canvas
+          var yy = 0
+          while (yy < sym.h) {
+            val py = stripT + yy
+            if (py >= 0 && py < hc) {
+              var xx = 0
+              while (xx < sym.w) {
+                val px = curS + xx
+                if (px >= 0 && px < sw)
+                  region(py * sw + px) |= sym.bits(yy * sym.w + xx)
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          curS += sym.w - 1
+          inst += 1
+        }
+      }
+    }
+    Some(region)
   }
 
   /** Decode a pattern-dictionary segment payload (§6.7 / §7.4.4, r17
@@ -1390,9 +1498,11 @@ object Jbig2 {
     * SBREFINE=1 on the ARITHMETIC class decodes per-instance §6.4.11
     * refinements (IARI indicator, IARDW/RDH/RDX/RDY deltas, the §6.3
     * refinement of the selected symbol at GRREFERENCEDX/DY =
-    * floor(RD{W,H}/2)+RD{X,Y}); Huffman refinement (its own RD table
-    * selects) stays out of envelope. Returns the region bitmap and
-    * its placement. */
+    * floor(RD{W,H}/2)+RD{X,Y}); r19 (VERDICT r18 Missing #2): the
+    * HUFFMAN class refines too — a raw RI bit, deltas via the
+    * selected B.14/B.15 tables, and a BMSIZE-framed byte-aligned
+    * arithmetic refinement block per instance. Returns the region
+    * bitmap and its placement. */
   private def decodeTextRegion(b: Array[Byte], start: Int, len: Int,
       syms: IndexedSeq[Sym],
       tabs: IndexedSeq[Jbig2Huffman.HTable] = IndexedSeq.empty)
@@ -1414,25 +1524,24 @@ object Jbig2 {
     val dsOffsetRaw = (flags >>> 10) & 0x1F
     val dsOffset = if (dsOffsetRaw > 15) dsOffsetRaw - 32 else dsOffsetRaw
     val sbrTemplate = (flags >>> 15) & 1
-    // Huffman-coded refinement needs the RDW/RDH/RDX/RDY table
-    // selects — out of envelope (fail closed); arithmetic refinement
-    // decodes below (r18)
-    if (refine && sbhuff) return None
     val strips = 1 << logStrips
     var q = start + 19
     // SBHUFF=1 (r17): a 2-byte Huffman-flags field selects the
-    // standard Annex B tables; custom-table selects (value 3) and any
-    // nonzero refinement-table bits stay out of envelope (fail closed)
+    // standard Annex B tables; custom-table selects (value 3) consume
+    // referred table segments in FS, DS, DT, RDW, RDH, RDX, RDY,
+    // RSIZE order. r19 (VERDICT r18 Missing #2): the refinement
+    // selects (bits 6–13: RDW/RDH/RDX/RDY over B.14/B.15, bit 14:
+    // RSIZE over B.1) are honored under SBREFINE — the last JBIG2
+    // text-region class; nonzero refinement bits WITHOUT SBREFINE
+    // are malformed.
     val huffTables =
       if (!sbhuff) None
       else {
         import Jbig2Huffman._
         if (q + 2 > start + len) return None
         val hf = ((b(q) & 0xff) << 8) | (b(q + 1) & 0xff); q += 2
-        // bits 6-14 are the refinement-table selects + RSIZE -- only
-        // meaningful under SBREFINE (already out of envelope for
-        // SBHUFF); any nonzero value here is malformed
-        if ((hf >>> 6) != 0) return None
+        if (!refine && (hf >>> 6) != 0) return None
+        if ((hf >>> 15) != 0) return None // reserved bit
         var tabIdx = 0
         def nextCustom(): Option[HTable] = {
           val t = tabs.lift(tabIdx); tabIdx += 1; t
@@ -1450,7 +1559,24 @@ object Jbig2 {
           case 0 => B11; case 1 => B12; case 2 => B13
           case _ => nextCustom().getOrElse(return None)
         }
-        Some((fsT, dsT, dtT))
+        val rdTabs =
+          if (!refine) None
+          else {
+            def rd(sel: Int): Option[HTable] = sel match {
+              case 0 => Some(B14); case 1 => Some(B15)
+              case 3 => nextCustom()
+              case _ => None // 2 is reserved
+            }
+            val rdwT = rd((hf >>> 6) & 3).getOrElse(return None)
+            val rdhT = rd((hf >>> 8) & 3).getOrElse(return None)
+            val rdxT = rd((hf >>> 10) & 3).getOrElse(return None)
+            val rdyT = rd((hf >>> 12) & 3).getOrElse(return None)
+            val rsT =
+              if (((hf >>> 14) & 1) == 0) B1
+              else nextCustom().getOrElse(return None)
+            Some((rdwT, rdhT, rdxT, rdyT, rsT))
+          }
+        Some((fsT, dsT, dtT, rdTabs))
       }
     // SBRAT: 2 refinement AT pairs follow the (Huffman) flags when
     // SBREFINE=1 and SBRTEMPLATE=0 (§7.4.4.1)
@@ -1473,7 +1599,7 @@ object Jbig2 {
         (() => Option[Int], () => Option[Int], () => Option[Option[Int]],
           () => Option[Int], () => Option[Int], Sym => Option[Sym]) =
       huffTables match {
-        case Some((fsT, dsT, dtT)) =>
+        case Some((fsT, dsT, dtT, rdTabs)) =>
           val br = new Jbig2Huffman.BitReader(b, q, start + len)
           val idTable = Jbig2Huffman.readSymbolIdTable(br, syms.length)
             .getOrElse(return None)
@@ -1482,6 +1608,41 @@ object Jbig2 {
             case Some(Some(v)) if v >= Int.MinValue && v <= Int.MaxValue =>
               Some(v.toInt)
             case _ => None
+          }
+          // §6.4.11 under SBHUFF (r19): RI is ONE raw bit; the deltas
+          // ride the selected RDW/RDH/RDX/RDY tables; BMSIZE
+          // (SBHUFFRSIZE) sizes a byte-aligned arithmetic refinement
+          // block with a FRESH GR coder + context per instance, and
+          // the bit reader resumes past the block.
+          val refF: Sym => Option[Sym] = rdTabs match {
+            case None => (sym: Sym) => Some(sym)
+            case Some((rdwT, rdhT, rdxT, rdyT, rsT)) =>
+              (sym: Sym) => br.read(1).flatMap {
+                case 0L => Some(sym)
+                case _ =>
+                  for {
+                    rdw <- int(rdwT.decode(br))
+                    rdh <- int(rdhT.decode(br))
+                    rdx <- int(rdxT.decode(br))
+                    rdy <- int(rdyT.decode(br))
+                    bmsize <- int(rsT.decode(br))
+                    nw = sym.w + rdw
+                    nh = sym.h + rdh
+                    if nw > 0 && nh > 0 && nw <= 4096 && nh <= 4096
+                    if bmsize > 0 && {
+                      br.align(); br.bytePos + bmsize <= start + len
+                    }
+                    off = br.bytePos
+                    bits <- decodeRefinementWith(
+                      new MqDecoder(
+                        java.util.Arrays.copyOfRange(b, off, off + bmsize)),
+                      new CxTable(1 << refContextSize(sbrTemplate)),
+                      nw, nh, sbrTemplate, tpgron = false, sbrAt,
+                      sym.bits, sym.w, sym.h,
+                      (rdw >> 1) + rdx, (rdh >> 1) + rdy)
+                    _ = br.seek(off + bmsize)
+                  } yield Sym(nw, nh, bits)
+              }
           }
           (() => int(dtT.decode(br)),
             () => int(fsT.decode(br)),
@@ -1493,7 +1654,7 @@ object Jbig2 {
             },
             () => if (strips == 1) Some(0) else br.read(logStrips).map(_.toInt),
             () => int(idTable.decode(br)),
-            (sym: Sym) => Some(sym))
+            refF)
         case None =>
           val mq = new MqDecoder(
             java.util.Arrays.copyOfRange(b, q, start + len))
@@ -2088,6 +2249,313 @@ object Jbig2 {
     sw.u16(1 | (1 << 4) | (if (transposed) 1 << 6 else 0))
     // huffFlags: FS B.6, DS B.8, DT B.11 -- or the custom DT (select 3)
     sw.u16(if (customDt) 3 << 4 else 0x0000)
+    sw.u32(instances.length.toLong)
+    sw.bytes(trData)
+    sw.result()
+  }
+
+  /** r19 fixture twin for MULTI-instance SDREFAGG (VERDICT r18
+    * Missing #3): dictionary A (plain) exports `baseGlyphs`;
+    * dictionary B (SDREFAGG=1) derives ONE aggW×aggH aggregate symbol
+    * whose REFAGGNINST = `aggInstances.length` nested-text-region
+    * instances each place `(refIdx into A's sorted exports, x, y,
+    * refSpec)` — refSpec None places the referenced symbol as-is
+    * (IARI=0), Some((rdw, rdh, rdx, rdy, bits)) refines it first; a
+    * final text region places `instances` over A.exports :+
+    * aggregate. The nested region's statistics are dictionary-level,
+    * mirroring the decoder. */
+  def encodeEmbeddedMultiAggText(
+      baseGlyphs: Seq[(Int, Int, Array[Boolean])],
+      aggW: Int, aggH: Int,
+      aggInstances: Seq[(Int, Int, Int, Option[(Int, Int, Int, Int, Array[Boolean])])],
+      instances: Seq[(Int, Int, Int)],
+      pageW: Int, pageH: Int, sdrTemplate: Int = 0): Array[Byte] = {
+    require(baseGlyphs.nonEmpty && aggInstances.length >= 2,
+      "a multi-instance aggregate")
+    // ---- dict A: plain arithmetic (the encodeEmbeddedAggText shape)
+    val aMq = new MqEncoder
+    locally {
+      val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+      val gb = new CxTable(1 << contextSize(0))
+      val order = baseGlyphs.sortBy { case (w, h, _) => (h, w) }
+      var prevH = 0
+      var k = 0
+      while (k < order.length) {
+        val h = order(k)._2
+        iadh.encode(aMq, Some(h - prevH))
+        prevH = h
+        var prevW = 0
+        while (k < order.length && order(k)._2 == h) {
+          val (w, _, bits) = order(k)
+          iadw.encode(aMq, Some(w - prevW))
+          prevW = w
+          encodeGenericWith(aMq, gb, bits, w, h, 0, tpgdon = false)
+          k += 1
+        }
+        iadw.encode(aMq, None)
+      }
+      iaex.encode(aMq, Some(0))
+      iaex.encode(aMq, Some(baseGlyphs.length))
+    }
+    val aData = aMq.flush()
+    val aExports = baseGlyphs.sortBy { case (w, h, _) => (h, w) }
+    // ---- dict B: one aggregate symbol via a nested text region
+    val bMq = new MqEncoder
+    locally {
+      val iadh = new MqInt; val iadw = new MqInt; val iaex = new MqInt
+      val iaai = new MqInt
+      val iadt = new MqInt; val iafs = new MqInt; val iads = new MqInt
+      val iari = new MqInt
+      val iardw = new MqInt; val iardh = new MqInt
+      val iardx = new MqInt; val iardy = new MqInt
+      val aggCodeLen = ceilLog2(aExports.length + 1)
+      val aggIdCx = new CxTable(1 << (aggCodeLen + 1))
+      val grCx = new CxTable(1 << refContextSize(sdrTemplate))
+      iadh.encode(bMq, Some(aggH))
+      iadw.encode(bMq, Some(aggW))
+      iaai.encode(bMq, Some(aggInstances.length))
+      // nested text region: strips=1, TOPLEFT, initial DT then strips
+      iadt.encode(bMq, Some(0))
+      val byStrip = aggInstances.sortBy { case (_, x, y, _) => (y, x) }
+      var stripT = 0
+      var firstS = 0
+      var i = 0
+      while (i < byStrip.length) {
+        val t = byStrip(i)._3
+        iadt.encode(bMq, Some(t - stripT))
+        stripT = t
+        var first = true
+        var curS = 0
+        while (i < byStrip.length && byStrip(i)._3 == t) {
+          val (refIdx, x, _, refSpec) = byStrip(i)
+          if (first) {
+            iafs.encode(bMq, Some(x - firstS))
+            firstS = x
+            curS = x
+            first = false
+          } else iads.encode(bMq, Some(x - curS))
+          iaidEncode(bMq, aggIdCx, aggCodeLen, refIdx)
+          val (gw, gh, gbits) = aExports(refIdx)
+          val placedW = refSpec match {
+            case None =>
+              iari.encode(bMq, Some(0))
+              gw
+            case Some((rdw, rdh, rdx, rdy, bits)) =>
+              require(bits.length == (gw + rdw) * (gh + rdh), "refined shape")
+              iari.encode(bMq, Some(1))
+              iardw.encode(bMq, Some(rdw))
+              iardh.encode(bMq, Some(rdh))
+              iardx.encode(bMq, Some(rdx))
+              iardy.encode(bMq, Some(rdy))
+              encodeRefinementWith(bMq, grCx, bits, gw + rdw, gh + rdh,
+                gbits, gw, gh, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                sdrTemplate, tpgron = false)
+              gw + rdw
+          }
+          curS = x + placedW - 1
+          i += 1
+        }
+        if (i < byStrip.length) iads.encode(bMq, None)
+      }
+      iadw.encode(bMq, None) // OOB ends the aggregate's height class
+      iaex.encode(bMq, Some(aExports.length)) // A's imports: not re-exported
+      iaex.encode(bMq, Some(1))
+    }
+    val bData = bMq.flush()
+    // the aggregate's composed bitmap is the DECODER's job — the
+    // fixture asserts it via black counts; the final region needs
+    // only aggW for its width advance
+    // ---- final text region over A.exports :+ aggregate
+    val symWidths: IndexedSeq[Int] = aExports.map(_._1).toIndexedSeq :+ aggW
+    val symCodeLen = math.max(1, ceilLog2(symWidths.length))
+    val trMq = new MqEncoder
+    locally {
+      val iadt = new MqInt; val iafs = new MqInt; val iads = new MqInt
+      val idCx = new CxTable(1 << (symCodeLen + 1))
+      iadt.encode(trMq, Some(0))
+      val byStrip = instances.sortBy { case (_, x, y) => (y, x) }
+      var stripT = 0
+      var firstS = 0
+      var i = 0
+      while (i < byStrip.length) {
+        val t = byStrip(i)._3
+        iadt.encode(trMq, Some(t - stripT))
+        stripT = t
+        var first = true
+        var curS = 0
+        while (i < byStrip.length && byStrip(i)._3 == t) {
+          val (sym, x, _) = byStrip(i)
+          if (first) {
+            iafs.encode(trMq, Some(x - firstS))
+            firstS = x
+            curS = x
+            first = false
+          } else iads.encode(trMq, Some(x - curS))
+          iaidEncode(trMq, idCx, symCodeLen, sym)
+          curS = x + symWidths(sym) - 1
+          i += 1
+        }
+        if (i < byStrip.length) iads.encode(trMq, None)
+      }
+    }
+    val trData = trMq.flush()
+    // ---- segments
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
+    sw.header(1, 0, 2 + 8 + 8 + aData.length)
+    sw.u16(0x0000)
+    NominalAt(0).foreach(v => sw.u8(v & 0xff))
+    sw.u32(baseGlyphs.length.toLong); sw.u32(baseGlyphs.length.toLong)
+    sw.bytes(aData)
+    val bAtLen = if (sdrTemplate == 0) 4 else 0
+    sw.header(2, 0, 2 + 8 + bAtLen + 8 + bData.length, refs = Seq(1))
+    sw.u16(2 | (sdrTemplate << 12))
+    NominalAt(0).foreach(v => sw.u8(v & 0xff))
+    if (sdrTemplate == 0) RefNominalAt.foreach(v => sw.u8(v & 0xff))
+    sw.u32(1L); sw.u32(1L)
+    sw.bytes(bData)
+    sw.header(3, 6, 17 + 2 + 4 + trData.length, refs = Seq(1, 2))
+    sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00)
+    sw.u16(1 << 4) // SBHUFF=0, REFINE=0, TOPLEFT
+    sw.u32(instances.length.toLong)
+    sw.bytes(trData)
+    sw.result()
+  }
+
+  /** Huffman twin of [[encodeEmbeddedRefinedText]] (r19 — VERDICT r18
+    * Missing #2): an SDHUFF dictionary (uncompressed collective
+    * bitmaps) plus an SBHUFF text region with SBREFINE=1 — per
+    * instance a raw RI bit; refined instances carry RDW/RDH via B.14
+    * and RDX/RDY via B.15 (both new tables on the wire), BMSIZE via
+    * B.1, then the byte-aligned arithmetic refinement block (fresh GR
+    * coder + context per instance, the decode contract). SBSTRIPS=1,
+    * REFCORNER=TOPLEFT. */
+  def encodeEmbeddedRefinedTextHuffman(
+      glyphs: Seq[(Int, Int, Array[Boolean])],
+      instances: Seq[(Int, Int, Int, Option[(Int, Int, Int, Int, Array[Boolean])])],
+      pageW: Int, pageH: Int, sbrTemplate: Int = 0): Array[Byte] = {
+    import Jbig2Huffman._
+    require(glyphs.nonEmpty, "at least one glyph")
+    // ---- symbol dictionary payload (the encodeEmbeddedTextHuffman
+    // shape: DH B.4, DW B.2, BMSIZE B.1, uncompressed collectives)
+    val sdBw = new BitWriter
+    val order = glyphs.zipWithIndex.sortBy { case ((w, h, _), _) => (h, w) }
+    val dictIndex = new Array[Int](glyphs.length)
+    for (((_, i), di) <- order.zipWithIndex) dictIndex(i) = di
+    var prevH = 0
+    var k = 0
+    while (k < order.length) {
+      val h = order(k)._1._2
+      B4.encode(sdBw, Some((h - prevH).toLong))
+      prevH = h
+      val classStart = k
+      var prevW = 0
+      while (k < order.length && order(k)._1._2 == h) {
+        val (w, _, _) = order(k)._1
+        B2.encode(sdBw, Some((w - prevW).toLong))
+        prevW = w
+        k += 1
+      }
+      B2.encode(sdBw, None)
+      val classSyms = order.slice(classStart, k).map(_._1)
+      val totW = classSyms.map(_._1).sum
+      val coll = new Array[Boolean](totW * h)
+      var x0 = 0
+      for ((w, _, bits) <- classSyms) {
+        for (y <- 0 until h; x <- 0 until w)
+          coll(y * totW + x0 + x) = bits(y * w + x)
+        x0 += w
+      }
+      B1.encode(sdBw, Some(0L)) // BMSIZE 0: uncompressed
+      sdBw.align()
+      val rowBytes = (totW + 7) / 8
+      val raw = new Array[Byte](rowBytes * h)
+      for (y <- 0 until h; x <- 0 until totW if coll(y * totW + x))
+        raw(y * rowBytes + (x >> 3)) =
+          (raw(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+      sdBw.writeBytes(raw)
+    }
+    B1.encode(sdBw, Some(0L))
+    B1.encode(sdBw, Some(glyphs.length.toLong))
+    val sdData = sdBw.result()
+    // ---- SBHUFF + SBREFINE text region payload
+    val symCodeLen = math.max(1, ceilLog2(glyphs.length))
+    val trBw = new BitWriter
+    val runLens = Array.tabulate(35)(i => if (i == symCodeLen) 1 else 0)
+    runLens.foreach(l => trBw.write(l.toLong, 4))
+    val runTable = prefixTable(runLens)
+    for (_ <- glyphs.indices) runTable.encode(trBw, Some(symCodeLen.toLong))
+    trBw.align()
+    val idTable = prefixTable(Array.fill(glyphs.length)(symCodeLen))
+    B11.encode(trBw, Some(1L)) // initial DT: STRIPT starts at −1
+    val byStrip = instances.sortBy { case (_, x, y, _) => (y, x) }
+    var stripT = -1
+    var firstS = 0
+    var i = 0
+    while (i < byStrip.length) {
+      val t = byStrip(i)._3
+      B11.encode(trBw, Some((t - stripT).toLong))
+      stripT = t
+      var first = true
+      var curS = 0
+      while (i < byStrip.length && byStrip(i)._3 == t) {
+        val (sym, x, _, refSpec) = byStrip(i)
+        if (first) {
+          B6.encode(trBw, Some((x - firstS).toLong))
+          firstS = x
+          curS = x
+          first = false
+        } else B8.encode(trBw, Some((x - curS).toLong))
+        idTable.encode(trBw, Some(dictIndex(sym).toLong))
+        val (gw, gh, gbits) = glyphs(sym)
+        val placedW = refSpec match {
+          case None =>
+            trBw.write(0L, 1) // RI = 0: the dictionary glyph as-is
+            gw
+          case Some((rdw, rdh, rdx, rdy, bits)) =>
+            require(bits.length == (gw + rdw) * (gh + rdh), "refined shape")
+            trBw.write(1L, 1)
+            B14.encode(trBw, Some(rdw.toLong)) // SBHUFFRDW select 0
+            B14.encode(trBw, Some(rdh.toLong)) // SBHUFFRDH select 0
+            B15.encode(trBw, Some(rdx.toLong)) // SBHUFFRDX select 1
+            B15.encode(trBw, Some(rdy.toLong)) // SBHUFFRDY select 1
+            val mq = new MqEncoder
+            encodeRefinementWith(mq,
+              new CxTable(1 << refContextSize(sbrTemplate)),
+              bits, gw + rdw, gh + rdh, gbits, gw, gh,
+              (rdw >> 1) + rdx, (rdh >> 1) + rdy, sbrTemplate,
+              tpgron = false)
+            val block = mq.flush()
+            B1.encode(trBw, Some(block.length.toLong)) // BMSIZE
+            trBw.writeBytes(block) // aligns, then the raw block
+            gw + rdw
+        }
+        curS = x + placedW - 1
+        i += 1
+      }
+      if (i < byStrip.length) B8.encode(trBw, None)
+    }
+    val trData = trBw.result()
+    // ---- segments
+    val sw = new SegWriter
+    sw.pageInfo(pageW, pageH)
+    sw.header(1, 0, 2 + 8 + sdData.length)
+    sw.u16(0x0001) // SDHUFF=1, SDREFAGG=0
+    sw.u32(glyphs.length.toLong); sw.u32(glyphs.length.toLong)
+    sw.bytes(sdData)
+    // text region: info(17) + flags(2) + huffFlags(2) +
+    // SBRAT(4 if template 0) + numInst(4) + data
+    val atLen = if (sbrTemplate == 0) 4 else 0
+    sw.header(2, 6, 17 + 2 + 2 + atLen + 4 + trData.length, refs = Seq(1))
+    sw.u32(pageW.toLong); sw.u32(pageH.toLong); sw.u32(0); sw.u32(0)
+    sw.u8(0x00)
+    // SBHUFF=1, REFINE=1, SBSTRIPS=1, TOPLEFT, SBRTEMPLATE bit 15
+    sw.u16(1 | 2 | (1 << 4) | (sbrTemplate << 15))
+    // huffFlags: FS B.6, DS B.8, DT B.11; RDW/RDH select 0 (B.14),
+    // RDX/RDY select 1 (B.15), RSIZE select 0 (B.1)
+    sw.u16((1 << 10) | (1 << 12))
+    if (sbrTemplate == 0) RefNominalAt.foreach(v => sw.u8(v & 0xff))
     sw.u32(instances.length.toLong)
     sw.bytes(trData)
     sw.result()

@@ -250,6 +250,27 @@ private[graft] object Jbig2Huffman {
     (6, 4, 29, Normal), (6, 5, 45, Normal), (7, 6, 77, Normal),
     (7, 32, 141, Upper))
 
+  /** B.14 — RDW/RDH/RDX/RDY (refinement-delta selector 0, r19): the
+    * small-delta table, covering EXACTLY [−2, 2] with no 32-bit tails
+    * (a delta outside the range is simply unencodable under this
+    * select — decode of an unmatched prefix fails closed). Validated
+    * structurally like every transcription here: Kraft-complete
+    * (1·2⁻¹ + 4·2⁻³ = 1) and range-contiguous over [−2, 2]
+    * (Round19Spec asserts both invariants). */
+  val B14: HTable = t((3, 0, -2, Normal), (3, 0, -1, Normal),
+    (1, 0, 0, Normal), (3, 0, 1, Normal), (3, 0, 2, Normal))
+
+  /** B.15 — RDW/RDH/RDX/RDY (refinement-delta selector 1, r19):
+    * symmetric coverage of [−24, 24] (16/4/2/1-wide ranges narrowing
+    * toward 0) plus 32-bit lower/upper tails at ∓25. Kraft-complete
+    * (2⁻¹ + 2·2⁻³ + 2·2⁻⁴ + 2·2⁻⁵ + 2·2⁻⁶ + 4·2⁻⁷ = 1) and
+    * contiguous — both asserted in Round19Spec. */
+  val B15: HTable = t((7, 4, -24, Normal), (6, 2, -8, Normal),
+    (5, 1, -4, Normal), (4, 0, -2, Normal), (3, 0, -1, Normal),
+    (1, 0, 0, Normal), (3, 0, 1, Normal), (4, 0, 2, Normal),
+    (5, 1, 3, Normal), (6, 2, 5, Normal), (7, 4, 9, Normal),
+    (7, 32, -25, Lower), (7, 32, 25, Upper))
+
   /** Build a pure prefix table (no range bits) from per-value code
     * lengths — the symbol-ID and runcode table shape. Values with
     * length 0 get no code. */

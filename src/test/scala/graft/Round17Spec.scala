@@ -951,8 +951,8 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
-  test("CMYK JPEG fail-closed: Adobe transform 2 (YCCK) drops, and a " +
-       "truncated 4-comp JPEG drops instead of throwing") {
+  test("CMYK JPEG fail-closed: a truncated 4-comp JPEG drops instead " +
+       "of throwing; transform=2 decodes through the YCCK inverse (r19)") {
     val spark = TestSpark.spark
     import spark.implicits._
     val payload = jpegPayloadOf(PdfFixtures.cmykJpegDoc(7L)) // Adobe shape
@@ -966,8 +966,11 @@ class Round17Spec extends AnyFunSuite {
     val truncated = payload.take(payload.length / 2)
     val df = Seq((1L, ycck), (2L, truncated)).toDF("doc_id", "media")
     val feats = graft.operators.Multimodal.extractImageFeatures(df).collect()
-    assert(feats.isEmpty,
-      "YCCK and torn CMYK JPEGs must drop, never fabricate features")
+    // r19 (VERDICT r18 Missing #4): transform=2 is IN envelope — the
+    // relabeled payload decodes through the YCCK inverse (Round19Spec
+    // pins the planted-value law); the torn payload still drops
+    assert(feats.map(_.doc_id).toSeq == Seq(1L),
+      "torn CMYK JPEGs drop; YCCK decodes since r19")
   }
 
   test("3-component JPEGs still ride the ImageIO path (the CMYK sniff " +

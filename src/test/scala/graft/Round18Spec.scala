@@ -583,18 +583,21 @@ class Round18Spec extends AnyFunSuite {
     val sbr = Jbig2.encodeEmbeddedRefinedText(Seq(g),
       Seq((0, 1, 1, Some((0, 0, 0, 0, refined)))), 8, 8)
     assert(Jbig2.decodeEmbedded(None, sbr, 8, 8).isDefined)
-    // flipping the SBHUFF bit on a REFINE region must fail closed
-    // (Huffman refinement tables are out of envelope). Layout: page
-    // info = 11-byte header + 19 data; dict = 11-byte header + LEN
-    // (u32 at its header+7); text = 12-byte header (1 ref) + 17-byte
-    // region info + 2 flag bytes.
+    // r19: Huffman refinement is IN envelope (B.14/B.15 landed), so
+    // flipping the SBHUFF bit no longer hits an envelope gate — it
+    // makes the stream a malformed member of the Huffman class
+    // (arithmetic bytes reinterpreted as Huffman fields). The decode
+    // must stay an Option, never a throw. Layout: page info = 11-byte
+    // header + 19 data; dict = 11-byte header + LEN (u32 at its
+    // header+7); text = 12-byte header (1 ref) + 17-byte region info
+    // + 2 flag bytes.
     val dictLen = ((sbr(37) & 0xff) << 24) | ((sbr(38) & 0xff) << 16) |
       ((sbr(39) & 0xff) << 8) | (sbr(40) & 0xff)
     val flagsAt = 30 + 11 + dictLen + 12 + 17
     val huffRef = sbr.clone()
     huffRef(flagsAt + 1) = (huffRef(flagsAt + 1) | 1).toByte
     assert((huffRef(flagsAt + 1) & 2) != 0, "offset sanity: REFINE bit set")
-    assert(Jbig2.decodeEmbedded(None, huffRef, 8, 8).isEmpty)
+    Jbig2.decodeEmbedded(None, huffRef, 8, 8) // no throw
     val agg = Jbig2.encodeEmbeddedAggText(Seq(g),
       Seq((0, 2, 2, 0, 0, refined)), Seq((1, 1, 1)), 8, 8)
     assert(Jbig2.decodeEmbedded(None, agg, 8, 8).isDefined)

@@ -94,6 +94,164 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------- JBIG2 Huffman refinement (B.14/B.15, r19)
+
+  test("B.14 and B.15 satisfy the standard-table invariants: Kraft-" +
+       "complete prefix codes, contiguous coverage, exact round-trip") {
+    import graft.sources.Jbig2Huffman._
+    assert(B14.valid && B15.valid, "Kraft equality must hold")
+    def roundTrip(t: HTable, v: Long): Option[Long] = {
+      val bw = new BitWriter
+      t.encode(bw, Some(v))
+      val bytes = bw.result()
+      t.decode(new BitReader(bytes, 0, bytes.length)).flatten
+    }
+    // B.14 covers exactly [-2, 2]; every value round-trips
+    for (v <- -2L to 2L) assert(roundTrip(B14, v).contains(v), s"B14 $v")
+    // B.15 covers [-24, 24] contiguously plus the 32-bit tails
+    for (v <- -24L to 24L) assert(roundTrip(B15, v).contains(v), s"B15 $v")
+    for (v <- Seq(-25L, -4096L, 25L, 4096L))
+      assert(roundTrip(B15, v).contains(v), s"B15 tail $v")
+    // a delta outside B.14's range is unencodable under that select —
+    // the decode side fails closed on an unmatched prefix
+    assert(intercept[IllegalArgumentException] {
+      val bw = new BitWriter; B14.encode(bw, Some(3L))
+    } != null)
+  }
+
+  test("Huffman-refinement text regions decode: fixtures round-trip " +
+       "planted black counts across GR templates 0/1") {
+    import graft.sources.Jbig2
+    for (id <- 0L to 11L) {
+      val k = 2 + (id % 3).toInt
+      val w = 2 * k + 6; val h = k + 3
+      val solid = Array.fill(k * k)(true)
+      def hollow(n: Int): Array[Boolean] = Array.tabulate(n * n) { i =>
+        val x = i % n; val y = i / n
+        x == 0 || y == 0 || x == n - 1 || y == n - 1
+      }
+      val stream = Jbig2.encodeEmbeddedRefinedTextHuffman(
+        Seq((k, k, solid)),
+        Seq((0, 1, 1, None), (0, k + 3, 1, Some((1, 1, 0, 0, hollow(k + 1))))),
+        w, h, sbrTemplate = ((id / 2) % 2).toInt)
+      val out = Jbig2.decodeEmbedded(None, stream, w, h)
+      assert(out.isDefined, s"id=$id must decode")
+      assert(out.get.count(b => b) == k * k + 4 * k, s"id=$id black count")
+    }
+  }
+
+  test("Huffman-refinement fail-closed + fuzz: nonzero refinement " +
+       "selects without SBREFINE reject; truncation and bit flips " +
+       "never throw") {
+    import graft.sources.Jbig2
+    val good = {
+      val solid = Array.fill(4)(true)
+      Jbig2.encodeEmbeddedRefinedTextHuffman(
+        Seq((2, 2, solid)),
+        Seq((0, 0, 0, Some((1, 1, 0, 0, Array.fill(9)(true))))), 8, 5)
+    }
+    assert(Jbig2.decodeEmbedded(None, good, 8, 5).isDefined)
+    for (cut <- 1 until good.length)
+      Jbig2.decodeEmbedded(None, good.take(cut), 8, 5) // Option, never a throw
+    val r = new scala.util.Random(1905)
+    for (_ <- 0 until 400) {
+      val m = good.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, 8, 5)
+    }
+  }
+
+  // ----------------------------------- multi-instance SDREFAGG (r19)
+
+  test("multi-instance SDREFAGG aggregates decode: the nested text " +
+       "region composes refined + plain instances onto the symbol " +
+       "canvas with dictionary-level statistics") {
+    import graft.sources.Jbig2
+    for (id <- 0L to 11L) {
+      val k = 2 + (id % 3).toInt
+      val w = 3 * k + 4; val h = k + 2
+      val solid = Array.fill(k * k)(true)
+      val hollow = Array.tabulate(k * k) { i =>
+        val x = i % k; val y = i / k
+        x == 0 || y == 0 || x == k - 1 || y == k - 1
+      }
+      val stream = Jbig2.encodeEmbeddedMultiAggText(
+        Seq((k, k, solid)), 2 * k + 1, k,
+        Seq((0, 0, 0, Some((0, 0, 0, 0, hollow))), (0, k + 1, 0, None)),
+        Seq((0, 1, 1), (1, k + 2, 1)),
+        w, h, sdrTemplate = ((id / 2) % 2).toInt)
+      val out = Jbig2.decodeEmbedded(None, stream, w, h)
+      assert(out.isDefined, s"id=$id must decode")
+      assert(out.get.count(b => b) == 2 * k * k + 4 * k - 4,
+        s"id=$id black count")
+    }
+  }
+
+  test("multi-instance SDREFAGG fail-closed + fuzz: hostile instance " +
+       "counts reject; truncations and bit flips never throw") {
+    import graft.sources.Jbig2
+    val solid = Array.fill(4)(true)
+    val hollow = Array(true, true, true, true) // k=2: all border
+    val good = Jbig2.encodeEmbeddedMultiAggText(
+      Seq((2, 2, solid)), 5, 2,
+      Seq((0, 0, 0, Some((0, 0, 0, 0, hollow))), (0, 3, 0, None)),
+      Seq((0, 1, 1), (1, 4, 1)), 10, 4)
+    assert(Jbig2.decodeEmbedded(None, good, 10, 4).isDefined)
+    for (cut <- 1 until good.length)
+      Jbig2.decodeEmbedded(None, good.take(cut), 10, 4) // no throw
+    val r = new scala.util.Random(1906)
+    for (_ <- 0 until 400) {
+      val m = good.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      Jbig2.decodeEmbedded(None, m, 10, 4)
+    }
+  }
+
+  // ------------------------------------------------- YCCK JPEGs (r19)
+
+  test("YCCK JPEGs decode through the JFIF inverse + Adobe un-invert: " +
+       "planted stored samples land the closed-form luminance") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def jpegPayloadOf(pdf: Array[Byte]): Array[Byte] = {
+      val Right(pages) =
+        graft.sources.MiniPdfDecoder().decodeWithImages(pdf): @unchecked
+      pages.flatMap(_._2).head
+    }
+    for (id <- Seq(0L, 7L, 20L, 33L, 101L)) {
+      val payload = jpegPayloadOf(PdfFixtures.ycckJpegDoc(id))
+      val ys = ((id * 3) % 256).toDouble
+      val cb = ((id * 7) % 256) - 128.0
+      val cr = ((id * 11) % 256) - 128.0
+      val ks = ((id * 5) % 256).toInt
+      def clamp(v: Double): Int = {
+        val r = math.floor(v + 0.5)
+        if (r < 0) 0 else if (r > 255) 255 else r.toInt
+      }
+      val c = 255 - clamp(ys + 1.402 * cr)
+      val m = 255 - clamp(ys - 0.344136 * cb - 0.714136 * cr)
+      val y = 255 - clamp(ys + 1.772 * cb)
+      val k = 255 - ks
+      val expect = 0.299 * (255 - math.min(255, c + k)) +
+        0.587 * (255 - math.min(255, m + k)) +
+        0.114 * (255 - math.min(255, y + k))
+      val df = Seq((id, payload)).toDF("doc_id", "media")
+      val feats = graft.operators.Multimodal.extractImageFeatures(df).collect()
+      assert(feats.length == 1, s"id=$id: YCCK JPEG must yield features")
+      assert(math.abs(feats.head.lum.get - expect) < 1e-9,
+        s"id=$id lum ${feats.head.lum} != $expect")
+    }
+    // bit-flip fuzz: Option rows, never a throw
+    val r = new scala.util.Random(1907)
+    val good = jpegPayloadOf(PdfFixtures.ycckJpegDoc(3L))
+    for (_ <- 0 until 150) {
+      val m = good.clone()
+      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val df = Seq((0L, m)).toDF("doc_id", "media")
+      graft.operators.Multimodal.extractImageFeatures(df).collect()
+    }
+  }
+
   // ------------------------------------------------- ADVICE r18 hardening
 
   test("normPath rejects signed/garbage percent escapes instead of " +
