@@ -1164,7 +1164,9 @@ object PdfFixtures {
     * (1) an FB2 base64 `<binary>` referenced by the section's
     * `<image href="#…"/>`, (2) an XPS ImageBrush part, (3) a MOBI
     * image record referenced by `<img recindex=…>` via the header's
-    * first-image-index field. Same dim/color laws as q394 at g=0. */
+    * first-image-index field, (4, r19) an SVG base64 data-URI
+    * `<image>` with a dangling file-ref decoy that must be skipped.
+    * Same dim/color laws as q394 at g=0. */
   def docImagesDoc(id: Long): Array[Byte] = {
     val w = 6 + (id % 10).toInt; val h = 5 + (id % 7).toInt
     val (r, g, b) = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
@@ -1190,7 +1192,19 @@ object PdfFixtures {
     }
     def s(x: String): Array[Byte] =
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    (id % 4).toInt match {
+    (id % 5).toInt match {
+      case 4 =>
+        // SVG (r19): the raster rides a base64 data-URI <image>; a
+        // dangling file ref decoy must be skipped (no archive to
+        // resolve against)
+        s("""<?xml version="1.0"?>""" +
+          """<svg xmlns="http://www.w3.org/2000/svg" """ +
+          """xmlns:xlink="http://www.w3.org/1999/xlink">""" +
+          """<text x="1" y="5">w w</text>""" +
+          """<image width="4" height="4" href="missing.png"/>""" +
+          """<image width="4" height="4" xlink:href="data:image/png;base64,""" +
+          java.util.Base64.getEncoder.encodeToString(png) +
+          "\"/></svg>")
       case 0 =>
         zip(
           "META-INF/container.xml" -> s(

@@ -96,7 +96,14 @@ object ScaleProbe {
     "q399_pdf_jbig2_refined_symbols", "q400_mkv_meta",
     "q401_pdf_jbig2_custom_table",
     // round-18c: in-document images across EPUB/FB2/XPS
-    "q402_doc_embedded_images")
+    "q402_doc_embedded_images",
+    // round-19: the SVG/TXT document classes, Huffman-coded JBIG2
+    // refinement, multi-instance SDREFAGG aggregates, and the YCCK
+    // JPEG inverse — per-row map-side decode behind the
+    // documentsFanned exchange, zero shuffle
+    "q403_svg_decode", "q404_txt_decode",
+    "q405_pdf_jbig2_huffman_refinement", "q406_pdf_jbig2_multi_agg",
+    "q407_pdf_ycck_jpeg")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

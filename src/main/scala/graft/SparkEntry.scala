@@ -10545,9 +10545,10 @@ object SparkEntry {
       // In-document images across the NON-PDF classes (r18 -- the
       // decodeWithImages parity PyMuPDF has: EPUB chapter <img>
       // entries, FB2 base64 <binary> illustrations, XPS ImageBrush
-      // parts, MOBI recindex image records): per doc one
-      // planted-color PNG embedded per the cycling container (four
-      // legs), surfaced through the production router's
+      // parts, MOBI recindex image records; r19 adds SVG data-URI
+      // <image> elements): per doc one planted-color PNG embedded per
+      // the cycling container (five legs), surfaced through the
+      // production router's
       // decodeWithImages into the real multimodal codec -- the same
       // contract as painted PDF rasters (q394). The oracle replays
       // planted dims and exact uniform luminance, so a path-resolve

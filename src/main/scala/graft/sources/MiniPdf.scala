@@ -2424,9 +2424,13 @@ final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
     else if (Epub.isZip(payload))
       Epub.zipDocPages(payload, withImages).toRight(fallback)
     else if (Ebooks.isFb2(payload) || Ebooks.isMobi(payload)) Left(ebook)
-    else if (PlainDocs.isSvg(payload))
-      PlainDocs.svgPages(payload)
+    else if (PlainDocs.isSvg(payload)) {
+      // r19: the image form resolves base64 data-URI <image> payloads
+      // (q402 parity); the hot text form skips that scan entirely
+      if (withImages) PlainDocs.svgPagesWithImages(payload).toRight(fallback)
+      else PlainDocs.svgPages(payload)
         .map(_.map(p => (p, Seq.empty[Array[Byte]]))).toRight(fallback)
+    }
     else
       PlainDocs.txtPages(payload)
         .map(_.map(p => (p, Seq.empty[Array[Byte]]))).toRight(fallback)

@@ -91,6 +91,25 @@ object PlainDocs {
     Some(Seq(s"<div><p>${xmlEscape(runs.mkString(" "))}</p></div>"))
   }
 
+  /** [[svgPages]] with the page's embedded raster payloads (r19 —
+    * the q402 parity the other document classes have): SVG embeds
+    * rasters as `<image>` elements whose `href`/`xlink:href` is a
+    * base64 data URI (a standalone `.svg` has no archive to resolve
+    * relative refs against — non-data refs and unparseable base64 are
+    * skipped; an absent illustration must not fail the text). */
+  private[graft] def svgPagesWithImages(p: Array[Byte])
+      : Option[Seq[(String, Seq[Array[Byte]])]] =
+    svgPages(p).map { pages =>
+      val xml = new String(p, java.nio.charset.StandardCharsets.UTF_8)
+        .replaceAll("(?s)<!--.*?-->", " ")
+      val imgs = """<(?:\w+:)?image\b[^>]*?\b(?:\w+:)?href="data:image/[^;"]+;base64,([^"]*)"""".r
+        .findAllMatchIn(xml).flatMap { m =>
+          try Some(java.util.Base64.getMimeDecoder.decode(m.group(1).trim))
+          catch { case _: IllegalArgumentException => None }
+        }.toSeq
+      pages.map(pg => (pg, imgs))
+    }
+
   /** True when the payload is printable text: a STRICT UTF-8 decode
     * succeeds and no control characters beyond \t \n \r \f appear.
     * (Binary junk, torn multibyte sequences, and NUL-bearing buffers

@@ -207,6 +207,25 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("SVG data-URI <image> payloads surface through decodeWithImages; " +
+       "dangling file refs are skipped; the hot text route reads none") {
+    for (id <- Seq(4L, 9L, 14L)) { // the q402 fixture's SVG leg
+      val payload = PdfFixtures.docImagesDoc(id)
+      val pages = AutoPdfDecoder().decodeWithImages(payload)
+      assert(pages.isRight, s"id=$id")
+      val imgs = pages.toOption.get.flatMap(_._2)
+      assert(imgs.length == 1, s"id=$id image count (decoy must be skipped)")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(imgs.head))
+      assert(img.getWidth == 6 + (id % 10).toInt &&
+        img.getHeight == 5 + (id % 7).toInt, s"id=$id dims")
+      assert(pages.toOption.get.head._1.contains("w w"), s"id=$id text")
+      // the text route carries the page but resolves no payloads
+      val textOnly = AutoPdfDecoder().decode(payload)
+      assert(textOnly.isRight && textOnly.toOption.get.length == 1)
+    }
+  }
+
   // ------------------------------------------------- YCCK JPEGs (r19)
 
   test("YCCK JPEGs decode through the JFIF inverse + Adobe un-invert: " +
