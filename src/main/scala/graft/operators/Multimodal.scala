@@ -1024,24 +1024,26 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val (c, m, yy, k) =
-              if (ycck) {
-                // stored = (Y, Cb, Cr, K'), all still Adobe-inverted:
-                // YCbCr→"RGB" recovers (255−C, 255−M, 255−Y)
-                val ys = ras.getSample(x, y, 0).toDouble
-                val cb = ras.getSample(x, y, 1) - 128.0
-                val cr = ras.getSample(x, y, 2) - 128.0
-                (255 - clamp255(ys + 1.402 * cr),
-                  255 - clamp255(ys - 0.344136 * cb - 0.714136 * cr),
-                  255 - clamp255(ys + 1.772 * cb),
-                  255 - ras.getSample(x, y, 3))
-              } else {
-                @inline def s(band: Int): Int = {
-                  val v = ras.getSample(x, y, band)
-                  if (inverted) 255 - v else v
-                }
-                (s(0), s(1), s(2), s(3))
+            // scalar vars, not a tuple — this is the per-pixel hot
+            // loop; a Tuple4 here boxes four Integers per pixel
+            var c = 0; var m = 0; var yy = 0; var k = 0
+            if (ycck) {
+              // stored = (Y, Cb, Cr, K'), all still Adobe-inverted:
+              // YCbCr→"RGB" recovers (255−C, 255−M, 255−Y)
+              val ys = ras.getSample(x, y, 0).toDouble
+              val cb = ras.getSample(x, y, 1) - 128.0
+              val cr = ras.getSample(x, y, 2) - 128.0
+              c = 255 - clamp255(ys + 1.402 * cr)
+              m = 255 - clamp255(ys - 0.344136 * cb - 0.714136 * cr)
+              yy = 255 - clamp255(ys + 1.772 * cb)
+              k = 255 - ras.getSample(x, y, 3)
+            } else {
+              @inline def s(band: Int): Int = {
+                val v = ras.getSample(x, y, band)
+                if (inverted) 255 - v else v
               }
+              c = s(0); m = s(1); yy = s(2); k = s(3)
+            }
             val rr = 255 - math.min(255, c + k)
             val gg = 255 - math.min(255, m + k)
             val bb = 255 - math.min(255, yy + k)

@@ -1630,7 +1630,10 @@ object Jbig2 {
                     nh = sym.h + rdh
                     if nw > 0 && nh > 0 && nw <= 4096 && nh <= 4096
                     if bmsize > 0 && {
-                      br.align(); br.bytePos + bmsize <= start + len
+                      // long arithmetic: a hostile 32-bit-escape BMSIZE
+                      // near Int.MaxValue must fail this bound, not
+                      // wrap negative and pass it
+                      br.align(); br.bytePos.toLong + bmsize <= start + len
                     }
                     off = br.bytePos
                     bits <- decodeRefinementWith(
@@ -2434,7 +2437,8 @@ object Jbig2 {
   def encodeEmbeddedRefinedTextHuffman(
       glyphs: Seq[(Int, Int, Array[Boolean])],
       instances: Seq[(Int, Int, Int, Option[(Int, Int, Int, Int, Array[Boolean])])],
-      pageW: Int, pageH: Int, sbrTemplate: Int = 0): Array[Byte] = {
+      pageW: Int, pageH: Int, sbrTemplate: Int = 0,
+      bmsizeOverride: Option[Long] = None): Array[Byte] = {
     import Jbig2Huffman._
     require(glyphs.nonEmpty, "at least one glyph")
     // ---- symbol dictionary payload (the encodeEmbeddedTextHuffman
@@ -2527,7 +2531,11 @@ object Jbig2 {
               (rdw >> 1) + rdx, (rdh >> 1) + rdy, sbrTemplate,
               tpgron = false)
             val block = mq.flush()
-            B1.encode(trBw, Some(block.length.toLong)) // BMSIZE
+            // bmsizeOverride: fixture-only hook planting a hostile
+            // BMSIZE (e.g. a near-Int.MaxValue 32-bit escape) to prove
+            // the decoder's bound check fails closed, never throws
+            B1.encode(trBw,
+              Some(bmsizeOverride.getOrElse(block.length.toLong))) // BMSIZE
             trBw.writeBytes(block) // aligns, then the raw block
             gw + rdw
         }

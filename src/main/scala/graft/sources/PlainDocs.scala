@@ -46,7 +46,20 @@ object PlainDocs {
       } else if (head.startsWith("<!--", i)) {
         val e = head.indexOf("-->", i); if (e < 0) return None; i = e + 3
       } else if (head.startsWith("<!", i)) {
-        val e = head.indexOf('>', i); if (e < 0) return None; i = e + 1
+        // a DOCTYPE may carry an internal subset — a '>' inside its
+        // [...] does not end the declaration
+        var j = i + 2; var depth = 0; var end = -1
+        while (j < head.length && end < 0) {
+          head.charAt(j) match {
+            case '[' => depth += 1
+            case ']' => if (depth > 0) depth -= 1
+            case '>' => if (depth == 0) end = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (end < 0) return None
+        i = end + 1
       } else {
         var j = i + 1
         while (j < head.length &&
@@ -61,34 +74,50 @@ object PlainDocs {
   }
 
   /** True when the payload's ROOT element is `<svg>` (any namespace
-    * prefix) — the PyMuPDF `.svg` document class. */
+    * prefix) — the PyMuPDF `.svg` document class. The prologue scan
+    * is bounded to the first [[HeadWindow]] bytes (a documented
+    * detection bound — an SVG whose comments/DOCTYPE push the root
+    * element past it classifies as its printable-text fallback). */
   def isSvg(p: Array[Byte]): Boolean = {
     if (p == null || p.length < 5) return false
-    val head = new String(p, 0, math.min(p.length, 1024),
+    val head = new String(p, 0, math.min(p.length, HeadWindow),
       java.nio.charset.StandardCharsets.UTF_8)
     rootElement(head).exists(n => n == "svg" || n.endsWith(":svg"))
   }
 
+  /** Root-element detection window (bytes of prologue scanned). */
+  private val HeadWindow = 8192
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  /** One XHTML page whose text is the SVG's `<text>` content (child
-    * markup such as `<tspan>` stripped, entities unescaped, runs
-    * joined by single spaces). None when the document is torn (no
-    * closing root tag) — dropped, never fabricated. */
-  private[graft] def svgPages(p: Array[Byte]): Option[Seq[String]] = {
+  /** The comment-stripped XML of a detected SVG, or None — the one
+    * full-payload decode both the text scan and the image scan share.
+    * Comments are stripped before any scan — a commented-out `<text>`
+    * or `<image>` element must not contribute (the fb2Pages rule);
+    * a torn document (no closing root tag) yields None — dropped,
+    * never fabricated. */
+  private def svgXml(p: Array[Byte]): Option[String] = {
     if (!isSvg(p)) return None
-    // comments are stripped before the text scan — a commented-out
-    // <text> element must not contribute words (the fb2Pages rule)
     val xml = new String(p, java.nio.charset.StandardCharsets.UTF_8)
       .replaceAll("(?s)<!--.*?-->", " ")
-    if (!"""</(?:\w+:)?svg\s*>""".r.findFirstIn(xml).isDefined) return None
+    if ("""</(?:\w+:)?svg\s*>""".r.findFirstIn(xml).isEmpty) None
+    else Some(xml)
+  }
+
+  /** One XHTML page whose text is the SVG's `<text>` content (child
+    * markup such as `<tspan>` stripped, entities unescaped, runs
+    * joined by single spaces). None when the document is torn. */
+  private[graft] def svgPages(p: Array[Byte]): Option[Seq[String]] =
+    svgXml(p).map(pageFromXml)
+
+  private def pageFromXml(xml: String): Seq[String] = {
     val runs = """(?s)<(?:\w+:)?text\b[^>]*>(.*?)</(?:\w+:)?text>""".r
       .findAllMatchIn(xml).map { m =>
         Epub.xmlUnescape(m.group(1).replaceAll("<[^>]*>", " "))
           .replaceAll("\\s+", " ").trim
       }.filter(_.nonEmpty).toSeq
-    Some(Seq(s"<div><p>${xmlEscape(runs.mkString(" "))}</p></div>"))
+    Seq(s"<div><p>${xmlEscape(runs.mkString(" "))}</p></div>")
   }
 
   /** [[svgPages]] with the page's embedded raster payloads (r19 —
@@ -99,15 +128,13 @@ object PlainDocs {
     * skipped; an absent illustration must not fail the text). */
   private[graft] def svgPagesWithImages(p: Array[Byte])
       : Option[Seq[(String, Seq[Array[Byte]])]] =
-    svgPages(p).map { pages =>
-      val xml = new String(p, java.nio.charset.StandardCharsets.UTF_8)
-        .replaceAll("(?s)<!--.*?-->", " ")
+    svgXml(p).map { xml =>
       val imgs = """<(?:\w+:)?image\b[^>]*?\b(?:\w+:)?href="data:image/[^;"]+;base64,([^"]*)"""".r
         .findAllMatchIn(xml).flatMap { m =>
           try Some(java.util.Base64.getMimeDecoder.decode(m.group(1).trim))
           catch { case _: IllegalArgumentException => None }
         }.toSeq
-      pages.map(pg => (pg, imgs))
+      pageFromXml(xml).map(pg => (pg, imgs))
     }
 
   /** True when the payload is printable text: a STRICT UTF-8 decode
@@ -136,8 +163,12 @@ object PlainDocs {
 
   /** Paginated plain text: [[LinesPerPage]] lines per page, one
     * `<p>` per line (the reference-shaped XHTML page the rest of the
-    * pipeline consumes). None when the payload is not printable text. */
-  private[graft] def txtPages(p: Array[Byte]): Option[Seq[String]] =
+    * pipeline consumes). None when the payload is not printable text —
+    * including null, EMPTY (a zero-byte body is not a one-page
+    * document; dropped, never fabricated), and over-[[MaxTextBytes]]
+    * payloads (the route must not materialize a multi-GB string). */
+  private[graft] def txtPages(p: Array[Byte]): Option[Seq[String]] = {
+    if (p == null || p.isEmpty || p.length > MaxTextBytes) return None
     decodeTxt(p).map { text =>
       val raw = text.split("\r\n|\r|\n", -1)
       // a single trailing terminator ends the last line, it does not
@@ -147,16 +178,5 @@ object PlainDocs {
         page.map(l => s"<p>${xmlEscape(l)}</p>").mkString("<div>", "", "</div>")
       }.toSeq
     }
-}
-
-/** [[PageDecoder]] over the plain document classes: SVG when the root
-  * element is `<svg>`, paginated TXT when the payload is printable
-  * text. Anything else → Left (the router falls back). */
-final case class PlainDocDecoder() extends PageDecoder {
-  override def decode(payload: Array[Byte]): Either[String, Seq[String]] =
-    if (PlainDocs.isSvg(payload))
-      PlainDocs.svgPages(payload)
-        .toRight("cannot open document: torn SVG (no closing root tag)")
-    else PlainDocs.txtPages(payload)
-      .toRight("cannot open document: not a printable-text payload")
+  }
 }

@@ -364,4 +364,62 @@ class Round19Spec extends AnyFunSuite {
       Multimodal.audioMeta(m)
     }
   }
+
+  // ------------------------------- round-close review fixes (r19)
+
+  test("TXT route edge payloads fall back, never throw or fabricate: " +
+       "null, empty, and over-cap printable bodies") {
+    import graft.sources.PlainDocs
+    // null: every detector declines, the terminal TXT route must too
+    assert(PlainDocs.txtPages(null).isEmpty)
+    assert(AutoPdfDecoder().decode(null) ==
+      Left("cannot open document: null payload"))
+    // empty: a zero-byte body is NOT a one-page document
+    assert(PlainDocs.txtPages(Array.emptyByteArray).isEmpty)
+    assert(AutoPdfDecoder().decode(Array.emptyByteArray) ==
+      Left("cannot open document: empty payload"))
+    // over the 64 MB cap: the route must not materialize the string
+    val big = new Array[Byte](64 * 1024 * 1024 + 1)
+    java.util.Arrays.fill(big, 'a'.toByte)
+    assert(PlainDocs.txtPages(big).isEmpty)
+    assert(!PlainDocs.isTxt(big))
+  }
+
+  test("SVG detection survives a DOCTYPE internal subset and a long " +
+       "comment prologue inside the 8 KB head window") {
+    import graft.sources.PlainDocs
+    val subset = ("""<!DOCTYPE svg [<!ENTITY e "x">]>""" +
+      """<svg xmlns="http://www.w3.org/2000/svg"><text>w w</text></svg>""").getBytes
+    assert(PlainDocs.isSvg(subset), "internal subset must not end the DOCTYPE")
+    assert(PlainDocs.svgPages(subset).get.head.contains(">w w<"))
+    val longComment = ("<!-- " + "c" * 4000 + " -->" +
+      """<svg xmlns="x"><text>w</text></svg>""").getBytes
+    assert(PlainDocs.isSvg(longComment), "4 KB prologue sits inside the window")
+    assert(PlainDocs.svgPages(longComment).get.head.contains(">w<"))
+    // past the window the payload classifies as its printable-text
+    // fallback — the documented detection bound, one page per 66 lines
+    val past = ("<!-- " + "c" * 9000 + " -->" +
+      """<svg xmlns="x"><text>w</text></svg>""").getBytes
+    assert(!PlainDocs.isSvg(past))
+    assert(AutoPdfDecoder().decode(past).isRight)
+  }
+
+  test("a hostile near-Int.MaxValue Huffman-refinement BMSIZE fails " +
+       "closed instead of wrapping the bounds check and throwing") {
+    import graft.sources.Jbig2
+    val solid = Array.fill(4)(true)
+    val hostile = Jbig2.encodeEmbeddedRefinedTextHuffman(
+      Seq((2, 2, solid)),
+      Seq((0, 0, 0, Some((1, 1, 0, 0, Array.fill(9)(true))))), 8, 5,
+      bmsizeOverride = Some(2147483600L))
+    assert(Jbig2.decodeEmbedded(None, hostile, 8, 5).isEmpty,
+      "overflowing BMSIZE must yield None, not a throw")
+    // and an honest oversize (bigger than the segment, no overflow)
+    // also fails the same bound
+    val oversize = Jbig2.encodeEmbeddedRefinedTextHuffman(
+      Seq((2, 2, solid)),
+      Seq((0, 0, 0, Some((1, 1, 0, 0, Array.fill(9)(true))))), 8, 5,
+      bmsizeOverride = Some(100000L))
+    assert(Jbig2.decodeEmbedded(None, oversize, 8, 5).isEmpty)
+  }
 }
