@@ -1282,6 +1282,29 @@ object PdfFixtures {
     }
   }
 
+  /** q408 (r19): a BARE raster payload — the fitz image-document
+    * class ([[graft.sources.ImageDocs]]): one uniform planted-color
+    * raster per doc, the CONTAINER cycling the four JDK-writable
+    * lossless formats (png/bmp/gif/tiff — uniform color survives all
+    * four exactly, so luminance stays closed-form). Same dim/color
+    * laws as q402. */
+  def imageDoc(id: Long): Array[Byte] = {
+    val w = 6 + (id % 10).toInt; val h = 5 + (id % 7).toInt
+    val (r, g, b) = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
+      ((id * 7) % 256).toInt)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    try { gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h) }
+    finally gr.dispose()
+    val fmt = Seq("png", "bmp", "gif", "tiff")((id % 4).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    // write returns FALSE (no exception) when the JRE lacks a writer
+    // for the format — fail loudly here, not as an oracle hash miss
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
   /** q401: JBIG2 CUSTOM Huffman tables (T.88 §B.2 / segment type 53,
     * r18 — the last Huffman class besides refinement tables): a
     * Huffman-coded text region whose DT deltas ride a custom table
@@ -1302,6 +1325,37 @@ object PdfFixtures {
         "/BitsPerComponent 1 /ColorSpace /DeviceGray " +
         "/Filter /JBIG2Decode " +
         s"/Length ${stream.length} >>", Some(stream))))
+  }
+
+  /** q409 (r19): minimal AVI containers (RIFF `AVI ` → `LIST hdrl` →
+    * `avih` AVIMAINHEADER, the public layout): planted µs/frame (a
+    * multiple of 1000 so duration-ms is exact integer arithmetic),
+    * total frames, stream count, dims. Odd ids carry a `JUNK` chunk
+    * with an ODD size before the header list (the real-world padding
+    * shape — exercises word alignment), and every container carries a
+    * `LIST movi` decoy after the header. */
+  def aviDoc(id: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def chunk(idc: String, body: Array[Byte]): Array[Byte] =
+      cc(idc) ++ le32(body.length.toLong) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val usPerFrame = 1000L * (10 + id % 24)
+    val totalFrames = 100 + id % 900
+    val streams = 1 + id % 3
+    val w = 320 + (id % 16) * 8; val h = 180 + (id % 9) * 20
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(totalFrames) ++ le32(0) ++ le32(streams) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = chunk("LIST", cc("hdrl") ++ chunk("avih", avih))
+    val junk = if (id % 2 == 1) chunk("JUNK", Array.fill[Byte](7)(0)) // odd size
+               else Array.empty[Byte]
+    val movi = chunk("LIST", cc("movi") ++ chunk("00dc", Array.fill[Byte](4)(0)))
+    val body = cc("AVI ") ++ junk ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
   }
 
   /** q400: minimal Matroska/WebM containers (RFC 8794 EBML) — EBML

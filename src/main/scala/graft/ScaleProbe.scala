@@ -103,7 +103,10 @@ object ScaleProbe {
     // documentsFanned exchange, zero shuffle
     "q403_svg_decode", "q404_txt_decode",
     "q405_pdf_jbig2_huffman_refinement", "q406_pdf_jbig2_multi_agg",
-    "q407_pdf_ycck_jpeg")
+    "q407_pdf_ycck_jpeg",
+    // round-19b: bare-raster documents through the router image route,
+    // AVI main-header metadata
+    "q408_image_as_document", "q409_avi_meta")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -101,9 +101,11 @@ object SparkEntry {
   private def pdfImageFeatures(s: SparkSession, dir: String,
       gen: org.apache.spark.sql.expressions.UserDefinedFunction,
       features: Seq[Column] = Seq(
-        floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))): DataFrame = {
+        floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6")),
+      decoder: graft.sources.PageDecoder = graft.sources.MiniPdfDecoder())
+      : DataFrame = {
     val ext = udf((p: Array[Byte]) =>
-      graft.sources.MiniPdfDecoder().decodeWithImages(p)
+      decoder.decodeWithImages(p)
         .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
     val media = Tables.documentsFanned(s, dir)
       .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
@@ -10554,16 +10556,8 @@ object SparkEntry {
       // planted dims and exact uniform luminance, so a path-resolve
       // slip, base64 tear, or part-reference bug breaks the hash
       // tri-scale.
-      val gen = udf(PdfFixtures.docImagesDoc _)
-      val ext = udf((p: Array[Byte]) =>
-        graft.sources.AutoPdfDecoder().decodeWithImages(p)
-          .toOption.map(_.flatMap(_._2)).getOrElse(Seq.empty[Array[Byte]]))
-      val media = Tables.documentsFanned(s, dir)
-        .select(col("doc_id"), explode(ext(gen(col("doc_id")))).as("media"))
-      graft.operators.Multimodal.extractImageFeatures(media)
-        .select(col("doc_id"), col("width").cast("long").as("w"),
-          col("height").cast("long").as("h"),
-          floor(col("lum") * 1e6 + 0.5).cast("long").as("lum_u6"))
+      pdfImageFeatures(s, dir, udf(PdfFixtures.docImagesDoc _),
+        decoder = graft.sources.AutoPdfDecoder())
     }),
 
     "q401_pdf_jbig2_custom_table" -> ((s, dir) => {
@@ -10577,6 +10571,24 @@ object SparkEntry {
       // select-order bug, or lower/upper-escape error breaks the hash
       // tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2CustomTableDoc _))
+    }),
+
+    "q409_avi_meta" -> ((s, dir) => {
+      // AVI VIDEO metadata (r19 -- beyond the ask: the legacy RIFF
+      // container, the last codec-less video family alongside
+      // ISO-BMFF (q390) and Matroska (q400)): per doc a RIFF AVI with
+      // a planted AVIMAINHEADER -- µs/frame a multiple of 1000 so
+      // duration-ms is exact, odd ids carrying an odd-sized JUNK
+      // chunk before the header list (word-alignment exercise), every
+      // container a LIST movi decoy after it. The oracle replays the
+      // planted values incl. the format column, so a chunk-walk slip,
+      // an alignment bug, or a field-offset error breaks the hash
+      // tri-scale.
+      Multimodal.decodeVideoMetadataTagged(
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            udf(PdfFixtures.aviDoc _).apply(col("doc_id")).as("media")))
+        .toDF()
     }),
 
     "q400_mkv_meta" -> ((s, dir) => {
@@ -10692,6 +10704,24 @@ object SparkEntry {
       // GR state per instance. Closed-form black counts break the
       // hash on any table or framing slip, tri-scale.
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HuffmanRefineDoc _))
+    }),
+
+    "q408_image_as_document" -> ((s, dir) => {
+      // Bare-raster documents (r19 -- beyond the verdict ask, the
+      // last fitz document-open family: `Document(stream=...)` on a
+      // raw image yields a one-page document embedding the raster;
+      // ref `downloader.py:385` hands fitz any payload): per doc one
+      // uniform planted-color raster whose CONTAINER cycles the four
+      // JDK-lossless formats (png/bmp/gif/tiff -- uniform color
+      // survives each exactly), routed through the production
+      // AutoPdfDecoder image route (payload surfaced VERBATIM, no
+      // re-encode -- the /DCTDecode discipline) into the real codec.
+      // The oracle replays planted dims and exact uniform luminance,
+      // so a magic-sniff slip, a lossy re-encode, or a dropped
+      // container class breaks the hash tri-scale. Page shape (one
+      // page, zero words) is pinned in Round19Spec.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.imageDoc _),
+        decoder = graft.sources.AutoPdfDecoder())
     }),
 
     "q403_svg_decode" -> ((s, dir) => {
@@ -17506,6 +17536,18 @@ object SparkEntry {
         |    ((2 * k + 4) * (k + 9)) * 1e6 + 0.5) AS BIGINT) AS lum_u6
         |FROM v""".stripMargin,
 
+    // q409: planted AVI main-header values (duration-ms exact:
+    // frames × µs-per-frame/1000 with the rate a multiple of 1000)
+    "q409_avi_meta" ->
+      """SELECT doc_id,
+        |  CAST((100 + doc_id % 900) * (10 + doc_id % 24) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(320 + (doc_id % 16) * 8 AS INT) AS width,
+        |  CAST(180 + (doc_id % 9) * 20 AS INT) AS height,
+        |  CAST(1 + doc_id % 3 AS INT) AS tracks,
+        |  'avi' AS format
+        |FROM documents""".stripMargin,
+
     // q400: planted Matroska/WebM header values (ms exact across the
     // omitted-default/500k/250k TimestampScale cycle)
     "q400_mkv_meta" ->
@@ -17603,6 +17645,18 @@ object SparkEntry {
         |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM b""".stripMargin,
+
+    // q408: bare-raster documents — the q402 dim/luminance law over
+    // the payload itself (four lossless containers, one image per doc)
+    "q408_image_as_document" ->
+      """SELECT doc_id,
+        |  CAST(6 + doc_id % 10 AS BIGINT) AS w,
+        |  CAST(5 + doc_id % 7 AS BIGINT) AS h,
+        |  CAST(FLOOR((0.299 * ((doc_id * 3) % 256) +
+        |    0.587 * ((doc_id * 5) % 256) +
+        |    0.114 * ((doc_id * 7) % 256)) * 1e6 + 0.5)
+        |    AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
 
     // q403: one SVG page per doc with the planted word count;
     // q404: the q395 page/word law under the 66-line TXT contract

@@ -747,9 +747,63 @@ object Multimodal {
     Some(VideoMeta(durationMs, w, h, entries.length, docType))
   }
 
-  /** All video metadata legs: ISO-BMFF then Matroska/WebM. */
+  /** AVI main-header metadata (r19 — the remaining legacy video
+    * container, same codec-less discipline as the ISO-BMFF and
+    * Matroska walks: RIFF `AVI ` → `LIST hdrl` → `avih`
+    * AVIMAINHEADER, the public layout): duration from
+    * dwTotalFrames × dwMicroSecPerFrame, planted dims, dwStreams
+    * as the track count. Chunks are WORD-aligned (odd sizes pad one
+    * byte); a `JUNK` chunk before the header list is the common
+    * real-world shape and walks through. Torn walks, zero dims/rate,
+    * and overflow-scale products fail closed — dropped, never
+    * fabricated. */
+  private[graft] def aviMeta(p: Array[Byte]): Option[VideoMeta] = {
+    if (p == null || p.length < 72) return None
+    @inline def u32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    @inline def fourcc(o: Int): String =
+      new String(p, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var o = 12
+    while (o + 8 <= p.length) {
+      val id = fourcc(o)
+      val sz = u32(o + 4)
+      if (sz > p.length.toLong - o - 8) return None
+      if (id == "LIST" && sz >= 4 && fourcc(o + 8) == "hdrl") {
+        val end = o + 8 + sz.toInt
+        var q = o + 12
+        while (q + 8 <= end) {
+          val cid = fourcc(q)
+          val csz = u32(q + 4)
+          if (csz > end.toLong - q - 8) return None
+          if (cid == "avih") {
+            // AVIMAINHEADER: µs/frame, …, dwTotalFrames(+16),
+            // dwStreams(+24), dwWidth(+32), dwHeight(+36)
+            if (csz < 40) return None
+            val b = q + 8
+            val usPerFrame = u32(b); val totalFrames = u32(b + 16)
+            val streams = u32(b + 24)
+            val w = u32(b + 32); val h = u32(b + 36)
+            if (usPerFrame < 1 || usPerFrame > 60000000L ||
+                totalFrames > Int.MaxValue ||
+                streams < 1 || streams > 1024 ||
+                w < 1 || h < 1 || w > 65535 || h > 65535) return None
+            return Some(VideoMeta(totalFrames * usPerFrame / 1000L,
+              w.toInt, h.toInt, streams.toInt, "avi"))
+          }
+          q += 8 + csz.toInt + (csz.toInt & 1)
+        }
+        return None
+      }
+      o += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    None
+  }
+
+  /** All video metadata legs: ISO-BMFF, Matroska/WebM, then AVI. */
   private[graft] def videoMeta(p: Array[Byte]): Option[VideoMeta] =
-    mp4Meta(p).orElse(mkvMeta(p))
+    mp4Meta(p).orElse(mkvMeta(p)).orElse(aviMeta(p))
 
   case class VideoRow(doc_id: Long, duration_ms: Long, width: Int,
                       height: Int, tracks: Int)

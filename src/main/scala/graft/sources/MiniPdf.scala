@@ -2410,7 +2410,8 @@ final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
   private def real = MiniPdfDecoder(embedImages)
   private def ebook = EbookDecoder()
 
-  /** Route of a payload: PDF / ZIP-doc pages / ebook / SVG / TXT /
+  /** Route of a payload: PDF / ZIP-doc pages / ebook / bare raster
+    * image ([[ImageDocs]] — a one-page document, r19) / SVG / TXT /
     * fallback. The ZIP-doc, SVG, and TXT classifications carry their
     * decoded pages (one parse — TXT detection IS a full strict
     * decode, so re-dispatching to a decoder would pay it twice);
@@ -2424,6 +2425,11 @@ final case class AutoPdfDecoder(fallback: PageDecoder = FakePdfDecoder(),
     else if (Epub.isZip(payload))
       Epub.zipDocPages(payload, withImages).toRight(fallback)
     else if (Ebooks.isFb2(payload) || Ebooks.isMobi(payload)) Left(ebook)
+    else if (ImageDocs.isImage(payload))
+      // r19: a bare raster payload is a one-page document (the fitz
+      // image-document class) — no words, the payload verbatim on the
+      // image route; the downstream codec owns pixel access
+      Right(ImageDocs.pages(payload, withImages))
     else if (PlainDocs.isSvg(payload)) {
       // r19: the image form resolves base64 data-URI <image> payloads
       // (q402 parity); the hot text form skips that scan entirely

@@ -312,7 +312,8 @@ class Round18Spec extends AnyFunSuite {
     val r = new scala.util.Random(400)
     for (_ <- 0 until 300) {
       val m = good.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Multimodal.mkvMeta(m)
     }
     assert(Multimodal.mkvMeta("not a matroska".getBytes).isEmpty)
@@ -395,7 +396,8 @@ class Round18Spec extends AnyFunSuite {
     val r = new scala.util.Random(18)
     for (leg <- Seq(3L, 4L); _ <- 0 until 200) {
       val m = PdfFixtures.audioDoc(leg).clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Multimodal.audioMeta(m)
     }
   }
@@ -511,7 +513,8 @@ class Round18Spec extends AnyFunSuite {
     val r = new scala.util.Random(42)
     for (_ <- 0 until 300) {
       val m = good.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Jbig2.decodeEmbedded(None, m, w, h) // no throw
     }
   }
@@ -604,7 +607,8 @@ class Round18Spec extends AnyFunSuite {
     val r = new scala.util.Random(1818)
     for (stream <- Seq(sbr, agg); _ <- 0 until 250) {
       val m = stream.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Jbig2.decodeEmbedded(None, m, 8, 8) // no throw
     }
     for (stream <- Seq(sbr, agg); cut <- 1 until stream.length by 3)
@@ -656,7 +660,8 @@ class Round18Spec extends AnyFunSuite {
     val r = new scala.util.Random(53)
     for (_ <- 0 until 250) {
       val m = cust.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Jbig2.decodeEmbedded(None, m, 12, 9) // no throw
     }
   }

@@ -156,7 +156,8 @@ class Round19Spec extends AnyFunSuite {
     val r = new scala.util.Random(1905)
     for (_ <- 0 until 400) {
       val m = good.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Jbig2.decodeEmbedded(None, m, 8, 5)
     }
   }
@@ -202,7 +203,8 @@ class Round19Spec extends AnyFunSuite {
     val r = new scala.util.Random(1906)
     for (_ <- 0 until 400) {
       val m = good.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Jbig2.decodeEmbedded(None, m, 10, 4)
     }
   }
@@ -265,7 +267,8 @@ class Round19Spec extends AnyFunSuite {
     val good = jpegPayloadOf(PdfFixtures.ycckJpegDoc(3L))
     for (_ <- 0 until 150) {
       val m = good.clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       val df = Seq((0L, m)).toDF("doc_id", "media")
       graft.operators.Multimodal.extractImageFeatures(df).collect()
     }
@@ -360,8 +363,119 @@ class Round19Spec extends AnyFunSuite {
     val r = new scala.util.Random(19)
     for (leg <- Seq(13L, 4L, 9L); _ <- 0 until 200) {
       val m = PdfFixtures.audioDoc(leg).clone()
-      m(r.nextInt(m.length)) = (m(r.nextInt(m.length)) ^ (1 << r.nextInt(8))).toByte
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
       Multimodal.audioMeta(m)
+    }
+  }
+
+  // ------------------------------ bare-raster documents (r19, q408)
+
+  test("bare raster payloads route as one-page wordless documents; " +
+       "the image route surfaces the payload VERBATIM") {
+    import graft.sources.ImageDocs
+    for (id <- 0L to 7L) { // covers all four container legs twice
+      val payload = PdfFixtures.imageDoc(id)
+      assert(ImageDocs.isImage(payload), s"id=$id sniff")
+      // text route: one page, zero words, no image resolution
+      val text = AutoPdfDecoder().decode(payload)
+      assert(text == Right(Seq(ImageDocs.Page)), s"id=$id text route")
+      // image route: the payload itself, byte-identical (no re-encode)
+      val full = AutoPdfDecoder().decodeWithImages(payload)
+      assert(full.isRight, s"id=$id image route")
+      val pages = full.toOption.get
+      assert(pages.length == 1 && pages.head._2.length == 1, s"id=$id shape")
+      assert(java.util.Arrays.equals(pages.head._2.head, payload),
+        s"id=$id verbatim")
+    }
+    // a JPEG payload routes too (lossy, so q408 pins no luminance on it)
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    assert(ImageDocs.isImage(jb.toByteArray))
+    assert(AutoPdfDecoder().decode(jb.toByteArray) ==
+      Right(Seq(ImageDocs.Page)))
+  }
+
+  test("image sniffing never steals text or other document classes: " +
+       "BM/GIF-prefixed printable text, short payloads, and existing " +
+       "classes keep their routes; bit-flip fuzz never throws") {
+    import graft.sources.{ImageDocs, PlainDocs}
+    // "BM" text: BMP's reserved bytes (6-9) are printable here → TXT
+    val bmText = "BMW builds cars.\nA second line.".getBytes("UTF-8")
+    assert(!ImageDocs.isImage(bmText))
+    assert(PlainDocs.txtPages(bmText).isDefined)
+    // short/degenerate payloads decline
+    assert(!ImageDocs.isImage(null))
+    assert(!ImageDocs.isImage("BM".getBytes))
+    assert(!ImageDocs.isImage(Array.emptyByteArray))
+    // TORN rasters (valid magic, unparseable header) are NOT claimed —
+    // fitz's open parses the header, so these must reach the error
+    // channel, not fabricate a wordless "success" page
+    assert(!ImageDocs.isImage(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+        Array.fill[Byte](20)(0x00))) // JPEG SOI + garbage, no SOF
+    assert(!ImageDocs.isImage(
+      PdfFixtures.imageDoc(0L).take(16))) // PNG truncated mid-IHDR
+    assert(!ImageDocs.isImage(
+      "GIF89a".getBytes ++ Array.fill[Byte](10)(0))) // GIF 0x0 dims
+    // header dims parse exactly on every lossless leg
+    for (id <- 0L to 3L)
+      assert(ImageDocs.headerDims(PdfFixtures.imageDoc(id)) ==
+        Some((6 + (id % 10).toInt, 5 + (id % 7).toInt)), s"id=$id dims")
+    // the PDF/SVG/TXT classes still win their routes (sniff ordering)
+    assert(!ImageDocs.isImage("""<svg xmlns="x"><text>w</text></svg>""".getBytes))
+    // bit-flip fuzz across the four container legs: Option/Either
+    // all the way down, never a throw
+    val r = new scala.util.Random(1908)
+    for (id <- 0L to 3L; _ <- 0 until 150) {
+      val m = PdfFixtures.imageDoc(id).clone()
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
+      AutoPdfDecoder().decode(m)
+      AutoPdfDecoder().decodeWithImages(m)
+    }
+  }
+
+  // ------------------------------------------- AVI containers (r19)
+
+  test("AVI main-header metadata: planted values round-trip through " +
+       "the RIFF walk incl. odd-sized JUNK alignment; torn and " +
+       "hostile headers fail closed; bit flips never throw") {
+    for (id <- 0L to 11L) {
+      val m = Multimodal.videoMeta(PdfFixtures.aviDoc(id))
+      assert(m.isDefined, s"id=$id")
+      val v = m.get
+      assert(v.format == "avi" &&
+        v.durationMs == (100 + id % 900) * (10 + id % 24) &&
+        v.width == 320 + (id % 16).toInt * 8 &&
+        v.height == 180 + (id % 9).toInt * 20 &&
+        v.tracks == 1 + (id % 3).toInt, s"id=$id $v")
+    }
+    // torn: every truncation point is Option, never a throw
+    val good = PdfFixtures.aviDoc(3L)
+    for (cut <- 1 until good.length)
+      Multimodal.videoMeta(good.take(cut))
+    // hostile: zero dims / zero rate / absurd stream count reject
+    def patched(off: Int, v: Long): Array[Byte] = {
+      val m = good.clone()
+      for (i <- 0 until 4) m(off + i) = ((v >> (8 * i)) & 0xff).toByte
+      m
+    }
+    // avih body in the odd-id=3 fixture sits after RIFF(12) + JUNK(8+7+1)
+    // + LIST hdr(8) + "hdrl"(4) + avih hdr(8) = offset 48
+    val b = 48
+    assert(Multimodal.videoMeta(patched(b, 0L)).isEmpty, "zero rate")
+    assert(Multimodal.videoMeta(patched(b + 32, 0L)).isEmpty, "zero width")
+    assert(Multimodal.videoMeta(patched(b + 24, 100000L)).isEmpty, "streams")
+    // bit-flip fuzz
+    val r = new scala.util.Random(1909)
+    for (_ <- 0 until 300) {
+      val m = good.clone()
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
+      Multimodal.videoMeta(m)
     }
   }
 
