@@ -1305,6 +1305,57 @@ object PdfFixtures {
     bos.toByteArray
   }
 
+  /** q410 (r19): binary Netpbm rasters — the fitz-openable family
+    * decoded from scratch with REAL luminance (raw samples, no
+    * codec needed): legs cycle P4 (bilevel, first row black, width
+    * not byte-aligned so row padding is exercised), P5 (uniform
+    * gray), P6 (uniform RGB, q402 color law); odd ids carry a
+    * `#`-comment inside the header. Shared q402 dims law. */
+  def pnmDoc(id: Long): Array[Byte] = {
+    val w = 6 + (id % 10).toInt; val h = 5 + (id % 7).toInt
+    val comment = if (id % 2 == 1) "# planted\n" else ""
+    def s(x: String) = x.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    (id % 3).toInt match {
+      case 0 => // P4: first row black (1 = black), MSB-first padded rows
+        val rowBytes = (w + 7) / 8
+        val raster = new Array[Byte](rowBytes * h)
+        for (x <- 0 until w)
+          raster(x >> 3) = (raster(x >> 3) | (1 << (7 - (x & 7)))).toByte
+        s(s"P4\n$comment$w $h\n") ++ raster
+      case 1 => // P5: uniform gray
+        val g = ((id * 11) % 256).toInt
+        s(s"P5\n$comment$w $h\n255\n") ++ Array.fill[Byte](w * h)(g.toByte)
+      case _ => // P6: uniform RGB, q402 color law
+        val (r, g, b) = (((id * 3) % 256).toInt, ((id * 5) % 256).toInt,
+          ((id * 7) % 256).toInt)
+        val raster = new Array[Byte](w * h * 3)
+        for (i <- 0 until w * h) {
+          raster(i * 3) = r.toByte; raster(i * 3 + 1) = g.toByte
+          raster(i * 3 + 2) = b.toByte
+        }
+        s(s"P6\n$comment$w $h\n255\n") ++ raster
+    }
+  }
+
+  /** q411 (r19): minimal PSD documents (Adobe header layout: "8BPS"
+    * v1, reserved zeros, 3 channels, BE32 height/width, depth 8,
+    * RGB mode; zero-length color-mode/resources/layer sections,
+    * raw-data compression, planar channel data). Dims-only contract
+    * — the engine surfaces header dims with luminance ABSENT (the
+    * Jpx discipline; no JDK PSD codec exists). Shared q402 dims
+    * law. */
+  def psdDoc(id: Long): Array[Byte] = {
+    val w = 6 + (id % 10).toInt; val h = 5 + (id % 7).toInt
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val header = "8BPS".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      be16(1) ++ new Array[Byte](6) ++ be16(3) ++
+      be32(h.toLong) ++ be32(w.toLong) ++ be16(8) ++ be16(3)
+    header ++ be32(0) ++ be32(0) ++ be32(0) ++ be16(0) ++
+      Array.fill[Byte](w * h * 3)(((id * 13) % 256).toByte)
+  }
+
   /** q401: JBIG2 CUSTOM Huffman tables (T.88 §B.2 / segment type 53,
     * r18 — the last Huffman class besides refinement tables): a
     * Huffman-coded text region whose DT deltas ride a custom table

@@ -105,8 +105,9 @@ object ScaleProbe {
     "q405_pdf_jbig2_huffman_refinement", "q406_pdf_jbig2_multi_agg",
     "q407_pdf_ycck_jpeg",
     // round-19b: bare-raster documents through the router image route,
-    // AVI main-header metadata
-    "q408_image_as_document", "q409_avi_meta")
+    // AVI main-header metadata, from-scratch Netpbm decode, PSD dims
+    "q408_image_as_document", "q409_avi_meta", "q410_pnm_decode",
+    "q411_psd_meta")
 
   def buildBlownFixture(spark: SparkSession, sfDir: String, outDir: String,
                         factor: Int): Unit = {

@@ -10706,6 +10706,36 @@ object SparkEntry {
       pdfImageFeatures(s, dir, udf(PdfFixtures.jbig2HuffmanRefineDoc _))
     }),
 
+    "q410_pnm_decode" -> ((s, dir) => {
+      // binary Netpbm documents (r19 -- beyond the ask: the Netpbm
+      // family fitz opens, decoded FROM SCRATCH with real luminance
+      // because the raster is raw samples -- no codec needed, unlike
+      // the header-only WebP/JPX/PSD boundary): legs cycle P4
+      // (bilevel, first row black, non-byte-aligned width so row
+      // padding is exercised), P5 (uniform gray), P6 (uniform RGB,
+      // q402 color law), with #-comments in odd headers. Routed as
+      // image documents through the production AutoPdfDecoder; the
+      // oracle replays dims and exact per-leg luminance, so a token
+      // -walk slip, a bit-order error, a padding leak, or a maxval
+      // -scale bug breaks the hash tri-scale. The ASCII P1-P3 twins
+      // stay in the TXT class by design (printable text).
+      pdfImageFeatures(s, dir, udf(PdfFixtures.pnmDoc _),
+        decoder = graft.sources.AutoPdfDecoder())
+    }),
+
+    "q411_psd_meta" -> ((s, dir) => {
+      // PSD documents (r19 -- beyond the ask: fitz opens Photoshop
+      // files; the JDK ships no PSD codec, so this is the q384/JPX
+      // discipline -- validated-header dims surface, luminance
+      // ABSENT, never fabricated): per doc a minimal PSD (v1 header,
+      // reserved-zeros check, planar RGB data) routed as an image
+      // document. The oracle replays planted dims and pins lum_u6
+      // NULL, so a header-offset slip, a fabricated luminance, or a
+      // dropped payload breaks the hash/row count tri-scale.
+      pdfImageFeatures(s, dir, udf(PdfFixtures.psdDoc _),
+        decoder = graft.sources.AutoPdfDecoder())
+    }),
+
     "q408_image_as_document" -> ((s, dir) => {
       // Bare-raster documents (r19 -- beyond the verdict ask, the
       // last fitz document-open family: `Document(stream=...)` on a
@@ -17645,6 +17675,32 @@ object SparkEntry {
         |  CAST(FLOOR(255.0 * (w * h - black) / (w * h) * 1e6 + 0.5)
         |    AS BIGINT) AS lum_u6
         |FROM b""".stripMargin,
+
+    // q410: binary Netpbm — shared q402 dims law; per-leg luminance:
+    // P4 first-row-black bilevel, P5 uniform gray, P6 the q402 RGB law
+    "q410_pnm_decode" ->
+      """SELECT doc_id,
+        |  CAST(6 + doc_id % 10 AS BIGINT) AS w,
+        |  CAST(5 + doc_id % 7 AS BIGINT) AS h,
+        |  CAST(FLOOR((CASE doc_id % 3
+        |    WHEN 0 THEN (0.299 * 255.0 + 0.587 * 255.0 + 0.114 * 255.0)
+        |      * (4 + doc_id % 7) / (5 + doc_id % 7)
+        |    WHEN 1 THEN 0.299 * ((doc_id * 11) % 256)
+        |      + 0.587 * ((doc_id * 11) % 256)
+        |      + 0.114 * ((doc_id * 11) % 256)
+        |    ELSE 0.299 * ((doc_id * 3) % 256)
+        |      + 0.587 * ((doc_id * 5) % 256)
+        |      + 0.114 * ((doc_id * 7) % 256)
+        |    END) * 1e6 + 0.5) AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
+
+    // q411: PSD — planted dims, lum NULL-pinned (the q384 discipline)
+    "q411_psd_meta" ->
+      """SELECT doc_id,
+        |  CAST(6 + doc_id % 10 AS BIGINT) AS w,
+        |  CAST(5 + doc_id % 7 AS BIGINT) AS h,
+        |  CAST(NULL AS BIGINT) AS lum_u6
+        |FROM documents""".stripMargin,
 
     // q408: bare-raster documents — the q402 dim/luminance law over
     // the payload itself (four lossless containers, one image per doc)

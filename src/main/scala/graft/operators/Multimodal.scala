@@ -47,6 +47,7 @@ object Multimodal {
   object JdkImageCodec extends MediaCodec {
     def decodeMeta(payload: Array[Byte]): MediaMeta = {
       require(payload != null && payload.length >= 12, "payload too short for any media header")
+      var pnmOnce: Option[(Int, Int, Double, Int)] = None
       if (isAudio(payload)) {
         val m = decodeAudioMeta(payload)
         // WAV mapped into MediaMeta: width carries frames-per-channel,
@@ -64,6 +65,19 @@ object Multimodal {
         // WebP: no JDK ImageReader — header-only dims (r17)
         val (w, h, alpha) = webpDims(payload).get
         MediaMeta(w, h, if (alpha) 4 else 3, "webp")
+      } else if ({ pnmOnce = graft.sources.ImageDocs.pnmMeta(payload)
+                   pnmOnce.isDefined }) {
+        // binary Netpbm: the from-scratch full parse (r19, evaluated
+        // once), format tagged by subtype per Netpbm convention
+        val (w, h, _, ch) = pnmOnce.get
+        val fmt = payload(1) match {
+          case '4' => "pbm"; case '5' => "pgm"; case _ => "ppm"
+        }
+        MediaMeta(w, h, ch, fmt)
+      } else if (graft.sources.ImageDocs.psdDims(payload).isDefined) {
+        // PSD: no JDK ImageReader — validated-header dims (r19)
+        val (w, h, ch) = graft.sources.ImageDocs.psdDims(payload).get
+        MediaMeta(w, h, ch, "psd")
       } else if (avifDims(payload).isDefined) {
         // AVIF/HEIC: ispe dims, format by the ftyp major brand (r17)
         val (w, h, brand) = avifDims(payload).get
@@ -1150,14 +1164,22 @@ object Multimodal {
           if (img == null) {
             // codec-less formats: dims from the public header, lum/
             // alpha absent — JP2/J2K via the SIZ segment, WebP via
-            // the VP8/VP8L/VP8X chunk (r17)
+            // the VP8/VP8L/VP8X chunk (r17), PSD via its validated
+            // header (r19); binary Netpbm is the exception — its
+            // raster is raw samples, so the from-scratch parse
+            // yields REAL luminance (r19)
             if (graft.sources.Jpx.isJpx(payload))
               graft.sources.Jpx.sizDims(payload).map { case (w, h, _) =>
                 ImageFeatures(id, w, h, None, None)
               }
-            else webpDims(payload).orElse(
-              avifDims(payload).map(d => (d._1, d._2, false)))
-              .map { case (w, h, _) => ImageFeatures(id, w, h, None, None) }
+            else graft.sources.ImageDocs.pnmMeta(payload)
+              .map { case (w, h, lum, _) =>
+                ImageFeatures(id, w, h, Some(lum), Some(1.0)) }
+              .orElse(graft.sources.ImageDocs.psdDims(payload)
+                .map { case (w, h, _) => ImageFeatures(id, w, h, None, None) })
+              .orElse(webpDims(payload).orElse(
+                avifDims(payload).map(d => (d._1, d._2, false)))
+                .map { case (w, h, _) => ImageFeatures(id, w, h, None, None) })
           }
           else {
             var sum = 0.0

@@ -9,8 +9,9 @@ package graft.sources
   *
   * Detection is magic-byte sniffing PLUS a header-dims parse over the
   * container families fitz opens AND this engine's multimodal layer
-  * understands — PNG, JPEG, GIF, BMP, TIFF, and JPEG 2000 (JP2
-  * signature box or raw SOC codestream, the `Jpx` gate). The dims
+  * understands — PNG, JPEG, GIF, BMP, TIFF, JPEG 2000 (JP2
+  * signature box or raw SOC codestream, the `Jpx` gate), binary
+  * Netpbm (P4/P5/P6), and PSD (r19b). The dims
   * gate mirrors fitz's open (which parses the header before any
   * pixel work): a payload whose header is torn is NOT claimed — it
   * falls through to the TXT class or the fallback's error channel
@@ -20,11 +21,11 @@ package graft.sources
   * no words; the image route surfaces the payload VERBATIM (the same
   * discipline as painted `/DCTDecode` XObjects — the downstream codec
   * owns pixel access, and a payload whose BODY is torn past the
-  * header drops there). ASCII-headed raster families (PNM/PGM/PBM)
-  * are deliberately NOT claimed: their pure-text variants are
-  * printable and belong to the TXT class's strict detection, and
-  * splitting the family on a subtype bit would make classification
-  * content-dependent. */
+  * header drops there). The binary Netpbm subtypes are claimed
+  * through a FULL parse — header plus the complete-raster length
+  * requirement, which is what keeps printable "P5 …" prose out; the
+  * ASCII twins (P1–P3) are deliberately NOT claimed: they are
+  * printable text and belong to the TXT class's strict detection. */
 object ImageDocs {
 
   /** The one-page XHTML an image document decodes to (fitz's
@@ -132,7 +133,136 @@ object ImageDocs {
     // JPEG 2000: the Jpx gate + its SIZ dims parse
     if (Jpx.isJpx(p))
       return Jpx.sizDims(p).flatMap { case (w, h, _) => dims(w.toLong, h.toLong) }
+    // binary Netpbm: FULL parse incl. the complete-raster length
+    // requirement (see pnmMeta — what keeps "P5 …" prose out)
+    if (u(0) == 'P' && p(1) >= '4' && p(1) <= '6')
+      return pnmMeta(p).map { case (w, h, _, _) => (w, h) }
+    // PSD: "8BPS" + the validated 26-byte header
+    if (u(0) == '8' && u(1) == 'B' && u(2) == 'P' && u(3) == 'S')
+      return psdDims(p).map { case (w, h, _) => (w, h) }
     None
+  }
+
+  /** Binary Netpbm (P4/P5/P6) FULL parse (r19 — the Netpbm raster
+    * family fitz opens; BINARY subtypes only: the ASCII twins P1–P3
+    * are printable text and belong to the TXT class's strict
+    * detection). Header: magic, whitespace-separated decimal tokens
+    * with `#`-to-EOL comments — width, height, maxval (P5/P6,
+    * ≤ 65535; 2-byte big-endian samples past 255) — then ONE
+    * whitespace byte and the raster. The COMPLETE raster must be
+    * present (`ceil(w/8)·h` bytes for P4 — MSB-first, 1 = BLACK per
+    * the format — `w·h·bytesPer` for P5, `3·w·h·bytesPer` for P6);
+    * the length requirement is also what makes a false claim on
+    * printable "P5 …" prose practically impossible. Samples scale to
+    * 0–255 (`v·255/maxval` — exact for the common maxval 255);
+    * luminance is the engine-wide 0.299/0.587/0.114 mean. Returns
+    * (width, height, meanLum, channels). */
+  def pnmMeta(p: Array[Byte]): Option[(Int, Int, Double, Int)] = {
+    if (p == null || p.length < 8 || p(0) != 'P') return None
+    val kind = p(1) - '0'
+    if (kind < 4 || kind > 6) return None
+    var o = 2
+    def skipWs(): Boolean = {
+      val start = o
+      var done = false
+      while (!done && o < p.length) {
+        val c = p(o) & 0xff
+        if (c == '#') { while (o < p.length && p(o) != '\n') o += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+                 c == '\f' || c == 0x0b) o += 1
+        else done = true
+      }
+      o > start
+    }
+    def token(): Int = { // -1 = parse failure
+      if (!skipWs()) return -1
+      var v = 0L; var any = false
+      while (o < p.length && p(o) >= '0' && p(o) <= '9') {
+        v = v * 10 + (p(o) - '0'); any = true
+        if (v > 1000000L) return -1
+        o += 1
+      }
+      if (any) v.toInt else -1
+    }
+    val w = token(); if (w < 1) return None
+    val h = token(); if (h < 1) return None
+    if (w.toLong * h > 16777216L) return None
+    val maxv = if (kind == 4) 1 else token()
+    if (maxv < 1 || maxv > 65535) return None
+    // exactly ONE whitespace byte separates the header from the raster
+    if (o >= p.length) return None
+    val sep = p(o) & 0xff
+    if (!(sep == ' ' || sep == '\t' || sep == '\r' || sep == '\n')) return None
+    o += 1
+    var sum = 0.0
+    if (kind == 4) {
+      val rowBytes = (w + 7) / 8
+      if (o + rowBytes.toLong * h > p.length) return None
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bit = (p(o + y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+          val v = if (bit == 1) 0.0 else 255.0 // PBM: 1 = BLACK
+          sum += 0.299 * v + 0.587 * v + 0.114 * v
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, sum / (w.toLong * h), 1))
+    } else {
+      val bytesPer = if (maxv > 255) 2 else 1
+      val samplesPerPx = if (kind == 6) 3 else 1
+      val need = w.toLong * h * samplesPerPx * bytesPer
+      if (o + need > p.length) return None
+      @inline def sample(i: Long): Double = {
+        val b = o + i * bytesPer
+        val raw = if (bytesPer == 2)
+          ((p(b.toInt) & 0xff) << 8) | (p(b.toInt + 1) & 0xff)
+        else p(b.toInt) & 0xff
+        if (raw > maxv) return -1.0 // over-maxval sample: torn/hostile
+        raw * 255.0 / maxv
+      }
+      var i = 0L
+      val n = w.toLong * h
+      while (i < n) {
+        if (kind == 6) {
+          val r = sample(i * 3); val g = sample(i * 3 + 1)
+          val b = sample(i * 3 + 2)
+          if (r < 0 || g < 0 || b < 0) return None
+          sum += 0.299 * r + 0.587 * g + 0.114 * b
+        } else {
+          val v = sample(i)
+          if (v < 0) return None
+          sum += 0.299 * v + 0.587 * v + 0.114 * v
+        }
+        i += 1
+      }
+      Some((w, h, sum / n, samplesPerPx))
+    }
+  }
+
+  /** PSD header dims (r19 — fitz opens Photoshop documents; the JDK
+    * ships no PSD codec, so this is the Jpx discipline: header-only
+    * dims, luminance ABSENT, never fabricated). Public layout:
+    * "8BPS", version 1, six RESERVED zero bytes, channel count
+    * 1..56, height then width as big-endian 32-bit (1..30000 per the
+    * PSD limit), depth 1/8/16/32. Returns (width, height, channels);
+    * torn or out-of-envelope headers → None. */
+  def psdDims(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p == null || p.length < 26) return None
+    @inline def u(i: Int): Int = p(i) & 0xff
+    if (!(u(0) == '8' && u(1) == 'B' && u(2) == 'P' && u(3) == 'S'))
+      return None
+    if (((u(4) << 8) | u(5)) != 1) return None // version 1 = PSD
+    if ((u(6) | u(7) | u(8) | u(9) | u(10) | u(11)) != 0) return None
+    val ch = (u(12) << 8) | u(13)
+    val h = be32(p, 14); val w = be32(p, 18)
+    val depth = (u(22) << 8) | u(23)
+    if (ch < 1 || ch > 56 || w < 1 || h < 1 || w > 30000 || h > 30000 ||
+        !(depth == 1 || depth == 8 || depth == 16 || depth == 32))
+      return None
+    Some((w.toInt, h.toInt, ch))
   }
 
   /** The one-page decode: the page text (no words) plus, on the

@@ -438,6 +438,75 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------- Netpbm + PSD documents (r19)
+
+  test("binary Netpbm decodes from scratch with real luminance: P4 " +
+       "bit order + row padding, P5 gray, P6 RGB, comments, 2-byte " +
+       "samples; ASCII twins and torn rasters stay out") {
+    import graft.sources.ImageDocs
+    for (id <- 0L to 11L) {
+      val m = ImageDocs.pnmMeta(PdfFixtures.pnmDoc(id))
+      assert(m.isDefined, s"id=$id")
+      val (w, h, lum, ch) = m.get
+      assert(w == 6 + (id % 10).toInt && h == 5 + (id % 7).toInt, s"id=$id dims")
+      (id % 3) match {
+        case 0 => // first row black: mean = 255-ish * (h-1)/h
+          assert(ch == 1 && math.abs(lum - 255.0 * (h - 1) / h) < 1e-9, s"id=$id P4 $lum")
+        case 1 =>
+          val g = ((id * 11) % 256).toInt
+          assert(ch == 1 && math.abs(lum - g) < 1e-9, s"id=$id P5 $lum")
+        case _ =>
+          val e = 0.299 * ((id * 3) % 256) + 0.587 * ((id * 5) % 256) +
+            0.114 * ((id * 7) % 256)
+          assert(ch == 3 && math.abs(lum - e) < 1e-9, s"id=$id P6 $lum")
+      }
+      // routes as a one-page image document, payload verbatim
+      val pages = AutoPdfDecoder().decodeWithImages(PdfFixtures.pnmDoc(id))
+      assert(pages.isRight && pages.toOption.get.head._2.length == 1, s"id=$id route")
+    }
+    // 2-byte samples (maxval > 255): big-endian, exact scaling
+    val wide = "P5\n2 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](0xff.toByte, 0xff.toByte, 0x7f.toByte, 0xff.toByte)
+    val wm = ImageDocs.pnmMeta(wide)
+    assert(wm.isDefined && math.abs(wm.get._3 -
+      (255.0 + 32767 * 255.0 / 65535) / 2) < 1e-9, s"16-bit $wm")
+    // ASCII P2 is printable text, not an image
+    val p2 = "P2\n2 1\n255\n10 20\n".getBytes("US-ASCII")
+    assert(!ImageDocs.isImage(p2))
+    assert(graft.sources.PlainDocs.txtPages(p2).isDefined)
+    // torn raster (one byte short) and over-maxval samples reject
+    val good = PdfFixtures.pnmDoc(1L)
+    assert(ImageDocs.pnmMeta(good.dropRight(1)).isEmpty, "torn raster")
+    val over = "P5\n1 1\n100\n".getBytes("US-ASCII") ++ Array[Byte](200.toByte)
+    assert(ImageDocs.pnmMeta(over).isEmpty, "over-maxval sample")
+    // bit-flip fuzz: never a throw
+    val r = new scala.util.Random(1910)
+    for (id <- 0L to 2L; _ <- 0 until 200) {
+      val m = PdfFixtures.pnmDoc(id).clone()
+      val fi = r.nextInt(m.length)
+      m(fi) = (m(fi) ^ (1 << r.nextInt(8))).toByte
+      ImageDocs.pnmMeta(m); AutoPdfDecoder().decode(m)
+    }
+  }
+
+  test("PSD headers surface dims with luminance ABSENT; reserved-byte " +
+       "and envelope guards reject hostile headers") {
+    import graft.sources.ImageDocs
+    for (id <- 0L to 7L) {
+      val d = ImageDocs.psdDims(PdfFixtures.psdDoc(id))
+      assert(d.contains((6 + (id % 10).toInt, 5 + (id % 7).toInt, 3)), s"id=$id")
+      assert(ImageDocs.isImage(PdfFixtures.psdDoc(id)))
+    }
+    val good = PdfFixtures.psdDoc(0L)
+    def pat(off: Int, v: Int): Array[Byte] = {
+      val m = good.clone(); m(off) = v.toByte; m
+    }
+    assert(ImageDocs.psdDims(pat(7, 1)).isEmpty, "nonzero reserved byte")
+    assert(ImageDocs.psdDims(pat(5, 2)).isEmpty, "version 2 (PSB) out of envelope")
+    assert(ImageDocs.psdDims(pat(23, 9)).isEmpty, "invalid depth")
+    assert(ImageDocs.psdDims(good.take(20)).isEmpty, "torn header")
+  }
+
   // ------------------------------------------- AVI containers (r19)
 
   test("AVI main-header metadata: planted values round-trip through " +
