@@ -16,7 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -28,6 +28,13 @@ object Bench {
       // re-Janino + re-JIT on EVERY round and time interpreted-cold
       // (q235: 5.6 s in-suite vs 1.3 s solo). Sized to hold the suite.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+    // measurement-session conf overrides (semicolon-separated k=v) —
+    // the r19 A/B hook for isolating the effect of one conf on one
+    // query (OPTIMIZATION_r19.md §configs). The driver never sets it,
+    // so its runs always time the committed defaults above.
+    val spark = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").filter(_.contains("=")).map(_.split("=", 2))
+      .foldLeft(builder) { case (b, Array(k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay parquet-footer + codegen + JIT init outside the timings

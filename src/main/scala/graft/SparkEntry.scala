@@ -182,10 +182,25 @@ object SparkEntry {
   private val evCte =
     "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
-  /** Distinct (user_id, sid, page) visited-page sessions (30-min gap
-    * break) — the blocking frame shared by co-visitation (q148) and
-    * triangle counting (q162). Per-user windows only, never global. */
-  private def sessionPages(s: SparkSession, dir: String): DataFrame = {
+  /** Per-session SORTED DISTINCT page sets of the 30-min-gap
+    * sessionization — one row per (user_id, sid) with
+    * `pgs = array_sort(collect_set(page))` — the blocking frame shared
+    * by the whole co-visitation family (q148/q162/q183/q203–q206/q208/
+    * q228). Per-user windows only, never global; nulls drop from the
+    * set exactly as they dropped from the former self-join's
+    * `page_a < page_b` predicate.
+    *
+    * r19 optimization (guide §2.4, remove shuffles outright): the old
+    * shape was a distinct (user_id, sid, page) frame self-joined on
+    * (user_id, sid) — 4 exchanges before the pair frame exists
+    * (window, distinct, join re-shuffle, pair agg). Here the set-build
+    * groupBy keys on (user_id, sid), a SUPERSET of the window's
+    * user_id hash partitioning, so it adds NO exchange after the
+    * window pass, and pairs explode in-row ([[sessionPagePairs]]) —
+    * 2 exchanges total to the pair aggregation. Session page sets are
+    * gap-bounded (the same Σ|session|² argument the join form relied
+    * on), so the in-row set is bounded at any corpus size. */
+  private[graft] def sessionPageSets(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -195,10 +210,24 @@ object SparkEntry {
       .withColumn("brk", when(col("gap").isNull || !col("gap"), 0L).otherwise(1L))
       .withColumn("sid", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("user_id"), col("sid"), col("page")).distinct()
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_sort(collect_set(col("page"))).as("pgs"))
   }
 
-  /** DuckDB twin of [[sessionPages]] — ends with CTE `d` (distinct
+  /** All unordered within-session page pairs (page_a < page_b), one row
+    * per (session, pair) — the EXACT row multiset of the former
+    * sessionPages self-join on (user_id, sid) filtered to
+    * page_a < page_b, produced map-side from [[sessionPageSets]] by the
+    * q157 bounded in-row pair transform: `pgs` is sorted ascending, so
+    * (pgs[i], pgs[j]) with i < j enumerates each unordered pair once
+    * with page_a < page_b by construction. */
+  private[graft] def sessionPagePairs(sets: DataFrame): DataFrame =
+    sets.select(explode(flatten(transform(col("pgs"), (a, i) =>
+        transform(slice(col("pgs"), i + lit(2), size(col("pgs"))), b =>
+          struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("page_a"), col("p.b").as("page_b"))
+
+  /** DuckDB twin of [[sessionPageSets]]'s row source — ends with CTE `d` (distinct
     * (user_id, sid, page)); shared by the q148 and q162 oracles. */
   private lazy val sessionPagesCte: String =
     s"""$evCte,
@@ -2057,10 +2086,7 @@ object SparkEntry {
       // session, pairs within session via self-join on the session key
       // — blocking on session bounds the pair blow-up to
       // Σ |session|², never |corpus|². Top-30 pairs.
-      val sess = sessionPages(s, dir)
-      val a = sess.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = sess.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      a.join(b, Seq("user_id", "sid")).filter(col("page_a") < col("page_b"))
+      sessionPagePairs(sessionPageSets(s, dir))
         .groupBy(col("page_a"), col("page_b")).agg(count(lit(1)).as("n_sessions"))
         .orderBy(desc("n_sessions"), col("page_a"), col("page_b"))
         .limit(30)
@@ -2172,11 +2198,25 @@ object SparkEntry {
           pround(col("tf") * log(col("n_docs").cast("double") / col("df")), 9).as("wt")))
       val norms = tfidf.groupBy(col("doc_id"))
         .agg(sqrt(sum((col("wt") * col("wt")).cast(DecimalType(27, 12))).cast("double")).as("norm"))
-      val a = tfidf.select(col("w"), col("doc_id").as("doc_a"), col("wt").as("wt_a"))
-      val b = tfidf.select(col("w"), col("doc_id").as("doc_b"), col("wt").as("wt_b"))
-      val dots = a.join(b, Seq("w")).filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(sum((col("wt_a") * col("wt_b")).cast(DecimalType(27, 12))).cast("double").as("dot"))
+      // r19 (guide §2.4): pair generation WITHOUT the w self-join — per
+      // term, collect the ≤ maxDfAbs (doc, wt) postings (bounded by the
+      // df cap, so the in-row array can never exceed 250 entries at ANY
+      // corpus size) and explode the C(df,2) ordered pairs in-row (the
+      // q157 idiom). tfidf is already w-partitioned from the df join, so
+      // the posting-list groupBy adds NO exchange where the old a⋈b
+      // join re-shuffled both branches; per-term products and the
+      // DECIMAL(27,12) casts are unchanged term-for-term, so the exact
+      // dot sums are bit-identical.
+      val dots = tfidf
+        .groupBy(col("w"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("wt")))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))), b =>
+            struct(a.getField("doc_id").as("doc_a"),
+              b.getField("doc_id").as("doc_b"),
+              (a.getField("wt") * b.getField("wt")).as("prod")))))).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(sum(col("p.prod").cast(DecimalType(27, 12))).cast("double").as("dot"))
       dots.join(broadcast(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a"))), Seq("doc_a"))
         .join(broadcast(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b"))), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -2951,12 +2991,8 @@ object SparkEntry {
       // O(deg²)), so each triangle materializes exactly once through
       // two equi-joins + a semi-join closure check. Per-page counts
       // are orientation-invariant, so the oracle is unchanged.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
       val edges = Dedup.cacheScoped(graft.operators.Graph.orientByDegree(
-        a.join(b, Seq("user_id", "sid"))
-          .filter(col("page_a") < col("page_b"))
+        sessionPagePairs(sessionPageSets(s, dir))
           .select(col("page_a").as("a"), col("page_b").as("b"))))
       val tri = edges.select(col("u").as("x"), col("v").as("y"))
         .join(edges.select(col("u").as("y"), col("v").as("z")), Seq("y"))
@@ -3506,13 +3542,18 @@ object SparkEntry {
       // session frame plus two roll-ups; both rule directions reuse
       // the same undirected pair count (unioned, never recomputed).
       // Counts stay exact integers; ratios divide at the end.
-      val sess = Dedup.cacheScoped(sessionPages(s, dir)
-        .select(col("user_id"), col("sid"), col("page")))
-      val n = sess.agg(countDistinct(col("user_id"), col("sid")).as("n_sess"))
-      val pageN = sess.groupBy(col("page")).agg(count(lit(1)).as("np"))
-      val a = sess.select(col("user_id"), col("sid"), col("page").as("pa"))
-      val b = sess.select(col("user_id"), col("sid"), col("page").as("pb"))
-      val pairs = a.join(b, Seq("user_id", "sid")).filter(col("pa") < col("pb"))
+      // r19: the session frame is the per-session page-SET form
+      // (sessionPageSets) — n_sess = one row per set group (identical
+      // to the old countDistinct(user_id, sid): a group exists exactly
+      // where a distinct (user_id, sid) pair did), per-page session
+      // counts explode the sets (each distinct page once per session,
+      // the old distinct frame's row multiset), pairs explode in-row.
+      val sess = Dedup.cacheScoped(sessionPageSets(s, dir))
+      val n = sess.agg(count(lit(1)).as("n_sess"))
+      val pageN = sess.select(explode(col("pgs")).as("page"))
+        .groupBy(col("page")).agg(count(lit(1)).as("np"))
+      val pairs = sessionPagePairs(sess)
+        .select(col("page_a").as("pa"), col("page_b").as("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       val both = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
         .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("n_ab")))
@@ -4056,11 +4097,7 @@ object SparkEntry {
       // (per-node counts are orientation-invariant), degrees from the
       // undirected edge set, coefficient as pure IEEE arithmetic on
       // the two exact longs with one final floor-round.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = Dedup.cacheScoped(a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
+      val und = Dedup.cacheScoped(sessionPagePairs(sessionPageSets(s, dir))
         .select(col("page_a").as("a"), col("page_b").as("b"))
         .distinct())
       val deg = und.select(explode(array(col("a"), col("b"))).as("page"))
@@ -4092,13 +4129,10 @@ object SparkEntry {
       // rounds past the fixpoint are no-ops, so any convergence in
       // ≤ 12 rounds hash-matches exactly; a deeper cascade would
       // MISMATCH loudly rather than silently truncate.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
+      // r19: the pair frame goes to kCore undeduplicated — kCore's own
+      // symmetrize+distinct subsumes the former .distinct() exchange
+      val und = sessionPagePairs(sessionPageSets(s, dir))
         .select(col("page_a").as("a"), col("page_b").as("b"))
-        .distinct()
       val (core, _) = graft.operators.Graph.kCore(und, k = 3)
       core.orderBy(col("page"))
     }),
@@ -4112,11 +4146,7 @@ object SparkEntry {
       // q103's closed form on exact DECIMAL(38,0) sums of integer
       // degrees (long products would overflow at web scale), floor-
       // round once.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
+      val und = sessionPagePairs(sessionPageSets(s, dir))
         .select(col("page_a").as("u"), col("page_b").as("v"))
         .distinct()
       val sym = Dedup.cacheScoped(und.select(col("u").as("src"), col("v").as("dst"))
@@ -4152,11 +4182,7 @@ object SparkEntry {
       // removed by an anti-join, per-term scores floor-rounded to 9
       // then summed as exact DECIMAL(27,9). The oracle implements the
       // identical deterministic cap.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
+      val und = sessionPagePairs(sessionPageSets(s, dir))
         .select(col("page_a").as("u"), col("page_b").as("v"))
         .distinct()
       graft.operators.Graph.adamicAdar(und, capK = 64, topN = 10)
@@ -4203,11 +4229,7 @@ object SparkEntry {
       // ties broken (max count, then MIN label) via one struct-max
       // partial agg — no per-node window. Per round: one edges⋈labels
       // equi-join + two partial aggs.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
+      val und = sessionPagePairs(sessionPageSets(s, dir))
         .select(col("page_a").as("u"), col("page_b").as("v"))
         .distinct()
       val sym = Dedup.cacheScoped(und
@@ -4944,11 +4966,7 @@ object SparkEntry {
       // lower bound, so the oracle comparison is only meaningful when
       // the tier is "exact". Harmonic = n1 + n2/2 + n3/3: exact
       // integer counts, two IEEE divisions, engine-identical.
-      val d = sessionPages(s, dir)
-      val a = d.select(col("user_id"), col("sid"), col("page").as("page_a"))
-      val b = d.select(col("user_id"), col("sid"), col("page").as("page_b"))
-      val und = a.join(b, Seq("user_id", "sid"))
-        .filter(col("page_a") < col("page_b"))
+      val und = sessionPagePairs(sessionPageSets(s, dir))
         .select(col("page_a").as("u"), col("page_b").as("v"))
         .distinct()
       graft.operators.Graph.harmonicCentrality3(und, hubCap = 64, topN = 20)
@@ -6023,26 +6041,38 @@ object SparkEntry {
       // exact-integer ratios floor-rounded at 12, the per-source mean
       // reduces in DECIMAL. Zero-co-occurrence pairs drop (inner join)
       // — deterministic and mirrored, the standard C_NPMI convention.
-      val presence = Dedup.cacheScoped(Tables.documents(s, dir)
+      // r19 (guide §2.4): the distinct presence frame is folded into a
+      // per-(source, doc) sorted word SET (one exchange builds it and
+      // subsumes the old standalone distinct); per-doc top-term hits
+      // re-group WITHOUT an exchange (explode/broadcast-join preserve
+      // the set frame's (source, doc_id) partitioning), and the ≤45
+      // pairs per doc explode in-row (q157 idiom) instead of the old
+      // (source, doc_id) self-join — old 5-exchange chain → 3.
+      val sets = Dedup.cacheScoped(Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           explode(split(lower(col("text")), " ")).as("w"))
         .filter(length(col("w")) > 0)
-        .distinct())
-      val dS = presence.groupBy(col("source"))
-        .agg(countDistinct(col("doc_id")).as("d"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(array_sort(collect_set(col("w"))).as("ws")))
+      val dS = sets.groupBy(col("source")).agg(count(lit(1)).as("d"))
       val wDf = Window.partitionBy(col("source")).orderBy(col("df").desc, col("w"))
-      val top = presence.groupBy(col("source"), col("w"))
+      val top = sets.select(col("source"), explode(col("ws")).as("w"))
+        .groupBy(col("source"), col("w"))
         .agg(count(lit(1)).as("df"))
         .withColumn("r", row_number().over(wDf))
         .filter(col("r") <= 10)
         .select(col("source"), col("w"), col("df"))
-      val hits = presence.join(broadcast(top), Seq("source", "w"))
-        .select(col("source"), col("doc_id"), col("w"), col("df"))
-      val pairs = hits.select(col("source"), col("doc_id"),
-          col("w").as("w1"), col("df").as("df1"))
-        .join(hits.select(col("source"), col("doc_id"),
-          col("w").as("w2"), col("df").as("df2")), Seq("source", "doc_id"))
-        .filter(col("w1") < col("w2"))
+      val hits = sets.select(col("source"), col("doc_id"), explode(col("ws")).as("w"))
+        .join(broadcast(top), Seq("source", "w"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(array_sort(collect_set(struct(col("w"), col("df")))).as("ts"))
+      val pairs = hits.select(col("source"),
+          explode(flatten(transform(col("ts"), (a, i) =>
+            transform(slice(col("ts"), i + lit(2), size(col("ts"))), b =>
+              struct(a.getField("w").as("w1"), b.getField("w").as("w2"),
+                a.getField("df").as("df1"), b.getField("df").as("df2")))))).as("p"))
+        .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.df1").as("df1"), col("p.df2").as("df2"))
         .groupBy(col("source"), col("w1"), col("w2"), col("df1"), col("df2"))
         .agg(count(lit(1)).as("df12"))
       val npmi = floor(
@@ -8924,11 +8954,16 @@ object SparkEntry {
       // salted join would target). One grouped count + tiny closes.
       val o = Tables.orders(s, dir).select(col("o_orderkey"))
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
-      val fan = Dedup.cacheScoped(o.join(li,
-          o("o_orderkey") === li("l_orderkey"), "left")
+      // r19 (guide §2.3, aggregate before you shuffle): lineitem rolls
+      // up to per-key counts BEFORE the join, so the exchange carries
+      // one row per key instead of every lineitem row; summing the
+      // pre-counts per o_orderkey group reproduces the old per-row
+      // conditional count exactly (childless keys coalesce to 0).
+      val cnt = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      val fan = Dedup.cacheScoped(o.join(cnt,
+          o("o_orderkey") === cnt("l_orderkey"), "left")
         .groupBy(col("o_orderkey"))
-        .agg(sum(when(col("l_orderkey").isNotNull, 1L).otherwise(0L))
-          .as("fanout"))
+        .agg(sum(coalesce(col("c"), lit(0L))).as("fanout"))
         .select(lit("all").as("g"), col("fanout")))
       val p99 = graft.operators.Selection.exactGroupedQuantiles(
           fan, "g", "fanout", Seq(0.99))
@@ -9143,34 +9178,35 @@ object SparkEntry {
       // q238's ACF). Each level is one groupBy(i/2) agg on a
       // ≤32-row frame; the SHAPE (pairwise reduction) is the log-depth
       // scan that works at any series length.
+      // r19: the 5-level walk runs on the DRIVER over the collected
+      // ≤32-long padded series (the q345/q198 calendar-bounded driver
+      // tier — one tiny collect instead of 5 per-level collect+persist
+      // round-trips on a ≤32-row frame; all arithmetic stays the same
+      // exact longs, so parity is unchanged by construction).
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("x"))
       val lo = daily.agg(min(col("day")).as("lo"))
       val idx = daily.crossJoin(broadcast(lo))
         .select(datediff(col("day"), col("lo")).cast("long").as("i"), col("x"))
-      val pad = s.range(0, 32).toDF("i")
-      var cur = pad.join(idx, Seq("i"), "left")
-        .select(col("i"), coalesce(col("x"), lit(0L)).as("v"))
-      val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      var cur = Array.tabulate(32)(i => idx.getOrElse(i.toLong, 0L))
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
       for (level <- 1 to 5) {
-        val paired = cur.groupBy((col("i") / 2).cast("long").as("j"))
-          .agg(sum(when(col("i") % 2 === 0, col("v")).otherwise(0L)).as("a"),
-            sum(when(col("i") % 2 === 1, col("v")).otherwise(0L)).as("b"))
-        val stats = paired
-          .select(col("j").as("i"), (col("a") + col("b")).as("v"),
-            (col("a") - col("b")).as("d"))
-        val row = stats.agg(count(lit(1)).as("n"),
-          sum(col("d") * col("d")).as("energy"),
-          max(struct(abs(col("d")).as("m"), (-col("i")).as("ni"))).as("top"))
-          .select(lit(level).as("level"), col("n"), col("energy"),
-            col("top.m").as("max_abs_detail"), (-col("top.ni")).as("argmax_idx"))
-          .collect()(0)
-        out += row
-        cur = Dedup.cacheScoped(stats.select(col("i"), col("v")))
+        val n = cur.length / 2
+        val sums = Array.tabulate(n)(j => cur(2 * j) + cur(2 * j + 1))
+        val dets = Array.tabulate(n)(j => cur(2 * j) - cur(2 * j + 1))
+        var energy = 0L; var maxAbs = Long.MinValue; var arg = 0L
+        for (j <- 0 until n) {
+          val d = dets(j); val ad = math.abs(d)
+          energy += d * d
+          // max(struct(abs(d), -j)): larger |d| wins, ties to smaller j
+          if (ad > maxAbs) { maxAbs = ad; arg = j.toLong }
+        }
+        out += ((level, n.toLong, energy, maxAbs, arg))
+        cur = sums
       }
       import s.implicits._
-      out.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getLong(4)))
+      out.toSeq
         .toDF("level", "n_coeffs", "energy", "max_abs_detail", "argmax_idx")
         .orderBy(col("level"))
     }),
@@ -9219,12 +9255,15 @@ object SparkEntry {
       def tercile(df: DataFrame, c: String, asc: Boolean): DataFrame = {
         val ord = if (asc) struct(col(c), col("user_id"))
           else struct(-col(c), col("user_id"))
-        val ranked = graft.operators.DocPipeline.withDenseIds(df, ord, "rid")
-        val n = ranked.agg(count(lit(1)).as("nu"))
-        ranked.crossJoin(broadcast(n))
+        // r19: the user count rides out of the dense-id counts pass for
+        // free — the former ranked.agg(count) job (one full re-scan of
+        // the checkpointed frame per tercile, ×3) is gone
+        val (ranked, nu) = graft.operators.DocPipeline
+          .withDenseIdsAndCount(df, ord, "rid")
+        ranked
           .withColumn(s"${c}_score",
-            (col("rid") * 3 / col("nu")).cast("int") + 1)
-          .drop("rid", "nu")
+            (col("rid") * 3 / lit(nu)).cast("int") + 1)
+          .drop("rid")
       }
       // recency: LOWER is better → asc rank gives score 1 = most recent
       // (score 3 = stale); freq/monetary: HIGHER is better → desc rank
@@ -9290,36 +9329,51 @@ object SparkEntry {
       // DECIMAL — order-free) + a broadcast factor join. The oracle
       // unrolls the identical three CTE rounds. Output: the ≤7·|types|
       // cell frame with final weights and the residual column error.
-      val D = DecimalType(27, 14)
-      def msum(c: Column) = sum(c.cast(D)).cast("double")
-      val cells = Dedup.cacheScoped(Tables.events(s, dir)
+      // r19: the 3 half-steps run on the DRIVER over the collected
+      // ≤7·|types| cell frame (the q342/q345 bounded-frame driver tier —
+      // one agg job + one tiny collect instead of 3 margin aggs, 4
+      // broadcast joins and their stages). Arithmetic mirrors the old
+      // distributed plan EXACTLY: msum's double→DECIMAL(27,14) cast is
+      // BigDecimal.valueOf(m).setScale(14, HALF_UP) (the Graph
+      // localPageRank mirror), sums are exact decimal (order-free),
+      // pround's floor form is replicated with its 2^52 passthrough
+      // branch — so every fitted weight is bit-identical.
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def msumD(vs: Iterable[Double]): Double =
+        vs.foldLeft(JBD.ZERO)((a, v) =>
+          a.add(JBD.valueOf(v).setScale(14, RoundingMode.HALF_UP)))
+          .doubleValue()
+      def prD(x: Double, scale: Int): Double = {
+        val sc = math.pow(10, scale)
+        val y = x * sc + 0.5
+        (if (math.abs(y) >= 4.503599627370496e15) y else math.floor(y)) / sc
+      }
+      val cells = Tables.events(s, dir)
         .groupBy(col("event_type"),
           dayofweek(col("ts")).cast("long").as("dow"))
-        .agg(count(lit(1)).as("n")))
-      val tot = cells.agg(sum(col("n")).as("nn"))
-      val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rt"))
-      val m0 = cells.crossJoin(broadcast(tot))
-        .select(col("event_type"), col("dow"), col("n"),
-          col("n").cast("double").as("m"),
-          (col("nn").cast("double") / 7.0).as("colT"))
-      def colFit(df: DataFrame): DataFrame = {
-        val cs = df.groupBy(col("dow")).agg(msum(col("m")).as("cs"))
-        df.join(broadcast(cs), Seq("dow"))
-          .withColumn("m", pround(col("m") * col("colT") / col("cs"), 12))
-          .drop("cs")
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val nn = cells.map(_._3).sum
+      val rowT = cells.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
+      val colT = nn.toDouble / 7.0
+      var m: Map[(String, Long), Double] =
+        cells.map { case (t, d, n) => (t, d) -> n.toDouble }.toMap
+      def colFitD(): Unit = {
+        val cs = m.groupBy(_._1._2).map { case (d, g) => d -> msumD(g.values) }
+        m = m.map { case (k, v) => k -> prD(v * colT / cs(k._2), 12) }
       }
-      def rowFit(df: DataFrame): DataFrame = {
-        val rs = df.groupBy(col("event_type")).agg(msum(col("m")).as("rs"))
-        df.join(broadcast(rs), Seq("event_type"))
-          .join(broadcast(rowT), Seq("event_type"))
-          .withColumn("m", pround(col("m") * col("rt").cast("double")
-            / col("rs"), 12))
-          .drop("rs", "rt")
+      def rowFitD(): Unit = {
+        val rs = m.groupBy(_._1._1).map { case (t, g) => t -> msumD(g.values) }
+        m = m.map { case (k, v) =>
+          k -> prD(v * rowT(k._1).toDouble / rs(k._1), 12) }
       }
-      val m3 = colFit(rowFit(colFit(m0)))
-      m3.select(col("event_type"), col("dow"), col("n"),
-          pround(col("m"), 9).as("fitted"),
-          pround(col("m") / col("n").cast("double"), 9).as("weight"))
+      colFitD(); rowFitD(); colFitD()
+      import s.implicits._
+      cells.toSeq.map { case (t, d, n) =>
+          val mv = m((t, d))
+          (t, d, n, prD(mv, 9), prD(mv / n.toDouble, 9))
+        }
+        .toDF("event_type", "dow", "n", "fitted", "weight")
         .orderBy(col("event_type"), col("dow"))
     }),
 

@@ -100,7 +100,16 @@ object DocPipeline {
     * `row_number() over (order by orderCol) - 1`. Like the reference's
     * eager manifest read (`main.py:106-137`), this runs one small job at
     * build time (the counts pass). */
-  def withDenseIds(df: DataFrame, orderCol: Column, idCol: String): DataFrame = {
+  def withDenseIds(df: DataFrame, orderCol: Column, idCol: String): DataFrame =
+    withDenseIdsAndCount(df, orderCol, idCol)._1
+
+  /** [[withDenseIds]] plus the TOTAL row count, for free: the counts
+    * pass already collects one (pid, count) row per partition, so the
+    * total is their sum — callers that would otherwise run a separate
+    * count job over the ranked frame (e.g. rank-bucket scoring, which
+    * needs n for `rid * k / n`) read it from here instead (r19). */
+  def withDenseIdsAndCount(df: DataFrame, orderCol: Column,
+                           idCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     // localCheckpoint(eager): the counts pass and the final pass are two
@@ -121,10 +130,11 @@ object DocPipeline {
     var acc = 0L
     val offsets = counts.map { case (pid, n) => val row = (pid, acc); acc += n; row }
     val offsetsDf = spark.createDataFrame(offsets.toIndexedSeq).toDF("__pid", "__offset")
-    sorted.withColumn("__pid", shiftright(col("__mid"), 33))
+    val withIds = sorted.withColumn("__pid", shiftright(col("__mid"), 33))
       .join(broadcast(offsetsDf), Seq("__pid"))
       .withColumn(idCol, col("__offset") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
       .drop("__pid", "__offset", "__mid")
+    (withIds, acc)
   }
 
   /** [[withDenseIds]] + [[withKeys]]: deterministic zero-padded keys from

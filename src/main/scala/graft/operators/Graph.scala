@@ -80,16 +80,21 @@ object Graph {
     * DECIMAL(27,9) so the float reduction order can't split engines. */
   def adamicAdar(und0: DataFrame, capK: Int = 64, topN: Int = 10): DataFrame = {
     val und = Dedup.cacheScoped(und0.select(col("u"), col("v")))
-    val sym = Dedup.cacheScoped(
-      und.union(und.select(col("v"), col("u"))).toDF("src", "dst"))
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val sym = und.union(und.select(col("v"), col("u"))).toDF("src", "dst")
     // per-node neighbor cap: bounded-frame window per src (frame size
     // ≤ deg; only rank ≤ capK survive — the skew a hub row group pays
-    // is one sort of its adjacency, not a deg² join blow-up)
-    val capped = Dedup.cacheScoped(sym
+    // is one sort of its adjacency, not a deg² join blow-up).
+    // r19: degrees read off the SAME src-partitioned windowed frame
+    // (count per src group needs no new exchange there), where the old
+    // separate deg agg re-shuffled the symmetrized edge list a second
+    // time — one exchange of sym instead of two; degree values are the
+    // same true (uncapped) per-src row counts.
+    val ranked = Dedup.cacheScoped(sym
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("src")).orderBy(col("dst"))))
-      .filter(col("rn") <= capK).select(col("src"), col("dst")))
+        Window.partitionBy(col("src")).orderBy(col("dst")))))
+    val deg = ranked.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val capped = ranked
+      .filter(col("rn") <= capK).select(col("src"), col("dst"))
     val wedges = capped.select(col("src").as("w"), col("dst").as("u"))
       .join(capped.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
@@ -162,9 +167,16 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .join(r1, Seq("src", "dst"), "left_anti")
       .join(r2, Seq("src", "dst"), "left_anti")
-    val n2 = r2.groupBy(col("src")).agg(count(lit(1)).as("n2"))
-    val n3 = r3.groupBy(col("src")).agg(count(lit(1)).as("n3"))
-    deg.join(n2, Seq("src"), "left").join(n3, Seq("src"), "left")
+    // r19: one ring-tagged union + ONE conditional agg + ONE left join
+    // instead of two aggs and two joins onto deg — same exact integer
+    // counts (n2 = ring-2 rows per src, n3 = ring-3), one less exchange
+    // and one less join pass over the |V|-row frame
+    val n23 = r2.select(col("src"), lit(2).as("ring"))
+      .unionAll(r3.select(col("src"), lit(3).as("ring")))
+      .groupBy(col("src"))
+      .agg(sum(when(col("ring") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("ring") === 3, 1L).otherwise(0L)).as("n3"))
+    deg.join(n23, Seq("src"), "left")
       .na.fill(0L, Seq("n2", "n3"))
       .select(col("src").as("page"),
         graft.SparkEntry.pround(

@@ -30,6 +30,14 @@ object Pca {
       .otherwise(floor(y).cast("double")) / s
   }
 
+  /** Driver mirror of [[pr]] — identical IEEE floor form incl. the 2^52
+    * passthrough branch (the Graph.round9 discipline). */
+  private def prD(x: Double, scale: Int): Double = {
+    val s = math.pow(10, scale)
+    val y = x * s + 0.5
+    (if (math.abs(y) >= 4.503599627370496e15) y else math.floor(y)) / s
+  }
+
   /** Returns (dim 0-based, loading, nrm) — loading is the unit top
     * component after `iters` power steps from e0; nrm is ‖C·v‖
     * UNNORMALIZED by n (divide by the row count for the eigenvalue).
@@ -73,17 +81,23 @@ object Pca {
       val s = aggregate(
         zip_with(col("c"), vLit, (ci, vi) => pr(ci * vi, 12).cast(D)),
         lit(0).cast(D), (acc, t) => (acc + t).cast(D)).cast("double")
-      val u = c.withColumn("s", s)
+      val uRows = c.withColumn("s", s)
         .select(col("s"), posexplode(col("c")).as(Seq("i", "cd")))
         .withColumn("t", pr(col("cd") * col("s"), 12).cast(D))
         .groupBy(col("i")).agg(sum(col("t")).cast("double").as("u"))
-      val rows = u.crossJoin(broadcast(
-          u.agg(sqrt(sum(pr(col("u") * col("u"), 12).cast(D))
-            .cast("double")).as("nrm"))))
-        .select(col("i"), pr(col("u") / col("nrm"), 9).as("v"), col("nrm"))
         .orderBy(col("i")).collect()
-      v = rows.map(_.getDouble(1))
-      nrmOut = rows.head.getDouble(2)
+      // r19: ‖u‖ and the normalized v close on the DRIVER over the
+      // |dim|-row collect — bit-mirrors the old distributed close
+      // (sqrt of the exact DECIMAL(27,14) sum of pr(u², 12) terms,
+      // then pr(u/nrm, 9)); the crossJoin(broadcast(u.agg(...)))
+      // formulation re-planned the u subtree through two more stages
+      // per iteration for a 1-row norm.
+      val nrm = math.sqrt(uRows.foldLeft(java.math.BigDecimal.ZERO) { (a, r) =>
+        a.add(java.math.BigDecimal.valueOf(prD(r.getDouble(1) * r.getDouble(1), 12))
+          .setScale(14, java.math.RoundingMode.HALF_UP))
+      }.doubleValue())
+      v = uRows.map(r => prD(r.getDouble(1) / nrm, 9))
+      nrmOut = nrm
     }
     import spark.implicits._
     v.indices.map(i => (i, v(i), nrmOut)).toDF("i", "v", "nrm")
