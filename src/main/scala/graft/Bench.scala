@@ -28,6 +28,18 @@ object Bench {
       // re-Janino + re-JIT on EVERY round and time interpreted-cold
       // (q235: 5.6 s in-suite vs 1.3 s solo). Sized to hold the suite.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // r19: let AQE re-optimize (coalesce/skew-split) the shuffle
+      // partitioning of plans that build or read persisted frames —
+      // default false only for partitioning-compat, and every cached
+      // frame in this repo feeds order-free aggregations (decimal sums,
+      // min/max-struct, sorted collect_set), so results are unchanged
+      // (full oracle sweep re-proven under the conf). Measured on the
+      // cache-heavy batch (q157/q177/q180/q203/q206/q228/q253/q312/
+      // q314/q337): 22.0–22.5 s WITH vs 24.9–43.7 s control, with the
+      // wins concentrated exactly on cacheScoped consumers
+      // (OPTIMIZATION_r19.md §configs). Scale-independent: AQE
+      // coalescing on cached intermediates is equally right at 100 TB.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // measurement-session conf overrides (semicolon-separated k=v) —
     // the r19 A/B hook for isolating the effect of one conf on one
     // query (OPTIMIZATION_r19.md §configs). The driver never sets it,

@@ -23,6 +23,8 @@ object PlanDump {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's committed session confs (r19)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // same A/B override hook as Bench, so dumped plans match what an
     // overridden measurement session actually ran
     val spark = sys.env.getOrElse("SPARK_GRAFT_CONF", "")

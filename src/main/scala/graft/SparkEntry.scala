@@ -57,6 +57,17 @@ object SparkEntry {
     when(abs(y) >= 4.503599627370496e15, y).otherwise(floor(y).cast("double")) / s
   }
 
+  /** Driver-side mirror of [[pround]] — the identical IEEE floor form
+    * including the 2^52 passthrough branch, for bounded-by-construction
+    * frames whose closing arithmetic runs on the driver (q342/q346/
+    * q319/q360 tier). A value produced here is bit-identical to the
+    * Column form on the same input. */
+  private[graft] def proundD(x: Double, scale: Int): Double = {
+    val s = math.pow(10, scale)
+    val y = x * s + 0.5
+    (if (math.abs(y) >= 4.503599627370496e15) y else math.floor(y)) / s
+  }
+
   /** Rewrite every SQL `round(expr, n)` (and `round(expr)`) to the
     * floor form `FLOOR((expr) * 1en + 0.5) / 1en` — the DuckDB twin of
     * `pround`, applied to every oracle string at map construction so no
@@ -5829,27 +5840,36 @@ object SparkEntry {
       // ties cannot diverge (stronger than ordering on raw
       // list_distance). Centroids are k×d literals (corpus never
       // shuffles to be assigned); the d² frame is |corpus|·k rows.
-      import s.implicits._
+      // r19 (guide §2.4): the per-(vector, centroid) d² frame is pure
+      // MAP-SIDE math — each of the k=8 distances folds in-row against
+      // the centroid literal (the Pca.topComponent exact-DECIMAL fold;
+      // a sequential exact-decimal fold equals the old per-(vec, cid)
+      // grouped sum term-for-term), and nearest/second-nearest come
+      // from an in-row sort of the 8 (d2, cid) structs — exactly the
+      // old window's (d2, cid) total order. The old shape exploded
+      // |corpus|·64 rows, broadcast-joined each against 8 centroids,
+      // shuffled the |corpus|·8 d² frame into a groupBy and ranked it
+      // through a second window exchange — both exchanges gone; the
+      // only shuffle left is the ≤k-row cluster roll-up (plus lloyd's
+      // own iteration aggs, unchanged).
       val emb = Tables.embeddings(s, dir)
       val (state, _) = Cluster.lloyd(emb, col("vec_id"), col("embedding"),
         k = 8, iters = 3)
-      val centDf = state.centroids.zipWithIndex
-        .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "cvec")
-      val xd = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      val cd = centDf.select(col("cid"), posexplode(col("cvec")).as(Seq("dim", "c")))
-      val d2 = xd.join(broadcast(cd), Seq("dim"))
-        .select(col("vec_id"), col("cid"),
-          (floor((col("x").cast("double") - col("c").cast("double"))
-            * (col("x").cast("double") - col("c").cast("double")) * 1e12 + 0.5) / 1e12)
-            .cast(DecimalType(27, 14)).as("t"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(col("t")).cast("double").as("d2"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      val ab = d2.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
-        .groupBy(col("vec_id"))
-        .agg(max(when(col("rk") === 1, col("cid"))).as("cid"),
-          sqrt(max(when(col("rk") === 1, col("d2")))).as("a"),
-          sqrt(max(when(col("rk") === 2, col("d2")))).as("b"))
+      val D14 = DecimalType(27, 14)
+      val d2Structs = state.centroids.zipWithIndex.map { case (cvec, i) =>
+        val cLit = array(cvec.toIndexedSeq.map(v => lit(v.toDouble)): _*)
+        val d2 = aggregate(
+          zip_with(col("embedding"), cLit, (x, c) =>
+            (floor((x.cast("double") - c) * (x.cast("double") - c) * 1e12 + 0.5) / 1e12)
+              .cast(D14)),
+          lit(0).cast(D14), (acc, t) => (acc + t).cast(D14)).cast("double")
+        struct(d2.as("d2"), lit(i.toLong).as("cid"))
+      }
+      val ab = emb
+        .select(col("vec_id"), array_sort(array(d2Structs.toIndexedSeq: _*)).as("ds"))
+        .select(col("vec_id"), col("ds")(0).getField("cid").as("cid"),
+          sqrt(col("ds")(0).getField("d2")).as("a"),
+          sqrt(col("ds")(1).getField("d2")).as("b"))
       ab.select(col("cid"),
           when(greatest(col("a"), col("b")) > 0,
             floor((col("b") - col("a")) / greatest(col("a"), col("b"))
@@ -8408,13 +8428,23 @@ object SparkEntry {
         .withColumn("decile", (col("rid") * 10 / col("nu")).cast("int"))
         .groupBy(col("decile"), col("nu"), col("ne"))
         .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
-      graft.operators.CumSum.withRunningTotals(dec, Seq(col("decile")),
-          Seq(col("n_events") -> "cum_events"))
-        .select(col("decile"), col("n_users"), col("n_events"),
-          pround(col("n_events").cast("double") / col("ne").cast("double"), 9)
-            .as("share"),
-          pround(col("cum_events").cast("double") / col("ne").cast("double"), 9)
-            .as("cum_share"))
+      // r19: the ≤10-row decile close runs on the DRIVER (one tiny
+      // collect) — the two-pass CumSum layout (range shuffle +
+      // checkpoint + counts collect + window) is built for corpus-sized
+      // orders, not a frame bounded at 10 rows by construction; the
+      // running sum is the same exact long addition.
+      val decRows = dec.orderBy(col("decile")).collect()
+      var cum = 0L
+      import s.implicits._
+      decRows.toSeq.map { r =>
+          val (decile, ne) = (r.getInt(0), r.getLong(2))
+          val (nUsers, nEvents) = (r.getLong(3), r.getLong(4))
+          cum += nEvents
+          (decile, nUsers, nEvents,
+            proundD(nEvents.toDouble / ne.toDouble, 9),
+            proundD(cum.toDouble / ne.toDouble, 9))
+        }
+        .toDF("decile", "n_users", "n_events", "share", "cum_share")
         .orderBy(col("decile"))
     }),
 
@@ -9343,11 +9373,7 @@ object SparkEntry {
         vs.foldLeft(JBD.ZERO)((a, v) =>
           a.add(JBD.valueOf(v).setScale(14, RoundingMode.HALF_UP)))
           .doubleValue()
-      def prD(x: Double, scale: Int): Double = {
-        val sc = math.pow(10, scale)
-        val y = x * sc + 0.5
-        (if (math.abs(y) >= 4.503599627370496e15) y else math.floor(y)) / sc
-      }
+      def prD(x: Double, scale: Int): Double = proundD(x, scale)
       val cells = Tables.events(s, dir)
         .groupBy(col("event_type"),
           dayofweek(col("ts")).cast("long").as("dow"))
@@ -9835,16 +9861,23 @@ object SparkEntry {
         .withColumn("decile", (col("rid") * 10 / col("n")).cast("int"))
         .groupBy(col("decile"), col("n"), col("pos"))
         .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
-      graft.operators.CumSum.withRunningTotals(dec, Seq(col("decile")),
-          Seq(col("n_pos") -> "cum_pos"))
-        .select(col("decile"), col("n_docs"), col("n_pos"),
-          pround(col("n_pos").cast("double") / col("n_docs").cast("double"), 9)
-            .as("response_rate"),
-          pround(col("n_pos").cast("double") / col("n_docs").cast("double")
-            / (col("pos").cast("double") / col("n").cast("double")), 9)
-            .as("lift"),
-          pround(col("cum_pos").cast("double") / col("pos").cast("double"), 9)
-            .as("cum_gain"))
+      // r19: same ≤10-row driver close as q319 — the corpus-sized
+      // CumSum layout pass is overkill for a by-construction decile
+      // frame; identical exact-long running sum and pround mirrors.
+      val decRows = dec.orderBy(col("decile")).collect()
+      var cum = 0L
+      import s.implicits._
+      decRows.toSeq.map { r =>
+          val (decile, n, pos) = (r.getInt(0), r.getLong(1), r.getLong(2))
+          val (nDocs, nPos) = (r.getLong(3), r.getLong(4))
+          cum += nPos
+          (decile, nDocs, nPos,
+            proundD(nPos.toDouble / nDocs.toDouble, 9),
+            proundD(nPos.toDouble / nDocs.toDouble
+              / (pos.toDouble / n.toDouble), 9),
+            proundD(cum.toDouble / pos.toDouble, 9))
+        }
+        .toDF("decile", "n_docs", "n_pos", "response_rate", "lift", "cum_gain")
         .orderBy(col("decile"))
     }),
 

@@ -32,6 +32,9 @@ object Verify {
       // static compiled-class cache, default 100 entries — thrashes on
       // a 361-query run (see Bench.scala / SCALE.md round-11)
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // r19: same AQE-on-cached-plans conf as Bench (see its comment) —
+      // Verify must dump under the exact session the bench times
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
