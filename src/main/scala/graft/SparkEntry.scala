@@ -2218,9 +2218,19 @@ object SparkEntry {
       // join re-shuffled both branches; per-term products and the
       // DECIMAL(27,12) casts are unchanged term-for-term, so the exact
       // dot sums are bit-identical.
+      // The posting-array frame is REPARTITIONED before the pair
+      // explode (the documentsFanned CPU-fan-out discipline): the
+      // C(df,2) pair expansion is the query's heavy per-row work, and
+      // without the explicit fan-out it inherits the cached frame's
+      // AQE-coalesced (tiny) layout and serializes on a couple of
+      // cores — measured 7.0 s solo vs 2.7 s fanned at sf0.1. The
+      // exchange carries only the ≤ maxDfAbs-entry arrays (bytes ≈ the
+      // old join's ONE probe side), and the explode then runs at full
+      // width.
       val dots = tfidf
         .groupBy(col("w"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("wt")))).as("ps"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(flatten(transform(col("ps"), (a, i) =>
           transform(slice(col("ps"), i + lit(2), size(col("ps"))), b =>
             struct(a.getField("doc_id").as("doc_a"),
