@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query on SPARK_GRAFT_SF_DIR.
-  * Emits one JSON line per query (numeric-id order), then a summary JSON
-  * line whose LAST key is the total — the driver's capture keeps only the
-  * tail of stdout, so the total and as many per-query entries as fit must
-  * sit at the end. The full summary line is also written untruncated to
-  * BENCH_full.json. Each query is forced through a noop sink —
+  * Emits best-so-far per-query JSON lines after every round (and rewrites
+  * BENCH_full.json incrementally, so a killed run keeps its finished
+  * rounds), then the final per-query lines, the full summary line
+  * (28 KB — untruncated copy in BENCH_full.json), and LAST a compact
+  * summary line (~200 bytes: total, rounds, calibration, n) that survives
+  * the driver's ~4 KB stdout tail capture intact.
+  * Each query is forced through a noop sink —
   * `count()` would let Catalyst prune projections (a regex-heavy query
   * would "finish" without evaluating the regex), under-measuring real
   * work. noop executes the full physical plan minus sink IO.
@@ -128,6 +130,36 @@ object Bench {
                           var retries: Long = 0)
     val tele = scala.collection.mutable.Map.empty[String, Tele]
     val roundTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def fmt(d: Double): String = f"$d%.3f"
+    def qid(n: String): Int =
+      n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case s => s.toInt }
+    // r20 (VERDICT r19 Next #1b): the driver's kill budget can expire
+    // mid-suite (r19: rc=124 after round 1 of 3 under external box load),
+    // which previously left ZERO per-query data. Rewrite BENCH_full.json
+    // after every round — an interrupted run still carries the complete
+    // rounds finished so far — and keep the final write identical in
+    // shape so compare_bench.py needs no change.
+    def writeFull(soloSec: scala.collection.Map[String, Double]): String = {
+      val byId = names.map { case (n, _) => n -> best(n) }
+        .sortBy { case (n, _) => (qid(n), n) }
+      val qs = byId.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val ts = byId.map { case (k, _) =>
+        val t = tele.getOrElse(k, Tele())
+        val solo = soloSec.get(k).map(fmt).getOrElse("-1")
+        "\"" + k + s"""":[${t.bestGcMs},${t.bestPeakMb},${t.retries},${fmt(t.worstSec)},${t.worstGcMs},$solo]"""
+      }.mkString("{", ",", "}")
+      val total = byId.map(_._2).sum
+      val rounds = roundTotals.map(fmt).mkString("[", ",", "]")
+      val line =
+        s"""{"sf":"$sfDir","unit":"sec","cal_1t":${fmt(cal1)},"cal_nt":${fmt(calN)},""" +
+          s""""rounds":$rounds,"telemetry":$ts,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      line
+    }
     for (round <- 1 to 3) {
       val r0 = System.nanoTime()
       for ((name, fn) <- names) {
@@ -155,6 +187,17 @@ object Bench {
         graft.operators.Dedup.unpersistAll()
       }
       roundTotals += (System.nanoTime() - r0) / 1e9
+      // r20 (VERDICT r19 Next #1b/#1c): stream best-so-far per-query lines
+      // as each round completes (tagged with the round so the final
+      // untagged block stays the canonical record), rewrite BENCH_full
+      // incrementally, and timestamp each round on stderr so an rc=124
+      // run shows WHERE the wall-clock went (contention vs a stall).
+      for ((n, v) <- names.map { case (nm, _) => nm -> best(nm) }
+             .sortBy { case (nm, _) => (qid(nm), nm) })
+        println(s"""{"round":$round,"query":"$n","sec":${fmt(v)}}""")
+      writeFull(Map.empty)
+      System.err.println(s"[bench] round $round done at ${java.time.Instant.now} " +
+        f"(${roundTotals.last}%.1f s)")
       // Shuffle files and localCheckpoint blocks are reclaimed by the
       // ContextCleaner only when their references are GC'd — on a
       // large-heap driver a whole 222-query round can finish without a
@@ -203,13 +246,15 @@ object Bench {
           s" max=${p.getPeakUsage.getMax >> 20}MB")
     }
     val results = names.map { case (name, _) => name -> best(name) }
-    // The driver's stdout capture keeps only the TAIL of the output, so
-    // anything that must survive goes last: per-query lines (numeric-id
-    // order) first, then the summary JSON line with the total as its
-    // final key. A full untruncated copy also lands in BENCH_full.json.
-    def fmt(d: Double): String = f"$d%.3f"
-    def qid(n: String): Int =
-      n.drop(1).takeWhile(_.isDigit) match { case "" => Int.MaxValue; case s => s.toInt }
+    // Per-query lines (numeric-id order), then the full summary JSON line
+    // (unchanged shape — the round-for-round comparable record, also
+    // written untruncated to BENCH_full.json), then — LAST, r20 per
+    // VERDICT r19 Next #1a — a COMPACT summary line with no per-query map
+    // and no telemetry, small enough to survive the driver's ~4 KB stdout
+    // tail capture intact. Two rounds of rc=0 runs parsed to null because
+    // the 28 KB full line's head (`{"sf":...`) fell off the tail; the
+    // compact line is the measurement-contract fix (old full line kept,
+    // additions only — OPTIMIZATION_r20.md §bench-contract).
     val byId = results.sortBy { case (n, _) => (qid(n), n) }
     for ((n, v) <- byId) {
       val t = tele.getOrElse(n, Tele())
@@ -218,27 +263,14 @@ object Bench {
         s""""peak_mb":${t.bestPeakMb},"retries":${t.retries},""" +
         s""""worst_sec":${fmt(t.worstSec)},"worst_gc_ms":${t.worstGcMs}$solo}""")
     }
-    val qs = byId.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // telemetry map: name -> [best_gc_ms, best_peak_mb, retries,
-    // worst_sec, worst_gc_ms]; placed BEFORE "queries" so the driver's
-    // tail-capture truncation can only cost telemetry, never timings
-    // 6th element: solo-warm sec for the sampled top-K, -1 elsewhere
-    val ts = byId.map { case (k, _) =>
-      val t = tele.getOrElse(k, Tele())
-      val solo = soloSec.get(k).map(fmt).getOrElse("-1")
-      "\"" + k + s"""":[${t.bestGcMs},${t.bestPeakMb},${t.retries},${fmt(t.worstSec)},${t.worstGcMs},$solo]"""
-    }.mkString("{", ",", "}")
+    val line = writeFull(soloSec)
+    println(line)
     val total = results.map(_._2).sum
     val rounds = roundTotals.map(fmt).mkString("[", ",", "]")
-    val line =
-      s"""{"sf":"$sfDir","unit":"sec","cal_1t":${fmt(cal1)},"cal_nt":${fmt(calN)},""" +
-        s""""rounds":$rounds,"telemetry":$ts,"queries":$qs,"metric":"total","value":${fmt(total)}}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_full.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(line)
+    println(
+      s"""{"sf":"$sfDir","cpus":$cpus,"unit":"sec","cal_1t":${fmt(cal1)},""" +
+        s""""cal_nt":${fmt(calN)},"rounds":$rounds,"n":${results.size},""" +
+        s""""metric":"total","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -834,11 +834,26 @@ object SparkEntry {
       // State partitions are sized to the data for the duration of the
       // query: each partition is a state store with fixed commit
       // overhead per micro-batch, and AQE cannot coalesce streaming
-      // state (32 stores over ~100k events measured 2× slower than 8).
+      // state (32 stores over ~100k events measured 2× slower than 8;
+      // r20 re-measured 4 < 8 at this state size — the symmetric-hash
+      // join keeps 4 stores per partition, so even 8 partitions is 32
+      // store commits per micro-batch). At production rates this knob
+      // scales with state volume, not with the session's core count.
       val staging = StreamingOps.defaultStagingDir(s, dir)
       StreamingOps.stageEventsForStreaming(s, dir, staging)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // r20 (guide §5, trim the stateful tail): after the single data
+      // micro-batch, AvailableNow runs one more NO-DATA batch purely to
+      // advance the watermark and evict state — for an INNER stream-
+      // stream join every matched row was already emitted in the data
+      // batch, so that batch writes nothing and costs ~35% of the query
+      // (StreamProbe: batch1 triggerExecution 1.5–2.9 s of ~5 s, all
+      // state-eviction commits). Skip it; the state dies with the temp
+      // checkpoint anyway. q131 (left_outer) MUST keep it — the no-data
+      // batch is what emits the null-padded rows there.
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val clicks = StreamingOps.eventsStream(s, staging)
           .filter(col("event_type") === "click")
@@ -847,7 +862,10 @@ object SparkEntry {
         val joined = StreamingOps.clickPurchaseJoin(clicks, purchases)
         StreamingOps.runToMemory(s, joined, "q65_stream_join",
           org.apache.spark.sql.streaming.OutputMode.Append())
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
     }),
 
     "q39_stream_tumbling" -> ((s, dir) => {
@@ -2187,6 +2205,12 @@ object SparkEntry {
       // prune is the standard stop-term cut; near-ubiquitous terms
       // carry ~zero idf weight anyway.
       val maxDfFrac = 0.05
+      // r20: a documentsFanned input was TRIED here (the q157/q314 fan-out
+      // discipline) and measured WORSE (solo 2.4 → 4.0 s at 32c, paired
+      // runs) — the extra exchange re-layouts the cacheScoped tf frame and
+      // the downstream posting groupBy loses its reused partitioning.
+      // Deliberately left on the single-task scan; the pair explode (the
+      // real cost) is already fanned below.
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(graft.functions.Shingles.shingles(col("text"), 3)).as("w"))
@@ -2514,7 +2538,7 @@ object SparkEntry {
       val staging = StreamingOps.defaultStagingDir(s, dir)
       StreamingOps.stageEventsForStreaming(s, dir, staging)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val clicks = StreamingOps.eventsStream(s, staging)
           .filter(col("event_type") === "click")
@@ -2884,6 +2908,15 @@ object SparkEntry {
           col("text"))
         .select(col("doc_id"),
           expr(s"substring(text, cstart, ${stride + k - 1})").as("chunk"))
+        // r20 (guide §2.6 / documentsFanned discipline): documents is one
+        // parquet row group, so the whole position-explode + md5 chain ran
+        // as ONE scan task (solo 3.2 s at 32c, 31 cores idle). Fanning the
+        // ~|text|/64 chunk rows round-robin costs one tiny exchange
+        // (chunks ≈ 1.6× text bytes) and runs the md5 selection at full
+        // width; chunk-level (not doc-level) spread also balances skewed
+        // doc lengths. Per-row CPU (64 md5s per chunk) dwarfs the bytes
+        // at any scale; defaultParallelism tracks the session.
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("chunk"),
           explode(sequence(lit(1),
             greatest(length(col("chunk")) - (k - 1), lit(1)))).as("pos"))
@@ -2914,16 +2947,30 @@ object SparkEntry {
       // sf0.1 vs the both-directions + row_number formulation.
       val p = Tables.part(s, dir).select(col("p_partkey"), col("p_name"),
         col("p_brand"), element_at(split(col("p_name"), " "), -1).as("blk"))
+      // r20 (guide §2.6 / documentsFanned discipline): part is one parquet
+      // row group, so the broadcast-join probe side was ONE task — every
+      // blocked levenshtein ran on one core. One ~20k-row exchange fans it
+      // to full width (per-row cost = |block| levenshteins ≫ bytes).
       val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
         col("p_brand").as("brand"), col("blk"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
         col("p_brand").as("brand"), col("blk"))
       val scored = a.join(b, Seq("brand", "blk")).filter(col("key_a") < col("key_b"))
         .select(col("key_a"), col("name_a"), col("key_b"), col("name_b"),
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
-      val mirrored = scored.unionByName(scored.select(
-        col("key_b").as("key_a"), col("name_b").as("name_a"),
-        col("key_a").as("key_b"), col("name_a").as("name_b"), col("dist")))
+      // r20 (guide §2.4): the former scored.unionByName(scored.select(…))
+      // re-executed the WHOLE join branch — every levenshtein evaluated
+      // twice (two BroadcastHashJoin subtrees in the before-plan). The
+      // in-row 2-element explode emits both directions from ONE scored
+      // row: same row multiset, half the edit-distance work, one branch.
+      val mirrored = scored.select(explode(array(
+          struct(col("key_a"), col("name_a"), col("key_b"), col("name_b"), col("dist")),
+          struct(col("key_b").as("key_a"), col("name_b").as("name_a"),
+            col("key_a").as("key_b"), col("name_a").as("name_b"), col("dist")))).as("m"))
+        .select(col("m.key_a").as("key_a"), col("m.name_a").as("name_a"),
+          col("m.key_b").as("key_b"), col("m.name_b").as("name_b"),
+          col("m.dist").as("dist"))
       // best match = min(struct(dist, key_b)) — partial-agg friendly
       // (map-side combine), where a row_number window would sort every
       // candidate group after the shuffle
@@ -8289,8 +8336,18 @@ object SparkEntry {
       // halves the frame; ROUNDED scores order the top-20 totally.
       val p = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      // r20 (guide §2.6 stragglers / the documentsFanned discipline):
+      // part is one parquet row group, so the broadcast-join PROBE side
+      // was ONE scan task — the whole Σ|brand-block|² pair stream and
+      // every JW evaluation serialized on one core (solo 3.6 s at 32c
+      // with 31 cores idle). Fanning the probe rows round-robin costs
+      // one ~20k-row exchange of (brand, key, name) and runs the pair
+      // generation + JW at full width; per-row join work (|block| JW
+      // gates) dwarfs the shuffled bytes at ANY scale, and
+      // defaultParallelism tracks the session, not this box.
       val a = p.select(col("p_brand"), col("p_partkey").as("key_a"),
         col("p_name").as("name_a"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = p.select(col("p_brand"), col("p_partkey").as("key_b"),
         col("p_name").as("name_b"))
       // length-ratio prune BEFORE the JW loop: m ≤ min(|a|,|b|) bounds
@@ -9228,6 +9285,8 @@ object SparkEntry {
       val lo = daily.agg(min(col("day")).as("lo"))
       val idx = daily.crossJoin(broadcast(lo))
         .select(datediff(col("day"), col("lo")).cast("long").as("i"), col("x"))
+        // ≤ |calendar days| rows by construction (one per distinct day,
+        // ≤365·years — the q309 calendar bound), never corpus-sized
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       var cur = Array.tabulate(32)(i => idx.getOrElse(i.toLong, 0L))
       val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long)]()
@@ -9388,6 +9447,10 @@ object SparkEntry {
         .groupBy(col("event_type"),
           dayofweek(col("ts")).cast("long").as("dow"))
         .agg(count(lit(1)).as("n"))
+        // ≤ 7·|event_types| rows by construction — dow has 7 values and
+        // event_type is a closed small enum in this schema (the bound
+        // holds as long as that stays true; a high-cardinality type
+        // column would need the distributed half-steps back)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       val nn = cells.map(_._3).sum
       val rowT = cells.groupBy(_._1).map { case (t, g) => t -> g.map(_._3).sum }
